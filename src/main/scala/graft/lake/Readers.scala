@@ -1,0 +1,55 @@
+package graft.lake
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.ops.TimeOps
+
+/** Lake readers (SURVEY.md §2.1 S4-S7).
+  *
+  * The reference reads gzipped header-CSVs with per-file schema inference
+  * (`merge-data.py:78-79` et al.). Spark reads whole globs of them in one
+  * scan — gzip is auto-detected, and a supplied `StructType` avoids the
+  * inference pass that would double the I/O at 100 TB.
+  */
+object Readers {
+
+  /** S4: gzipped CSV with header. `schema=None` reproduces the reference's
+    * inference (`inferSchema`), an explicit schema is the scale path. */
+  def csvGz(spark: SparkSession, paths: Seq[String], schema: Option[StructType] = None): DataFrame = {
+    val base = spark.read.option("header", "true")
+    val withSchema = schema.map(base.schema).getOrElse(base.option("inferSchema", "true"))
+    withSchema.csv(paths: _*)
+  }
+
+  /** S1+S4 in one: recursive scan of a lake subtree, reference layout. */
+  def scanLake(spark: SparkSession, root: String, glob: String = "*.csv.gz"): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("inferSchema", "true")
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", glob)
+      .csv(root)
+      .withColumn("path", input_file_name())
+
+  /** S7: schema sidecar fetch — the `.json` next to the data, only ever
+    * displayed by the reference (`summary.py:152-166,300-312`). */
+  def schemaSidecar(spark: SparkSession, path: String): String =
+    spark.read.option("wholetext", "true").text(path)
+      .head().getString(0)
+
+  /** Quirk §2.11.7: first-present time column wins, in priority order
+    * (`data_collection.py:53-59,108`). Columns absent from the schema are
+    * skipped at *plan* time; present columns contribute via coalesce so a
+    * null in the first column falls through to the next — a strict
+    * superset of the reference (which picks one column per file). */
+  val timeColumnPriority: Seq[String] =
+    Seq("timestamp", "value.time", "value.startTime", "value.timeCompleted", "time", "timeReceived")
+
+  def eventTime(df: DataFrame, priority: Seq[String] = timeColumnPriority): Column = {
+    val present = priority.filter(df.columns.contains)
+    require(present.nonEmpty, s"no time column among $priority in ${df.columns.mkString(",")}")
+    TimeOps.epochSecondsToTs(coalesce(present.map(c => col(s"`$c`")): _*))
+  }
+}

@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The catalog command surface of `main.py`/`summary.py` (SURVEY.md §2.10).
+  *
+  * The reference builds an in-memory object graph from an S3 listing and
+  * answers "queries" by dict traversal (`summary.py:103-150`). Here the
+  * catalog is itself a DataFrame — `inventory(user_id, measurement,
+  * filename, path, date, time, idx, is_schema)` — cached as Parquet
+  * instead of a pickle, and every command is an aggregation over it.
+  * At scale the inventory for 100 TB of objects is itself millions of
+  * rows — a DataFrame, not a driver-side dict.
+  */
+object CatalogOps {
+
+  /** Parse an S3-style key `prefix/user/measurement/filename` into inventory
+    * columns (`main.py:122-150`, `summary.py:117-144`). Keys with the wrong
+    * number of parts are dropped (`main.py:131`). Filename timestamps are
+    * `YYYYMMDD_HHMMSS[_i].csv.gz` split into date/time/index
+    * (`main.py:18-41`); malformed names yield nulls (logged + tolerated in
+    * the reference). `.json` files are schema sidecars (`main.py:148-150`).
+    */
+  def inventoryFromKeys(keys: DataFrame, keyCol: String = "key"): DataFrame = {
+    val parts = split(col(keyCol), "/")
+    keys
+      .withColumn("parts", parts)
+      .filter(size(col("parts")) === 4)
+      .select(
+        col("parts").getItem(1).as("user_id"),
+        col("parts").getItem(2).as("measurement"),
+        col("parts").getItem(3).as("filename"),
+        col(keyCol).as("path"))
+      .withColumn("is_schema", col("filename").endsWith(".json"))
+      .withColumn("date",
+        regexp_extract(col("filename"), "^(\\d{8})_(\\d{4,6})(?:_(\\d+))?\\.csv\\.gz$", 1))
+      .withColumn("time",
+        regexp_extract(col("filename"), "^(\\d{8})_(\\d{4,6})(?:_(\\d+))?\\.csv\\.gz$", 2))
+      .withColumn("idx",
+        regexp_extract(col("filename"), "^(\\d{8})_(\\d{4,6})(?:_(\\d+))?\\.csv\\.gz$", 3)
+          .try_cast("int"))
+      .withColumn("date", when(col("date") === "", null).otherwise(col("date")))
+      .withColumn("time", when(col("time") === "", null).otherwise(col("time")))
+  }
+
+  private def data(inv: DataFrame) = inv.filter(!col("is_schema"))
+
+  /** `list_all_users` (`main.py:175-182`). */
+  def listAllUsers(inv: DataFrame): DataFrame =
+    data(inv).select("user_id").distinct().orderBy("user_id")
+
+  /** `list_all_measurements` (`main.py:155-173`) — sorted distinct set. */
+  def listAllMeasurements(inv: DataFrame): DataFrame =
+    data(inv).select("measurement").distinct().orderBy("measurement")
+
+  /** `get_measurements_for_user` (`main.py:184-210`). */
+  def measurementsForUser(inv: DataFrame, user: String): DataFrame =
+    data(inv).filter(col("user_id") === user)
+      .select("measurement").distinct().orderBy("measurement")
+
+  /** `get_users_for_measurement` (`main.py:212-236`) — semi-join J2. */
+  def usersForMeasurement(inv: DataFrame, measurement: String): DataFrame =
+    data(inv).filter(col("measurement") === measurement)
+      .select("user_id").distinct().orderBy("user_id")
+
+  /** `generate_summary_report` (`main.py:238-257`): per (user, measurement)
+    * file count, (date,time)-level counts rolled up, and date range
+    * (A10+A11). */
+  def summaryReport(inv: DataFrame): DataFrame =
+    data(inv)
+      .groupBy("user_id", "measurement")
+      .agg(
+        count(lit(1)).as("file_count"),
+        min("date").as("first_date"),
+        max("date").as("last_date"),
+        count_distinct(col("date")).as("distinct_dates"))
+      .orderBy("user_id", "measurement")
+
+  /** A10: per-(date,time) file counts within a measurement
+    * (`main.py:53-59`). */
+  def fileCounts(inv: DataFrame, user: String, measurement: String): DataFrame =
+    data(inv)
+      .filter(col("user_id") === user && col("measurement") === measurement)
+      .groupBy("date", "time").agg(count(lit(1)).as("n"))
+      .orderBy("date", "time")
+
+  /** Parquet-cached catalog: `update_summary_file`/`check_summary_file`
+    * (`main.py:259-277`) — replaces the pickle cache. */
+  def writeCache(inv: DataFrame, path: String): Unit =
+    inv.write.mode("overwrite").parquet(path)
+}

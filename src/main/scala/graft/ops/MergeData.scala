@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The `merge-data.py` / `collect_data_metadata.py` semantics
+  * (SURVEY.md §2.4 U1-U2, §2.2 P1).
+  *
+  * Reference: for each (site, participant, metric) group, read every
+  * per-day csv.gz, attach lineage columns, `pd.concat` (aligning columns
+  * by name, NaN-filling gaps), write one merged file
+  * (`merge-data.py:54-100`).
+  *
+  * Spark-first: one scan of all files; lineage comes from the path
+  * (partition columns / regexp over `input_file_name()`), the concat is
+  * the scan itself, schema drift across files is `unionByName(
+  * allowMissingColumns = true)`, and "one output file per group" is
+  * `partitionBy(site, participant, metric)` with dynamic partition
+  * overwrite — per-group idempotent rewrite, which is also the U2
+  * incremental story (re-running overwrites only touched groups).
+  * No driver-side loop over groups: at 100 TB the groups are millions.
+  */
+object MergeData {
+
+  /** P1: lineage columns the reference attaches to every merged row
+    * (`merge-data.py:81-83`): file_timestamp (ISO string), site,
+    * participant_id. Expects the scan to carry path-derived columns
+    * already (see [[graft.lake.PathModel.parsePaths]]). */
+  def withLineage(df: DataFrame): DataFrame =
+    df.withColumn("file_timestamp",
+      date_format(col("file_timestamp"), "yyyy-MM-dd'T'HH:mm:ss"))
+
+  /** U1 cross-schema union: pandas `concat` aligns by column name and
+    * fills missing with NaN; the Spark equivalent. */
+  def unionDrift(dfs: Seq[DataFrame]): DataFrame =
+    dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** U1+U2: merge a raw lake scan into a partitioned merged lake.
+    * Dynamic partition overwrite = only groups present in `df` are
+    * rewritten (the reference's skip-existing/--update flags both
+    * degenerate to this idempotent behavior). */
+  def writeMerged(spark: SparkSession, df: DataFrame, outDir: String): Unit = {
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try df.write
+      .mode("overwrite")
+      .partitionBy("site", "participant_id", "metric")
+      .parquet(outDir)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+}

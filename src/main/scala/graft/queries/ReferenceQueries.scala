@@ -1,0 +1,465 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{Overview, Presence, TimeOps}
+
+/** SURVEY.md §2 operator inventory, exercised over the driver's TPC-H-ish
+  * testdata (TESTDATA.md). Mapping of the reference's domain onto the
+  * testdata lake: site/participant → user_id (`events`) or customer,
+  * metric → event_type, file event-time → `events.ts`.
+  *
+  * Every query here reads through [[graft.Tables]], carries its DuckDB
+  * oracle, and is written so filters/projections push into the parquet
+  * scan and the plan has at most one shuffle more than the operator
+  * fundamentally needs.
+  */
+object ExtensionQueriesDoc // placeholder to keep wildcard imports honest
+
+object ReferenceQueries {
+
+  private def events(s: SparkSession, dir: String) = Tables(s, dir, "events")
+  private def orders(s: SparkSession, dir: String) = Tables(s, dir, "orders")
+  private def lineitem(s: SparkSession, dir: String) = Tables(s, dir, "lineitem")
+  private def customer(s: SparkSession, dir: String) = Tables(s, dir, "customer")
+  private def nation(s: SparkSession, dir: String) = Tables(s, dir, "nation")
+  private def region(s: SparkSession, dir: String) = Tables(s, dir, "region")
+
+  val all: Seq[Q] = Seq(
+
+    // ---------------------------------------------------------------
+    // A1-A3 + O1: process-overview grouped stats (SURVEY §2.6).
+    // ---------------------------------------------------------------
+    Q("q01_overview_stats",
+      (s, dir) => Overview.stats(events(s, dir), Seq("user_id", "event_type"), col("ts")),
+      Some("""
+        SELECT user_id, event_type,
+               count(*) AS row_count,
+               strftime(min(ts), '%Y-%m-%d') AS start_date,
+               strftime(max(ts), '%Y-%m-%d') AS end_date,
+               count(DISTINCT CAST(ts AS DATE)) AS day_count
+        FROM events GROUP BY user_id, event_type
+        ORDER BY user_id, event_type"""),
+      "A1-A3 per-(site,participant,metric) stats ≙ per-(user,event_type)"),
+
+    // ---------------------------------------------------------------
+    // P3: time-bucket keys (month / ISO week / year).
+    // ---------------------------------------------------------------
+    Q("q02_bucket_month",
+      (s, dir) => events(s, dir)
+        .groupBy(TimeOps.monthKey(col("ts")).as("time_key"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+        .orderBy("time_key"),
+      Some("""
+        SELECT strftime(ts, '%Y-%m') AS time_key,
+               count(*) AS n, round(sum(value), 4) AS sum_value
+        FROM events GROUP BY 1 ORDER BY 1""")),
+
+    Q("q03_bucket_isoweek",
+      (s, dir) => events(s, dir)
+        .groupBy(TimeOps.isoWeekKey(col("ts")).as("time_key"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("time_key"),
+      Some("""
+        SELECT isoyear(ts)::VARCHAR || '-W' || lpad(weekofyear(ts)::VARCHAR, 2, '0') AS time_key,
+               count(*) AS n
+        FROM events GROUP BY 1 ORDER BY 1"""),
+      "ISO week-based year via Thursday rule (SURVEY §2.2 P3)"),
+
+    Q("q04_bucket_year",
+      (s, dir) => events(s, dir)
+        .groupBy(TimeOps.yearKey(col("ts")).as("time_key"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("time_key"),
+      Some("""
+        SELECT strftime(ts, '%Y') AS time_key, count(*) AS n
+        FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // ---------------------------------------------------------------
+    // A4: the compute_stats bundle — mean/median/population-std/min/max.
+    // ---------------------------------------------------------------
+    Q("q05_feature_stats",
+      (s, dir) => events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("total_entries"),
+          count_distinct(to_date(col("ts"))).as("days_with_data"),
+          round(avg("value"), 4).as("mean"),
+          round(median(col("value")), 4).as("median"),
+          round(stddev_pop(col("value")), 4).as("std_dev"),
+          round(min("value"), 4).as("min"),
+          round(max("value"), 4).as("max"))
+        .orderBy("event_type"),
+      Some("""
+        SELECT event_type,
+               count(*) AS total_entries,
+               count(DISTINCT CAST(ts AS DATE)) AS days_with_data,
+               round(avg(value), 4) AS mean,
+               round(median(value), 4) AS median,
+               round(stddev_pop(value), 4) AS std_dev,
+               round(min(value), 4) AS min,
+               round(max(value), 4) AS max
+        FROM events GROUP BY event_type ORDER BY event_type"""),
+      "A4 with np.std ddof=0 ≙ stddev_pop, exact median"),
+
+    // ---------------------------------------------------------------
+    // A14: presence long table (data_collection.py).
+    // ---------------------------------------------------------------
+    Q("q06_presence",
+      (s, dir) => Presence.presenceTable(events(s, dir), Seq("user_id", "event_type"), col("ts")),
+      Some("""
+        SELECT DISTINCT user_id, event_type, strftime(ts, '%Y-%m-%d') AS date
+        FROM events WHERE ts IS NOT NULL
+        ORDER BY user_id, event_type, date""")),
+
+    // ---------------------------------------------------------------
+    // R1: pivot heatmap matrix (participant × value count per metric).
+    // ---------------------------------------------------------------
+    Q("q07_pivot",
+      (s, dir) => Presence.pivotMatrix(
+        events(s, dir), "user_id", "event_type", "event_id",
+        Seq("click", "error", "purchase", "signup", "view")),
+      Some("""
+        SELECT user_id,
+               count(*) FILTER (event_type = 'click')    AS click,
+               count(*) FILTER (event_type = 'error')    AS error,
+               count(*) FILTER (event_type = 'purchase') AS purchase,
+               count(*) FILTER (event_type = 'signup')   AS signup,
+               count(*) FILTER (event_type = 'view')     AS view
+        FROM events GROUP BY user_id ORDER BY user_id"""),
+      "R1 pivot with explicit value list → single-pass plan"),
+
+    // ---------------------------------------------------------------
+    // A10: per-(date,time) file counts (main.py file_counts).
+    // ---------------------------------------------------------------
+    Q("q08_file_counts",
+      (s, dir) => events(s, dir)
+        .groupBy(
+          date_format(col("ts"), "yyyy-MM-dd").as("date"),
+          date_format(col("ts"), "HH").as("hour"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("date", "hour"),
+      Some("""
+        SELECT strftime(ts, '%Y-%m-%d') AS date, strftime(ts, '%H') AS hour,
+               count(*) AS n
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---------------------------------------------------------------
+    // §2.10 catalog command surface over the inventory-analogue.
+    // ---------------------------------------------------------------
+    Q("q09_catalog_users",
+      (s, dir) => events(s, dir).select("user_id").distinct().orderBy("user_id"),
+      Some("SELECT DISTINCT user_id FROM events ORDER BY user_id"),
+      "list_all_users (main.py:175-182)"),
+
+    Q("q10_catalog_measurements",
+      (s, dir) => events(s, dir).select("event_type").distinct().orderBy("event_type"),
+      Some("SELECT DISTINCT event_type FROM events ORDER BY event_type"),
+      "list_all_measurements (main.py:155-173)"),
+
+    Q("q11_users_for_measurement",
+      (s, dir) => {
+        val purchases = events(s, dir).filter(col("event_type") === "purchase")
+        customer(s, dir)
+          .join(purchases, col("c_custkey") === col("user_id"), "left_semi")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")
+      },
+      Some("""
+        SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM events e
+                      WHERE e.user_id = customer.c_custkey
+                        AND e.event_type = 'purchase')
+        ORDER BY c_custkey"""),
+      "J2 semi-join: get_users_for_measurement (main.py:212-236)"),
+
+    Q("q12_summary_report",
+      (s, dir) => events(s, dir)
+        .groupBy("user_id", "event_type")
+        .agg(
+          count(lit(1)).as("file_count"),
+          date_format(min(col("ts")), "yyyy-MM-dd").as("first_date"),
+          date_format(max(col("ts")), "yyyy-MM-dd").as("last_date"),
+          count_distinct(date_format(col("ts"), "yyyy-MM-dd")).as("distinct_dates"))
+        .orderBy("user_id", "event_type"),
+      Some("""
+        SELECT user_id, event_type,
+               count(*) AS file_count,
+               strftime(min(ts), '%Y-%m-%d') AS first_date,
+               strftime(max(ts), '%Y-%m-%d') AS last_date,
+               count(DISTINCT strftime(ts, '%Y-%m-%d')) AS distinct_dates
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2"""),
+      "generate_summary_report (main.py:238-257)"),
+
+    // ---------------------------------------------------------------
+    // A9: histogram — count by bucketed response.
+    // ---------------------------------------------------------------
+    Q("q13_histogram",
+      (s, dir) => events(s, dir)
+        .groupBy(
+          col("event_type"),
+          floor(col("value") / 25).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type", "bucket"),
+      Some("""
+        SELECT event_type, CAST(floor(value / 25) AS BIGINT) AS bucket, count(*) AS n
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---------------------------------------------------------------
+    // A13: device sub-split — metric renamed metric/device.
+    // ---------------------------------------------------------------
+    Q("q14_device_split",
+      (s, dir) => events(s, dir)
+        .withColumn("metric_device",
+          concat_ws("/", col("event_type"), get_json_object(col("props"), "$.k")))
+        .groupBy("metric_device")
+        .agg(count(lit(1)).as("row_count"))
+        .orderBy("metric_device"),
+      Some("""
+        SELECT event_type || '/' || json_extract_string(props, '$.k') AS metric_device,
+               count(*) AS row_count
+        FROM events GROUP BY 1 ORDER BY 1"""),
+      "A13 device split (process-overview.py:129-150); device ≙ props.k"),
+
+    // ---------------------------------------------------------------
+    // P5: numeric coercion with null-on-failure (float() try/except).
+    // ---------------------------------------------------------------
+    Q("q15_coerce",
+      (s, dir) => Tables(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          substring(col("text"), 1, 2).try_cast("double").as("coerced"))
+        .groupBy(col("coerced").isNotNull.as("is_numeric"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("is_numeric"),
+      Some("""
+        SELECT TRY_CAST(substr(text, 1, 2) AS DOUBLE) IS NOT NULL AS is_numeric,
+               count(*) AS n
+        FROM documents GROUP BY 1 ORDER BY 1""")),
+
+    // ---------------------------------------------------------------
+    // U1: cross-schema union drift (pandas concat NaN-fill semantics).
+    // ---------------------------------------------------------------
+    Q("q16_union_drift",
+      (s, dir) => {
+        val li = lineitem(s, dir)
+        val a = li.select(col("l_orderkey"), col("l_quantity"))
+        val b = li.select(col("l_orderkey"), col("l_extendedprice"))
+        a.unionByName(b, allowMissingColumns = true)
+          .groupBy("l_orderkey")
+          .agg(
+            count(lit(1)).as("n"),
+            round(sum("l_quantity"), 4).as("sum_qty"),
+            round(sum("l_extendedprice"), 4).as("sum_price"))
+          .orderBy("l_orderkey")
+      },
+      Some("""
+        WITH u AS (
+          SELECT l_orderkey, l_quantity, NULL::DOUBLE AS l_extendedprice FROM lineitem
+          UNION ALL
+          SELECT l_orderkey, NULL::DOUBLE AS l_quantity, l_extendedprice FROM lineitem)
+        SELECT l_orderkey, count(*) AS n,
+               round(sum(l_quantity), 4) AS sum_qty,
+               round(sum(l_extendedprice), 4) AS sum_price
+        FROM u GROUP BY 1 ORDER BY 1"""),
+      "U1 unionByName(allowMissingColumns) ≙ pd.concat column alignment"),
+
+    // ---------------------------------------------------------------
+    // P1: lineage column attach.
+    // ---------------------------------------------------------------
+    Q("q17_merge_lineage",
+      (s, dir) => lineitem(s, dir)
+        .filter(col("l_orderkey") < 100)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          lit("siteA").as("site"),
+          lit("2024-10-17T09:30:00").as("file_timestamp"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""
+        SELECT l_orderkey, l_linenumber,
+               'siteA' AS site, '2024-10-17T09:30:00' AS file_timestamp
+        FROM lineitem WHERE l_orderkey < 100
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    // ---------------------------------------------------------------
+    // J1/F7: config→file substring routing, first match wins.
+    // ---------------------------------------------------------------
+    Q("q18_routing",
+      (s, dir) => {
+        import s.implicits._
+        val specs = Seq(("src1", 1), ("rc1", 2), ("src", 3))
+          .toDF("spec_source", "priority")
+        val docs = Tables(s, dir, "documents")
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("priority"))
+        docs.join(broadcast(specs), col("source").contains(col("spec_source")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("source"), col("spec_source"), col("priority"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id, source, spec_source, priority FROM (
+          SELECT d.doc_id, d.source, s.spec_source, s.priority,
+                 row_number() OVER (PARTITION BY d.doc_id ORDER BY s.priority) AS rn
+          FROM documents d
+          JOIN (VALUES ('src1', 1), ('rc1', 2), ('src', 3)) AS s(spec_source, priority)
+            ON position(s.spec_source IN d.source) > 0)
+        WHERE rn = 1 ORDER BY doc_id"""),
+      "J1 broadcast theta-join + row_number ≙ first-match break (extract_patient_summary.py:265-284)"),
+
+    // ---------------------------------------------------------------
+    // O4: top-k (TakeOrderedAndProject — no full sort at scale).
+    // ---------------------------------------------------------------
+    Q("q19_topk",
+      (s, dir) => orders(s, dir)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice")),
+      Some("""
+        SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        FROM orders ORDER BY orders.o_totalprice DESC, o_orderkey LIMIT 10""")),
+
+    // ---------------------------------------------------------------
+    // Window functions: running aggregates per partition.
+    // ---------------------------------------------------------------
+    Q("q20_window",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        events(s, dir)
+          .filter(col("user_id") < 20)
+          .withColumn("rn", row_number().over(w))
+          .withColumn("running_value",
+            round(sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 4))
+          .withColumn("prev_type", lag("event_type", 1).over(w))
+          .select("user_id", "event_id", "rn", "running_value", "prev_type")
+          .orderBy("user_id", "rn")
+      },
+      Some("""
+        SELECT user_id, event_id,
+               row_number() OVER w AS rn,
+               round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value,
+               lag(event_type, 1) OVER w AS prev_type
+        FROM events WHERE user_id < 20
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY user_id, rn""")),
+
+    // ---------------------------------------------------------------
+    // U3 as rollup: per-site + all-sites combined in one pass.
+    // ---------------------------------------------------------------
+    Q("q21_rollup",
+      (s, dir) => {
+        val c = customer(s, dir); val o = orders(s, dir)
+        val n = nation(s, dir); val r = region(s, dir)
+        // Dataset.rollup trips Spark's ambiguous-self-join detector (the
+        // Expand node carries each grouping column twice), so the rollup
+        // itself goes through the SQL resolution path over a temp view —
+        // identical plan, no dataset-id tags.
+        o.join(c, o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .select(r("r_name").as("region_nm"), n("n_name").as("nation_nm"),
+            o("o_totalprice"))
+          .createOrReplaceTempView("q21_rollup_input")
+        s.sql("""
+          SELECT coalesce(region_nm, 'ALL') AS region_name,
+                 coalesce(nation_nm, 'ALL') AS nation_name,
+                 count(*) AS n_orders,
+                 round(sum(o_totalprice), 2) AS revenue
+          FROM q21_rollup_input
+          GROUP BY ROLLUP (region_nm, nation_nm)
+          ORDER BY region_name, nation_name""")
+      },
+      Some("""
+        SELECT coalesce(r_name, 'ALL') AS region_name,
+               coalesce(n_name, 'ALL') AS nation_name,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+        ORDER BY region_name, nation_name"""),
+      "U3 per-site + all_sites dual output as a single rollup pass"),
+
+    // ---------------------------------------------------------------
+    // Join surface: 3-way join + agg + top-k (TPC-H Q3 shape).
+    // ---------------------------------------------------------------
+    Q("q22_join3",
+      (s, dir) => {
+        val c = customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+        val o = orders(s, dir); val li = lineitem(s, dir)
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"), "left_semi")
+          .groupBy("l_orderkey")
+          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some("""
+        SELECT l_orderkey,
+               round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE EXISTS (SELECT 1 FROM customer
+                      WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')
+        GROUP BY l_orderkey
+        ORDER BY revenue DESC, l_orderkey LIMIT 10""")),
+
+    // ---------------------------------------------------------------
+    // Anti join.
+    // ---------------------------------------------------------------
+    Q("q23_anti",
+      (s, dir) => customer(s, dir)
+        .join(orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey"),
+      Some("""
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        ORDER BY c_custkey""")),
+
+    // ---------------------------------------------------------------
+    // As-of join: most recent event at-or-before each order date.
+    // ---------------------------------------------------------------
+    Q("q24_asof",
+      (s, dir) => {
+        val o = orders(s, dir).filter(col("o_custkey") <= 30)
+        val e = events(s, dir).select(col("user_id"), col("ts"))
+        o.join(e, col("user_id") === col("o_custkey") && col("ts") <= col("o_orderdate"), "left")
+          .groupBy("o_orderkey", "o_custkey")
+          .agg(date_format(max("ts"), "yyyy-MM-dd HH:mm:ss").as("last_event_ts"))
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey,
+               strftime((SELECT max(e.ts) FROM events e
+                         WHERE e.user_id = o.o_custkey AND e.ts <= o.o_orderdate),
+                        '%Y-%m-%d %H:%M:%S') AS last_event_ts
+        FROM orders o WHERE o_custkey <= 30
+        ORDER BY o_orderkey"""),
+      "as-of join via range join + max; union+last(ignoreNulls) window at scale"),
+
+    // ---------------------------------------------------------------
+    // O4: intersect / except.
+    // ---------------------------------------------------------------
+    Q("q25_setops",
+      (s, dir) => {
+        val e = events(s, dir)
+        def users(t: String) = e.filter(col("event_type") === t).select("user_id")
+        users("click").intersect(users("purchase")).except(users("error"))
+          .orderBy("user_id")
+      },
+      Some("""
+        (SELECT user_id FROM events WHERE event_type = 'click'
+         INTERSECT
+         SELECT user_id FROM events WHERE event_type = 'purchase')
+        EXCEPT
+        SELECT user_id FROM events WHERE event_type = 'error'
+        ORDER BY user_id"""))
+  )
+}
