@@ -1,0 +1,145 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import DetHash._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, and n-gram Jaccard. All are expressed as
+  * DataFrame plans over deterministic hashes ([[DetHash]]) so each has an
+  * exact DuckDB oracle.
+  *
+  * Scale notes (100 TB): exact dedup is one hash-shuffle; MinHash/LSH
+  * candidate generation shuffles on (band, bucket) — never all-pairs;
+  * SimHash pair generation is quadratic only within small buckets when
+  * combined with a prefix-bucket join. The only intentionally quadratic
+  * op here is [[jaccardPairs]] (within-group verification), which is the
+  * *verify* stage run on LSH candidates, not the discovery stage.
+  */
+object Dedup {
+
+  /** Exact dedup groups: fingerprint → group size + keeper (min id).
+    * One shuffle on the fingerprint. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol).cast("binary")).as("fp"))
+      .agg(count(lit(1)).as("n"), min(col(idCol)).as("keeper"))
+
+  /** Distinct word n-gram shingles per document (plus optional carried
+    * columns, e.g. a grouping key). Documents with fewer than n tokens
+    * produce no shingles. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int,
+      carry: Seq[String] = Nil): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    df.filter(size(toks) >= n)
+      .select(
+        (col(idCol) +: carry.map(col)) :+
+        explode(transform(
+          sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", (0 until n).map(k => get(toks, i + lit(k))): _*)
+        )).as("shingle"): _*)
+      .distinct()
+  }
+
+  /** MinHash signature: one row per id with 16 minhash columns m0..m15.
+    * Single aggregation over the shingle set. */
+  def minhashSignature(sh: DataFrame, idCol: String): DataFrame = {
+    val hv = hash52(col("shingle"))
+    sh.groupBy(col(idCol))
+      .agg(
+        min(minhash(hv, 0)).as("m0"),
+        (1 until minhashCoeffs.size).map(j => min(minhash(hv, j)).as(s"m$j")): _*)
+  }
+
+  /** LSH banding: 4 bands × 4 rows; bucket key = md5 of the band's
+    * minhashes. Output long format (id, band, bucket) so candidate
+    * generation is an equi-join (shuffle on (band, bucket)), never a
+    * cross join. */
+  def lshBuckets(sig: DataFrame, idCol: String, bands: Int = 4, rows: Int = 4): DataFrame = {
+    val bandStructs = (0 until bands).map { b =>
+      val cols = (0 until rows).map(r => col(s"m${b * rows + r}").cast("string"))
+      struct(lit(b).as("band"), md5(concat_ws("_", cols: _*).cast("binary")).as("bucket"))
+    }
+    sig.select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** LSH candidate pairs + estimated Jaccard (fraction of the 16
+    * minhashes that agree). */
+  def minhashCandidates(sig: DataFrame, idCol: String): DataFrame = {
+    val buckets = lshBuckets(sig, idCol)
+    val a = buckets.toDF(s"${idCol}_a", "band", "bucket")
+    val b = buckets.toDF(s"${idCol}_b", "band", "bucket")
+    val pairs = a.join(b, Seq("band", "bucket"))
+      .filter(col(s"${idCol}_a") < col(s"${idCol}_b"))
+      .select(s"${idCol}_a", s"${idCol}_b").distinct()
+    val sa = sig.toDF(sig.columns.map(c => if (c == idCol) s"${idCol}_a" else s"${c}_a"): _*)
+    val sb = sig.toDF(sig.columns.map(c => if (c == idCol) s"${idCol}_b" else s"${c}_b"): _*)
+    val agree = minhashCoeffs.indices
+      .map(j => when(col(s"m${j}_a") === col(s"m${j}_b"), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs.join(sa, s"${idCol}_a").join(sb, s"${idCol}_b")
+      .select(
+        col(s"${idCol}_a"), col(s"${idCol}_b"),
+        round(agree.cast("double") / minhashCoeffs.size, 4).as("est_jaccard"))
+  }
+
+  /** Exact n-gram Jaccard similarity for candidate pairs within a group
+    * column (the verify stage): |A∩B| via shingle equi-join,
+    * |A∪B| = |A|+|B|-|A∩B|. */
+  def jaccardPairs(sh: DataFrame, idCol: String, groupCol: String): DataFrame = {
+    val std = sh.select(col(idCol), col(groupCol), col("shingle"))
+    val sizes = std.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val a = std.toDF(s"${idCol}_a", groupCol, "shingle")
+    val b = std.toDF(s"${idCol}_b", s"${groupCol}_b", "shingle_b")
+    val inter = a.join(b,
+        col("shingle") === col("shingle_b") &&
+        col(groupCol) === col(s"${groupCol}_b") &&
+        col(s"${idCol}_a") < col(s"${idCol}_b"))
+      .groupBy(s"${idCol}_a", s"${idCol}_b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.toDF(s"${idCol}_a", "sz_a"), s"${idCol}_a")
+      .join(sizes.toDF(s"${idCol}_b", "sz_b"), s"${idCol}_b")
+      .select(
+        col(s"${idCol}_a"), col(s"${idCol}_b"),
+        round(col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")), 4).as("jaccard"))
+  }
+
+  /** 32-bit SimHash: per-token 32-bit hash, per-bit weighted vote
+    * (weight = token multiplicity), sign → bit. Expressed as an
+    * explode over bit positions + two aggregations — no UDF, and the
+    * bit explode is a constant 32× fan-out of the (doc, token) pairs. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .groupBy(idCol, "token").agg(count(lit(1)).as("w"))
+      .withColumn("h", hash32(col("token")))
+    tok
+      .select(col(idCol), col("w"), col("h"), explode(sequence(lit(0), lit(31))).as("b"))
+      .groupBy(col(idCol), col("b"))
+      .agg(sum(col("w") * expr("(shiftright(h, cast(b as int)) & 1) * 2 - 1")).as("vote"))
+      .groupBy(col(idCol))
+      .agg(sum(when(col("vote") >= 0,
+        expr("shiftleft(cast(1 as bigint), cast(b as int))")).otherwise(0L)).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs by Hamming distance. The all-pairs form is
+    * for oracle-checkable small data; at scale, join on a 16-bit prefix
+    * bucket first (same API, `prefixBucketed = true`). */
+  def simhashPairs(sh: DataFrame, idCol: String, maxHamming: Int,
+      prefixBucketed: Boolean = false): DataFrame = {
+    val a = sh.toDF(s"${idCol}_a", "sh_a")
+    val b = sh.toDF(s"${idCol}_b", "sh_b")
+    val joined =
+      if (prefixBucketed)
+        a.withColumn("pfx", shiftright(col("sh_a"), 16))
+          .join(b.withColumn("pfx", shiftright(col("sh_b"), 16)), "pfx")
+      else a.crossJoin(b)
+    joined
+      .filter(col(s"${idCol}_a") < col(s"${idCol}_b"))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col(s"${idCol}_a"), col(s"${idCol}_b"), col("hamming").cast("long").as("hamming"))
+  }
+}

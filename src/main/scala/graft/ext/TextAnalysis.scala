@@ -1,0 +1,107 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language ID, quality scoring, token counting, document fingerprinting,
+  * tf-idf. All pure Catalyst expressions / DataFrame ops — no UDFs — so
+  * they stay codegen'd and scale linearly with a single shuffle at most
+  * (tf-idf's document-frequency join).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization, lower-cased. Kept trivially simple so the
+    * DuckDB oracle (`string_split_regex(lower(x), '\s+')`) is
+    * semantically identical. */
+  def tokens(text: Column): Column = split(lower(text), "\\s+")
+
+  /** Language-marker stopword lists for the n-gram/stopword-ratio
+    * language-ID heuristic. Frozen — they define the classifier. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "fr" -> Seq("le", "les", "des", "et", "est", "une"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "不"))
+
+  /** Count of tokens that appear in a marker list (dups counted). */
+  def markerHits(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(markers)))
+
+  /** Language-ID: per-language marker-hit scores + argmax with a fixed
+    * tie-break order (the order of [[langMarkers]]). */
+  def withLangScores(df: DataFrame, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    langMarkers.foldLeft(df) { case (d, (lang, markers)) =>
+      d.withColumn(s"score_$lang", markerHits(toks, markers))
+    }
+  }
+
+  def predictedLang: Column = {
+    val scores = langMarkers.map { case (l, _) => l -> col(s"score_$l") }
+    val best = greatest(scores.map(_._2): _*)
+    scores.tail.foldLeft(when(scores.head._2 === best, scores.head._1)) {
+      case (acc, (l, c)) => acc.when(c === best, l)
+    }
+  }
+
+  /** Quality metrics: token count, mean token length, punctuation /
+    * digit / stopword ratios, and a composite score. */
+  def qualityMetrics(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nTok = size(toks)
+    val totTokLen = aggregate(transform(toks, x => length(x)), lit(0), (acc, v) => acc + v)
+    val punct = length(t) - length(regexp_replace(t, "[^a-zA-Z0-9\\s]", ""))
+    val digits = length(t) - length(regexp_replace(t, "[0-9]", ""))
+    val stop = markerHits(toks, langMarkers.head._2)
+    df.withColumn("n_tokens", nTok.cast("long"))
+      .withColumn("mean_token_len", round(totTokLen.cast("double") / nTok, 4))
+      .withColumn("punct_ratio", round(punct.cast("double") / length(t), 4))
+      .withColumn("digit_ratio", round(digits.cast("double") / length(t), 4))
+      .withColumn("stopword_ratio", round(stop.cast("double") / nTok, 4))
+      .withColumn("quality_score",
+        round(lit(0.5) * (stop.cast("double") / nTok)
+          + lit(0.3) * (lit(1.0) - punct.cast("double") / length(t))
+          + lit(0.2) * least(nTok.cast("double") / 100.0, lit(1.0)), 4))
+  }
+
+  /** Token counting: whitespace tokens + a BPE-ish regex segmentation
+    * (letter runs, digit runs, single punctuation marks). */
+  def tokenCounts(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("ws_tokens", size(tokens(t)).cast("long"))
+      .withColumn("bpe_tokens",
+        regexp_count(lower(t), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).cast("long"))
+  }
+
+  /** Document fingerprint: md5 of the punctuation/case/whitespace
+    * normalized text, plus its 52-bit integer form for bucketing. */
+  def fingerprint(df: DataFrame, textCol: String): DataFrame = {
+    val norm = trim(regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " "))
+    df.withColumn("fp", md5(norm.cast("binary")))
+      .withColumn("fp_int", DetHash.hash52(norm))
+  }
+
+  /** tf-idf: term frequencies joined to document frequencies; idf =
+    * ln(N / df). One explode + two aggregations; the df side is tiny
+    * (vocabulary) and broadcast. */
+  def tfIdf(docs: DataFrame, idCol: String, textCol: String, topK: Int): DataFrame = {
+    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val tf = tok.groupBy(idCol, "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tok.select(col(idCol), col("token")).distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("token"))
+    tf.join(broadcast(dfreq), "token")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col(idCol), col("token"), col("tfidf"), col("rank"))
+  }
+}

@@ -1,8 +1,371 @@
 package graft.queries
 
-/** North-star extension operators (SURVEY.md §7.5): dedup, similarity
-  * search, text analysis, multimodal. Filled in as each ext/ module lands.
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ext.{Dedup, DetHash, Multimodal, Similarity, TextAnalysis}
+
+/** North-star extension operators (SURVEY.md §7.5) as oracle-checked
+  * queries: dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard),
+  * similarity search (brute-force + random-hyperplane LSH ANN), text
+  * analysis (lang-ID, quality, token counts, fingerprint, tf-idf) and
+  * multimodal metadata plumbing.
+  *
+  * Sketch oracles are EXACT, not rows-only: all hashing goes through
+  * [[graft.ext.DetHash]] (md5-prefix integers) which evaluates to the
+  * same values in DuckDB, and parts of the oracle SQL are *generated
+  * from the same frozen constants* as the Spark plan, so the two sides
+  * cannot drift.
   */
 object ExtensionQueries {
-  val all: Seq[Q] = Seq()
+
+  /** DuckDB shingle CTE shared by the dedup oracles: 3-word shingles. */
+  private val shingleCte = """
+    tok AS (SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS t
+            FROM documents),
+    sh AS (SELECT DISTINCT doc_id, source,
+                  unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)]) AS shingle
+           FROM tok WHERE len(t) >= 3)"""
+
+  /** Generated MinHash signature select list (16 columns m0..m15),
+    * applied over the pre-hashed `hv` column. */
+  private val sqlSig: String =
+    DetHash.minhashCoeffs.indices
+      .map(j => s"min(${DetHash.sqlMinhash("hv", j)}) AS m$j")
+      .mkString(", ")
+
+  /** Generated band CTE: 4 bands × 4 rows, bucket = md5 of the band. */
+  private val sqlBands: String =
+    (0 until 4).map { b =>
+      val cols = (0 until 4).map(r => s"m${b * 4 + r}::VARCHAR").mkString(" || '_' || ")
+      s"SELECT doc_id, $b AS band, md5($cols) AS bucket FROM sig"
+    }.mkString(" UNION ALL ")
+
+  private val sqlAgree: String =
+    DetHash.minhashCoeffs.indices.map(j => s"(sa.m$j = sb.m$j)::INT").mkString(" + ")
+
+  val all: Seq[Q] = Seq(
+
+    // ---------------------------------------------------------------
+    // Dedup: exact
+    // ---------------------------------------------------------------
+    Q("q30_dedup_exact",
+      (s, dir) => Dedup.exactGroups(Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy("fp"),
+      Some("""
+        SELECT md5(text) AS fp, count(*) AS n, min(doc_id) AS keeper
+        FROM documents GROUP BY 1 ORDER BY 1"""),
+      "exact dedup: one hash-shuffle, keeper = min id"),
+
+    // ---------------------------------------------------------------
+    // Dedup: n-gram Jaccard (verify stage — within-source pairs)
+    // ---------------------------------------------------------------
+    Q("q31_jaccard_topk",
+      (s, dir) => {
+        val sh = Dedup.shingles(Tables(s, dir, "documents"), "doc_id", "text", 3,
+          carry = Seq("source"))
+        Dedup.jaccardPairs(sh, "doc_id", "source")
+          .orderBy(col("jaccard").desc, col("doc_id_a"), col("doc_id_b"))
+          .limit(20)
+      },
+      Some(s"""
+        WITH $shingleCte,
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS inter
+                  FROM sh a JOIN sh b
+                    ON a.shingle = b.shingle AND a.source = b.source
+                   AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT doc_id_a, doc_id_b,
+               round(inter::DOUBLE / (sa.sz + sb.sz - inter), 4) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_id_a
+        JOIN sizes sb ON sb.doc_id = doc_id_b
+        ORDER BY jaccard DESC, doc_id_a, doc_id_b LIMIT 20""")),
+
+    // ---------------------------------------------------------------
+    // Dedup: MinHash + LSH candidate generation
+    // ---------------------------------------------------------------
+    Q("q32_minhash_lsh",
+      (s, dir) => {
+        val sh = Dedup.shingles(Tables(s, dir, "documents"), "doc_id", "text", 3)
+        val sig = Dedup.minhashSignature(sh, "doc_id")
+        Dedup.minhashCandidates(sig, "doc_id")
+          .orderBy("doc_id_a", "doc_id_b")
+      },
+      Some(s"""
+        WITH $shingleCte,
+        h AS (SELECT doc_id, ${DetHash.sqlHash52("shingle")} AS hv FROM sh),
+        sig AS (SELECT doc_id, $sqlSig FROM h GROUP BY doc_id),
+        bands AS ($sqlBands),
+        pairs AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+                  FROM bands a JOIN bands b
+                    ON a.band = b.band AND a.bucket = b.bucket
+                   AND a.doc_id < b.doc_id)
+        SELECT p.doc_id_a, p.doc_id_b,
+               round(($sqlAgree) / 16.0, 4) AS est_jaccard
+        FROM pairs p
+        JOIN sig sa ON sa.doc_id = p.doc_id_a
+        JOIN sig sb ON sb.doc_id = p.doc_id_b
+        ORDER BY doc_id_a, doc_id_b""")),
+
+    // ---------------------------------------------------------------
+    // Dedup: SimHash signatures + near-dup pairs
+    // ---------------------------------------------------------------
+    Q("q33_simhash",
+      (s, dir) => Dedup.simhash(Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(s"""
+        WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS token
+                     FROM documents),
+        tw AS (SELECT doc_id, token, count(*) AS w FROM tok GROUP BY 1, 2),
+        th AS (SELECT doc_id, w, ${DetHash.sqlHash32("token")} AS h FROM tw),
+        bits AS (SELECT doc_id, b.range AS b,
+                   CASE WHEN sum(w * (((h >> b.range::INT) & 1) * 2 - 1)) >= 0
+                        THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+                 FROM th CROSS JOIN range(0, 32) b
+                 GROUP BY doc_id, b.range)
+        SELECT doc_id, sum(bit << b::INT)::BIGINT AS simhash
+        FROM bits GROUP BY doc_id ORDER BY doc_id""")),
+
+    Q("q34_simhash_pairs",
+      (s, dir) => {
+        val sh = Dedup.simhash(Tables(s, dir, "documents"), "doc_id", "text")
+        Dedup.simhashPairs(sh, "doc_id", maxHamming = 2)
+          .orderBy("doc_id_a", "doc_id_b")
+      },
+      Some(s"""
+        WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS token
+                     FROM documents),
+        tw AS (SELECT doc_id, token, count(*) AS w FROM tok GROUP BY 1, 2),
+        th AS (SELECT doc_id, w, ${DetHash.sqlHash32("token")} AS h FROM tw),
+        bits AS (SELECT doc_id, b.range AS b,
+                   CASE WHEN sum(w * (((h >> b.range::INT) & 1) * 2 - 1)) >= 0
+                        THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+                 FROM th CROSS JOIN range(0, 32) b
+                 GROUP BY doc_id, b.range),
+        sim AS (SELECT doc_id, sum(bit << b::INT)::BIGINT AS simhash
+                FROM bits GROUP BY doc_id)
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+        FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+        ORDER BY doc_id_a, doc_id_b""")),
+
+    // ---------------------------------------------------------------
+    // Similarity search: brute-force cosine top-k
+    // ---------------------------------------------------------------
+    Q("q35_cosine_topk",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 5)
+          .orderBy("probe_id", "rank")
+      },
+      Some("""
+        WITH v AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                          unnest(embedding)::DOUBLE AS x
+                   FROM embeddings),
+        n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM v GROUP BY vec_id),
+        d AS (SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id, sum(a.x * b.x) AS dot
+              FROM v a JOIN v b ON a.i = b.i AND a.vec_id < 20 AND b.vec_id <> a.vec_id
+              GROUP BY 1, 2),
+        s AS (SELECT probe_id, neighbor_id,
+                     round(dot / (na.nrm * nb.nrm), 4) AS sim,
+                     row_number() OVER (PARTITION BY probe_id
+                       ORDER BY round(dot / (na.nrm * nb.nrm), 4) DESC, neighbor_id) AS rank
+              FROM d
+              JOIN n na ON na.vec_id = probe_id
+              JOIN n nb ON nb.vec_id = neighbor_id)
+        SELECT probe_id, neighbor_id, sim, rank FROM s
+        WHERE rank <= 5 ORDER BY probe_id, rank""")),
+
+    // ---------------------------------------------------------------
+    // Similarity: embedding-cosine near-dup pairs
+    // ---------------------------------------------------------------
+    Q("q36_embed_near_dup",
+      (s, dir) => Similarity.nearDupPairs(
+          Tables(s, dir, "embeddings"), "vec_id", "embedding", minSim = 0.45)
+        .orderBy("id_a", "id_b"),
+      Some("""
+        WITH v AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                          unnest(embedding)::DOUBLE AS x
+                   FROM embeddings),
+        n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM v GROUP BY vec_id),
+        d AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x * b.x) AS dot
+              FROM v a JOIN v b ON a.i = b.i AND a.vec_id < b.vec_id
+              GROUP BY 1, 2)
+        SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 4) AS sim
+        FROM d JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b
+        WHERE round(dot / (na.nrm * nb.nrm), 4) >= 0.45
+        ORDER BY id_a, id_b""")),
+
+    // ---------------------------------------------------------------
+    // Similarity: random-hyperplane LSH ANN
+    // ---------------------------------------------------------------
+    Q("q37_ann_lsh",
+      (s, dir) => Similarity.annTopK(Tables(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 3, nBits = 8, dim = 64,
+          probeFilter = col("vec_id") < 20)
+        .orderBy("probe_id", "rank"),
+      Some("""
+        WITH v AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                          unnest(embedding)::DOUBLE AS x
+                   FROM embeddings),
+        w AS (SELECT b.range AS b, d.range AS d,
+                     ((('0x' || substr(md5('rp-' || b.range::VARCHAR || '-' || d.range::VARCHAR), 1, 13))::BIGINT
+                       % 2001) - 1000)::DOUBLE AS wt
+              FROM range(0, 8) b, range(0, 64) d),
+        proj AS (SELECT v.vec_id, w.b, sum(w.wt * v.x) AS p
+                 FROM v JOIN w ON w.d = v.i - 1 GROUP BY 1, 2),
+        bkt AS (SELECT vec_id,
+                       sum(CASE WHEN p >= 0 THEN (1::BIGINT << b::INT) ELSE 0::BIGINT END) AS bucket
+                FROM proj GROUP BY vec_id),
+        n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM v GROUP BY vec_id),
+        cand AS (SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id
+                 FROM bkt a JOIN bkt b ON a.bucket = b.bucket
+                  AND a.vec_id < 20 AND b.vec_id <> a.vec_id),
+        d AS (SELECT c.probe_id, c.neighbor_id, sum(va.x * vb.x) AS dot
+              FROM cand c
+              JOIN v va ON va.vec_id = c.probe_id
+              JOIN v vb ON vb.vec_id = c.neighbor_id AND vb.i = va.i
+              GROUP BY 1, 2),
+        s AS (SELECT probe_id, neighbor_id,
+                     round(dot / (na.nrm * nb.nrm), 4) AS sim,
+                     row_number() OVER (PARTITION BY probe_id
+                       ORDER BY round(dot / (na.nrm * nb.nrm), 4) DESC, neighbor_id) AS rank
+              FROM d
+              JOIN n na ON na.vec_id = probe_id
+              JOIN n nb ON nb.vec_id = neighbor_id)
+        SELECT probe_id, neighbor_id, sim, rank FROM s
+        WHERE rank <= 3 ORDER BY probe_id, rank"""),
+      "LSH-bucketed ANN: equi-join on sign-bucket instead of cross join"),
+
+    // ---------------------------------------------------------------
+    // Text analysis: language ID confusion matrix
+    // ---------------------------------------------------------------
+    Q("q38_lang_id",
+      (s, dir) => {
+        val scored = TextAnalysis.withLangScores(Tables(s, dir, "documents"), "text")
+        scored
+          .withColumn("predicted", TextAnalysis.predictedLang)
+          .groupBy("predicted", "lang")
+          .agg(count(lit(1)).as("n"))
+          .withColumnRenamed("lang", "actual")
+          .orderBy("predicted", "actual")
+      },
+      Some {
+        val markers = TextAnalysis.langMarkers.map { case (l, ms) =>
+          l -> ms.map(m => s"'$m'").mkString(", ")
+        }
+        val scoreSel = markers.map { case (l, list) =>
+          s"len([x for x in toks if x IN ($list)]) AS score_$l"
+        }.mkString(", ")
+        val allScores = markers.map { case (l, _) => s"score_$l" }.mkString(", ")
+        val caseExpr = markers.map { case (l, _) =>
+          s"WHEN score_$l = greatest($allScores) THEN '$l'"
+        }.mkString(" ")
+        s"""
+        WITH t AS (SELECT lang, string_split_regex(lower(text), '\\s+') AS toks
+                   FROM documents),
+        s AS (SELECT lang, $scoreSel FROM t)
+        SELECT CASE $caseExpr END AS predicted, lang AS actual, count(*) AS n
+        FROM s GROUP BY 1, 2 ORDER BY 1, 2"""
+      },
+      "stopword-marker language ID; oracle generated from the same marker lists"),
+
+    // ---------------------------------------------------------------
+    // Text analysis: quality scoring
+    // ---------------------------------------------------------------
+    Q("q39_quality",
+      (s, dir) => TextAnalysis.qualityMetrics(Tables(s, dir, "documents"), "text")
+        .select("doc_id", "n_tokens", "mean_token_len", "punct_ratio",
+          "digit_ratio", "stopword_ratio", "quality_score")
+        .orderBy("doc_id"),
+      Some {
+        val en = TextAnalysis.langMarkers.head._2.map(m => s"'$m'").mkString(", ")
+        s"""
+        WITH t AS (SELECT doc_id, text, string_split_regex(lower(text), '\\s+') AS toks
+                   FROM documents)
+        SELECT doc_id,
+               len(toks)::BIGINT AS n_tokens,
+               round(list_sum([length(x) for x in toks])::DOUBLE / len(toks), 4) AS mean_token_len,
+               round((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))::DOUBLE
+                     / length(text), 4) AS punct_ratio,
+               round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+                     / length(text), 4) AS digit_ratio,
+               round(len([x for x in toks if x IN ($en)])::DOUBLE / len(toks), 4) AS stopword_ratio,
+               round(0.5 * (len([x for x in toks if x IN ($en)])::DOUBLE / len(toks))
+                   + 0.3 * (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))::DOUBLE / length(text))
+                   + 0.2 * least(len(toks)::DOUBLE / 100.0, 1.0), 4) AS quality_score
+        FROM t ORDER BY doc_id"""
+      }),
+
+    // ---------------------------------------------------------------
+    // Text analysis: token counting (whitespace + BPE-ish regex)
+    // ---------------------------------------------------------------
+    Q("q40_token_count",
+      (s, dir) => TextAnalysis.tokenCounts(Tables(s, dir, "documents"), "text")
+        .select("doc_id", "ws_tokens", "bpe_tokens")
+        .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id,
+               len(string_split_regex(lower(text), '\s+'))::BIGINT AS ws_tokens,
+               len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))::BIGINT AS bpe_tokens
+        FROM documents ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------
+    // Text analysis: document fingerprint
+    // ---------------------------------------------------------------
+    Q("q41_fingerprint",
+      (s, dir) => TextAnalysis.fingerprint(Tables(s, dir, "documents"), "text")
+        .select("doc_id", "fp", "fp_int")
+        .orderBy("doc_id"),
+      Some("""
+        WITH t AS (SELECT doc_id,
+                          trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+                   FROM documents)
+        SELECT doc_id, md5(norm) AS fp,
+               ('0x' || substr(md5(norm), 1, 13))::BIGINT AS fp_int
+        FROM t ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------
+    // Text analysis: tf-idf top terms
+    // ---------------------------------------------------------------
+    Q("q42_tfidf",
+      (s, dir) => TextAnalysis.tfIdf(Tables(s, dir, "documents"), "doc_id", "text", topK = 3)
+        .filter(col("doc_id") < 50)
+        .orderBy("doc_id", "rank"),
+      Some("""
+        WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
+                     FROM documents),
+        tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        dfq AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        n AS (SELECT count(*) AS n_docs FROM documents)
+        SELECT doc_id, token, tfidf, rank FROM (
+          SELECT t.doc_id, t.token,
+                 round(t.tf * ln(n.n_docs::DOUBLE / d.df), 4) AS tfidf,
+                 row_number() OVER (PARTITION BY t.doc_id
+                   ORDER BY round(t.tf * ln(n.n_docs::DOUBLE / d.df), 4) DESC, t.token) AS rank
+          FROM tf t JOIN dfq d USING (token) CROSS JOIN n
+          WHERE t.doc_id < 50)
+        WHERE rank <= 3 ORDER BY doc_id, rank""")),
+
+    // ---------------------------------------------------------------
+    // Multimodal: binary payload + deterministic fake decode metadata
+    // ---------------------------------------------------------------
+    Q("q43_multimodal_meta",
+      (s, dir) => Multimodal.withFakeDecodeMeta(
+          Multimodal.asMedia(Tables(s, dir, "documents"), "doc_id", "text", "text/plain"))
+        .select("doc_id", "byte_len", "width", "height", "n_frames")
+        .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id,
+               octet_length(text::BLOB)::BIGINT AS byte_len,
+               (16 + ('0x' || substr(md5(text), 1, 2))::BIGINT % 64)::INT AS width,
+               (16 + ('0x' || substr(md5(text), 3, 2))::BIGINT % 64)::INT AS height,
+               (1 + ('0x' || substr(md5(text), 5, 2))::BIGINT % 8)::INT AS n_frames
+        FROM documents ORDER BY doc_id"""),
+      "multimodal plumbing: payload bytes + md5-derived fake header decode")
+  )
 }
