@@ -12,11 +12,23 @@ import org.apache.spark.sql.functions._
   *
   * `events.ts` is parquet TIMESTAMP(NANOS), which Spark has no native
   * type for (Spark timestamps are microsecond): it is read via the
-  * `nanosAsLong` escape hatch and truncated to microseconds — exactly
-  * what DuckDB does when it reads the same file (truncation, not
-  * rounding — verified), so the oracle sees identical values. The cast
-  * to TIMESTAMP_NTZ matches how Spark reads this lake's other (ms)
-  * timestamp columns, keeping cross-table comparisons cast-free.
+  * `nanosAsLong` escape hatch and truncated to microseconds with
+  * INTEGRAL division (`ts div 1000`) — exactly what DuckDB does when it
+  * reads the same file (truncation, not rounding). Double division
+  * (`/ 1000`) would be wrong: 2024-era epoch-nanos (~1.7e18) exceed the
+  * 53-bit double mantissa, so ~2% of values would truncate to a
+  * different microsecond than the oracle's.
+  *
+  * The `nanosAsLong` conf intentionally stays set for the session: it
+  * is consulted again at execution time (per-task footer conversion),
+  * so a read-then-restore would break the deferred scan. It only
+  * affects parquet files that actually carry TIMESTAMP(NANOS), which in
+  * this lake is `events` alone.
+  *
+  * The cast to TIMESTAMP_NTZ matches how Spark reads this lake's other
+  * (ms) timestamp columns; the cast goes through the session timezone,
+  * so a UTC session is REQUIRED for oracle parity (asserted below —
+  * build.sbt pins -Dspark.sql.session.timeZone=UTC for all runners).
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -28,9 +40,11 @@ object Tables {
     else spark.read.parquet(s"$dir/$name.parquet")
 
   def events(spark: SparkSession, dir: String): DataFrame = {
+    require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+      "events() requires a UTC session (TIMESTAMP->NTZ cast is tz-dependent)")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/events.parquet")
       .withColumn("ts",
-        timestamp_micros((col("ts") / 1000).cast("long")).cast("timestamp_ntz"))
+        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
   }
 }

@@ -76,7 +76,7 @@ object Multimodal {
         }
         DecodedMedia(
           r.doc_id, r.media_type, bytes.length.toLong,
-          16 + (u(0) * 256 + u(1)) % 64 * 0 + u(0) % 64,  // width: 16 + first byte % 64
+          16 + u(0) % 64,
           16 + u(1) % 64,
           1 + u(2) % 8,
           feature)

@@ -10,7 +10,7 @@ import DetHash._
   *
   * Brute-force cosine top-k is the exact baseline (probe-set × corpus,
   * pruned by a row_number window). The scale path is random-hyperplane
-  * LSH ([[rpBuckets]]): candidates only within matching sign-buckets, so
+  * LSH ([[rpBucket]]): candidates only within matching sign-buckets, so
   * the join is an equi-join on the bucket key rather than a cross join.
   *
   * All arithmetic is done in DOUBLE after an explicit cast — float

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -149,19 +149,10 @@ object SummaryOps {
         col(s"`${spec.extractionField}`").try_cast("double").as("value"))
   }
 
-  /** A4 stats bundle with the reference's exact semantics: population
+  /** A5+A4: per-(participant, time_key, feature) statistics — the A4
+    * stats bundle with the reference's exact semantics: population
     * std-dev (`np.std` ddof=0, `extract_patient_summary.py:118`), exact
     * median, nulls for empty value lists (`:115-116`). */
-  private def statsAggs(v: Column, day: Column): Seq[Column] = Seq(
-    count(lit(1)).as("total_entries"),
-    count_distinct(day, v.isNotNull).as("days_with_data_raw"),
-    avg(v).as("mean"),
-    median(v).as("median"),
-    stddev_pop(v).as("std_dev"),
-    min(v).as("min"),
-    max(v).as("max"))
-
-  /** A5+A4: per-(participant, time_key, feature) statistics. */
   def featureStats(featuresLong: DataFrame): DataFrame = {
     // countDistinct with a filter: count days only where value is numeric
     featuresLong

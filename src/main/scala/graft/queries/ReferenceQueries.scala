@@ -17,8 +17,6 @@ import graft.ops.{Overview, Presence, TimeOps}
   * scan and the plan has at most one shuffle more than the operator
   * fundamentally needs.
   */
-object ExtensionQueriesDoc // placeholder to keep wildcard imports honest
-
 object ReferenceQueries {
 
   private def events(s: SparkSession, dir: String) = Tables(s, dir, "events")

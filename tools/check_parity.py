@@ -55,9 +55,6 @@ def main():
                 print(f"FAIL {name}: columns {gcols} != {wcols}")
                 n_fail += 1
                 continue
-            grows = [tuple(canon(v) for v in r) for r in
-                     con.sql(f"SELECT {', '.join(gcols)} FROM got").fetchall()]
-            # re-bind: duckdb relations need registration for name reuse
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_fail += 1
