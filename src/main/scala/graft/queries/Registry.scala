@@ -21,5 +21,6 @@ final case class Q(
     doc: String = "")
 
 object Registry {
-  def all: Seq[Q] = ReferenceQueries.all ++ ExtensionQueries.all
+  def all: Seq[Q] =
+    ReferenceQueries.all ++ SummaryQueries.all ++ ExtensionQueries.all
 }
