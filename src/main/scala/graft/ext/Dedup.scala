@@ -12,10 +12,11 @@ import DetHash._
   *
   * Scale notes (100 TB): exact dedup is one hash-shuffle; MinHash/LSH
   * candidate generation shuffles on (band, bucket) — never all-pairs;
-  * SimHash pair generation is quadratic only within small buckets when
-  * combined with a prefix-bucket join. The only intentionally quadratic
-  * op here is [[jaccardPairs]] (within-group verification), which is the
-  * *verify* stage run on LSH candidates, not the discovery stage.
+  * SimHash pair generation bands the signature bits (pigeonhole: Hamming
+  * ≤ k pairs agree on one of k+1 disjoint bands) so it too is an
+  * equi-join. Exact-Jaccard verification runs on LSH candidates
+  * ([[jaccardOnCandidates]]); the all-pairs forms ([[jaccardPairs]],
+  * `smallData = true`) exist as small-data oracle twins only.
   */
 object Dedup {
 
@@ -64,15 +65,21 @@ object Dedup {
       .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
-  /** LSH candidate pairs + estimated Jaccard (fraction of the 16
-    * minhashes that agree). */
-  def minhashCandidates(sig: DataFrame, idCol: String): DataFrame = {
+  /** Distinct LSH candidate pairs: equi-join of the banded buckets with
+    * itself — shuffles on (band, bucket), never all-pairs. */
+  def candidatePairs(sig: DataFrame, idCol: String): DataFrame = {
     val buckets = lshBuckets(sig, idCol)
     val a = buckets.toDF(s"${idCol}_a", "band", "bucket")
     val b = buckets.toDF(s"${idCol}_b", "band", "bucket")
-    val pairs = a.join(b, Seq("band", "bucket"))
+    a.join(b, Seq("band", "bucket"))
       .filter(col(s"${idCol}_a") < col(s"${idCol}_b"))
       .select(s"${idCol}_a", s"${idCol}_b").distinct()
+  }
+
+  /** LSH candidate pairs + estimated Jaccard (fraction of the 16
+    * minhashes that agree). */
+  def minhashCandidates(sig: DataFrame, idCol: String): DataFrame = {
+    val pairs = candidatePairs(sig, idCol)
     val sa = sig.toDF(sig.columns.map(c => if (c == idCol) s"${idCol}_a" else s"${c}_a"): _*)
     val sb = sig.toDF(sig.columns.map(c => if (c == idCol) s"${idCol}_b" else s"${c}_b"): _*)
     val agree = minhashCoeffs.indices
@@ -84,9 +91,32 @@ object Dedup {
         round(agree.cast("double") / minhashCoeffs.size, 4).as("est_jaccard"))
   }
 
-  /** Exact n-gram Jaccard similarity for candidate pairs within a group
-    * column (the verify stage): |A∩B| via shingle equi-join,
-    * |A∪B| = |A|+|B|-|A∩B|. */
+  /** Exact n-gram Jaccard for a GIVEN candidate pair set (the verify
+    * stage of the LSH dedup pipeline, fed from [[candidatePairs]]):
+    * |A∩B| via a shingle equi-join restricted to the candidates,
+    * |A∪B| = |A|+|B|-|A∩B|. Shuffle cost is proportional to the
+    * candidate count, not n² — pairs sharing no shingle drop out
+    * (jaccard would be 0). */
+  def jaccardOnCandidates(sh: DataFrame, cands: DataFrame, idCol: String): DataFrame = {
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val a = sh.select(col(idCol).as(s"${idCol}_a"), col("shingle"))
+    val b = sh.select(col(idCol).as("__idb"), col("shingle").as("shingle_b"))
+    cands.select(s"${idCol}_a", s"${idCol}_b")
+      .join(a, Seq(s"${idCol}_a"))
+      .join(b, col(s"${idCol}_b") === col("__idb") && col("shingle") === col("shingle_b"))
+      .groupBy(s"${idCol}_a", s"${idCol}_b")
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.toDF(s"${idCol}_a", "sz_a"), s"${idCol}_a")
+      .join(sizes.toDF(s"${idCol}_b", "sz_b"), s"${idCol}_b")
+      .select(
+        col(s"${idCol}_a"), col(s"${idCol}_b"),
+        round(col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")), 4).as("jaccard"))
+  }
+
+  /** Exact n-gram Jaccard over ALL pairs within a group column —
+    * quadratic in the hot-shingle case; small-data / oracle twin of
+    * [[jaccardOnCandidates]]. */
   def jaccardPairs(sh: DataFrame, idCol: String, groupCol: String): DataFrame = {
     val std = sh.select(col(idCol), col(groupCol), col("shingle"))
     val sizes = std.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
@@ -124,22 +154,41 @@ object Dedup {
         expr("shiftleft(cast(1 as bigint), cast(b as int))")).otherwise(0L)).as("simhash"))
   }
 
-  /** SimHash near-dup pairs by Hamming distance. The all-pairs form is
-    * for oracle-checkable small data; at scale, join on a 16-bit prefix
-    * bucket first (same API, `prefixBucketed = true`). */
+  /** SimHash near-dup pairs by Hamming distance. Default is the BANDED
+    * plan: the 32 signature bits are split into `maxHamming + 1`
+    * disjoint bands, and by pigeonhole any pair within Hamming ≤
+    * maxHamming agrees EXACTLY on at least one band — so an equi-join
+    * on (band, band-bits) finds every qualifying pair (guaranteed 100%
+    * recall, unlike prefix bucketing) while shuffling on band keys
+    * instead of materializing n² rows. `smallData = true` keeps the
+    * all-pairs cross join for tiny inputs where the band fan-out isn't
+    * worth it; both forms return identical results. */
   def simhashPairs(sh: DataFrame, idCol: String, maxHamming: Int,
-      prefixBucketed: Boolean = false): DataFrame = {
-    val a = sh.toDF(s"${idCol}_a", "sh_a")
-    val b = sh.toDF(s"${idCol}_b", "sh_b")
-    val joined =
-      if (prefixBucketed)
-        a.withColumn("pfx", shiftright(col("sh_a"), 16))
-          .join(b.withColumn("pfx", shiftright(col("sh_b"), 16)), "pfx")
-      else a.crossJoin(b)
-    joined
-      .filter(col(s"${idCol}_a") < col(s"${idCol}_b"))
+      smallData: Boolean = false): DataFrame = {
+    def verify(cands: DataFrame): DataFrame = cands
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col(s"${idCol}_a"), col(s"${idCol}_b"), col("hamming").cast("long").as("hamming"))
+    val a = sh.toDF(s"${idCol}_a", "sh_a")
+    val b = sh.toDF(s"${idCol}_b", "sh_b")
+    if (smallData)
+      verify(a.crossJoin(b).filter(col(s"${idCol}_a") < col(s"${idCol}_b")))
+    else {
+      val nBands = maxHamming + 1
+      val widths = (0 until nBands).map(i => 32 / nBands + (if (i < 32 % nBands) 1 else 0))
+      val offsets = widths.scanLeft(0)(_ + _)
+      def bandsOf(c: Column) = array((0 until nBands).map { i =>
+        struct(lit(i).as("band"),
+          shiftright(c, offsets(i)).bitwiseAND(lit((1L << widths(i)) - 1)).as("key"))
+      }: _*)
+      val banded = sh.toDF("__id", "__sh")
+        .select(col("__id"), col("__sh"), explode(bandsOf(col("__sh"))).as("bk"))
+        .select(col("__id"), col("__sh"), col("bk.band").as("band"), col("bk.key").as("key"))
+      val ba = banded.toDF(s"${idCol}_a", "sh_a", "band", "key")
+      val bb = banded.toDF(s"${idCol}_b", "sh_b", "band", "key")
+      verify(ba.join(bb, Seq("band", "key"))
+        .filter(col(s"${idCol}_a") < col(s"${idCol}_b"))
+        .select(s"${idCol}_a", "sh_a", s"${idCol}_b", "sh_b").distinct())
+    }
   }
 }

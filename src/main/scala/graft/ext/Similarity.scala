@@ -4,14 +4,19 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import DetHash._
-
 /** Similarity search over an embedding column (`Array[Float]`).
   *
   * Brute-force cosine top-k is the exact baseline (probe-set × corpus,
   * pruned by a row_number window). The scale path is random-hyperplane
-  * LSH ([[rpBucket]]): candidates only within matching sign-buckets, so
-  * the join is an equi-join on the bucket key rather than a cross join.
+  * LSH: sign-bit buckets over deterministic pseudo-random planes, so
+  * candidate generation is an equi-join on (table, bucket) — never a
+  * cross join — with exact cosine only on candidates. Multi-table
+  * probing ([[rpTables]]) trades candidate count for recall:
+  * P(candidate | cos θ) = 1 - (1 - (1 - θ/π)^nBits)^nTables.
+  *
+  * All plane projections are built from ONE array-of-arrays literal +
+  * `aggregate(zip_with(...))` — a compact plan (the naive unrolled
+  * nBits×dim expression tree produced MiB-scale task binaries).
   *
   * All arithmetic is done in DOUBLE after an explicit cast — float
   * accumulation order would otherwise differ between engines and break
@@ -49,9 +54,9 @@ object Similarity {
       .select("probe_id", "neighbor_id", "sim", "rank")
   }
 
-  /** All near-duplicate pairs by cosine threshold (embedding-space
-    * near-dup dedup). All-pairs form for oracle-checkable sizes; compose
-    * with [[rpBuckets]] for the LSH-pruned variant at scale. */
+  /** All near-duplicate pairs by cosine threshold, ALL-PAIRS form:
+    * O(n²) BroadcastNestedLoopJoin — small data / oracle twin ONLY.
+    * The registered scale path is [[nearDupPairsLsh]]. */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String, minSim: Double): DataFrame = {
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
@@ -61,20 +66,32 @@ object Similarity {
       .select("id_a", "id_b", "sim")
   }
 
-  /** Random-hyperplane LSH bucket key: `nBits` sign bits of projections
-    * onto deterministic pseudo-random planes. Plane weight (bit, dim) is
-    * derived from [[DetHash.hash52]] of "rp-<bit>-<dim>" mapped to
-    * [-1000, 1000] — reproducible in SQL, no RNG state. */
-  def rpBucket(vec: Column, nBits: Int, dim: Int): Column = {
-    val bitCols = (0 until nBits).map { bit =>
-      val proj = (0 until dim).map { d =>
-        val w = (hash52Const(s"rp-$bit-$d") % 2001L) - 1000L
-        get(vec, lit(d)).cast("double") * lit(w.toDouble)
-      }.reduce(_ + _)
-      when(proj >= 0, shiftleft(lit(1L), bit)).otherwise(0L)
-    }
-    bitCols.reduce(_ + _)
+  /** Near-duplicate pairs at scale: banded random-hyperplane LSH
+    * candidates (equi-join on (band, bucket)) + exact-cosine verify.
+    * Shuffles on the bucket key — the all-pairs product never
+    * materializes. Recall vs [[nearDupPairs]] follows the banding
+    * formula in the class doc (bands = nTables, rowsPerBand = nBits);
+    * pairs missed by every band are absent, so callers pick band shape
+    * by target similarity. */
+  def nearDupPairsLsh(df: DataFrame, idCol: String, vecCol: String,
+      minSim: Double, bands: Int, rowsPerBand: Int, dim: Int): DataFrame = {
+    val t = rpTables(df, idCol, vecCol, rowsPerBand, bands, dim)
+    val a = t.toDF("id_a", "vec_a", "band", "bucket")
+    val b = t.toDF("id_b", "vec_b", "band", "bucket")
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "vec_a", "id_b", "vec_b").distinct()
+      .withColumn("sim", round(cosine(col("vec_a"), col("vec_b")), 4))
+      .filter(col("sim") >= minSim)
+      .select("id_a", "id_b", "sim")
   }
+
+  /** Plane weight matrix W(bit)(d), derived from [[hash52Const]] of
+    * "rp-<bit>-<d>" mapped to [-1000, 1000] — reproducible in SQL, no
+    * RNG state. */
+  private def planeWeights(nBits: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until nBits).map(bit => (0 until dim).map(d =>
+      ((hash52Const(s"rp-$bit-$d") % 2001L) - 1000L).toDouble))
 
   /** Driver-side constant twin of [[DetHash.hash52]] (same md5-prefix
     * semantics) for baking plane weights into the plan as literals. */
@@ -84,19 +101,57 @@ object Similarity {
     java.lang.Long.parseLong(hex.substring(0, 13), 16)
   }
 
-  /** ANN via random-hyperplane LSH: candidates share a bucket; exact
-    * cosine + top-k inside buckets only. */
+  /** Sign-bit array (0/1 longs) for `nBits` hyperplanes. One W literal;
+    * per-bit projection = `aggregate(zip_with(vec, W[b], *), +)`. */
+  def rpBits(vec: Column, nBits: Int, dim: Int): Column = {
+    val w = typedlit(planeWeights(nBits, dim))
+    transform(sequence(lit(0), lit(nBits - 1)), b => {
+      val proj = aggregate(
+        zip_with(vec, element_at(w, b + 1), (x, wt) => x.cast("double") * wt),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, 1L).otherwise(0L)
+    })
+  }
+
+  /** Bucket key from a bit array: big-endian fold, bucket = Σ bitᵢ ≪
+    * (n-1-i). SQL twin: `sum(bit << (n-1-i))`. */
+  private def bucketKey(bits: Column): Column =
+    aggregate(bits, lit(0L), (acc, bit) => acc * 2 + bit)
+
+  /** Single-table bucket over nBits sign bits. */
+  def rpBucket(vec: Column, nBits: Int, dim: Int): Column =
+    bucketKey(rpBits(vec, nBits, dim))
+
+  /** Multi-table LSH in long format: `nTables` tables × `nBits` bits
+    * each; table t owns global bits [t·nBits, (t+1)·nBits). Output one
+    * row per (id, table) with the table-local bucket key, so candidate
+    * generation is a plain equi-join on (table, bucket). The bit array
+    * is computed once per input row (explode happens after). */
+  def rpTables(df: DataFrame, idCol: String, vecCol: String,
+      nBits: Int, nTables: Int, dim: Int): DataFrame = {
+    val withBits = df.select(col(idCol), col(vecCol),
+      rpBits(col(vecCol), nBits * nTables, dim).as("bits"))
+    val tb = (0 until nTables).map { t =>
+      struct(lit(t).as("table_id"),
+        bucketKey(slice(col("bits"), t * nBits + 1, nBits)).as("bucket"))
+    }
+    withBits.select(col(idCol), col(vecCol), explode(array(tb: _*)).as("tb"))
+      .select(col(idCol), col(vecCol),
+        col("tb.table_id").as("table_id"), col("tb.bucket").as("bucket"))
+  }
+
+  /** ANN via multi-table random-hyperplane LSH: candidates share any
+    * table's bucket; exact cosine + top-k on candidates only. */
   def annTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      nBits: Int, dim: Int, probeFilter: Column): DataFrame = {
-    val bucketed = df.withColumn("bucket", rpBucket(col(vecCol), nBits, dim))
-    val a = bucketed.filter(probeFilter)
-      .select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"), col("bucket"))
-    val b = bucketed
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"), col("bucket"))
+      nBits: Int, dim: Int, probeFilter: Column, nTables: Int = 2): DataFrame = {
+    val t = rpTables(df, idCol, vecCol, nBits, nTables, dim)
+    val a = t.filter(probeFilter).toDF("probe_id", "probe_vec", "table_id", "bucket")
+    val b = t.toDF("neighbor_id", "vec", "table_id", "bucket")
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
-    a.join(b, "bucket")
+    a.join(b, Seq("table_id", "bucket"))
       .filter(col("probe_id") =!= col("neighbor_id"))
+      .select("probe_id", "probe_vec", "neighbor_id", "vec").distinct()
       .withColumn("sim", round(cosine(col("probe_vec"), col("vec")), 4))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -86,8 +86,11 @@ object TextAnalysis {
   }
 
   /** tf-idf: term frequencies joined to document frequencies; idf =
-    * ln(N / df). One explode + two aggregations; the df side is tiny
-    * (vocabulary) and broadcast. */
+    * ln(N / df). One explode + two aggregations. The tf ⋈ df join keys
+    * on `token` with NO broadcast hint: at web scale the vocabulary is
+    * 10⁸+ distinct tokens (a driver-OOM broadcast), so it shuffles —
+    * and AQE still picks a broadcast at small scale on its own. Only
+    * the one-row count is broadcast. */
   def tfIdf(docs: DataFrame, idCol: String, textCol: String, topK: Int): DataFrame = {
     val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
     val tf = tok.groupBy(idCol, "token").agg(count(lit(1)).as("tf"))
@@ -96,7 +99,7 @@ object TextAnalysis {
     val n = docs.select(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("tfidf").desc, col("token"))
-    tf.join(broadcast(dfreq), "token")
+    tf.join(dfreq, "token")
       .crossJoin(broadcast(n))
       .withColumn("tfidf",
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))

@@ -58,30 +58,41 @@ object ExtensionQueries {
       "exact dedup: one hash-shuffle, keeper = min id"),
 
     // ---------------------------------------------------------------
-    // Dedup: n-gram Jaccard (verify stage — within-source pairs)
+    // Dedup: n-gram Jaccard verify, fed from LSH candidates — the
+    // discovery stage is never all-pairs; exact Jaccard runs only on
+    // pairs that collide in a MinHash band (oracle mirrors the same
+    // candidate generation).
     // ---------------------------------------------------------------
     Q("q31_jaccard_topk",
       (s, dir) => {
-        val sh = Dedup.shingles(Tables(s, dir, "documents"), "doc_id", "text", 3,
-          carry = Seq("source"))
-        Dedup.jaccardPairs(sh, "doc_id", "source")
+        val sh = Dedup.shingles(Tables(s, dir, "documents"), "doc_id", "text", 3)
+        val sig = Dedup.minhashSignature(sh, "doc_id")
+        Dedup.jaccardOnCandidates(sh, Dedup.candidatePairs(sig, "doc_id"), "doc_id")
           .orderBy(col("jaccard").desc, col("doc_id_a"), col("doc_id_b"))
           .limit(20)
       },
       Some(s"""
         WITH $shingleCte,
+        h AS (SELECT doc_id, ${DetHash.sqlHash52("shingle")} AS hv FROM sh),
+        sig AS (SELECT doc_id, $sqlSig FROM h GROUP BY doc_id),
+        bands AS ($sqlBands),
+        pairs AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+                  FROM bands a JOIN bands b
+                    ON a.band = b.band AND a.bucket = b.bucket
+                   AND a.doc_id < b.doc_id),
         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-        inter AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS inter
-                  FROM sh a JOIN sh b
-                    ON a.shingle = b.shingle AND a.source = b.source
-                   AND a.doc_id < b.doc_id
+        inter AS (SELECT p.doc_id_a, p.doc_id_b, count(*) AS inter
+                  FROM pairs p
+                  JOIN sh a ON a.doc_id = p.doc_id_a
+                  JOIN sh b ON b.doc_id = p.doc_id_b AND b.shingle = a.shingle
                   GROUP BY 1, 2)
         SELECT doc_id_a, doc_id_b,
                round(inter::DOUBLE / (sa.sz + sb.sz - inter), 4) AS jaccard
         FROM inter
         JOIN sizes sa ON sa.doc_id = doc_id_a
         JOIN sizes sb ON sb.doc_id = doc_id_b
-        ORDER BY jaccard DESC, doc_id_a, doc_id_b LIMIT 20""")),
+        ORDER BY jaccard DESC, doc_id_a, doc_id_b LIMIT 20"""),
+      "exact Jaccard verify on MinHash-LSH candidate pairs (Dedup.candidatePairs -> jaccardOnCandidates)"),
 
     // ---------------------------------------------------------------
     // Dedup: MinHash + LSH candidate generation
@@ -128,6 +139,9 @@ object ExtensionQueries {
         SELECT doc_id, sum(bit << b::INT)::BIGINT AS simhash
         FROM bits GROUP BY doc_id ORDER BY doc_id""")),
 
+    // Banded plan (default): 3 disjoint bands of the 32-bit signature;
+    // pigeonhole guarantees every Hamming<=2 pair collides in a band, so
+    // the all-pairs oracle below provably matches the equi-join plan.
     Q("q34_simhash_pairs",
       (s, dir) => {
         val sh = Dedup.simhash(Tables(s, dir, "documents"), "doc_id", "text")
@@ -181,24 +195,48 @@ object ExtensionQueries {
         WHERE rank <= 5 ORDER BY probe_id, rank""")),
 
     // ---------------------------------------------------------------
-    // Similarity: embedding-cosine near-dup pairs
+    // Similarity: embedding-cosine near-dup pairs via banded RP-LSH —
+    // 4 bands x 8 sign-bits; candidates are an equi-join on
+    // (band, bucket), exact cosine verifies candidates only. The
+    // oracle mirrors the exact same candidate generation (weights are
+    // md5-derived so both engines compute identical planes); the
+    // all-pairs form survives as Similarity.nearDupPairs for small
+    // data. Recall vs all-pairs follows the banding formula
+    // (Similarity scaladoc) and is pinned by SimilaritySpec.
     // ---------------------------------------------------------------
     Q("q36_embed_near_dup",
-      (s, dir) => Similarity.nearDupPairs(
-          Tables(s, dir, "embeddings"), "vec_id", "embedding", minSim = 0.45)
+      (s, dir) => Similarity.nearDupPairsLsh(
+          Tables(s, dir, "embeddings"), "vec_id", "embedding",
+          minSim = 0.45, bands = 4, rowsPerBand = 8, dim = 64)
         .orderBy("id_a", "id_b"),
       Some("""
         WITH v AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
                           unnest(embedding)::DOUBLE AS x
                    FROM embeddings),
+        w AS (SELECT b.range AS b, d.range AS d,
+                     ((('0x' || substr(md5('rp-' || b.range::VARCHAR || '-' || d.range::VARCHAR), 1, 13))::BIGINT
+                       % 2001) - 1000)::DOUBLE AS wt
+              FROM range(0, 32) b, range(0, 64) d),
+        proj AS (SELECT v.vec_id, w.b, sum(w.wt * v.x) AS p
+                 FROM v JOIN w ON w.d = v.i - 1 GROUP BY 1, 2),
+        bkt AS (SELECT vec_id, b // 8 AS band,
+                       sum(CASE WHEN p >= 0 THEN (1::BIGINT << (7 - (b % 8))::INT)
+                                ELSE 0::BIGINT END) AS bucket
+                FROM proj GROUP BY 1, 2),
+        cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                 FROM bkt a JOIN bkt b
+                   ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
         n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM v GROUP BY vec_id),
-        d AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x * b.x) AS dot
-              FROM v a JOIN v b ON a.i = b.i AND a.vec_id < b.vec_id
+        d AS (SELECT c.id_a, c.id_b, sum(va.x * vb.x) AS dot
+              FROM cand c
+              JOIN v va ON va.vec_id = c.id_a
+              JOIN v vb ON vb.vec_id = c.id_b AND vb.i = va.i
               GROUP BY 1, 2)
         SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 4) AS sim
         FROM d JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b
         WHERE round(dot / (na.nrm * nb.nrm), 4) >= 0.45
-        ORDER BY id_a, id_b""")),
+        ORDER BY id_a, id_b"""),
+      "banded RP-LSH candidates + exact-cosine verify (equi-join, no n^2 product)"),
 
     // ---------------------------------------------------------------
     // Similarity: random-hyperplane LSH ANN
@@ -206,7 +244,7 @@ object ExtensionQueries {
     Q("q37_ann_lsh",
       (s, dir) => Similarity.annTopK(Tables(s, dir, "embeddings"),
           "vec_id", "embedding", k = 3, nBits = 8, dim = 64,
-          probeFilter = col("vec_id") < 20)
+          probeFilter = col("vec_id") < 20, nTables = 2)
         .orderBy("probe_id", "rank"),
       Some("""
         WITH v AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
@@ -215,15 +253,17 @@ object ExtensionQueries {
         w AS (SELECT b.range AS b, d.range AS d,
                      ((('0x' || substr(md5('rp-' || b.range::VARCHAR || '-' || d.range::VARCHAR), 1, 13))::BIGINT
                        % 2001) - 1000)::DOUBLE AS wt
-              FROM range(0, 8) b, range(0, 64) d),
+              FROM range(0, 16) b, range(0, 64) d),
         proj AS (SELECT v.vec_id, w.b, sum(w.wt * v.x) AS p
                  FROM v JOIN w ON w.d = v.i - 1 GROUP BY 1, 2),
-        bkt AS (SELECT vec_id,
-                       sum(CASE WHEN p >= 0 THEN (1::BIGINT << b::INT) ELSE 0::BIGINT END) AS bucket
-                FROM proj GROUP BY vec_id),
+        bkt AS (SELECT vec_id, b // 8 AS table_id,
+                       sum(CASE WHEN p >= 0 THEN (1::BIGINT << (7 - (b % 8))::INT)
+                                ELSE 0::BIGINT END) AS bucket
+                FROM proj GROUP BY 1, 2),
         n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM v GROUP BY vec_id),
-        cand AS (SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id
-                 FROM bkt a JOIN bkt b ON a.bucket = b.bucket
+        cand AS (SELECT DISTINCT a.vec_id AS probe_id, b.vec_id AS neighbor_id
+                 FROM bkt a JOIN bkt b
+                   ON a.table_id = b.table_id AND a.bucket = b.bucket
                   AND a.vec_id < 20 AND b.vec_id <> a.vec_id),
         d AS (SELECT c.probe_id, c.neighbor_id, sum(va.x * vb.x) AS dot
               FROM cand c
@@ -239,7 +279,7 @@ object ExtensionQueries {
               JOIN n nb ON nb.vec_id = neighbor_id)
         SELECT probe_id, neighbor_id, sim, rank FROM s
         WHERE rank <= 3 ORDER BY probe_id, rank"""),
-      "LSH-bucketed ANN: equi-join on sign-bucket instead of cross join"),
+      "multi-table RP-LSH ANN: equi-join on (table, bucket); compact array-literal projections"),
 
     // ---------------------------------------------------------------
     // Text analysis: language ID confusion matrix
