@@ -1,0 +1,151 @@
+package graft.queries
+
+import java.io.{BufferedWriter, File, OutputStreamWriter}
+import java.nio.charset.StandardCharsets
+import java.util.zip.GZIPOutputStream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.lake.{PathModel, Readers}
+import graft.ops.{MergeData, Overview}
+
+/** End-to-end csv.gz lake queries — the reference's core abstraction
+  * (`collect_data_metadata.py:17-63`, `merge-data.py:54-100`,
+  * `process-overview.py:35-166`) exercised against a REAL on-disk lake:
+  * `ROOT/raw/SITE/PARTICIPANT/METRIC/YYYYMMDD_HHMM[_i].csv.gz` files with
+  * gzipped header-CSV content, scanned by [[PathModel.listFiles]] (S1),
+  * parsed by [[PathModel.parsePaths]] (S2+S3), pruned by
+  * [[PathModel.includeExclude]] (F1), read by [[Readers.csvGz]] (S4) with
+  * schema inference, time-resolved by [[Readers.eventTime]] (quirk
+  * §2.11.7 ordered coalesce), lineage-joined (P1) and aggregated by
+  * [[Overview.stats]] (A1-A3).
+  *
+  * The lake is a deterministic function of the `events` table (users
+  * 0-11, ~800 rows at any sf), so the DuckDB oracle derives the same
+  * rows straight from `events.parquet` — no CSV on the oracle side.
+  * Fixture generation collects that bounded subset to the driver; it is
+  * test scaffolding, not a production operator (the write path at scale
+  * is [[MergeData.writeMerged]]).
+  *
+  * Layout rules (mirrored in the oracle):
+  *  - site = "site_" + (user_id % 3); participant = "p" + user_id;
+  *    metric = event_type; one file per (site, participant, metric, day)
+  *  - site_0 groups with >= 2 rows on a day are split into TWO shards,
+  *    `<day>_0000.csv.gz` and `<day>_0001_1.csv.gz` — exercising both the
+  *    optional `_i` shard suffix (S3) and multi-file-per-day union (U1).
+  */
+object LakeQueries {
+
+  private val ExcludedSite = "site_2"
+
+  /** Generate (once per sf dir) the fixture lake; returns its root. */
+  def fixtureLake(spark: SparkSession, dir: String): String = synchronized {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = new File(sys.props("java.io.tmpdir"), s"graft_lake_$tag")
+    val marker = new File(root, "_SUCCESS")
+    if (!marker.exists()) {
+      val rows = Tables(spark, dir, "events")
+        .filter(col("user_id") < 12)
+        .select(
+          concat(lit("site_"), (col("user_id") % 3).cast("string")).as("site"),
+          concat(lit("p"), col("user_id").cast("string")).as("participant"),
+          col("event_type").as("metric"),
+          unix_seconds(col("ts").cast("timestamp")).as("t"),
+          col("value").cast("double").as("v"))
+        .filter(col("t").isNotNull)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+        .sortBy { case (s, p, m, t, v) => (s, p, m, t, v.map(_.toString).getOrElse("")) }
+
+      def dayOf(t: Long): String =
+        java.time.LocalDate.ofEpochDay(Math.floorDiv(t, 86400L))
+          .format(java.time.format.DateTimeFormatter.BASIC_ISO_DATE)
+
+      def writeGz(f: File, lines: Seq[String]): Unit = {
+        f.getParentFile.mkdirs()
+        val w = new BufferedWriter(new OutputStreamWriter(
+          new GZIPOutputStream(new java.io.FileOutputStream(f)), StandardCharsets.UTF_8))
+        try { w.write("timestamp,value\n"); lines.foreach(l => { w.write(l); w.write("\n") }) }
+        finally w.close()
+      }
+
+      rows.groupBy { case (s, p, m, t, _) => (s, p, m, dayOf(t)) }
+        .toSeq.sortBy(_._1)
+        .foreach { case ((s, p, m, day), grp) =>
+          val lines = grp.map { case (_, _, _, t, v) => s"$t,${v.map(_.toString).getOrElse("")}" }
+          val base = new File(root, s"raw/$s/$p/$m")
+          if (s == "site_0" && lines.size >= 2) {
+            val (h1, h2) = lines.splitAt(lines.size / 2)
+            writeGz(new File(base, s"${day}_0000.csv.gz"), h1)
+            writeGz(new File(base, s"${day}_0001_1.csv.gz"), h2)
+          } else writeGz(new File(base, s"${day}_0000.csv.gz"), lines)
+        }
+      marker.createNewFile()
+    }
+    root.getAbsolutePath
+  }
+
+  /** Normalize `file:`-scheme URIs (Hadoop listing vs input_file_name
+    * render the scheme with different slash counts) to plain paths. */
+  private def plainPath(c: org.apache.spark.sql.Column) =
+    regexp_replace(c, "^file:/+", "/")
+
+  private def lakeOverview(s: SparkSession, dir: String): DataFrame = {
+    val root = fixtureLake(s, dir)
+    // normalize the listing's file:-scheme URIs before the relative parse
+    val listed = PathModel.listFiles(s, root)
+      .withColumn("path", plainPath(col("path")))
+    val inv = PathModel.includeExclude(
+      PathModel.parsePaths(listed, root),
+      include = Nil, exclude = Seq(ExcludedSite))
+    // the file list drives the read, as in the reference's walk
+    val paths = inv.select("path").collect().map(_.getString(0)).toSeq
+    val data = Readers.csvGz(s, paths)
+      .withColumn("path", plainPath(input_file_name()))
+    val lined = MergeData.withLineage(
+      data.join(inv.select("path", "site", "participant_id", "metric", "file_timestamp"), "path"))
+    val keys = Seq("site", "participant_id", "metric")
+    val stats = Overview.stats(lined, keys, Readers.eventTime(lined))
+    val perFile = inv.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("file_count"))
+    val lastFile = lined.groupBy(keys.map(col): _*).agg(
+      max(col("file_timestamp")).as("last_file_ts")) // ISO strings: lex max == chronological
+    stats.join(perFile, keys).join(lastFile, keys)
+      .orderBy(keys.map(col): _*)
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("q44_lake_overview",
+      lakeOverview,
+      Some(s"""
+        WITH src AS (SELECT 'site_' || (user_id % 3)::VARCHAR AS site,
+                            'p' || user_id::VARCHAR AS participant_id,
+                            event_type AS metric,
+                            make_timestamp((epoch_ns(ts) // 1000000000) * 1000000) AS ets
+                     FROM events
+                     WHERE user_id < 12 AND (user_id % 3) <> 2 AND ts IS NOT NULL),
+        fc AS (SELECT site, participant_id, metric, CAST(ets AS DATE) AS d,
+                      CASE WHEN site = 'site_0' AND count(*) >= 2 THEN 2 ELSE 1 END AS nf
+               FROM src GROUP BY 1, 2, 3, 4),
+        agg AS (SELECT site, participant_id, metric,
+                       count(*) AS row_count,
+                       strftime(min(ets), '%Y-%m-%d') AS start_date,
+                       strftime(max(ets), '%Y-%m-%d') AS end_date,
+                       count(DISTINCT CAST(ets AS DATE)) AS day_count
+                FROM src GROUP BY 1, 2, 3),
+        f AS (SELECT site, participant_id, metric,
+                     sum(nf)::BIGINT AS file_count,
+                     strftime(max(d::TIMESTAMP + CASE WHEN nf = 2 THEN INTERVAL '1 minute'
+                                                      ELSE INTERVAL '0 minute' END),
+                              '%Y-%m-%dT%H:%M:%S') AS last_file_ts
+              FROM fc GROUP BY 1, 2, 3)
+        SELECT a.site, a.participant_id, a.metric, a.row_count, a.start_date,
+               a.end_date, a.day_count, f.file_count, f.last_file_ts
+        FROM agg a JOIN f USING (site, participant_id, metric)
+        ORDER BY 1, 2, 3"""),
+      "S1-S4 + F1 + P1 + quirk 2.11.7 + A1-A3 end-to-end over a real csv.gz lake")
+  )
+}

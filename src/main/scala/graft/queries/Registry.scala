@@ -22,5 +22,6 @@ final case class Q(
 
 object Registry {
   def all: Seq[Q] =
-    ReferenceQueries.all ++ SummaryQueries.all ++ ExtensionQueries.all
+    ReferenceQueries.all ++ SummaryQueries.all ++ LakeQueries.all ++
+      ExtensionQueries.all
 }
