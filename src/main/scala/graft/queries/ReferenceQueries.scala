@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Overview, Presence, TimeOps}
+import graft.ops.{CatalogOps, Overview, Presence, TimeOps}
 
 /** SURVEY.md §2 operator inventory, exercised over the driver's TPC-H-ish
   * testdata (TESTDATA.md). Mapping of the reference's domain onto the
@@ -148,21 +148,31 @@ object ReferenceQueries {
     // ---------------------------------------------------------------
     // §2.10 catalog command surface over the inventory-analogue.
     // ---------------------------------------------------------------
+    // q09-q12 run through the REAL CatalogOps module over the
+    // synthesized key inventory (CatalogQueries.inventory), so the green
+    // rows vouch for inventoryFromKeys + the command functions, not for
+    // inline re-implementations.
     Q("q09_catalog_users",
-      (s, dir) => events(s, dir).select("user_id").distinct().orderBy("user_id"),
-      Some("SELECT DISTINCT user_id FROM events ORDER BY user_id"),
-      "list_all_users (main.py:175-182)"),
+      (s, dir) => CatalogOps.listAllUsers(CatalogQueries.inventory(s, dir)),
+      Some(s"""
+        WITH ${CatalogQueries.inventoryCte}
+        SELECT DISTINCT user_id FROM data_inv ORDER BY user_id"""),
+      "list_all_users via CatalogOps (main.py:175-182)"),
 
     Q("q10_catalog_measurements",
-      (s, dir) => events(s, dir).select("event_type").distinct().orderBy("event_type"),
-      Some("SELECT DISTINCT event_type FROM events ORDER BY event_type"),
-      "list_all_measurements (main.py:155-173)"),
+      (s, dir) => CatalogOps.listAllMeasurements(CatalogQueries.inventory(s, dir)),
+      Some(s"""
+        WITH ${CatalogQueries.inventoryCte}
+        SELECT DISTINCT measurement FROM data_inv ORDER BY measurement"""),
+      "list_all_measurements via CatalogOps (main.py:155-173)"),
 
     Q("q11_users_for_measurement",
       (s, dir) => {
-        val purchases = events(s, dir).filter(col("event_type") === "purchase")
+        val uf = CatalogOps.usersForMeasurement(
+            CatalogQueries.inventory(s, dir), "purchase")
+          .select(substring(col("user_id"), 2, 18).try_cast("bigint").as("custkey"))
         customer(s, dir)
-          .join(purchases, col("c_custkey") === col("user_id"), "left_semi")
+          .join(uf, col("c_custkey") === col("custkey"), "left_semi")
           .select("c_custkey", "c_name")
           .orderBy("c_custkey")
       },
@@ -172,25 +182,19 @@ object ReferenceQueries {
                       WHERE e.user_id = customer.c_custkey
                         AND e.event_type = 'purchase')
         ORDER BY c_custkey"""),
-      "J2 semi-join: get_users_for_measurement (main.py:212-236)"),
+      "J2 semi-join: get_users_for_measurement via CatalogOps (main.py:212-236)"),
 
     Q("q12_summary_report",
-      (s, dir) => events(s, dir)
-        .groupBy("user_id", "event_type")
-        .agg(
-          count(lit(1)).as("file_count"),
-          date_format(min(col("ts")), "yyyy-MM-dd").as("first_date"),
-          date_format(max(col("ts")), "yyyy-MM-dd").as("last_date"),
-          count_distinct(date_format(col("ts"), "yyyy-MM-dd")).as("distinct_dates"))
-        .orderBy("user_id", "event_type"),
-      Some("""
-        SELECT user_id, event_type,
+      (s, dir) => CatalogOps.summaryReport(CatalogQueries.inventory(s, dir)),
+      Some(s"""
+        WITH ${CatalogQueries.inventoryCte}
+        SELECT user_id, measurement,
                count(*) AS file_count,
-               strftime(min(ts), '%Y-%m-%d') AS first_date,
-               strftime(max(ts), '%Y-%m-%d') AS last_date,
-               count(DISTINCT strftime(ts, '%Y-%m-%d')) AS distinct_dates
-        FROM events GROUP BY 1, 2 ORDER BY 1, 2"""),
-      "generate_summary_report (main.py:238-257)"),
+               min(date) AS first_date,
+               max(date) AS last_date,
+               count(DISTINCT date) AS distinct_dates
+        FROM data_inv GROUP BY 1, 2 ORDER BY 1, 2"""),
+      "generate_summary_report via CatalogOps (main.py:238-257)"),
 
     // ---------------------------------------------------------------
     // A9: histogram — count by bucketed response.
