@@ -1,0 +1,103 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Invariants of the scale-path extension operators: the banded/LSH
+  * plans must relate provably to their exact all-pairs twins. */
+class ExtSpec extends SparkSpec {
+
+  private def docs = {
+    // 30 docs in 10 near-dup triples: a base sentence, one word swapped,
+    // one word appended — high-overlap pairs the sketches must find.
+    val rows = (0 until 10).flatMap { g =>
+      val base = s"the quick brown fox $g jumps over the lazy dog near river $g bank today"
+      Seq(
+        (g * 3L, base),
+        (g * 3L + 1, base.replace("lazy", "sleepy")),
+        (g * 3L + 2, base + " again"))
+    }
+    df(rows, "doc_id", "text")
+  }
+
+  test("simhashPairs: banded plan == all-pairs plan (pigeonhole recall)") {
+    val sh = Dedup.simhash(docs, "doc_id", "text")
+    val banded = rowsOf(Dedup.simhashPairs(sh, "doc_id", maxHamming = 6)
+      .orderBy("doc_id_a", "doc_id_b"))
+    val allPairs = rowsOf(Dedup.simhashPairs(sh, "doc_id", maxHamming = 6, smallData = true)
+      .orderBy("doc_id_a", "doc_id_b"))
+    assert(banded === allPairs)
+    assert(banded.nonEmpty) // the fixture must actually produce near-dups
+  }
+
+  test("jaccardOnCandidates agrees with exact all-pairs jaccard on candidates") {
+    val sh = Dedup.shingles(docs.withColumn("source", lit("s")), "doc_id", "text", 3,
+      carry = Seq("source"))
+    val shPlain = sh.select("doc_id", "shingle")
+    val sig = Dedup.minhashSignature(shPlain, "doc_id")
+    val cands = Dedup.candidatePairs(sig, "doc_id")
+    val fromCands = rowsOf(Dedup.jaccardOnCandidates(shPlain, cands, "doc_id")
+      .orderBy("doc_id_a", "doc_id_b"))
+    val exact = Dedup.jaccardPairs(sh, "doc_id", "source")
+    val candSet = rowsOf(cands).map(r => (r(0), r(1))).toSet
+    val exactOnCands = rowsOf(exact.orderBy("doc_id_a", "doc_id_b"))
+      .filter(r => candSet.contains((r(0), r(1))))
+    assert(fromCands === exactOnCands)
+    assert(fromCands.nonEmpty)
+  }
+
+  private def vecs = {
+    // 20 vectors in 5 clusters: base direction + small deterministic
+    // perturbation -> within-cluster cosine ~0.99, across ~random.
+    val rows = (0 until 20).map { i =>
+      val g = i % 5
+      val v = Array.tabulate(16) { d =>
+        val base = math.sin(g * 16 + d + 1).toFloat
+        base + 0.01f * math.cos(i * 16 + d).toFloat
+      }
+      (i.toLong, v)
+    }
+    df(rows, "vec_id", "embedding")
+  }
+
+  test("nearDupPairsLsh is a subset of all-pairs with identical sims, and finds the clusters") {
+    val lsh = rowsOf(Similarity.nearDupPairsLsh(vecs, "vec_id", "embedding",
+      minSim = 0.9, bands = 4, rowsPerBand = 8, dim = 16).orderBy("id_a", "id_b"))
+    val all = rowsOf(Similarity.nearDupPairs(vecs, "vec_id", "embedding", minSim = 0.9)
+      .orderBy("id_a", "id_b"))
+    val allMap = all.map(r => (r(0), r(1)) -> r(2)).toMap
+    assert(lsh.nonEmpty)
+    lsh.foreach { r => assert(allMap.get((r(0), r(1))).contains(r(2))) }
+    // high-sim twins (~0.99) should essentially all collide in some band
+    assert(lsh.size * 10 >= all.size * 9, s"recall ${lsh.size}/${all.size} below 90%")
+  }
+
+  test("annTopK candidates rank identically to brute force where buckets collide") {
+    val ann = rowsOf(Similarity.annTopK(vecs, "vec_id", "embedding", k = 1,
+      nBits = 4, dim = 16, probeFilter = col("vec_id") < 5, nTables = 4))
+    val brute = rowsOf(Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") < 5),
+      "vec_id", "embedding", k = 1))
+    // with 4 tables x 4 bits on clustered data, top-1 should match brute force
+    assert(ann.toSet === brute.toSet)
+  }
+
+  test("rpBucket is frozen (plan literal derivation must not drift)") {
+    val one = df(Seq((1L, Array.fill(4)(1.0f))), "vec_id", "embedding")
+    val b = rowsOf(one.select(Similarity.rpBucket(col("embedding"), 8, 4).as("b"))).head.head
+    // hand-derived from hash52Const("rp-<bit>-<d>") % 2001 - 1000 sign sums
+    val expected = (0 until 8).map { bit =>
+      val s = (0 until 4).map(d => (Similarity.hash52Const(s"rp-$bit-$d") % 2001L) - 1000L).sum
+      if (s >= 0) 1L << (7 - bit) else 0L
+    }.sum
+    assert(b === expected)
+  }
+
+  test("multimodal decode stub matches the expression tier on shared fields") {
+    val media = Multimodal.asMedia(docs, "doc_id", "text", "text/plain")
+    val expr = Multimodal.withFakeDecodeMeta(media)
+      .select("doc_id", "byte_len", "width", "height", "n_frames")
+    val stub = Multimodal.decodeStub(spark, media).toDF()
+      .select("doc_id", "byte_len", "width", "height", "n_frames")
+    assert(rowsOf(expr.orderBy("doc_id")) === rowsOf(stub.orderBy("doc_id")))
+  }
+}

@@ -1,0 +1,119 @@
+package graft.props
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+import graft.TestSpark
+import graft.ops.{MergeData, Overview, SummaryOps, TimeOps}
+
+/** The property-based tests promised by SURVEY.md §5.4. Each property
+  * batches its sample into ONE DataFrame per evaluation, and the suite
+  * caps evaluations so `sbt test` stays fast. */
+object PipelineProps extends Properties("graft.pipeline") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ------------------------------------------------------------------
+  // U1: unionDrift preserves the row multiset and NaN-fills drift
+  // (pandas concat semantics, merge-data.py:90).
+  // ------------------------------------------------------------------
+
+  private val abGen = Gen.listOf(Gen.zip(Gen.alphaStr.map(_.take(4)), Gen.choose(-100, 100)))
+
+  property("unionDrift multiset preservation + null fill") =
+    forAll(abGen, abGen) { (xs, ys) =>
+      // NB name drift only: TYPE drift is out of unionByName's scope —
+      // Spark requires explicit casts where pandas object-upcasts
+      // (SURVEY.md §7.6.3), so the shared column is string on both sides.
+      val d1 = xs.map { case (a, b) => (a, b.toString) }.toDF("a", "b")
+      val d2 = ys.toDF("b", "c") // drift: shares only column b
+      val u = MergeData.unionDrift(Seq(d1, d2))
+      val bVals = u.select("b").collect().map(_.get(0)).toSeq
+      val expectB = xs.map(_._2.toString) ++ ys.map(_._1)
+      u.count() == (xs.size + ys.size).toLong &&
+        u.columns.toSet == Set("a", "b", "c") &&
+        u.filter(col("a").isNull).count() == ys.size.toLong &&
+        u.filter(col("c").isNull).count() == xs.size.toLong &&
+        bVals.map(String.valueOf).sorted == expectB.map(String.valueOf).sorted
+    }
+
+  // ------------------------------------------------------------------
+  // A2: partial stats merged like accumulate_stats == one-pass stats
+  // (process-overview.py:168-194).
+  // ------------------------------------------------------------------
+
+  private val statsGen = Gen.nonEmptyListOf(Gen.zip(
+    Gen.oneOf("k1", "k2", "k3"),
+    Gen.choose(1700000000L, 1700000000L + 40L * 86400)))
+
+  property("Overview.stats == reference partial+final merge") =
+    forAll(statsGen) { rows =>
+      val d = rows.toDF("k", "secs").withColumn("ts", timestamp_seconds(col("secs")))
+      val full = Overview.stats(d, Seq("k"), col("ts"))
+        .collect().map(r => (r.getString(0),
+          (r.getLong(1), r.getString(2), r.getString(3), r.getLong(4)))).toMap
+      // driver-side partial+final merge, chunked like per-file accumulation
+      val merged = rows.grouped(math.max(1, rows.size / 3)).toSeq
+        .flatMap(_.groupBy(_._1).map { case (k, grp) =>
+          val days = grp.map(t => java.time.LocalDate.ofEpochDay(
+            Math.floorDiv(t._2, 86400L)).toString).toSet
+          (k, (grp.size.toLong, days.min, days.max, days))
+        })
+        .groupBy(_._1).map { case (k, parts) =>
+          val ds = parts.map(_._2._4).reduce(_ ++ _)
+          (k, (parts.map(_._2._1).sum, ds.min, ds.max, ds.size.toLong))
+        }
+      full == merged
+    }
+
+  // ------------------------------------------------------------------
+  // W1/W2: unpivot row count == rows x complete column pairs.
+  // ------------------------------------------------------------------
+
+  private val unpivotGen = Gen.zip(Gen.choose(1, 4), Gen.choose(0, 12), Gen.oneOf(true, false))
+
+  property("answersUnpivot row count == rows x complete pairs") =
+    forAll(unpivotGen) { case (nPairs, nRows, orphan) =>
+      val pairCols = (0 until nPairs).flatMap(i => Seq(
+        StructField(s"value.answers.$i.questionId", StringType),
+        StructField(s"value.answers.$i.value", StringType)))
+      val orphanCol =
+        if (orphan) Seq(StructField(s"value.answers.$nPairs.questionId", StringType)) else Nil
+      val schema = StructType(StructField("participant_id", StringType) +: pairCols ++: orphanCol)
+      val rows = (0 until nRows).map { r =>
+        Row.fromSeq(s"p$r" +: (0 until nPairs).flatMap(i => Seq(s"q$i", s"v$r-$i"))
+          ++: (if (orphan) Seq("orphan") else Nil))
+      }
+      val d = spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      SummaryOps.answersUnpivot(d, "value.answers", "value").count() == (nRows * nPairs).toLong
+    }
+
+  // ------------------------------------------------------------------
+  // P3: isoWeekKey == java.time ISO week-based calendar.
+  // ------------------------------------------------------------------
+
+  private val datesGen = Gen.nonEmptyListOf(Gen.choose(-3650L, 25000L)) // ~1960..2038
+
+  property("isoWeekKey matches java.time IsoFields") =
+    forAll(datesGen) { epochDays =>
+      val d = epochDays.toDF("ed")
+        .withColumn("d", date_from_unix_date(col("ed").cast("int")))
+        .withColumn("wk", TimeOps.isoWeekKey(col("d")))
+      val got = d.select("ed", "wk").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val expect = epochDays.distinct.map { ed =>
+        val ld = java.time.LocalDate.ofEpochDay(ed)
+        val y = ld.get(java.time.temporal.IsoFields.WEEK_BASED_YEAR)
+        val w = ld.get(java.time.temporal.IsoFields.WEEK_OF_WEEK_BASED_YEAR)
+        ed -> f"$y%d-W$w%02d"
+      }.toMap
+      got == expect
+    }
+}
