@@ -41,9 +41,12 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
     // One clean line on stdout (build.sbt routes forked output straight
     // through, un-prefixed) + a file copy in case a log wrapper eats it.
+    // The copy goes to an explicit, env-overridable absolute path so a
+    // forked JVM's cwd can't scatter it.
     println(line)
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
+    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      new java.io.File(sys.props("user.dir"), "BENCH_LOCAL.json").getAbsolutePath)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(benchOut), line + "\n")
     spark.stop()
   }
 }

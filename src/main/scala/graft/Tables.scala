@@ -27,8 +27,9 @@ import org.apache.spark.sql.functions._
   *
   * The cast to TIMESTAMP_NTZ matches how Spark reads this lake's other
   * (ms) timestamp columns; the cast goes through the session timezone,
-  * so a UTC session is REQUIRED for oracle parity (asserted below —
-  * build.sbt pins -Dspark.sql.session.timeZone=UTC for all runners).
+  * so a UTC session is REQUIRED for oracle parity (set below;
+  * build.sbt also pins -Dspark.sql.session.timeZone=UTC for all
+  * runners).
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -40,8 +41,10 @@ object Tables {
     else spark.read.parquet(s"$dir/$name.parquet")
 
   def events(spark: SparkSession, dir: String): DataFrame = {
-    require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
-      "events() requires a UTC session (TIMESTAMP->NTZ cast is tz-dependent)")
+    // The TIMESTAMP->NTZ cast below goes through the session timezone;
+    // oracle parity requires UTC. Set it (idempotent for the pinned
+    // runners) instead of throwing at ad-hoc callers — ADVICE r2.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/events.parquet")
       .withColumn("ts",

@@ -39,6 +39,35 @@ object Readers {
     spark.read.option("wholetext", "true").text(path)
       .head().getString(0)
 
+  /** S7+ (SURVEY.md §1.1.5, documented improvement over the reference,
+    * which never applies its sidecars): materialize a sidecar JSON into
+    * a real [[StructType]]. Accepts either Spark's own DataType JSON
+    * (round-trips `schema.json`) or a flat `{"col": "sqlType"}` object
+    * (field order preserved). */
+  def sidecarStructType(json: String): StructType =
+    scala.util.Try(org.apache.spark.sql.types.DataType.fromJson(json))
+      .toOption.collect { case s: StructType => s }
+      .getOrElse {
+        import org.json4s._
+        org.json4s.jackson.JsonMethods.parse(json) match {
+          case JObject(fields) => StructType(fields.map {
+            case (name, JString(tpe)) =>
+              org.apache.spark.sql.types.StructField(name,
+                org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseDataType(tpe))
+            case (name, other) =>
+              throw new IllegalArgumentException(
+                s"sidecar field '$name': expected a type string, got $other")
+          })
+          case other =>
+            throw new IllegalArgumentException(s"unsupported sidecar shape: ${other.getClass}")
+        }
+      }
+
+  /** S4+S7: csv.gz read with the measurement's sidecar schema applied —
+    * no inference pass (the scale path; inference doubles the I/O). */
+  def csvGzWithSidecar(spark: SparkSession, paths: Seq[String], sidecarPath: String): DataFrame =
+    csvGz(spark, paths, Some(sidecarStructType(schemaSidecar(spark, sidecarPath))))
+
   /** Quirk §2.11.7: first-present time column wins, in priority order
     * (`data_collection.py:53-59,108`). Columns absent from the schema are
     * skipped at *plan* time; present columns contribute via coalesce so a

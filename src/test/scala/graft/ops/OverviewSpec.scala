@@ -40,4 +40,17 @@ class OverviewSpec extends SparkSpec {
     val d = Overview.deviceSplit(events, Seq("site"), "metric", col("ts"))
     assert(rowsOf(d.select("metric_device")) == Seq(Seq("hr/unknown")))
   }
+
+  test("writePerSiteAndCombined: per-site dirs + combined output hold the same rows (U3)") {
+    val out = java.nio.file.Files.createTempDirectory("graft-overview").toString
+    val stats = Overview.stats(events, Seq("site", "participant_id", "metric"), col("ts"))
+    Overview.writePerSiteAndCombined(stats, out)
+    val combined = spark.read.parquet(s"$out/all_sites")
+    val perSite = spark.read.parquet(s"$out/per_site") // partition col restored
+    assert(combined.count() == 2 && perSite.count() == 2)
+    assert(new java.io.File(s"$out/per_site/site=s1").isDirectory)
+    assert(perSite.columns.sorted.toSeq == combined.columns.sorted.toSeq)
+    assert(rowsOf(perSite.select("site", "row_count").orderBy("participant_id")) ==
+      rowsOf(combined.select("site", "row_count").orderBy("participant_id")))
+  }
 }
