@@ -28,11 +28,21 @@ object Dedup {
 
   /** Distinct word n-gram shingles per document (plus optional carried
     * columns, e.g. a grouping key). Documents with fewer than n tokens
-    * produce no shingles. */
+    * produce no shingles.
+    *
+    * The token array is materialized in its OWN projection before the
+    * transform lambda references it: higher-order functions don't
+    * codegen, so an inlined `split()` would be re-evaluated for every
+    * `get()` of every element — O(len²) re-tokenization per document
+    * (measured 10x the whole pipeline's cost at sf0.1). CollapseProject
+    * keeps the split un-inlined because it is non-cheap and referenced
+    * multiple times. */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int,
       carry: Seq[String] = Nil): DataFrame = {
-    val toks = TextAnalysis.tokens(col(textCol))
-    df.filter(size(toks) >= n)
+    val toks = col("__toks")
+    df.select((col(idCol) +: carry.map(col)) :+
+        TextAnalysis.tokens(col(textCol)).as("__toks"): _*)
+      .filter(size(toks) >= n)
       .select(
         (col(idCol) +: carry.map(col)) :+
         explode(transform(

@@ -65,7 +65,10 @@ object ExtensionQueries {
     // ---------------------------------------------------------------
     Q("q31_jaccard_topk",
       (s, dir) => {
-        val sh = Dedup.shingles(Tables(s, dir, "documents"), "doc_id", "text", 3)
+        // the shingle set feeds the signature AND both sides of the
+        // intersection join — persist so the md5 sketch pipeline runs
+        // once, not once per consumer (a few MB even at sf0.1)
+        val sh = Dedup.shingles(Tables(s, dir, "documents"), "doc_id", "text", 3).persist()
         val sig = Dedup.minhashSignature(sh, "doc_id")
         Dedup.jaccardOnCandidates(sh, Dedup.candidatePairs(sig, "doc_id"), "doc_id")
           .orderBy(col("jaccard").desc, col("doc_id_a"), col("doc_id_b"))
@@ -100,7 +103,8 @@ object ExtensionQueries {
     Q("q32_minhash_lsh",
       (s, dir) => {
         val sh = Dedup.shingles(Tables(s, dir, "documents"), "doc_id", "text", 3)
-        val sig = Dedup.minhashSignature(sh, "doc_id")
+        // signature feeds the band explode and both pair-join sides
+        val sig = Dedup.minhashSignature(sh, "doc_id").persist()
         Dedup.minhashCandidates(sig, "doc_id")
           .orderBy("doc_id_a", "doc_id_b")
       },

@@ -31,10 +31,19 @@ import graft.ops.{MergeData, Overview}
   *
   * Layout rules (mirrored in the oracle):
   *  - site = "site_" + (user_id % 3); participant = "p" + user_id;
-  *    metric = event_type; one file per (site, participant, metric, day)
-  *  - site_0 groups with >= 2 rows on a day are split into TWO shards,
+  *    metric = event_type; one file per (site, participant, metric,
+  *    epoch-week), named by the week's first day — weekly rather than
+  *    daily so the fixture exercises multi-row files instead of
+  *    degenerating into a tiny-file swarm
+  *  - site_0 groups with >= 2 rows in a week are split into TWO shards,
   *    `<day>_0000.csv.gz` and `<day>_0001_1.csv.gz` — exercising both the
-  *    optional `_i` shard suffix (S3) and multi-file-per-day union (U1).
+  *    optional `_i` shard suffix (S3) and multi-file-per-window union
+  *    (U1). The two shards carry distinct HHMM stamps so per-group
+  *    distinct-file-timestamp counts are meaningful.
+  *
+  * The read applies an explicit schema (the documented 100 TB path —
+  * inference would double the I/O; inference itself is exercised by
+  * ReadersSpec/scanLake).
   */
 object LakeQueries {
 
@@ -60,8 +69,10 @@ object LakeQueries {
           if (r.isNullAt(4)) None else Some(r.getDouble(4))))
         .sortBy { case (s, p, m, t, v) => (s, p, m, t, v.map(_.toString).getOrElse("")) }
 
-      def dayOf(t: Long): String =
-        java.time.LocalDate.ofEpochDay(Math.floorDiv(t, 86400L))
+      // file window = epoch week; filename day = the window's first day
+      def weekOf(t: Long): Long = Math.floorDiv(Math.floorDiv(t, 86400L), 7L)
+      def weekDay(w: Long): String =
+        java.time.LocalDate.ofEpochDay(w * 7L)
           .format(java.time.format.DateTimeFormatter.BASIC_ISO_DATE)
 
       def writeGz(f: File, lines: Seq[String]): Unit = {
@@ -72,11 +83,12 @@ object LakeQueries {
         finally w.close()
       }
 
-      rows.groupBy { case (s, p, m, t, _) => (s, p, m, dayOf(t)) }
+      rows.groupBy { case (s, p, m, t, _) => (s, p, m, weekOf(t)) }
         .toSeq.sortBy(_._1)
-        .foreach { case ((s, p, m, day), grp) =>
+        .foreach { case ((s, p, m, week), grp) =>
           val lines = grp.map { case (_, _, _, t, v) => s"$t,${v.map(_.toString).getOrElse("")}" }
           val base = new File(root, s"raw/$s/$p/$m")
+          val day = weekDay(week)
           if (s == "site_0" && lines.size >= 2) {
             val (h1, h2) = lines.splitAt(lines.size / 2)
             writeGz(new File(base, s"${day}_0000.csv.gz"), h1)
@@ -103,17 +115,22 @@ object LakeQueries {
       include = Nil, exclude = Seq(ExcludedSite))
     // the file list drives the read, as in the reference's walk
     val paths = inv.select("path").collect().map(_.getString(0)).toSeq
-    val data = Readers.csvGz(s, paths)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("timestamp", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+    val data = Readers.csvGz(s, paths, Some(schema))
       .withColumn("path", plainPath(input_file_name()))
-    val lined = MergeData.withLineage(
-      data.join(inv.select("path", "site", "participant_id", "metric", "file_timestamp"), "path"))
+    // P1: content rows carry path-derived lineage via the inventory join;
+    // file-level aggregates come from the inventory alone so the csv.gz
+    // scan happens exactly once (for the content stats)
+    val lined = data.join(
+      inv.select("path", "site", "participant_id", "metric"), "path")
     val keys = Seq("site", "participant_id", "metric")
     val stats = Overview.stats(lined, keys, Readers.eventTime(lined))
-    val perFile = inv.groupBy(keys.map(col): _*).agg(
-      count(lit(1)).as("file_count"))
-    val lastFile = lined.groupBy(keys.map(col): _*).agg(
+    val fileAgg = MergeData.withLineage(inv).groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("file_count"),
       max(col("file_timestamp")).as("last_file_ts")) // ISO strings: lex max == chronological
-    stats.join(perFile, keys).join(lastFile, keys)
+    stats.join(fileAgg, keys)
       .orderBy(keys.map(col): _*)
   }
 
@@ -127,7 +144,8 @@ object LakeQueries {
                             make_timestamp((epoch_ns(ts) // 1000000000) * 1000000) AS ets
                      FROM events
                      WHERE user_id < 12 AND (user_id % 3) <> 2 AND ts IS NOT NULL),
-        fc AS (SELECT site, participant_id, metric, CAST(ets AS DATE) AS d,
+        fc AS (SELECT site, participant_id, metric,
+                      datediff('day', DATE '1970-01-01', CAST(ets AS DATE)) // 7 AS wk,
                       CASE WHEN site = 'site_0' AND count(*) >= 2 THEN 2 ELSE 1 END AS nf
                FROM src GROUP BY 1, 2, 3, 4),
         agg AS (SELECT site, participant_id, metric,
@@ -138,8 +156,9 @@ object LakeQueries {
                 FROM src GROUP BY 1, 2, 3),
         f AS (SELECT site, participant_id, metric,
                      sum(nf)::BIGINT AS file_count,
-                     strftime(max(d::TIMESTAMP + CASE WHEN nf = 2 THEN INTERVAL '1 minute'
-                                                      ELSE INTERVAL '0 minute' END),
+                     strftime(max((DATE '1970-01-01' + (wk * 7)::INT)::TIMESTAMP +
+                                  CASE WHEN nf = 2 THEN INTERVAL '1 minute'
+                                       ELSE INTERVAL '0 minute' END),
                               '%Y-%m-%dT%H:%M:%S') AS last_file_ts
               FROM fc GROUP BY 1, 2, 3)
         SELECT a.site, a.participant_id, a.metric, a.row_count, a.start_date,
