@@ -134,6 +134,19 @@ object LakeQueries {
       .orderBy(keys.map(col): _*)
   }
 
+  private def lakeSubstringScan(s: SparkSession, dir: String): DataFrame = {
+    val root = fixtureLake(s, dir)
+    // S1+S4 in one reader (recursive lookup + glob + inference) — the
+    // raw-walk form; metric comes from the legacy path layout via
+    // regexp_extract (SURVEY.md §1.1.1), F2 = substring include
+    val scanned = Readers.scanLake(s, s"$root/raw")
+    PathModel.includeBySubstring(scanned, Seq("/p1/", "/p4/"))
+      .withColumn("metric", regexp_extract(col("path"), "/raw/[^/]+/[^/]+/([^/]+)/", 1))
+      .groupBy("metric")
+      .agg(count(lit(1)).as("row_count"), count_distinct(col("path")).as("file_count"))
+      .orderBy("metric")
+  }
+
   val all: Seq[Q] = Seq(
     Q("q44_lake_overview",
       lakeOverview,
@@ -165,6 +178,19 @@ object LakeQueries {
                a.end_date, a.day_count, f.file_count, f.last_file_ts
         FROM agg a JOIN f USING (site, participant_id, metric)
         ORDER BY 1, 2, 3"""),
-      "S1-S4 + F1 + P1 + quirk 2.11.7 + A1-A3 end-to-end over a real csv.gz lake")
+      "S1-S4 + F1 + P1 + quirk 2.11.7 + A1-A3 end-to-end over a real csv.gz lake"),
+
+    Q("q46_lake_substring_scan",
+      lakeSubstringScan,
+      Some("""
+        WITH src AS (SELECT user_id, event_type AS metric,
+                            (epoch_ns(ts) // 1000000000) AS t
+                     FROM events
+                     WHERE user_id IN (1, 4) AND ts IS NOT NULL),
+        wk AS (SELECT metric, user_id, (t // 86400) // 7 AS w FROM src)
+        SELECT metric, count(*) AS row_count,
+               count(DISTINCT (user_id, w)) AS file_count
+        FROM wk GROUP BY 1 ORDER BY 1"""),
+      "scanLake (recursive glob + inference) + F2 substring include over the fixture lake")
   )
 }

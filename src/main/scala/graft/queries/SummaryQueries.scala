@@ -229,7 +229,8 @@ object SummaryQueries {
     // ---------------------------------------------------------------
     Q("q29_assemble",
       (s, dir) => {
-        val fl = featuresLong(s, dir)
+        // featuresLong feeds both dataSummary and featureStats
+        val fl = featuresLong(s, dir).persist()
         val fx = answersFixture(s, dir)
         val qdf = featureFixture(s, dir).filter(col("event_type") === "signup")
         val doc = SummaryOps.assemble(

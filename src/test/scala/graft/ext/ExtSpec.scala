@@ -92,6 +92,13 @@ class ExtSpec extends SparkSpec {
     assert(b === expected)
   }
 
+  test("sampleFrames keeps every stride-th frame index up to maxFrames") {
+    val d = df(Seq((1L, 7), (2L, 2)), "doc_id", "n_frames")
+    val f = Multimodal.sampleFrames(d, stride = 2, maxFrames = 3)
+    assert(rowsOf(f.orderBy("doc_id", "frame_idx")) === Seq(
+      Seq(1L, 0), Seq(1L, 2), Seq(1L, 4), Seq(2L, 0)))
+  }
+
   test("multimodal decode stub matches the expression tier on shared fields") {
     val media = Multimodal.asMedia(docs, "doc_id", "text", "text/plain")
     val expr = Multimodal.withFakeDecodeMeta(media)
