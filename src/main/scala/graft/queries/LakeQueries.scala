@@ -52,7 +52,9 @@ object LakeQueries {
   /** Generate (once per sf dir) the fixture lake; returns its root. */
   def fixtureLake(spark: SparkSession, dir: String): String = synchronized {
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
-    val root = new File(sys.props("java.io.tmpdir"), s"graft_lake_$tag")
+    // under the build's target/ dir (cwd = repo for all runners): never
+    // outside the repo, wiped by clean, invisible to git
+    val root = new File(new File(sys.props("user.dir"), "target"), s"graft_lake_$tag")
     val marker = new File(root, "_SUCCESS")
     if (!marker.exists()) {
       val rows = Tables(spark, dir, "events")
