@@ -85,18 +85,27 @@ object LakeQueries {
         finally w.close()
       }
 
-      rows.groupBy { case (s, p, m, t, _) => (s, p, m, weekOf(t)) }
+      val groups = rows.groupBy { case (s, p, m, t, _) => (s, p, m, weekOf(t)) }
         .toSeq.sortBy(_._1)
-        .foreach { case ((s, p, m, week), grp) =>
-          val lines = grp.map { case (_, _, _, t, v) => s"$t,${v.map(_.toString).getOrElse("")}" }
-          val base = new File(root, s"raw/$s/$p/$m")
-          val day = weekDay(week)
-          if (s == "site_0" && lines.size >= 2) {
-            val (h1, h2) = lines.splitAt(lines.size / 2)
-            writeGz(new File(base, s"${day}_0000.csv.gz"), h1)
-            writeGz(new File(base, s"${day}_0001_1.csv.gz"), h2)
-          } else writeGz(new File(base, s"${day}_0000.csv.gz"), lines)
-        }
+      // hundreds of independent tiny gzip files: write them on a pool
+      // (content is deterministic per group, so parallelism is safe)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+      try {
+        groups.map { case ((s, p, m, week), grp) =>
+          pool.submit(new Runnable {
+            def run(): Unit = {
+              val lines = grp.map { case (_, _, _, t, v) => s"$t,${v.map(_.toString).getOrElse("")}" }
+              val base = new File(root, s"raw/$s/$p/$m")
+              val day = weekDay(week)
+              if (s == "site_0" && lines.size >= 2) {
+                val (h1, h2) = lines.splitAt(lines.size / 2)
+                writeGz(new File(base, s"${day}_0000.csv.gz"), h1)
+                writeGz(new File(base, s"${day}_0001_1.csv.gz"), h2)
+              } else writeGz(new File(base, s"${day}_0000.csv.gz"), lines)
+            }
+          })
+        }.foreach(_.get())
+      } finally pool.shutdown()
       marker.createNewFile()
     }
     root.getAbsolutePath

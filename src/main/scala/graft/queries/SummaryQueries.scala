@@ -83,10 +83,11 @@ object SummaryQueries {
     HistogramSpec("wellbeing", "", "value.answers", "q_click", "value", "value.startTime"),
     HistogramSpec("behavior", "", "value.answers", "q_view", "value", "value.startTime"))
 
-  private def histLong(s: SparkSession, dir: String): DataFrame = {
-    val fx = answersFixture(s, dir)
+  /** Both histogram specs (and, in q29, the slider spec too) scan the
+    * same fixture — callers pass a persisted `fx` so the events scan +
+    * fixture projection runs once, not once per consumer. */
+  private def histLong(fx: DataFrame): DataFrame =
     histSpecs.map(SummaryOps.histogramLong(fx, _, "month")).reduce(_.unionByName(_))
-  }
 
   // ---------------------------------------------------------------
   // Shared oracle CTE fragments — the SQL twins of the fixtures.
@@ -194,7 +195,7 @@ object SummaryQueries {
     // exploded back to flat rows so the nesting itself is verified.
     // ---------------------------------------------------------------
     Q("q27_histogram_counts",
-      (s, dir) => SummaryOps.histogramCounts(histLong(s, dir))
+      (s, dir) => SummaryOps.histogramCounts(histLong(answersFixture(s, dir).persist()))
         .select(col("participant_id"), col("time_key"),
           explode(col("histogram")).as(Seq("domain", "by_question")))
         .select(col("participant_id"), col("time_key"), col("domain"),
@@ -229,9 +230,10 @@ object SummaryQueries {
     // ---------------------------------------------------------------
     Q("q29_assemble",
       (s, dir) => {
-        // featuresLong feeds both dataSummary and featureStats
+        // featuresLong feeds both dataSummary and featureStats; fx feeds
+        // the slider stage and both histogram specs
         val fl = featuresLong(s, dir).persist()
-        val fx = answersFixture(s, dir)
+        val fx = answersFixture(s, dir).persist()
         val qdf = featureFixture(s, dir).filter(col("event_type") === "signup")
         val doc = SummaryOps.assemble(
           SummaryOps.dataSummary(fl),
@@ -240,7 +242,7 @@ object SummaryQueries {
             SummaryOps.questionnaireLong(qdf, QuestionnaireSpec("", "t"), "month"))),
           Some(SummaryOps.sliderStats(
             SummaryOps.sliderLong(fx, sliderSpec, "month"))),
-          Some(SummaryOps.histogramCounts(histLong(s, dir))))
+          Some(SummaryOps.histogramCounts(histLong(fx))))
         doc.select(
           col("participant_id"), col("time_key"), col("patient_id"), col("site"),
           col("data_summary.start_date").as("start_date"),
