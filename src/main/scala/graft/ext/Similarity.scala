@@ -157,4 +157,96 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("probe_id", "neighbor_id", "sim", "rank")
   }
+
+  // ---------------------------------------------------------------
+  // IVF-Flat: coarse quantizer + inverted cell lists.
+  //
+  // The centroid set is tiny by construction (nCells rows), so it is
+  // packed into ONE row and broadcast: assignment and probe fan-out are
+  // map-side array scans inside codegen — zero shuffle over the corpus.
+  // Candidate generation is then a plain equi-join on cell_id (each
+  // corpus row lives in exactly one cell, so candidates are already
+  // distinct). The only corpus-sized shuffle in the whole pipeline is
+  // that one join — the shape that survives 100 TB.
+  // ---------------------------------------------------------------
+
+  /** Deterministic coarse quantizer "training": the `nCells` vectors
+    * with the smallest md5-derived key (ties by id) form the centroid
+    * set — a reproducible uniform sample with no RNG state, so the
+    * DuckDB oracle selects the identical rows. Cell id = the centroid's
+    * own vector id. Refine with [[ivfRefine]] if wanted. */
+  def ivfCentroids(df: DataFrame, idCol: String, vecCol: String, nCells: Int): DataFrame =
+    df.select(col(idCol).as("cell_id"),
+        transform(col(vecCol), _.cast("double")).as("centroid"))
+      .orderBy(DetHash.hash52(col("cell_id").cast("string")), col("cell_id"))
+      .limit(nCells)
+
+  /** Rounded cosine of `vec` against every packed centroid, as
+    * array<struct<sim, neg_id>>. neg_id = -cell_id so that struct-max /
+    * descending sort break sim ties toward the SMALLEST cell id —
+    * matching `ORDER BY sim DESC, cell_id` on the oracle side. */
+  private def cellScores(vec: Column): Column =
+    transform(col("cents"), c =>
+      struct(round(cosine(vec, c.getField("centroid")), 4).as("sim"),
+        (-c.getField("cell_id")).as("neg_id")))
+
+  /** Centroids packed into a single broadcastable row `cents`. */
+  private def packCentroids(centroids: DataFrame): DataFrame =
+    centroids.agg(collect_list(struct(col("cell_id"), col("centroid"))).as("cents"))
+
+  /** IVF assignment: each row → its nearest cell (argmax rounded
+    * cosine). Map-side only: one tiny broadcast, the per-row cell loop
+    * runs inside codegen, the corpus never shuffles. */
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame =
+    df.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(packCentroids(centroids)))
+      .withColumn("best", array_max(cellScores(col(vecCol))))
+      .select(col(idCol), col(vecCol), (-col("best.neg_id")).as("cell_id"))
+
+  /** Probe fan-out: each probe row → its `nProbe` nearest cells (one
+    * output row per (probe, cell)). Same map-side shape as assignment. */
+  def ivfProbeCells(probes: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, nProbe: Int): DataFrame =
+    probes.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(packCentroids(centroids)))
+      .withColumn("cell",
+        explode(slice(reverse(array_sort(cellScores(col(vecCol)))), 1, nProbe)))
+      .select(col(idCol), col(vecCol), (-col("cell.neg_id")).as("cell_id"))
+
+  /** One Lloyd refinement step: new centroid = element-wise mean of the
+    * vectors assigned to the cell, components rounded to 6 decimals so
+    * double accumulation-order noise can't leak into downstream rounded
+    * cosines. Cells that lost all members disappear (standard k-means).
+    * posexplode → avg per (cell, component) → reassemble in order. */
+  def ivfRefine(assigned: DataFrame, vecCol: String): DataFrame =
+    assigned
+      .select(col("cell_id"), posexplode(col(vecCol)).as(Seq("i", "x")))
+      .groupBy("cell_id", "i")
+      .agg(round(avg(col("x").cast("double")), 6).as("x"))
+      .groupBy("cell_id")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("x")))),
+        e => e.getField("x")).as("centroid"))
+
+  /** IVF-Flat ANN top-k: probe fan-out ⋈ inverted cell lists on
+    * cell_id, exact rounded cosine + windowed top-k on candidates only.
+    * `centroids` defaults to the deterministic seed sample; pass
+    * [[ivfRefine]] output for trained cells. */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      nCells: Int, nProbe: Int, probeFilter: Column,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    val cents = centroids.getOrElse(ivfCentroids(df, idCol, vecCol, nCells))
+    val inv = ivfAssign(df, idCol, vecCol, cents)
+      .toDF("neighbor_id", "vec", "cell_id")
+    val probes = ivfProbeCells(df.filter(probeFilter), idCol, vecCol, cents, nProbe)
+      .toDF("probe_id", "probe_vec", "cell_id")
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    probes.join(inv, Seq("cell_id"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(cosine(col("probe_vec"), col("vec")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("probe_id", "neighbor_id", "sim", "rank")
+  }
 }

@@ -44,6 +44,33 @@ object ExtensionQueries {
   private val sqlAgree: String =
     DetHash.minhashCoeffs.indices.map(j => s"(sa.m$j = sb.m$j)::INT").mkString(" + ")
 
+  /** Shared IVF oracle CTEs: unnested vectors + norms, the
+    * deterministic 16-centroid seed sample (same md5 key as
+    * [[Similarity.ivfCentroids]]), rounded cosine of every vector to
+    * every centroid, and the argmax cell assignment. generate_subscripts
+    * is 1-based; `i` is kept 1-based here and shifted where a query
+    * compares against Spark's 0-based posexplode. */
+  private val ivfCte = s"""
+    v AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                 unnest(embedding)::DOUBLE AS x
+          FROM embeddings),
+    n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM v GROUP BY vec_id),
+    cents AS (SELECT vec_id AS cell_id FROM embeddings
+              ORDER BY ${DetHash.sqlHash52("vec_id::VARCHAR")}, vec_id LIMIT 16),
+    cv AS (SELECT c.cell_id, v.i, v.x FROM cents c JOIN v ON v.vec_id = c.cell_id),
+    cn AS (SELECT cell_id, sqrt(sum(x * x)) AS nrm FROM cv GROUP BY cell_id),
+    cdot AS (SELECT v.vec_id, c.cell_id, sum(v.x * c.x) AS dot
+             FROM v JOIN cv c ON c.i = v.i GROUP BY 1, 2),
+    csim AS (SELECT d.vec_id, d.cell_id,
+                    round(d.dot / (n.nrm * cn.nrm), 4) AS sim
+             FROM cdot d
+             JOIN n ON n.vec_id = d.vec_id
+             JOIN cn ON cn.cell_id = d.cell_id),
+    assigned AS (SELECT vec_id, cell_id FROM (
+                   SELECT vec_id, cell_id, row_number() OVER (
+                     PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS r
+                   FROM csim) WHERE r = 1)"""
+
   val all: Seq[Q] = Seq(
 
     // ---------------------------------------------------------------
@@ -284,6 +311,64 @@ object ExtensionQueries {
         SELECT probe_id, neighbor_id, sim, rank FROM s
         WHERE rank <= 3 ORDER BY probe_id, rank"""),
       "multi-table RP-LSH ANN: equi-join on (table, bucket); compact array-literal projections"),
+
+    // ---------------------------------------------------------------
+    // Similarity: IVF-Flat ANN — deterministic centroid seed, map-side
+    // (broadcast-packed) assignment and probe fan-out, candidates via
+    // ONE equi-join on cell_id. The only corpus-sized shuffle in the
+    // pipeline; the IVF counterpart to q37's LSH scale path.
+    // ---------------------------------------------------------------
+    Q("q47_ivf_ann",
+      (s, dir) => Similarity.ivfTopK(Tables(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 3, nCells = 16, nProbe = 2,
+          probeFilter = col("vec_id") < 20)
+        .orderBy("probe_id", "rank"),
+      Some(s"""
+        WITH $ivfCte,
+        probec AS (SELECT vec_id AS probe_id, cell_id FROM (
+                     SELECT vec_id, cell_id, row_number() OVER (
+                       PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS r
+                     FROM csim WHERE vec_id < 20) WHERE r <= 2),
+        cand AS (SELECT p.probe_id, a.vec_id AS neighbor_id
+                 FROM probec p JOIN assigned a ON a.cell_id = p.cell_id
+                 WHERE a.vec_id <> p.probe_id),
+        d AS (SELECT c.probe_id, c.neighbor_id, sum(va.x * vb.x) AS dot
+              FROM cand c
+              JOIN v va ON va.vec_id = c.probe_id
+              JOIN v vb ON vb.vec_id = c.neighbor_id AND vb.i = va.i
+              GROUP BY 1, 2),
+        s AS (SELECT probe_id, neighbor_id,
+                     round(dot / (na.nrm * nb.nrm), 4) AS sim,
+                     row_number() OVER (PARTITION BY probe_id
+                       ORDER BY round(dot / (na.nrm * nb.nrm), 4) DESC, neighbor_id) AS rank
+              FROM d
+              JOIN n na ON na.vec_id = probe_id
+              JOIN n nb ON nb.vec_id = neighbor_id)
+        SELECT probe_id, neighbor_id, sim, rank FROM s
+        WHERE rank <= 3 ORDER BY probe_id, rank"""),
+      "IVF-Flat ANN: broadcast-packed centroids, map-side assign, cell equi-join"),
+
+    // ---------------------------------------------------------------
+    // Similarity: one Lloyd refinement step over the IVF assignment —
+    // element-wise mean per cell, verified component-by-component
+    // (posexplode on the Spark side so array reassembly order is
+    // checked too).
+    // ---------------------------------------------------------------
+    Q("q48_ivf_refine",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 16)
+        Similarity.ivfRefine(
+            Similarity.ivfAssign(emb, "vec_id", "embedding", cents), "embedding")
+          .select(col("cell_id"), posexplode(col("centroid")).as(Seq("i", "x")))
+          .orderBy("cell_id", "i")
+      },
+      Some(s"""
+        WITH $ivfCte
+        SELECT a.cell_id, (v.i - 1)::INT AS i, round(avg(v.x), 6) AS x
+        FROM assigned a JOIN v ON v.vec_id = a.vec_id
+        GROUP BY 1, 2 ORDER BY cell_id, i"""),
+      "Lloyd step: posexplode -> avg per (cell, component) -> ordered reassemble"),
 
     // ---------------------------------------------------------------
     // Text analysis: language ID confusion matrix

@@ -92,6 +92,58 @@ class ExtSpec extends SparkSpec {
     assert(b === expected)
   }
 
+  test("ivfTopK with one cell and one probe degrades to brute force") {
+    // nCells=1 puts the whole corpus in a single inverted list, so the
+    // candidate set is exhaustive and IVF must equal the exact baseline
+    val ivf = rowsOf(Similarity.ivfTopK(vecs, "vec_id", "embedding", k = 2,
+      nCells = 1, nProbe = 1, probeFilter = col("vec_id") < 5))
+    val brute = rowsOf(Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") < 5),
+      "vec_id", "embedding", k = 2))
+    assert(ivf.toSet === brute.toSet)
+    assert(ivf.nonEmpty)
+  }
+
+  test("ivfAssign maps every vector to a same-cluster cell when one exists") {
+    // fixture clusters are ~0.99995 cosine internally (ties at the
+    // 4-decimal round, broken toward the smallest cell id) and ~random
+    // across — so whenever a centroid from the vector's own cluster
+    // exists, the assigned cell must be from that cluster
+    val cents = Similarity.ivfCentroids(vecs, "vec_id", "embedding", 4)
+    val centClusters = rowsOf(cents.select("cell_id"))
+      .map(_.head.asInstanceOf[Long] % 5).toSet
+    val assigned = rowsOf(
+      Similarity.ivfAssign(vecs, "vec_id", "embedding", cents)
+        .select("vec_id", "cell_id"))
+    assert(assigned.size === 20)
+    assigned.foreach { r =>
+      val (vid, cid) = (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long])
+      if (centClusters.contains(vid % 5))
+        assert(cid % 5 === vid % 5, s"vec $vid left its cluster for cell $cid")
+    }
+  }
+
+  test("ivfRefine is the element-wise mean of each cell's members") {
+    val members = df(Seq(
+      (1L, Array(1.0f, 2.0f), 10L), (2L, Array(3.0f, 4.0f), 10L),
+      (3L, Array(5.0f, 6.0f), 20L)), "vec_id", "embedding", "cell_id")
+    val refined = rowsOf(Similarity.ivfRefine(members, "embedding").orderBy("cell_id"))
+    assert(refined === Seq(Seq(10L, Seq(2.0, 3.0)), Seq(20L, Seq(5.0, 6.0))))
+  }
+
+  test("ivfTopK recovers brute-force top-1 on clustered data") {
+    // 5 natural clusters; probe every cell's 2 nearest lists — the
+    // same-cluster neighbor must be found even when cells split oddly
+    val ivf = rowsOf(Similarity.ivfTopK(vecs, "vec_id", "embedding", k = 1,
+      nCells = 5, nProbe = 3, probeFilter = col("vec_id") < 5))
+    val brute = rowsOf(Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") < 5),
+      "vec_id", "embedding", k = 1))
+    val bruteMap = brute.map(r => r(0) -> r(1)).toMap
+    ivf.foreach { r =>
+      assert(bruteMap(r(0)) === r(1), s"probe ${r(0)} missed its true neighbor")
+    }
+    assert(ivf.size === brute.size)
+  }
+
   test("sampleFrames keeps every stride-th frame index up to maxFrames") {
     val d = df(Seq((1L, 7), (2L, 2)), "doc_id", "n_frames")
     val f = Multimodal.sampleFrames(d, stride = 2, maxFrames = 3)
