@@ -20,6 +20,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the JVM (scheduler, codegen, shuffle, noop sink) on a
+    // throwaway job so the first measured query isn't charged ~10 s of
+    // one-time init that belongs to no query.
+    spark.range(1000000).selectExpr("sum(id) AS s")
+      .write.format("noop").mode("overwrite").save()
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -27,7 +32,12 @@ object Bench {
       catch { case e: Throwable =>
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
-      name -> (if (errors.contains(name)) -1.0 else (System.nanoTime() - t0) / 1e9)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // queries that persist() intermediates would otherwise leave them
+      // cached for every LATER query's measurement — drop between runs
+      // so each query is timed standalone
+      spark.catalog.clearCache()
+      name -> (if (errors.contains(name)) -1.0 else elapsed)
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {

@@ -85,6 +85,88 @@ object TextAnalysis {
       .withColumn("fp_int", DetHash.hash52(norm))
   }
 
+  // ---------------------------------------------------------------
+  // Winnowing fingerprints (rolling-hash document sketch).
+  //
+  // Classic scheme: normalize → k-char grams → polynomial (Rabin-Karp)
+  // hash per gram → minimum per sliding window of w consecutive hashes
+  // → the distinct selected minima are the document's fingerprint set.
+  // Everything up to the final explode is per-row array expressions
+  // inside codegen — zero shuffle over the corpus. Near-dup candidates
+  // are then an inverted-index equi-join on fingerprint with a hot-key
+  // cap ([[winnowCandidates]]), never an all-pairs product.
+  // ---------------------------------------------------------------
+
+  /** Rolling-hash base. h(gram) = Σⱼ ascii(gramⱼ)·B^(k-1-j) mod
+    * [[DetHash.P]] — integer math only, so DuckDB reproduces it bit-
+    * exactly from the same frozen powers. */
+  val winnowBase: Long = 257L
+
+  /** B^(k-1-j) mod P for j = 0..k-1 — the frozen power table shared by
+    * the Spark plan and the generated oracle SQL. */
+  def winnowPowers(k: Int): Seq[Long] =
+    (0 until k).map(j =>
+      (0 until k - 1 - j).foldLeft(1L)((a, _) => a * winnowBase % DetHash.P))
+
+  /** DuckDB rendering of the power table as a BIGINT list literal. */
+  def sqlWinnowPowers(k: Int): String =
+    winnowPowers(k).mkString("[", ", ", "]::BIGINT[]")
+
+  /** Winnowed fingerprint set, exploded to one row per (id, fp).
+    *
+    * Docs whose normalized text is shorter than `k` produce no rows
+    * (guarded — Spark's `sequence` would otherwise count DOWN for a
+    * negative span). Docs with fewer than `w` gram hashes contribute
+    * the single minimum hash, the w-window minima otherwise. */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4): DataFrame = {
+    val pows = typedlit(winnowPowers(k))
+    // Every stage materializes its column before the next stage's
+    // lambda touches it: a lambda body that embedded the upstream
+    // expression tree (e.g. the regexp normalization) would re-evaluate
+    // it PER ELEMENT — measured 60× slower on sf0.1 — while a bound
+    // column reference is O(1) per access.
+    val norm = df.select(col(idCol),
+      regexp_replace(lower(col(textCol)), "[^a-z0-9]", "").as("nm"))
+    val codes = norm.select(col(idCol),
+      when(length(col("nm")) >= k,
+        transform(sequence(lit(1), length(col("nm"))), p =>
+          ascii(col("nm").substr(p, lit(1))).cast("long")))
+        .otherwise(array().cast("array<bigint>")).as("codes"))
+    val hashes = codes.select(col(idCol),
+      when(size(col("codes")) >= k,
+        transform(sequence(lit(0), size(col("codes")) - k), i =>
+          aggregate(sequence(lit(0), lit(k - 1)), lit(0L), (acc, j) =>
+            acc + (element_at(col("codes"), (i + j + 1).cast("int"))
+              * element_at(pows, (j + 1).cast("int"))) % DetHash.P) % DetHash.P))
+        .otherwise(array().cast("array<bigint>")).as("hashes"))
+    val mins = when(size(col("hashes")) === 0, array().cast("array<bigint>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), greatest(size(col("hashes")) - w, lit(0))),
+        jj => array_min(slice(col("hashes"), jj + 1, lit(w))))))
+    hashes.select(col(idCol), explode(mins).as("fp"))
+  }
+
+  /** Near-dup candidate pairs from winnow fingerprints: inverted-index
+    * self-join on `fp`, with fingerprints shared by more than `maxDf`
+    * docs dropped first (stop-gram removal — the skew/hot-key cap that
+    * keeps the join linear at corpus scale). */
+  def winnowCandidates(fps: DataFrame, idCol: String,
+      maxDf: Int, minShared: Int): DataFrame = {
+    val rare = fps.groupBy("fp")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("fp")
+    val filtered = fps.join(rare, "fp")
+    val a = filtered.toDF("fp", "id_a")
+    val b = filtered.toDF("fp", "id_b")
+    a.join(b, "fp")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** tf-idf: term frequencies joined to document frequencies; idf =
     * ln(N / df). One explode + two aggregations. The tf ⋈ df join keys
     * on `token` with NO broadcast hint: at web scale the vocabulary is

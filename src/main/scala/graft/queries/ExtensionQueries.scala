@@ -44,6 +44,31 @@ object ExtensionQueries {
   private val sqlAgree: String =
     DetHash.minhashCoeffs.indices.map(j => s"(sa.m$j = sb.m$j)::INT").mkString(" + ")
 
+  /** Shared winnowing oracle CTEs (k=8, w=4): normalized text → gram
+    * positions → polynomial hash from [[TextAnalysis.winnowPowers]] →
+    * ordered hash list per doc → distinct window minima `f(doc_id, fp)`.
+    * Spark's `sequence(0, len-k)` is inclusive; range() here is
+    * exclusive — bounds differ by one on purpose. */
+  private val winnowCte = {
+    val p = DetHash.P
+    val pows = TextAnalysis.sqlWinnowPowers(8)
+    s"""
+    t AS (SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS nm
+          FROM documents),
+    g AS (SELECT doc_id, nm, unnest(range(0, greatest(length(nm) - 7, 0))) AS i
+          FROM t),
+    h AS (SELECT doc_id, i,
+                 (list_sum([(ascii(substr(nm, (i + j + 1)::INT, 1))
+                             * ($pows)[(j + 1)::INT]) % $p
+                            for j in range(0, 8)]) % $p) AS hv
+          FROM g),
+    hl AS (SELECT doc_id, list(hv ORDER BY i) AS hs FROM h GROUP BY doc_id),
+    f AS (SELECT doc_id,
+                 unnest(list_distinct([list_min(hs[(jj + 1)::INT:(jj + 4)::INT])
+                                       for jj in range(0, greatest(len(hs) - 3, 1))])) AS fp
+          FROM hl)"""
+  }
+
   /** Shared IVF oracle CTEs: unnested vectors + norms, the
     * deterministic 16-centroid seed sample (same md5 key as
     * [[Similarity.ivfCentroids]]), rounded cosine of every vector to
@@ -479,6 +504,48 @@ object ExtensionQueries {
           FROM tf t JOIN dfq d USING (token) CROSS JOIN n
           WHERE t.doc_id < 50)
         WHERE rank <= 3 ORDER BY doc_id, rank""")),
+
+    // ---------------------------------------------------------------
+    // Text analysis: winnowing fingerprints (rolling hash) — k=8 char
+    // grams, polynomial hash from the frozen power table, w=4 window
+    // minima. Map-side arrays until the final explode; the oracle's
+    // gram hash is generated from the SAME powers so the two sides
+    // cannot drift.
+    // ---------------------------------------------------------------
+    Q("q49_winnow",
+      (s, dir) => TextAnalysis.winnowFingerprints(
+          Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id", "fp"),
+      Some(s"""
+        WITH $winnowCte
+        SELECT doc_id, fp FROM f ORDER BY doc_id, fp"""),
+      "winnowing: Rabin-Karp gram hash + window minima, all map-side"),
+
+    // ---------------------------------------------------------------
+    // Winnow near-dup candidates: inverted-index self-join on
+    // fingerprint with a hot-fingerprint cap (df <= 20) — the linear
+    // discovery shape; shared-count >= 2 prunes accidental collisions.
+    // ---------------------------------------------------------------
+    Q("q50_winnow_pairs",
+      (s, dir) => {
+        // the fingerprint pipeline feeds the df-cap agg AND both join
+        // sides — persist so it runs once, not three times
+        val fps = TextAnalysis.winnowFingerprints(
+          Tables(s, dir, "documents"), "doc_id", "text").persist()
+        TextAnalysis.winnowCandidates(fps, "doc_id", maxDf = 20, minShared = 2)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""
+        WITH $winnowCte,
+        rare AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 20),
+        p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM f a
+              JOIN f b ON b.fp = a.fp AND a.doc_id < b.doc_id
+              JOIN rare r ON r.fp = a.fp)
+        SELECT id_a, id_b, count(*) AS shared
+        FROM p GROUP BY 1, 2 HAVING count(*) >= 2
+        ORDER BY id_a, id_b"""),
+      "inverted-index join on winnow fingerprints, hot-key capped"),
 
     // ---------------------------------------------------------------
     // Multimodal: binary payload + deterministic fake decode metadata

@@ -462,6 +462,25 @@ object ReferenceQueries {
          SELECT user_id FROM events WHERE event_type = 'purchase')
         EXCEPT
         SELECT user_id FROM events WHERE event_type = 'error'
-        ORDER BY user_id"""))
+        ORDER BY user_id""")),
+
+    // ---------------------------------------------------------------
+    // Skew-salted shuffle join (graft.ops.Skew): the oracle is the
+    // PLAIN join — proving the 8-way salted rewrite is result-identical
+    // while spreading each hot key over 8 reducers.
+    // ---------------------------------------------------------------
+    Q("q51_salted_join",
+      (s, dir) => graft.ops.Skew.saltedJoin(
+          lineitem(s, dir), orders(s, dir).select("o_orderkey", "o_orderpriority"),
+          "l_orderkey", "o_orderkey", nSalts = 8)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy("o_orderpriority"),
+      Some("""
+        SELECT o_orderpriority, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1 ORDER BY 1"""),
+      "salted join == plain join; salt splits hot keys across reducers")
   )
 }

@@ -144,6 +144,41 @@ class ExtSpec extends SparkSpec {
     assert(ivf.size === brute.size)
   }
 
+  test("winnow gram hash is frozen (hand-derived polynomial value)") {
+    // one doc of exactly k=8 normalized chars -> one gram -> its hash
+    // must equal sum(ascii * B^(k-1-j)) mod P with B=257
+    val d = df(Seq((1L, "abcdefgh")), "doc_id", "text")
+    val fps = rowsOf(TextAnalysis.winnowFingerprints(d, "doc_id", "text"))
+    val expected = "abcdefgh".zipWithIndex.map { case (c, j) =>
+      c.toLong * TextAnalysis.winnowPowers(8)(j) % DetHash.P
+    }.sum % DetHash.P
+    assert(fps === Seq(Seq(1L, expected)))
+  }
+
+  test("winnowFingerprints: identical docs share all fps; short docs yield none") {
+    val d = df(Seq(
+      (1L, "The quick brown fox jumps over the lazy dog today"),
+      (2L, "The quick brown fox jumps over the lazy dog today"),
+      (3L, "tiny")), "doc_id", "text") // 4 normalized chars < k=8
+    val fps = rowsOf(TextAnalysis.winnowFingerprints(d, "doc_id", "text"))
+      .groupBy(_.head).map { case (id, rs) => id -> rs.map(_(1)).toSet }
+    assert(fps(1L) === fps(2L))
+    assert(fps(1L).nonEmpty)
+    assert(!fps.contains(3L))
+  }
+
+  test("winnowCandidates surfaces the near-dup triples via shared fingerprints") {
+    val fps = TextAnalysis.winnowFingerprints(docs, "doc_id", "text")
+    val pairs = rowsOf(TextAnalysis.winnowCandidates(fps, "doc_id",
+      maxDf = 30, minShared = 3).orderBy("id_a", "id_b"))
+    assert(pairs.nonEmpty)
+    // every within-triple pair (sentences differ by one word) must appear
+    val found = pairs.map(r => (r(0), r(1))).toSet
+    (0 until 10).foreach { g =>
+      assert(found.contains((g * 3L, g * 3L + 1)), s"triple $g pair (0,1) missed")
+    }
+  }
+
   test("sampleFrames keeps every stride-th frame index up to maxFrames") {
     val d = df(Seq((1L, 7), (2L, 2)), "doc_id", "n_frames")
     val f = Multimodal.sampleFrames(d, stride = 2, maxFrames = 3)
