@@ -31,6 +31,11 @@ object Skew {
     val l = large.withColumn("__salt", saltCol)
     val s = small.withColumn("__salt",
       explode(sequence(lit(0), lit(nSalts - 1)).cast("array<long>")))
+      // salting presumes the small side is NOT broadcastable (else you
+      // would broadcast and skew wouldn't exist) — pin a shuffle join
+      // so the demonstrated plan matches the scale scenario even when
+      // AQE would happily broadcast at test scale
+      .hint("shuffle_hash")
     l.join(s, l("__salt") === s("__salt") && col(largeKey) === col(smallKey))
       .drop("__salt", smallKey)
   }
