@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.execution.SimpleMode
+
+import graft.queries.Registry
+
+/** Mechanical scale-anti-pattern audit over EVERY registered query's
+  * physical plan: a query that works at sf0.01 but plans a cartesian
+  * product (or an all-pairs nested-loop join) is a 100 TB outage, not a
+  * passing query. Guards the "every discovery stage is an equi-join"
+  * claim as the registry grows.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** BroadcastNestedLoopJoin is acceptable ONLY when the build side is
+    * bounded by construction (spec tables, single-row aggregates,
+    * fixed probe sets) — each entry says why. Entries must stay
+    * minimal: the audit fails if a listed query stops planning a BNLJ,
+    * so stale justifications get cleaned up. */
+  private val bnljAllowed = Map(
+    "q18_routing" -> "broadcast theta-join against the fixed routing-spec table",
+    "q35_cosine_topk" -> "brute-force baseline: corpus scan x broadcast(20 fixed probes)",
+    "q42_tfidf" -> "crossJoin(broadcast(n_docs)) — a single-row count",
+    "q47_ivf_ann" -> "crossJoin(broadcast(packed centroids)) — one row by construction",
+    "q48_ivf_refine" -> "same single-row packed-centroid pattern as q47")
+
+  test("no registered query plans a CartesianProduct or an unjustified nested-loop join") {
+    val plans = Registry.all.map { q =>
+      q.name -> q.run(spark, sfDir).queryExecution.explainString(SimpleMode)
+    }
+    val cartesian = plans.collect {
+      case (n, p) if p.contains("CartesianProduct") => n
+    }
+    assert(cartesian.isEmpty, s"cartesian products in: $cartesian")
+
+    val bnlj = plans.collect {
+      case (n, p) if p.contains("BroadcastNestedLoopJoin") => n
+    }.toSet
+    val unjustified = bnlj -- bnljAllowed.keySet
+    assert(unjustified.isEmpty,
+      s"BNLJ without a documented tiny-build-side justification: $unjustified")
+    val stale = bnljAllowed.keySet -- bnlj
+    assert(stale.isEmpty, s"stale BNLJ whitelist entries (plan changed): $stale")
+  }
+}

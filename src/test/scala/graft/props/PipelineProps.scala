@@ -7,7 +7,7 @@ import org.scalacheck.{Gen, Properties, Test}
 import org.scalacheck.Prop.forAll
 
 import graft.TestSpark
-import graft.ops.{MergeData, Overview, SummaryOps, TimeOps}
+import graft.ops.{MergeData, Overview, Skew, SummaryOps, TimeOps}
 
 /** The property-based tests promised by SURVEY.md §5.4. Each property
   * batches its sample into ONE DataFrame per evaluation, and the suite
@@ -93,6 +93,27 @@ object PipelineProps extends Properties("graft.pipeline") {
       }
       val d = spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
       SummaryOps.answersUnpivot(d, "value.answers", "value").count() == (nRows * nPairs).toLong
+    }
+
+  // ------------------------------------------------------------------
+  // Skew: saltedJoin is result-equivalent to the plain inner join,
+  // including duplicate keys on BOTH sides and a deliberately hot key.
+  // ------------------------------------------------------------------
+
+  private val joinGen = Gen.zip(
+    Gen.listOf(Gen.zip(Gen.oneOf("hot", "hot", "k1", "k2", "k3"), Gen.choose(0, 100))),
+    Gen.nonEmptyListOf(Gen.zip(Gen.oneOf("hot", "k1", "k2", "k4"), Gen.choose(0, 100))),
+    Gen.choose(2, 8))
+
+  property("saltedJoin == plain inner join (multiset)") =
+    forAll(joinGen) { case (ls, ss, nSalts) =>
+      val large = ls.toDF("k", "v")
+      val small = ss.toDF("k2", "w")
+      val salted = Skew.saltedJoin(large, small, "k", "k2", nSalts)
+        .select("k", "v", "w").collect().map(_.toSeq)
+      val plain = large.join(small, col("k") === col("k2"))
+        .select("k", "v", "w").collect().map(_.toSeq)
+      salted.sortBy(_.mkString("|")).toSeq == plain.sortBy(_.mkString("|")).toSeq
     }
 
   // ------------------------------------------------------------------
