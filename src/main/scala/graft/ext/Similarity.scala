@@ -24,15 +24,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity between two Array[Float] columns, computed in
-    * double. `aggregate` evaluates sequentially per row inside codegen —
-    * no shuffle, no UDF. */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) = aggregate(
-      zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  /** Cosine similarity between two embedding columns, computed in
+    * double by the native codegen'd [[graft.functions.CosineSimilarity]]
+    * expression — one fused allocation-free loop per row, no shuffle,
+    * no UDF, and the surrounding WholeStageCodegen span stays intact
+    * (the composed `aggregate(zip_with(...))` form is CodegenFallback).
+    * Exact result parity with the composed form: same double widening,
+    * same left-to-right accumulation order. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.cosineSim(a, b)
 
   /** Brute-force cosine top-k: for each probe row, the k nearest corpus
     * rows (excluding itself). Ranking uses the ROUNDED similarity with
