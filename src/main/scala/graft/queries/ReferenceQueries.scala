@@ -481,6 +481,52 @@ object ReferenceQueries {
         SELECT o_orderpriority, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY 1 ORDER BY 1"""),
-      "salted join == plain join; salt splits hot keys across reducers")
+      "salted join == plain join; salt splits hot keys across reducers"),
+
+    // ---------------------------------------------------------------
+    // Gap-based sessionization (batch twin of the streaming
+    // flatMapGroupsWithState form — graft.streaming.Sessionize).
+    // Integer-micros gap math on both sides; one shuffle on user_id
+    // shared by the windows AND the final groupBy.
+    // ---------------------------------------------------------------
+    Q("q52_sessionize",
+      (s, dir) => {
+        val e = events(s, dir).select(
+          col("user_id"), col("event_id"), col("value"),
+          expr("unix_micros(cast(ts as timestamp))").as("tsu"))
+        graft.streaming.Sessionize.batch(e, gapUs = 1800L * 1000000L)
+          .select(
+            col("user_id"), col("session_no"),
+            date_format(timestamp_micros(col("session_start_us")),
+              "yyyy-MM-dd HH:mm:ss").as("session_start"),
+            date_format(timestamp_micros(col("session_end_us")),
+              "yyyy-MM-dd HH:mm:ss").as("session_end"),
+            expr("(session_end_us - session_start_us) div 1000000").as("duration_sec"),
+            col("n_events"),
+            round(col("sum_value"), 4).as("sum_value"))
+          .orderBy("user_id", "session_no")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, value, epoch_ns(ts) // 1000 AS tsu FROM events
+        ), flagged AS (
+          SELECT user_id, event_id, value, tsu,
+                 CASE WHEN lag(tsu) OVER w IS NULL
+                        OR tsu - lag(tsu) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+        ), numbered AS (
+          SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+          FROM flagged
+        )
+        SELECT user_id, session_no,
+               strftime(make_timestamp(min(tsu)), '%Y-%m-%d %H:%M:%S') AS session_start,
+               strftime(make_timestamp(max(tsu)), '%Y-%m-%d %H:%M:%S') AS session_end,
+               (max(tsu) - min(tsu)) // 1000000 AS duration_sec,
+               count(*) AS n_events,
+               round(sum(value), 4) AS sum_value
+        FROM numbered GROUP BY user_id, session_no
+        ORDER BY user_id, session_no"""),
+      "30-min-gap sessions: lag flag + running sum; batch twin of streaming Sessionize")
   )
 }

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** The streaming sessionizer must emit exactly the batch twin's sessions
+  * once the watermark passes everything: same bounds, counts, sums —
+  * including out-of-order rows inside a batch and sessions that only
+  * close via event-time timeout (flushed by a later batch advancing the
+  * watermark). */
+class SessionizeSpec extends SparkSpec {
+
+  private val gapUs = 1800L * 1000000L // 30 min
+
+  private val schema = StructType(Seq(
+    StructField("user_id", LongType), StructField("t", LongType),
+    StructField("value", DoubleType)))
+
+  private def writeCsv(dir: String, name: String, rows: Seq[String]): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    Files.write(Paths.get(dir, name),
+      ("user_id,t,value" +: rows).mkString("\n").getBytes)
+  }
+
+  private def runOnce(root: String, out: String, ckpt: String): Unit = {
+    val stream = spark.readStream.option("header", "true").schema(schema)
+      .csv(root)
+      .select(col("user_id"), timestamp_seconds(col("t")).as("ts"), col("value"))
+    val q = Sessionize.streamSessions(stream, gapUs, lateness = "10 minutes")
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  private def canon(d: DataFrame): Seq[Seq[Any]] =
+    rowsOf(d.select(col("user_id"), col("session_start_us"),
+      col("session_end_us"), col("n_events"), round(col("sum_value"), 6))
+      .orderBy("user_id", "session_start_us"))
+
+  test("streaming sessions == batch twin after watermark flush") {
+    val base = Files.createTempDirectory("graft-sess").toString
+    val (root, out, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
+    val t0 = 1700000000L
+    // u1: [t0, t0+600] then (gap 2400s > 1800) [t0+3000, t0+3300];
+    // u2: [t0+100] then [t0+2500]; rows deliberately shuffled in-file.
+    val run1 = Seq(
+      s"1,${t0 + 3300},4.0", s"1,$t0,1.0", s"2,${t0 + 100},10.0",
+      s"1,${t0 + 600},2.0", s"1,${t0 + 3000},3.0", s"2,${t0 + 2500},20.0")
+    writeCsv(root, "a.csv", run1)
+    runOnce(root, out, ckpt)
+    // In-data gaps alone must already close u1's and u2's first sessions.
+    val emitted1 = spark.read.parquet(out)
+    assert(emitted1.count() >= 2)
+
+    // Sentinel batch: far-future event pushes the watermark past every
+    // real session's (end + gap) so event-time timeouts flush the rest.
+    writeCsv(root, "b.csv", Seq(s"999,${t0 + 100000},0.0"))
+    runOnce(root, out, ckpt)
+
+    val streamed = spark.read.parquet(out).filter(col("user_id") < 999)
+    val batchIn = spark.read.option("header", "true").schema(schema)
+      .csv(s"$root/a.csv")
+      .select(col("user_id"), (col("t") * 1000000L).as("tsu"), col("value"))
+    val batched = Sessionize.batch(batchIn, gapUs, orderCol = "tsu")
+    assert(canon(streamed) === canon(batched))
+    // u1 split into exactly 2 sessions, u2 into 2.
+    assert(batched.count() === 4)
+  }
+}
