@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.functions
+
+import graft.functions.{CosineSimilarity, StatsAggregator}
+
+/** SQL surface for graft's native functions (SURVEY §7.3).
+  *
+  * Two ways in, one registration list:
+  *
+  *  - cluster-wide / notebook-at-startup:
+  *    `--conf spark.sql.extensions=graft.GraftExtensions`
+  *    (or `SparkSession.builder().withExtensions(new GraftExtensions)`);
+  *  - an already-running session: `GraftExtensions.register(spark)`.
+  *
+  * After either, `spark.sql("SELECT cosine_similarity(a, b) ...")` uses
+  * the codegen'd [[CosineSimilarity]] — SQL users get the same fused
+  * loop as the Column API ([[graft.functions.VectorFunctions.cosineSim]]),
+  * and `stats_bundle(v)` gives the one-pass Welford/Chan stats struct.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.expressions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[CosineSimilarity].getName, null, name, usage, "")
+
+  /** Expression-backed SQL functions: (identifier, info, builder). */
+  val expressions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq((
+      FunctionIdentifier("cosine_similarity"),
+      info("cosine_similarity",
+        "_FUNC_(a, b) - cosine similarity of two float/double arrays (fused codegen loop)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"cosine_similarity requires exactly 2 arguments, got ${args.length}")
+        CosineSimilarity(args(0), args(1))
+      }))
+
+  /** Register everything into a LIVE session (the extensions hook only
+    * applies at session build time). Idempotent: re-registering simply
+    * replaces the entry. Aggregators can't go through `injectFunction`
+    * (they are Aggregator objects, not Expression trees), so the udaf
+    * path registers them here and `withExtensions` users call this too
+    * for the full surface. */
+  def register(spark: SparkSession): Unit = {
+    expressions.foreach { case (id, fnInfo, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, fnInfo, builder)
+    }
+    spark.udf.register("stats_bundle", functions.udaf(StatsAggregator))
+  }
+}

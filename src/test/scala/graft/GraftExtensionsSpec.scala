@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** The SQL registration surface must hand SQL users the same native
+  * expressions as the Column API. */
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("register(spark): cosine_similarity in SQL == Column API, null on mismatch") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT
+        |  cosine_similarity(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |                    array(CAST(2.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS same_dir,
+        |  cosine_similarity(array(1.0D, 0.0D), array(0.0D, 3.0D)) AS ortho,
+        |  cosine_similarity(array(1.0D), array(1.0D, 2.0D)) AS mismatch
+        |""".stripMargin).head()
+    assert(math.abs(row.getDouble(0) - 1.0) < 1e-12)
+    assert(row.getDouble(1) === 0.0)
+    assert(row.isNullAt(2))
+
+    // same expression as the Column entry point
+    val d = df(Seq((Array(1.0f, 2.0f, 3.0f), Array(3.0f, 2.0f, 1.0f))), "a", "b")
+    d.createOrReplaceTempView("vex")
+    val viaSql = spark.sql("SELECT cosine_similarity(a, b) AS c FROM vex").head().getDouble(0)
+    val viaCol = d.select(VectorFunctions.cosineSim(col("a"), col("b")).as("c"))
+      .head().getDouble(0)
+    assert(viaSql === viaCol)
+  }
+
+  test("register(spark): stats_bundle in SQL == built-in aggregates") {
+    GraftExtensions.register(spark)
+    df(Seq(Tuple1(1.0), Tuple1(2.0), Tuple1(3.0), Tuple1(4.0)), "v")
+      .createOrReplaceTempView("sb")
+    val s = spark.sql(
+      "SELECT stats_bundle(v).count AS n, stats_bundle(v).mean AS m, " +
+        "round(stats_bundle(v).std_dev, 9) AS sd, stats_bundle(v).min AS mn, " +
+        "stats_bundle(v).max AS mx FROM sb").head()
+    assert(s.getLong(0) === 4L)
+    assert(s.getDouble(1) === 2.5)
+    assert(s.getDouble(2) === math.rint(math.sqrt(1.25) * 1e9) / 1e9)
+    assert(s.getDouble(3) === 1.0)
+    assert(s.getDouble(4) === 4.0)
+  }
+
+  test("extensions hook applies the same registration list") {
+    // The builder hook path (spark.sql.extensions) can't be exercised on
+    // the suite's shared session (extensions bind at session build);
+    // applying to a fresh SparkSessionExtensions at least pins that every
+    // entry injects cleanly.
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+  }
+}
