@@ -114,11 +114,23 @@ object TextAnalysis {
 
   /** Winnowed fingerprint set, exploded to one row per (id, fp).
     *
-    * Docs whose normalized text is shorter than `k` produce no rows
-    * (guarded — Spark's `sequence` would otherwise count DOWN for a
-    * negative span). Docs with fewer than `w` gram hashes contribute
-    * the single minimum hash, the w-window minima otherwise. */
+    * Docs whose normalized text is shorter than `k` produce no rows.
+    * Docs with fewer than `w` gram hashes contribute the single minimum
+    * hash, the w-window minima otherwise.
+    *
+    * Hashing runs in the native O(len) rolling-hash expression
+    * ([[graft.functions.WinnowFingerprints]]); the composed
+    * higher-order-function pipeline ([[winnowFingerprintsComposed]])
+    * is its bit-exact spec twin — `WinnowSpec` pins them equal. */
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4): DataFrame =
+    df.select(col(idCol),
+        explode(graft.functions.WinnowFunctions.winnowFingerprints(
+          regexp_replace(lower(col(textCol)), "[^a-z0-9]", ""), k, w)).as("fp"))
+
+  /** The pre-native composed form (O(len·k) interpreted HOF lambdas) —
+    * kept as the executable spec for the rolling-hash expression. */
+  def winnowFingerprintsComposed(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 4): DataFrame = {
     val pows = typedlit(winnowPowers(k))
     // Every stage materializes its column before the next stage's

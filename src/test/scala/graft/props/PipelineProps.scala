@@ -137,4 +137,28 @@ object PipelineProps extends Properties("graft.pipeline") {
       }.toMap
       got == expect
     }
+
+  // ------------------------------------------------------------------
+  // Winnowing: the native rolling-hash expression is bit-identical to
+  // the composed HOF pipeline — including sub-k docs (no rows), sub-w
+  // gram counts (single minimum), repeats, and punctuation that the
+  // shared normalizer strips.
+  // ------------------------------------------------------------------
+
+  private val docGen = Gen.listOf(Gen.frequency(
+    (8, Gen.alphaNumChar), (2, Gen.oneOf(' ', '.', ',', '!', 'é'))))
+    .map(_.mkString)
+
+  property("native winnowFingerprints == composed HOF form") =
+    forAll(Gen.nonEmptyListOf(docGen)) { texts =>
+      val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val native = graft.ext.TextAnalysis
+        .winnowFingerprints(d, "doc_id", "text", k = 5, w = 3)
+        .orderBy("doc_id", "fp").collect().map(_.toSeq).toSeq
+      val composed = graft.ext.TextAnalysis
+        .winnowFingerprintsComposed(d, "doc_id", "text", k = 5, w = 3)
+        .orderBy("doc_id", "fp").collect().map(_.toSeq).toSeq
+      native == composed
+    }
 }
