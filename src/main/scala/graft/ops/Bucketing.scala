@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed (pre-shuffled) tables for co-located joins — the third leg
+  * of the join-at-scale toolkit next to `broadcast()` (small dims) and
+  * [[Skew.saltedJoin]] (hot keys).
+  *
+  * A fact⋈fact join on a shared key shuffles BOTH sides every run. When
+  * the same join recurs (the reference's merge → overview → summary
+  * chain re-joins on (site, participant) constantly; at 100 TB the
+  * shuffle dominates the job), bucketing pays the shuffle ONCE at write
+  * time: `bucketBy(n, key)` hash-partitions files on disk, and Spark's
+  * scan reports `HashPartitioning(key, n)` so SortMergeJoin needs no
+  * Exchange on either side — `BucketingSpec` asserts the plan is
+  * exchange-free and result-identical to the plain join.
+  *
+  * Sizing at 100 TB: pick `nBuckets` so a bucket of the LARGER table
+  * fits an executor's read (~`table_size / nBuckets` ≲ 1 GiB), and
+  * bucket both tables with the SAME n and key; mismatched counts fall
+  * back to shuffling the smaller side (Spark only avoids exchanges on
+  * equal bucket counts unless `spark.sql.bucketing.coalesceBucketsInJoin`
+  * applies). `sortBy` the key inside buckets so the SMJ's per-bucket
+  * sort is a cheap merge of pre-sorted runs.
+  *
+  * Bucketed data must go through the catalog (`saveAsTable`) — a plain
+  * parquet path write discards bucket metadata.
+  */
+object Bucketing {
+
+  /** Pay the shuffle once: persist `df` as a bucketed, in-bucket-sorted
+    * catalog table. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      nBuckets: Int, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write
+      .mode(mode)
+      .bucketBy(nBuckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Equi-join two same-bucketed tables on their bucket keys. With both
+    * sides bucketed `nBuckets` on the join key this plans as an
+    * exchange-free SortMergeJoin. */
+  def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
+      leftKey: String, rightKey: String): DataFrame = {
+    val l = spark.table(leftTable)
+    val r = spark.table(rightTable)
+    l.join(r, l(leftKey) === r(rightKey))
+  }
+}
