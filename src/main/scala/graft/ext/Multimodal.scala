@@ -84,6 +84,29 @@ object Multimodal {
     }
   }
 
+  /** Resize planning: aspect-preserving target dimensions fitting a
+    * (maxW, maxH) box, never upscaling — pure integer expressions
+    * (cross-multiplied comparison picks the binding side, integer
+    * division floors), so the plan stays in codegen and is exactly
+    * reproducible. The pixel resample consuming these dims belongs in
+    * [[decodeStub]]'s per-partition loop with the codec. */
+  def withResizeDims(decoded: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val (w, h) = (col("width").cast("long"), col("height").cast("long"))
+    val fitsAlready = w <= maxW && h <= maxH
+    val widthBinds = w * maxH >= h * maxW // maxW/w <= maxH/h without division
+    decoded
+      .withColumn("out_width",
+        when(fitsAlready, w)
+          .when(widthBinds, lit(maxW.toLong))
+          .otherwise(greatest(expr(s"width * ${maxH}L div height"), lit(1L)))
+          .cast("int"))
+      .withColumn("out_height",
+        when(fitsAlready, h)
+          .when(widthBinds, greatest(expr(s"height * ${maxW}L div width"), lit(1L)))
+          .otherwise(lit(maxH.toLong))
+          .cast("int"))
+  }
+
   /** Frame sampling for video-like payloads: keep every `stride`-th
     * frame index up to `maxFrames` — pure plan (posexplode over a
     * sequence), the decode of each sampled frame happens downstream. */

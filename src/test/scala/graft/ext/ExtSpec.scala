@@ -186,6 +186,20 @@ class ExtSpec extends SparkSpec {
       Seq(1L, 0), Seq(1L, 2), Seq(1L, 4), Seq(2L, 0)))
   }
 
+  test("withResizeDims: aspect-preserving fit, floors, never upscales") {
+    val d = df(Seq(
+      (1L, 100, 50),  // width binds: 100x50 -> 64x32
+      (2L, 50, 100),  // height binds: 50x100 -> 32x64
+      (3L, 20, 30),   // already fits: unchanged
+      (4L, 1000, 3),  // extreme aspect: height floors to >= 1
+      (5L, 90, 60)),  // width binds, floor: 90x60 -> 64x42 (60*64/90 = 42.67)
+      "doc_id", "width", "height")
+    val r = Multimodal.withResizeDims(d, maxW = 64, maxH = 64)
+    assert(rowsOf(r.select("doc_id", "out_width", "out_height").orderBy("doc_id")) ===
+      Seq(Seq(1L, 64, 32), Seq(2L, 32, 64), Seq(3L, 20, 30),
+        Seq(4L, 64, 1), Seq(5L, 64, 42)))
+  }
+
   test("multimodal decode stub matches the expression tier on shared fields") {
     val media = Multimodal.asMedia(docs, "doc_id", "text", "text/plain")
     val expr = Multimodal.withFakeDecodeMeta(media)
