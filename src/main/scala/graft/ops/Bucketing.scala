@@ -31,13 +31,25 @@ object Bucketing {
   /** Pay the shuffle once: persist `df` as a bucketed, in-bucket-sorted
     * catalog table. */
   def writeBucketed(df: DataFrame, table: String, key: String,
-      nBuckets: Int, mode: SaveMode = SaveMode.Overwrite): Unit =
+      nBuckets: Int, mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val spark = df.sparkSession
+    if (!spark.catalog.tableExists(table)) {
+      // With the in-memory catalog, a managed table's LOCATION can
+      // outlive its catalog entry across JVMs; CTAS then refuses the
+      // "existing location". An unregistered location is unreachable
+      // data (bucket metadata lives in the catalog) — clear it.
+      val wh = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(wh, true)
+    }
     df.write
       .mode(mode)
       .bucketBy(nBuckets, key)
       .sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Equi-join two same-bucketed tables on their bucket keys. With both
     * sides bucketed `nBuckets` on the join key this plans as an

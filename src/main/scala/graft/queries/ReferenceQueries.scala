@@ -527,6 +527,60 @@ object ReferenceQueries {
                round(sum(value), 4) AS sum_value
         FROM numbered GROUP BY user_id, session_no
         ORDER BY user_id, session_no"""),
-      "30-min-gap sessions: lag flag + running sum; batch twin of streaming Sessionize")
+      "30-min-gap sessions: lag flag + running sum; batch twin of streaming Sessionize"),
+
+    // ---------------------------------------------------------------
+    // Bucketed co-located join (graft.ops.Bucketing): both sides
+    // bucketed 8 ways on the join key at write time, so the join plans
+    // with NO runtime exchange (BucketingSpec asserts the plan). The
+    // oracle is the PLAIN join — bucketing must not change results.
+    // First run per JVM pays the one-time bucketed write (the "shuffle
+    // once at write" cost model, honestly included in one-shot bench).
+    // ---------------------------------------------------------------
+    Q("q53_bucketed_join",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val (tl, to) = (s"b_lineitem_$tag", s"b_orders_$tag")
+        ReferenceQueries.synchronized {
+          if (!s.catalog.tableExists(tl))
+            graft.ops.Bucketing.writeBucketed(
+              lineitem(s, dir).select("l_orderkey", "l_extendedprice", "l_discount"),
+              tl, "l_orderkey", nBuckets = 8)
+          if (!s.catalog.tableExists(to))
+            graft.ops.Bucketing.writeBucketed(
+              orders(s, dir).select("o_orderkey", "o_orderpriority"),
+              to, "o_orderkey", nBuckets = 8)
+        }
+        graft.ops.Bucketing.bucketedJoin(s, tl, to, "l_orderkey", "o_orderkey")
+          .groupBy("o_orderpriority")
+          .agg(
+            count(lit(1)).as("n"),
+            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+              .as("revenue"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""
+        SELECT o_orderpriority, count(*) AS n,
+               round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1 ORDER BY 1"""),
+      "bucketed join == plain join; write-time shuffle, exchange-free runtime plan"),
+
+    // ---------------------------------------------------------------
+    // Mergeable HLL distinct counts (graft.ops.ApproxDistinct). The
+    // exact-count oracle holds because verify-scale cardinalities stay
+    // in the sketch's sparse-exact regime (ApproxDistinctSpec pins the
+    // approx regime's error envelope separately).
+    // ---------------------------------------------------------------
+    Q("q54_approx_distinct",
+      (s, dir) => graft.ops.ApproxDistinct.mergeEstimate(
+          graft.ops.ApproxDistinct.sketchPartials(
+            events(s, dir), Seq("event_type"), col("user_id")),
+          Seq("event_type"))
+        .orderBy("event_type"),
+      Some("""
+        SELECT event_type, count(DISTINCT user_id) AS distinct_est
+        FROM events GROUP BY 1 ORDER BY 1"""),
+      "HLL sketch partials + union-estimate; sparse-exact at verify scale")
   )
 }
