@@ -63,18 +63,23 @@ class SessionizeSpec extends SparkSpec {
     val emitted1 = spark.read.parquet(out)
     assert(emitted1.count() >= 2)
 
-    // Sentinel batch: far-future event pushes the watermark past every
-    // real session's (end + gap) so event-time timeouts flush the rest.
-    writeCsv(root, "b.csv", Seq(s"999,${t0 + 100000},0.0"))
+    // Second batch: u2's open session CONTINUES across the batch
+    // boundary (t0+3500 is within gap of t0+2500 and above run1's
+    // watermark), and a far-future sentinel pushes the watermark past
+    // every real session's (end + gap) so event-time timeouts flush.
+    writeCsv(root, "b.csv", Seq(
+      s"2,${t0 + 3500},30.0", s"999,${t0 + 100000},0.0"))
     runOnce(root, out, ckpt)
 
     val streamed = spark.read.parquet(out).filter(col("user_id") < 999)
     val batchIn = spark.read.option("header", "true").schema(schema)
-      .csv(s"$root/a.csv")
+      .csv(s"$root/*.csv").filter(col("user_id") < 999)
       .select(col("user_id"), (col("t") * 1000000L).as("tsu"), col("value"))
     val batched = Sessionize.batch(batchIn, gapUs, orderCol = "tsu")
     assert(canon(streamed) === canon(batched))
-    // u1 split into exactly 2 sessions, u2 into 2.
+    // u1 split into exactly 2 sessions, u2 into 2 (the second spanning
+    // both batches: n_events 2, sum 50.0).
     assert(batched.count() === 4)
+    assert(canon(streamed).exists(r => r(0) == 2L && r(3) == 2L && r(4) == 50.0))
   }
 }
