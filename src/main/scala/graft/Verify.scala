@@ -6,6 +6,10 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // Correctness gate, not a perf surface: it runs at tiny SFs where
+    // 32-way tiny-task scheduling costs more than it parallelizes
+    // (measured 1.6x slower end-to-end than 4 threads at sf0.001).
+    // Bench keeps the brief's local[32].
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
