@@ -149,6 +149,38 @@ object PipelineProps extends Properties("graft.pipeline") {
     (8, Gen.alphaNumChar), (2, Gen.oneOf(' ', '.', ',', '!', 'é'))))
     .map(_.mkString)
 
+  // ------------------------------------------------------------------
+  // Sessionize.batch is a partition of the input into maximal runs:
+  // every event lands in exactly one session, intra-session order gaps
+  // never exceed the threshold, and consecutive sessions of a user are
+  // separated by MORE than the threshold (maximality).
+  // ------------------------------------------------------------------
+
+  private val gapUs = 1000L
+  private val eventsGen = Gen.nonEmptyListOf(Gen.zip(
+    Gen.choose(0L, 3L), Gen.choose(0L, 20000L)))
+
+  property("sessionize partitions events into maximal gap-bounded runs") =
+    forAll(eventsGen) { evs =>
+      val d = evs.distinct.map { case (u, t) => (u, t, 1.0) }.toDF("user_id", "tsu", "value")
+      val sess = graft.streaming.Sessionize.batch(d, gapUs, orderCol = "tsu")
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      val byUser = evs.distinct.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+      val counted = sess.map(_._4).sum == evs.distinct.size.toLong
+      val bounds = sess.forall { case (u, s, e, _) =>
+        val inSess = byUser(u).filter(t => t >= s && t <= e)
+        // session endpoints are real events and internal gaps stay bounded
+        inSess.headOption.contains(s) && inSess.lastOption.contains(e) &&
+          inSess.sliding(2).forall { w => w.size < 2 || w(1) - w(0) <= gapUs }
+      }
+      val maximal = sess.groupBy(_._1).forall { case (_, ss) =>
+        ss.sortBy(_._2).sliding(2).forall { w =>
+          w.size < 2 || w(1)._2 - w(0)._3 > gapUs
+        }
+      }
+      counted && bounds && maximal
+    }
+
   property("native winnowFingerprints == composed HOF form") =
     forAll(Gen.nonEmptyListOf(docGen)) { texts =>
       val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
