@@ -121,7 +121,8 @@ object TextAnalysis {
     * Hashing runs in the native O(len) rolling-hash expression
     * ([[graft.functions.WinnowFingerprints]]); the composed
     * higher-order-function pipeline ([[winnowFingerprintsComposed]])
-    * is its bit-exact spec twin — `WinnowSpec` pins them equal. */
+    * is its bit-exact spec twin — the `PipelineProps` scalacheck
+    * property pins them equal. */
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 4): DataFrame =
     df.select(col(idCol),

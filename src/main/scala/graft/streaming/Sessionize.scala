@@ -25,9 +25,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *    the partition key).
   *
   *  - [[streamSessions]]: `flatMapGroupsWithState` with event-time
-  *    timeout — state is ONE open session per user (constant size, not
-  *    the event list), closed sessions emit as soon as the watermark
-  *    passes `last_event + gap`. This is the incremental form: a 100 TB
+  *    timeout — state holds bounded SESSION SUMMARIES per user (never
+  *    raw events; one entry unless lateness exceeds the gap), and a
+  *    session emits exactly once, when the watermark passes
+  *    `end + gap` — the point where no admissible late event can extend,
+  *    back-extend, or bridge it, so the append-mode output provably
+  *    matches the batch twin. This is the incremental form: a 100 TB
   *    backlog replays through the same code that then tails the live
   *    stream.
   *
@@ -65,8 +68,14 @@ object Sessionize {
         sum("value").as("sum_value"))
   }
 
-  /** Open-session state: constant-size per user. */
+  /** One not-yet-final session summary. */
   final case class Open(startUs: Long, lastUs: Long, n: Long, sum: Double)
+
+  /** Per-user state: EVERY session some admissible late event could
+    * still touch (extend forward, extend backward, or bridge into a
+    * neighbor) — i.e. those with `end + gap >= watermark`. Normally one
+    * entry; more only while lateness exceeds the session gap. */
+  final case class Pending(sessions: Seq[Open])
 
   private def closed(user: Long, o: Open): Session =
     Session(user, o.startUs, o.lastUs, o.n, o.sum)
@@ -74,42 +83,41 @@ object Sessionize {
   private def micros(ts: java.sql.Timestamp): Long =
     ts.getTime * 1000L + (ts.getNanos / 1000) % 1000
 
-  /** Per-group transition: merge this batch's events (sorted — Spark
-    * hands the iterator in arbitrary order) into the open session,
-    * emitting every session closed by a gap; park the still-open tail in
-    * state with an event-time timeout at `last + gap`. */
+  /** Per-group transition. Events and retained session summaries merge
+    * by the SAME rule as the batch twin (attach when the start-to-end
+    * gap is <= gapUs — an event can extend a session either direction or
+    * bridge two); a session emits only once the watermark passes
+    * `end + gap`, when no admissible event can change it anymore. Until
+    * then it stays in state (summaries, never raw events), with an
+    * event-time timeout at the earliest possible close. */
   private[streaming] def step(gapUs: Long)(
       user: Long, events: Iterator[(Long, java.sql.Timestamp, Double)],
-      state: GroupState[Open]): Iterator[Session] = {
-    if (state.hasTimedOut) {
-      val s = state.get
-      state.remove()
-      Iterator.single(closed(user, s))
-    } else {
-      val evs = events.map(e => (micros(e._2), e._3)).toArray.sortBy(_._1)
-      val out = ArrayBuffer.empty[Session]
-      var open = state.getOption
-      for ((t, v) <- evs) open match {
-        case Some(o) if t - o.lastUs > gapUs =>
-          out += closed(user, o)
-          open = Some(Open(t, t, 1, v))
-        case Some(o) =>
-          // late-but-within-watermark event: extends the session backward
-          open = Some(Open(math.min(o.startUs, t), math.max(o.lastUs, t),
-            o.n + 1, o.sum + v))
-        case None =>
-          open = Some(Open(t, t, 1, v))
-      }
-      open.foreach { o =>
-        state.update(o)
-        // Timeout must be strictly later than the current watermark (other
-        // users' events may have pushed it past last+gap already); an
-        // already-due session then closes on the very next batch.
-        state.setTimeoutTimestamp(
-          math.max(o.lastUs / 1000 + gapUs / 1000, state.getCurrentWatermarkMs + 1))
-      }
-      out.iterator
+      state: GroupState[Pending]): Iterator[Session] = {
+    val wmUs = state.getCurrentWatermarkMs * 1000L
+    val items = (state.getOption.map(_.sessions).getOrElse(Seq.empty) ++
+        events.map(e => Open(micros(e._2), micros(e._2), 1L, e._3)))
+      .sortBy(o => (o.startUs, o.lastUs))
+    val merged = ArrayBuffer.empty[Open]
+    for (it <- items) {
+      if (merged.nonEmpty && it.startUs - merged.last.lastUs <= gapUs) {
+        val l = merged.last
+        merged(merged.size - 1) =
+          Open(l.startUs, math.max(l.lastUs, it.lastUs), l.n + it.n, l.sum + it.sum)
+      } else merged += it
     }
+    // ripe = closed beyond any admissible event's reach; emit exactly once
+    val (ripe, hot) = merged.partition(s => s.lastUs + gapUs < wmUs)
+    if (hot.nonEmpty) {
+      state.update(Pending(hot.toSeq))
+      // earliest possible close, CEILed to ms (flooring could fire the
+      // timeout while an on-time event at exactly last+gap is still
+      // admissible); must also be strictly past the current watermark
+      val nextMs = (hot.map(_.lastUs + gapUs).min + 999) / 1000
+      state.setTimeoutTimestamp(math.max(nextMs, state.getCurrentWatermarkMs + 1))
+    } else {
+      state.remove()
+    }
+    ripe.iterator.map(closed(user, _))
   }
 
   /** Streaming twin over (user_id: long, ts: timestamp, value: double).

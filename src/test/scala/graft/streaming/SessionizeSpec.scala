@@ -28,11 +28,12 @@ class SessionizeSpec extends SparkSpec {
       ("user_id,t,value" +: rows).mkString("\n").getBytes)
   }
 
-  private def runOnce(root: String, out: String, ckpt: String): Unit = {
+  private def runOnce(root: String, out: String, ckpt: String,
+      lateness: String = "10 minutes"): Unit = {
     val stream = spark.readStream.option("header", "true").schema(schema)
       .csv(root)
       .select(col("user_id"), timestamp_seconds(col("t")).as("ts"), col("value"))
-    val q = Sessionize.streamSessions(stream, gapUs, lateness = "10 minutes")
+    val q = Sessionize.streamSessions(stream, gapUs, lateness)
       .writeStream
       .outputMode("append")
       .format("parquet")
@@ -81,5 +82,26 @@ class SessionizeSpec extends SparkSpec {
     // both batches: n_events 2, sum 50.0).
     assert(batched.count() === 4)
     assert(canon(streamed).exists(r => r(0) == 2L && r(3) == 2L && r(4) == 50.0))
+  }
+
+  test("a late event can bridge an in-batch gap: no eager emission") {
+    // Batch 1 has a gap (2400s > 1800s) the sessionizer must NOT emit
+    // eagerly: a later admissible event lands inside the gap and merges
+    // everything into ONE session — append output can't retract, so
+    // eager emission would diverge from the batch twin forever.
+    val base = Files.createTempDirectory("graft-sess-bridge").toString
+    val (root, out, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
+    val t0 = 1700000000L
+    writeCsv(root, "a.csv", Seq(s"1,$t0,1.0", s"1,${t0 + 2400},2.0"))
+    // lateness 30 min -> watermark after run 1 = t0+600
+    runOnce(root, out, ckpt, lateness = "30 minutes")
+    writeCsv(root, "b.csv", Seq(s"1,${t0 + 1200},4.0")) // in-gap, above watermark
+    runOnce(root, out, ckpt, lateness = "30 minutes")
+    writeCsv(root, "c.csv", Seq(s"999,${t0 + 100000},0.0")) // flush
+    runOnce(root, out, ckpt, lateness = "30 minutes")
+
+    val streamed = spark.read.parquet(out).filter(col("user_id") < 999)
+    assert(canon(streamed) ===
+      Seq(Seq(1L, t0 * 1000000L, (t0 + 2400) * 1000000L, 3L, 7.0)))
   }
 }
