@@ -25,6 +25,10 @@ object Bench {
     // one-time init that belongs to no query.
     spark.range(1000000).selectExpr("sum(id) AS s")
       .write.format("noop").mode("overwrite").save()
+    // The csv.gz fixture lake is test SCAFFOLDING (generated once per sf
+    // from events.parquet, disk-memoized) — charge its one-time build to
+    // warm-up, not to whichever lake query happens to run first.
+    graft.queries.LakeQueries.fixtureLake(spark, sfDir)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -30,7 +30,11 @@ object BenchOne {
       val times = (1 to n).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // queries that persist() would otherwise serve later runs (and
+        // later queries) from cache — each run must stand alone
+        spark.catalog.clearCache()
+        dt
       }
       println(f"$name%-28s ${times.map(t => f"$t%6.2f").mkString(" ")}")
     }

@@ -199,8 +199,12 @@ object Similarity {
     * runs inside codegen, the corpus never shuffles. */
   def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame): DataFrame =
+    assignPacked(df, idCol, vecCol, packCentroids(centroids))
+
+  private def assignPacked(df: DataFrame, idCol: String, vecCol: String,
+      packed: DataFrame): DataFrame =
     df.select(col(idCol), col(vecCol))
-      .crossJoin(broadcast(packCentroids(centroids)))
+      .crossJoin(broadcast(packed))
       .withColumn("best", array_max(cellScores(col(vecCol))))
       .select(col(idCol), col(vecCol), (-col("best.neg_id")).as("cell_id"))
 
@@ -208,8 +212,12 @@ object Similarity {
     * output row per (probe, cell)). Same map-side shape as assignment. */
   def ivfProbeCells(probes: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, nProbe: Int): DataFrame =
+    probePacked(probes, idCol, vecCol, packCentroids(centroids), nProbe)
+
+  private def probePacked(probes: DataFrame, idCol: String, vecCol: String,
+      packed: DataFrame, nProbe: Int): DataFrame =
     probes.select(col(idCol), col(vecCol))
-      .crossJoin(broadcast(packCentroids(centroids)))
+      .crossJoin(broadcast(packed))
       .withColumn("cell",
         explode(slice(reverse(array_sort(cellScores(col(vecCol)))), 1, nProbe)))
       .select(col(idCol), col(vecCol), (-col("cell.neg_id")).as("cell_id"))
@@ -236,9 +244,19 @@ object Similarity {
       nCells: Int, nProbe: Int, probeFilter: Column,
       centroids: Option[DataFrame] = None): DataFrame = {
     val cents = centroids.getOrElse(ivfCentroids(df, idCol, vecCol, nCells))
-    val inv = ivfAssign(df, idCol, vecCol, cents)
+    // Materialize the packed centroids EAGERLY as a local relation: the
+    // selection is a corpus-wide TakeOrdered, and the two broadcast
+    // consumers (assign + probe) don't canonicalize to a reusable
+    // exchange — without this the full-corpus pass would execute twice.
+    // One row, nCells structs: driver-side by construction.
+    val packed = {
+      val p = packCentroids(cents)
+      p.sparkSession.createDataFrame(
+        java.util.Arrays.asList(p.collect(): _*), p.schema)
+    }
+    val inv = assignPacked(df, idCol, vecCol, packed)
       .toDF("neighbor_id", "vec", "cell_id")
-    val probes = ivfProbeCells(df.filter(probeFilter), idCol, vecCol, cents, nProbe)
+    val probes = probePacked(df.filter(probeFilter), idCol, vecCol, packed, nProbe)
       .toDF("probe_id", "probe_vec", "cell_id")
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))

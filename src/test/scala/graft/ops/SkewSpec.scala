@@ -21,11 +21,28 @@ class SkewSpec extends SparkSpec {
 
   test("saltedJoin spreads a hot key across multiple salt buckets") {
     val large = df((1 to 100).map(i => (1L, s"v$i")), "k", "payload")
-    val small = df(Seq((1L, "one")), "sk", "name")
     val salts = rowsOf(
-      large.withColumn("__salt",
-        pmod(xxhash64(large.columns.map(col).toIndexedSeq: _*), lit(8)))
+      large.withColumn("__salt", Skew.saltExpr(large, 8))
         .select("__salt").distinct())
     assert(salts.size > 1, "identical key must still fan out via row hash")
+  }
+
+  test("BYTE-IDENTICAL duplicate rows of a hot key still fan out") {
+    // values-only hashing would collapse these onto one reducer — the
+    // canonical dedup-input skew case; the row-counter term spreads them
+    val large = df(Seq.fill(200)((1L, "x")), "k", "payload").repartition(1)
+    val salts = rowsOf(
+      large.withColumn("__salt", Skew.saltExpr(large, 8))
+        .select("__salt").distinct())
+    assert(salts.size > 1, "identical ROWS must fan out via the id term")
+  }
+
+  test("saltedJoin works when both keys share a name, keeping the key column") {
+    val large = df(Seq((1L, "a"), (2L, "b")), "k", "payload")
+    val small = df(Seq((1L, "one"), (2L, "two")), "k", "name")
+    val out = Skew.saltedJoin(large, small, "k", "k", nSalts = 4)
+    assert(out.columns.toSeq === Seq("k", "payload", "name"))
+    assert(rowsOf(out.orderBy("k")) ===
+      Seq(Seq(1L, "a", "one"), Seq(2L, "b", "two")))
   }
 }
