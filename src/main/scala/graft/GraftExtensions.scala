@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.functions
 
-import graft.functions.{CosineSimilarity, StatsAggregator}
+import graft.functions.{CosineSimilarity, StatsAggregator, WinnowFingerprints}
 
 /** SQL surface for graft's native functions (SURVEY §7.3).
   *
@@ -42,6 +42,23 @@ object GraftExtensions {
         require(args.length == 2,
           s"cosine_similarity requires exactly 2 arguments, got ${args.length}")
         CosineSimilarity(args(0), args(1))
+      }), (
+      FunctionIdentifier("winnow_fingerprints"),
+      info("winnow_fingerprints",
+        "_FUNC_(text[, k, w]) - winnowed rolling-hash fingerprint set of an " +
+          "ASCII-normalized string (k-gram size, window w; defaults 8, 4)"),
+      (args: Seq[Expression]) => {
+        def lit(e: Expression, what: String): Int = {
+          require(e.foldable, s"winnow_fingerprints $what must be a literal integer")
+          e.eval().asInstanceOf[Number].intValue()
+        }
+        args match {
+          case Seq(text) => WinnowFingerprints(text, 8, 4)
+          case Seq(text, k, w) =>
+            WinnowFingerprints(text, lit(k, "k"), lit(w, "w"))
+          case _ => throw new IllegalArgumentException(
+            s"winnow_fingerprints requires 1 or 3 arguments, got ${args.length}")
+        }
       }))
 
   /** Register everything into a LIVE session (the extensions hook only

@@ -31,6 +31,25 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(viaSql === viaCol)
   }
 
+  test("register(spark): winnow_fingerprints in SQL == Column API, arg forms") {
+    GraftExtensions.register(spark)
+    val d = df(Seq(Tuple1("the quick brown fox jumps over the lazy dog")), "t")
+    d.createOrReplaceTempView("wex")
+    val viaSql = spark.sql(
+      "SELECT winnow_fingerprints(regexp_replace(lower(t), '[^a-z0-9]', '')) AS f FROM wex")
+      .head().getSeq[Long](0)
+    val viaCol = d.select(graft.functions.WinnowFunctions.winnowFingerprints(
+        regexp_replace(lower(col("t")), "[^a-z0-9]", "")).as("f"))
+      .head().getSeq[Long](0)
+    assert(viaSql === viaCol && viaSql.nonEmpty)
+    // 3-arg literal form parses and differs from the default params
+    val custom = spark.sql(
+      "SELECT winnow_fingerprints(regexp_replace(lower(t), '[^a-z0-9]', ''), 5, 3) AS f FROM wex")
+      .head().getSeq[Long](0)
+    assert(custom.nonEmpty)
+    assert(custom != viaSql)
+  }
+
   test("register(spark): stats_bundle in SQL == built-in aggregates") {
     GraftExtensions.register(spark)
     df(Seq(Tuple1(1.0), Tuple1(2.0), Tuple1(3.0), Tuple1(4.0)), "v")
