@@ -55,7 +55,12 @@ object GraftExtensions {
         args match {
           case Seq(text) => WinnowFingerprints(text, 8, 4)
           case Seq(text, k, w) =>
-            WinnowFingerprints(text, lit(k, "k"), lit(w, "w"))
+            val (kv, wv) = (lit(k, "k"), lit(w, "w"))
+            // fail at analysis time with a clear message, not as an
+            // ArrayIndexOutOfBounds from generated code (ADVICE r3)
+            require(kv > 0 && wv > 0,
+              s"winnow_fingerprints requires k > 0 and w > 0, got k=$kv w=$wv")
+            WinnowFingerprints(text, kv, wv)
           case _ => throw new IllegalArgumentException(
             s"winnow_fingerprints requires 1 or 3 arguments, got ${args.length}")
         }

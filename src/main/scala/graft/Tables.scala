@@ -42,9 +42,17 @@ object Tables {
 
   def events(spark: SparkSession, dir: String): DataFrame = {
     // The TIMESTAMP->NTZ cast below goes through the session timezone;
-    // oracle parity requires UTC. Set it (idempotent for the pinned
-    // runners) instead of throwing at ad-hoc callers — ADVICE r2.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // oracle parity requires UTC. The pinned runners (Bench/Verify/
+    // BenchOne/build.sbt) already set it; for ad-hoc sessions, switch
+    // with a WARNING rather than silently — the caller's other
+    // timezone-sensitive queries change meaning mid-session (ADVICE r3).
+    if (spark.conf.get("spark.sql.session.timeZone") != "UTC") {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        "graft.Tables.events requires a UTC session for oracle-parity " +
+          "timestamp casts; switching spark.sql.session.timeZone to UTC " +
+          s"(was ${spark.conf.get("spark.sql.session.timeZone")})")
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+    }
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/events.parquet")
       .withColumn("ts",

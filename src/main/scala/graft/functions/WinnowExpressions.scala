@@ -37,9 +37,12 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
   override def prettyName: String = "winnow_fingerprints"
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
+    if (child.dataType != StringType) TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires a string argument, got ${child.dataType.catalogString}")
+    else if (k <= 0 || w <= 0) TypeCheckResult.TypeCheckFailure(
+      // analysis-time failure, not ArrayIndexOutOfBounds from codegen
+      s"$prettyName requires k > 0 and w > 0, got k=$k w=$w")
+    else TypeCheckResult.TypeCheckSuccess
 
   override def nullSafeEval(input: Any): Any =
     WinnowFingerprints.compute(input.asInstanceOf[UTF8String], k, w)

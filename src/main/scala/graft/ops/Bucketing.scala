@@ -33,15 +33,26 @@ object Bucketing {
   def writeBucketed(df: DataFrame, table: String, key: String,
       nBuckets: Int, mode: SaveMode = SaveMode.Overwrite): Unit = {
     val spark = df.sparkSession
-    if (!spark.catalog.tableExists(table)) {
+    if (mode == SaveMode.Overwrite && !spark.catalog.tableExists(table)) {
       // With the in-memory catalog, a managed table's LOCATION can
       // outlive its catalog entry across JVMs; CTAS then refuses the
-      // "existing location". An unregistered location is unreachable
-      // data (bucket metadata lives in the catalog) — clear it.
+      // "existing location". Under OVERWRITE (and only then — Append /
+      // ErrorIfExists must not wipe pre-existing data, ADVICE r3), an
+      // unregistered location is unreachable data (bucket metadata
+      // lives in the catalog) — clear it, but only if the directory
+      // actually looks like a Spark table (parquet parts + markers),
+      // not some unrelated path that happens to share the name.
       val wh = new org.apache.hadoop.fs.Path(
         spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
       val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.delete(wh, true)
+      if (fs.exists(wh)) {
+        val entries = fs.listStatus(wh).map(_.getPath.getName)
+        val tableLike = entries.forall(n =>
+          n.endsWith(".parquet") || n.startsWith("_") || n.startsWith("."))
+        require(tableLike, s"refusing to clear $wh: directory does not " +
+          "look like an orphaned Spark table location")
+        fs.delete(wh, true)
+      }
     }
     df.write
       .mode(mode)

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Skew mitigation for shuffle joins.
@@ -20,24 +20,47 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Inner equi-join of `large` ⋈ `small` on `largeKey` = `smallKey`,
-    * salted `nSalts` ways. The salt mixes the row's values with a
-    * per-partition row counter (`monotonically_increasing_id`), so even
-    * BYTE-IDENTICAL duplicate rows of a hot key fan out round-robin — a
-    * values-only hash would re-collapse them onto one reducer, which is
-    * exactly the canonical dedup-input skew case. The id term affects
-    * only placement, never the result (every salt bucket joins the same
-    * replicated small side). Output columns = large ++ small (minus the
-    * duplicate key), like a plain join; a shared key NAME is fine. */
-  /** The large side's salt: values + per-partition row counter. */
-  private[ops] def saltExpr(large: DataFrame, nSalts: Int) =
+  /** The default salt: a hash of the row's VALUES only. Deterministic,
+    * so it is safe under partial stage retries — a re-run map task
+    * assigns every row the same salt the original run did, and reducers
+    * that already fetched data stay consistent (the failure mode a
+    * row-counter salt invites is the SPARK-23207 class: recomputed
+    * counters diverge from the fetched data's, losing or duplicating
+    * join rows). The trade: byte-identical duplicate rows hash to one
+    * bucket. Any distinguishing payload column (an id, a timestamp, an
+    * offset) restores the spread, which is the common case. */
+  private[ops] def saltExpr(large: DataFrame, nSalts: Int): Column =
+    pmod(xxhash64(large.columns.map(col).toIndexedSeq: _*), lit(nSalts))
+
+  /** Duplicate-spreading salt: mixes in a per-partition row counter
+    * (`monotonically_increasing_id`) so even byte-identical rows of a
+    * hot key fan out round-robin — the canonical dedup-input skew case,
+    * where a values-only hash would re-collapse them onto one reducer.
+    * The counter follows within-partition arrival order, so it is only
+    * recomputation-stable when the input's partitioning and row order
+    * are (file scans and other deterministic narrow lineage, or cached /
+    * checkpointed data). Callers opt in via `spreadDuplicates = true`
+    * and own that precondition; `large.localCheckpoint()` establishes
+    * it when in doubt. The counter affects only placement, never the
+    * result (every salt bucket joins the same replicated small side). */
+  private[ops] def spreadingSaltExpr(large: DataFrame, nSalts: Int): Column =
     pmod(
       xxhash64(large.columns.map(col).toIndexedSeq :+ monotonically_increasing_id(): _*),
       lit(nSalts))
 
+  /** Inner equi-join of `large` ⋈ `small` on `largeKey` = `smallKey`,
+    * salted `nSalts` ways. Output columns = large ++ small (minus the
+    * duplicate key), like a plain join; a shared key NAME is fine.
+    * `spreadDuplicates = true` additionally fans out byte-identical
+    * duplicate rows at the cost of a retry-stability precondition on
+    * the input — see [[spreadingSaltExpr]]. */
   def saltedJoin(large: DataFrame, small: DataFrame,
-      largeKey: String, smallKey: String, nSalts: Int): DataFrame = {
-    val l = large.withColumn("__salt", saltExpr(large, nSalts))
+      largeKey: String, smallKey: String, nSalts: Int,
+      spreadDuplicates: Boolean = false): DataFrame = {
+    val salt =
+      if (spreadDuplicates) spreadingSaltExpr(large, nSalts)
+      else saltExpr(large, nSalts)
+    val l = large.withColumn("__salt", salt)
     // rename the small key so largeKey == smallKey can't make the join
     // condition ambiguous or the final drop eat the large side's key
     val s = small.withColumnRenamed(smallKey, "__small_key")

@@ -60,7 +60,7 @@ object ExtensionQueries {
     h AS (SELECT doc_id, i,
                  (list_sum([(ascii(substr(nm, (i + j + 1)::INT, 1))
                              * ($pows)[(j + 1)::INT]) % $p
-                            for j in range(0, 8)]) % $p) AS hv
+                            for j in range(0, 8)]) % $p)::BIGINT AS hv
           FROM g),
     hl AS (SELECT doc_id, list(hv ORDER BY i) AS hs FROM h GROUP BY doc_id),
     f AS (SELECT doc_id,
