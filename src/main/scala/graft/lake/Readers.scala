@@ -23,15 +23,46 @@ object Readers {
     withSchema.csv(paths: _*)
   }
 
-  /** S1+S4 in one: recursive scan of a lake subtree, reference layout. */
-  def scanLake(spark: SparkSession, root: String, glob: String = "*.csv.gz"): DataFrame =
-    spark.read
+  /** S1+S4 in one: recursive scan of a lake subtree, reference layout.
+    *
+    * Schema inference over a raw lake costs a FULL extra pass (read once
+    * to infer, again to parse) — at 100 TB that doubles the scan, and
+    * over many tiny gzips the per-file open overhead dominates twice.
+    * `inferFilesPerDir = Some(n)` bounds the inference pass to the first
+    * n files (lexicographic, deterministic) of each directory and
+    * applies the inferred schema to the full scan. Sound under the lake
+    * contract (one measurement schema per directory, SURVEY §1.1.1);
+    * `None` restores the reference-faithful full-lake inference. */
+  def scanLake(spark: SparkSession, root: String, glob: String = "*.csv.gz",
+      inferFilesPerDir: Option[Int] = Some(1)): DataFrame = {
+    val base = spark.read
       .option("header", "true")
-      .option("inferSchema", "true")
       .option("recursiveFileLookup", "true")
       .option("pathGlobFilter", glob)
-      .csv(root)
-      .withColumn("path", input_file_name())
+    val reader = inferFilesPerDir match {
+      case Some(n) =>
+        // the listing below is the same metadata walk Spark's scan
+        // performs anyway; only the DATA read is what gets bounded
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val filter = new org.apache.hadoop.fs.GlobFilter(glob)
+        val files = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
+        val it = fs.listFiles(new org.apache.hadoop.fs.Path(root), true)
+        while (it.hasNext) {
+          val f = it.next()
+          if (filter.accept(f.getPath)) files += f.getPath
+        }
+        val sample = files.map(_.toString).sorted
+          .groupBy(p => p.substring(0, p.lastIndexOf('/')))
+          .valuesIterator.flatMap(_.take(n)).toSeq.sorted
+        val inferred = spark.read
+          .option("header", "true").option("inferSchema", "true")
+          .csv(sample: _*).schema
+        base.schema(inferred)
+      case None => base.option("inferSchema", "true")
+    }
+    reader.csv(root).withColumn("path", input_file_name())
+  }
 
   /** S7: schema sidecar fetch — the `.json` next to the data, only ever
     * displayed by the reference (`summary.py:152-166,300-312`). */

@@ -39,8 +39,19 @@ object SummaryQueries {
     *    [[SummaryOps.answersUnpivot]] must skip it at plan time,
     *    matching the reference's `value_col in row` check.
     */
+  /** The one `events` projection every fixture below derives from —
+    * q29 persists THIS so its five consumers (feature long ×2 specs,
+    * questionnaire filter, slider, histogram ×2 specs) cost ONE scan of
+    * the parquet, not three (the r3 verdict's q29 tuning item). */
+  private def eventsBase(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .select("event_id", "user_id", "ts", "event_type", "value")
+
   private def answersFixture(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "events").select(
+    answersFixtureFrom(eventsBase(s, dir))
+
+  private def answersFixtureFrom(ev: DataFrame): DataFrame =
+    ev.select(
       col("event_id"),
       col("user_id").cast("string").as("participant_id"),
       unix_seconds(col("ts").cast("timestamp")).cast("double")
@@ -59,7 +70,10 @@ object SummaryQueries {
   /** Feature-extraction fixture: epoch time `t`, router/filter column
     * `event_type`, extraction column `xval` with junk every 11th event. */
   private def featureFixture(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "events").select(
+    featureFixtureFrom(eventsBase(s, dir))
+
+  private def featureFixtureFrom(ev: DataFrame): DataFrame =
+    ev.select(
       col("event_id"),
       col("user_id").cast("string").as("participant_id"),
       unix_seconds(col("ts").cast("timestamp")).cast("double").as("t"),
@@ -230,11 +244,18 @@ object SummaryQueries {
     // ---------------------------------------------------------------
     Q("q29_assemble",
       (s, dir) => {
-        // featuresLong feeds both dataSummary and featureStats; fx feeds
-        // the slider stage and both histogram specs
-        val fl = featuresLong(s, dir).persist()
-        val fx = answersFixture(s, dir).persist()
-        val qdf = featureFixture(s, dir).filter(col("event_type") === "signup")
+        // ONE events scan for the whole document: persist the shared
+        // base projection, derive every fixture from it in memory.
+        // featuresLong feeds both dataSummary and featureStats (persist
+        // the long form too — it is the expensive derived table); fx
+        // feeds the slider stage and both histogram specs; qdf shares
+        // the feature fixture instead of re-deriving it (r3 verdict).
+        val ev = eventsBase(s, dir).persist()
+        val fdf = featureFixtureFrom(ev)
+        val fl = featureSpecs.map(SummaryOps.featureLong(fdf, _, "month"))
+          .reduce(_.unionByName(_)).persist()
+        val fx = answersFixtureFrom(ev)
+        val qdf = fdf.filter(col("event_type") === "signup")
         val doc = SummaryOps.assemble(
           SummaryOps.dataSummary(fl),
           SummaryOps.featureStats(fl),
