@@ -86,7 +86,9 @@ object SummaryQueries {
     FeatureSpec("heart_rate", "", "t", "xval", Some("event_type"), Some("view"), None, 1))
 
   private def featuresLong(s: SparkSession, dir: String): DataFrame = {
-    val fdf = featureFixture(s, dir)
+    // the union has one branch per spec — persist the fixture so the
+    // branches share one events scan instead of scanning per spec
+    val fdf = featureFixture(s, dir).persist()
     featureSpecs.map(SummaryOps.featureLong(fdf, _, "month"))
       .reduce(_.unionByName(_))
   }
