@@ -53,9 +53,16 @@ object Dedup {
   }
 
   /** MinHash signature: one row per id with 16 minhash columns m0..m15.
-    * Single aggregation over the shingle set. */
-  def minhashSignature(sh: DataFrame, idCol: String): DataFrame = {
-    val hv = hash52(col("shingle"))
+    * Single aggregation over the shingle set. `fast = true` swaps the
+    * md5-based [[DetHash.hash52]] for [[DetHash.fastHash52]] (xxhash64)
+    * — the production path at scale, where the md5 digest per shingle ×
+    * corpus size dominates the sketch cost. The md5 path stays the
+    * default because it alone has an exact DuckDB oracle; both paths
+    * share every downstream stage (banding, candidate join, verify) and
+    * ExtSpec pins their recall equivalence on exact duplicates. */
+  def minhashSignature(sh: DataFrame, idCol: String,
+      fast: Boolean = false): DataFrame = {
+    val hv = if (fast) fastHash52(col("shingle")) else hash52(col("shingle"))
     sh.groupBy(col(idCol))
       .agg(
         min(minhash(hv, 0)).as("m0"),

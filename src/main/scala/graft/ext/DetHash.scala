@@ -23,6 +23,15 @@ object DetHash {
   def hash52(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 13), 16, 10).cast("long")
 
+  /** Scale-path 52-bit hash: the top bits of Spark's codegen'd
+    * `xxhash64`, an order of magnitude cheaper than the md5-hex parse
+    * above (no digest, no string round-trip). It has no DuckDB twin, so
+    * operators using it get rows-only driver checks; `ExtSpec`
+    * property-pins it to the md5 path instead (identical LSH recall on
+    * exact duplicates, est_jaccard 1.0 on identical shingle sets). */
+  def fastHash52(c: Column): Column =
+    shiftrightunsigned(xxhash64(c), 12)
+
   /** DuckDB rendering of [[hash52]] over a SQL expression. */
   def sqlHash52(expr: String): String =
     s"('0x' || substr(md5($expr), 1, 13))::BIGINT"

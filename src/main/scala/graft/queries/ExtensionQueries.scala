@@ -177,6 +177,23 @@ object ExtensionQueries {
         ORDER BY doc_id_a, doc_id_b""")),
 
     // ---------------------------------------------------------------
+    // MinHash scale path: same pipeline as q32 with the xxhash64-based
+    // fast hash — the production shingle hash at 100 TB, where md5's
+    // digest cost dominates the sketch. xxhash64 has no DuckDB twin, so
+    // this row carries no oracle (driver rows-only check); ExtSpec
+    // property-pins its candidate recall to the md5 path instead.
+    // ---------------------------------------------------------------
+    Q("q55_minhash_fast",
+      (s, dir) => {
+        val sh = Dedup.shingles(Tables(s, dir, "documents"), "doc_id", "text", 3)
+        val sig = Dedup.minhashSignature(sh, "doc_id", fast = true).persist()
+        Dedup.minhashCandidates(sig, "doc_id")
+          .orderBy("doc_id_a", "doc_id_b")
+      },
+      None,
+      "q32's minhash dedup on the xxhash64 scale path (no md5 in the hot loop)"),
+
+    // ---------------------------------------------------------------
     // Dedup: SimHash signatures + near-dup pairs
     // ---------------------------------------------------------------
     Q("q33_simhash",

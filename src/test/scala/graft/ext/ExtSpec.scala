@@ -46,6 +46,27 @@ class ExtSpec extends SparkSpec {
     assert(fromCands.nonEmpty)
   }
 
+  test("fast (xxhash64) minhash path: same exact-dup recall as the md5 path") {
+    // identical shingle SETS give identical signatures under EITHER
+    // hash, so every exact-duplicate pair must surface as a candidate
+    // with est_jaccard 1.0 on both paths — the property that pins the
+    // scale path to the oracle-checked one (no DuckDB twin for xxhash64)
+    val base = docs
+    val dups = base.withColumn("doc_id", col("doc_id") + 100L)
+    val corpus = base.unionByName(dups)
+    val sh = Dedup.shingles(corpus, "doc_id", "text", 3)
+    val dupPairs = (0 until 30).map(i => (i.toLong, i + 100L)).toSet
+    Seq(false, true).foreach { fast =>
+      val sig = Dedup.minhashSignature(sh, "doc_id", fast = fast)
+      val found = rowsOf(Dedup.minhashCandidates(sig, "doc_id"))
+        .map(r => (r(0), r(1)) -> r(2)).toMap
+      dupPairs.foreach { p =>
+        assert(found.get(p).contains(1.0),
+          s"fast=$fast must find exact-dup pair $p with est_jaccard 1.0")
+      }
+    }
+  }
+
   private def vecs = {
     // 20 vectors in 5 clusters: base direction + small deterministic
     // perturbation -> within-cluster cosine ~0.99, across ~random.
