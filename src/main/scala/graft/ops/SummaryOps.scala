@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -248,18 +248,32 @@ object SummaryOps {
         col("answer").as("response"))
   }
 
+  /** Key-sorted map from collected (key, value) structs: collect_list
+    * order follows shuffle arrival, so unsorted maps would make the
+    * written document bytes run-dependent — the golden-file contract
+    * (reference output, `extract_patient_summary.py:430-435`) needs
+    * deterministic serialization. The comparator looks only at the key
+    * field (group keys, never null): array_sort's default struct
+    * ordering rejects structs carrying map-typed values. */
+  private def sortedMap(entries: Column, key: String): Column =
+    map_from_entries(array_sort(entries, (l, r) =>
+      when(l.getField(key) < r.getField(key), -1)
+        .when(l.getField(key) > r.getField(key), 1)
+        .otherwise(0)))
+
   /** A9: response counts → the nested map-of-maps document shape
-    * `histogram[domain][questionId][response] = n`. */
+    * `histogram[domain][questionId][response] = n`, key-sorted at every
+    * level (see [[sortedMap]]). */
   def histogramCounts(hLong: DataFrame): DataFrame =
     hLong
       .groupBy("participant_id", "time_key", "domain", "questionId", "response")
       .agg(count(lit(1)).as("n"))
       .groupBy("participant_id", "time_key", "domain", "questionId")
-      .agg(map_from_entries(collect_list(struct(col("response"), col("n")))).as("by_response"))
+      .agg(sortedMap(collect_list(struct(col("response"), col("n"))), "response").as("by_response"))
       .groupBy("participant_id", "time_key", "domain")
-      .agg(map_from_entries(collect_list(struct(col("questionId"), col("by_response")))).as("by_question"))
+      .agg(sortedMap(collect_list(struct(col("questionId"), col("by_response"))), "questionId").as("by_question"))
       .groupBy("participant_id", "time_key")
-      .agg(map_from_entries(collect_list(struct(col("domain"), col("by_question")))).as("histogram"))
+      .agg(sortedMap(collect_list(struct(col("domain"), col("by_question"))), "domain").as("histogram"))
 
   // ------------------------------------------------------------------
   // Document assembly (`extract_patient_summary.py:380-435`).
@@ -282,14 +296,15 @@ object SummaryOps {
       col("total_entries"), col("days_with_data"), col("mean"),
       col("median"), col("std_dev"), col("min"), col("max"))
 
+    // key-sorted maps (see sortedMap): deterministic doc bytes
     val features = featureStatsDf
       .groupBy(keys.map(col): _*)
-      .agg(map_from_entries(collect_list(struct(col("feature"), statsStruct)))
+      .agg(sortedMap(collect_list(struct(col("feature"), statsStruct)), "feature")
         .as("feature_statistics"))
 
     val sliders = sliderStatsDf.map(_
       .groupBy(keys.map(col): _*)
-      .agg(map_from_entries(collect_list(struct(col("domain"), statsStruct)))
+      .agg(sortedMap(collect_list(struct(col("domain"), statsStruct)), "domain")
         .as("slider")))
 
     val allKeys = (Seq(dataSummaryDf, features) ++ questionnaireDf ++ sliders ++ histogramDf)
