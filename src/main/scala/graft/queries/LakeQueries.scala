@@ -158,6 +158,44 @@ object LakeQueries {
       .orderBy("metric")
   }
 
+  /** U2 end-to-end: raw lake → [[MergeData.writeMerged]] (full write) →
+    * a second writeMerged of ONE patched group (values doubled) — the
+    * incremental path, where dynamic partition overwrite must rewrite
+    * only the touched (site, participant, metric) directory — → read
+    * the merged lake back and aggregate. The oracle derives the same
+    * numbers from `events` with the patch as a CASE, so a stale or
+    * clobbered untouched partition, or a patched partition that kept
+    * its old rows, breaks the hash. */
+  private def mergedReadback(s: SparkSession, dir: String): DataFrame = {
+    val root = fixtureLake(s, dir)
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val outDir = new File(new File(sys.props("user.dir"), "target"),
+      s"graft_merged_$tag").getAbsolutePath
+    val listed = PathModel.listFiles(s, root)
+      .withColumn("path", plainPath(col("path")))
+    val inv = PathModel.parsePaths(listed, root)
+    val paths = inv.select("path").collect().map(_.getString(0)).toSeq
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("timestamp", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+    val data = Readers.csvGz(s, paths, Some(schema))
+      .withColumn("path", plainPath(input_file_name()))
+      .join(inv.select("path", "site", "participant_id", "metric"), "path")
+      .select("site", "participant_id", "metric", "timestamp", "value")
+      .persist()
+    MergeData.writeMerged(s, data, outDir)
+    val patch = data
+      .filter(col("site") === "site_1" && col("participant_id") === "p1" &&
+        col("metric") === "click")
+      .withColumn("value", col("value") * 2)
+    MergeData.writeMerged(s, patch, outDir)
+    s.read.parquet(outDir)
+      .groupBy("site", "participant_id", "metric")
+      .agg(count(lit(1)).as("row_count"),
+        round(sum("value"), 4).as("sum_value"))
+      .orderBy("site", "participant_id", "metric")
+  }
+
   val all: Seq[Q] = Seq(
     Q("q44_lake_overview",
       lakeOverview,
@@ -202,6 +240,23 @@ object LakeQueries {
         SELECT metric, count(*) AS row_count,
                count(DISTINCT (user_id, w)) AS file_count
         FROM wk GROUP BY 1 ORDER BY 1"""),
-      "scanLake (recursive glob + inference) + F2 substring include over the fixture lake")
+      "scanLake (recursive glob + inference) + F2 substring include over the fixture lake"),
+
+    Q("q56_merged_readback",
+      mergedReadback,
+      Some("""
+        WITH src AS (SELECT 'site_' || (user_id % 3)::VARCHAR AS site,
+                            'p' || user_id::VARCHAR AS participant_id,
+                            event_type AS metric,
+                            value::DOUBLE AS v
+                     FROM events
+                     WHERE user_id < 12 AND ts IS NOT NULL)
+        SELECT site, participant_id, metric,
+               count(*) AS row_count,
+               round(sum(CASE WHEN site = 'site_1' AND participant_id = 'p1'
+                               AND metric = 'click'
+                              THEN v * 2 ELSE v END), 4) AS sum_value
+        FROM src GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""),
+      "U2: writeMerged full + one-group incremental overwrite, merged read-back (merge-data.py:54-100)")
   )
 }
