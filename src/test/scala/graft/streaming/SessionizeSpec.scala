@@ -104,4 +104,46 @@ class SessionizeSpec extends SparkSpec {
     assert(canon(streamed) ===
       Seq(Seq(1L, t0 * 1000000L, (t0 + 2400) * 1000000L, 3L, 7.0)))
   }
+
+  test("checkpoint restart recovers open state; no duplicate or lost emissions") {
+    // The failure mode that bites at scale: a job stops (deploy, crash,
+    // preemption) with sessions OPEN in the state store and sessions
+    // already emitted to the sink. On restart from the checkpoint the
+    // open sessions must continue (not reset), the emitted ones must not
+    // re-emit, and an idle restart (no new input) must be a clean no-op.
+    val base = Files.createTempDirectory("graft-sess-restart").toString
+    val (root, out, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
+    val t0 = 1700000000L
+    // run 1: u1 session A [t0, t0+300] closed by the in-data gap to
+    // t0+3000; session B [t0+3000] stays OPEN in state at shutdown
+    writeCsv(root, "a.csv", Seq(
+      s"1,$t0,1.0", s"1,${t0 + 300},2.0", s"1,${t0 + 3000},4.0"))
+    runOnce(root, out, ckpt)
+    val emittedRun1 = spark.read.parquet(out)
+    assert(canon(emittedRun1) ===
+      Seq(Seq(1L, t0 * 1000000L, (t0 + 300) * 1000000L, 2L, 3.0)),
+      "session A must emit in run 1, session B must stay open in state")
+
+    // restart with NO new input: pure checkpoint recovery, no effects
+    runOnce(root, out, ckpt)
+    assert(canon(spark.read.parquet(out)) === canon(emittedRun1),
+      "an idle restart must neither re-emit nor lose anything")
+
+    // restart continuing session B across the stop boundary, then flush
+    writeCsv(root, "b.csv", Seq(s"1,${t0 + 3600},8.0"))
+    runOnce(root, out, ckpt)
+    writeCsv(root, "c.csv", Seq(s"999,${t0 + 100000},0.0"))
+    runOnce(root, out, ckpt)
+
+    val streamed = spark.read.parquet(out).filter(col("user_id") < 999)
+    val batchIn = spark.read.option("header", "true").schema(schema)
+      .csv(s"$root/*.csv").filter(col("user_id") < 999)
+      .select(col("user_id"), (col("t") * 1000000L).as("tsu"), col("value"))
+    assert(canon(streamed) === canon(Sessionize.batch(batchIn, gapUs, orderCol = "tsu")))
+    // session B spans the restart: one row, both events, no duplicate A
+    assert(streamed.count() === streamed.distinct().count())
+    assert(canon(streamed) === Seq(
+      Seq(1L, t0 * 1000000L, (t0 + 300) * 1000000L, 2L, 3.0),
+      Seq(1L, (t0 + 3000) * 1000000L, (t0 + 3600) * 1000000L, 2L, 12.0)))
+  }
 }
