@@ -89,4 +89,33 @@ object CatalogOps {
     * (`main.py:259-277`) — replaces the pickle cache. */
   def writeCache(inv: DataFrame, path: String): Unit =
     inv.write.mode("overwrite").parquet(path)
+
+  def readCache(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** `check_summary_file` (`main.py:268-277`), elevated from the
+    * reference's bare exists-check to an actionable freshness report:
+    * diff the cached inventory against a live listing by key. One row:
+    * cached/live/common sizes, keys the cache is missing (`n_added`),
+    * keys the cache still holds that are gone (`n_removed`), and a
+    * `fresh` verdict. A single full-outer shuffle on the key — both
+    * sides stay DataFrames, so the check runs at catalog scale (millions
+    * of keys), never a driver-side dict compare. */
+  def stalenessReport(cached: DataFrame, live: DataFrame,
+      keyCol: String = "path"): DataFrame = {
+    // a listing is a SET of keys: dedupe before the diff so shard rows
+    // that share a key can't inflate counts through join multiplicity
+    val c = cached.select(col(keyCol).as("key")).distinct()
+      .withColumn("in_cache", lit(true))
+    val l = live.select(col(keyCol).as("key")).distinct()
+      .withColumn("in_live", lit(true))
+    l.join(c, Seq("key"), "full_outer")
+      .agg(
+        count(when(col("in_cache"), 1)).as("n_cached"),
+        count(when(col("in_live"), 1)).as("n_live"),
+        count(when(col("in_live") && col("in_cache"), 1)).as("n_common"),
+        count(when(col("in_live") && col("in_cache").isNull, 1)).as("n_added"),
+        count(when(col("in_live").isNull, 1)).as("n_removed"))
+      .withColumn("fresh", col("n_added") + col("n_removed") === 0)
+  }
 }

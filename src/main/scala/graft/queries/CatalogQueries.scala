@@ -89,6 +89,48 @@ object CatalogQueries {
                count(*) FILTER (idx IS NOT NULL) AS n_sharded,
                count(*) FILTER (date IS NULL) AS n_unparsed
         FROM inv GROUP BY 1 ORDER BY 1"""),
-      "inventoryFromKeys: malformed-key drop, shard-idx parse, schema classification (main.py:122-150)")
+      "inventoryFromKeys: malformed-key drop, shard-idx parse, schema classification (main.py:122-150)"),
+
+    // ---------------------------------------------------------------
+    // check_summary_file staleness: cache the inventory with one
+    // measurement's keys dropped and one retired key added, round-trip
+    // it through the parquet cache, and diff against the live listing.
+    // The oracle rebuilds both key sets in SQL, so the report's counts
+    // pin the cache write/read AND the diff semantics.
+    // ---------------------------------------------------------------
+    Q("q57_catalog_staleness",
+      (s, dir) => {
+        import s.implicits._
+        val live = inventory(s, dir)
+        val retired = CatalogOps.inventoryFromKeys(
+          Seq("study/u0/zz_retired/20200101_000000.csv.gz").toDF("key"))
+        val cachedInv = live.filter(col("measurement") =!= "click")
+          .unionByName(retired)
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val cachePath = new java.io.File(
+          new java.io.File(sys.props("user.dir"), "target"),
+          s"graft_catalog_cache_$tag").getAbsolutePath
+        CatalogOps.writeCache(cachedInv, cachePath)
+        CatalogOps.stalenessReport(CatalogOps.readCache(s, cachePath), live)
+      },
+      Some(s"""
+        WITH $inventoryCte,
+        k4 AS (SELECT DISTINCT key FROM keys
+               WHERE len(string_split(key, '/')) = 4),
+        cached AS (SELECT key FROM k4
+                   WHERE string_split(key, '/')[3] <> 'click'
+                   UNION ALL
+                   SELECT 'study/u0/zz_retired/20200101_000000.csv.gz'),
+        diff AS (SELECT l.key IS NOT NULL AS in_live,
+                        c.key IS NOT NULL AS in_cache
+                 FROM k4 l FULL JOIN cached c ON l.key = c.key)
+        SELECT count(*) FILTER (in_cache) AS n_cached,
+               count(*) FILTER (in_live) AS n_live,
+               count(*) FILTER (in_live AND in_cache) AS n_common,
+               count(*) FILTER (in_live AND NOT in_cache) AS n_added,
+               count(*) FILTER (NOT in_live) AS n_removed,
+               (count(*) FILTER (in_live IS DISTINCT FROM in_cache) = 0) AS fresh
+        FROM diff"""),
+      "check_summary_file staleness report: cache-vs-live listing diff (main.py:259-277)")
   )
 }

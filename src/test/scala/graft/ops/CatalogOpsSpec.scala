@@ -32,8 +32,30 @@ class CatalogOpsSpec extends SparkSpec {
     val out = java.nio.file.Files.createTempDirectory("graft-catalog").toString + "/inv"
     val inv = CatalogOps.inventoryFromKeys(keys)
     CatalogOps.writeCache(inv, out)
-    val back = spark.read.parquet(out)
+    val back = CatalogOps.readCache(spark, out)
     assert(back.columns.sorted.toSeq == inv.columns.sorted.toSeq)
     assert(rowsOf(back.orderBy("filename")) == rowsOf(inv.orderBy("filename")))
+  }
+
+  test("stalenessReport: added/removed key counts and the fresh verdict") {
+    val live = CatalogOps.inventoryFromKeys(keys) // 4 valid keys
+    // cache misses one live key and still holds one retired key
+    val cached = CatalogOps.inventoryFromKeys(df(Seq(
+      Tuple1("study/u1/heart_rate/20240115_1030.csv.gz"),
+      Tuple1("study/u1/heart_rate/schema.json"),
+      Tuple1("study/u1/heart_rate/notes.txt"),
+      Tuple1("study/u9/gone_metric/20200101_0000.csv.gz")), "key"))
+    val r = CatalogOps.stalenessReport(cached, live).collect().head
+    assert(r.getAs[Long]("n_cached") === 4L)
+    assert(r.getAs[Long]("n_live") === 4L)
+    assert(r.getAs[Long]("n_common") === 3L)
+    assert(r.getAs[Long]("n_added") === 1L)   // the sharded file, not cached
+    assert(r.getAs[Long]("n_removed") === 1L) // the retired key
+    assert(!r.getAs[Boolean]("fresh"))
+
+    val same = CatalogOps.stalenessReport(live, live).collect().head
+    assert(same.getAs[Boolean]("fresh"))
+    assert(same.getAs[Long]("n_added") === 0L &&
+      same.getAs[Long]("n_removed") === 0L)
   }
 }
