@@ -1,0 +1,143 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a large-scale training-data pipeline needs
+  * beyond dedup/similarity: benchmark decontamination, PII redaction,
+  * deterministic stratified sampling, sequence packing, and repetition
+  * scoring. Everything is a DataFrame plan over deterministic primitives
+  * ([[DetHash]], shared regexes), so each operator carries an exact
+  * DuckDB oracle (q58–q62).
+  *
+  * Scale notes (100 TB): decontamination shuffles on the shingle only
+  * (benchmark side is small → AQE broadcasts it); redaction and sampling
+  * are pure map-side; packing shards its inherently-sequential scan into
+  * independent hash buckets (one shuffle, parallel windows); repetition
+  * scoring is one aggregation over the exploded grams.
+  */
+object Curation {
+
+  // ------------------------------------------------------------------
+  // Benchmark decontamination.
+  // ------------------------------------------------------------------
+
+  /** Flag corpus documents sharing any word n-gram with a held-out
+    * benchmark set (train/test contamination — the reason eval numbers
+    * inflate when the test set leaks into pretraining data). Returns
+    * (id, n_contaminated_grams) for contaminated docs only; the caller
+    * anti-joins to drop them. Equi-join on the shingle — the benchmark
+    * side is distinct-deduped and typically tiny next to the corpus, so
+    * AQE broadcasts it and the corpus never shuffles. */
+  def decontaminate(docs: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int = 3): DataFrame = {
+    val docSh = Dedup.shingles(docs, idCol, textCol, n)
+    val benchSh = Dedup.shingles(bench, idCol, textCol, n)
+      .select("shingle").distinct()
+    docSh.join(benchSh, "shingle")
+      // shingles() emits DISTINCT grams per doc, so this counts distinct
+      // contaminated grams without a second dedup
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_contaminated_grams"))
+  }
+
+  // ------------------------------------------------------------------
+  // PII redaction.
+  // ------------------------------------------------------------------
+
+  /** Redaction patterns, restricted to the regex subset Java and RE2
+    * (DuckDB) interpret identically — no lookaround, no backrefs — so
+    * the oracle replaces byte-for-byte the same spans. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+  val ipRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Map-side PII scrub: emails, NANP-style phone numbers, IPv4s →
+    * typed placeholders. Email first (its local part may contain digit
+    * runs the other patterns could clip). */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, emailRe, "<EMAIL>"),
+        phoneRe, "<PHONE>"),
+      ipRe, "<IP>")
+
+  /** Total PII matches in a string (pre-redaction count). */
+  def piiCount(c: Column): Column =
+    regexp_count(c, lit(emailRe)) + regexp_count(c, lit(phoneRe)) +
+      regexp_count(c, lit(ipRe))
+
+  // ------------------------------------------------------------------
+  // Deterministic stratified sampling.
+  // ------------------------------------------------------------------
+
+  /** Per-stratum Bernoulli sampling keyed on a DETERMINISTIC hash of the
+    * id — keep a row iff hash52(id) mod 1e6 < frac(stratum) * 1e6.
+    * Unlike `df.sample`/rand(), the selection is exactly reproducible
+    * across runs, retries, and engines (the DuckDB twin picks the same
+    * rows), which is what a training-data mixture needs: re-running the
+    * pipeline yields the same corpus. Strata absent from `fractions`
+    * drop (fraction 0). Pure map-side — no shuffle. */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+      fractions: Map[String, Double]): DataFrame = {
+    val threshold = fractions.foldLeft(lit(0L)) { case (acc, (k, v)) =>
+      when(col(stratumCol) === k, lit((v * 1000000L).toLong)).otherwise(acc)
+    }
+    df.filter(DetHash.hash52(col(idCol).cast("string")) % 1000000L < threshold)
+  }
+
+  // ------------------------------------------------------------------
+  // Sequence packing.
+  // ------------------------------------------------------------------
+
+  /** Concat-and-chunk sequence packing, sharded into deterministic hash
+    * buckets: within a bucket, docs stream in (hash52(id), id) order and
+    * a doc joins the pack its cumulative token offset starts in —
+    * `pack_no = (cumsum - tokens) div maxTokens` — i.e. packs are
+    * contiguous ~maxTokens windows of the concatenated stream (the
+    * standard pretraining packing; a straddling doc overflows its pack
+    * rather than splitting). Packing is inherently sequential, so the
+    * bucket is the parallel unit: ONE shuffle on the bucket, then
+    * independent in-partition windows — no global sort at 100 TB. */
+  def packSequences(df: DataFrame, idCol: String, tokensCol: String,
+      maxTokens: Long, nBuckets: Int): DataFrame = {
+    val h = DetHash.hash52(col(idCol).cast("string"))
+    val w = Window.partitionBy("bucket").orderBy("ord", idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("bucket", pmod(h, lit(nBuckets.toLong)))
+      .withColumn("ord", h)
+      .withColumn("cum", sum(col(tokensCol)).over(w))
+      .withColumn("pack_no",
+        ((col("cum") - col(tokensCol)) / lit(maxTokens)).cast("long"))
+      .drop("ord", "cum")
+  }
+
+  // ------------------------------------------------------------------
+  // Repetition scoring.
+  // ------------------------------------------------------------------
+
+  /** Gopher-style repetition signal: the fraction of word n-gram
+    * OCCURRENCES that repeat an earlier occurrence,
+    * `1 - distinct/total`. High values mark boilerplate / degenerate
+    * text that dedup misses (the doc is unique, its content loops).
+    * One explode + one aggregation; the token array materializes in its
+    * own projection (same O(len²) guard as [[Dedup.shingles]]). */
+  def repetitionScore(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 2): DataFrame = {
+    val toks = col("__toks")
+    df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .filter(size(toks) >= n)
+      .select(col(idCol),
+        explode(transform(
+          sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", (0 until n).map(k => get(toks, i + lit(k))): _*)
+        )).as("gram"))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_grams"),
+        count_distinct(col("gram")).as("n_distinct"))
+      .withColumn("repetition",
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_grams"), 4))
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{Dedup, DetHash, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Curation, Dedup, DetHash, Multimodal, Similarity, TextAnalysis}
 
 /** North-star extension operators (SURVEY.md §7.5) as oracle-checked
   * queries: dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard),
@@ -43,6 +43,16 @@ object ExtensionQueries {
 
   private val sqlAgree: String =
     DetHash.minhashCoeffs.indices.map(j => s"(sa.m$j = sb.m$j)::INT").mkString(" + ")
+
+  /** Frozen mixture weights for q60 (per `source` stratum); the oracle
+    * CASE is generated from the SAME map so the two sides cannot drift. */
+  private val sampleFracs: Map[String, Double] =
+    Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.75)
+
+  private def sqlFracCase: String =
+    "CASE " + sampleFracs.map { case (k, v) =>
+      s"WHEN source = '$k' THEN ${(v * 1000000L).toLong}"
+    }.mkString(" ") + " ELSE 0 END"
 
   /** Shared winnowing oracle CTEs (k=8, w=4): normalized text → gram
     * positions → polynomial hash from [[TextAnalysis.winnowPowers]] →
@@ -579,6 +589,127 @@ object ExtensionQueries {
                (16 + ('0x' || substr(md5(text), 3, 2))::BIGINT % 64)::INT AS height,
                (1 + ('0x' || substr(md5(text), 5, 2))::BIGINT % 8)::INT AS n_frames
         FROM documents ORDER BY doc_id"""),
-      "multimodal plumbing: payload bytes + md5-derived fake header decode")
+      "multimodal plumbing: payload bytes + md5-derived fake header decode"),
+
+    // ---------------------------------------------------------------
+    // Curation: benchmark decontamination — docs sharing any 3-gram
+    // with the held-out "benchmark" slice (doc_id % 50 == 0).
+    // ---------------------------------------------------------------
+    Q("q58_decontaminate",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        Curation.decontaminate(
+          docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0),
+          "doc_id", "text", n = 3)
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH $shingleCte,
+        bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0)
+        SELECT s.doc_id, count(*) AS n_contaminated_grams
+        FROM sh s JOIN bsh USING (shingle)
+        WHERE s.doc_id % 50 <> 0
+        GROUP BY 1 ORDER BY 1"""),
+      "train/test decontamination: corpus-vs-benchmark 3-gram equi-join"),
+
+    // ---------------------------------------------------------------
+    // Curation: PII redaction — deterministic PII is planted on every
+    // 10th doc, then scrubbed; the md5 of the redacted text pins the
+    // replacement spans byte-for-byte, and the untouched docs prove no
+    // false positives.
+    // ---------------------------------------------------------------
+    Q("q59_pii_redact",
+      (s, dir) => {
+        val planted = Tables(s, dir, "documents").withColumn("t2",
+          when(col("doc_id") % 10 === 0, concat(col("text"),
+            lit(" reach me at u"), col("doc_id").cast("string"),
+            lit("@test.org or 555-123-4567 from 10.0.0.1")))
+            .otherwise(col("text")))
+        planted.select(
+          col("doc_id"),
+          Curation.piiCount(col("t2")).cast("long").as("n_pii"),
+          md5(Curation.redactPii(col("t2")).cast("binary")).as("clean_md5"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH planted AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 10 = 0
+                      THEN text || ' reach me at u' || doc_id::VARCHAR ||
+                           '@test.org or 555-123-4567 from 10.0.0.1'
+                      ELSE text END AS t2
+          FROM documents)
+        SELECT doc_id,
+               (len(regexp_extract_all(t2, '${Curation.emailRe}')) +
+                len(regexp_extract_all(t2, '${Curation.phoneRe}')) +
+                len(regexp_extract_all(t2, '${Curation.ipRe}')))::BIGINT AS n_pii,
+               md5(regexp_replace(regexp_replace(regexp_replace(t2,
+                     '${Curation.emailRe}', '<EMAIL>', 'g'),
+                     '${Curation.phoneRe}', '<PHONE>', 'g'),
+                     '${Curation.ipRe}', '<IP>', 'g')) AS clean_md5
+        FROM planted ORDER BY doc_id"""),
+      "PII scrub: email/phone/IPv4 -> typed placeholders, RE2-safe shared regexes"),
+
+    // ---------------------------------------------------------------
+    // Curation: deterministic stratified sampling by source — the
+    // training-mixture knob; hash-keyed selection is exactly
+    // reproducible (same rows in DuckDB), unlike rand() sampling.
+    // ---------------------------------------------------------------
+    Q("q60_stratified_sample",
+      (s, dir) => Curation.stratifiedSample(
+          Tables(s, dir, "documents"), "doc_id", "source", sampleFracs)
+        .select("doc_id", "source")
+        .orderBy("doc_id"),
+      Some(s"""
+        SELECT doc_id, source FROM documents
+        WHERE ${DetHash.sqlHash52("doc_id::VARCHAR")} % 1000000 < $sqlFracCase
+        ORDER BY doc_id"""),
+      "deterministic per-stratum Bernoulli sample on hash52(doc_id)"),
+
+    // ---------------------------------------------------------------
+    // Curation: sequence packing — concat-and-chunk into ~512-token
+    // packs within 8 deterministic hash buckets (the parallel unit).
+    // ---------------------------------------------------------------
+    Q("q61_pack_sequences",
+      (s, dir) => Curation.packSequences(
+          Tables(s, dir, "documents")
+            .select(col("doc_id"),
+              size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens")),
+          "doc_id", "n_tokens", maxTokens = 512L, nBuckets = 8)
+        .select("doc_id", "n_tokens", "bucket", "pack_no")
+        .orderBy("doc_id"),
+      Some(s"""
+        WITH t AS (SELECT doc_id,
+                          len(string_split_regex(lower(text), '\\s+'))::BIGINT AS n_tokens,
+                          ${DetHash.sqlHash52("doc_id::VARCHAR")} AS h
+                   FROM documents),
+        c AS (SELECT doc_id, n_tokens, h % 8 AS bucket,
+                     sum(n_tokens) OVER (PARTITION BY h % 8 ORDER BY h, doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum
+              FROM t)
+        SELECT doc_id, n_tokens, bucket, ((cum - n_tokens) // 512)::BIGINT AS pack_no
+        FROM c ORDER BY doc_id"""),
+      "hash-bucketed concat-and-chunk packing: one shuffle, per-bucket windows"),
+
+    // ---------------------------------------------------------------
+    // Curation: Gopher-style repetition score — fraction of bigram
+    // occurrences that repeat; catches boilerplate dedup misses.
+    // ---------------------------------------------------------------
+    Q("q62_repetition",
+      (s, dir) => Curation.repetitionScore(
+          Tables(s, dir, "documents"), "doc_id", "text", n = 2)
+        .orderBy("doc_id"),
+      Some("""
+        WITH tok AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+                     FROM documents),
+        g AS (SELECT doc_id, unnest([array_to_string(t[i:i+1], ' ')
+                                     for i in range(1, len(t))]) AS gram
+              FROM tok WHERE len(t) >= 2)
+        SELECT doc_id, count(*) AS n_grams,
+               count(DISTINCT gram) AS n_distinct,
+               round(1.0 - count(DISTINCT gram)::DOUBLE / count(*), 4) AS repetition
+        FROM g GROUP BY 1 ORDER BY 1"""),
+      "repeated-bigram fraction per doc: explode + one aggregation")
   )
 }

@@ -1,0 +1,74 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Unit semantics of the curation operators (their end-to-end hashes are
+  * pinned by q58–q62; these cover the properties the oracles can't state
+  * directly). */
+class CurationSpec extends SparkSpec {
+
+  test("decontaminate flags only docs sharing an n-gram with the benchmark") {
+    val docs = df(Seq(
+      (1L, "the quick brown fox jumps high"),
+      (2L, "completely unrelated words entirely elsewhere"),
+      (3L, "we say the quick brown again")), "doc_id", "text")
+    val bench = df(Seq((100L, "the quick brown fox")), "doc_id", "text")
+    val out = rowsOf(Curation.decontaminate(docs, bench, "doc_id", "text")
+      .orderBy("doc_id"))
+    // doc 1 shares "the quick brown" + "quick brown fox"; doc 3 shares
+    // "the quick brown"; doc 2 is clean and must be absent
+    assert(out === Seq(Seq(1L, 2L), Seq(3L, 1L)))
+  }
+
+  test("redactPii scrubs emails, phones, IPv4s and leaves clean text alone") {
+    val d = df(Seq(
+      (1L, "mail a.b+c@x-mail.org now"),
+      (2L, "call 555-123-4567 or 555.123.4567"),
+      (3L, "host 192.168.0.1 up"),
+      (4L, "clean text with no identifiers")), "id", "t")
+    val out = rowsOf(d.select(col("id"), Curation.redactPii(col("t")),
+      Curation.piiCount(col("t"))).orderBy("id"))
+    assert(out === Seq(
+      Seq(1L, "mail <EMAIL> now", 1),
+      Seq(2L, "call <PHONE> or <PHONE>", 2),
+      Seq(3L, "host <IP> up", 1),
+      Seq(4L, "clean text with no identifiers", 0)))
+  }
+
+  test("stratifiedSample: fraction 1 keeps a stratum, 0/absent drops it, deterministic") {
+    val d = df((1L to 100L).map(i => (i, if (i % 2 == 0) "a" else "b")),
+      "id", "s")
+    val all = Curation.stratifiedSample(d, "id", "s", Map("a" -> 1.0))
+    assert(rowsOf(all).size === 50) // every "a", no "b" (absent stratum)
+    assert(rowsOf(all.select("s").distinct()) === Seq(Seq("a")))
+    val half = Curation.stratifiedSample(d, "id", "s", Map("a" -> 0.5, "b" -> 0.5))
+    assert(rowsOf(half.orderBy("id")) === rowsOf(half.orderBy("id"))) // reproducible
+    val n = rowsOf(half).size
+    assert(n > 20 && n < 80, s"~half expected, got $n") // Bernoulli, loose bounds
+  }
+
+  test("packSequences: packs are contiguous start-offset windows per bucket") {
+    val d = df((1L to 200L).map(i => (i, 37L + (i % 5) * 11L)), "id", "tok")
+    val out = Curation.packSequences(d, "id", "tok", maxTokens = 100L, nBuckets = 4)
+    assert(out.count() === 200) // nothing lost
+    // per (bucket, pack): total tokens minus the straddling last doc
+    // stays under maxTokens (start offsets all inside the pack window)
+    val over = out.groupBy("bucket", "pack_no")
+      .agg(sum("tok").as("tot"), max("tok").as("mx"))
+      .filter(col("tot") - col("mx") >= 100L)
+    assert(over.count() === 0)
+    // pack numbering starts at 0 in every bucket
+    val starts = rowsOf(out.groupBy("bucket").agg(min("pack_no")))
+    assert(starts.forall(_(1) == 0L))
+  }
+
+  test("repetitionScore: 1 - distinct/total over bigram occurrences") {
+    val d = df(Seq(
+      (1L, "a a a b"),       // bigrams: "a a","a a","a b" -> 1 - 2/3
+      (2L, "w x y z"),       // all distinct -> 0.0
+      (3L, "only")), "id", "t") // < 2 tokens: no row
+    val out = rowsOf(Curation.repetitionScore(d, "id", "t").orderBy("id"))
+    assert(out === Seq(Seq(1L, 3L, 2L, 0.3333), Seq(2L, 3L, 3L, 0.0)))
+  }
+}
