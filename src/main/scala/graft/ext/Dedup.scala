@@ -154,6 +154,52 @@ object Dedup {
           (col("sz_a") + col("sz_b") - col("inter")), 4).as("jaccard"))
   }
 
+  /** Duplicate CLUSTERS from near-dup pairs: connected components by
+    * iterative min-label propagation — each node starts labeled with
+    * itself; every round, labels flow across edges and each node keeps
+    * the minimum seen; fixpoint = components, and the label IS the
+    * canonical keeper (min id), which is what a dedup pipeline keeps.
+    *
+    * Rounds needed = graph diameter; near-dup graphs are
+    * micro-clusters (pairs/triples/stars), so 2–3 rounds converge.
+    * Convergence is checked with one count per round (the only
+    * actions), and each round is two equi-joins + a groupBy — no
+    * driver-side graph. For adversarial long-chain graphs use the
+    * large-star/small-star variant (halves diameter per round); not
+    * needed for dedup workloads, documented here for the 100× case.
+    * Input edges are undirected (a,b); output: (node, cluster) for
+    * every node appearing in any edge. */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionAll(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist()
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("cluster", col("node"))
+      .persist()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // candidate labels: own + min over neighbors' current labels
+      val viaEdges = sym
+        .join(labels.withColumnRenamed("node", "dst")
+          .withColumnRenamed("cluster", "nbr_cluster"), "dst")
+        .select(col("src").as("node"), col("nbr_cluster").as("cluster"))
+      val next = labels.unionAll(viaEdges)
+        .groupBy("node").agg(min("cluster").as("cluster"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("cluster", "old"),
+        "node").filter(col("cluster") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
   /** 32-bit SimHash: per-token 32-bit hash, per-bit weighted vote
     * (weight = token multiplicity), sign → bit. Expressed as an
     * explode over bit positions + two aggregations — no UDF, and the

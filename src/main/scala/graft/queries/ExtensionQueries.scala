@@ -710,6 +710,39 @@ object ExtensionQueries {
                count(DISTINCT gram) AS n_distinct,
                round(1.0 - count(DISTINCT gram)::DOUBLE / count(*), 4) AS repetition
         FROM g GROUP BY 1 ORDER BY 1"""),
-      "repeated-bigram fraction per doc: explode + one aggregation")
+      "repeated-bigram fraction per doc: explode + one aggregation"),
+
+    // ---------------------------------------------------------------
+    // Dedup clusters: connected components over the q32 MinHash-LSH
+    // candidate pairs — min-label propagation; the cluster label is the
+    // canonical keeper. Oracle: recursive-CTE reachability closure over
+    // the IDENTICAL pair set.
+    // ---------------------------------------------------------------
+    Q("q63_dedup_clusters",
+      (s, dir) => {
+        val sh = Dedup.shingles(Tables(s, dir, "documents"), "doc_id", "text", 3)
+        val sig = Dedup.minhashSignature(sh, "doc_id").persist()
+        Dedup.connectedComponents(
+            Dedup.candidatePairs(sig, "doc_id"), "doc_id_a", "doc_id_b")
+          .select(col("node").as("doc_id"), col("cluster"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH RECURSIVE $shingleCte,
+        h AS (SELECT doc_id, ${DetHash.sqlHash52("shingle")} AS hv FROM sh),
+        sig AS (SELECT doc_id, $sqlSig FROM h GROUP BY doc_id),
+        bands AS ($sqlBands),
+        pairs AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+                  FROM bands a JOIN bands b
+                    ON a.band = b.band AND a.bucket = b.bucket
+                   AND a.doc_id < b.doc_id),
+        edges AS (SELECT doc_id_a AS s, doc_id_b AS d FROM pairs
+                  UNION SELECT doc_id_b, doc_id_a FROM pairs),
+        reach AS (SELECT s AS node, s AS lbl FROM edges
+                  UNION
+                  SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.node)
+        SELECT node AS doc_id, min(lbl) AS cluster
+        FROM reach GROUP BY 1 ORDER BY 1"""),
+      "connected components via min-label propagation; label = keeper id")
   )
 }

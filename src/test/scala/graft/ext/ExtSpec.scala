@@ -46,6 +46,21 @@ class ExtSpec extends SparkSpec {
     assert(fromCands.nonEmpty)
   }
 
+  test("connectedComponents: min-label clusters across chains, stars, pairs") {
+    // components: chain 1-2-3, star 10-{11,12,13}, pair 20-21; the
+    // chain needs >1 propagation round (label 1 must cross two hops)
+    val edges = df(Seq(
+      (2L, 1L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (13L, 10L),
+      (21L, 20L)), "a", "b")
+    val out = rowsOf(Dedup.connectedComponents(edges, "a", "b")
+      .orderBy("node"))
+    assert(out === Seq(
+      Seq(1L, 1L), Seq(2L, 1L), Seq(3L, 1L),
+      Seq(10L, 10L), Seq(11L, 10L), Seq(12L, 10L), Seq(13L, 10L),
+      Seq(20L, 20L), Seq(21L, 20L)))
+  }
+
   test("fast (xxhash64) minhash path: same exact-dup recall as the md5 path") {
     // identical shingle SETS give identical signatures under EITHER
     // hash, so every exact-duplicate pair must surface as a candidate
