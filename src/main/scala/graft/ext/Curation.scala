@@ -114,6 +114,57 @@ object Curation {
   }
 
   // ------------------------------------------------------------------
+  // Document chunking.
+  // ------------------------------------------------------------------
+
+  /** Split documents into overlapping token windows (the unit an
+    * embedding or context-window pipeline consumes): chunk i covers
+    * tokens [i*stride, i*stride + chunkTokens) with
+    * stride = chunkTokens - overlap; the last chunk may be short, and a
+    * doc shorter than one chunk yields exactly one. Pure map-side
+    * explode — no shuffle, no UDF (slice + array_join). */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlap: Int): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got chunk=$chunkTokens overlap=$overlap")
+    val stride = chunkTokens - overlap
+    val toks = col("__toks")
+    // n_chunks = 1 + ceil(max(0, n - chunkTokens) / stride)
+    val nChunks = lit(1) + ceil(
+      greatest(size(toks) - chunkTokens, lit(0)).cast("double") / stride).cast("int")
+    df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), toks,
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_no"))
+      .select(
+        col(idCol), col("chunk_no").cast("long").as("chunk_no"),
+        array_join(slice(toks, col("chunk_no") * stride + 1, lit(chunkTokens)), " ")
+          .as("chunk_text"),
+        least(size(toks) - col("chunk_no") * stride, lit(chunkTokens))
+          .cast("long").as("chunk_tokens"))
+  }
+
+  // ------------------------------------------------------------------
+  // Per-source token budgets.
+  // ------------------------------------------------------------------
+
+  /** Cap each source at a token budget: docs stream in deterministic
+    * (hash52(id), id) order within their source and keep their place
+    * while the running total stays within `budget` — the doc that
+    * crosses the line is kept (its START offset is inside budget), the
+    * rest drop. The mixture-control twin of [[stratifiedSample]]: a
+    * fraction caps relatively, a budget caps absolutely. One shuffle on
+    * the source (window partition). */
+  def capSourceTokens(df: DataFrame, idCol: String, tokensCol: String,
+      sourceCol: String, budget: Long): DataFrame = {
+    val w = Window.partitionBy(sourceCol)
+      .orderBy(DetHash.hash52(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(col(tokensCol)).over(w))
+      .filter(col("__cum") - col(tokensCol) < budget)
+      .drop("__cum")
+  }
+
+  // ------------------------------------------------------------------
   // Repetition scoring.
   // ------------------------------------------------------------------
 

@@ -743,6 +743,53 @@ object ExtensionQueries {
                   SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.node)
         SELECT node AS doc_id, min(lbl) AS cluster
         FROM reach GROUP BY 1 ORDER BY 1"""),
-      "connected components via min-label propagation; label = keeper id")
+      "connected components via min-label propagation; label = keeper id"),
+
+    // ---------------------------------------------------------------
+    // Curation: overlapping token-window chunking (32-token chunks,
+    // 8-token overlap) — the unit embedding pipelines consume.
+    // ---------------------------------------------------------------
+    Q("q64_chunk_docs",
+      (s, dir) => Curation.chunkDocs(
+          Tables(s, dir, "documents"), "doc_id", "text",
+          chunkTokens = 32, overlap = 8)
+        .orderBy("doc_id", "chunk_no"),
+      Some("""
+        WITH tk AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+                    FROM documents),
+        n AS (SELECT doc_id, t,
+                     (1 + ceil(greatest(len(t) - 32, 0)::DOUBLE / 24))::BIGINT AS nc
+              FROM tk),
+        c AS (SELECT doc_id, t, unnest(range(0, nc)) AS chunk_no FROM n)
+        SELECT doc_id, chunk_no::BIGINT AS chunk_no,
+               array_to_string(t[(chunk_no * 24 + 1)::INT:(chunk_no * 24 + 32)::INT], ' ')
+                 AS chunk_text,
+               least(len(t) - chunk_no * 24, 32)::BIGINT AS chunk_tokens
+        FROM c ORDER BY doc_id, chunk_no"""),
+      "map-side overlapping token windows: slice + array_join, no shuffle"),
+
+    // ---------------------------------------------------------------
+    // Curation: absolute per-source token budget (the mixture-control
+    // twin of q60's relative fractions).
+    // ---------------------------------------------------------------
+    Q("q65_source_token_cap",
+      (s, dir) => Curation.capSourceTokens(
+          Tables(s, dir, "documents")
+            .select(col("doc_id"), col("source"),
+              size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens")),
+          "doc_id", "n_tokens", "source", budget = 1000L)
+        .orderBy("doc_id"),
+      Some(s"""
+        WITH t AS (SELECT doc_id, source,
+                          len(string_split_regex(lower(text), '\\s+'))::BIGINT AS n_tokens,
+                          ${DetHash.sqlHash52("doc_id::VARCHAR")} AS h
+                   FROM documents),
+        c AS (SELECT doc_id, source, n_tokens,
+                     sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum
+              FROM t)
+        SELECT doc_id, source, n_tokens FROM c
+        WHERE cum - n_tokens < 1000 ORDER BY doc_id"""),
+      "deterministic-order running total per source, cut at the budget line")
   )
 }

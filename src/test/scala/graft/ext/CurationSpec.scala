@@ -63,6 +63,32 @@ class CurationSpec extends SparkSpec {
     assert(starts.forall(_(1) == 0L))
   }
 
+  test("chunkDocs: overlapping windows, short tail, short doc = one chunk") {
+    val d = df(Seq(
+      (1L, "a b c d e f g h"), // 8 tokens, chunk 4 overlap 2 -> stride 2
+      (2L, "x y")), "id", "t") // shorter than one chunk
+    val out = rowsOf(Curation.chunkDocs(d, "id", "t", chunkTokens = 4, overlap = 2)
+      .orderBy("id", "chunk_no"))
+    assert(out === Seq(
+      Seq(1L, 0L, "a b c d", 4L),
+      Seq(1L, 1L, "c d e f", 4L),
+      Seq(1L, 2L, "e f g h", 4L),
+      Seq(2L, 0L, "x y", 2L)))
+    intercept[IllegalArgumentException](
+      Curation.chunkDocs(d, "id", "t", chunkTokens = 4, overlap = 4))
+  }
+
+  test("capSourceTokens: budget line per source, straddling doc kept, deterministic") {
+    val d = df((1L to 40L).map(i => (i, if (i % 2 == 0) "a" else "b", 10L)),
+      "id", "tok", "n")
+    val capped = Curation.capSourceTokens(d, "id", "n", "tok", budget = 95L)
+    // 20 docs x 10 tokens per source; budget 95 keeps exactly 10 (the
+    // 10th starts at 90 < 95, the 11th at 100 >= 95)
+    val bySrc = rowsOf(capped.groupBy("tok").count().orderBy("tok"))
+    assert(bySrc === Seq(Seq("a", 10L), Seq("b", 10L)))
+    assert(rowsOf(capped.orderBy("id")) === rowsOf(capped.orderBy("id")))
+  }
+
   test("repetitionScore: 1 - distinct/total over bigram occurrences") {
     val d = df(Seq(
       (1L, "a a a b"),       // bigrams: "a a","a a","a b" -> 1 - 2/3
