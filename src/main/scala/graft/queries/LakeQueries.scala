@@ -53,8 +53,10 @@ object LakeQueries {
   def fixtureLake(spark: SparkSession, dir: String): String = synchronized {
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
     // under the build's target/ dir (cwd = repo for all runners): never
-    // outside the repo, wiped by clean, invisible to git
-    val root = new File(new File(sys.props("user.dir"), "target"), s"graft_lake_$tag")
+    // outside the repo, wiped by clean, invisible to git. The _v2 name
+    // versions the layout (v2 adds per-metric schema.json sidecars) so
+    // stale memoized fixtures from older code can't serve.
+    val root = new File(new File(sys.props("user.dir"), "target"), s"graft_lake_v2_$tag")
     val marker = new File(root, "_SUCCESS")
     if (!marker.exists()) {
       val rows = Tables(spark, dir, "events")
@@ -106,6 +108,15 @@ object LakeQueries {
           })
         }.foreach(_.get())
       } finally pool.shutdown()
+      // S7: one schema sidecar per metric directory (flat
+      // {"col": "sqlType"} form, see Readers.sidecarStructType) — the
+      // reference keeps a schema.json next to the data files
+      groups.map { case ((s, p, m, _), _) => new File(root, s"raw/$s/$p/$m") }
+        .distinct.foreach { d =>
+          java.nio.file.Files.writeString(
+            new File(d, "schema.json").toPath,
+            """{"timestamp": "bigint", "value": "double"}""")
+        }
       marker.createNewFile()
     }
     root.getAbsolutePath
@@ -257,6 +268,39 @@ object LakeQueries {
                                AND metric = 'click'
                               THEN v * 2 ELSE v END), 4) AS sum_value
         FROM src GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""),
-      "U2: writeMerged full + one-group incremental overwrite, merged read-back (merge-data.py:54-100)")
+      "U2: writeMerged full + one-group incremental overwrite, merged read-back (merge-data.py:54-100)"),
+
+    Q("q66_sidecar_read",
+      (s, dir) => {
+        val root = fixtureLake(s, dir)
+        // S7 end-to-end: the read schema comes from the schema.json
+        // sidecar NEXT TO the data (summary.py:152-166 displays it; we
+        // apply it — the documented improvement over the reference),
+        // so no inference pass and typed columns on read.
+        val listed = PathModel.listFiles(s, root)
+          .withColumn("path", plainPath(col("path")))
+        val inv = PathModel.parsePaths(listed, root)
+          .filter(col("participant_id") === "p1")
+        val paths = inv.select("path").collect().map(_.getString(0)).toSeq.sorted
+        val sidecar = paths.head.replaceAll("/[^/]+$", "/schema.json")
+        Readers.csvGzWithSidecar(s, paths, sidecar)
+          .withColumn("path", plainPath(input_file_name()))
+          .withColumn("metric",
+            regexp_extract(col("path"), "/raw/[^/]+/[^/]+/([^/]+)/", 1))
+          .groupBy("metric")
+          .agg(count(lit(1)).as("row_count"),
+            round(sum("value"), 4).as("sum_value"),
+            min("timestamp").as("min_ts")) // bigint via the sidecar type
+          .orderBy("metric")
+      },
+      Some("""
+        SELECT event_type AS metric,
+               count(*) AS row_count,
+               round(sum(value::DOUBLE), 4) AS sum_value,
+               min(epoch_ns(ts) // 1000000000) AS min_ts
+        FROM events
+        WHERE user_id = 1 AND ts IS NOT NULL
+        GROUP BY 1 ORDER BY 1"""),
+      "S7: sidecar schema fetched, materialized, applied on the csv.gz read (no inference)")
   )
 }
