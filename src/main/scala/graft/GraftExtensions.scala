@@ -55,12 +55,10 @@ object GraftExtensions {
         args match {
           case Seq(text) => WinnowFingerprints(text, 8, 4)
           case Seq(text, k, w) =>
-            val (kv, wv) = (lit(k, "k"), lit(w, "w"))
-            // fail at analysis time with a clear message, not as an
-            // ArrayIndexOutOfBounds from generated code (ADVICE r3)
-            require(kv > 0 && wv > 0,
-              s"winnow_fingerprints requires k > 0 and w > 0, got k=$kv w=$wv")
-            WinnowFingerprints(text, kv, wv)
+            // range validation (k > 0, w > 0) lives in ONE place:
+            // WinnowFingerprints.checkInputDataTypes, which analysis
+            // runs right after this builder
+            WinnowFingerprints(text, lit(k, "k"), lit(w, "w"))
           case _ => throw new IllegalArgumentException(
             s"winnow_fingerprints requires 1 or 3 arguments, got ${args.length}")
         }

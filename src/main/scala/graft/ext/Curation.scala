@@ -100,17 +100,21 @@ object Curation {
     * rather than splitting). Packing is inherently sequential, so the
     * bucket is the parallel unit: ONE shuffle on the bucket, then
     * independent in-partition windows — no global sort at 100 TB. */
+  /** Output adds (or replaces) `bucket` and `pack_no`; working columns
+    * are `__`-prefixed so caller columns can't collide. */
   def packSequences(df: DataFrame, idCol: String, tokensCol: String,
       maxTokens: Long, nBuckets: Int): DataFrame = {
     val h = DetHash.hash52(col(idCol).cast("string"))
-    val w = Window.partitionBy("bucket").orderBy("ord", idCol)
+    val w = Window.partitionBy("bucket").orderBy("__ord", idCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("bucket", pmod(h, lit(nBuckets.toLong)))
-      .withColumn("ord", h)
-      .withColumn("cum", sum(col(tokensCol)).over(w))
+      .withColumn("__ord", h)
+      .withColumn("__cum", sum(col(tokensCol)).over(w))
+      // integer division (the oracle's `//`): long/long `/` in Spark is
+      // double division, which drifts past 2^53 cumulative tokens
       .withColumn("pack_no",
-        ((col("cum") - col(tokensCol)) / lit(maxTokens)).cast("long"))
-      .drop("ord", "cum")
+        expr(s"(__cum - `$tokensCol`) div ${maxTokens}L"))
+      .drop("__ord", "__cum")
   }
 
   // ------------------------------------------------------------------

@@ -196,8 +196,20 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
+    // mid-propagation labels are WRONG (one component reported as
+    // several, each claiming a keeper) — fail loudly, never return them
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          "(graph diameter exceeds maxIter); raise maxIter or use a " +
+          "star-contraction variant for long-chain graphs")
     sym.unpersist()
-    labels
+    // materialize and cut lineage, then release the loop's persist: the
+    // returned frame must not leak cache NOR recompute the whole
+    // iteration chain when the caller uses it
+    val out = labels.localCheckpoint()
+    labels.unpersist()
+    out
   }
 
   /** 32-bit SimHash: per-token 32-bit hash, per-bit weighted vote

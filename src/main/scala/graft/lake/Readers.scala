@@ -46,11 +46,19 @@ object Readers {
         val fs = new org.apache.hadoop.fs.Path(root)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         val filter = new org.apache.hadoop.fs.GlobFilter(glob)
+        val rootUri = fs.makeQualified(new org.apache.hadoop.fs.Path(root)).toUri
+        // mirror InMemoryFileIndex's exclusions: any path COMPONENT under
+        // the root starting with `_` or `.` (staging dirs, in-flight
+        // writes) is invisible to the real scan and must not feed the
+        // inference sample either
+        def visible(p: org.apache.hadoop.fs.Path): Boolean =
+          rootUri.relativize(p.toUri).getPath
+            .split('/').forall(c => !c.startsWith("_") && !c.startsWith("."))
         val files = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
         val it = fs.listFiles(new org.apache.hadoop.fs.Path(root), true)
         while (it.hasNext) {
           val f = it.next()
-          if (filter.accept(f.getPath)) files += f.getPath
+          if (filter.accept(f.getPath) && visible(f.getPath)) files += f.getPath
         }
         val sample = files.map(_.toString).sorted
           .groupBy(p => p.substring(0, p.lastIndexOf('/')))

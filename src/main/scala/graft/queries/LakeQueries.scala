@@ -282,9 +282,16 @@ object LakeQueries {
         val inv = PathModel.parsePaths(listed, root)
           .filter(col("participant_id") === "p1")
         val paths = inv.select("path").collect().map(_.getString(0)).toSeq.sorted
-        val sidecar = paths.head.replaceAll("/[^/]+$", "/schema.json")
-        Readers.csvGzWithSidecar(s, paths, sidecar)
-          .withColumn("path", plainPath(input_file_name()))
+        // EACH metric directory is read under ITS OWN sidecar — the
+        // per-directory-schema contract S7 demonstrates; the per-dir
+        // scans union by name (plans, not data movement)
+        paths.groupBy(_.replaceAll("/[^/]+$", ""))
+          .toSeq.sortBy(_._1)
+          .map { case (dirPath, dirFiles) =>
+            Readers.csvGzWithSidecar(s, dirFiles, s"$dirPath/schema.json")
+              .withColumn("path", plainPath(input_file_name()))
+          }
+          .reduce(_.unionByName(_))
           .withColumn("metric",
             regexp_extract(col("path"), "/raw/[^/]+/[^/]+/([^/]+)/", 1))
           .groupBy("metric")

@@ -85,13 +85,15 @@ object SummaryQueries {
     FeatureSpec("steps", "", "t", "xval", Some("event_type"), Some("click"), None, 0),
     FeatureSpec("heart_rate", "", "t", "xval", Some("event_type"), Some("view"), None, 1))
 
-  private def featuresLong(s: SparkSession, dir: String): DataFrame = {
-    // the union has one branch per spec — persist the fixture so the
-    // branches share one events scan instead of scanning per spec
-    val fdf = featureFixture(s, dir).persist()
+  /** One long-form branch per spec over a SHARED fixture frame — the
+    * caller persists `fdf` (or derives it from a persisted base) so the
+    * branches cost one events scan, not one per spec. */
+  private def featuresLongFrom(fdf: DataFrame): DataFrame =
     featureSpecs.map(SummaryOps.featureLong(fdf, _, "month"))
       .reduce(_.unionByName(_))
-  }
+
+  private def featuresLong(s: SparkSession, dir: String): DataFrame =
+    featuresLongFrom(featureFixture(s, dir).persist())
 
   private val sliderSpec =
     SliderSpec("mood", "", "value.answers", "slider_", "value", "value.startTime")
@@ -254,8 +256,7 @@ object SummaryQueries {
         // the feature fixture instead of re-deriving it (r3 verdict).
         val ev = eventsBase(s, dir).persist()
         val fdf = featureFixtureFrom(ev)
-        val fl = featureSpecs.map(SummaryOps.featureLong(fdf, _, "month"))
-          .reduce(_.unionByName(_)).persist()
+        val fl = featuresLongFrom(fdf).persist()
         val fx = answersFixtureFrom(ev)
         val qdf = fdf.filter(col("event_type") === "signup")
         val doc = SummaryOps.assemble(

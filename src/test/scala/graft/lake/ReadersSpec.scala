@@ -40,4 +40,26 @@ class ReadersSpec extends SparkSpec {
     assert(d.schema("value.time").dataType === DoubleType)
     assert(rowsOf(d.orderBy("`value.key`")) === Seq(Seq(null, "hr"), Seq(1.5, "steps")))
   }
+
+  test("scanLake's bounded inference skips hidden/staging files the scan excludes") {
+    // an in-flight write under _temporary/ (truncated gzip) and a
+    // dot-file: Spark's scan filters both; the inference SAMPLE must
+    // too, or it reads a file the scan never would (and here, crashes
+    // on the truncated gzip)
+    val root = Files.createTempDirectory("graft-scanlake").toString
+    def gz(path: String, content: String): Unit = {
+      val f = new java.io.File(path); f.getParentFile.mkdirs()
+      val o = new java.util.zip.GZIPOutputStream(new java.io.FileOutputStream(f))
+      o.write(content.getBytes); o.close()
+    }
+    gz(s"$root/m1/20240101_0000.csv.gz", "a,b\n1,x\n2,y\n")
+    gz(s"$root/m1/.partial.csv.gz", "zzz\n")
+    Files.createDirectories(java.nio.file.Paths.get(s"$root/m1/_temporary/0"))
+    // truncated garbage that would fail any read
+    Files.write(java.nio.file.Paths.get(s"$root/m1/_temporary/0/part.csv.gz"),
+      Array[Byte](0x1f, 0x0b, 0x00))
+    val d = Readers.scanLake(spark, root) // default bounded inference
+    assert(d.columns.toSeq === Seq("a", "b", "path"))
+    assert(d.count() === 2) // the real scan also excluded both hidden files
+  }
 }
