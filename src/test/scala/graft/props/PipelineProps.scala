@@ -7,6 +7,7 @@ import org.scalacheck.{Gen, Properties, Test}
 import org.scalacheck.Prop.forAll
 
 import graft.TestSpark
+import graft.ext.Curation
 import graft.ops.{MergeData, Overview, Skew, SummaryOps, TimeOps}
 
 /** The property-based tests promised by SURVEY.md §5.4. Each property
@@ -192,5 +193,39 @@ object PipelineProps extends Properties("graft.pipeline") {
         .winnowFingerprintsComposed(d, "doc_id", "text", k = 5, w = 3)
         .orderBy("doc_id", "fp").collect().map(_.toSeq).toSeq
       native == composed
+    }
+
+  // ------------------------------------------------------------------
+  // Curation: chunkDocs covers every token exactly once at overlap 0,
+  // and chunk sizes/counts obey the stride arithmetic at any overlap.
+  // ------------------------------------------------------------------
+
+  private val chunkGen = Gen.zip(
+    Gen.nonEmptyListOf(Gen.choose(1, 40)),  // token counts per doc
+    Gen.choose(2, 12),                      // chunkTokens
+    Gen.choose(0, 11))                      // overlap (capped below chunk)
+
+  property("chunkDocs: overlap-0 chunks concatenate back to the doc") =
+    forAll(chunkGen) { case (lens, chunk, rawOv) =>
+      val ov = math.min(rawOv, chunk - 1)
+      val docs = lens.zipWithIndex.map { case (n, i) =>
+        (i.toLong, (0 until n).map(t => s"t$t").mkString(" "))
+      }.toDF("id", "text")
+      val chunks = Curation.chunkDocs(docs, "id", "text", chunk, ov)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      val byDoc = chunks.groupBy(_._1)
+      byDoc.forall { case (id, cs) =>
+        val n = lens(id.toInt)
+        val sorted = cs.sortBy(_._2)
+        val stride = chunk - ov
+        val expectChunks = 1 + math.max(0, math.ceil((n - chunk).toDouble / stride).toInt)
+        val sizesOk = sorted.forall { case (_, c, _, ct) =>
+          ct == math.min(n - c * stride, chunk.toLong) }
+        val reassembled =
+          if (ov == 0) sorted.map(_._3).filter(_.nonEmpty).mkString(" ")
+          else (0 until n).map(t => s"t$t").mkString(" ") // not applicable
+        sorted.length == expectChunks && sizesOk &&
+          reassembled == (0 until n).map(t => s"t$t").mkString(" ")
+      }
     }
 }
