@@ -62,6 +62,22 @@ object GraftExtensions {
           case _ => throw new IllegalArgumentException(
             s"winnow_fingerprints requires 1 or 3 arguments, got ${args.length}")
         }
+      }), (
+      FunctionIdentifier("redact_pii"),
+      info("redact_pii",
+        "_FUNC_(text) - replace emails/phone numbers/IPv4s with typed " +
+          "placeholders (<EMAIL>/<PHONE>/<IP>); same patterns as " +
+          "graft.ext.Curation.redactPii"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          s"redact_pii requires exactly 1 argument, got ${args.length}")
+        import org.apache.spark.sql.catalyst.expressions.{Literal, RegExpReplace}
+        def rep(child: Expression, re: String, to: String) =
+          RegExpReplace(child, Literal(re), Literal(to))
+        rep(rep(rep(args(0),
+          graft.ext.Curation.emailRe, "<EMAIL>"),
+          graft.ext.Curation.phoneRe, "<PHONE>"),
+          graft.ext.Curation.ipRe, "<IP>")
       }))
 
   /** Register everything into a LIVE session (the extensions hook only

@@ -50,6 +50,20 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(custom != viaSql)
   }
 
+  test("register(spark): redact_pii in SQL == Column API") {
+    GraftExtensions.register(spark)
+    val d = df(Seq(
+      Tuple1("mail a@b.org, call 555-123-4567, host 10.0.0.1"),
+      Tuple1("clean")), "t")
+    d.createOrReplaceTempView("pex")
+    val viaSql = spark.sql("SELECT redact_pii(t) AS r FROM pex ORDER BY r")
+      .collect().map(_.getString(0)).toSeq
+    val viaCol = d.select(graft.ext.Curation.redactPii(col("t")).as("r"))
+      .orderBy("r").collect().map(_.getString(0)).toSeq
+    assert(viaSql === viaCol)
+    assert(viaSql === Seq("clean", "mail <EMAIL>, call <PHONE>, host <IP>"))
+  }
+
   test("register(spark): stats_bundle in SQL == built-in aggregates") {
     GraftExtensions.register(spark)
     df(Seq(Tuple1(1.0), Tuple1(2.0), Tuple1(3.0), Tuple1(4.0)), "v")
