@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import DetHash._
@@ -210,6 +211,64 @@ object Dedup {
     val out = labels.localCheckpoint()
     labels.unpersist()
     out
+  }
+
+  /** Paragraph-level dedup: split each document into fixed
+    * `paraTokens`-token windows ("paragraphs" — this corpus carries no
+    * paragraph delimiter, so the fixed window is the configurable
+    * splitting unit, same model as `Curation.chunkDocs`), keep only the
+    * globally FIRST occurrence of each distinct paragraph (min
+    * (doc_id, para_no) over all occurrences of its fingerprint), and
+    * reassemble every document from its surviving paragraphs in order.
+    * Returns one row per document: `n_paras`, `n_kept`, and
+    * `dedup_md5` — the md5 of the reassembled text (byte-exact output
+    * contract without shipping the full text through the compare).
+    *
+    * This is the standard LLM-pipeline middle ground between whole-doc
+    * exact dedup ([[exactGroups]]) and shingle near-dup: boilerplate
+    * paragraphs (headers, license blocks, navigation chrome) vanish
+    * corpus-wide while unique prose survives. A doc whose every
+    * paragraph was seen earlier reassembles to the empty string
+    * (n_kept = 0) — the caller's drop signal.
+    *
+    * Scale: two shuffles, both equi — the first-occurrence window
+    * partitions on the paragraph fingerprint (128-bit md5: uniform,
+    * no hot keys beyond true duplicates), the reassembly groups on the
+    * doc id. No all-pairs stage anywhere; duplicate-heavy fingerprints
+    * skew the window partition only in proportion to the actual
+    * duplication being removed. */
+  def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
+      paraTokens: Int): DataFrame = {
+    require(paraTokens > 0, s"need paraTokens > 0, got $paraTokens")
+    val toks = col("__toks")
+    // every doc yields >= 1 paragraph (split of "" is [""], so size >= 1)
+    val lastPara = greatest(
+      expr(s"(size(__toks) - 1) div $paraTokens"), lit(0))
+    val paras = df
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), toks,
+        explode(sequence(lit(0), lastPara)).as("para_no"))
+      .select(col(idCol), col("para_no").cast("long").as("para_no"),
+        array_join(
+          slice(toks, col("para_no") * paraTokens + 1, lit(paraTokens)),
+          " ").as("para_text"))
+    val w = Window.partitionBy("__fp").orderBy(col(idCol), col("para_no"))
+    paras
+      .withColumn("__fp", md5(col("para_text").cast("binary")))
+      .withColumn("__keep", row_number().over(w) === 1)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_paras"),
+        count(when(col("__keep"), lit(1))).as("n_kept"),
+        // collect_list skips the nulls the `when` leaves for dropped
+        // paragraphs; array_sort orders by the struct's leading field
+        // (para_no, unique per doc) → in-order reassembly
+        md5(array_join(
+          transform(
+            array_sort(collect_list(when(col("__keep"),
+              struct(col("para_no"), col("para_text"))))),
+            s => s.getField("para_text")),
+          " ").cast("binary")).as("dedup_md5"))
   }
 
   /** 32-bit SimHash: per-token 32-bit hash, per-bit weighted vote

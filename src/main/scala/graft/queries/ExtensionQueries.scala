@@ -790,6 +790,36 @@ object ExtensionQueries {
               FROM t)
         SELECT doc_id, source, n_tokens FROM c
         WHERE cum - n_tokens < 1000 ORDER BY doc_id"""),
-      "deterministic-order running total per source, cut at the budget line")
+      "deterministic-order running total per source, cut at the budget line"),
+
+    // ---------------------------------------------------------------
+    // Dedup: paragraph granularity — first occurrence of each 32-token
+    // window survives corpus-wide, docs reassemble from survivors.
+    // The middle ground between q30 (whole-doc) and q31/q32 (near-dup).
+    // ---------------------------------------------------------------
+    Q("q67_paragraph_dedup",
+      (s, dir) => Dedup.dedupParagraphs(
+          Tables(s, dir, "documents"), "doc_id", "text", paraTokens = 32)
+        .orderBy("doc_id"),
+      Some("""
+        WITH tk AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+                    FROM documents),
+        p AS (SELECT doc_id, t,
+                     unnest(range(0, greatest((len(t) - 1) // 32, 0) + 1)) AS para_no
+              FROM tk),
+        pt AS (SELECT doc_id, para_no,
+                      array_to_string(t[(para_no * 32 + 1)::INT:((para_no + 1) * 32)::INT],
+                                      ' ') AS para_text
+               FROM p),
+        k AS (SELECT doc_id, para_no, para_text,
+                     row_number() OVER (PARTITION BY md5(para_text)
+                                        ORDER BY doc_id, para_no) = 1 AS keep
+              FROM pt)
+        SELECT doc_id, count(*) AS n_paras,
+               count(*) FILTER (WHERE keep) AS n_kept,
+               md5(coalesce(string_agg(para_text, ' ' ORDER BY para_no)
+                              FILTER (WHERE keep), '')) AS dedup_md5
+        FROM k GROUP BY 1 ORDER BY 1"""),
+      "paragraph dedup: window on para fp + reassembly groupBy, both equi-shuffles")
   )
 }

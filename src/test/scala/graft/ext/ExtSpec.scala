@@ -20,6 +20,25 @@ class ExtSpec extends SparkSpec {
     df(rows, "doc_id", "text")
   }
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("dedupParagraphs: first occurrence survives, docs reassemble in order") {
+    val d = df(Seq(
+      (0L, "a b c d e f g h"),        // both paras novel
+      (1L, "a b c d x y z w"),        // para 0 repeats doc 0's → dropped
+      (2L, "a b c d e f g h"),        // full duplicate → nothing kept
+      (3L, "x y z")), "doc_id", "text") // short doc: one sub-window para
+    val out = rowsOf(Dedup.dedupParagraphs(d, "doc_id", "text", paraTokens = 4)
+      .orderBy("doc_id"))
+    assert(out === Seq(
+      Seq(0L, 2L, 2L, md5hex("a b c d e f g h")),
+      Seq(1L, 2L, 1L, md5hex("x y z w")),
+      Seq(2L, 2L, 0L, md5hex("")),
+      Seq(3L, 1L, 1L, md5hex("x y z"))))
+  }
+
   test("simhashPairs: banded plan == all-pairs plan (pigeonhole recall)") {
     val sh = Dedup.simhash(docs, "doc_id", "text")
     val banded = rowsOf(Dedup.simhashPairs(sh, "doc_id", maxHamming = 6)
