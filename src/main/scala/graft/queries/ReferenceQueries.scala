@@ -581,6 +581,31 @@ object ReferenceQueries {
       Some("""
         SELECT event_type, count(DISTINCT user_id) AS distinct_est
         FROM events GROUP BY 1 ORDER BY 1"""),
-      "HLL sketch partials + union-estimate; sparse-exact at verify scale")
+      "HLL sketch partials + union-estimate; sparse-exact at verify scale"),
+
+    // ---------------------------------------------------------------
+    // Bloom-filter semi-join pruning (graft.ops.BloomPrune): the dim
+    // keys aggregate into one bloom filter whose might_contain drops
+    // fact rows map-side BEFORE the join shuffle. The oracle is the
+    // PLAIN semi-join — pruning plus the exact join behind it must be
+    // result-identical (false positives are filtered, never kept).
+    // ---------------------------------------------------------------
+    Q("q68_bloom_semi_join",
+      (s, dir) => graft.ops.BloomPrune.prunedSemiJoin(
+          orders(s, dir),
+          customer(s, dir).filter(col("c_mktsegment") === "BUILDING"),
+          "o_custkey", "c_custkey",
+          expectedItems = 1L << 16, fpp = 0.01)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("o_orderstatus"),
+      Some("""
+        SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM customer
+                      WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')
+        GROUP BY 1 ORDER BY 1"""),
+      "bloom prune + semi-join == plain semi-join; fact rows drop pre-shuffle")
   )
 }
