@@ -40,6 +40,33 @@ object StreamingOverview {
       .schema(schema)
       .csv(root)
 
+  /** Streaming lake ingestion with PATH lineage — the streaming twin of
+    * the batch inventory walk behind q44: a file-source stream over the
+    * reference layout (`root/raw/SITE/PARTICIPANT/METRIC/…csv.gz`)
+    * whose site/participant/metric columns come from the file path, not
+    * the rows. `input_file_name()` feeds the SAME
+    * [[graft.lake.PathModel]] column parsers the batch inventory uses
+    * (`parsePaths` / `includeExclude` are pure column expressions, so
+    * they compose with a streaming scan unchanged) — one lineage
+    * definition, two execution modes, zero drift between them.
+    *
+    * Malformed paths drop exactly as in batch; `exclude` prunes sites
+    * the same way F1 does. At scale the file source discovers new files
+    * incrementally from the listing (`maxFilesPerTrigger` caps a
+    * micro-batch), so continuous site uploads flow into the partials
+    * table without ever re-walking ingested directories — the
+    * incremental contract the reference's re-walk loop approximates. */
+  def readLakeStreamWithLineage(spark: SparkSession, root: String,
+      schema: StructType, glob: String = "*.csv.gz",
+      exclude: Seq[String] = Nil): DataFrame = {
+    val raw = readLakeStream(spark, root, schema, glob)
+      // normalize the file:-scheme URI so the relative parse against
+      // `root` (a plain path) lines up — same trick as the batch side
+      .withColumn("path", regexp_replace(input_file_name(), "^file:/+", "/"))
+    graft.lake.PathModel.includeExclude(
+      graft.lake.PathModel.parsePaths(raw, root), Nil, exclude)
+  }
+
   /** Daily partial stats: one row per (keys, day) with count/min/max —
     * the streaming analogue of the reference's per-file partials. */
   def dailyPartials(df: DataFrame, tsCol: Column, keys: Seq[String],
