@@ -169,6 +169,72 @@ object Curation {
   }
 
   // ------------------------------------------------------------------
+  // End-to-end curation funnel.
+  // ------------------------------------------------------------------
+
+  /** The full curation pipeline as ONE composed plan — the funnel
+    * report every training-data run produces: each document gets a
+    * verdict (first failing gate wins, fixed precedence), and the
+    * output is per-source drop accounting plus kept-token totals.
+    *
+    * Gates, in precedence order:
+    *  1. `benchmark` — the held-out eval slice (`id % benchMod == 0`):
+    *     excluded from training AND the contamination reference;
+    *  2. `near_dup`  — a MinHash-LSH candidate pair links the doc to a
+    *     SMALLER corpus id (greedy keep-first dedup on [[Dedup]]'s
+    *     banded candidates — no all-pairs stage);
+    *  3. `contaminated` — ≥ `minContamGrams` distinct word n-grams
+    *     shared with the benchmark slice ([[decontaminate]]);
+    *  4. `low_quality` — under `minTokens` tokens or under `minQuality`
+    *     composite score ([[TextAnalysis.qualityMetrics]]);
+    *  5. `kept`.
+    *
+    * Scale: quality is map-side; dedup shuffles on (band, bucket) and
+    * contamination on the shingle (benchmark side broadcast by AQE);
+    * the flag joins are id-equi left joins against two SMALL id sets
+    * (dropped ids only); the report is one final groupBy(source). */
+  def curationFunnel(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, benchMod: Long = 97, shingleN: Int = 3,
+      minContamGrams: Long = 3, minTokens: Long = 20,
+      minQuality: Double = 0.38): DataFrame = {
+    val isBench = col(idCol) % benchMod === 0
+    val corpus = docs.filter(!isBench)
+    val sig = Dedup.minhashSignature(
+      Dedup.shingles(corpus, idCol, textCol, shingleN), idCol)
+    val dupIds = Dedup.candidatePairs(sig, idCol)
+      .select(col(s"${idCol}_b").as(idCol)).distinct()
+      .withColumn("__dup", lit(true))
+    val contamIds = decontaminate(
+        corpus, docs.filter(isBench), idCol, textCol, shingleN)
+      .filter(col("n_contaminated_grams") >= minContamGrams)
+      .select(col(idCol)).withColumn("__contam", lit(true))
+    val verdicts = TextAnalysis.qualityMetrics(docs, textCol)
+      .join(dupIds, Seq(idCol), "left")
+      .join(contamIds, Seq(idCol), "left")
+      .withColumn("verdict",
+        when(isBench, "benchmark")
+          .when(col("__dup"), "near_dup")
+          .when(col("__contam"), "contaminated")
+          .when(col("n_tokens") < minTokens ||
+            col("quality_score") < minQuality, "low_quality")
+          .otherwise("kept"))
+    def nOf(v: String) = count(when(col("verdict") === v, lit(1)))
+    verdicts.groupBy(col(sourceCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        nOf("benchmark").as("n_bench"),
+        nOf("near_dup").as("n_dup"),
+        nOf("contaminated").as("n_contam"),
+        nOf("low_quality").as("n_lowq"),
+        nOf("kept").as("n_kept"),
+        coalesce(sum(when(col("verdict") === "kept", col("n_tokens"))), lit(0L))
+          .as("tokens_kept"),
+        round(coalesce(
+          avg(when(col("verdict") === "kept", col("quality_score"))), lit(0.0)), 4)
+          .as("avg_quality_kept"))
+  }
+
+  // ------------------------------------------------------------------
   // Repetition scoring.
   // ------------------------------------------------------------------
 

@@ -820,6 +820,65 @@ object ExtensionQueries {
                md5(coalesce(string_agg(para_text, ' ' ORDER BY para_no)
                               FILTER (WHERE keep), '')) AS dedup_md5
         FROM k GROUP BY 1 ORDER BY 1"""),
-      "paragraph dedup: window on para fp + reassembly groupBy, both equi-shuffles")
+      "paragraph dedup: window on para fp + reassembly groupBy, both equi-shuffles"),
+
+    // ---------------------------------------------------------------
+    // Curation funnel: the WHOLE pipeline composed — benchmark slice →
+    // LSH near-dup drop → decontamination → quality gates → per-source
+    // funnel report. Every stage reuses an operator with its own green
+    // oracle (q32, q58, q39); this pins their composition.
+    // ---------------------------------------------------------------
+    Q("q69_curation_funnel",
+      (s, dir) => Curation.curationFunnel(
+          Tables(s, dir, "documents"), "doc_id", "text", "source")
+        .orderBy("source"),
+      Some {
+        val en = TextAnalysis.langMarkers.head._2.map(m => s"'$m'").mkString(", ")
+        s"""
+        WITH tok AS (SELECT doc_id, source, text,
+                            string_split_regex(lower(text), '\\s+') AS t
+                     FROM documents),
+        sh AS (SELECT DISTINCT doc_id,
+                      unnest([array_to_string(t[i:i+2], ' ')
+                              for i in range(1, len(t)-1)]) AS shingle
+               FROM tok WHERE len(t) >= 3),
+        csh AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0),
+        bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+        h AS (SELECT doc_id, ${DetHash.sqlHash52("shingle")} AS hv FROM csh),
+        sig AS (SELECT doc_id, $sqlSig FROM h GROUP BY doc_id),
+        bands AS ($sqlBands),
+        dup AS (SELECT DISTINCT b.doc_id
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.bucket = b.bucket
+                 AND a.doc_id < b.doc_id),
+        contam AS (SELECT c.doc_id FROM csh c JOIN bsh USING (shingle)
+                   GROUP BY 1 HAVING count(*) >= 3),
+        q AS (SELECT doc_id, source, len(t)::BIGINT AS n_tokens,
+                     round(0.5 * (len([x for x in t if x IN ($en)])::DOUBLE / len(t))
+                         + 0.3 * (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))::DOUBLE / length(text))
+                         + 0.2 * least(len(t)::DOUBLE / 100.0, 1.0), 4) AS quality_score
+              FROM tok),
+        v AS (SELECT q.source, q.n_tokens, q.quality_score,
+                     CASE WHEN q.doc_id % 97 = 0 THEN 'benchmark'
+                          WHEN d.doc_id IS NOT NULL THEN 'near_dup'
+                          WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+                          WHEN q.n_tokens < 20 OR q.quality_score < 0.38
+                            THEN 'low_quality'
+                          ELSE 'kept' END AS verdict
+              FROM q LEFT JOIN dup d ON d.doc_id = q.doc_id
+                     LEFT JOIN contam c ON c.doc_id = q.doc_id)
+        SELECT source, count(*) AS n_docs,
+               count(*) FILTER (WHERE verdict = 'benchmark') AS n_bench,
+               count(*) FILTER (WHERE verdict = 'near_dup') AS n_dup,
+               count(*) FILTER (WHERE verdict = 'contaminated') AS n_contam,
+               count(*) FILTER (WHERE verdict = 'low_quality') AS n_lowq,
+               count(*) FILTER (WHERE verdict = 'kept') AS n_kept,
+               coalesce(sum(n_tokens) FILTER (WHERE verdict = 'kept'), 0)::BIGINT
+                 AS tokens_kept,
+               round(coalesce(avg(quality_score) FILTER (WHERE verdict = 'kept'), 0), 4)
+                 AS avg_quality_kept
+        FROM v GROUP BY 1 ORDER BY 1"""
+      },
+      "composed funnel: verdict precedence over LSH dedup + decontam + quality")
   )
 }

@@ -48,6 +48,38 @@ class CurationSpec extends SparkSpec {
     assert(n > 20 && n < 80, s"~half expected, got $n") // Bernoulli, loose bounds
   }
 
+  test("curationFunnel: verdict precedence, funnel conservation, kept accounting") {
+    // stopword filler TAGGED per doc family: quality-relevant stopwords
+    // without cross-doc 3-gram overlap (contamination must come only
+    // from the deliberately shared spans below)
+    def filler(tag: String) =
+      Seq("the", "and", "of", "to", "in", "is").map(w => s"$w $tag").mkString(" ")
+    val docs = df(Seq(
+      // 0 % 5 == 0: benchmark slice
+      (0L, "src_a", s"benchmark golden eval sentence alignment ${filler("x")}"),
+      // identical pair: 7 keeps (smaller id wins), 12 drops as near_dup
+      (7L, "src_a", s"alpha beta gamma delta epsilon zeta eta theta ${filler("a")}"),
+      (12L, "src_a", s"alpha beta gamma delta epsilon zeta eta theta ${filler("a")}"),
+      // shares exactly 3 distinct 3-grams with benchmark doc 0
+      (3L, "src_b", s"benchmark golden eval sentence alignment carried ${filler("b")}"),
+      // short: under minTokens
+      (4L, "src_b", "tiny junk row"),
+      // clean keeper
+      (6L, "src_b", s"unique prose nothing shared with others at all ${filler("c")}")),
+      "doc_id", "source", "text")
+    val out = rowsOf(Curation.curationFunnel(docs, "doc_id", "text", "source",
+      benchMod = 5, minTokens = 5, minQuality = 0.0).orderBy("source"))
+    // src_a: 3 docs = 1 bench + 1 near_dup + 1 kept (doc 7)
+    // src_b: 3 docs = 1 contaminated + 1 low_quality + 1 kept (doc 6)
+    assert(out.map(_.take(7)) === Seq(
+      Seq("src_a", 3L, 1L, 1L, 0L, 0L, 1L),
+      Seq("src_b", 3L, 0L, 0L, 1L, 1L, 1L)))
+    // conservation: every doc lands in exactly one bucket
+    out.foreach { r =>
+      assert(r(1) === Seq(2, 3, 4, 5, 6).map(i => r(i).asInstanceOf[Long]).sum)
+    }
+  }
+
   test("packSequences: packs are contiguous start-offset windows per bucket") {
     val d = df((1L to 200L).map(i => (i, 37L + (i % 5) * 11L)), "id", "tok")
     val out = Curation.packSequences(d, "id", "tok", maxTokens = 100L, nBuckets = 4)
