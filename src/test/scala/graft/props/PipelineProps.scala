@@ -228,4 +228,41 @@ object PipelineProps extends Properties("graft.pipeline") {
           reassembled == (0 until n).map(t => s"t$t").mkString(" ")
       }
     }
+
+  // ------------------------------------------------------------------
+  // Dedup: paragraph dedup invariants — kept-paragraph total equals the
+  // corpus-wide distinct paragraph count (each distinct paragraph
+  // survives exactly once), the minimum doc id keeps everything, and
+  // every doc's counts are conserved.
+  // ------------------------------------------------------------------
+
+  private val paraGen = Gen.zip(
+    Gen.nonEmptyListOf(Gen.listOf(Gen.choose(0, 5))), // docs as small-vocab token lists
+    Gen.choose(1, 4))                                 // paraTokens
+
+  property("dedupParagraphs: distinct paragraphs survive exactly once") =
+    forAll(paraGen) { case (docToks, p) =>
+      val docs = docToks.zipWithIndex.map { case (ts, i) =>
+        (i.toLong, ts.map(t => s"w$t").mkString(" "))
+      }.toDF("id", "text")
+      val out = graft.ext.Dedup.dedupParagraphs(docs, "id", "text", p)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // re-derive paragraphs with the same windowing rule on the driver
+      def parasOf(ts: List[Int]): Seq[String] = {
+        val toks = ts.map(t => s"w$t").mkString(" ").toLowerCase
+          .split("\\s+", -1).toSeq // split("") == Seq("") like Spark's
+        (0 until math.max((toks.size - 1) / p + 1, 1))
+          .map(i => toks.slice(i * p, i * p + p).mkString(" "))
+      }
+      val all = docToks.zipWithIndex.flatMap { case (ts, i) =>
+        parasOf(ts).map(t => (i.toLong, t)) }
+      val distinctCount = all.map(_._2).distinct.size.toLong
+      val minId = 0L
+      out.map(_._3).sum == distinctCount &&
+        out.forall { case (id, nP, nK) =>
+          nP == parasOf(docToks(id.toInt)).size.toLong && nK <= nP } &&
+        out.find(_._1 == minId).forall { case (_, nP, nK) =>
+          // doc 0 sees every paragraph first unless it repeats one internally
+          nK == parasOf(docToks(0)).distinct.size.toLong || nP == nK }
+    }
 }
