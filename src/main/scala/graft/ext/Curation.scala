@@ -31,16 +31,22 @@ object Curation {
     * side is distinct-deduped and typically tiny next to the corpus, so
     * AQE broadcasts it and the corpus never shuffles. */
   def decontaminate(docs: DataFrame, bench: DataFrame, idCol: String,
-      textCol: String, n: Int = 3): DataFrame = {
-    val docSh = Dedup.shingles(docs, idCol, textCol, n)
-    val benchSh = Dedup.shingles(bench, idCol, textCol, n)
-      .select("shingle").distinct()
-    docSh.join(benchSh, "shingle")
+      textCol: String, n: Int = 3): DataFrame =
+    decontaminateShingles(
+      Dedup.shingles(docs, idCol, textCol, n),
+      Dedup.shingles(bench, idCol, textCol, n), idCol)
+
+  /** [[decontaminate]] over PRE-COMPUTED shingle frames (both in
+    * [[Dedup.shingles]]' distinct-per-doc shape) — lets a pipeline that
+    * already paid the corpus shingle scan (e.g. for MinHash signatures)
+    * reuse it instead of exploding and distinct-shuffling twice. */
+  def decontaminateShingles(docSh: DataFrame, benchSh: DataFrame,
+      idCol: String): DataFrame =
+    docSh.join(benchSh.select("shingle").distinct(), "shingle")
       // shingles() emits DISTINCT grams per doc, so this counts distinct
       // contaminated grams without a second dedup
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_contaminated_grams"))
-  }
 
   // ------------------------------------------------------------------
   // PII redaction.
@@ -199,13 +205,17 @@ object Curation {
       minQuality: Double = 0.38): DataFrame = {
     val isBench = col(idCol) % benchMod === 0
     val corpus = docs.filter(!isBench)
-    val sig = Dedup.minhashSignature(
-      Dedup.shingles(corpus, idCol, textCol, shingleN), idCol)
+    // ONE corpus shingle scan feeds both the MinHash signature and the
+    // contamination join (persisted: the explode + distinct shuffle is
+    // the pipeline's most expensive stage — paying it twice would
+    // double the dominant cost at scale)
+    val corpusSh = Dedup.shingles(corpus, idCol, textCol, shingleN).persist()
+    val sig = Dedup.minhashSignature(corpusSh, idCol)
     val dupIds = Dedup.candidatePairs(sig, idCol)
       .select(col(s"${idCol}_b").as(idCol)).distinct()
       .withColumn("__dup", lit(true))
-    val contamIds = decontaminate(
-        corpus, docs.filter(isBench), idCol, textCol, shingleN)
+    val contamIds = decontaminateShingles(corpusSh,
+        Dedup.shingles(docs.filter(isBench), idCol, textCol, shingleN), idCol)
       .filter(col("n_contaminated_grams") >= minContamGrams)
       .select(col(idCol)).withColumn("__contam", lit(true))
     val verdicts = TextAnalysis.qualityMetrics(docs, textCol)

@@ -240,18 +240,14 @@ object Dedup {
   def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
       paraTokens: Int): DataFrame = {
     require(paraTokens > 0, s"need paraTokens > 0, got $paraTokens")
-    val toks = col("__toks")
-    // every doc yields >= 1 paragraph (split of "" is [""], so size >= 1)
-    val lastPara = greatest(
-      expr(s"(size(__toks) - 1) div $paraTokens"), lit(0))
-    val paras = df
-      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
-      .select(col(idCol), toks,
-        explode(sequence(lit(0), lastPara)).as("para_no"))
-      .select(col(idCol), col("para_no").cast("long").as("para_no"),
-        array_join(
-          slice(toks, col("para_no") * paraTokens + 1, lit(paraTokens)),
-          " ").as("para_text"))
+    // the paragraph unit IS a zero-overlap chunk — reuse chunkDocs'
+    // windowing (one slice arithmetic to keep in sync with the oracles
+    // and the PipelineProps property that pins it)
+    val paras = Curation.chunkDocs(
+        df.select(col(idCol), col(textCol)), idCol, textCol,
+        chunkTokens = paraTokens, overlap = 0)
+      .select(col(idCol), col("chunk_no").as("para_no"),
+        col("chunk_text").as("para_text"))
     val w = Window.partitionBy("__fp").orderBy(col(idCol), col("para_no"))
     paras
       .withColumn("__fp", md5(col("para_text").cast("binary")))

@@ -71,8 +71,13 @@ object BloomPrune {
     buildBloom(dim, dimKey, expectedItems, fpp) match {
       case None => fact.limit(0) // empty dim: semi-join is empty
       case Some(bf) =>
+        // alias the build side: an unqualified col(dimKey) would be
+        // AMBIGUOUS_REFERENCE whenever both sides share the key name
+        // (the common semi-join shape); no distinct() — a semi-join is
+        // insensitive to build-side duplicates, so deduping would only
+        // add an exchange to an operator meant to remove shuffle volume
         fact.filter(mightContain(bf, col(factKey)))
-          .join(dim.select(col(dimKey)).distinct(),
-            col(factKey) === col(dimKey), "left_semi")
+          .join(dim.select(col(dimKey).as("__bloom_dim_key")),
+            col(factKey) === col("__bloom_dim_key"), "left_semi")
     }
 }

@@ -50,12 +50,18 @@ object StreamingOverview {
     * they compose with a streaming scan unchanged) — one lineage
     * definition, two execution modes, zero drift between them.
     *
-    * Malformed paths drop exactly as in batch; `exclude` prunes sites
-    * the same way F1 does. At scale the file source discovers new files
-    * incrementally from the listing (`maxFilesPerTrigger` caps a
-    * micro-batch), so continuous site uploads flow into the partials
-    * table without ever re-walking ingested directories — the
-    * incremental contract the reference's re-walk loop approximates. */
+    * Malformed paths drop exactly as in batch; `exclude` applies the
+    * F1 predicate to the parsed lineage — note that in streaming it
+    * filters ROWS after the read (the file source has no inventory to
+    * prune), so a PERMANENTLY excluded site still costs its
+    * decompression: point the stream at per-site roots, or pre-filter
+    * with `pathGlobFilter`, when exclusion should prune I/O like the
+    * batch inventory does. Incrementality: Spark's file source
+    * re-LISTS the tree each trigger (O(total files) driver-side — use
+    * notification-based discovery beyond that) but re-READS nothing;
+    * `maxFilesPerTrigger` caps a micro-batch. File CONTENTS are
+    * processed exactly once — the contract the reference's
+    * re-walk-and-recompute loop only approximates. */
   def readLakeStreamWithLineage(spark: SparkSession, root: String,
       schema: StructType, glob: String = "*.csv.gz",
       exclude: Seq[String] = Nil): DataFrame = {

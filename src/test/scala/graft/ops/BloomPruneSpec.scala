@@ -42,6 +42,15 @@ class BloomPruneSpec extends SparkSpec {
     assert(plan.contains("might_contain"), plan)
   }
 
+  test("same key name on both sides resolves (no AMBIGUOUS_REFERENCE)") {
+    val f = fact.withColumnRenamed("fk", "id")
+    val d = dim.withColumnRenamed("dk", "id")
+    val pruned = BloomPrune.prunedSemiJoin(f, d, "id", "id")
+    val plain = f.join(d.select(col("id").as("__k")),
+      col("id") === col("__k"), "left_semi")
+    assert(rowsOf(pruned.orderBy("id", "v")) === rowsOf(plain.orderBy("id", "v")))
+  }
+
   test("empty dim yields an empty result, not a crash") {
     val empty = dim.filter(lit(false))
     assert(rowsOf(BloomPrune.prunedSemiJoin(fact, empty, "fk", "dk")).isEmpty)
