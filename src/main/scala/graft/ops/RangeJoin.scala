@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Point-in-interval (range) join without an equi key — an operator
+  * Spark lacks natively: a raw `p.ts BETWEEN i.lo AND i.hi` join plans
+  * as BroadcastNestedLoopJoin (or a cartesian), the all-pairs shape
+  * `PlanAuditSpec` bans. The classic banding rewrite makes it an
+  * EQUI-join: split the domain into fixed `bandWidth` buckets, explode
+  * each interval across every bucket it overlaps, map each point to
+  * exactly ONE bucket, join on the bucket, then apply the exact
+  * containment predicate. A (point, interval) pair can only meet in the
+  * point's single bucket, so the join emits no duplicates — no distinct
+  * pass needed.
+  *
+  * Scale: one shuffle each side on the bucket key; the interval side
+  * fans out by its bucket span (`len/bandWidth + 1` rows per interval).
+  * `bandWidth` is the knob — around the typical interval length keeps
+  * fan-out ≈ 2 while bounding how many intervals land in one bucket. A
+  * degenerate interval spanning the whole domain fans out
+  * `domain/bandWidth` rows: split such hot intervals or coarsen the
+  * band; for dim-sized interval tables plain `broadcast()` + theta
+  * filter is the cheaper plan.
+  */
+object RangeJoin {
+
+  /** Exact integer floor-division (Spark's `div` truncates toward zero
+    * and `/` goes through doubles, which lose ulps past 2^53 — epoch
+    * micros are ~2^50.6 and climbing). `x - pmod(x, w)` is exactly
+    * divisible, so the decimal divide is exact at any magnitude. */
+  private def floorDiv(c: Column, w: Long): Column =
+    ((c - pmod(c, lit(w))).cast("decimal(38,0)") / lit(w)).cast("long")
+
+  /** Join `points` (a `ptCol` long, e.g. epoch micros) to every row of
+    * `intervals` whose `[loCol, hiCol]` (inclusive) contains it.
+    * Empty/inverted intervals (`hi < lo`) match nothing and are
+    * dropped before the explode (`sequence` would count DOWN through
+    * them, fabricating buckets). Output: point columns then interval
+    * columns, one row per containing pair. */
+  def bandedIntervalJoin(points: DataFrame, intervals: DataFrame,
+      ptCol: String, loCol: String, hiCol: String,
+      bandWidth: Long): DataFrame = {
+    require(bandWidth > 0, s"need bandWidth > 0, got $bandWidth")
+    val p = points.withColumn("__pt_band", floorDiv(col(ptCol), bandWidth))
+    val i = intervals
+      .filter(col(loCol) <= col(hiCol))
+      .withColumn("__iv_band", explode(sequence(
+        floorDiv(col(loCol), bandWidth), floorDiv(col(hiCol), bandWidth))))
+    p.join(i, col("__pt_band") === col("__iv_band"))
+      .filter(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))
+      .drop("__pt_band", "__iv_band")
+  }
+}

@@ -606,6 +606,68 @@ object ReferenceQueries {
         WHERE EXISTS (SELECT 1 FROM customer
                       WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')
         GROUP BY 1 ORDER BY 1"""),
-      "bloom prune + semi-join == plain semi-join; fact rows drop pre-shuffle")
+      "bloom prune + semi-join == plain semi-join; fact rows drop pre-shuffle"),
+
+    // ---------------------------------------------------------------
+    // Banded range join (graft.ops.RangeJoin): purchases inside global
+    // error-burst windows — a point-in-interval join with NO equi key,
+    // rewritten as a bucket equi-join (the plan Spark won't produce on
+    // its own; the naive BETWEEN theta-join is a BNLJ). Windows come
+    // from gap-sessionizing the error stream (Sessionize.batch with a
+    // constant key), so the oracle derives the identical intervals.
+    // ---------------------------------------------------------------
+    Q("q70_range_join",
+      (s, dir) => {
+        val e = events(s, dir).select(
+          col("event_id"), col("event_type"), col("value"),
+          expr("unix_micros(cast(ts as timestamp))").as("tsu"))
+          .filter(col("tsu").isNotNull)
+        val bursts = graft.streaming.Sessionize.batch(
+            e.filter(col("event_type") === "error").withColumn("user_id", lit(0L)),
+            gapUs = 3600L * 1000000L)
+          .filter(col("n_events") >= 2)
+          .select(col("session_start_us").as("win_lo"),
+            col("session_end_us").as("win_hi"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("tsu"), col("value"))
+        graft.ops.RangeJoin.bandedIntervalJoin(
+            purchases, bursts, "tsu", "win_lo", "win_hi",
+            bandWidth = 3600L * 1000000L)
+          .groupBy("win_lo", "win_hi")
+          .agg(count(lit(1)).as("n_purchases"),
+            round(sum("value"), 4).as("sum_value"))
+          .select(
+            date_format(timestamp_micros(col("win_lo")), "yyyy-MM-dd HH:mm:ss")
+              .as("window_start"),
+            date_format(timestamp_micros(col("win_hi")), "yyyy-MM-dd HH:mm:ss")
+              .as("window_end"),
+            col("n_purchases"), col("sum_value"))
+          .orderBy("window_start")
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_id, event_type, value, epoch_ns(ts) // 1000 AS tsu
+          FROM events WHERE ts IS NOT NULL
+        ), err AS (
+          SELECT tsu, event_id FROM e WHERE event_type = 'error'
+        ), flagged AS (
+          SELECT tsu, event_id,
+                 CASE WHEN lag(tsu) OVER w IS NULL
+                        OR tsu - lag(tsu) OVER w > 3600000000 THEN 1 ELSE 0 END AS ns
+          FROM err WINDOW w AS (ORDER BY tsu, event_id)
+        ), numbered AS (
+          SELECT tsu, sum(ns) OVER (ORDER BY tsu, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+          FROM flagged
+        ), bursts AS (
+          SELECT min(tsu) AS win_lo, max(tsu) AS win_hi
+          FROM numbered GROUP BY sess HAVING count(*) >= 2
+        ), p AS (SELECT tsu, value FROM e WHERE event_type = 'purchase')
+        SELECT strftime(make_timestamp(b.win_lo), '%Y-%m-%d %H:%M:%S') AS window_start,
+               strftime(make_timestamp(b.win_hi), '%Y-%m-%d %H:%M:%S') AS window_end,
+               count(*) AS n_purchases, round(sum(p.value), 4) AS sum_value
+        FROM bursts b JOIN p ON p.tsu BETWEEN b.win_lo AND b.win_hi
+        GROUP BY b.win_lo, b.win_hi ORDER BY window_start"""),
+      "no-equi-key range join as bucket equi-join; intervals explode, points don't")
   )
 }
