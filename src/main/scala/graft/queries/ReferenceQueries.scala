@@ -668,6 +668,55 @@ object ReferenceQueries {
                count(*) AS n_purchases, round(sum(p.value), 4) AS sum_value
         FROM bursts b JOIN p ON p.tsu BETWEEN b.win_lo AND b.win_hi
         GROUP BY b.win_lo, b.win_hi ORDER BY window_start"""),
-      "no-equi-key range join as bucket equi-join; intervals explode, points don't")
+      "no-equi-key range join as bucket equi-join; intervals explode, points don't"),
+
+    // ---------------------------------------------------------------
+    // Mergeable quantile sketch (graft.ops.QuantileSketch): per-type
+    // value percentiles WITHOUT a per-group sort — fixed-bin histogram
+    // partials built per shard, merged by addition, interpolated at
+    // read. The Spark side deliberately splits the input in two,
+    // sketches each half, and merges — so the oracle (one-pass
+    // histogram + identical interpolation) verifies the MERGE, not
+    // just the happy path.
+    // ---------------------------------------------------------------
+    Q("q71_quantile_sketch",
+      (s, dir) => {
+        val e = events(s, dir)
+        val shards = Seq(0, 1).map(i =>
+          graft.ops.QuantileSketch.sketchPartials(
+            e.filter(pmod(col("user_id"), lit(2)) === i),
+            Seq("event_type"), "value", lo = 0.0, hi = 512.0, nBins = 256))
+        val merged = graft.ops.QuantileSketch.merge(
+          shards.reduce(_ unionByName _), Seq("event_type"))
+        graft.ops.QuantileSketch.estimate(merged, Seq("event_type"),
+            lo = 0.0, hi = 512.0, nBins = 256,
+            qs = Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH b AS (
+          SELECT event_type,
+                 least(greatest(floor((value - 0.0) / 2.0), 0), 255)::BIGINT AS bin,
+                 count(*) AS cnt
+          FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        ), c AS (
+          SELECT event_type, bin, cnt,
+                 sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                   ROWS UNBOUNDED PRECEDING) AS cum,
+                 sum(cnt) OVER (PARTITION BY event_type) AS total
+          FROM b
+        )
+        SELECT event_type,
+               min(CASE WHEN cum - cnt < total * 0.5 AND cum >= total * 0.5
+                     THEN round(0.0 + (bin + (total * 0.5 - (cum - cnt)) / cnt) * 2.0, 4)
+                   END) AS p50,
+               min(CASE WHEN cum - cnt < total * 0.9 AND cum >= total * 0.9
+                     THEN round(0.0 + (bin + (total * 0.9 - (cum - cnt)) / cnt) * 2.0, 4)
+                   END) AS p90,
+               min(CASE WHEN cum - cnt < total * 0.99 AND cum >= total * 0.99
+                     THEN round(0.0 + (bin + (total * 0.99 - (cum - cnt)) / cnt) * 2.0, 4)
+                   END) AS p99
+        FROM c GROUP BY 1 ORDER BY 1"""),
+      "histogram sketch partials merge additively; quantiles from cumsum, no sort")
   )
 }
