@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -25,21 +25,33 @@ import org.apache.spark.sql.functions._
   */
 object QuantileSketch {
 
-  /** Per-(keys, bin) counts. Bin i covers `[lo + i*w, lo + (i+1)*w)`
-    * with `w = (hi-lo)/nBins`; values outside [lo, hi) clamp into the
-    * edge bins (their mass is counted, their position saturates — pick
-    * bounds from domain knowledge or a prior pass). One aggregation:
-    * map-side partials make the shuffle ≤ nBins rows per group. */
+  /** Per-(keys, bin) counts — the sketch's public schema
+    * (`keys..., bin, bin_count`, what gets persisted per increment).
+    * Bin i covers `[lo + i*w, lo + (i+1)*w)` with `w = (hi-lo)/nBins`;
+    * values outside [lo, hi) clamp into the edge bins (their mass is
+    * counted, their position saturates — pick bounds from domain
+    * knowledge or a prior pass). NULLs and NaNs are excluded: a NaN
+    * has no defensible bin ((long)NaN is 0, which would drag LOW
+    * quantiles down for a value every ordering treats as +∞). One
+    * aggregation: map-side partials make the shuffle ≤ nBins rows per
+    * group. */
   def sketchPartials(df: DataFrame, keys: Seq[String], valueCol: String,
       lo: Double, hi: Double, nBins: Int): DataFrame = {
-    require(nBins > 0 && hi > lo, s"need nBins > 0, hi > lo; got $nBins [$lo, $hi)")
+    requireParams(keys, lo, hi, nBins)
     val w = (hi - lo) / nBins
-    df.filter(col(valueCol).isNotNull)
+    df.filter(col(valueCol).isNotNull && !isnan(col(valueCol)))
       .withColumn("bin",
         least(greatest(floor((col(valueCol) - lo) / w), lit(0.0)),
           lit((nBins - 1).toDouble)).cast("long"))
       .groupBy(keys.map(col) :+ col("bin"): _*)
       .agg(count(lit(1)).as("bin_count"))
+  }
+
+  private def requireParams(keys: Seq[String], lo: Double, hi: Double,
+      nBins: Int): Unit = {
+    require(nBins > 0 && hi > lo, s"need nBins > 0, hi > lo; got $nBins [$lo, $hi)")
+    val reserved = keys.toSet.intersect(Set("bin", "bin_count", "__cum", "__total"))
+    require(reserved.isEmpty, s"key columns collide with sketch columns: $reserved")
   }
 
   /** Merge partial sketches (e.g. a union of per-day partials) by
@@ -48,29 +60,36 @@ object QuantileSketch {
     partials.groupBy(keys.map(col) :+ col("bin"): _*)
       .agg(sum(col("bin_count")).as("bin_count"))
 
-  /** Quantile estimates from (merged) partials: per group, the target
-    * rank `t = q * total` lands in the unique bin with
+  /** Quantile estimates from partials: per group, the target rank
+    * `t = q * total` lands in the unique bin with
     * `cum_before < t <= cum`; linear interpolation inside it gives
-    * `lo + (bin + (t - cum_before) / bin_count) * w`. One window + one
-    * groupBy, both partitioned on `keys` — Spark reuses the single
-    * exchange. `qs` maps output column name → quantile in (0, 1]. */
+    * `lo + (bin + (t - cum_before) / bin_count) * w` (full precision —
+    * round at the presentation layer like every other op here).
+    *
+    * Partials are [[merge]]d first, so a raw union of increments is
+    * safe input: duplicate (keys, bin) rows would otherwise make the
+    * cumulative window's tie order — and the estimates —
+    * nondeterministic. The merge, window, and final groupBy all
+    * partition on `keys`, so Spark plans ONE exchange for all three.
+    * `qs` maps output column name → quantile in (0, 1]. */
   def estimate(partials: DataFrame, keys: Seq[String],
       lo: Double, hi: Double, nBins: Int,
       qs: Seq[(String, Double)]): DataFrame = {
+    requireParams(keys, lo, hi, nBins)
     require(qs.nonEmpty && qs.forall { case (_, q) => q > 0 && q <= 1 },
       s"quantiles must be in (0, 1]: $qs")
     val w = (hi - lo) / nBins
     val byKey = Window.partitionBy(keys.map(col): _*)
     val cumW = byKey.orderBy("bin")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = partials
-      .withColumn("cum", sum("bin_count").over(cumW))
-      .withColumn("total", sum("bin_count").over(byKey))
+    val cum = merge(partials, keys)
+      .withColumn("__cum", sum("bin_count").over(cumW))
+      .withColumn("__total", sum("bin_count").over(byKey))
     val aggs = qs.map { case (name, q) =>
-      val t = col("total") * q
-      val before = col("cum") - col("bin_count")
-      min(when(before < t && col("cum") >= t,
-        round(lit(lo) + (col("bin") + (t - before) / col("bin_count")) * w, 4)))
+      val t = col("__total") * q
+      val before = col("__cum") - col("bin_count")
+      min(when(before < t && col("__cum") >= t,
+        lit(lo) + (col("bin") + (t - before) / col("bin_count")) * w))
         .as(name)
     }
     cum.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)

@@ -36,19 +36,36 @@ object RangeJoin {
     * `intervals` whose `[loCol, hiCol]` (inclusive) contains it.
     * Empty/inverted intervals (`hi < lo`) match nothing and are
     * dropped before the explode (`sequence` would count DOWN through
-    * them, fabricating buckets). Output: point columns then interval
-    * columns, one row per containing pair. */
+    * them, fabricating buckets). An interval spanning more than
+    * `maxBandsPerInterval` buckets fails the job with a row-identifying
+    * error instead of silently allocating a giant per-row array (a
+    * corrupt hi = MAX_VALUE sentinel would otherwise kill the stage
+    * with sequence's anonymous array-length error, or OOM below it).
+    * Output: point columns then interval columns, one row per
+    * containing pair. */
   def bandedIntervalJoin(points: DataFrame, intervals: DataFrame,
       ptCol: String, loCol: String, hiCol: String,
-      bandWidth: Long): DataFrame = {
+      bandWidth: Long, maxBandsPerInterval: Long = 1L << 22): DataFrame = {
     require(bandWidth > 0, s"need bandWidth > 0, got $bandWidth")
+    require(maxBandsPerInterval > 0,
+      s"need maxBandsPerInterval > 0, got $maxBandsPerInterval")
     val p = points.withColumn("__pt_band", floorDiv(col(ptCol), bandWidth))
     val i = intervals
       .filter(col(loCol) <= col(hiCol))
-      .withColumn("__iv_band", explode(sequence(
-        floorDiv(col(loCol), bandWidth), floorDiv(col(hiCol), bandWidth))))
+      .withColumn("__lo_band", floorDiv(col(loCol), bandWidth))
+      .withColumn("__hi_band", floorDiv(col(hiCol), bandWidth))
+      // the guard lives INSIDE the consumed expression — a detached
+      // assert_true column would be pruned as unused and never run
+      .withColumn("__iv_band", explode(
+        when(col("__hi_band") - col("__lo_band") < maxBandsPerInterval,
+          sequence(col("__lo_band"), col("__hi_band")))
+          .otherwise(raise_error(format_string(
+            s"RangeJoin: interval [%s, %s] spans %s bands at bandWidth=$bandWidth " +
+              s"(max $maxBandsPerInterval); split the interval or coarsen bandWidth",
+            col(loCol), col(hiCol),
+            col("__hi_band") - col("__lo_band") + 1)))))
     p.join(i, col("__pt_band") === col("__iv_band"))
       .filter(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))
-      .drop("__pt_band", "__iv_band")
+      .drop("__pt_band", "__iv_band", "__lo_band", "__hi_band")
   }
 }

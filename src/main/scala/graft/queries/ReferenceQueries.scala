@@ -686,11 +686,16 @@ object ReferenceQueries {
           graft.ops.QuantileSketch.sketchPartials(
             e.filter(pmod(col("user_id"), lit(2)) === i),
             Seq("event_type"), "value", lo = 0.0, hi = 512.0, nBins = 256))
-        val merged = graft.ops.QuantileSketch.merge(
-          shards.reduce(_ unionByName _), Seq("event_type"))
-        graft.ops.QuantileSketch.estimate(merged, Seq("event_type"),
+        // estimate() merges the raw shard union itself (the misuse-safe
+        // contract); rounding is presentation-layer, mirroring the oracle
+        graft.ops.QuantileSketch.estimate(
+            shards.reduce(_ unionByName _), Seq("event_type"),
             lo = 0.0, hi = 512.0, nBins = 256,
             qs = Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+          .select(col("event_type"),
+            round(col("p50"), 4).as("p50"),
+            round(col("p90"), 4).as("p90"),
+            round(col("p99"), 4).as("p99"))
           .orderBy("event_type")
       },
       Some("""

@@ -44,10 +44,32 @@ class QuantileSketchSpec extends SparkSpec {
     }
   }
 
-  test("out-of-range values clamp into edge bins, mass conserved") {
-    val wild = df(Seq(("a", -50.0), ("a", 1e6), ("a", 10.0)), "k", "v")
+  test("out-of-range values clamp into edge bins, mass conserved; NaN excluded") {
+    val wild = df(Seq(("a", -50.0), ("a", 1e6), ("a", 10.0), ("a", Double.NaN)),
+      "k", "v")
     val p = QuantileSketch.sketchPartials(wild, Seq("k"), "v", lo, hi, bins)
     assert(rowsOf(p.orderBy("bin")) === Seq(
       Seq("a", 0L, 1L), Seq("a", 5L, 1L), Seq("a", 49L, 1L)))
+  }
+
+  test("estimate on a raw unmerged union == estimate on merged partials") {
+    val half1 = QuantileSketch.sketchPartials(
+      data.filter(col("v") < 37), Seq("k"), "v", lo, hi, bins)
+    val half2 = QuantileSketch.sketchPartials(
+      data.filter(col("v") >= 37), Seq("k"), "v", lo, hi, bins)
+    val union = half1.unionByName(half2) // duplicate (k, bin) rows
+    val viaUnion = QuantileSketch.estimate(union, Seq("k"), lo, hi, bins,
+      Seq("p50" -> 0.5, "p90" -> 0.9))
+    val viaMerged = QuantileSketch.estimate(
+      QuantileSketch.merge(union, Seq("k")), Seq("k"), lo, hi, bins,
+      Seq("p50" -> 0.5, "p90" -> 0.9))
+    assert(rowsOf(viaUnion.orderBy("k")) === rowsOf(viaMerged.orderBy("k")))
+  }
+
+  test("key names colliding with sketch columns are rejected up front") {
+    intercept[IllegalArgumentException] {
+      QuantileSketch.sketchPartials(
+        data.withColumnRenamed("k", "bin"), Seq("bin"), "v", lo, hi, bins)
+    }
   }
 }

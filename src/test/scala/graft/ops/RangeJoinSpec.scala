@@ -44,4 +44,15 @@ class RangeJoinSpec extends SparkSpec {
       (10L, "cross_zero"), (10L, "degenerate"), (10L, "wide"),
       (44L, "inner"), (44L, "wide")))
   }
+
+  test("an interval over the fan-out cap fails with a row-identifying error") {
+    val corrupt = df(Seq((0L, Long.MaxValue, "sentinel")), "lo", "hi", "name")
+    val e = intercept[Exception] {
+      RangeJoin.bandedIntervalJoin(points, corrupt, "ts", "lo", "hi",
+        bandWidth = 10L, maxBandsPerInterval = 100L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("split the interval")), e.toString)
+  }
 }
