@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column handling: image/audio/video as opaque `binary`
@@ -39,6 +39,31 @@ object Multimodal {
       col(idCol).cast("long").as("doc_id"),
       lit(mediaType).as("media_type"),
       col(contentCol).cast("binary").as("payload"))
+
+  /** The real on-disk path of the §7.5 mapping: Spark's `binaryFile`
+    * source over a media directory → (path, byte_len, payload). The
+    * source carries file metadata in the SCAN (path/length/modTime),
+    * so a `length < N` or path filter prunes before content bytes are
+    * read; at 100 TB keep payloads out of shuffles — derive features
+    * map-side ([[withFakeDecodeMeta]]/[[decodeStub]] tiers), move only
+    * the derived columns. */
+  def readBinaryFiles(spark: SparkSession, root: String,
+      glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .option("recursiveFileLookup", "true")
+      .load(root)
+      .select(col("path"), col("length").as("byte_len"),
+        col("content").as("payload"))
+
+  /** Magic-byte container sniffing over the payload prefix — the
+    * metadata tier that needs no codec library. */
+  def sniffMagic(payload: Column): Column =
+    when(upper(hex(substring(payload, 1, 2))) === "1F8B", "gzip")
+      .when(upper(hex(substring(payload, 1, 4))) === "89504E47", "png")
+      .when(upper(hex(substring(payload, 1, 2))) === "FFD8", "jpeg")
+      .when(upper(hex(substring(payload, 1, 4))) === "52494646", "riff")
+      .otherwise("unknown")
 
   /** Expression-level fake decode: metadata derived deterministically
     * from the payload hash (md5 hex prefix → dimensions). Replaces a
