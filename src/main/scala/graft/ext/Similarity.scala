@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -258,6 +258,12 @@ object Similarity {
       .toDF("neighbor_id", "vec", "cell_id")
     val probes = probePacked(df.filter(probeFilter), idCol, vecCol, packed, nProbe)
       .toDF("probe_id", "probe_vec", "cell_id")
+    rankCandidates(probes, inv, k)
+  }
+
+  /** Shared IVF tail: probe fan-out ⋈ inverted lists on cell_id, exact
+    * rounded cosine, windowed top-k on candidates only. */
+  private def rankCandidates(probes: DataFrame, inv: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     probes.join(inv, Seq("cell_id"))
@@ -266,5 +272,45 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("probe_id", "neighbor_id", "sim", "rank")
+  }
+
+  // ---------------------------------------------------------------
+  // Persisted IVF index: build once, probe many — the production ANN
+  // lifecycle. The index is two parquet tables under `dir`:
+  //   centroids/  one row per cell (cell_id, centroid)
+  //   cells/      the inverted lists, HIVE-PARTITIONED by cell_id
+  // Partitioning by cell is the point: a probe touches only its
+  // nProbe cell directories, so the steady-state probe path scans
+  // ~nProbe/nCells of the corpus instead of re-assigning all of it
+  // per query batch.
+  // ---------------------------------------------------------------
+
+  /** Build and persist the index: deterministic seed centroids
+    * (optionally Lloyd-refined `refineSteps` times), one corpus assign
+    * pass, inverted lists clustered ONE file per cell (the small-files
+    * lesson — an unclustered partitionBy writes every shuffle
+    * partition into every cell directory). */
+  def writeIvfIndex(df: DataFrame, idCol: String, vecCol: String,
+      dir: String, nCells: Int, refineSteps: Int = 0): Unit = {
+    var cents = ivfCentroids(df, idCol, vecCol, nCells)
+    (0 until refineSteps).foreach { _ =>
+      cents = ivfRefine(ivfAssign(df, idCol, vecCol, cents), vecCol)
+    }
+    val assigned = ivfAssign(df, idCol, vecCol, cents)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"), col("cell_id"))
+    cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    assigned.repartition(col("cell_id"))
+      .write.mode("overwrite").partitionBy("cell_id").parquet(s"$dir/cells")
+  }
+
+  /** ANN top-k for `probes` against a persisted index — no corpus
+    * re-assignment: centroids load (tiny), probe fan-out is map-side,
+    * and the cells scan is pruned to the probed cell partitions. */
+  def ivfTopKFromIndex(spark: SparkSession, dir: String, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val fan = probePacked(probes, idCol, vecCol, packCentroids(cents), nProbe)
+      .toDF("probe_id", "probe_vec", "cell_id")
+    rankCandidates(fan, spark.read.parquet(s"$dir/cells"), k)
   }
 }

@@ -879,6 +879,54 @@ object ExtensionQueries {
                  AS avg_quality_kept
         FROM v GROUP BY 1 ORDER BY 1"""
       },
-      "composed funnel: verdict precedence over LSH dedup + decontam + quality")
+      "composed funnel: verdict precedence over LSH dedup + decontam + quality"),
+
+    // ---------------------------------------------------------------
+    // Similarity: the PERSISTED IVF index lifecycle — build once
+    // (memoized per sf dir, like q53's bucketed tables), probe many.
+    // Probing loads centroids + cell-partitioned inverted lists from
+    // parquet; results must equal q47's inline plan, so the oracle is
+    // the SAME ivfCte SQL.
+    // ---------------------------------------------------------------
+    Q("q72_ivf_index_probe",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val idx = new java.io.File(
+          new java.io.File(sys.props("user.dir"), "target"),
+          s"graft_ivf_idx_$tag").getAbsolutePath
+        ExtensionQueries.synchronized {
+          if (!new java.io.File(s"$idx/cells/_SUCCESS").exists())
+            Similarity.writeIvfIndex(Tables(s, dir, "embeddings"),
+              "vec_id", "embedding", idx, nCells = 16)
+        }
+        Similarity.ivfTopKFromIndex(s, idx,
+            Tables(s, dir, "embeddings").filter(col("vec_id") < 20),
+            "vec_id", "embedding", k = 3, nProbe = 2)
+          .orderBy("probe_id", "rank")
+      },
+      Some(s"""
+        WITH $ivfCte,
+        probec AS (SELECT vec_id AS probe_id, cell_id FROM (
+                     SELECT vec_id, cell_id, row_number() OVER (
+                       PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS r
+                     FROM csim WHERE vec_id < 20) WHERE r <= 2),
+        cand AS (SELECT p.probe_id, a.vec_id AS neighbor_id
+                 FROM probec p JOIN assigned a ON a.cell_id = p.cell_id
+                 WHERE a.vec_id <> p.probe_id),
+        d AS (SELECT c.probe_id, c.neighbor_id, sum(va.x * vb.x) AS dot
+              FROM cand c
+              JOIN v va ON va.vec_id = c.probe_id
+              JOIN v vb ON vb.vec_id = c.neighbor_id AND vb.i = va.i
+              GROUP BY 1, 2),
+        s AS (SELECT probe_id, neighbor_id,
+                     round(dot / (na.nrm * nb.nrm), 4) AS sim,
+                     row_number() OVER (PARTITION BY probe_id
+                       ORDER BY round(dot / (na.nrm * nb.nrm), 4) DESC, neighbor_id) AS rank
+              FROM d
+              JOIN n na ON na.vec_id = probe_id
+              JOIN n nb ON nb.vec_id = neighbor_id)
+        SELECT probe_id, neighbor_id, sim, rank FROM s
+        WHERE rank <= 3 ORDER BY probe_id, rank"""),
+      "persisted IVF index probe == inline IVF; cells partition-pruned at read")
   )
 }

@@ -24,7 +24,8 @@ class PlanAuditSpec extends SparkSpec {
     "q35_cosine_topk" -> "brute-force baseline: corpus scan x broadcast(20 fixed probes)",
     "q42_tfidf" -> "crossJoin(broadcast(n_docs)) — a single-row count",
     "q47_ivf_ann" -> "crossJoin(broadcast(packed centroids)) — one row by construction",
-    "q48_ivf_refine" -> "same single-row packed-centroid pattern as q47")
+    "q48_ivf_refine" -> "same single-row packed-centroid pattern as q47",
+    "q72_ivf_index_probe" -> "probe fan-out over broadcast(packed centroids) — one row loaded from the index")
 
   test("no registered query plans a CartesianProduct or an unjustified nested-loop join") {
     val plans = Registry.all.map { q =>

@@ -199,6 +199,26 @@ class ExtSpec extends SparkSpec {
     assert(ivf.size === brute.size)
   }
 
+  test("persisted IVF index: probe path == inline ivfTopK, one file per cell") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString
+    Similarity.writeIvfIndex(vecs, "vec_id", "embedding", dir, nCells = 5)
+    val fromIndex = rowsOf(Similarity.ivfTopKFromIndex(spark, dir,
+        vecs.filter(col("vec_id") < 5), "vec_id", "embedding", k = 1, nProbe = 3)
+      .orderBy("probe_id"))
+    val inline = rowsOf(Similarity.ivfTopK(vecs, "vec_id", "embedding", k = 1,
+        nCells = 5, nProbe = 3, probeFilter = col("vec_id") < 5)
+      .orderBy("probe_id"))
+    assert(fromIndex === inline)
+    assert(fromIndex.nonEmpty)
+    // clustered write: exactly one data file per cell directory
+    val cellDirs = new java.io.File(s"$dir/cells").listFiles()
+      .filter(_.getName.startsWith("cell_id="))
+    assert(cellDirs.nonEmpty)
+    cellDirs.foreach { d =>
+      assert(d.listFiles().count(_.getName.endsWith(".parquet")) === 1, d.getName)
+    }
+  }
+
   test("winnow gram hash is frozen (hand-derived polynomial value)") {
     // one doc of exactly k=8 normalized chars -> one gram -> its hash
     // must equal sum(ascii * B^(k-1-j)) mod P with B=257
