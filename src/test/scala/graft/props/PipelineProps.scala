@@ -230,6 +230,36 @@ object PipelineProps extends Properties("graft.pipeline") {
     }
 
   // ------------------------------------------------------------------
+  // RangeJoin: the banded equi-join rewrite must equal the all-pairs
+  // theta-join for arbitrary points, intervals, and band widths
+  // (negative domains, empty/inverted intervals, boundary hits).
+  // ------------------------------------------------------------------
+
+  private val rangeGen = Gen.zip(
+    Gen.listOf(Gen.choose(-100L, 100L)),                       // points
+    Gen.listOf(Gen.zip(Gen.choose(-100L, 100L), Gen.choose(-20L, 40L))),
+    Gen.choose(1L, 50L))                                       // bandWidth
+
+  property("bandedIntervalJoin == crossJoin theta twin") =
+    forAll(rangeGen) { case (pts, ivs, w) =>
+      val points = pts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("pid", "ts")
+      val intervals = ivs.zipWithIndex.map { case ((lo, len), i) =>
+        (i.toLong, lo, lo + len) } // len < 0 → inverted: must match nothing
+        .toDF("iid", "lo", "hi")
+      val banded = graft.ops.RangeJoin.bandedIntervalJoin(
+          points, intervals, "ts", "lo", "hi", bandWidth = w)
+        .select("pid", "iid").collect().map(_.toSeq).toSeq.sorted(RowOrd)
+      val naive = points.crossJoin(intervals)
+        .filter(col("ts") >= col("lo") && col("ts") <= col("hi"))
+        .select("pid", "iid").collect().map(_.toSeq).toSeq.sorted(RowOrd)
+      banded == naive
+    }
+
+  private val RowOrd: Ordering[Seq[Any]] =
+    Ordering.by(s => (s(0).asInstanceOf[Long], s(1).asInstanceOf[Long]))
+
+  // ------------------------------------------------------------------
   // Dedup: paragraph dedup invariants — kept-paragraph total equals the
   // corpus-wide distinct paragraph count (each distinct paragraph
   // survives exactly once), the minimum doc id keeps everything, and
