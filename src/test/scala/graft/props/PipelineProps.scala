@@ -260,6 +260,36 @@ object PipelineProps extends Properties("graft.pipeline") {
     Ordering.by(s => (s(0).asInstanceOf[Long], s(1).asInstanceOf[Long]))
 
   // ------------------------------------------------------------------
+  // QuantileSketch: any split of the input, sketched separately and
+  // estimated from the raw union, lands within one bin width of the
+  // exact quantile — merge losslessness and the error bound in one.
+  // ------------------------------------------------------------------
+
+  private val sketchGen = Gen.zip(
+    Gen.nonEmptyListOf(Gen.choose(0.0, 100.0)),
+    Gen.choose(5, 40),       // nBins over [0, 100] → width 2.5 .. 20
+    Gen.choose(0.05, 0.95))  // split point as a fraction
+
+  property("quantile sketch: split+union estimate within one bin of exact") =
+    forAll(sketchGen) { case (vals, nBins, cut) =>
+      val d = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      val lo = 0.0; val hi = 100.0
+      val w = (hi - lo) / nBins
+      val thresh = lo + (hi - lo) * cut
+      val parts = graft.ops.QuantileSketch.sketchPartials(
+          d.filter(col("v") < thresh), Seq.empty, "v", lo, hi, nBins)
+        .unionByName(graft.ops.QuantileSketch.sketchPartials(
+          d.filter(col("v") >= thresh), Seq.empty, "v", lo, hi, nBins))
+      val est = graft.ops.QuantileSketch.estimate(parts, Seq.empty, lo, hi, nBins,
+        Seq("p25" -> 0.25, "p75" -> 0.75)).collect().head
+      val sorted = vals.sorted
+      def exact(q: Double) = sorted(math.ceil(q * vals.size).toInt - 1)
+      (1 to 2).zip(Seq(0.25, 0.75)).forall { case (i, q) =>
+        math.abs(est.getDouble(i - 1) - exact(q)) <= w + 1e-9
+      }
+    }
+
+  // ------------------------------------------------------------------
   // Dedup: paragraph dedup invariants — kept-paragraph total equals the
   // corpus-wide distinct paragraph count (each distinct paragraph
   // survives exactly once), the minimum doc id keeps everything, and
