@@ -292,11 +292,21 @@ object Similarity {
     * partition into every cell directory). */
   def writeIvfIndex(df: DataFrame, idCol: String, vecCol: String,
       dir: String, nCells: Int, refineSteps: Int = 0): Unit = {
-    var cents = ivfCentroids(df, idCol, vecCol, nCells)
+    // Localize each corpus-wide derivation the moment it is bounded
+    // (nCells rows): without this, every downstream consumer —
+    // centroids/ write, each refine step, the final assign — would
+    // RE-EXECUTE the corpus lineage (the double-execution pitfall
+    // ivfTopK documents); with it, the build runs exactly one corpus
+    // pass per refine step plus one for the assign.
+    def localize(d: DataFrame): DataFrame =
+      d.sparkSession.createDataFrame(
+        java.util.Arrays.asList(d.collect(): _*), d.schema)
+    var cents = localize(ivfCentroids(df, idCol, vecCol, nCells))
     (0 until refineSteps).foreach { _ =>
-      cents = ivfRefine(ivfAssign(df, idCol, vecCol, cents), vecCol)
+      cents = localize(ivfRefine(
+        assignPacked(df, idCol, vecCol, packCentroids(cents)), vecCol))
     }
-    val assigned = ivfAssign(df, idCol, vecCol, cents)
+    val assigned = assignPacked(df, idCol, vecCol, packCentroids(cents))
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"), col("cell_id"))
     cents.write.mode("overwrite").parquet(s"$dir/centroids")
     assigned.repartition(col("cell_id"))
@@ -311,6 +321,10 @@ object Similarity {
     val cents = spark.read.parquet(s"$dir/centroids")
     val fan = probePacked(probes, idCol, vecCol, packCentroids(cents), nProbe)
       .toDF("probe_id", "probe_vec", "cell_id")
-    rankCandidates(fan, spark.read.parquet(s"$dir/cells"), k)
+    // partition-column inference narrows cell_id to int when the ids
+    // fit — pin it back to the long the rest of the pipeline carries
+    val cells = spark.read.parquet(s"$dir/cells")
+      .withColumn("cell_id", col("cell_id").cast("long"))
+    rankCandidates(fan, cells, k)
   }
 }

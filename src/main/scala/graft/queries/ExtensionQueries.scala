@@ -106,6 +106,33 @@ object ExtensionQueries {
                      PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS r
                    FROM csim) WHERE r = 1)"""
 
+  /** Shared IVF probe/rank oracle tail (probes vec_id < 20, nProbe = 2,
+    * k = 3) appended after [[ivfCte]] — q47 (inline plan) and q72
+    * (persisted index) intentionally verify against the byte-identical
+    * SQL, so a tweak here reaches both. */
+  private val ivfProbeSql = """
+        probec AS (SELECT vec_id AS probe_id, cell_id FROM (
+                     SELECT vec_id, cell_id, row_number() OVER (
+                       PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS r
+                     FROM csim WHERE vec_id < 20) WHERE r <= 2),
+        cand AS (SELECT p.probe_id, a.vec_id AS neighbor_id
+                 FROM probec p JOIN assigned a ON a.cell_id = p.cell_id
+                 WHERE a.vec_id <> p.probe_id),
+        d AS (SELECT c.probe_id, c.neighbor_id, sum(va.x * vb.x) AS dot
+              FROM cand c
+              JOIN v va ON va.vec_id = c.probe_id
+              JOIN v vb ON vb.vec_id = c.neighbor_id AND vb.i = va.i
+              GROUP BY 1, 2),
+        s AS (SELECT probe_id, neighbor_id,
+                     round(dot / (na.nrm * nb.nrm), 4) AS sim,
+                     row_number() OVER (PARTITION BY probe_id
+                       ORDER BY round(dot / (na.nrm * nb.nrm), 4) DESC, neighbor_id) AS rank
+              FROM d
+              JOIN n na ON na.vec_id = probe_id
+              JOIN n nb ON nb.vec_id = neighbor_id)
+        SELECT probe_id, neighbor_id, sim, rank FROM s
+        WHERE rank <= 3 ORDER BY probe_id, rank"""
+
   val all: Seq[Q] = Seq(
 
     // ---------------------------------------------------------------
@@ -375,29 +402,7 @@ object ExtensionQueries {
           "vec_id", "embedding", k = 3, nCells = 16, nProbe = 2,
           probeFilter = col("vec_id") < 20)
         .orderBy("probe_id", "rank"),
-      Some(s"""
-        WITH $ivfCte,
-        probec AS (SELECT vec_id AS probe_id, cell_id FROM (
-                     SELECT vec_id, cell_id, row_number() OVER (
-                       PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS r
-                     FROM csim WHERE vec_id < 20) WHERE r <= 2),
-        cand AS (SELECT p.probe_id, a.vec_id AS neighbor_id
-                 FROM probec p JOIN assigned a ON a.cell_id = p.cell_id
-                 WHERE a.vec_id <> p.probe_id),
-        d AS (SELECT c.probe_id, c.neighbor_id, sum(va.x * vb.x) AS dot
-              FROM cand c
-              JOIN v va ON va.vec_id = c.probe_id
-              JOIN v vb ON vb.vec_id = c.neighbor_id AND vb.i = va.i
-              GROUP BY 1, 2),
-        s AS (SELECT probe_id, neighbor_id,
-                     round(dot / (na.nrm * nb.nrm), 4) AS sim,
-                     row_number() OVER (PARTITION BY probe_id
-                       ORDER BY round(dot / (na.nrm * nb.nrm), 4) DESC, neighbor_id) AS rank
-              FROM d
-              JOIN n na ON na.vec_id = probe_id
-              JOIN n nb ON nb.vec_id = neighbor_id)
-        SELECT probe_id, neighbor_id, sim, rank FROM s
-        WHERE rank <= 3 ORDER BY probe_id, rank"""),
+      Some(s"WITH $ivfCte, $ivfProbeSql"),
       "IVF-Flat ANN: broadcast-packed centroids, map-side assign, cell equi-join"),
 
     // ---------------------------------------------------------------
@@ -890,10 +895,15 @@ object ExtensionQueries {
     // ---------------------------------------------------------------
     Q("q72_ivf_index_probe",
       (s, dir) => {
+        // memo key = sanitized dir + source-table mtime: a regenerated
+        // embeddings.parquet (new mtime) forces a rebuild instead of
+        // silently probing a stale index, and the mtime disambiguates
+        // any dirs the sanitizer would collide
         val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val stamp = new java.io.File(dir, "embeddings.parquet").lastModified()
         val idx = new java.io.File(
           new java.io.File(sys.props("user.dir"), "target"),
-          s"graft_ivf_idx_$tag").getAbsolutePath
+          s"graft_ivf_idx_${tag}_$stamp").getAbsolutePath
         ExtensionQueries.synchronized {
           if (!new java.io.File(s"$idx/cells/_SUCCESS").exists())
             Similarity.writeIvfIndex(Tables(s, dir, "embeddings"),
@@ -904,29 +914,7 @@ object ExtensionQueries {
             "vec_id", "embedding", k = 3, nProbe = 2)
           .orderBy("probe_id", "rank")
       },
-      Some(s"""
-        WITH $ivfCte,
-        probec AS (SELECT vec_id AS probe_id, cell_id FROM (
-                     SELECT vec_id, cell_id, row_number() OVER (
-                       PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS r
-                     FROM csim WHERE vec_id < 20) WHERE r <= 2),
-        cand AS (SELECT p.probe_id, a.vec_id AS neighbor_id
-                 FROM probec p JOIN assigned a ON a.cell_id = p.cell_id
-                 WHERE a.vec_id <> p.probe_id),
-        d AS (SELECT c.probe_id, c.neighbor_id, sum(va.x * vb.x) AS dot
-              FROM cand c
-              JOIN v va ON va.vec_id = c.probe_id
-              JOIN v vb ON vb.vec_id = c.neighbor_id AND vb.i = va.i
-              GROUP BY 1, 2),
-        s AS (SELECT probe_id, neighbor_id,
-                     round(dot / (na.nrm * nb.nrm), 4) AS sim,
-                     row_number() OVER (PARTITION BY probe_id
-                       ORDER BY round(dot / (na.nrm * nb.nrm), 4) DESC, neighbor_id) AS rank
-              FROM d
-              JOIN n na ON na.vec_id = probe_id
-              JOIN n nb ON nb.vec_id = neighbor_id)
-        SELECT probe_id, neighbor_id, sim, rank FROM s
-        WHERE rank <= 3 ORDER BY probe_id, rank"""),
+      Some(s"WITH $ivfCte, $ivfProbeSql"),
       "persisted IVF index probe == inline IVF; cells partition-pruned at read")
   )
 }
