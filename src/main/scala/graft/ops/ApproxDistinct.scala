@@ -23,11 +23,15 @@ import org.apache.spark.sql.functions._
 object ApproxDistinct {
 
   /** One HLL sketch per group — the mergeable partial. Store next to
-    * additive partials (counts/min/max) in the increment's parquet. */
+    * additive partials (counts/min/max) in the increment's parquet.
+    * `lgConfigK` sizes the sketch: it stays EXACT while distincts fit
+    * its set mode (≈ 2^(lgConfigK-2)), then estimates at ±~1.04/√2^lgK
+    * — pick it from the expected per-group cardinality (the sketch is
+    * 2^lgConfigK nibbles, so oversizing is cheap insurance). */
   def sketchPartials(df: DataFrame, keys: Seq[String], value: Column,
-      sketchCol: String = "distinct_sketch"): DataFrame =
+      sketchCol: String = "distinct_sketch", lgConfigK: Int = 12): DataFrame =
     df.groupBy(keys.map(col): _*)
-      .agg(hll_sketch_agg(value).as(sketchCol))
+      .agg(hll_sketch_agg(value, lit(lgConfigK)).as(sketchCol))
 
   /** Union partial sketches across increments and estimate the global
     * distinct count per group. */

