@@ -213,6 +213,27 @@ object Dedup {
     out
   }
 
+  /** Incremental exact dedup — the daily-ingest reality: which NEW
+    * documents survive against an already-deduped HISTORY (and against
+    * each other)? The history participates only as its fingerprint
+    * column (what [[exactGroups]] materializes per increment — persist
+    * those, never re-read old text), so the cost per increment is one
+    * anti-join on the fp plus a first-occurrence window WITHIN the
+    * increment. At 100 TB the anti-join's history side is a
+    * fingerprint-only table a fraction of corpus size, and
+    * [[graft.ops.BloomPrune]] composes in front of it when even that
+    * shuffle needs shrinking. */
+  def dedupIncrement(increment: DataFrame, historyFps: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy("__fp").orderBy(col(idCol))
+    increment
+      .withColumn("__fp", md5(col(textCol).cast("binary")))
+      .join(historyFps.select(col("fp").as("__fp")), Seq("__fp"), "left_anti")
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .select(col(idCol), col("__fp").as("fp"))
+  }
+
   /** Paragraph-level dedup: split each document into fixed
     * `paraTokens`-token windows ("paragraphs" — this corpus carries no
     * paragraph delimiter, so the fixed window is the configurable

@@ -915,6 +915,49 @@ object ExtensionQueries {
           .orderBy("probe_id", "rank")
       },
       Some(s"WITH $ivfCte, $ivfProbeSql"),
-      "persisted IVF index probe == inline IVF; cells partition-pruned at read")
+      "persisted IVF index probe == inline IVF; cells partition-pruned at read"),
+
+    // ---------------------------------------------------------------
+    // Dedup: INCREMENTAL — a new batch dedups against the kept
+    // history's fingerprints (never its text) plus itself. The corpus
+    // has no natural exact dups, so the increment plants two kinds:
+    // copies of history docs (must drop via the anti-join) and a
+    // second copy of some fresh docs (must drop via the in-increment
+    // window; the original id wins).
+    // ---------------------------------------------------------------
+    Q("q73_dedup_increment",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val history = docs.filter(col("doc_id") % 3 =!= 0)
+        val fresh = docs.filter(col("doc_id") % 3 === 0)
+          .select("doc_id", "text")
+        val increment = fresh
+          .unionByName(history.filter(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+          .unionByName(fresh.filter(col("doc_id") % 7 === 0)
+            .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+        Dedup.dedupIncrement(increment,
+            Dedup.exactGroups(history, "doc_id", "text").select("fp"),
+            "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH hist AS (SELECT md5(text) AS fp FROM documents WHERE doc_id % 3 <> 0),
+        inc AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+          UNION ALL
+          SELECT doc_id + 100000, text FROM documents
+          WHERE doc_id % 3 <> 0 AND doc_id % 5 = 0
+          UNION ALL
+          SELECT doc_id + 200000, text FROM documents
+          WHERE doc_id % 3 = 0 AND doc_id % 7 = 0
+        ),
+        k AS (SELECT doc_id, md5(text) AS fp,
+                     row_number() OVER (PARTITION BY md5(text)
+                                        ORDER BY doc_id) AS r
+              FROM inc
+              WHERE md5(text) NOT IN (SELECT fp FROM hist))
+        SELECT doc_id, fp FROM k WHERE r = 1 ORDER BY doc_id"""),
+      "increment anti-joins history FINGERPRINTS + dedups itself; old text never re-read")
   )
 }

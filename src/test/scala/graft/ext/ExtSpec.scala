@@ -39,6 +39,22 @@ class ExtSpec extends SparkSpec {
       Seq(3L, 1L, 1L, md5hex("x y z"))))
   }
 
+  test("dedupIncrement: history fps drop copies, increment dedups itself") {
+    val history = df(Seq((1L, "seen before"), (2L, "also seen")), "doc_id", "text")
+    val inc = df(Seq(
+      (10L, "brand new"),
+      (11L, "seen before"),   // exact copy of history doc 1 → drops
+      (12L, "twice in batch"),
+      (13L, "twice in batch") // in-increment dup → 12 wins
+    ), "doc_id", "text")
+    val out = rowsOf(Dedup.dedupIncrement(inc,
+        Dedup.exactGroups(history, "doc_id", "text").select("fp"),
+        "doc_id", "text")
+      .orderBy("doc_id"))
+    assert(out.map(_.head) === Seq(10L, 12L))
+    assert(out.forall(_(1).asInstanceOf[String].length == 32)) // md5 hex fps
+  }
+
   test("simhashPairs: banded plan == all-pairs plan (pigeonhole recall)") {
     val sh = Dedup.simhash(docs, "doc_id", "text")
     val banded = rowsOf(Dedup.simhashPairs(sh, "doc_id", maxHamming = 6)
