@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 
 /** Streaming exact dedup — the incremental twin of
   * [[graft.ext.Dedup.exactGroups]]'s batch semantics (q30).
@@ -25,4 +26,20 @@ object StreamingDedup {
       lateness: String = "1 hour"): DataFrame =
     df.withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Streaming twin of [[graft.ext.Dedup.dedupIncrement]]: dedup a
+    * document stream against a STATIC history-fingerprint table (the
+    * persisted output of prior increments) and then against itself.
+    * The stream-static anti-join runs per micro-batch against the
+    * small fp-only table (broadcast when it fits); in-stream dedup
+    * keys on the 16-byte hash with watermark-bounded state. The
+    * lateness window is the exactness contract: a duplicate arriving
+    * later than `lateness` after its first sighting re-emits. */
+  def dedupStreamVsHistory(stream: DataFrame, historyFps: DataFrame,
+      tsCol: String, textCol: String,
+      lateness: String = "1 hour"): DataFrame =
+    dedupStream(
+      stream.withColumn("fp", md5(col(textCol).cast("binary")))
+        .join(historyFps.select(col("fp")), Seq("fp"), "left_anti"),
+      tsCol, Seq("fp"), lateness)
 }

@@ -53,4 +53,28 @@ class StreamingDedupSpec extends SparkSpec {
     // first-seen text survives for the deduped key
     assert(got.filter(col("doc_hash") === "h2").head().getAs[String]("text") === "beta")
   }
+
+  test("stream vs history: history copies never emit, stream dedups itself") {
+    val base = Files.createTempDirectory("graft-sdedup-hist").toString
+    val (root, out, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
+    val t0 = 1700000000L
+    writeCsv(root, "a.csv", Seq(
+      s"x,$t0,seen before",        // exact text already in history
+      s"x,${t0 + 10},brand new",   // novel
+      s"x,${t0 + 20},twice",       // in-stream dup pair
+      s"x,${t0 + 30},twice"))
+    val history = df(Seq(Tuple1("seen before"), Tuple1("old other")), "text")
+      .select(md5(col("text").cast("binary")).as("fp"))
+    val stream = spark.readStream.option("header", "true").schema(schema)
+      .csv(root)
+      .select(timestamp_seconds(col("t")).as("ts"), col("text"))
+    val q = StreamingDedup.dedupStreamVsHistory(stream, history, "ts", "text",
+        lateness = "10 minutes")
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(rowsOf(spark.read.parquet(out).select("text").orderBy("text")) ===
+      Seq(Seq("brand new"), Seq("twice")))
+  }
 }
