@@ -919,11 +919,11 @@ object ExtensionQueries {
 
     // ---------------------------------------------------------------
     // Dedup: INCREMENTAL — a new batch dedups against the kept
-    // history's fingerprints (never its text) plus itself. The corpus
-    // has no natural exact dups, so the increment plants two kinds:
-    // copies of history docs (must drop via the anti-join) and a
-    // second copy of some fresh docs (must drop via the in-increment
-    // window; the original id wins).
+    // history's fingerprints (never its text) plus itself. Natural
+    // exact dups are absent at the gate scales (and rare at sf0.1),
+    // so the increment PLANTS two kinds: copies of history docs (must
+    // drop via the anti-join) and a second copy of some fresh docs
+    // (must drop via the in-increment window; the original id wins).
     // ---------------------------------------------------------------
     Q("q73_dedup_increment",
       (s, dir) => {
@@ -956,7 +956,10 @@ object ExtensionQueries {
                      row_number() OVER (PARTITION BY md5(text)
                                         ORDER BY doc_id) AS r
               FROM inc
-              WHERE md5(text) NOT IN (SELECT fp FROM hist))
+              -- NOT EXISTS, not NOT IN: matches left_anti's NULL
+              -- semantics (a null fp is kept, and a null in hist
+              -- doesn't poison the whole predicate)
+              WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.fp = md5(inc.text)))
         SELECT doc_id, fp FROM k WHERE r = 1 ORDER BY doc_id"""),
       "increment anti-joins history FINGERPRINTS + dedups itself; old text never re-read")
   )

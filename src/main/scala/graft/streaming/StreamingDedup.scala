@@ -32,7 +32,9 @@ object StreamingDedup {
     * persisted output of prior increments) and then against itself.
     * The stream-static anti-join runs per micro-batch against the
     * small fp-only table (broadcast when it fits); in-stream dedup
-    * keys on the 16-byte hash with watermark-bounded state. The
+    * keys on the md5 hex string (32 chars — `unhex` it to halve
+    * per-key state if the corpus pushes state size) with
+    * watermark-bounded state. The
     * lateness window is the exactness contract: a duplicate arriving
     * later than `lateness` after its first sighting re-emits. */
   def dedupStreamVsHistory(stream: DataFrame, historyFps: DataFrame,

@@ -65,16 +65,30 @@ class StreamingDedupSpec extends SparkSpec {
       s"x,${t0 + 30},twice"))
     val history = df(Seq(Tuple1("seen before"), Tuple1("old other")), "text")
       .select(md5(col("text").cast("binary")).as("fp"))
-    val stream = spark.readStream.option("header", "true").schema(schema)
-      .csv(root)
-      .select(timestamp_seconds(col("t")).as("ts"), col("text"))
-    val q = StreamingDedup.dedupStreamVsHistory(stream, history, "ts", "text",
-        lateness = "10 minutes")
-      .writeStream.outputMode("append").format("parquet")
-      .option("path", out).option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    def runOnceVsHistory(): Unit = {
+      val stream = spark.readStream.option("header", "true").schema(schema)
+        .csv(root)
+        .select(timestamp_seconds(col("t")).as("ts"), col("text"))
+      val q = StreamingDedup.dedupStreamVsHistory(stream, history, "ts", "text",
+          lateness = "10 minutes")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnceVsHistory()
     assert(rowsOf(spark.read.parquet(out).select("text").orderBy("text")) ===
       Seq(Seq("brand new"), Seq("twice")))
+
+    // second micro-batch: another history copy + a repeat of an
+    // already-emitted stream doc (state survives the restart) + a
+    // genuinely new doc — only the new doc may emit
+    writeCsv(root, "b.csv", Seq(
+      s"x,${t0 + 40},old other",
+      s"x,${t0 + 50},brand new",
+      s"x,${t0 + 60},second wave"))
+    runOnceVsHistory()
+    assert(rowsOf(spark.read.parquet(out).select("text").orderBy("text")) ===
+      Seq(Seq("brand new"), Seq("second wave"), Seq("twice")))
   }
 }
