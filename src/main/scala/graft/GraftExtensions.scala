@@ -78,6 +78,28 @@ object GraftExtensions {
           graft.ext.Curation.emailRe, "<EMAIL>"),
           graft.ext.Curation.phoneRe, "<PHONE>"),
           graft.ext.Curation.ipRe, "<IP>")
+      }), (
+      FunctionIdentifier("det_hash52"),
+      info("det_hash52",
+        "_FUNC_(expr) - deterministic 52-bit hash (md5-hex prefix) of expr's " +
+          "string form; bit-identical in DuckDB — the reproducible-sampling / " +
+          "bucketing key (graft.ext.DetHash.hash52). " +
+          "e.g. WHERE _FUNC_(id) % 1000000 < 250000 keeps a stable 25% sample"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          s"det_hash52 requires exactly 1 argument, got ${args.length}")
+        // built as a concrete Catalyst tree (a bridged functions._
+        // Column stays unresolved inside a registry builder); shape
+        // MUST mirror DetHash.hash52: conv(substr(md5(bin), 1, 13), 16, 10)
+        import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, Literal, Md5, Substring}
+        import org.apache.spark.sql.types.{BinaryType, LongType, StringType}
+        Cast(
+          Conv(
+            Substring(
+              Md5(Cast(Cast(args(0), StringType), BinaryType)),
+              Literal(1), Literal(13)),
+            Literal(16), Literal(10)),
+          LongType)
       }))
 
   /** Register everything into a LIVE session (the extensions hook only

@@ -64,6 +64,28 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(viaSql === Seq("clean", "mail <EMAIL>, call <PHONE>, host <IP>"))
   }
 
+  test("register(spark): det_hash52 in SQL == Column API, stable sample") {
+    GraftExtensions.register(spark)
+    val d = df((1L to 200L).map(Tuple1(_)), "id")
+    d.createOrReplaceTempView("dh")
+    val viaSql = spark.sql("SELECT id, det_hash52(id) AS h FROM dh ORDER BY id")
+      .collect().map(_.getLong(1)).toSeq
+    val viaCol = d.select(col("id"),
+        graft.ext.DetHash.hash52(col("id").cast("string")).as("h"))
+      .orderBy("id").collect().map(_.getLong(1)).toSeq
+    assert(viaSql === viaCol)
+    // the documented reproducible-sampling idiom returns the same rows
+    // as Curation.stratifiedSample with a single stratum
+    val viaSqlSample = spark.sql(
+      "SELECT id FROM dh WHERE det_hash52(id) % 1000000 < 250000 ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    val viaOp = graft.ext.Curation.stratifiedSample(
+        d.withColumn("s", lit("a")), "id", "s", Map("a" -> 0.25))
+      .orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(viaSqlSample === viaOp)
+    assert(viaSqlSample.nonEmpty && viaSqlSample.size < 200)
+  }
+
   test("register(spark): stats_bundle in SQL == built-in aggregates") {
     GraftExtensions.register(spark)
     df(Seq(Tuple1(1.0), Tuple1(2.0), Tuple1(3.0), Tuple1(4.0)), "v")
