@@ -180,6 +180,65 @@ object TextAnalysis {
       .filter(col("shared") >= minShared)
   }
 
+  /** Conjunctive boolean retrieval over the token inverted index:
+    * documents containing ALL of `terms`. The postings "index" is the
+    * distinct (token, doc) projection of the token explode; intersection
+    * of the per-term postings lists is a groupBy-count over the terms
+    * hit — one shuffle on doc id, with the `isin` pushed into the scan
+    * so only matching postings ever leave the map side. Returns
+    * (idCol, n_terms_hit) with n_terms_hit == terms.size for every row. */
+  def searchConjunctive(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "need at least one search term")
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .filter(col("token").isInCollection(terms))
+      .select(idCol, "token").distinct()
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_terms_hit"))
+      .filter(col("n_terms_hit") === terms.size)
+  }
+
+  /** BM25 ranked retrieval (Okapi, Lucene idf variant) for one query of
+    * `terms` over the corpus.
+    *
+    * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    * with idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)), dl = whitespace
+    * token count, avgdl its corpus mean.
+    *
+    * Shape: the token explode is filtered to the query's terms BEFORE
+    * any aggregation, so tf and df shuffles carry only matching
+    * postings (per-term, not per-corpus, cardinality); doc length comes
+    * from a map-side `size(tokens)` (no shuffle); N and avgdl are a
+    * one-row broadcast; df (≤ |terms| rows) broadcasts onto tf. One
+    * real shuffle on (doc, token), one on doc for the final sum. */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      topK: Int = 10): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    val withDl = docs.select(col(idCol), col(textCol),
+      size(tokens(col(textCol))).cast("double").as("dl"))
+    val corpus = withDl.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val post = withDl.select(col(idCol), col("dl"),
+        explode(tokens(col(textCol))).as("token"))
+      .filter(col("token").isInCollection(terms))
+    val tf = post.groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))
+    val dfreq = post.select(col(idCol), col("token")).distinct()
+      .groupBy("token").agg(count(lit(1)).cast("double").as("df"))
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val termScore = idf * col("tf") * lit(k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    tf.join(broadcast(dfreq), "token")
+      .crossJoin(broadcast(corpus))
+      .groupBy(idCol)
+      .agg(round(sum(termScore), 4).as("score"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(topK)
+  }
+
   /** tf-idf: term frequencies joined to document frequencies; idf =
     * ln(N / df). One explode + two aggregations. The tf ⋈ df join keys
     * on `token` with NO broadcast hint: at web scale the vocabulary is

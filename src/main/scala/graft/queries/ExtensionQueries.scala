@@ -44,6 +44,17 @@ object ExtensionQueries {
   private val sqlAgree: String =
     DetHash.minhashCoeffs.indices.map(j => s"(sa.m$j = sb.m$j)::INT").mkString(" + ")
 
+  /** Frozen count-min parameters for q74 — shared by the Spark plan and
+    * the generated oracle so the two sides cannot drift. */
+  private val cmsWidth = 4096
+  private val cmsDepth = 3
+  private val cmsMin = 500L
+
+  /** Frozen query-term sets for the retrieval queries (drawn from the
+    * synthetic corpus vocabulary). */
+  private val bm25Terms = Seq("hash", "join", "vector")
+  private val boolTerms = Seq("hash", "join", "vector", "window")
+
   /** Frozen mixture weights for q60 (per `source` stratum); the oracle
     * CASE is generated from the SAME map so the two sides cannot drift. */
   private val sampleFracs: Map[String, Double] =
@@ -961,6 +972,131 @@ object ExtensionQueries {
               -- doesn't poison the whole predicate)
               WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.fp = md5(inc.text)))
         SELECT doc_id, fp FROM k WHERE r = 1 ORDER BY doc_id"""),
-      "increment anti-joins history FINGERPRINTS + dedups itself; old text never re-read")
+      "increment anti-joins history FINGERPRINTS + dedups itself; old text never re-read"),
+
+    // ---------------------------------------------------------------
+    // Count-min heavy hitters: the frequency member of the mergeable-
+    // sketch family (HLL=q54, quantile=q71, bloom=q68). The oracle
+    // rebuilds the SAME sketch (buckets generated from the same frozen
+    // seeds/width) so estimates compare exactly; the exact count rides
+    // along to show the overestimate-only contract (est >= exact,
+    // equal when no full-collision — the regime at this width).
+    // ---------------------------------------------------------------
+    Q("q74_heavy_hitters",
+      (s, dir) => {
+        val toks = Tables(s, dir, "documents")
+          .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+          .persist()
+        val hh = graft.ops.FreqSketch.heavyHitters(
+          toks, "token", width = cmsWidth, depth = cmsDepth, minCount = cmsMin)
+        val exact = toks.groupBy("token").agg(count(lit(1)).as("exact"))
+        hh.join(exact, "token")
+          .select("token", "est", "exact")
+          .orderBy("token")
+      },
+      Some {
+        val sk = (0 until cmsDepth).map { r =>
+          s"""SELECT $r AS depth, ${graft.ops.FreqSketch.sqlBucket("token", r, cmsWidth)} AS bucket,
+                     count(*) AS cnt FROM tok GROUP BY 1, 2"""
+        }.mkString(" UNION ALL ")
+        val pb = (0 until cmsDepth).map { r =>
+          s"""SELECT token, $r AS depth,
+                     ${graft.ops.FreqSketch.sqlBucket("token", r, cmsWidth)} AS bucket FROM probes"""
+        }.mkString(" UNION ALL ")
+        s"""
+        WITH tok AS (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS token
+                     FROM documents),
+        sk AS ($sk),
+        probes AS (SELECT DISTINCT token FROM tok),
+        pb AS ($pb),
+        est AS (SELECT token, min(cnt) AS est
+                FROM pb JOIN sk USING (depth, bucket) GROUP BY 1),
+        exact AS (SELECT token, count(*) AS exact FROM tok GROUP BY 1)
+        SELECT token, est, exact FROM est JOIN exact USING (token)
+        WHERE est >= $cmsMin ORDER BY token"""
+      },
+      "count-min sketch: depth×width counters, additive merge, min-over-rows estimate"),
+
+    // ---------------------------------------------------------------
+    // BM25 ranked retrieval (Okapi, Lucene idf). Postings are filtered
+    // to the query's terms BEFORE any aggregation, so the tf/df
+    // shuffles carry per-term (not per-corpus) cardinality; N+avgdl
+    // are a one-row broadcast, df a ≤|terms|-row broadcast.
+    // ---------------------------------------------------------------
+    Q("q75_bm25",
+      (s, dir) => TextAnalysis.bm25(Tables(s, dir, "documents"),
+          "doc_id", "text", bm25Terms, k1 = 1.2, b = 0.75, topK = 20)
+        .select("doc_id", "score", "n_terms_hit"),
+      Some {
+        val termList = bm25Terms.map(t => s"'$t'").mkString(", ")
+        s"""
+        WITH d AS (SELECT doc_id,
+                          len(string_split_regex(lower(text), '\\s+'))::DOUBLE AS dl
+                   FROM documents),
+        corpus AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM d),
+        post AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS token
+                 FROM documents),
+        fpost AS (SELECT * FROM post WHERE token IN ($termList)),
+        tf AS (SELECT doc_id, token, count(*)::DOUBLE AS tf FROM fpost GROUP BY 1, 2),
+        dfq AS (SELECT token, count(DISTINCT doc_id)::DOUBLE AS df FROM fpost GROUP BY 1)
+        SELECT doc_id,
+               round(sum(ln(1.0 + (c.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+                         * tf.tf * 2.2
+                         / (tf.tf + 1.2 * (0.25 + 0.75 * d.dl / c.avgdl))), 4) AS score,
+               count(*) AS n_terms_hit
+        FROM tf JOIN dfq USING (token) JOIN d USING (doc_id) CROSS JOIN corpus c
+        GROUP BY doc_id
+        ORDER BY score DESC, doc_id LIMIT 20"""
+      },
+      "BM25: postings filtered to query terms pre-shuffle; broadcast df + corpus stats"),
+
+    // ---------------------------------------------------------------
+    // Conjunctive boolean retrieval: docs containing ALL query terms,
+    // via distinct-postings intersection (groupBy-count over terms
+    // hit). The isin filter is pushed into the scan.
+    // ---------------------------------------------------------------
+    Q("q76_bool_search",
+      (s, dir) => TextAnalysis.searchConjunctive(Tables(s, dir, "documents"),
+          "doc_id", "text", boolTerms)
+        .orderBy("doc_id"),
+      Some {
+        val termList = boolTerms.map(t => s"'$t'").mkString(", ")
+        s"""
+        WITH post AS (SELECT DISTINCT doc_id,
+                             unnest(string_split_regex(lower(text), '\\s+')) AS token
+                      FROM documents)
+        SELECT doc_id, count(*) AS n_terms_hit
+        FROM post WHERE token IN ($termList)
+        GROUP BY 1 HAVING count(*) = ${boolTerms.size}
+        ORDER BY doc_id"""
+      },
+      "postings-intersection AND-search; one shuffle on doc id"),
+
+    // ---------------------------------------------------------------
+    // Bounded per-group top-k via a mergeable Aggregator: the buffer
+    // holds at most k entries, so the partial→final shuffle carries
+    // ≤ k rows per (group × map partition) instead of sorting every
+    // row per group like the window-function form the oracle uses.
+    // ---------------------------------------------------------------
+    Q("q77_grouped_topk",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events").filter(col("value").isNotNull)
+        ev.groupBy("event_type")
+          .agg(graft.functions.TopKAggregator.topK(3, col("value"), col("event_id")).as("top"))
+          .select(col("event_type"), posexplode(col("top")))
+          .select(col("event_type"), (col("pos") + 1).cast("long").as("rank"),
+            col("col.value").as("value"), col("col.tag").as("event_id"))
+          .orderBy("event_type", "rank")
+      },
+      Some("""
+        SELECT event_type, rank, value, event_id FROM (
+          SELECT event_type,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY value DESC, event_id) AS rank,
+                 value, event_id
+          FROM events WHERE value IS NOT NULL)
+        WHERE rank <= 3 ORDER BY event_type, rank"""),
+      "map-side bounded top-k partials vs the oracle's full per-group sort")
   )
+
 }
