@@ -68,4 +68,44 @@ object RangeJoin {
       .filter(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))
       .drop("__pt_band", "__iv_band", "__lo_band", "__hi_band")
   }
+
+  /** Interval × interval OVERLAP join (inclusive bounds): every pair
+    * `(l, r)` with `l.lo <= r.hi && r.lo <= l.hi`, as an equi-join.
+    * Both sides explode across their bucket span; a pair overlapping
+    * across several shared buckets would meet in each one, so the join
+    * keeps only the bucket equal to `greatest(l_lo_band, r_lo_band)` —
+    * the FIRST bucket the pair can share — making the emit unique
+    * without a distinct pass. Same fan-out economics and hot-interval
+    * guard as [[bandedIntervalJoin]], paid on both sides.
+    *
+    * Output: left columns then right columns (caller disambiguates
+    * shared names upstream). */
+  def bandedOverlapJoin(left: DataFrame, right: DataFrame,
+      lLoCol: String, lHiCol: String, rLoCol: String, rHiCol: String,
+      bandWidth: Long, maxBandsPerInterval: Long = 1L << 22): DataFrame = {
+    require(bandWidth > 0, s"need bandWidth > 0, got $bandWidth")
+    require(maxBandsPerInterval > 0,
+      s"need maxBandsPerInterval > 0, got $maxBandsPerInterval")
+    def banded(df: DataFrame, loCol: String, hiCol: String,
+        bandCol: String, loBandCol: String): DataFrame =
+      df.filter(col(loCol) <= col(hiCol))
+        .withColumn(loBandCol, floorDiv(col(loCol), bandWidth))
+        .withColumn("__hi_band", floorDiv(col(hiCol), bandWidth))
+        .withColumn(bandCol, explode(
+          when(col("__hi_band") - col(loBandCol) < maxBandsPerInterval,
+            sequence(col(loBandCol), col("__hi_band")))
+            .otherwise(raise_error(format_string(
+              s"RangeJoin: interval [%s, %s] spans %s bands at bandWidth=$bandWidth " +
+                s"(max $maxBandsPerInterval); split the interval or coarsen bandWidth",
+              col(loCol), col(hiCol),
+              col("__hi_band") - col(loBandCol) + 1)))))
+        .drop("__hi_band")
+    val l = banded(left, lLoCol, lHiCol, "__l_band", "__l_lo_band")
+    val r = banded(right, rLoCol, rHiCol, "__r_band", "__r_lo_band")
+    l.join(r, col("__l_band") === col("__r_band"))
+      // emit-once: of all shared buckets, only the first
+      .filter(col("__l_band") === greatest(col("__l_lo_band"), col("__r_lo_band")))
+      .filter(col(lLoCol) <= col(rHiCol) && col(rLoCol) <= col(lHiCol))
+      .drop("__l_band", "__r_band", "__l_lo_band", "__r_lo_band")
+  }
 }

@@ -725,6 +725,84 @@ object ReferenceQueries {
                      THEN round(0.0 + (bin + (total * 0.99 - (cum - cnt)) / cnt) * 2.0, 4)
                    END) AS p99
         FROM c GROUP BY 1 ORDER BY 1"""),
-      "histogram sketch partials merge additively; quantiles from cumsum, no sort")
+      "histogram sketch partials merge additively; quantiles from cumsum, no sort"),
+
+    // ---------------------------------------------------------------
+    // Banded interval-OVERLAP join (RangeJoin.bandedOverlapJoin): which
+    // user sessions were live during each error-burst window — interval
+    // × interval with no equi key. Both sides explode across time
+    // buckets; a pair meets once (emit-once = first shared bucket), so
+    // no distinct pass. Bursts reuse q70's derivation; sessions are the
+    // q52 gap rule per user.
+    // ---------------------------------------------------------------
+    Q("q78_overlap_join",
+      (s, dir) => {
+        val e = events(s, dir).select(
+          col("event_id"), col("user_id"), col("event_type"), col("value"),
+          expr("unix_micros(cast(ts as timestamp))").as("tsu"))
+          .filter(col("tsu").isNotNull)
+        val bursts = graft.streaming.Sessionize.batch(
+            e.filter(col("event_type") === "error").withColumn("user_id", lit(0L)),
+            gapUs = 3600L * 1000000L)
+          .filter(col("n_events") >= 2)
+          .select(col("session_start_us").as("win_lo"),
+            col("session_end_us").as("win_hi"))
+        val sessions = graft.streaming.Sessionize.batch(
+            e, gapUs = 1800L * 1000000L)
+          .filter(col("n_events") >= 3)
+          .select(col("user_id"), col("session_start_us").as("s_lo"),
+            col("session_end_us").as("s_hi"))
+        graft.ops.RangeJoin.bandedOverlapJoin(
+            bursts, sessions, "win_lo", "win_hi", "s_lo", "s_hi",
+            bandWidth = 3600L * 1000000L)
+          .groupBy("win_lo", "win_hi")
+          .agg(count(lit(1)).as("n_sessions"),
+            countDistinct("user_id").as("n_users"))
+          .select(
+            date_format(timestamp_micros(col("win_lo")), "yyyy-MM-dd HH:mm:ss")
+              .as("window_start"),
+            date_format(timestamp_micros(col("win_hi")), "yyyy-MM-dd HH:mm:ss")
+              .as("window_end"),
+            col("n_sessions"), col("n_users"))
+          .orderBy("window_start")
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_id, user_id, event_type, value, epoch_ns(ts) // 1000 AS tsu
+          FROM events WHERE ts IS NOT NULL
+        ), err AS (
+          SELECT tsu, event_id FROM e WHERE event_type = 'error'
+        ), eflag AS (
+          SELECT tsu, event_id,
+                 CASE WHEN lag(tsu) OVER w IS NULL
+                        OR tsu - lag(tsu) OVER w > 3600000000 THEN 1 ELSE 0 END AS ns
+          FROM err WINDOW w AS (ORDER BY tsu, event_id)
+        ), enum AS (
+          SELECT tsu, sum(ns) OVER (ORDER BY tsu, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+          FROM eflag
+        ), bursts AS (
+          SELECT min(tsu) AS win_lo, max(tsu) AS win_hi
+          FROM enum GROUP BY sess HAVING count(*) >= 2
+        ), sflag AS (
+          SELECT user_id, tsu, event_id,
+                 CASE WHEN lag(tsu) OVER w IS NULL
+                        OR tsu - lag(tsu) OVER w > 1800000000 THEN 1 ELSE 0 END AS ns
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+        ), snum AS (
+          SELECT user_id, tsu, sum(ns) OVER (PARTITION BY user_id
+            ORDER BY tsu, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+          FROM sflag
+        ), sess AS (
+          SELECT user_id, min(tsu) AS s_lo, max(tsu) AS s_hi
+          FROM snum GROUP BY user_id, sess HAVING count(*) >= 3
+        )
+        SELECT strftime(make_timestamp(b.win_lo), '%Y-%m-%d %H:%M:%S') AS window_start,
+               strftime(make_timestamp(b.win_hi), '%Y-%m-%d %H:%M:%S') AS window_end,
+               count(*) AS n_sessions, count(DISTINCT s.user_id) AS n_users
+        FROM bursts b JOIN sess s ON b.win_lo <= s.s_hi AND s.s_lo <= b.win_hi
+        GROUP BY b.win_lo, b.win_hi ORDER BY window_start"""),
+      "interval-overlap as bucket equi-join with emit-once first-shared-bucket rule")
   )
 }

@@ -23,6 +23,7 @@ class PlanAuditSpec extends SparkSpec {
     "q18_routing" -> "broadcast theta-join against the fixed routing-spec table",
     "q35_cosine_topk" -> "brute-force baseline: corpus scan x broadcast(20 fixed probes)",
     "q42_tfidf" -> "crossJoin(broadcast(n_docs)) — a single-row count",
+    "q75_bm25" -> "crossJoin(broadcast(corpus N+avgdl)) — a single-row aggregate",
     "q47_ivf_ann" -> "crossJoin(broadcast(packed centroids)) — one row by construction",
     "q48_ivf_refine" -> "same single-row packed-centroid pattern as q47",
     "q72_ivf_index_probe" -> "probe fan-out over broadcast(packed centroids) — one row loaded from the index")

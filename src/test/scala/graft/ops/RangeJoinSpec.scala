@@ -45,6 +45,36 @@ class RangeJoinSpec extends SparkSpec {
       (44L, "inner"), (44L, "wide")))
   }
 
+  private def rights = df(Seq(
+    (-40L, -28L, "r_neg"),      // overlaps only `neg`
+    (-12L, 2L, "r_bridge"),     // overlaps neg, cross_zero, wide
+    (10L, 10L, "r_point"),      // instant: cross_zero, degenerate, wide
+    (90L, 95L, "r_past"),       // past wide's hi=89: nothing
+    (44L, 50L, "r_edge")), "rlo", "rhi", "rname") // inner hi boundary + wide
+
+  private def naiveOverlap =
+    intervals.crossJoin(rights)
+      .filter(col("lo") <= col("rhi") && col("rlo") <= col("hi"))
+
+  test("overlap join == cross-join theta twin for any bandWidth") {
+    for (w <- Seq(1L, 7L, 10L, 1000L)) {
+      val banded = RangeJoin.bandedOverlapJoin(
+        intervals, rights, "lo", "hi", "rlo", "rhi", bandWidth = w)
+      assert(rowsOf(banded.orderBy("name", "rname")) ===
+        rowsOf(naiveOverlap.orderBy("name", "rname")), s"bandWidth=$w")
+    }
+  }
+
+  test("overlap pairs sharing many buckets still emit exactly once") {
+    // wide [0,89] and r [5,85] share 9 buckets at bandWidth=10
+    val out = RangeJoin.bandedOverlapJoin(
+      intervals, df(Seq((5L, 85L, "r_wide")), "rlo", "rhi", "rname"),
+      "lo", "hi", "rlo", "rhi", bandWidth = 10L)
+    val names = rowsOf(out).map(r => (r(2).toString, r(5).toString)).sorted
+    assert(names === Seq(("cross_zero", "r_wide"), ("degenerate", "r_wide"),
+      ("inner", "r_wide"), ("wide", "r_wide")))
+  }
+
   test("an interval over the fan-out cap fails with a row-identifying error") {
     val corrupt = df(Seq((0L, Long.MaxValue, "sentinel")), "lo", "hi", "name")
     val e = intercept[Exception] {
