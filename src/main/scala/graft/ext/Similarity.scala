@@ -54,6 +54,47 @@ object Similarity {
       .select("probe_id", "neighbor_id", "sim", "rank")
   }
 
+  /** Scalar int8 quantization of the embedding column: per-vector
+    * scale = max|x| / 127, components rounded to [-127, 127]. The
+    * 4× storage cut (and the integer dot products it enables) is the
+    * standard first rung of the ANN memory ladder (IVF-PQ being the
+    * next). Cosine needs NO dequantization: the per-vector scales
+    * cancel, so similarity on the int arrays equals similarity on the
+    * dequantized vectors — and because int8 dots are EXACT in doubles
+    * (≤ 127²·dim ≪ 2⁵³), the quantized cosine is bit-deterministic
+    * under any accumulation order, which float embeddings are not.
+    * All-zero vectors quantize to all zeros (scale 0 guard). */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol),
+        (array_max(transform(col(vecCol), x => abs(x.cast("double")))) / 127.0)
+          .as("q_scale"),
+        col(vecCol))
+      .withColumn("qvec",
+        when(col("q_scale") === 0.0,
+          transform(col(vecCol), _ => lit(0)))
+          .otherwise(transform(col(vecCol),
+            x => round(x.cast("double") / col("q_scale")).cast("int"))))
+      .drop(vecCol)
+
+  /** Brute-force top-k over int8-quantized vectors — [[bruteForceTopK]]
+    * with the similarity computed on the quantized arrays (cast to
+    * double for the fused cosine expression; values stay exact). */
+  def quantizedTopK(corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = quantizeInt8(corpus, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("qvec").cast("array<double>").as("vec"))
+    val p = quantizeInt8(probes, idCol, vecCol)
+      .select(col(idCol).as("probe_id"), col("qvec").cast("array<double>").as("probe_vec"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("qsim").desc, col("neighbor_id"))
+    c.crossJoin(broadcast(p))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("qsim", round(cosine(col("probe_vec"), col("vec")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("probe_id", "neighbor_id", "qsim", "rank")
+  }
+
   /** All near-duplicate pairs by cosine threshold, ALL-PAIRS form:
     * O(n²) BroadcastNestedLoopJoin — small data / oracle twin ONLY.
     * The registered scale path is [[nearDupPairsLsh]]. */

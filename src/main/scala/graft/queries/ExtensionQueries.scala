@@ -1096,7 +1096,48 @@ object ExtensionQueries {
                  value, event_id
           FROM events WHERE value IS NOT NULL)
         WHERE rank <= 3 ORDER BY event_type, rank"""),
-      "map-side bounded top-k partials vs the oracle's full per-group sort")
+      "map-side bounded top-k partials vs the oracle's full per-group sort"),
+
+    // ---------------------------------------------------------------
+    // Int8-quantized ANN: per-vector max-abs/127 scalar quantization
+    // (the 4× storage rung under IVF), then brute-force cosine on the
+    // QUANTIZED vectors — scales cancel, int8 dots are exact in
+    // doubles, so the oracle reproduces every similarity bit-exactly
+    // whatever the accumulation order (stronger than the float paths,
+    // which lean on round(4)).
+    // ---------------------------------------------------------------
+    Q("q79_quantized_ann",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.quantizedTopK(emb, emb.filter(col("vec_id") < 20),
+            "vec_id", "embedding", k = 5)
+          .orderBy("probe_id", "rank")
+      },
+      Some("""
+        WITH sc AS (SELECT vec_id,
+                           list_max([abs(x::DOUBLE) for x in embedding]) / 127.0 AS s
+                    FROM embeddings),
+        q AS (SELECT e.vec_id,
+                     CASE WHEN sc.s = 0 THEN [0 for x in e.embedding]
+                          ELSE [round(x::DOUBLE / sc.s)::INT for x in e.embedding]
+                     END AS qv
+              FROM embeddings e JOIN sc USING (vec_id)),
+        v AS (SELECT vec_id, generate_subscripts(qv, 1) AS i, unnest(qv)::DOUBLE AS x
+              FROM q),
+        n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM v GROUP BY vec_id),
+        d AS (SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id, sum(a.x * b.x) AS dot
+              FROM v a JOIN v b ON a.i = b.i AND a.vec_id < 20 AND b.vec_id <> a.vec_id
+              GROUP BY 1, 2),
+        s AS (SELECT probe_id, neighbor_id,
+                     round(dot / (na.nrm * nb.nrm), 4) AS qsim,
+                     row_number() OVER (PARTITION BY probe_id
+                       ORDER BY round(dot / (na.nrm * nb.nrm), 4) DESC, neighbor_id) AS rank
+              FROM d
+              JOIN n na ON na.vec_id = probe_id
+              JOIN n nb ON nb.vec_id = neighbor_id)
+        SELECT probe_id, neighbor_id, qsim, rank FROM s
+        WHERE rank <= 5 ORDER BY probe_id, rank"""),
+      "int8 scalar quantization; scales cancel in cosine; exact integer dots")
   )
 
 }

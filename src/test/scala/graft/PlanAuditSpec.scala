@@ -22,6 +22,7 @@ class PlanAuditSpec extends SparkSpec {
   private val bnljAllowed = Map(
     "q18_routing" -> "broadcast theta-join against the fixed routing-spec table",
     "q35_cosine_topk" -> "brute-force baseline: corpus scan x broadcast(20 fixed probes)",
+    "q79_quantized_ann" -> "same fixed-probe broadcast shape as q35, on int8-quantized vectors",
     "q42_tfidf" -> "crossJoin(broadcast(n_docs)) — a single-row count",
     "q75_bm25" -> "crossJoin(broadcast(corpus N+avgdl)) — a single-row aggregate",
     "q47_ivf_ann" -> "crossJoin(broadcast(packed centroids)) — one row by construction",

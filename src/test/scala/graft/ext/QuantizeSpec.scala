@@ -1,0 +1,68 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+final case class Vec(vec_id: Long, embedding: Seq[Float])
+
+class QuantizeSpec extends SparkSpec {
+
+  private def cosine(a: Seq[Float], b: Seq[Float]): Double = {
+    val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+    val dot = ad.zip(bd).map { case (x, y) => x * y }.sum
+    dot / (math.sqrt(ad.map(x => x * x).sum) * math.sqrt(bd.map(x => x * x).sum))
+  }
+
+  test("quantized components are within [-127, 127] and max-abs hits 127") {
+    val out = Similarity.quantizeInt8(
+        df(Seq(Vec(1, Seq(0.5f, -1.0f, 0.25f)))), "vec_id", "embedding")
+      .select("qvec").collect()(0).getSeq[Int](0)
+    assert(out == Seq(64, -127, 32))
+  }
+
+  test("all-zero vectors quantize to all zeros, not NaN") {
+    val out = Similarity.quantizeInt8(
+        df(Seq(Vec(1, Seq(0.0f, 0.0f)))), "vec_id", "embedding")
+      .select("qvec").collect()(0).getSeq[Int](0)
+    assert(out == Seq(0, 0))
+  }
+
+  test("quantized cosine approximates float cosine within the int8 error bound") {
+    val rnd = new scala.util.Random(7)
+    def vec(): Seq[Float] = Seq.fill(16)((rnd.nextDouble() * 10 - 5).toFloat)
+    val pairs = Seq.fill(20)((vec(), vec()))
+      .filter { case (a, b) =>
+        a.map(x => x * x.toDouble).sum > 1.0 && b.map(x => x * x.toDouble).sum > 1.0 }
+    val d = df(pairs.zipWithIndex.flatMap { case ((a, b), i) =>
+      Seq(Vec(2L * i, a), Vec(2L * i + 1, b)) })
+    // one plan for all pairs: probe 2i against corpus {2i, 2i+1} is not
+    // expressible in topK directly, so compute qsim per pair by joining
+    // the quantized frames on the pair index
+    val q = Similarity.quantizeInt8(d, "vec_id", "embedding")
+      .withColumn("pair", (col("vec_id") / 2).cast("long"))
+      .withColumn("side", col("vec_id") % 2)
+    val sims = q.filter(col("side") === 0).select(col("pair"), col("qvec").as("qa"))
+      .join(q.filter(col("side") === 1).select(col("pair"), col("qvec").as("qb")), "pair")
+      .select(col("pair"), Similarity.cosine(
+        col("qa").cast("array<double>"), col("qb").cast("array<double>")).as("qsim"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    pairs.zipWithIndex.foreach { case ((a, b), i) =>
+      // worst-case per-component error 0.5/127 ≈ 0.4%; cosine of
+      // 16-dim vectors stays within a conservative 0.05
+      assert(math.abs(sims(i.toLong) - cosine(a, b)) < 0.05,
+        s"pair $i: qsim=${sims(i.toLong)} cos=${cosine(a, b)}")
+    }
+  }
+
+  test("already-quantized vectors round-trip exactly (scales cancel)") {
+    // components that are exact multiples of maxabs/127
+    val a = Seq(127f, -64f, 32f, 0f)
+    val b = Seq(64f, 127f, -8f, 16f)
+    val d = df(Seq(Vec(1, a), Vec(2, b)))
+    val out = Similarity.quantizedTopK(d, d.filter(col("vec_id") === 1),
+        "vec_id", "embedding", k = 1)
+      .select("qsim").collect()(0).getDouble(0)
+    assert(out == math.rint(cosine(a, b) * 10000) / 10000)
+  }
+}
