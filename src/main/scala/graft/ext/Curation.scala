@@ -93,6 +93,30 @@ object Curation {
     df.filter(DetHash.hash52(col(idCol).cast("string")) % 1000000L < threshold)
   }
 
+  /** Weighted sampling without replacement, k per stratum
+    * (Efraimidis–Spirakis): each row draws a deterministic uniform
+    * u ∈ (0, 1] from hash52(id) and ranks by ln(u)/weight — the log of
+    * the ES key u^(1/w), same order without the pow — and the top k
+    * keys per stratum are the sample. Inclusion probability scales
+    * with weight, selection is exactly reproducible across runs,
+    * retries, and engines (the DuckDB twin draws the same u), and the
+    * plan is one window shuffle on the stratum — the weighted
+    * complement of [[stratifiedSample]]'s Bernoulli. Null or
+    * non-positive weights drop (they have no defensible key). */
+  def weightedSample(df: DataFrame, idCol: String, stratumCol: String,
+      weightCol: String, k: Int): DataFrame = {
+    require(k > 0, s"need k > 0, got $k")
+    val u = (DetHash.hash52(col(idCol).cast("string")) + 1).cast("double") /
+      4503599627370496.0 // 2^52 — u in (0, 1], so ln(u) is finite
+    val w = Window.partitionBy(stratumCol)
+      .orderBy(col("__es_key").desc, col(idCol))
+    df.filter(col(weightCol).isNotNull && col(weightCol).cast("double") > 0)
+      .withColumn("__es_key", log(u) / col(weightCol).cast("double"))
+      .withColumn("__es_rank", row_number().over(w))
+      .filter(col("__es_rank") <= k)
+      .drop("__es_key", "__es_rank")
+  }
+
   // ------------------------------------------------------------------
   // Sequence packing.
   // ------------------------------------------------------------------

@@ -1137,7 +1137,32 @@ object ExtensionQueries {
               JOIN n nb ON nb.vec_id = neighbor_id)
         SELECT probe_id, neighbor_id, qsim, rank FROM s
         WHERE rank <= 5 ORDER BY probe_id, rank"""),
-      "int8 scalar quantization; scales cancel in cosine; exact integer dots")
+      "int8 scalar quantization; scales cancel in cosine; exact integer dots"),
+
+    // ---------------------------------------------------------------
+    // Weighted sampling without replacement (Efraimidis–Spirakis),
+    // k per source stratum, weight = document length: inclusion odds
+    // scale with weight, selection is hash-deterministic (the oracle
+    // draws the SAME uniforms), one window shuffle on the stratum.
+    // ---------------------------------------------------------------
+    Q("q80_weighted_sample",
+      (s, dir) => Curation.weightedSample(Tables(s, dir, "documents"),
+          "doc_id", "source", "n_chars", k = 10)
+        .select("source", "doc_id", "n_chars")
+        .orderBy("source", "doc_id"),
+      Some(s"""
+        WITH w AS (
+          SELECT source, doc_id, n_chars,
+                 ln((${DetHash.sqlHash52("doc_id::VARCHAR")} + 1)::DOUBLE
+                    / 4503599627370496.0) / n_chars::DOUBLE AS es_key
+          FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+        SELECT source, doc_id, n_chars FROM (
+          SELECT source, doc_id, n_chars,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY es_key DESC, doc_id) AS r
+          FROM w)
+        WHERE r <= 10 ORDER BY source, doc_id"""),
+      "ES keys ln(u)/w from deterministic uniforms; top-k per stratum")
   )
 
 }

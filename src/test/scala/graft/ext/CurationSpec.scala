@@ -36,6 +36,33 @@ class CurationSpec extends SparkSpec {
       Seq(4L, "clean text with no identifiers", 0)))
   }
 
+  test("weightedSample: k per stratum, dominant weight always wins, deterministic") {
+    val d = df((1L to 40L).map(i =>
+      (i, if (i <= 20) "a" else "b", if (i == 7L) 1e9 else 1.0)),
+      "id", "s", "w")
+    val out = Curation.weightedSample(d, "id", "s", "w", k = 5)
+    val byStratum = out.collect().groupBy(_.getString(1))
+    assert(byStratum("a").length == 5 && byStratum("b").length == 5)
+    // weight 1e9 vs 1: ln(u)/1e9 ~ 0⁻ beats every unit-weight key
+    assert(byStratum("a").map(_.getLong(0)).contains(7L))
+    // deterministic across partitionings
+    val again = Curation.weightedSample(d.repartition(7), "id", "s", "w", k = 5)
+    assert(out.collect().map(_.toSeq).toSet == again.collect().map(_.toSeq).toSet)
+    // short stratum returns all its rows
+    val small = Curation.weightedSample(d.filter(col("id") <= 3), "id", "s", "w", 5)
+    assert(small.count() == 3)
+  }
+
+  test("weightedSample drops null and non-positive weights") {
+    val d = df(Seq((1L, "a", java.lang.Double.valueOf(2.0)),
+      (2L, "a", java.lang.Double.valueOf(0.0)),
+      (3L, "a", java.lang.Double.valueOf(-1.0)),
+      (4L, "a", null.asInstanceOf[java.lang.Double])), "id", "s", "w")
+    val kept = Curation.weightedSample(d, "id", "s", "w", 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L))
+  }
+
   test("stratifiedSample: fraction 1 keeps a stratum, 0/absent drops it, deterministic") {
     val d = df((1L to 100L).map(i => (i, if (i % 2 == 0) "a" else "b")),
       "id", "s")
