@@ -803,6 +803,53 @@ object ReferenceQueries {
                count(*) AS n_sessions, count(DISTINCT s.user_id) AS n_users
         FROM bursts b JOIN sess s ON b.win_lo <= s.s_hi AND s.s_lo <= b.win_hi
         GROUP BY b.win_lo, b.win_hi ORDER BY window_start"""),
-      "interval-overlap as bucket equi-join with emit-once first-shared-bucket rule")
+      "interval-overlap as bucket equi-join with emit-once first-shared-bucket rule"),
+
+    // ---------------------------------------------------------------
+    // Conversion funnel (graft.ops.Funnel): view → click → purchase
+    // with earliest-strictly-after semantics, as cascaded per-stage
+    // min-aggregations — one equi-join + groupBy per stage, each
+    // carrying only its own event type; no per-user event arrays.
+    // Delay averages run on exact integer micros (sums < 2^53), so the
+    // cross-engine double division is bit-stable.
+    // ---------------------------------------------------------------
+    Q("q81_funnel",
+      (s, dir) => {
+        val e = events(s, dir).select(
+          col("user_id"), col("event_type"),
+          expr("unix_micros(cast(ts as timestamp))").as("tsu"))
+          .filter(col("tsu").isNotNull)
+        graft.ops.Funnel.stageTimes(e, "user_id", "tsu", "event_type",
+            Seq("view", "click", "purchase"))
+          .agg(
+            count(col("t1")).as("n_view"),
+            count(col("t2")).as("n_click"),
+            count(col("t3")).as("n_purchase"),
+            round(avg(col("t2") - col("t1")) / 1000000.0, 2).as("avg_view_to_click_s"),
+            round(avg(col("t3") - col("t2")) / 1000000.0, 2).as("avg_click_to_purchase_s"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_type, epoch_ns(ts) // 1000 AS tsu
+          FROM events WHERE ts IS NOT NULL
+        ), s1 AS (
+          SELECT user_id, min(tsu) AS t1 FROM e
+          WHERE event_type = 'view' GROUP BY 1
+        ), s2 AS (
+          SELECT e.user_id, min(tsu) AS t2 FROM e JOIN s1 USING (user_id)
+          WHERE event_type = 'click' AND tsu > t1 GROUP BY 1
+        ), s3 AS (
+          SELECT e.user_id, min(tsu) AS t3 FROM e JOIN s2 USING (user_id)
+          WHERE event_type = 'purchase' AND tsu > t2 GROUP BY 1
+        ), f AS (
+          SELECT s1.user_id, t1, t2, t3
+          FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        )
+        SELECT count(t1) AS n_view, count(t2) AS n_click,
+               count(t3) AS n_purchase,
+               round(avg(t2 - t1) / 1000000.0, 2) AS avg_view_to_click_s,
+               round(avg(t3 - t2) / 1000000.0, 2) AS avg_click_to_purchase_s
+        FROM f"""),
+      "cascaded min-agg funnel; per-stage filtered shuffles, no event arrays")
   )
 }
