@@ -23,8 +23,12 @@ import graft.functions.{CosineSimilarity, StatsAggregator, WinnowFingerprints}
   * and `stats_bundle(v)` gives the one-pass Welford/Chan stats struct.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.expressions.foreach(ext.injectFunction)
+    // logical rewrites (opt-in by conf): BETWEEN theta-join → banded
+    // equi-join (graft.plans.RangeJoinRewrite)
+    ext.injectOptimizerRule(graft.plans.RangeJoinRewrite(_))
+  }
 }
 
 object GraftExtensions {
@@ -113,5 +117,12 @@ object GraftExtensions {
       spark.sessionState.functionRegistry.registerFunction(id, fnInfo, builder)
     }
     spark.udf.register("stats_bundle", functions.udaf(StatsAggregator))
+    // the optimizer-rule surface for live sessions (extension injection
+    // only applies at session build); idempotent like the functions
+    val already = spark.experimental.extraOptimizations
+      .exists(_.isInstanceOf[graft.plans.RangeJoinRewrite])
+    if (!already)
+      spark.experimental.extraOptimizations ++=
+        Seq(graft.plans.RangeJoinRewrite(spark))
   }
 }
