@@ -180,6 +180,48 @@ object TextAnalysis {
       .filter(col("shared") >= minShared)
   }
 
+  /** Bigram language-model quality score (the CCNet-style perplexity
+    * filter): train add-one-smoothed bigram probabilities on the corpus
+    * itself, then score each document by the mean log-probability of
+    * its bigrams — repetitive or templated text scores HIGH (its
+    * bigrams are corpus-frequent), word salad scores LOW.
+    *
+    * score(d) = mean over bigrams (w1,w2) of
+    *   ln( (c(w1,w2) + 1) / (c(w1) + V) )
+    * with V = distinct-unigram count.
+    *
+    * Shape: bigram and unigram count tables are corpus aggregations
+    * (one shuffle each, map-side combined); the per-doc score joins
+    * each document bigram to the two count tables — both keyed joins,
+    * with the unigram side dim-sized (vocabulary) and V a one-row
+    * broadcast. No all-pairs stage; the model "training" IS the
+    * counting, so increments can reuse persisted count partials (they
+    * merge by addition like every sketch here). */
+  def lmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol), tokens(col(textCol)).as("t"))
+    val bigrams = toks
+      .select(col(idCol), explode(
+        when(size(col("t")) >= 2,
+          transform(sequence(lit(0), size(col("t")) - 2),
+            i => struct(element_at(col("t"), i + 1).as("w1"),
+              element_at(col("t"), i + 2).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bgCounts = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val uniCounts = toks.select(explode(col("t")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = uniCounts.agg(count(lit(1)).as("v"))
+    bigrams
+      .join(bgCounts, Seq("w1", "w2"))
+      .join(uniCounts, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(idCol)
+      .agg(
+        round(avg(log((col("c12") + 1).cast("double") / (col("c1") + col("v")))), 4)
+          .as("lm_score"),
+        count(lit(1)).as("n_bigrams"))
+  }
+
   /** Conjunctive boolean retrieval over the token inverted index:
     * documents containing ALL of `terms`. The postings "index" is the
     * distinct (token, doc) projection of the token explode; intersection

@@ -1162,7 +1162,34 @@ object ExtensionQueries {
                                     ORDER BY es_key DESC, doc_id) AS r
           FROM w)
         WHERE r <= 10 ORDER BY source, doc_id"""),
-      "ES keys ln(u)/w from deterministic uniforms; top-k per stratum")
+      "ES keys ln(u)/w from deterministic uniforms; top-k per stratum"),
+
+    // ---------------------------------------------------------------
+    // Bigram LM quality score (CCNet-style perplexity filter): add-one
+    // smoothed bigram log-probs trained on the corpus itself, mean per
+    // document. Count tables are corpus aggregations that merge by
+    // addition; the scoring pass is two keyed joins + one broadcast.
+    // ---------------------------------------------------------------
+    Q("q82_lm_score",
+      (s, dir) => TextAnalysis.lmScore(Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""
+        WITH tok AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+                     FROM documents),
+        bg AS (SELECT doc_id,
+                      unnest([t[i] for i in range(1, len(t))]) AS w1,
+                      unnest([t[i + 1] for i in range(1, len(t))]) AS w2
+               FROM tok WHERE len(t) >= 2),
+        c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+        c1 AS (SELECT w1, count(*) AS c1
+               FROM (SELECT unnest(t) AS w1 FROM tok) GROUP BY 1),
+        v AS (SELECT count(*) AS v FROM c1)
+        SELECT doc_id,
+               round(avg(ln((c12 + 1)::DOUBLE / (c1 + v))), 4) AS lm_score,
+               count(*) AS n_bigrams
+        FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+        GROUP BY 1 ORDER BY doc_id"""),
+      "corpus-trained smoothed bigram log-prob mean; counts merge additively")
   )
 
 }

@@ -25,6 +25,7 @@ class PlanAuditSpec extends SparkSpec {
     "q79_quantized_ann" -> "same fixed-probe broadcast shape as q35, on int8-quantized vectors",
     "q42_tfidf" -> "crossJoin(broadcast(n_docs)) — a single-row count",
     "q75_bm25" -> "crossJoin(broadcast(corpus N+avgdl)) — a single-row aggregate",
+    "q82_lm_score" -> "crossJoin(broadcast(vocab size)) — a single-row count",
     "q47_ivf_ann" -> "crossJoin(broadcast(packed centroids)) — one row by construction",
     "q48_ivf_refine" -> "same single-row packed-centroid pattern as q47",
     "q72_ivf_index_probe" -> "probe fan-out over broadcast(packed centroids) — one row loaded from the index")

@@ -27,6 +27,20 @@ class TextSearchSpec extends SparkSpec {
     assert(hits == Set(1L, 3L, 5L))
   }
 
+  test("lmScore: corpus-frequent bigrams outscore rare ones; hand-check one doc") {
+    val corpus = df(Seq(
+      Doc(1, "a b a b"), Doc(2, "a b a b"), Doc(3, "a b c d"), Doc(4, "x y")))
+    val out = TextAnalysis.lmScore(df(corpus.collect().map(r =>
+        Doc(r.getLong(0), r.getString(1))).toSeq), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    // "a b" appears 5x corpus-wide; docs made of it beat the rare-bigram docs
+    assert(out(1L)._1 > out(3L)._1 && out(3L)._1 > out(4L)._1)
+    assert(out(1L)._2 == 3L && out(4L)._2 == 1L)
+    // hand check doc 4: V=6 distinct unigrams {a,b,c,d,x,y};
+    // bigram (x,y): c12=1, c1(x)=1 → ln(2/7)
+    assert(math.abs(out(4L)._1 - math.rint(math.log(2.0 / 7.0) * 10000) / 10000) < 1e-9)
+  }
+
   test("bm25 ranks full-match short docs above partial matches and long docs") {
     val out = TextAnalysis.bm25(df(docs), "doc_id", "text",
         Seq("hash", "join", "vector"), topK = 5)
