@@ -850,6 +850,61 @@ object ReferenceQueries {
                round(avg(t2 - t1) / 1000000.0, 2) AS avg_view_to_click_s,
                round(avg(t3 - t2) / 1000000.0, 2) AS avg_click_to_purchase_s
         FROM f"""),
-      "cascaded min-agg funnel; per-stage filtered shuffles, no event arrays")
+      "cascaded min-agg funnel; per-stage filtered shuffles, no event arrays"),
+
+    // ---------------------------------------------------------------
+    // Sketch-driven outlier trim: per-type p01/p99 bounds from the
+    // mergeable quantile sketch (q71's machinery), broadcast back onto
+    // the stream, keep the inliers, aggregate. The bounds stay at FULL
+    // precision on both sides — every interpolation input is an exact
+    // integer, so the cross-engine arithmetic is bit-identical and the
+    // filter cannot disagree at the boundary.
+    // ---------------------------------------------------------------
+    Q("q83_outlier_trim",
+      (s, dir) => {
+        val e = events(s, dir)
+        val bounds = graft.ops.QuantileSketch.estimate(
+          graft.ops.QuantileSketch.sketchPartials(
+            e, Seq("event_type"), "value", lo = 0.0, hi = 512.0, nBins = 256),
+          Seq("event_type"), lo = 0.0, hi = 512.0, nBins = 256,
+          qs = Seq("p01" -> 0.01, "p99" -> 0.99))
+        e.join(broadcast(bounds), "event_type")
+          .filter(col("value") >= col("p01") && col("value") <= col("p99"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_kept"),
+            round(min("value"), 4).as("min_v"),
+            round(max("value"), 4).as("max_v"),
+            round(avg("value"), 2).as("avg_v"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH b AS (
+          SELECT event_type,
+                 least(greatest(floor((value - 0.0) / 2.0), 0), 255)::BIGINT AS bin,
+                 count(*) AS cnt
+          FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        ), c AS (
+          SELECT event_type, bin, cnt,
+                 sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                   ROWS UNBOUNDED PRECEDING) AS cum,
+                 sum(cnt) OVER (PARTITION BY event_type) AS total
+          FROM b
+        ), bounds AS (
+          SELECT event_type,
+                 min(CASE WHEN cum - cnt < total * 0.01 AND cum >= total * 0.01
+                       THEN 0.0 + (bin + (total * 0.01 - (cum - cnt)) / cnt) * 2.0
+                     END) AS p01,
+                 min(CASE WHEN cum - cnt < total * 0.99 AND cum >= total * 0.99
+                       THEN 0.0 + (bin + (total * 0.99 - (cum - cnt)) / cnt) * 2.0
+                     END) AS p99
+          FROM c GROUP BY 1
+        )
+        SELECT e.event_type, count(*) AS n_kept,
+               round(min(e.value), 4) AS min_v, round(max(e.value), 4) AS max_v,
+               round(avg(e.value), 2) AS avg_v
+        FROM events e JOIN bounds USING (event_type)
+        WHERE e.value >= p01 AND e.value <= p99
+        GROUP BY 1 ORDER BY 1"""),
+      "sketch bounds broadcast back as a filter; full-precision exact-integer interpolation")
   )
 }
