@@ -27,6 +27,35 @@ object Dedup {
     df.groupBy(md5(col(textCol).cast("binary")).as("fp"))
       .agg(count(lit(1)).as("n"), min(col(idCol)).as("keeper"))
 
+  /** All string pairs within edit distance 1, as an EQUI-join
+    * (symmetric-delete banding — the SymSpell trick): each string
+    * explodes into itself plus its one-character deletions; any two
+    * strings at edit distance ≤ 1 (substitution, insertion, deletion,
+    * or equality) share at least one variant, so the variant equi-join
+    * finds every true pair and `levenshtein ≤ 1` verifies away the
+    * collisions (variant sharing implies distance ≤ 2). The naive form
+    * is an all-pairs O(n²) levenshtein cross-join; this shuffles on the
+    * variant key with fan-out `len+1` per string. Very short strings
+    * make hot variants (every single char deletes to ""), the usual
+    * skew cap territory — `minLen` drops strings below it (an
+    * ED-1-of-very-short-strings question is rarely meaningful anyway).
+    * Pairs of DISTINCT strings only; feed `.distinct()` values. */
+  def fuzzyPairsEd1(df: DataFrame, strCol: String, minLen: Int = 3): DataFrame = {
+    val s = col(strCol)
+    val deletions = transform(sequence(lit(1), length(s)),
+      i => concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s))))
+    val variants = df
+      .filter(s.isNotNull && length(s) >= minLen)
+      .select(s.as("str"),
+        explode(array_distinct(concat(array(s), deletions))).as("__variant"))
+    val a = variants.toDF("str_a", "__variant")
+    val b = variants.toDF("str_b", "__variant")
+    a.join(b, "__variant")
+      .filter(col("str_a") < col("str_b"))
+      .select("str_a", "str_b").distinct()
+      .filter(levenshtein(col("str_a"), col("str_b")) <= 1)
+  }
+
   /** Distinct word n-gram shingles per document (plus optional carried
     * columns, e.g. a grouping key). Documents with fewer than n tokens
     * produce no shingles.

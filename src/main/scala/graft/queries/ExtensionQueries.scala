@@ -1189,7 +1189,25 @@ object ExtensionQueries {
                count(*) AS n_bigrams
         FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
         GROUP BY 1 ORDER BY doc_id"""),
-      "corpus-trained smoothed bigram log-prob mean; counts merge additively")
+      "corpus-trained smoothed bigram log-prob mean; counts merge additively"),
+
+    // ---------------------------------------------------------------
+    // Fuzzy (edit-distance ≤ 1) self-join via symmetric-delete banding
+    // — the SymSpell rewrite of the O(n²) levenshtein cross-join into
+    // a variant equi-join + exact verify. The oracle IS the all-pairs
+    // form, so the green row proves the banded plan's exact recall.
+    // ---------------------------------------------------------------
+    Q("q84_fuzzy_join",
+      (s, dir) => Dedup.fuzzyPairsEd1(
+          Tables(s, dir, "part").select("p_name").distinct(), "p_name")
+        .orderBy("str_a", "str_b"),
+      Some("""
+        WITH n AS (SELECT DISTINCT p_name FROM part WHERE length(p_name) >= 3)
+        SELECT a.p_name AS str_a, b.p_name AS str_b
+        FROM n a JOIN n b ON a.p_name < b.p_name
+        WHERE levenshtein(a.p_name, b.p_name) <= 1
+        ORDER BY str_a, str_b"""),
+      "symmetric-delete variant equi-join == all-pairs levenshtein oracle")
   )
 
 }
