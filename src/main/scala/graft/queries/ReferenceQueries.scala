@@ -905,6 +905,32 @@ object ReferenceQueries {
         FROM events e JOIN bounds USING (event_type)
         WHERE e.value >= p01 AND e.value <= p99
         GROUP BY 1 ORDER BY 1"""),
-      "sketch bounds broadcast back as a filter; full-precision exact-integer interpolation")
+      "sketch bounds broadcast back as a filter; full-precision exact-integer interpolation"),
+
+    // ---------------------------------------------------------------
+    // Table profile (graft.ops.Profile): per-column row/null/distinct
+    // counts in one scan — wide single-row agg, then stack() to long.
+    // Exact distincts here (oracle parity at test scale); the approx
+    // switch is the 100 TB path.
+    // ---------------------------------------------------------------
+    Q("q85_profile",
+      (s, dir) => graft.ops.Profile.profile(lineitem(s, dir),
+          Seq("l_orderkey", "l_partkey", "l_returnflag", "l_shipdate"))
+        .orderBy("col_name"),
+      Some("""
+        SELECT 'l_orderkey' AS col_name, count(*) AS n_rows,
+               count(*) - count(l_orderkey) AS n_nulls,
+               count(DISTINCT l_orderkey) AS n_distinct FROM lineitem
+        UNION ALL
+        SELECT 'l_partkey', count(*), count(*) - count(l_partkey),
+               count(DISTINCT l_partkey) FROM lineitem
+        UNION ALL
+        SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+               count(DISTINCT l_returnflag) FROM lineitem
+        UNION ALL
+        SELECT 'l_shipdate', count(*), count(*) - count(l_shipdate),
+               count(DISTINCT l_shipdate) FROM lineitem
+        ORDER BY col_name"""),
+      "one-scan data-quality profile; stack() unpivot of a single wide agg row")
   )
 }
