@@ -357,6 +357,23 @@ object Similarity {
   /** ANN top-k for `probes` against a persisted index — no corpus
     * re-assignment: centroids load (tiny), probe fan-out is map-side,
     * and the cells scan is pruned to the probed cell partitions. */
+  /** Append a new vector batch to a persisted index WITHOUT rebuilding:
+    * assign against the PERSISTED centroids and append into the cell
+    * partitions (existing cell files untouched; probes see old + new
+    * immediately). This is the standard IVF maintenance trade — cell
+    * balance and recall degrade as the data distribution drifts from
+    * the centroids' training set, so rebuild (or [[ivfRefine]]) when
+    * drift accumulates; appending never changes what EXISTING vectors
+    * a probe can reach. */
+  def appendToIvfIndex(spark: SparkSession, dir: String, newVecs: DataFrame,
+      idCol: String, vecCol: String): Unit = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+    assignPacked(newVecs, idCol, vecCol, packCentroids(cents))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"), col("cell_id"))
+      .repartition(col("cell_id"))
+      .write.mode("append").partitionBy("cell_id").parquet(s"$dir/cells")
+  }
+
   def ivfTopKFromIndex(spark: SparkSession, dir: String, probes: DataFrame,
       idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
     val cents = spark.read.parquet(s"$dir/centroids")
