@@ -325,4 +325,82 @@ object PipelineProps extends Properties("graft.pipeline") {
           // doc 0 sees every paragraph first unless it repeats one internally
           nK == parasOf(docToks(0)).distinct.size.toLong || nP == nK }
     }
+
+  // ------------------------------------------------------------------
+  // TopKAggregator: the buffer algebra is a lawful commutative monoid
+  // fold — merge order can never change the result (the property the
+  // shuffle relies on).
+  // ------------------------------------------------------------------
+
+  private val topkGen = Gen.zip(
+    Gen.choose(1, 5),
+    Gen.listOf(Gen.zip(Gen.choose(-50, 50), Gen.choose(0L, 20L))))
+
+  property("TopKAggregator merge is order-insensitive and equals a full sort") =
+    forAll(topkGen) { case (k, xs) =>
+      val agg = new graft.functions.TopKAggregator(k)
+      val entries = xs.map { case (v, t) => graft.functions.TopKEntry(v.toDouble, t) }
+      val expected = entries.sortBy(e => (-e.value, e.tag)).distinct
+        .take(k) // driver-side spec: sort everything, keep k
+      // NB distinct AFTER sort would drop equal (value, tag) dups the
+      // aggregator keeps — so only compare when inputs are distinct
+      val distinctIn = entries.distinct.size == entries.size
+      val folded = entries.foldLeft(agg.zero)(agg.reduce)
+      val (l, r) = entries.splitAt(entries.size / 2)
+      val merged = agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      val mergedRev = agg.merge(
+        r.foldLeft(agg.zero)(agg.reduce), l.foldLeft(agg.zero)(agg.reduce))
+      folded == merged && merged == mergedRev &&
+        (!distinctIn || folded == entries.sortBy(e => (-e.value, e.tag)).take(k))
+    }
+
+  // ------------------------------------------------------------------
+  // FreqSketch: count-min never underestimates, for ANY width/depth.
+  // ------------------------------------------------------------------
+
+  private val cmsGen = Gen.zip(
+    Gen.choose(1, 64), Gen.choose(1, 4),
+    Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d", "e", "f")))
+
+  property("FreqSketch estimates dominate exact counts at any geometry") =
+    forAll(cmsGen) { case (w, d, xs) =>
+      val data = xs.map(Tuple1(_)).toDF("v")
+      val sk = graft.ops.FreqSketch.sketchPartials(data, "v", w, d)
+      val est = graft.ops.FreqSketch.estimate(
+          sk, data.select("v").distinct(), "v", w, d)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exact = xs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      exact.forall { case (k, n) => est(k) >= n }
+    }
+
+  // ------------------------------------------------------------------
+  // fuzzyPairsEd1 == the all-pairs levenshtein join (exact recall +
+  // precision of symmetric-delete banding) on random short strings.
+  // ------------------------------------------------------------------
+
+  private val fuzzyGen = Gen.listOf(
+    Gen.choose(3, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString)))
+
+  property("fuzzyPairsEd1 == all-pairs levenshtein twin") =
+    forAll(fuzzyGen) { words =>
+      val d = words.map(Tuple1(_)).toDF("s").distinct()
+      val banded = graft.ext.Dedup.fuzzyPairsEd1(d, "s")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      val naive = (for {
+        a <- words.distinct; b <- words.distinct
+        if a < b && levDist(a, b) <= 1
+      } yield (a, b)).toSet
+      banded == naive
+    }
+
+  private def levDist(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0 }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+        dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    dp(a.length)(b.length)
+  }
 }
