@@ -931,6 +931,37 @@ object ReferenceQueries {
         SELECT 'l_shipdate', count(*), count(*) - count(l_shipdate),
                count(DISTINCT l_shipdate) FROM lineitem
         ORDER BY col_name"""),
-      "one-scan data-quality profile; stack() unpivot of a single wide agg row")
+      "one-scan data-quality profile; stack() unpivot of a single wide agg row"),
+
+    // ---------------------------------------------------------------
+    // Sliding (hopping) event-time windows: 1 h windows every 15 min —
+    // Spark's window() explodes each event into width/slide windows
+    // map-side (no self-join); the oracle derives the same window-start
+    // set arithmetically from epoch micros.
+    // ---------------------------------------------------------------
+    Q("q86_sliding_window",
+      (s, dir) => events(s, dir)
+        .filter(col("ts").isNotNull && col("event_type") === "purchase")
+        .groupBy(window(col("ts").cast("timestamp"), "1 hour", "15 minutes").as("win"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .select(
+          date_format(col("win.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("n"), col("sum_value"))
+        .orderBy("window_start"),
+      Some("""
+        WITH e AS (
+          SELECT epoch_ns(ts) // 1000 AS tsu, value
+          FROM events WHERE ts IS NOT NULL AND event_type = 'purchase'
+        ), w AS (
+          SELECT unnest(range((tsu - 3600000000) // 900000000 + 1,
+                              tsu // 900000000 + 1)) AS k,
+                 value
+          FROM e
+        )
+        SELECT strftime(make_timestamp(k * 900000000), '%Y-%m-%d %H:%M:%S')
+                 AS window_start,
+               count(*) AS n, round(sum(value), 2) AS sum_value
+        FROM w GROUP BY 1 ORDER BY 1"""),
+      "hopping windows explode map-side into width/slide buckets; no self-join")
   )
 }
