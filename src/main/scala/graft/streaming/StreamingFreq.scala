@@ -20,28 +20,14 @@ import graft.ops.FreqSketch
   */
 object StreamingFreq {
 
-  /** Start materializing per-batch sketch increments from `stream`. */
+  /** Start materializing per-batch sketch increments from `stream` —
+    * the [[IncrementalPartials]] pattern with CMS counters. */
   def start(stream: DataFrame, valueCol: String, width: Int, depth: Int,
       outDir: String, checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
-    stream.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpoint)
-      .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        if (!batch.isEmpty) {
-          // the cloned micro-batch session needs its own overwrite mode,
-          // same as StreamingOverview.start
-          batch.sparkSession.conf
-            .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-          FreqSketch.sketchPartials(batch, valueCol, width, depth)
-            .withColumn("batch_id", lit(id))
-            .write.mode("overwrite")
-            .partitionBy("batch_id")
-            .parquet(outDir)
-        }
-      }
-      .start()
+    IncrementalPartials.start(stream,
+      b => FreqSketch.sketchPartials(b, valueCol, width, depth),
+      outDir, checkpoint, trigger)
 
   /** Point estimates over everything streamed so far: merge all
     * persisted increments (addition), then probe — identical numbers
