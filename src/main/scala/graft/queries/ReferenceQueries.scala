@@ -962,6 +962,77 @@ object ReferenceQueries {
                  AS window_start,
                count(*) AS n, round(sum(value), 2) AS sum_value
         FROM w GROUP BY 1 ORDER BY 1"""),
-      "hopping windows explode map-side into width/slide buckets; no self-join")
+      "hopping windows explode map-side into width/slide buckets; no self-join"),
+
+    // ---------------------------------------------------------------
+    // Event interval join, batch form of streaming.StreamingJoin (the
+    // stream-stream twin is spec-pinned to this shape): purchases
+    // within 10 min after a view, per user. Equi key (user) + range
+    // predicate → plain sort-merge join; delay stats on exact integer
+    // micros.
+    // ---------------------------------------------------------------
+    Q("q87_event_interval_join",
+      (s, dir) => {
+        val e = events(s, dir).select(col("user_id"), col("event_type"),
+            expr("unix_micros(cast(ts as timestamp))").as("tsu"))
+          .filter(col("tsu").isNotNull)
+        val v = e.filter(col("event_type") === "view")
+          .select(col("user_id"), col("tsu").as("view_ts"))
+        val p = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("tsu").as("buy_ts"))
+        v.join(p, Seq("user_id"))
+          .filter(col("buy_ts") >= col("view_ts") &&
+            col("buy_ts") <= col("view_ts") + 600L * 1000000L)
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct(col("user_id")).as("n_users"),
+            round(avg(col("buy_ts") - col("view_ts")) / 1000000.0, 2)
+              .as("avg_delay_s"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_type, epoch_ns(ts) // 1000 AS tsu
+          FROM events WHERE ts IS NOT NULL
+        ), v AS (SELECT user_id, tsu AS view_ts FROM e WHERE event_type = 'view'),
+        p AS (SELECT user_id, tsu AS buy_ts FROM e WHERE event_type = 'purchase')
+        SELECT count(*) AS n_pairs, count(DISTINCT v.user_id) AS n_users,
+               round(avg(buy_ts - view_ts) / 1000000.0, 2) AS avg_delay_s
+        FROM v JOIN p ON p.user_id = v.user_id
+         AND buy_ts >= view_ts AND buy_ts <= view_ts + 600000000"""),
+      "keyed interval join (equi + range): the batch twin of StreamingJoin"),
+
+    // ---------------------------------------------------------------
+    // ORC source round-trip: events written once per sf dir as ORC
+    // (mtime-memoized like q72's IVF index), read back through the
+    // ORC reader, aggregated. The oracle reads the SAME rows from
+    // parquet — a green row proves the ORC write+read path is
+    // byte-faithful for every column type involved.
+    // ---------------------------------------------------------------
+    Q("q88_orc_roundtrip",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val stamp = new java.io.File(dir, "events.parquet").lastModified()
+        val orcDir = new java.io.File(
+          new java.io.File(sys.props("user.dir"), "target"),
+          s"graft_orc_events_${tag}_$stamp").getAbsolutePath
+        ReferenceQueries.synchronized {
+          if (!new java.io.File(s"$orcDir/_SUCCESS").exists())
+            events(s, dir).write.mode("overwrite").orc(orcDir)
+        }
+        s.read.orc(orcDir)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("n_users"),
+            date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("first_ts"),
+            date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
+            round(sum(col("value")), 2).as("sum_value"))
+          .orderBy("event_type")
+      },
+      Some("""
+        SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+               strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
+               round(sum(value), 2) AS sum_value
+        FROM events GROUP BY 1 ORDER BY 1"""),
+      "ORC write+read == parquet oracle: source-format fidelity check")
   )
 }
