@@ -48,15 +48,28 @@ object MergeData {
     * would need a salt column appended to the repartition keys; these
     * per-(site,participant,metric) groups are day-file unions and stay
     * far below task size. */
-  def writeMerged(spark: SparkSession, df: DataFrame, outDir: String): Unit = {
+  /** `format`: "parquet" (default) or "csv.gz" — the reference's two
+    * output formats (merge-data.py:93-96 writes gzipped csv by default
+    * with `--parquet` opting into parquet; we default the other way,
+    * parquet being the only sane lake format at scale, and keep csv.gz
+    * for byte-level output parity with the reference's deliverable). */
+  def writeMerged(spark: SparkSession, df: DataFrame, outDir: String,
+      format: String = "parquet"): Unit = {
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try df.repartition(col("site"), col("participant_id"), col("metric"))
-      .write
-      .mode("overwrite")
-      .partitionBy("site", "participant_id", "metric")
-      .parquet(outDir)
-    finally prev match {
+    try {
+      val w = df.repartition(col("site"), col("participant_id"), col("metric"))
+        .write
+        .mode("overwrite")
+        .partitionBy("site", "participant_id", "metric")
+      format match {
+        case "parquet" => w.parquet(outDir)
+        case "csv.gz" => w.option("header", "true")
+          .option("compression", "gzip").csv(outDir)
+        case other => throw new IllegalArgumentException(
+          s"writeMerged format must be parquet or csv.gz, got $other")
+      }
+    } finally prev match {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }

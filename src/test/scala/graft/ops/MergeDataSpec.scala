@@ -42,4 +42,23 @@ class MergeDataSpec extends SparkSpec {
     val back = spark.read.parquet(out).orderBy("site")
     assert(rowsOf(back.select("site", "v")) == Seq(Seq("s1", 9.0), Seq("s2", 2.0)))
   }
+
+  test("writeMerged csv.gz: reference output format round-trips, gzipped") {
+    val out = Files.createTempDirectory("graft-merge-csv").toString
+    val full = df(Seq(
+      ("s1", "p1", "hr", 1.5), ("s2", "p2", "steps", 2.5)),
+      "site", "participant_id", "metric", "v")
+    MergeData.writeMerged(spark, full, out, format = "csv.gz")
+    // files are genuinely gzip-compressed csv
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(out))
+      .toArray.map(_.toString).filter(_.endsWith(".csv.gz"))
+    assert(files.nonEmpty, "expected .csv.gz part files")
+    val back = spark.read.option("header", "true").csv(out)
+      .select("site", "participant_id", "metric", "v").orderBy("site")
+    assert(rowsOf(back) == Seq(
+      Seq("s1", "p1", "hr", "1.5"), Seq("s2", "p2", "steps", "2.5")))
+    intercept[IllegalArgumentException] {
+      MergeData.writeMerged(spark, full, out, format = "tsv")
+    }
+  }
 }
