@@ -93,7 +93,7 @@ object SummaryQueries {
       .reduce(_.unionByName(_))
 
   private def featuresLong(s: SparkSession, dir: String): DataFrame =
-    featuresLongFrom(featureFixture(s, dir).persist())
+    featuresLongFrom(featureFixture(s, dir))
 
   private val sliderSpec =
     SliderSpec("mood", "", "value.answers", "slider_", "value", "value.startTime")
