@@ -75,7 +75,10 @@ object FreqSketch {
     requireParams(width, depth)
     val v = col(probeCol)
     val buckets = array((0 until depth).map(r => bucket(v, r, width)): _*)
-    val probed = probes
+    // NULL probes are dropped to match the build side: sketchPartials
+    // never buckets NULLs, so bucket(NULL) would hash the bare seed and
+    // hand NULL some other value's collision mass
+    val probed = probes.filter(v.isNotNull)
       .select(v, posexplode(buckets).as(Seq("depth", "bucket")))
     probed.join(broadcast(merge(sketch)), Seq("depth", "bucket"), "left")
       .groupBy(probeCol)
@@ -83,19 +86,45 @@ object FreqSketch {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 
-  /** Heavy hitters: distinct values of `valueCol` whose estimate is at
-    * least `minCount`. The distinct-values pass is the candidate
-    * enumeration (heavy-hitter sketches that avoid it — e.g.
-    * SpaceSaving — trade exactness of the candidate set; with the
-    * sketch broadcast this is one shuffle for the distinct, none for
-    * the probe). Count-min overestimates, so the result is a SUPERSET
-    * of the true heavy hitters — verify with an exact count over just
-    * the candidates when false positives matter (the LSH
-    * candidate→verify shape, [[graft.ext.Dedup.jaccardOnCandidates]]). */
+  /** Heavy hitters: values of `valueCol` whose estimate is at least
+    * `minCount` — WITHOUT enumerating the column's distinct values.
+    * Every row is scored against the broadcast sketch (one left join
+    * per depth row on the bucket index) and the `est >= minCount`
+    * filter runs BEFORE the dedup shuffle, so tail values die map-side
+    * and the shuffle carries at most the surviving heavy values per
+    * partition (≤ N/minCount true hitters plus collision false
+    * positives) — not one row per distinct value, which on a
+    * high-cardinality column is exactly the shuffle the sketch exists
+    * to avoid. Count-min overestimates, so the result is a SUPERSET of
+    * the true heavy hitters — verify with an exact count over just the
+    * candidates when false positives matter (the LSH candidate→verify
+    * shape, [[graft.ext.Dedup.jaccardOnCandidates]]). */
   def heavyHitters(df: DataFrame, valueCol: String,
       width: Int, depth: Int, minCount: Long): DataFrame = {
-    val sketch = sketchPartials(df, valueCol, width, depth)
-    estimate(sketch, df.select(valueCol).distinct(), valueCol, width, depth)
+    requireParams(width, depth)
+    val spark = df.sparkSession
+    val sk = merge(sketchPartials(df, valueCol, width, depth))
+    // The merged sketch is ≤ depth×width counter rows and must fit in a
+    // broadcast for the probe joins below anyway — collecting it once
+    // (same bounded-collect rationale as the IVF centroid table,
+    // Similarity.scala) avoids recomputing the build aggregation for
+    // each per-depth join.
+    val local = spark.createDataFrame(
+      java.util.Arrays.asList(sk.collect(): _*), sk.schema)
+    val v = col(valueCol)
+    var probed = df.filter(v.isNotNull).select(v)
+    val ests = (0 until depth).map { r =>
+      val skr = local.filter(col("depth") === r)
+        .select(col("bucket").as(s"__b$r"), col("cnt").as(s"__c$r"))
+      probed = probed
+        .withColumn(s"__b$r", bucket(v, r, width))
+        .join(broadcast(skr), Seq(s"__b$r"), "left")
+      // an empty counter row was never materialized — its count is 0
+      coalesce(col(s"__c$r"), lit(0L))
+    }
+    probed
+      .select(v, least(ests: _*).as("est"))
       .filter(col("est") >= minCount)
+      .distinct()
   }
 }

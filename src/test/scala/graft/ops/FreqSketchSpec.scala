@@ -57,4 +57,32 @@ class FreqSketchSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSet
     assert(hh == Set("big"))
   }
+
+  test("heavy-hitter dedup only shuffles rows that pass the estimate filter") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter}
+    val data = df(words("big" -> 100, "mid" -> 10, "small" -> 1))
+    val hh = FreqSketch.heavyHitters(data, "v", 1024, 3, minCount = 50)
+    val plan = hh.queryExecution.optimizedPlan
+    // the candidate pass is the distinct() over (value, est) — it must
+    // sit ABOVE the est >= minCount filter, so tail values never reach
+    // its shuffle (the old shape shuffled one row per distinct value)
+    val dedup = plan.collectFirst {
+      case a: Aggregate if a.groupingExpressions.size == 2 => a
+    }.getOrElse(fail("no dedup aggregate in plan"))
+    val filtered = dedup.collectFirst {
+      case f: Filter if f.condition.references.exists(_.name == "est") ||
+        f.condition.sql.contains(">= 50") => f
+    }
+    assert(filtered.nonEmpty,
+      s"estimate filter not below the dedup aggregate:\n$dedup")
+  }
+
+  test("estimate ignores NULL probes instead of bucketing the bare seed") {
+    val data = df(words("a" -> 5, "b" -> 2))
+    val sketch = FreqSketch.sketchPartials(data, "v", 64, 2)
+    val probes = df(Seq(Some("a"), None).map(o => Tuple1(o.orNull)), "v")
+    val est = FreqSketch.estimate(sketch, probes, "v", 64, 2).collect()
+    assert(est.map(_.getString(0)).toSeq == Seq("a"))
+    assert(est.head.getLong(1) == 5L)
+  }
 }
