@@ -228,8 +228,11 @@ object ExtensionQueries {
     // MinHash scale path: same pipeline as q32 with the xxhash64-based
     // fast hash — the production shingle hash at 100 TB, where md5's
     // digest cost dominates the sketch. xxhash64 has no DuckDB twin, so
-    // this row carries no oracle (driver rows-only check); ExtSpec
-    // property-pins its candidate recall to the md5 path instead.
+    // the oracle replays the q32 band/pair SQL over FROZEN golden
+    // signatures (golden/minhash_fast_sig, generated once by
+    // graft.GoldenGen, content-addressed by md5(text) so the same
+    // table serves every sf). ExtSpec additionally property-pins the
+    // fast path's candidate recall to the md5 path.
     // ---------------------------------------------------------------
     Q("q55_minhash_fast",
       (s, dir) => {
@@ -238,8 +241,24 @@ object ExtensionQueries {
         Dedup.minhashCandidates(sig, "doc_id")
           .orderBy("doc_id_a", "doc_id_b")
       },
-      None,
-      "q32's minhash dedup on the xxhash64 scale path (no md5 in the hot loop)"),
+      Some(s"""
+        WITH g AS (SELECT * FROM read_parquet(
+                     '/root/repo/golden/minhash_fast_sig/*.parquet')),
+        sig AS (SELECT d.doc_id, ${DetHash.minhashCoeffs.indices
+                  .map(j => s"g.m$j").mkString(", ")}
+                FROM documents d JOIN g ON g.fp = md5(d.text)),
+        bands AS ($sqlBands),
+        pairs AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+                  FROM bands a JOIN bands b
+                    ON a.band = b.band AND a.bucket = b.bucket
+                   AND a.doc_id < b.doc_id)
+        SELECT p.doc_id_a, p.doc_id_b,
+               round(($sqlAgree) / 16.0, 4) AS est_jaccard
+        FROM pairs p
+        JOIN sig sa ON sa.doc_id = p.doc_id_a
+        JOIN sig sb ON sb.doc_id = p.doc_id_b
+        ORDER BY doc_id_a, doc_id_b"""),
+      "q32's minhash dedup on the xxhash64 scale path (no md5 in the hot loop); oracle = frozen golden signatures"),
 
     // ---------------------------------------------------------------
     // Dedup: SimHash signatures + near-dup pairs
