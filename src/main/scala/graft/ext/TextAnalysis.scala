@@ -196,8 +196,17 @@ object TextAnalysis {
     * with the unigram side dim-sized (vocabulary) and V a one-row
     * broadcast. No all-pairs stage; the model "training" IS the
     * counting, so increments can reuse persisted count partials (they
-    * merge by addition like every sketch here). */
-  def lmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * merge by addition like every sketch here).
+    *
+    * Skew: `w1` is Zipf-distributed — stopwords are a constant fraction
+    * of ALL bigram occurrences, so a plain equi-join to the unigram
+    * counts stragglers on the "the"/"of" partitions at scale. The head
+    * of the distribution is tiny by the same law, so the top `headK`
+    * unigrams broadcast (left join, no shuffle) and only the tail —
+    * whose keys are rare by construction — takes the shuffled join.
+    * Identical results to the plain join; only the routing differs. */
+  def lmScore(docs: DataFrame, idCol: String, textCol: String,
+      headK: Int = 1024): DataFrame = {
     val toks = docs.select(col(idCol), tokens(col(textCol)).as("t"))
     val bigrams = toks
       .select(col(idCol), explode(
@@ -211,9 +220,20 @@ object TextAnalysis {
     val uniCounts = toks.select(explode(col("t")).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("c1"))
     val vocab = uniCounts.agg(count(lit(1)).as("v"))
-    bigrams
-      .join(bgCounts, Seq("w1", "w2"))
-      .join(uniCounts, Seq("w1"))
+    // Join c1 onto the DISTINCT-bigram table, not onto occurrences:
+    // "the" meets uniCounts once per distinct successor (vocabulary
+    // scale), not once per corpus occurrence — the w1 occurrence skew
+    // never exists. Then the Zipf head of the enriched table (the heavy
+    // PAIRS, "of the" etc.) broadcasts, so per-occurrence skew dies
+    // map-side too; only rare pairs take the shuffled join.
+    val enriched = bgCounts.join(uniCounts, Seq("w1"))
+    val headPairs = enriched
+      .orderBy(col("c12").desc, col("w1"), col("w2")).limit(headK)
+    val viaHead = bigrams.join(broadcast(headPairs), Seq("w1", "w2"), "left")
+    val hit = viaHead.filter(col("c12").isNotNull)
+    val miss = viaHead.filter(col("c12").isNull).drop("c12", "c1")
+      .join(enriched, Seq("w1", "w2"))
+    hit.unionByName(miss)
       .crossJoin(broadcast(vocab))
       .groupBy(idCol)
       .agg(
