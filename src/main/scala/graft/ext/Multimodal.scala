@@ -7,19 +7,19 @@ import org.apache.spark.sql.functions._
   * payloads with typed metadata, plus decode / feature-extract /
   * resize / frame-sample stages.
   *
-  * The Spark-side plumbing (schema, batch shape, partitioning, the
-  * `binaryFile` source mapping) is real and tested; the actual codec
-  * step is STUBBED with a deterministic fake because no image/audio
-  * libraries exist in this container — swap [[decodeStub]]'s body for a
-  * real decoder (e.g. TwelveMonkeys/JCodec) without touching the plan.
-  *
-  * Two implementation tiers:
-  *  - [[withFakeDecodeMeta]]: pure-expression metadata derivation —
-  *    stays in WholeStageCodegen, has an exact DuckDB oracle.
-  *  - [[decodeStub]]: `mapPartitions` over a typed Dataset — the Scala
-  *    analogue of `mapInPandas` (per-partition batch processing), for
-  *    when the decode genuinely needs library calls. Partition-sized
-  *    batches keep codec state/buffer reuse per task.
+  * Three implementation tiers:
+  *  - [[withPngHeaderMeta]]: REAL zero-dependency header decode as pure
+  *    columns — PNG IHDR width/height are fixed-offset big-endian ints,
+  *    readable with `substring`/`hex`/`conv` and so codegen'd and
+  *    exactly oracle-checkable (q89).
+  *  - [[decodeHeaders]]: `mapPartitions` over a typed Dataset — the
+  *    Scala analogue of `mapInPandas` (per-partition batch processing)
+  *    for formats needing an imperative walk: the JPEG SOF marker scan
+  *    lives here, next to where a real codec would.
+  *  - [[decodeStub]]: deterministic fake for the stages that genuinely
+  *    need a codec library absent from this container (pixel decode,
+  *    video frames) — swap its body for e.g. TwelveMonkeys/JCodec
+  *    without touching the plan.
   */
 object Multimodal {
 
@@ -65,9 +65,128 @@ object Multimodal {
       .when(upper(hex(substring(payload, 1, 4))) === "52494646", "riff")
       .otherwise("unknown")
 
+  // -----------------------------------------------------------------
+  // Real header decode (zero dependencies)
+  // -----------------------------------------------------------------
+
+  /** Big-endian uint32 read at 1-indexed byte `pos` of a binary column
+    * — `substring` works on binary, `hex`+`conv` do the int parse, all
+    * codegen'd built-ins. */
+  private def be32(payload: Column, pos: Int): Column =
+    conv(hex(substring(payload, pos, 4)), 16, 10).cast("long")
+
+  /** True when the payload starts with the 8-byte PNG signature and
+    * its first chunk is IHDR (always the case for a valid PNG). */
+  def isPng(payload: Column): Column =
+    length(payload) >= 24 &&
+      upper(hex(substring(payload, 1, 8))) === "89504E470D0A1A0A" &&
+      upper(hex(substring(payload, 13, 4))) === "49484452"
+
+  /** REAL PNG dimension decode as pure columns: IHDR width/height are
+    * the big-endian uint32s at bytes 17-20 / 21-24 of the file (PNG
+    * spec: 8-byte signature, 4-byte chunk length, "IHDR", then the
+    * fields). NULL for non-PNG payloads — route those to
+    * [[decodeHeaders]] (JPEG) or [[decodeStub]] (codec formats). */
+  def withPngHeaderMeta(media: DataFrame): DataFrame = {
+    val p = col("payload")
+    media
+      .withColumn("byte_len", length(p).cast("long"))
+      .withColumn("width", when(isPng(p), be32(p, 17)).cast("int"))
+      .withColumn("height", when(isPng(p), be32(p, 21)).cast("int"))
+  }
+
+  /** Construct a valid PNG header (signature + IHDR chunk, 8-bit RGB)
+    * for given dimensions — the round-trip twin of
+    * [[withPngHeaderMeta]], used to prove the parse against real bytes
+    * with an independent oracle (q89). CRC is zeroed: readers that
+    * verify it would reject the chunk, but the fixed-offset fields this
+    * module reads are real. */
+  def pngHeaderPayload(width: Column, height: Column): Column =
+    concat(
+      unhex(lit("89504E470D0A1A0A")), // signature
+      unhex(lit("0000000D")),         // IHDR length = 13
+      unhex(lit("49484452")),         // "IHDR"
+      unhex(lpad(hex(width.cast("long")), 8, "0")),
+      unhex(lpad(hex(height.cast("long")), 8, "0")),
+      unhex(lit("0806000000")),       // bit depth 8, RGBA, default methods
+      unhex(lit("00000000")))         // CRC (unverified placeholder)
+
+  /** PNG IHDR parse over raw bytes (driver/executor-side twin of
+    * [[withPngHeaderMeta]] for the mapPartitions tier). */
+  def pngDims(b: Array[Byte]): Option[(Int, Int)] = {
+    def u(i: Int): Int = b(i) & 0xff
+    def be(o: Int): Int = (u(o) << 24) | (u(o + 1) << 16) | (u(o + 2) << 8) | u(o + 3)
+    if (b.length >= 24 &&
+        u(0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+        b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')
+      Some((be(16), be(20)))
+    else None
+  }
+
+  /** JPEG dimension decode: walk the marker stream to the first SOFn
+    * segment (the frame header carrying height/width). Imperative by
+    * nature — variable-length segments — so it lives in the
+    * mapPartitions tier, not expressions. Returns None on truncated or
+    * non-JPEG bytes. */
+  def jpegDims(b: Array[Byte]): Option[(Int, Int)] = {
+    def u(i: Int): Int = b(i) & 0xff
+    if (b.length < 4 || u(0) != 0xff || u(1) != 0xd8) return None
+    var i = 2
+    while (i + 3 < b.length) {
+      if (u(i) != 0xff) return None // desynced: not a marker
+      val marker = u(i + 1)
+      if (marker == 0xff) { i += 1 } // fill byte
+      else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd9)) {
+        i += 2 // standalone marker, no length field
+      } else {
+        val len = (u(i + 2) << 8) | u(i + 3)
+        if (len < 2) return None
+        val isSof = marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc // not DHT/JPG/DAC
+        if (isSof) {
+          if (i + 8 >= b.length) return None
+          val h = (u(i + 5) << 8) | u(i + 6)
+          val w = (u(i + 7) << 8) | u(i + 8)
+          return Some((w, h))
+        }
+        i += 2 + len
+      }
+    }
+    None
+  }
+
+  /** One decoded header row: real dims where a zero-dependency parse
+    * exists (PNG, JPEG), null dims otherwise (route to a codec). */
+  final case class HeaderMeta(doc_id: Long, media_type: String,
+      byte_len: Long, container: String, width: Option[Int], height: Option[Int])
+
+  /** REAL header decode, mapPartitions tier: PNG IHDR + JPEG SOF walk
+    * over the payload bytes — no codec library, no fake. Formats
+    * without a header-only parse (video, audio) come back with null
+    * dims; their pixel/sample decode belongs in [[decodeStub]]'s
+    * per-partition loop with a real codec. */
+  def decodeHeaders(spark: SparkSession, media: DataFrame): Dataset[HeaderMeta] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val b = if (r.payload == null) Array.empty[Byte] else r.payload
+        val asPng = pngDims(b)
+        val dims = asPng.orElse(jpegDims(b))
+        val container =
+          if (asPng.isDefined) "png"
+          else if (dims.isDefined) "jpeg"
+          else "unknown"
+        HeaderMeta(r.doc_id, r.media_type, b.length.toLong, container,
+          dims.map(_._1), dims.map(_._2))
+      }
+    }
+  }
+
   /** Expression-level fake decode: metadata derived deterministically
-    * from the payload hash (md5 hex prefix → dimensions). Replaces a
-    * real header parse; the derivation is frozen so it oracle-checks. */
+    * from the payload hash (md5 hex prefix → dimensions). Kept ONLY as
+    * the stand-in for codec-requiring formats in fixtures that carry no
+    * real header; PNG/JPEG go through [[withPngHeaderMeta]] /
+    * [[decodeHeaders]] instead. */
   def withFakeDecodeMeta(media: DataFrame): DataFrame = {
     val h = md5(col("payload"))
     media
@@ -81,10 +200,13 @@ object Multimodal {
   }
 
   /** STUB decode (mapPartitions tier). Deterministic fake: "decodes"
-    * payload bytes into an 8-dim feature from byte statistics. A real
-    * implementation would decode the codec here — per partition, so
-    * decoder instances are reused across the batch, mirroring
-    * `mapInPandas` batch semantics. */
+    * payload bytes into an 8-dim feature from byte statistics. This is
+    * the one remaining fake — PIXEL/frame decode needs a codec library
+    * absent from this container; header metadata is real, see
+    * [[withPngHeaderMeta]]/[[decodeHeaders]]. A real implementation
+    * would decode the codec here — per partition, so decoder instances
+    * are reused across the batch, mirroring `mapInPandas` batch
+    * semantics. */
   def decodeStub(spark: SparkSession, media: DataFrame): Dataset[DecodedMedia] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>

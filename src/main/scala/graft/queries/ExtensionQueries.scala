@@ -627,6 +627,41 @@ object ExtensionQueries {
       "multimodal plumbing: payload bytes + md5-derived fake header decode"),
 
     // ---------------------------------------------------------------
+    // Multimodal: REAL header decode round-trip. Valid PNG headers are
+    // constructed from per-doc dims, then BOTH decode tiers (the
+    // expression-level IHDR parse and the mapPartitions marker walk)
+    // read the dims back from the bytes. The oracle computes the
+    // expected dims INDEPENDENTLY — it never sees the payload — so any
+    // drift in construct or either parse path fails the hash.
+    // ---------------------------------------------------------------
+    Q("q89_png_header_decode",
+      (s, dir) => {
+        val media = Tables(s, dir, "documents").select(
+          col("doc_id"),
+          lit("image/png").as("media_type"),
+          Multimodal.pngHeaderPayload(
+            (lit(16) + col("doc_id") % 2048).cast("int"),
+            (lit(16) + (col("doc_id") * 7) % 1536).cast("int")).as("payload"))
+        val exprTier = Multimodal.withPngHeaderMeta(media)
+          .select(col("doc_id"), col("byte_len"),
+            col("width").as("w_expr"), col("height").as("h_expr"))
+        val walkTier = Multimodal.decodeHeaders(s, media).toDF()
+          .select(col("doc_id"), col("container"),
+            col("width").as("w_walk"), col("height").as("h_walk"))
+        exprTier.join(walkTier, "doc_id").orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               33::BIGINT AS byte_len,
+               (16 + doc_id % 2048)::INT AS w_expr,
+               (16 + (doc_id * 7) % 1536)::INT AS h_expr,
+               'png' AS container,
+               (16 + doc_id % 2048)::INT AS w_walk,
+               (16 + (doc_id * 7) % 1536)::INT AS h_walk
+        FROM documents ORDER BY doc_id"""),
+      "real PNG IHDR decode, both tiers, vs an oracle that never sees the bytes"),
+
+    // ---------------------------------------------------------------
     // Curation: benchmark decontamination — docs sharing any 3-gram
     // with the held-out "benchmark" slice (doc_id % 50 == 0).
     // ---------------------------------------------------------------

@@ -294,6 +294,60 @@ class ExtSpec extends SparkSpec {
     assert(rows.head(3).asInstanceOf[Array[Byte]].toSeq === gz.toSeq)
   }
 
+  test("real header decode: PNG IHDR + JPEG SOF on genuine codec output") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    def bytesOf(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val baos = new java.io.ByteArrayOutputStream()
+      assert(ImageIO.write(img, fmt, baos), s"JDK has no $fmt writer")
+      baos.toByteArray
+    }
+    // real files from the JDK's own encoders — not handcrafted headers
+    val png = bytesOf("png", 37, 21)
+    val jpg = bytesOf("jpg", 64, 48)
+    assert(Multimodal.pngDims(png) === Some((37, 21)))
+    assert(Multimodal.jpegDims(jpg) === Some((64, 48)))
+    assert(Multimodal.pngDims(jpg) === None)
+    assert(Multimodal.jpegDims(png) === None)
+    assert(Multimodal.pngDims(Array.empty[Byte]) === None)
+    assert(Multimodal.jpegDims(png.take(3)) === None)
+
+    // expression tier reads the same real PNG bytes
+    val media = df(Seq(Tuple1(1L)), "doc_id")
+      .select(col("doc_id"), lit("image/png").as("media_type"),
+        lit(png).as("payload"))
+    assert(rowsOf(Multimodal.withPngHeaderMeta(media)
+      .select("width", "height")) === Seq(Seq(37, 21)))
+
+    // mapPartitions tier parses and routes both formats
+    import spark.implicits._
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image/png", png),
+      Multimodal.MediaRow(2L, "image/jpeg", jpg),
+      Multimodal.MediaRow(3L, "video/mp4", Array[Byte](0, 1, 2)))
+    val decoded = rowsOf(
+      Multimodal.decodeHeaders(spark, spark.createDataset(rows).toDF())
+        .toDF().select("doc_id", "container", "width", "height")
+        .orderBy("doc_id"))
+    assert(decoded === Seq(
+      Seq(1L, "png", 37, 21),
+      Seq(2L, "jpeg", 64, 48),
+      Seq(3L, "unknown", null, null)))
+  }
+
+  test("pngHeaderPayload round-trips through both real parsers") {
+    val media = df(Seq((5L, 1234, 7), (6L, 16, 65535)), "doc_id", "w", "h")
+      .select(col("doc_id"), lit("image/png").as("media_type"),
+        Multimodal.pngHeaderPayload(col("w"), col("h")).as("payload"))
+    assert(rowsOf(Multimodal.withPngHeaderMeta(media)
+      .select("width", "height").orderBy("width")) ===
+      Seq(Seq(16, 65535), Seq(1234, 7)))
+    val walked = rowsOf(Multimodal.decodeHeaders(spark, media).toDF()
+      .select("container", "width", "height").orderBy("width"))
+    assert(walked === Seq(Seq("png", 16, 65535), Seq("png", 1234, 7)))
+  }
+
   test("sampleFrames keeps every stride-th frame index up to maxFrames") {
     val d = df(Seq((1L, 7), (2L, 2)), "doc_id", "n_frames")
     val f = Multimodal.sampleFrames(d, stride = 2, maxFrames = 3)
