@@ -22,9 +22,16 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object IncrementalPartials {
 
+  /** @param afterBatch runs after the increment has landed on disk but
+    *   BEFORE the streaming commit records the batch — i.e. inside the
+    *   crash window the batch_id overwrite exists for. Production use:
+    *   metrics, compaction triggers. Tests throw here to prove a
+    *   replayed batch rewrites its partition instead of double-counting
+    *   (IncrementalPartialsSpec). */
   def start(stream: DataFrame, buildPartials: DataFrame => DataFrame,
       outDir: String, checkpoint: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      afterBatch: Long => Unit = _ => ()): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -40,6 +47,7 @@ object IncrementalPartials {
             .partitionBy("batch_id")
             .parquet(outDir)
         }
+        afterBatch(id)
       }
       .start()
 }

@@ -57,4 +57,48 @@ class IncrementalPartialsSpec extends SparkSpec {
     // two increments on disk, none double-counted
     assert(spark.read.parquet(out).select("batch_id").distinct().count() == 2)
   }
+
+  test("crash after write, before commit: replayed batch never double-counts") {
+    val base = Files.createTempDirectory("graft-ipart-kill").toString
+    val (root, out, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
+    val rows = (1 to 60).map(i => s"a,${i % 30}") ++ Seq("b,42.0")
+    writeCsv(root, "a.csv", rows)
+    val build = (b: org.apache.spark.sql.DataFrame) =>
+      QuantileSketch.sketchPartials(b, Seq("g"), "v", lo, hi, bins)
+
+    // attempt 1: the increment lands on disk, then the query dies
+    // INSIDE the commit window — the checkpoint never records batch 0
+    val armed = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val stream1 = spark.readStream.option("header", "true").schema(schema).csv(root)
+    val q1 = IncrementalPartials.start(stream1, build, out, ckpt,
+      afterBatch = _ =>
+        if (armed.getAndSet(false))
+          throw new RuntimeException("injected crash after write, before commit"))
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.awaitTermination()
+    }
+    // the dangerous state is real: the failed attempt's data IS visible
+    val orphan = spark.read.parquet(out)
+    assert(orphan.count() > 0, "crash landed before the write - wrong window")
+
+    // attempt 2: restart from the same checkpoint; batch 0 REPLAYS with
+    // the same id and dynamic overwrite rewrites its partition
+    val stream2 = spark.readStream.option("header", "true").schema(schema).csv(root)
+    IncrementalPartials.start(stream2, build, out, ckpt).awaitTermination()
+
+    val streamed = QuantileSketch.estimate(
+        spark.read.parquet(out).select("g", "bin", "bin_count"),
+        Seq("g"), lo, hi, bins, qs)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val parsed = rows.map { s => val Array(g, v) = s.split(","); (g, v.toDouble) }
+    val oneShot = QuantileSketch.estimate(
+        QuantileSketch.sketchPartials(df(parsed, "g", "v"), Seq("g"), "v", lo, hi, bins),
+        Seq("g"), lo, hi, bins, qs)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(streamed == oneShot)
+    // one increment partition; total mass counted exactly once
+    assert(spark.read.parquet(out).select("batch_id").distinct().count() == 1)
+    val total = spark.read.parquet(out).agg(sum("bin_count")).collect()(0).getLong(0)
+    assert(total == rows.size.toLong, s"double-counted: $total != ${rows.size}")
+  }
 }
