@@ -131,6 +131,42 @@ object CatalogQueries {
                count(*) FILTER (NOT in_live) AS n_removed,
                (count(*) FILTER (in_live IS DISTINCT FROM in_cache) = 0) AS fresh
         FROM diff"""),
-      "check_summary_file staleness report: cache-vs-live listing diff (main.py:259-277)")
+      "check_summary_file staleness report: cache-vs-live listing diff (main.py:259-277)"),
+
+    // ---------------------------------------------------------------
+    // update_summary_file refresh WRITE path: seed the cache STALE
+    // (one measurement dropped, one retired key planted — exactly
+    // q57's divergence), refresh it from the live listing (the
+    // reference's update = re-gather + replace, main.py:259-266), and
+    // report from the refreshed cache READ-BACK. The oracle computes
+    // over the live keys only: stale rows surviving the overwrite, or
+    // a refresh that never landed, change the counts and fail the hash.
+    // ---------------------------------------------------------------
+    Q("q90_catalog_refresh",
+      (s, dir) => {
+        import s.implicits._
+        val live = inventory(s, dir)
+        val retired = CatalogOps.inventoryFromKeys(
+          Seq("study/u0/zz_retired/20200101_000000.csv.gz").toDF("key"))
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val cachePath = new java.io.File(
+          new java.io.File(sys.props("user.dir"), "target"),
+          s"graft_catalog_cache_refresh_$tag").getAbsolutePath
+        // seed stale, then refresh = overwrite from live
+        CatalogOps.writeCache(
+          live.filter(col("measurement") =!= "click").unionByName(retired),
+          cachePath)
+        CatalogOps.writeCache(live, cachePath)
+        CatalogOps.summaryReport(CatalogOps.readCache(s, cachePath))
+      },
+      Some(s"""
+        WITH $inventoryCte
+        SELECT user_id, measurement,
+               count(*) AS file_count,
+               min(date) AS first_date,
+               max(date) AS last_date,
+               count(DISTINCT date) AS distinct_dates
+        FROM data_inv GROUP BY 1, 2 ORDER BY 1, 2"""),
+      "update_summary_file refresh: stale cache overwritten from live, report from read-back (main.py:259-266)")
   )
 }
