@@ -15,13 +15,18 @@ import org.apache.spark.sql.functions.{col, posexplode, struct, udaf}
   * small (the buffer is an in-memory list re-sorted per insert batch).
   *
   * Ordering is value DESC with tag ASC tie-break, so results are
-  * deterministic under any partitioning. Null values are skipped; null
-  * tags are not allowed (enforce upstream).
+  * deterministic under any partitioning. Null values are skipped (the
+  * input value decodes as Option, so a null row is a no-op, not a
+  * deserialization failure); null tags are not allowed (enforce
+  * upstream).
   */
 final case class TopKEntry(value: Double, tag: Long)
 
+/** udaf input row: value nullable by construction. */
+final case class TopKInput(value: Option[Double], tag: Long)
+
 final class TopKAggregator(k: Int)
-    extends Aggregator[TopKEntry, List[TopKEntry], Seq[TopKEntry]] {
+    extends Aggregator[TopKInput, List[TopKEntry], Seq[TopKEntry]] {
   require(k > 0 && k <= 1000, s"need 0 < k <= 1000, got $k")
 
   private def top(xs: List[TopKEntry]): List[TopKEntry] =
@@ -29,14 +34,17 @@ final class TopKAggregator(k: Int)
 
   override def zero: List[TopKEntry] = Nil
 
-  override def reduce(b: List[TopKEntry], x: TopKEntry): List[TopKEntry] =
-    // cheap pre-filter: once the buffer is full, only candidates that
-    // beat the current cutoff trigger a re-sort
-    if (b.lengthCompare(k) >= 0 && {
-        val last = b.last
-        x.value < last.value || (x.value == last.value && x.tag > last.tag)
-      }) b
-    else top(x :: b)
+  override def reduce(b: List[TopKEntry], x: TopKInput): List[TopKEntry] =
+    x.value match {
+      case None => b // null values are skipped
+      // cheap pre-filter: once the buffer is full, only candidates that
+      // beat the current cutoff trigger a re-sort
+      case Some(v) if b.lengthCompare(k) >= 0 && {
+          val last = b.last
+          v < last.value || (v == last.value && x.tag > last.tag)
+        } => b
+      case Some(v) => top(TopKEntry(v, x.tag) :: b)
+    }
 
   override def merge(a: List[TopKEntry], b: List[TopKEntry]): List[TopKEntry] =
     if (a.isEmpty) b else if (b.isEmpty) a else top(a ++ b)

@@ -51,21 +51,37 @@ object MergeData {
   /** `format`: "parquet" (default) or "csv.gz" — the reference's two
     * output formats (merge-data.py:93-96 writes gzipped csv by default
     * with `--parquet` opting into parquet; we default the other way,
-    * parquet being the only sane lake format at scale, and keep csv.gz
-    * for byte-level output parity with the reference's deliverable). */
+    * parquet being the only sane lake format at scale). Parity with the
+    * reference's csv.gz deliverable is at the CONTENT level: the
+    * reference writes site/participant_id/metric as data columns inside
+    * each group's file (merge-data.py:81-83), so the csv.gz branch
+    * partitions on COPIES and keeps the originals in the rows; the
+    * directory layout itself is Hive-style (`key=value`), not the
+    * reference's bare `site/participant/metric` nesting. */
   def writeMerged(spark: SparkSession, df: DataFrame, outDir: String,
       format: String = "parquet"): Unit = {
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
-      val w = df.repartition(col("site"), col("participant_id"), col("metric"))
-        .write
-        .mode("overwrite")
-        .partitionBy("site", "participant_id", "metric")
+      def writer(d: DataFrame, keys: Seq[String]) =
+        d.repartition(keys.map(col): _*)
+          .write
+          .mode("overwrite")
+          .partitionBy(keys: _*)
       format match {
-        case "parquet" => w.parquet(outDir)
-        case "csv.gz" => w.option("header", "true")
-          .option("compression", "gzip").csv(outDir)
+        case "parquet" =>
+          writer(df, Seq("site", "participant_id", "metric")).parquet(outDir)
+        case "csv.gz" =>
+          // Hive partitioning strips partition columns from file
+          // contents; the reference's merged csv carries them as data
+          // columns, so partition on copies and keep the originals
+          val keyed = df
+            .withColumn("_p_site", col("site"))
+            .withColumn("_p_participant_id", col("participant_id"))
+            .withColumn("_p_metric", col("metric"))
+          writer(keyed, Seq("_p_site", "_p_participant_id", "_p_metric"))
+            .option("header", "true")
+            .option("compression", "gzip").csv(outDir)
         case other => throw new IllegalArgumentException(
           s"writeMerged format must be parquet or csv.gz, got $other")
       }

@@ -36,6 +36,10 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
   val bandWidthConf = "spark.graft.rangeJoin.bandWidth"
 
+  /** Fan-out ceiling per interval, mirroring
+    * [[graft.ops.RangeJoin.bandedIntervalJoin]]'s default. */
+  val maxBandsPerInterval: Long = 1L << 22
+
   private def bandWidth: Option[Long] =
     Option(spark.conf.get(bandWidthConf, null))
       .flatMap(s => scala.util.Try(s.toLong).toOption)
@@ -120,8 +124,27 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val seq = Sequence(bandOf(lo, w), bandOf(hi, w),
       Some(Literal(1L, LongType)),
       Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+    // Same fan-out guard as RangeJoin.bandedIntervalJoin: one corrupt
+    // wide interval (hi = MAX_VALUE sentinel) or a too-fine bandWidth
+    // would otherwise multiply the interval side by (hi-lo)/w rows and
+    // fail only with sequence's anonymous array-length error. The guard
+    // lives INSIDE the consumed expression so it cannot be pruned; the
+    // error branch casts NullType to the sequence type to keep the
+    // optimizer-built CaseWhen well-typed.
+    val nBands = Subtract(bandOf(hi, w), bandOf(lo, w))
+    val err = Cast(
+      new RaiseError(Concat(Seq(
+        Literal(s"RangeJoinRewrite: interval spans more than " +
+          s"$maxBandsPerInterval bands at $bandWidthConf=$w (lo band "),
+        Cast(bandOf(lo, w), org.apache.spark.sql.types.StringType),
+        Literal(", hi band "),
+        Cast(bandOf(hi, w), org.apache.spark.sql.types.StringType),
+        Literal("); split the interval or coarsen the band width")))),
+      seq.dataType)
+    val guarded = CaseWhen(
+      Seq((LessThan(nBands, Literal(maxBandsPerInterval, LongType)), seq)), Some(err))
     val exploded = Generate(
-      Explode(seq), unrequiredChildIndex = Nil, outer = false,
+      Explode(guarded), unrequiredChildIndex = Nil, outer = false,
       qualifier = None, generatorOutput = Seq(ivBand),
       Filter(LessThanOrEqual(lo, hi), intervalSide))
 

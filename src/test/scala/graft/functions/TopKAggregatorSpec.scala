@@ -46,10 +46,24 @@ class TopKAggregatorSpec extends SparkSpec {
   test("reduce keeps the buffer bounded at k") {
     val agg = new TopKAggregator(2)
     val full = (1 to 100).foldLeft(agg.zero)((b, i) =>
-      agg.reduce(b, TopKEntry(i.toDouble, i.toLong)))
+      agg.reduce(b, TopKInput(Some(i.toDouble), i.toLong)))
     assert(full == List(TopKEntry(100.0, 100L), TopKEntry(99.0, 99L)))
     // merge of two bounded buffers stays bounded and best-first
     val m = agg.merge(full, List(TopKEntry(150.0, 150L)))
     assert(m == List(TopKEntry(150.0, 150L), TopKEntry(100.0, 100L)))
+  }
+
+  test("null values are skipped, not a deserialization crash") {
+    val withNulls = df(Seq(
+        ("a", Some(5.0), 1L), ("a", None, 2L), ("a", Some(9.0), 3L),
+        ("b", None, 4L)),
+      "g", "v", "id")
+    val out = rowsOf(withNulls.groupBy("g")
+      .agg(TopKAggregator.topK(2, col("v"), col("id")).as("top"))
+      .select(col("g"), posexplode(col("top")))
+      .select(col("g"), col("col.value"), col("col.tag"))
+      .orderBy("g", "col.value"))
+    // group b had only a null value: empty top-k, no row after explode
+    assert(out == Seq(Seq("a", 5.0, 1L), Seq("a", 9.0, 3L)))
   }
 }

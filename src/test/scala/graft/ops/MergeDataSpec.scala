@@ -57,6 +57,13 @@ class MergeDataSpec extends SparkSpec {
       .select("site", "participant_id", "metric", "v").orderBy("site")
     assert(rowsOf(back) == Seq(
       Seq("s1", "p1", "hr", "1.5"), Seq("s2", "p2", "steps", "2.5")))
+    // reference parity: the group columns live INSIDE the file contents
+    // (merge-data.py:81-83), not only in the directory names — read ONE
+    // part file directly, bypassing partition-column recovery
+    val one = spark.read.option("header", "true").csv(files.head)
+    assert(Seq("site", "participant_id", "metric", "v")
+      .forall(one.columns.contains),
+      s"file contents missing group columns: ${one.columns.mkString(",")}")
     intercept[IllegalArgumentException] {
       MergeData.writeMerged(spark, full, out, format = "tsv")
     }

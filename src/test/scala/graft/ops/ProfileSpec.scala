@@ -23,6 +23,15 @@ class ProfileSpec extends SparkSpec {
     assert(out("a") == 2L) // HLL is exact at tiny cardinality
   }
 
+  test("column names needing quoting (dots, spaces, hyphens) profile fine") {
+    val weird = df(data).toDF("value.time", "site name-2")
+    val out = Profile.profile(weird, Seq("value.time", "site name-2"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("value.time") == ((5L, 1L, 2L)))
+    assert(out("site name-2") == ((5L, 1L, 2L)))
+  }
+
   test("unknown columns fail fast with the offending names") {
     val e = intercept[IllegalArgumentException] {
       Profile.profile(df(data), Seq("a", "nope"))

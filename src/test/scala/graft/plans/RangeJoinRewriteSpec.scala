@@ -64,6 +64,22 @@ class RangeJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("one pathologically wide interval fails loudly, not with an array OOM") {
+    // hi = MAX_VALUE sentinel: (hi-lo)/w bands would silently multiply
+    // the interval side; the injected guard must raise a message that
+    // names the rule instead
+    val corrupt = df(Seq((0L, Long.MaxValue, "sentinel")), "lo", "hi", "name")
+    val theta = points.join(corrupt,
+      col("ts") >= col("lo") && col("ts") <= col("hi"))
+    withRule(10L) {
+      val e = intercept[Exception] { theta.collect() }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(e).exists(_.contains("RangeJoinRewrite")),
+        s"wrong failure: ${messages(e).mkString(" | ")}")
+    }
+  }
+
   test("computed band operands and null bounds behave like the theta join") {
     // point expression is computed (ts + 1); hi is nullable with a null row
     val iv = df(Seq(

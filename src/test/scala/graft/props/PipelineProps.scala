@@ -340,13 +340,14 @@ object PipelineProps extends Properties("graft.pipeline") {
     forAll(topkGen) { case (k, xs) =>
       val agg = new graft.functions.TopKAggregator(k)
       val entries = xs.map { case (v, t) => graft.functions.TopKEntry(v.toDouble, t) }
+      val inputs = entries.map(e => graft.functions.TopKInput(Some(e.value), e.tag))
       val expected = entries.sortBy(e => (-e.value, e.tag)).distinct
         .take(k) // driver-side spec: sort everything, keep k
       // NB distinct AFTER sort would drop equal (value, tag) dups the
       // aggregator keeps — so only compare when inputs are distinct
       val distinctIn = entries.distinct.size == entries.size
-      val folded = entries.foldLeft(agg.zero)(agg.reduce)
-      val (l, r) = entries.splitAt(entries.size / 2)
+      val folded = inputs.foldLeft(agg.zero)(agg.reduce)
+      val (l, r) = inputs.splitAt(inputs.size / 2)
       val merged = agg.merge(
         l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
       val mergedRev = agg.merge(
