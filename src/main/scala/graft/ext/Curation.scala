@@ -295,4 +295,72 @@ object Curation {
       .withColumn("repetition",
         round(lit(1.0) - col("n_distinct").cast("double") / col("n_grams"), 4))
   }
+
+  // ------------------------------------------------------------------
+  // Deterministic corpus shuffle (training-batch order).
+  // ------------------------------------------------------------------
+
+  /** Seeded deterministic shuffle: every row gets a pseudo-random but
+    * REPRODUCIBLE `shuffle_key` (hash of seed + id) and a `batch`
+    * assignment (`key mod nBatches`); writing ordered by
+    * (batch, shuffle_key) yields the epoch's training order. Purely
+    * map-side expressions — re-runs, retries, and other engines
+    * reproduce the same order bit-for-bit (vs. `rand()`, which is
+    * task-retry-unstable, or a global `row_number`, which is a
+    * single-partition window). Per-batch source proportions converge
+    * on corpus proportions by uniform hashing — the scalable stand-in
+    * for exact round-robin interleave, whose per-source sequence
+    * numbers would serialize each source into one window task. */
+  def deterministicShuffle(df: DataFrame, idCol: String, seed: String,
+      nBatches: Int): DataFrame = {
+    require(nBatches > 0, s"need nBatches > 0, got $nBatches")
+    val key = DetHash.hash52(
+      concat_ws(":", lit(seed), col(idCol).cast("string")))
+    df.withColumn("shuffle_key", key)
+      .withColumn("batch", pmod(key, lit(nBatches.toLong)).cast("int"))
+  }
+
+  // ------------------------------------------------------------------
+  // Temperature-weighted source mixing.
+  // ------------------------------------------------------------------
+
+  /** α-temperature mixing weights (the multilingual/multi-source LM
+    * recipe): sampling probability per source ∝ n_s^α — α=1 keeps
+    * corpus proportions, α=0 flattens to uniform, α∈(0,1) upsamples
+    * the tail. Returns per-source (n, p, frac) where `frac` is the
+    * per-row keep fraction hitting `targetN` expected rows overall
+    * (capped at 1: a source can't yield more rows than it has — the
+    * cap means the realized total can undershoot targetN when a tiny
+    * source saturates; redistribute by re-running on the remainder if
+    * exactness matters). The count aggregation is the only shuffle;
+    * everything after is a source-count-sized frame. */
+  def mixingWeights(df: DataFrame, sourceCol: String, alpha: Double,
+      targetN: Long): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, s"need 0 <= alpha <= 1, got $alpha")
+    require(targetN > 0, s"need targetN > 0, got $targetN")
+    val powed = df.groupBy(sourceCol)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("__pw", pow(col("n").cast("double"), lit(alpha)))
+    powed
+      .crossJoin(broadcast(powed.agg(sum("__pw").as("__tot"))))
+      .withColumn("p", col("__pw") / col("__tot"))
+      .withColumn("frac",
+        least(lit(1.0), lit(targetN.toDouble) * col("p") / col("n")))
+      .select(col(sourceCol), col("n"), col("p"), col("frac"))
+  }
+
+  /** Deterministic temperature sampling: keep a row iff its id-hash
+    * micro-fraction clears the source's [[mixingWeights]] threshold —
+    * [[stratifiedSample]]'s Bernoulli trick with the fractions COMPUTED
+    * from the corpus instead of supplied. The weights table broadcasts
+    * (one row per source); the corpus never shuffles. */
+  def temperatureSample(df: DataFrame, idCol: String, sourceCol: String,
+      alpha: Double, targetN: Long): DataFrame = {
+    val thr = mixingWeights(df, sourceCol, alpha, targetN)
+      .select(col(sourceCol),
+        floor(col("frac") * 1000000L).cast("long").as("__thr"))
+    df.join(broadcast(thr), Seq(sourceCol))
+      .filter(DetHash.hash52(col(idCol).cast("string")) % 1000000L < col("__thr"))
+      .drop("__thr")
+  }
 }

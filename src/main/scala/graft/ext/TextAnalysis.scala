@@ -68,6 +68,48 @@ object TextAnalysis {
           + lit(0.2) * least(nTok.cast("double") / 100.0, lit(1.0)), 4))
   }
 
+  /** Frozen coefficients for [[classifyQuality]] — a fastText-style
+    * linear model over the [[qualityMetrics]] features. Training
+    * happens OFFLINE (these are arbitrary-but-frozen stand-ins for
+    * fitted weights; swap after a real fit); the engine's job is
+    * inference at corpus scale, which stays in whole-stage codegen
+    * because the model is a dot product over expression-derived
+    * features. Feature order: stopword_ratio, punct_ratio,
+    * digit_ratio, mean_token_len/10, min(n_tokens/100, 1). */
+  val qualityClassifierWeights: Seq[Double] =
+    Seq(3.2, -2.1, -1.4, 0.6, 1.1)
+  val qualityClassifierBias: Double = -1.05
+
+  /** Linear quality classifier inference: `logit = w · x + b` over the
+    * quality features, `keep = logit > 0`. No sigmoid on purpose — the
+    * decision is monotone in the logit, and exp() is not bit-stable
+    * across engines, so thresholding the logit keeps the operator
+    * exactly oracle-checkable (apply sigmoid downstream if calibrated
+    * probabilities are needed). Pure map-side expressions. */
+  def classifyQuality(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nTok = size(toks).cast("double")
+    val totTokLen = aggregate(transform(toks, x => length(x)), lit(0),
+      (acc, v) => acc + v).cast("double")
+    val punct = (length(t) - length(regexp_replace(t, "[^a-zA-Z0-9\\s]", "")))
+      .cast("double")
+    val digits = (length(t) - length(regexp_replace(t, "[0-9]", "")))
+      .cast("double")
+    val stop = markerHits(toks, langMarkers.head._2).cast("double")
+    val feats = Seq(
+      stop / nTok,
+      punct / length(t),
+      digits / length(t),
+      totTokLen / nTok / 10.0,
+      least(nTok / 100.0, lit(1.0)))
+    val logit = feats.zip(qualityClassifierWeights)
+      .map { case (f, w) => f * lit(w) }
+      .foldLeft(lit(qualityClassifierBias): Column)(_ + _)
+    df.withColumn("logit", round(logit, 4))
+      .withColumn("keep", logit > 0)
+  }
+
   /** Token counting: whitespace tokens + a BPE-ish regex segmentation
     * (letter runs, digit runs, single punctuation marks). */
   def tokenCounts(df: DataFrame, textCol: String): DataFrame = {

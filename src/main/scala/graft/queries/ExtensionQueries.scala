@@ -1261,7 +1261,90 @@ object ExtensionQueries {
         FROM n a JOIN n b ON a.p_name < b.p_name
         WHERE levenshtein(a.p_name, b.p_name) <= 1
         ORDER BY str_a, str_b"""),
-      "symmetric-delete variant equi-join == all-pairs levenshtein oracle")
+      "symmetric-delete variant equi-join == all-pairs levenshtein oracle"),
+
+    // ---------------------------------------------------------------
+    // Deterministic seeded shuffle: the training-batch order. Purely
+    // map-side (no rand(), no global row_number), so retries and other
+    // engines reproduce the epoch order bit-for-bit — which is exactly
+    // what the oracle checks.
+    // ---------------------------------------------------------------
+    Q("q91_deterministic_shuffle",
+      (s, dir) => Curation.deterministicShuffle(
+          Tables(s, dir, "documents"), "doc_id", "ep0", 8)
+        .select("doc_id", "batch", "shuffle_key")
+        .orderBy("batch", "shuffle_key", "doc_id"),
+      Some(s"""
+        WITH h AS (SELECT doc_id,
+                          ${DetHash.sqlHash52("'ep0:' || doc_id")} AS shuffle_key
+                   FROM documents)
+        SELECT doc_id, (shuffle_key % 8)::INT AS batch, shuffle_key
+        FROM h ORDER BY batch, shuffle_key, doc_id"""),
+      "seeded hash shuffle: reproducible epoch order + batch split, no rand()"),
+
+    // ---------------------------------------------------------------
+    // Temperature-weighted source mixing: weights table AND realized
+    // sample sizes in one report. The sample filter is the same
+    // integer micro-fraction threshold as q60, so the realized counts
+    // are deterministic, not approximately-binomial.
+    // ---------------------------------------------------------------
+    Q("q92_temperature_mix",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val w = Curation.mixingWeights(docs, "source", 0.5, 300L)
+        val sampled = Curation.temperatureSample(docs, "doc_id", "source", 0.5, 300L)
+          .groupBy("source").agg(count(lit(1)).as("n_sampled"))
+        w.join(sampled, Seq("source"), "left")
+          .select(col("source"), col("n"),
+            round(col("p"), 4).as("p"),
+            round(col("frac"), 4).as("frac"),
+            coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+          .orderBy("source")
+      },
+      Some(s"""
+        WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+        t AS (SELECT sum(pow(n, 0.5)) AS tot FROM c),
+        w AS (SELECT source, n,
+                     pow(n, 0.5) / tot AS p,
+                     least(1.0, 300.0 * (pow(n, 0.5) / tot) / n) AS frac
+              FROM c CROSS JOIN t),
+        s AS (SELECT d.source, count(*) AS n_sampled
+              FROM documents d JOIN w USING (source)
+              WHERE ${DetHash.sqlHash52("d.doc_id::VARCHAR")} % 1000000
+                    < floor(w.frac * 1000000)::BIGINT
+              GROUP BY 1)
+        SELECT w.source, w.n, round(w.p, 4) AS p, round(w.frac, 4) AS frac,
+               coalesce(s.n_sampled, 0)::BIGINT AS n_sampled
+        FROM w LEFT JOIN s USING (source) ORDER BY source"""),
+      "alpha=0.5 temperature mixing: n^alpha weights -> deterministic keep thresholds"),
+
+    // ---------------------------------------------------------------
+    // Frozen linear quality classifier (fastText-style inference):
+    // logit thresholding, no sigmoid — exp() is not bit-stable across
+    // engines, a monotone transform cannot change the decision, and
+    // skipping it keeps the classification exactly oracle-checkable.
+    // ---------------------------------------------------------------
+    Q("q93_quality_classifier",
+      (s, dir) => TextAnalysis.classifyQuality(Tables(s, dir, "documents"), "text")
+        .select("doc_id", "logit", "keep")
+        .orderBy("doc_id"),
+      Some {
+        val en = TextAnalysis.langMarkers.head._2.map(m => s"'$m'").mkString(", ")
+        val logit =
+          s"""-1.05
+              + 3.2 * (len([x for x in toks if x IN ($en)])::DOUBLE / len(toks))
+              + (-2.1) * ((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))::DOUBLE / length(text))
+              + (-1.4) * ((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / length(text))
+              + 0.6 * (list_sum([length(x) for x in toks])::DOUBLE / len(toks) / 10.0)
+              + 1.1 * least(len(toks)::DOUBLE / 100.0, 1.0)"""
+        s"""
+        WITH t AS (SELECT doc_id, text,
+                          string_split_regex(lower(text), '\\s+') AS toks
+                   FROM documents)
+        SELECT doc_id, round($logit, 4) AS logit, ($logit) > 0 AS keep
+        FROM t ORDER BY doc_id"""
+      },
+      "frozen-weight linear scorer over quality features; inference stays in codegen")
   )
 
 }

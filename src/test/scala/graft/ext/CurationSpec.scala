@@ -156,4 +156,35 @@ class CurationSpec extends SparkSpec {
     val out = rowsOf(Curation.repetitionScore(d, "id", "t").orderBy("id"))
     assert(out === Seq(Seq(1L, 3L, 2L, 0.3333), Seq(2L, 3L, 3L, 0.0)))
   }
+
+  test("deterministicShuffle: reproducible keys, batches partition the corpus") {
+    val d = df((1L to 200L).map(Tuple1(_)), "id")
+    val a = Curation.deterministicShuffle(d, "id", "ep0", 8)
+    val b = Curation.deterministicShuffle(d, "id", "ep0", 8)
+    assert(rowsOf(a.orderBy("id")) === rowsOf(b.orderBy("id")), "same seed, same order")
+    // a different seed reshuffles (some key must differ)
+    val c = Curation.deterministicShuffle(d, "id", "ep1", 8)
+    assert(rowsOf(a.orderBy("id")) !== rowsOf(c.orderBy("id")))
+    val batches = a.select("batch").distinct().collect().map(_.getInt(0)).toSet
+    assert(batches.subsetOf((0 until 8).toSet) && batches.size > 1)
+    assert(a.count() === 200L)
+  }
+
+  test("temperatureSample: alpha=1 keeps proportions, alpha=0 flattens, deterministic") {
+    val d = df(
+      (1L to 900L).map(i => (i, "big")) ++ (1001L to 1100L).map(i => (i, "small")),
+      "id", "src")
+    // alpha=1: fractions proportional to n -> equal keep fraction both strata
+    val w1 = Curation.mixingWeights(d, "src", 1.0, 500L)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(math.abs(w1("big") - 0.5) < 1e-9 && math.abs(w1("small") - 0.5) < 1e-9)
+    // alpha=0: uniform weights -> small stratum saturates at frac=1
+    val w0 = Curation.mixingWeights(d, "src", 0.0, 500L)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(w0("small") == 1.0 && w0("big") < 0.3)
+    // the sample itself is reproducible and respects the thresholds
+    val s1 = rowsOf(Curation.temperatureSample(d, "id", "src", 0.5, 500L).orderBy("id"))
+    val s2 = rowsOf(Curation.temperatureSample(d, "id", "src", 0.5, 500L).orderBy("id"))
+    assert(s1 === s2 && s1.nonEmpty)
+  }
 }

@@ -294,6 +294,18 @@ class ExtSpec extends SparkSpec {
     assert(rows.head(3).asInstanceOf[Array[Byte]].toSeq === gz.toSeq)
   }
 
+  test("classifyQuality: frozen linear scorer ranks prose above junk, keep == logit>0") {
+    val d = df(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and then it was done"),
+      (2L, "$$$ ### 12345 67890 !!! ??? 00000 %%% @@@ 999")), "doc_id", "text")
+    val out = TextAnalysis.classifyQuality(d, "text")
+      .select("doc_id", "logit", "keep")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(out(1L)._1 > out(2L)._1, s"prose must outscore junk: $out")
+    out.values.foreach { case (logit, keep) => assert(keep == (logit > 0)) }
+    assert(out(1L)._2 && !out(2L)._2)
+  }
+
   test("real header decode: PNG IHDR + JPEG SOF on genuine codec output") {
     import java.awt.image.BufferedImage
     import javax.imageio.ImageIO
