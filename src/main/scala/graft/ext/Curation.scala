@@ -297,6 +297,47 @@ object Curation {
   }
 
   // ------------------------------------------------------------------
+  // Content-defined chunking.
+  // ------------------------------------------------------------------
+
+  /** Content-defined chunking: cut the text BEFORE every position whose
+    * k-gram rolling hash is ≡ 0 mod `divisor` — so boundaries are a
+    * function of local CONTENT, not offsets, and an insertion near the
+    * head only re-chunks its neighborhood while every later chunk stays
+    * byte-identical (the property fixed-window [[chunkDocs]] lacks, and
+    * the reason CDC feeds chunk-level dedup). Expected chunk length ≈
+    * `divisor`; texts shorter than k (or with no qualifying position)
+    * come back as one chunk. The hash is the winnow pipeline's O(len)
+    * rolling gram hash ([[graft.functions.GramHashes]], codegen'd, same
+    * ASCII input contract), so the oracle recomputes every cut
+    * bit-exactly. Pure map-side; production variants add min/max chunk
+    * bounds (a sequential fold per doc) — same cut rule, clamped.
+    * Output: (id, chunk_no, chunk); chunks concatenate back to the
+    * original text (spec-pinned). */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, divisor: Int = 64): DataFrame = {
+    require(divisor > 0, s"need divisor > 0, got $divisor")
+    val t = col("__t")
+    val h = col("__h")
+    val withH = df.select(col(idCol), col(textCol).as("__t"),
+      graft.functions.WinnowFunctions.gramHashes(col(textCol), k).as("__h"))
+    val bpos = when(size(h) >= 2,
+      filter(sequence(lit(1), size(h) - 1),
+        p => element_at(h, (p + 1).cast("int")) % divisor === 0))
+      .otherwise(array().cast("array<int>"))
+    val withB = withH.select(col(idCol), t,
+      concat(array(lit(0)), bpos).as("__starts"),
+      concat(bpos, array(length(t))).as("__ends"))
+    withB
+      .select(col(idCol), t,
+        posexplode(arrays_zip(col("__starts"), col("__ends")))
+          .as(Seq("chunk_no", "__se")))
+      .select(col(idCol), col("chunk_no"),
+        t.substr(col("__se.__starts") + 1,
+          col("__se.__ends") - col("__se.__starts")).as("chunk"))
+  }
+
+  // ------------------------------------------------------------------
   // Deterministic corpus shuffle (training-batch order).
   // ------------------------------------------------------------------
 

@@ -101,9 +101,73 @@ object WinnowFingerprints {
   }
 }
 
+/** Per-position rolling gram-hash array (the winnow pipeline's `h`
+  * stage without the window-minima selection) — the primitive
+  * content-defined chunking cuts on ([[graft.ext.Curation.cdcChunks]]).
+  * Same O(len) rolling update, same mod-[[DetHash.P]] reduction, same
+  * ASCII input contract as [[WinnowFingerprints]], so the oracle SQL's
+  * per-gram polynomial recomputes it bit-exactly. */
+case class GramHashes(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "gram_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType) TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.catalogString}")
+    else if (k <= 0) TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires k > 0, got k=$k")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def nullSafeEval(input: Any): Any =
+    GramHashes.compute(input.asInstanceOf[UTF8String], k)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GramHashes$$.MODULE$$.compute($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): GramHashes =
+    copy(child = newChild)
+}
+
+object GramHashes {
+  private val P = DetHash.P
+  private val B = graft.ext.TextAnalysis.winnowBase
+
+  /** O(len) rolling hash per gram start position; empty for len < k. */
+  def compute(s: UTF8String, k: Int): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    if (n < k) return new GenericArrayData(Array.empty[Long])
+    val m = n - k + 1
+    var powK1 = 1L
+    var p = 0
+    while (p < k - 1) { powK1 = powK1 * B % P; p += 1 }
+    val h = new Array[Long](m)
+    var acc = 0L
+    var j = 0
+    while (j < k) {
+      acc = (acc * B + (bytes(j) & 0xff)) % P
+      j += 1
+    }
+    h(0) = acc
+    var i = 1
+    while (i < m) {
+      val t = (h(i - 1) - (bytes(i - 1) & 0xff) * powK1 % P + P) % P
+      h(i) = (t * B + (bytes(i + k - 1) & 0xff)) % P
+      i += 1
+    }
+    new GenericArrayData(h)
+  }
+}
+
 /** Column-API entry point. */
 object WinnowFunctions {
   def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
     GraftColumnBridge.column(WinnowFingerprints(
       GraftColumnBridge.expression(text), k, w))
+
+  def gramHashes(text: Column, k: Int = 8): Column =
+    GraftColumnBridge.column(GramHashes(
+      GraftColumnBridge.expression(text), k))
 }

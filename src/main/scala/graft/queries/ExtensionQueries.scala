@@ -1344,7 +1344,47 @@ object ExtensionQueries {
         SELECT doc_id, round($logit, 4) AS logit, ($logit) > 0 AS keep
         FROM t ORDER BY doc_id"""
       },
-      "frozen-weight linear scorer over quality features; inference stays in codegen")
+      "frozen-weight linear scorer over quality features; inference stays in codegen"),
+
+    // ---------------------------------------------------------------
+    // Content-defined chunking: boundaries where the rolling k-gram
+    // hash ≡ 0 mod divisor — insertion-robust chunks for chunk-level
+    // dedup (fixed windows shift every later chunk; CDC re-chunks only
+    // the edit's neighborhood). The oracle recomputes every gram hash
+    // from the same frozen power table and rebuilds the exact cuts.
+    // ---------------------------------------------------------------
+    Q("q94_cdc_chunks",
+      (s, dir) => Curation.cdcChunks(
+          Tables(s, dir, "documents"), "doc_id", "text", k = 8, divisor = 64)
+        .orderBy("doc_id", "chunk_no"),
+      Some {
+        val p = DetHash.P
+        val pows = TextAnalysis.sqlWinnowPowers(8)
+        s"""
+        WITH t AS (SELECT doc_id, text FROM documents),
+        g AS (SELECT doc_id, text,
+                     unnest(range(0, greatest(length(text) - 7, 0))) AS i
+              FROM t),
+        h AS (SELECT doc_id, i,
+                     (list_sum([(ascii(substr(text, (i + j + 1)::INT, 1))
+                                 * ($pows)[(j + 1)::INT]) % $p
+                                for j in range(0, 8)]) % $p)::BIGINT AS hv
+              FROM g),
+        bl AS (SELECT doc_id, list(i ORDER BY i) AS bp
+               FROM h WHERE hv % 64 = 0 AND i > 0 GROUP BY doc_id),
+        c AS (SELECT t.doc_id, t.text,
+                     [0]::BIGINT[] || coalesce(b.bp, []::BIGINT[]) AS ss,
+                     coalesce(b.bp, []::BIGINT[]) || [length(t.text)]::BIGINT[] AS ee
+              FROM t LEFT JOIN bl b USING (doc_id)),
+        x AS (SELECT doc_id, text, ss, ee,
+                     unnest(range(0, len(ss))) AS jj
+              FROM c)
+        SELECT doc_id, jj AS chunk_no,
+               substr(text, (ss[(jj + 1)::INT] + 1)::INT,
+                      (ee[(jj + 1)::INT] - ss[(jj + 1)::INT])::INT) AS chunk
+        FROM x ORDER BY doc_id, chunk_no"""
+      },
+      "content-defined chunking: rolling-hash cuts, insertion-robust, O(len) codegen")
   )
 
 }

@@ -1033,6 +1033,42 @@ object ReferenceQueries {
                strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
                round(sum(value), 2) AS sum_value
         FROM events GROUP BY 1 ORDER BY 1"""),
-      "ORC write+read == parquet oracle: source-format fidelity check")
+      "ORC write+read == parquet oracle: source-format fidelity check"),
+
+    // ---------------------------------------------------------------
+    // JSON source/sink fidelity, same shape as the ORC round-trip:
+    // events write to JSON lines and read back with an explicit schema
+    // (timestamps as ISO strings, doubles shortest-round-trip), then
+    // the aggregate must hash-match the oracle computed from the
+    // ORIGINAL parquet — completing the csv/parquet/orc/json matrix.
+    // ---------------------------------------------------------------
+    Q("q95_json_roundtrip",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val stamp = new java.io.File(dir, "events.parquet").lastModified()
+        val jsonDir = new java.io.File(
+          new java.io.File(sys.props("user.dir"), "target"),
+          s"graft_json_events_${tag}_$stamp").getAbsolutePath
+        val ev = events(s, dir)
+        ReferenceQueries.synchronized {
+          if (!new java.io.File(s"$jsonDir/_SUCCESS").exists())
+            ev.write.mode("overwrite").json(jsonDir)
+        }
+        s.read.schema(ev.schema).json(jsonDir)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("n_users"),
+            date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("first_ts"),
+            date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
+            round(sum(col("value")), 2).as("sum_value"))
+          .orderBy("event_type")
+      },
+      Some("""
+        SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+               strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
+               round(sum(value), 2) AS sum_value
+        FROM events GROUP BY 1 ORDER BY 1"""),
+      "JSON write+read == parquet oracle: source-format fidelity check")
   )
 }

@@ -157,6 +157,28 @@ class CurationSpec extends SparkSpec {
     assert(out === Seq(Seq(1L, 3L, 2L, 0.3333), Seq(2L, 3L, 3L, 0.0)))
   }
 
+  test("cdcChunks: chunks reassemble exactly; an edit only re-chunks its neighborhood") {
+    val base = ('a' to 'z').mkString * 40 // 1040 chars, expected ~16 chunks at divisor 64
+    val edited = base.substring(0, 10) + "XYZ" + base.substring(10)
+    val d = df(Seq((1L, base), (2L, edited), (3L, "tiny")), "id", "t")
+    val out = Curation.cdcChunks(d, "id", "t", k = 8, divisor = 64)
+    // chunks concatenate back to the original text, in chunk_no order
+    val re = out.orderBy("id", "chunk_no")
+      .groupBy("id").agg(concat_ws("", collect_list("chunk")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(re == Map(1L -> base, 2L -> edited, 3L -> "tiny"))
+    // insertion robustness: the tail chunks of the edited doc are the
+    // SAME BYTES as the original's tail chunks (fixed windows would
+    // shift every one of them)
+    def chunks(id: Long) = out.filter(col("id") === id)
+      .orderBy("chunk_no").collect().map(_.getString(2)).toSeq
+    val (c1, c2) = (chunks(1L), chunks(2L))
+    assert(c1.size > 3, s"expected several chunks, got ${c1.size}")
+    assert(c1.takeRight(3) == c2.takeRight(3), "tail chunks must survive the edit")
+    // short text: one whole-text chunk
+    assert(chunks(3L) == Seq("tiny"))
+  }
+
   test("deterministicShuffle: reproducible keys, batches partition the corpus") {
     val d = df((1L to 200L).map(Tuple1(_)), "id")
     val a = Curation.deterministicShuffle(d, "id", "ep0", 8)
