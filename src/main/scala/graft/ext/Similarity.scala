@@ -127,6 +127,35 @@ object Similarity {
       .select("id_a", "id_b", "sim")
   }
 
+  /** SemDeDup-style semantic dedup: IVF-assign every vector to its
+    * nearest centroid (map-side broadcast, corpus never shuffles for
+    * the assignment), compute exact cosine on WITHIN-CELL pairs only —
+    * the SemDeDup observation that semantic duplicates land in the
+    * same cluster, so the cell bounds the pair fan-out — and drop
+    * every vector with a more-senior near-duplicate (same-cell
+    * neighbor, `sim >= minSim`, smaller id). Pairwise keeper rule, not
+    * transitive closure: a chain a~b~c with a<b<c drops b AND c even
+    * when sim(a,c) < minSim — deliberately aggressive on chains;
+    * compose [[graft.ext.Dedup]]'s connected components over the pair
+    * set when exact cluster semantics matter. Cross-cell near-dups are
+    * missed by construction — the recall/cost trade `nCells` tunes.
+    * Returns survivors as (id, cell_id). */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, minSim: Double): DataFrame = {
+    val assigned = ivfAssign(df, idCol, vecCol,
+      ivfCentroids(df, idCol, vecCol, nCells))
+    val a = assigned.select(col("cell_id"),
+      col(idCol).as("__id_a"), col(vecCol).as("__v_a"))
+    val b = assigned.select(col("cell_id"),
+      col(idCol).as("__id_b"), col(vecCol).as("__v_b"))
+    val dropped = a.join(b, Seq("cell_id"))
+      .filter(col("__id_a") < col("__id_b"))
+      .filter(round(cosine(col("__v_a"), col("__v_b")), 4) >= minSim)
+      .select(col("__id_b").as(idCol)).distinct()
+    assigned.join(dropped, Seq(idCol), "left_anti")
+      .select(col(idCol), col("cell_id"))
+  }
+
   /** Plane weight matrix W(bit)(d), derived from [[hash52Const]] of
     * "rp-<bit>-<d>" mapped to [-1000, 1000] — reproducible in SQL, no
     * RNG state. */

@@ -1384,7 +1384,39 @@ object ExtensionQueries {
                       (ee[(jj + 1)::INT] - ss[(jj + 1)::INT])::INT) AS chunk
         FROM x ORDER BY doc_id, chunk_no"""
       },
-      "content-defined chunking: rolling-hash cuts, insertion-robust, O(len) codegen")
+      "content-defined chunking: rolling-hash cuts, insertion-robust, O(len) codegen"),
+
+    // ---------------------------------------------------------------
+    // SemDeDup-style semantic dedup: within-IVF-cell cosine pruning,
+    // senior-keeper rule. The oracle rebuilds the same deterministic
+    // centroids, the same argmax assignment, every within-cell pair's
+    // rounded cosine, and the same anti-join.
+    // ---------------------------------------------------------------
+    Q("q96_semantic_dedup",
+      (s, dir) => Similarity.semanticDedup(
+          Tables(s, dir, "embeddings"), "vec_id", "embedding",
+          nCells = 16, minSim = 0.45)
+        .orderBy("vec_id"),
+      Some(s"""
+        WITH $ivfCte,
+        pairs AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+                  FROM assigned a JOIN assigned b
+                    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id),
+        pd AS (SELECT p.ia, p.ib, sum(va.x * vb.x) AS dot
+               FROM pairs p
+               JOIN v va ON va.vec_id = p.ia
+               JOIN v vb ON vb.vec_id = p.ib AND vb.i = va.i
+               GROUP BY 1, 2),
+        ps AS (SELECT pd.ia, pd.ib,
+                      round(pd.dot / (na.nrm * nb.nrm), 4) AS sim
+               FROM pd
+               JOIN n na ON na.vec_id = pd.ia
+               JOIN n nb ON nb.vec_id = pd.ib),
+        dropped AS (SELECT DISTINCT ib FROM ps WHERE sim >= 0.45)
+        SELECT a.vec_id, a.cell_id
+        FROM assigned a LEFT JOIN dropped d ON d.ib = a.vec_id
+        WHERE d.ib IS NULL ORDER BY a.vec_id"""),
+      "SemDeDup: cell-bucketed cosine pruning, senior keeper, no all-pairs")
   )
 
 }

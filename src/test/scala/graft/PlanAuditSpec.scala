@@ -28,7 +28,9 @@ class PlanAuditSpec extends SparkSpec {
     "q82_lm_score" -> "crossJoin(broadcast(vocab size)) — a single-row count",
     "q47_ivf_ann" -> "crossJoin(broadcast(packed centroids)) — one row by construction",
     "q48_ivf_refine" -> "same single-row packed-centroid pattern as q47",
-    "q72_ivf_index_probe" -> "probe fan-out over broadcast(packed centroids) — one row loaded from the index")
+    "q72_ivf_index_probe" -> "probe fan-out over broadcast(packed centroids) — one row loaded from the index",
+    "q92_temperature_mix" -> "crossJoin(broadcast(sum of source weights)) — a single-row aggregate",
+    "q96_semantic_dedup" -> "same single-row packed-centroid assignment as q47; pair stage is a cell equi-join")
 
   test("no registered query plans a CartesianProduct or an unjustified nested-loop join") {
     val plans = Registry.all.map { q =>
