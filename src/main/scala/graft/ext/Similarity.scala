@@ -127,6 +127,107 @@ object Similarity {
       .select("id_a", "id_b", "sim")
   }
 
+  // ------------------------------------------------------------------
+  // Product quantization (the rung above int8 on the ANN memory ladder:
+  // dim doubles → m one-byte codes, 32× at dim=64/m=8, with
+  // asymmetric-distance search that never decodes the corpus).
+  // ------------------------------------------------------------------
+
+  /** PQ codebooks: split the dim-`dim` space into `m` contiguous
+    * subspaces of dim/m; subspace j's codebook is the j-th subvector of
+    * the same deterministic hash-ordered sample that seeds
+    * [[ivfCentroids]] (ksub rows, code = sample rank). Sampled
+    * codebooks are the standard PQ bootstrap (k-means refinement bolts
+    * on exactly like [[ivfRefine]]); determinism is what makes the
+    * oracle possible. Output: (subspace, code, centroid<array<double>>). */
+  def pqCodebooks(df: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int): DataFrame = {
+    val sample = df
+      .select(col(idCol), transform(col(vecCol), _.cast("double")).as("__v"))
+      .orderBy(DetHash.hash52(col(idCol).cast("string")), col(idCol))
+      .limit(ksub)
+      .withColumn("code",
+        row_number().over(Window.orderBy(
+          DetHash.hash52(col(idCol).cast("string")), col(idCol))) - 1)
+    val dsub = (size(col("__v")) / lit(m)).cast("int")
+    sample.select(col("code"),
+        explode(transform(sequence(lit(0), lit(m - 1)), j =>
+          struct(j.as("subspace"),
+            slice(col("__v"), j * dsub + 1, dsub).as("centroid"))))
+          .as("sc"))
+      .select(col("sc.subspace").as("subspace"), col("code"),
+        col("sc.centroid").as("centroid"))
+  }
+
+  /** Codebooks packed into one broadcastable row, ordered by
+    * (subspace, code) so `element_at(cents, subspace*ksub + code + 1)`
+    * is the lookup. */
+  private def packCodebooks(codebooks: DataFrame): DataFrame =
+    codebooks.agg(transform(
+      array_sort(collect_list(struct(
+        col("subspace"), col("code"), col("centroid")))),
+      e => e.getField("centroid")).as("__cb"))
+
+  /** PQ encoding: each vector → `m` one-byte codes, code j = argmin
+    * rounded L2 distance between subvector j and subspace j's
+    * codebook (ties → smaller code, via lexicographic struct-min).
+    * Map-side only: one tiny broadcast, no shuffle, stays in codegen. */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+      codebooks: DataFrame, m: Int, ksub: Int): DataFrame = {
+    val v = transform(col(vecCol), _.cast("double"))
+    val dsub = (size(v) / lit(m)).cast("int")
+    val codes = transform(sequence(lit(0), lit(m - 1)), j => {
+      val sub = slice(v, j * dsub + 1, dsub)
+      val scored = transform(sequence(lit(0), lit(ksub - 1)), c =>
+        struct(
+          round(aggregate(
+            zip_with(sub, element_at(col("__cb"), j * ksub + c + 1),
+              (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, d) => acc + d), 4).as("dist"),
+          c.as("code")))
+      array_min(scored).getField("code")
+    })
+    df.crossJoin(broadcast(packCodebooks(codebooks)))
+      .select(col(idCol), codes.as("codes"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k: the probe builds an m×ksub
+    * lookup table of rounded partial dots against every codebook
+    * centroid; each corpus row's score is then m table lookups summed —
+    * the corpus is never decoded, never recomputed, and the scan stays
+    * map-side (probes broadcast, row_number top-k per probe exactly
+    * like [[bruteForceTopK]]). Scores approximate the probe·corpus dot
+    * (inner-product PQ); rank fidelity vs exact cosine is what
+    * QuantizeSpec pins on planted duplicates. */
+  def pqTopK(codes: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, codebooks: DataFrame, m: Int, ksub: Int,
+      k: Int): DataFrame = {
+    val pv = transform(col(vecCol), _.cast("double"))
+    val dsub = (size(pv) / lit(m)).cast("int")
+    val lut = transform(sequence(lit(0), lit(m * ksub - 1)), i => {
+      val j = floor(i / ksub).cast("int")
+      round(aggregate(
+        zip_with(slice(pv, j * dsub + 1, dsub), element_at(col("__cb"), i + 1),
+          (x, y) => x * y),
+        lit(0.0), (acc, d) => acc + d), 4)
+    })
+    val p = probes
+      .crossJoin(broadcast(packCodebooks(codebooks)))
+      .select(col(idCol).as("probe_id"), lut.as("__lut"))
+    val score = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, j) =>
+      acc + element_at(col("__lut"),
+        j * ksub + element_at(col("codes"), (j + 1).cast("int")) + 1))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    codes.select(col(idCol).as("neighbor_id"), col("codes"))
+      .crossJoin(broadcast(p))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("score", round(score, 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("probe_id", "neighbor_id", "score", "rank")
+  }
+
   /** SemDeDup-style semantic dedup: IVF-assign every vector to its
     * nearest centroid (map-side broadcast, corpus never shuffles for
     * the assignment), compute exact cosine on WITHIN-CELL pairs only —

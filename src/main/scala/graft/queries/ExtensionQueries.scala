@@ -1416,7 +1416,61 @@ object ExtensionQueries {
         SELECT a.vec_id, a.cell_id
         FROM assigned a LEFT JOIN dropped d ON d.ib = a.vec_id
         WHERE d.ib IS NULL ORDER BY a.vec_id"""),
-      "SemDeDup: cell-bucketed cosine pruning, senior keeper, no all-pairs")
+      "SemDeDup: cell-bucketed cosine pruning, senior keeper, no all-pairs"),
+
+    // ---------------------------------------------------------------
+    // Product quantization + asymmetric-distance search: 64 floats →
+    // 8 one-byte codes (32×), probe builds an m×ksub dot-product LUT,
+    // corpus rows score as m table lookups — never decoded. The oracle
+    // rebuilds the deterministic codebooks, every argmin assignment,
+    // the probe LUTs, and the summed scores.
+    // ---------------------------------------------------------------
+    Q("q97_pq_adc_topk",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val cb = Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 8, ksub = 16)
+        val codes = Similarity.pqEncode(emb, "vec_id", "embedding", cb, m = 8, ksub = 16)
+        Similarity.pqTopK(codes, emb.filter(col("vec_id") < 20),
+          "vec_id", "embedding", cb, m = 8, ksub = 16, k = 3)
+          .orderBy("probe_id", "rank")
+      },
+      Some(s"""
+        WITH samp AS (SELECT vec_id, embedding,
+                             row_number() OVER (ORDER BY h, vec_id) - 1 AS code
+                      FROM (SELECT vec_id, embedding,
+                                   ${DetHash.sqlHash52("vec_id::VARCHAR")} AS h
+                            FROM embeddings ORDER BY h, vec_id LIMIT 16)),
+        cb AS (SELECT j.range AS subspace, s.code,
+                      [x::DOUBLE for x in s.embedding[(j.range * 8 + 1)::INT:(j.range * 8 + 8)::INT]] AS centroid
+               FROM samp s, range(0, 8) j),
+        sub AS (SELECT e.vec_id, j.range AS subspace,
+                       [x::DOUBLE for x in e.embedding[(j.range * 8 + 1)::INT:(j.range * 8 + 8)::INT]] AS sv
+                FROM embeddings e, range(0, 8) j),
+        dist AS (SELECT s.vec_id, s.subspace, c.code,
+                        round(list_sum([(s.sv[t::INT] - c.centroid[t::INT])
+                                        * (s.sv[t::INT] - c.centroid[t::INT])
+                                        for t in range(1, 9)]), 4) AS d
+                 FROM sub s JOIN cb c USING (subspace)),
+        enc AS (SELECT vec_id, subspace, code FROM (
+                  SELECT vec_id, subspace, code, row_number() OVER (
+                    PARTITION BY vec_id, subspace ORDER BY d, code) AS r
+                  FROM dist) WHERE r = 1),
+        plut AS (SELECT p.vec_id AS probe_id, c.subspace, c.code,
+                        round(list_sum([p.sv[t::INT] * c.centroid[t::INT]
+                                        for t in range(1, 9)]), 4) AS part
+                 FROM sub p JOIN cb c USING (subspace) WHERE p.vec_id < 20),
+        score AS (SELECT l.probe_id, e.vec_id AS neighbor_id,
+                         round(sum(l.part), 4) AS score
+                  FROM enc e
+                  JOIN plut l ON l.subspace = e.subspace AND l.code = e.code
+                  WHERE e.vec_id <> l.probe_id
+                  GROUP BY 1, 2)
+        SELECT probe_id, neighbor_id, score, rank FROM (
+          SELECT probe_id, neighbor_id, score, row_number() OVER (
+            PARTITION BY probe_id ORDER BY score DESC, neighbor_id) AS rank
+          FROM score)
+        WHERE rank <= 3 ORDER BY probe_id, rank"""),
+      "PQ + ADC: 32x-compressed codes, LUT scoring, corpus never decoded")
   )
 
 }

@@ -30,6 +30,7 @@ class PlanAuditSpec extends SparkSpec {
     "q48_ivf_refine" -> "same single-row packed-centroid pattern as q47",
     "q72_ivf_index_probe" -> "probe fan-out over broadcast(packed centroids) — one row loaded from the index",
     "q92_temperature_mix" -> "crossJoin(broadcast(sum of source weights)) — a single-row aggregate",
+    "q97_pq_adc_topk" -> "packed-codebook single row + fixed-probe broadcast, the q35/q47 shapes",
     "q96_semantic_dedup" -> "same single-row packed-centroid assignment as q47; pair stage is a cell equi-join")
 
   test("no registered query plans a CartesianProduct or an unjustified nested-loop join") {

@@ -65,4 +65,30 @@ class QuantizeSpec extends SparkSpec {
       .select("qsim").collect()(0).getDouble(0)
     assert(out == math.rint(cosine(a, b) * 10000) / 10000)
   }
+
+  test("PQ on a corpus that IS its codebook: codes are exact, ADC == exact dots") {
+    // 4 near-axis vectors, dim 4, m=2, ksub=4: every corpus vector is a
+    // sampled codebook entry, so its subvector distances to its own
+    // centroids are 0 -> codes are exact and the ADC score of any probe
+    // against any corpus vector equals the TRUE dot product.
+    val vs = Seq(
+      Vec(1, Seq(10f, 0f, 0f, 0f)),
+      Vec(2, Seq(0f, 10f, 0f, 0f)),
+      Vec(3, Seq(0f, 0f, 10f, 0f)),
+      Vec(4, Seq(1f, 1f, 1f, 1f)))
+    val corpus = df(vs)
+    val cb = Similarity.pqCodebooks(corpus, "vec_id", "embedding", m = 2, ksub = 4)
+    val codes = Similarity.pqEncode(corpus, "vec_id", "embedding", cb, m = 2, ksub = 4)
+    // every code is a valid index
+    codes.select("codes").collect().foreach { r =>
+      assert(r.getSeq[Int](0).forall(c => c >= 0 && c < 4))
+    }
+    val probe = df(Seq(Vec(100, Seq(10f, 1f, 0f, 0f))))
+    val top = Similarity.pqTopK(codes, probe, "vec_id", "embedding",
+        cb, m = 2, ksub = 4, k = 4)
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    // true dots: v1 -> 100, v4 -> 11, v2 -> 10, v3 -> 0
+    assert(top == Seq((1L, 100.0), (4L, 11.0), (2L, 10.0), (3L, 0.0)))
+  }
 }
