@@ -228,6 +228,49 @@ object Similarity {
       .select("probe_id", "neighbor_id", "score", "rank")
   }
 
+  /** IVF-PQ (no residual): the production 100 TB ANN layout — vectors
+    * live in IVF cell-partitioned inverted lists as `m`-byte PQ codes;
+    * a probe fans out to its `nProbe` nearest cells and ADC-scores ONLY
+    * those cells' codes (cell equi-join on the compressed lists; the
+    * corpus is never decoded and only candidate rows are touched).
+    * Classical IVF-PQ encodes the RESIDUAL v − centroid for tighter
+    * quantization; this composition encodes v directly so the global
+    * codebooks stay probe-independent — the residual variant is the
+    * same plan with a map-side subtraction before [[pqEncode]].
+    * Returns (probe_id, neighbor_id, score, rank). */
+  def ivfPqTopK(df: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, nCells: Int, nProbe: Int, m: Int, ksub: Int,
+      k: Int): DataFrame = {
+    val cents = ivfCentroids(df, idCol, vecCol, nCells)
+    val cb = pqCodebooks(df, idCol, vecCol, m, ksub)
+    val lists = ivfAssign(df, idCol, vecCol, cents)
+      .join(pqEncode(df, idCol, vecCol, cb, m, ksub), idCol)
+      .select(col(idCol).as("neighbor_id"), col("cell_id"), col("codes"))
+    val pv = transform(col(vecCol), _.cast("double"))
+    val dsub = (size(pv) / lit(m)).cast("int")
+    val lut = transform(sequence(lit(0), lit(m * ksub - 1)), i => {
+      val j = floor(i / ksub).cast("int")
+      round(aggregate(
+        zip_with(slice(pv, j * dsub + 1, dsub), element_at(col("__cb"), i + 1),
+          (x, y) => x * y),
+        lit(0.0), (acc, d) => acc + d), 4)
+    })
+    val probed = ivfProbeCells(probes, idCol, vecCol, cents, nProbe)
+      .crossJoin(broadcast(packCodebooks(cb)))
+      .select(col(idCol).as("probe_id"), col("cell_id"), lut.as("__lut"))
+    val score = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, j) =>
+      acc + element_at(col("__lut"),
+        j * ksub + element_at(col("codes"), (j + 1).cast("int")) + 1))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    probed.join(lists, Seq("cell_id")) // candidates = probed cells only
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("score", round(score, 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("probe_id", "neighbor_id", "score", "rank")
+  }
+
   /** SemDeDup-style semantic dedup: IVF-assign every vector to its
     * nearest centroid (map-side broadcast, corpus never shuffles for
     * the assignment), compute exact cosine on WITHIN-CELL pairs only —

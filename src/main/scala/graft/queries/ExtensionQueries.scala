@@ -117,6 +117,36 @@ object ExtensionQueries {
                      PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS r
                    FROM csim) WHERE r = 1)"""
 
+  /** Shared PQ oracle CTEs (m=8, ksub=16, dim 64, probes vec_id < 20):
+    * deterministic sampled codebooks per subspace, argmin-L2 code
+    * assignment for every vector, and the probes' dot-product lookup
+    * tables — used by q97 (flat PQ) and q98 (IVF-PQ). */
+  private val pqCte = s"""
+        samp AS (SELECT vec_id, embedding,
+                        row_number() OVER (ORDER BY h, vec_id) - 1 AS code
+                 FROM (SELECT vec_id, embedding,
+                              ${DetHash.sqlHash52("vec_id::VARCHAR")} AS h
+                       FROM embeddings ORDER BY h, vec_id LIMIT 16)),
+        cb AS (SELECT j.range AS subspace, s.code,
+                      [x::DOUBLE for x in s.embedding[(j.range * 8 + 1)::INT:(j.range * 8 + 8)::INT]] AS centroid
+               FROM samp s, range(0, 8) j),
+        sub AS (SELECT e.vec_id, j.range AS subspace,
+                       [x::DOUBLE for x in e.embedding[(j.range * 8 + 1)::INT:(j.range * 8 + 8)::INT]] AS sv
+                FROM embeddings e, range(0, 8) j),
+        dist AS (SELECT s.vec_id, s.subspace, c.code,
+                        round(list_sum([(s.sv[t::INT] - c.centroid[t::INT])
+                                        * (s.sv[t::INT] - c.centroid[t::INT])
+                                        for t in range(1, 9)]), 4) AS d
+                 FROM sub s JOIN cb c USING (subspace)),
+        enc AS (SELECT vec_id, subspace, code FROM (
+                  SELECT vec_id, subspace, code, row_number() OVER (
+                    PARTITION BY vec_id, subspace ORDER BY d, code) AS r
+                  FROM dist) WHERE r = 1),
+        plut AS (SELECT p.vec_id AS probe_id, c.subspace, c.code,
+                        round(list_sum([p.sv[t::INT] * c.centroid[t::INT]
+                                        for t in range(1, 9)]), 4) AS part
+                 FROM sub p JOIN cb c USING (subspace) WHERE p.vec_id < 20)"""
+
   /** Shared IVF probe/rank oracle tail (probes vec_id < 20, nProbe = 2,
     * k = 3) appended after [[ivfCte]] — q47 (inline plan) and q72
     * (persisted index) intentionally verify against the byte-identical
@@ -1435,30 +1465,7 @@ object ExtensionQueries {
           .orderBy("probe_id", "rank")
       },
       Some(s"""
-        WITH samp AS (SELECT vec_id, embedding,
-                             row_number() OVER (ORDER BY h, vec_id) - 1 AS code
-                      FROM (SELECT vec_id, embedding,
-                                   ${DetHash.sqlHash52("vec_id::VARCHAR")} AS h
-                            FROM embeddings ORDER BY h, vec_id LIMIT 16)),
-        cb AS (SELECT j.range AS subspace, s.code,
-                      [x::DOUBLE for x in s.embedding[(j.range * 8 + 1)::INT:(j.range * 8 + 8)::INT]] AS centroid
-               FROM samp s, range(0, 8) j),
-        sub AS (SELECT e.vec_id, j.range AS subspace,
-                       [x::DOUBLE for x in e.embedding[(j.range * 8 + 1)::INT:(j.range * 8 + 8)::INT]] AS sv
-                FROM embeddings e, range(0, 8) j),
-        dist AS (SELECT s.vec_id, s.subspace, c.code,
-                        round(list_sum([(s.sv[t::INT] - c.centroid[t::INT])
-                                        * (s.sv[t::INT] - c.centroid[t::INT])
-                                        for t in range(1, 9)]), 4) AS d
-                 FROM sub s JOIN cb c USING (subspace)),
-        enc AS (SELECT vec_id, subspace, code FROM (
-                  SELECT vec_id, subspace, code, row_number() OVER (
-                    PARTITION BY vec_id, subspace ORDER BY d, code) AS r
-                  FROM dist) WHERE r = 1),
-        plut AS (SELECT p.vec_id AS probe_id, c.subspace, c.code,
-                        round(list_sum([p.sv[t::INT] * c.centroid[t::INT]
-                                        for t in range(1, 9)]), 4) AS part
-                 FROM sub p JOIN cb c USING (subspace) WHERE p.vec_id < 20),
+        WITH $pqCte,
         score AS (SELECT l.probe_id, e.vec_id AS neighbor_id,
                          round(sum(l.part), 4) AS score
                   FROM enc e
@@ -1470,7 +1477,45 @@ object ExtensionQueries {
             PARTITION BY probe_id ORDER BY score DESC, neighbor_id) AS rank
           FROM score)
         WHERE rank <= 3 ORDER BY probe_id, rank"""),
-      "PQ + ADC: 32x-compressed codes, LUT scoring, corpus never decoded")
+      "PQ + ADC: 32x-compressed codes, LUT scoring, corpus never decoded"),
+
+    // ---------------------------------------------------------------
+    // IVF-PQ composition: PQ codes living in IVF cell-partitioned
+    // inverted lists; a probe ADC-scores only its nProbe cells'
+    // candidates. The oracle composes the q47 assignment CTEs with the
+    // q97 PQ CTEs — both already independently oracle-pinned.
+    // ---------------------------------------------------------------
+    Q("q98_ivf_pq_topk",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 20),
+          "vec_id", "embedding", nCells = 16, nProbe = 2,
+          m = 8, ksub = 16, k = 3)
+          .orderBy("probe_id", "rank")
+      },
+      Some(s"""
+        WITH $ivfCte,
+        probec AS (SELECT vec_id AS probe_id, cell_id FROM (
+                     SELECT vec_id, cell_id, row_number() OVER (
+                       PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS r
+                     FROM csim WHERE vec_id < 20) WHERE r <= 2),
+        $pqCte,
+        cand AS (SELECT p.probe_id, a.vec_id AS neighbor_id
+                 FROM probec p JOIN assigned a ON a.cell_id = p.cell_id
+                 WHERE a.vec_id <> p.probe_id),
+        score AS (SELECT c.probe_id, c.neighbor_id,
+                         round(sum(l.part), 4) AS score
+                  FROM cand c
+                  JOIN enc e ON e.vec_id = c.neighbor_id
+                  JOIN plut l ON l.probe_id = c.probe_id
+                             AND l.subspace = e.subspace AND l.code = e.code
+                  GROUP BY 1, 2)
+        SELECT probe_id, neighbor_id, score, rank FROM (
+          SELECT probe_id, neighbor_id, score, row_number() OVER (
+            PARTITION BY probe_id ORDER BY score DESC, neighbor_id) AS rank
+          FROM score)
+        WHERE rank <= 3 ORDER BY probe_id, rank"""),
+      "IVF-PQ: compressed inverted lists, probe touches nProbe cells only")
   )
 
 }

@@ -31,6 +31,7 @@ class PlanAuditSpec extends SparkSpec {
     "q72_ivf_index_probe" -> "probe fan-out over broadcast(packed centroids) — one row loaded from the index",
     "q92_temperature_mix" -> "crossJoin(broadcast(sum of source weights)) — a single-row aggregate",
     "q97_pq_adc_topk" -> "packed-codebook single row + fixed-probe broadcast, the q35/q47 shapes",
+    "q98_ivf_pq_topk" -> "packed centroids + packed codebooks, both single-row broadcasts; candidates join on cell_id",
     "q96_semantic_dedup" -> "same single-row packed-centroid assignment as q47; pair stage is a cell equi-join")
 
   test("no registered query plans a CartesianProduct or an unjustified nested-loop join") {
