@@ -552,10 +552,45 @@ object Similarity {
     val cents = spark.read.parquet(s"$dir/centroids")
     val fan = probePacked(probes, idCol, vecCol, packCentroids(cents), nProbe)
       .toDF("probe_id", "probe_vec", "cell_id")
+    rankCandidates(fan, readIndexCells(spark, dir), k)
+  }
+
+  /** All inverted-list rows of a persisted index: the base `cells`
+    * tree plus, when present, the `cells_inc` increments that
+    * [[graft.streaming.StreamingIvfIngest]] lands per micro-batch (a
+    * separate tree because its extra `batch_id` partition level would
+    * conflict with the base layout's partition discovery). */
+  def readIndexCells(spark: SparkSession, dir: String): DataFrame = {
     // partition-column inference narrows cell_id to int when the ids
     // fit — pin it back to the long the rest of the pipeline carries
-    val cells = spark.read.parquet(s"$dir/cells")
-      .withColumn("cell_id", col("cell_id").cast("long"))
-    rankCandidates(fan, cells, k)
+    def load(p: String) = spark.read.parquet(p)
+      .select(col("neighbor_id"), col("vec"),
+        col("cell_id").cast("long").as("cell_id"))
+    val base = load(s"$dir/cells")
+    // Hadoop FS, not java.nio: the index dir may be s3a://-style
+    val inc = new org.apache.hadoop.fs.Path(s"$dir/cells_inc")
+    val fs = inc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(inc)) base.unionByName(load(s"$dir/cells_inc"))
+    else base
+  }
+
+  /** [[graft.streaming.StreamingIvfIngest]]'s per-batch body: assign
+    * `newVecs` against the PERSISTED centroids and land them under
+    * `cells_inc/batch_id=N/cell_id=C` with dynamic partition overwrite —
+    * a REPLAYED micro-batch rewrites its own increment partitions
+    * instead of double-appending (the [[appendToIvfIndex]] `append`
+    * mode is correct for one-shot batch use but not retry-idempotent). */
+  def appendIndexIncrement(spark: SparkSession, dir: String,
+      newVecs: DataFrame, idCol: String, vecCol: String,
+      batchId: Long): Unit = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+    assignPacked(newVecs, idCol, vecCol, packCentroids(cents))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"),
+        col("cell_id"))
+      .withColumn("batch_id", lit(batchId))
+      .repartition(col("cell_id"))
+      .write.mode("overwrite")
+      .partitionBy("batch_id", "cell_id")
+      .parquet(s"$dir/cells_inc")
   }
 }
