@@ -309,9 +309,13 @@ object Curation {
     * `divisor`; texts shorter than k (or with no qualifying position)
     * come back as one chunk. The hash is the winnow pipeline's O(len)
     * rolling gram hash ([[graft.functions.GramHashes]], codegen'd, same
-    * ASCII input contract), so the oracle recomputes every cut
-    * bit-exactly. Pure map-side; production variants add min/max chunk
-    * bounds (a sequential fold per doc) — same cut rule, clamped.
+    * ASCII input contract as winnowing), so the oracle recomputes every
+    * cut bit-exactly. The hash walks UTF-8 BYTES while `substr` cuts
+    * CHARACTERS — coincident for ASCII; for non-ASCII corpora chunk on
+    * a normalized shadow column (reassembly still holds either way:
+    * the cut positions always partition the text). Pure map-side;
+    * production variants add min/max chunk bounds (a sequential fold
+    * per doc) — same cut rule, clamped.
     * Output: (id, chunk_no, chunk); chunks concatenate back to the
     * original text (spec-pinned). */
   def cdcChunks(df: DataFrame, idCol: String, textCol: String,

@@ -160,13 +160,17 @@ class CurationSpec extends SparkSpec {
   test("cdcChunks: chunks reassemble exactly; an edit only re-chunks its neighborhood") {
     val base = ('a' to 'z').mkString * 40 // 1040 chars, expected ~16 chunks at divisor 64
     val edited = base.substring(0, 10) + "XYZ" + base.substring(10)
-    val d = df(Seq((1L, base), (2L, edited), (3L, "tiny")), "id", "t")
+    // non-ASCII: byte-walking hash vs char-based cuts — boundaries
+    // shift but reassembly must still hold (doc contract)
+    val accented = "héllo wörld — " * 30
+    val d = df(Seq((1L, base), (2L, edited), (3L, "tiny"), (4L, accented)),
+      "id", "t")
     val out = Curation.cdcChunks(d, "id", "t", k = 8, divisor = 64)
     // chunks concatenate back to the original text, in chunk_no order
     val re = out.orderBy("id", "chunk_no")
       .groupBy("id").agg(concat_ws("", collect_list("chunk")).as("r"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(re == Map(1L -> base, 2L -> edited, 3L -> "tiny"))
+    assert(re == Map(1L -> base, 2L -> edited, 3L -> "tiny", 4L -> accented))
     // insertion robustness: the tail chunks of the edited doc are the
     // SAME BYTES as the original's tail chunks (fixed windows would
     // shift every one of them)
