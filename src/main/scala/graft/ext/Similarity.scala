@@ -199,30 +199,41 @@ object Similarity {
     * like [[bruteForceTopK]]). Scores approximate the probe·corpus dot
     * (inner-product PQ); rank fidelity vs exact cosine is what
     * QuantizeSpec pins on planted duplicates. */
+  /** Plain (unrounded) dot product of two double-array columns, fixed
+    * left-to-right accumulation. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, d) => acc + d)
+
+  /** The probe's m×ksub ADC lookup table over the packed codebooks
+    * column `__cb`: entry (j·ksub + c) = rounded dot of probe
+    * subvector j with codebook entry (j, c). */
+  private def pqLut(pv: Column, m: Int, ksub: Int): Column = {
+    val dsub = (size(pv) / lit(m)).cast("int")
+    transform(sequence(lit(0), lit(m * ksub - 1)), i => {
+      val j = floor(i / ksub).cast("int")
+      round(dot(slice(pv, j * dsub + 1, dsub), element_at(col("__cb"), i + 1)), 4)
+    })
+  }
+
+  /** Sum of the `__lut` entries selected by the row's `codes`. */
+  private def pqAdc(m: Int, ksub: Int): Column =
+    aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, j) =>
+      acc + element_at(col("__lut"),
+        j * ksub + element_at(col("codes"), (j + 1).cast("int")) + 1))
+
   def pqTopK(codes: DataFrame, probes: DataFrame, idCol: String,
       vecCol: String, codebooks: DataFrame, m: Int, ksub: Int,
       k: Int): DataFrame = {
     val pv = transform(col(vecCol), _.cast("double"))
-    val dsub = (size(pv) / lit(m)).cast("int")
-    val lut = transform(sequence(lit(0), lit(m * ksub - 1)), i => {
-      val j = floor(i / ksub).cast("int")
-      round(aggregate(
-        zip_with(slice(pv, j * dsub + 1, dsub), element_at(col("__cb"), i + 1),
-          (x, y) => x * y),
-        lit(0.0), (acc, d) => acc + d), 4)
-    })
     val p = probes
       .crossJoin(broadcast(packCodebooks(codebooks)))
-      .select(col(idCol).as("probe_id"), lut.as("__lut"))
-    val score = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, j) =>
-      acc + element_at(col("__lut"),
-        j * ksub + element_at(col("codes"), (j + 1).cast("int")) + 1))
+      .select(col(idCol).as("probe_id"), pqLut(pv, m, ksub).as("__lut"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
     codes.select(col(idCol).as("neighbor_id"), col("codes"))
       .crossJoin(broadcast(p))
       .filter(col("probe_id") =!= col("neighbor_id"))
-      .withColumn("score", round(score, 4))
+      .withColumn("score", round(pqAdc(m, ksub), 4))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("probe_id", "neighbor_id", "score", "rank")
@@ -233,11 +244,9 @@ object Similarity {
     * a probe fans out to its `nProbe` nearest cells and ADC-scores ONLY
     * those cells' codes (cell equi-join on the compressed lists; the
     * corpus is never decoded and only candidate rows are touched).
-    * Classical IVF-PQ encodes the RESIDUAL v − centroid for tighter
-    * quantization; this composition encodes v directly so the global
-    * codebooks stay probe-independent — the residual variant is the
-    * same plan with a map-side subtraction before [[pqEncode]].
-    * Returns (probe_id, neighbor_id, score, rank). */
+    * This variant encodes v directly (global codebooks, simplest
+    * composition); [[ivfPqResidualTopK]] is the classical residual
+    * encoding. Returns (probe_id, neighbor_id, score, rank). */
   def ivfPqTopK(df: DataFrame, probes: DataFrame, idCol: String,
       vecCol: String, nCells: Int, nProbe: Int, m: Int, ksub: Int,
       k: Int): DataFrame = {
@@ -247,25 +256,55 @@ object Similarity {
       .join(pqEncode(df, idCol, vecCol, cb, m, ksub), idCol)
       .select(col(idCol).as("neighbor_id"), col("cell_id"), col("codes"))
     val pv = transform(col(vecCol), _.cast("double"))
-    val dsub = (size(pv) / lit(m)).cast("int")
-    val lut = transform(sequence(lit(0), lit(m * ksub - 1)), i => {
-      val j = floor(i / ksub).cast("int")
-      round(aggregate(
-        zip_with(slice(pv, j * dsub + 1, dsub), element_at(col("__cb"), i + 1),
-          (x, y) => x * y),
-        lit(0.0), (acc, d) => acc + d), 4)
-    })
     val probed = ivfProbeCells(probes, idCol, vecCol, cents, nProbe)
       .crossJoin(broadcast(packCodebooks(cb)))
-      .select(col(idCol).as("probe_id"), col("cell_id"), lut.as("__lut"))
-    val score = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, j) =>
-      acc + element_at(col("__lut"),
-        j * ksub + element_at(col("codes"), (j + 1).cast("int")) + 1))
+      .select(col(idCol).as("probe_id"), col("cell_id"),
+        pqLut(pv, m, ksub).as("__lut"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
     probed.join(lists, Seq("cell_id")) // candidates = probed cells only
       .filter(col("probe_id") =!= col("neighbor_id"))
-      .withColumn("score", round(score, 4))
+      .withColumn("score", round(pqAdc(m, ksub), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("probe_id", "neighbor_id", "score", "rank")
+  }
+
+  /** Residual IVF-PQ — the classical FAISS encoding: each vector's PQ
+    * codes quantize the RESIDUAL `v − centroid(cell(v))` (residuals
+    * concentrate near the origin, so the same codebook budget buys a
+    * tighter quantization than coding raw vectors), with codebooks
+    * sampled from the residuals themselves. A probe's score against a
+    * candidate recovers dot(p, v) ≈ dot(p, c_cell) + dot(p, r̂):
+    * the centroid term is exact (one tiny lookup per probed cell), the
+    * residual term is the same ADC LUT as [[pqTopK]] built over the
+    * residual codebooks. Same plan shape as [[ivfPqTopK]]: everything
+    * map-side except the candidate cell equi-join. */
+  def ivfPqResidualTopK(df: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, nCells: Int, nProbe: Int, m: Int, ksub: Int,
+      k: Int): DataFrame = {
+    val cents = ivfCentroids(df, idCol, vecCol, nCells)
+    val resid = ivfAssign(df, idCol, vecCol, cents)
+      .join(broadcast(cents), "cell_id")
+      .select(col(idCol), col("cell_id"),
+        zip_with(transform(col(vecCol), _.cast("double")), col("centroid"),
+          (x, y) => x - y).as("__res"))
+    val cb = pqCodebooks(resid, idCol, "__res", m, ksub)
+    val lists = resid.select(col(idCol), col("cell_id"))
+      .join(pqEncode(resid, idCol, "__res", cb, m, ksub), idCol)
+      .select(col(idCol).as("neighbor_id"), col("cell_id"), col("codes"))
+    val pv = transform(col(vecCol), _.cast("double"))
+    val probed = ivfProbeCells(probes, idCol, vecCol, cents, nProbe)
+      .join(broadcast(cents), "cell_id")
+      .crossJoin(broadcast(packCodebooks(cb)))
+      .select(col(idCol).as("probe_id"), col("cell_id"),
+        round(dot(pv, col("centroid")), 4).as("__cdot"),
+        pqLut(pv, m, ksub).as("__lut"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    probed.join(lists, Seq("cell_id"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("score", round(col("__cdot") + pqAdc(m, ksub), 4))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("probe_id", "neighbor_id", "score", "rank")

@@ -1515,7 +1515,75 @@ object ExtensionQueries {
             PARTITION BY probe_id ORDER BY score DESC, neighbor_id) AS rank
           FROM score)
         WHERE rank <= 3 ORDER BY probe_id, rank"""),
-      "IVF-PQ: compressed inverted lists, probe touches nProbe cells only")
+      "IVF-PQ: compressed inverted lists, probe touches nProbe cells only"),
+
+    // ---------------------------------------------------------------
+    // Residual IVF-PQ (classical FAISS encoding): PQ codes quantize
+    // v − centroid(cell); score = exact probe·centroid + residual ADC.
+    // The oracle derives residual subvectors from the assignment CTEs,
+    // rebuilds the residual codebooks/codes/LUTs, and adds the
+    // centroid dot per probed cell.
+    // ---------------------------------------------------------------
+    Q("q99_ivf_pq_residual",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.ivfPqResidualTopK(emb, emb.filter(col("vec_id") < 20),
+          "vec_id", "embedding", nCells = 16, nProbe = 2,
+          m = 8, ksub = 16, k = 3)
+          .orderBy("probe_id", "rank")
+      },
+      Some(s"""
+        WITH $ivfCte,
+        probec AS (SELECT vec_id AS probe_id, cell_id FROM (
+                     SELECT vec_id, cell_id, row_number() OVER (
+                       PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS r
+                     FROM csim WHERE vec_id < 20) WHERE r <= 2),
+        $pqCte,
+        cvec AS (SELECT cell_id, list(x ORDER BY i) AS cev FROM cv GROUP BY cell_id),
+        csub AS (SELECT cell_id, j.range AS subspace,
+                        cev[(j.range * 8 + 1)::INT:(j.range * 8 + 8)::INT] AS cs
+                 FROM cvec, range(0, 8) j),
+        rsub AS (SELECT s.vec_id, s.subspace,
+                        [s.sv[t::INT] - c.cs[t::INT] for t in range(1, 9)] AS rv
+                 FROM sub s
+                 JOIN assigned a ON a.vec_id = s.vec_id
+                 JOIN csub c ON c.cell_id = a.cell_id AND c.subspace = s.subspace),
+        rcb AS (SELECT r.subspace, sm.code, r.rv AS centroid
+                FROM rsub r JOIN samp sm ON sm.vec_id = r.vec_id),
+        rdist AS (SELECT r.vec_id, r.subspace, c.code,
+                         round(list_sum([(r.rv[t::INT] - c.centroid[t::INT])
+                                         * (r.rv[t::INT] - c.centroid[t::INT])
+                                         for t in range(1, 9)]), 4) AS d
+                  FROM rsub r JOIN rcb c USING (subspace)),
+        renc AS (SELECT vec_id, subspace, code FROM (
+                   SELECT vec_id, subspace, code, row_number() OVER (
+                     PARTITION BY vec_id, subspace ORDER BY d, code) AS r
+                   FROM rdist) WHERE r = 1),
+        rplut AS (SELECT p.vec_id AS probe_id, c.subspace, c.code,
+                         round(list_sum([p.sv[t::INT] * c.centroid[t::INT]
+                                         for t in range(1, 9)]), 4) AS part
+                  FROM sub p JOIN rcb c USING (subspace) WHERE p.vec_id < 20),
+        cdotc AS (SELECT pv.vec_id AS probe_id, c.cell_id,
+                         round(sum(pv.x * c.x), 4) AS cd
+                  FROM v pv JOIN cv c ON c.i = pv.i
+                  WHERE pv.vec_id < 20 GROUP BY 1, 2),
+        cand AS (SELECT p.probe_id, p.cell_id, a.vec_id AS neighbor_id
+                 FROM probec p JOIN assigned a ON a.cell_id = p.cell_id
+                 WHERE a.vec_id <> p.probe_id),
+        score AS (SELECT c.probe_id, c.neighbor_id,
+                         round(max(d.cd) + sum(l.part), 4) AS score
+                  FROM cand c
+                  JOIN cdotc d ON d.probe_id = c.probe_id AND d.cell_id = c.cell_id
+                  JOIN renc e ON e.vec_id = c.neighbor_id
+                  JOIN rplut l ON l.probe_id = c.probe_id
+                             AND l.subspace = e.subspace AND l.code = e.code
+                  GROUP BY 1, 2)
+        SELECT probe_id, neighbor_id, score, rank FROM (
+          SELECT probe_id, neighbor_id, score, row_number() OVER (
+            PARTITION BY probe_id ORDER BY score DESC, neighbor_id) AS rank
+          FROM score)
+        WHERE rank <= 3 ORDER BY probe_id, rank"""),
+      "residual IVF-PQ: exact centroid dot + residual ADC, the FAISS encoding")
   )
 
 }

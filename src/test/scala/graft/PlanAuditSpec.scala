@@ -32,6 +32,7 @@ class PlanAuditSpec extends SparkSpec {
     "q92_temperature_mix" -> "crossJoin(broadcast(sum of source weights)) — a single-row aggregate",
     "q97_pq_adc_topk" -> "packed-codebook single row + fixed-probe broadcast, the q35/q47 shapes",
     "q98_ivf_pq_topk" -> "packed centroids + packed codebooks, both single-row broadcasts; candidates join on cell_id",
+    "q99_ivf_pq_residual" -> "same single-row centroid/codebook broadcasts as q98, plus residual subtraction map-side",
     "q96_semantic_dedup" -> "same single-row packed-centroid assignment as q47; pair stage is a cell equi-join")
 
   test("no registered query plans a CartesianProduct or an unjustified nested-loop join") {

@@ -91,4 +91,22 @@ class QuantizeSpec extends SparkSpec {
     // true dots: v1 -> 100, v4 -> 11, v2 -> 10, v3 -> 0
     assert(top == Seq((1L, 100.0), (4L, 11.0), (2L, 10.0), (3L, 0.0)))
   }
+
+  test("residual IVF-PQ recovers exact dots when every residual is a codebook entry") {
+    // ksub == corpus size: every residual is sampled into the codebook,
+    // so codes are exact and score = probe.centroid + probe.residual
+    // == the TRUE dot. nProbe == nCells probes everything.
+    val vs = Seq(
+      Vec(1, Seq(10f, 0f, 0f, 0f)),
+      Vec(2, Seq(0f, 10f, 0f, 0f)),
+      Vec(3, Seq(0f, 0f, 10f, 0f)),
+      Vec(4, Seq(1f, 1f, 1f, 1f)))
+    val corpus = df(vs)
+    val probe = df(Seq(Vec(100, Seq(10f, 1f, 0f, 0f))))
+    val top = Similarity.ivfPqResidualTopK(corpus, probe, "vec_id", "embedding",
+        nCells = 2, nProbe = 2, m = 2, ksub = 4, k = 4)
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(top == Seq((1L, 100.0), (4L, 11.0), (2L, 10.0), (3L, 0.0)))
+  }
 }
