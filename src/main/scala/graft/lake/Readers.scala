@@ -32,13 +32,23 @@ object Readers {
     * n files (lexicographic, deterministic) of each directory and
     * applies the inferred schema to the full scan. Sound under the lake
     * contract (one measurement schema per directory, SURVEY §1.1.1);
-    * `None` restores the reference-faithful full-lake inference. */
+    * `None` restores the reference-faithful full-lake inference.
+    *
+    * `skipCorrupt = true` reproduces the reference's per-file
+    * try/except-log-and-continue (`merge-data.py:77-87`,
+    * `extract_patient_summary.py:121-126`): a truncated upload or
+    * garbage bytes under a `.csv.gz` name drops that FILE (Spark logs
+    * it) instead of failing the scan — the right default for a lake
+    * that ingests device uploads. `false` (default) keeps fail-fast for
+    * pipelines where silent data loss is worse than a retry. */
   def scanLake(spark: SparkSession, root: String, glob: String = "*.csv.gz",
-      inferFilesPerDir: Option[Int] = Some(1)): DataFrame = {
+      inferFilesPerDir: Option[Int] = Some(1),
+      skipCorrupt: Boolean = false): DataFrame = {
     val base = spark.read
       .option("header", "true")
       .option("recursiveFileLookup", "true")
       .option("pathGlobFilter", glob)
+      .option("ignoreCorruptFiles", skipCorrupt.toString)
     val reader = inferFilesPerDir match {
       case Some(n) =>
         // the listing below is the same metadata walk Spark's scan
@@ -65,6 +75,7 @@ object Readers {
           .valuesIterator.flatMap(_.take(n)).toSeq.sorted
         val inferred = spark.read
           .option("header", "true").option("inferSchema", "true")
+          .option("ignoreCorruptFiles", skipCorrupt.toString)
           .csv(sample: _*).schema
         base.schema(inferred)
       case None => base.option("inferSchema", "true")

@@ -62,4 +62,27 @@ class ReadersSpec extends SparkSpec {
     assert(d.columns.toSeq === Seq("a", "b", "path"))
     assert(d.count() === 2) // the real scan also excluded both hidden files
   }
+
+  test("skipCorrupt drops a garbage .csv.gz like the reference's per-file except") {
+    val root = Files.createTempDirectory("graft-scanlake-corrupt").toString
+    def gz(path: String, content: String): Unit = {
+      val f = new java.io.File(path); f.getParentFile.mkdirs()
+      val o = new java.util.zip.GZIPOutputStream(new java.io.FileOutputStream(f))
+      o.write(content.getBytes); o.close()
+    }
+    gz(s"$root/m1/20240101_0000.csv.gz", "a,b\n1,x\n2,y\n")
+    // a VISIBLE corrupt upload: gzip magic then garbage, a real-world
+    // truncated device upload (not a hidden/staging file)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/m1/20240102_0000.csv.gz"),
+      Array[Byte](0x1f, 0x8b.toByte, 0x00, 0x33, 0x44))
+    // fail-fast default: the corrupt file kills the scan
+    intercept[org.apache.spark.SparkException] {
+      Readers.scanLake(spark, root).count()
+    }
+    // reference semantics (merge-data.py:77-87): skip it, keep the rest
+    val tolerant = Readers.scanLake(spark, root, skipCorrupt = true)
+    assert(tolerant.columns.toSeq === Seq("a", "b", "path"))
+    assert(tolerant.count() === 2)
+  }
 }
