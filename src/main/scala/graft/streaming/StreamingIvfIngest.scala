@@ -18,9 +18,14 @@ import graft.ext.Similarity
   */
 object StreamingIvfIngest {
 
+  /** @param afterBatch runs after the increment lands but BEFORE the
+    *   streaming commit records the batch — the crash window the
+    *   batch_id overwrite exists for (same hook contract as
+    *   [[IncrementalPartials.start]]; tests throw here). */
   def start(stream: DataFrame, indexDir: String, idCol: String,
       vecCol: String, checkpoint: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      afterBatch: Long => Unit = _ => ()): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -32,6 +37,7 @@ object StreamingIvfIngest {
           s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
           Similarity.appendIndexIncrement(s, indexDir, batch, idCol, vecCol, id)
         }
+        afterBatch(id)
       }
       .start()
 }

@@ -79,4 +79,35 @@ class StreamingIvfIngestSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(streamedRows == twinRows)
   }
+
+  test("crash after increment write, before commit: replay never double-inserts") {
+    val root = Files.createTempDirectory("graft-sivf-kill").toString
+    val (idx, in, ckpt) = (s"$root/idx", s"$root/in", s"$root/ckpt")
+    val base = (0L until 40L).map(i => (i, vec(i.toInt)))
+    Similarity.writeIvfIndex(
+      df(base, "vec_id", "embedding"), "vec_id", "embedding", idx, nCells = 4)
+    writeBatch(in, "b1.json", Seq((200L, vec(55)), (201L, vec(56))))
+
+    // attempt 1 dies INSIDE the commit window, increment already on disk
+    val armed = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val s1 = spark.readStream.schema(schema).json(in)
+    val q1 = StreamingIvfIngest.start(s1, idx, "vec_id", "embedding", ckpt,
+      afterBatch = _ =>
+        if (armed.getAndSet(false))
+          throw new RuntimeException("injected crash after write, before commit"))
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.awaitTermination()
+    }
+    assert(spark.read.parquet(s"$idx/cells_inc").count() == 2L,
+      "crash landed before the write - wrong window")
+
+    // restart: batch 0 replays with the same id, overwrites its partitions
+    val s2 = spark.readStream.schema(schema).json(in)
+    StreamingIvfIngest.start(s2, idx, "vec_id", "embedding", ckpt)
+      .awaitTermination()
+    val inc = Similarity.readIndexCells(spark, idx)
+      .filter(col("neighbor_id") >= 200L)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(inc == Seq(200L, 201L), s"double-inserted or lost: $inc")
+  }
 }
