@@ -111,6 +111,58 @@ object Multimodal {
       unhex(lit("0806000000")),       // bit depth 8, RGBA, default methods
       unhex(lit("00000000")))         // CRC (unverified placeholder)
 
+  /** Little-endian uint read of `len` bytes at 1-indexed `pos` — WAV
+    * (RIFF) headers are little-endian, so the hex pairs reassemble in
+    * reverse byte order before the int parse. Still pure built-ins. */
+  private def leN(payload: Column, pos: Int, len: Int): Column =
+    conv(concat((0 until len).reverse.map(i =>
+      hex(substring(payload, pos + i, 1))): _*), 16, 10).cast("long")
+
+  /** True for a canonical PCM WAV: RIFF signature, WAVE form type,
+    * "fmt " as the first chunk (the canonical layout every encoder
+    * writes; non-canonical chunk orders route to [[decodeHeaders]]-
+    * style walks). */
+  def isWav(payload: Column): Column =
+    length(payload) >= 36 &&
+      upper(hex(substring(payload, 1, 4))) === "52494646" && // "RIFF"
+      upper(hex(substring(payload, 9, 8))) === "57415645666D7420" // "WAVEfmt "
+
+  /** REAL WAV (canonical PCM) header decode as pure columns: channels,
+    * sample rate, and bits per sample are fixed-offset little-endian
+    * ints in the fmt chunk (bytes 23-24, 25-28, 35-36 of the file).
+    * NULL for non-WAV payloads — the audio twin of
+    * [[withPngHeaderMeta]]. */
+  def withWavHeaderMeta(media: DataFrame): DataFrame = {
+    val p = col("payload")
+    media
+      .withColumn("byte_len", length(p).cast("long"))
+      .withColumn("channels", when(isWav(p), leN(p, 23, 2)).cast("int"))
+      .withColumn("sample_rate", when(isWav(p), leN(p, 25, 4)).cast("int"))
+      .withColumn("bits_per_sample", when(isWav(p), leN(p, 35, 2)).cast("int"))
+  }
+
+  /** Construct a canonical PCM WAV header for the given format — the
+    * round-trip twin of [[withWavHeaderMeta]] (q100), analogous to
+    * [[pngHeaderPayload]]. Sizes are zeroed: readers that stream the
+    * data chunk would stop immediately; the fixed-offset fmt fields
+    * this module reads are real. */
+  def wavHeaderPayload(channels: Column, sampleRate: Column,
+      bitsPerSample: Column): Column = {
+    def le(c: Column, len: Int): Column =
+      unhex(concat((0 until len).map { i =>
+        lpad(hex(shiftrightunsigned(c.cast("long"), 8 * i) % 256), 2, "0")
+      }: _*))
+    val byteRate = sampleRate.cast("long") * channels * (bitsPerSample / 8)
+    val blockAlign = channels.cast("long") * (bitsPerSample / 8)
+    concat(
+      unhex(lit("52494646")), unhex(lit("00000000")),   // "RIFF" + size 0
+      unhex(lit("57415645666D7420")),                   // "WAVEfmt "
+      unhex(lit("10000000")),                           // fmt chunk len 16
+      unhex(lit("0100")),                               // PCM
+      le(channels, 2), le(sampleRate, 4),
+      le(byteRate, 4), le(blockAlign, 2), le(bitsPerSample, 2))
+  }
+
   /** PNG IHDR parse over raw bytes (driver/executor-side twin of
     * [[withPngHeaderMeta]] for the mapPartitions tier). */
   def pngDims(b: Array[Byte]): Option[(Int, Int)] = {

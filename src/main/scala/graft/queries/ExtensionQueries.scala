@@ -1583,7 +1583,36 @@ object ExtensionQueries {
             PARTITION BY probe_id ORDER BY score DESC, neighbor_id) AS rank
           FROM score)
         WHERE rank <= 3 ORDER BY probe_id, rank"""),
-      "residual IVF-PQ: exact centroid dot + residual ADC, the FAISS encoding")
+      "residual IVF-PQ: exact centroid dot + residual ADC, the FAISS encoding"),
+
+    // ---------------------------------------------------------------
+    // Multimodal: REAL WAV header decode round-trip — the audio twin
+    // of q89. Canonical PCM headers constructed from per-doc formats,
+    // read back by the expression-tier parser; the oracle computes the
+    // expected fields without ever seeing the bytes.
+    // ---------------------------------------------------------------
+    Q("q100_wav_header_decode",
+      (s, dir) => {
+        val media = Tables(s, dir, "documents").select(
+          col("doc_id"),
+          lit("audio/wav").as("media_type"),
+          Multimodal.wavHeaderPayload(
+            (lit(1) + col("doc_id") % 2).cast("int"),
+            (lit(8000) + (col("doc_id") % 6) * 8000).cast("int"),
+            (lit(8) + (col("doc_id") % 3) * 8).cast("int")).as("payload"))
+        Multimodal.withWavHeaderMeta(media)
+          .select("doc_id", "byte_len", "channels", "sample_rate",
+            "bits_per_sample")
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               36::BIGINT AS byte_len,
+               (1 + doc_id % 2)::INT AS channels,
+               (8000 + (doc_id % 6) * 8000)::INT AS sample_rate,
+               (8 + (doc_id % 3) * 8)::INT AS bits_per_sample
+        FROM documents ORDER BY doc_id"""),
+      "real WAV fmt-chunk decode (little-endian fields) vs a bytes-blind oracle")
   )
 
 }

@@ -19,8 +19,8 @@ class RegistrySpec extends AnyFunSuite {
   test("query names are unique and follow the qNN_ convention") {
     val names = Registry.all.map(_.name)
     assert(names.distinct.size == names.size, "duplicate query names")
-    assert(names.forall(_.matches("q\\d{2}_[a-z0-9_]+")), {
-      val bad = names.filterNot(_.matches("q\\d{2}_[a-z0-9_]+"))
+    assert(names.forall(_.matches("q\\d{2,3}_[a-z0-9_]+")), {
+      val bad = names.filterNot(_.matches("q\\d{2,3}_[a-z0-9_]+"))
       s"non-conforming names: $bad"
     })
   }

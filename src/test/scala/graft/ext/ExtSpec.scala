@@ -348,6 +348,40 @@ class ExtSpec extends SparkSpec {
       Seq(3L, "unknown", null, null)))
   }
 
+  test("WAV header decode on genuine JDK audio-encoder output") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    def wavOf(rate: Float, bits: Int, ch: Int): Array[Byte] = {
+      val fmt = new AudioFormat(rate, bits, ch, true, false)
+      val pcm = new Array[Byte](fmt.getFrameSize * 4) // 4 silent frames
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, 4L)
+      val baos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    }
+    val wav = wavOf(16000f, 16, 2)
+    val media = df(Seq(Tuple1(1L)), "doc_id")
+      .select(col("doc_id"), lit("audio/wav").as("media_type"),
+        lit(wav).as("payload"))
+    val parsed = rowsOf(Multimodal.withWavHeaderMeta(media)
+      .select("channels", "sample_rate", "bits_per_sample"))
+    assert(parsed === Seq(Seq(2, 16000, 16)))
+    // constructed headers parse back identically (the q100 round trip)
+    val built = df(Seq((7L, 1, 44100, 24)), "doc_id", "ch", "sr", "bps")
+      .select(col("doc_id"), lit("audio/wav").as("media_type"),
+        Multimodal.wavHeaderPayload(col("ch"), col("sr"), col("bps")).as("payload"))
+    assert(rowsOf(Multimodal.withWavHeaderMeta(built)
+      .select("channels", "sample_rate", "bits_per_sample")) ===
+      Seq(Seq(1, 44100, 24)))
+    // non-WAV payloads yield nulls, not garbage
+    val png = df(Seq(Tuple1(2L)), "doc_id")
+      .select(col("doc_id"), lit("x").as("media_type"),
+        unhex(lit("89504E470D0A1A0A")).as("payload"))
+    assert(rowsOf(Multimodal.withWavHeaderMeta(png)
+      .select("channels", "sample_rate", "bits_per_sample")) ===
+      Seq(Seq(null, null, null)))
+  }
+
   test("pngHeaderPayload round-trips through both real parsers") {
     val media = df(Seq((5L, 1234, 7), (6L, 16, 65535)), "doc_id", "w", "h")
       .select(col("doc_id"), lit("image/png").as("media_type"),
