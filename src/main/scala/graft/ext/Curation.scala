@@ -380,11 +380,22 @@ object Curation {
     * exactness matters). The count aggregation is the only shuffle;
     * everything after is a source-count-sized frame. */
   def mixingWeights(df: DataFrame, sourceCol: String, alpha: Double,
-      targetN: Long): DataFrame = {
+      targetN: Long): DataFrame =
+    mixingWeightsFromCounts(
+      df.groupBy(sourceCol).agg(count(lit(1)).as("n")),
+      sourceCol, alpha, targetN)
+
+  /** [[mixingWeights]] over a PRE-AGGREGATED per-source count table —
+    * counts are additive partials, so a streaming pipeline maintains
+    * them as [[graft.streaming.IncrementalPartials]] increments and
+    * recomputes the weights from the merged counts per batch instead
+    * of rescanning the corpus (spec-pinned: streamed counts give the
+    * same weights as a batch pass). */
+  def mixingWeightsFromCounts(counts: DataFrame, sourceCol: String,
+      alpha: Double, targetN: Long): DataFrame = {
     require(alpha >= 0 && alpha <= 1, s"need 0 <= alpha <= 1, got $alpha")
     require(targetN > 0, s"need targetN > 0, got $targetN")
-    val powed = df.groupBy(sourceCol)
-      .agg(count(lit(1)).as("n"))
+    val powed = counts
       .withColumn("__pw", pow(col("n").cast("double"), lit(alpha)))
     powed
       .crossJoin(broadcast(powed.agg(sum("__pw").as("__tot"))))

@@ -58,6 +58,32 @@ class IncrementalPartialsSpec extends SparkSpec {
     assert(spark.read.parquet(out).select("batch_id").distinct().count() == 2)
   }
 
+  test("mixing weights maintained from streamed count increments == batch pass") {
+    val base = Files.createTempDirectory("graft-ipart-mix").toString
+    val (root, out, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
+    // g doubles as the source column; two arrivals shift the mix
+    writeCsv(root, "a.csv", (1 to 80).map(_ => "big,1.0") ++ Seq("small,1.0"))
+    val counts = (b: org.apache.spark.sql.DataFrame) =>
+      b.groupBy("g").agg(count(lit(1)).cast("long").as("n"))
+    val s1 = spark.readStream.option("header", "true").schema(schema).csv(root)
+    IncrementalPartials.start(s1, counts, out, ckpt).awaitTermination()
+    writeCsv(root, "b.csv", (1 to 19).map(_ => "small,1.0"))
+    val s2 = spark.readStream.option("header", "true").schema(schema).csv(root)
+    IncrementalPartials.start(s2, counts, out, ckpt).awaitTermination()
+
+    val merged = spark.read.parquet(out)
+      .groupBy("g").agg(sum("n").as("n"))
+    val streamed = graft.ext.Curation
+      .mixingWeightsFromCounts(merged, "g", 0.5, 50L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    val batch = graft.ext.Curation.mixingWeights(
+        df((1 to 80).map(_ => Tuple1("big")) ++ (1 to 20).map(_ => Tuple1("small")), "g"),
+        "g", 0.5, 50L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(streamed == batch)
+    assert(streamed("big")._1 == 80L && streamed("small")._1 == 20L)
+  }
+
   test("crash after write, before commit: replayed batch never double-counts") {
     val base = Files.createTempDirectory("graft-ipart-kill").toString
     val (root, out, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
