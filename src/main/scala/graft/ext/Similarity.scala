@@ -142,6 +142,8 @@ object Similarity {
     * oracle possible. Output: (subspace, code, centroid<array<double>>). */
   def pqCodebooks(df: DataFrame, idCol: String, vecCol: String,
       m: Int, ksub: Int): DataFrame = {
+    require(m > 0 && ksub > 0 && ksub <= 256,
+      s"need m > 0 and 0 < ksub <= 256 (one-byte codes), got m=$m ksub=$ksub")
     val sample = df
       .select(col(idCol), transform(col(vecCol), _.cast("double")).as("__v"))
       .orderBy(DetHash.hash52(col(idCol).cast("string")), col(idCol))
@@ -174,6 +176,7 @@ object Similarity {
     * Map-side only: one tiny broadcast, no shuffle, stays in codegen. */
   def pqEncode(df: DataFrame, idCol: String, vecCol: String,
       codebooks: DataFrame, m: Int, ksub: Int): DataFrame = {
+    require(m > 0 && ksub > 0, s"need m > 0 and ksub > 0, got m=$m ksub=$ksub")
     val v = transform(col(vecCol), _.cast("double"))
     val dsub = (size(v) / lit(m)).cast("int")
     val codes = transform(sequence(lit(0), lit(m - 1)), j => {
@@ -187,8 +190,19 @@ object Similarity {
           c.as("code")))
       array_min(scored).getField("code")
     })
+    // guard INSIDE the consumed expression (cannot be pruned): a dim
+    // not divisible by m would silently drop the last dim % m
+    // components from every code, and a sampled codebook shorter than
+    // m×ksub (corpus < ksub) would make out-of-range element_at NULLs
+    // win every argmin — both are data-shape bugs to fail loudly on
+    val guarded = when(
+      size(v) % m === 0 && size(col("__cb")) === m * ksub, codes)
+      .otherwise(raise_error(format_string(
+        s"pqEncode: need dim %% $m == 0 and a full codebook of ${m * ksub} " +
+          s"entries; got dim=%s, codebook=%s (is ksub > corpus size?)",
+        size(v), size(col("__cb")))))
     df.crossJoin(broadcast(packCodebooks(codebooks)))
-      .select(col(idCol), codes.as("codes"))
+      .select(col(idCol), guarded.as("codes"))
   }
 
   /** Asymmetric-distance (ADC) top-k: the probe builds an m×ksub
@@ -622,14 +636,25 @@ object Similarity {
   def appendIndexIncrement(spark: SparkSession, dir: String,
       newVecs: DataFrame, idCol: String, vecCol: String,
       batchId: Long): Unit = {
-    val cents = spark.read.parquet(s"$dir/centroids")
-    assignPacked(newVecs, idCol, vecCol, packCentroids(cents))
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"),
-        col("cell_id"))
-      .withColumn("batch_id", lit(batchId))
-      .repartition(col("cell_id"))
-      .write.mode("overwrite")
-      .partitionBy("batch_id", "cell_id")
-      .parquet(s"$dir/cells_inc")
+    // own the overwrite mode: under the default STATIC mode this write
+    // would truncate every earlier batch's increment partitions instead
+    // of replacing only batch_id=N (same set-and-restore discipline as
+    // MergeData.writeMerged)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val cents = spark.read.parquet(s"$dir/centroids")
+      assignPacked(newVecs, idCol, vecCol, packCentroids(cents))
+        .select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"),
+          col("cell_id"))
+        .withColumn("batch_id", lit(batchId))
+        .repartition(col("cell_id"))
+        .write.mode("overwrite")
+        .partitionBy("batch_id", "cell_id")
+        .parquet(s"$dir/cells_inc")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
   }
 }

@@ -70,9 +70,26 @@ object Readers {
           val f = it.next()
           if (filter.accept(f.getPath) && visible(f.getPath)) files += f.getPath
         }
+        // With skipCorrupt, a corrupt file in the sample wouldn't fail
+        // inference — it would silently REMOVE its directory's schema
+        // contribution and the full scan would then bind that
+        // directory's healthy rows to the wrong columns. Probe each
+        // candidate's first bytes (bounded I/O) and sample the first n
+        // files per directory that actually decompress.
+        def readable(p: String): Boolean = !skipCorrupt || {
+          try {
+            val in = fs.open(new org.apache.hadoop.fs.Path(p))
+            try {
+              val s = if (p.endsWith(".gz"))
+                new java.util.zip.GZIPInputStream(in) else in
+              s.read(new Array[Byte](256)) >= -1
+            } finally in.close()
+          } catch { case _: java.io.IOException => false }
+        }
         val sample = files.map(_.toString).sorted
           .groupBy(p => p.substring(0, p.lastIndexOf('/')))
-          .valuesIterator.flatMap(_.take(n)).toSeq.sorted
+          .valuesIterator.flatMap(_.iterator.filter(readable).take(n))
+          .toSeq.sorted
         val inferred = spark.read
           .option("header", "true").option("inferSchema", "true")
           .option("ignoreCorruptFiles", skipCorrupt.toString)

@@ -123,7 +123,9 @@ object FreqSketch {
       coalesce(col(s"__c$r"), lit(0L))
     }
     probed
-      .select(v, least(ests: _*).as("est"))
+      // pairwise reduce, not least(ests: _*): Least rejects a single
+      // child, which a legal depth=1 sketch produces
+      .select(v, ests.reduce((a, b) => least(a, b)).as("est"))
       .filter(col("est") >= minCount)
       .distinct()
   }

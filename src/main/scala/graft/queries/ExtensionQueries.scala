@@ -273,7 +273,7 @@ object ExtensionQueries {
       },
       Some(s"""
         WITH g AS (SELECT * FROM read_parquet(
-                     '/root/repo/golden/minhash_fast_sig/*.parquet')),
+                     '${sys.props("user.dir")}/golden/minhash_fast_sig/*.parquet')),
         sig AS (SELECT d.doc_id, ${DetHash.minhashCoeffs.indices
                   .map(j => s"g.m$j").mkString(", ")}
                 FROM documents d JOIN g ON g.fp = md5(d.text)),

@@ -84,5 +84,18 @@ class ReadersSpec extends SparkSpec {
     val tolerant = Readers.scanLake(spark, root, skipCorrupt = true)
     assert(tolerant.columns.toSeq === Seq("a", "b", "path"))
     assert(tolerant.count() === 2)
+
+    // corrupt file sorts FIRST in its directory: the inference sample
+    // must skip to the next readable file, not silently drop the
+    // directory's schema contribution (its healthy columns c,d would
+    // otherwise never be inferred)
+    val root2 = Files.createTempDirectory("graft-scanlake-corrupt2").toString
+    gz(s"$root2/m2/20240105_0000.csv.gz", "c,d\n7,z\n")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root2/m2/20240101_0000.csv.gz"),
+      Array[Byte](0x1f, 0x8b.toByte, 0x00, 0x11, 0x22))
+    val t2 = Readers.scanLake(spark, root2, skipCorrupt = true)
+    assert(t2.columns.toSeq === Seq("c", "d", "path"))
+    assert(t2.count() === 1)
   }
 }

@@ -77,6 +77,13 @@ class FreqSketchSpec extends SparkSpec {
       s"estimate filter not below the dedup aggregate:\n$dedup")
   }
 
+  test("depth=1 sketches are legal (single-row min is the estimate)") {
+    val data = df(words("big" -> 40, "small" -> 2))
+    val hh = FreqSketch.heavyHitters(data, "v", 1024, depth = 1, minCount = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hh == Map("big" -> 40L))
+  }
+
   test("estimate ignores NULL probes instead of bucketing the bare seed") {
     val data = df(words("a" -> 5, "b" -> 2))
     val sketch = FreqSketch.sketchPartials(data, "v", 64, 2)
