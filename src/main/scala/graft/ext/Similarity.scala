@@ -177,7 +177,24 @@ object Similarity {
   def pqEncode(df: DataFrame, idCol: String, vecCol: String,
       codebooks: DataFrame, m: Int, ksub: Int): DataFrame = {
     require(m > 0 && ksub > 0, s"need m > 0 and ksub > 0, got m=$m ksub=$ksub")
-    val v = transform(col(vecCol), _.cast("double"))
+    df.crossJoin(broadcast(packCodebooks(codebooks)))
+      .select(col(idCol),
+        pqCodesExpr(transform(col(vecCol), _.cast("double")), m, ksub)
+          .as("codes"))
+  }
+
+  /** The guarded code-assignment expression of [[pqEncode]], for plans
+    * that fuse encoding with other per-row derivations (the IVF-PQ
+    * list builders compute cell_id and codes in ONE corpus pass instead
+    * of two passes joined on id). Requires the packed `__cb` column in
+    * scope. The guard lives INSIDE the consumed expression (cannot be
+    * pruned): a dim not divisible by m would silently drop the last
+    * dim % m components from every code, and a sampled codebook shorter
+    * than m×ksub (corpus < ksub) would make out-of-range element_at
+    * NULLs win every argmin — both are data-shape bugs to fail loudly
+    * on. */
+  private def pqCodesExpr(vecDoubles: Column, m: Int, ksub: Int): Column = {
+    val v = vecDoubles
     val dsub = (size(v) / lit(m)).cast("int")
     val codes = transform(sequence(lit(0), lit(m - 1)), j => {
       val sub = slice(v, j * dsub + 1, dsub)
@@ -190,19 +207,11 @@ object Similarity {
           c.as("code")))
       array_min(scored).getField("code")
     })
-    // guard INSIDE the consumed expression (cannot be pruned): a dim
-    // not divisible by m would silently drop the last dim % m
-    // components from every code, and a sampled codebook shorter than
-    // m×ksub (corpus < ksub) would make out-of-range element_at NULLs
-    // win every argmin — both are data-shape bugs to fail loudly on
-    val guarded = when(
-      size(v) % m === 0 && size(col("__cb")) === m * ksub, codes)
+    when(size(v) % m === 0 && size(col("__cb")) === m * ksub, codes)
       .otherwise(raise_error(format_string(
         s"pqEncode: need dim %% $m == 0 and a full codebook of ${m * ksub} " +
           s"entries; got dim=%s, codebook=%s (is ksub > corpus size?)",
         size(v), size(col("__cb")))))
-    df.crossJoin(broadcast(packCodebooks(codebooks)))
-      .select(col(idCol), guarded.as("codes"))
   }
 
   /** Asymmetric-distance (ADC) top-k: the probe builds an m×ksub
@@ -266,9 +275,18 @@ object Similarity {
       k: Int): DataFrame = {
     val cents = ivfCentroids(df, idCol, vecCol, nCells)
     val cb = pqCodebooks(df, idCol, vecCol, m, ksub)
-    val lists = ivfAssign(df, idCol, vecCol, cents)
-      .join(pqEncode(df, idCol, vecCol, cb, m, ksub), idCol)
-      .select(col(idCol).as("neighbor_id"), col("cell_id"), col("codes"))
+    // ONE corpus pass builds the compressed lists: both the centroid
+    // pack and the codebook pack are single-row broadcasts, so cell_id
+    // and codes are sibling map-side expressions — an assign⋈encode
+    // join on id would scan the corpus twice and shuffle it once for
+    // nothing
+    val lists = df
+      .crossJoin(broadcast(packCentroids(cents)))
+      .crossJoin(broadcast(packCodebooks(cb)))
+      .select(col(idCol).as("neighbor_id"),
+        (-array_max(cellScores(col(vecCol))).getField("neg_id")).as("cell_id"),
+        pqCodesExpr(transform(col(vecCol), _.cast("double")), m, ksub)
+          .as("codes"))
     val pv = transform(col(vecCol), _.cast("double"))
     val probed = ivfProbeCells(probes, idCol, vecCol, cents, nProbe)
       .crossJoin(broadcast(packCodebooks(cb)))
@@ -304,9 +322,13 @@ object Similarity {
         zip_with(transform(col(vecCol), _.cast("double")), col("centroid"),
           (x, y) => x - y).as("__res"))
     val cb = pqCodebooks(resid, idCol, "__res", m, ksub)
-    val lists = resid.select(col(idCol), col("cell_id"))
-      .join(pqEncode(resid, idCol, "__res", cb, m, ksub), idCol)
-      .select(col(idCol).as("neighbor_id"), col("cell_id"), col("codes"))
+    // one pass over the residual frame: cell_id rides along, codes are
+    // a sibling expression over the packed codebooks (no id-shuffle
+    // join with a second derivation of the residuals)
+    val lists = resid
+      .crossJoin(broadcast(packCodebooks(cb)))
+      .select(col(idCol).as("neighbor_id"), col("cell_id"),
+        pqCodesExpr(col("__res"), m, ksub).as("codes"))
     val pv = transform(col(vecCol), _.cast("double"))
     val probed = ivfProbeCells(probes, idCol, vecCol, cents, nProbe)
       .join(broadcast(cents), "cell_id")
