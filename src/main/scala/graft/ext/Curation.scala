@@ -380,10 +380,18 @@ object Curation {
     * exactness matters). The count aggregation is the only shuffle;
     * everything after is a source-count-sized frame. */
   def mixingWeights(df: DataFrame, sourceCol: String, alpha: Double,
-      targetN: Long): DataFrame =
-    mixingWeightsFromCounts(
-      df.groupBy(sourceCol).agg(count(lit(1)).as("n")),
-      sourceCol, alpha, targetN)
+      targetN: Long): DataFrame = {
+    // the per-source count frame is bounded (one row per source) but
+    // its LINEAGE is a corpus aggregation — localize it so the several
+    // downstream consumers (the normalizing sum, the fraction compute,
+    // a sampling threshold join) cost zero extra corpus scans (the
+    // bounded-collect rationale of Similarity.writeIvfIndex; measured:
+    // q92's plan held 10 corpus scans without this)
+    val counts = df.groupBy(sourceCol).agg(count(lit(1)).as("n"))
+    val local = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(counts.collect(): _*), counts.schema)
+    mixingWeightsFromCounts(local, sourceCol, alpha, targetN)
+  }
 
   /** [[mixingWeights]] over a PRE-AGGREGATED per-source count table —
     * counts are additive partials, so a streaming pipeline maintains
