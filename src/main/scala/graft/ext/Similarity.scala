@@ -152,13 +152,16 @@ object Similarity {
         row_number().over(Window.orderBy(
           DetHash.hash52(col(idCol).cast("string")), col(idCol))) - 1)
     val dsub = (size(col("__v")) / lit(m)).cast("int")
-    sample.select(col("code"),
+    // m x ksub rows with corpus-wide lineage (the sample sort): every
+    // consumer (encode, each LUT build, packCodebooks) re-runs it
+    // unless localized here
+    localize(sample.select(col("code"),
         explode(transform(sequence(lit(0), lit(m - 1)), j =>
           struct(j.as("subspace"),
             slice(col("__v"), j * dsub + 1, dsub).as("centroid"))))
           .as("sc"))
       .select(col("sc.subspace").as("subspace"), col("code"),
-        col("sc.centroid").as("centroid"))
+        col("sc.centroid").as("centroid")))
   }
 
   /** Codebooks packed into one broadcastable row, ordered by
@@ -222,6 +225,16 @@ object Similarity {
     * like [[bruteForceTopK]]). Scores approximate the probe·corpus dot
     * (inner-product PQ); rank fidelity vs exact cosine is what
     * QuantizeSpec pins on planted duplicates. */
+  /** Collect a BOUNDED frame into a local relation so its (possibly
+    * corpus-wide) lineage executes exactly once — every consumer of a
+    * lazy bounded frame would otherwise re-run the derivation (the
+    * double-execution pitfall ivfTopK documents). Only call on frames
+    * bounded by construction: centroid tables (nCells rows), PQ
+    * codebooks (m x ksub rows), per-source counts. */
+  private[ext] def localize(d: DataFrame): DataFrame =
+    d.sparkSession.createDataFrame(
+      java.util.Arrays.asList(d.collect(): _*), d.schema)
+
   /** Plain (unrounded) dot product of two double-array columns, fixed
     * left-to-right accumulation. */
   private def dot(a: Column, b: Column): Column =
@@ -273,8 +286,10 @@ object Similarity {
   def ivfPqTopK(df: DataFrame, probes: DataFrame, idCol: String,
       vecCol: String, nCells: Int, nProbe: Int, m: Int, ksub: Int,
       k: Int): DataFrame = {
-    val cents = ivfCentroids(df, idCol, vecCol, nCells)
-    val cb = pqCodebooks(df, idCol, vecCol, m, ksub)
+    // both bounded frames localized: cents' sample sort and cb's are
+    // corpus lineage that every pack/probe consumer would re-run
+    val cents = localize(ivfCentroids(df, idCol, vecCol, nCells))
+    val cb = pqCodebooks(df, idCol, vecCol, m, ksub) // localized inside
     // ONE corpus pass builds the compressed lists: both the centroid
     // pack and the codebook pack are single-row broadcasts, so cell_id
     // and codes are sibling map-side expressions — an assign⋈encode
@@ -315,7 +330,7 @@ object Similarity {
   def ivfPqResidualTopK(df: DataFrame, probes: DataFrame, idCol: String,
       vecCol: String, nCells: Int, nProbe: Int, m: Int, ksub: Int,
       k: Int): DataFrame = {
-    val cents = ivfCentroids(df, idCol, vecCol, nCells)
+    val cents = localize(ivfCentroids(df, idCol, vecCol, nCells))
     val resid = ivfAssign(df, idCol, vecCol, cents)
       .join(broadcast(cents), "cell_id")
       .select(col(idCol), col("cell_id"),
@@ -362,7 +377,7 @@ object Similarity {
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
       nCells: Int, minSim: Double): DataFrame = {
     val assigned = ivfAssign(df, idCol, vecCol,
-      ivfCentroids(df, idCol, vecCol, nCells))
+      localize(ivfCentroids(df, idCol, vecCol, nCells)))
     val a = assigned.select(col("cell_id"),
       col(idCol).as("__id_a"), col(vecCol).as("__v_a"))
     val b = assigned.select(col("cell_id"),
@@ -582,14 +597,8 @@ object Similarity {
   def writeIvfIndex(df: DataFrame, idCol: String, vecCol: String,
       dir: String, nCells: Int, refineSteps: Int = 0): Unit = {
     // Localize each corpus-wide derivation the moment it is bounded
-    // (nCells rows): without this, every downstream consumer —
-    // centroids/ write, each refine step, the final assign — would
-    // RE-EXECUTE the corpus lineage (the double-execution pitfall
-    // ivfTopK documents); with it, the build runs exactly one corpus
-    // pass per refine step plus one for the assign.
-    def localize(d: DataFrame): DataFrame =
-      d.sparkSession.createDataFrame(
-        java.util.Arrays.asList(d.collect(): _*), d.schema)
+    // (nCells rows): the build then runs exactly one corpus pass per
+    // refine step plus one for the assign.
     var cents = localize(ivfCentroids(df, idCol, vecCol, nCells))
     (0 until refineSteps).foreach { _ =>
       cents = localize(ivfRefine(
