@@ -117,6 +117,39 @@ object ExtensionQueries {
                      PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS r
                    FROM csim) WHERE r = 1)"""
 
+  /** Shared CDC oracle CTEs (k=8, divisor=64 over documents): rolling
+    * gram hashes from the frozen winnow power table, cut positions
+    * where hash ≡ 0 mod 64, and the resulting `chunks(doc_id,
+    * chunk_no, chunk)` — used by q94 (the chunks themselves) and q101
+    * (cross-doc shared-chunk dedup). */
+  private val cdcCte = {
+    val p = DetHash.P
+    val pows = TextAnalysis.sqlWinnowPowers(8)
+    s"""
+        t AS (SELECT doc_id, text FROM documents),
+        g AS (SELECT doc_id, text,
+                     unnest(range(0, greatest(length(text) - 7, 0))) AS i
+              FROM t),
+        h AS (SELECT doc_id, i,
+                     (list_sum([(ascii(substr(text, (i + j + 1)::INT, 1))
+                                 * ($pows)[(j + 1)::INT]) % $p
+                                for j in range(0, 8)]) % $p)::BIGINT AS hv
+              FROM g),
+        bl AS (SELECT doc_id, list(i ORDER BY i) AS bp
+               FROM h WHERE hv % 64 = 0 AND i > 0 GROUP BY doc_id),
+        c AS (SELECT t.doc_id, t.text,
+                     [0]::BIGINT[] || coalesce(b.bp, []::BIGINT[]) AS ss,
+                     coalesce(b.bp, []::BIGINT[]) || [length(t.text)]::BIGINT[] AS ee
+              FROM t LEFT JOIN bl b USING (doc_id)),
+        x AS (SELECT doc_id, text, ss, ee,
+                     unnest(range(0, len(ss))) AS jj
+              FROM c),
+        chunks AS (SELECT doc_id, jj AS chunk_no,
+                          substr(text, (ss[(jj + 1)::INT] + 1)::INT,
+                                 (ee[(jj + 1)::INT] - ss[(jj + 1)::INT])::INT) AS chunk
+                   FROM x)"""
+  }
+
   /** Shared PQ oracle CTEs (m=8, ksub=16, dim 64, probes vec_id < 20):
     * deterministic sampled codebooks per subspace, argmin-L2 code
     * assignment for every vector, and the probes' dot-product lookup
@@ -1387,34 +1420,52 @@ object ExtensionQueries {
       (s, dir) => Curation.cdcChunks(
           Tables(s, dir, "documents"), "doc_id", "text", k = 8, divisor = 64)
         .orderBy("doc_id", "chunk_no"),
-      Some {
-        val p = DetHash.P
-        val pows = TextAnalysis.sqlWinnowPowers(8)
-        s"""
-        WITH t AS (SELECT doc_id, text FROM documents),
-        g AS (SELECT doc_id, text,
-                     unnest(range(0, greatest(length(text) - 7, 0))) AS i
-              FROM t),
-        h AS (SELECT doc_id, i,
-                     (list_sum([(ascii(substr(text, (i + j + 1)::INT, 1))
-                                 * ($pows)[(j + 1)::INT]) % $p
-                                for j in range(0, 8)]) % $p)::BIGINT AS hv
-              FROM g),
-        bl AS (SELECT doc_id, list(i ORDER BY i) AS bp
-               FROM h WHERE hv % 64 = 0 AND i > 0 GROUP BY doc_id),
-        c AS (SELECT t.doc_id, t.text,
-                     [0]::BIGINT[] || coalesce(b.bp, []::BIGINT[]) AS ss,
-                     coalesce(b.bp, []::BIGINT[]) || [length(t.text)]::BIGINT[] AS ee
-              FROM t LEFT JOIN bl b USING (doc_id)),
-        x AS (SELECT doc_id, text, ss, ee,
-                     unnest(range(0, len(ss))) AS jj
-              FROM c)
-        SELECT doc_id, jj AS chunk_no,
-               substr(text, (ss[(jj + 1)::INT] + 1)::INT,
-                      (ee[(jj + 1)::INT] - ss[(jj + 1)::INT])::INT) AS chunk
-        FROM x ORDER BY doc_id, chunk_no"""
-      },
+      Some(s"""
+        WITH $cdcCte
+        SELECT doc_id, chunk_no, chunk
+        FROM chunks ORDER BY doc_id, chunk_no"""),
       "content-defined chunking: rolling-hash cuts, insertion-robust, O(len) codegen"),
+
+    // ---------------------------------------------------------------
+    // Chunk-level cross-doc dedup over CDC chunks — the reason CDC
+    // exists: boilerplate shared between documents surfaces as
+    // identical chunk fingerprints even when the surrounding text
+    // differs (fixed windows would mis-align after any edit). Per-doc
+    // report: chunks, chunks shared with another doc, shared-char
+    // ratio.
+    // ---------------------------------------------------------------
+    Q("q101_cdc_shared_chunks",
+      (s, dir) => {
+        val f = Curation.cdcChunks(
+            Tables(s, dir, "documents"), "doc_id", "text", k = 8, divisor = 64)
+          .select(col("doc_id"),
+            md5(col("chunk").cast("binary")).as("fp"),
+            length(col("chunk")).as("len"))
+        val sh = f.groupBy("fp")
+          .agg(count_distinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2)
+          .select(col("fp"), lit(1).as("__shared"))
+        f.join(sh, Seq("fp"), "left")
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_chunks"),
+            count(col("__shared")).as("n_shared"),
+            round(coalesce(
+                sum(when(col("__shared").isNotNull, col("len"))), lit(0))
+              .cast("double") / sum(col("len")), 4).as("shared_ratio"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH $cdcCte,
+        f AS (SELECT doc_id, md5(chunk) AS fp, length(chunk) AS len FROM chunks),
+        sh AS (SELECT fp FROM f GROUP BY fp HAVING count(DISTINCT doc_id) >= 2)
+        SELECT f.doc_id, count(*) AS n_chunks,
+               count(s.fp) AS n_shared,
+               round(coalesce(sum(f.len) FILTER (s.fp IS NOT NULL), 0)::DOUBLE
+                     / sum(f.len), 4) AS shared_ratio
+        FROM f LEFT JOIN sh s ON s.fp = f.fp
+        GROUP BY f.doc_id ORDER BY f.doc_id"""),
+      "cross-doc boilerplate via shared CDC chunk fingerprints"),
 
     // ---------------------------------------------------------------
     // SemDeDup-style semantic dedup: within-IVF-cell cosine pruning,
