@@ -377,21 +377,20 @@ object Curation {
     * (capped at 1: a source can't yield more rows than it has — the
     * cap means the realized total can undershoot targetN when a tiny
     * source saturates; redistribute by re-running on the remainder if
-    * exactness matters). The count aggregation is the only shuffle;
-    * everything after is a source-count-sized frame. */
+    * exactness matters). The count aggregation is the only shuffle —
+    * and it is EAGER: counts are collected when this is CALLED
+    * (bounded, one row per source), not when the returned frame
+    * executes. Lazy counts re-ran the corpus aggregation in every
+    * downstream consumer (normalizing sum, fractions, the sampling
+    * threshold join — q92's plan held TEN corpus scans); the trade is
+    * that rows appended to `df` after composition don't move the
+    * weights — recompose, or maintain counts as streaming increments
+    * and use [[mixingWeightsFromCounts]]. */
   def mixingWeights(df: DataFrame, sourceCol: String, alpha: Double,
-      targetN: Long): DataFrame = {
-    // the per-source count frame is bounded (one row per source) but
-    // its LINEAGE is a corpus aggregation — localize it so the several
-    // downstream consumers (the normalizing sum, the fraction compute,
-    // a sampling threshold join) cost zero extra corpus scans (the
-    // bounded-collect rationale of Similarity.writeIvfIndex; measured:
-    // q92's plan held 10 corpus scans without this)
-    val counts = df.groupBy(sourceCol).agg(count(lit(1)).as("n"))
-    val local = df.sparkSession.createDataFrame(
-      java.util.Arrays.asList(counts.collect(): _*), counts.schema)
-    mixingWeightsFromCounts(local, sourceCol, alpha, targetN)
-  }
+      targetN: Long): DataFrame =
+    mixingWeightsFromCounts(
+      Similarity.localize(df.groupBy(sourceCol).agg(count(lit(1)).as("n"))),
+      sourceCol, alpha, targetN)
 
   /** [[mixingWeights]] over a PRE-AGGREGATED per-source count table —
     * counts are additive partials, so a streaming pipeline maintains

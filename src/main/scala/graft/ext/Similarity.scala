@@ -139,7 +139,10 @@ object Similarity {
     * [[ivfCentroids]] (ksub rows, code = sample rank). Sampled
     * codebooks are the standard PQ bootstrap (k-means refinement bolts
     * on exactly like [[ivfRefine]]); determinism is what makes the
-    * oracle possible. Output: (subspace, code, centroid<array<double>>). */
+    * oracle possible. Output: (subspace, code, centroid<array<double>>),
+    * EAGERLY materialized (m×ksub rows collected at call time) so the
+    * several downstream consumers — encode, each LUT build, every
+    * packCodebooks — never re-run the corpus-wide sample sort. */
   def pqCodebooks(df: DataFrame, idCol: String, vecCol: String,
       m: Int, ksub: Int): DataFrame = {
     require(m > 0 && ksub > 0 && ksub <= 256,
@@ -217,20 +220,14 @@ object Similarity {
         size(v), size(col("__cb")))))
   }
 
-  /** Asymmetric-distance (ADC) top-k: the probe builds an m×ksub
-    * lookup table of rounded partial dots against every codebook
-    * centroid; each corpus row's score is then m table lookups summed —
-    * the corpus is never decoded, never recomputed, and the scan stays
-    * map-side (probes broadcast, row_number top-k per probe exactly
-    * like [[bruteForceTopK]]). Scores approximate the probe·corpus dot
-    * (inner-product PQ); rank fidelity vs exact cosine is what
-    * QuantizeSpec pins on planted duplicates. */
   /** Collect a BOUNDED frame into a local relation so its (possibly
     * corpus-wide) lineage executes exactly once — every consumer of a
     * lazy bounded frame would otherwise re-run the derivation (the
     * double-execution pitfall ivfTopK documents). Only call on frames
     * bounded by construction: centroid tables (nCells rows), PQ
-    * codebooks (m x ksub rows), per-source counts. */
+    * codebooks (m x ksub rows), per-source counts. The collect is
+    * EAGER: the caller's API becomes snapshot-at-composition (document
+    * it there). */
   private[ext] def localize(d: DataFrame): DataFrame =
     d.sparkSession.createDataFrame(
       java.util.Arrays.asList(d.collect(): _*), d.schema)
@@ -257,6 +254,14 @@ object Similarity {
       acc + element_at(col("__lut"),
         j * ksub + element_at(col("codes"), (j + 1).cast("int")) + 1))
 
+  /** Asymmetric-distance (ADC) top-k: the probe builds an m×ksub
+    * lookup table of rounded partial dots against every codebook
+    * centroid; each corpus row's score is then m table lookups summed —
+    * the corpus is never decoded, never recomputed, and the scan stays
+    * map-side (probes broadcast, row_number top-k per probe exactly
+    * like [[bruteForceTopK]]). Scores approximate the probe·corpus dot
+    * (inner-product PQ); rank fidelity vs exact cosine is what
+    * QuantizeSpec pins on planted duplicates. */
   def pqTopK(codes: DataFrame, probes: DataFrame, idCol: String,
       vecCol: String, codebooks: DataFrame, m: Int, ksub: Int,
       k: Int): DataFrame = {

@@ -117,6 +117,21 @@ object ExtensionQueries {
                      PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS r
                    FROM csim) WHERE r = 1)"""
 
+  /** DuckDB rendering of [[TextAnalysis.classifyQuality]]'s frozen
+    * linear logit over a row with (text, toks) in scope — the SAME
+    * term order as the Spark foldLeft so float accumulation matches.
+    * Shared by q93 (the classifier itself) and q102 (the capstone
+    * pipeline's quality gate): one rendering, no drift. */
+  private val sqlQualityLogit = {
+    val en = TextAnalysis.langMarkers.head._2.map(m => s"'$m'").mkString(", ")
+    s"""-1.05
+              + 3.2 * (len([x for x in toks if x IN ($en)])::DOUBLE / len(toks))
+              + (-2.1) * ((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))::DOUBLE / length(text))
+              + (-1.4) * ((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / length(text))
+              + 0.6 * (list_sum([length(x) for x in toks])::DOUBLE / len(toks) / 10.0)
+              + 1.1 * least(len(toks)::DOUBLE / 100.0, 1.0)"""
+  }
+
   /** Shared CDC oracle CTEs (k=8, divisor=64 over documents): rolling
     * gram hashes from the frozen winnow power table, cut positions
     * where hash ≡ 0 mod 64, and the resulting `chunks(doc_id,
@@ -1392,14 +1407,7 @@ object ExtensionQueries {
         .select("doc_id", "logit", "keep")
         .orderBy("doc_id"),
       Some {
-        val en = TextAnalysis.langMarkers.head._2.map(m => s"'$m'").mkString(", ")
-        val logit =
-          s"""-1.05
-              + 3.2 * (len([x for x in toks if x IN ($en)])::DOUBLE / len(toks))
-              + (-2.1) * ((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))::DOUBLE / length(text))
-              + (-1.4) * ((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / length(text))
-              + 0.6 * (list_sum([length(x) for x in toks])::DOUBLE / len(toks) / 10.0)
-              + 1.1 * least(len(toks)::DOUBLE / 100.0, 1.0)"""
+        val logit = sqlQualityLogit
         s"""
         WITH t AS (SELECT doc_id, text,
                           string_split_regex(lower(text), '\\s+') AS toks
@@ -1497,14 +1505,7 @@ object ExtensionQueries {
           .orderBy("batch")
       },
       Some {
-        val en = TextAnalysis.langMarkers.head._2.map(m => s"'$m'").mkString(", ")
-        val logit =
-          s"""-1.05
-              + 3.2 * (len([x for x in toks if x IN ($en)])::DOUBLE / len(toks))
-              + (-2.1) * ((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))::DOUBLE / length(text))
-              + (-1.4) * ((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / length(text))
-              + 0.6 * (list_sum([length(x) for x in toks])::DOUBLE / len(toks) / 10.0)
-              + 1.1 * least(len(toks)::DOUBLE / 100.0, 1.0)"""
+        val logit = sqlQualityLogit
         s"""
         WITH dd AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
         d AS (SELECT doc_id, text, source,
