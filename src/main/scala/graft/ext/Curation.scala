@@ -418,8 +418,18 @@ object Curation {
     * from the corpus instead of supplied. The weights table broadcasts
     * (one row per source); the corpus never shuffles. */
   def temperatureSample(df: DataFrame, idCol: String, sourceCol: String,
-      alpha: Double, targetN: Long): DataFrame = {
-    val thr = mixingWeights(df, sourceCol, alpha, targetN)
+      alpha: Double, targetN: Long): DataFrame =
+    temperatureSampleWithWeights(df, idCol, sourceCol,
+      mixingWeights(df, sourceCol, alpha, targetN))
+
+  /** [[temperatureSample]] against a PRE-COMPUTED [[mixingWeights]]
+    * frame (needs `sourceCol` + `frac`) — compositions that also
+    * REPORT the weights (q92) reuse one eager count aggregation
+    * instead of scanning the corpus twice, mirroring the
+    * [[mixingWeightsFromCounts]] split. */
+  def temperatureSampleWithWeights(df: DataFrame, idCol: String,
+      sourceCol: String, weights: DataFrame): DataFrame = {
+    val thr = weights
       .select(col(sourceCol),
         floor(col("frac") * 1000000L).cast("long").as("__thr"))
     df.join(broadcast(thr), Seq(sourceCol))

@@ -101,15 +101,28 @@ object Multimodal {
     * with an independent oracle (q89). CRC is zeroed: readers that
     * verify it would reject the chunk, but the fixed-offset fields this
     * module reads are real. */
-  def pngHeaderPayload(width: Column, height: Column): Column =
+  def pngHeaderPayload(width: Column, height: Column): Column = {
+    // consumed guard (raise_error INSIDE the emitted expression — a
+    // detached assert column would be optimizer-pruned): hex() of a
+    // negative long is 16 digits and >= 2^32 overflows 8, either of
+    // which lpad would silently truncate into a corrupt header. PNG
+    // dimensions are uint31 per the spec.
+    def be32Dim(name: String, dim: Column): Column = {
+      val d = dim.cast("long")
+      unhex(lpad(hex(when(d.between(1, 0x7FFFFFFFL), d)
+        .otherwise(raise_error(format_string(
+          s"pngHeaderPayload: $name out of PNG uint31 range [1, 2^31-1]: %s",
+          d)))), 8, "0"))
+    }
     concat(
       unhex(lit("89504E470D0A1A0A")), // signature
       unhex(lit("0000000D")),         // IHDR length = 13
       unhex(lit("49484452")),         // "IHDR"
-      unhex(lpad(hex(width.cast("long")), 8, "0")),
-      unhex(lpad(hex(height.cast("long")), 8, "0")),
+      be32Dim("width", width),
+      be32Dim("height", height),
       unhex(lit("0806000000")),       // bit depth 8, RGBA, default methods
       unhex(lit("00000000")))         // CRC (unverified placeholder)
+  }
 
   /** Little-endian uint read of `len` bytes at 1-indexed `pos` — WAV
     * (RIFF) headers are little-endian, so the hex pairs reassemble in

@@ -82,7 +82,12 @@ object Readers {
             try {
               val s = if (p.endsWith(".gz"))
                 new java.util.zip.GZIPInputStream(in) else in
-              s.read(new Array[Byte](256)) >= -1
+              // require at least one decompressed byte: an empty-payload
+              // file has no header row, so letting it occupy one of the
+              // directory's take(n) sample slots could drop that
+              // directory's schema contribution — the exact failure this
+              // probe exists to prevent
+              s.read(new Array[Byte](256)) >= 0
             } finally in.close()
           } catch { case _: java.io.IOException => false }
         }

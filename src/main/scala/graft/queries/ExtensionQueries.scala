@@ -1116,9 +1116,14 @@ object ExtensionQueries {
     // ---------------------------------------------------------------
     Q("q74_heavy_hitters",
       (s, dir) => {
+        // deliberately NOT persisted: the explode is recomputed by the
+        // sketch build, the probe pass, and the exact rider — three
+        // map-side scans, which at corpus scale is far cheaper than
+        // materializing an exploded token table in cache (the one thing
+        // you'd never do at 100 TB; the exact count is oracle
+        // scaffolding, not part of the production shape)
         val toks = Tables(s, dir, "documents")
           .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
-          .persist()
         val hh = graft.ops.FreqSketch.heavyHitters(
           toks, "token", width = cmsWidth, depth = cmsDepth, minCount = cmsMin)
         val exact = toks.groupBy("token").agg(count(lit(1)).as("exact"))
@@ -1370,7 +1375,11 @@ object ExtensionQueries {
       (s, dir) => {
         val docs = Tables(s, dir, "documents")
         val w = Curation.mixingWeights(docs, "source", 0.5, 300L)
-        val sampled = Curation.temperatureSample(docs, "doc_id", "source", 0.5, 300L)
+        // reuse w's (eager, one-row-per-source) counts for the sample
+        // threshold — calling temperatureSample here would re-run the
+        // same corpus aggregation a second time
+        val sampled = Curation
+          .temperatureSampleWithWeights(docs, "doc_id", "source", w)
           .groupBy("source").agg(count(lit(1)).as("n_sampled"))
         w.join(sampled, Seq("source"), "left")
           .select(col("source"), col("n"),

@@ -32,10 +32,10 @@ object StreamingIvfIngest {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         if (!batch.isEmpty) {
-          val s = batch.sparkSession
-          // the cloned micro-batch session needs its own overwrite mode
-          s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-          Similarity.appendIndexIncrement(s, indexDir, batch, idCol, vecCol, id)
+          // appendIndexIncrement owns the overwrite mode (set-and-restore
+          // on the session it is passed) — no outer set needed here
+          Similarity.appendIndexIncrement(batch.sparkSession, indexDir,
+            batch, idCol, vecCol, id)
         }
         afterBatch(id)
       }
