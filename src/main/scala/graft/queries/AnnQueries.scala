@@ -1,0 +1,505 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ext.{Curation, Dedup, DetHash, Multimodal, Similarity, TextAnalysis}
+
+/** North-star extension operators (SURVEY.md §7.5) as oracle-checked
+  * queries: dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard),
+  * similarity search (brute-force + random-hyperplane LSH ANN), text
+  * analysis (lang-ID, quality, token counts, fingerprint, tf-idf) and
+  * multimodal metadata plumbing.
+  *
+  * Sketch oracles are EXACT, not rows-only: all hashing goes through
+  * [[graft.ext.DetHash]] (md5-prefix integers) which evaluates to the
+  * same values in DuckDB, and parts of the oracle SQL are *generated
+  * from the same frozen constants* as the Spark plan, so the two sides
+  * cannot drift.
+  */
+
+/** Similarity-search extension queries (SURVEY.md §7.5): brute-force
+  * cosine top-k, RP-LSH ANN, IVF-Flat (inline + persisted index),
+  * int8 quantized dots, PQ/ADC, IVF-PQ (plain + residual) and
+  * SemDeDup semantic dedup. Oracles rebuild the same centroids/
+  * codebooks from the same frozen [[graft.ext.DetHash]] seeds. */
+object AnnQueries {
+
+  /** Shared IVF oracle CTEs: unnested vectors + norms, the
+    * deterministic 16-centroid seed sample (same md5 key as
+    * [[Similarity.ivfCentroids]]), rounded cosine of every vector to
+    * every centroid, and the argmax cell assignment. generate_subscripts
+    * is 1-based; `i` is kept 1-based here and shifted where a query
+    * compares against Spark's 0-based posexplode. */
+  private val ivfCte = s"""
+    v AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                 unnest(embedding)::DOUBLE AS x
+          FROM embeddings),
+    n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM v GROUP BY vec_id),
+    cents AS (SELECT vec_id AS cell_id FROM embeddings
+              ORDER BY ${DetHash.sqlHash52("vec_id::VARCHAR")}, vec_id LIMIT 16),
+    cv AS (SELECT c.cell_id, v.i, v.x FROM cents c JOIN v ON v.vec_id = c.cell_id),
+    cn AS (SELECT cell_id, sqrt(sum(x * x)) AS nrm FROM cv GROUP BY cell_id),
+    cdot AS (SELECT v.vec_id, c.cell_id, sum(v.x * c.x) AS dot
+             FROM v JOIN cv c ON c.i = v.i GROUP BY 1, 2),
+    csim AS (SELECT d.vec_id, d.cell_id,
+                    round(d.dot / (n.nrm * cn.nrm), 4) AS sim
+             FROM cdot d
+             JOIN n ON n.vec_id = d.vec_id
+             JOIN cn ON cn.cell_id = d.cell_id),
+    assigned AS (SELECT vec_id, cell_id FROM (
+                   SELECT vec_id, cell_id, row_number() OVER (
+                     PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS r
+                   FROM csim) WHERE r = 1)"""
+
+  /** Shared PQ oracle CTEs (m=8, ksub=16, dim 64, probes vec_id < 20):
+    * deterministic sampled codebooks per subspace, argmin-L2 code
+    * assignment for every vector, and the probes' dot-product lookup
+    * tables — used by q97 (flat PQ) and q98 (IVF-PQ). */
+  private val pqCte = s"""
+        samp AS (SELECT vec_id, embedding,
+                        row_number() OVER (ORDER BY h, vec_id) - 1 AS code
+                 FROM (SELECT vec_id, embedding,
+                              ${DetHash.sqlHash52("vec_id::VARCHAR")} AS h
+                       FROM embeddings ORDER BY h, vec_id LIMIT 16)),
+        cb AS (SELECT j.range AS subspace, s.code,
+                      [x::DOUBLE for x in s.embedding[(j.range * 8 + 1)::INT:(j.range * 8 + 8)::INT]] AS centroid
+               FROM samp s, range(0, 8) j),
+        sub AS (SELECT e.vec_id, j.range AS subspace,
+                       [x::DOUBLE for x in e.embedding[(j.range * 8 + 1)::INT:(j.range * 8 + 8)::INT]] AS sv
+                FROM embeddings e, range(0, 8) j),
+        dist AS (SELECT s.vec_id, s.subspace, c.code,
+                        round(list_sum([(s.sv[t::INT] - c.centroid[t::INT])
+                                        * (s.sv[t::INT] - c.centroid[t::INT])
+                                        for t in range(1, 9)]), 4) AS d
+                 FROM sub s JOIN cb c USING (subspace)),
+        enc AS (SELECT vec_id, subspace, code FROM (
+                  SELECT vec_id, subspace, code, row_number() OVER (
+                    PARTITION BY vec_id, subspace ORDER BY d, code) AS r
+                  FROM dist) WHERE r = 1),
+        plut AS (SELECT p.vec_id AS probe_id, c.subspace, c.code,
+                        round(list_sum([p.sv[t::INT] * c.centroid[t::INT]
+                                        for t in range(1, 9)]), 4) AS part
+                 FROM sub p JOIN cb c USING (subspace) WHERE p.vec_id < 20)"""
+
+  /** Shared IVF probe/rank oracle tail (probes vec_id < 20, nProbe = 2,
+    * k = 3) appended after [[ivfCte]] — q47 (inline plan) and q72
+    * (persisted index) intentionally verify against the byte-identical
+    * SQL, so a tweak here reaches both. */
+  private val ivfProbeSql = """
+        probec AS (SELECT vec_id AS probe_id, cell_id FROM (
+                     SELECT vec_id, cell_id, row_number() OVER (
+                       PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS r
+                     FROM csim WHERE vec_id < 20) WHERE r <= 2),
+        cand AS (SELECT p.probe_id, a.vec_id AS neighbor_id
+                 FROM probec p JOIN assigned a ON a.cell_id = p.cell_id
+                 WHERE a.vec_id <> p.probe_id),
+        d AS (SELECT c.probe_id, c.neighbor_id, sum(va.x * vb.x) AS dot
+              FROM cand c
+              JOIN v va ON va.vec_id = c.probe_id
+              JOIN v vb ON vb.vec_id = c.neighbor_id AND vb.i = va.i
+              GROUP BY 1, 2),
+        s AS (SELECT probe_id, neighbor_id,
+                     round(dot / (na.nrm * nb.nrm), 4) AS sim,
+                     row_number() OVER (PARTITION BY probe_id
+                       ORDER BY round(dot / (na.nrm * nb.nrm), 4) DESC, neighbor_id) AS rank
+              FROM d
+              JOIN n na ON na.vec_id = probe_id
+              JOIN n nb ON nb.vec_id = neighbor_id)
+        SELECT probe_id, neighbor_id, sim, rank FROM s
+        WHERE rank <= 3 ORDER BY probe_id, rank"""
+
+  val all: Seq[Q] = Seq(
+    // ---------------------------------------------------------------
+    // Similarity search: brute-force cosine top-k
+    // ---------------------------------------------------------------
+    Q("q35_cosine_topk",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 5)
+          .orderBy("probe_id", "rank")
+      },
+      Some("""
+        WITH v AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                          unnest(embedding)::DOUBLE AS x
+                   FROM embeddings),
+        n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM v GROUP BY vec_id),
+        d AS (SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id, sum(a.x * b.x) AS dot
+              FROM v a JOIN v b ON a.i = b.i AND a.vec_id < 20 AND b.vec_id <> a.vec_id
+              GROUP BY 1, 2),
+        s AS (SELECT probe_id, neighbor_id,
+                     round(dot / (na.nrm * nb.nrm), 4) AS sim,
+                     row_number() OVER (PARTITION BY probe_id
+                       ORDER BY round(dot / (na.nrm * nb.nrm), 4) DESC, neighbor_id) AS rank
+              FROM d
+              JOIN n na ON na.vec_id = probe_id
+              JOIN n nb ON nb.vec_id = neighbor_id)
+        SELECT probe_id, neighbor_id, sim, rank FROM s
+        WHERE rank <= 5 ORDER BY probe_id, rank""")),
+
+    // ---------------------------------------------------------------
+    // Similarity: embedding-cosine near-dup pairs via banded RP-LSH —
+    // 4 bands x 8 sign-bits; candidates are an equi-join on
+    // (band, bucket), exact cosine verifies candidates only. The
+    // oracle mirrors the exact same candidate generation (weights are
+    // md5-derived so both engines compute identical planes); the
+    // all-pairs form survives as Similarity.nearDupPairs for small
+    // data. Recall vs all-pairs follows the banding formula
+    // (Similarity scaladoc) and is pinned by SimilaritySpec.
+    // ---------------------------------------------------------------
+    Q("q36_embed_near_dup",
+      (s, dir) => Similarity.nearDupPairsLsh(
+          Tables(s, dir, "embeddings"), "vec_id", "embedding",
+          minSim = 0.45, bands = 4, rowsPerBand = 8, dim = 64)
+        .orderBy("id_a", "id_b"),
+      Some("""
+        WITH v AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                          unnest(embedding)::DOUBLE AS x
+                   FROM embeddings),
+        w AS (SELECT b.range AS b, d.range AS d,
+                     ((('0x' || substr(md5('rp-' || b.range::VARCHAR || '-' || d.range::VARCHAR), 1, 13))::BIGINT
+                       % 2001) - 1000)::DOUBLE AS wt
+              FROM range(0, 32) b, range(0, 64) d),
+        proj AS (SELECT v.vec_id, w.b, sum(w.wt * v.x) AS p
+                 FROM v JOIN w ON w.d = v.i - 1 GROUP BY 1, 2),
+        bkt AS (SELECT vec_id, b // 8 AS band,
+                       sum(CASE WHEN p >= 0 THEN (1::BIGINT << (7 - (b % 8))::INT)
+                                ELSE 0::BIGINT END) AS bucket
+                FROM proj GROUP BY 1, 2),
+        cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                 FROM bkt a JOIN bkt b
+                   ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM v GROUP BY vec_id),
+        d AS (SELECT c.id_a, c.id_b, sum(va.x * vb.x) AS dot
+              FROM cand c
+              JOIN v va ON va.vec_id = c.id_a
+              JOIN v vb ON vb.vec_id = c.id_b AND vb.i = va.i
+              GROUP BY 1, 2)
+        SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 4) AS sim
+        FROM d JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b
+        WHERE round(dot / (na.nrm * nb.nrm), 4) >= 0.45
+        ORDER BY id_a, id_b"""),
+      "banded RP-LSH candidates + exact-cosine verify (equi-join, no n^2 product)"),
+
+    // ---------------------------------------------------------------
+    // Similarity: random-hyperplane LSH ANN
+    // ---------------------------------------------------------------
+    Q("q37_ann_lsh",
+      (s, dir) => Similarity.annTopK(Tables(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 3, nBits = 8, dim = 64,
+          probeFilter = col("vec_id") < 20, nTables = 2)
+        .orderBy("probe_id", "rank"),
+      Some("""
+        WITH v AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                          unnest(embedding)::DOUBLE AS x
+                   FROM embeddings),
+        w AS (SELECT b.range AS b, d.range AS d,
+                     ((('0x' || substr(md5('rp-' || b.range::VARCHAR || '-' || d.range::VARCHAR), 1, 13))::BIGINT
+                       % 2001) - 1000)::DOUBLE AS wt
+              FROM range(0, 16) b, range(0, 64) d),
+        proj AS (SELECT v.vec_id, w.b, sum(w.wt * v.x) AS p
+                 FROM v JOIN w ON w.d = v.i - 1 GROUP BY 1, 2),
+        bkt AS (SELECT vec_id, b // 8 AS table_id,
+                       sum(CASE WHEN p >= 0 THEN (1::BIGINT << (7 - (b % 8))::INT)
+                                ELSE 0::BIGINT END) AS bucket
+                FROM proj GROUP BY 1, 2),
+        n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM v GROUP BY vec_id),
+        cand AS (SELECT DISTINCT a.vec_id AS probe_id, b.vec_id AS neighbor_id
+                 FROM bkt a JOIN bkt b
+                   ON a.table_id = b.table_id AND a.bucket = b.bucket
+                  AND a.vec_id < 20 AND b.vec_id <> a.vec_id),
+        d AS (SELECT c.probe_id, c.neighbor_id, sum(va.x * vb.x) AS dot
+              FROM cand c
+              JOIN v va ON va.vec_id = c.probe_id
+              JOIN v vb ON vb.vec_id = c.neighbor_id AND vb.i = va.i
+              GROUP BY 1, 2),
+        s AS (SELECT probe_id, neighbor_id,
+                     round(dot / (na.nrm * nb.nrm), 4) AS sim,
+                     row_number() OVER (PARTITION BY probe_id
+                       ORDER BY round(dot / (na.nrm * nb.nrm), 4) DESC, neighbor_id) AS rank
+              FROM d
+              JOIN n na ON na.vec_id = probe_id
+              JOIN n nb ON nb.vec_id = neighbor_id)
+        SELECT probe_id, neighbor_id, sim, rank FROM s
+        WHERE rank <= 3 ORDER BY probe_id, rank"""),
+      "multi-table RP-LSH ANN: equi-join on (table, bucket); compact array-literal projections"),
+
+    // ---------------------------------------------------------------
+    // Similarity: IVF-Flat ANN — deterministic centroid seed, map-side
+    // (broadcast-packed) assignment and probe fan-out, candidates via
+    // ONE equi-join on cell_id. The only corpus-sized shuffle in the
+    // pipeline; the IVF counterpart to q37's LSH scale path.
+    // ---------------------------------------------------------------
+    Q("q47_ivf_ann",
+      (s, dir) => Similarity.ivfTopK(Tables(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 3, nCells = 16, nProbe = 2,
+          probeFilter = col("vec_id") < 20)
+        .orderBy("probe_id", "rank"),
+      Some(s"WITH $ivfCte, $ivfProbeSql"),
+      "IVF-Flat ANN: broadcast-packed centroids, map-side assign, cell equi-join"),
+
+    // ---------------------------------------------------------------
+    // Similarity: one Lloyd refinement step over the IVF assignment —
+    // element-wise mean per cell, verified component-by-component
+    // (posexplode on the Spark side so array reassembly order is
+    // checked too).
+    // ---------------------------------------------------------------
+    Q("q48_ivf_refine",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 16)
+        Similarity.ivfRefine(
+            Similarity.ivfAssign(emb, "vec_id", "embedding", cents), "embedding")
+          .select(col("cell_id"), posexplode(col("centroid")).as(Seq("i", "x")))
+          .orderBy("cell_id", "i")
+      },
+      Some(s"""
+        WITH $ivfCte
+        SELECT a.cell_id, (v.i - 1)::INT AS i, round(avg(v.x), 6) AS x
+        FROM assigned a JOIN v ON v.vec_id = a.vec_id
+        GROUP BY 1, 2 ORDER BY cell_id, i"""),
+      "Lloyd step: posexplode -> avg per (cell, component) -> ordered reassemble"),
+
+    // ---------------------------------------------------------------
+    // Similarity: the PERSISTED IVF index lifecycle — build once
+    // (memoized per sf dir, like q53's bucketed tables), probe many.
+    // Probing loads centroids + cell-partitioned inverted lists from
+    // parquet; results must equal q47's inline plan, so the oracle is
+    // the SAME ivfCte SQL.
+    // ---------------------------------------------------------------
+    Q("q72_ivf_index_probe",
+      (s, dir) => {
+        // memo key = sanitized dir + source-table mtime: a regenerated
+        // embeddings.parquet (new mtime) forces a rebuild instead of
+        // silently probing a stale index, and the mtime disambiguates
+        // any dirs the sanitizer would collide
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val stamp = new java.io.File(dir, "embeddings.parquet").lastModified()
+        val idx = new java.io.File(
+          new java.io.File(sys.props("user.dir"), "target"),
+          s"graft_ivf_idx_${tag}_$stamp").getAbsolutePath
+        ExtensionQueries.synchronized {
+          if (!new java.io.File(s"$idx/cells/_SUCCESS").exists())
+            Similarity.writeIvfIndex(Tables(s, dir, "embeddings"),
+              "vec_id", "embedding", idx, nCells = 16)
+        }
+        Similarity.ivfTopKFromIndex(s, idx,
+            Tables(s, dir, "embeddings").filter(col("vec_id") < 20),
+            "vec_id", "embedding", k = 3, nProbe = 2)
+          .orderBy("probe_id", "rank")
+      },
+      Some(s"WITH $ivfCte, $ivfProbeSql"),
+      "persisted IVF index probe == inline IVF; cells partition-pruned at read"),
+
+    // ---------------------------------------------------------------
+    // Int8-quantized ANN: per-vector max-abs/127 scalar quantization
+    // (the 4× storage rung under IVF), then brute-force cosine on the
+    // QUANTIZED vectors — scales cancel, int8 dots are exact in
+    // doubles, so the oracle reproduces every similarity bit-exactly
+    // whatever the accumulation order (stronger than the float paths,
+    // which lean on round(4)).
+    // ---------------------------------------------------------------
+    Q("q79_quantized_ann",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.quantizedTopK(emb, emb.filter(col("vec_id") < 20),
+            "vec_id", "embedding", k = 5)
+          .orderBy("probe_id", "rank")
+      },
+      Some("""
+        WITH sc AS (SELECT vec_id,
+                           list_max([abs(x::DOUBLE) for x in embedding]) / 127.0 AS s
+                    FROM embeddings),
+        q AS (SELECT e.vec_id,
+                     CASE WHEN sc.s = 0 THEN [0 for x in e.embedding]
+                          ELSE [round(x::DOUBLE / sc.s)::INT for x in e.embedding]
+                     END AS qv
+              FROM embeddings e JOIN sc USING (vec_id)),
+        v AS (SELECT vec_id, generate_subscripts(qv, 1) AS i, unnest(qv)::DOUBLE AS x
+              FROM q),
+        n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM v GROUP BY vec_id),
+        d AS (SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id, sum(a.x * b.x) AS dot
+              FROM v a JOIN v b ON a.i = b.i AND a.vec_id < 20 AND b.vec_id <> a.vec_id
+              GROUP BY 1, 2),
+        s AS (SELECT probe_id, neighbor_id,
+                     round(dot / (na.nrm * nb.nrm), 4) AS qsim,
+                     row_number() OVER (PARTITION BY probe_id
+                       ORDER BY round(dot / (na.nrm * nb.nrm), 4) DESC, neighbor_id) AS rank
+              FROM d
+              JOIN n na ON na.vec_id = probe_id
+              JOIN n nb ON nb.vec_id = neighbor_id)
+        SELECT probe_id, neighbor_id, qsim, rank FROM s
+        WHERE rank <= 5 ORDER BY probe_id, rank"""),
+      "int8 scalar quantization; scales cancel in cosine; exact integer dots"),
+
+    // ---------------------------------------------------------------
+    // SemDeDup-style semantic dedup: within-IVF-cell cosine pruning,
+    // senior-keeper rule. The oracle rebuilds the same deterministic
+    // centroids, the same argmax assignment, every within-cell pair's
+    // rounded cosine, and the same anti-join.
+    // ---------------------------------------------------------------
+    Q("q96_semantic_dedup",
+      (s, dir) => Similarity.semanticDedup(
+          Tables(s, dir, "embeddings"), "vec_id", "embedding",
+          nCells = 16, minSim = 0.45)
+        .orderBy("vec_id"),
+      Some(s"""
+        WITH $ivfCte,
+        pairs AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+                  FROM assigned a JOIN assigned b
+                    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id),
+        pd AS (SELECT p.ia, p.ib, sum(va.x * vb.x) AS dot
+               FROM pairs p
+               JOIN v va ON va.vec_id = p.ia
+               JOIN v vb ON vb.vec_id = p.ib AND vb.i = va.i
+               GROUP BY 1, 2),
+        ps AS (SELECT pd.ia, pd.ib,
+                      round(pd.dot / (na.nrm * nb.nrm), 4) AS sim
+               FROM pd
+               JOIN n na ON na.vec_id = pd.ia
+               JOIN n nb ON nb.vec_id = pd.ib),
+        dropped AS (SELECT DISTINCT ib FROM ps WHERE sim >= 0.45)
+        SELECT a.vec_id, a.cell_id
+        FROM assigned a LEFT JOIN dropped d ON d.ib = a.vec_id
+        WHERE d.ib IS NULL ORDER BY a.vec_id"""),
+      "SemDeDup: cell-bucketed cosine pruning, senior keeper, no all-pairs"),
+
+    // ---------------------------------------------------------------
+    // Product quantization + asymmetric-distance search: 64 floats →
+    // 8 one-byte codes (32×), probe builds an m×ksub dot-product LUT,
+    // corpus rows score as m table lookups — never decoded. The oracle
+    // rebuilds the deterministic codebooks, every argmin assignment,
+    // the probe LUTs, and the summed scores.
+    // ---------------------------------------------------------------
+    Q("q97_pq_adc_topk",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val cb = Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 8, ksub = 16)
+        val codes = Similarity.pqEncode(emb, "vec_id", "embedding", cb, m = 8, ksub = 16)
+        Similarity.pqTopK(codes, emb.filter(col("vec_id") < 20),
+          "vec_id", "embedding", cb, m = 8, ksub = 16, k = 3)
+          .orderBy("probe_id", "rank")
+      },
+      Some(s"""
+        WITH $pqCte,
+        score AS (SELECT l.probe_id, e.vec_id AS neighbor_id,
+                         round(sum(l.part), 4) AS score
+                  FROM enc e
+                  JOIN plut l ON l.subspace = e.subspace AND l.code = e.code
+                  WHERE e.vec_id <> l.probe_id
+                  GROUP BY 1, 2)
+        SELECT probe_id, neighbor_id, score, rank FROM (
+          SELECT probe_id, neighbor_id, score, row_number() OVER (
+            PARTITION BY probe_id ORDER BY score DESC, neighbor_id) AS rank
+          FROM score)
+        WHERE rank <= 3 ORDER BY probe_id, rank"""),
+      "PQ + ADC: 32x-compressed codes, LUT scoring, corpus never decoded"),
+
+    // ---------------------------------------------------------------
+    // IVF-PQ composition: PQ codes living in IVF cell-partitioned
+    // inverted lists; a probe ADC-scores only its nProbe cells'
+    // candidates. The oracle composes the q47 assignment CTEs with the
+    // q97 PQ CTEs — both already independently oracle-pinned.
+    // ---------------------------------------------------------------
+    Q("q98_ivf_pq_topk",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 20),
+          "vec_id", "embedding", nCells = 16, nProbe = 2,
+          m = 8, ksub = 16, k = 3)
+          .orderBy("probe_id", "rank")
+      },
+      Some(s"""
+        WITH $ivfCte,
+        probec AS (SELECT vec_id AS probe_id, cell_id FROM (
+                     SELECT vec_id, cell_id, row_number() OVER (
+                       PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS r
+                     FROM csim WHERE vec_id < 20) WHERE r <= 2),
+        $pqCte,
+        cand AS (SELECT p.probe_id, a.vec_id AS neighbor_id
+                 FROM probec p JOIN assigned a ON a.cell_id = p.cell_id
+                 WHERE a.vec_id <> p.probe_id),
+        score AS (SELECT c.probe_id, c.neighbor_id,
+                         round(sum(l.part), 4) AS score
+                  FROM cand c
+                  JOIN enc e ON e.vec_id = c.neighbor_id
+                  JOIN plut l ON l.probe_id = c.probe_id
+                             AND l.subspace = e.subspace AND l.code = e.code
+                  GROUP BY 1, 2)
+        SELECT probe_id, neighbor_id, score, rank FROM (
+          SELECT probe_id, neighbor_id, score, row_number() OVER (
+            PARTITION BY probe_id ORDER BY score DESC, neighbor_id) AS rank
+          FROM score)
+        WHERE rank <= 3 ORDER BY probe_id, rank"""),
+      "IVF-PQ: compressed inverted lists, probe touches nProbe cells only"),
+
+    // ---------------------------------------------------------------
+    // Residual IVF-PQ (classical FAISS encoding): PQ codes quantize
+    // v − centroid(cell); score = exact probe·centroid + residual ADC.
+    // The oracle derives residual subvectors from the assignment CTEs,
+    // rebuilds the residual codebooks/codes/LUTs, and adds the
+    // centroid dot per probed cell.
+    // ---------------------------------------------------------------
+    Q("q99_ivf_pq_residual",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.ivfPqResidualTopK(emb, emb.filter(col("vec_id") < 20),
+          "vec_id", "embedding", nCells = 16, nProbe = 2,
+          m = 8, ksub = 16, k = 3)
+          .orderBy("probe_id", "rank")
+      },
+      Some(s"""
+        WITH $ivfCte,
+        probec AS (SELECT vec_id AS probe_id, cell_id FROM (
+                     SELECT vec_id, cell_id, row_number() OVER (
+                       PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS r
+                     FROM csim WHERE vec_id < 20) WHERE r <= 2),
+        $pqCte,
+        cvec AS (SELECT cell_id, list(x ORDER BY i) AS cev FROM cv GROUP BY cell_id),
+        csub AS (SELECT cell_id, j.range AS subspace,
+                        cev[(j.range * 8 + 1)::INT:(j.range * 8 + 8)::INT] AS cs
+                 FROM cvec, range(0, 8) j),
+        rsub AS (SELECT s.vec_id, s.subspace,
+                        [s.sv[t::INT] - c.cs[t::INT] for t in range(1, 9)] AS rv
+                 FROM sub s
+                 JOIN assigned a ON a.vec_id = s.vec_id
+                 JOIN csub c ON c.cell_id = a.cell_id AND c.subspace = s.subspace),
+        rcb AS (SELECT r.subspace, sm.code, r.rv AS centroid
+                FROM rsub r JOIN samp sm ON sm.vec_id = r.vec_id),
+        rdist AS (SELECT r.vec_id, r.subspace, c.code,
+                         round(list_sum([(r.rv[t::INT] - c.centroid[t::INT])
+                                         * (r.rv[t::INT] - c.centroid[t::INT])
+                                         for t in range(1, 9)]), 4) AS d
+                  FROM rsub r JOIN rcb c USING (subspace)),
+        renc AS (SELECT vec_id, subspace, code FROM (
+                   SELECT vec_id, subspace, code, row_number() OVER (
+                     PARTITION BY vec_id, subspace ORDER BY d, code) AS r
+                   FROM rdist) WHERE r = 1),
+        rplut AS (SELECT p.vec_id AS probe_id, c.subspace, c.code,
+                         round(list_sum([p.sv[t::INT] * c.centroid[t::INT]
+                                         for t in range(1, 9)]), 4) AS part
+                  FROM sub p JOIN rcb c USING (subspace) WHERE p.vec_id < 20),
+        cdotc AS (SELECT pv.vec_id AS probe_id, c.cell_id,
+                         round(sum(pv.x * c.x), 4) AS cd
+                  FROM v pv JOIN cv c ON c.i = pv.i
+                  WHERE pv.vec_id < 20 GROUP BY 1, 2),
+        cand AS (SELECT p.probe_id, p.cell_id, a.vec_id AS neighbor_id
+                 FROM probec p JOIN assigned a ON a.cell_id = p.cell_id
+                 WHERE a.vec_id <> p.probe_id),
+        score AS (SELECT c.probe_id, c.neighbor_id,
+                         round(max(d.cd) + sum(l.part), 4) AS score
+                  FROM cand c
+                  JOIN cdotc d ON d.probe_id = c.probe_id AND d.cell_id = c.cell_id
+                  JOIN renc e ON e.vec_id = c.neighbor_id
+                  JOIN rplut l ON l.probe_id = c.probe_id
+                             AND l.subspace = e.subspace AND l.code = e.code
+                  GROUP BY 1, 2)
+        SELECT probe_id, neighbor_id, score, rank FROM (
+          SELECT probe_id, neighbor_id, score, row_number() OVER (
+            PARTITION BY probe_id ORDER BY score DESC, neighbor_id) AS rank
+          FROM score)
+        WHERE rank <= 3 ORDER BY probe_id, rank"""),
+      "residual IVF-PQ: exact centroid dot + residual ADC, the FAISS encoding")
+  )
+}

@@ -1,1738 +1,26 @@
 package graft.queries
 
-import org.apache.spark.sql.functions._
-
-import graft.Tables
-import graft.ext.{Curation, Dedup, DetHash, Multimodal, Similarity, TextAnalysis}
-
 /** North-star extension operators (SURVEY.md §7.5) as oracle-checked
-  * queries: dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard),
-  * similarity search (brute-force + random-hyperplane LSH ANN), text
-  * analysis (lang-ID, quality, token counts, fingerprint, tf-idf) and
-  * multimodal metadata plumbing.
+  * queries, split by domain (round-6 refactor — the single registry
+  * had grown past 1,700 lines):
   *
-  * Sketch oracles are EXACT, not rows-only: all hashing goes through
-  * [[graft.ext.DetHash]] (md5-prefix integers) which evaluates to the
-  * same values in DuckDB, and parts of the oracle SQL are *generated
-  * from the same frozen constants* as the Spark plan, so the two sides
-  * cannot drift.
+  *  - [[DedupQueries]] — exact / MinHash-LSH / SimHash / Jaccard /
+  *    fuzzy / cluster / incremental dedup + CDC chunking
+  *  - [[AnnQueries]] — brute cosine, RP-LSH, IVF-Flat, PQ/ADC,
+  *    IVF-PQ (plain + residual), SemDeDup, int8 ANN
+  *  - [[TextQueries]] — lang-ID, quality, tokens, tf-idf, winnowing,
+  *    heavy hitters, BM25/boolean retrieval, LM scoring
+  *  - [[CurationQueries]] — decontam, PII, sampling, packing,
+  *    chunking, caps, funnel, deterministic shuffle/mixing
+  *  - [[MultimodalQueries]] — binary metadata + real header decodes
+  *  - [[CapstoneQueries]] — end-to-end pipeline compositions
+  *
+  * This object remains the single aggregation point [[Registry]]
+  * consumes; the driver contract (names, plans, oracles) is
+  * unchanged by the split.
   */
 object ExtensionQueries {
-
-  /** DuckDB shingle CTE shared by the dedup oracles: 3-word shingles. */
-  private val shingleCte = """
-    tok AS (SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS t
-            FROM documents),
-    sh AS (SELECT DISTINCT doc_id, source,
-                  unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)]) AS shingle
-           FROM tok WHERE len(t) >= 3)"""
-
-  /** Generated MinHash signature select list (16 columns m0..m15),
-    * applied over the pre-hashed `hv` column. */
-  private val sqlSig: String =
-    DetHash.minhashCoeffs.indices
-      .map(j => s"min(${DetHash.sqlMinhash("hv", j)}) AS m$j")
-      .mkString(", ")
-
-  /** Generated band CTE: 4 bands × 4 rows, bucket = md5 of the band. */
-  private val sqlBands: String =
-    (0 until 4).map { b =>
-      val cols = (0 until 4).map(r => s"m${b * 4 + r}::VARCHAR").mkString(" || '_' || ")
-      s"SELECT doc_id, $b AS band, md5($cols) AS bucket FROM sig"
-    }.mkString(" UNION ALL ")
-
-  private val sqlAgree: String =
-    DetHash.minhashCoeffs.indices.map(j => s"(sa.m$j = sb.m$j)::INT").mkString(" + ")
-
-  /** Frozen count-min parameters for q74 — shared by the Spark plan and
-    * the generated oracle so the two sides cannot drift. */
-  private val cmsWidth = 4096
-  private val cmsDepth = 3
-  private val cmsMin = 500L
-
-  /** Frozen query-term sets for the retrieval queries (drawn from the
-    * synthetic corpus vocabulary). */
-  private val bm25Terms = Seq("hash", "join", "vector")
-  private val boolTerms = Seq("hash", "join", "vector", "window")
-
-  /** Frozen mixture weights for q60 (per `source` stratum); the oracle
-    * CASE is generated from the SAME map so the two sides cannot drift. */
-  private val sampleFracs: Map[String, Double] =
-    Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.75)
-
-  private def sqlFracCase: String =
-    "CASE " + sampleFracs.map { case (k, v) =>
-      s"WHEN source = '$k' THEN ${(v * 1000000L).toLong}"
-    }.mkString(" ") + " ELSE 0 END"
-
-  /** Shared winnowing oracle CTEs (k=8, w=4): normalized text → gram
-    * positions → polynomial hash from [[TextAnalysis.winnowPowers]] →
-    * ordered hash list per doc → distinct window minima `f(doc_id, fp)`.
-    * Spark's `sequence(0, len-k)` is inclusive; range() here is
-    * exclusive — bounds differ by one on purpose. */
-  private val winnowCte = {
-    val p = DetHash.P
-    val pows = TextAnalysis.sqlWinnowPowers(8)
-    s"""
-    t AS (SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS nm
-          FROM documents),
-    g AS (SELECT doc_id, nm, unnest(range(0, greatest(length(nm) - 7, 0))) AS i
-          FROM t),
-    h AS (SELECT doc_id, i,
-                 (list_sum([(ascii(substr(nm, (i + j + 1)::INT, 1))
-                             * ($pows)[(j + 1)::INT]) % $p
-                            for j in range(0, 8)]) % $p)::BIGINT AS hv
-          FROM g),
-    hl AS (SELECT doc_id, list(hv ORDER BY i) AS hs FROM h GROUP BY doc_id),
-    f AS (SELECT doc_id,
-                 unnest(list_distinct([list_min(hs[(jj + 1)::INT:(jj + 4)::INT])
-                                       for jj in range(0, greatest(len(hs) - 3, 1))])) AS fp
-          FROM hl)"""
-  }
-
-  /** Shared IVF oracle CTEs: unnested vectors + norms, the
-    * deterministic 16-centroid seed sample (same md5 key as
-    * [[Similarity.ivfCentroids]]), rounded cosine of every vector to
-    * every centroid, and the argmax cell assignment. generate_subscripts
-    * is 1-based; `i` is kept 1-based here and shifted where a query
-    * compares against Spark's 0-based posexplode. */
-  private val ivfCte = s"""
-    v AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-                 unnest(embedding)::DOUBLE AS x
-          FROM embeddings),
-    n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM v GROUP BY vec_id),
-    cents AS (SELECT vec_id AS cell_id FROM embeddings
-              ORDER BY ${DetHash.sqlHash52("vec_id::VARCHAR")}, vec_id LIMIT 16),
-    cv AS (SELECT c.cell_id, v.i, v.x FROM cents c JOIN v ON v.vec_id = c.cell_id),
-    cn AS (SELECT cell_id, sqrt(sum(x * x)) AS nrm FROM cv GROUP BY cell_id),
-    cdot AS (SELECT v.vec_id, c.cell_id, sum(v.x * c.x) AS dot
-             FROM v JOIN cv c ON c.i = v.i GROUP BY 1, 2),
-    csim AS (SELECT d.vec_id, d.cell_id,
-                    round(d.dot / (n.nrm * cn.nrm), 4) AS sim
-             FROM cdot d
-             JOIN n ON n.vec_id = d.vec_id
-             JOIN cn ON cn.cell_id = d.cell_id),
-    assigned AS (SELECT vec_id, cell_id FROM (
-                   SELECT vec_id, cell_id, row_number() OVER (
-                     PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS r
-                   FROM csim) WHERE r = 1)"""
-
-  /** DuckDB rendering of [[TextAnalysis.classifyQuality]]'s frozen
-    * linear logit over a row with (text, toks) in scope — the SAME
-    * term order as the Spark foldLeft so float accumulation matches.
-    * Shared by q93 (the classifier itself) and q102 (the capstone
-    * pipeline's quality gate): one rendering, no drift. */
-  private val sqlQualityLogit = {
-    val en = TextAnalysis.langMarkers.head._2.map(m => s"'$m'").mkString(", ")
-    s"""-1.05
-              + 3.2 * (len([x for x in toks if x IN ($en)])::DOUBLE / len(toks))
-              + (-2.1) * ((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))::DOUBLE / length(text))
-              + (-1.4) * ((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / length(text))
-              + 0.6 * (list_sum([length(x) for x in toks])::DOUBLE / len(toks) / 10.0)
-              + 1.1 * least(len(toks)::DOUBLE / 100.0, 1.0)"""
-  }
-
-  /** Shared CDC oracle CTEs (k=8, divisor=64 over documents): rolling
-    * gram hashes from the frozen winnow power table, cut positions
-    * where hash ≡ 0 mod 64, and the resulting `chunks(doc_id,
-    * chunk_no, chunk)` — used by q94 (the chunks themselves) and q101
-    * (cross-doc shared-chunk dedup). */
-  private val cdcCte = {
-    val p = DetHash.P
-    val pows = TextAnalysis.sqlWinnowPowers(8)
-    s"""
-        t AS (SELECT doc_id, text FROM documents),
-        g AS (SELECT doc_id, text,
-                     unnest(range(0, greatest(length(text) - 7, 0))) AS i
-              FROM t),
-        h AS (SELECT doc_id, i,
-                     (list_sum([(ascii(substr(text, (i + j + 1)::INT, 1))
-                                 * ($pows)[(j + 1)::INT]) % $p
-                                for j in range(0, 8)]) % $p)::BIGINT AS hv
-              FROM g),
-        bl AS (SELECT doc_id, list(i ORDER BY i) AS bp
-               FROM h WHERE hv % 64 = 0 AND i > 0 GROUP BY doc_id),
-        c AS (SELECT t.doc_id, t.text,
-                     [0]::BIGINT[] || coalesce(b.bp, []::BIGINT[]) AS ss,
-                     coalesce(b.bp, []::BIGINT[]) || [length(t.text)]::BIGINT[] AS ee
-              FROM t LEFT JOIN bl b USING (doc_id)),
-        x AS (SELECT doc_id, text, ss, ee,
-                     unnest(range(0, len(ss))) AS jj
-              FROM c),
-        chunks AS (SELECT doc_id, jj AS chunk_no,
-                          substr(text, (ss[(jj + 1)::INT] + 1)::INT,
-                                 (ee[(jj + 1)::INT] - ss[(jj + 1)::INT])::INT) AS chunk
-                   FROM x)"""
-  }
-
-  /** Shared PQ oracle CTEs (m=8, ksub=16, dim 64, probes vec_id < 20):
-    * deterministic sampled codebooks per subspace, argmin-L2 code
-    * assignment for every vector, and the probes' dot-product lookup
-    * tables — used by q97 (flat PQ) and q98 (IVF-PQ). */
-  private val pqCte = s"""
-        samp AS (SELECT vec_id, embedding,
-                        row_number() OVER (ORDER BY h, vec_id) - 1 AS code
-                 FROM (SELECT vec_id, embedding,
-                              ${DetHash.sqlHash52("vec_id::VARCHAR")} AS h
-                       FROM embeddings ORDER BY h, vec_id LIMIT 16)),
-        cb AS (SELECT j.range AS subspace, s.code,
-                      [x::DOUBLE for x in s.embedding[(j.range * 8 + 1)::INT:(j.range * 8 + 8)::INT]] AS centroid
-               FROM samp s, range(0, 8) j),
-        sub AS (SELECT e.vec_id, j.range AS subspace,
-                       [x::DOUBLE for x in e.embedding[(j.range * 8 + 1)::INT:(j.range * 8 + 8)::INT]] AS sv
-                FROM embeddings e, range(0, 8) j),
-        dist AS (SELECT s.vec_id, s.subspace, c.code,
-                        round(list_sum([(s.sv[t::INT] - c.centroid[t::INT])
-                                        * (s.sv[t::INT] - c.centroid[t::INT])
-                                        for t in range(1, 9)]), 4) AS d
-                 FROM sub s JOIN cb c USING (subspace)),
-        enc AS (SELECT vec_id, subspace, code FROM (
-                  SELECT vec_id, subspace, code, row_number() OVER (
-                    PARTITION BY vec_id, subspace ORDER BY d, code) AS r
-                  FROM dist) WHERE r = 1),
-        plut AS (SELECT p.vec_id AS probe_id, c.subspace, c.code,
-                        round(list_sum([p.sv[t::INT] * c.centroid[t::INT]
-                                        for t in range(1, 9)]), 4) AS part
-                 FROM sub p JOIN cb c USING (subspace) WHERE p.vec_id < 20)"""
-
-  /** Shared IVF probe/rank oracle tail (probes vec_id < 20, nProbe = 2,
-    * k = 3) appended after [[ivfCte]] — q47 (inline plan) and q72
-    * (persisted index) intentionally verify against the byte-identical
-    * SQL, so a tweak here reaches both. */
-  private val ivfProbeSql = """
-        probec AS (SELECT vec_id AS probe_id, cell_id FROM (
-                     SELECT vec_id, cell_id, row_number() OVER (
-                       PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS r
-                     FROM csim WHERE vec_id < 20) WHERE r <= 2),
-        cand AS (SELECT p.probe_id, a.vec_id AS neighbor_id
-                 FROM probec p JOIN assigned a ON a.cell_id = p.cell_id
-                 WHERE a.vec_id <> p.probe_id),
-        d AS (SELECT c.probe_id, c.neighbor_id, sum(va.x * vb.x) AS dot
-              FROM cand c
-              JOIN v va ON va.vec_id = c.probe_id
-              JOIN v vb ON vb.vec_id = c.neighbor_id AND vb.i = va.i
-              GROUP BY 1, 2),
-        s AS (SELECT probe_id, neighbor_id,
-                     round(dot / (na.nrm * nb.nrm), 4) AS sim,
-                     row_number() OVER (PARTITION BY probe_id
-                       ORDER BY round(dot / (na.nrm * nb.nrm), 4) DESC, neighbor_id) AS rank
-              FROM d
-              JOIN n na ON na.vec_id = probe_id
-              JOIN n nb ON nb.vec_id = neighbor_id)
-        SELECT probe_id, neighbor_id, sim, rank FROM s
-        WHERE rank <= 3 ORDER BY probe_id, rank"""
-
-  val all: Seq[Q] = Seq(
-
-    // ---------------------------------------------------------------
-    // Dedup: exact
-    // ---------------------------------------------------------------
-    Q("q30_dedup_exact",
-      (s, dir) => Dedup.exactGroups(Tables(s, dir, "documents"), "doc_id", "text")
-        .orderBy("fp"),
-      Some("""
-        SELECT md5(text) AS fp, count(*) AS n, min(doc_id) AS keeper
-        FROM documents GROUP BY 1 ORDER BY 1"""),
-      "exact dedup: one hash-shuffle, keeper = min id"),
-
-    // ---------------------------------------------------------------
-    // Dedup: n-gram Jaccard verify, fed from LSH candidates — the
-    // discovery stage is never all-pairs; exact Jaccard runs only on
-    // pairs that collide in a MinHash band (oracle mirrors the same
-    // candidate generation).
-    // ---------------------------------------------------------------
-    Q("q31_jaccard_topk",
-      (s, dir) => {
-        // the shingle set feeds the signature AND both sides of the
-        // intersection join — persist so the md5 sketch pipeline runs
-        // once, not once per consumer (a few MB even at sf0.1)
-        val sh = Dedup.shingles(Tables(s, dir, "documents"), "doc_id", "text", 3).persist()
-        val sig = Dedup.minhashSignature(sh, "doc_id")
-        Dedup.jaccardOnCandidates(sh, Dedup.candidatePairs(sig, "doc_id"), "doc_id")
-          .orderBy(col("jaccard").desc, col("doc_id_a"), col("doc_id_b"))
-          .limit(20)
-      },
-      Some(s"""
-        WITH $shingleCte,
-        h AS (SELECT doc_id, ${DetHash.sqlHash52("shingle")} AS hv FROM sh),
-        sig AS (SELECT doc_id, $sqlSig FROM h GROUP BY doc_id),
-        bands AS ($sqlBands),
-        pairs AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
-                  FROM bands a JOIN bands b
-                    ON a.band = b.band AND a.bucket = b.bucket
-                   AND a.doc_id < b.doc_id),
-        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-        inter AS (SELECT p.doc_id_a, p.doc_id_b, count(*) AS inter
-                  FROM pairs p
-                  JOIN sh a ON a.doc_id = p.doc_id_a
-                  JOIN sh b ON b.doc_id = p.doc_id_b AND b.shingle = a.shingle
-                  GROUP BY 1, 2)
-        SELECT doc_id_a, doc_id_b,
-               round(inter::DOUBLE / (sa.sz + sb.sz - inter), 4) AS jaccard
-        FROM inter
-        JOIN sizes sa ON sa.doc_id = doc_id_a
-        JOIN sizes sb ON sb.doc_id = doc_id_b
-        ORDER BY jaccard DESC, doc_id_a, doc_id_b LIMIT 20"""),
-      "exact Jaccard verify on MinHash-LSH candidate pairs (Dedup.candidatePairs -> jaccardOnCandidates)"),
-
-    // ---------------------------------------------------------------
-    // Dedup: MinHash + LSH candidate generation
-    // ---------------------------------------------------------------
-    Q("q32_minhash_lsh",
-      (s, dir) => {
-        val sh = Dedup.shingles(Tables(s, dir, "documents"), "doc_id", "text", 3)
-        // signature feeds the band explode and both pair-join sides
-        val sig = Dedup.minhashSignature(sh, "doc_id").persist()
-        Dedup.minhashCandidates(sig, "doc_id")
-          .orderBy("doc_id_a", "doc_id_b")
-      },
-      Some(s"""
-        WITH $shingleCte,
-        h AS (SELECT doc_id, ${DetHash.sqlHash52("shingle")} AS hv FROM sh),
-        sig AS (SELECT doc_id, $sqlSig FROM h GROUP BY doc_id),
-        bands AS ($sqlBands),
-        pairs AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
-                  FROM bands a JOIN bands b
-                    ON a.band = b.band AND a.bucket = b.bucket
-                   AND a.doc_id < b.doc_id)
-        SELECT p.doc_id_a, p.doc_id_b,
-               round(($sqlAgree) / 16.0, 4) AS est_jaccard
-        FROM pairs p
-        JOIN sig sa ON sa.doc_id = p.doc_id_a
-        JOIN sig sb ON sb.doc_id = p.doc_id_b
-        ORDER BY doc_id_a, doc_id_b""")),
-
-    // ---------------------------------------------------------------
-    // MinHash scale path: same pipeline as q32 with the xxhash64-based
-    // fast hash — the production shingle hash at 100 TB, where md5's
-    // digest cost dominates the sketch. xxhash64 has no DuckDB twin, so
-    // the oracle replays the q32 band/pair SQL over FROZEN golden
-    // signatures (golden/minhash_fast_sig, generated once by
-    // graft.GoldenGen, content-addressed by md5(text) so the same
-    // table serves every sf). ExtSpec additionally property-pins the
-    // fast path's candidate recall to the md5 path.
-    // ---------------------------------------------------------------
-    Q("q55_minhash_fast",
-      (s, dir) => {
-        val sh = Dedup.shingles(Tables(s, dir, "documents"), "doc_id", "text", 3)
-        val sig = Dedup.minhashSignature(sh, "doc_id", fast = true).persist()
-        Dedup.minhashCandidates(sig, "doc_id")
-          .orderBy("doc_id_a", "doc_id_b")
-      },
-      Some(s"""
-        WITH g AS (SELECT * FROM read_parquet(
-                     '${sys.props("user.dir")}/golden/minhash_fast_sig/*.parquet')),
-        sig AS (SELECT d.doc_id, ${DetHash.minhashCoeffs.indices
-                  .map(j => s"g.m$j").mkString(", ")}
-                FROM documents d JOIN g ON g.fp = md5(d.text)),
-        bands AS ($sqlBands),
-        pairs AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
-                  FROM bands a JOIN bands b
-                    ON a.band = b.band AND a.bucket = b.bucket
-                   AND a.doc_id < b.doc_id)
-        SELECT p.doc_id_a, p.doc_id_b,
-               round(($sqlAgree) / 16.0, 4) AS est_jaccard
-        FROM pairs p
-        JOIN sig sa ON sa.doc_id = p.doc_id_a
-        JOIN sig sb ON sb.doc_id = p.doc_id_b
-        ORDER BY doc_id_a, doc_id_b"""),
-      "q32's minhash dedup on the xxhash64 scale path (no md5 in the hot loop); oracle = frozen golden signatures"),
-
-    // ---------------------------------------------------------------
-    // Dedup: SimHash signatures + near-dup pairs
-    // ---------------------------------------------------------------
-    Q("q33_simhash",
-      (s, dir) => Dedup.simhash(Tables(s, dir, "documents"), "doc_id", "text")
-        .orderBy("doc_id"),
-      Some(s"""
-        WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS token
-                     FROM documents),
-        tw AS (SELECT doc_id, token, count(*) AS w FROM tok GROUP BY 1, 2),
-        th AS (SELECT doc_id, w, ${DetHash.sqlHash32("token")} AS h FROM tw),
-        bits AS (SELECT doc_id, b.range AS b,
-                   CASE WHEN sum(w * (((h >> b.range::INT) & 1) * 2 - 1)) >= 0
-                        THEN 1::BIGINT ELSE 0::BIGINT END AS bit
-                 FROM th CROSS JOIN range(0, 32) b
-                 GROUP BY doc_id, b.range)
-        SELECT doc_id, sum(bit << b::INT)::BIGINT AS simhash
-        FROM bits GROUP BY doc_id ORDER BY doc_id""")),
-
-    // Banded plan (default): 3 disjoint bands of the 32-bit signature;
-    // pigeonhole guarantees every Hamming<=2 pair collides in a band, so
-    // the all-pairs oracle below provably matches the equi-join plan.
-    Q("q34_simhash_pairs",
-      (s, dir) => {
-        val sh = Dedup.simhash(Tables(s, dir, "documents"), "doc_id", "text")
-        Dedup.simhashPairs(sh, "doc_id", maxHamming = 2)
-          .orderBy("doc_id_a", "doc_id_b")
-      },
-      Some(s"""
-        WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS token
-                     FROM documents),
-        tw AS (SELECT doc_id, token, count(*) AS w FROM tok GROUP BY 1, 2),
-        th AS (SELECT doc_id, w, ${DetHash.sqlHash32("token")} AS h FROM tw),
-        bits AS (SELECT doc_id, b.range AS b,
-                   CASE WHEN sum(w * (((h >> b.range::INT) & 1) * 2 - 1)) >= 0
-                        THEN 1::BIGINT ELSE 0::BIGINT END AS bit
-                 FROM th CROSS JOIN range(0, 32) b
-                 GROUP BY doc_id, b.range),
-        sim AS (SELECT doc_id, sum(bit << b::INT)::BIGINT AS simhash
-                FROM bits GROUP BY doc_id)
-        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-               bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
-        FROM sim a JOIN sim b ON a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
-        ORDER BY doc_id_a, doc_id_b""")),
-
-    // ---------------------------------------------------------------
-    // Similarity search: brute-force cosine top-k
-    // ---------------------------------------------------------------
-    Q("q35_cosine_topk",
-      (s, dir) => {
-        val emb = Tables(s, dir, "embeddings")
-        Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20),
-          "vec_id", "embedding", k = 5)
-          .orderBy("probe_id", "rank")
-      },
-      Some("""
-        WITH v AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-                          unnest(embedding)::DOUBLE AS x
-                   FROM embeddings),
-        n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM v GROUP BY vec_id),
-        d AS (SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id, sum(a.x * b.x) AS dot
-              FROM v a JOIN v b ON a.i = b.i AND a.vec_id < 20 AND b.vec_id <> a.vec_id
-              GROUP BY 1, 2),
-        s AS (SELECT probe_id, neighbor_id,
-                     round(dot / (na.nrm * nb.nrm), 4) AS sim,
-                     row_number() OVER (PARTITION BY probe_id
-                       ORDER BY round(dot / (na.nrm * nb.nrm), 4) DESC, neighbor_id) AS rank
-              FROM d
-              JOIN n na ON na.vec_id = probe_id
-              JOIN n nb ON nb.vec_id = neighbor_id)
-        SELECT probe_id, neighbor_id, sim, rank FROM s
-        WHERE rank <= 5 ORDER BY probe_id, rank""")),
-
-    // ---------------------------------------------------------------
-    // Similarity: embedding-cosine near-dup pairs via banded RP-LSH —
-    // 4 bands x 8 sign-bits; candidates are an equi-join on
-    // (band, bucket), exact cosine verifies candidates only. The
-    // oracle mirrors the exact same candidate generation (weights are
-    // md5-derived so both engines compute identical planes); the
-    // all-pairs form survives as Similarity.nearDupPairs for small
-    // data. Recall vs all-pairs follows the banding formula
-    // (Similarity scaladoc) and is pinned by SimilaritySpec.
-    // ---------------------------------------------------------------
-    Q("q36_embed_near_dup",
-      (s, dir) => Similarity.nearDupPairsLsh(
-          Tables(s, dir, "embeddings"), "vec_id", "embedding",
-          minSim = 0.45, bands = 4, rowsPerBand = 8, dim = 64)
-        .orderBy("id_a", "id_b"),
-      Some("""
-        WITH v AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-                          unnest(embedding)::DOUBLE AS x
-                   FROM embeddings),
-        w AS (SELECT b.range AS b, d.range AS d,
-                     ((('0x' || substr(md5('rp-' || b.range::VARCHAR || '-' || d.range::VARCHAR), 1, 13))::BIGINT
-                       % 2001) - 1000)::DOUBLE AS wt
-              FROM range(0, 32) b, range(0, 64) d),
-        proj AS (SELECT v.vec_id, w.b, sum(w.wt * v.x) AS p
-                 FROM v JOIN w ON w.d = v.i - 1 GROUP BY 1, 2),
-        bkt AS (SELECT vec_id, b // 8 AS band,
-                       sum(CASE WHEN p >= 0 THEN (1::BIGINT << (7 - (b % 8))::INT)
-                                ELSE 0::BIGINT END) AS bucket
-                FROM proj GROUP BY 1, 2),
-        cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-                 FROM bkt a JOIN bkt b
-                   ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
-        n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM v GROUP BY vec_id),
-        d AS (SELECT c.id_a, c.id_b, sum(va.x * vb.x) AS dot
-              FROM cand c
-              JOIN v va ON va.vec_id = c.id_a
-              JOIN v vb ON vb.vec_id = c.id_b AND vb.i = va.i
-              GROUP BY 1, 2)
-        SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 4) AS sim
-        FROM d JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b
-        WHERE round(dot / (na.nrm * nb.nrm), 4) >= 0.45
-        ORDER BY id_a, id_b"""),
-      "banded RP-LSH candidates + exact-cosine verify (equi-join, no n^2 product)"),
-
-    // ---------------------------------------------------------------
-    // Similarity: random-hyperplane LSH ANN
-    // ---------------------------------------------------------------
-    Q("q37_ann_lsh",
-      (s, dir) => Similarity.annTopK(Tables(s, dir, "embeddings"),
-          "vec_id", "embedding", k = 3, nBits = 8, dim = 64,
-          probeFilter = col("vec_id") < 20, nTables = 2)
-        .orderBy("probe_id", "rank"),
-      Some("""
-        WITH v AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-                          unnest(embedding)::DOUBLE AS x
-                   FROM embeddings),
-        w AS (SELECT b.range AS b, d.range AS d,
-                     ((('0x' || substr(md5('rp-' || b.range::VARCHAR || '-' || d.range::VARCHAR), 1, 13))::BIGINT
-                       % 2001) - 1000)::DOUBLE AS wt
-              FROM range(0, 16) b, range(0, 64) d),
-        proj AS (SELECT v.vec_id, w.b, sum(w.wt * v.x) AS p
-                 FROM v JOIN w ON w.d = v.i - 1 GROUP BY 1, 2),
-        bkt AS (SELECT vec_id, b // 8 AS table_id,
-                       sum(CASE WHEN p >= 0 THEN (1::BIGINT << (7 - (b % 8))::INT)
-                                ELSE 0::BIGINT END) AS bucket
-                FROM proj GROUP BY 1, 2),
-        n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM v GROUP BY vec_id),
-        cand AS (SELECT DISTINCT a.vec_id AS probe_id, b.vec_id AS neighbor_id
-                 FROM bkt a JOIN bkt b
-                   ON a.table_id = b.table_id AND a.bucket = b.bucket
-                  AND a.vec_id < 20 AND b.vec_id <> a.vec_id),
-        d AS (SELECT c.probe_id, c.neighbor_id, sum(va.x * vb.x) AS dot
-              FROM cand c
-              JOIN v va ON va.vec_id = c.probe_id
-              JOIN v vb ON vb.vec_id = c.neighbor_id AND vb.i = va.i
-              GROUP BY 1, 2),
-        s AS (SELECT probe_id, neighbor_id,
-                     round(dot / (na.nrm * nb.nrm), 4) AS sim,
-                     row_number() OVER (PARTITION BY probe_id
-                       ORDER BY round(dot / (na.nrm * nb.nrm), 4) DESC, neighbor_id) AS rank
-              FROM d
-              JOIN n na ON na.vec_id = probe_id
-              JOIN n nb ON nb.vec_id = neighbor_id)
-        SELECT probe_id, neighbor_id, sim, rank FROM s
-        WHERE rank <= 3 ORDER BY probe_id, rank"""),
-      "multi-table RP-LSH ANN: equi-join on (table, bucket); compact array-literal projections"),
-
-    // ---------------------------------------------------------------
-    // Similarity: IVF-Flat ANN — deterministic centroid seed, map-side
-    // (broadcast-packed) assignment and probe fan-out, candidates via
-    // ONE equi-join on cell_id. The only corpus-sized shuffle in the
-    // pipeline; the IVF counterpart to q37's LSH scale path.
-    // ---------------------------------------------------------------
-    Q("q47_ivf_ann",
-      (s, dir) => Similarity.ivfTopK(Tables(s, dir, "embeddings"),
-          "vec_id", "embedding", k = 3, nCells = 16, nProbe = 2,
-          probeFilter = col("vec_id") < 20)
-        .orderBy("probe_id", "rank"),
-      Some(s"WITH $ivfCte, $ivfProbeSql"),
-      "IVF-Flat ANN: broadcast-packed centroids, map-side assign, cell equi-join"),
-
-    // ---------------------------------------------------------------
-    // Similarity: one Lloyd refinement step over the IVF assignment —
-    // element-wise mean per cell, verified component-by-component
-    // (posexplode on the Spark side so array reassembly order is
-    // checked too).
-    // ---------------------------------------------------------------
-    Q("q48_ivf_refine",
-      (s, dir) => {
-        val emb = Tables(s, dir, "embeddings")
-        val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 16)
-        Similarity.ivfRefine(
-            Similarity.ivfAssign(emb, "vec_id", "embedding", cents), "embedding")
-          .select(col("cell_id"), posexplode(col("centroid")).as(Seq("i", "x")))
-          .orderBy("cell_id", "i")
-      },
-      Some(s"""
-        WITH $ivfCte
-        SELECT a.cell_id, (v.i - 1)::INT AS i, round(avg(v.x), 6) AS x
-        FROM assigned a JOIN v ON v.vec_id = a.vec_id
-        GROUP BY 1, 2 ORDER BY cell_id, i"""),
-      "Lloyd step: posexplode -> avg per (cell, component) -> ordered reassemble"),
-
-    // ---------------------------------------------------------------
-    // Text analysis: language ID confusion matrix
-    // ---------------------------------------------------------------
-    Q("q38_lang_id",
-      (s, dir) => {
-        val scored = TextAnalysis.withLangScores(Tables(s, dir, "documents"), "text")
-        scored
-          .withColumn("predicted", TextAnalysis.predictedLang)
-          .groupBy("predicted", "lang")
-          .agg(count(lit(1)).as("n"))
-          .withColumnRenamed("lang", "actual")
-          .orderBy("predicted", "actual")
-      },
-      Some {
-        val markers = TextAnalysis.langMarkers.map { case (l, ms) =>
-          l -> ms.map(m => s"'$m'").mkString(", ")
-        }
-        val scoreSel = markers.map { case (l, list) =>
-          s"len([x for x in toks if x IN ($list)]) AS score_$l"
-        }.mkString(", ")
-        val allScores = markers.map { case (l, _) => s"score_$l" }.mkString(", ")
-        val caseExpr = markers.map { case (l, _) =>
-          s"WHEN score_$l = greatest($allScores) THEN '$l'"
-        }.mkString(" ")
-        s"""
-        WITH t AS (SELECT lang, string_split_regex(lower(text), '\\s+') AS toks
-                   FROM documents),
-        s AS (SELECT lang, $scoreSel FROM t)
-        SELECT CASE $caseExpr END AS predicted, lang AS actual, count(*) AS n
-        FROM s GROUP BY 1, 2 ORDER BY 1, 2"""
-      },
-      "stopword-marker language ID; oracle generated from the same marker lists"),
-
-    // ---------------------------------------------------------------
-    // Text analysis: quality scoring
-    // ---------------------------------------------------------------
-    Q("q39_quality",
-      (s, dir) => TextAnalysis.qualityMetrics(Tables(s, dir, "documents"), "text")
-        .select("doc_id", "n_tokens", "mean_token_len", "punct_ratio",
-          "digit_ratio", "stopword_ratio", "quality_score")
-        .orderBy("doc_id"),
-      Some {
-        val en = TextAnalysis.langMarkers.head._2.map(m => s"'$m'").mkString(", ")
-        s"""
-        WITH t AS (SELECT doc_id, text, string_split_regex(lower(text), '\\s+') AS toks
-                   FROM documents)
-        SELECT doc_id,
-               len(toks)::BIGINT AS n_tokens,
-               round(list_sum([length(x) for x in toks])::DOUBLE / len(toks), 4) AS mean_token_len,
-               round((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))::DOUBLE
-                     / length(text), 4) AS punct_ratio,
-               round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
-                     / length(text), 4) AS digit_ratio,
-               round(len([x for x in toks if x IN ($en)])::DOUBLE / len(toks), 4) AS stopword_ratio,
-               round(0.5 * (len([x for x in toks if x IN ($en)])::DOUBLE / len(toks))
-                   + 0.3 * (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))::DOUBLE / length(text))
-                   + 0.2 * least(len(toks)::DOUBLE / 100.0, 1.0), 4) AS quality_score
-        FROM t ORDER BY doc_id"""
-      }),
-
-    // ---------------------------------------------------------------
-    // Text analysis: token counting (whitespace + BPE-ish regex)
-    // ---------------------------------------------------------------
-    Q("q40_token_count",
-      (s, dir) => TextAnalysis.tokenCounts(Tables(s, dir, "documents"), "text")
-        .select("doc_id", "ws_tokens", "bpe_tokens")
-        .orderBy("doc_id"),
-      Some("""
-        SELECT doc_id,
-               len(string_split_regex(lower(text), '\s+'))::BIGINT AS ws_tokens,
-               len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))::BIGINT AS bpe_tokens
-        FROM documents ORDER BY doc_id""")),
-
-    // ---------------------------------------------------------------
-    // Text analysis: document fingerprint
-    // ---------------------------------------------------------------
-    Q("q41_fingerprint",
-      (s, dir) => TextAnalysis.fingerprint(Tables(s, dir, "documents"), "text")
-        .select("doc_id", "fp", "fp_int")
-        .orderBy("doc_id"),
-      Some("""
-        WITH t AS (SELECT doc_id,
-                          trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
-                   FROM documents)
-        SELECT doc_id, md5(norm) AS fp,
-               ('0x' || substr(md5(norm), 1, 13))::BIGINT AS fp_int
-        FROM t ORDER BY doc_id""")),
-
-    // ---------------------------------------------------------------
-    // Text analysis: tf-idf top terms
-    // ---------------------------------------------------------------
-    Q("q42_tfidf",
-      (s, dir) => TextAnalysis.tfIdf(Tables(s, dir, "documents"), "doc_id", "text", topK = 3)
-        .filter(col("doc_id") < 50)
-        .orderBy("doc_id", "rank"),
-      Some("""
-        WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
-                     FROM documents),
-        tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
-        dfq AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
-        n AS (SELECT count(*) AS n_docs FROM documents)
-        SELECT doc_id, token, tfidf, rank FROM (
-          SELECT t.doc_id, t.token,
-                 round(t.tf * ln(n.n_docs::DOUBLE / d.df), 4) AS tfidf,
-                 row_number() OVER (PARTITION BY t.doc_id
-                   ORDER BY round(t.tf * ln(n.n_docs::DOUBLE / d.df), 4) DESC, t.token) AS rank
-          FROM tf t JOIN dfq d USING (token) CROSS JOIN n
-          WHERE t.doc_id < 50)
-        WHERE rank <= 3 ORDER BY doc_id, rank""")),
-
-    // ---------------------------------------------------------------
-    // Text analysis: winnowing fingerprints (rolling hash) — k=8 char
-    // grams, polynomial hash from the frozen power table, w=4 window
-    // minima. Map-side arrays until the final explode; the oracle's
-    // gram hash is generated from the SAME powers so the two sides
-    // cannot drift.
-    // ---------------------------------------------------------------
-    Q("q49_winnow",
-      (s, dir) => TextAnalysis.winnowFingerprints(
-          Tables(s, dir, "documents"), "doc_id", "text")
-        .orderBy("doc_id", "fp"),
-      Some(s"""
-        WITH $winnowCte
-        SELECT doc_id, fp FROM f ORDER BY doc_id, fp"""),
-      "winnowing: Rabin-Karp gram hash + window minima, all map-side"),
-
-    // ---------------------------------------------------------------
-    // Winnow near-dup candidates: inverted-index self-join on
-    // fingerprint with a hot-fingerprint cap (df <= 20) — the linear
-    // discovery shape; shared-count >= 2 prunes accidental collisions.
-    // ---------------------------------------------------------------
-    Q("q50_winnow_pairs",
-      (s, dir) => {
-        // the fingerprint pipeline feeds the df-cap agg AND both join
-        // sides — persist so it runs once, not three times
-        val fps = TextAnalysis.winnowFingerprints(
-          Tables(s, dir, "documents"), "doc_id", "text").persist()
-        TextAnalysis.winnowCandidates(fps, "doc_id", maxDf = 20, minShared = 2)
-          .orderBy("id_a", "id_b")
-      },
-      Some(s"""
-        WITH $winnowCte,
-        rare AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 20),
-        p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-              FROM f a
-              JOIN f b ON b.fp = a.fp AND a.doc_id < b.doc_id
-              JOIN rare r ON r.fp = a.fp)
-        SELECT id_a, id_b, count(*) AS shared
-        FROM p GROUP BY 1, 2 HAVING count(*) >= 2
-        ORDER BY id_a, id_b"""),
-      "inverted-index join on winnow fingerprints, hot-key capped"),
-
-    // ---------------------------------------------------------------
-    // Multimodal: binary payload + deterministic fake decode metadata
-    // ---------------------------------------------------------------
-    Q("q43_multimodal_meta",
-      (s, dir) => Multimodal.withFakeDecodeMeta(
-          Multimodal.asMedia(Tables(s, dir, "documents"), "doc_id", "text", "text/plain"))
-        .select("doc_id", "byte_len", "width", "height", "n_frames")
-        .orderBy("doc_id"),
-      Some("""
-        SELECT doc_id,
-               octet_length(text::BLOB)::BIGINT AS byte_len,
-               (16 + ('0x' || substr(md5(text), 1, 2))::BIGINT % 64)::INT AS width,
-               (16 + ('0x' || substr(md5(text), 3, 2))::BIGINT % 64)::INT AS height,
-               (1 + ('0x' || substr(md5(text), 5, 2))::BIGINT % 8)::INT AS n_frames
-        FROM documents ORDER BY doc_id"""),
-      "multimodal plumbing: payload bytes + md5-derived fake header decode"),
-
-    // ---------------------------------------------------------------
-    // Multimodal: REAL header decode round-trip. Valid PNG headers are
-    // constructed from per-doc dims, then BOTH decode tiers (the
-    // expression-level IHDR parse and the mapPartitions marker walk)
-    // read the dims back from the bytes. The oracle computes the
-    // expected dims INDEPENDENTLY — it never sees the payload — so any
-    // drift in construct or either parse path fails the hash.
-    // ---------------------------------------------------------------
-    Q("q89_png_header_decode",
-      (s, dir) => {
-        val media = Tables(s, dir, "documents").select(
-          col("doc_id"),
-          lit("image/png").as("media_type"),
-          Multimodal.pngHeaderPayload(
-            (lit(16) + col("doc_id") % 2048).cast("int"),
-            (lit(16) + (col("doc_id") * 7) % 1536).cast("int")).as("payload"))
-        val exprTier = Multimodal.withPngHeaderMeta(media)
-          .select(col("doc_id"), col("byte_len"),
-            col("width").as("w_expr"), col("height").as("h_expr"))
-        val walkTier = Multimodal.decodeHeaders(s, media).toDF()
-          .select(col("doc_id"), col("container"),
-            col("width").as("w_walk"), col("height").as("h_walk"))
-        exprTier.join(walkTier, "doc_id").orderBy("doc_id")
-      },
-      Some("""
-        SELECT doc_id,
-               33::BIGINT AS byte_len,
-               (16 + doc_id % 2048)::INT AS w_expr,
-               (16 + (doc_id * 7) % 1536)::INT AS h_expr,
-               'png' AS container,
-               (16 + doc_id % 2048)::INT AS w_walk,
-               (16 + (doc_id * 7) % 1536)::INT AS h_walk
-        FROM documents ORDER BY doc_id"""),
-      "real PNG IHDR decode, both tiers, vs an oracle that never sees the bytes"),
-
-    // ---------------------------------------------------------------
-    // Curation: benchmark decontamination — docs sharing any 3-gram
-    // with the held-out "benchmark" slice (doc_id % 50 == 0).
-    // ---------------------------------------------------------------
-    Q("q58_decontaminate",
-      (s, dir) => {
-        val docs = Tables(s, dir, "documents")
-        Curation.decontaminate(
-          docs.filter(col("doc_id") % 50 =!= 0),
-          docs.filter(col("doc_id") % 50 === 0),
-          "doc_id", "text", n = 3)
-          .orderBy("doc_id")
-      },
-      Some(s"""
-        WITH $shingleCte,
-        bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0)
-        SELECT s.doc_id, count(*) AS n_contaminated_grams
-        FROM sh s JOIN bsh USING (shingle)
-        WHERE s.doc_id % 50 <> 0
-        GROUP BY 1 ORDER BY 1"""),
-      "train/test decontamination: corpus-vs-benchmark 3-gram equi-join"),
-
-    // ---------------------------------------------------------------
-    // Curation: PII redaction — deterministic PII is planted on every
-    // 10th doc, then scrubbed; the md5 of the redacted text pins the
-    // replacement spans byte-for-byte, and the untouched docs prove no
-    // false positives.
-    // ---------------------------------------------------------------
-    Q("q59_pii_redact",
-      (s, dir) => {
-        val planted = Tables(s, dir, "documents").withColumn("t2",
-          when(col("doc_id") % 10 === 0, concat(col("text"),
-            lit(" reach me at u"), col("doc_id").cast("string"),
-            lit("@test.org or 555-123-4567 from 10.0.0.1")))
-            .otherwise(col("text")))
-        planted.select(
-          col("doc_id"),
-          Curation.piiCount(col("t2")).cast("long").as("n_pii"),
-          md5(Curation.redactPii(col("t2")).cast("binary")).as("clean_md5"))
-          .orderBy("doc_id")
-      },
-      Some(s"""
-        WITH planted AS (
-          SELECT doc_id,
-                 CASE WHEN doc_id % 10 = 0
-                      THEN text || ' reach me at u' || doc_id::VARCHAR ||
-                           '@test.org or 555-123-4567 from 10.0.0.1'
-                      ELSE text END AS t2
-          FROM documents)
-        SELECT doc_id,
-               (len(regexp_extract_all(t2, '${Curation.emailRe}')) +
-                len(regexp_extract_all(t2, '${Curation.phoneRe}')) +
-                len(regexp_extract_all(t2, '${Curation.ipRe}')))::BIGINT AS n_pii,
-               md5(regexp_replace(regexp_replace(regexp_replace(t2,
-                     '${Curation.emailRe}', '<EMAIL>', 'g'),
-                     '${Curation.phoneRe}', '<PHONE>', 'g'),
-                     '${Curation.ipRe}', '<IP>', 'g')) AS clean_md5
-        FROM planted ORDER BY doc_id"""),
-      "PII scrub: email/phone/IPv4 -> typed placeholders, RE2-safe shared regexes"),
-
-    // ---------------------------------------------------------------
-    // Curation: deterministic stratified sampling by source — the
-    // training-mixture knob; hash-keyed selection is exactly
-    // reproducible (same rows in DuckDB), unlike rand() sampling.
-    // ---------------------------------------------------------------
-    Q("q60_stratified_sample",
-      (s, dir) => Curation.stratifiedSample(
-          Tables(s, dir, "documents"), "doc_id", "source", sampleFracs)
-        .select("doc_id", "source")
-        .orderBy("doc_id"),
-      Some(s"""
-        SELECT doc_id, source FROM documents
-        WHERE ${DetHash.sqlHash52("doc_id::VARCHAR")} % 1000000 < $sqlFracCase
-        ORDER BY doc_id"""),
-      "deterministic per-stratum Bernoulli sample on hash52(doc_id)"),
-
-    // ---------------------------------------------------------------
-    // Curation: sequence packing — concat-and-chunk into ~512-token
-    // packs within 8 deterministic hash buckets (the parallel unit).
-    // ---------------------------------------------------------------
-    Q("q61_pack_sequences",
-      (s, dir) => Curation.packSequences(
-          Tables(s, dir, "documents")
-            .select(col("doc_id"),
-              size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens")),
-          "doc_id", "n_tokens", maxTokens = 512L, nBuckets = 8)
-        .select("doc_id", "n_tokens", "bucket", "pack_no")
-        .orderBy("doc_id"),
-      Some(s"""
-        WITH t AS (SELECT doc_id,
-                          len(string_split_regex(lower(text), '\\s+'))::BIGINT AS n_tokens,
-                          ${DetHash.sqlHash52("doc_id::VARCHAR")} AS h
-                   FROM documents),
-        c AS (SELECT doc_id, n_tokens, h % 8 AS bucket,
-                     sum(n_tokens) OVER (PARTITION BY h % 8 ORDER BY h, doc_id
-                       ROWS UNBOUNDED PRECEDING) AS cum
-              FROM t)
-        SELECT doc_id, n_tokens, bucket, ((cum - n_tokens) // 512)::BIGINT AS pack_no
-        FROM c ORDER BY doc_id"""),
-      "hash-bucketed concat-and-chunk packing: one shuffle, per-bucket windows"),
-
-    // ---------------------------------------------------------------
-    // Curation: Gopher-style repetition score — fraction of bigram
-    // occurrences that repeat; catches boilerplate dedup misses.
-    // ---------------------------------------------------------------
-    Q("q62_repetition",
-      (s, dir) => Curation.repetitionScore(
-          Tables(s, dir, "documents"), "doc_id", "text", n = 2)
-        .orderBy("doc_id"),
-      Some("""
-        WITH tok AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
-                     FROM documents),
-        g AS (SELECT doc_id, unnest([array_to_string(t[i:i+1], ' ')
-                                     for i in range(1, len(t))]) AS gram
-              FROM tok WHERE len(t) >= 2)
-        SELECT doc_id, count(*) AS n_grams,
-               count(DISTINCT gram) AS n_distinct,
-               round(1.0 - count(DISTINCT gram)::DOUBLE / count(*), 4) AS repetition
-        FROM g GROUP BY 1 ORDER BY 1"""),
-      "repeated-bigram fraction per doc: explode + one aggregation"),
-
-    // ---------------------------------------------------------------
-    // Dedup clusters: connected components over the q32 MinHash-LSH
-    // candidate pairs — min-label propagation; the cluster label is the
-    // canonical keeper. Oracle: recursive-CTE reachability closure over
-    // the IDENTICAL pair set.
-    // ---------------------------------------------------------------
-    Q("q63_dedup_clusters",
-      (s, dir) => {
-        val sh = Dedup.shingles(Tables(s, dir, "documents"), "doc_id", "text", 3)
-        val sig = Dedup.minhashSignature(sh, "doc_id").persist()
-        Dedup.connectedComponents(
-            Dedup.candidatePairs(sig, "doc_id"), "doc_id_a", "doc_id_b")
-          .select(col("node").as("doc_id"), col("cluster"))
-          .orderBy("doc_id")
-      },
-      Some(s"""
-        WITH RECURSIVE $shingleCte,
-        h AS (SELECT doc_id, ${DetHash.sqlHash52("shingle")} AS hv FROM sh),
-        sig AS (SELECT doc_id, $sqlSig FROM h GROUP BY doc_id),
-        bands AS ($sqlBands),
-        pairs AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
-                  FROM bands a JOIN bands b
-                    ON a.band = b.band AND a.bucket = b.bucket
-                   AND a.doc_id < b.doc_id),
-        edges AS (SELECT doc_id_a AS s, doc_id_b AS d FROM pairs
-                  UNION SELECT doc_id_b, doc_id_a FROM pairs),
-        reach AS (SELECT s AS node, s AS lbl FROM edges
-                  UNION
-                  SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.node)
-        SELECT node AS doc_id, min(lbl) AS cluster
-        FROM reach GROUP BY 1 ORDER BY 1"""),
-      "connected components via min-label propagation; label = keeper id"),
-
-    // ---------------------------------------------------------------
-    // Curation: overlapping token-window chunking (32-token chunks,
-    // 8-token overlap) — the unit embedding pipelines consume.
-    // ---------------------------------------------------------------
-    Q("q64_chunk_docs",
-      (s, dir) => Curation.chunkDocs(
-          Tables(s, dir, "documents"), "doc_id", "text",
-          chunkTokens = 32, overlap = 8)
-        .orderBy("doc_id", "chunk_no"),
-      Some("""
-        WITH tk AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
-                    FROM documents),
-        n AS (SELECT doc_id, t,
-                     (1 + ceil(greatest(len(t) - 32, 0)::DOUBLE / 24))::BIGINT AS nc
-              FROM tk),
-        c AS (SELECT doc_id, t, unnest(range(0, nc)) AS chunk_no FROM n)
-        SELECT doc_id, chunk_no::BIGINT AS chunk_no,
-               array_to_string(t[(chunk_no * 24 + 1)::INT:(chunk_no * 24 + 32)::INT], ' ')
-                 AS chunk_text,
-               least(len(t) - chunk_no * 24, 32)::BIGINT AS chunk_tokens
-        FROM c ORDER BY doc_id, chunk_no"""),
-      "map-side overlapping token windows: slice + array_join, no shuffle"),
-
-    // ---------------------------------------------------------------
-    // Curation: absolute per-source token budget (the mixture-control
-    // twin of q60's relative fractions).
-    // ---------------------------------------------------------------
-    Q("q65_source_token_cap",
-      (s, dir) => Curation.capSourceTokens(
-          Tables(s, dir, "documents")
-            .select(col("doc_id"), col("source"),
-              size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens")),
-          "doc_id", "n_tokens", "source", budget = 1000L)
-        .orderBy("doc_id"),
-      Some(s"""
-        WITH t AS (SELECT doc_id, source,
-                          len(string_split_regex(lower(text), '\\s+'))::BIGINT AS n_tokens,
-                          ${DetHash.sqlHash52("doc_id::VARCHAR")} AS h
-                   FROM documents),
-        c AS (SELECT doc_id, source, n_tokens,
-                     sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
-                       ROWS UNBOUNDED PRECEDING) AS cum
-              FROM t)
-        SELECT doc_id, source, n_tokens FROM c
-        WHERE cum - n_tokens < 1000 ORDER BY doc_id"""),
-      "deterministic-order running total per source, cut at the budget line"),
-
-    // ---------------------------------------------------------------
-    // Dedup: paragraph granularity — first occurrence of each 32-token
-    // window survives corpus-wide, docs reassemble from survivors.
-    // The middle ground between q30 (whole-doc) and q31/q32 (near-dup).
-    // ---------------------------------------------------------------
-    Q("q67_paragraph_dedup",
-      (s, dir) => Dedup.dedupParagraphs(
-          Tables(s, dir, "documents"), "doc_id", "text", paraTokens = 32)
-        .orderBy("doc_id"),
-      Some("""
-        WITH tk AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
-                    FROM documents),
-        p AS (SELECT doc_id, t,
-                     unnest(range(0, greatest((len(t) - 1) // 32, 0) + 1)) AS para_no
-              FROM tk),
-        pt AS (SELECT doc_id, para_no,
-                      array_to_string(t[(para_no * 32 + 1)::INT:((para_no + 1) * 32)::INT],
-                                      ' ') AS para_text
-               FROM p),
-        k AS (SELECT doc_id, para_no, para_text,
-                     row_number() OVER (PARTITION BY md5(para_text)
-                                        ORDER BY doc_id, para_no) = 1 AS keep
-              FROM pt)
-        SELECT doc_id, count(*) AS n_paras,
-               count(*) FILTER (WHERE keep) AS n_kept,
-               md5(coalesce(string_agg(para_text, ' ' ORDER BY para_no)
-                              FILTER (WHERE keep), '')) AS dedup_md5
-        FROM k GROUP BY 1 ORDER BY 1"""),
-      "paragraph dedup: window on para fp + reassembly groupBy, both equi-shuffles"),
-
-    // ---------------------------------------------------------------
-    // Curation funnel: the WHOLE pipeline composed — benchmark slice →
-    // LSH near-dup drop → decontamination → quality gates → per-source
-    // funnel report. Every stage reuses an operator with its own green
-    // oracle (q32, q58, q39); this pins their composition.
-    // ---------------------------------------------------------------
-    Q("q69_curation_funnel",
-      (s, dir) => Curation.curationFunnel(
-          Tables(s, dir, "documents"), "doc_id", "text", "source")
-        .orderBy("source"),
-      Some {
-        val en = TextAnalysis.langMarkers.head._2.map(m => s"'$m'").mkString(", ")
-        s"""
-        WITH tok AS (SELECT doc_id, source, text,
-                            string_split_regex(lower(text), '\\s+') AS t
-                     FROM documents),
-        sh AS (SELECT DISTINCT doc_id,
-                      unnest([array_to_string(t[i:i+2], ' ')
-                              for i in range(1, len(t)-1)]) AS shingle
-               FROM tok WHERE len(t) >= 3),
-        csh AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0),
-        bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
-        h AS (SELECT doc_id, ${DetHash.sqlHash52("shingle")} AS hv FROM csh),
-        sig AS (SELECT doc_id, $sqlSig FROM h GROUP BY doc_id),
-        bands AS ($sqlBands),
-        dup AS (SELECT DISTINCT b.doc_id
-                FROM bands a JOIN bands b
-                  ON a.band = b.band AND a.bucket = b.bucket
-                 AND a.doc_id < b.doc_id),
-        contam AS (SELECT c.doc_id FROM csh c JOIN bsh USING (shingle)
-                   GROUP BY 1 HAVING count(*) >= 3),
-        q AS (SELECT doc_id, source, len(t)::BIGINT AS n_tokens,
-                     round(0.5 * (len([x for x in t if x IN ($en)])::DOUBLE / len(t))
-                         + 0.3 * (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))::DOUBLE / length(text))
-                         + 0.2 * least(len(t)::DOUBLE / 100.0, 1.0), 4) AS quality_score
-              FROM tok),
-        v AS (SELECT q.source, q.n_tokens, q.quality_score,
-                     CASE WHEN q.doc_id % 97 = 0 THEN 'benchmark'
-                          WHEN d.doc_id IS NOT NULL THEN 'near_dup'
-                          WHEN c.doc_id IS NOT NULL THEN 'contaminated'
-                          WHEN q.n_tokens < 20 OR q.quality_score < 0.38
-                            THEN 'low_quality'
-                          ELSE 'kept' END AS verdict
-              FROM q LEFT JOIN dup d ON d.doc_id = q.doc_id
-                     LEFT JOIN contam c ON c.doc_id = q.doc_id)
-        SELECT source, count(*) AS n_docs,
-               count(*) FILTER (WHERE verdict = 'benchmark') AS n_bench,
-               count(*) FILTER (WHERE verdict = 'near_dup') AS n_dup,
-               count(*) FILTER (WHERE verdict = 'contaminated') AS n_contam,
-               count(*) FILTER (WHERE verdict = 'low_quality') AS n_lowq,
-               count(*) FILTER (WHERE verdict = 'kept') AS n_kept,
-               coalesce(sum(n_tokens) FILTER (WHERE verdict = 'kept'), 0)::BIGINT
-                 AS tokens_kept,
-               round(coalesce(avg(quality_score) FILTER (WHERE verdict = 'kept'), 0), 4)
-                 AS avg_quality_kept
-        FROM v GROUP BY 1 ORDER BY 1"""
-      },
-      "composed funnel: verdict precedence over LSH dedup + decontam + quality"),
-
-    // ---------------------------------------------------------------
-    // Similarity: the PERSISTED IVF index lifecycle — build once
-    // (memoized per sf dir, like q53's bucketed tables), probe many.
-    // Probing loads centroids + cell-partitioned inverted lists from
-    // parquet; results must equal q47's inline plan, so the oracle is
-    // the SAME ivfCte SQL.
-    // ---------------------------------------------------------------
-    Q("q72_ivf_index_probe",
-      (s, dir) => {
-        // memo key = sanitized dir + source-table mtime: a regenerated
-        // embeddings.parquet (new mtime) forces a rebuild instead of
-        // silently probing a stale index, and the mtime disambiguates
-        // any dirs the sanitizer would collide
-        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
-        val stamp = new java.io.File(dir, "embeddings.parquet").lastModified()
-        val idx = new java.io.File(
-          new java.io.File(sys.props("user.dir"), "target"),
-          s"graft_ivf_idx_${tag}_$stamp").getAbsolutePath
-        ExtensionQueries.synchronized {
-          if (!new java.io.File(s"$idx/cells/_SUCCESS").exists())
-            Similarity.writeIvfIndex(Tables(s, dir, "embeddings"),
-              "vec_id", "embedding", idx, nCells = 16)
-        }
-        Similarity.ivfTopKFromIndex(s, idx,
-            Tables(s, dir, "embeddings").filter(col("vec_id") < 20),
-            "vec_id", "embedding", k = 3, nProbe = 2)
-          .orderBy("probe_id", "rank")
-      },
-      Some(s"WITH $ivfCte, $ivfProbeSql"),
-      "persisted IVF index probe == inline IVF; cells partition-pruned at read"),
-
-    // ---------------------------------------------------------------
-    // Dedup: INCREMENTAL — a new batch dedups against the kept
-    // history's fingerprints (never its text) plus itself. Natural
-    // exact dups are absent at the gate scales (and rare at sf0.1),
-    // so the increment PLANTS two kinds: copies of history docs (must
-    // drop via the anti-join) and a second copy of some fresh docs
-    // (must drop via the in-increment window; the original id wins).
-    // ---------------------------------------------------------------
-    Q("q73_dedup_increment",
-      (s, dir) => {
-        val docs = Tables(s, dir, "documents")
-        val history = docs.filter(col("doc_id") % 3 =!= 0)
-        val fresh = docs.filter(col("doc_id") % 3 === 0)
-          .select("doc_id", "text")
-        val increment = fresh
-          .unionByName(history.filter(col("doc_id") % 5 === 0)
-            .select((col("doc_id") + 100000).as("doc_id"), col("text")))
-          .unionByName(fresh.filter(col("doc_id") % 7 === 0)
-            .select((col("doc_id") + 200000).as("doc_id"), col("text")))
-        Dedup.dedupIncrement(increment,
-            Dedup.exactGroups(history, "doc_id", "text").select("fp"),
-            "doc_id", "text")
-          .orderBy("doc_id")
-      },
-      Some("""
-        WITH hist AS (SELECT md5(text) AS fp FROM documents WHERE doc_id % 3 <> 0),
-        inc AS (
-          SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
-          UNION ALL
-          SELECT doc_id + 100000, text FROM documents
-          WHERE doc_id % 3 <> 0 AND doc_id % 5 = 0
-          UNION ALL
-          SELECT doc_id + 200000, text FROM documents
-          WHERE doc_id % 3 = 0 AND doc_id % 7 = 0
-        ),
-        k AS (SELECT doc_id, md5(text) AS fp,
-                     row_number() OVER (PARTITION BY md5(text)
-                                        ORDER BY doc_id) AS r
-              FROM inc
-              -- NOT EXISTS, not NOT IN: matches left_anti's NULL
-              -- semantics (a null fp is kept, and a null in hist
-              -- doesn't poison the whole predicate)
-              WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.fp = md5(inc.text)))
-        SELECT doc_id, fp FROM k WHERE r = 1 ORDER BY doc_id"""),
-      "increment anti-joins history FINGERPRINTS + dedups itself; old text never re-read"),
-
-    // ---------------------------------------------------------------
-    // Count-min heavy hitters: the frequency member of the mergeable-
-    // sketch family (HLL=q54, quantile=q71, bloom=q68). The oracle
-    // rebuilds the SAME sketch (buckets generated from the same frozen
-    // seeds/width) so estimates compare exactly; the exact count rides
-    // along to show the overestimate-only contract (est >= exact,
-    // equal when no full-collision — the regime at this width).
-    // ---------------------------------------------------------------
-    Q("q74_heavy_hitters",
-      (s, dir) => {
-        // deliberately NOT persisted: the explode is recomputed by the
-        // sketch build, the probe pass, and the exact rider — three
-        // map-side scans, which at corpus scale is far cheaper than
-        // materializing an exploded token table in cache (the one thing
-        // you'd never do at 100 TB; the exact count is oracle
-        // scaffolding, not part of the production shape)
-        val toks = Tables(s, dir, "documents")
-          .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
-        val hh = graft.ops.FreqSketch.heavyHitters(
-          toks, "token", width = cmsWidth, depth = cmsDepth, minCount = cmsMin)
-        val exact = toks.groupBy("token").agg(count(lit(1)).as("exact"))
-        hh.join(exact, "token")
-          .select("token", "est", "exact")
-          .orderBy("token")
-      },
-      Some {
-        val sk = (0 until cmsDepth).map { r =>
-          s"""SELECT $r AS depth, ${graft.ops.FreqSketch.sqlBucket("token", r, cmsWidth)} AS bucket,
-                     count(*) AS cnt FROM tok GROUP BY 1, 2"""
-        }.mkString(" UNION ALL ")
-        val pb = (0 until cmsDepth).map { r =>
-          s"""SELECT token, $r AS depth,
-                     ${graft.ops.FreqSketch.sqlBucket("token", r, cmsWidth)} AS bucket FROM probes"""
-        }.mkString(" UNION ALL ")
-        s"""
-        WITH tok AS (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS token
-                     FROM documents),
-        sk AS ($sk),
-        probes AS (SELECT DISTINCT token FROM tok),
-        pb AS ($pb),
-        est AS (SELECT token, min(cnt) AS est
-                FROM pb JOIN sk USING (depth, bucket) GROUP BY 1),
-        exact AS (SELECT token, count(*) AS exact FROM tok GROUP BY 1)
-        SELECT token, est, exact FROM est JOIN exact USING (token)
-        WHERE est >= $cmsMin ORDER BY token"""
-      },
-      "count-min sketch: depth×width counters, additive merge, min-over-rows estimate"),
-
-    // ---------------------------------------------------------------
-    // BM25 ranked retrieval (Okapi, Lucene idf). Postings are filtered
-    // to the query's terms BEFORE any aggregation, so the tf/df
-    // shuffles carry per-term (not per-corpus) cardinality; N+avgdl
-    // are a one-row broadcast, df a ≤|terms|-row broadcast.
-    // ---------------------------------------------------------------
-    Q("q75_bm25",
-      (s, dir) => TextAnalysis.bm25(Tables(s, dir, "documents"),
-          "doc_id", "text", bm25Terms, k1 = 1.2, b = 0.75, topK = 20)
-        .select("doc_id", "score", "n_terms_hit"),
-      Some {
-        val termList = bm25Terms.map(t => s"'$t'").mkString(", ")
-        s"""
-        WITH d AS (SELECT doc_id,
-                          len(string_split_regex(lower(text), '\\s+'))::DOUBLE AS dl
-                   FROM documents),
-        corpus AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM d),
-        post AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS token
-                 FROM documents),
-        fpost AS (SELECT * FROM post WHERE token IN ($termList)),
-        tf AS (SELECT doc_id, token, count(*)::DOUBLE AS tf FROM fpost GROUP BY 1, 2),
-        dfq AS (SELECT token, count(DISTINCT doc_id)::DOUBLE AS df FROM fpost GROUP BY 1)
-        SELECT doc_id,
-               round(sum(ln(1.0 + (c.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
-                         * tf.tf * 2.2
-                         / (tf.tf + 1.2 * (0.25 + 0.75 * d.dl / c.avgdl))), 4) AS score,
-               count(*) AS n_terms_hit
-        FROM tf JOIN dfq USING (token) JOIN d USING (doc_id) CROSS JOIN corpus c
-        GROUP BY doc_id
-        ORDER BY score DESC, doc_id LIMIT 20"""
-      },
-      "BM25: postings filtered to query terms pre-shuffle; broadcast df + corpus stats"),
-
-    // ---------------------------------------------------------------
-    // Conjunctive boolean retrieval: docs containing ALL query terms,
-    // via distinct-postings intersection (groupBy-count over terms
-    // hit). The isin filter is pushed into the scan.
-    // ---------------------------------------------------------------
-    Q("q76_bool_search",
-      (s, dir) => TextAnalysis.searchConjunctive(Tables(s, dir, "documents"),
-          "doc_id", "text", boolTerms)
-        .orderBy("doc_id"),
-      Some {
-        val termList = boolTerms.map(t => s"'$t'").mkString(", ")
-        s"""
-        WITH post AS (SELECT DISTINCT doc_id,
-                             unnest(string_split_regex(lower(text), '\\s+')) AS token
-                      FROM documents)
-        SELECT doc_id, count(*) AS n_terms_hit
-        FROM post WHERE token IN ($termList)
-        GROUP BY 1 HAVING count(*) = ${boolTerms.size}
-        ORDER BY doc_id"""
-      },
-      "postings-intersection AND-search; one shuffle on doc id"),
-
-    // ---------------------------------------------------------------
-    // Bounded per-group top-k via a mergeable Aggregator: the buffer
-    // holds at most k entries, so the partial→final shuffle carries
-    // ≤ k rows per (group × map partition) instead of sorting every
-    // row per group like the window-function form the oracle uses.
-    // ---------------------------------------------------------------
-    Q("q77_grouped_topk",
-      (s, dir) => {
-        val ev = Tables(s, dir, "events").filter(col("value").isNotNull)
-        ev.groupBy("event_type")
-          .agg(graft.functions.TopKAggregator.topK(3, col("value"), col("event_id")).as("top"))
-          .select(col("event_type"), posexplode(col("top")))
-          .select(col("event_type"), (col("pos") + 1).cast("long").as("rank"),
-            col("col.value").as("value"), col("col.tag").as("event_id"))
-          .orderBy("event_type", "rank")
-      },
-      Some("""
-        SELECT event_type, rank, value, event_id FROM (
-          SELECT event_type,
-                 row_number() OVER (PARTITION BY event_type
-                                    ORDER BY value DESC, event_id) AS rank,
-                 value, event_id
-          FROM events WHERE value IS NOT NULL)
-        WHERE rank <= 3 ORDER BY event_type, rank"""),
-      "map-side bounded top-k partials vs the oracle's full per-group sort"),
-
-    // ---------------------------------------------------------------
-    // Int8-quantized ANN: per-vector max-abs/127 scalar quantization
-    // (the 4× storage rung under IVF), then brute-force cosine on the
-    // QUANTIZED vectors — scales cancel, int8 dots are exact in
-    // doubles, so the oracle reproduces every similarity bit-exactly
-    // whatever the accumulation order (stronger than the float paths,
-    // which lean on round(4)).
-    // ---------------------------------------------------------------
-    Q("q79_quantized_ann",
-      (s, dir) => {
-        val emb = Tables(s, dir, "embeddings")
-        Similarity.quantizedTopK(emb, emb.filter(col("vec_id") < 20),
-            "vec_id", "embedding", k = 5)
-          .orderBy("probe_id", "rank")
-      },
-      Some("""
-        WITH sc AS (SELECT vec_id,
-                           list_max([abs(x::DOUBLE) for x in embedding]) / 127.0 AS s
-                    FROM embeddings),
-        q AS (SELECT e.vec_id,
-                     CASE WHEN sc.s = 0 THEN [0 for x in e.embedding]
-                          ELSE [round(x::DOUBLE / sc.s)::INT for x in e.embedding]
-                     END AS qv
-              FROM embeddings e JOIN sc USING (vec_id)),
-        v AS (SELECT vec_id, generate_subscripts(qv, 1) AS i, unnest(qv)::DOUBLE AS x
-              FROM q),
-        n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM v GROUP BY vec_id),
-        d AS (SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id, sum(a.x * b.x) AS dot
-              FROM v a JOIN v b ON a.i = b.i AND a.vec_id < 20 AND b.vec_id <> a.vec_id
-              GROUP BY 1, 2),
-        s AS (SELECT probe_id, neighbor_id,
-                     round(dot / (na.nrm * nb.nrm), 4) AS qsim,
-                     row_number() OVER (PARTITION BY probe_id
-                       ORDER BY round(dot / (na.nrm * nb.nrm), 4) DESC, neighbor_id) AS rank
-              FROM d
-              JOIN n na ON na.vec_id = probe_id
-              JOIN n nb ON nb.vec_id = neighbor_id)
-        SELECT probe_id, neighbor_id, qsim, rank FROM s
-        WHERE rank <= 5 ORDER BY probe_id, rank"""),
-      "int8 scalar quantization; scales cancel in cosine; exact integer dots"),
-
-    // ---------------------------------------------------------------
-    // Weighted sampling without replacement (Efraimidis–Spirakis),
-    // k per source stratum, weight = document length: inclusion odds
-    // scale with weight, selection is hash-deterministic (the oracle
-    // draws the SAME uniforms), one window shuffle on the stratum.
-    // ---------------------------------------------------------------
-    Q("q80_weighted_sample",
-      (s, dir) => Curation.weightedSample(Tables(s, dir, "documents"),
-          "doc_id", "source", "n_chars", k = 10)
-        .select("source", "doc_id", "n_chars")
-        .orderBy("source", "doc_id"),
-      Some(s"""
-        WITH w AS (
-          SELECT source, doc_id, n_chars,
-                 ln((${DetHash.sqlHash52("doc_id::VARCHAR")} + 1)::DOUBLE
-                    / 4503599627370496.0) / n_chars::DOUBLE AS es_key
-          FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
-        SELECT source, doc_id, n_chars FROM (
-          SELECT source, doc_id, n_chars,
-                 row_number() OVER (PARTITION BY source
-                                    ORDER BY es_key DESC, doc_id) AS r
-          FROM w)
-        WHERE r <= 10 ORDER BY source, doc_id"""),
-      "ES keys ln(u)/w from deterministic uniforms; top-k per stratum"),
-
-    // ---------------------------------------------------------------
-    // Bigram LM quality score (CCNet-style perplexity filter): add-one
-    // smoothed bigram log-probs trained on the corpus itself, mean per
-    // document. Count tables are corpus aggregations that merge by
-    // addition; the scoring pass is two keyed joins + one broadcast.
-    // ---------------------------------------------------------------
-    Q("q82_lm_score",
-      (s, dir) => TextAnalysis.lmScore(Tables(s, dir, "documents"), "doc_id", "text")
-        .orderBy("doc_id"),
-      Some("""
-        WITH tok AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
-                     FROM documents),
-        bg AS (SELECT doc_id,
-                      unnest([t[i] for i in range(1, len(t))]) AS w1,
-                      unnest([t[i + 1] for i in range(1, len(t))]) AS w2
-               FROM tok WHERE len(t) >= 2),
-        c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
-        c1 AS (SELECT w1, count(*) AS c1
-               FROM (SELECT unnest(t) AS w1 FROM tok) GROUP BY 1),
-        v AS (SELECT count(*) AS v FROM c1)
-        SELECT doc_id,
-               round(avg(ln((c12 + 1)::DOUBLE / (c1 + v))), 4) AS lm_score,
-               count(*) AS n_bigrams
-        FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
-        GROUP BY 1 ORDER BY doc_id"""),
-      "corpus-trained smoothed bigram log-prob mean; counts merge additively"),
-
-    // ---------------------------------------------------------------
-    // Fuzzy (edit-distance ≤ 1) self-join via symmetric-delete banding
-    // — the SymSpell rewrite of the O(n²) levenshtein cross-join into
-    // a variant equi-join + exact verify. The oracle IS the all-pairs
-    // form, so the green row proves the banded plan's exact recall.
-    // ---------------------------------------------------------------
-    Q("q84_fuzzy_join",
-      (s, dir) => Dedup.fuzzyPairsEd1(
-          Tables(s, dir, "part").select("p_name").distinct(), "p_name")
-        .orderBy("str_a", "str_b"),
-      Some("""
-        WITH n AS (SELECT DISTINCT p_name FROM part WHERE length(p_name) >= 3)
-        SELECT a.p_name AS str_a, b.p_name AS str_b
-        FROM n a JOIN n b ON a.p_name < b.p_name
-        WHERE levenshtein(a.p_name, b.p_name) <= 1
-        ORDER BY str_a, str_b"""),
-      "symmetric-delete variant equi-join == all-pairs levenshtein oracle"),
-
-    // ---------------------------------------------------------------
-    // Deterministic seeded shuffle: the training-batch order. Purely
-    // map-side (no rand(), no global row_number), so retries and other
-    // engines reproduce the epoch order bit-for-bit — which is exactly
-    // what the oracle checks.
-    // ---------------------------------------------------------------
-    Q("q91_deterministic_shuffle",
-      (s, dir) => Curation.deterministicShuffle(
-          Tables(s, dir, "documents"), "doc_id", "ep0", 8)
-        .select("doc_id", "batch", "shuffle_key")
-        .orderBy("batch", "shuffle_key", "doc_id"),
-      Some(s"""
-        WITH h AS (SELECT doc_id,
-                          ${DetHash.sqlHash52("'ep0:' || doc_id")} AS shuffle_key
-                   FROM documents)
-        SELECT doc_id, (shuffle_key % 8)::INT AS batch, shuffle_key
-        FROM h ORDER BY batch, shuffle_key, doc_id"""),
-      "seeded hash shuffle: reproducible epoch order + batch split, no rand()"),
-
-    // ---------------------------------------------------------------
-    // Temperature-weighted source mixing: weights table AND realized
-    // sample sizes in one report. The sample filter is the same
-    // integer micro-fraction threshold as q60, so the realized counts
-    // are deterministic, not approximately-binomial.
-    // ---------------------------------------------------------------
-    Q("q92_temperature_mix",
-      (s, dir) => {
-        val docs = Tables(s, dir, "documents")
-        val w = Curation.mixingWeights(docs, "source", 0.5, 300L)
-        // reuse w's (eager, one-row-per-source) counts for the sample
-        // threshold — calling temperatureSample here would re-run the
-        // same corpus aggregation a second time
-        val sampled = Curation
-          .temperatureSampleWithWeights(docs, "doc_id", "source", w)
-          .groupBy("source").agg(count(lit(1)).as("n_sampled"))
-        w.join(sampled, Seq("source"), "left")
-          .select(col("source"), col("n"),
-            round(col("p"), 4).as("p"),
-            round(col("frac"), 4).as("frac"),
-            coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
-          .orderBy("source")
-      },
-      Some(s"""
-        WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
-        t AS (SELECT sum(pow(n, 0.5)) AS tot FROM c),
-        w AS (SELECT source, n,
-                     pow(n, 0.5) / tot AS p,
-                     least(1.0, 300.0 * (pow(n, 0.5) / tot) / n) AS frac
-              FROM c CROSS JOIN t),
-        s AS (SELECT d.source, count(*) AS n_sampled
-              FROM documents d JOIN w USING (source)
-              WHERE ${DetHash.sqlHash52("d.doc_id::VARCHAR")} % 1000000
-                    < floor(w.frac * 1000000)::BIGINT
-              GROUP BY 1)
-        SELECT w.source, w.n, round(w.p, 4) AS p, round(w.frac, 4) AS frac,
-               coalesce(s.n_sampled, 0)::BIGINT AS n_sampled
-        FROM w LEFT JOIN s USING (source) ORDER BY source"""),
-      "alpha=0.5 temperature mixing: n^alpha weights -> deterministic keep thresholds"),
-
-    // ---------------------------------------------------------------
-    // Frozen linear quality classifier (fastText-style inference):
-    // logit thresholding, no sigmoid — exp() is not bit-stable across
-    // engines, a monotone transform cannot change the decision, and
-    // skipping it keeps the classification exactly oracle-checkable.
-    // ---------------------------------------------------------------
-    Q("q93_quality_classifier",
-      (s, dir) => TextAnalysis.classifyQuality(Tables(s, dir, "documents"), "text")
-        .select("doc_id", "logit", "keep")
-        .orderBy("doc_id"),
-      Some {
-        val logit = sqlQualityLogit
-        s"""
-        WITH t AS (SELECT doc_id, text,
-                          string_split_regex(lower(text), '\\s+') AS toks
-                   FROM documents)
-        SELECT doc_id, round($logit, 4) AS logit, ($logit) > 0 AS keep
-        FROM t ORDER BY doc_id"""
-      },
-      "frozen-weight linear scorer over quality features; inference stays in codegen"),
-
-    // ---------------------------------------------------------------
-    // Content-defined chunking: boundaries where the rolling k-gram
-    // hash ≡ 0 mod divisor — insertion-robust chunks for chunk-level
-    // dedup (fixed windows shift every later chunk; CDC re-chunks only
-    // the edit's neighborhood). The oracle recomputes every gram hash
-    // from the same frozen power table and rebuilds the exact cuts.
-    // ---------------------------------------------------------------
-    Q("q94_cdc_chunks",
-      (s, dir) => Curation.cdcChunks(
-          Tables(s, dir, "documents"), "doc_id", "text", k = 8, divisor = 64)
-        .orderBy("doc_id", "chunk_no"),
-      Some(s"""
-        WITH $cdcCte
-        SELECT doc_id, chunk_no, chunk
-        FROM chunks ORDER BY doc_id, chunk_no"""),
-      "content-defined chunking: rolling-hash cuts, insertion-robust, O(len) codegen"),
-
-    // ---------------------------------------------------------------
-    // Chunk-level cross-doc dedup over CDC chunks — the reason CDC
-    // exists: boilerplate shared between documents surfaces as
-    // identical chunk fingerprints even when the surrounding text
-    // differs (fixed windows would mis-align after any edit). Per-doc
-    // report: chunks, chunks shared with another doc, shared-char
-    // ratio.
-    // ---------------------------------------------------------------
-    Q("q101_cdc_shared_chunks",
-      (s, dir) => {
-        val f = Curation.cdcChunks(
-            Tables(s, dir, "documents"), "doc_id", "text", k = 8, divisor = 64)
-          .select(col("doc_id"),
-            md5(col("chunk").cast("binary")).as("fp"),
-            length(col("chunk")).as("len"))
-        val sh = f.groupBy("fp")
-          .agg(count_distinct(col("doc_id")).as("nd"))
-          .filter(col("nd") >= 2)
-          .select(col("fp"), lit(1).as("__shared"))
-        f.join(sh, Seq("fp"), "left")
-          .groupBy("doc_id")
-          .agg(
-            count(lit(1)).as("n_chunks"),
-            count(col("__shared")).as("n_shared"),
-            round(coalesce(
-                sum(when(col("__shared").isNotNull, col("len"))), lit(0))
-              .cast("double") / sum(col("len")), 4).as("shared_ratio"))
-          .orderBy("doc_id")
-      },
-      Some(s"""
-        WITH $cdcCte,
-        f AS (SELECT doc_id, md5(chunk) AS fp, length(chunk) AS len FROM chunks),
-        sh AS (SELECT fp FROM f GROUP BY fp HAVING count(DISTINCT doc_id) >= 2)
-        SELECT f.doc_id, count(*) AS n_chunks,
-               count(s.fp) AS n_shared,
-               round(coalesce(sum(f.len) FILTER (s.fp IS NOT NULL), 0)::DOUBLE
-                     / sum(f.len), 4) AS shared_ratio
-        FROM f LEFT JOIN sh s ON s.fp = f.fp
-        GROUP BY f.doc_id ORDER BY f.doc_id"""),
-      "cross-doc boilerplate via shared CDC chunk fingerprints"),
-
-    // ---------------------------------------------------------------
-    // The capstone composition — what a training-data user actually
-    // runs: exact dedup -> frozen-classifier quality gate ->
-    // temperature-mixed sampling over the SURVIVORS -> seeded
-    // deterministic shuffle -> per-batch manifest (docs + tokens).
-    // Every stage is an independently-oracled operator (q30, q93,
-    // q92, q91, q40); the oracle recomposes their SQL end to end, so
-    // the green row proves the stages agree THROUGH each other, not
-    // just in isolation.
-    // ---------------------------------------------------------------
-    Q("q102_training_manifest",
-      (s, dir) => {
-        val docs = Tables(s, dir, "documents")
-        val keepers = Dedup.exactGroups(docs, "doc_id", "text")
-          .select(col("keeper").as("doc_id"))
-        val deduped = docs.join(keepers, "doc_id")
-        val survivors = TextAnalysis.classifyQuality(deduped, "text")
-          .filter(col("keep"))
-          .select("doc_id", "text", "source")
-        val sampled = Curation.temperatureSample(
-          survivors, "doc_id", "source", alpha = 0.5, targetN = 300L)
-        Curation.deterministicShuffle(sampled, "doc_id", "ep0", 4)
-          .groupBy("batch")
-          .agg(
-            count(lit(1)).as("n_docs"),
-            sum(size(TextAnalysis.tokens(col("text"))).cast("long"))
-              .as("n_tokens"))
-          .orderBy("batch")
-      },
-      Some {
-        val logit = sqlQualityLogit
-        s"""
-        WITH dd AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
-        d AS (SELECT doc_id, text, source,
-                     string_split_regex(lower(text), '\\s+') AS toks
-              FROM documents JOIN dd USING (doc_id)),
-        k AS (SELECT doc_id, text, source, toks FROM d WHERE ($logit) > 0),
-        c AS (SELECT source, count(*) AS n FROM k GROUP BY 1),
-        tt AS (SELECT sum(pow(n, 0.5)) AS tot FROM c),
-        w AS (SELECT source,
-                     least(1.0, 300.0 * (pow(n, 0.5) / tot) / n) AS frac
-              FROM c CROSS JOIN tt),
-        samp AS (SELECT k.doc_id, k.toks FROM k JOIN w USING (source)
-                 WHERE ${DetHash.sqlHash52("k.doc_id::VARCHAR")} % 1000000
-                       < floor(w.frac * 1000000)::BIGINT)
-        SELECT (${DetHash.sqlHash52("'ep0:' || doc_id")} % 4)::INT AS batch,
-               count(*) AS n_docs,
-               sum(len(toks))::BIGINT AS n_tokens
-        FROM samp GROUP BY 1 ORDER BY 1"""
-      },
-      "dedup -> quality gate -> temperature sample -> seeded shuffle, one manifest"),
-
-    // ---------------------------------------------------------------
-    // SemDeDup-style semantic dedup: within-IVF-cell cosine pruning,
-    // senior-keeper rule. The oracle rebuilds the same deterministic
-    // centroids, the same argmax assignment, every within-cell pair's
-    // rounded cosine, and the same anti-join.
-    // ---------------------------------------------------------------
-    Q("q96_semantic_dedup",
-      (s, dir) => Similarity.semanticDedup(
-          Tables(s, dir, "embeddings"), "vec_id", "embedding",
-          nCells = 16, minSim = 0.45)
-        .orderBy("vec_id"),
-      Some(s"""
-        WITH $ivfCte,
-        pairs AS (SELECT a.vec_id AS ia, b.vec_id AS ib
-                  FROM assigned a JOIN assigned b
-                    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id),
-        pd AS (SELECT p.ia, p.ib, sum(va.x * vb.x) AS dot
-               FROM pairs p
-               JOIN v va ON va.vec_id = p.ia
-               JOIN v vb ON vb.vec_id = p.ib AND vb.i = va.i
-               GROUP BY 1, 2),
-        ps AS (SELECT pd.ia, pd.ib,
-                      round(pd.dot / (na.nrm * nb.nrm), 4) AS sim
-               FROM pd
-               JOIN n na ON na.vec_id = pd.ia
-               JOIN n nb ON nb.vec_id = pd.ib),
-        dropped AS (SELECT DISTINCT ib FROM ps WHERE sim >= 0.45)
-        SELECT a.vec_id, a.cell_id
-        FROM assigned a LEFT JOIN dropped d ON d.ib = a.vec_id
-        WHERE d.ib IS NULL ORDER BY a.vec_id"""),
-      "SemDeDup: cell-bucketed cosine pruning, senior keeper, no all-pairs"),
-
-    // ---------------------------------------------------------------
-    // Product quantization + asymmetric-distance search: 64 floats →
-    // 8 one-byte codes (32×), probe builds an m×ksub dot-product LUT,
-    // corpus rows score as m table lookups — never decoded. The oracle
-    // rebuilds the deterministic codebooks, every argmin assignment,
-    // the probe LUTs, and the summed scores.
-    // ---------------------------------------------------------------
-    Q("q97_pq_adc_topk",
-      (s, dir) => {
-        val emb = Tables(s, dir, "embeddings")
-        val cb = Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 8, ksub = 16)
-        val codes = Similarity.pqEncode(emb, "vec_id", "embedding", cb, m = 8, ksub = 16)
-        Similarity.pqTopK(codes, emb.filter(col("vec_id") < 20),
-          "vec_id", "embedding", cb, m = 8, ksub = 16, k = 3)
-          .orderBy("probe_id", "rank")
-      },
-      Some(s"""
-        WITH $pqCte,
-        score AS (SELECT l.probe_id, e.vec_id AS neighbor_id,
-                         round(sum(l.part), 4) AS score
-                  FROM enc e
-                  JOIN plut l ON l.subspace = e.subspace AND l.code = e.code
-                  WHERE e.vec_id <> l.probe_id
-                  GROUP BY 1, 2)
-        SELECT probe_id, neighbor_id, score, rank FROM (
-          SELECT probe_id, neighbor_id, score, row_number() OVER (
-            PARTITION BY probe_id ORDER BY score DESC, neighbor_id) AS rank
-          FROM score)
-        WHERE rank <= 3 ORDER BY probe_id, rank"""),
-      "PQ + ADC: 32x-compressed codes, LUT scoring, corpus never decoded"),
-
-    // ---------------------------------------------------------------
-    // IVF-PQ composition: PQ codes living in IVF cell-partitioned
-    // inverted lists; a probe ADC-scores only its nProbe cells'
-    // candidates. The oracle composes the q47 assignment CTEs with the
-    // q97 PQ CTEs — both already independently oracle-pinned.
-    // ---------------------------------------------------------------
-    Q("q98_ivf_pq_topk",
-      (s, dir) => {
-        val emb = Tables(s, dir, "embeddings")
-        Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 20),
-          "vec_id", "embedding", nCells = 16, nProbe = 2,
-          m = 8, ksub = 16, k = 3)
-          .orderBy("probe_id", "rank")
-      },
-      Some(s"""
-        WITH $ivfCte,
-        probec AS (SELECT vec_id AS probe_id, cell_id FROM (
-                     SELECT vec_id, cell_id, row_number() OVER (
-                       PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS r
-                     FROM csim WHERE vec_id < 20) WHERE r <= 2),
-        $pqCte,
-        cand AS (SELECT p.probe_id, a.vec_id AS neighbor_id
-                 FROM probec p JOIN assigned a ON a.cell_id = p.cell_id
-                 WHERE a.vec_id <> p.probe_id),
-        score AS (SELECT c.probe_id, c.neighbor_id,
-                         round(sum(l.part), 4) AS score
-                  FROM cand c
-                  JOIN enc e ON e.vec_id = c.neighbor_id
-                  JOIN plut l ON l.probe_id = c.probe_id
-                             AND l.subspace = e.subspace AND l.code = e.code
-                  GROUP BY 1, 2)
-        SELECT probe_id, neighbor_id, score, rank FROM (
-          SELECT probe_id, neighbor_id, score, row_number() OVER (
-            PARTITION BY probe_id ORDER BY score DESC, neighbor_id) AS rank
-          FROM score)
-        WHERE rank <= 3 ORDER BY probe_id, rank"""),
-      "IVF-PQ: compressed inverted lists, probe touches nProbe cells only"),
-
-    // ---------------------------------------------------------------
-    // Residual IVF-PQ (classical FAISS encoding): PQ codes quantize
-    // v − centroid(cell); score = exact probe·centroid + residual ADC.
-    // The oracle derives residual subvectors from the assignment CTEs,
-    // rebuilds the residual codebooks/codes/LUTs, and adds the
-    // centroid dot per probed cell.
-    // ---------------------------------------------------------------
-    Q("q99_ivf_pq_residual",
-      (s, dir) => {
-        val emb = Tables(s, dir, "embeddings")
-        Similarity.ivfPqResidualTopK(emb, emb.filter(col("vec_id") < 20),
-          "vec_id", "embedding", nCells = 16, nProbe = 2,
-          m = 8, ksub = 16, k = 3)
-          .orderBy("probe_id", "rank")
-      },
-      Some(s"""
-        WITH $ivfCte,
-        probec AS (SELECT vec_id AS probe_id, cell_id FROM (
-                     SELECT vec_id, cell_id, row_number() OVER (
-                       PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS r
-                     FROM csim WHERE vec_id < 20) WHERE r <= 2),
-        $pqCte,
-        cvec AS (SELECT cell_id, list(x ORDER BY i) AS cev FROM cv GROUP BY cell_id),
-        csub AS (SELECT cell_id, j.range AS subspace,
-                        cev[(j.range * 8 + 1)::INT:(j.range * 8 + 8)::INT] AS cs
-                 FROM cvec, range(0, 8) j),
-        rsub AS (SELECT s.vec_id, s.subspace,
-                        [s.sv[t::INT] - c.cs[t::INT] for t in range(1, 9)] AS rv
-                 FROM sub s
-                 JOIN assigned a ON a.vec_id = s.vec_id
-                 JOIN csub c ON c.cell_id = a.cell_id AND c.subspace = s.subspace),
-        rcb AS (SELECT r.subspace, sm.code, r.rv AS centroid
-                FROM rsub r JOIN samp sm ON sm.vec_id = r.vec_id),
-        rdist AS (SELECT r.vec_id, r.subspace, c.code,
-                         round(list_sum([(r.rv[t::INT] - c.centroid[t::INT])
-                                         * (r.rv[t::INT] - c.centroid[t::INT])
-                                         for t in range(1, 9)]), 4) AS d
-                  FROM rsub r JOIN rcb c USING (subspace)),
-        renc AS (SELECT vec_id, subspace, code FROM (
-                   SELECT vec_id, subspace, code, row_number() OVER (
-                     PARTITION BY vec_id, subspace ORDER BY d, code) AS r
-                   FROM rdist) WHERE r = 1),
-        rplut AS (SELECT p.vec_id AS probe_id, c.subspace, c.code,
-                         round(list_sum([p.sv[t::INT] * c.centroid[t::INT]
-                                         for t in range(1, 9)]), 4) AS part
-                  FROM sub p JOIN rcb c USING (subspace) WHERE p.vec_id < 20),
-        cdotc AS (SELECT pv.vec_id AS probe_id, c.cell_id,
-                         round(sum(pv.x * c.x), 4) AS cd
-                  FROM v pv JOIN cv c ON c.i = pv.i
-                  WHERE pv.vec_id < 20 GROUP BY 1, 2),
-        cand AS (SELECT p.probe_id, p.cell_id, a.vec_id AS neighbor_id
-                 FROM probec p JOIN assigned a ON a.cell_id = p.cell_id
-                 WHERE a.vec_id <> p.probe_id),
-        score AS (SELECT c.probe_id, c.neighbor_id,
-                         round(max(d.cd) + sum(l.part), 4) AS score
-                  FROM cand c
-                  JOIN cdotc d ON d.probe_id = c.probe_id AND d.cell_id = c.cell_id
-                  JOIN renc e ON e.vec_id = c.neighbor_id
-                  JOIN rplut l ON l.probe_id = c.probe_id
-                             AND l.subspace = e.subspace AND l.code = e.code
-                  GROUP BY 1, 2)
-        SELECT probe_id, neighbor_id, score, rank FROM (
-          SELECT probe_id, neighbor_id, score, row_number() OVER (
-            PARTITION BY probe_id ORDER BY score DESC, neighbor_id) AS rank
-          FROM score)
-        WHERE rank <= 3 ORDER BY probe_id, rank"""),
-      "residual IVF-PQ: exact centroid dot + residual ADC, the FAISS encoding"),
-
-    // ---------------------------------------------------------------
-    // Multimodal: REAL WAV header decode round-trip — the audio twin
-    // of q89. Canonical PCM headers constructed from per-doc formats,
-    // read back by the expression-tier parser; the oracle computes the
-    // expected fields without ever seeing the bytes.
-    // ---------------------------------------------------------------
-    Q("q100_wav_header_decode",
-      (s, dir) => {
-        val media = Tables(s, dir, "documents").select(
-          col("doc_id"),
-          lit("audio/wav").as("media_type"),
-          Multimodal.wavHeaderPayload(
-            (lit(1) + col("doc_id") % 2).cast("int"),
-            (lit(8000) + (col("doc_id") % 6) * 8000).cast("int"),
-            (lit(8) + (col("doc_id") % 3) * 8).cast("int")).as("payload"))
-        Multimodal.withWavHeaderMeta(media)
-          .select("doc_id", "byte_len", "channels", "sample_rate",
-            "bits_per_sample")
-          .orderBy("doc_id")
-      },
-      Some("""
-        SELECT doc_id,
-               36::BIGINT AS byte_len,
-               (1 + doc_id % 2)::INT AS channels,
-               (8000 + (doc_id % 6) * 8000)::INT AS sample_rate,
-               (8 + (doc_id % 3) * 8)::INT AS bits_per_sample
-        FROM documents ORDER BY doc_id"""),
-      "real WAV fmt-chunk decode (little-endian fields) vs a bytes-blind oracle")
-  )
-
+  val all: Seq[Q] =
+    DedupQueries.all ++ AnnQueries.all ++ TextQueries.all ++
+      CurationQueries.all ++ MultimodalQueries.all ++ CapstoneQueries.all
 }
