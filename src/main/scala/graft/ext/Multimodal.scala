@@ -16,10 +16,12 @@ import org.apache.spark.sql.functions._
   *    Scala analogue of `mapInPandas` (per-partition batch processing)
   *    for formats needing an imperative walk: the JPEG SOF marker scan
   *    lives here, next to where a real codec would.
-  *  - [[decodeStub]]: deterministic fake for the stages that genuinely
-  *    need a codec library absent from this container (pixel decode,
-  *    video frames) — swap its body for e.g. TwelveMonkeys/JCodec
-  *    without touching the plan.
+  *  - [[decodePixels]]: REAL raster decode via the JDK's own ImageIO
+  *    codecs (PNG/JPEG/GIF/BMP) — full pixel access, statistics
+  *    derived executor-side so pixel buffers never enter the plan.
+  *  - [[decodeStub]]: deterministic fake for the one stage that
+  *    genuinely needs an external codec library (video frames) — swap
+  *    its body for e.g. JCodec without touching the plan.
   */
 object Multimodal {
 
@@ -220,6 +222,85 @@ object Multimodal {
     None
   }
 
+  /** Deterministic PNG fixture: gray gradient `pixel(x,y) = (seed +
+    * 7x + 13y) % 256` across all three channels, encoded by the JDK's
+    * own PNG writer. PNG is lossless, so every pixel statistic of the
+    * DECODED image is an integer formula of (width, height, seed) — an
+    * oracle can predict [[decodePixels]]' output without ever seeing
+    * the bytes (q103). */
+  def generatePng(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val g = ((seed + 7L * x + 13L * y) % 256).toInt
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** One decoded pixel row: header dims (the zero-dependency parse)
+    * alongside the REAL decoded raster's dims and channel sum — the
+    * two width sources cross-check each other (q103). `rgb_sum` is the
+    * exact integer Σ(r+g+b) over every pixel; `None` pixel fields mean
+    * ImageIO has no codec for the container (route to [[decodeStub]]). */
+  final case class PixelMeta(doc_id: Long, media_type: String,
+      container: String, width: Option[Int], height: Option[Int],
+      px_width: Option[Int], px_height: Option[Int], rgb_sum: Option[Long])
+
+  /** REAL pixel decode via JDK ImageIO (PNG/JPEG/GIF/BMP — the codecs
+    * the JDK ships), mapPartitions tier: decodes the full raster and
+    * derives integer channel statistics executor-side, so only the
+    * derived columns — never pixel buffers — enter the plan. The
+    * header parse rides along for the dims cross-check. Containers
+    * ImageIO can't read (video) return null pixel fields; THAT decode
+    * is [[decodeStub]]'s remaining scope. */
+  def decodePixels(spark: SparkSession, media: DataFrame): Dataset[PixelMeta] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      // per-partition init, where a heavier codec would be instantiated
+      // once: ImageIO's default stream cache is a TEMP FILE per read —
+      // in-memory payloads must not pay a disk round-trip per image
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val b = if (r.payload == null) Array.empty[Byte] else r.payload
+        val asPng = pngDims(b)
+        val hdr = asPng.orElse(jpegDims(b))
+        val container =
+          if (asPng.isDefined) "png"
+          else if (hdr.isDefined) "jpeg"
+          else "unknown"
+        val img =
+          try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b)))
+          catch { case _: java.io.IOException => None }
+        val sum = img.map { i =>
+          var s = 0L
+          var y = 0
+          while (y < i.getHeight) {
+            var x = 0
+            while (x < i.getWidth) {
+              val rgb = i.getRGB(x, y)
+              s += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          s
+        }
+        PixelMeta(r.doc_id, r.media_type, container,
+          hdr.map(_._1), hdr.map(_._2),
+          img.map(_.getWidth), img.map(_.getHeight), sum)
+      }
+    }
+  }
+
   /** One decoded header row: real dims where a zero-dependency parse
     * exists (PNG, JPEG), null dims otherwise (route to a codec). */
   final case class HeaderMeta(doc_id: Long, media_type: String,
@@ -266,12 +347,13 @@ object Multimodal {
 
   /** STUB decode (mapPartitions tier). Deterministic fake: "decodes"
     * payload bytes into an 8-dim feature from byte statistics. This is
-    * the one remaining fake — PIXEL/frame decode needs a codec library
-    * absent from this container; header metadata is real, see
-    * [[withPngHeaderMeta]]/[[decodeHeaders]]. A real implementation
-    * would decode the codec here — per partition, so decoder instances
-    * are reused across the batch, mirroring `mapInPandas` batch
-    * semantics. */
+    * the one remaining fake, and its scope is now VIDEO frames only —
+    * a codec absent from both the JDK and this container; header
+    * metadata is real ([[withPngHeaderMeta]]/[[decodeHeaders]]) and
+    * image pixel decode is real ([[decodePixels]], JDK ImageIO). A
+    * real implementation would decode the codec here — per partition,
+    * so decoder instances are reused across the batch, mirroring
+    * `mapInPandas` batch semantics. */
   def decodeStub(spark: SparkSession, media: DataFrame): Dataset[DecodedMedia] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>

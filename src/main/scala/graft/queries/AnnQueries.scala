@@ -5,19 +5,6 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ext.{Curation, Dedup, DetHash, Multimodal, Similarity, TextAnalysis}
 
-/** North-star extension operators (SURVEY.md §7.5) as oracle-checked
-  * queries: dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard),
-  * similarity search (brute-force + random-hyperplane LSH ANN), text
-  * analysis (lang-ID, quality, token counts, fingerprint, tf-idf) and
-  * multimodal metadata plumbing.
-  *
-  * Sketch oracles are EXACT, not rows-only: all hashing goes through
-  * [[graft.ext.DetHash]] (md5-prefix integers) which evaluates to the
-  * same values in DuckDB, and parts of the oracle SQL are *generated
-  * from the same frozen constants* as the Spark plan, so the two sides
-  * cannot drift.
-  */
-
 /** Similarity-search extension queries (SURVEY.md §7.5): brute-force
   * cosine top-k, RP-LSH ANN, IVF-Flat (inline + persisted index),
   * int8 quantized dots, PQ/ADC, IVF-PQ (plain + residual) and

@@ -5,19 +5,6 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ext.{Curation, Dedup, DetHash, Multimodal, Similarity, TextAnalysis}
 
-/** North-star extension operators (SURVEY.md §7.5) as oracle-checked
-  * queries: dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard),
-  * similarity search (brute-force + random-hyperplane LSH ANN), text
-  * analysis (lang-ID, quality, token counts, fingerprint, tf-idf) and
-  * multimodal metadata plumbing.
-  *
-  * Sketch oracles are EXACT, not rows-only: all hashing goes through
-  * [[graft.ext.DetHash]] (md5-prefix integers) which evaluates to the
-  * same values in DuckDB, and parts of the oracle SQL are *generated
-  * from the same frozen constants* as the Spark plan, so the two sides
-  * cannot drift.
-  */
-
 /** Multimodal extension queries (SURVEY.md §7.5): binary payload
   * metadata plumbing plus REAL zero-dependency header decodes
   * (PNG/JPEG magic + dimensions, canonical PCM WAV fmt chunk). */
@@ -103,6 +90,52 @@ object MultimodalQueries {
                (8000 + (doc_id % 6) * 8000)::INT AS sample_rate,
                (8 + (doc_id % 3) * 8)::INT AS bits_per_sample
         FROM documents ORDER BY doc_id"""),
-      "real WAV fmt-chunk decode (little-endian fields) vs a bytes-blind oracle")
+      "real WAV fmt-chunk decode (little-endian fields) vs a bytes-blind oracle"),
+
+    // ---------------------------------------------------------------
+    // Multimodal: REAL pixel decode through the JDK's own ImageIO PNG
+    // codec. Deterministic gray-gradient PNGs are ENCODED executor-side
+    // (ImageIO.write), then decodePixels reads the raster back and
+    // derives exact integer channel sums; the header-parse dims ride
+    // along and must agree with the decoded raster's. PNG is lossless,
+    // so the oracle predicts every field from (doc_id) alone — it
+    // never sees a byte of image data. Closes the decodeStub gap for
+    // images; video remains the one stubbed codec.
+    // ---------------------------------------------------------------
+    Q("q103_image_pixel_decode",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables(s, dir, "documents")
+          .select(col("doc_id").cast("long")).as[Long]
+          .mapPartitions { ids =>
+            ids.map { id =>
+              Multimodal.MediaRow(id, "image/png", Multimodal.generatePng(
+                (8 + id % 9).toInt, (8 + (id * 3) % 9).toInt, seed = id))
+            }
+          }.toDF()
+        Multimodal.decodePixels(s, media).toDF()
+          .select(col("doc_id"), col("container"),
+            col("width"), col("height"), col("px_width"), col("px_height"),
+            col("rgb_sum"),
+            round(col("rgb_sum") /
+              (col("px_width") * col("px_height") * lit(3.0)), 4)
+              .as("mean_luma"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH dims AS (SELECT doc_id,
+                             (8 + doc_id % 9)::INT AS w,
+                             (8 + (doc_id * 3) % 9)::INT AS h
+                      FROM documents),
+        px AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM dims),
+        pxy AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM px),
+        s AS (SELECT doc_id, w, h,
+                     sum(3 * ((doc_id + 7 * x + 13 * y) % 256))::BIGINT AS rgb_sum
+              FROM pxy GROUP BY 1, 2, 3)
+        SELECT doc_id, 'png' AS container, w AS width, h AS height,
+               w AS px_width, h AS px_height, rgb_sum,
+               round(rgb_sum / (w * h * 3.0), 4) AS mean_luma
+        FROM s ORDER BY doc_id"""),
+      "real ImageIO raster decode: exact pixel sums vs a bytes-blind analytic oracle")
   )
 }

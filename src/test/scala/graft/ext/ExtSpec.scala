@@ -348,6 +348,38 @@ class ExtSpec extends SparkSpec {
       Seq(3L, "unknown", null, null)))
   }
 
+  test("real pixel decode: ImageIO raster round-trip (png exact, jpeg dims)") {
+    import spark.implicits._
+    val png = Multimodal.generatePng(5, 4, seed = 3L)
+    // PNG is lossless: the decoded channel sum is the generator formula
+    val expected = (for (y <- 0 until 4; x <- 0 until 5)
+      yield 3L * ((3L + 7 * x + 13 * y) % 256)).sum
+    val jpg = {
+      val img = new java.awt.image.BufferedImage(
+        6, 3, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val baos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "jpg", baos))
+      baos.toByteArray
+    }
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image/png", png),
+      Multimodal.MediaRow(2L, "image/jpeg", jpg),
+      Multimodal.MediaRow(3L, "video/mp4", Array[Byte](0, 1, 2)))
+    val out = Multimodal.decodePixels(spark, spark.createDataset(rows).toDF())
+      .collect().map(m => m.doc_id -> m).toMap
+    val p = out(1L)
+    assert(p.container === "png")
+    assert((p.width, p.height) === ((Some(5), Some(4))))       // header parse
+    assert((p.px_width, p.px_height) === ((Some(5), Some(4)))) // decoded raster
+    assert(p.rgb_sum === Some(expected))
+    val j = out(2L)
+    assert(j.container === "jpeg")
+    assert((j.px_width, j.px_height) === ((j.width, j.height))) // raster == SOF walk
+    assert(j.rgb_sum.isDefined) // lossy: decodable, not analytically predictable
+    val v = out(3L)
+    assert(v.container === "unknown" && v.px_width.isEmpty && v.rgb_sum.isEmpty)
+  }
+
   test("WAV header decode on genuine JDK audio-encoder output") {
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
     def wavOf(rate: Float, bits: Int, ch: Int): Array[Byte] = {
