@@ -663,6 +663,78 @@ object Similarity {
     else base
   }
 
+  /** Build and persist an IVF-PQ index — the steady-state layout a
+    * 100 TB vector corpus actually serves from: the inverted lists
+    * store `m`-byte PQ CODES, never raw vectors (that compression is
+    * IVF-PQ's point; the flat-vector [[writeIvfIndex]] layout is the
+    * exact-refine tier). Under `dir`:
+    *   centroids/  (cell_id, centroid)            — nCells rows
+    *   codebooks/  (subspace, code, centroid)     — m×ksub rows
+    *   meta/       (n_cells, m, ksub)             — one row, probe guard
+    *   cells_pq/   (neighbor_id, codes, cell_id)  — hive-partitioned by
+    *               cell, one file per cell (same clustered write as
+    *               [[writeIvfIndex]])
+    * The build fuses assignment and encoding into ONE corpus pass —
+    * both packs are single-row broadcasts, exactly [[ivfPqTopK]]'s
+    * inline list build. */
+  def writeIvfPqIndex(df: DataFrame, idCol: String, vecCol: String,
+      dir: String, nCells: Int, m: Int, ksub: Int): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cents = localize(ivfCentroids(df, idCol, vecCol, nCells))
+    val cb = pqCodebooks(df, idCol, vecCol, m, ksub) // localized inside
+    cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    cb.write.mode("overwrite").parquet(s"$dir/codebooks")
+    Seq((nCells, m, ksub)).toDF("n_cells", "m", "ksub")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    df.crossJoin(broadcast(packCentroids(cents)))
+      .crossJoin(broadcast(packCodebooks(cb)))
+      .select(col(idCol).as("neighbor_id"),
+        (-array_max(cellScores(col(vecCol))).getField("neg_id")).as("cell_id"),
+        pqCodesExpr(transform(col(vecCol), _.cast("double")), m, ksub)
+          .as("codes"))
+      .repartition(col("cell_id"))
+      .write.mode("overwrite").partitionBy("cell_id").parquet(s"$dir/cells_pq")
+  }
+
+  /** ADC top-k against a persisted IVF-PQ index: centroids and
+    * codebooks load (tiny), the probe fan-out and LUT build are
+    * map-side, and the candidate scan reads only the probed cells'
+    * CODE partitions — raw vectors are never touched (the index
+    * doesn't even store them). Matches [[ivfPqTopK]] inline results
+    * exactly over the same corpus (q104 == q98, the q72/q47
+    * persisted-vs-inline pattern). Fails loudly if (m, ksub) disagree
+    * with the build-time meta — a mismatch would otherwise mis-slice
+    * the packed codebook into silently-wrong LUTs. */
+  def ivfPqTopKFromIndex(spark: SparkSession, dir: String,
+      probes: DataFrame, idCol: String, vecCol: String, k: Int,
+      nProbe: Int, m: Int, ksub: Int): DataFrame = {
+    val meta = spark.read.parquet(s"$dir/meta")
+      .select("m", "ksub").head()
+    require(meta.getInt(0) == m && meta.getInt(1) == ksub,
+      s"index at $dir was built with m=${meta.getInt(0)} " +
+        s"ksub=${meta.getInt(1)}; probe asked for m=$m ksub=$ksub")
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val cb = spark.read.parquet(s"$dir/codebooks")
+    val pv = transform(col(vecCol), _.cast("double"))
+    val probed = ivfProbeCells(probes, idCol, vecCol, cents, nProbe)
+      .crossJoin(broadcast(packCodebooks(cb)))
+      .select(col(idCol).as("probe_id"), col("cell_id"),
+        pqLut(pv, m, ksub).as("__lut"))
+    // partition-column inference narrows cell_id — pin it back to long
+    val lists = spark.read.parquet(s"$dir/cells_pq")
+      .select(col("neighbor_id"), col("codes"),
+        col("cell_id").cast("long").as("cell_id"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    probed.join(lists, Seq("cell_id"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("score", round(pqAdc(m, ksub), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("probe_id", "neighbor_id", "score", "rank")
+  }
+
   /** [[graft.streaming.StreamingIvfIngest]]'s per-batch body: assign
     * `newVecs` against the PERSISTED centroids and land them under
     * `cells_inc/batch_id=N/cell_id=C` with dynamic partition overwrite —

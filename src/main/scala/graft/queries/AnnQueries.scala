@@ -96,6 +96,34 @@ object AnnQueries {
         SELECT probe_id, neighbor_id, sim, rank FROM s
         WHERE rank <= 3 ORDER BY probe_id, rank"""
 
+  /** Shared IVF-PQ oracle (probes vec_id < 20, nProbe = 2, k = 3):
+    * q47's assignment CTEs composed with q97's PQ CTEs. q98 (inline
+    * plan) and q104 (persisted index) intentionally verify against the
+    * byte-identical SQL — the ivfProbeSql pattern that already pins
+    * q47 vs q72. */
+  private val ivfPqSql = s"""
+        WITH $ivfCte,
+        probec AS (SELECT vec_id AS probe_id, cell_id FROM (
+                     SELECT vec_id, cell_id, row_number() OVER (
+                       PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS r
+                     FROM csim WHERE vec_id < 20) WHERE r <= 2),
+        $pqCte,
+        cand AS (SELECT p.probe_id, a.vec_id AS neighbor_id
+                 FROM probec p JOIN assigned a ON a.cell_id = p.cell_id
+                 WHERE a.vec_id <> p.probe_id),
+        score AS (SELECT c.probe_id, c.neighbor_id,
+                         round(sum(l.part), 4) AS score
+                  FROM cand c
+                  JOIN enc e ON e.vec_id = c.neighbor_id
+                  JOIN plut l ON l.probe_id = c.probe_id
+                             AND l.subspace = e.subspace AND l.code = e.code
+                  GROUP BY 1, 2)
+        SELECT probe_id, neighbor_id, score, rank FROM (
+          SELECT probe_id, neighbor_id, score, row_number() OVER (
+            PARTITION BY probe_id ORDER BY score DESC, neighbor_id) AS rank
+          FROM score)
+        WHERE rank <= 3 ORDER BY probe_id, rank"""
+
   val all: Seq[Q] = Seq(
     // ---------------------------------------------------------------
     // Similarity search: brute-force cosine top-k
@@ -397,29 +425,38 @@ object AnnQueries {
           m = 8, ksub = 16, k = 3)
           .orderBy("probe_id", "rank")
       },
-      Some(s"""
-        WITH $ivfCte,
-        probec AS (SELECT vec_id AS probe_id, cell_id FROM (
-                     SELECT vec_id, cell_id, row_number() OVER (
-                       PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS r
-                     FROM csim WHERE vec_id < 20) WHERE r <= 2),
-        $pqCte,
-        cand AS (SELECT p.probe_id, a.vec_id AS neighbor_id
-                 FROM probec p JOIN assigned a ON a.cell_id = p.cell_id
-                 WHERE a.vec_id <> p.probe_id),
-        score AS (SELECT c.probe_id, c.neighbor_id,
-                         round(sum(l.part), 4) AS score
-                  FROM cand c
-                  JOIN enc e ON e.vec_id = c.neighbor_id
-                  JOIN plut l ON l.probe_id = c.probe_id
-                             AND l.subspace = e.subspace AND l.code = e.code
-                  GROUP BY 1, 2)
-        SELECT probe_id, neighbor_id, score, rank FROM (
-          SELECT probe_id, neighbor_id, score, row_number() OVER (
-            PARTITION BY probe_id ORDER BY score DESC, neighbor_id) AS rank
-          FROM score)
-        WHERE rank <= 3 ORDER BY probe_id, rank"""),
+      Some(ivfPqSql),
       "IVF-PQ: compressed inverted lists, probe touches nProbe cells only"),
+
+    // ---------------------------------------------------------------
+    // Persisted IVF-PQ index: the q72 lifecycle at the q98 layout —
+    // codes live IN the cell partitions; a probe reads centroids +
+    // codebooks (tiny) and only its probed cells' code partitions.
+    // Raw vectors are never stored, never read. Same byte-identical
+    // oracle as q98: persisted == inline.
+    // ---------------------------------------------------------------
+    Q("q104_ivf_pq_index_probe",
+      (s, dir) => {
+        // memo key = sanitized dir + source-table mtime (the q72
+        // discipline): a regenerated embeddings.parquet forces a
+        // rebuild instead of silently probing a stale index
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val stamp = new java.io.File(dir, "embeddings.parquet").lastModified()
+        val idx = new java.io.File(
+          new java.io.File(sys.props("user.dir"), "target"),
+          s"graft_ivfpq_idx_${tag}_$stamp").getAbsolutePath
+        ExtensionQueries.synchronized {
+          if (!new java.io.File(s"$idx/cells_pq/_SUCCESS").exists())
+            Similarity.writeIvfPqIndex(Tables(s, dir, "embeddings"),
+              "vec_id", "embedding", idx, nCells = 16, m = 8, ksub = 16)
+        }
+        Similarity.ivfPqTopKFromIndex(s, idx,
+            Tables(s, dir, "embeddings").filter(col("vec_id") < 20),
+            "vec_id", "embedding", k = 3, nProbe = 2, m = 8, ksub = 16)
+          .orderBy("probe_id", "rank")
+      },
+      Some(ivfPqSql),
+      "persisted IVF-PQ index probe == inline IVF-PQ; raw vectors never stored"),
 
     // ---------------------------------------------------------------
     // Residual IVF-PQ (classical FAISS encoding): PQ codes quantize

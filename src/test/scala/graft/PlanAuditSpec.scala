@@ -33,6 +33,7 @@ class PlanAuditSpec extends SparkSpec {
     "q97_pq_adc_topk" -> "packed-codebook single row + fixed-probe broadcast, the q35/q47 shapes",
     "q102_training_manifest" -> "inherits q92's crossJoin(broadcast(sum of source weights)) single-row aggregate",
     "q98_ivf_pq_topk" -> "packed centroids + packed codebooks, both single-row broadcasts; candidates join on cell_id",
+    "q104_ivf_pq_index_probe" -> "q98's single-row packed centroid/codebook broadcasts, loaded from the persisted index (nCells / m x ksub rows before packing); candidates join on cell_id",
     "q99_ivf_pq_residual" -> "same single-row centroid/codebook broadcasts as q98, plus residual subtraction map-side",
     "q96_semantic_dedup" -> "same single-row packed-centroid assignment as q47; pair stage is a cell equi-join")
 

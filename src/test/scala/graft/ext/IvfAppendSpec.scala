@@ -16,6 +16,31 @@ class IvfAppendSpec extends SparkSpec {
 
   private val base = (0L until 60L).map(i => mk(i, i.toInt))
 
+  test("persisted IVF-PQ index probe == inline IVF-PQ; meta mismatch fails loudly") {
+    val dir = Files.createTempDirectory("graft-ivfpq").toString
+    val corpus = df(base)
+    val probes = corpus.filter(col("vec_id") < 5)
+    Similarity.writeIvfPqIndex(corpus, "vec_id", "embedding", dir,
+      nCells = 8, m = 4, ksub = 8)
+    // the index stores codes only — no raw vector column anywhere
+    val cellsSchema = spark.read.parquet(s"$dir/cells_pq").schema.fieldNames.toSet
+    assert(cellsSchema === Set("neighbor_id", "codes", "cell_id"))
+    val persisted = rowsOf(Similarity.ivfPqTopKFromIndex(spark, dir, probes,
+      "vec_id", "embedding", k = 3, nProbe = 2, m = 4, ksub = 8)
+      .orderBy("probe_id", "rank"))
+    val inline = rowsOf(Similarity.ivfPqTopK(corpus, probes,
+      "vec_id", "embedding", nCells = 8, nProbe = 2, m = 4, ksub = 8, k = 3)
+      .orderBy("probe_id", "rank"))
+    assert(persisted === inline)
+    assert(persisted.nonEmpty)
+    // probing with the wrong PQ shape must fail, not mis-score
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopKFromIndex(spark, dir, probes,
+        "vec_id", "embedding", k = 3, nProbe = 2, m = 8, ksub = 16)
+    }
+    assert(ex.getMessage.contains("built with m=4"))
+  }
+
   test("appended vectors are probe-reachable; base results are unchanged") {
     val dir = Files.createTempDirectory("graft-ivf-append").toString
     Similarity.writeIvfIndex(df(base), "vec_id", "embedding", dir, nCells = 8)
