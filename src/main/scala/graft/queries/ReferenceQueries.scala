@@ -1069,6 +1069,45 @@ object ReferenceQueries {
                strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
                round(sum(value), 2) AS sum_value
         FROM events GROUP BY 1 ORDER BY 1"""),
-      "JSON write+read == parquet oracle: source-format fidelity check")
+      "JSON write+read == parquet oracle: source-format fidelity check"),
+
+    // ---------------------------------------------------------------
+    // Avro source/sink fidelity, completing the format matrix
+    // (csv=q44, parquet=everything, orc=q88, json=q95). Spark 4 ships
+    // the full Avro FileFormat inside spark-sql but does NOT register
+    // the `avro` short name on this classpath — the fully-qualified
+    // class is the supported spelling (AvroProbeSpec pins both
+    // directions). Same aggregate + oracle as q88/q95: a green row
+    // proves write+read fidelity for longs, strings, doubles and
+    // timestamps through Avro's logical types.
+    // ---------------------------------------------------------------
+    Q("q105_avro_roundtrip",
+      (s, dir) => {
+        val avroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val stamp = new java.io.File(dir, "events.parquet").lastModified()
+        val avroDir = new java.io.File(
+          new java.io.File(sys.props("user.dir"), "target"),
+          s"graft_avro_events_${tag}_$stamp").getAbsolutePath
+        ReferenceQueries.synchronized {
+          if (!new java.io.File(s"$avroDir/_SUCCESS").exists())
+            events(s, dir).write.format(avroFmt).mode("overwrite").save(avroDir)
+        }
+        s.read.format(avroFmt).load(avroDir)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("n_users"),
+            date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("first_ts"),
+            date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
+            round(sum(col("value")), 2).as("sum_value"))
+          .orderBy("event_type")
+      },
+      Some("""
+        SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+               strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
+               round(sum(value), 2) AS sum_value
+        FROM events GROUP BY 1 ORDER BY 1"""),
+      "Avro write+read == parquet oracle: source-format fidelity check")
   )
 }
