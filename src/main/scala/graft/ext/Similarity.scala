@@ -331,11 +331,23 @@ object Similarity {
     * the centroid term is exact (one tiny lookup per probed cell), the
     * residual term is the same ADC LUT as [[pqTopK]] built over the
     * residual codebooks. Same plan shape as [[ivfPqTopK]]: everything
-    * map-side except the candidate cell equi-join. */
+    * map-side except the candidate cell equi-join.
+    *
+    * `centroids` defaults to the deterministic seed sample — but note
+    * that residual coding's premise (residuals concentrate near the
+    * origin) FAILS for sampled corpus-point centroids on normalized
+    * embeddings: mean residual norm is sqrt(2 − 2·cos(v, c)) ≈ 1.24 on
+    * the unit-norm test embeddings, i.e. residuals are LARGER than the
+    * vectors, and measured recall@10 drops to 0.024 vs direct IVF-PQ's
+    * 0.122 (RecallSweep, sf0.1). Pass [[ivfRefine]] output (cell
+    * means, mean residual norm ≈ 0.97) to restore the classical
+    * ordering — refined-residual measures 0.138, beating direct.
+    * SCALING.md carries the full sweep. */
   def ivfPqResidualTopK(df: DataFrame, probes: DataFrame, idCol: String,
       vecCol: String, nCells: Int, nProbe: Int, m: Int, ksub: Int,
-      k: Int): DataFrame = {
-    val cents = localize(ivfCentroids(df, idCol, vecCol, nCells))
+      k: Int, centroids: Option[DataFrame] = None): DataFrame = {
+    val cents = localize(
+      centroids.getOrElse(ivfCentroids(df, idCol, vecCol, nCells)))
     val resid = ivfAssign(df, idCol, vecCol, cents)
       .join(broadcast(cents), "cell_id")
       .select(col(idCol), col("cell_id"),

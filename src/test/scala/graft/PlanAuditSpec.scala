@@ -35,6 +35,7 @@ class PlanAuditSpec extends SparkSpec {
     "q98_ivf_pq_topk" -> "packed centroids + packed codebooks, both single-row broadcasts; candidates join on cell_id",
     "q104_ivf_pq_index_probe" -> "q98's single-row packed centroid/codebook broadcasts, loaded from the persisted index (nCells / m x ksub rows before packing); candidates join on cell_id",
     "q99_ivf_pq_residual" -> "same single-row centroid/codebook broadcasts as q98, plus residual subtraction map-side",
+    "q106_ivf_pq_residual_refined" -> "q99's single-row centroid/codebook broadcasts, centroids Lloyd-refined (localized nCells rows)",
     "q96_semantic_dedup" -> "same single-row packed-centroid assignment as q47; pair stage is a cell equi-join")
 
   test("no registered query plans a CartesianProduct or an unjustified nested-loop join") {
