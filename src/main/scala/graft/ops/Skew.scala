@@ -17,6 +17,13 @@ import org.apache.spark.sql.functions._
   * Result equivalence to the unsalted join is exact: every large-side
   * row meets every matching small-side row in exactly one salt bucket
   * (its own), and the replicated small side covers all buckets.
+  *
+  * Measured on a Zipf(α≈1)-skewed clone (graft.SkewBench over
+  * ScaleClone --zipf; table in SCALING.md): both mitigations stay
+  * sublinear to 30× data where the naive join's runs scatter; AQE's
+  * runtime split is the cheapest when it applies, salting tracks
+  * linear while paying its nSalts× small-side replication — use it
+  * for the AQE-can't-rewrite cases above, not as the default.
   */
 object Skew {
 
