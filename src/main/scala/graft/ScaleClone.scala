@@ -39,12 +39,13 @@ object ScaleClone {
       (tweak: (DataFrame, Int) => DataFrame): DataFrame =
     (0 until copies).map(i => tweak(df, i)).reduce(_.unionByName(_))
 
-  /** Zipf(α≈1) rank in [1, maxRank] from a uniform hash: rank =
-    * floor(maxRank^u) has P(rank = r) = log((r+1)/r)/log(maxRank)
-    * ∝ ~1/r — the log-uniform construction. Deterministic: u comes
-    * from xxhash64 of the seed columns. */
-  private def zipfRank(maxRank: Int, seed: Column*): Column =
-    floor(pow(lit(maxRank),
+  /** Zipf(α≈1) rank in [1, bound) — bound itself is never produced
+    * (u < 1 so floor(bound^u) ≤ bound − 1): rank = floor(bound^u) has
+    * P(rank = r) = log((r+1)/r)/log(bound) ∝ ~1/r — the log-uniform
+    * construction. Deterministic: u comes from xxhash64 of the seed
+    * columns. */
+  private def zipfRank(bound: Int, seed: Column*): Column =
+    floor(pow(lit(bound),
       (pmod(xxhash64(seed: _*), lit(1000000L)) / lit(1000000.0)))).cast("long")
 
   /** True for ~the given percent of rows, keyed by the seed columns. */
@@ -75,7 +76,7 @@ object ScaleClone {
       // straggler shape.
       else shifted.withColumn("user_id",
         when(hashPct(50, col("event_id"), lit("evsel")),
-          zipfRank(1000, col("event_id"), lit("evrank")))
+          zipfRank(1001, col("event_id"), lit("evrank")))
           .otherwise(col("user_id")))
     }.write.mode("overwrite").parquet(s"$out/events.parquet")
 
@@ -90,9 +91,12 @@ object ScaleClone {
           transform(sequence(lit(0), lit(15)), j =>
             concat(lit("ztok"),
               zipfRank(20000, col("doc_id"), j, lit("doctok")).cast("string")))))
+      // n_chars BEFORE text: both expressions reference col("text"),
+      // so assigning text first would make length(t) see the already-
+      // rewritten column and double-apply the prefix/tail
       d.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
-        .withColumn("text", t)
         .withColumn("n_chars", length(t).cast("long"))
+        .withColumn("text", t)
     }.write.mode("overwrite").parquet(s"$out/documents.parquet")
 
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
@@ -117,7 +121,7 @@ object ScaleClone {
         val shifted = col("l_orderkey") + lit(i * 1000000000L)
         d.withColumn("l_orderkey",
           when(hashPct(50, col("l_orderkey"), col("l_linenumber"), lit(i), lit("lisel")),
-            element_at(hot, zipfRank(64,
+            element_at(hot, zipfRank(65,
               col("l_orderkey"), col("l_linenumber"), lit(i), lit("lirank")).cast("int")))
             .otherwise(shifted))
       }.write.mode("overwrite").parquet(s"$out/lineitem.parquet")

@@ -35,8 +35,12 @@ object SkewBench {
       val times = (1 to n).map { _ =>
         val t0 = System.nanoTime()
         mk.write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        // between-runs cache drop stays OUTSIDE the timed window (the
+        // Bench.scala discipline), so persisting queries aren't charged
+        // their unpersist cost
         spark.catalog.clearCache()
-        (System.nanoTime() - t0) / 1e9
+        dt
       }
       println(f"SKEWBENCH $label%-24s min ${times.min}%6.2f  " +
         f"runs ${times.map(t => f"$t%6.2f").mkString(" ")}")

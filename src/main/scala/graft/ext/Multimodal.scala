@@ -242,6 +242,10 @@ object Multimodal {
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
+    // same rationale as decodePixels: ImageIO's default stream cache is
+    // a temp FILE per write — an in-memory encode must not pay disk I/O
+    // (the flag is JVM-global but idempotent)
+    javax.imageio.ImageIO.setUseCache(false)
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
   }
@@ -279,7 +283,11 @@ object Multimodal {
           else "unknown"
         val img =
           try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b)))
-          catch { case _: java.io.IOException => None }
+          // NonFatal, not just IOException: JDK codecs throw
+          // ArrayIndexOutOfBounds/IllegalArgument on some malformed
+          // payloads, and the contract is null pixel fields — not a
+          // dead task — for anything undecodable
+          catch { case scala.util.control.NonFatal(_) => None }
         val sum = img.map { i =>
           var s = 0L
           var y = 0

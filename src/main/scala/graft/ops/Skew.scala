@@ -19,11 +19,13 @@ import org.apache.spark.sql.functions._
   * (its own), and the replicated small side covers all buckets.
   *
   * Measured on a Zipf(α≈1)-skewed clone (graft.SkewBench over
-  * ScaleClone --zipf; table in SCALING.md): both mitigations stay
-  * sublinear to 30× data where the naive join's runs scatter; AQE's
-  * runtime split is the cheapest when it applies, salting tracks
-  * linear while paying its nSalts× small-side replication — use it
-  * for the AQE-can't-rewrite cases above, not as the default.
+  * ScaleClone --zipf; table in SCALING.md): AQE's runtime split is
+  * the cheapest mitigation whenever it applies (tight run-time band
+  * where the naive join's runs scatter), while salting's cost grows
+  * with the REPLICATED side — free when that side is small and fixed,
+  * 2× the naive join at 30× data when it scales with the corpus. Salt
+  * for the AQE-can't-rewrite cases above with a genuinely small
+  * replicated side; never as the default.
   */
 object Skew {
 
