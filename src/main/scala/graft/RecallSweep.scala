@@ -66,6 +66,17 @@ object RecallSweep {
       row("flat PQ (q97)", s"m=$m ksub=16", s"$m", r)
     }
 
+    // Trained PQ (q107 path): one Lloyd step per subspace over the
+    // sampled codebooks — measures what refinement buys at equal bytes.
+    for (m <- Seq(4, 8, 16)) {
+      val cb0 = Similarity.pqCodebooks(emb, "vec_id", "embedding", m, 16)
+      val cb = Similarity.pqRefineCodebooks(emb, "vec_id", "embedding", cb0, m, 16)
+      val codes = Similarity.pqEncode(emb, "vec_id", "embedding", cb, m, 16)
+      val r = recall(Similarity.pqTopK(codes, probes, "vec_id", "embedding",
+        cb, m, 16, k))
+      row("trained PQ (q107)", s"m=$m ksub=16 +1 Lloyd", s"$m", r)
+    }
+
     // IVF-Flat (q47 path): exact cosine within probed cells; recall
     // loss is pure cell miss, isolating the nProbe knob.
     for (nProbe <- Seq(1, 2, 4, 8)) {

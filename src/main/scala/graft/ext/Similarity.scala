@@ -167,6 +167,49 @@ object Similarity {
         col("sc.centroid").as("centroid")))
   }
 
+  /** One Lloyd refinement step over PQ codebooks — the [[ivfRefine]]
+    * move applied per subspace: every vector's subvector j is assigned
+    * to its current argmin code (the [[pqEncode]] rule), and each
+    * (subspace, code) centroid becomes the element-wise mean of its
+    * members, components rounded to 6 decimals. Codes that lost all
+    * members keep their original centroid so the codebook stays the
+    * full m×ksub grid [[pqEncode]]'s consumed guard requires. One
+    * map-side corpus pass (broadcast codebooks, explode to dim rows
+    * per vector) + one groupBy shuffle — the q48 shape.
+    *
+    * Motivation is measured, not argued: hash-sampled codebooks bound
+    * flat-PQ recall@10 at 0.113 (m=8) on the sf0.1 embeddings; one
+    * refinement step lifts it (RecallSweep table in SCALING.md, q107
+    * pins the refined path end-to-end). */
+  def pqRefineCodebooks(df: DataFrame, idCol: String, vecCol: String,
+      codebooks: DataFrame, m: Int, ksub: Int): DataFrame = {
+    val v = transform(col(vecCol), _.cast("double"))
+    val dsub = (size(col("__v")) / lit(m)).cast("int")
+    val members = df.crossJoin(broadcast(packCodebooks(codebooks)))
+      // materialize codes/doubles once per row: referencing the argmin
+      // expression inside the per-subspace transform would re-run the
+      // whole m×ksub distance scan m times
+      .withColumn("__v", v)
+      .withColumn("__codes", pqCodesExpr(col("__v"), m, ksub))
+      .select(explode(transform(sequence(lit(0), lit(m - 1)), j =>
+        struct(j.as("subspace"),
+          element_at(col("__codes"), (j + 1).cast("int")).as("code"),
+          slice(col("__v"), j * dsub + 1, dsub).as("sv")))).as("e"))
+      .select(col("e.subspace").as("subspace"), col("e.code").as("code"),
+        posexplode(col("e.sv")).as(Seq("i", "x")))
+    val refined = members
+      .groupBy("subspace", "code", "i")
+      .agg(round(avg(col("x")), 6).as("x"))
+      .groupBy("subspace", "code")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("x")))),
+        e => e.getField("x")).as("centroid"))
+    localize(codebooks
+      .select(col("subspace"), col("code"), col("centroid").as("__c0"))
+      .join(refined, Seq("subspace", "code"), "left")
+      .select(col("subspace"), col("code"),
+        coalesce(col("centroid"), col("__c0")).as("centroid")))
+  }
+
   /** Codebooks packed into one broadcastable row, ordered by
     * (subspace, code) so `element_at(cents, subspace*ksub + code + 1)`
     * is the lookup. */

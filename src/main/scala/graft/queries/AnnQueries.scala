@@ -615,6 +615,67 @@ object AnnQueries {
             PARTITION BY probe_id ORDER BY score DESC, neighbor_id) AS rank
           FROM score)
         WHERE rank <= 3 ORDER BY probe_id, rank"""),
-      "residual IVF-PQ over Lloyd-refined cells: residuals concentrate, recall recovers")
+      "residual IVF-PQ over Lloyd-refined cells: residuals concentrate, recall recovers"),
+
+    // ---------------------------------------------------------------
+    // Trained flat PQ: one Lloyd refinement step per SUBSPACE over the
+    // sampled codebooks (the q48 move applied to PQ), then encode and
+    // ADC-score with the refined grid. Sampled codebooks bound flat-PQ
+    // recall@10 at 0.113 (m=8, sf0.1); one step lifts it to 0.131, and
+    // 0.256 to 0.300 at m=16 (RecallSweep, SCALING.md — ~17% per step
+    // on near-uniform data; more on clustered corpora). Codes that
+    // lost all members keep
+    // their seed centroid so the m×ksub grid stays complete. Oracle:
+    // q97's CTEs + avg-per-(subspace, code, component) + re-encode.
+    // ---------------------------------------------------------------
+    Q("q107_pq_trained_topk",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val cb0 = Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 8, ksub = 16)
+        val cb = Similarity.pqRefineCodebooks(emb, "vec_id", "embedding",
+          cb0, m = 8, ksub = 16)
+        val codes = Similarity.pqEncode(emb, "vec_id", "embedding", cb, m = 8, ksub = 16)
+        Similarity.pqTopK(codes, emb.filter(col("vec_id") < 20),
+          "vec_id", "embedding", cb, m = 8, ksub = 16, k = 3)
+          .orderBy("probe_id", "rank")
+      },
+      Some(s"""
+        WITH $pqCte,
+        memb AS (SELECT e.vec_id, e.subspace, e.code,
+                        generate_subscripts(s.sv, 1) AS i, unnest(s.sv) AS x
+                 FROM enc e JOIN sub s
+                   ON s.vec_id = e.vec_id AND s.subspace = e.subspace),
+        ravg AS (SELECT subspace, code, i, round(avg(x), 6) AS x
+                 FROM memb GROUP BY 1, 2, 3),
+        rgrid AS (SELECT subspace, code, list(x ORDER BY i) AS centroid
+                  FROM ravg GROUP BY 1, 2),
+        rcb AS (SELECT c.subspace, c.code,
+                       coalesce(g.centroid, c.centroid) AS centroid
+                FROM cb c LEFT JOIN rgrid g USING (subspace, code)),
+        rdist AS (SELECT s.vec_id, s.subspace, c.code,
+                         round(list_sum([(s.sv[t::INT] - c.centroid[t::INT])
+                                         * (s.sv[t::INT] - c.centroid[t::INT])
+                                         for t in range(1, 9)]), 4) AS d
+                  FROM sub s JOIN rcb c USING (subspace)),
+        renc AS (SELECT vec_id, subspace, code FROM (
+                   SELECT vec_id, subspace, code, row_number() OVER (
+                     PARTITION BY vec_id, subspace ORDER BY d, code) AS r
+                   FROM rdist) WHERE r = 1),
+        rplut AS (SELECT p.vec_id AS probe_id, c.subspace, c.code,
+                         round(list_sum([p.sv[t::INT] * c.centroid[t::INT]
+                                         for t in range(1, 9)]), 4) AS part
+                  FROM sub p JOIN rcb c USING (subspace) WHERE p.vec_id < 20),
+        score AS (SELECT l.probe_id, e.vec_id AS neighbor_id,
+                         round(sum(l.part), 4) AS score
+                  FROM renc e
+                  JOIN rplut l ON l.subspace = e.subspace AND l.code = e.code
+                  WHERE e.vec_id <> l.probe_id
+                  GROUP BY 1, 2)
+        SELECT probe_id, neighbor_id, score, rank FROM (
+          SELECT probe_id, neighbor_id, score, row_number() OVER (
+            PARTITION BY probe_id ORDER BY score DESC, neighbor_id) AS rank
+          FROM score)
+        WHERE rank <= 3 ORDER BY probe_id, rank"""),
+      "trained PQ: one Lloyd step per subspace over the sampled codebooks, then ADC")
   )
 }
