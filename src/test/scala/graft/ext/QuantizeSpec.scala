@@ -92,6 +92,30 @@ class QuantizeSpec extends SparkSpec {
     assert(top == Seq((1L, 100.0), (4L, 11.0), (2L, 10.0), (3L, 0.0)))
   }
 
+  test("pqRefineCodebooks: refined centroid is the member mean; empty codes keep their seed") {
+    import spark.implicits._
+    // dim 2, m=1, ksub=2: all three vectors are nearer code 0 ([0,0])
+    // than code 1 ([100,100]), so code 0's refined centroid is their
+    // mean and code 1 — memberless — must keep its seed entry so the
+    // grid stays complete for pqEncode's consumed guard.
+    val corpus = df(Seq(
+      Vec(1, Seq(0f, 0f)), Vec(2, Seq(2f, 0f)), Vec(3, Seq(4f, 0f))))
+    val cb0 = Seq((0, 0, Seq(0.0, 0.0)), (0, 1, Seq(100.0, 100.0)))
+      .toDF("subspace", "code", "centroid")
+    val refined = Similarity.pqRefineCodebooks(
+        corpus, "vec_id", "embedding", cb0, m = 1, ksub = 2)
+      .orderBy("subspace", "code")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
+    assert(refined.toSeq == Seq(
+      (0, 0, Seq(2.0, 0.0)),       // mean of [0,0],[2,0],[4,0]
+      (0, 1, Seq(100.0, 100.0)))) // no members -> seed preserved
+    // the refined grid still encodes (guard satisfied), all to code 0
+    val codes = Similarity.pqEncode(corpus, "vec_id", "embedding",
+      Seq((0, 0, Seq(2.0, 0.0)), (0, 1, Seq(100.0, 100.0)))
+        .toDF("subspace", "code", "centroid"), m = 1, ksub = 2)
+    assert(codes.select("codes").collect().forall(_.getSeq[Int](0) == Seq(0)))
+  }
+
   test("residual IVF-PQ recovers exact dots when every residual is a codebook entry") {
     // ksub == corpus size: every residual is sampled into the codebook,
     // so codes are exact and score = probe.centroid + probe.residual
