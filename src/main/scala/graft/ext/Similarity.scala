@@ -740,7 +740,7 @@ object Similarity {
     val cb = pqCodebooks(df, idCol, vecCol, m, ksub) // localized inside
     cents.write.mode("overwrite").parquet(s"$dir/centroids")
     cb.write.mode("overwrite").parquet(s"$dir/codebooks")
-    Seq((nCells, m, ksub)).toDF("n_cells", "m", "ksub")
+    Seq((nCells, m, ksub, "direct")).toDF("n_cells", "m", "ksub", "encoding")
       .write.mode("overwrite").parquet(s"$dir/meta")
     df.crossJoin(broadcast(packCentroids(cents)))
       .crossJoin(broadcast(packCodebooks(cb)))
@@ -764,11 +764,7 @@ object Similarity {
   def ivfPqTopKFromIndex(spark: SparkSession, dir: String,
       probes: DataFrame, idCol: String, vecCol: String, k: Int,
       nProbe: Int, m: Int, ksub: Int): DataFrame = {
-    val meta = spark.read.parquet(s"$dir/meta")
-      .select("m", "ksub").head()
-    require(meta.getInt(0) == m && meta.getInt(1) == ksub,
-      s"index at $dir was built with m=${meta.getInt(0)} " +
-        s"ksub=${meta.getInt(1)}; probe asked for m=$m ksub=$ksub")
+    requireIndexShape(spark, dir, m, ksub, "direct")
     val cents = spark.read.parquet(s"$dir/centroids")
     val cb = spark.read.parquet(s"$dir/codebooks")
     val pv = transform(col(vecCol), _.cast("double"))
@@ -785,6 +781,89 @@ object Similarity {
     probed.join(lists, Seq("cell_id"))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .withColumn("score", round(pqAdc(m, ksub), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("probe_id", "neighbor_id", "score", "rank")
+  }
+
+  /** Meta guard shared by the persisted-index probes: (m, ksub) must
+    * match the build — a mismatch would mis-slice the packed codebook
+    * into silently-wrong LUTs — and the ENCODING must match the
+    * prober, because direct and residual codes are byte-compatible but
+    * semantically disjoint (a direct probe over residual codes scores
+    * dot(p, r̂) as if it were dot(p, v̂) — plausible numbers, wrong
+    * ranking). Indexes written before the encoding column existed are
+    * read as "direct". */
+  private def requireIndexShape(spark: SparkSession, dir: String,
+      m: Int, ksub: Int, encoding: String): Unit = {
+    val metaDf = spark.read.parquet(s"$dir/meta")
+    val meta = metaDf.select("m", "ksub").head()
+    require(meta.getInt(0) == m && meta.getInt(1) == ksub,
+      s"index at $dir was built with m=${meta.getInt(0)} " +
+        s"ksub=${meta.getInt(1)}; probe asked for m=$m ksub=$ksub")
+    val enc = if (metaDf.columns.contains("encoding"))
+      metaDf.select("encoding").head().getString(0) else "direct"
+    require(enc == encoding,
+      s"index at $dir holds $enc-encoded codes; this probe scores $encoding codes")
+  }
+
+  /** The [[writeIvfPqIndex]] lifecycle for RESIDUAL coding over
+    * caller-supplied (typically [[ivfRefine]]d) centroids — the
+    * classical FAISS production layout: cells_pq partitions hold
+    * m-byte codes of `v − centroid(cell(v))`, codebooks are sampled
+    * from the residuals, raw vectors are never stored. Pass refined
+    * centroids: sampled corpus-point centroids invert residual
+    * coding's premise (see [[ivfPqResidualTopK]]). */
+  def writeIvfPqResidualIndex(df: DataFrame, idCol: String, vecCol: String,
+      dir: String, nCells: Int, m: Int, ksub: Int,
+      centroids: Option[DataFrame] = None): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cents = localize(
+      centroids.getOrElse(ivfCentroids(df, idCol, vecCol, nCells)))
+    val resid = ivfAssign(df, idCol, vecCol, cents)
+      .join(broadcast(cents), "cell_id")
+      .select(col(idCol), col("cell_id"),
+        zip_with(transform(col(vecCol), _.cast("double")), col("centroid"),
+          (x, y) => x - y).as("__res"))
+    val rcb = pqCodebooks(resid, idCol, "__res", m, ksub)
+    cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    rcb.write.mode("overwrite").parquet(s"$dir/codebooks")
+    Seq((nCells, m, ksub, "residual")).toDF("n_cells", "m", "ksub", "encoding")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    resid.crossJoin(broadcast(packCodebooks(rcb)))
+      .select(col(idCol).as("neighbor_id"), col("cell_id"),
+        pqCodesExpr(col("__res"), m, ksub).as("codes"))
+      .repartition(col("cell_id"))
+      .write.mode("overwrite").partitionBy("cell_id").parquet(s"$dir/cells_pq")
+  }
+
+  /** Residual ADC top-k against a [[writeIvfPqResidualIndex]] index:
+    * same probe shape as [[ivfPqTopKFromIndex]] plus the exact
+    * probe·centroid term per probed cell ([[ivfPqResidualTopK]]'s
+    * decomposition). Matches the inline refined-residual plan exactly
+    * over the same corpus (q108 == q106, the q72/q104 pattern). */
+  def ivfPqResidualTopKFromIndex(spark: SparkSession, dir: String,
+      probes: DataFrame, idCol: String, vecCol: String, k: Int,
+      nProbe: Int, m: Int, ksub: Int): DataFrame = {
+    requireIndexShape(spark, dir, m, ksub, "residual")
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val rcb = spark.read.parquet(s"$dir/codebooks")
+    val pv = transform(col(vecCol), _.cast("double"))
+    val probed = ivfProbeCells(probes, idCol, vecCol, cents, nProbe)
+      .join(broadcast(cents), "cell_id")
+      .crossJoin(broadcast(packCodebooks(rcb)))
+      .select(col(idCol).as("probe_id"), col("cell_id"),
+        round(dot(pv, col("centroid")), 4).as("__cdot"),
+        pqLut(pv, m, ksub).as("__lut"))
+    val lists = spark.read.parquet(s"$dir/cells_pq")
+      .select(col("neighbor_id"), col("codes"),
+        col("cell_id").cast("long").as("cell_id"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    probed.join(lists, Seq("cell_id"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("score", round(col("__cdot") + pqAdc(m, ksub), 4))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("probe_id", "neighbor_id", "score", "rank")

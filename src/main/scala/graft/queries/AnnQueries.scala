@@ -124,6 +124,78 @@ object AnnQueries {
           FROM score)
         WHERE rank <= 3 ORDER BY probe_id, rank"""
 
+  /** Shared refined-residual IVF-PQ oracle (probes vec_id < 20,
+    * nProbe = 2, m = 8, ksub = 16, k = 3): ivfCte's seed assignment +
+    * q48's Lloyd CTE + re-assignment against the refined cells + the
+    * q99 residual tail over them. q106 (inline plan) and q108
+    * (persisted index) intentionally verify against the byte-identical
+    * SQL — the ivfProbeSql/ivfPqSql pattern. */
+  private val refinedResidualSql = s"""
+        WITH $ivfCte,
+        rc AS (SELECT a.cell_id, v.i, round(avg(v.x), 6) AS x
+               FROM assigned a JOIN v ON v.vec_id = a.vec_id GROUP BY 1, 2),
+        rcn AS (SELECT cell_id, sqrt(sum(x * x)) AS nrm FROM rc GROUP BY cell_id),
+        rdot AS (SELECT v.vec_id, c.cell_id, sum(v.x * c.x) AS dot
+                 FROM v JOIN rc c ON c.i = v.i GROUP BY 1, 2),
+        rsim AS (SELECT d.vec_id, d.cell_id,
+                        round(d.dot / (n.nrm * rn.nrm), 4) AS sim
+                 FROM rdot d
+                 JOIN n ON n.vec_id = d.vec_id
+                 JOIN rcn rn ON rn.cell_id = d.cell_id),
+        rassigned AS (SELECT vec_id, cell_id FROM (
+                        SELECT vec_id, cell_id, row_number() OVER (
+                          PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS r
+                        FROM rsim) WHERE r = 1),
+        rprobec AS (SELECT vec_id AS probe_id, cell_id FROM (
+                      SELECT vec_id, cell_id, row_number() OVER (
+                        PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS r
+                      FROM rsim WHERE vec_id < 20) WHERE r <= 2),
+        $pqCte,
+        cvec AS (SELECT cell_id, list(x ORDER BY i) AS cev FROM rc GROUP BY cell_id),
+        csub AS (SELECT cell_id, j.range AS subspace,
+                        cev[(j.range * 8 + 1)::INT:(j.range * 8 + 8)::INT] AS cs
+                 FROM cvec, range(0, 8) j),
+        rsub AS (SELECT s.vec_id, s.subspace,
+                        [s.sv[t::INT] - c.cs[t::INT] for t in range(1, 9)] AS rv
+                 FROM sub s
+                 JOIN rassigned a ON a.vec_id = s.vec_id
+                 JOIN csub c ON c.cell_id = a.cell_id AND c.subspace = s.subspace),
+        rcb AS (SELECT r.subspace, sm.code, r.rv AS centroid
+                FROM rsub r JOIN samp sm ON sm.vec_id = r.vec_id),
+        rdist AS (SELECT r.vec_id, r.subspace, c.code,
+                         round(list_sum([(r.rv[t::INT] - c.centroid[t::INT])
+                                         * (r.rv[t::INT] - c.centroid[t::INT])
+                                         for t in range(1, 9)]), 4) AS d
+                  FROM rsub r JOIN rcb c USING (subspace)),
+        renc AS (SELECT vec_id, subspace, code FROM (
+                   SELECT vec_id, subspace, code, row_number() OVER (
+                     PARTITION BY vec_id, subspace ORDER BY d, code) AS r
+                   FROM rdist) WHERE r = 1),
+        rplut AS (SELECT p.vec_id AS probe_id, c.subspace, c.code,
+                         round(list_sum([p.sv[t::INT] * c.centroid[t::INT]
+                                         for t in range(1, 9)]), 4) AS part
+                  FROM sub p JOIN rcb c USING (subspace) WHERE p.vec_id < 20),
+        cdotc AS (SELECT pv.vec_id AS probe_id, c.cell_id,
+                         round(sum(pv.x * c.x), 4) AS cd
+                  FROM v pv JOIN rc c ON c.i = pv.i
+                  WHERE pv.vec_id < 20 GROUP BY 1, 2),
+        cand AS (SELECT p.probe_id, p.cell_id, a.vec_id AS neighbor_id
+                 FROM rprobec p JOIN rassigned a ON a.cell_id = p.cell_id
+                 WHERE a.vec_id <> p.probe_id),
+        score AS (SELECT c.probe_id, c.neighbor_id,
+                         round(max(d.cd) + sum(l.part), 4) AS score
+                  FROM cand c
+                  JOIN cdotc d ON d.probe_id = c.probe_id AND d.cell_id = c.cell_id
+                  JOIN renc e ON e.vec_id = c.neighbor_id
+                  JOIN rplut l ON l.probe_id = c.probe_id
+                             AND l.subspace = e.subspace AND l.code = e.code
+                  GROUP BY 1, 2)
+        SELECT probe_id, neighbor_id, score, rank FROM (
+          SELECT probe_id, neighbor_id, score, row_number() OVER (
+            PARTITION BY probe_id ORDER BY score DESC, neighbor_id) AS rank
+          FROM score)
+        WHERE rank <= 3 ORDER BY probe_id, rank"""
+
   val all: Seq[Q] = Seq(
     // ---------------------------------------------------------------
     // Similarity search: brute-force cosine top-k
@@ -550,71 +622,7 @@ object AnnQueries {
           m = 8, ksub = 16, k = 3, centroids = Some(refined))
           .orderBy("probe_id", "rank")
       },
-      Some(s"""
-        WITH $ivfCte,
-        rc AS (SELECT a.cell_id, v.i, round(avg(v.x), 6) AS x
-               FROM assigned a JOIN v ON v.vec_id = a.vec_id GROUP BY 1, 2),
-        rcn AS (SELECT cell_id, sqrt(sum(x * x)) AS nrm FROM rc GROUP BY cell_id),
-        rdot AS (SELECT v.vec_id, c.cell_id, sum(v.x * c.x) AS dot
-                 FROM v JOIN rc c ON c.i = v.i GROUP BY 1, 2),
-        rsim AS (SELECT d.vec_id, d.cell_id,
-                        round(d.dot / (n.nrm * rn.nrm), 4) AS sim
-                 FROM rdot d
-                 JOIN n ON n.vec_id = d.vec_id
-                 JOIN rcn rn ON rn.cell_id = d.cell_id),
-        rassigned AS (SELECT vec_id, cell_id FROM (
-                        SELECT vec_id, cell_id, row_number() OVER (
-                          PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS r
-                        FROM rsim) WHERE r = 1),
-        rprobec AS (SELECT vec_id AS probe_id, cell_id FROM (
-                      SELECT vec_id, cell_id, row_number() OVER (
-                        PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS r
-                      FROM rsim WHERE vec_id < 20) WHERE r <= 2),
-        $pqCte,
-        cvec AS (SELECT cell_id, list(x ORDER BY i) AS cev FROM rc GROUP BY cell_id),
-        csub AS (SELECT cell_id, j.range AS subspace,
-                        cev[(j.range * 8 + 1)::INT:(j.range * 8 + 8)::INT] AS cs
-                 FROM cvec, range(0, 8) j),
-        rsub AS (SELECT s.vec_id, s.subspace,
-                        [s.sv[t::INT] - c.cs[t::INT] for t in range(1, 9)] AS rv
-                 FROM sub s
-                 JOIN rassigned a ON a.vec_id = s.vec_id
-                 JOIN csub c ON c.cell_id = a.cell_id AND c.subspace = s.subspace),
-        rcb AS (SELECT r.subspace, sm.code, r.rv AS centroid
-                FROM rsub r JOIN samp sm ON sm.vec_id = r.vec_id),
-        rdist AS (SELECT r.vec_id, r.subspace, c.code,
-                         round(list_sum([(r.rv[t::INT] - c.centroid[t::INT])
-                                         * (r.rv[t::INT] - c.centroid[t::INT])
-                                         for t in range(1, 9)]), 4) AS d
-                  FROM rsub r JOIN rcb c USING (subspace)),
-        renc AS (SELECT vec_id, subspace, code FROM (
-                   SELECT vec_id, subspace, code, row_number() OVER (
-                     PARTITION BY vec_id, subspace ORDER BY d, code) AS r
-                   FROM rdist) WHERE r = 1),
-        rplut AS (SELECT p.vec_id AS probe_id, c.subspace, c.code,
-                         round(list_sum([p.sv[t::INT] * c.centroid[t::INT]
-                                         for t in range(1, 9)]), 4) AS part
-                  FROM sub p JOIN rcb c USING (subspace) WHERE p.vec_id < 20),
-        cdotc AS (SELECT pv.vec_id AS probe_id, c.cell_id,
-                         round(sum(pv.x * c.x), 4) AS cd
-                  FROM v pv JOIN rc c ON c.i = pv.i
-                  WHERE pv.vec_id < 20 GROUP BY 1, 2),
-        cand AS (SELECT p.probe_id, p.cell_id, a.vec_id AS neighbor_id
-                 FROM rprobec p JOIN rassigned a ON a.cell_id = p.cell_id
-                 WHERE a.vec_id <> p.probe_id),
-        score AS (SELECT c.probe_id, c.neighbor_id,
-                         round(max(d.cd) + sum(l.part), 4) AS score
-                  FROM cand c
-                  JOIN cdotc d ON d.probe_id = c.probe_id AND d.cell_id = c.cell_id
-                  JOIN renc e ON e.vec_id = c.neighbor_id
-                  JOIN rplut l ON l.probe_id = c.probe_id
-                             AND l.subspace = e.subspace AND l.code = e.code
-                  GROUP BY 1, 2)
-        SELECT probe_id, neighbor_id, score, rank FROM (
-          SELECT probe_id, neighbor_id, score, row_number() OVER (
-            PARTITION BY probe_id ORDER BY score DESC, neighbor_id) AS rank
-          FROM score)
-        WHERE rank <= 3 ORDER BY probe_id, rank"""),
+      Some(refinedResidualSql),
       "residual IVF-PQ over Lloyd-refined cells: residuals concentrate, recall recovers"),
 
     // ---------------------------------------------------------------
@@ -676,6 +684,40 @@ object AnnQueries {
             PARTITION BY probe_id ORDER BY score DESC, neighbor_id) AS rank
           FROM score)
         WHERE rank <= 3 ORDER BY probe_id, rank"""),
-      "trained PQ: one Lloyd step per subspace over the sampled codebooks, then ADC")
+      "trained PQ: one Lloyd step per subspace over the sampled codebooks, then ADC"),
+
+    // ---------------------------------------------------------------
+    // Persisted RESIDUAL IVF-PQ index over refined centroids — the
+    // classical FAISS production layout persisted: cells_pq partitions
+    // hold m-byte codes of v − centroid(cell(v)), centroids are Lloyd
+    // cell means, raw vectors never stored. The meta encoding guard
+    // keeps direct and residual probes from silently cross-reading
+    // each other's codes (plausible numbers, wrong ranking). Same
+    // byte-identical oracle as q106: persisted == inline.
+    // ---------------------------------------------------------------
+    Q("q108_ivf_pq_residual_index_probe",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val stamp = new java.io.File(dir, "embeddings.parquet").lastModified()
+        val idx = new java.io.File(
+          new java.io.File(sys.props("user.dir"), "target"),
+          s"graft_ivfpqres_idx_${tag}_$stamp").getAbsolutePath
+        ExtensionQueries.synchronized {
+          if (!new java.io.File(s"$idx/cells_pq/_SUCCESS").exists()) {
+            val emb = Tables(s, dir, "embeddings")
+            val seed = Similarity.ivfCentroids(emb, "vec_id", "embedding", 16)
+            val refined = Similarity.ivfRefine(
+              Similarity.ivfAssign(emb, "vec_id", "embedding", seed), "embedding")
+            Similarity.writeIvfPqResidualIndex(emb, "vec_id", "embedding",
+              idx, nCells = 16, m = 8, ksub = 16, centroids = Some(refined))
+          }
+        }
+        Similarity.ivfPqResidualTopKFromIndex(s, idx,
+            Tables(s, dir, "embeddings").filter(col("vec_id") < 20),
+            "vec_id", "embedding", k = 3, nProbe = 2, m = 8, ksub = 16)
+          .orderBy("probe_id", "rank")
+      },
+      Some(refinedResidualSql),
+      "persisted residual IVF-PQ index probe == inline refined-residual (q106)")
   )
 }

@@ -37,6 +37,7 @@ class PlanAuditSpec extends SparkSpec {
     "q99_ivf_pq_residual" -> "same single-row centroid/codebook broadcasts as q98, plus residual subtraction map-side",
     "q106_ivf_pq_residual_refined" -> "q99's single-row centroid/codebook broadcasts, centroids Lloyd-refined (localized nCells rows)",
     "q107_pq_trained_topk" -> "q97's packed-codebook single row + fixed-probe broadcast, codebooks Lloyd-refined (localized m x ksub rows)",
+    "q108_ivf_pq_residual_index_probe" -> "q104's single-row packed centroid/codebook broadcasts loaded from the persisted residual index; candidates join on cell_id",
     "q96_semantic_dedup" -> "same single-row packed-centroid assignment as q47; pair stage is a cell equi-join")
 
   test("no registered query plans a CartesianProduct or an unjustified nested-loop join") {

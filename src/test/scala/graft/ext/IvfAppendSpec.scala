@@ -41,6 +41,44 @@ class IvfAppendSpec extends SparkSpec {
     assert(ex.getMessage.contains("built with m=4"))
   }
 
+  test("persisted residual index == inline refined-residual; encoding cross-probe fails loudly") {
+    val dir = Files.createTempDirectory("graft-ivfpqres").toString
+    val corpus = df(base)
+    val probes = corpus.filter(col("vec_id") < 5)
+    val refined = Similarity.ivfRefine(
+      Similarity.ivfAssign(corpus, "vec_id", "embedding",
+        Similarity.ivfCentroids(corpus, "vec_id", "embedding", 8)), "embedding")
+    Similarity.writeIvfPqResidualIndex(corpus, "vec_id", "embedding", dir,
+      nCells = 8, m = 4, ksub = 8, centroids = Some(refined))
+    // codes only — raw vectors are never stored
+    assert(spark.read.parquet(s"$dir/cells_pq").schema.fieldNames.toSet
+      === Set("neighbor_id", "codes", "cell_id"))
+    val persisted = rowsOf(Similarity.ivfPqResidualTopKFromIndex(spark, dir,
+      probes, "vec_id", "embedding", k = 3, nProbe = 2, m = 4, ksub = 8)
+      .orderBy("probe_id", "rank"))
+    val inline = rowsOf(Similarity.ivfPqResidualTopK(corpus, probes,
+      "vec_id", "embedding", nCells = 8, nProbe = 2, m = 4, ksub = 8, k = 3,
+      centroids = Some(refined))
+      .orderBy("probe_id", "rank"))
+    assert(persisted === inline)
+    assert(persisted.nonEmpty)
+    // a DIRECT probe over residual codes would score plausible-but-wrong
+    // dots — the encoding guard must reject it, and vice versa
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopKFromIndex(spark, dir, probes,
+        "vec_id", "embedding", k = 3, nProbe = 2, m = 4, ksub = 8)
+    }
+    assert(ex.getMessage.contains("residual-encoded"))
+    val dirDirect = Files.createTempDirectory("graft-ivfpq-direct").toString
+    Similarity.writeIvfPqIndex(corpus, "vec_id", "embedding", dirDirect,
+      nCells = 8, m = 4, ksub = 8)
+    val ex2 = intercept[IllegalArgumentException] {
+      Similarity.ivfPqResidualTopKFromIndex(spark, dirDirect, probes,
+        "vec_id", "embedding", k = 3, nProbe = 2, m = 4, ksub = 8)
+    }
+    assert(ex2.getMessage.contains("direct-encoded"))
+  }
+
   test("appended vectors are probe-reachable; base results are unchanged") {
     val dir = Files.createTempDirectory("graft-ivf-append").toString
     Similarity.writeIvfIndex(df(base), "vec_id", "embedding", dir, nCells = 8)
