@@ -6,12 +6,13 @@ import org.apache.spark.sql.functions._
 import graft.ext.Similarity
 
 /** Dev measurement main (not part of the driver contract): recall@k of
-  * the approximate ANN paths (IVF-Flat q47, flat PQ q97, IVF-PQ q98,
-  * residual IVF-PQ q99) against brute-force exact cosine (q35) on the
-  * real embeddings table, swept over the knobs that trade recall for
-  * cost — `m` (code bytes) for PQ, `nProbe` for the IVF family. Output
-  * is a markdown table for SCALING.md, so the "memory/recall shape"
-  * claims there carry measured numbers.
+  * the PQ/IVF ANN family (IVF-Flat q47, flat PQ q97, trained PQ q107,
+  * IVF-PQ q98, residual IVF-PQ q99, refined-residual q106) against
+  * brute-force exact cosine (q35) on the real embeddings table, swept
+  * over the knobs that trade recall for cost — `m` (code bytes) for
+  * PQ, `nProbe` for the IVF family. RP-LSH (q37) and int8 ANN (q79)
+  * are NOT swept here. Output is a markdown table for SCALING.md, so
+  * the "memory/recall shape" claims there carry measured numbers.
   *
   * Usage: runMain graft.RecallSweep <sfDir> [k] [nProbes]
   */

@@ -183,6 +183,7 @@ object Similarity {
     * pins the refined path end-to-end). */
   def pqRefineCodebooks(df: DataFrame, idCol: String, vecCol: String,
       codebooks: DataFrame, m: Int, ksub: Int): DataFrame = {
+    require(m > 0 && ksub > 0, s"need m > 0 and ksub > 0, got m=$m ksub=$ksub")
     val v = transform(col(vecCol), _.cast("double"))
     val dsub = (size(col("__v")) / lit(m)).cast("int")
     val members = df.crossJoin(broadcast(packCodebooks(codebooks)))
@@ -323,6 +324,25 @@ object Similarity {
       .select("probe_id", "neighbor_id", "score", "rank")
   }
 
+  /** Candidate-scoring tail shared by every IVF-PQ probe (inline and
+    * persisted, direct and residual): cell equi-join onto the
+    * compressed lists — candidates = probed cells only — then the ADC
+    * score and per-probe row_number top-k. `score` differs by
+    * encoding: direct sums the LUT; residual adds the exact
+    * probe·centroid term. One definition so the inline and persisted
+    * paths cannot drift apart silently. */
+  private def adcRank(probed: DataFrame, lists: DataFrame,
+      score: Column, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    probed.join(lists, Seq("cell_id"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("score", score)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("probe_id", "neighbor_id", "score", "rank")
+  }
+
   /** IVF-PQ (no residual): the production 100 TB ANN layout — vectors
     * live in IVF cell-partitioned inverted lists as `m`-byte PQ codes;
     * a probe fans out to its `nProbe` nearest cells and ADC-scores ONLY
@@ -355,14 +375,35 @@ object Similarity {
       .crossJoin(broadcast(packCodebooks(cb)))
       .select(col(idCol).as("probe_id"), col("cell_id"),
         pqLut(pv, m, ksub).as("__lut"))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
-    probed.join(lists, Seq("cell_id")) // candidates = probed cells only
-      .filter(col("probe_id") =!= col("neighbor_id"))
-      .withColumn("score", round(pqAdc(m, ksub), 4))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("probe_id", "neighbor_id", "score", "rank")
+    adcRank(probed, lists, round(pqAdc(m, ksub), 4), k)
+  }
+
+  /** (id, cell_id, __res = v − centroid(cell(v))) — the residual frame
+    * both the inline residual plan and the persisted-index build
+    * encode from. Assignment is the map-side centroid broadcast;
+    * the subtraction is a sibling zip_with — no extra corpus pass. */
+  private def residualFrame(df: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame): DataFrame =
+    ivfAssign(df, idCol, vecCol, cents)
+      .join(broadcast(cents), "cell_id")
+      .select(col(idCol), col("cell_id"),
+        zip_with(transform(col(vecCol), _.cast("double")), col("centroid"),
+          (x, y) => x - y).as("__res"))
+
+  /** Probe-side frame for residual ADC, shared by the inline and
+    * persisted residual probes: the nProbe cell fan-out carrying the
+    * exact probe·centroid term (`__cdot`) and the residual-codebook
+    * LUT. */
+  private def residualProbe(probes: DataFrame, idCol: String,
+      vecCol: String, cents: DataFrame, cb: DataFrame, nProbe: Int,
+      m: Int, ksub: Int): DataFrame = {
+    val pv = transform(col(vecCol), _.cast("double"))
+    ivfProbeCells(probes, idCol, vecCol, cents, nProbe)
+      .join(broadcast(cents), "cell_id")
+      .crossJoin(broadcast(packCodebooks(cb)))
+      .select(col(idCol).as("probe_id"), col("cell_id"),
+        round(dot(pv, col("centroid")), 4).as("__cdot"),
+        pqLut(pv, m, ksub).as("__lut"))
   }
 
   /** Residual IVF-PQ — the classical FAISS encoding: each vector's PQ
@@ -391,11 +432,7 @@ object Similarity {
       k: Int, centroids: Option[DataFrame] = None): DataFrame = {
     val cents = localize(
       centroids.getOrElse(ivfCentroids(df, idCol, vecCol, nCells)))
-    val resid = ivfAssign(df, idCol, vecCol, cents)
-      .join(broadcast(cents), "cell_id")
-      .select(col(idCol), col("cell_id"),
-        zip_with(transform(col(vecCol), _.cast("double")), col("centroid"),
-          (x, y) => x - y).as("__res"))
+    val resid = residualFrame(df, idCol, vecCol, cents)
     val cb = pqCodebooks(resid, idCol, "__res", m, ksub)
     // one pass over the residual frame: cell_id rides along, codes are
     // a sibling expression over the packed codebooks (no id-shuffle
@@ -404,21 +441,9 @@ object Similarity {
       .crossJoin(broadcast(packCodebooks(cb)))
       .select(col(idCol).as("neighbor_id"), col("cell_id"),
         pqCodesExpr(col("__res"), m, ksub).as("codes"))
-    val pv = transform(col(vecCol), _.cast("double"))
-    val probed = ivfProbeCells(probes, idCol, vecCol, cents, nProbe)
-      .join(broadcast(cents), "cell_id")
-      .crossJoin(broadcast(packCodebooks(cb)))
-      .select(col(idCol).as("probe_id"), col("cell_id"),
-        round(dot(pv, col("centroid")), 4).as("__cdot"),
-        pqLut(pv, m, ksub).as("__lut"))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
-    probed.join(lists, Seq("cell_id"))
-      .filter(col("probe_id") =!= col("neighbor_id"))
-      .withColumn("score", round(col("__cdot") + pqAdc(m, ksub), 4))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("probe_id", "neighbor_id", "score", "rank")
+    val probed = residualProbe(probes, idCol, vecCol, cents, cb,
+      nProbe, m, ksub)
+    adcRank(probed, lists, round(col("__cdot") + pqAdc(m, ksub), 4), k)
   }
 
   /** SemDeDup-style semantic dedup: IVF-assign every vector to its
@@ -772,19 +797,16 @@ object Similarity {
       .crossJoin(broadcast(packCodebooks(cb)))
       .select(col(idCol).as("probe_id"), col("cell_id"),
         pqLut(pv, m, ksub).as("__lut"))
-    // partition-column inference narrows cell_id — pin it back to long
-    val lists = spark.read.parquet(s"$dir/cells_pq")
+    adcRank(probed, pqCellLists(spark, dir), round(pqAdc(m, ksub), 4), k)
+  }
+
+  /** The compressed inverted lists of a persisted PQ index.
+    * Partition-column inference narrows cell_id to int when the ids
+    * fit — pin it back to the long the rest of the pipeline carries. */
+  private def pqCellLists(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/cells_pq")
       .select(col("neighbor_id"), col("codes"),
         col("cell_id").cast("long").as("cell_id"))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
-    probed.join(lists, Seq("cell_id"))
-      .filter(col("probe_id") =!= col("neighbor_id"))
-      .withColumn("score", round(pqAdc(m, ksub), 4))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("probe_id", "neighbor_id", "score", "rank")
-  }
 
   /** Meta guard shared by the persisted-index probes: (m, ksub) must
     * match the build — a mismatch would mis-slice the packed codebook
@@ -797,12 +819,16 @@ object Similarity {
   private def requireIndexShape(spark: SparkSession, dir: String,
       m: Int, ksub: Int, encoding: String): Unit = {
     val metaDf = spark.read.parquet(s"$dir/meta")
-    val meta = metaDf.select("m", "ksub").head()
-    require(meta.getInt(0) == m && meta.getInt(1) == ksub,
-      s"index at $dir was built with m=${meta.getInt(0)} " +
-        s"ksub=${meta.getInt(1)}; probe asked for m=$m ksub=$ksub")
+    // one head() — a second job on the one-row meta just to read a
+    // second column would double the per-probe driver round-trips
+    val meta = metaDf.head()
+    val (bm, bk) = (meta.getInt(meta.fieldIndex("m")),
+      meta.getInt(meta.fieldIndex("ksub")))
+    require(bm == m && bk == ksub,
+      s"index at $dir was built with m=$bm ksub=$bk; " +
+        s"probe asked for m=$m ksub=$ksub")
     val enc = if (metaDf.columns.contains("encoding"))
-      metaDf.select("encoding").head().getString(0) else "direct"
+      meta.getString(meta.fieldIndex("encoding")) else "direct"
     require(enc == encoding,
       s"index at $dir holds $enc-encoded codes; this probe scores $encoding codes")
   }
@@ -821,11 +847,7 @@ object Similarity {
     import spark.implicits._
     val cents = localize(
       centroids.getOrElse(ivfCentroids(df, idCol, vecCol, nCells)))
-    val resid = ivfAssign(df, idCol, vecCol, cents)
-      .join(broadcast(cents), "cell_id")
-      .select(col(idCol), col("cell_id"),
-        zip_with(transform(col(vecCol), _.cast("double")), col("centroid"),
-          (x, y) => x - y).as("__res"))
+    val resid = residualFrame(df, idCol, vecCol, cents)
     val rcb = pqCodebooks(resid, idCol, "__res", m, ksub)
     cents.write.mode("overwrite").parquet(s"$dir/centroids")
     rcb.write.mode("overwrite").parquet(s"$dir/codebooks")
@@ -849,24 +871,10 @@ object Similarity {
     requireIndexShape(spark, dir, m, ksub, "residual")
     val cents = spark.read.parquet(s"$dir/centroids")
     val rcb = spark.read.parquet(s"$dir/codebooks")
-    val pv = transform(col(vecCol), _.cast("double"))
-    val probed = ivfProbeCells(probes, idCol, vecCol, cents, nProbe)
-      .join(broadcast(cents), "cell_id")
-      .crossJoin(broadcast(packCodebooks(rcb)))
-      .select(col(idCol).as("probe_id"), col("cell_id"),
-        round(dot(pv, col("centroid")), 4).as("__cdot"),
-        pqLut(pv, m, ksub).as("__lut"))
-    val lists = spark.read.parquet(s"$dir/cells_pq")
-      .select(col("neighbor_id"), col("codes"),
-        col("cell_id").cast("long").as("cell_id"))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
-    probed.join(lists, Seq("cell_id"))
-      .filter(col("probe_id") =!= col("neighbor_id"))
-      .withColumn("score", round(col("__cdot") + pqAdc(m, ksub), 4))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("probe_id", "neighbor_id", "score", "rank")
+    val probed = residualProbe(probes, idCol, vecCol, cents, rcb,
+      nProbe, m, ksub)
+    adcRank(probed, pqCellLists(spark, dir),
+      round(col("__cdot") + pqAdc(m, ksub), 4), k)
   }
 
   /** [[graft.streaming.StreamingIvfIngest]]'s per-batch body: assign

@@ -196,6 +196,31 @@ object AnnQueries {
           FROM score)
         WHERE rank <= 3 ORDER BY probe_id, rank"""
 
+  /** Memoized persisted-index build — the q72 discipline, shared by
+    * every persisted-ANN query (q72/q104/q108). Memo key = sanitized
+    * sf dir + embeddings.parquet mtime: a regenerated source table
+    * (new mtime) forces a rebuild instead of silently probing a stale
+    * index, and the mtime disambiguates any dirs the sanitizer would
+    * collide. `terminalDir` is the layout subtree written LAST by the
+    * builder (its _SUCCESS marker proves a complete build, since meta/
+    * and centroids/ land first); `build` runs at most once per memo
+    * key, under the registry lock so concurrent query runs don't race
+    * the write. Returns the index path. */
+  private def memoizedIndex(dir: String, name: String, terminalDir: String)
+      (build: String => Unit): String = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val stamp = new java.io.File(dir, "embeddings.parquet").lastModified()
+    require(stamp > 0, s"$dir/embeddings.parquet is missing — a 0 mtime " +
+      "would memo-collide every nonexistent source onto one stale index")
+    val idx = new java.io.File(
+      new java.io.File(sys.props("user.dir"), "target"),
+      s"${name}_${tag}_$stamp").getAbsolutePath
+    ExtensionQueries.synchronized {
+      if (!new java.io.File(s"$idx/$terminalDir/_SUCCESS").exists()) build(idx)
+    }
+    idx
+  }
+
   val all: Seq[Q] = Seq(
     // ---------------------------------------------------------------
     // Similarity search: brute-force cosine top-k
@@ -357,19 +382,9 @@ object AnnQueries {
     // ---------------------------------------------------------------
     Q("q72_ivf_index_probe",
       (s, dir) => {
-        // memo key = sanitized dir + source-table mtime: a regenerated
-        // embeddings.parquet (new mtime) forces a rebuild instead of
-        // silently probing a stale index, and the mtime disambiguates
-        // any dirs the sanitizer would collide
-        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
-        val stamp = new java.io.File(dir, "embeddings.parquet").lastModified()
-        val idx = new java.io.File(
-          new java.io.File(sys.props("user.dir"), "target"),
-          s"graft_ivf_idx_${tag}_$stamp").getAbsolutePath
-        ExtensionQueries.synchronized {
-          if (!new java.io.File(s"$idx/cells/_SUCCESS").exists())
-            Similarity.writeIvfIndex(Tables(s, dir, "embeddings"),
-              "vec_id", "embedding", idx, nCells = 16)
+        val idx = memoizedIndex(dir, "graft_ivf_idx", "cells") { p =>
+          Similarity.writeIvfIndex(Tables(s, dir, "embeddings"),
+            "vec_id", "embedding", p, nCells = 16)
         }
         Similarity.ivfTopKFromIndex(s, idx,
             Tables(s, dir, "embeddings").filter(col("vec_id") < 20),
@@ -509,18 +524,9 @@ object AnnQueries {
     // ---------------------------------------------------------------
     Q("q104_ivf_pq_index_probe",
       (s, dir) => {
-        // memo key = sanitized dir + source-table mtime (the q72
-        // discipline): a regenerated embeddings.parquet forces a
-        // rebuild instead of silently probing a stale index
-        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
-        val stamp = new java.io.File(dir, "embeddings.parquet").lastModified()
-        val idx = new java.io.File(
-          new java.io.File(sys.props("user.dir"), "target"),
-          s"graft_ivfpq_idx_${tag}_$stamp").getAbsolutePath
-        ExtensionQueries.synchronized {
-          if (!new java.io.File(s"$idx/cells_pq/_SUCCESS").exists())
-            Similarity.writeIvfPqIndex(Tables(s, dir, "embeddings"),
-              "vec_id", "embedding", idx, nCells = 16, m = 8, ksub = 16)
+        val idx = memoizedIndex(dir, "graft_ivfpq_idx", "cells_pq") { p =>
+          Similarity.writeIvfPqIndex(Tables(s, dir, "embeddings"),
+            "vec_id", "embedding", p, nCells = 16, m = 8, ksub = 16)
         }
         Similarity.ivfPqTopKFromIndex(s, idx,
             Tables(s, dir, "embeddings").filter(col("vec_id") < 20),
@@ -630,9 +636,9 @@ object AnnQueries {
     // sampled codebooks (the q48 move applied to PQ), then encode and
     // ADC-score with the refined grid. Sampled codebooks bound flat-PQ
     // recall@10 at 0.113 (m=8, sf0.1); one step lifts it to 0.131, and
-    // 0.256 to 0.300 at m=16 (RecallSweep, SCALING.md — ~17% per step
-    // on near-uniform data; more on clustered corpora). Codes that
-    // lost all members keep
+    // 0.256 to 0.300 at m=16 (RecallSweep, SCALING.md — 13–17% per
+    // step on near-uniform data; more on clustered corpora). Codes
+    // that lost all members keep
     // their seed centroid so the m×ksub grid stays complete. Oracle:
     // q97's CTEs + avg-per-(subspace, code, component) + re-encode.
     // ---------------------------------------------------------------
@@ -697,20 +703,13 @@ object AnnQueries {
     // ---------------------------------------------------------------
     Q("q108_ivf_pq_residual_index_probe",
       (s, dir) => {
-        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
-        val stamp = new java.io.File(dir, "embeddings.parquet").lastModified()
-        val idx = new java.io.File(
-          new java.io.File(sys.props("user.dir"), "target"),
-          s"graft_ivfpqres_idx_${tag}_$stamp").getAbsolutePath
-        ExtensionQueries.synchronized {
-          if (!new java.io.File(s"$idx/cells_pq/_SUCCESS").exists()) {
-            val emb = Tables(s, dir, "embeddings")
-            val seed = Similarity.ivfCentroids(emb, "vec_id", "embedding", 16)
-            val refined = Similarity.ivfRefine(
-              Similarity.ivfAssign(emb, "vec_id", "embedding", seed), "embedding")
-            Similarity.writeIvfPqResidualIndex(emb, "vec_id", "embedding",
-              idx, nCells = 16, m = 8, ksub = 16, centroids = Some(refined))
-          }
+        val idx = memoizedIndex(dir, "graft_ivfpqres_idx", "cells_pq") { p =>
+          val emb = Tables(s, dir, "embeddings")
+          val seed = Similarity.ivfCentroids(emb, "vec_id", "embedding", 16)
+          val refined = Similarity.ivfRefine(
+            Similarity.ivfAssign(emb, "vec_id", "embedding", seed), "embedding")
+          Similarity.writeIvfPqResidualIndex(emb, "vec_id", "embedding",
+            p, nCells = 16, m = 8, ksub = 16, centroids = Some(refined))
         }
         Similarity.ivfPqResidualTopKFromIndex(s, idx,
             Tables(s, dir, "embeddings").filter(col("vec_id") < 20),
