@@ -54,6 +54,30 @@ object Similarity {
       .select("probe_id", "neighbor_id", "sim", "rank")
   }
 
+  /** Attribute-filtered exact top-k — metadata-constrained vector
+    * search (the "nearest neighbors with the same language / source /
+    * label" query every curation pipeline runs). The constraint is a
+    * PRE-filter pushed into candidate generation itself: candidates
+    * come from an equi-join ON the filter column (probes broadcast),
+    * so a probe only ever scores matching rows. Post-filtering a
+    * plain top-k would both waste the non-matching scores and
+    * silently return fewer than k survivors. */
+  def filteredTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, filterCol: String, k: Int): DataFrame = {
+    val p = probes.select(col(idCol).as("probe_id"),
+      col(vecCol).as("probe_vec"), col(filterCol).as("__f"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("vec"), col(filterCol).as("__f"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    c.join(broadcast(p), "__f")
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(cosine(col("probe_vec"), col("vec")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("probe_id", "neighbor_id", "sim", "rank")
+  }
+
   /** Scalar int8 quantization of the embedding column: per-vector
     * scale = max|x| / 127, components rounded to [-127, 127]. The
     * 4× storage cut (and the integer dot products it enables) is the
@@ -591,11 +615,12 @@ object Similarity {
     assignPacked(df, idCol, vecCol, packCentroids(centroids))
 
   private def assignPacked(df: DataFrame, idCol: String, vecCol: String,
-      packed: DataFrame): DataFrame =
-    df.select(col(idCol), col(vecCol))
+      packed: DataFrame, extra: Seq[String] = Nil): DataFrame =
+    df.select(col(idCol) +: col(vecCol) +: extra.map(col): _*)
       .crossJoin(broadcast(packed))
       .withColumn("best", array_max(cellScores(col(vecCol))))
-      .select(col(idCol), col(vecCol), (-col("best.neg_id")).as("cell_id"))
+      .select((col(idCol) +: col(vecCol) +: extra.map(col)) :+
+        (-col("best.neg_id")).as("cell_id"): _*)
 
   /** Probe fan-out: each probe row → its `nProbe` nearest cells (one
     * output row per (probe, cell)). Same map-side shape as assignment. */
@@ -604,12 +629,13 @@ object Similarity {
     probePacked(probes, idCol, vecCol, packCentroids(centroids), nProbe)
 
   private def probePacked(probes: DataFrame, idCol: String, vecCol: String,
-      packed: DataFrame, nProbe: Int): DataFrame =
-    probes.select(col(idCol), col(vecCol))
+      packed: DataFrame, nProbe: Int, extra: Seq[String] = Nil): DataFrame =
+    probes.select(col(idCol) +: col(vecCol) +: extra.map(col): _*)
       .crossJoin(broadcast(packed))
       .withColumn("cell",
         explode(slice(reverse(array_sort(cellScores(col(vecCol)))), 1, nProbe)))
-      .select(col(idCol), col(vecCol), (-col("cell.neg_id")).as("cell_id"))
+      .select((col(idCol) +: col(vecCol) +: extra.map(col)) :+
+        (-col("cell.neg_id")).as("cell_id"): _*)
 
   /** One Lloyd refinement step: new centroid = element-wise mean of the
     * vectors assigned to the cell, components rounded to 6 decimals so
@@ -650,13 +676,69 @@ object Similarity {
     rankCandidates(probes, inv, k)
   }
 
-  /** Shared IVF tail: probe fan-out ⋈ inverted lists on cell_id, exact
+  /** Shared IVF tail: probe fan-out ⋈ inverted lists on `keys`
+    * (cell_id, plus any filter columns pushed into the join), exact
     * rounded cosine, windowed top-k on candidates only. */
-  private def rankCandidates(probes: DataFrame, inv: DataFrame, k: Int): DataFrame = {
+  private def rankCandidates(probes: DataFrame, inv: DataFrame, k: Int,
+      keys: Seq[String] = Seq("cell_id")): DataFrame = {
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
-    probes.join(inv, Seq("cell_id"))
+    probes.join(inv, keys)
       .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(cosine(col("probe_vec"), col("vec")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("probe_id", "neighbor_id", "sim", "rank")
+  }
+
+  /** Attribute-filtered IVF top-k: [[ivfTopK]] with the metadata
+    * constraint pushed INTO the candidate equi-join — candidates must
+    * match on (cell_id, filterCol), so non-matching rows are never
+    * cosine-scored and never leave their scan. At 100 TB this is the
+    * difference between "score the probed cells, then discard 90%"
+    * and "touch only the matching slice of each probed cell"; with
+    * the inverted lists additionally bucketed by the filter column
+    * the join stays exchange-free on the list side. Filtering shrinks
+    * each probe's candidate pool, not the cell fan-out — recall per
+    * nProbe matches unfiltered IVF over the matching subset. */
+  def filteredIvfTopK(df: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, filterCol: String, nCells: Int, nProbe: Int,
+      k: Int): DataFrame = {
+    val packed = localize(packCentroids(
+      localize(ivfCentroids(df, idCol, vecCol, nCells))))
+    val inv = assignPacked(df, idCol, vecCol, packed, Seq(filterCol))
+      .toDF("neighbor_id", "vec", "__f", "cell_id")
+    val fan = probePacked(probes, idCol, vecCol, packed, nProbe, Seq(filterCol))
+      .toDF("probe_id", "probe_vec", "__f", "cell_id")
+    rankCandidates(fan, inv, k, Seq("cell_id", "__f"))
+  }
+
+  /** Two-stage IVF-PQ search — the production recall recipe: a cheap
+    * ADC shortlist of `shortlist` candidates per probe from the
+    * compressed lists (exactly [[ivfPqTopK]]), then EXACT cosine
+    * re-ranking of only those rows, joined back to the raw corpus by
+    * id. The refine tier reads |probes|×shortlist raw vectors — the
+    * shortlist (with probe vectors attached) broadcasts, the corpus
+    * never shuffles — so the exact-distance work no longer scales
+    * with cell size, only with the shortlist. Recall approaches
+    * IVF-Flat at the same nProbe (the probed-cell ceiling) while the
+    * corpus-wide scan stays m bytes/vector; RecallSweep measures the
+    * curve. */
+  def ivfPqRerankTopK(df: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, nCells: Int, nProbe: Int, m: Int, ksub: Int,
+      shortlist: Int, k: Int): DataFrame = {
+    require(shortlist >= k,
+      s"shortlist must be >= k, got shortlist=$shortlist k=$k")
+    val short = ivfPqTopK(df, probes, idCol, vecCol, nCells, nProbe,
+        m, ksub, shortlist)
+      .select("probe_id", "neighbor_id")
+    val p = probes.select(col(idCol).as("probe_id"),
+      col(vecCol).as("probe_vec"))
+    val c = df.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    c.join(broadcast(short.join(broadcast(p), Seq("probe_id"))),
+        Seq("neighbor_id"))
       .withColumn("sim", round(cosine(col("probe_vec"), col("vec")), 4))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

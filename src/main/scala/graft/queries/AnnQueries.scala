@@ -101,7 +101,7 @@ object AnnQueries {
     * plan) and q104 (persisted index) intentionally verify against the
     * byte-identical SQL — the ivfProbeSql pattern that already pins
     * q47 vs q72. */
-  private val ivfPqSql = s"""
+  private val ivfPqScoreCtes = s"""
         WITH $ivfCte,
         probec AS (SELECT vec_id AS probe_id, cell_id FROM (
                      SELECT vec_id, cell_id, row_number() OVER (
@@ -117,7 +117,9 @@ object AnnQueries {
                   JOIN enc e ON e.vec_id = c.neighbor_id
                   JOIN plut l ON l.probe_id = c.probe_id
                              AND l.subspace = e.subspace AND l.code = e.code
-                  GROUP BY 1, 2)
+                  GROUP BY 1, 2)"""
+
+  private val ivfPqSql = s"""$ivfPqScoreCtes
         SELECT probe_id, neighbor_id, score, rank FROM (
           SELECT probe_id, neighbor_id, score, row_number() OVER (
             PARTITION BY probe_id ORDER BY score DESC, neighbor_id) AS rank
@@ -717,6 +719,126 @@ object AnnQueries {
           .orderBy("probe_id", "rank")
       },
       Some(refinedResidualSql),
-      "persisted residual IVF-PQ index probe == inline refined-residual (q106)")
+      "persisted residual IVF-PQ index probe == inline refined-residual (q106)"),
+
+    // ---------------------------------------------------------------
+    // Attribute-filtered exact ANN: nearest neighbors constrained to
+    // the probe's own label — the metadata-filtered vector search
+    // every curation pipeline runs (same-language near-dups, same-
+    // source retrieval). The constraint is the JOIN KEY, not a
+    // post-filter: candidates are corpus ⋈ probes ON label, so
+    // non-matching rows are never scored and k never under-fills.
+    // ---------------------------------------------------------------
+    Q("q109_filtered_ann",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.filteredTopK(emb, emb.filter(col("vec_id") < 20),
+            "vec_id", "embedding", "label", k = 3)
+          .orderBy("probe_id", "rank")
+      },
+      Some("""
+        WITH v AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                          unnest(embedding)::DOUBLE AS x
+                   FROM embeddings),
+        n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM v GROUP BY vec_id),
+        cand AS (SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id
+                 FROM embeddings p JOIN embeddings e
+                   ON e.label = p.label AND e.vec_id <> p.vec_id
+                 WHERE p.vec_id < 20),
+        d AS (SELECT c.probe_id, c.neighbor_id, sum(va.x * vb.x) AS dot
+              FROM cand c
+              JOIN v va ON va.vec_id = c.probe_id
+              JOIN v vb ON vb.vec_id = c.neighbor_id AND vb.i = va.i
+              GROUP BY 1, 2),
+        s AS (SELECT probe_id, neighbor_id,
+                     round(dot / (na.nrm * nb.nrm), 4) AS sim,
+                     row_number() OVER (PARTITION BY probe_id
+                       ORDER BY round(dot / (na.nrm * nb.nrm), 4) DESC, neighbor_id) AS rank
+              FROM d
+              JOIN n na ON na.vec_id = probe_id
+              JOIN n nb ON nb.vec_id = neighbor_id)
+        SELECT probe_id, neighbor_id, sim, rank FROM s
+        WHERE rank <= 3 ORDER BY probe_id, rank"""),
+      "metadata-filtered exact top-k: the predicate is the candidate join key"),
+
+    // ---------------------------------------------------------------
+    // Attribute-filtered IVF ANN: the same constraint pushed into the
+    // inverted-list candidate join — candidates match on
+    // (cell_id, label), so filtered-out rows never leave their scan.
+    // At 100 TB this touches only the matching slice of each probed
+    // cell instead of scoring everything and discarding 90%.
+    // ---------------------------------------------------------------
+    Q("q110_filtered_ivf_ann",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.filteredIvfTopK(emb, emb.filter(col("vec_id") < 20),
+            "vec_id", "embedding", "label", nCells = 16, nProbe = 2, k = 3)
+          .orderBy("probe_id", "rank")
+      },
+      Some(s"""
+        WITH $ivfCte,
+        probec AS (SELECT vec_id AS probe_id, cell_id FROM (
+                     SELECT vec_id, cell_id, row_number() OVER (
+                       PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS r
+                     FROM csim WHERE vec_id < 20) WHERE r <= 2),
+        cand AS (SELECT p.probe_id, a.vec_id AS neighbor_id
+                 FROM probec p
+                 JOIN assigned a ON a.cell_id = p.cell_id
+                 JOIN embeddings ea ON ea.vec_id = a.vec_id
+                 JOIN embeddings ep ON ep.vec_id = p.probe_id
+                                   AND ep.label = ea.label
+                 WHERE a.vec_id <> p.probe_id),
+        d AS (SELECT c.probe_id, c.neighbor_id, sum(va.x * vb.x) AS dot
+              FROM cand c
+              JOIN v va ON va.vec_id = c.probe_id
+              JOIN v vb ON vb.vec_id = c.neighbor_id AND vb.i = va.i
+              GROUP BY 1, 2),
+        s AS (SELECT probe_id, neighbor_id,
+                     round(dot / (na.nrm * nb.nrm), 4) AS sim,
+                     row_number() OVER (PARTITION BY probe_id
+                       ORDER BY round(dot / (na.nrm * nb.nrm), 4) DESC, neighbor_id) AS rank
+              FROM d
+              JOIN n na ON na.vec_id = probe_id
+              JOIN n nb ON nb.vec_id = neighbor_id)
+        SELECT probe_id, neighbor_id, sim, rank FROM s
+        WHERE rank <= 3 ORDER BY probe_id, rank"""),
+      "filtered IVF: candidates equi-join on (cell_id, label), never post-filtered"),
+
+    // ---------------------------------------------------------------
+    // Two-stage IVF-PQ search — ADC shortlist (q98's compressed scan,
+    // rank <= 10) then EXACT cosine re-ranking of only the shortlist,
+    // joined back to the raw corpus by id. The production recall
+    // recipe: corpus-wide cost stays m bytes/vector, exact-distance
+    // work scales with |probes|×shortlist, recall climbs toward
+    // IVF-Flat at the same nProbe (RecallSweep measures the curve).
+    // ---------------------------------------------------------------
+    Q("q111_ivf_pq_rerank",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.ivfPqRerankTopK(emb, emb.filter(col("vec_id") < 20),
+            "vec_id", "embedding", nCells = 16, nProbe = 2, m = 8,
+            ksub = 16, shortlist = 10, k = 3)
+          .orderBy("probe_id", "rank")
+      },
+      Some(s"""$ivfPqScoreCtes,
+        short AS (SELECT probe_id, neighbor_id FROM (
+                    SELECT probe_id, neighbor_id, row_number() OVER (
+                      PARTITION BY probe_id ORDER BY score DESC, neighbor_id) AS r
+                    FROM score) WHERE r <= 10),
+        rd AS (SELECT s.probe_id, s.neighbor_id, sum(va.x * vb.x) AS dot
+               FROM short s
+               JOIN v va ON va.vec_id = s.probe_id
+               JOIN v vb ON vb.vec_id = s.neighbor_id AND vb.i = va.i
+               GROUP BY 1, 2),
+        rs AS (SELECT probe_id, neighbor_id,
+                      round(dot / (na.nrm * nb.nrm), 4) AS sim,
+                      row_number() OVER (PARTITION BY probe_id
+                        ORDER BY round(dot / (na.nrm * nb.nrm), 4) DESC, neighbor_id) AS rank
+               FROM rd
+               JOIN n na ON na.vec_id = probe_id
+               JOIN n nb ON nb.vec_id = neighbor_id)
+        SELECT probe_id, neighbor_id, sim, rank FROM rs
+        WHERE rank <= 3 ORDER BY probe_id, rank"""),
+      "two-stage search: ADC shortlist from compressed lists, exact re-rank on top")
   )
 }

@@ -38,6 +38,8 @@ class PlanAuditSpec extends SparkSpec {
     "q106_ivf_pq_residual_refined" -> "q99's single-row centroid/codebook broadcasts, centroids Lloyd-refined (localized nCells rows)",
     "q107_pq_trained_topk" -> "q97's packed-codebook single row + fixed-probe broadcast, codebooks Lloyd-refined (localized m x ksub rows)",
     "q108_ivf_pq_residual_index_probe" -> "q104's single-row packed centroid/codebook broadcasts loaded from the persisted residual index; candidates join on cell_id",
+    "q110_filtered_ivf_ann" -> "q47's single-row packed-centroid broadcasts; candidates equi-join on (cell_id, label)",
+    "q111_ivf_pq_rerank" -> "q98's single-row packed broadcasts for the ADC shortlist; the re-rank joins broadcast(shortlist) by id",
     "q96_semantic_dedup" -> "same single-row packed-centroid assignment as q47; pair stage is a cell equi-join")
 
   test("no registered query plans a CartesianProduct or an unjustified nested-loop join") {
