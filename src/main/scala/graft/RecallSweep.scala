@@ -100,6 +100,18 @@ object RecallSweep {
       row("residual IVF-PQ (q99)", s"nCells=16 nProbe=$nProbe m=8", "8", r)
     }
 
+    // Two-stage re-rank (q111): ADC shortlist from the compressed
+    // lists, exact cosine on the shortlist only. The recall ceiling is
+    // IVF-Flat at the same nProbe (the probed-cell set is identical);
+    // the gap to that ceiling measures shortlist misses from ADC
+    // scoring, so it shrinks as the shortlist grows.
+    for (nProbe <- Seq(1, 2, 4, 8); shortlist <- Seq(30, 60)) {
+      val r = recall(Similarity.ivfPqRerankTopK(emb, probes, "vec_id",
+        "embedding", 16, nProbe, 8, 16, shortlist, k))
+      row("IVF-PQ + exact re-rank (q111)",
+        s"nCells=16 nProbe=$nProbe m=8 shortlist=$shortlist", "8*", r)
+    }
+
     // Residual over Lloyd-refined centroids (q106): cell means shrink
     // the residual norm below 1, restoring residual coding's premise.
     val refined = Similarity.ivfRefine(
