@@ -317,6 +317,75 @@ object Dedup {
           " ").cast("binary")).as("dedup_md5"))
   }
 
+  /** Exact duplicated-SUBSTRING-span dedup at token granularity — the
+    * middle ground BELOW [[dedupParagraphs]]'s fixed windows: any
+    * `k`-token span whose fingerprint occurs MORE THAN ONCE corpus-wide
+    * (across documents or repeated within one) marks every token it
+    * covers; covered tokens are removed and the remainder reassembled.
+    * This is the "deduplicate repeated substrings, not whole documents"
+    * pipeline stage (SURVEY §2.12 dedup family): boilerplate sentences,
+    * license headers, and copy-pasted passages vanish wherever they sit,
+    * without requiring chunk alignment (CDC) or whole-paragraph equality.
+    *
+    * Per document: `n_tokens`, `n_dup_tokens` (covered), `dup_spans`
+    * (maximal merged runs of covered positions), and `dedup_md5` — md5
+    * of the surviving tokens in order (byte-exact output contract
+    * without shipping text through the compare; empty string when the
+    * whole document was duplicated spans).
+    *
+    * Scale (100 TB): the window fan-out is ~len rows per doc (positions),
+    * hashed map-side; duplication detection is ONE shuffle — a count
+    * window partitioned by the 128-bit fingerprint (uniform keys; hot
+    * fingerprints are exactly the duplication being removed) — with NO
+    * self-join and NO cached exploded corpus. Coverage explodes k
+    * positions per DUPLICATED window only, collapses via collect_set
+    * (bounded by doc length) in one groupBy, and rejoins the tokenized
+    * docs on the id equi-key; reassembly is a map-side array filter.
+    * The tokenized base is scanned twice (windows branch + reassembly
+    * join) — two linear column-pruned scans, deliberately NOT persisted:
+    * caching an exploded/tokenized 100 TB corpus is the anti-pattern. */
+  def dedupSpans(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k > 1, s"need span length k > 1, got $k")
+    val toks = df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+    // (id, i, fp): fingerprint of tokens [i, i+k) — __toks materialized
+    // in its own projection BEFORE the per-position gets (see shingles'
+    // O(len²) re-tokenization note)
+    val wins = toks
+      .filter(size(col("__toks")) >= k)
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(0), size(col("__toks")) - k)).as("i"))
+      .select(col(idCol), col("i"),
+        md5(concat_ws(" ",
+          (0 until k).map(j => get(col("__toks"), col("i") + lit(j))): _*)
+          .cast("binary")).as("__fp"))
+    // corpus-wide occurrence count per fingerprint: a count WINDOW over
+    // the fp partition (one shuffle), not a groupBy + self-join re-scan
+    val dupWins = wins
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("__fp")))
+      .filter(col("__n") >= 2)
+    val covArr = dupWins
+      .select(col(idCol), explode(sequence(col("i"), col("i") + (k - 1))).as("pos"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("pos"))).as("__cov"))
+    val c = coalesce(col("__cov"), array().cast("array<int>"))
+    // maximal merged runs: position 0 always opens one; a gap > 1 from
+    // the previous covered position opens another. get() is 0-based and
+    // null-safe out of bounds (no ANSI element_at hazard); the i === 0
+    // disjunct absorbs the null comparison at the first element.
+    val spans = when(size(c) === 0, lit(0L)).otherwise(
+      size(filter(sequence(lit(0), size(c) - 1),
+        i => (i === 0) || (get(c, i) - get(c, i - 1) > 1))).cast("long"))
+    toks.join(covArr, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        size(c).cast("long").as("n_dup_tokens"),
+        spans.as("dup_spans"),
+        md5(array_join(
+          filter(col("__toks"), (t, i) => !array_contains(c, i)), " ")
+          .cast("binary")).as("dedup_md5"))
+  }
+
   /** 32-bit SimHash: per-token 32-bit hash, per-bit weighted vote
     * (weight = token multiplicity), sign → bit. Expressed as an
     * explode over bit positions + two aggregations — no UDF, and the

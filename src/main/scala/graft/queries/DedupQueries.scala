@@ -365,6 +365,44 @@ object DedupQueries {
       "symmetric-delete variant equi-join == all-pairs levenshtein oracle"),
 
     // ---------------------------------------------------------------
+    // Exact duplicated-substring-span dedup (token granularity): every
+    // 8-token span occurring more than once corpus-wide marks its
+    // tokens; covered tokens are cut and the remainder reassembled.
+    // The "dedup repeated substrings, not whole docs" stage — catches
+    // boilerplate wherever it sits, no chunk/paragraph alignment
+    // needed. One fingerprint-window shuffle; no cached explode.
+    // ---------------------------------------------------------------
+    Q("q112_substring_dedup",
+      (s, dir) => Dedup.dedupSpans(
+          Tables(s, dir, "documents"), "doc_id", "text", k = 8)
+        .orderBy("doc_id"),
+      Some("""
+        WITH tk AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+                    FROM documents),
+        w AS (SELECT doc_id, t, unnest(range(0, greatest(len(t) - 7, 0))) AS i
+              FROM tk),
+        g AS (SELECT doc_id, i,
+                     md5(array_to_string(t[(i + 1)::INT:(i + 8)::INT], ' ')) AS fp
+              FROM w),
+        d AS (SELECT fp FROM g GROUP BY fp HAVING count(*) >= 2),
+        cov AS (SELECT DISTINCT doc_id, unnest(range(i, i + 8)) AS pos
+                FROM g JOIN d USING (fp)),
+        cl AS (SELECT doc_id, list(pos ORDER BY pos) AS ps FROM cov GROUP BY doc_id),
+        r AS (SELECT tk.doc_id, tk.t, coalesce(cl.ps, []::BIGINT[]) AS ps
+              FROM tk LEFT JOIN cl USING (doc_id))
+        SELECT doc_id,
+               len(t)::BIGINT AS n_tokens,
+               len(ps)::BIGINT AS n_dup_tokens,
+               (CASE WHEN len(ps) = 0 THEN 0
+                     ELSE len([i for i in range(0, len(ps))
+                               if i = 0 OR ps[(i + 1)::INT] - ps[i::INT] > 1])
+                END)::BIGINT AS dup_spans,
+               md5(array_to_string([t[(p + 1)::INT] for p in range(0, len(t)::BIGINT)
+                                    if not list_contains(ps, p)], ' ')) AS dedup_md5
+        FROM r ORDER BY doc_id"""),
+      "duplicated k-token spans cut corpus-wide (Lee-et-al-style substring dedup); one fp-window shuffle"),
+
+    // ---------------------------------------------------------------
     // Content-defined chunking: boundaries where the rolling k-gram
     // hash ≡ 0 mod divisor — insertion-robust chunks for chunk-level
     // dedup (fixed windows shift every later chunk; CDC re-chunks only

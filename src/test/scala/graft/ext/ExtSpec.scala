@@ -39,6 +39,27 @@ class ExtSpec extends SparkSpec {
       Seq(3L, 1L, 1L, md5hex("x y z"))))
   }
 
+  test("dedupSpans: duplicated k-token spans cut, gaps merge into spans") {
+    // k=3. "a b c d" appears in docs 0 and 1 → windows (a b c), (b c d)
+    // duplicated → positions 0..3 covered in both. Doc 0 additionally
+    // repeats "x y z" INSIDE itself (positions 4..6 and 8..10, two
+    // windows with the same fp) → covered; position 7 ("q") survives
+    // alone. Doc 2 shares nothing. Doc 3 is shorter than k.
+    val d = df(Seq(
+      (0L, "a b c d x y z q x y z"),
+      (1L, "a b c d p r s"),
+      (2L, "u v w t u u v"),
+      (3L, "a b")), "doc_id", "text")
+    val out = rowsOf(Dedup.dedupSpans(d, "doc_id", "text", k = 3).orderBy("doc_id"))
+    assert(out === Seq(
+      // doc 0: covered 0..6, 8..10 → 10 dup tokens, 2 spans, "q" kept
+      Seq(0L, 11L, 10L, 2L, md5hex("q")),
+      // doc 1: covered 0..3 → "p r s" kept
+      Seq(1L, 7L, 4L, 1L, md5hex("p r s")),
+      Seq(2L, 7L, 0L, 0L, md5hex("u v w t u u v")),
+      Seq(3L, 2L, 0L, 0L, md5hex("a b"))))
+  }
+
   test("dedupIncrement: history fps drop copies, increment dedups itself") {
     val history = df(Seq((1L, "seen before"), (2L, "also seen")), "doc_id", "text")
     val inc = df(Seq(
