@@ -54,8 +54,18 @@ object Tables {
       spark.conf.set("spark.sql.session.timeZone", "UTC")
     }
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts",
-        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    // The lake has shipped `ts` both as TIMESTAMP(NANOS) (surfaces as
+    // LongType under nanosAsLong; truncate to micros integrally) and as
+    // plain TIMESTAMP(MICROS) (a real timestamp column; just strip the
+    // zone). Dispatch on the physical type actually in the footer so a
+    // regenerated lake can't break analysis.
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    }
   }
 }

@@ -397,8 +397,12 @@ object DedupQueries {
                      ELSE len([i for i in range(0, len(ps))
                                if i = 0 OR ps[(i + 1)::INT] - ps[i::INT] > 1])
                 END)::BIGINT AS dup_spans,
-               md5(array_to_string([t[(p + 1)::INT] for p in range(0, len(t)::BIGINT)
-                                    if not list_contains(ps, p)], ' ')) AS dedup_md5
+               -- coalesce: DuckDB's array_to_string([]) is NULL, but a
+               -- fully-covered doc's remainder is the EMPTY string (md5
+               -- d41d8cd9...), matching Spark's concat_ws semantics
+               md5(coalesce(
+                 array_to_string([t[(p + 1)::INT] for p in range(0, len(t)::BIGINT)
+                                  if not list_contains(ps, p)], ' '), '')) AS dedup_md5
         FROM r ORDER BY doc_id"""),
       "duplicated k-token spans cut corpus-wide (Lee-et-al-style substring dedup); one fp-window shuffle"),
 

@@ -55,8 +55,13 @@ object LakeQueries {
     // under the build's target/ dir (cwd = repo for all runners): never
     // outside the repo, wiped by clean, invisible to git. The _v2 name
     // versions the layout (v2 adds per-metric schema.json sidecars) so
-    // stale memoized fixtures from older code can't serve.
-    val root = new File(new File(sys.props("user.dir"), "target"), s"graft_lake_v2_$tag")
+    // stale memoized fixtures from older code can't serve; the source
+    // mtime stamp keys the memo on the events data itself, so a
+    // regenerated testdata lake invalidates rather than serving rows
+    // the oracle no longer has.
+    val stamp = new File(dir, "events.parquet").lastModified()
+    val root = new File(new File(sys.props("user.dir"), "target"),
+      s"graft_lake_v2_${tag}_$stamp")
     val marker = new File(root, "_SUCCESS")
     if (!marker.exists()) {
       val rows = Tables(spark, dir, "events")
