@@ -1,0 +1,86 @@
+package graft.lake
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Lake maintenance: small-file compaction with multi-dimensional
+  * (Z-order) clustering — the OPTIMIZE/ZORDER tier of a 100 TB lake.
+  *
+  * Why it matters at scale: a streaming or incremental ingest leaves
+  * thousands of small files whose per-file column min/max ranges all
+  * span the whole domain, so predicate-driven file skipping prunes
+  * nothing and every query pays the full scan. Rewriting each partition
+  * into a few large files ordered by an interleaved (Morton) key gives
+  * every file a tight min/max box in EVERY interleaved dimension at
+  * once — a filter on any one of them skips most files (a plain sort
+  * only tightens its leading column). Reference analogue: the merge
+  * step in merge_data.py (MHM-data-pipelines merge_data.py:84-118)
+  * rewrites many per-upload CSVs into one parquet per (site, metric) —
+  * same operation, minus the clustering, which the reference never
+  * needed at its scale.
+  *
+  * Spark-first: the Morton key is a statically-unrolled tree of
+  * shift/mask/or over plain columns (whole-stage codegen, no UDF), the
+  * layout is `repartitionByRange(zkey)` (range exchange = equal-sized
+  * output files) + `sortWithinPartitions(zkey)` (tight row-group stats
+  * inside each file). Both are declarative — Catalyst sees an ordinary
+  * exchange + sort, and AQE can still right-size the shuffle.
+  */
+object Maintenance {
+
+  /** Interleave the low `bits` bits of two non-negative integral
+    * columns into a single Z-order (Morton) key: bit i of `a` lands at
+    * position 2i+1, bit i of `b` at position 2i. Statically unrolled —
+    * 2*bits shift/mask/or terms, all codegen'd; no UDF, no loop at
+    * runtime.
+    */
+  def mortonKey(a: Column, b: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    val al = a.cast("long")
+    val bl = b.cast("long")
+    val terms = (0 until bits).flatMap { i =>
+      Seq(
+        shiftleft(shiftright(al, i).bitwiseAND(lit(1L)), 2 * i + 1),
+        shiftleft(shiftright(bl, i).bitwiseAND(lit(1L)), 2 * i))
+    }
+    terms.reduce(_ bitwiseOR _)
+  }
+
+  /** Min-max scale a numeric column onto the [0, 2^bits) integer grid
+    * (the usual pre-step for [[mortonKey]] over non-integer or
+    * wide-range dimensions). `lo`/`hi` are the domain bounds — pass
+    * precomputed stats, don't make the layout job scan twice.
+    */
+  def gridBucket(c: Column, lo: Double, hi: Double, bits: Int = 16): Column = {
+    require(hi > lo, s"gridBucket needs hi > lo, got [$lo, $hi]")
+    val cells = (1L << bits) - 1
+    least(lit(cells), greatest(lit(0L),
+      floor((c.cast("double") - lit(lo)) / lit(hi - lo) * lit(cells.toDouble))
+        .cast("long")))
+  }
+
+  /** Rewrite `df` as ~`nFiles` parquet files range-partitioned and
+    * sorted by `zkey`. The key column is dropped before the write — it
+    * is layout, not data — and because the final Project preserves the
+    * child's partitioning and ordering, no extra exchange appears
+    * between the sort and the write.
+    */
+  def compact(df: DataFrame, zkey: Column, nFiles: Int, out: String): Unit = {
+    require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
+    df.withColumn("__zkey", zkey)
+      .repartitionByRange(nFiles, col("__zkey"))
+      .sortWithinPartitions("__zkey")
+      .drop("__zkey")
+      .write.mode("overwrite").parquet(out)
+  }
+
+  /** Per-file min/max spread of a column — the file-skipping health
+    * metric a compaction job reports. `sum(spread)` across files is
+    * proportional to the expected number of files a uniform point
+    * filter on `c` CANNOT skip; clustered layouts drive it toward
+    * `domain`, scattered layouts toward `nFiles * domain`.
+    */
+  def fileSpread(df: DataFrame, c: Column): DataFrame =
+    df.groupBy(input_file_name().as("file"))
+      .agg(min(c).as("lo"), max(c).as("hi"), count(lit(1)).as("rows"))
+}

@@ -8,7 +8,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.lake.{PathModel, Readers}
+import graft.lake.{Maintenance, PathModel, Readers}
 import graft.ops.{MergeData, Overview}
 
 /** End-to-end csv.gz lake queries — the reference's core abstraction
@@ -313,6 +313,83 @@ object LakeQueries {
         FROM events
         WHERE user_id = 1 AND ts IS NOT NULL
         GROUP BY 1 ORDER BY 1"""),
-      "S7: sidecar schema fetched, materialized, applied on the csv.gz read (no inference)")
+      "S7: sidecar schema fetched, materialized, applied on the csv.gz read (no inference)"),
+
+    // ---------------------------------------------------------------
+    // Z-order (Morton) clustering key — the multi-dimensional layout
+    // key behind OPTIMIZE/ZORDER-style compaction (lake/Maintenance).
+    // Statically-unrolled shift/mask/or tree, whole-stage codegen; the
+    // oracle recomputes every bit with a DuckDB list comprehension, so
+    // a green row pins all 32 interleave positions.
+    // ---------------------------------------------------------------
+    Q("q113_zorder_key",
+      (s, dir) => {
+        val ev = graft.Tables(s, dir, "events").filter(col("ts").isNotNull)
+        ev.select(
+            col("event_id"),
+            col("user_id"),
+            Maintenance.mortonKey(
+              col("user_id").bitwiseAND(lit(65535L)),
+              unix_seconds(col("ts").cast("timestamp")).bitwiseAND(lit(65535L)))
+              .as("zkey"))
+          .orderBy("zkey", "event_id")
+          .limit(500)
+      },
+      Some("""
+        SELECT event_id, user_id,
+               (list_sum([((((user_id & 65535) >> i::INT) & 1) << (2*i+1)::INT)
+                          + (((((epoch_ns(ts) // 1000000000) & 65535) >> i::INT) & 1)
+                             << (2*i)::INT)
+                          for i in range(0, 16)]))::BIGINT AS zkey
+        FROM events WHERE ts IS NOT NULL
+        ORDER BY zkey, event_id LIMIT 500"""),
+      "Morton interleave of (user_id, second-of-epoch) — codegen'd bit tree == DuckDB bit-comprehension oracle"),
+
+    // ---------------------------------------------------------------
+    // Compaction round-trip: events rewritten as 4 z-clustered parquet
+    // files (repartitionByRange on the Morton key + in-file sort, key
+    // dropped from the data), then read back and aggregated. The
+    // oracle reads the ORIGINAL table — a green row proves the rewrite
+    // is lossless for every column type while the layout changes
+    // underneath. Write is mtime-memoized like q88's ORC copy, so the
+    // timed plan is read-back + aggregate, not the rewrite.
+    // ---------------------------------------------------------------
+    Q("q114_compaction_roundtrip",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val stamp = new File(dir, "events.parquet").lastModified()
+        val outDir = new File(
+          new File(sys.props("user.dir"), "target"),
+          s"graft_zcompact_${tag}_$stamp").getAbsolutePath
+        LakeQueries.synchronized {
+          if (!new File(s"$outDir/_SUCCESS").exists()) {
+            val ev = graft.Tables(s, dir, "events")
+            Maintenance.compact(
+              ev,
+              Maintenance.mortonKey(
+                col("user_id").bitwiseAND(lit(65535L)),
+                coalesce(unix_seconds(col("ts").cast("timestamp")), lit(0L))
+                  .bitwiseAND(lit(65535L))),
+              nFiles = 4, outDir)
+          }
+        }
+        s.read.parquet(outDir)
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("row_count"),
+            round(sum("value"), 4).as("sum_value"),
+            min(unix_seconds(col("ts").cast("timestamp"))).as("min_ts"),
+            max(unix_seconds(col("ts").cast("timestamp"))).as("max_ts"))
+          .orderBy("event_type")
+      },
+      Some("""
+        SELECT event_type,
+               count(*) AS row_count,
+               round(sum(value::DOUBLE), 4) AS sum_value,
+               min(epoch_ns(ts) // 1000000000) AS min_ts,
+               max(epoch_ns(ts) // 1000000000) AS max_ts
+        FROM events
+        GROUP BY 1 ORDER BY 1"""),
+      "z-clustered small-file compaction is lossless: read-back aggregate == original-table oracle")
   )
 }

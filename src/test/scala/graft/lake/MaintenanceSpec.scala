@@ -1,0 +1,77 @@
+package graft.lake
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class MaintenanceSpec extends SparkSpec {
+  import Maintenance._
+
+  test("mortonKey interleaves bits (a→odd positions, b→even)") {
+    val d = df(Seq((0L, 0L), (1L, 0L), (0L, 1L), (5L, 3L), (65535L, 65535L)),
+      "a", "b")
+      .select(mortonKey(col("a"), col("b")).as("z"))
+    // morton(5,3): a bits 0,2 → positions 1,5 (2+32); b bits 0,1 →
+    // positions 0,2 (1+4) = 39; 16-bit all-ones interleaves to 2^32-1
+    assert(rowsOf(d).map(_.head) == Seq(0L, 2L, 1L, 39L, 4294967295L))
+  }
+
+  test("mortonKey monotone on the diagonal") {
+    // z(k,k) with identical coordinates = 3 * spread(k); strictly
+    // increasing along the diagonal — a sanity pin that ordering by z
+    // respects locality
+    val d = df((0L until 16L).map(Tuple1(_)), "k")
+      .select(mortonKey(col("k"), col("k")).as("z"))
+    val zs = rowsOf(d).map(_.head.asInstanceOf[Long])
+    assert(zs == zs.sorted && zs.distinct.size == zs.size)
+  }
+
+  test("gridBucket clamps and scales to the 2^bits grid") {
+    val d = df(Seq(-5.0, 0.0, 50.0, 100.0, 999.0).map(Tuple1(_)), "v")
+      .select(gridBucket(col("v"), 0.0, 100.0, bits = 4).as("g"))
+    // 4-bit grid: 15 cells; -5 clamps to 0, 999 clamps to 15, 50 → 7
+    assert(rowsOf(d).map(_.head) == Seq(0L, 0L, 7L, 15L, 15L))
+  }
+
+  test("compact rewrites a scattered layout into few z-clustered files") {
+    import spark.implicits._
+    // 4k rows over a 64x64 (a,b) grid, scattered across 16 files by a
+    // hash — the post-ingest worst case: every file spans the domain
+    val rows = (0 until 4096).map { i => (i.toLong % 64, (i / 64).toLong, i.toLong) }
+    val src = rows.toDF("a", "b", "payload")
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toFile
+    dir.deleteOnExit()
+    val scattered = new java.io.File(dir, "scattered").getAbsolutePath
+    val compacted = new java.io.File(dir, "compacted").getAbsolutePath
+    src.repartition(16, col("payload")).write.parquet(scattered)
+
+    val sdf = spark.read.parquet(scattered)
+    compact(sdf, mortonKey(col("a"), col("b"), bits = 6), nFiles = 4, compacted)
+    val cdf = spark.read.parquet(compacted)
+
+    // (1) lossless: same rows, layout column not leaked into the data
+    assert(cdf.columns.toSeq.sorted == Seq("a", "b", "payload"))
+    assert(cdf.count() == 4096 &&
+      cdf.exceptAll(src).isEmpty && src.exceptAll(cdf).isEmpty)
+
+    // (2) fewer files
+    def nFiles(p: String): Long = spark.read.parquet(p)
+      .select(input_file_name()).distinct().count()
+    assert(nFiles(scattered) == 16 && nFiles(compacted) == 4)
+
+    // (3) skipping health: in the scattered layout every file spans
+    // ~the full domain of BOTH dimensions; z-clustering must tighten
+    // the total per-file spread in EACH dimension (the point of
+    // interleaving vs a plain single-column sort)
+    def totalSpread(p: String, c: String): Long =
+      fileSpread(spark.read.parquet(p), col(c))
+        .agg(sum(col("hi").cast("long") - col("lo").cast("long")))
+        .collect()(0).getLong(0)
+    val (sa, sb) = (totalSpread(scattered, "a"), totalSpread(scattered, "b"))
+    val (ca, cb) = (totalSpread(compacted, "a"), totalSpread(compacted, "b"))
+    // scattered: every file spans ~the full 0..63 domain (hash layout
+    // may miss the odd extreme value in a file — bound, don't pin)
+    assert(sa >= 15 * 63 && sb >= 15 * 63)
+    assert(ca <= sa / 2 && cb <= sb / 2,
+      s"z-compaction should tighten both dims: a $sa->$ca, b $sb->$cb")
+  }
+}
