@@ -1,0 +1,67 @@
+package graft.lake
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-level min/max data-skipping index — the "zone map over files"
+  * that Delta/Iceberg keep in their metadata layer, as a plain table.
+  *
+  * Why a SEPARATE index table when parquet already has row-group
+  * stats: footer stats still cost one open+footer-read per file per
+  * query. At 100 TB that is millions of S3 GETs before the first data
+  * byte. A one-row-per-file index table is a single tiny scan, and
+  * pruning happens in the PLAN (the pruned file list feeds the reader)
+  * rather than at task start.
+  *
+  * Pairs with [[Maintenance.compact]]: z-clustering is what makes the
+  * per-file [lo, hi] boxes tight enough that a point/range predicate
+  * skips most files; the index is what makes that skipping cheap. The
+  * index is one aggregate over the data (build-time, not query-time)
+  * and stays valid until the next rewrite of a file it covers.
+  */
+object SkipIndex {
+
+  /** One row per (file, indexed column): lo, hi, rows. Built with a
+    * single scan — `input_file_name()` groupBy, so the index build
+    * shuffles only (nFiles × nCols) tiny rows. */
+  def build(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "SkipIndex.build needs at least one column")
+    val perFile = df.groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("rows"),
+        cols.flatMap(c => Seq(
+          min(col(c)).cast("double").as(s"__lo_$c"),
+          max(col(c)).cast("double").as(s"__hi_$c"))): _*)
+    // unpivot to (file, col, lo, hi, rows) — schema stays fixed no
+    // matter which columns are indexed, so index tables compose
+    val entries = cols.map(c => struct(
+      lit(c).as("col"), col(s"__lo_$c").as("lo"), col(s"__hi_$c").as("hi")))
+    perFile.select(col("file"), col("rows"), explode(array(entries: _*)).as("e"))
+      .select(col("file"), col("e.col").as("col"),
+        col("e.lo").as("lo"), col("e.hi").as("hi"), col("rows"))
+  }
+
+  /** Files whose [lo, hi] box on `c` intersects [qLo, qHi]. The index
+    * scan is tiny (rows = files × indexed cols); the collect is bounded
+    * by the lake's FILE count — the same driver-side scale as the file
+    * listing every query already does. */
+  def candidateFiles(idx: DataFrame, c: String, qLo: Double, qHi: Double): Seq[String] =
+    idx.filter(col("col") === c && col("hi") >= qLo && col("lo") <= qHi)
+      .select("file").collect().map(_.getString(0)).toSeq.sorted
+
+  /** Range-predicate read that only opens surviving files. The residual
+    * filter stays on top (index pruning is file-granular, not exact),
+    * so the result is identical to a full scan + filter — just without
+    * opening the skipped files. An empty candidate list yields an empty
+    * frame with the right schema via an always-false filter on one file
+    * (cheaper than special-casing schema inference).
+    */
+  def prunedRead(spark: SparkSession, dataDir: String, idx: DataFrame,
+      c: String, qLo: Double, qHi: Double): DataFrame = {
+    val files = candidateFiles(idx, c, qLo, qHi)
+    val residual: Column = col(c) >= qLo && col(c) <= qHi
+    if (files.isEmpty)
+      spark.read.parquet(dataDir).filter(lit(false))
+    else
+      spark.read.parquet(files: _*).filter(residual)
+  }
+}

@@ -59,7 +59,8 @@ object MergeData {
     * directory layout itself is Hive-style (`key=value`), not the
     * reference's bare `site/participant/metric` nesting. */
   def writeMerged(spark: SparkSession, df: DataFrame, outDir: String,
-      format: String = "parquet"): Unit = {
+      format: String = "parquet",
+      keys: Seq[String] = Seq("site", "participant_id", "metric")): Unit = {
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
@@ -70,7 +71,7 @@ object MergeData {
           .partitionBy(keys: _*)
       format match {
         case "parquet" =>
-          writer(df, Seq("site", "participant_id", "metric")).parquet(outDir)
+          writer(df, keys).parquet(outDir)
         case "csv.gz" =>
           // Hive partitioning strips partition columns from file
           // contents; the reference's merged csv carries them as data
@@ -89,5 +90,75 @@ object MergeData {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
+  }
+
+  /** Row-level MERGE INTO over a Hive-partitioned parquet lake —
+    * copy-on-write upsert/delete, the Delta/Hudi-style mutation layer
+    * the reference's `--update` flag gestures at but only does at
+    * whole-group granularity (merge-data.py:69-77 skip-existing).
+    *
+    * Semantics per `updates` row (matched on `rowKey` against base):
+    *   matched  + `__delete` false/absent → base row replaced (UPDATE)
+    *   matched  + `__delete` true         → base row dropped  (DELETE)
+    *   unmatched + `__delete` false       → appended           (INSERT)
+    *
+    * Scale shape — the whole point of the COW design:
+    *   - only partitions PRESENT in `updates` are read or rewritten:
+    *     the base scan is semi-joined to the (broadcast) touched
+    *     partition set on the PARTITION columns, so partition pruning
+    *     keeps untouched data out of the plan entirely, and dynamic
+    *     partition overwrite leaves its files physically untouched;
+    *   - the matched/unmatched split is ONE left_anti + unionByName on
+    *     `rowKey` — a single equi-join shuffle of just the touched
+    *     partitions' rows, never a full-lake rewrite.
+    *
+    * `updates` must carry the partition columns, the `rowKey` columns,
+    * and every data column of the base (an optional boolean `__delete`
+    * marks deletions). A DELETE-only batch still rewrites its partition
+    * (COW); at 100 TB you batch deletes with the day's upserts exactly
+    * like every COW table format does.
+    */
+  def mergeInto(spark: SparkSession, baseDir: String, updates: DataFrame,
+      partitionKeys: Seq[String], rowKey: Seq[String]): Unit = {
+    require(rowKey.nonEmpty, "mergeInto needs at least one rowKey column")
+    val hasDelete = updates.columns.contains("__delete")
+    val del = if (hasDelete) col("__delete") else lit(false)
+    val touched = updates.select(partitionKeys.map(col): _*).distinct()
+    val base = spark.read.parquet(baseDir)
+      .join(broadcast(touched), partitionKeys, "left_semi")
+    val survivors = base.join(
+      updates.select(rowKey.map(col): _*).distinct(), rowKey, "left_anti")
+    val applied = updates.filter(!del).drop("__delete")
+    val merged = survivors.unionByName(applied.select(base.columns.map(col): _*))
+
+    // The write target IS the read source, which Spark's file-source
+    // overwrite check rightly refuses (and an eager cache wouldn't
+    // change the plan's file index). So commit the COW way every table
+    // format does: write the touched partitions to a staging dir, then
+    // swap each touched partition DIRECTORY into the base via rename.
+    // Driver-side FS work is bounded by the batch's touched-partition
+    // count (collected below) — the merge batch defines it, never the
+    // lake size — and rename is a metadata op on HDFS-like stores.
+    val staging = new org.apache.hadoop.fs.Path(
+      baseDir + "_staging_" + java.util.UUID.randomUUID().toString.take(8))
+    val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      writeMerged(spark, merged, staging.toString, keys = partitionKeys)
+      val parts = touched.collect().map { r =>
+        partitionKeys.zipWithIndex.map { case (k, i) =>
+          s"$k=${org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .escapePathName(String.valueOf(r.get(i)))}"
+        }.mkString("/")
+      }
+      parts.foreach { rel =>
+        val dst = new org.apache.hadoop.fs.Path(baseDir, rel)
+        val src = new org.apache.hadoop.fs.Path(staging, rel)
+        fs.delete(dst, true)
+        if (fs.exists(src)) { // DELETE-all batch leaves no staging dir
+          fs.mkdirs(dst.getParent)
+          fs.rename(src, dst)
+        }
+      }
+    } finally fs.delete(staging, true)
   }
 }

@@ -8,7 +8,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.lake.{Maintenance, PathModel, Readers}
+import graft.lake.{Maintenance, PathModel, Readers, SkipIndex}
 import graft.ops.{MergeData, Overview}
 
 /** End-to-end csv.gz lake queries — the reference's core abstraction
@@ -131,6 +131,31 @@ object LakeQueries {
     * render the scheme with different slash counts) to plain paths. */
   private def plainPath(c: org.apache.spark.sql.Column) =
     regexp_replace(c, "^file:/+", "/")
+
+  /** Events rewritten as 4 z-clustered parquet files (Morton key over
+    * user_id × second-of-epoch), mtime-memoized per sf dir — the
+    * steady-state layout q114 round-trips and q116's skip index prunes.
+    */
+  private def zCompactedEvents(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val stamp = new File(dir, "events.parquet").lastModified()
+    val outDir = new File(
+      new File(sys.props("user.dir"), "target"),
+      s"graft_zcompact_${tag}_$stamp").getAbsolutePath
+    LakeQueries.synchronized {
+      if (!new File(s"$outDir/_SUCCESS").exists()) {
+        val ev = graft.Tables(s, dir, "events")
+        Maintenance.compact(
+          ev,
+          Maintenance.mortonKey(
+            col("user_id").bitwiseAND(lit(65535L)),
+            coalesce(unix_seconds(col("ts").cast("timestamp")), lit(0L))
+              .bitwiseAND(lit(65535L))),
+          nFiles = 4, outDir)
+      }
+    }
+    outDir
+  }
 
   private def lakeOverview(s: SparkSession, dir: String): DataFrame = {
     val root = fixtureLake(s, dir)
@@ -356,24 +381,7 @@ object LakeQueries {
     // ---------------------------------------------------------------
     Q("q114_compaction_roundtrip",
       (s, dir) => {
-        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
-        val stamp = new File(dir, "events.parquet").lastModified()
-        val outDir = new File(
-          new File(sys.props("user.dir"), "target"),
-          s"graft_zcompact_${tag}_$stamp").getAbsolutePath
-        LakeQueries.synchronized {
-          if (!new File(s"$outDir/_SUCCESS").exists()) {
-            val ev = graft.Tables(s, dir, "events")
-            Maintenance.compact(
-              ev,
-              Maintenance.mortonKey(
-                col("user_id").bitwiseAND(lit(65535L)),
-                coalesce(unix_seconds(col("ts").cast("timestamp")), lit(0L))
-                  .bitwiseAND(lit(65535L))),
-              nFiles = 4, outDir)
-          }
-        }
-        s.read.parquet(outDir)
+        s.read.parquet(zCompactedEvents(s, dir))
           .groupBy("event_type")
           .agg(
             count(lit(1)).as("row_count"),
@@ -390,6 +398,97 @@ object LakeQueries {
                max(epoch_ns(ts) // 1000000000) AS max_ts
         FROM events
         GROUP BY 1 ORDER BY 1"""),
-      "z-clustered small-file compaction is lossless: read-back aggregate == original-table oracle")
+      "z-clustered small-file compaction is lossless: read-back aggregate == original-table oracle"),
+
+    // ---------------------------------------------------------------
+    // Row-level MERGE INTO (copy-on-write upsert/delete) — base lake
+    // partitioned by event_type, one deterministic batch touching TWO
+    // of the five partitions: UPDATE (id%10=0 doubles value), DELETE
+    // (id%10=1), INSERT (id%100=2 re-inserted under a new id). The
+    // oracle recomputes the post-merge state from the original table
+    // with CASE/filter/union. Base build is mtime-memoized; the merge
+    // batch REPLAYS every run — a green row therefore also proves
+    // replay idempotence (MergeIntoSpec pins it mechanically too).
+    // ---------------------------------------------------------------
+    Q("q115_merge_upsert",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val stamp = new File(dir, "events.parquet").lastModified()
+        val lakeDir = new File(
+          new File(sys.props("user.dir"), "target"),
+          s"graft_mergeq_${tag}_$stamp").getAbsolutePath
+        val cols = Seq("event_id", "user_id", "value", "event_type")
+        def base = graft.Tables(s, dir, "events").select(cols.map(col): _*)
+        LakeQueries.synchronized {
+          if (!new File(s"$lakeDir/_BASE_DONE").exists()) {
+            MergeData.writeMerged(s, base, lakeDir, keys = Seq("event_type"))
+            new File(s"$lakeDir/_BASE_DONE").createNewFile()
+          }
+        }
+        val touched = base.filter(col("event_type").isin("click", "view"))
+        val batch =
+          touched.filter(col("event_id") % 10 === 0)
+            .withColumn("value", col("value") * 2)
+            .withColumn("__delete", lit(false))
+          .unionByName(
+            touched.filter(col("event_id") % 10 === 1)
+              .withColumn("__delete", lit(true)))
+          .unionByName(
+            touched.filter(col("event_id") % 100 === 2)
+              .withColumn("event_id", col("event_id") + lit(10000000L))
+              .withColumn("value", col("value") + 1)
+              .withColumn("__delete", lit(false)))
+        MergeData.mergeInto(s, lakeDir, batch,
+          partitionKeys = Seq("event_type"), rowKey = Seq("event_id"))
+        s.read.parquet(lakeDir)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("row_count"),
+            round(sum("value"), 4).as("sum_value"),
+            count_distinct(col("event_id")).as("n_ids"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH fin AS (
+          SELECT event_type, event_id,
+                 CASE WHEN event_type IN ('click','view') AND event_id % 10 = 0
+                      THEN value * 2 ELSE value END AS value
+          FROM events
+          WHERE NOT (event_type IN ('click','view') AND event_id % 10 = 1)
+          UNION ALL
+          SELECT event_type, event_id + 10000000, value + 1
+          FROM events
+          WHERE event_type IN ('click','view') AND event_id % 100 = 2)
+        SELECT event_type, count(*) AS row_count,
+               round(sum(value::DOUBLE), 4) AS sum_value,
+               count(DISTINCT event_id) AS n_ids
+        FROM fin GROUP BY 1 ORDER BY 1"""),
+      "COW MERGE INTO: update/delete/insert batch == CASE/filter/union oracle; only touched partitions rewrite"),
+
+    // ---------------------------------------------------------------
+    // File-level min/max skip index over the z-compacted layout: one
+    // tiny index scan picks candidate files, the reader opens ONLY
+    // those, a residual filter restores exactness. The oracle is the
+    // plain full-scan filter — a green row proves pruning loses
+    // nothing; SkipIndexSpec proves files actually get skipped.
+    // ---------------------------------------------------------------
+    Q("q116_skip_index_scan",
+      (s, dir) => {
+        val layout = zCompactedEvents(s, dir)
+        val idx = SkipIndex.build(s.read.parquet(layout), Seq("user_id"))
+        SkipIndex.prunedRead(s, layout, idx, "user_id", 100, 220)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("row_count"),
+            round(sum("value"), 4).as("sum_value"),
+            count_distinct(col("user_id")).as("n_users"))
+          .orderBy("event_type")
+      },
+      Some("""
+        SELECT event_type, count(*) AS row_count,
+               round(sum(value::DOUBLE), 4) AS sum_value,
+               count(DISTINCT user_id) AS n_users
+        FROM events
+        WHERE user_id BETWEEN 100 AND 220
+        GROUP BY 1 ORDER BY 1"""),
+      "min/max skip-index pruned read == full-scan filter oracle; z-layout makes the boxes tight")
   )
 }

@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Row-level MERGE INTO (copy-on-write): update/delete/insert semantics
+  * AND the physical guarantee that only touched partitions rewrite —
+  * untouched partition files must remain byte- and mtime-identical,
+  * because at lake scale "merge a day's upserts" must never become
+  * "rewrite the table".
+  */
+class MergeIntoSpec extends SparkSpec {
+
+  private def readLake(dir: String) =
+    spark.read.parquet(dir).select("site", "id", "v")
+
+  private def state(dir: String): Set[(String, Long, Double)] =
+    readLake(dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("mergeInto applies update/delete/insert and leaves other partitions' files untouched") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_merge").toFile
+    dir.deleteOnExit()
+    val base = df(Seq(
+      ("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0),
+      ("b", 10L, 10.0), ("b", 11L, 11.0)), "site", "id", "v")
+    MergeData.writeMerged(spark, base, dir.getAbsolutePath, keys = Seq("site"))
+
+    def files(p: String): Map[String, Long] = {
+      val d = new java.io.File(dir, p)
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val bBefore = files("site=b")
+
+    // batch: UPDATE a/1, DELETE a/2, INSERT a/4 and a whole new
+    // partition c/100 — partition b is not in the batch
+    val updates = df(Seq(
+      ("a", 1L, 100.0, false), ("a", 2L, 0.0, true),
+      ("a", 4L, 4.0, false), ("c", 100L, 9.0, false)),
+      "site", "id", "v", "__delete")
+    MergeData.mergeInto(spark, dir.getAbsolutePath, updates,
+      partitionKeys = Seq("site"), rowKey = Seq("site", "id"))
+
+    assert(state(dir.getAbsolutePath) == Set(
+      ("a", 1L, 100.0), ("a", 3L, 3.0), ("a", 4L, 4.0),
+      ("b", 10L, 10.0), ("b", 11L, 11.0), ("c", 100L, 9.0)))
+    assert(files("site=b") == bBefore,
+      "untouched partition must keep the exact same files (COW scope)")
+  }
+
+  test("mergeInto is idempotent: replaying the same batch changes nothing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_merge_idem").toFile
+    dir.deleteOnExit()
+    MergeData.writeMerged(spark,
+      df(Seq(("a", 1L, 1.0), ("a", 2L, 2.0)), "site", "id", "v"),
+      dir.getAbsolutePath, keys = Seq("site"))
+    val updates = df(Seq(("a", 1L, 5.0, false), ("a", 2L, 0.0, true)),
+      "site", "id", "v", "__delete")
+    MergeData.mergeInto(spark, dir.getAbsolutePath, updates,
+      Seq("site"), Seq("site", "id"))
+    val once = state(dir.getAbsolutePath)
+    MergeData.mergeInto(spark, dir.getAbsolutePath, updates,
+      Seq("site"), Seq("site", "id"))
+    assert(state(dir.getAbsolutePath) == once && once == Set(("a", 1L, 5.0)))
+  }
+
+  test("a delete-everything batch empties the partition but not the lake") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_merge_del").toFile
+    dir.deleteOnExit()
+    MergeData.writeMerged(spark,
+      df(Seq(("a", 1L, 1.0), ("b", 2L, 2.0)), "site", "id", "v"),
+      dir.getAbsolutePath, keys = Seq("site"))
+    MergeData.mergeInto(spark, dir.getAbsolutePath,
+      df(Seq(("a", 1L, 0.0, true)), "site", "id", "v", "__delete"),
+      Seq("site"), Seq("site", "id"))
+    assert(state(dir.getAbsolutePath) == Set(("b", 2L, 2.0)))
+  }
+}
