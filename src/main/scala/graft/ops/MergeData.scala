@@ -104,10 +104,11 @@ object MergeData {
     *
     * Scale shape — the whole point of the COW design:
     *   - only partitions PRESENT in `updates` are read or rewritten:
-    *     the base scan is semi-joined to the (broadcast) touched
-    *     partition set on the PARTITION columns, so partition pruning
-    *     keeps untouched data out of the plan entirely, and dynamic
-    *     partition overwrite leaves its files physically untouched;
+    *     the touched partition set (collected anyway for the commit
+    *     step) becomes a STATIC partition-column predicate on the base
+    *     scan, so pruning happens at planning time (PartitionFilters
+    *     in the scan node, no DPP reliance) and untouched data never
+    *     enters the plan;
     *   - the matched/unmatched split is ONE left_anti + unionByName on
     *     `rowKey` — a single equi-join shuffle of just the touched
     *     partitions' rows, never a full-lake rewrite.
@@ -123,9 +124,31 @@ object MergeData {
     require(rowKey.nonEmpty, "mergeInto needs at least one rowKey column")
     val hasDelete = updates.columns.contains("__delete")
     val del = if (hasDelete) col("__delete") else lit(false)
-    val touched = updates.select(partitionKeys.map(col): _*).distinct()
-    val base = spark.read.parquet(baseDir)
-      .join(broadcast(touched), partitionKeys, "left_semi")
+    // the merge consumes the batch three times (partition set, matched
+    // anti-join, applied rows) — materialize it ONCE; it is bounded by
+    // batch size, never lake size, so caching it is always safe
+    val batch = updates.persist()
+    try {
+      mergeIntoImpl(spark, baseDir, batch, partitionKeys, rowKey, del)
+    } finally batch.unpersist()
+  }
+
+  private def mergeIntoImpl(spark: SparkSession, baseDir: String,
+      updates: DataFrame, partitionKeys: Seq[String], rowKey: Seq[String],
+      del: org.apache.spark.sql.Column): Unit = {
+    // one driver-side pass over the batch's distinct partitions: it is
+    // bounded by the batch (a day's CDC touches few partitions), and it
+    // buys BOTH static partition pruning on the read and the commit
+    // swap list below
+    val touchedRows = updates.select(partitionKeys.map(col): _*)
+      .distinct().collect()
+    require(touchedRows.nonEmpty, "mergeInto got an empty updates batch")
+    val touchedPred = touchedRows.map { r =>
+      partitionKeys.zipWithIndex.map { case (k, i) =>
+        col(k) === lit(r.get(i))
+      }.reduce(_ && _)
+    }.reduce(_ || _)
+    val base = spark.read.parquet(baseDir).filter(touchedPred)
     val survivors = base.join(
       updates.select(rowKey.map(col): _*).distinct(), rowKey, "left_anti")
     val applied = updates.filter(!del).drop("__delete")
@@ -144,7 +167,7 @@ object MergeData {
     val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
     try {
       writeMerged(spark, merged, staging.toString, keys = partitionKeys)
-      val parts = touched.collect().map { r =>
+      val parts = touchedRows.map { r =>
         partitionKeys.zipWithIndex.map { case (k, i) =>
           s"$k=${org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
             .escapePathName(String.valueOf(r.get(i)))}"
