@@ -417,4 +417,116 @@ object Multimodal {
       col("doc_id"),
       explode(sequence(lit(0), least(col("n_frames") - 1, lit(maxFrames * stride - 1)), lit(stride)))
         .as("frame_idx"))
+
+  /** One resized-image row: source dims, target dims, and the exact
+    * integer channel sum of the RESAMPLED raster. Null pixel fields =
+    * ImageIO couldn't decode the container. */
+  final case class ResizedMeta(doc_id: Long, media_type: String,
+      src_w: Option[Int], src_h: Option[Int], dst_w: Int, dst_h: Int,
+      rgb_sum: Option[Long])
+
+  /** REAL image resize (mapPartitions tier): decode via ImageIO, then
+    * NEAREST-NEIGHBOR resample with explicit integer index math —
+    * src(x,y) = (x*srcW div dstW, y*srcH div dstH). NN by hand rather
+    * than Graphics2D scaling because the sampling grid is then exactly
+    * reproducible (an analytic oracle can predict every output pixel);
+    * production thumbnailing could swap in area-averaging here without
+    * touching the plan shape. Only derived columns leave the executor
+    * — pixel buffers never enter the plan, same contract as
+    * [[decodePixels]]. */
+  def resizePixels(spark: SparkSession, media: DataFrame,
+      dstW: Int, dstH: Int): Dataset[ResizedMeta] = {
+    require(dstW > 0 && dstH > 0, s"target dims must be positive, got ${dstW}x$dstH")
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val b = if (r.payload == null) Array.empty[Byte] else r.payload
+        val img =
+          try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b)))
+          catch { case scala.util.control.NonFatal(_) => None }
+        val sum = img.map { i =>
+          var s = 0L
+          var y = 0
+          while (y < dstH) {
+            val sy = y * i.getHeight / dstH
+            var x = 0
+            while (x < dstW) {
+              val sx = x * i.getWidth / dstW
+              val rgb = i.getRGB(sx, sy)
+              s += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          s
+        }
+        ResizedMeta(r.doc_id, r.media_type,
+          img.map(_.getWidth), img.map(_.getHeight), dstW, dstH, sum)
+      }
+    }
+  }
+
+  /** Canonical 44-byte-header PCM WAV (8-bit mono 8 kHz) whose sample
+    * stream is the deterministic walk s(i) = (seed + 11*i) mod 256 —
+    * the audio twin of [[generatePng]]'s gray gradient: a REAL payload
+    * an analytic oracle can predict without seeing a byte. */
+  def generateWavPcm(nSamples: Int, seed: Long): Array[Byte] = {
+    val out = new Array[Byte](44 + nSamples)
+    def ascii(pos: Int, s: String): Unit =
+      s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        .copyToArray(out, pos)
+    def le(pos: Int, v: Long, len: Int): Unit = {
+      var i = 0
+      while (i < len) { out(pos + i) = ((v >> (8 * i)) & 0xff).toByte; i += 1 }
+    }
+    ascii(0, "RIFF"); le(4, 36L + nSamples, 4); ascii(8, "WAVE")
+    ascii(12, "fmt "); le(16, 16, 4); le(20, 1, 2); le(22, 1, 2)
+    le(24, 8000, 4); le(28, 8000, 4); le(32, 1, 2); le(34, 8, 2)
+    ascii(36, "data"); le(40, nSamples.toLong, 4)
+    var i = 0
+    while (i < nSamples) {
+      out(44 + i) = (((seed + 11L * i) % 256 + 256) % 256).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** One frame-sampled audio row: total PCM samples in the payload,
+    * how many the stride kept, and their exact integer sum. Null
+    * fields = not a canonical PCM WAV payload. */
+  final case class FrameSampleMeta(doc_id: Long, media_type: String,
+      n_samples: Option[Int], n_sampled: Option[Int], sample_sum: Option[Long])
+
+  /** REAL byte-level frame sampling (mapPartitions tier): walk the
+    * 8-bit PCM data chunk of a canonical WAV payload keeping every
+    * `stride`-th sample — the audio analogue of video frame-striding,
+    * against real bytes (video itself stays [[decodeStub]]'s scope:
+    * no codec in the JDK). Fixed-offset parse guarded by the RIFF/
+    * WAVE/data magics; anything else yields nulls, not a dead task. */
+  def samplePcmFrames(spark: SparkSession, media: DataFrame,
+      stride: Int): Dataset[FrameSampleMeta] = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val b = if (r.payload == null) Array.empty[Byte] else r.payload
+        def magic(pos: Int, s: String): Boolean =
+          b.length >= pos + s.length &&
+            s.indices.forall(i => b(pos + i) == s.charAt(i).toByte)
+        if (magic(0, "RIFF") && magic(8, "WAVE") && magic(36, "data") &&
+            b.length >= 44) {
+          val n = math.min(
+            (b(40) & 0xff) | ((b(41) & 0xff) << 8) |
+              ((b(42) & 0xff) << 16) | ((b(43) & 0xff) << 24),
+            b.length - 44)
+          var s = 0L
+          var k = 0
+          var i = 0
+          while (i < n) { s += (b(44 + i) & 0xff); k += 1; i += stride }
+          FrameSampleMeta(r.doc_id, r.media_type, Some(n), Some(k), Some(s))
+        } else FrameSampleMeta(r.doc_id, r.media_type, None, None, None)
+      }
+    }
+  }
 }

@@ -136,6 +136,85 @@ object MultimodalQueries {
                w AS px_width, h AS px_height, rgb_sum,
                round(rgb_sum / (w * h * 3.0), 4) AS mean_luma
         FROM s ORDER BY doc_id"""),
-      "real ImageIO raster decode: exact pixel sums vs a bytes-blind analytic oracle")
+      "real ImageIO raster decode: exact pixel sums vs a bytes-blind analytic oracle"),
+
+    // ---------------------------------------------------------------
+    // Multimodal: REAL image resize — ImageIO decode + explicit
+    // nearest-neighbor resample (src index = dst index * src_dim div
+    // dst_dim), so the oracle can reproduce the EXACT sampling grid
+    // analytically and predict the resized raster's channel sum from
+    // doc_id alone. The thumbnailing stage of an image-curation
+    // pipeline, end-to-end real.
+    // ---------------------------------------------------------------
+    Q("q117_image_resize",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables(s, dir, "documents")
+          .select(col("doc_id").cast("long")).as[Long]
+          .mapPartitions { ids =>
+            ids.map { id =>
+              Multimodal.MediaRow(id, "image/png", Multimodal.generatePng(
+                (8 + id % 9).toInt, (8 + (id * 3) % 9).toInt, seed = id))
+            }
+          }.toDF()
+        Multimodal.resizePixels(s, media, dstW = 5, dstH = 4).toDF()
+          .select(col("doc_id"), col("src_w"), col("src_h"),
+            col("dst_w"), col("dst_h"), col("rgb_sum"),
+            round(col("rgb_sum") / lit(5 * 4 * 3.0), 4).as("mean_luma"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH dims AS (SELECT doc_id,
+                             (8 + doc_id % 9)::INT AS w,
+                             (8 + (doc_id * 3) % 9)::INT AS h
+                      FROM documents),
+        px AS (SELECT doc_id, w, h, unnest(range(0, 5)) AS x FROM dims),
+        pxy AS (SELECT doc_id, w, h, x, unnest(range(0, 4)) AS y FROM px),
+        s AS (SELECT doc_id, w, h,
+                     sum(3 * ((doc_id + 7 * ((x * w) // 5)
+                                      + 13 * ((y * h) // 4)) % 256))::BIGINT AS rgb_sum
+              FROM pxy GROUP BY 1, 2, 3)
+        SELECT doc_id, w AS src_w, h AS src_h, 5 AS dst_w, 4 AS dst_h,
+               rgb_sum, round(rgb_sum / 60.0, 4) AS mean_luma
+        FROM s ORDER BY doc_id"""),
+      "real NN resample: resized-raster channel sums vs a bytes-blind analytic oracle"),
+
+    // ---------------------------------------------------------------
+    // Multimodal: REAL byte-level frame sampling over PCM audio —
+    // canonical 8-bit WAV payloads with a deterministic sample walk,
+    // every 7th sample kept by walking the actual data chunk. The
+    // audio analogue of video frame-striding, against real bytes
+    // (video itself is the one remaining stub: no codec in the JDK).
+    // ---------------------------------------------------------------
+    Q("q118_audio_frame_sample",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables(s, dir, "documents")
+          .select(col("doc_id").cast("long")).as[Long]
+          .mapPartitions { ids =>
+            ids.map { id =>
+              Multimodal.MediaRow(id, "audio/wav", Multimodal.generateWavPcm(
+                (200 + id % 100).toInt, seed = id))
+            }
+          }.toDF()
+        Multimodal.samplePcmFrames(s, media, stride = 7).toDF()
+          .select(col("doc_id"), col("n_samples"), col("n_sampled"),
+            col("sample_sum"),
+            round(col("sample_sum") / col("n_sampled"), 4).as("mean_sample"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH n AS (SELECT doc_id, (200 + doc_id % 100)::INT AS n_samples
+                   FROM documents),
+        sampled AS (SELECT doc_id, n_samples, unnest(range(0, n_samples, 7)) AS i
+                    FROM n),
+        s AS (SELECT doc_id, n_samples,
+                     count(*)::INT AS n_sampled,
+                     sum((doc_id + 11 * i) % 256)::BIGINT AS sample_sum
+              FROM sampled GROUP BY 1, 2)
+        SELECT doc_id, n_samples, n_sampled, sample_sum,
+               round(sample_sum / n_sampled, 4) AS mean_sample
+        FROM s ORDER BY doc_id"""),
+      "real PCM data-chunk stride sampling vs a bytes-blind analytic oracle")
   )
 }

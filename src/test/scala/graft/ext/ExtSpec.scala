@@ -476,4 +476,54 @@ class ExtSpec extends SparkSpec {
       .select("doc_id", "byte_len", "width", "height", "n_frames")
     assert(rowsOf(expr.orderBy("doc_id")) === rowsOf(stub.orderBy("doc_id")))
   }
+
+  test("real NN resize: resampled sums match the explicit index math") {
+    import spark.implicits._
+    val png = Multimodal.generatePng(9, 7, seed = 5L)
+    // NN grid: src(x,y) = (x*9 div 3, y*7 div 2)
+    val expected = (for (y <- 0 until 2; x <- 0 until 3)
+      yield 3L * ((5L + 7 * (x * 9 / 3) + 13 * (y * 7 / 2)) % 256)).sum
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image/png", png),
+      Multimodal.MediaRow(2L, "video/mp4", Array[Byte](9, 9)))
+    val out = Multimodal.resizePixels(spark,
+        spark.createDataset(rows).toDF(), dstW = 3, dstH = 2)
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(out(1L).rgb_sum === Some(expected))
+    assert((out(1L).src_w, out(1L).src_h) === ((Some(9), Some(7))))
+    assert((out(1L).dst_w, out(1L).dst_h) === ((3, 2)))
+    assert(out(2L).rgb_sum.isEmpty && out(2L).src_w.isEmpty) // undecodable
+    // upscale is legal for NN: 1x1 source to 2x2 repeats the pixel
+    val one = Multimodal.generatePng(1, 1, seed = 9L)
+    val up = Multimodal.resizePixels(spark,
+        spark.createDataset(Seq(Multimodal.MediaRow(3L, "image/png", one))).toDF(),
+        dstW = 2, dstH = 2).collect().head
+    assert(up.rgb_sum === Some(4 * 3L * (9L % 256)))
+  }
+
+  test("real PCM frame sampling: stride walk over the actual data chunk") {
+    import spark.implicits._
+    val wav = Multimodal.generateWavPcm(10, seed = 4L)
+    assert(wav.length === 54)
+    // header fields parse back through the expression tier (canonical)
+    val hdr = Multimodal.withWavHeaderMeta(
+      spark.createDataset(Seq(Multimodal.MediaRow(1L, "audio/wav", wav))).toDF())
+      .select("channels", "sample_rate", "bits_per_sample")
+    assert(rowsOf(hdr) === Seq(Seq(1, 8000, 8)))
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "audio/wav", wav),
+      Multimodal.MediaRow(2L, "audio/wav", "nope".getBytes))
+    def sums(stride: Int) = Multimodal.samplePcmFrames(spark,
+        spark.createDataset(rows).toDF(), stride)
+      .collect().map(m => m.doc_id -> m).toMap
+    val s3 = sums(3)
+    // samples (4 + 11*i) % 256 at i = 0,3,6,9
+    assert(s3(1L).sample_sum ===
+      Some(Seq(0, 3, 6, 9).map(i => (4L + 11 * i) % 256).sum))
+    assert(s3(1L).n_samples === Some(10) && s3(1L).n_sampled === Some(4))
+    assert(s3(2L).n_samples.isEmpty) // not a canonical WAV → nulls
+    // stride 1 = every sample
+    assert(sums(1)(1L).sample_sum ===
+      Some((0 until 10).map(i => (4L + 11 * i) % 256).sum))
+  }
 }
