@@ -104,6 +104,42 @@ object GraftExtensions {
               Literal(1), Literal(13)),
             Literal(16), Literal(10)),
           LongType)
+      }), (
+      FunctionIdentifier("morton_key"),
+      info("morton_key",
+        "_FUNC_(a, b[, bits]) - Z-order (Morton) interleave of the low " +
+          "`bits` bits (default 16) of two non-negative integral columns; " +
+          "the lakehouse clustering key (graft.lake.Maintenance.mortonKey). " +
+          "Statically unrolled shift/mask/or tree — whole-stage codegen"),
+      (args: Seq[Expression]) => {
+        // concrete Catalyst tree mirroring Maintenance.mortonKey: bit i
+        // of `a` → position 2i+1, bit i of `b` → position 2i
+        import org.apache.spark.sql.catalyst.expressions.{
+          BitwiseAnd, BitwiseOr, Cast, Literal, ShiftLeft, ShiftRight}
+        import org.apache.spark.sql.types.{IntegerType, LongType}
+        def litBits(e: Expression): Int = {
+          require(e.foldable, "morton_key bits must be a literal integer")
+          e.eval().asInstanceOf[Number].intValue()
+        }
+        val bits = args match {
+          case Seq(_, _) => 16
+          case Seq(_, _, b) => litBits(b)
+          case _ => throw new IllegalArgumentException(
+            s"morton_key requires 2 or 3 arguments, got ${args.length}")
+        }
+        require(bits >= 1 && bits <= 31, s"morton_key bits must be in [1,31], got $bits")
+        val al = Cast(args(0), LongType)
+        val bl = Cast(args(1), LongType)
+        val terms = (0 until bits).flatMap { i =>
+          def bitAt(e: Expression, outPos: Int) =
+            ShiftLeft(
+              BitwiseAnd(
+                ShiftRight(e, Literal(i, IntegerType)),
+                Literal(1L, LongType)),
+              Literal(outPos, IntegerType))
+          Seq(bitAt(al, 2 * i + 1), bitAt(bl, 2 * i))
+        }
+        terms.reduce[Expression](BitwiseOr(_, _))
       }))
 
   /** Register everything into a LIVE session (the extensions hook only

@@ -101,6 +101,24 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(s.getDouble(4) === 4.0)
   }
 
+  test("register(spark): morton_key in SQL == Column API, arg forms") {
+    GraftExtensions.register(spark)
+    val d = df(Seq((0L, 0L), (5L, 3L), (65535L, 65535L), (100L, 220L)), "a", "b")
+    d.createOrReplaceTempView("mk")
+    val viaSql = spark.sql(
+      "SELECT morton_key(a, b) AS z, morton_key(a, b, 6) AS z6 FROM mk ORDER BY a")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val viaCol = d.select(
+        graft.lake.Maintenance.mortonKey(col("a"), col("b")).as("z"),
+        graft.lake.Maintenance.mortonKey(col("a"), col("b"), 6).as("z6"))
+      .orderBy("a").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaSql === viaCol)
+    assert(viaSql.head === ((0L, 0L)))
+    assert(viaSql(1)._1 === 39L) // morton(5,3): documented interleave pin
+    intercept[Exception] { spark.sql("SELECT morton_key(1)").collect() }
+    intercept[Exception] { spark.sql("SELECT morton_key(1, 2, 99)").collect() }
+  }
+
   test("extensions hook applies the same registration list") {
     // The builder hook path (spark.sql.extensions) can't be exercised on
     // the suite's shared session (extensions bind at session build);
