@@ -83,4 +83,30 @@ object Maintenance {
   def fileSpread(df: DataFrame, c: Column): DataFrame =
     df.groupBy(input_file_name().as("file"))
       .agg(min(c).as("lo"), max(c).as("hi"), count(lit(1)).as("rows"))
+
+  /** Incremental-OPTIMIZE planner: which partitions of a lake need a
+    * compaction pass, from a file inventory (path, size — the shape
+    * [[PathModel.listFiles]] returns, or an S3 Inventory scan at
+    * 100 TB). A partition is flagged when it holds more than `maxFiles`
+    * files OR any file under `minBytes` (small-file debt); the plan
+    * prescribes `ceil(bytes / targetBytes)` output files, min 1. The
+    * planner is a pure aggregate — the EXECUTION is one bounded
+    * [[compact]] per flagged partition, so steady-state maintenance
+    * cost tracks ingest churn, never lake size.
+    */
+  def compactionPlan(inventory: DataFrame, partitionOf: Column,
+      maxFiles: Int, minBytes: Long, targetBytes: Long): DataFrame = {
+    require(maxFiles >= 1 && minBytes >= 0 && targetBytes >= 1,
+      s"bad thresholds: maxFiles=$maxFiles minBytes=$minBytes targetBytes=$targetBytes")
+    inventory
+      .groupBy(partitionOf.as("partition"))
+      .agg(
+        count(lit(1)).as("n_files"),
+        sum(col("size")).as("bytes"),
+        sum(when(col("size") < minBytes, 1L).otherwise(0L)).as("n_small"))
+      .withColumn("needs_compaction",
+        col("n_files") > maxFiles || col("n_small") > 0)
+      .withColumn("target_files",
+        greatest(lit(1L), ceil(col("bytes").cast("double") / targetBytes).cast("long")))
+  }
 }

@@ -32,6 +32,25 @@ class MaintenanceSpec extends SparkSpec {
     assert(rowsOf(d).map(_.head) == Seq(0L, 0L, 7L, 15L, 15L))
   }
 
+  test("compactionPlan flags only over-fragmented or small-file partitions") {
+    // inventory shape = PathModel.listFiles: (path, size)
+    val inv = df(Seq(
+      // p=a: 3 healthy files — below maxFiles, none small
+      ("lake/p=a/f1", 900L), ("lake/p=a/f2", 800L), ("lake/p=a/f3", 700L),
+      // p=b: 5 files — over maxFiles
+      ("lake/p=b/f1", 500L), ("lake/p=b/f2", 500L), ("lake/p=b/f3", 500L),
+      ("lake/p=b/f4", 500L), ("lake/p=b/f5", 500L),
+      // p=c: 2 files but one tiny — small-file debt
+      ("lake/p=c/f1", 900L), ("lake/p=c/f2", 10L)),
+      "path", "size")
+    val plan = Maintenance.compactionPlan(inv,
+        regexp_extract(col("path"), "p=([a-z])", 1),
+        maxFiles = 4, minBytes = 100L, targetBytes = 1000L)
+      .orderBy("partition")
+    assert(rowsOf(plan.select("partition", "needs_compaction", "target_files")) ==
+      Seq(Seq("a", false, 3L), Seq("b", true, 3L), Seq("c", true, 1L)))
+  }
+
   test("compact rewrites a scattered layout into few z-clustered files") {
     import spark.implicits._
     // 4k rows over a 64x64 (a,b) grid, scattered across 16 files by a
