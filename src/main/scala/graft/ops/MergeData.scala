@@ -119,8 +119,17 @@ object MergeData {
     * (COW); at 100 TB you batch deletes with the day's upserts exactly
     * like every COW table format does.
     */
+  /** @param changeFeed optional (dir, batchId): also emit this batch's
+    *   resolved change rows — every applied update/insert/delete with an
+    *   `_action` column; a DELETE of an absent key resolves to no row
+    *   (it changed nothing) — under `dir/batch_id=N`. Dynamic partition
+    *   overwrite on batch_id makes a replayed batch REWRITE its feed
+    *   increment instead of duplicating it (the IncrementalPartials
+    *   idempotence contract), so downstream incremental consumers can
+    *   read the feed append-only. The Delta change-data-feed analogue. */
   def mergeInto(spark: SparkSession, baseDir: String, updates: DataFrame,
-      partitionKeys: Seq[String], rowKey: Seq[String]): Unit = {
+      partitionKeys: Seq[String], rowKey: Seq[String],
+      changeFeed: Option[(String, Long)] = None): Unit = {
     require(rowKey.nonEmpty, "mergeInto needs at least one rowKey column")
     val hasDelete = updates.columns.contains("__delete")
     val del = if (hasDelete) col("__delete") else lit(false)
@@ -129,13 +138,14 @@ object MergeData {
     // batch size, never lake size, so caching it is always safe
     val batch = updates.persist()
     try {
-      mergeIntoImpl(spark, baseDir, batch, partitionKeys, rowKey, del)
+      mergeIntoImpl(spark, baseDir, batch, partitionKeys, rowKey, del, changeFeed)
     } finally batch.unpersist()
   }
 
   private def mergeIntoImpl(spark: SparkSession, baseDir: String,
       updates: DataFrame, partitionKeys: Seq[String], rowKey: Seq[String],
-      del: org.apache.spark.sql.Column): Unit = {
+      del: org.apache.spark.sql.Column,
+      changeFeed: Option[(String, Long)]): Unit = {
     // one driver-side pass over the batch's distinct partitions: it is
     // bounded by the batch (a day's CDC touches few partitions), and it
     // buys BOTH static partition pruning on the read and the commit
@@ -153,6 +163,24 @@ object MergeData {
       updates.select(rowKey.map(col): _*).distinct(), rowKey, "left_anti")
     val applied = updates.filter(!del).drop("__delete")
     val merged = survivors.unionByName(applied.select(base.columns.map(col): _*))
+
+    // change feed resolves against the PRE-merge base (one extra
+    // rowKey semi-shape join over the touched partitions only) and
+    // must land before the swap below mutates it
+    changeFeed.foreach { case (dir, batchId) =>
+      val matched = base.select(rowKey.map(col): _*).distinct()
+        .withColumn("__matched", lit(true))
+      val actions = updates.join(matched, rowKey, "left")
+        .withColumn("_action",
+          when(del && col("__matched").isNotNull, "delete")
+            .when(col("__matched").isNotNull, "update")
+            .otherwise("insert"))
+        // DELETE of an absent key changed nothing — no feed row
+        .filter(!(del && col("__matched").isNull))
+        .drop("__matched", "__delete")
+        .withColumn("batch_id", lit(batchId))
+      writeMerged(spark, actions, dir, keys = Seq("batch_id"))
+    }
 
     // The write target IS the read source, which Spark's file-source
     // overwrite check rightly refuses (and an eager cache wouldn't

@@ -27,11 +27,17 @@ object StreamingMerge {
 
   /** @param afterBatch runs after the merge lands but BEFORE the
     *   streaming commit records the batch — the crash window replay
-    *   idempotence exists for (tests throw here). */
+    *   idempotence exists for (tests throw here).
+    * @param changeDir optional change-data-feed root: each micro-batch's
+    *   resolved update/insert/delete rows land under `batch_id=N` via
+    *   dynamic overwrite, so a crash-replayed batch rewrites its own
+    *   feed increment — downstream incremental consumers read the feed
+    *   append-only and never see a double-applied batch. */
   def start(updates: DataFrame, baseDir: String,
       partitionKeys: Seq[String], rowKey: Seq[String], checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow(),
-      afterBatch: Long => Unit = _ => ()): StreamingQuery =
+      afterBatch: Long => Unit = _ => (),
+      changeDir: Option[String] = None): StreamingQuery =
     updates.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -39,7 +45,7 @@ object StreamingMerge {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         if (!batch.isEmpty) {
           MergeData.mergeInto(batch.sparkSession, baseDir, batch,
-            partitionKeys, rowKey)
+            partitionKeys, rowKey, changeFeed = changeDir.map(d => (d, id)))
         }
         afterBatch(id)
       }

@@ -65,6 +65,38 @@ class MergeIntoSpec extends SparkSpec {
     assert(state(dir.getAbsolutePath) == once && once == Set(("a", 1L, 5.0)))
   }
 
+  test("change feed resolves actions against the pre-merge base") {
+    val root = java.nio.file.Files.createTempDirectory("graft_merge_cdf").toFile
+    root.deleteOnExit()
+    val lake = new java.io.File(root, "lake").getAbsolutePath
+    val feed = new java.io.File(root, "feed").getAbsolutePath
+    MergeData.writeMerged(spark,
+      df(Seq(("a", 1L, 1.0), ("a", 2L, 2.0)), "site", "id", "v"),
+      lake, keys = Seq("site"))
+    val updates = df(Seq(
+      ("a", 1L, 100.0, false),  // matched → update
+      ("a", 2L, 0.0, true),     // matched → delete
+      ("a", 3L, 3.0, false),    // unmatched → insert
+      ("a", 99L, 0.0, true)),   // delete of absent key → NO feed row
+      "site", "id", "v", "__delete")
+    MergeData.mergeInto(spark, lake, updates, Seq("site"), Seq("site", "id"),
+      changeFeed = Some((feed, 7L)))
+    val rows = spark.read.parquet(feed)
+      .select("batch_id", "id", "_action", "v").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      .toSet
+    assert(rows == Set(
+      (7, 1L, "update", 100.0), (7, 2L, "delete", 0.0), (7, 3L, "insert", 3.0)))
+    // replaying the batch under the same batch_id REWRITES the feed
+    // increment (pre-merge base has changed, so actions re-resolve) —
+    // never duplicates it
+    MergeData.mergeInto(spark, lake, updates, Seq("site"), Seq("site", "id"),
+      changeFeed = Some((feed, 7L)))
+    val replay = spark.read.parquet(feed)
+      .groupBy("id").count().collect().map(r => r.getLong(1)).toSet
+    assert(replay == Set(1L), "each key appears once per batch_id after replay")
+  }
+
   test("a delete-everything batch empties the partition but not the lake") {
     val dir = java.nio.file.Files.createTempDirectory("graft_merge_del").toFile
     dir.deleteOnExit()
