@@ -142,6 +142,29 @@ object MergeData {
     } finally batch.unpersist()
   }
 
+  /** Replay a change feed (the `changeFeed` output of [[mergeInto]])
+    * onto a replica lake — CDC replication: a replica seeded from the
+    * same base converges to the primary by applying feed batches in
+    * batch_id order, because each feed batch IS a valid merge batch
+    * (`_action='delete'` rows become `__delete`). The driver-side loop
+    * is bounded by the number of UNAPPLIED batches (pass `sinceBatch`
+    * = the replica's high-water mark, exactly like any log consumer),
+    * and each application touches only that batch's partitions. */
+  def applyChangeFeed(spark: SparkSession, feedDir: String,
+      replicaDir: String, partitionKeys: Seq[String], rowKey: Seq[String],
+      sinceBatch: Long = -1L): Unit = {
+    val feed = spark.read.parquet(feedDir)
+      .filter(col("batch_id") > sinceBatch)
+    val batchIds = feed.select("batch_id").distinct()
+      .collect().map(_.getAs[Number]("batch_id").longValue()).sorted
+    batchIds.foreach { id =>
+      val b = feed.filter(col("batch_id") === id)
+        .withColumn("__delete", col("_action") === "delete")
+        .drop("_action", "batch_id")
+      mergeInto(spark, replicaDir, b, partitionKeys, rowKey)
+    }
+  }
+
   private def mergeIntoImpl(spark: SparkSession, baseDir: String,
       updates: DataFrame, partitionKeys: Seq[String], rowKey: Seq[String],
       del: org.apache.spark.sql.Column,

@@ -489,6 +489,72 @@ object LakeQueries {
         FROM events
         WHERE user_id BETWEEN 100 AND 220
         GROUP BY 1 ORDER BY 1"""),
-      "min/max skip-index pruned read == full-scan filter oracle; z-layout makes the boxes tight")
+      "min/max skip-index pruned read == full-scan filter oracle; z-layout makes the boxes tight"),
+
+    // ---------------------------------------------------------------
+    // Change-data-feed: the SAME deterministic batch as q115, but the
+    // output is the FEED — every applied change with its resolved
+    // _action. The base lake is rebuilt fresh each run (actions
+    // resolve against the pre-merge base, so a memoized mutated lake
+    // would re-resolve differently); the oracle derives each action
+    // class straight from the events table. Aggregated per action:
+    // a green row pins the classification, the counts, the carried
+    // values, and the delete-of-absent no-op (absent keys never
+    // reach the feed).
+    // ---------------------------------------------------------------
+    Q("q119_change_feed",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val stamp = new File(dir, "events.parquet").lastModified()
+        val root = new File(
+          new File(sys.props("user.dir"), "target"),
+          s"graft_cdfq_${tag}_$stamp").getAbsolutePath
+        val lakeDir = s"$root/lake"
+        val feedDir = s"$root/feed"
+        val cols = Seq("event_id", "user_id", "value", "event_type")
+        def base = graft.Tables(s, dir, "events").select(cols.map(col): _*)
+        val touched = base.filter(col("event_type").isin("click", "view"))
+        val batch =
+          touched.filter(col("event_id") % 10 === 0)
+            .withColumn("value", col("value") * 2)
+            .withColumn("__delete", lit(false))
+          .unionByName(
+            touched.filter(col("event_id") % 10 === 1)
+              .withColumn("__delete", lit(true)))
+          .unionByName(
+            touched.filter(col("event_id") % 100 === 2)
+              .withColumn("event_id", col("event_id") + lit(10000000L))
+              .withColumn("value", col("value") + 1)
+              .withColumn("__delete", lit(false)))
+        LakeQueries.synchronized {
+          // fresh base EVERY run — feed actions resolve against the
+          // pre-merge state, which must therefore be reproducible
+          MergeData.writeMerged(s, base, lakeDir, keys = Seq("event_type"))
+          MergeData.mergeInto(s, lakeDir, batch,
+            partitionKeys = Seq("event_type"), rowKey = Seq("event_id"),
+            changeFeed = Some((feedDir, 0L)))
+        }
+        s.read.parquet(feedDir)
+          .groupBy("_action")
+          .agg(count(lit(1)).as("n"),
+            round(sum("value"), 4).as("sum_value"),
+            count_distinct(col("event_id")).as("n_ids"))
+          .orderBy("_action")
+      },
+      Some("""
+        WITH feed AS (
+          SELECT 'update' AS _action, event_id, value * 2 AS value
+          FROM events WHERE event_type IN ('click','view') AND event_id % 10 = 0
+          UNION ALL
+          SELECT 'delete', event_id, value
+          FROM events WHERE event_type IN ('click','view') AND event_id % 10 = 1
+          UNION ALL
+          SELECT 'insert', event_id + 10000000, value + 1
+          FROM events WHERE event_type IN ('click','view') AND event_id % 100 = 2)
+        SELECT _action, count(*) AS n,
+               round(sum(value::DOUBLE), 4) AS sum_value,
+               count(DISTINCT event_id) AS n_ids
+        FROM feed GROUP BY 1 ORDER BY 1"""),
+      "change feed: resolved update/delete/insert rows == per-class oracle derived from events")
   )
 }

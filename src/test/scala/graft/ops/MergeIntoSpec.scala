@@ -97,6 +97,38 @@ class MergeIntoSpec extends SparkSpec {
     assert(replay == Set(1L), "each key appears once per batch_id after replay")
   }
 
+  test("replica converges to primary by replaying the change feed") {
+    val root = java.nio.file.Files.createTempDirectory("graft_merge_repl").toFile
+    root.deleteOnExit()
+    val primary = new java.io.File(root, "primary").getAbsolutePath
+    val replica = new java.io.File(root, "replica").getAbsolutePath
+    val feed = new java.io.File(root, "feed").getAbsolutePath
+    val base = df(Seq(("a", 1L, 1.0), ("a", 2L, 2.0), ("b", 10L, 10.0)),
+      "site", "id", "v")
+    MergeData.writeMerged(spark, base, primary, keys = Seq("site"))
+    MergeData.writeMerged(spark, base, replica, keys = Seq("site"))
+
+    // two primary merge batches, feed enabled
+    MergeData.mergeInto(spark, primary,
+      df(Seq(("a", 1L, 100.0, false), ("a", 2L, 0.0, true), ("c", 7L, 7.0, false)),
+        "site", "id", "v", "__delete"),
+      Seq("site"), Seq("site", "id"), changeFeed = Some((feed, 0L)))
+    MergeData.mergeInto(spark, primary,
+      df(Seq(("c", 7L, 70.0, false), ("b", 10L, 0.0, true)),
+        "site", "id", "v", "__delete"),
+      Seq("site"), Seq("site", "id"), changeFeed = Some((feed, 1L)))
+
+    // replica replays the feed: both batches, then incrementally nothing
+    MergeData.applyChangeFeed(spark, feed, replica, Seq("site"), Seq("site", "id"))
+    assert(state(replica) == state(primary))
+    assert(state(replica) == Set(("a", 1L, 100.0), ("c", 7L, 70.0)))
+    // high-water mark: replaying from batch 1 applies only batch 1 —
+    // idempotent here because batch 1 touches keys already final
+    MergeData.applyChangeFeed(spark, feed, replica, Seq("site"), Seq("site", "id"),
+      sinceBatch = 0L)
+    assert(state(replica) == state(primary))
+  }
+
   test("a delete-everything batch empties the partition but not the lake") {
     val dir = java.nio.file.Files.createTempDirectory("graft_merge_del").toFile
     dir.deleteOnExit()
