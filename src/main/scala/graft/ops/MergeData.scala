@@ -158,11 +158,33 @@ object MergeData {
     val batchIds = feed.select("batch_id").distinct()
       .collect().map(_.getAs[Number]("batch_id").longValue()).sorted
     batchIds.foreach { id =>
-      val b = feed.filter(col("batch_id") === id)
+      // preimages describe what a batch REPLACED — replay applies only
+      // the post-state rows (inserts, postimages, deletes)
+      val b = feed.filter(col("batch_id") === id &&
+          col("_action") =!= "update_preimage")
         .withColumn("__delete", col("_action") === "delete")
         .drop("_action", "batch_id")
       mergeInto(spark, replicaDir, b, partitionKeys, rowKey)
     }
+  }
+
+  /** Per-group aggregate deltas from a change feed — incremental
+    * materialized-view maintenance without touching the base lake:
+    * `new_sum = old_sum + delta_sum`, `new_count = old_count +
+    * delta_count`. Possible precisely because the feed carries
+    * preimages: an update contributes (postimage − preimage), a delete
+    * subtracts the removed row, an insert adds the new one. One
+    * aggregate over the feed increment — the view never rescans data. */
+  def feedDeltas(feed: DataFrame, groupKeys: Seq[String],
+      valueCol: String): DataFrame = {
+    val sign = when(col("_action").isin("insert", "update_postimage"), 1)
+      .otherwise(-1)
+    feed.groupBy(groupKeys.map(col): _*)
+      .agg(
+        sum(sign * col(valueCol)).as("delta_sum"),
+        sum(when(col("_action") === "insert", 1L)
+          .when(col("_action") === "delete", -1L).otherwise(0L))
+          .as("delta_count"))
   }
 
   private def mergeIntoImpl(spark: SparkSession, baseDir: String,
@@ -187,20 +209,31 @@ object MergeData {
     val applied = updates.filter(!del).drop("__delete")
     val merged = survivors.unionByName(applied.select(base.columns.map(col): _*))
 
-    // change feed resolves against the PRE-merge base (one extra
-    // rowKey semi-shape join over the touched partitions only) and
-    // must land before the swap below mutates it
+    // Change feed resolves against the PRE-merge base (rowKey-shaped
+    // joins over the touched partitions only) and must land before the
+    // swap below mutates it. Delta-CDF row classes — preimages carry
+    // the OLD row, which is what makes downstream incremental aggregate
+    // maintenance possible (delta = postimage − preimage):
+    //   insert            — batch row, key absent from base
+    //   update_postimage  — batch row, key present
+    //   update_preimage   — the BASE row that postimage replaced
+    //   delete            — the BASE row removed (absent key = no row)
     changeFeed.foreach { case (dir, batchId) =>
-      val matched = base.select(rowKey.map(col): _*).distinct()
-        .withColumn("__matched", lit(true))
-      val actions = updates.join(matched, rowKey, "left")
-        .withColumn("_action",
-          when(del && col("__matched").isNotNull, "delete")
-            .when(col("__matched").isNotNull, "update")
-            .otherwise("insert"))
-        // DELETE of an absent key changed nothing — no feed row
-        .filter(!(del && col("__matched").isNull))
-        .drop("__matched", "__delete")
+      val dataCols = base.columns.map(col)
+      val upserts = updates.filter(!del).select(dataCols: _*)
+      val delKeys = updates.filter(del).select(rowKey.map(col): _*).distinct()
+      val upsKeys = upserts.select(rowKey.map(col): _*).distinct()
+      def tag(d: DataFrame, action: String) =
+        d.withColumn("_action", lit(action))
+      val actions =
+        tag(upserts.join(base.select(rowKey.map(col): _*).distinct(),
+          rowKey, "left_anti"), "insert")
+        .unionByName(tag(upserts.join(
+          base.select(rowKey.map(col): _*).distinct(), rowKey, "left_semi"),
+          "update_postimage"))
+        .unionByName(tag(base.join(upsKeys, rowKey, "left_semi"),
+          "update_preimage"))
+        .unionByName(tag(base.join(delKeys, rowKey, "left_semi"), "delete"))
         .withColumn("batch_id", lit(batchId))
       writeMerged(spark, actions, dir, keys = Seq("batch_id"))
     }

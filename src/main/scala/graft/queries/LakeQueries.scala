@@ -543,7 +543,10 @@ object LakeQueries {
       },
       Some("""
         WITH feed AS (
-          SELECT 'update' AS _action, event_id, value * 2 AS value
+          SELECT 'update_postimage' AS _action, event_id, value * 2 AS value
+          FROM events WHERE event_type IN ('click','view') AND event_id % 10 = 0
+          UNION ALL
+          SELECT 'update_preimage', event_id, value
           FROM events WHERE event_type IN ('click','view') AND event_id % 10 = 0
           UNION ALL
           SELECT 'delete', event_id, value
@@ -555,6 +558,6 @@ object LakeQueries {
                round(sum(value::DOUBLE), 4) AS sum_value,
                count(DISTINCT event_id) AS n_ids
         FROM feed GROUP BY 1 ORDER BY 1"""),
-      "change feed: resolved update/delete/insert rows == per-class oracle derived from events")
+      "Delta-CDF feed: insert/update_pre+postimage/delete rows (preimages = old base rows) == per-class oracle")
   )
 }

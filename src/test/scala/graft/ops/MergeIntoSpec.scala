@@ -85,16 +85,50 @@ class MergeIntoSpec extends SparkSpec {
       .select("batch_id", "id", "_action", "v").collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getDouble(3)))
       .toSet
+    // Delta-CDF shape: preimages/deletes carry the OLD row's values
     assert(rows == Set(
-      (7, 1L, "update", 100.0), (7, 2L, "delete", 0.0), (7, 3L, "insert", 3.0)))
+      (7, 1L, "update_preimage", 1.0), (7, 1L, "update_postimage", 100.0),
+      (7, 2L, "delete", 2.0), (7, 3L, "insert", 3.0)))
     // replaying the batch under the same batch_id REWRITES the feed
     // increment (pre-merge base has changed, so actions re-resolve) —
     // never duplicates it
     MergeData.mergeInto(spark, lake, updates, Seq("site"), Seq("site", "id"),
       changeFeed = Some((feed, 7L)))
     val replay = spark.read.parquet(feed)
-      .groupBy("id").count().collect().map(r => r.getLong(1)).toSet
-    assert(replay == Set(1L), "each key appears once per batch_id after replay")
+      .groupBy("id", "_action").count().collect().map(r => r.getLong(2)).toSet
+    assert(replay == Set(1L), "each (key, action) appears once per batch_id after replay")
+  }
+
+  test("feed deltas maintain a grouped aggregate without rescanning the lake") {
+    val root = java.nio.file.Files.createTempDirectory("graft_merge_ivm").toFile
+    root.deleteOnExit()
+    val lake = new java.io.File(root, "lake").getAbsolutePath
+    val feed = new java.io.File(root, "feed").getAbsolutePath
+    val base = df(Seq(
+      ("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0), ("b", 10L, 10.0)),
+      "site", "id", "v")
+    MergeData.writeMerged(spark, base, lake, keys = Seq("site"))
+    // the view BEFORE the merge
+    val before = base.groupBy("site")
+      .agg(sum("v").as("s"), count(lit(1)).as("n"))
+    MergeData.mergeInto(spark, lake,
+      df(Seq(("a", 1L, 100.0, false), ("a", 2L, 0.0, true),
+        ("a", 4L, 4.0, false), ("b", 10L, 0.0, true)),
+        "site", "id", "v", "__delete"),
+      Seq("site"), Seq("site", "id"), changeFeed = Some((feed, 0L)))
+    // maintained = before + deltas; truth = recompute from the lake
+    val deltas = MergeData.feedDeltas(
+      spark.read.parquet(feed), Seq("site"), "v")
+    val maintained = before.join(deltas, Seq("site"), "full")
+      .select(col("site"),
+        (coalesce(col("s"), lit(0.0)) + coalesce(col("delta_sum"), lit(0.0))).as("s"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("delta_count"), lit(0L))).as("n"))
+      .filter(col("n") > 0)
+    val truth = spark.read.parquet(lake).groupBy("site")
+      .agg(sum("v").as("s"), count(lit(1)).as("n"))
+    assert(rowsOf(maintained.orderBy("site")) == rowsOf(truth.orderBy("site")))
+    assert(rowsOf(maintained.orderBy("site")) ==
+      Seq(Seq("a", 107.0, 3L))) // {1->100, 3->3, 4->4}; b emptied by the delete
   }
 
   test("replica converges to primary by replaying the change feed") {
