@@ -45,10 +45,11 @@ class StreamingMergeSpec extends SparkSpec {
   }
 
   private def runOnce(lake: String, in: String, ckpt: String,
-      afterBatch: Long => Unit = _ => ()): Unit = {
+      afterBatch: Long => Unit = _ => (),
+      changeDir: Option[String] = None): Unit = {
     val stream = spark.readStream.schema(schema).csv(in)
     val q = StreamingMerge.start(stream, lake, Seq("site"), Seq("site", "id"),
-      ckpt, afterBatch = afterBatch)
+      ckpt, afterBatch = afterBatch, changeDir = changeDir)
     try q.awaitTermination()
     finally if (q.isActive) q.stop()
   }
@@ -72,6 +73,27 @@ class StreamingMergeSpec extends SparkSpec {
     runOnce(lake, in, ckpt)
     assert(state(lake) == Set(
       ("a", 1L, 200.0), ("b", 11L, 11.0), ("c", 7L, 7.0)))
+  }
+
+  test("streamed change feed replicates the lake batch-for-batch") {
+    val (lake, in, ckpt) = mkDirs()
+    val feed = new File(new File(lake).getParentFile, "feed").getAbsolutePath
+    val replica = new File(new File(lake).getParentFile, "replica").getAbsolutePath
+    seedBase(lake)
+    seedBase(replica)
+    writeBatch(in, "b1.csv", Seq(
+      ("a", 1L, 100.0, false), ("a", 2L, 0.0, true), ("c", 7L, 7.0, false)))
+    runOnce(lake, in, ckpt, changeDir = Some(feed))
+    writeBatch(in, "b2.csv", Seq(
+      ("c", 7L, 70.0, false), ("b", 10L, 0.0, true)))
+    runOnce(lake, in, ckpt, changeDir = Some(feed))
+    // two micro-batches → two batch_id increments, each carrying the
+    // Delta row classes; replaying them converges the replica
+    val ids = spark.read.parquet(feed).select("batch_id").distinct().count()
+    assert(ids == 2)
+    MergeData.applyChangeFeed(spark, feed, replica, Seq("site"), Seq("site", "id"))
+    assert(state(replica) == state(lake))
+    assert(state(replica) == Set(("a", 1L, 100.0), ("c", 7L, 70.0)))
   }
 
   test("crash between merge and commit: replay converges to the same state") {
