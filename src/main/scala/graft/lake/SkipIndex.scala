@@ -48,6 +48,19 @@ object SkipIndex {
     idx.filter(col("col") === c && col("hi") >= qLo && col("lo") <= qHi)
       .select("file").collect().map(_.getString(0)).toSeq.sorted
 
+  /** Conjunctive multi-predicate pruning: a file survives only if its
+    * box intersects EVERY predicate's range. This is where the z-order
+    * layout pays off twice — each interleaved dimension has tight
+    * per-file boxes, so a conjunction's survivor set is close to the
+    * intersection of the single-predicate sets (a single-column sort
+    * can only prune its leading column). */
+  def candidateFilesMulti(idx: DataFrame,
+      preds: Seq[(String, Double, Double)]): Seq[String] = {
+    require(preds.nonEmpty, "candidateFilesMulti needs at least one predicate")
+    preds.map { case (c, lo, hi) => candidateFiles(idx, c, lo, hi).toSet }
+      .reduce(_ intersect _).toSeq.sorted
+  }
+
   /** Range-predicate read that only opens surviving files. The residual
     * filter stays on top (index pruning is file-granular, not exact),
     * so the result is identical to a full scan + filter — just without
@@ -56,9 +69,16 @@ object SkipIndex {
     * (cheaper than special-casing schema inference).
     */
   def prunedRead(spark: SparkSession, dataDir: String, idx: DataFrame,
-      c: String, qLo: Double, qHi: Double): DataFrame = {
-    val files = candidateFiles(idx, c, qLo, qHi)
-    val residual: Column = col(c) >= qLo && col(c) <= qHi
+      c: String, qLo: Double, qHi: Double): DataFrame =
+    prunedReadMulti(spark, dataDir, idx, Seq((c, qLo, qHi)))
+
+  /** [[prunedRead]] for a conjunction of range predicates. */
+  def prunedReadMulti(spark: SparkSession, dataDir: String, idx: DataFrame,
+      preds: Seq[(String, Double, Double)]): DataFrame = {
+    val files = candidateFilesMulti(idx, preds)
+    val residual: Column = preds
+      .map { case (c, lo, hi) => col(c) >= lo && col(c) <= hi }
+      .reduce(_ && _)
     if (files.isEmpty)
       spark.read.parquet(dataDir).filter(lit(false))
     else

@@ -45,6 +45,27 @@ class SkipIndexSpec extends SparkSpec {
       pruned.exceptAll(naive).isEmpty && naive.exceptAll(pruned).isEmpty)
   }
 
+  test("conjunctive pruning: two z-dims skip at least as much as either alone") {
+    val (out, src) = lake
+    val idx = SkipIndex.build(spark.read.parquet(out), Seq("a", "b")).cache()
+    val pa = SkipIndex.candidateFiles(idx, "a", 0, 15).toSet
+    val pb = SkipIndex.candidateFiles(idx, "b", 0, 15).toSet
+    val both = SkipIndex.candidateFilesMulti(idx,
+      Seq(("a", 0, 15), ("b", 0, 15))).toSet
+    assert(both == (pa intersect pb))
+    assert(both.size <= math.min(pa.size, pb.size))
+    // z-layout: the conjunction genuinely prunes beyond either dim —
+    // a quarter-domain box on a 64x64 z-curve over 8 files must not
+    // touch them all
+    val total = spark.read.parquet(out).select(input_file_name()).distinct().count()
+    assert(both.size < total)
+    val pruned = SkipIndex.prunedReadMulti(spark, out, idx,
+      Seq(("a", 0, 15), ("b", 0, 15)))
+    val naive = src.filter(col("a").between(0, 15) && col("b").between(0, 15))
+    assert(pruned.count() == naive.count() &&
+      pruned.exceptAll(naive).isEmpty && naive.exceptAll(pruned).isEmpty)
+  }
+
   test("disjoint predicate yields an empty frame with the data schema") {
     val (out, _) = lake
     val idx = SkipIndex.build(spark.read.parquet(out), Seq("a"))
