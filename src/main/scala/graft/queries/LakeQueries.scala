@@ -558,6 +558,75 @@ object LakeQueries {
                round(sum(value::DOUBLE), 4) AS sum_value,
                count(DISTINCT event_id) AS n_ids
         FROM feed GROUP BY 1 ORDER BY 1"""),
-      "Delta-CDF feed: insert/update_pre+postimage/delete rows (preimages = old base rows) == per-class oracle")
+      "Delta-CDF feed: insert/update_pre+postimage/delete rows (preimages = old base rows) == per-class oracle"),
+
+    // ---------------------------------------------------------------
+    // Incremental view maintenance closed end-to-end: a grouped
+    // (sum, count) view of the PRE-merge lake is advanced by
+    // feedDeltas over the change feed alone — never rescanning the
+    // merged data — and must land exactly on the POST-merge state,
+    // which the oracle recomputes from events (q115's CASE/union
+    // form). Green row = preimage algebra (post − pre ± ins/del) is
+    // exact, not approximately right.
+    // ---------------------------------------------------------------
+    Q("q120_incremental_view",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val stamp = new File(dir, "events.parquet").lastModified()
+        val root = new File(
+          new File(sys.props("user.dir"), "target"),
+          s"graft_ivmq_${tag}_$stamp").getAbsolutePath
+        val lakeDir = s"$root/lake"
+        val feedDir = s"$root/feed"
+        val cols = Seq("event_id", "user_id", "value", "event_type")
+        def base = graft.Tables(s, dir, "events").select(cols.map(col): _*)
+        val touched = base.filter(col("event_type").isin("click", "view"))
+        val batch =
+          touched.filter(col("event_id") % 10 === 0)
+            .withColumn("value", col("value") * 2)
+            .withColumn("__delete", lit(false))
+          .unionByName(
+            touched.filter(col("event_id") % 10 === 1)
+              .withColumn("__delete", lit(true)))
+          .unionByName(
+            touched.filter(col("event_id") % 100 === 2)
+              .withColumn("event_id", col("event_id") + lit(10000000L))
+              .withColumn("value", col("value") + 1)
+              .withColumn("__delete", lit(false)))
+        LakeQueries.synchronized {
+          // fresh base every run — the view starts from a reproducible
+          // pre-merge state (same rationale as q119)
+          MergeData.writeMerged(s, base, lakeDir, keys = Seq("event_type"))
+          MergeData.mergeInto(s, lakeDir, batch,
+            partitionKeys = Seq("event_type"), rowKey = Seq("event_id"),
+            changeFeed = Some((feedDir, 0L)))
+        }
+        val before = base.groupBy("event_type")
+          .agg(sum("value").as("s"), count(lit(1)).as("n"))
+        val deltas = MergeData.feedDeltas(
+          s.read.parquet(feedDir), Seq("event_type"), "value")
+        before.join(deltas, Seq("event_type"), "left")
+          .select(col("event_type"),
+            round(col("s") + coalesce(col("delta_sum"), lit(0.0)), 4)
+              .as("sum_value"),
+            (col("n") + coalesce(col("delta_count"), lit(0L))).as("row_count"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH fin AS (
+          SELECT event_type,
+                 CASE WHEN event_type IN ('click','view') AND event_id % 10 = 0
+                      THEN value * 2 ELSE value END AS value
+          FROM events
+          WHERE NOT (event_type IN ('click','view') AND event_id % 10 = 1)
+          UNION ALL
+          SELECT event_type, value + 1
+          FROM events
+          WHERE event_type IN ('click','view') AND event_id % 100 = 2)
+        SELECT event_type,
+               round(sum(value::DOUBLE), 4) AS sum_value,
+               count(*) AS row_count
+        FROM fin GROUP BY 1 ORDER BY 1"""),
+      "pre-merge view + feedDeltas == post-merge recompute oracle; the view never rescans the lake")
   )
 }
