@@ -23,14 +23,39 @@ object SkipIndex {
 
   /** One row per (file, indexed column): lo, hi, rows. Built with a
     * single scan — `input_file_name()` groupBy, so the index build
-    * shuffles only (nFiles × nCols) tiny rows. */
+    * shuffles only (nFiles × nCols) tiny rows.
+    *
+    * Precision: lo/hi are stored as double for a fixed, composable
+    * schema. A 64-bit integral value beyond 2^53 rounds under that
+    * cast, and a box rounded INWARD could wrongly exclude a boundary
+    * file — so for integral source columns the box is widened by one
+    * relative ulp-margin, but only where |v| >= 2^53 (below that the
+    * double is exact and the box stays tight). Pruning is conservative
+    * by contract (the residual filter re-applies the exact predicate),
+    * so widening never changes results. The query-range API is itself
+    * double-valued: a caller probing at exact >2^53 longs should widen
+    * its range the same way. */
   def build(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "SkipIndex.build needs at least one column")
+    import org.apache.spark.sql.types._
+    val integral: Set[String] = cols.filter { c =>
+      df.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+    }.toSet
+    val exactLimit = 9007199254740992.0d // 2^53: doubles exact below this
+    def widenLo(e: Column, c: String): Column =
+      if (!integral(c)) e
+      else when(abs(e) >= exactLimit, e - abs(e) * 4e-16).otherwise(e)
+    def widenHi(e: Column, c: String): Column =
+      if (!integral(c)) e
+      else when(abs(e) >= exactLimit, e + abs(e) * 4e-16).otherwise(e)
     val perFile = df.groupBy(input_file_name().as("file"))
       .agg(count(lit(1)).as("rows"),
         cols.flatMap(c => Seq(
-          min(col(c)).cast("double").as(s"__lo_$c"),
-          max(col(c)).cast("double").as(s"__hi_$c"))): _*)
+          widenLo(min(col(c)).cast("double"), c).as(s"__lo_$c"),
+          widenHi(max(col(c)).cast("double"), c).as(s"__hi_$c"))): _*)
     // unpivot to (file, col, lo, hi, rows) — schema stays fixed no
     // matter which columns are indexed, so index tables compose
     val entries = cols.map(c => struct(
@@ -57,8 +82,24 @@ object SkipIndex {
   def candidateFilesMulti(idx: DataFrame,
       preds: Seq[(String, Double, Double)]): Seq[String] = {
     require(preds.nonEmpty, "candidateFilesMulti needs at least one predicate")
-    preds.map { case (c, lo, hi) => candidateFiles(idx, c, lo, hi).toSet }
-      .reduce(_ intersect _).toSeq.sorted
+    // ONE index pass: each (file, col) row checks the conjunction of
+    // its own column's ranges; a file survives when every predicated
+    // column's row survives (build emits exactly one row per
+    // (file, indexed col), so the survivor count equals the column
+    // count iff all boxes intersect). One scan + one tiny shuffle
+    // instead of one scan+collect per predicate.
+    val byCol: Map[String, Column] = preds.groupBy(_._1).map { case (c, ps) =>
+      c -> ps.map { case (_, lo, hi) => col("hi") >= lo && col("lo") <= hi }
+        .reduce(_ && _)
+    }
+    val rowOk = byCol.foldLeft(lit(false)) { case (acc, (c, p)) =>
+      when(col("col") === c, p).otherwise(acc)
+    }
+    idx.filter(col("col").isin(byCol.keys.toSeq: _*))
+      .groupBy(col("file"))
+      .agg(sum(when(rowOk, 1L).otherwise(0L)).as("__ok"))
+      .filter(col("__ok") === lit(byCol.size))
+      .select("file").collect().map(_.getString(0)).toSeq.sorted
   }
 
   /** Range-predicate read that only opens surviving files. The residual

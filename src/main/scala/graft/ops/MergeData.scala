@@ -115,9 +115,22 @@ object MergeData {
     *
     * `updates` must carry the partition columns, the `rowKey` columns,
     * and every data column of the base (an optional boolean `__delete`
-    * marks deletions). A DELETE-only batch still rewrites its partition
-    * (COW); at 100 TB you batch deletes with the day's upserts exactly
-    * like every COW table format does.
+    * marks deletions; a NULL `__delete` is normalized to false, so an
+    * outer-join-produced or CSV-empty marker upserts rather than
+    * silently deleting). A DELETE-only batch still rewrites its
+    * partition (COW); at 100 TB you batch deletes with the day's
+    * upserts exactly like every COW table format does.
+    *
+    * Invariant: `rowKey` must uniquely locate a row WITHIN its
+    * partition and a key's partition value must be stable — matching
+    * is scoped to the batch's touched partitions (that is what buys
+    * static pruning), so a key that moves partitions would append in
+    * the new partition without removing the old row. Include the
+    * partition columns in `rowKey` (or derive the partition from the
+    * key, as q115 does with event_id → site) to satisfy it.
+    * Null partition values are handled: matching is null-safe (`<=>`)
+    * and the swap path uses Hive's `__HIVE_DEFAULT_PARTITION__`
+    * rendering, the same directory the partitioned write produces.
     */
   /** @param changeFeed optional (dir, batchId): also emit this batch's
     *   resolved change rows — every applied update/insert/delete with an
@@ -132,7 +145,10 @@ object MergeData {
       changeFeed: Option[(String, Long)] = None): Unit = {
     require(rowKey.nonEmpty, "mergeInto needs at least one rowKey column")
     val hasDelete = updates.columns.contains("__delete")
-    val del = if (hasDelete) col("__delete") else lit(false)
+    // null __delete = upsert: without the coalesce a null marker's key
+    // would still anti-join the base row away while the replacement row
+    // is dropped by filter(!del) — silent data loss (null is not true)
+    val del = if (hasDelete) coalesce(col("__delete"), lit(false)) else lit(false)
     // the merge consumes the batch three times (partition set, matched
     // anti-join, applied rows) — materialize it ONCE; it is bounded by
     // batch size, never lake size, so caching it is always safe
@@ -198,9 +214,11 @@ object MergeData {
     val touchedRows = updates.select(partitionKeys.map(col): _*)
       .distinct().collect()
     require(touchedRows.nonEmpty, "mergeInto got an empty updates batch")
+    // null-safe (<=>): a null partition value must still match the
+    // base's null-partition rows, or those rows silently duplicate
     val touchedPred = touchedRows.map { r =>
       partitionKeys.zipWithIndex.map { case (k, i) =>
-        col(k) === lit(r.get(i))
+        col(k) <=> lit(r.get(i))
       }.reduce(_ && _)
     }.reduce(_ || _)
     val base = spark.read.parquet(baseDir).filter(touchedPred)
@@ -249,23 +267,31 @@ object MergeData {
     val staging = new org.apache.hadoop.fs.Path(
       baseDir + "_staging_" + java.util.UUID.randomUUID().toString.take(8))
     val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    try {
-      writeMerged(spark, merged, staging.toString, keys = partitionKeys)
-      val parts = touchedRows.map { r =>
-        partitionKeys.zipWithIndex.map { case (k, i) =>
-          s"$k=${org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-            .escapePathName(String.valueOf(r.get(i)))}"
-        }.mkString("/")
+    try writeMerged(spark, merged, staging.toString, keys = partitionKeys)
+    catch { case e: Throwable => fs.delete(staging, true); throw e }
+    // From here staging is the only copy of each touched partition once
+    // its dst is deleted — so check every rename's boolean (HDFS-style
+    // semantics report non-empty-dst/quota failures by returning false,
+    // not throwing) and delete staging ONLY after all swaps succeed. A
+    // failed swap aborts loudly with the data recoverable in staging.
+    val parts = touchedRows.map { r =>
+      partitionKeys.zipWithIndex.map { case (k, i) =>
+        // null partition → Hive's __HIVE_DEFAULT_PARTITION__, matching
+        // the directory the partitioned write itself produces
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .getPartitionPathString(k, Option(r.get(i)).map(String.valueOf).orNull)
+      }.mkString("/")
+    }
+    parts.foreach { rel =>
+      val dst = new org.apache.hadoop.fs.Path(baseDir, rel)
+      val src = new org.apache.hadoop.fs.Path(staging, rel)
+      fs.delete(dst, true)
+      if (fs.exists(src)) { // DELETE-all batch leaves no staging dir
+        fs.mkdirs(dst.getParent)
+        require(fs.rename(src, dst),
+          s"COW commit: rename $src -> $dst failed; partition left recoverable in $staging")
       }
-      parts.foreach { rel =>
-        val dst = new org.apache.hadoop.fs.Path(baseDir, rel)
-        val src = new org.apache.hadoop.fs.Path(staging, rel)
-        fs.delete(dst, true)
-        if (fs.exists(src)) { // DELETE-all batch leaves no staging dir
-          fs.mkdirs(dst.getParent)
-          fs.rename(src, dst)
-        }
-      }
-    } finally fs.delete(staging, true)
+    }
+    fs.delete(staging, true)
   }
 }

@@ -163,6 +163,39 @@ class MergeIntoSpec extends SparkSpec {
     assert(state(replica) == state(primary))
   }
 
+  test("a null __delete marker is an upsert, never a silent delete") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_merge_nulldel").toFile
+    dir.deleteOnExit()
+    MergeData.writeMerged(spark,
+      df(Seq(("a", 1L, 1.0), ("a", 2L, 2.0)), "site", "id", "v"),
+      dir.getAbsolutePath, keys = Seq("site"))
+    // __delete arrives null (CSV empty field / outer-join product):
+    // the key must be REPLACED, not dropped with no replacement
+    val updates = df(Seq(
+      ("a", 1L, 5.0, None: Option[Boolean]),
+      ("a", 2L, 0.0, Some(true))),
+      "site", "id", "v", "__delete")
+    MergeData.mergeInto(spark, dir.getAbsolutePath, updates,
+      Seq("site"), Seq("site", "id"))
+    assert(state(dir.getAbsolutePath) == Set(("a", 1L, 5.0)))
+  }
+
+  test("null partition values merge (null-safe match + Hive default dir)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_merge_nullpart").toFile
+    dir.deleteOnExit()
+    MergeData.writeMerged(spark,
+      df(Seq((null.asInstanceOf[String], 1L, 1.0), ("a", 2L, 2.0)),
+        "site", "id", "v"),
+      dir.getAbsolutePath, keys = Seq("site"))
+    // update the row in the null partition — must match the base row
+    // (col === null never would) and swap __HIVE_DEFAULT_PARTITION__
+    MergeData.mergeInto(spark, dir.getAbsolutePath,
+      df(Seq((null.asInstanceOf[String], 1L, 9.0, false)),
+        "site", "id", "v", "__delete"),
+      Seq("site"), Seq("id"))
+    assert(state(dir.getAbsolutePath) == Set((null, 1L, 9.0), ("a", 2L, 2.0)))
+  }
+
   test("a delete-everything batch empties the partition but not the lake") {
     val dir = java.nio.file.Files.createTempDirectory("graft_merge_del").toFile
     dir.deleteOnExit()
