@@ -627,6 +627,104 @@ object LakeQueries {
                round(sum(value::DOUBLE), 4) AS sum_value,
                count(*) AS row_count
         FROM fin GROUP BY 1 ORDER BY 1"""),
-      "pre-merge view + feedDeltas == post-merge recompute oracle; the view never rescans the lake")
+      "pre-merge view + feedDeltas == post-merge recompute oracle; the view never rescans the lake"),
+
+    // ---------------------------------------------------------------
+    // Multi-batch CDC replication closed end-to-end: THREE sequential
+    // merge batches on a primary, each publishing its change-feed
+    // increment; a replica bootstrapped from the pre-merge snapshot
+    // replays the feed — batches 0-1 in one full pass, then batch 2
+    // ALONE via the sinceBatch high-water mark (the log-consumer
+    // contract a real CDC pipeline depends on). The replica aggregate
+    // must land exactly on the primary's post-3-batch state, which the
+    // oracle recomputes from events with CASE/filter/union. Cross-batch
+    // sequencing is exercised for real: batch 1 updates rows batch 0
+    // inserted, batch 2 deletes rows batch 0 updated.
+    // ---------------------------------------------------------------
+    Q("q121_cdf_replication",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val stamp = new File(dir, "events.parquet").lastModified()
+        val root = new File(
+          new File(sys.props("user.dir"), "target"),
+          s"graft_cdcrepl_${tag}_$stamp").getAbsolutePath
+        val primary = s"$root/primary"
+        val replica = s"$root/replica"
+        val feedDir = s"$root/feed"
+        val cols = Seq("event_id", "user_id", "value", "event_type")
+        def base = graft.Tables(s, dir, "events").select(cols.map(col): _*)
+        def t = base.filter(col("event_type").isin("click", "view"))
+        def del(d: DataFrame) = d.withColumn("__delete", lit(true))
+        def ups(d: DataFrame) = d.withColumn("__delete", lit(false))
+        val b0 =
+          ups(t.filter(col("event_id") % 10 === 0)
+            .withColumn("value", col("value") * 2))
+          .unionByName(del(t.filter(col("event_id") % 10 === 1)))
+          .unionByName(ups(t.filter(col("event_id") % 100 === 2)
+            .withColumn("event_id", col("event_id") + lit(10000000L))
+            .withColumn("value", col("value") + 1)))
+        val b1 = // updates the rows b0 inserted (key continuity across batches)
+          ups(t.filter(col("event_id") % 10 === 4)
+            .withColumn("value", col("value") + 100))
+          .unionByName(del(t.filter(col("event_id") % 10 === 5)))
+          .unionByName(ups(t.filter(col("event_id") % 100 === 2)
+            .withColumn("event_id", col("event_id") + lit(10000000L))
+            .withColumn("value", (col("value") + 1) * 3)))
+        val b2 = // deletes the rows b0 updated
+          del(t.filter(col("event_id") % 10 === 0))
+          .unionByName(ups(t.filter(col("event_id") % 10 === 6)
+            .withColumn("value", col("value") - 1)))
+          .unionByName(ups(t.filter(col("event_id") % 100 === 7)
+            .withColumn("event_id", col("event_id") + lit(20000000L))
+            .withColumn("value", col("value") + 10)))
+        val pk = Seq("event_type")
+        val rk = Seq("event_id")
+        LakeQueries.synchronized {
+          // fresh primary/replica/feed every run: replication must be a
+          // pure function of (snapshot, log), not of a previous run
+          val fs = new org.apache.hadoop.fs.Path(feedDir)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(feedDir), true)
+          MergeData.writeMerged(s, base, primary, keys = pk)
+          MergeData.writeMerged(s, base, replica, keys = pk)
+          MergeData.mergeInto(s, primary, b0, pk, rk, changeFeed = Some((feedDir, 0L)))
+          MergeData.mergeInto(s, primary, b1, pk, rk, changeFeed = Some((feedDir, 1L)))
+          // replica catches up on everything published so far...
+          MergeData.applyChangeFeed(s, feedDir, replica, pk, rk)
+          // ...the primary advances one more batch...
+          MergeData.mergeInto(s, primary, b2, pk, rk, changeFeed = Some((feedDir, 2L)))
+          // ...and the replica applies ONLY batch 2 via its high-water mark
+          MergeData.applyChangeFeed(s, feedDir, replica, pk, rk, sinceBatch = 1L)
+        }
+        s.read.parquet(replica)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("row_count"),
+            round(sum("value"), 4).as("sum_value"),
+            count_distinct(col("event_id")).as("n_ids"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH t AS (SELECT event_type, event_id, value FROM events
+                   WHERE event_type IN ('click','view')),
+        fin AS (
+          SELECT event_type, event_id,
+                 CASE WHEN event_id % 10 = 4 THEN value + 100
+                      WHEN event_id % 10 = 6 THEN value - 1
+                      ELSE value END AS value
+          FROM t WHERE event_id % 10 NOT IN (0, 1, 5)
+          UNION ALL
+          SELECT event_type, event_id, value FROM events
+          WHERE event_type NOT IN ('click','view')
+          UNION ALL
+          SELECT event_type, event_id + 10000000, (value + 1) * 3
+          FROM t WHERE event_id % 100 = 2
+          UNION ALL
+          SELECT event_type, event_id + 20000000, value + 10
+          FROM t WHERE event_id % 100 = 7)
+        SELECT event_type, count(*) AS row_count,
+               round(sum(value::DOUBLE), 4) AS sum_value,
+               count(DISTINCT event_id) AS n_ids
+        FROM fin GROUP BY 1 ORDER BY 1"""),
+      "3-batch CDC replication: snapshot bootstrap + feed replay (full pass, then sinceBatch increment) == direct-merge oracle")
   )
 }
