@@ -68,14 +68,18 @@ object RecallSweep {
     }
 
     // Trained PQ (q107 path): one Lloyd step per subspace over the
-    // sampled codebooks — measures what refinement buys at equal bytes.
-    for (m <- Seq(4, 8, 16)) {
+    // sampled codebooks — measures what refinement buys at equal bytes,
+    // both full-corpus and sample-bounded (the q107/production setting:
+    // training touches trainCap vectors, encode touches all).
+    for (m <- Seq(4, 8, 16); cap <- Seq(0, 256)) {
       val cb0 = Similarity.pqCodebooks(emb, "vec_id", "embedding", m, 16)
-      val cb = Similarity.pqRefineCodebooks(emb, "vec_id", "embedding", cb0, m, 16)
+      val cb = Similarity.pqRefineCodebooks(emb, "vec_id", "embedding", cb0, m, 16,
+        trainCap = cap)
       val codes = Similarity.pqEncode(emb, "vec_id", "embedding", cb, m, 16)
       val r = recall(Similarity.pqTopK(codes, probes, "vec_id", "embedding",
         cb, m, 16, k))
-      row("trained PQ (q107)", s"m=$m ksub=16 +1 Lloyd", s"$m", r)
+      val capTag = if (cap == 0) "full train" else s"trainCap=$cap"
+      row("trained PQ (q107)", s"m=$m ksub=16 +1 Lloyd $capTag", s"$m", r)
     }
 
     // IVF-Flat (q47 path): exact cosine within probed cells; recall

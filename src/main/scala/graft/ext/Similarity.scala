@@ -204,13 +204,26 @@ object Similarity {
     * Motivation is measured, not argued: hash-sampled codebooks bound
     * flat-PQ recall@10 at 0.113 (m=8) on the sf0.1 embeddings; one
     * refinement step lifts it (RecallSweep table in SCALING.md, q107
-    * pins the refined path end-to-end). */
+    * pins the refined path end-to-end).
+    *
+    * `trainCap` > 0 bounds the TRAINING SET to the first `trainCap`
+    * vectors in deterministic hash order (the same ordering that seeds
+    * [[pqCodebooks]]) — the FAISS discipline: at corpus scale nobody
+    * Lloyd-steps 100 TB; you train on a fixed-size sample and encode
+    * everything. 0 = train on the full frame (small-corpus exact
+    * mode). The refinement pass then touches `trainCap` rows instead
+    * of the corpus, while encode remains a full map-side pass. */
   def pqRefineCodebooks(df: DataFrame, idCol: String, vecCol: String,
-      codebooks: DataFrame, m: Int, ksub: Int): DataFrame = {
+      codebooks: DataFrame, m: Int, ksub: Int, trainCap: Int = 0): DataFrame = {
     require(m > 0 && ksub > 0, s"need m > 0 and ksub > 0, got m=$m ksub=$ksub")
+    val train =
+      if (trainCap > 0)
+        df.orderBy(DetHash.hash52(col(idCol).cast("string")), col(idCol))
+          .limit(trainCap)
+      else df
     val v = transform(col(vecCol), _.cast("double"))
     val dsub = (size(col("__v")) / lit(m)).cast("int")
-    val members = df.crossJoin(broadcast(packCodebooks(codebooks)))
+    val members = train.crossJoin(broadcast(packCodebooks(codebooks)))
       // materialize codes/doubles once per row: referencing the argmin
       // expression inside the per-subspace transform would re-run the
       // whole m×ksub distance scan m times

@@ -636,20 +636,25 @@ object AnnQueries {
     // ---------------------------------------------------------------
     // Trained flat PQ: one Lloyd refinement step per SUBSPACE over the
     // sampled codebooks (the q48 move applied to PQ), then encode and
-    // ADC-score with the refined grid. Sampled codebooks bound flat-PQ
-    // recall@10 at 0.113 (m=8, sf0.1); one step lifts it to 0.131, and
-    // 0.256 to 0.300 at m=16 (RecallSweep, SCALING.md — 13–17% per
-    // step on near-uniform data; more on clustered corpora). Codes
-    // that lost all members keep
-    // their seed centroid so the m×ksub grid stays complete. Oracle:
-    // q97's CTEs + avg-per-(subspace, code, component) + re-encode.
+    // ADC-score with the refined grid. Training is SAMPLE-BOUNDED
+    // (trainCap=256 in deterministic hash order — the FAISS discipline:
+    // refinement touches a fixed sample, encode touches the corpus);
+    // recall is within noise of full-corpus training (0.132 vs 0.131
+    // @m=8 sf0.1, RecallSweep/SCALING.md) while the training pass stops
+    // scaling with data. Codes that lost all members keep their seed
+    // centroid so the m×ksub grid stays complete. Oracle: q97's CTEs +
+    // the same hash-ordered 256-row `tr` sample + avg-per-(subspace,
+    // code, component) + re-encode.
     // ---------------------------------------------------------------
     Q("q107_pq_trained_topk",
       (s, dir) => {
         val emb = Tables(s, dir, "embeddings")
         val cb0 = Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 8, ksub = 16)
+        // trainCap binds at EVERY sf (256 < 500-row sf0.001 corpus): the
+        // sampled training path is what the oracle certifies, and the
+        // refinement pass cost is fixed while encode scales with corpus
         val cb = Similarity.pqRefineCodebooks(emb, "vec_id", "embedding",
-          cb0, m = 8, ksub = 16)
+          cb0, m = 8, ksub = 16, trainCap = 256)
         val codes = Similarity.pqEncode(emb, "vec_id", "embedding", cb, m = 8, ksub = 16)
         Similarity.pqTopK(codes, emb.filter(col("vec_id") < 20),
           "vec_id", "embedding", cb, m = 8, ksub = 16, k = 3)
@@ -657,10 +662,14 @@ object AnnQueries {
       },
       Some(s"""
         WITH $pqCte,
+        tr AS (SELECT vec_id FROM (
+                 SELECT vec_id, ${DetHash.sqlHash52("vec_id::VARCHAR")} AS h
+                 FROM embeddings ORDER BY h, vec_id LIMIT 256)),
         memb AS (SELECT e.vec_id, e.subspace, e.code,
                         generate_subscripts(s.sv, 1) AS i, unnest(s.sv) AS x
                  FROM enc e JOIN sub s
-                   ON s.vec_id = e.vec_id AND s.subspace = e.subspace),
+                   ON s.vec_id = e.vec_id AND s.subspace = e.subspace
+                 JOIN tr ON tr.vec_id = e.vec_id),
         ravg AS (SELECT subspace, code, i, round(avg(x), 6) AS x
                  FROM memb GROUP BY 1, 2, 3),
         rgrid AS (SELECT subspace, code, list(x ORDER BY i) AS centroid
