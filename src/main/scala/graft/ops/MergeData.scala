@@ -114,8 +114,12 @@ object MergeData {
     *     partitions' rows, never a full-lake rewrite.
     *
     * `updates` must carry the partition columns, the `rowKey` columns,
-    * and every data column of the base (an optional boolean `__delete`
-    * marks deletions; a NULL `__delete` is normalized to false, so an
+    * and every data column of the base — and MAY carry new columns:
+    * schema evolution (Delta's mergeSchema) null-fills the new columns
+    * on untouched base rows, while a batch MISSING a base column is
+    * rejected loudly (evolution adds, never drops). (An optional
+    * boolean `__delete` marks deletions; a NULL `__delete` is
+    * normalized to false, so an
     * outer-join-produced or CSV-empty marker upserts rather than
     * silently deleting). A DELETE-only batch still rewrites its
     * partition (COW); at 100 TB you batch deletes with the day's
@@ -169,7 +173,9 @@ object MergeData {
   def applyChangeFeed(spark: SparkSession, feedDir: String,
       replicaDir: String, partitionKeys: Seq[String], rowKey: Seq[String],
       sinceBatch: Long = -1L): Unit = {
-    val feed = spark.read.parquet(feedDir)
+    // mergeSchema: feed batches published before a schema evolution sit
+    // next to evolved ones; the replica applies the union schema
+    val feed = spark.read.option("mergeSchema", "true").parquet(feedDir)
       .filter(col("batch_id") > sinceBatch)
     val batchIds = feed.select("batch_id").distinct()
       .collect().map(_.getAs[Number]("batch_id").longValue()).sorted
@@ -221,11 +227,24 @@ object MergeData {
         col(k) <=> lit(r.get(i))
       }.reduce(_ && _)
     }.reduce(_ || _)
-    val base = spark.read.parquet(baseDir).filter(touchedPred)
+    // mergeSchema: an evolved lake holds files written before a column
+    // existed next to files written after; the union schema is the
+    // table's schema (Delta keeps this in its log — here the footers
+    // are merged in a distributed job, bounded by file count)
+    val base = spark.read.option("mergeSchema", "true").parquet(baseDir)
+      .filter(touchedPred)
     val survivors = base.join(
       updates.select(rowKey.map(col): _*).distinct(), rowKey, "left_anti")
     val applied = updates.filter(!del).drop("__delete")
-    val merged = survivors.unionByName(applied.select(base.columns.map(col): _*))
+    // Schema evolution, U1's drift rule applied to the mutation layer:
+    // a batch may ADD columns (old rows null-fill below) but never drop
+    // one — a missing base column would silently null half the table,
+    // so reject loudly instead.
+    val dropped = base.columns.toSet -- applied.columns.toSet
+    require(dropped.isEmpty,
+      s"mergeInto batch is missing base columns ${dropped.mkString(", ")}: " +
+        "batches must carry every base data column (evolution adds columns, never drops)")
+    val merged = survivors.unionByName(applied, allowMissingColumns = true)
 
     // Change feed resolves against the PRE-merge base (rowKey-shaped
     // joins over the touched partitions only) and must land before the
@@ -237,8 +256,10 @@ object MergeData {
     //   update_preimage   — the BASE row that postimage replaced
     //   delete            — the BASE row removed (absent key = no row)
     changeFeed.foreach { case (dir, batchId) =>
-      val dataCols = base.columns.map(col)
-      val upserts = updates.filter(!del).select(dataCols: _*)
+      // feed rows carry the EVOLVED schema: inserts/postimages bring the
+      // batch's new columns, preimages/deletes (old base rows) null-fill
+      // them via the allowMissingColumns unions below
+      val upserts = applied
       val delKeys = updates.filter(del).select(rowKey.map(col): _*).distinct()
       val upsKeys = upserts.select(rowKey.map(col): _*).distinct()
       def tag(d: DataFrame, action: String) =
@@ -250,8 +271,9 @@ object MergeData {
           base.select(rowKey.map(col): _*).distinct(), rowKey, "left_semi"),
           "update_postimage"))
         .unionByName(tag(base.join(upsKeys, rowKey, "left_semi"),
-          "update_preimage"))
-        .unionByName(tag(base.join(delKeys, rowKey, "left_semi"), "delete"))
+          "update_preimage"), allowMissingColumns = true)
+        .unionByName(tag(base.join(delKeys, rowKey, "left_semi"), "delete"),
+          allowMissingColumns = true)
         .withColumn("batch_id", lit(batchId))
       writeMerged(spark, actions, dir, keys = Seq("batch_id"))
     }

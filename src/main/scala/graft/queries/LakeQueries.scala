@@ -725,6 +725,76 @@ object LakeQueries {
                round(sum(value::DOUBLE), 4) AS sum_value,
                count(DISTINCT event_id) AS n_ids
         FROM fin GROUP BY 1 ORDER BY 1"""),
-      "3-batch CDC replication: snapshot bootstrap + feed replay (full pass, then sinceBatch increment) == direct-merge oracle")
+      "3-batch CDC replication: snapshot bootstrap + feed replay (full pass, then sinceBatch increment) == direct-merge oracle"),
+
+    // ---------------------------------------------------------------
+    // Schema evolution under MERGE INTO (Delta mergeSchema semantics):
+    // the batch carries a NEW column `src` absent from the base lake —
+    // updated/inserted rows get its value, surviving rows and untouched
+    // partitions null-fill it on the mergeSchema read. Base is
+    // mtime-memoized and the evolved batch REPLAYS every run (the
+    // second replay merges an evolved batch into an already-evolved
+    // lake — both legs of the evolution path), so a green row also
+    // proves evolution replay idempotence. The oracle recomputes the
+    // evolved table from events with the new column as a CASE.
+    // ---------------------------------------------------------------
+    Q("q122_merge_schema_evolution",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val stamp = new File(dir, "events.parquet").lastModified()
+        val lakeDir = new File(
+          new File(sys.props("user.dir"), "target"),
+          s"graft_mergevo_${tag}_$stamp").getAbsolutePath
+        val cols = Seq("event_id", "user_id", "value", "event_type")
+        def base = graft.Tables(s, dir, "events").select(cols.map(col): _*)
+        LakeQueries.synchronized {
+          if (!new File(s"$lakeDir/_BASE_DONE").exists()) {
+            MergeData.writeMerged(s, base, lakeDir, keys = Seq("event_type"))
+            new File(s"$lakeDir/_BASE_DONE").createNewFile()
+          }
+        }
+        val touched = base.filter(col("event_type").isin("click", "view"))
+        val batch =
+          touched.filter(col("event_id") % 10 === 0)
+            .withColumn("value", col("value") * 2)
+            .withColumn("src", lit("cdc"))
+            .withColumn("__delete", lit(false))
+          .unionByName(
+            touched.filter(col("event_id") % 10 === 1)
+              .withColumn("src", lit("cdc"))
+              .withColumn("__delete", lit(true)))
+          .unionByName(
+            touched.filter(col("event_id") % 100 === 2)
+              .withColumn("event_id", col("event_id") + lit(10000000L))
+              .withColumn("value", col("value") + 1)
+              .withColumn("src", lit("cdc"))
+              .withColumn("__delete", lit(false)))
+        MergeData.mergeInto(s, lakeDir, batch,
+          partitionKeys = Seq("event_type"), rowKey = Seq("event_id"))
+        s.read.option("mergeSchema", "true").parquet(lakeDir)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("row_count"),
+            round(sum("value"), 4).as("sum_value"),
+            count(col("src")).as("n_src"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH fin AS (
+          SELECT event_type,
+                 CASE WHEN event_type IN ('click','view') AND event_id % 10 = 0
+                      THEN value * 2 ELSE value END AS value,
+                 CASE WHEN event_type IN ('click','view') AND event_id % 10 = 0
+                      THEN 'cdc' END AS src
+          FROM events
+          WHERE NOT (event_type IN ('click','view') AND event_id % 10 = 1)
+          UNION ALL
+          SELECT event_type, value + 1, 'cdc'
+          FROM events
+          WHERE event_type IN ('click','view') AND event_id % 100 = 2)
+        SELECT event_type, count(*) AS row_count,
+               round(sum(value::DOUBLE), 4) AS sum_value,
+               count(src) AS n_src
+        FROM fin GROUP BY 1 ORDER BY 1"""),
+      "mergeSchema evolution: batch-added column lands on touched rows, null-fills survivors and untouched partitions")
   )
 }

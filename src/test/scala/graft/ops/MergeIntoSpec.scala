@@ -196,6 +196,55 @@ class MergeIntoSpec extends SparkSpec {
     assert(state(dir.getAbsolutePath) == Set((null, 1L, 9.0), ("a", 2L, 2.0)))
   }
 
+  test("schema evolution: a batch adding a column null-fills old rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_merge_evo").toFile
+    dir.deleteOnExit()
+    MergeData.writeMerged(spark,
+      df(Seq(("a", 1L, 1.0), ("a", 2L, 2.0), ("b", 10L, 10.0)),
+        "site", "id", "v"),
+      dir.getAbsolutePath, keys = Seq("site"))
+    // the batch carries a NEW column `src`
+    MergeData.mergeInto(spark, dir.getAbsolutePath,
+      df(Seq(("a", 1L, 100.0, "cdc", false), ("a", 3L, 3.0, "cdc", false)),
+        "site", "id", "v", "src", "__delete"),
+      Seq("site"), Seq("site", "id"))
+    val got = spark.read.option("mergeSchema", "true")
+      .parquet(dir.getAbsolutePath)
+      .select("site", "id", "v", "src").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        Option(r.getString(3)))).toSet
+    assert(got == Set(
+      ("a", 1L, 100.0, Some("cdc")), // updated row carries the new col
+      ("a", 2L, 2.0, None),          // survivor null-fills
+      ("a", 3L, 3.0, Some("cdc")),   // insert carries it
+      ("b", 10L, 10.0, None)))       // untouched partition: old schema, null on read
+    // a second evolved batch against the evolved lake still works
+    MergeData.mergeInto(spark, dir.getAbsolutePath,
+      df(Seq(("a", 2L, 20.0, "fix", false)),
+        "site", "id", "v", "src", "__delete"),
+      Seq("site"), Seq("site", "id"))
+    val v2 = spark.read.option("mergeSchema", "true")
+      .parquet(dir.getAbsolutePath)
+      .filter(col("id") === 2L).select("v", "src").collect()
+    assert(v2.length == 1 && v2(0).getDouble(0) == 20.0 && v2(0).getString(1) == "fix")
+  }
+
+  test("a batch missing a base data column is rejected, not null-merged") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_merge_drop").toFile
+    dir.deleteOnExit()
+    MergeData.writeMerged(spark,
+      df(Seq(("a", 1L, 1.0), ("a", 2L, 2.0)), "site", "id", "v"),
+      dir.getAbsolutePath, keys = Seq("site"))
+    val e = intercept[IllegalArgumentException] {
+      MergeData.mergeInto(spark, dir.getAbsolutePath,
+        df(Seq(("a", 1L, false)), "site", "id", "__delete"), // no `v`
+        Seq("site"), Seq("site", "id"))
+    }
+    assert(e.getMessage.contains("missing base columns"))
+    // and the lake is untouched
+    assert(state(dir.getAbsolutePath) == Set(("a", 1L, 1.0), ("a", 2L, 2.0)))
+  }
+
   test("a delete-everything batch empties the partition but not the lake") {
     val dir = java.nio.file.Files.createTempDirectory("graft_merge_del").toFile
     dir.deleteOnExit()
