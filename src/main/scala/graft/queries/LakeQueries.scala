@@ -8,7 +8,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.lake.{Maintenance, PathModel, Readers, SkipIndex}
+import graft.lake.{Maintenance, PathModel, Readers, SkipIndex, Versioned}
 import graft.ops.{MergeData, Overview}
 
 /** End-to-end csv.gz lake queries — the reference's core abstraction
@@ -795,6 +795,79 @@ object LakeQueries {
                round(sum(value::DOUBLE), 4) AS sum_value,
                count(src) AS n_src
         FROM fin GROUP BY 1 ORDER BY 1"""),
-      "mergeSchema evolution: batch-added column lands on touched rows, null-fills survivors and untouched partitions")
+      "mergeSchema evolution: batch-added column lands on touched rows, null-fills survivors and untouched partitions"),
+
+    // ---------------------------------------------------------------
+    // Snapshot isolation + time travel on the manifest-committed lake
+    // (lake/Versioned): v0 = the pre-merge table, a versioned MERGE
+    // INTO commits v1 by manifest rename (data files are immutable;
+    // the q115 batch shape supplies update/delete/insert). The query
+    // reads BOTH versions after the merge landed — v0 must still be
+    // exactly the pre-merge table (time travel / the state any reader
+    // holding v0 sees during the commit), v1 the post-merge state the
+    // oracle recomputes. Lake is rebuilt fresh each run: version
+    // numbers are part of the output.
+    // ---------------------------------------------------------------
+    Q("q123_time_travel",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val stamp = new File(dir, "events.parquet").lastModified()
+        val lakeDir = new File(
+          new File(sys.props("user.dir"), "target"),
+          s"graft_ttq_${tag}_$stamp/lake").getAbsolutePath
+        val cols = Seq("event_id", "user_id", "value", "event_type")
+        def base = graft.Tables(s, dir, "events").select(cols.map(col): _*)
+        val touched = base.filter(col("event_type").isin("click", "view"))
+        val batch =
+          touched.filter(col("event_id") % 10 === 0)
+            .withColumn("value", col("value") * 2)
+            .withColumn("__delete", lit(false))
+          .unionByName(
+            touched.filter(col("event_id") % 10 === 1)
+              .withColumn("__delete", lit(true)))
+          .unionByName(
+            touched.filter(col("event_id") % 100 === 2)
+              .withColumn("event_id", col("event_id") + lit(10000000L))
+              .withColumn("value", col("value") + 1)
+              .withColumn("__delete", lit(false)))
+        LakeQueries.synchronized {
+          val fs = new org.apache.hadoop.fs.Path(lakeDir)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(lakeDir), true)
+          MergeData.writeMerged(s, base, lakeDir, keys = Seq("event_type"))
+          Versioned.init(s, lakeDir)
+          Versioned.mergeInto(s, lakeDir, batch,
+            partitionKeys = Seq("event_type"), rowKey = Seq("event_id"))
+        }
+        def agg(version: Long) =
+          Versioned.snapshot(s, lakeDir, version)
+            .groupBy("event_type")
+            .agg(count(lit(1)).as("row_count"),
+              round(sum("value"), 4).as("sum_value"))
+            .withColumn("version", lit(version))
+        agg(0L).unionByName(agg(1L))
+          .select("version", "event_type", "row_count", "sum_value")
+          .orderBy("version", "event_type")
+      },
+      Some("""
+        WITH fin AS (
+          SELECT event_type,
+                 CASE WHEN event_type IN ('click','view') AND event_id % 10 = 0
+                      THEN value * 2 ELSE value END AS value
+          FROM events
+          WHERE NOT (event_type IN ('click','view') AND event_id % 10 = 1)
+          UNION ALL
+          SELECT event_type, value + 1
+          FROM events
+          WHERE event_type IN ('click','view') AND event_id % 100 = 2)
+        SELECT 0::BIGINT AS version, event_type, count(*) AS row_count,
+               round(sum(value::DOUBLE), 4) AS sum_value
+        FROM events GROUP BY 2
+        UNION ALL
+        SELECT 1::BIGINT, event_type, count(*),
+               round(sum(value::DOUBLE), 4)
+        FROM fin GROUP BY 2
+        ORDER BY 1, 2"""),
+      "manifest-committed lake: v0 read AFTER the v1 commit == pre-merge table (snapshot isolation / time travel); v1 == direct-merge oracle")
   )
 }

@@ -1,0 +1,97 @@
+package graft.lake
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.ops.MergeData
+
+/** Manifest-committed (snapshot-isolated) lake: atomic commit via
+  * manifest rename, reader isolation across a concurrent merge, time
+  * travel, and vacuum retention. */
+class VersionedSpec extends SparkSpec {
+
+  private def state(d: org.apache.spark.sql.DataFrame): Set[(String, Long, Double)] =
+    d.select("site", "id", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+
+  private def freshLake(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_versioned").toFile
+    dir.deleteOnExit()
+    MergeData.writeMerged(spark,
+      df(Seq(("a", 1L, 1.0), ("a", 2L, 2.0), ("b", 10L, 10.0)),
+        "site", "id", "v"),
+      dir.getAbsolutePath, keys = Seq("site"))
+    dir.getAbsolutePath
+  }
+
+  test("versioned merge applies update/delete/insert and commits a new version") {
+    val dir = freshLake()
+    assert(Versioned.init(spark, dir) == 0L)
+    val v1 = Versioned.mergeInto(spark, dir,
+      df(Seq(("a", 1L, 100.0, false), ("a", 2L, 0.0, true),
+        ("c", 7L, 7.0, false)), "site", "id", "v", "__delete"),
+      Seq("site"), Seq("site", "id"))
+    assert(v1 == 1L && Versioned.currentVersion(spark, dir) == 1L)
+    assert(state(Versioned.snapshot(spark, dir)) == Set(
+      ("a", 1L, 100.0), ("b", 10L, 10.0), ("c", 7L, 7.0)))
+  }
+
+  test("a reader holding version N is isolated from a concurrent commit") {
+    val dir = freshLake()
+    Versioned.init(spark, dir)
+    // reader resolves v0 — captures its file list, as any reader does
+    val v0Files = Versioned.filesAt(spark, dir, 0L)
+    val preMerge = state(Versioned.snapshot(spark, dir, 0L))
+    // a merge commits v1 while the reader is "in flight"
+    Versioned.mergeInto(spark, dir,
+      df(Seq(("a", 1L, 999.0, false), ("b", 10L, 0.0, true)),
+        "site", "id", "v", "__delete"),
+      Seq("site"), Seq("site", "id"))
+    // the reader's resolved files are untouched: re-reading them yields
+    // exactly the pre-merge state (commits never mutate or delete files)
+    assert(Versioned.filesAt(spark, dir, 0L) == v0Files)
+    assert(state(Versioned.snapshot(spark, dir, 0L)) == preMerge)
+    assert(preMerge == Set(("a", 1L, 1.0), ("a", 2L, 2.0), ("b", 10L, 10.0)))
+    // while the latest snapshot sees the merge
+    assert(state(Versioned.snapshot(spark, dir)) == Set(
+      ("a", 1L, 999.0), ("a", 2L, 2.0)))
+  }
+
+  test("time travel across multiple versions; vacuum bounds history") {
+    val dir = freshLake()
+    Versioned.init(spark, dir)
+    Versioned.mergeInto(spark, dir,
+      df(Seq(("a", 1L, 2.0, false)), "site", "id", "v", "__delete"),
+      Seq("site"), Seq("site", "id"))
+    Versioned.mergeInto(spark, dir,
+      df(Seq(("a", 1L, 3.0, false)), "site", "id", "v", "__delete"),
+      Seq("site"), Seq("site", "id"))
+    def vAt(ver: Long) = Versioned.snapshot(spark, dir, ver)
+      .filter(col("id") === 1L).select("v").collect()(0).getDouble(0)
+    assert(vAt(0L) == 1.0 && vAt(1L) == 2.0 && vAt(2L) == 3.0)
+
+    Versioned.vacuum(spark, dir, keepVersions = 2)
+    // v1 and v2 survive, v0 is gone (manifest and unreferenced files)
+    assert(vAt(1L) == 2.0 && vAt(2L) == 3.0)
+    intercept[IllegalArgumentException] { Versioned.filesAt(spark, dir, 0L) }
+    // and the surviving versions' files all still exist on disk
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (1L to 2L).foreach { v =>
+      Versioned.filesAt(spark, dir, v).foreach { rel =>
+        assert(fs.exists(new org.apache.hadoop.fs.Path(dir, rel)), s"v$v lost $rel")
+      }
+    }
+  }
+
+  test("versioned merge is replay-idempotent at the data level") {
+    val dir = freshLake()
+    Versioned.init(spark, dir)
+    val batch = df(Seq(("a", 1L, 5.0, false), ("a", 2L, 0.0, true)),
+      "site", "id", "v", "__delete")
+    Versioned.mergeInto(spark, dir, batch, Seq("site"), Seq("site", "id"))
+    val once = state(Versioned.snapshot(spark, dir))
+    Versioned.mergeInto(spark, dir, batch, Seq("site"), Seq("site", "id"))
+    assert(state(Versioned.snapshot(spark, dir)) == once &&
+      once == Set(("a", 1L, 5.0), ("b", 10L, 10.0)))
+  }
+}
