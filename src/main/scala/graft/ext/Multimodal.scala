@@ -19,19 +19,16 @@ import org.apache.spark.sql.functions._
   *  - [[decodePixels]]: REAL raster decode via the JDK's own ImageIO
   *    codecs (PNG/JPEG/GIF/BMP) — full pixel access, statistics
   *    derived executor-side so pixel buffers never enter the plan.
-  *  - [[decodeStub]]: deterministic fake for the one stage that
-  *    genuinely needs an external codec library (video frames) — swap
-  *    its body for e.g. JCodec without touching the plan.
+  *  - [[decodeVideoHeaders]]: REAL MP4 box walk / AVI RIFF chunk walk
+  *    for video container metadata. Frame PIXEL decode is the one
+  *    stage that genuinely needs an external codec library (absent
+  *    from the JDK) — it plugs into these mapPartitions bodies
+  *    without touching the plan.
   */
 object Multimodal {
 
   /** One media row: opaque payload + source metadata. */
   final case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
-
-  /** Decoded metadata + a fixed-width feature vector. */
-  final case class DecodedMedia(
-      doc_id: Long, media_type: String, byte_len: Long,
-      width: Int, height: Int, n_frames: Int, feature: Array[Float])
 
   /** Wrap any DataFrame with a string column into media rows (payload =
     * UTF-8 bytes). In production the payload comes from
@@ -47,7 +44,7 @@ object Multimodal {
     * source carries file metadata in the SCAN (path/length/modTime),
     * so a `length < N` or path filter prunes before content bytes are
     * read; at 100 TB keep payloads out of shuffles — derive features
-    * map-side ([[withFakeDecodeMeta]]/[[decodeStub]] tiers), move only
+    * map-side ([[decodeHeaders]]/[[decodePixels]] tiers), move only
     * the derived columns. */
   def readBinaryFiles(spark: SparkSession, root: String,
       glob: String = "*"): DataFrame =
@@ -88,7 +85,7 @@ object Multimodal {
     * the big-endian uint32s at bytes 17-20 / 21-24 of the file (PNG
     * spec: 8-byte signature, 4-byte chunk length, "IHDR", then the
     * fields). NULL for non-PNG payloads — route those to
-    * [[decodeHeaders]] (JPEG) or [[decodeStub]] (codec formats). */
+    * [[decodeHeaders]] (JPEG) or [[decodeVideoHeaders]] (MP4/AVI). */
   def withPngHeaderMeta(media: DataFrame): DataFrame = {
     val p = col("payload")
     media
@@ -254,7 +251,8 @@ object Multimodal {
     * alongside the REAL decoded raster's dims and channel sum — the
     * two width sources cross-check each other (q103). `rgb_sum` is the
     * exact integer Σ(r+g+b) over every pixel; `None` pixel fields mean
-    * ImageIO has no codec for the container (route to [[decodeStub]]). */
+    * ImageIO has no codec for the container (route video to
+    * [[decodeVideoHeaders]] for metadata). */
   final case class PixelMeta(doc_id: Long, media_type: String,
       container: String, width: Option[Int], height: Option[Int],
       px_width: Option[Int], px_height: Option[Int], rgb_sum: Option[Long])
@@ -264,8 +262,9 @@ object Multimodal {
     * derives integer channel statistics executor-side, so only the
     * derived columns — never pixel buffers — enter the plan. The
     * header parse rides along for the dims cross-check. Containers
-    * ImageIO can't read (video) return null pixel fields; THAT decode
-    * is [[decodeStub]]'s remaining scope. */
+    * ImageIO can't read (video) return null pixel fields; their header
+    * metadata comes from [[decodeVideoHeaders]], and frame pixels need
+    * an external codec. */
   def decodePixels(spark: SparkSession, media: DataFrame): Dataset[PixelMeta] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
@@ -316,9 +315,9 @@ object Multimodal {
 
   /** REAL header decode, mapPartitions tier: PNG IHDR + JPEG SOF walk
     * over the payload bytes — no codec library, no fake. Formats
-    * without a header-only parse (video, audio) come back with null
-    * dims; their pixel/sample decode belongs in [[decodeStub]]'s
-    * per-partition loop with a real codec. */
+    * this walk doesn't cover come back with null dims — video headers
+    * have their own walk ([[decodeVideoHeaders]]), WAV its fmt parse
+    * ([[withWavHeaderMeta]]). */
   def decodeHeaders(spark: SparkSession, media: DataFrame): Dataset[HeaderMeta] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
@@ -353,35 +352,164 @@ object Multimodal {
         (lit(1) + conv(substring(h, 5, 2), 16, 10).cast("long") % 8).cast("int"))
   }
 
-  /** STUB decode (mapPartitions tier). Deterministic fake: "decodes"
-    * payload bytes into an 8-dim feature from byte statistics. This is
-    * the one remaining fake, and its scope is now VIDEO frames only —
-    * a codec absent from both the JDK and this container; header
-    * metadata is real ([[withPngHeaderMeta]]/[[decodeHeaders]]) and
-    * image pixel decode is real ([[decodePixels]], JDK ImageIO). A
-    * real implementation would decode the codec here — per partition,
-    * so decoder instances are reused across the batch, mirroring
-    * `mapInPandas` batch semantics. */
-  def decodeStub(spark: SparkSession, media: DataFrame): Dataset[DecodedMedia] = {
+  // ------------------------------------------------------------------
+  // Video containers: REAL zero-dependency header decode. MP4 and AVI
+  // carry dimensions/duration in plain header structures (ISO BMFF
+  // boxes; RIFF chunks) that need no codec to read — the same contract
+  // as the PNG IHDR and WAV fmt parses. Frame PIXEL decode would need
+  // an external codec (JCodec etc.) and plugs into a mapPartitions
+  // body exactly like [[decodePixels]]'s ImageIO loop.
+  // ------------------------------------------------------------------
+
+  /** Canonical minimal ISO-BMFF MP4: `ftyp` + `moov(mvhd, trak(tkhd))`,
+    * all version-0 boxes, big-endian. mvhd timescale is fixed at 1000
+    * so duration units ARE milliseconds; tkhd carries width/height as
+    * 16.16 fixed-point — a REAL payload whose fields an analytic
+    * oracle predicts without seeing a byte (the [[generateWavPcm]]
+    * pattern applied to video). */
+  def generateMp4(width: Int, height: Int, durationMs: Long): Array[Byte] = {
+    def be(v: Long, len: Int): Array[Byte] =
+      Array.tabulate(len)(i => ((v >> (8 * (len - 1 - i))) & 0xff).toByte)
+    def ascii(s: String): Array[Byte] =
+      s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be(payload.length + 8L, 4) ++ ascii(typ) ++ payload
+    val ftyp = box("ftyp", ascii("isom") ++ be(0, 4))
+    val mvhd = box("mvhd",
+      be(0, 4) ++                     // version 0 + flags
+      be(0, 4) ++ be(0, 4) ++         // creation, modification
+      be(1000, 4) ++                  // timescale: 1000 ticks/sec
+      be(durationMs, 4) ++            // duration (= ms at this timescale)
+      be(0x00010000L, 4) ++ be(0, 2) ++ be(0, 10) ++ // rate, volume, reserved
+      (be(0x00010000L, 4) ++ be(0, 4) ++ be(0, 4) ++
+        be(0, 4) ++ be(0x00010000L, 4) ++ be(0, 4) ++
+        be(0, 4) ++ be(0, 4) ++ be(0x40000000L, 4)) ++ // identity matrix
+      be(0, 24) ++                    // pre_defined
+      be(2, 4))                       // next_track_ID
+    val tkhd = box("tkhd",
+      be(7, 4) ++                     // version 0 + flags (enabled)
+      be(0, 4) ++ be(0, 4) ++         // creation, modification
+      be(1, 4) ++ be(0, 4) ++         // track_ID, reserved
+      be(durationMs, 4) ++ be(0, 8) ++ // duration, reserved
+      be(0, 2) ++ be(0, 2) ++ be(0, 2) ++ be(0, 2) ++ // layer/group/volume/rsvd
+      (be(0x00010000L, 4) ++ be(0, 4) ++ be(0, 4) ++
+        be(0, 4) ++ be(0x00010000L, 4) ++ be(0, 4) ++
+        be(0, 4) ++ be(0, 4) ++ be(0x40000000L, 4)) ++
+      be(width.toLong << 16, 4) ++    // 16.16 fixed-point
+      be(height.toLong << 16, 4))
+    ftyp ++ box("moov", mvhd ++ box("trak", tkhd))
+  }
+
+  /** Canonical minimal AVI: `RIFF('AVI ', LIST('hdrl', avih))`,
+    * little-endian RIFF chunks. The avih main header carries
+    * microseconds-per-frame, total frames, width, height at fixed
+    * payload offsets (0/16/32/36) — the video twin of the WAV fmt
+    * chunk. */
+  def generateAvi(width: Int, height: Int, nFrames: Int,
+      usecPerFrame: Int): Array[Byte] = {
+    def le(v: Long, len: Int): Array[Byte] =
+      Array.tabulate(len)(i => ((v >> (8 * i)) & 0xff).toByte)
+    def ascii(s: String): Array[Byte] =
+      s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val avih = le(usecPerFrame, 4) ++ le(0, 4) ++ le(0, 4) ++ le(0, 4) ++
+      le(nFrames, 4) ++ le(0, 4) ++ le(1, 4) ++ le(0, 4) ++
+      le(width, 4) ++ le(height, 4) ++ le(0, 16)
+    val avihChunk = ascii("avih") ++ le(avih.length, 4) ++ avih
+    val hdrl = ascii("LIST") ++ le(4L + avihChunk.length, 4) ++
+      ascii("hdrl") ++ avihChunk
+    ascii("RIFF") ++ le(4L + hdrl.length, 4) ++ ascii("AVI ") ++ hdrl
+  }
+
+  /** One decoded video-header row. MP4: duration from mvhd
+    * (duration * 1000 / timescale), frame count not in the header
+    * (lives in stts sample tables) → null. AVI: frame count is the
+    * avih field, duration derived = frames * usecPerFrame / 1000.
+    * Null everything = not a recognized container. */
+  final case class VideoMeta(doc_id: Long, media_type: String,
+      container: Option[String], width: Option[Int], height: Option[Int],
+      duration_ms: Option[Long], n_frames: Option[Int])
+
+  /** REAL video container header decode (mapPartitions tier): an ISO
+    * BMFF box walk (ftyp/moov/mvhd/trak/tkhd, big-endian) and a RIFF
+    * chunk walk (LIST/hdrl/avih, little-endian) over the payload
+    * bytes — no codec library, no fake; the walk follows box sizes,
+    * not hardcoded file offsets, so real-world files with extra boxes
+    * parse too. Frame pixel decode (needs a codec the JDK lacks)
+    * would slot into this per-partition loop like [[decodePixels]]'s
+    * ImageIO body. */
+  def decodeVideoHeaders(spark: SparkSession, media: DataFrame): Dataset[VideoMeta] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
-      // real decoder would be instantiated ONCE here, per partition
       rows.map { r =>
-        val bytes = if (r.payload == null) Array.empty[Byte] else r.payload
-        val md = java.security.MessageDigest.getInstance("MD5")
-        val h = md.digest(bytes)
-        def u(i: Int): Int = h(i) & 0xff
-        val feature = Array.tabulate(8) { i =>
-          // fake "embedding": mean of every 8th byte, offset i
-          val sel = bytes.indices.filter(_ % 8 == i).map(j => (bytes(j) & 0xff).toFloat)
-          if (sel.isEmpty) 0f else sel.sum / sel.length
+        val b = if (r.payload == null) Array.empty[Byte] else r.payload
+        def be32(p: Int): Long =
+          ((b(p) & 0xffL) << 24) | ((b(p + 1) & 0xffL) << 16) |
+            ((b(p + 2) & 0xffL) << 8) | (b(p + 3) & 0xffL)
+        def le32(p: Int): Long =
+          (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
+            ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
+        def fourcc(p: Int): String =
+          if (b.length < p + 4) ""
+          else new String(b.slice(p, p + 4), java.nio.charset.StandardCharsets.US_ASCII)
+
+        def mp4Meta(): Option[VideoMeta] = {
+          if (b.length < 12 || fourcc(4) != "ftyp") return None
+          var w, h = Option.empty[Int]
+          var dur = Option.empty[Long]
+          def walk(from: Int, to: Int, depth: Int): Unit = {
+            var p = from
+            while (p + 8 <= to) {
+              val size = be32(p)
+              val typ = fourcc(p + 4)
+              if (size < 8 || p + size > to) return
+              typ match {
+                case "moov" | "trak" if depth < 4 =>
+                  walk(p + 8, p + size.toInt, depth + 1)
+                case "mvhd" if size >= 28 =>
+                  val timescale = be32(p + 8 + 12)
+                  if (timescale > 0)
+                    dur = Some(be32(p + 8 + 16) * 1000L / timescale)
+                case "tkhd" if size >= 92 =>
+                  w = Some((be32(p + 8 + 76) >>> 16).toInt)
+                  h = Some((be32(p + 8 + 80) >>> 16).toInt)
+                case _ => ()
+              }
+              p += size.toInt
+            }
+          }
+          walk(0, b.length, 0)
+          Some(VideoMeta(r.doc_id, r.media_type, Some("mp4"), w, h, dur, None))
         }
-        DecodedMedia(
-          r.doc_id, r.media_type, bytes.length.toLong,
-          16 + u(0) % 64,
-          16 + u(1) % 64,
-          1 + u(2) % 8,
-          feature)
+
+        def aviMeta(): Option[VideoMeta] = {
+          if (b.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ")
+            return None
+          var out = Option.empty[VideoMeta]
+          var p = 12
+          while (out.isEmpty && p + 8 <= b.length) {
+            val cc = fourcc(p)
+            val csize = le32(p + 4).toInt
+            if (cc == "LIST" && fourcc(p + 8) == "hdrl") {
+              var q = p + 12
+              val end = math.min(p + 8 + csize, b.length)
+              while (out.isEmpty && q + 8 <= end) {
+                if (fourcc(q) == "avih" && le32(q + 4) >= 40) {
+                  val usec = le32(q + 8)
+                  val frames = le32(q + 8 + 16)
+                  out = Some(VideoMeta(r.doc_id, r.media_type, Some("avi"),
+                    Some(le32(q + 8 + 32).toInt), Some(le32(q + 8 + 36).toInt),
+                    Some(frames * usec / 1000L), Some(frames.toInt)))
+                }
+                q += 8 + le32(q + 4).toInt + (le32(q + 4).toInt & 1)
+              }
+            }
+            p += 8 + csize + (csize & 1)
+          }
+          out
+        }
+
+        mp4Meta().orElse(aviMeta()).getOrElse(
+          VideoMeta(r.doc_id, r.media_type, None, None, None, None, None))
       }
     }
   }
@@ -390,8 +518,9 @@ object Multimodal {
     * (maxW, maxH) box, never upscaling — pure integer expressions
     * (cross-multiplied comparison picks the binding side, integer
     * division floors), so the plan stays in codegen and is exactly
-    * reproducible. The pixel resample consuming these dims belongs in
-    * [[decodeStub]]'s per-partition loop with the codec. */
+    * reproducible. The pixel resample consuming these dims is
+    * [[resizePixels]] (images); video frames would need an external
+    * codec in the same per-partition shape. */
   def withResizeDims(decoded: DataFrame, maxW: Int, maxH: Int): DataFrame = {
     val (w, h) = (col("width").cast("long"), col("height").cast("long"))
     val fitsAlready = w <= maxW && h <= maxH
@@ -501,8 +630,9 @@ object Multimodal {
   /** REAL byte-level frame sampling (mapPartitions tier): walk the
     * 8-bit PCM data chunk of a canonical WAV payload keeping every
     * `stride`-th sample — the audio analogue of video frame-striding,
-    * against real bytes (video itself stays [[decodeStub]]'s scope:
-    * no codec in the JDK). Fixed-offset parse guarded by the RIFF/
+    * against real bytes (video header metadata has its own real walk,
+    * [[decodeVideoHeaders]]; frame pixels need a codec the JDK
+    * lacks). Fixed-offset parse guarded by the RIFF/
     * WAVE/data magics; anything else yields nulls, not a dead task. */
   def samplePcmFrames(spark: SparkSession, media: DataFrame,
       stride: Int): Dataset[FrameSampleMeta] = {

@@ -99,8 +99,9 @@ object MultimodalQueries {
     // derives exact integer channel sums; the header-parse dims ride
     // along and must agree with the decoded raster's. PNG is lossless,
     // so the oracle predicts every field from (doc_id) alone — it
-    // never sees a byte of image data. Closes the decodeStub gap for
-    // images; video remains the one stubbed codec.
+    // never sees a byte of image data. Real pixel access for images;
+    // video header metadata is likewise real (q124), only frame-pixel
+    // decode would need a codec the JDK lacks.
     // ---------------------------------------------------------------
     Q("q103_image_pixel_decode",
       (s, dir) => {
@@ -215,6 +216,51 @@ object MultimodalQueries {
         SELECT doc_id, n_samples, n_sampled, sample_sum,
                round(sample_sum / n_sampled, 4) AS mean_sample
         FROM s ORDER BY doc_id"""),
-      "real PCM data-chunk stride sampling vs a bytes-blind analytic oracle")
+      "real PCM data-chunk stride sampling vs a bytes-blind analytic oracle"),
+
+    // ---------------------------------------------------------------
+    // Multimodal: REAL video container header decode — canonical MP4
+    // (ISO-BMFF ftyp/moov/mvhd/trak/tkhd, big-endian box walk) for
+    // even doc_ids, canonical AVI (RIFF LIST/hdrl/avih, little-endian
+    // chunk walk) for odd. Width/height/duration (and AVI frame
+    // count; MP4 keeps frame counts in sample tables → null) are read
+    // back from the real bytes; the oracle predicts every field from
+    // doc_id alone. Retires the last decode stub: all five container
+    // families (PNG, JPEG, WAV, MP4, AVI) now parse real headers.
+    // ---------------------------------------------------------------
+    Q("q124_video_header_decode",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables(s, dir, "documents")
+          .select(col("doc_id").cast("long")).as[Long]
+          .mapPartitions { ids =>
+            ids.map { id =>
+              val w = (16 + id % 2048).toInt
+              val h = (16 + (id * 7) % 1536).toInt
+              if (id % 2 == 0)
+                Multimodal.MediaRow(id, "video/mp4",
+                  Multimodal.generateMp4(w, h, durationMs = 1000 + id % 5000))
+              else
+                Multimodal.MediaRow(id, "video/x-msvideo",
+                  Multimodal.generateAvi(w, h, nFrames = (10 + id % 240).toInt,
+                    usecPerFrame = 40000))
+            }
+          }.toDF()
+        Multimodal.decodeVideoHeaders(s, media).toDF()
+          .select("doc_id", "container", "width", "height",
+            "duration_ms", "n_frames")
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'avi' END AS container,
+               (16 + doc_id % 2048)::INT AS width,
+               (16 + (doc_id * 7) % 1536)::INT AS height,
+               (CASE WHEN doc_id % 2 = 0 THEN 1000 + doc_id % 5000
+                     ELSE (10 + doc_id % 240) * 40 END)::BIGINT AS duration_ms,
+               CASE WHEN doc_id % 2 = 0 THEN NULL
+                    ELSE (10 + doc_id % 240)::INT END AS n_frames
+        FROM documents ORDER BY doc_id"""),
+      "real MP4/AVI header walks (box sizes, not fixed offsets) vs a bytes-blind oracle")
   )
 }

@@ -468,13 +468,23 @@ class ExtSpec extends SparkSpec {
         Seq(4L, 64, 1), Seq(5L, 64, 42)))
   }
 
-  test("multimodal decode stub matches the expression tier on shared fields") {
-    val media = Multimodal.asMedia(docs, "doc_id", "text", "text/plain")
-    val expr = Multimodal.withFakeDecodeMeta(media)
-      .select("doc_id", "byte_len", "width", "height", "n_frames")
-    val stub = Multimodal.decodeStub(spark, media).toDF()
-      .select("doc_id", "byte_len", "width", "height", "n_frames")
-    assert(rowsOf(expr.orderBy("doc_id")) === rowsOf(stub.orderBy("doc_id")))
+  test("video header decode: MP4 box walk and AVI chunk walk round-trip") {
+    import spark.implicits._
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "video/mp4",
+        Multimodal.generateMp4(width = 640, height = 360, durationMs = 2500L)),
+      Multimodal.MediaRow(2L, "video/x-msvideo",
+        Multimodal.generateAvi(width = 320, height = 240, nFrames = 100,
+          usecPerFrame = 40000)),
+      Multimodal.MediaRow(3L, "video/mp4", Array[Byte](1, 2, 3)))
+    val out = rowsOf(Multimodal.decodeVideoHeaders(spark,
+        spark.createDataset(rows).toDF()).toDF()
+      .select("doc_id", "container", "width", "height", "duration_ms", "n_frames")
+      .orderBy("doc_id"))
+    assert(out === Seq(
+      Seq(1L, "mp4", 640, 360, 2500L, null),
+      Seq(2L, "avi", 320, 240, 4000L, 100), // 100 frames * 40ms
+      Seq(3L, null, null, null, null, null)))
   }
 
   test("real NN resize: resampled sums match the explicit index math") {
