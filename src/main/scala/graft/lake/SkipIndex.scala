@@ -113,9 +113,29 @@ object SkipIndex {
       c: String, qLo: Double, qHi: Double): DataFrame =
     prunedReadMulti(spark, dataDir, idx, Seq((c, qLo, qHi)))
 
-  /** [[prunedRead]] for a conjunction of range predicates. */
+  /** [[prunedRead]] for a conjunction of range predicates.
+    *
+    * `validate` (default on) guards the pruning contract against a
+    * STALE index: pruning reads only the index's surviving files, so an
+    * index built before a rewrite would silently lose the rewrite's
+    * rows. The guard compares the index's file set against the lake's
+    * current listing and fails loudly on any drift — the listing is
+    * driver-side and file-count-bounded, the same work any unversioned
+    * read performs anyway. After a COW merge, [[refresh]] the index
+    * (touched partitions only) instead of rebuilding it. */
   def prunedReadMulti(spark: SparkSession, dataDir: String, idx: DataFrame,
-      preds: Seq[(String, Double, Double)]): DataFrame = {
+      preds: Seq[(String, Double, Double)], validate: Boolean = true): DataFrame = {
+    if (validate) {
+      val indexed = idx.select("file").distinct()
+        .collect().map(r => normalize(r.getString(0))).toSet
+      val current = dataFiles(spark, dataDir)
+      val missing = current -- indexed
+      val gone = indexed -- current
+      require(missing.isEmpty && gone.isEmpty,
+        s"stale skip index for $dataDir (" +
+          s"${missing.size} unindexed file(s), ${gone.size} vanished file(s)): " +
+          "refresh() it after rewrites, or rebuild")
+    }
     val files = candidateFilesMulti(idx, preds)
     val residual: Column = preds
       .map { case (c, lo, hi) => col(c) >= lo && col(c) <= hi }
@@ -123,6 +143,56 @@ object SkipIndex {
     if (files.isEmpty)
       spark.read.parquet(dataDir).filter(lit(false))
     else
-      spark.read.parquet(files: _*).filter(residual)
+      // basePath recovers Hive partition columns from the surviving
+      // files' directory names (no-op for unpartitioned layouts)
+      spark.read.option("basePath", dataDir).parquet(files: _*).filter(residual)
+  }
+
+  /** Incremental index maintenance after a COW merge: entries for files
+    * under the TOUCHED partition directories are dropped and rebuilt
+    * from those directories' current files; everything else is kept
+    * as-is. Work scales with the merge batch (touched partitions), not
+    * the lake — the same scope invariant as the merge itself. A
+    * partition deleted outright (delete-all batch) simply contributes
+    * no new entries.
+    *
+    * `touchedDirs` are partition-relative paths (`k=v[/k2=v2]`), i.e.
+    * exactly the strings `ExternalCatalogUtils.getPartitionPathString`
+    * renders for the merge's touched-partition set. */
+  def refresh(spark: SparkSession, dataDir: String, idx: DataFrame,
+      cols: Seq[String], touchedDirs: Seq[String]): DataFrame = {
+    require(touchedDirs.nonEmpty, "refresh needs at least one touched partition")
+    val touched = touchedDirs.map(d => col("file").contains(s"/$d/"))
+      .reduce(_ || _)
+    val survivors = idx.filter(!touched)
+    val fs = new org.apache.hadoop.fs.Path(dataDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existing = touchedDirs
+      .map(d => new org.apache.hadoop.fs.Path(dataDir, d))
+      .filter(fs.exists).map(_.toString)
+    if (existing.isEmpty) survivors
+    else survivors.unionByName(build(
+      spark.read.option("basePath", dataDir).parquet(existing: _*), cols))
+  }
+
+  private def normalize(p: String): String = p.replaceFirst("^file:/+", "/")
+
+  /** Driver-side recursive listing of the lake's parquet data files
+    * (metadata dirs and marker files excluded), normalized paths. */
+  private def dataFiles(spark: SparkSession, dataDir: String): Set[String] = {
+    val root = new org.apache.hadoop.fs.Path(dataDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Set.empty
+    val it = fs.listFiles(root, true)
+    val buf = scala.collection.mutable.Set.empty[String]
+    while (it.hasNext) {
+      val f = it.next().getPath
+      val rel = f.toUri.getPath
+      val segs = rel.split('/')
+      if (f.getName.endsWith(".parquet") &&
+          !segs.exists(s => s.startsWith("_") || s.startsWith(".")))
+        buf += normalize(rel)
+    }
+    buf.toSet
   }
 }

@@ -868,6 +868,79 @@ object LakeQueries {
                round(sum(value::DOUBLE), 4)
         FROM fin GROUP BY 2
         ORDER BY 1, 2"""),
-      "manifest-committed lake: v0 read AFTER the v1 commit == pre-merge table (snapshot isolation / time travel); v1 == direct-merge oracle")
+      "manifest-committed lake: v0 read AFTER the v1 commit == pre-merge table (snapshot isolation / time travel); v1 == direct-merge oracle"),
+
+    // ---------------------------------------------------------------
+    // Skip-index maintenance across a COW merge: the index is built
+    // (and pinned as a local relation — a lazy plan could never go
+    // stale), the q115 merge batch rewrites two partitions, then
+    // refresh() rebuilds ONLY those partitions' entries. The pruned
+    // read over the refreshed index must equal the full post-merge
+    // scan + filter, which the oracle recomputes. Every run replays
+    // the merge against the previous run's post-merge lake, so every
+    // run exercises genuine staleness (old files swapped out) and the
+    // prunedRead staleness guard validates the refreshed index against
+    // the live listing before trusting it.
+    // ---------------------------------------------------------------
+    Q("q125_skip_index_merge_refresh",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val stamp = new File(dir, "events.parquet").lastModified()
+        val lakeDir = new File(
+          new File(sys.props("user.dir"), "target"),
+          s"graft_skipm_${tag}_$stamp").getAbsolutePath
+        val cols = Seq("event_id", "user_id", "value", "event_type")
+        def base = graft.Tables(s, dir, "events").select(cols.map(col): _*)
+        val touched = base.filter(col("event_type").isin("click", "view"))
+        val batch =
+          touched.filter(col("event_id") % 10 === 0)
+            .withColumn("value", col("value") * 2)
+            .withColumn("__delete", lit(false))
+          .unionByName(
+            touched.filter(col("event_id") % 10 === 1)
+              .withColumn("__delete", lit(true)))
+          .unionByName(
+            touched.filter(col("event_id") % 100 === 2)
+              .withColumn("event_id", col("event_id") + lit(10000000L))
+              .withColumn("value", col("value") + 1)
+              .withColumn("__delete", lit(false)))
+        val refreshed = LakeQueries.synchronized {
+          if (!new File(s"$lakeDir/_BASE_DONE").exists()) {
+            MergeData.writeMerged(s, base, lakeDir, keys = Seq("event_type"))
+            new File(s"$lakeDir/_BASE_DONE").createNewFile()
+          }
+          val built = SkipIndex.build(s.read.parquet(lakeDir), Seq("user_id"))
+          val idx0 = s.createDataFrame(
+            java.util.Arrays.asList(built.collect(): _*), built.schema)
+          MergeData.mergeInto(s, lakeDir, batch,
+            partitionKeys = Seq("event_type"), rowKey = Seq("event_id"))
+          SkipIndex.refresh(s, lakeDir, idx0, Seq("user_id"),
+            Seq("event_type=click", "event_type=view"))
+        }
+        SkipIndex.prunedReadMulti(s, lakeDir, refreshed,
+            Seq(("user_id", 100, 220)))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("row_count"),
+            round(sum("value"), 4).as("sum_value"),
+            count_distinct(col("user_id")).as("n_users"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH fin AS (
+          SELECT event_type, user_id,
+                 CASE WHEN event_type IN ('click','view') AND event_id % 10 = 0
+                      THEN value * 2 ELSE value END AS value
+          FROM events
+          WHERE NOT (event_type IN ('click','view') AND event_id % 10 = 1)
+          UNION ALL
+          SELECT event_type, user_id, value + 1
+          FROM events
+          WHERE event_type IN ('click','view') AND event_id % 100 = 2)
+        SELECT event_type, count(*) AS row_count,
+               round(sum(value::DOUBLE), 4) AS sum_value,
+               count(DISTINCT user_id) AS n_users
+        FROM fin WHERE user_id BETWEEN 100 AND 220
+        GROUP BY 1 ORDER BY 1"""),
+      "skip index incrementally refreshed across a COW merge: pruned read == post-merge full-scan oracle; staleness guard validates")
   )
 }

@@ -66,6 +66,48 @@ class SkipIndexSpec extends SparkSpec {
       pruned.exceptAll(naive).isEmpty && naive.exceptAll(pruned).isEmpty)
   }
 
+  test("stale index fails loudly after a rewrite; refresh makes it exact again") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_skipidx_m").toFile
+    dir.deleteOnExit()
+    val base = df(Seq(
+      ("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0),
+      ("b", 10L, 10.0), ("b", 11L, 11.0)), "site", "id", "v")
+    graft.ops.MergeData.writeMerged(spark, base, dir.getAbsolutePath,
+      keys = Seq("site"))
+    // materialize the index as a LOCAL relation: a lazy plan would
+    // re-scan the post-merge files and never actually be stale
+    val built = SkipIndex.build(spark.read.parquet(dir.getAbsolutePath), Seq("id"))
+    val idx0 = spark.createDataFrame(
+      java.util.Arrays.asList(built.collect(): _*), built.schema)
+
+    // COW merge rewrites partition a (update id=1, insert id=4)
+    graft.ops.MergeData.mergeInto(spark, dir.getAbsolutePath,
+      df(Seq(("a", 1L, 100.0, false), ("a", 4L, 4.0, false)),
+        "site", "id", "v", "__delete"),
+      Seq("site"), Seq("site", "id"))
+
+    // pruning with the stale index must refuse, not silently lose rows
+    val e = intercept[IllegalArgumentException] {
+      SkipIndex.prunedRead(spark, dir.getAbsolutePath, idx0, "id", 0, 100)
+    }
+    assert(e.getMessage.contains("stale skip index"))
+
+    // refresh rebuilds ONLY partition a's entries; partition b's rows
+    // in the index are the original ones (same file, untouched)
+    val idx1 = SkipIndex.refresh(spark, dir.getAbsolutePath, idx0,
+      Seq("id"), Seq("site=a"))
+    val pruned = SkipIndex.prunedRead(spark, dir.getAbsolutePath, idx1, "id", 0, 5)
+    val expect = Set((1L, 100.0), (2L, 2.0), (3L, 3.0), (4L, 4.0))
+    assert(pruned.select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet == expect)
+    // and the untouched partition's index entries survived verbatim
+    val bFiles0 = idx0.filter(col("file").contains("/site=b/"))
+      .select("file", "lo", "hi").collect().toSet
+    val bFiles1 = idx1.filter(col("file").contains("/site=b/"))
+      .select("file", "lo", "hi").collect().toSet
+    assert(bFiles0 == bFiles1 && bFiles0.nonEmpty)
+  }
+
   test("disjoint predicate yields an empty frame with the data schema") {
     val (out, _) = lake
     val idx = SkipIndex.build(spark.read.parquet(out), Seq("a"))
