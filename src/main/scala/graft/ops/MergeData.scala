@@ -139,11 +139,13 @@ object MergeData {
   /** @param changeFeed optional (dir, batchId): also emit this batch's
     *   resolved change rows — every applied update/insert/delete with an
     *   `_action` column; a DELETE of an absent key resolves to no row
-    *   (it changed nothing) — under `dir/batch_id=N`. Dynamic partition
-    *   overwrite on batch_id makes a replayed batch REWRITE its feed
-    *   increment instead of duplicating it (the IncrementalPartials
-    *   idempotence contract), so downstream incremental consumers can
-    *   read the feed append-only. The Delta change-data-feed analogue. */
+    *   (it changed nothing) — under `dir/batch_id=N`. Each increment is
+    *   WRITE-ONCE, committed by atomic rename, and emitted BEFORE the
+    *   data swap: actions resolve against the pre-merge base, so a
+    *   replayed batch (crash-restart) keeps its original, correctly
+    *   resolved increment instead of re-resolving against the merged
+    *   state into zero-deltas. Downstream incremental consumers read
+    *   the feed append-only. The Delta change-data-feed analogue. */
   def mergeInto(spark: SparkSession, baseDir: String, updates: DataFrame,
       partitionKeys: Seq[String], rowKey: Seq[String],
       changeFeed: Option[(String, Long)] = None): Unit = {
@@ -256,26 +258,49 @@ object MergeData {
     //   update_preimage   — the BASE row that postimage replaced
     //   delete            — the BASE row removed (absent key = no row)
     changeFeed.foreach { case (dir, batchId) =>
-      // feed rows carry the EVOLVED schema: inserts/postimages bring the
-      // batch's new columns, preimages/deletes (old base rows) null-fill
-      // them via the allowMissingColumns unions below
-      val upserts = applied
-      val delKeys = updates.filter(del).select(rowKey.map(col): _*).distinct()
-      val upsKeys = upserts.select(rowKey.map(col): _*).distinct()
-      def tag(d: DataFrame, action: String) =
-        d.withColumn("_action", lit(action))
-      val actions =
-        tag(upserts.join(base.select(rowKey.map(col): _*).distinct(),
-          rowKey, "left_anti"), "insert")
-        .unionByName(tag(upserts.join(
-          base.select(rowKey.map(col): _*).distinct(), rowKey, "left_semi"),
-          "update_postimage"))
-        .unionByName(tag(base.join(upsKeys, rowKey, "left_semi"),
-          "update_preimage"), allowMissingColumns = true)
-        .unionByName(tag(base.join(delKeys, rowKey, "left_semi"), "delete"),
-          allowMissingColumns = true)
-        .withColumn("batch_id", lit(batchId))
-      writeMerged(spark, actions, dir, keys = Seq("batch_id"))
+      // WRITE-ONCE per batch_id, committed by atomic rename. Actions
+      // resolve against the PRE-merge base, so a batch REPLAYED after
+      // its data swap landed would re-resolve against the merged state
+      // and publish garbage (pre == post zero-deltas, inserts become
+      // self-updates) — exactly what a crashed-and-restarted streaming
+      // merge does. Skipping an increment that already exists keeps the
+      // original, correctly-resolved actions; and because the feed is
+      // emitted BEFORE the data swap below, every crash window replays
+      // consistently (feed absent → base still pre-merge → correct
+      // re-resolve; feed present → skip). The staging+rename makes the
+      // increment all-or-nothing, so a crash mid-write can't leave a
+      // half increment that the skip check would then trust.
+      val feedRoot = new org.apache.hadoop.fs.Path(dir)
+      val feedFs = feedRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val target = new org.apache.hadoop.fs.Path(feedRoot, s"batch_id=$batchId")
+      if (!feedFs.exists(target)) {
+        // feed rows carry the EVOLVED schema: inserts/postimages bring
+        // the batch's new columns, preimages/deletes (old base rows)
+        // null-fill them via the allowMissingColumns unions below
+        val upserts = applied
+        val delKeys = updates.filter(del).select(rowKey.map(col): _*).distinct()
+        val upsKeys = upserts.select(rowKey.map(col): _*).distinct()
+        def tag(d: DataFrame, action: String) =
+          d.withColumn("_action", lit(action))
+        val actions =
+          tag(upserts.join(base.select(rowKey.map(col): _*).distinct(),
+            rowKey, "left_anti"), "insert")
+          .unionByName(tag(upserts.join(
+            base.select(rowKey.map(col): _*).distinct(), rowKey, "left_semi"),
+            "update_postimage"))
+          .unionByName(tag(base.join(upsKeys, rowKey, "left_semi"),
+            "update_preimage"), allowMissingColumns = true)
+          .unionByName(tag(base.join(delKeys, rowKey, "left_semi"), "delete"),
+            allowMissingColumns = true)
+        val stg = new org.apache.hadoop.fs.Path(
+          dir + "_feedstg_" + java.util.UUID.randomUUID().toString.take(8))
+        try {
+          actions.write.mode("overwrite").parquet(stg.toString)
+          feedFs.mkdirs(feedRoot)
+          require(feedFs.rename(stg, target),
+            s"feed commit: rename $stg -> $target failed")
+        } finally feedFs.delete(stg, true)
+      }
     }
 
     // The write target IS the read source, which Spark's file-source

@@ -89,14 +89,17 @@ class MergeIntoSpec extends SparkSpec {
     assert(rows == Set(
       (7, 1L, "update_preimage", 1.0), (7, 1L, "update_postimage", 100.0),
       (7, 2L, "delete", 2.0), (7, 3L, "insert", 3.0)))
-    // replaying the batch under the same batch_id REWRITES the feed
-    // increment (pre-merge base has changed, so actions re-resolve) —
-    // never duplicates it
+    // replaying the batch under the same batch_id KEEPS the original
+    // increment verbatim (write-once): re-resolving against the now-
+    // merged base would publish zero-deltas and bogus self-updates —
+    // the exact failure a crash-restarted streaming merge would hit
     MergeData.mergeInto(spark, lake, updates, Seq("site"), Seq("site", "id"),
       changeFeed = Some((feed, 7L)))
     val replay = spark.read.parquet(feed)
-      .groupBy("id", "_action").count().collect().map(r => r.getLong(2)).toSet
-    assert(replay == Set(1L), "each (key, action) appears once per batch_id after replay")
+      .select("batch_id", "id", "_action", "v").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      .toSet
+    assert(replay == rows, "replay must preserve the original feed increment")
   }
 
   test("feed deltas maintain a grouped aggregate without rescanning the lake") {
