@@ -95,9 +95,23 @@ object Versioned {
     val out = fs.create(tmp, true)
     try out.write((files.sorted.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
-    // THE commit point: one atomic metadata op
+    // THE commit point: one atomic metadata op. The exists check is the
+    // optimistic-concurrency guard (Delta's CAS-on-log-entry): a racing
+    // writer that committed the same version first wins, and this
+    // commit aborts with its data files unreferenced (vacuum-able)
+    // rather than clobbering the winner's manifest. Best-effort on file
+    // systems whose rename overwrites; exact on HDFS-style stores where
+    // rename onto an existing path fails.
+    require(!fs.exists(dst),
+      s"concurrent commit detected: version $v already exists in $dir")
     require(fs.rename(tmp, dst), s"manifest commit failed for $dst")
   }
+
+  /** The raw CAS commit, exposed for the concurrency spec: commits
+    * `files` as version `v`, failing if `v` already exists. */
+  private[lake] def commitManifest(spark: SparkSession, dir: String,
+      v: Long, files: Seq[String]): Unit =
+    writeManifest(fsOf(spark, dir), dir, v, files)
 
   /** Version an existing lake: v0 = its current files. Idempotent
     * (no-op if any manifest exists); returns the current version. */
@@ -184,6 +198,39 @@ object Versioned {
       writeManifest(fs, dir, v + 1, next)
       v + 1
     } finally batch.unpersist()
+  }
+
+  /** OPTIMIZE within the manifest protocol: partitions holding more
+    * than `targetFilesPerPartition` live files are rewritten compacted
+    * (one shuffle clustered on the partition keys, new files appended),
+    * and the new manifest swaps the small files for the compacted ones.
+    * Pure layout change: the snapshot's rows are identical, old
+    * versions still see the old files (time travel intact), and work
+    * is bounded by the partitions that actually need compacting.
+    * Returns the committed version (unchanged if nothing to do). */
+  def optimize(spark: SparkSession, dir: String,
+      partitionKeys: Seq[String], targetFilesPerPartition: Int = 1): Long = {
+    require(targetFilesPerPartition >= 1, "need targetFilesPerPartition >= 1")
+    val v = init(spark, dir)
+    val live = filesAt(spark, dir, v)
+    val byDir = live.groupBy(f => f.take(math.max(f.lastIndexOf('/'), 0)))
+    val targets = byDir.filter { case (d, fs0) =>
+      d.nonEmpty && fs0.size > targetFilesPerPartition }
+    if (targets.isEmpty) return v
+    val fs = fsOf(spark, dir)
+    val targetDirs = targets.keySet
+    val before = targetDirs.flatMap(d =>
+      listDataFiles(fs, new Path(dir), new Path(dir, d))).toSet
+    val rows = spark.read.option("basePath", dir).option("mergeSchema", "true")
+      .parquet(targets.values.flatten.map(f => s"$dir/$f").toSeq: _*)
+    rows.repartition(partitionKeys.map(col): _*)
+      .write.mode("append").partitionBy(partitionKeys: _*).parquet(dir)
+    val after = targetDirs.flatMap(d =>
+      listDataFiles(fs, new Path(dir), new Path(dir, d))).toSet
+    val newFiles = (after -- before).toSeq.sorted
+    val replaced = targets.values.flatten.toSet
+    writeManifest(fs, dir, v + 1, live.filterNot(replaced) ++ newFiles)
+    v + 1
   }
 
   /** Delete data files unreferenced by the newest `keepVersions`

@@ -83,6 +83,52 @@ class VersionedSpec extends SparkSpec {
     }
   }
 
+  test("optimize compacts small files under the manifest; rows and history intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_versioned_opt").toFile
+    dir.deleteOnExit()
+    // a deliberately fragmented base: 4 files per partition
+    df((1L to 40L).map(i => (if (i % 2 == 0) "a" else "b", i, i.toDouble)),
+      "site", "id", "v")
+      .repartition(4)
+      .write.mode("overwrite").partitionBy("site").parquet(dir.getAbsolutePath)
+    Versioned.init(spark, dir.getAbsolutePath)
+    val rowsBefore = Versioned.snapshot(spark, dir.getAbsolutePath)
+      .select("site", "id", "v").collect().map(_.toSeq).toSet
+    def filesPerDir(v: Long): Map[String, Int] =
+      Versioned.filesAt(spark, dir.getAbsolutePath, v)
+        .groupBy(f => f.take(f.lastIndexOf('/'))).map { case (d, fs) => d -> fs.size }
+    assert(filesPerDir(0L).values.forall(_ > 1), "fixture must be fragmented")
+
+    val v1 = Versioned.optimize(spark, dir.getAbsolutePath, Seq("site"))
+    assert(v1 == 1L)
+    assert(filesPerDir(1L).values.forall(_ == 1), "one file per partition after optimize")
+    assert(Versioned.snapshot(spark, dir.getAbsolutePath)
+      .select("site", "id", "v").collect().map(_.toSeq).toSet == rowsBefore,
+      "optimize is a pure layout change")
+    // time travel still sees the fragmented layout
+    assert(Versioned.snapshot(spark, dir.getAbsolutePath, 0L)
+      .select("site", "id", "v").collect().map(_.toSeq).toSet == rowsBefore)
+    // already-compacted lake: no-op, no new version
+    assert(Versioned.optimize(spark, dir.getAbsolutePath, Seq("site")) == 1L)
+  }
+
+  test("a concurrent commit to the same version is detected, not clobbered") {
+    val dir = freshLake()
+    Versioned.init(spark, dir)
+    val batch = df(Seq(("a", 1L, 5.0, false)), "site", "id", "v", "__delete")
+    Versioned.mergeInto(spark, dir, batch, Seq("site"), Seq("site", "id"))
+    // two writers race to commit version 2: the winner lands first,
+    // the loser's commit must abort and leave the winner's manifest
+    val winner = Versioned.filesAt(spark, dir, 1L) // any valid file list
+    Versioned.commitManifest(spark, dir, 2L, winner)
+    val e = intercept[IllegalArgumentException] {
+      Versioned.commitManifest(spark, dir, 2L, winner.take(1))
+    }
+    assert(e.getMessage.contains("concurrent commit"))
+    assert(Versioned.filesAt(spark, dir, 2L) == winner,
+      "the winner's manifest survives the losing commit attempt")
+  }
+
   test("versioned merge is replay-idempotent at the data level") {
     val dir = freshLake()
     Versioned.init(spark, dir)
