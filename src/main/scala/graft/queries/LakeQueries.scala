@@ -652,7 +652,10 @@ object LakeQueries {
         val replica = s"$root/replica"
         val feedDir = s"$root/feed"
         val cols = Seq("event_id", "user_id", "value", "event_type")
-        def base = graft.Tables(s, dir, "events").select(cols.map(col): _*)
+        // one cached scan feeds two snapshot writes and nine batch
+        // derivations below — without it every merge re-reads events
+        val base = graft.Tables(s, dir, "events")
+          .select(cols.map(col): _*).persist()
         def t = base.filter(col("event_type").isin("click", "view"))
         def del(d: DataFrame) = d.withColumn("__delete", lit(true))
         def ups(d: DataFrame) = d.withColumn("__delete", lit(false))
@@ -695,6 +698,7 @@ object LakeQueries {
           MergeData.mergeInto(s, primary, b2, pk, rk, changeFeed = Some((feedDir, 2L)))
           // ...and the replica applies ONLY batch 2 via its high-water mark
           MergeData.applyChangeFeed(s, feedDir, replica, pk, rk, sinceBatch = 1L)
+          base.unpersist()
         }
         s.read.parquet(replica)
           .groupBy("event_type")
