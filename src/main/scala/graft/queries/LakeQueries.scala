@@ -945,6 +945,73 @@ object LakeQueries {
                count(DISTINCT user_id) AS n_users
         FROM fin WHERE user_id BETWEEN 100 AND 220
         GROUP BY 1 ORDER BY 1"""),
-      "skip index incrementally refreshed across a COW merge: pruned read == post-merge full-scan oracle; staleness guard validates")
+      "skip index incrementally refreshed across a COW merge: pruned read == post-merge full-scan oracle; staleness guard validates"),
+
+    // ---------------------------------------------------------------
+    // Versioned-lake maintenance end-to-end: a deliberately fragmented
+    // base (4 files per partition), a versioned MERGE INTO (v1), then
+    // manifest OPTIMIZE (v2) compacting the partitions the merge did
+    // not already rewrite. The v2 snapshot must equal the post-merge
+    // recompute — optimize is a pure layout change committed through
+    // the same manifest protocol, and the fragmented v0/v1 layouts
+    // stay time-travelable (VersionedSpec pins file counts; the oracle
+    // pins the rows).
+    // ---------------------------------------------------------------
+    Q("q126_versioned_optimize",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val stamp = new File(dir, "events.parquet").lastModified()
+        val lakeDir = new File(
+          new File(sys.props("user.dir"), "target"),
+          s"graft_voptq_${tag}_$stamp/lake").getAbsolutePath
+        val cols = Seq("event_id", "user_id", "value", "event_type")
+        def base = graft.Tables(s, dir, "events").select(cols.map(col): _*)
+        val touched = base.filter(col("event_type").isin("click", "view"))
+        val batch =
+          touched.filter(col("event_id") % 10 === 0)
+            .withColumn("value", col("value") * 2)
+            .withColumn("__delete", lit(false))
+          .unionByName(
+            touched.filter(col("event_id") % 10 === 1)
+              .withColumn("__delete", lit(true)))
+          .unionByName(
+            touched.filter(col("event_id") % 100 === 2)
+              .withColumn("event_id", col("event_id") + lit(10000000L))
+              .withColumn("value", col("value") + 1)
+              .withColumn("__delete", lit(false)))
+        LakeQueries.synchronized {
+          val fs = new org.apache.hadoop.fs.Path(lakeDir)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(lakeDir), true)
+          base.repartition(4) // fragmented on purpose: 4 files/partition
+            .write.partitionBy("event_type").parquet(lakeDir)
+          Versioned.init(s, lakeDir)
+          Versioned.mergeInto(s, lakeDir, batch,
+            partitionKeys = Seq("event_type"), rowKey = Seq("event_id"))
+          Versioned.optimize(s, lakeDir, Seq("event_type"))
+        }
+        Versioned.snapshot(s, lakeDir)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("row_count"),
+            round(sum("value"), 4).as("sum_value"),
+            count_distinct(col("event_id")).as("n_ids"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH fin AS (
+          SELECT event_type, event_id,
+                 CASE WHEN event_type IN ('click','view') AND event_id % 10 = 0
+                      THEN value * 2 ELSE value END AS value
+          FROM events
+          WHERE NOT (event_type IN ('click','view') AND event_id % 10 = 1)
+          UNION ALL
+          SELECT event_type, event_id + 10000000, value + 1
+          FROM events
+          WHERE event_type IN ('click','view') AND event_id % 100 = 2)
+        SELECT event_type, count(*) AS row_count,
+               round(sum(value::DOUBLE), 4) AS sum_value,
+               count(DISTINCT event_id) AS n_ids
+        FROM fin GROUP BY 1 ORDER BY 1"""),
+      "versioned merge + manifest OPTIMIZE: compacted snapshot == post-merge oracle (layout changed, rows identical)")
   )
 }
