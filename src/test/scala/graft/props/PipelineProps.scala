@@ -396,6 +396,55 @@ object PipelineProps extends Properties("graft.pipeline") {
       banded == naive
     }
 
+  // ------------------------------------------------------------------
+  // Versioned lake: a random merge-batch sequence applied through the
+  // manifest protocol must equal an in-memory key→value model at EVERY
+  // committed version — not just the latest: snapshot isolation means
+  // history can never change once committed. One change per key per
+  // batch (the documented CDC-compaction contract) is enforced by
+  // deduping the generated batch keep-last.
+  // ------------------------------------------------------------------
+
+  private val opGen = Gen.zip(
+    Gen.oneOf("a", "b"), Gen.choose(1L, 4L),
+    Gen.choose(-50, 50).map(_.toDouble), Gen.prob(0.3))
+  private val batchesGen =
+    Gen.listOfN(2, Gen.nonEmptyListOf(opGen).map(_.take(3)))
+
+  property("Versioned.mergeInto: every version equals the key-value model") =
+    forAll(batchesGen) { batches =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_vprop").toFile
+      dir.deleteOnExit()
+      // partition c is never touched by the generators, so the lake
+      // can never become fully empty (empty tables are out of scope)
+      val baseRows = Seq(("a", 1L, 1.0, false), ("b", 2L, 2.0, false),
+        ("c", 99L, 0.0, false))
+      graft.ops.MergeData.writeMerged(spark,
+        baseRows.map { case (s, i, v, _) => (s, i, v) }.toDF("site", "id", "v"),
+        dir.getAbsolutePath, keys = Seq("site"))
+      graft.lake.Versioned.init(spark, dir.getAbsolutePath)
+
+      var model = baseRows.map { case (s, i, v, _) => (s, i) -> v }.toMap
+      val states = scala.collection.mutable.ArrayBuffer(model)
+      batches.filter(_.nonEmpty).foreach { raw =>
+        val batch = raw.groupBy(o => (o._1, o._2)).map(_._2.last).toSeq
+        model = batch.foldLeft(model) { case (m, (s, i, v, del)) =>
+          if (del) m - ((s, i)) else m + ((s, i) -> v)
+        }
+        states += model
+        graft.lake.Versioned.mergeInto(spark, dir.getAbsolutePath,
+          batch.toDF("site", "id", "v", "__delete"),
+          Seq("site"), Seq("site", "id"))
+      }
+      states.zipWithIndex.forall { case (m, ver) =>
+        val got = graft.lake.Versioned
+          .snapshot(spark, dir.getAbsolutePath, ver.toLong)
+          .select("site", "id", "v").collect()
+          .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+        got == m
+      }
+    }
+
   private def levDist(a: String, b: String): Int = {
     val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
       if (i == 0) j else if (j == 0) i else 0 }
