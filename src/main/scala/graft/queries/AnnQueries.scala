@@ -848,6 +848,51 @@ object AnnQueries {
                JOIN n nb ON nb.vec_id = neighbor_id)
         SELECT probe_id, neighbor_id, sim, rank FROM rs
         WHERE rank <= 3 ORDER BY probe_id, rank"""),
-      "two-stage search: ADC shortlist from compressed lists, exact re-rank on top")
+      "two-stage search: ADC shortlist from compressed lists, exact re-rank on top"),
+
+    // ---------------------------------------------------------------
+    // Cross-table filtered ANN — the real production layout: the
+    // filter attribute (documents.lang) lives in a DIFFERENT table
+    // than the vectors. One metadata equi-join attaches it, then the
+    // constraint becomes the candidate join key (q109's rule): at
+    // 100 TB the join is one broadcast/shuffle of the metadata
+    // columns, and the all-pairs product never materializes — only
+    // same-lang pairs do.
+    // ---------------------------------------------------------------
+    Q("q127_cross_table_filtered_ann",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings").join(
+          Tables(s, dir, "documents").select(
+            col("doc_id").as("vec_id"), col("lang")), "vec_id")
+        Similarity.filteredTopK(emb, emb.filter(col("vec_id") < 20),
+            "vec_id", "embedding", "lang", k = 3)
+          .orderBy("probe_id", "rank")
+      },
+      Some("""
+        WITH emb AS (SELECT e.vec_id, e.embedding, d.lang
+                     FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+        v AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                     unnest(embedding)::DOUBLE AS x
+              FROM emb),
+        n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM v GROUP BY vec_id),
+        cand AS (SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id
+                 FROM emb p JOIN emb e
+                   ON e.lang = p.lang AND e.vec_id <> p.vec_id
+                 WHERE p.vec_id < 20),
+        d AS (SELECT c.probe_id, c.neighbor_id, sum(va.x * vb.x) AS dot
+              FROM cand c
+              JOIN v va ON va.vec_id = c.probe_id
+              JOIN v vb ON vb.vec_id = c.neighbor_id AND vb.i = va.i
+              GROUP BY 1, 2),
+        s AS (SELECT probe_id, neighbor_id,
+                     round(dot / (na.nrm * nb.nrm), 4) AS sim,
+                     row_number() OVER (PARTITION BY probe_id
+                       ORDER BY round(dot / (na.nrm * nb.nrm), 4) DESC, neighbor_id) AS rank
+              FROM d
+              JOIN n na ON na.vec_id = probe_id
+              JOIN n nb ON nb.vec_id = neighbor_id)
+        SELECT probe_id, neighbor_id, sim, rank FROM s
+        WHERE rank <= 3 ORDER BY probe_id, rank"""),
+      "filter attribute joined from documents, then pushed into the candidate equi-join — no all-pairs, no post-filter under-fill")
   )
 }
