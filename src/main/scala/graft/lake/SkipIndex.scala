@@ -175,6 +175,49 @@ object SkipIndex {
       spark.read.option("basePath", dataDir).parquet(existing: _*), cols))
   }
 
+  /** [[prunedReadMulti]] for a lake whose live-file set is EXPLICIT (a
+    * [[Versioned]] manifest): the on-disk listing of such a lake
+    * includes superseded files kept for time travel, so validation
+    * compares the index against the given set instead. Works for ANY
+    * version's (files, index) pair — pruned reads time-travel with the
+    * index that described that version. */
+  def prunedReadMultiFiles(spark: SparkSession, dataDir: String,
+      idx: DataFrame, preds: Seq[(String, Double, Double)],
+      liveFiles: Seq[String]): DataFrame = {
+    val indexed = idx.select("file").distinct()
+      .collect().map(r => normalize(r.getString(0))).toSet
+    val live = liveFiles.map(normalize).toSet
+    require(indexed == live,
+      s"skip index does not describe this file set (" +
+        s"${(live -- indexed).size} unindexed, ${(indexed -- live).size} extra): " +
+        "build/refresh the index against this version's manifest")
+    val files = candidateFilesMulti(idx, preds)
+    val residual: Column = preds
+      .map { case (c, lo, hi) => col(c) >= lo && col(c) <= hi }
+      .reduce(_ && _)
+    if (files.isEmpty)
+      spark.read.option("basePath", dataDir)
+        .parquet(liveFiles: _*).filter(lit(false))
+    else
+      spark.read.option("basePath", dataDir).parquet(files: _*).filter(residual)
+  }
+
+  /** [[refresh]] for a versioned lake: rebuilt entries come from the
+    * LIVE files under the touched partitions (per the manifest), never
+    * from the directory listing — which still holds superseded files. */
+  def refreshForFiles(spark: SparkSession, dataDir: String, idx: DataFrame,
+      cols: Seq[String], touchedDirs: Seq[String],
+      liveFiles: Seq[String]): DataFrame = {
+    require(touchedDirs.nonEmpty, "refresh needs at least one touched partition")
+    val touched = (f: Column) => touchedDirs.map(d => f.contains(s"/$d/"))
+      .reduce(_ || _)
+    val survivors = idx.filter(!touched(col("file")))
+    val fresh = liveFiles.filter(f => touchedDirs.exists(d => f.contains(s"/$d/")))
+    if (fresh.isEmpty) survivors
+    else survivors.unionByName(build(
+      spark.read.option("basePath", dataDir).parquet(fresh: _*), cols))
+  }
+
   private def normalize(p: String): String = p.replaceFirst("^file:/+", "/")
 
   /** Driver-side recursive listing of the lake's parquet data files

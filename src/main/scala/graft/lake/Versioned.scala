@@ -200,6 +200,19 @@ object Versioned {
     } finally batch.unpersist()
   }
 
+  /** Skip-index pruned read of a snapshot: the index must describe
+    * exactly this version's manifest (build it from [[snapshot]], or
+    * advance it with [[SkipIndex.refreshForFiles]] after a merge).
+    * Because validation is against the manifest — not the dir listing,
+    * which still holds superseded files — pruned reads time-travel:
+    * version N's index keeps serving version N after later commits. */
+  def prunedRead(spark: SparkSession, dir: String,
+      idx: org.apache.spark.sql.DataFrame,
+      preds: Seq[(String, Double, Double)],
+      version: Long = -1L): DataFrame =
+    SkipIndex.prunedReadMultiFiles(spark, dir, idx, preds,
+      filesAt(spark, dir, version).map(f => s"$dir/$f"))
+
   /** OPTIMIZE within the manifest protocol: partitions holding more
     * than `targetFilesPerPartition` live files are rewritten compacted
     * (one shuffle clustered on the partition keys, new files appended),

@@ -129,6 +129,37 @@ class VersionedSpec extends SparkSpec {
       "the winner's manifest survives the losing commit attempt")
   }
 
+  test("skip index rides the manifest: refresh tracks commits, pruned reads time-travel") {
+    val dir = freshLake()
+    Versioned.init(spark, dir)
+    val built = SkipIndex.build(Versioned.snapshot(spark, dir, 0L), Seq("id"))
+    val idx0 = spark.createDataFrame(
+      java.util.Arrays.asList(built.collect(): _*), built.schema)
+    Versioned.mergeInto(spark, dir,
+      df(Seq(("a", 1L, 100.0, false), ("a", 4L, 4.0, false)),
+        "site", "id", "v", "__delete"),
+      Seq("site"), Seq("site", "id"))
+    // the v0 index does NOT describe v1...
+    val e = intercept[IllegalArgumentException] {
+      Versioned.prunedRead(spark, dir, idx0, Seq(("id", 0, 100)))
+    }
+    assert(e.getMessage.contains("does not describe"))
+    // ...but still serves v0 exactly (pruned time travel) — even though
+    // the directory now also holds v1's files
+    val tt = Versioned.prunedRead(spark, dir, idx0, Seq(("id", 0, 100)), version = 0L)
+    assert(tt.select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet ==
+      Set((1L, 1.0), (2L, 2.0), (10L, 10.0)))
+    // refresh against v1's manifest files (touched partition only):
+    // index becomes exact for the latest snapshot
+    val idx1 = SkipIndex.refreshForFiles(spark, dir, idx0, Seq("id"),
+      Seq("site=a"), Versioned.filesAt(spark, dir).map(f => s"$dir/$f"))
+    val now = Versioned.prunedRead(spark, dir, idx1, Seq(("id", 0, 100)))
+    assert(now.select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet ==
+      Set((1L, 100.0), (2L, 2.0), (4L, 4.0), (10L, 10.0)))
+  }
+
   test("versioned merge is replay-idempotent at the data level") {
     val dir = freshLake()
     Versioned.init(spark, dir)
