@@ -50,4 +50,30 @@ object StreamingMerge {
         afterBatch(id)
       }
       .start()
+
+  /** [[start]] committing through the manifest protocol
+    * ([[graft.lake.Versioned]]): every micro-batch merge is an atomic
+    * versioned commit, so the CDC stream accumulates full snapshot
+    * history (time travel over the stream's life) and concurrent
+    * readers are isolated from in-flight batches. Crash semantics are
+    * honest Delta semantics: a replayed batch commits an EXTRA version
+    * whose content equals the crashed one (data-level idempotence,
+    * VersionedSpec) — version count is at-least-once, data
+    * exactly-once. */
+  def startVersioned(updates: DataFrame, baseDir: String,
+      partitionKeys: Seq[String], rowKey: Seq[String], checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      afterBatch: Long => Unit = _ => ()): StreamingQuery =
+    updates.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) {
+          graft.lake.Versioned.mergeInto(batch.sparkSession, baseDir, batch,
+            partitionKeys, rowKey)
+        }
+        afterBatch(id)
+      }
+      .start()
 }

@@ -96,6 +96,47 @@ class StreamingMergeSpec extends SparkSpec {
     assert(state(replica) == Set(("a", 1L, 100.0), ("c", 7L, 70.0)))
   }
 
+  test("versioned streaming: manifest history accumulates; crash-replay adds a version, not data") {
+    val (lake, in, ckpt) = mkDirs()
+    seedBase(lake)
+    graft.lake.Versioned.init(spark, lake)
+    def runVersioned(afterBatch: Long => Unit = _ => ()): Unit = {
+      val stream = spark.readStream.schema(schema).csv(in)
+      val q = StreamingMerge.startVersioned(stream, lake,
+        Seq("site"), Seq("site", "id"), ckpt, afterBatch = afterBatch)
+      try q.awaitTermination()
+      finally if (q.isActive) q.stop()
+    }
+    def snapState(v: Long): Set[(String, Long, Double)] =
+      graft.lake.Versioned.snapshot(spark, lake, v)
+        .select("site", "id", "v").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+
+    writeBatch(in, "b1.csv", Seq(
+      ("a", 1L, 100.0, false), ("a", 2L, 0.0, true), ("c", 7L, 7.0, false)))
+    runVersioned()
+    assert(graft.lake.Versioned.currentVersion(spark, lake) == 1L)
+    assert(snapState(1L) == Set(
+      ("a", 1L, 100.0), ("b", 10L, 10.0), ("c", 7L, 7.0)))
+
+    // second batch crashes AFTER its versioned commit (v2) but before
+    // the streaming log records it
+    writeBatch(in, "b2.csv", Seq(("c", 7L, 70.0, false)))
+    intercept[Exception] {
+      runVersioned(afterBatch = _ => throw new RuntimeException("injected crash"))
+    }
+    assert(graft.lake.Versioned.currentVersion(spark, lake) == 2L)
+    // restart replays b2: one MORE version, identical content
+    runVersioned()
+    assert(graft.lake.Versioned.currentVersion(spark, lake) == 3L)
+    assert(snapState(2L) == snapState(3L))
+    assert(snapState(3L) == Set(
+      ("a", 1L, 100.0), ("b", 10L, 10.0), ("c", 7L, 70.0)))
+    // and the stream's full history time-travels: v1 still intact
+    assert(snapState(1L) == Set(
+      ("a", 1L, 100.0), ("b", 10L, 10.0), ("c", 7L, 7.0)))
+  }
+
   test("crash between merge and commit: replay converges to the same state") {
     val (lake, in, ckpt) = mkDirs()
     seedBase(lake)
