@@ -60,6 +60,16 @@ object MergeBench {
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"MERGEBENCH nParts=$nParts%4d totalRows=${nParts * perPart}%9d " +
         f"batchRows=$bRows%7d mergeSec=$sec%.2f")
+      // the same batch through the MANIFEST commit (lake/Versioned):
+      // same touched-partition scope, plus one manifest write — the
+      // delta between the two lines is the versioning overhead
+      val vdir = lake(nParts)
+      graft.lake.Versioned.init(spark, vdir)
+      val t1 = System.nanoTime()
+      graft.lake.Versioned.mergeInto(spark, vdir, b, Seq("p"), Seq("k"))
+      val vsec = (System.nanoTime() - t1) / 1e9
+      println(f"MERGEBENCH nParts=$nParts%4d totalRows=${nParts * perPart}%9d " +
+        f"batchRows=$bRows%7d versionedMergeSec=$vsec%.2f")
     }
     spark.stop()
   }
