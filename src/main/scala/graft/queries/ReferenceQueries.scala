@@ -1108,6 +1108,93 @@ object ReferenceQueries {
                strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
                round(sum(value), 2) AS sum_value
         FROM events GROUP BY 1 ORDER BY 1"""),
-      "Avro write+read == parquet oracle: source-format fidelity check")
+      "Avro write+read == parquet oracle: source-format fidelity check"),
+
+    // ---------------------------------------------------------------
+    // Time-grid gap fill — the sensor-series operator the reference's
+    // presence/summary tables gesture at: build each user's complete
+    // day grid (sequence over the min..max date span), left-join the
+    // actual daily aggregate, and forward-fill gaps with the last
+    // observed value (window last(ignoreNulls)). One shuffle for the
+    // daily agg, one for the window — the grid explode is map-side,
+    // and at 100 TB the window partitions by user so state is one
+    // running value per partition.
+    // ---------------------------------------------------------------
+    Q("q128_gap_fill",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = events(s, dir)
+          .filter(col("user_id") < 10 && col("ts").isNotNull)
+          .select(col("user_id"), to_date(col("ts")).as("day"),
+            col("value").cast("double").as("v"))
+          .groupBy("user_id", "day")
+          .agg(round(sum("v"), 4).as("day_sum"))
+        val grid = daily.groupBy("user_id")
+          .agg(min("day").as("lo"), max("day").as("hi"))
+          .select(col("user_id"),
+            explode(sequence(col("lo"), col("hi"))).as("day"))
+        val w = Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(daily, Seq("user_id", "day"), "left")
+          .withColumn("filled_sum", last(col("day_sum"), ignoreNulls = true).over(w))
+          .withColumn("is_gap", col("day_sum").isNull)
+          .select(col("user_id"),
+            date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("filled_sum"), col("is_gap"))
+          .orderBy("user_id", "day")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT user_id, CAST(ts AS DATE) AS day,
+                 round(sum(value::DOUBLE), 4) AS day_sum
+          FROM events WHERE user_id < 10 AND ts IS NOT NULL
+          GROUP BY 1, 2),
+        b AS (SELECT user_id, min(day) AS lo, max(day) AS hi
+              FROM daily GROUP BY 1),
+        grid AS (SELECT user_id,
+                        unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+                 FROM b),
+        j AS (SELECT g.user_id, g.day, d.day_sum
+              FROM grid g LEFT JOIN daily d USING (user_id, day))
+        SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+               last_value(day_sum IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_sum,
+               (day_sum IS NULL) AS is_gap
+        FROM j ORDER BY user_id, day"""),
+      "complete day grid per user + forward-fill of gaps with the last observed daily value"),
+
+    // ---------------------------------------------------------------
+    // CUBE: all four grouping combinations of (event_type, user
+    // bucket) in one pass — q21's rollup generalized to the full
+    // lattice. SQL resolution path for the same reason as q21 (the
+    // Expand node trips the ambiguous-self-join detector under the
+    // Dataset API), sentinels instead of nulls so sort keys stay
+    // non-nullable on both engines.
+    // ---------------------------------------------------------------
+    Q("q129_cube",
+      (s, dir) => {
+        events(s, dir)
+          .select(col("event_type"), (col("user_id") % 10).as("bucket"),
+            col("value"))
+          .createOrReplaceTempView("q129_cube_input")
+        s.sql("""
+          SELECT coalesce(event_type, 'ALL') AS event_type,
+                 coalesce(bucket, -1) AS bucket,
+                 count(*) AS n,
+                 round(sum(value), 2) AS sum_value
+          FROM q129_cube_input
+          GROUP BY CUBE (event_type, bucket)
+          ORDER BY event_type, bucket""")
+      },
+      Some("""
+        SELECT coalesce(event_type, 'ALL') AS event_type,
+               coalesce(user_id % 10, -1) AS bucket,
+               count(*) AS n,
+               round(sum(value), 2) AS sum_value
+        FROM events
+        GROUP BY CUBE (event_type, (user_id % 10))
+        ORDER BY event_type, bucket"""),
+      "full grouping lattice in one Expand pass — rollup's generalization")
   )
 }
