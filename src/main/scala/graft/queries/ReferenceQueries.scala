@@ -1195,6 +1195,81 @@ object ReferenceQueries {
         FROM events
         GROUP BY CUBE (event_type, (user_id % 10))
         ORDER BY event_type, bucket"""),
-      "full grouping lattice in one Expand pass — rollup's generalization")
+      "full grouping lattice in one Expand pass — rollup's generalization"),
+
+    // ---------------------------------------------------------------
+    // Linear interpolation of series gaps — pandas' interpolate() (the
+    // reference engine's native idiom) as a distributed plan: q128's
+    // grid + two opposing ignoreNulls windows give each gap its
+    // bracketing observations, and the fill is prev + (next − prev) ·
+    // elapsed/span. Same scale shape as q128: two window passes
+    // partitioned by user, no driver loops.
+    // ---------------------------------------------------------------
+    Q("q130_interpolate",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = events(s, dir)
+          .filter(col("user_id") < 10 && col("ts").isNotNull)
+          .select(col("user_id"), to_date(col("ts")).as("day"),
+            col("value").cast("double").as("v"))
+          .groupBy("user_id", "day")
+          .agg(round(sum("v"), 4).as("day_sum"))
+        val grid = daily.groupBy("user_id")
+          .agg(min("day").as("lo"), max("day").as("hi"))
+          .select(col("user_id"),
+            explode(sequence(col("lo"), col("hi"))).as("day"))
+        val wPrev = Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wNext = Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val obsDay = when(col("day_sum").isNotNull, col("day"))
+        grid.join(daily, Seq("user_id", "day"), "left")
+          .withColumn("pv", last(col("day_sum"), ignoreNulls = true).over(wPrev))
+          .withColumn("pd", last(obsDay, ignoreNulls = true).over(wPrev))
+          .withColumn("nv", first(col("day_sum"), ignoreNulls = true).over(wNext))
+          .withColumn("nd", first(obsDay, ignoreNulls = true).over(wNext))
+          .withColumn("interp_sum", round(
+            when(col("day_sum").isNotNull, col("day_sum"))
+              .otherwise(col("pv") + (col("nv") - col("pv")) *
+                (datediff(col("day"), col("pd")).cast("double") /
+                  datediff(col("nd"), col("pd")).cast("double"))), 4))
+          .withColumn("was_gap", col("day_sum").isNull)
+          .select(col("user_id"),
+            date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("interp_sum"), col("was_gap"))
+          .orderBy("user_id", "day")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT user_id, CAST(ts AS DATE) AS day,
+                 round(sum(value::DOUBLE), 4) AS day_sum
+          FROM events WHERE user_id < 10 AND ts IS NOT NULL
+          GROUP BY 1, 2),
+        b AS (SELECT user_id, min(day) AS lo, max(day) AS hi
+              FROM daily GROUP BY 1),
+        grid AS (SELECT user_id,
+                        unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+                 FROM b),
+        j AS (SELECT g.user_id, g.day, d.day_sum
+              FROM grid g LEFT JOIN daily d USING (user_id, day)),
+        w AS (SELECT user_id, day, day_sum,
+                     last_value(day_sum IGNORE NULLS) OVER wp AS pv,
+                     last_value(CASE WHEN day_sum IS NOT NULL THEN day END
+                                IGNORE NULLS) OVER wp AS pd,
+                     first_value(day_sum IGNORE NULLS) OVER wn AS nv,
+                     first_value(CASE WHEN day_sum IS NOT NULL THEN day END
+                                 IGNORE NULLS) OVER wn AS nd
+              FROM j
+              WINDOW wp AS (PARTITION BY user_id ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                     wn AS (PARTITION BY user_id ORDER BY day
+                            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+               round(CASE WHEN day_sum IS NOT NULL THEN day_sum
+                     ELSE pv + (nv - pv) * ((day - pd)::DOUBLE / (nd - pd)::DOUBLE)
+                     END, 4) AS interp_sum,
+               (day_sum IS NULL) AS was_gap
+        FROM w ORDER BY user_id, day"""),
+      "pandas interpolate() as a plan: bracketing observations via opposing ignoreNulls windows, linear fill")
   )
 }
