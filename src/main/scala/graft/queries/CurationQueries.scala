@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.ext.QualityChecks
 import graft.ext.{Curation, Dedup, DetHash, Multimodal, Similarity, TextAnalysis}
 
 /** Curation extension queries (SURVEY.md §7.5): decontamination,
@@ -331,6 +332,46 @@ object CurationQueries {
         SELECT w.source, w.n, round(w.p, 4) AS p, round(w.frac, 4) AS frac,
                coalesce(s.n_sampled, 0)::BIGINT AS n_sampled
         FROM w LEFT JOIN s USING (source) ORDER BY source"""),
-      "alpha=0.5 temperature mixing: n^alpha weights -> deterministic keep thresholds")
+      "alpha=0.5 temperature mixing: n^alpha weights -> deterministic keep thresholds"),
+
+    // ---------------------------------------------------------------
+    // Declarative data-quality constraint report (the Deequ idea):
+    // six checks over `documents`, evaluated in ONE aggregate pass —
+    // a 12-check suite at 100 TB is still exactly one scan. The
+    // oracle recomputes every metric and verdict independently.
+    // ---------------------------------------------------------------
+    Q("q131_quality_checks",
+      (s, dir) => QualityChecks.report(Tables(s, dir, "documents"), Seq(
+        QualityChecks.notNull("text"),
+        QualityChecks.unique("doc_id"),
+        QualityChecks.inRange("n_chars", 1, 100000),
+        QualityChecks.inSet("lang", Seq("en", "de", "fr", "es", "zh")),
+        QualityChecks.satisfies("text_min_len", length(col("text")) >= 10, 0.99),
+        QualityChecks.sizeAtLeast(100))),
+      Some("""
+        WITH m AS (SELECT
+          round(count(text)::DOUBLE / count(*), 6) AS m0,
+          round(count(DISTINCT doc_id)::DOUBLE / count(doc_id), 6) AS m1,
+          round(sum(CASE WHEN n_chars BETWEEN 1 AND 100000 THEN 1 ELSE 0 END)::DOUBLE
+                / greatest(count(n_chars), 1), 6) AS m2,
+          round(sum(CASE WHEN lang IN ('en','de','fr','es','zh') THEN 1 ELSE 0 END)::DOUBLE
+                / greatest(count(lang), 1), 6) AS m3,
+          round(sum(CASE WHEN length(text) >= 10 THEN 1 ELSE 0 END)::DOUBLE
+                / count(*), 6) AS m4,
+          round(count(*)::DOUBLE, 6) AS m5
+          FROM documents)
+        SELECT 0 AS ord, 'not_null(text)' AS "check", m0 AS metric, m0 >= 1.0 AS passed FROM m
+        UNION ALL
+        SELECT 1, 'unique(doc_id)', m1, m1 = 1.0 FROM m
+        UNION ALL
+        SELECT 2, 'in_range(n_chars)', m2, m2 >= 1.0 FROM m
+        UNION ALL
+        SELECT 3, 'in_set(lang)', m3, m3 >= 1.0 FROM m
+        UNION ALL
+        SELECT 4, 'satisfies(text_min_len)', m4, m4 >= 0.99 FROM m
+        UNION ALL
+        SELECT 5, 'size_at_least', m5, m5 >= 100.0 FROM m
+        ORDER BY ord"""),
+      "Deequ-style single-pass constraint suite: six checks, one scan, per-check metric + verdict")
   )
 }
