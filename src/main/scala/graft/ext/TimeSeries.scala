@@ -1,0 +1,93 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series resampling and smoothing — the pandas idioms the
+  * reference leans on (`reindex`/`ffill`/`interpolate`/`ewm`)
+  * re-expressed as distributed plans. Everything partitions by the
+  * series key and orders by the date column: at 100 TB each series is
+  * one window partition, state per partition is O(1) (fill) or one
+  * bounded frame (ewma), and nothing collects to the driver.
+  */
+object TimeSeries {
+
+  /** Complete per-key day grid spanning each key's [min(day), max(day)]
+    * — the `reindex(date_range(...))` step. Input must carry one row
+    * per (keys, day); output adds the missing days with null values
+    * via a left join (one small shuffle on (keys, day)). */
+  def dayGrid(daily: DataFrame, keys: Seq[String], dayCol: String): DataFrame = {
+    val bounds = daily.groupBy(keys.map(col): _*)
+      .agg(min(col(dayCol)).as("__lo"), max(col(dayCol)).as("__hi"))
+    val grid = bounds.select(keys.map(col) :+
+      explode(sequence(col("__lo"), col("__hi"))).as(dayCol): _*)
+    grid.join(daily, keys :+ dayCol, "left")
+  }
+
+  /** Forward fill (`ffill`): each null takes the last non-null value
+    * in day order. */
+  def fillForward(gridded: DataFrame, keys: Seq[String], dayCol: String,
+      valueCol: String, outCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(dayCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gridded.withColumn(outCol,
+      last(col(valueCol), ignoreNulls = true).over(w))
+  }
+
+  /** Linear interpolation (`interpolate(method='linear')`): each gap
+    * is bracketed by its nearest observations via opposing ignoreNulls
+    * windows; fill = prev + (next − prev) · elapsed/span. Rounded to
+    * `scale` decimals so cross-engine oracles are stable. */
+  def interpolateLinear(gridded: DataFrame, keys: Seq[String], dayCol: String,
+      valueCol: String, outCol: String, scale: Int = 4): DataFrame = {
+    val wPrev = Window.partitionBy(keys.map(col): _*).orderBy(col(dayCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(keys.map(col): _*).orderBy(col(dayCol))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsDay = when(col(valueCol).isNotNull, col(dayCol))
+    gridded
+      .withColumn("__pv", last(col(valueCol), ignoreNulls = true).over(wPrev))
+      .withColumn("__pd", last(obsDay, ignoreNulls = true).over(wPrev))
+      .withColumn("__nv", first(col(valueCol), ignoreNulls = true).over(wNext))
+      .withColumn("__nd", first(obsDay, ignoreNulls = true).over(wNext))
+      .withColumn(outCol, round(
+        when(col(valueCol).isNotNull, col(valueCol))
+          .otherwise(col("__pv") + (col("__nv") - col("__pv")) *
+            (datediff(col(dayCol), col("__pd")).cast("double") /
+              datediff(col("__nd"), col("__pd")).cast("double"))), scale))
+      .drop("__pv", "__pd", "__nv", "__nd")
+  }
+
+  /** Exponentially weighted moving average — pandas
+    * `ewm(alpha).mean()` (adjust=true) in CLOSED form: at row t,
+    * ewma = Σᵢ (1−α)^(t−i)·xᵢ / Σᵢ (1−α)^(t−i) over the ordered
+    * prefix. The prefix is a windowed collect_list folded by
+    * codegen'd higher-order functions (transform + aggregate) — no
+    * UDF, no recursion, deterministic under any partitioning because
+    * the window order fixes the fold order. Frame cost is O(len²) per
+    * series, the standard trade for expressing a recursive smoother
+    * as a pure plan; per-key series lengths (days) stay far below
+    * task size at any corpus scale. */
+  def ewma(df: DataFrame, keys: Seq[String], dayCol: String,
+      valueCol: String, alpha: Double, outCol: String,
+      scale: Int = 4): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(dayCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val beta = 1.0 - alpha
+    val prefix = collect_list(col(valueCol)).over(w)
+    df.withColumn("__pfx", prefix)
+      .withColumn(outCol, {
+        val n = size(col("__pfx"))
+        val weighted = transform(col("__pfx"),
+          (x, i) => x * pow(lit(beta), (n - 1 - i).cast("double")))
+        val weights = transform(col("__pfx"),
+          (_, i) => pow(lit(beta), (n - 1 - i).cast("double")))
+        def total(a: Column) =
+          aggregate(a, lit(0.0), (acc, x) => acc + x)
+        round(total(weighted) / total(weights), scale)
+      })
+      .drop("__pfx")
+  }
+}

@@ -1122,21 +1122,15 @@ object ReferenceQueries {
     // ---------------------------------------------------------------
     Q("q128_gap_fill",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val daily = events(s, dir)
           .filter(col("user_id") < 10 && col("ts").isNotNull)
           .select(col("user_id"), to_date(col("ts")).as("day"),
             col("value").cast("double").as("v"))
           .groupBy("user_id", "day")
           .agg(round(sum("v"), 4).as("day_sum"))
-        val grid = daily.groupBy("user_id")
-          .agg(min("day").as("lo"), max("day").as("hi"))
-          .select(col("user_id"),
-            explode(sequence(col("lo"), col("hi"))).as("day"))
-        val w = Window.partitionBy("user_id").orderBy("day")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        grid.join(daily, Seq("user_id", "day"), "left")
-          .withColumn("filled_sum", last(col("day_sum"), ignoreNulls = true).over(w))
+        graft.ext.TimeSeries.fillForward(
+            graft.ext.TimeSeries.dayGrid(daily, Seq("user_id"), "day"),
+            Seq("user_id"), "day", "day_sum", "filled_sum")
           .withColumn("is_gap", col("day_sum").isNull)
           .select(col("user_id"),
             date_format(col("day"), "yyyy-MM-dd").as("day"),
@@ -1207,32 +1201,15 @@ object ReferenceQueries {
     // ---------------------------------------------------------------
     Q("q130_interpolate",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val daily = events(s, dir)
           .filter(col("user_id") < 10 && col("ts").isNotNull)
           .select(col("user_id"), to_date(col("ts")).as("day"),
             col("value").cast("double").as("v"))
           .groupBy("user_id", "day")
           .agg(round(sum("v"), 4).as("day_sum"))
-        val grid = daily.groupBy("user_id")
-          .agg(min("day").as("lo"), max("day").as("hi"))
-          .select(col("user_id"),
-            explode(sequence(col("lo"), col("hi"))).as("day"))
-        val wPrev = Window.partitionBy("user_id").orderBy("day")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val wNext = Window.partitionBy("user_id").orderBy("day")
-          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        val obsDay = when(col("day_sum").isNotNull, col("day"))
-        grid.join(daily, Seq("user_id", "day"), "left")
-          .withColumn("pv", last(col("day_sum"), ignoreNulls = true).over(wPrev))
-          .withColumn("pd", last(obsDay, ignoreNulls = true).over(wPrev))
-          .withColumn("nv", first(col("day_sum"), ignoreNulls = true).over(wNext))
-          .withColumn("nd", first(obsDay, ignoreNulls = true).over(wNext))
-          .withColumn("interp_sum", round(
-            when(col("day_sum").isNotNull, col("day_sum"))
-              .otherwise(col("pv") + (col("nv") - col("pv")) *
-                (datediff(col("day"), col("pd")).cast("double") /
-                  datediff(col("nd"), col("pd")).cast("double"))), 4))
+        graft.ext.TimeSeries.interpolateLinear(
+            graft.ext.TimeSeries.dayGrid(daily, Seq("user_id"), "day"),
+            Seq("user_id"), "day", "day_sum", "interp_sum")
           .withColumn("was_gap", col("day_sum").isNull)
           .select(col("user_id"),
             date_format(col("day"), "yyyy-MM-dd").as("day"),
@@ -1270,6 +1247,48 @@ object ReferenceQueries {
                      END, 4) AS interp_sum,
                (day_sum IS NULL) AS was_gap
         FROM w ORDER BY user_id, day"""),
-      "pandas interpolate() as a plan: bracketing observations via opposing ignoreNulls windows, linear fill")
+      "pandas interpolate() as a plan: bracketing observations via opposing ignoreNulls windows, linear fill"),
+
+    // ---------------------------------------------------------------
+    // EWMA — pandas ewm(alpha).mean() (adjust=true) in CLOSED form:
+    // ewma_t = Σ (1-α)^(t-i)·x_i / Σ (1-α)^(t-i) over the ordered
+    // prefix, a windowed collect_list folded by codegen'd
+    // transform/aggregate — the recursive smoother as a pure plan,
+    // deterministic because the window order fixes the fold. The
+    // oracle rebuilds every prefix fold with a DuckDB windowed list +
+    // comprehension.
+    // ---------------------------------------------------------------
+    Q("q132_ewma",
+      (s, dir) => {
+        val daily = events(s, dir)
+          .filter(col("user_id") < 10 && col("ts").isNotNull)
+          .select(col("user_id"), to_date(col("ts")).as("day"),
+            col("value").cast("double").as("v"))
+          .groupBy("user_id", "day")
+          .agg(round(sum("v"), 4).as("day_sum"))
+        graft.ext.TimeSeries.ewma(daily, Seq("user_id"), "day",
+            "day_sum", alpha = 0.3, "ewma_sum")
+          .select(col("user_id"),
+            date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("day_sum"), col("ewma_sum"))
+          .orderBy("user_id", "day")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT user_id, CAST(ts AS DATE) AS day,
+                 round(sum(value::DOUBLE), 4) AS day_sum
+          FROM events WHERE user_id < 10 AND ts IS NOT NULL
+          GROUP BY 1, 2),
+        l AS (SELECT user_id, day, day_sum,
+                     list(day_sum) OVER (PARTITION BY user_id ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+              FROM daily)
+        SELECT user_id, strftime(day, '%Y-%m-%d') AS day, day_sum,
+               round(list_sum([p[i::INT] * power(0.7, (length(p) - i)::DOUBLE)
+                               for i in range(1, length(p) + 1)])
+                     / list_sum([power(0.7, (length(p) - i)::DOUBLE)
+                                 for i in range(1, length(p) + 1)]), 4) AS ewma_sum
+        FROM l ORDER BY user_id, day"""),
+      "pandas ewm().mean() closed form: prefix fold via windowed collect_list + higher-order aggregate")
   )
 }
