@@ -59,6 +59,45 @@ object TimeSeries {
       .drop("__pv", "__pd", "__nv", "__nd")
   }
 
+  /** Robust per-key outlier score — the Iglewicz–Hoaglin modified
+    * z-score 0.6745·(x − median)/MAD, with MAD = median(|x − median|).
+    * Median/MAD are exact rank statistics (no accumulation-order
+    * noise), so the score is bit-reproducible across engines; a
+    * zero-MAD key (constant series) yields null scores. Two grouped
+    * medians + two key-equi-joins — three shuffles on the key, no
+    * windows, no driver state. */
+  def robustZ(df: DataFrame, keys: Seq[String], valueCol: String,
+      outCol: String, scale: Int = 4): DataFrame = {
+    val med = df.groupBy(keys.map(col): _*)
+      .agg(median(col(valueCol)).as("__med"))
+    val withMed = df.join(med, keys)
+    val mad = withMed.groupBy(keys.map(col): _*)
+      .agg(median(abs(col(valueCol) - col("__med"))).as("__mad"))
+    withMed.join(mad, keys)
+      .withColumn(outCol, round(
+        lit(0.6745) * (col(valueCol) - col("__med")) /
+          when(col("__mad") =!= 0.0, col("__mad")), scale))
+      .drop("__med", "__mad")
+  }
+
+  /** One-sided CUSUM (Page 1954) in CLOSED form: the textbook
+    * recursion S_t = max(0, S_{t−1} + (z_t − k)) equals
+    * C_t − min(0, min_{j≤t} C_j) for the prefix sums C of (z − k) —
+    * so the changepoint detector is two ordered-window passes
+    * (running sum, then running min of it), a pure plan with no
+    * recursion. `zCol` is the standardized deviation; `k` the
+    * allowance (drift half-worth-detecting). Adds `outCol` = S_t.
+    * Negative-side detection = call again with −z. */
+  def cusum(df: DataFrame, keys: Seq[String], orderCol: String,
+      zCol: String, k: Double, outCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__c", sum(col(zCol) - lit(k)).over(w))
+      .withColumn(outCol,
+        col("__c") - least(lit(0.0), min(col("__c")).over(w)))
+      .drop("__c")
+  }
+
   /** Exponentially weighted moving average — pandas
     * `ewm(alpha).mean()` (adjust=true) in CLOSED form: at row t,
     * ewma = Σᵢ (1−α)^(t−i)·xᵢ / Σᵢ (1−α)^(t−i) over the ordered

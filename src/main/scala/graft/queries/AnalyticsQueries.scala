@@ -1,0 +1,468 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ext.{Bpe, Graph, TimeSeries}
+
+/** Advanced-analytics tier (round 8): robust anomaly detection,
+  * changepoints, cohort retention, link analysis, BPE tokenizer
+  * training, association rules, trend and seasonality — the
+  * statistical layer a monitoring/curation pipeline runs on top of the
+  * core engine. Every entry is DuckDB-oracled; float outputs are
+  * rounded on both sides and every query carries a total ORDER BY.
+  */
+object AnalyticsQueries {
+
+  private def events(s: SparkSession, dir: String) = Tables(s, dir, "events")
+
+  /** Per-user daily value sums on the INTEGER TICK GRID (1 tick =
+    * 1e-4): every downstream statistic — median/MAD, moments, prefix
+    * sums — becomes exact integer arithmetic, identical across
+    * engines BY CONSTRUCTION instead of by rounding luck. (The float
+    * variant died at sf0.1: DuckDB's and Spark's median interpolation
+    * and stddev accumulation differ at the ulp, and with 1500 users
+    * one of them always lands on a round-to-4 boundary.) Scores and
+    * ratios built on ticks are scale-invariant, so outputs keep their
+    * natural units. */
+  private def dailyTicks(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .filter(col("ts").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        col("value").cast("double").as("v"))
+      .groupBy("user_id", "day")
+      .agg(round(sum("v") * 10000).cast("long").as("yi"))
+
+  private val sqlDaily = """
+          SELECT user_id, CAST(ts AS DATE) AS day,
+                 round(sum(value::DOUBLE) * 10000)::BIGINT AS yi
+          FROM events WHERE ts IS NOT NULL
+          GROUP BY 1, 2"""
+
+  val all: Seq[Q] = Seq(
+    // ---------------------------------------------------------------
+    // Robust outlier detection — the Iglewicz–Hoaglin modified
+    // z-score (0.6745·(x − median)/MAD) per user series, on the tick
+    // grid: median/MAD of integers interpolate to exact half/quarter
+    // ticks on both engines, so the score is bit-identical and the
+    // |z| > 2.5 flag can't flip on ulps (the score itself is
+    // scale-invariant, so ticks cancel). Three shuffles on user_id,
+    // all map-side-combined.
+    // ---------------------------------------------------------------
+    Q("q133_mad_outliers",
+      (s, dir) => {
+        // score in z-TEN-THOUSANDTHS via round-to-INTEGER — the one
+        // portable rounding: on the tick grid z can be an exact
+        // decimal tie (this data produces z = 3.56775 exactly), and
+        // round(x, 4) of a non-representable tie splits between
+        // engines (BigDecimal half-up vs multiply-based). Integer
+        // ties ARE representable, so round() agrees everywhere.
+        // 6745·diff stays exact in 64 bits; a mathematical tie k+0.5
+        // divides out exactly, and a non-tie sits ≥ 1/(4·mad) from
+        // the boundary — far above double noise.
+        val daily = dailyTicks(s, dir)
+        val med = daily.groupBy("user_id").agg(median(col("yi")).as("med"))
+        val d = daily.join(med, "user_id")
+          .withColumn("adev", abs(col("yi") - col("med")))
+        val mad = d.groupBy("user_id").agg(median(col("adev")).as("mad"))
+        d.join(mad, "user_id")
+          .withColumn("zt", round(lit(6745.0) * (col("yi") - col("med")) /
+            when(col("mad") =!= 0.0, col("mad"))))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_days"),
+            count(when(abs(col("zt")) > 25000, 1)).as("n_outliers"),
+            round(max(abs(col("zt"))) / 10000, 4).as("max_abs_z"))
+          .orderBy("user_id")
+      },
+      Some(s"""
+        WITH daily AS ($sqlDaily),
+        m AS (SELECT user_id, median(yi) AS med FROM daily GROUP BY 1),
+        d AS (SELECT daily.*, med, abs(yi - med) AS adev
+              FROM daily JOIN m USING (user_id)),
+        m2 AS (SELECT user_id, median(adev) AS mad FROM d GROUP BY 1),
+        z AS (SELECT d.user_id,
+                     round(6745 * (yi - med) / nullif(mad, 0)) AS zt
+              FROM d JOIN m2 USING (user_id))
+        SELECT user_id, count(*) AS n_days,
+               count(CASE WHEN abs(zt) > 25000 THEN 1 END) AS n_outliers,
+               round(max(abs(zt)) / 10000, 4) AS max_abs_z
+        FROM z GROUP BY 1 ORDER BY 1"""),
+      "Iglewicz-Hoaglin modified z per series: exact-rank median/MAD on the tick grid, integer-tie-safe flags"),
+
+    // ---------------------------------------------------------------
+    // CUSUM changepoint detection (Page 1954) as a PURE PLAN: the
+    // recursion S_t = max(0, S_{t-1} + z_t − k) equals
+    // C_t − min(0, min_{j≤t} C_j) over prefix sums C — two ordered
+    // window passes, no recursion, no driver loop. Deviations are
+    // standardized against per-user mean/stddev ROUNDED to 4 decimals
+    // first, so both engines fold identical inputs. k = 0.25
+    // allowance, h = 3.0 threshold, both sides detected (negative
+    // side = CUSUM of −z).
+    // ---------------------------------------------------------------
+    Q("q134_cusum_changepoints",
+      (s, dir) => {
+        val daily = dailyTicks(s, dir)
+        // mean/stddev from exact integer moments (sums of ticks and
+        // squared ticks are exact in 64 bits), folded through ONE
+        // pinned expression shape both engines evaluate identically —
+        // the library stddev_pop's accumulation order is not portable
+        val st = daily.groupBy("user_id")
+          .agg(count(lit(1)).cast("double").as("n"),
+            sum("yi").cast("double").as("sx"),
+            sum(col("yi") * col("yi")).cast("double").as("sxx"))
+          .withColumn("m", col("sx") / col("n"))
+          .withColumn("sd",
+            sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / col("n")))
+        // standardized deviation quantized back to integer ticks:
+        // the CUSUM fold below is then EXACT integer arithmetic
+        val z = daily.join(st, "user_id")
+          .withColumn("z",
+            round((col("yi") - col("m")) / when(col("sd") =!= 0.0, col("sd"))
+              * 10000).cast("long"))
+          .withColumn("zn", -col("z"))
+        val sp = TimeSeries.cusum(z, Seq("user_id"), "day", "z", 2500.0, "sp")
+        val both = TimeSeries.cusum(sp, Seq("user_id"), "day", "zn", 2500.0, "sn")
+        both.groupBy("user_id")
+          .agg(count(lit(1)).as("n_days"),
+            count(when(col("sp") > 30000.0, 1)).as("n_pos"),
+            count(when(col("sn") > 30000.0, 1)).as("n_neg"),
+            round(max("sp") / 10000.0, 4).as("max_pos"))
+          .orderBy("user_id")
+      },
+      Some(s"""
+        WITH daily AS ($sqlDaily),
+        st AS (SELECT user_id, count(*)::DOUBLE AS n,
+                      sum(yi)::DOUBLE AS sx, sum(yi * yi)::DOUBLE AS sxx
+               FROM daily GROUP BY 1),
+        z AS (SELECT daily.user_id, day,
+                     round((yi - sx / n)
+                       / nullif(sqrt((sxx - sx * sx / n) / n), 0)
+                       * 10000)::BIGINT AS z
+              FROM daily JOIN st USING (user_id)),
+        c AS (SELECT user_id, day, sum(z - 2500) OVER w AS cp,
+                     sum(-z - 2500) OVER w AS cn
+              FROM z WINDOW w AS (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        s AS (SELECT user_id, cp - least(0, min(cp) OVER w) AS sp,
+                     cn - least(0, min(cn) OVER w) AS sn
+              FROM c WINDOW w AS (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        SELECT user_id, count(*) AS n_days,
+               count(CASE WHEN sp > 30000 THEN 1 END) AS n_pos,
+               count(CASE WHEN sn > 30000 THEN 1 END) AS n_neg,
+               round(max(sp)::DOUBLE / 10000, 4) AS max_pos
+        FROM s GROUP BY 1 ORDER BY 1"""),
+      "Page's CUSUM in closed form: prefix sum minus running min, folded in exact integer ticks"),
+
+    // ---------------------------------------------------------------
+    // Cohort retention triangle — users bucketed by the week of their
+    // FIRST qualifying action (purchase with value > 90), counted in
+    // each subsequent week they stay active. Weeks are day-offsets
+    // from a fixed anchor (engine-neutral: no dayofweek/ISO-week
+    // semantics to disagree on). Pure integers — no float risk. Two
+    // shuffles: first-week agg, then the (cohort, offset) count.
+    // ---------------------------------------------------------------
+    Q("q135_cohort_retention",
+      (s, dir) => {
+        val d = events(s, dir)
+          .filter(col("ts").isNotNull && col("event_type") === "purchase" &&
+            col("value") > 90)
+          .select(col("user_id"),
+            floor(datediff(to_date(col("ts")), lit("2024-01-01")) / 7)
+              .as("wk"))
+        val f = d.groupBy("user_id").agg(min("wk").as("cohort"))
+        d.join(f, "user_id")
+          .groupBy(col("cohort"), (col("wk") - col("cohort")).as("week_offset"))
+          .agg(count_distinct(col("user_id")).as("n_active"))
+          .orderBy("cohort", "week_offset")
+      },
+      Some("""
+        WITH d AS (
+          SELECT user_id,
+                 ((CAST(ts AS DATE) - DATE '2024-01-01') // 7)::BIGINT AS wk
+          FROM events
+          WHERE ts IS NOT NULL AND event_type = 'purchase' AND value > 90),
+        f AS (SELECT user_id, min(wk) AS cohort FROM d GROUP BY 1)
+        SELECT cohort, wk - cohort AS week_offset,
+               count(DISTINCT d.user_id) AS n_active
+        FROM d JOIN f USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2"""),
+      "retention triangle: first-qualifying-week cohorts x weekly activity offsets"),
+
+    // ---------------------------------------------------------------
+    // PageRank by power iteration over the customer–supplier trade
+    // graph (distinct pairs through orders⋈lineitem, encoded
+    // undirected so no node dangles). Each Spark iteration is one
+    // edge⋈rank join + one groupBy(dst); ranks are rounded per
+    // iteration so both engines fold the identical fixpoint — the
+    // oracle unrolls the same three iterations as CTEs. The only
+    // driver scalar is |V|.
+    // ---------------------------------------------------------------
+    Q("q136_pagerank",
+      (s, dir) => {
+        val e0 = Tables(s, dir, "orders")
+          .join(Tables(s, dir, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .filter(col("o_custkey") < 200 && col("l_suppkey") < 100)
+          .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+          .distinct()
+        val edges = e0.select(col("c").as("src"), (col("sp") + 100000L).as("dst"))
+          .unionByName(e0.select((col("sp") + 100000L).as("src"), col("c").as("dst")))
+        Graph.pageRank(edges, iters = 3, damping = 0.85, scale = 8)
+          .select(col("node"), round(col("rank"), 6).as("rank"))
+          .orderBy(desc("rank"), asc("node"))
+          .limit(20)
+      },
+      Some("""
+        WITH e0 AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+                    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                    WHERE o_custkey < 200 AND l_suppkey < 100),
+        e AS (SELECT c AS src, sp + 100000 AS dst FROM e0
+              UNION ALL SELECT sp + 100000, c FROM e0),
+        n AS (SELECT DISTINCT src AS node FROM e),
+        deg AS (SELECT src, count(*)::DOUBLE AS d FROM e GROUP BY 1),
+        r0 AS (SELECT node, 1.0 / (SELECT count(*) FROM n) AS rank FROM n),
+        it1 AS (SELECT n.node, round(0.15 / (SELECT count(*) FROM n)
+                  + 0.85 * coalesce(s.cs, 0), 8) AS rank
+                FROM n LEFT JOIN (SELECT e.dst AS node, sum(r.rank / deg.d) AS cs
+                                  FROM e JOIN r0 r ON e.src = r.node
+                                  JOIN deg ON e.src = deg.src GROUP BY 1) s
+                USING (node)),
+        it2 AS (SELECT n.node, round(0.15 / (SELECT count(*) FROM n)
+                  + 0.85 * coalesce(s.cs, 0), 8) AS rank
+                FROM n LEFT JOIN (SELECT e.dst AS node, sum(r.rank / deg.d) AS cs
+                                  FROM e JOIN it1 r ON e.src = r.node
+                                  JOIN deg ON e.src = deg.src GROUP BY 1) s
+                USING (node)),
+        it3 AS (SELECT n.node, round(0.15 / (SELECT count(*) FROM n)
+                  + 0.85 * coalesce(s.cs, 0), 8) AS rank
+                FROM n LEFT JOIN (SELECT e.dst AS node, sum(r.rank / deg.d) AS cs
+                                  FROM e JOIN it2 r ON e.src = r.node
+                                  JOIN deg ON e.src = deg.src GROUP BY 1) s
+                USING (node))
+        SELECT node, round(rank, 6) AS rank
+        FROM it3 ORDER BY rank DESC, node LIMIT 20"""),
+      "3-iteration PageRank, per-iteration rounded fixpoint == unrolled-CTE oracle"),
+
+    // ---------------------------------------------------------------
+    // BPE tokenizer training, step 1: adjacent symbol-pair counts
+    // over the word-frequency table (Sennrich et al. 2016). Training
+    // runs on DISTINCT words weighted by frequency — the compression
+    // that makes corpus-scale BPE tractable — so the pair explode is
+    // map-side and the only shuffles are the two groupBys. Exact
+    // integers: no float risk anywhere.
+    // ---------------------------------------------------------------
+    Q("q137_bpe_pairs",
+      (s, dir) => {
+        Bpe.pairCounts(Bpe.wordCounts(Tables(s, dir, "documents"), "text"))
+          .orderBy(desc("n"), asc("pair"))
+          .limit(30)
+      },
+      Some("""
+        WITH words AS (
+          SELECT w, count(*) AS cnt FROM (
+            SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+            FROM documents) t
+          WHERE regexp_matches(w, '^[a-z]+$') AND length(w) >= 2
+          GROUP BY 1),
+        pairs AS (
+          SELECT substr(w, i, 2) AS pair, sum(cnt)::BIGINT AS n
+          FROM words, unnest(range(1, length(w))) AS u(i)
+          GROUP BY 1)
+        SELECT pair, n FROM pairs ORDER BY n DESC, pair LIMIT 30"""),
+      "BPE merge-candidate counts: frequency-weighted adjacent pairs over the distinct-word table"),
+
+    // ---------------------------------------------------------------
+    // BPE training, step 2: apply the learned top merge (as a literal
+    // replace — greedy left-to-right non-overlapping, exactly BPE's
+    // application order, with the merged pair renamed to a single
+    // marker char) and recount pairs. Pairs containing the marker ARE
+    // the second-generation merge candidates. Proves the train loop's
+    // core (count → argmax → rewrite → recount) end-to-end against an
+    // oracle that replays the same two steps in SQL.
+    // ---------------------------------------------------------------
+    Q("q138_bpe_second_merge",
+      (s, dir) => {
+        val words = Bpe.wordCounts(Tables(s, dir, "documents"), "text")
+          .persist()
+        val top1 = Bpe.pairCounts(words)
+          .orderBy(desc("n"), asc("pair")).limit(1)
+          .select(col("pair").as("__m1"))
+        val w2 = words.crossJoin(broadcast(top1))
+          .withColumn("w", replace(col("w"), col("__m1"), lit("_")))
+        val out = Bpe.pairCounts(w2)
+          .orderBy(desc("n"), asc("pair"))
+          .limit(30)
+        out.collect() // materialize before unpersisting the shared parent
+        words.unpersist()
+        out
+      },
+      Some("""
+        WITH words AS (
+          SELECT w, count(*) AS cnt FROM (
+            SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+            FROM documents) t
+          WHERE regexp_matches(w, '^[a-z]+$') AND length(w) >= 2
+          GROUP BY 1),
+        p1 AS (SELECT substr(w, i, 2) AS pair, sum(cnt)::BIGINT AS n
+               FROM words, unnest(range(1, length(w))) AS u(i) GROUP BY 1),
+        m1 AS (SELECT pair FROM p1 ORDER BY n DESC, pair LIMIT 1),
+        w2 AS (SELECT replace(w, (SELECT pair FROM m1), '_') AS w, cnt
+               FROM words),
+        p2 AS (SELECT substr(w, i, 2) AS pair, sum(cnt)::BIGINT AS n
+               FROM w2, unnest(range(1, length(w))) AS u(i)
+               WHERE length(w) >= 2 GROUP BY 1)
+        SELECT pair, n FROM p2 ORDER BY n DESC, pair LIMIT 30"""),
+      "BPE loop core oracled: argmax merge applied (greedy literal replace), second-round candidates"),
+
+    // ---------------------------------------------------------------
+    // Association rules over rare events (value > 97): per-user
+    // distinct event-type sets self-joined into ordered pairs, scored
+    // by support and lift. The self-join is an equi-join on user_id
+    // (never all-pairs across users); the type alphabet bounds the
+    // output. Lift denominators stay exact integers until one final
+    // rounded division.
+    // ---------------------------------------------------------------
+    Q("q140_cooccurrence_lift",
+      (s, dir) => {
+        val ut = events(s, dir).filter(col("value") > 97)
+          .select("user_id", "event_type").distinct().persist()
+        val nUsers = ut.select("user_id").distinct().count()
+        val c = ut.groupBy("event_type").agg(count(lit(1)).as("n_t"))
+        val a = ut.toDF("user_id", "t1")
+        val b = ut.toDF("user_id", "t2")
+        val out = a.join(b, Seq("user_id")).filter(col("t1") < col("t2"))
+          .groupBy("t1", "t2").agg(count(lit(1)).as("n_ab"))
+          .join(c.select(col("event_type").as("t1"), col("n_t").as("na")), "t1")
+          .join(c.select(col("event_type").as("t2"), col("n_t").as("nb")), "t2")
+          // ratios of small integers CAN tie exactly on the decimal
+          // grid — quantize by round-to-integer (portable on ties,
+          // see q133), divide by the grid size last
+          .select(col("t1"), col("t2"), col("n_ab"),
+            (round(col("n_ab").cast("double") * 1000000 / nUsers) / 1000000)
+              .as("support"),
+            (round(col("n_ab").cast("double") * nUsers * 10000 /
+              (col("na") * col("nb"))) / 10000).as("lift"))
+          .orderBy("t1", "t2")
+        out.collect()
+        ut.unpersist()
+        out
+      },
+      Some("""
+        WITH ut AS (SELECT DISTINCT user_id, event_type FROM events
+                    WHERE value > 97),
+        nu AS (SELECT count(DISTINCT user_id) AS n FROM ut),
+        c AS (SELECT event_type, count(*) AS n_t FROM ut GROUP BY 1),
+        p AS (SELECT a.event_type AS t1, b.event_type AS t2, count(*) AS n_ab
+              FROM ut a JOIN ut b
+                ON a.user_id = b.user_id AND a.event_type < b.event_type
+              GROUP BY 1, 2)
+        SELECT t1, t2, n_ab,
+               round(n_ab::DOUBLE * 1000000 / (SELECT n FROM nu)) / 1000000
+                 AS support,
+               round(n_ab::DOUBLE * (SELECT n FROM nu) * 10000
+                     / (ca.n_t * cb.n_t)) / 10000 AS lift
+        FROM p JOIN c ca ON ca.event_type = t1
+               JOIN c cb ON cb.event_type = t2
+        ORDER BY t1, t2"""),
+      "market-basket pairs on the user equi-join: support + lift, never all-pairs across users"),
+
+    // ---------------------------------------------------------------
+    // Per-series OLS trend — slope/intercept of daily sums against
+    // the day index, computed from EXACT integer moments (n, Σx, Σx²,
+    // Σy, Σxy over ticks; the numerator/denominator stay in 64-bit
+    // integers) and divided once through a pinned expression — the
+    // portable form of regr_slope/regr_intercept, whose library
+    // accumulation orders differ between engines. One aggregate pass
+    // per user, no window, no collect.
+    // ---------------------------------------------------------------
+    Q("q141_trend_slope",
+      (s, dir) => {
+        val mo = dailyTicks(s, dir)
+          .withColumn("x", datediff(col("day"), lit("2024-01-01")).cast("long"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n"),
+            sum("x").as("sx"), sum(col("x") * col("x")).as("sxx"),
+            sum("yi").as("sy"), sum(col("x") * col("yi")).as("sxy"))
+        val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+        val den = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+        val slopeT = num / when(den =!= 0.0, den)
+        // slope/intercept are TICK-valued rationals, so quantize by
+        // round-to-INTEGER ticks (portable even on exact decimal
+        // ties — see q133) and divide by the tick size last
+        mo.select(col("user_id"), col("n").as("n_days"),
+            (round(slopeT) / 10000).as("slope"),
+            (round((col("sy").cast("double") - slopeT * col("sx").cast("double"))
+              / col("n").cast("double")) / 10000).as("icept"))
+          .orderBy("user_id")
+      },
+      Some(s"""
+        WITH daily AS ($sqlDaily),
+        mo AS (SELECT user_id, count(*) AS n,
+                      sum(x) AS sx, sum(x * x) AS sxx,
+                      sum(yi) AS sy, sum(x * yi) AS sxy
+               FROM (SELECT user_id, yi,
+                            (day - DATE '2024-01-01')::BIGINT AS x
+                     FROM daily) t
+               GROUP BY 1)
+        SELECT user_id, n AS n_days,
+               round((n * sxy - sx * sy)::DOUBLE
+                     / nullif((n * sxx - sx * sx)::DOUBLE, 0)) / 10000
+                 AS slope,
+               round((sy::DOUBLE - (n * sxy - sx * sy)::DOUBLE
+                        / nullif((n * sxx - sx * sx)::DOUBLE, 0) * sx::DOUBLE)
+                     / n::DOUBLE) / 10000 AS icept
+        FROM mo ORDER BY 1"""),
+      "per-series OLS trend from exact integer moments — portable regr_slope, one aggregate pass"),
+
+    // ---------------------------------------------------------------
+    // Day-of-week seasonality by moving-average decomposition: gaps
+    // zero-filled on the day grid (no activity = 0), trend = centered
+    // 7-day average (full frames only), seasonal index = mean ratio
+    // to trend per anchor-relative weekday — engine-neutral dow, no
+    // dayofweek() semantics to disagree on. Two window passes + one
+    // tiny aggregate.
+    // ---------------------------------------------------------------
+    Q("q142_dow_seasonality",
+      (s, dir) => {
+        val daily = dailyTicks(s, dir).filter(col("user_id") < 30)
+        // ticks again: the 7-day trend is then (exact integer sum)/7
+        // and each ratio an identical IEEE division on both engines
+        val g = TimeSeries.dayGrid(daily, Seq("user_id"), "day")
+          .withColumn("v", coalesce(col("yi"), lit(0L)))
+        val w = Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(-3, 3)
+        val t = g.withColumn("trend",
+            when(count(lit(1)).over(w) === 7,
+              sum("v").over(w).cast("double") / 7))
+          .filter(col("trend").isNotNull)
+          .withColumn("ratio",
+            col("v").cast("double") / when(col("trend") =!= 0.0, col("trend")))
+        t.groupBy((datediff(col("day"), lit("2024-01-01")) % 7).as("dow"))
+          .agg(count(col("ratio")).as("n_obs"),
+            round(avg("ratio"), 4).as("seasonal_idx"))
+          .orderBy("dow")
+      },
+      Some(s"""
+        WITH daily0 AS ($sqlDaily),
+        daily AS (SELECT * FROM daily0 WHERE user_id < 30),
+        b AS (SELECT user_id, min(day) AS lo, max(day) AS hi
+              FROM daily GROUP BY 1),
+        grid AS (SELECT user_id,
+                        unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+                 FROM b),
+        g AS (SELECT grid.user_id, grid.day, coalesce(yi, 0) AS v
+              FROM grid LEFT JOIN daily USING (user_id, day)),
+        t AS (SELECT user_id, day, v,
+                     CASE WHEN count(*) OVER w = 7
+                          THEN sum(v) OVER w :: DOUBLE / 7 END AS trend
+              FROM g WINDOW w AS (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING))
+        SELECT (day - DATE '2024-01-01') % 7 AS dow,
+               count(v::DOUBLE / nullif(trend, 0)) AS n_obs,
+               round(avg(v::DOUBLE / nullif(trend, 0)), 4) AS seasonal_idx
+        FROM t WHERE trend IS NOT NULL GROUP BY 1 ORDER BY 1"""),
+      "moving-average decomposition: zero-filled grid, exact 7-day trend on ticks, per-dow seasonal index")
+  )
+}

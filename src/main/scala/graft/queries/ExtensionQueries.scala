@@ -14,6 +14,8 @@ package graft.queries
   *    chunking, caps, funnel, deterministic shuffle/mixing
   *  - [[MultimodalQueries]] — binary metadata + real header decodes
   *  - [[CapstoneQueries]] — end-to-end pipeline compositions
+  *  - [[AnalyticsQueries]] — outliers/changepoints/retention/PageRank/
+  *    BPE training/association rules/trend/seasonality
   *
   * This object remains the single aggregation point [[Registry]]
   * consumes; the driver contract (names, plans, oracles) is
@@ -22,5 +24,6 @@ package graft.queries
 object ExtensionQueries {
   val all: Seq[Q] =
     DedupQueries.all ++ AnnQueries.all ++ TextQueries.all ++
-      CurationQueries.all ++ MultimodalQueries.all ++ CapstoneQueries.all
+      CurationQueries.all ++ MultimodalQueries.all ++ CapstoneQueries.all ++
+      AnalyticsQueries.all
 }

@@ -1012,6 +1012,131 @@ object LakeQueries {
                round(sum(value::DOUBLE), 4) AS sum_value,
                count(DISTINCT event_id) AS n_ids
         FROM fin GROUP BY 1 ORDER BY 1"""),
-      "versioned merge + manifest OPTIMIZE: compacted snapshot == post-merge oracle (layout changed, rows identical)")
+      "versioned merge + manifest OPTIMIZE: compacted snapshot == post-merge oracle (layout changed, rows identical)"),
+
+    // ---------------------------------------------------------------
+    // SCD Type 2 (Kimball slowly-changing dimension) DERIVED FROM THE
+    // CHANGE FEED: the q121 three-batch merge sequence publishes its
+    // CDF increments, and the full validity history is reconstructed
+    // from snapshot + feed alone — never rescanning the lake. Opens =
+    // base rows (valid_from −1) ∪ insert/postimage rows (valid_from =
+    // batch_id); an open's valid_to = the key's earliest close
+    // (preimage/delete) in a LATER batch — one equi-join on the key +
+    // a min, which also handles delete-then-reinsert correctly. The
+    // oracle recomputes version counts from the batch formulas and the
+    // open set from q121's direct-merge CASE/union; agreement proves
+    // interval closure is exact (open set == final table, closed =
+    // every superseded version).
+    // ---------------------------------------------------------------
+    Q("q139_scd2_history",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val stamp = new File(dir, "events.parquet").lastModified()
+        val root = new File(
+          new File(sys.props("user.dir"), "target"),
+          s"graft_scd2_${tag}_$stamp").getAbsolutePath
+        val primary = s"$root/primary"
+        val feedDir = s"$root/feed"
+        val cols = Seq("event_id", "user_id", "value", "event_type")
+        val base = graft.Tables(s, dir, "events")
+          .select(cols.map(col): _*).persist()
+        def t = base.filter(col("event_type").isin("click", "view"))
+        def del(d: DataFrame) = d.withColumn("__delete", lit(true))
+        def ups(d: DataFrame) = d.withColumn("__delete", lit(false))
+        val b0 = // q121's batch shapes: update / delete / insert
+          ups(t.filter(col("event_id") % 10 === 0)
+            .withColumn("value", col("value") * 2))
+          .unionByName(del(t.filter(col("event_id") % 10 === 1)))
+          .unionByName(ups(t.filter(col("event_id") % 100 === 2)
+            .withColumn("event_id", col("event_id") + lit(10000000L))
+            .withColumn("value", col("value") + 1)))
+        val b1 = // updates rows b0 inserted
+          ups(t.filter(col("event_id") % 10 === 4)
+            .withColumn("value", col("value") + 100))
+          .unionByName(del(t.filter(col("event_id") % 10 === 5)))
+          .unionByName(ups(t.filter(col("event_id") % 100 === 2)
+            .withColumn("event_id", col("event_id") + lit(10000000L))
+            .withColumn("value", (col("value") + 1) * 3)))
+        val b2 = // deletes rows b0 updated
+          del(t.filter(col("event_id") % 10 === 0))
+          .unionByName(ups(t.filter(col("event_id") % 10 === 6)
+            .withColumn("value", col("value") - 1)))
+          .unionByName(ups(t.filter(col("event_id") % 100 === 7)
+            .withColumn("event_id", col("event_id") + lit(20000000L))
+            .withColumn("value", col("value") + 10)))
+        val pk = Seq("event_type")
+        val rk = Seq("event_id")
+        LakeQueries.synchronized {
+          // fresh lake + feed every run: the history is a pure function
+          // of (snapshot, log)
+          val fs = new org.apache.hadoop.fs.Path(root)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(feedDir), true)
+          MergeData.writeMerged(s, base, primary, keys = pk)
+          MergeData.mergeInto(s, primary, b0, pk, rk, changeFeed = Some((feedDir, 0L)))
+          MergeData.mergeInto(s, primary, b1, pk, rk, changeFeed = Some((feedDir, 1L)))
+          MergeData.mergeInto(s, primary, b2, pk, rk, changeFeed = Some((feedDir, 2L)))
+          base.unpersist()
+        }
+        val feed = s.read.parquet(feedDir)
+        val opens = base.select("event_id", "event_type", "value")
+          .withColumn("valid_from", lit(-1L))
+          .unionByName(
+            feed.filter(col("_action").isin("insert", "update_postimage"))
+              .select(col("event_id"), col("event_type"), col("value"),
+                col("batch_id").cast("long").as("valid_from")))
+        val closes = feed
+          .filter(col("_action").isin("update_preimage", "delete"))
+          .select(col("event_id"), col("batch_id").cast("long").as("__cb"))
+        val scd = opens.join(closes, Seq("event_id"), "left")
+          .withColumn("__cb2",
+            when(col("__cb") > col("valid_from"), col("__cb")))
+          .groupBy("event_id", "event_type", "value", "valid_from")
+          .agg(min("__cb2").as("valid_to"))
+        scd.groupBy("event_type")
+          .agg(count(lit(1)).as("n_versions"),
+            count(when(col("valid_to").isNull, 1)).as("n_open"),
+            count(when(col("valid_to").isNotNull, 1)).as("n_closed"),
+            round(sum(when(col("valid_to").isNull, col("value"))), 4)
+              .as("sum_open_value"),
+            count_distinct(when(col("valid_to").isNull, col("event_id")))
+              .as("n_open_ids"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH t AS (SELECT event_type, event_id, value FROM events
+                   WHERE event_type IN ('click','view')),
+        vers AS (
+          SELECT event_type FROM events
+          UNION ALL SELECT event_type FROM t WHERE event_id % 10 = 0
+          UNION ALL SELECT event_type FROM t WHERE event_id % 100 = 2
+          UNION ALL SELECT event_type FROM t WHERE event_id % 10 = 4
+          UNION ALL SELECT event_type FROM t WHERE event_id % 100 = 2
+          UNION ALL SELECT event_type FROM t WHERE event_id % 10 = 6
+          UNION ALL SELECT event_type FROM t WHERE event_id % 100 = 7),
+        vc AS (SELECT event_type, count(*) AS n_versions FROM vers GROUP BY 1),
+        fin AS (
+          SELECT event_type, event_id,
+                 CASE WHEN event_id % 10 = 4 THEN value + 100
+                      WHEN event_id % 10 = 6 THEN value - 1
+                      ELSE value END AS value
+          FROM t WHERE event_id % 10 NOT IN (0, 1, 5)
+          UNION ALL
+          SELECT event_type, event_id, value FROM events
+          WHERE event_type NOT IN ('click','view')
+          UNION ALL
+          SELECT event_type, event_id + 10000000, (value + 1) * 3
+          FROM t WHERE event_id % 100 = 2
+          UNION ALL
+          SELECT event_type, event_id + 20000000, value + 10
+          FROM t WHERE event_id % 100 = 7)
+        SELECT event_type, n_versions,
+               count(*) AS n_open,
+               n_versions - count(*) AS n_closed,
+               round(sum(value::DOUBLE), 4) AS sum_open_value,
+               count(DISTINCT event_id) AS n_open_ids
+        FROM fin JOIN vc USING (event_type)
+        GROUP BY 1, 2 ORDER BY 1"""),
+      "SCD2 validity intervals from snapshot + change feed alone: open set == final table, closed = superseded versions")
   )
 }

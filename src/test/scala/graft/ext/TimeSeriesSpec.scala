@@ -3,10 +3,13 @@ package graft.ext
 import java.sql.Date
 
 import org.apache.spark.sql.functions._
+import org.scalactic.Tolerance._
+
 import graft.SparkSpec
 
 /** Resample/fill/smooth operators against hand-computed expectations. */
 class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
 
   private def d(s: String) = Date.valueOf(s)
 
@@ -56,5 +59,32 @@ class TimeSeriesSpec extends SparkSpec {
     assert(rowsOf(e.select("uid", "day", "e").orderBy("day")) == Seq(
       Seq(1L, d("2024-01-01"), 2.0), Seq(1L, d("2024-01-02"), 3.3333),
       Seq(1L, d("2024-01-03"), 6.0)))
+  }
+
+  test("robustZ: Iglewicz-Hoaglin score by hand; zero MAD nulls out") {
+    val series = df(Seq(
+      (1L, 1.0), (1L, 2.0), (1L, 3.0), (1L, 4.0), (1L, 100.0),
+      (2L, 5.0), (2L, 5.0), (2L, 5.0)), "uid", "v")
+    val z = TimeSeries.robustZ(series, Seq("uid"), "v", "z")
+      .select("uid", "v", "z")
+    // uid 1: median 3, adevs (2,1,0,1,97) → MAD 1;
+    // z(100) = 0.6745 * 97 = 65.4265
+    val byV = z.filter($"uid" === 1).as[(Long, Double, Double)]
+      .collect().map(r => r._2 -> r._3).toMap
+    assert(byV(100.0) == 65.4265)
+    assert(byV(3.0) == 0.0)
+    assert(byV(1.0) == -1.349)
+    // constant series: MAD 0 → null scores, not Inf
+    assert(z.filter($"uid" === 2 && $"z".isNotNull).count() == 0)
+  }
+
+  test("cusum closed form equals the textbook recursion") {
+    val zs = Seq(0.5, 2.0, -1.0, 3.0, 0.2, -4.0, 1.0, 1.0)
+    val series = zs.zipWithIndex.map { case (v, i) => (1L, i, v) }
+    val got = TimeSeries.cusum(df(series, "uid", "t", "z"),
+        Seq("uid"), "t", "z", k = 0.5, "s")
+      .orderBy("t").select("s").as[Double].collect().toSeq
+    val want = zs.scanLeft(0.0) { (s, z) => math.max(0.0, s + z - 0.5) }.tail
+    got.zip(want).foreach { case (g, w) => assert(g === w +- 1e-12) }
   }
 }
