@@ -463,6 +463,175 @@ object AnalyticsQueries {
                count(v::DOUBLE / nullif(trend, 0)) AS n_obs,
                round(avg(v::DOUBLE / nullif(trend, 0)), 4) AS seasonal_idx
         FROM t WHERE trend IS NOT NULL GROUP BY 1 ORDER BY 1"""),
-      "moving-average decomposition: zero-filled grid, exact 7-day trend on ticks, per-dow seasonal index")
+      "moving-average decomposition: zero-filled grid, exact 7-day trend on ticks, per-dow seasonal index"),
+
+    // ---------------------------------------------------------------
+    // BPE training END-TO-END: learn an 8-merge vocabulary on the
+    // corpus (each step = distributed pair count + argmax + literal
+    // rewrite), then tokenize the corpus with it and report the top
+    // token frequencies with aliases rendered back to surface text.
+    // The oracle UNROLLS the identical 8 training steps as generated
+    // CTEs (count_i → argmax_i → rewrite_i) and re-renders tokens via
+    // reverse-order replaces — the full train→tokenize→count loop is
+    // hash-checked, not just one step. Exact integers throughout.
+    // ---------------------------------------------------------------
+    Q("q143_bpe_train_tokens",
+      (s, dir) => {
+        val words = Bpe.wordCounts(Tables(s, dir, "documents"), "text")
+        val (merges, fin) = Bpe.learnMerges(words, 8)
+        fin
+          .select(col("cnt"),
+            explode(filter(split(col("w"), ""), c => length(c) > 0)).as("sym"))
+          .groupBy("sym").agg(sum("cnt").as("n"))
+          // symbol -> surface is bijective, so grouping before the
+          // (pure, chained-replace) rendering is equivalent and cheaper
+          .select(Bpe.expandAliases(col("sym"), merges).as("token"), col("n"))
+          .orderBy(desc("n"), asc("token"))
+          .limit(30)
+      },
+      Some(bpeTrainOracle(8)),
+      "8-merge BPE vocabulary learned distributed == 8 unrolled train steps in SQL; corpus token frequencies"),
+
+    // ---------------------------------------------------------------
+    // Frequent event sequences: per-user trigrams of consecutive
+    // event types (window lead over the time-ordered stream, tie-
+    // broken on event_id for a total order), counted corpus-wide —
+    // the n-gram mining step behind next-event models and funnel
+    // discovery. One window shuffle on user_id + one count shuffle.
+    // ---------------------------------------------------------------
+    Q("q144_event_trigrams",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        events(s, dir).filter(col("ts").isNotNull)
+          .select(col("user_id"), col("event_type"),
+            lead("event_type", 1).over(w).as("t2"),
+            lead("event_type", 2).over(w).as("t3"))
+          .filter(col("t3").isNotNull)
+          .groupBy(concat_ws(">", col("event_type"), col("t2"), col("t3"))
+            .as("trigram"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), asc("trigram"))
+          .limit(20)
+      },
+      Some("""
+        WITH s AS (SELECT user_id, event_type,
+                          lead(event_type, 1) OVER w AS t2,
+                          lead(event_type, 2) OVER w AS t3
+                   FROM events WHERE ts IS NOT NULL
+                   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        SELECT event_type || '>' || t2 || '>' || t3 AS trigram,
+               count(*) AS n
+        FROM s WHERE t3 IS NOT NULL
+        GROUP BY 1 ORDER BY n DESC, trigram LIMIT 20"""),
+      "per-user consecutive event-type trigrams, corpus-wide counts — sequence mining on one window pass"),
+
+    // ---------------------------------------------------------------
+    // Triangle counting on the co-purchase projection: customers
+    // (bucketed mod 97 so the graph is scale-comparable at every sf)
+    // share an edge when a rare high-quantity purchase connects them
+    // through a supplier; triangles enumerate via the standard ordered
+    // two-join (u<v<w — each triangle found exactly once, no
+    // symmetric duplicates), and each contributes to its three
+    // corners. Every join is an equi-join; the orientation bound is
+    // what keeps the join feasible on skewed degree distributions.
+    // ---------------------------------------------------------------
+    Q("q145_triangle_count",
+      (s, dir) => {
+        val cs = Tables(s, dir, "orders")
+          .join(Tables(s, dir, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .filter(col("l_quantity") >= 49 && col("o_totalprice") < 50000)
+          .select((col("o_custkey") % 97).as("c"), (col("l_suppkey") % 31).as("sp"))
+          .distinct()
+        val e = cs.toDF("u", "sp").join(cs.toDF("v", "sp2"),
+            col("sp") === col("sp2") && col("u") < col("v"))
+          .select("u", "v").distinct()
+        val e1 = e.toDF("a", "b")
+        val e2 = e.toDF("b", "c")
+        val e3 = e.toDF("a", "c")
+        val tri = e1.join(e2, "b").join(e3, Seq("a", "c"))
+        val perNode = tri.select(col("a").as("node"))
+          .unionAll(tri.select(col("b").as("node")))
+          .unionAll(tri.select(col("c").as("node")))
+        perNode.groupBy("node").agg(count(lit(1)).as("n_triangles"))
+          .orderBy(desc("n_triangles"), asc("node"))
+          .limit(20)
+      },
+      Some("""
+        WITH cs AS (SELECT DISTINCT o_custkey % 97 AS c, l_suppkey % 31 AS sp
+                    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                    WHERE l_quantity >= 49 AND o_totalprice < 50000),
+        e AS (SELECT DISTINCT a.c AS u, b.c AS v FROM cs a JOIN cs b
+              ON a.sp = b.sp AND a.c < b.c),
+        tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                FROM e e1 JOIN e e2 ON e1.v = e2.u
+                JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        pern AS (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+                 UNION ALL SELECT c FROM tri)
+        SELECT node, count(*) AS n_triangles FROM pern
+        GROUP BY 1 ORDER BY n_triangles DESC, node LIMIT 20"""),
+      "ordered-triple triangle enumeration on the co-purchase projection; per-node participation"),
+
+    // ---------------------------------------------------------------
+    // Equi-depth histogram: NTILE(10) deciles of value per event
+    // type. The window's ORDER BY carries event_id as tiebreak — a
+    // TOTAL order, without which ntile's bucket boundaries on tied
+    // values are engine-dependent. Bucket stats are min/max/count —
+    // rank statistics, no accumulation noise.
+    // ---------------------------------------------------------------
+    Q("q146_value_deciles",
+      (s, dir) => {
+        val w = Window.partitionBy("event_type").orderBy("value", "event_id")
+        events(s, dir)
+          .select(col("event_type"), col("value"), col("event_id"))
+          .withColumn("decile", ntile(10).over(w))
+          .groupBy("event_type", "decile")
+          .agg(count(lit(1)).as("n"),
+            // min/max of identical doubles are bit-identical rank
+            // stats — rounding could only ADD a cross-engine boundary
+            min("value").as("lo"), max("value").as("hi"))
+          .orderBy("event_type", "decile")
+      },
+      Some("""
+        WITH d AS (SELECT event_type, value,
+                          ntile(10) OVER (PARTITION BY event_type
+                                          ORDER BY value, event_id) AS decile
+                   FROM events)
+        SELECT event_type, decile, count(*) AS n,
+               min(value) AS lo, max(value) AS hi
+        FROM d GROUP BY 1, 2 ORDER BY 1, 2"""),
+      "equi-depth deciles per type: total-ordered ntile, rank-statistic bucket bounds")
   )
+
+  /** The q143 oracle: `n` BPE training steps unrolled as generated
+    * CTEs — pair counts over w_{i-1}, argmax with the same (count
+    * desc, alias-space pair asc) tie-break, literal rewrite to
+    * chr(0xE000+i−1) — then per-symbol counts with aliases rendered
+    * back to surface text via reverse-order replaces. Mirrors
+    * [[graft.ext.Bpe.learnMerges]] step for step. */
+  private def bpeTrainOracle(n: Int): String = {
+    val head = """WITH words AS (
+          SELECT w, count(*) AS cnt FROM (
+            SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+            FROM documents) t
+          WHERE regexp_matches(w, '^[a-z]+$') AND length(w) >= 2
+          GROUP BY 1),
+        w0 AS (SELECT w, cnt FROM words)"""
+    val steps = (1 to n).map { i =>
+      s"""p$i AS (SELECT substr(w, i, 2) AS pair, sum(cnt)::BIGINT AS n
+          FROM w${i - 1}, unnest(range(1, length(w))) AS u(i)
+          WHERE length(w) >= 2 GROUP BY 1),
+        m$i AS (SELECT pair FROM p$i ORDER BY n DESC, pair LIMIT 1),
+        w$i AS (SELECT replace(w, (SELECT pair FROM m$i), chr(${0xE000 + i - 1})) AS w, cnt
+          FROM w${i - 1})"""
+    }
+    val render = (n to 1 by -1).foldLeft("sym") { (acc, i) =>
+      s"replace($acc, chr(${0xE000 + i - 1}), (SELECT pair FROM m$i))"
+    }
+    val tail = s"""toks AS (SELECT substr(w, i, 1) AS sym, sum(cnt)::BIGINT AS n
+          FROM w$n, unnest(range(1, length(w) + 1)) AS u(i) GROUP BY 1)
+        SELECT $render AS token, n
+        FROM toks ORDER BY n DESC, token LIMIT 30"""
+    (Seq(head) ++ steps ++ Seq(tail)).mkString(",\n        ")
+  }
 }
