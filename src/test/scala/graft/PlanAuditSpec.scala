@@ -40,7 +40,8 @@ class PlanAuditSpec extends SparkSpec {
     "q108_ivf_pq_residual_index_probe" -> "q104's single-row packed centroid/codebook broadcasts loaded from the persisted residual index; candidates join on cell_id",
     "q110_filtered_ivf_ann" -> "q47's single-row packed-centroid broadcasts; candidates equi-join on (cell_id, label)",
     "q111_ivf_pq_rerank" -> "q98's single-row packed broadcasts for the ADC shortlist; the re-rank joins broadcast(shortlist) by id",
-    "q96_semantic_dedup" -> "same single-row packed-centroid assignment as q47; pair stage is a cell equi-join")
+    "q96_semantic_dedup" -> "same single-row packed-centroid assignment as q47; pair stage is a cell equi-join",
+    "q138_bpe_second_merge" -> "crossJoin(broadcast(top-1 merge pair)) — a single-row limit(1)")
 
   test("no registered query plans a CartesianProduct or an unjustified nested-loop join") {
     val plans = Registry.all.map { q =>
