@@ -28,6 +28,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // logical rewrites (opt-in by conf): BETWEEN theta-join → banded
     // equi-join (graft.plans.RangeJoinRewrite)
     ext.injectOptimizerRule(graft.plans.RangeJoinRewrite(_))
+    // materialized-aggregate rewrite (opt-in by registry: a no-op until
+    // MaterializedViews.register is called)
+    ext.injectOptimizerRule(graft.plans.MvRewrite(_))
   }
 }
 
@@ -160,5 +163,10 @@ object GraftExtensions {
     if (!already)
       spark.experimental.extraOptimizations ++=
         Seq(graft.plans.RangeJoinRewrite(spark))
+    val mvAlready = spark.experimental.extraOptimizations
+      .exists(_.isInstanceOf[graft.plans.MvRewrite])
+    if (!mvAlready)
+      spark.experimental.extraOptimizations ++=
+        Seq(graft.plans.MvRewrite(spark))
   }
 }

@@ -23,5 +23,5 @@ final case class Q(
 object Registry {
   def all: Seq[Q] =
     ReferenceQueries.all ++ SummaryQueries.all ++ LakeQueries.all ++
-      CatalogQueries.all ++ ExtensionQueries.all
+      CatalogQueries.all ++ ExtensionQueries.all ++ MvQueries.all
 }
