@@ -600,7 +600,70 @@ object AnalyticsQueries {
         SELECT event_type, decile, count(*) AS n,
                min(value) AS lo, max(value) AS hi
         FROM d GROUP BY 1, 2 ORDER BY 1, 2"""),
-      "equi-depth deciles per type: total-ordered ntile, rank-statistic bucket bounds")
+      "equi-depth deciles per type: total-ordered ntile, rank-statistic bucket bounds"),
+
+    // ---------------------------------------------------------------
+    // KMV / theta-sketch set algebra (graft.ops.ThetaSketch): distinct
+    // (user, day) pairs with a click vs with a purchase — per-set,
+    // union, and intersection cardinality estimates plus Jaccard, all
+    // from two k=256 sketches. Sketch build is distributed (distinct +
+    // TakeOrdered top-k); the set ops run on ≤ k-row frames. hash52 is
+    // bit-identical in DuckDB, so the oracle replays the exact
+    // estimator — at sf0.01+ the sketches saturate (estimation mode),
+    // at sf0.001 they stay exhaustive (exact mode): both branches are
+    // oracled across the driver's scale ladder.
+    // ---------------------------------------------------------------
+    Q("q149_theta_sketch",
+      (s, dir) => {
+        import graft.ops.ThetaSketch
+        val k = 256
+        def pairs(t: String) = events(s, dir)
+          .filter(col("event_type") === t && col("ts").isNotNull)
+          .select(concat(col("user_id"), lit(":"), to_date(col("ts"))).as("key"))
+        val skA = ThetaSketch.kmv(pairs("click"), col("key"), k)
+        val skB = ThetaSketch.kmv(pairs("purchase"), col("key"), k)
+        ThetaSketch.setOps(s, skA, skB, k)
+      },
+      Some("""
+        WITH ak AS (SELECT DISTINCT user_id::VARCHAR || ':' ||
+                           (ts::DATE)::VARCHAR AS key
+                    FROM events WHERE event_type = 'click' AND ts IS NOT NULL),
+        bk AS (SELECT DISTINCT user_id::VARCHAR || ':' ||
+                      (ts::DATE)::VARCHAR AS key
+               FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL),
+        ah AS (SELECT DISTINCT ('0x' || substr(md5(key), 1, 13))::BIGINT AS h
+               FROM ak),
+        bh AS (SELECT DISTINCT ('0x' || substr(md5(key), 1, 13))::BIGINT AS h
+               FROM bk),
+        ska AS (SELECT h FROM ah ORDER BY h LIMIT 256),
+        skb AS (SELECT h FROM bh ORDER BY h LIMIT 256),
+        na AS (SELECT count(*) AS n, max(h) AS mx FROM ska),
+        nb AS (SELECT count(*) AS n, max(h) AS mx FROM skb),
+        su AS (SELECT h FROM ska UNION SELECT h FROM skb),
+        sku AS (SELECT h FROM su ORDER BY h LIMIT 256),
+        nu AS (SELECT count(*) AS n, max(h) AS mx FROM sku),
+        th AS (SELECT
+            CASE WHEN na.n < 256 THEN 4503599627370496 ELSE na.mx END AS tha,
+            CASE WHEN nb.n < 256 THEN 4503599627370496 ELSE nb.mx END AS thb,
+            CASE WHEN nu.n < 256 THEN 4503599627370496 ELSE nu.mx END AS thu
+          FROM na, nb, nu),
+        t AS (SELECT least(tha, thb, thu) AS theta, tha, thb FROM th),
+        cnt AS (SELECT
+            (SELECT count(*) FROM ska, t WHERE h < t.tha) AS ca,
+            (SELECT count(*) FROM skb, t WHERE h < t.thb) AS cb,
+            (SELECT count(*) FROM su, t WHERE h < t.theta) AS cu,
+            (SELECT count(*) FROM su, t WHERE h < t.theta
+               AND h IN (SELECT h FROM ska)
+               AND h IN (SELECT h FROM skb)) AS ci)
+        SELECT
+          round(cnt.ca * 4503599627370496.0 / t.tha)::BIGINT AS est_a,
+          round(cnt.cb * 4503599627370496.0 / t.thb)::BIGINT AS est_b,
+          round(cnt.cu * 4503599627370496.0 / t.theta)::BIGINT AS est_union,
+          round(cnt.ci * 4503599627370496.0 / t.theta)::BIGINT AS est_inter,
+          CASE WHEN cnt.cu = 0 THEN 0
+               ELSE round(10000.0 * cnt.ci / cnt.cu)::BIGINT END AS jaccard_bp
+        FROM cnt, t"""),
+      "KMV/theta-sketch set algebra: per-set, union, intersection distinct estimates + Jaccard, exact hash-replay oracle")
   )
 
   /** The q143 oracle: `n` BPE training steps unrolled as generated
