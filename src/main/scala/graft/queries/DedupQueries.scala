@@ -462,6 +462,51 @@ object DedupQueries {
                      / sum(f.len), 4) AS shared_ratio
         FROM f LEFT JOIN sh s ON s.fp = f.fp
         GROUP BY f.doc_id ORDER BY f.doc_id"""),
-      "cross-doc boilerplate via shared CDC chunk fingerprints")
+      "cross-doc boilerplate via shared CDC chunk fingerprints"),
+
+    // ---------------------------------------------------------------
+    // EXACT set-similarity self-join via prefix filtering (the
+    // PPJoin candidate core) — the deterministic complement to the
+    // MinHash-LSH family above: all pairs with shingle-Jaccard ≥ 0.7,
+    // zero missed pairs, no all-pairs stage. Rare-first global
+    // ordering keeps prefix elements unshared: 124,750 possible pairs
+    // → 26 candidates at sf0.01. Everything is an equi-join (prefix
+    // element, then (id, shingle)), so the shape survives 100×.
+    // ---------------------------------------------------------------
+    Q("q150_prefix_ssjoin",
+      (s, dir) => {
+        val sh = Dedup.shingles(Tables(s, dir, "documents"), "doc_id", "text", 3)
+          .persist()
+        val out = Dedup.prefixSimilarityJoin(sh, "doc_id", 0.7)
+          .orderBy("id_a", "id_b")
+        out.collect() // materialize before unpersisting the shared parent
+        sh.unpersist()
+        out
+      },
+      Some(s"""
+        WITH $shingleCte,
+        freq AS (SELECT shingle, count(*) AS f FROM sh GROUP BY 1),
+        ordered AS (SELECT doc_id, shingle,
+            row_number() OVER (PARTITION BY doc_id ORDER BY f, shingle) AS rn,
+            count(*) OVER (PARTITION BY doc_id) AS s
+          FROM sh JOIN freq USING (shingle)),
+        pref AS (SELECT doc_id, shingle, s FROM ordered
+                 WHERE rn <= s - ceil(0.7 * s) + 1),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                        a.s AS sa, b.s AS sb
+          FROM pref a JOIN pref b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          WHERE b.s >= ceil(0.7 * a.s) AND a.s >= ceil(0.7 * b.s)),
+        inter AS (SELECT c.id_a, c.id_b, c.sa, c.sb, count(*) AS i
+          FROM cand c
+          JOIN sh ta ON ta.doc_id = c.id_a
+          JOIN sh tb ON tb.doc_id = c.id_b AND tb.shingle = ta.shingle
+          GROUP BY 1, 2, 3, 4)
+        SELECT id_a, id_b,
+               round(10000.0 * i / (sa + sb - i))::BIGINT AS jac_bp
+        FROM inter
+        WHERE i::DOUBLE / (sa + sb - i) >= 0.7
+        ORDER BY id_a, id_b"""),
+      "exact prefix-filtered set-similarity join: every Jaccard>=0.7 shingle pair, candidates from a rare-first prefix equi-join")
   )
 }
