@@ -372,6 +372,44 @@ object CurationQueries {
         UNION ALL
         SELECT 5, 'size_at_least', m5, m5 >= 100.0 FROM m
         ORDER BY ord"""),
-      "Deequ-style single-pass constraint suite: six checks, one scan, per-check metric + verdict")
+      "Deequ-style single-pass constraint suite: six checks, one scan, per-check metric + verdict"),
+
+    // ---------------------------------------------------------------
+    // Deterministic weighted sampling via PRIORITY SAMPLING (Duffield–
+    // Lund–Thorup 2007): per event_type, the 20 highest w/u priorities
+    // (u from hash52 — bit-identical in DuckDB) plus the unbiased
+    // estimation weight max(w, τ). One multiply + one divide per row —
+    // no pow/log, so the whole sample AND its estimator weights are
+    // oracle-exact. Priorities are map-side; the rank is one window
+    // over the group shuffle.
+    // ---------------------------------------------------------------
+    Q("q151_priority_sample",
+      (s, dir) => {
+        import graft.ops.PrioritySample
+        val ev = Tables(s, dir, "events")
+          .select(col("event_type"), col("event_id"), col("value").as("w"))
+          .filter(col("w") > 0)
+        PrioritySample.sampleByGroup(ev, "event_id", "w", 20, Seq("event_type"))
+          .select(col("event_type"), col("rn"), col("event_id"), col("w"),
+            col("w_est"))
+          .orderBy("event_type", "rn")
+      },
+      Some(s"""
+        WITH p AS (
+          SELECT event_type, event_id, value AS w,
+                 value * 4503599627370496.0 /
+                   (${DetHash.sqlHash52("event_id::VARCHAR")} + 1) AS pr
+          FROM events WHERE value > 0),
+        r AS (SELECT *, row_number() OVER (
+                PARTITION BY event_type ORDER BY pr DESC, event_id) AS rn
+              FROM p),
+        tau AS (SELECT event_type, pr AS tau FROM r WHERE rn = 21)
+        SELECT r.event_type, r.rn, r.event_id, r.w,
+               CASE WHEN tau.tau IS NULL THEN r.w
+                    ELSE greatest(r.w, tau.tau) END AS w_est
+        FROM r LEFT JOIN tau USING (event_type)
+        WHERE rn <= 20
+        ORDER BY event_type, rn"""),
+      "priority sampling per group: top-20 w/u priorities + unbiased max(w,tau) estimation weights, hash-replay exact")
   )
 }

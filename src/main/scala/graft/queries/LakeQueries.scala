@@ -1137,6 +1137,65 @@ object LakeQueries {
                count(DISTINCT event_id) AS n_open_ids
         FROM fin JOIN vc USING (event_type)
         GROUP BY 1, 2 ORDER BY 1"""),
-      "SCD2 validity intervals from snapshot + change feed alone: open set == final table, closed = superseded versions")
+      "SCD2 validity intervals from snapshot + change feed alone: open set == final table, closed = superseded versions"),
+
+    // ---------------------------------------------------------------
+    // Merkle-style diff of two VERSIONED SNAPSHOTS (TableDiff over
+    // Versioned.snapshot v0 vs v1): per-partition xor-of-row-hash
+    // fingerprints find what drifted (a partition-count-sized
+    // aggregate), then a row join scoped to the differing partitions
+    // classifies added/removed/changed — no change feed needed, no
+    // full-table row join. The lake is rebuilt and merged fresh every
+    // run; the oracle derives the same classes from the batch's id
+    // formulas.
+    // ---------------------------------------------------------------
+    Q("q152_versioned_diff",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val lakeDir = new File(
+          new File(sys.props("user.dir"), "target"),
+          s"graft_diffq_$tag/lake").getAbsolutePath
+        val ev = graft.Tables(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            round(col("value") * 10000).cast("long").as("vt"))
+        val batch =
+          ev.filter(col("event_id") % 20 === 1)
+            .withColumn("vt", col("vt") * 2)
+            .withColumn("__delete", lit(false))
+          .unionByName(
+            ev.filter(col("event_id") % 20 === 2)
+              .withColumn("__delete", lit(true)))
+          .unionByName(
+            ev.filter(col("event_id") % 4 === 0)
+              .withColumn("__delete", lit(false)))
+        val v1 = LakeQueries.synchronized {
+          val fs = new org.apache.hadoop.fs.Path(lakeDir)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(lakeDir), true)
+          ev.filter(col("event_id") % 4 =!= 0)
+            .write.partitionBy("event_type").parquet(lakeDir)
+          Versioned.init(s, lakeDir)
+          Versioned.mergeInto(s, lakeDir, batch,
+            partitionKeys = Seq("event_type"), rowKey = Seq("event_id"))
+        }
+        graft.lake.TableDiff.diff(
+            Versioned.snapshot(s, lakeDir, 0),
+            Versioned.snapshot(s, lakeDir, v1),
+            partitionKeys = Seq("event_type"), rowKey = Seq("event_id"))
+          .groupBy("event_type", "change")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("event_type", "change")
+      },
+      Some("""
+        SELECT event_type, 'added' AS change, count(*) AS n
+        FROM events WHERE event_id % 4 = 0 GROUP BY 1
+        UNION ALL
+        SELECT event_type, 'changed', count(*)
+        FROM events WHERE event_id % 20 = 1 GROUP BY 1
+        UNION ALL
+        SELECT event_type, 'removed', count(*)
+        FROM events WHERE event_id % 20 = 2 GROUP BY 1
+        ORDER BY 1, 2"""),
+      "snapshot diff without a feed: partition fingerprints -> scoped row join; classes match the merge batch formulas")
   )
 }
