@@ -465,11 +465,16 @@ object Dedup {
     val freq = sh.groupBy("shingle").agg(count(lit(1)).as("__f"))
     val wRank = Window.partitionBy(col(idCol)).orderBy(col("__f"), col("shingle"))
     val wSize = Window.partitionBy(col(idCol))
+    // persisted: both sides of the candidate self-join consume this
+    // frame — uncached, the freq join + sort + two windows would run
+    // twice (visible as a duplicated subtree in the physical plan);
+    // the harness-level clearCache() reclaims it
     val pref = sh.join(freq, "shingle")
       .withColumn("__rn", row_number().over(wRank))
       .withColumn("__s", count(lit(1)).over(wSize))
       .filter(col("__rn") <= col("__s") - ceil(lit(tau) * col("__s")) + 1)
       .select(col(idCol), col("shingle"), col("__s"))
+      .persist()
     val a = pref.select(col(idCol).as("id_a"), col("shingle"), col("__s").as("sa"))
     val b = pref.select(col(idCol).as("id_b"), col("shingle"), col("__s").as("sb"))
     val cand = a.join(b, Seq("shingle"))
@@ -477,10 +482,17 @@ object Dedup {
         col("sb") >= ceil(lit(tau) * col("sa")) &&
         col("sa") >= ceil(lit(tau) * col("sb")))
       .select("id_a", "id_b", "sa", "sb").distinct()
-    val shA = sh.select(col(idCol).as("id_a"), col("shingle"))
-    val shB = sh.select(col(idCol).as("id_b"), col("shingle"))
-    val inter = cand.join(shA, "id_a").join(shB, Seq("id_b", "shingle"))
-      .groupBy("id_a", "id_b", "sa", "sb").agg(count(lit(1)).as("__i"))
+    // verify on packed shingle sets: one row per candidate with an
+    // array_intersect, instead of re-exploding both sides through a
+    // (candidate × shingles) join (which multiplies candidates by the
+    // average set size — measured 5.5M intermediate rows vs 105k
+    // candidates on this corpus at sf0.1)
+    val sets = sh.groupBy(col(idCol)).agg(collect_set(col("shingle")).as("__set"))
+      .persist() // consumed by both join sides — one aggregation, not two
+    val inter = cand
+      .join(sets.select(col(idCol).as("id_a"), col("__set").as("__seta")), "id_a")
+      .join(sets.select(col(idCol).as("id_b"), col("__set").as("__setb")), "id_b")
+      .withColumn("__i", size(array_intersect(col("__seta"), col("__setb"))))
     inter
       .filter(col("__i").cast("double") /
         (col("sa") + col("sb") - col("__i")) >= tau)

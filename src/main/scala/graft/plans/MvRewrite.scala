@@ -92,18 +92,28 @@ object MaterializedViews {
 
   /** Build (or rebuild) the summary table: one full-scan aggregate of
     * the base — the last time the base needs to be read for any query
-    * the rewrite can serve. */
+    * the rewrite can serve.
+    *
+    * The build itself must NEVER be served by the rewrite: if the base
+    * is already registered (a rebuild, or a fixture replay in the same
+    * JVM), the defining aggregate would read the PREVIOUS summary —
+    * stale or deleted — instead of the base. The registration is
+    * suspended for the duration of the build. */
   def materialize(spark: SparkSession, d: MvDef): Unit = {
-    val base = spark.read.parquet(d.basePath)
-    val aggs =
-      d.sums.map(c => sum(col(c)).as(sumCol(c))) ++
-        d.counts.map(c => count(col(c)).as(countCol(c))) ++
-        (if (d.countStar) Seq(count(lit(1)).as(countStarCol)) else Nil) ++
-        d.mins.map(c => min(col(c)).as(minCol(c))) ++
-        d.maxs.map(c => max(col(c)).as(maxCol(c)))
-    base.groupBy(d.groupCols.map(col): _*)
-      .agg(aggs.head, aggs.tail: _*)
-      .write.mode("overwrite").parquet(d.mvPath)
+    val prev = forBase(norm(d.basePath))
+    deregister(d.basePath)
+    try {
+      val base = spark.read.parquet(d.basePath)
+      val aggs =
+        d.sums.map(c => sum(col(c)).as(sumCol(c))) ++
+          d.counts.map(c => count(col(c)).as(countCol(c))) ++
+          (if (d.countStar) Seq(count(lit(1)).as(countStarCol)) else Nil) ++
+          d.mins.map(c => min(col(c)).as(minCol(c))) ++
+          d.maxs.map(c => max(col(c)).as(maxCol(c)))
+      base.groupBy(d.groupCols.map(col): _*)
+        .agg(aggs.head, aggs.tail: _*)
+        .write.mode("overwrite").parquet(d.mvPath)
+    } finally prev.foreach(register)
   }
 
   /** Advance a summary's SUM/COUNT(*) partials from

@@ -663,7 +663,66 @@ object AnalyticsQueries {
           CASE WHEN cnt.cu = 0 THEN 0
                ELSE round(10000.0 * cnt.ci / cnt.cu)::BIGINT END AS jaccard_bp
         FROM cnt, t"""),
-      "KMV/theta-sketch set algebra: per-set, union, intersection distinct estimates + Jaccard, exact hash-replay oracle")
+      "KMV/theta-sketch set algebra: per-set, union, intersection distinct estimates + Jaccard, exact hash-replay oracle"),
+
+    // ---------------------------------------------------------------
+    // Pairwise Pearson correlation matrix across event-type daily
+    // series from EXACT INTEGER MOMENTS (n, Σx, Σy, Σxy, Σx², Σy² on
+    // the cent grid — value is 2-decimal, so ×100 is exact): the
+    // covariance/variance numerators n·Σxy − Σx·Σy stay integral, and
+    // the only floating steps (one long→double cast, one sqrt, one
+    // divide) are identical IEEE on both engines. library corr()
+    // accumulation order would diverge at the ulp — same rationale as
+    // the tick-grid tier above. One self-equi-join on day; series
+    // pairs bounded by the type alphabet.
+    // ---------------------------------------------------------------
+    Q("q153_corr_matrix",
+      (s, dir) => {
+        val daily = events(s, dir).filter(col("ts").isNotNull)
+          .select(to_date(col("ts")).as("day"), col("event_type"),
+            col("value").cast("double").as("v"))
+          .groupBy("day", "event_type")
+          .agg(round(sum("v") * 100).cast("long").as("x"))
+        val a = daily.toDF("day", "t1", "xa")
+        val b = daily.toDF("day", "t2", "xb")
+        val m = a.join(b, "day").filter(col("t1") < col("t2"))
+          .groupBy("t1", "t2")
+          .agg(count(lit(1)).as("n"),
+            sum("xa").as("sx"), sum("xb").as("sy"),
+            sum(col("xa") * col("xb")).as("sxy"),
+            sum(col("xa") * col("xa")).as("sxx"),
+            sum(col("xb") * col("xb")).as("syy"))
+          .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+          .withColumn("denx", col("n") * col("sxx") - col("sx") * col("sx"))
+          .withColumn("deny", col("n") * col("syy") - col("sy") * col("sy"))
+        m.filter(col("denx") > 0 && col("deny") > 0)
+          .select(col("t1"), col("t2"), col("n"),
+            round(lit(10000.0) * col("num") /
+              sqrt(col("denx").cast("double") * col("deny")))
+              .cast("long").as("r_bp"))
+          .orderBy("t1", "t2")
+      },
+      Some("""
+        WITH d AS (SELECT CAST(ts AS DATE) AS day, event_type,
+                          round(sum(value) * 100)::BIGINT AS x
+                   FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        p AS (SELECT a.event_type AS t1, b.event_type AS t2,
+                     count(*) AS n,
+                     sum(a.x)::BIGINT AS sx, sum(b.x)::BIGINT AS sy,
+                     sum(a.x * b.x)::BIGINT AS sxy,
+                     sum(a.x * a.x)::BIGINT AS sxx,
+                     sum(b.x * b.x)::BIGINT AS syy
+              FROM d a JOIN d b ON a.day = b.day
+                               AND a.event_type < b.event_type
+              GROUP BY 1, 2)
+        SELECT t1, t2, n,
+               round(10000.0 * (n * sxy - sx * sy) /
+                     sqrt((n * sxx - sx * sx)::DOUBLE
+                          * (n * syy - sy * sy)))::BIGINT AS r_bp
+        FROM p
+        WHERE (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+        ORDER BY t1, t2"""),
+      "pairwise Pearson matrix from exact integer moments on the cent grid: one day equi-join, engine-identical floats")
   )
 
   /** The q143 oracle: `n` BPE training steps unrolled as generated
