@@ -61,4 +61,42 @@ object Graph {
     }
     ranks
   }
+
+  /** Multi-source BFS hop distances, capped at `maxHops`.
+    *
+    * `sources` carries one `node` column; output is (node, dist) for
+    * every node within `maxHops` hops of any source, dist = the FIRST
+    * hop that reached it. Frontier form: each hop is one equi-join of
+    * the edges with the previous frontier plus one anti-join against
+    * the visited set — never a re-walk of the whole reachable set, so
+    * a hop's cost is proportional to the frontier it expands, the
+    * textbook Pregel shape. Early-exits when a frontier is empty.
+    * Same localCheckpoint-per-step discipline as [[pageRank]] (an
+    * iterative plan that keeps growing spends more time in the
+    * analyzer than the data). */
+  def bfsDistances(edges: DataFrame, sources: DataFrame,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    var dist = sources.select(col("node")).distinct()
+      .withColumn("dist", lit(0)).localCheckpoint()
+    var frontier = dist
+    var h = 1
+    var done = maxHops == 0
+    while (!done) {
+      val next = edges
+        .join(frontier.select(col("node").as("src")), "src")
+        .select(col("dst").as("node")).distinct()
+        .join(dist.select("node"), Seq("node"), "left_anti")
+        .withColumn("dist", lit(h))
+        .localCheckpoint()
+      if (next.isEmpty) done = true
+      else {
+        dist = dist.unionByName(next).localCheckpoint()
+        frontier = next
+        h += 1
+        if (h > maxHops) done = true
+      }
+    }
+    dist
+  }
 }

@@ -722,7 +722,86 @@ object AnalyticsQueries {
         FROM p
         WHERE (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
         ORDER BY t1, t2"""),
-      "pairwise Pearson matrix from exact integer moments on the cent grid: one day equi-join, engine-identical floats")
+      "pairwise Pearson matrix from exact integer moments on the cent grid: one day equi-join, engine-identical floats"),
+
+    // ---------------------------------------------------------------
+    // Multi-source BFS over the q136 trade graph: hop distance from
+    // the low-custkey seed set, capped at 3. Frontier form (per hop:
+    // edges ⋈ frontier, anti-join vs visited) — hop cost ∝ frontier,
+    // never a re-walk. Oracle = 3 reachability CTEs + min(dist).
+    // Pure integers.
+    // ---------------------------------------------------------------
+    Q("q154_bfs_distances",
+      (s, dir) => {
+        val e0 = Tables(s, dir, "orders")
+          .join(Tables(s, dir, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .filter(col("o_custkey") < 200 && col("l_suppkey") < 100)
+          .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+          .distinct()
+        val edges = e0.select(col("c").as("src"), (col("sp") + 100000L).as("dst"))
+          .unionByName(e0.select((col("sp") + 100000L).as("src"), col("c").as("dst")))
+          .persist()
+        val seeds = e0.filter(col("c") < 10).select(col("c").as("node")).distinct()
+        Graph.bfsDistances(edges, seeds, maxHops = 3)
+          .orderBy("node")
+      },
+      Some("""
+        WITH e0 AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+                    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                    WHERE o_custkey < 200 AND l_suppkey < 100),
+        e AS (SELECT c AS src, sp + 100000 AS dst FROM e0
+              UNION ALL SELECT sp + 100000, c FROM e0),
+        seeds AS (SELECT DISTINCT c AS node FROM e0 WHERE c < 10),
+        r1 AS (SELECT DISTINCT e.dst AS node FROM e JOIN seeds s ON e.src = s.node),
+        r2 AS (SELECT DISTINCT e.dst AS node FROM e JOIN r1 ON e.src = r1.node),
+        r3 AS (SELECT DISTINCT e.dst AS node FROM e JOIN r2 ON e.src = r2.node),
+        d AS (SELECT node, 0 AS dist FROM seeds
+              UNION ALL SELECT node, 1 FROM r1
+              UNION ALL SELECT node, 2 FROM r2
+              UNION ALL SELECT node, 3 FROM r3)
+        SELECT node, min(dist) AS dist FROM d GROUP BY 1 ORDER BY 1"""),
+      "multi-source BFS hop distances, frontier-form iteration == unrolled reachability CTEs"),
+
+    // ---------------------------------------------------------------
+    // Distribution drift between month halves, per event type: value
+    // histograms (10 fixed 50-wide bins) compared by total-variation
+    // distance and the two-sample chi-square — the PSI use case
+    // without PSI's ln(p/q) libm dependence. Integer numerators and
+    // per-bin quantization keep every sum order-insensitive (see
+    // graft.ops.Drift).
+    // ---------------------------------------------------------------
+    Q("q155_histogram_drift",
+      (s, dir) => {
+        import graft.ops.Drift
+        val ev = events(s, dir).filter(col("ts").isNotNull)
+          .withColumn("bin", least(floor(col("value") / 50), lit(9)).cast("long"))
+        Drift.histogramDrift(ev, "event_type", "bin",
+            dayofmonth(col("ts")) <= 15)
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH base AS (
+          SELECT event_type,
+                 least(floor(value / 50), 9)::BIGINT AS bin,
+                 CASE WHEN date_part('day', ts) <= 15 THEN 1 ELSE 0 END AS ia
+          FROM events WHERE ts IS NOT NULL),
+        c AS (SELECT event_type, bin,
+                     sum(ia)::BIGINT AS a, sum(1 - ia)::BIGINT AS b
+              FROM base GROUP BY 1, 2),
+        t AS (SELECT event_type, sum(a)::BIGINT AS na, sum(b)::BIGINT AS nb
+              FROM c GROUP BY 1),
+        terms AS (SELECT c.event_type, t.na, t.nb,
+                         abs(a * nb - b * na) AS tvt,
+                         round(1000000.0 * (na + nb)
+                               * (a * nb - b * na) * (a * nb - b * na)
+                               / (na * nb * (a + b)))::BIGINT AS chit
+                  FROM c JOIN t USING (event_type))
+        SELECT event_type, na, nb,
+               round(10000.0 * sum(tvt) / (2.0 * na * nb))::BIGINT AS tv_bp,
+               sum(chit)::BIGINT AS chi2_micro
+        FROM terms GROUP BY 1, 2, 3 ORDER BY 1"""),
+      "two-sample histogram drift per type: TV distance + chi-square from exact integer numerators, log-free PSI replacement")
   )
 
   /** The q143 oracle: `n` BPE training steps unrolled as generated

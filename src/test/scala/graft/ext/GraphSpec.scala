@@ -49,4 +49,31 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Double)].collect().toMap
     assert(a === b) // exact: per-iteration rounding pins the fold
   }
+
+  test("bfs: path graph distances, cap, and early exit") {
+    // path 1-2-3-4-5 (undirected)
+    val e = (1L to 4L).flatMap(i => Seq((i, i + 1), (i + 1, i))).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val d3 = Graph.bfsDistances(e, seeds, 3).as[(Long, Int)].collect().toMap
+    assert(d3 === Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3)) // 5 beyond cap
+    // cap above diameter: early exit, full distances
+    val d9 = Graph.bfsDistances(e, seeds, 9).as[(Long, Int)].collect().toMap
+    assert(d9 === Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> 4))
+  }
+
+  test("bfs: multi-source takes the nearest seed; reconvergence keeps min") {
+    // cycle 1-2-3-4-5-6-1
+    val ring = (1L to 6L).map(i => (i, i % 6 + 1))
+    val e = (ring ++ ring.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(1L, 4L).toDF("node")
+    val d = Graph.bfsDistances(e, seeds, 5).as[(Long, Int)].collect().toMap
+    assert(d === Map(1L -> 0, 4L -> 0, 2L -> 1, 6L -> 1, 3L -> 1, 5L -> 1))
+  }
+
+  test("bfs: maxHops 0 returns just the seeds") {
+    val e = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val d = Graph.bfsDistances(e, Seq(1L).toDF("node"), 0)
+      .as[(Long, Int)].collect().toMap
+    assert(d === Map(1L -> 0))
+  }
 }
