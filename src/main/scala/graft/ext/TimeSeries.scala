@@ -98,6 +98,73 @@ object TimeSeries {
       .drop("__c")
   }
 
+  /** Impulse-response weight tables for [[holt]]: `(wS, wB)` where
+    * `wS(t-1)(j-1)` is the coefficient of observation j in level s_t
+    * (1-based t up to `maxLen`), obtained by running the Holt
+    * recursion on coefficient vectors:
+    *
+    *   s_1 = y_1, b_1 = 0
+    *   s_t = α·y_t + (1−α)·(s_{t−1} + b_{t−1})
+    *   b_t = β·(s_t − s_{t−1}) + (1−β)·b_{t−1}
+    *
+    * The SAME doubles are rendered into the DuckDB oracle's literal
+    * lists (AnalyticsQueries.holtOracle), so both engines evaluate the
+    * identical closed form — the recursive smoother becomes a pure
+    * plan with engine-exact parity, the q132 EWMA discipline extended
+    * to a two-state recursion. */
+  def holtWeights(alpha: Double, beta: Double,
+      maxLen: Int): (Seq[Seq[Double]], Seq[Seq[Double]]) = {
+    require(alpha > 0 && alpha <= 1 && beta >= 0 && beta <= 1,
+      s"alpha in (0,1], beta in [0,1]; got $alpha, $beta")
+    val ws = scala.collection.mutable.ArrayBuffer(Seq(1.0))
+    val wb = scala.collection.mutable.ArrayBuffer(Seq(0.0))
+    for (t <- 2 to maxLen) {
+      val sPrev = ws.last :+ 0.0
+      val bPrev = wb.last :+ 0.0
+      val sCur = sPrev.indices.map { j =>
+        val own = if (j == t - 1) alpha else 0.0
+        own + (1.0 - alpha) * (sPrev(j) + bPrev(j))
+      }
+      val bCur = sPrev.indices.map { j =>
+        beta * (sCur(j) - sPrev(j)) + (1.0 - beta) * bPrev(j)
+      }
+      ws += sCur
+      wb += bCur
+    }
+    (ws.toSeq, wb.toSeq)
+  }
+
+  /** Holt double-exponential (linear-trend) smoothing + h-step-ahead
+    * forecast, in closed form: level/trend at row t are weight-vector
+    * dot products with the ordered prefix ([[holtWeights]]), folded by
+    * codegen'd zip_with + aggregate over a windowed collect_list — no
+    * UDF, no recursion, deterministic under any partitioning. Series
+    * longer than `maxLen` fail loudly (per-key series are day-grids:
+    * bounded by the calendar, not the corpus). */
+  def holt(df: DataFrame, keys: Seq[String], dayCol: String,
+      valueCol: String, alpha: Double, beta: Double, horizon: Int,
+      maxLen: Int = 64, scale: Int = 4): DataFrame = {
+    val (wsT, wbT) = holtWeights(alpha, beta, maxLen)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(dayCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def dot(pfx: Column, table: Column) = {
+      val weights = element_at(table, size(pfx))
+      aggregate(zip_with(pfx, weights, (x, wt) => x * wt),
+        lit(0.0), (acc, x) => acc + x)
+    }
+    df.withColumn("__pfx", collect_list(col(valueCol)).over(w))
+      .withColumn("__lvl", {
+        val guard = when(size(col("__pfx")) > maxLen,
+          raise_error(lit(s"holt: series longer than maxLen=$maxLen")))
+        coalesce(guard, dot(col("__pfx"), typedLit(wsT)))
+      })
+      .withColumn("__trd", dot(col("__pfx"), typedLit(wbT)))
+      .withColumn("level", round(col("__lvl"), scale))
+      .withColumn("forecast",
+        round(col("__lvl") + lit(horizon.toDouble) * col("__trd"), scale))
+      .drop("__pfx", "__lvl", "__trd")
+  }
+
   /** Exponentially weighted moving average — pandas
     * `ewm(alpha).mean()` (adjust=true) in CLOSED form: at row t,
     * ewma = Σᵢ (1−α)^(t−i)·xᵢ / Σᵢ (1−α)^(t−i) over the ordered

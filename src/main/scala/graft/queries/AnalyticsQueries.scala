@@ -801,8 +801,68 @@ object AnalyticsQueries {
                round(10000.0 * sum(tvt) / (2.0 * na * nb))::BIGINT AS tv_bp,
                sum(chit)::BIGINT AS chi2_micro
         FROM terms GROUP BY 1, 2, 3 ORDER BY 1"""),
-      "two-sample histogram drift per type: TV distance + chi-square from exact integer numerators, log-free PSI replacement")
+      "two-sample histogram drift per type: TV distance + chi-square from exact integer numerators, log-free PSI replacement"),
+
+    // ---------------------------------------------------------------
+    // Holt double-exponential (level+trend) smoothing with a 3-step
+    // forecast — the q132 EWMA discipline extended to a two-state
+    // recursion: the smoother's impulse-response weight tables are
+    // computed ONCE in Scala (TimeSeries.holtWeights) and the SAME
+    // doubles are rendered both into the Spark plan (typedLit) and
+    // into the oracle's literal lists, so the closed-form evaluation
+    // is bit-identical across engines by construction.
+    // ---------------------------------------------------------------
+    Q("q156_holt_forecast",
+      (s, dir) => {
+        val daily = events(s, dir)
+          .filter(col("user_id") < 10 && col("ts").isNotNull)
+          .select(col("user_id"), to_date(col("ts")).as("day"),
+            col("value").cast("double").as("v"))
+          .groupBy("user_id", "day")
+          .agg(round(sum("v"), 4).as("day_sum"))
+        TimeSeries.holt(daily, Seq("user_id"), "day", "day_sum",
+            alpha = 0.4, beta = 0.3, horizon = 3, maxLen = 40)
+          .select(col("user_id"),
+            date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("day_sum"), col("level"), col("forecast"))
+          .orderBy("user_id", "day")
+      },
+      Some(holtOracle(alpha = 0.4, beta = 0.3, maxLen = 40, horizon = 3)),
+      "Holt level+trend smoothing and h-step forecast in closed form, weight tables shared verbatim with the oracle")
   )
+
+  /** The q156 oracle: Holt weight tables rendered as DuckDB list
+    * literals FROM THE SAME [[TimeSeries.holtWeights]] doubles the
+    * Spark plan embeds via typedLit — the two sides cannot drift
+    * (Double.toString round-trips, and DuckDB parses decimal literals
+    * to the nearest double, i.e. the identical bits). */
+  private def holtOracle(alpha: Double, beta: Double, maxLen: Int,
+      horizon: Int): String = {
+    val (ws, wb) = TimeSeries.holtWeights(alpha, beta, maxLen)
+    def render(t: Seq[Seq[Double]]) =
+      t.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    s"""
+        WITH daily AS (
+          SELECT user_id, CAST(ts AS DATE) AS day,
+                 round(sum(value::DOUBLE), 4) AS day_sum
+          FROM events WHERE user_id < 10 AND ts IS NOT NULL
+          GROUP BY 1, 2),
+        l AS (SELECT user_id, day, day_sum,
+                     list(day_sum) OVER (PARTITION BY user_id ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+              FROM daily),
+        w AS (SELECT ${render(ws)} AS ws, ${render(wb)} AS wb)
+        SELECT user_id, strftime(day, '%Y-%m-%d') AS day, day_sum,
+               round(list_sum([p[i::INT] * ws[length(p)][i::INT]
+                               for i in range(1, length(p) + 1)]), 4) AS level,
+               round(list_sum([p[i::INT] * ws[length(p)][i::INT]
+                               for i in range(1, length(p) + 1)])
+                     + $horizon.0 *
+                       list_sum([p[i::INT] * wb[length(p)][i::INT]
+                                 for i in range(1, length(p) + 1)]), 4)
+                 AS forecast
+        FROM l, w ORDER BY user_id, day"""
+  }
 
   /** The q143 oracle: `n` BPE training steps unrolled as generated
     * CTEs — pair counts over w_{i-1}, argmax with the same (count

@@ -87,4 +87,44 @@ class TimeSeriesSpec extends SparkSpec {
     val want = zs.scanLeft(0.0) { (s, z) => math.max(0.0, s + z - 0.5) }.tail
     got.zip(want).foreach { case (g, w) => assert(g === w +- 1e-12) }
   }
+
+  test("holt closed form equals the direct recursion") {
+    val ys = Seq(10.0, 12.0, 11.0, 15.0, 18.0, 17.0, 22.0)
+    val (alpha, beta) = (0.4, 0.3)
+    // direct recursion: s1 = y1, b1 = 0
+    var (sv, bv) = (ys.head, 0.0)
+    val want = ys.head +: ys.tail.map { y =>
+      val sNew = alpha * y + (1 - alpha) * (sv + bv)
+      bv = beta * (sNew - sv) + (1 - beta) * bv
+      sv = sNew
+      sv
+    }
+    val series = ys.zipWithIndex.map { case (v, i) => (1L, i, v) }
+    val got = TimeSeries.holt(df(series, "uid", "t", "y"),
+        Seq("uid"), "t", "y", alpha, beta, horizon = 3, maxLen = 16,
+        scale = 8)
+      .orderBy("t").select("level").as[Double].collect().toSeq
+    got.zip(want).foreach { case (g, w) => assert(g === w +- 1e-6) }
+  }
+
+  test("holt forecast extrapolates a perfect linear trend") {
+    // y_t = 5t: once level/trend lock on, forecast(h=2) ≈ y_t + 10
+    val ys = (1 to 20).map(_ * 5.0)
+    val series = ys.zipWithIndex.map { case (v, i) => (1L, i, v) }
+    val last = TimeSeries.holt(df(series, "uid", "t", "y"),
+        Seq("uid"), "t", "y", alpha = 0.5, beta = 0.5, horizon = 2,
+        maxLen = 32)
+      .orderBy(desc("t")).select("forecast").as[Double].head()
+    assert(math.abs(last - (100.0 + 10.0)) < 1.0, s"forecast $last")
+  }
+
+  test("holt fails loudly past maxLen") {
+    val series = (1 to 6).map(i => (1L, i, i.toDouble))
+    val ex = intercept[Exception] {
+      TimeSeries.holt(df(series, "uid", "t", "y"), Seq("uid"), "t", "y",
+        alpha = 0.4, beta = 0.3, horizon = 1, maxLen = 4).collect()
+    }
+    assert(ex.getMessage.contains("maxLen") ||
+      Option(ex.getCause).exists(_.getMessage.contains("maxLen")))
+  }
 }
