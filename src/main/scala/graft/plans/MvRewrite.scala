@@ -82,13 +82,21 @@ object MaterializedViews {
     Path.getPathWithoutSchemeAndAuthority(
       new Path(new java.io.File(p).getAbsolutePath)).toString
 
-  private val registry = new TrieMap[String, MvDef]
+  /** Several summaries may serve one base (e.g. a fine-grained
+    * (user, type) rollup AND a coarse daily one); registration order
+    * is preference order and the first that can serve a query wins. */
+  private val registry = new TrieMap[String, Seq[MvDef]]
 
-  def register(d: MvDef): Unit = registry.put(norm(d.basePath), d)
+  def register(d: MvDef): Unit =
+    registry.updateWith(norm(d.basePath)) {
+      case Some(ds) => Some(ds.filterNot(_.name == d.name) :+ d)
+      case None => Some(Seq(d))
+    }
   def deregister(basePath: String): Unit = registry.remove(norm(basePath))
   def clear(): Unit = registry.clear()
   def isEmpty: Boolean = registry.isEmpty
-  def forBase(normedPath: String): Option[MvDef] = registry.get(normedPath)
+  def forBase(normedPath: String): Seq[MvDef] =
+    registry.getOrElse(normedPath, Nil)
 
   /** Build (or rebuild) the summary table: one full-scan aggregate of
     * the base — the last time the base needs to be read for any query
@@ -220,10 +228,11 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     val roots = fsRel.location.rootPaths
     if (roots.length != 1) return None
-    val d = forBase(
+    val candidates = forBase(
       Path.getPathWithoutSchemeAndAuthority(roots.head).toString)
-      .getOrElse(return None)
+    if (candidates.isEmpty) return None
 
+    def attempt(d: MvDef): Option[Aggregate] = {
     val groupSet = d.groupCols.toSet
     def inGroup(as: Seq[AttributeReference]) = as.forall(a => groupSet(a.name))
     if (!conds.forall(c => inGroup(outsideAggRefs(c)))) return None
@@ -323,5 +332,8 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       mvRel.output.filter(refs.contains)
     }
     Some(Aggregate(newGs, newRs, Project(needed, filtered)))
+    } // attempt
+
+    candidates.iterator.map(attempt).collectFirst { case Some(a) => a }
   }
 }

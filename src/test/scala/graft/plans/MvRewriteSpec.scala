@@ -152,6 +152,52 @@ class MvRewriteSpec extends SparkSpec {
     assert(usesBase(q))
   }
 
+  test("SQL-surface aggregates over the path relation rewrite too") {
+    val q = () => {
+      spark.read.parquet(basePath).createOrReplaceTempView("mv_spec_base")
+      spark.sql(
+        "SELECT k, sum(v) AS s, count(*) AS n FROM mv_spec_base GROUP BY k ORDER BY k")
+    }
+    val expected = rowsOf(q())
+    withMv {
+      assert(usesMv(q()), q().queryExecution.executedPlan.toString)
+      assert(rowsOf(q()) === expected)
+    }
+  }
+
+  test("HAVING (filter above the aggregate) composes with the rewrite") {
+    val q = () => base.groupBy("k").agg(sum("v").as("s"))
+      .filter(col("s") > 20).orderBy("k")
+    val expected = rowsOf(q())
+    withMv {
+      assert(usesMv(q()))
+      assert(rowsOf(q()) === expected)
+    }
+  }
+
+  test("several summaries per base: the first that serves wins; fallthrough works") {
+    // a coarse summary on (k) only — cannot serve (k, g) groupings
+    val coarsePath = s"$root/mv_coarse"
+    val coarse = MvDef("spec_mv_coarse", basePath, coarsePath,
+      groupCols = Seq("k"), sums = Seq("v"))
+    materialize(spark, coarse)
+    val fineQ = () => base.groupBy("k", "g").agg(sum("v").as("s")).orderBy("k", "g")
+    val byKQ = () => base.groupBy("k").agg(sum("v").as("s")).orderBy("k")
+    val expFine = rowsOf(fineQ())
+    val expByK = rowsOf(byKQ())
+    graft.GraftExtensions.register(spark)
+    register(coarse)
+    register(mvDef) // fine-grained fallback, registered second
+    try {
+      val fplan = fineQ().queryExecution.executedPlan.toString
+      assert(fplan.contains(mvPath), fplan) // coarse declined, fine served
+      assert(rowsOf(fineQ()) === expFine)
+      val kplan = byKQ().queryExecution.executedPlan.toString
+      assert(kplan.contains(coarsePath), kplan) // preference order: coarse first
+      assert(rowsOf(byKQ()) === expByK)
+    } finally deregister(basePath)
+  }
+
   test("feed-delta maintenance advances the summary without a base rescan") {
     import spark.implicits._
     // lake + MV over it, then one merge batch; MV advanced from the
