@@ -828,7 +828,42 @@ object AnalyticsQueries {
           .orderBy("user_id", "day")
       },
       Some(holtOracle(alpha = 0.4, beta = 0.3, maxLen = 40, horizon = 3)),
-      "Holt level+trend smoothing and h-step forecast in closed form, weight tables shared verbatim with the oracle")
+      "Holt level+trend smoothing and h-step forecast in closed form, weight tables shared verbatim with the oracle"),
+
+    // ---------------------------------------------------------------
+    // 2-D skyline per return flag: lineitems minimizing extendedprice
+    // while maximizing quantity (no other item is both cheaper and
+    // larger). Spark runs the sort-based window plan (two shuffles +
+    // one window — never an all-pairs join); the oracle runs the
+    // quadratic NOT-EXISTS dominance definition — a cross-ALGORITHM
+    // check, not a mirrored plan. Rank-statistic outputs: no rounding.
+    // ---------------------------------------------------------------
+    Q("q157_skyline",
+      (s, dir) => {
+        import graft.ops.Skyline
+        // the qty >= 45 stratum keeps the ORACLE's quadratic dominance
+        // check feasible at every gate scale (the Spark plan itself is
+        // the linear-scan form and doesn't need the bound)
+        val li = Tables(s, dir, "lineitem")
+          .filter(col("l_quantity") >= 45)
+          .select(col("l_returnflag").as("flag"),
+            col("l_extendedprice").as("price"), col("l_quantity").as("qty"))
+        Skyline.skyline2D(li, Seq("flag"), "price", "qty")
+          .groupBy("flag", "price", "qty").agg(count(lit(1)).as("n"))
+          .orderBy("flag", "price", "qty")
+      },
+      Some("""
+        WITH pts AS (SELECT l_returnflag AS flag,
+                            l_extendedprice AS price, l_quantity AS qty
+                     FROM lineitem WHERE l_quantity >= 45)
+        SELECT flag, price, qty, count(*) AS n
+        FROM pts p
+        WHERE NOT EXISTS (
+          SELECT 1 FROM pts q
+          WHERE q.flag = p.flag AND q.price <= p.price AND q.qty >= p.qty
+            AND (q.price < p.price OR q.qty > p.qty))
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""),
+      "Pareto frontier per flag: windowed linear-scan plan == quadratic NOT-EXISTS dominance oracle")
   )
 
   /** The q156 oracle: Holt weight tables rendered as DuckDB list
