@@ -29,12 +29,19 @@ object Drift {
     * Output per `groupCol`: `na`, `nb` (sample sizes), `tv_bp` (total
     * variation in basis points), `chi2_micro` (χ² in micro-units). */
   def histogramDrift(df: DataFrame, groupCol: String, binCol: String,
-      inA: Column): DataFrame = {
-    val bins = df
-      .groupBy(col(groupCol), col(binCol))
-      .agg(
-        sum(when(inA, 1L).otherwise(0L)).as("a"),
-        sum(when(inA, 0L).otherwise(1L)).as("b"))
+      inA: Column): DataFrame =
+    driftFromCounts(
+      df.groupBy(col(groupCol), col(binCol))
+        .agg(
+          sum(when(inA, 1L).otherwise(0L)).as("a"),
+          sum(when(inA, 0L).otherwise(1L)).as("b")),
+      groupCol)
+
+  /** The metric over pre-aggregated per-(group, bin) counts `a`/`b` —
+    * bin counts are ADDITIVE partials, so this is also the read side
+    * of the streaming twin ([[graft.streaming.StreamingDrift]]):
+    * accumulate increments, sum per bin, compare. */
+  def driftFromCounts(bins: DataFrame, groupCol: String): DataFrame = {
     val totals = bins.groupBy(col(groupCol))
       .agg(sum("a").as("na"), sum("b").as("nb"))
     bins.join(totals, groupCol)

@@ -410,6 +410,50 @@ object CurationQueries {
         FROM r LEFT JOIN tau USING (event_type)
         WHERE rn <= 20
         ORDER BY event_type, rn"""),
-      "priority sampling per group: top-20 w/u priorities + unbiased max(w,tau) estimation weights, hash-replay exact")
+      "priority sampling per group: top-20 w/u priorities + unbiased max(w,tau) estimation weights, hash-replay exact"),
+
+    // ---------------------------------------------------------------
+    // Privacy audit before a data release: k-anonymity and
+    // l-diversity over the quasi-identifier (event_type, user bucket,
+    // day) with the value band as the sensitive attribute. One
+    // grouped aggregate builds the QI equivalence classes (shuffle on
+    // the QI key, map-side combined), one more folds them to a per-
+    // type report: k = the smallest class, how many classes and rows
+    // sit under k=5, and the minimum sensitive-value diversity. Pure
+    // integers end to end.
+    // ---------------------------------------------------------------
+    Q("q158_k_anonymity",
+      (s, dir) => {
+        val classes = Tables(s, dir, "events")
+          .filter(col("ts").isNotNull)
+          .select(col("event_type"), (col("user_id") % 100).as("bucket"),
+            to_date(col("ts")).as("day"),
+            floor(col("value") / 50).cast("long").as("band"))
+          .groupBy("event_type", "bucket", "day")
+          .agg(count(lit(1)).as("sz"), count_distinct(col("band")).as("ldiv"))
+        classes.groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n_classes"),
+            min("sz").as("k_anonymity"),
+            sum(when(col("sz") < 5, 1L).otherwise(0L)).as("classes_lt5"),
+            sum(when(col("sz") < 5, col("sz")).otherwise(0L)).as("rows_at_risk"),
+            min("ldiv").as("l_diversity"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH c AS (
+          SELECT event_type, user_id % 100 AS bucket, CAST(ts AS DATE) AS day,
+                 count(*) AS sz,
+                 count(DISTINCT floor(value / 50)::BIGINT) AS ldiv
+          FROM events WHERE ts IS NOT NULL
+          GROUP BY 1, 2, 3)
+        SELECT event_type,
+               count(*) AS n_classes,
+               min(sz) AS k_anonymity,
+               sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END)::BIGINT AS classes_lt5,
+               sum(CASE WHEN sz < 5 THEN sz ELSE 0 END)::BIGINT AS rows_at_risk,
+               min(ldiv) AS l_diversity
+        FROM c GROUP BY 1 ORDER BY 1"""),
+      "k-anonymity + l-diversity release audit over QI equivalence classes, exact integers")
   )
 }
