@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.functions.{coalesce, col, count, lit, max, min, sum}
+import org.apache.spark.sql.functions.{coalesce, col, count, hll_sketch_agg, lit, max, min, sum}
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Materialized-aggregate registry + transparent query rewrite.
@@ -68,13 +68,16 @@ object MaterializedViews {
       counts: Seq[String] = Nil,
       countStar: Boolean = true,
       mins: Seq[String] = Nil,
-      maxs: Seq[String] = Nil)
+      maxs: Seq[String] = Nil,
+      hlls: Seq[String] = Nil,
+      hllLgK: Int = 12)
 
   def sumCol(c: String): String = s"mv_sum_$c"
   def countCol(c: String): String = s"mv_count_$c"
   val countStarCol: String = "mv_count_star"
   def minCol(c: String): String = s"mv_min_$c"
   def maxCol(c: String): String = s"mv_max_$c"
+  def hllCol(c: String): String = s"mv_hll_$c"
 
   /** Normalized (scheme-free, absolute) path — the registry key and
     * the form a `HadoopFsRelation`'s root path reduces to. */
@@ -117,7 +120,13 @@ object MaterializedViews {
           d.counts.map(c => count(col(c)).as(countCol(c))) ++
           (if (d.countStar) Seq(count(lit(1)).as(countStarCol)) else Nil) ++
           d.mins.map(c => min(col(c)).as(minCol(c))) ++
-          d.maxs.map(c => max(col(c)).as(maxCol(c)))
+          d.maxs.map(c => max(col(c)).as(maxCol(c))) ++
+          // DataSketches HLL partials: register-wise union of sketches
+          // is EXACTLY the sketch of the unioned items, so approx-
+          // distinct rollups re-aggregate losslessly (unlike the
+          // non-mergeable HyperLogLogPlusPlus behind
+          // approx_count_distinct, which is deliberately not stored)
+          d.hlls.map(c => hll_sketch_agg(col(c), d.hllLgK).as(hllCol(c)))
       base.groupBy(d.groupCols.map(col): _*)
         .agg(aggs.head, aggs.tail: _*)
         .write.mode("overwrite").parquet(d.mvPath)
@@ -277,6 +286,16 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           partial(countStarCol)(Sum(_))
         case Count(Seq(a: AttributeReference)) =>
           partial(countCol(a.name))(Sum(_))
+        case h: HllSketchAgg =>
+          // the stored sketch's precision must be the one the query
+          // asked for — a different lgK would silently change the
+          // estimate's error profile
+          (h.left, h.right) match {
+            case (a: AttributeReference, lgk: Literal)
+                if lgk.value == d.hllLgK =>
+              partial(hllCol(a.name))(m => new HllUnionAgg(m))
+            case _ => None
+          }
         case Average(a: AttributeReference, _) if nonDecimal(a) =>
           for {
             s <- byName.get(sumCol(a.name))

@@ -198,6 +198,29 @@ class MvRewriteSpec extends SparkSpec {
     } finally deregister(basePath)
   }
 
+  test("approx-distinct rollups rewrite onto stored HLL sketches exactly") {
+    import org.apache.spark.sql.functions.{hll_sketch_agg, hll_sketch_estimate}
+    val hllPath = s"$root/mv_hll"
+    val d = mvDef.copy(name = "spec_mv_hll", mvPath = hllPath,
+      hlls = Seq("v"), hllLgK = 12)
+    materialize(spark, d)
+    val q = () => base.groupBy("k")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("v"), 12)).as("nd"))
+      .orderBy("k")
+    val expected = rowsOf(q()) // register-wise union == union's sketch: exact
+    graft.GraftExtensions.register(spark)
+    register(d)
+    try {
+      val plan = q().queryExecution.executedPlan.toString
+      assert(plan.contains(hllPath) && !plan.contains(basePath), plan)
+      assert(rowsOf(q()) === expected)
+      // a different lgK must NOT be served by the stored sketch
+      val other = base.groupBy("k")
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("v"), 14)).as("nd"))
+      assert(usesBase(other))
+    } finally deregister(basePath)
+  }
+
   test("feed-delta maintenance advances the summary without a base rescan") {
     import spark.implicits._
     // lake + MV over it, then one merge batch; MV advanced from the
