@@ -31,7 +31,7 @@ object Drift {
   def histogramDrift(df: DataFrame, groupCol: String, binCol: String,
       inA: Column): DataFrame =
     driftFromCounts(
-      df.groupBy(col(groupCol), col(binCol))
+      df.groupBy(col(groupCol), col(binCol).as("bin"))
         .agg(
           sum(when(inA, 1L).otherwise(0L)).as("a"),
           sum(when(inA, 0L).otherwise(1L)).as("b")),
@@ -40,23 +40,34 @@ object Drift {
   /** The metric over pre-aggregated per-(group, bin) counts `a`/`b` —
     * bin counts are ADDITIVE partials, so this is also the read side
     * of the streaming twin ([[graft.streaming.StreamingDrift]]):
-    * accumulate increments, sum per bin, compare. */
+    * accumulate increments, sum per bin, compare. Adds the
+    * Kolmogorov–Smirnov statistic (`ks_bp`): over bins in their
+    * natural order, KS = max|F_a − F_b| = max|Σ_{≤i} dⱼ| / (N_a·N_b)
+    * — the running sum of the SAME integer numerators, so it too is
+    * exact until one final division. */
   def driftFromCounts(bins: DataFrame, groupCol: String): DataFrame = {
     val totals = bins.groupBy(col(groupCol))
       .agg(sum("a").as("na"), sum("b").as("nb"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("bin"))
+      .rowsBetween(Long.MinValue, 0)
     bins.join(totals, groupCol)
       .withColumn("__d", col("a") * col("nb") - col("b") * col("na"))
       .withColumn("__tv_term", abs(col("__d")))
+      .withColumn("__ks_term", abs(sum(col("__d")).over(wCum)))
       .withColumn("__chi_term",
         // per-bin quantization keeps the later sum order-insensitive
         round(lit(1000000.0) * (col("na") + col("nb")) * col("__d") * col("__d") /
           (col("na") * col("nb") * (col("a") + col("b")))).cast("long"))
       .groupBy(col(groupCol), col("na"), col("nb"))
       .agg(sum("__tv_term").as("__tv_sum"),
+        max("__ks_term").as("__ks_max"),
         sum("__chi_term").as("chi2_micro"))
       .select(col(groupCol), col("na"), col("nb"),
         round(lit(10000.0) * col("__tv_sum") /
           (lit(2.0) * col("na") * col("nb"))).cast("long").as("tv_bp"),
+        round(lit(10000.0) * col("__ks_max") /
+          (lit(1.0) * col("na") * col("nb"))).cast("long").as("ks_bp"),
         col("chi2_micro"))
   }
 }

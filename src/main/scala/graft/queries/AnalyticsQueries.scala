@@ -793,12 +793,17 @@ object AnalyticsQueries {
               FROM c GROUP BY 1),
         terms AS (SELECT c.event_type, t.na, t.nb,
                          abs(a * nb - b * na) AS tvt,
+                         abs(sum(a * nb - b * na) OVER (
+                           PARTITION BY c.event_type ORDER BY bin
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                           AS kst,
                          round(1000000.0 * (na + nb)
                                * (a * nb - b * na) * (a * nb - b * na)
                                / (na * nb * (a + b)))::BIGINT AS chit
                   FROM c JOIN t USING (event_type))
         SELECT event_type, na, nb,
                round(10000.0 * sum(tvt) / (2.0 * na * nb))::BIGINT AS tv_bp,
+               round(10000.0 * max(kst) / (1.0 * na * nb))::BIGINT AS ks_bp,
                sum(chit)::BIGINT AS chi2_micro
         FROM terms GROUP BY 1, 2, 3 ORDER BY 1"""),
       "two-sample histogram drift per type: TV distance + chi-square from exact integer numerators, log-free PSI replacement"),

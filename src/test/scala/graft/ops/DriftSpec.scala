@@ -9,21 +9,23 @@ class DriftSpec extends SparkSpec {
   private def sample(rows: Seq[(String, Long, Boolean)]) =
     df(rows, "g", "bin", "ia")
 
-  test("identical distributions: zero TV, zero chi-square") {
+  test("identical distributions: zero TV, KS, chi-square") {
     val rows = for (b <- 0L to 4L; p <- Seq(true, false); _ <- 1 to 10)
       yield ("g1", b, p)
     val out = Drift.histogramDrift(sample(rows), "g", "bin", col("ia"))
       .collect()(0)
     assert(out.getAs[Long]("tv_bp") === 0L)
+    assert(out.getAs[Long]("ks_bp") === 0L)
     assert(out.getAs[Long]("chi2_micro") === 0L)
   }
 
-  test("disjoint supports: TV = 10000 bp") {
+  test("disjoint supports: TV = KS = 10000 bp") {
     val rows = (1 to 10).map(_ => ("g1", 0L, true)) ++
       (1 to 10).map(_ => ("g1", 1L, false))
     val out = Drift.histogramDrift(sample(rows), "g", "bin", col("ia"))
       .collect()(0)
     assert(out.getAs[Long]("tv_bp") === 10000L)
+    assert(out.getAs[Long]("ks_bp") === 10000L)
   }
 
   test("hand-computed asymmetric case") {
@@ -38,6 +40,8 @@ class DriftSpec extends SparkSpec {
     assert(out.getAs[Long]("na") === 4L)
     assert(out.getAs[Long]("nb") === 4L)
     assert(out.getAs[Long]("tv_bp") === 5000L)
+    // KS: |F_a - F_b| after bin0 = |3/4 - 1/4| = 0.5 -> 5000 bp
+    assert(out.getAs[Long]("ks_bp") === 5000L)
     assert(out.getAs[Long]("chi2_micro") === 16000000L)
   }
 
