@@ -37,19 +37,30 @@ object PrioritySample {
   def priority(id: Column, weight: Column): Column =
     weight * lit(Space) / (DetHash.hash52(id) + lit(1L))
 
-  /** Per-group weighted sample of size k with estimation weights:
-    * keeps each group's k highest-priority rows and attaches
-    * `w_est = max(w, τ)` (τ = the group's (k+1)-th priority; groups
-    * smaller than k+1 are exhaustive ⇒ ŵ = w exactly). Output adds
-    * `rn` (1-based priority rank) and `w_est`. */
-  def sampleByGroup(df: DataFrame, idCol: String, weightCol: String,
+  /** Per-group top-(k+1) candidate rows with their priorities — the
+    * MERGEABLE partial: the global top-(k+1) of a union is contained
+    * in the union of per-part top-(k+1)s, so per-batch/per-partition
+    * candidates re-finish to exactly the whole-data sample
+    * ([[graft.streaming.StreamingPrioritySample]] is this pattern over
+    * micro-batches). Keeps the `__p` column for the finisher. */
+  def candidates(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, groupCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__p").desc, col(idCol))
+    df.withColumn("__p", priority(col(idCol).cast("string"), col(weightCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k + 1)
+      .drop("__rn")
+  }
+
+  /** Finish a candidate frame (rows carrying `__p`): rank, cut at k,
+    * attach `w_est = max(w, τ)` with τ = the (k+1)-th priority. */
+  def finishSample(cands: DataFrame, idCol: String, weightCol: String,
       k: Int, groupCols: Seq[String]): DataFrame = {
     val gs = groupCols.map(col)
     val w = Window.partitionBy(gs: _*)
       .orderBy(col("__p").desc, col(idCol))
-    val ranked = df
-      .withColumn("__p", priority(col(idCol).cast("string"), col(weightCol)))
-      .withColumn("rn", row_number().over(w))
+    val ranked = cands.withColumn("rn", row_number().over(w))
     val tau = ranked.filter(col("rn") === k + 1)
       .select(gs :+ col("__p").as("__tau"): _*)
     ranked.filter(col("rn") <= k)
@@ -59,4 +70,14 @@ object PrioritySample {
           .otherwise(greatest(col(weightCol), col("__tau"))))
       .drop("__p", "__tau")
   }
+
+  /** Per-group weighted sample of size k with estimation weights:
+    * keeps each group's k highest-priority rows and attaches
+    * `w_est = max(w, τ)` (τ = the group's (k+1)-th priority; groups
+    * smaller than k+1 are exhaustive ⇒ ŵ = w exactly). Output adds
+    * `rn` (1-based priority rank) and `w_est`. */
+  def sampleByGroup(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, groupCols: Seq[String]): DataFrame =
+    finishSample(candidates(df, idCol, weightCol, k, groupCols),
+      idCol, weightCol, k, groupCols)
 }

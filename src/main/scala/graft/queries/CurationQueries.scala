@@ -454,6 +454,53 @@ object CurationQueries {
                sum(CASE WHEN sz < 5 THEN sz ELSE 0 END)::BIGINT AS rows_at_risk,
                min(ldiv) AS l_diversity
         FROM c GROUP BY 1 ORDER BY 1"""),
-      "k-anonymity + l-diversity release audit over QI equivalence classes, exact integers")
+      "k-anonymity + l-diversity release audit over QI equivalence classes, exact integers"),
+
+    // ---------------------------------------------------------------
+    // Leakage-safe train/val/test split: the split key is the CONTENT
+    // fingerprint (md5 of the text), not the row id, so exact
+    // duplicates can never straddle splits and leak eval data into
+    // training — the det_hash52 8/1/1 assignment is reproducible
+    // across runs and engines. The output ORACLES the guarantee
+    // itself: per (source, split) doc counts plus `leaky_fps`, the
+    // number of fingerprints assigned to more than one split, which
+    // must be 0 by construction (a row-id split on this corpus would
+    // not be — the dedup tier exists because duplicates do).
+    // ---------------------------------------------------------------
+    Q("q159_leakage_safe_split",
+      (s, dir) => {
+        val assigned = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            md5(col("text").cast("binary")).as("fp"))
+          .withColumn("h", DetHash.hash52(col("fp")) % 10)
+          .withColumn("split",
+            when(col("h") < 8, "train").when(col("h") === 8, "val")
+              .otherwise("test"))
+        val leaky = assigned.groupBy("fp")
+          .agg(count_distinct(col("split")).as("nsp"))
+          .filter(col("nsp") > 1).count()
+        assigned.groupBy("source", "split")
+          .agg(count(lit(1)).as("n_docs"),
+            count_distinct(col("fp")).as("n_distinct"))
+          .withColumn("leaky_fps", lit(leaky))
+          .orderBy("source", "split")
+      },
+      Some(s"""
+        WITH a AS (
+          SELECT doc_id, source, md5(text) AS fp,
+                 ${DetHash.sqlHash52("md5(text)")} % 10 AS h
+          FROM documents),
+        sp AS (SELECT *, CASE WHEN h < 8 THEN 'train'
+                              WHEN h = 8 THEN 'val'
+                              ELSE 'test' END AS split
+               FROM a),
+        leak AS (SELECT count(*) AS leaky FROM (
+          SELECT fp FROM sp GROUP BY fp
+          HAVING count(DISTINCT split) > 1) t)
+        SELECT source, split, count(*) AS n_docs,
+               count(DISTINCT fp) AS n_distinct,
+               (SELECT leaky FROM leak) AS leaky_fps
+        FROM sp GROUP BY 1, 2 ORDER BY 1, 2"""),
+      "content-fingerprint train/val/test split: duplicates co-assigned by construction, zero-leak guarantee oracled")
   )
 }
