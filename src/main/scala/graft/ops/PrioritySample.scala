@@ -80,4 +80,19 @@ object PrioritySample {
       k: Int, groupCols: Seq[String]): DataFrame =
     finishSample(candidates(df, idCol, weightCol, k, groupCols),
       idCol, weightCol, k, groupCols)
+
+  /** Global (ungrouped) weighted sample: candidates come from
+    * `orderBy.limit(k+1)` — TakeOrdered, a distributed per-partition
+    * top-k — NOT from an ungrouped window, which would drag the whole
+    * input through one partition. The ≤ k+1 survivors then finish
+    * under a constant group. */
+  def sample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    val cands = df
+      .withColumn("__p", priority(col(idCol).cast("string"), col(weightCol)))
+      .orderBy(col("__p").desc, col(idCol))
+      .limit(k + 1)
+      .withColumn("__g", lit(1))
+    finishSample(cands, idCol, weightCol, k, Seq("__g")).drop("__g")
+  }
 }

@@ -48,6 +48,18 @@ class PrioritySampleSpec extends SparkSpec {
     assert(math.abs(est - truth) / truth < 0.15, s"est $est vs $truth")
   }
 
+  test("global sample equals the grouped sample under a constant group") {
+    val rows = (1 to 300).map(i => (s"id$i", 1.0 + (i % 9), "g"))
+    val d = df(rows, "id", "w", "grp")
+    val global = PrioritySample.sample(d.drop("grp"), "id", "w", 25)
+      .orderBy("rn").collect().map(r =>
+        (r.getAs[String]("id"), r.getAs[Double]("w_est")))
+    val grouped = PrioritySample.sampleByGroup(d, "id", "w", 25, Seq("grp"))
+      .orderBy("rn").collect().map(r =>
+        (r.getAs[String]("id"), r.getAs[Double]("w_est")))
+    assert(global.toSeq === grouped.toSeq)
+  }
+
   test("groups sample independently") {
     val rows = (1 to 50).map(i => (s"id$i", 1.0, s"g${i % 2}"))
     val out = PrioritySample.sampleByGroup(
