@@ -868,7 +868,54 @@ object AnalyticsQueries {
           WHERE q.flag = p.flag AND q.price <= p.price AND q.qty >= p.qty
             AND (q.price < p.price OR q.qty > p.qty))
         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""),
-      "Pareto frontier per flag: windowed linear-scan plan == quadratic NOT-EXISTS dominance oracle")
+      "Pareto frontier per flag: windowed linear-scan plan == quadratic NOT-EXISTS dominance oracle"),
+
+    // ---------------------------------------------------------------
+    // Sweep-line max concurrency: events as intervals
+    // [ts, ts + value seconds); peak simultaneous intervals per type =
+    // max running sum over (+1 at start, −1 at end) endpoint deltas,
+    // ends sorting before starts at the same instant (half-open
+    // semantics). One explode (2 rows per event) + one ordered window
+    // per type — the classic O(n log n) sweep as a plan, vs the naive
+    // per-instant recount. Integer micros end to end.
+    // ---------------------------------------------------------------
+    Q("q160_max_concurrency",
+      (s, dir) => {
+        val ev = events(s, dir).filter(col("ts").isNotNull)
+          .select(col("event_type"),
+            unix_micros(col("ts").cast("timestamp")).as("t0"),
+            (unix_micros(col("ts").cast("timestamp")) +
+              round(col("value") * 1000000).cast("long")).as("t1"))
+        val ends = ev.select(col("event_type"), col("t1").as("t"),
+          lit(-1L).as("d"))
+        val starts = ev.select(col("event_type"), col("t0").as("t"),
+          lit(1L).as("d"))
+        val w = Window.partitionBy("event_type").orderBy(col("t"), col("d"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        starts.unionByName(ends)
+          .withColumn("c", sum("d").over(w))
+          .groupBy("event_type")
+          .agg(max("c").as("peak"),
+            min(when(col("d") === 1, col("t"))).as("first_start_us"),
+            max(when(col("d") === -1, col("t"))).as("last_end_us"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH iv AS (SELECT event_type,
+                           epoch_us(ts) AS t0,
+                           epoch_us(ts) + round(value * 1000000)::BIGINT AS t1
+                    FROM events WHERE ts IS NOT NULL),
+        pts AS (SELECT event_type, t0 AS t, 1 AS d FROM iv
+                UNION ALL SELECT event_type, t1, -1 FROM iv),
+        sw AS (SELECT event_type, d, t,
+                      sum(d) OVER (PARTITION BY event_type ORDER BY t, d
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+               FROM pts)
+        SELECT event_type, max(c)::BIGINT AS peak,
+               min(CASE WHEN d = 1 THEN t END) AS first_start_us,
+               max(CASE WHEN d = -1 THEN t END) AS last_end_us
+        FROM sw GROUP BY 1 ORDER BY 1"""),
+      "sweep-line peak concurrency per type: endpoint-delta running sum, ends-before-starts tie rule")
   )
 
   /** The q156 oracle: Holt weight tables rendered as DuckDB list
