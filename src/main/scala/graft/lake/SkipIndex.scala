@@ -65,6 +65,90 @@ object SkipIndex {
         col("e.lo").as("lo"), col("e.hi").as("hi"), col("rows"))
   }
 
+  private case class FooterEntry(
+      file: String, col: String, lo: Double, hi: Double, rows: Long)
+
+  /** Metadata-only index build: the same (file, col, lo, hi, rows)
+    * table as [[build]], derived from parquet FOOTER statistics — one
+    * footer read per file, distributed over executors, instead of a
+    * full data scan. At 100 TB this is THE build path: O(files) opens
+    * once at build time vs O(rows) scanned; [[build]] remains the
+    * cross-check twin (SkipIndexSpec pins value equality) and the path
+    * for sources without usable footer stats.
+    *
+    * Conservative by construction: a column chunk with missing/unusable
+    * statistics (non-numeric physical type, no non-null values
+    * recorded) widens that file's box to (−∞, ∞) — the file is never
+    * skipped, never wrongly. Integral boxes beyond 2^53 get the same
+    * relative-ulp widening as [[build]].
+    *
+    * Executor tasks open footers with a fresh Hadoop `Configuration`;
+    * object stores needing credentials from the session conf should
+    * build driver-side (file count = listing scale) or extend this
+    * with a serialized conf. */
+  def buildFromFooters(spark: SparkSession, dataDir: String,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "buildFromFooters needs at least one column")
+    val files = dataFiles(spark, dataDir).toSeq.sorted
+    require(files.nonEmpty, s"no parquet data files under $dataDir")
+    val exactLimit = 9007199254740992.0d // 2^53, as in build()
+    val colsB = cols
+    val entries = spark.sparkContext
+      .parallelize(files, math.max(1, math.min(files.size, 64)))
+      .flatMap { path =>
+        import scala.jdk.CollectionConverters._
+        import org.apache.parquet.column.statistics._
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(path), conf))
+        try {
+          val blocks = reader.getFooter.getBlocks.asScala.toSeq
+          val nRows = blocks.map(_.getRowCount).sum
+          colsB.map { c =>
+            var lo = Double.PositiveInfinity
+            var hi = Double.NegativeInfinity
+            var integral = false
+            var usable = blocks.nonEmpty
+            blocks.foreach { b =>
+              b.getColumns.asScala.filter(_.getPath.toDotString == c) match {
+                case chunks if chunks.isEmpty => usable = false
+                case chunks => chunks.foreach { cc =>
+                  cc.getStatistics match {
+                    case st: LongStatistics if st.hasNonNullValue =>
+                      integral = true
+                      lo = math.min(lo, st.genericGetMin.toDouble)
+                      hi = math.max(hi, st.genericGetMax.toDouble)
+                    case st: IntStatistics if st.hasNonNullValue =>
+                      integral = true
+                      lo = math.min(lo, st.genericGetMin.toDouble)
+                      hi = math.max(hi, st.genericGetMax.toDouble)
+                    case st: DoubleStatistics if st.hasNonNullValue =>
+                      lo = math.min(lo, st.genericGetMin)
+                      hi = math.max(hi, st.genericGetMax)
+                    case st: FloatStatistics if st.hasNonNullValue =>
+                      lo = math.min(lo, st.genericGetMin.toDouble)
+                      hi = math.max(hi, st.genericGetMax.toDouble)
+                    case _ => usable = false
+                  }
+                }
+              }
+            }
+            if (!usable) FooterEntry(path, c,
+              Double.NegativeInfinity, Double.PositiveInfinity, nRows)
+            else {
+              val wLo = if (integral && math.abs(lo) >= exactLimit)
+                lo - math.abs(lo) * 4e-16 else lo
+              val wHi = if (integral && math.abs(hi) >= exactLimit)
+                hi + math.abs(hi) * 4e-16 else hi
+              FooterEntry(path, c, wLo, wHi, nRows)
+            }
+          }
+        } finally reader.close()
+      }
+    spark.createDataFrame(entries).toDF("file", "col", "lo", "hi", "rows")
+  }
+
   /** Files whose [lo, hi] box on `c` intersects [qLo, qHi]. The index
     * scan is tiny (rows = files × indexed cols); the collect is bounded
     * by the lake's FILE count — the same driver-side scale as the file

@@ -492,6 +492,35 @@ object LakeQueries {
       "min/max skip-index pruned read == full-scan filter oracle; z-layout makes the boxes tight"),
 
     // ---------------------------------------------------------------
+    // The METADATA-ONLY index build: same pruned-read contract as
+    // q116, but the index comes from parquet footer statistics — one
+    // distributed footer read per file, zero data scanned at build
+    // time (the 100 TB build path; q116's scan build is the
+    // cross-check twin). Different predicate + a second dimension so
+    // the two rows don't collapse into one another.
+    // ---------------------------------------------------------------
+    Q("q161_footer_skip_index",
+      (s, dir) => {
+        val layout = zCompactedEvents(s, dir)
+        val idx = SkipIndex.buildFromFooters(s, layout, Seq("user_id", "value"))
+        SkipIndex.prunedReadMulti(s, layout, idx,
+            Seq(("user_id", 2, 95), ("value", 0.0, 80.0)))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("row_count"),
+            round(sum("value"), 4).as("sum_value"),
+            count_distinct(col("user_id")).as("n_users"))
+          .orderBy("event_type")
+      },
+      Some("""
+        SELECT event_type, count(*) AS row_count,
+               round(sum(value::DOUBLE), 4) AS sum_value,
+               count(DISTINCT user_id) AS n_users
+        FROM events
+        WHERE user_id BETWEEN 2 AND 95 AND value BETWEEN 0.0 AND 80.0
+        GROUP BY 1 ORDER BY 1"""),
+      "footer-statistics skip index (no data scanned at build) pruned read == full-scan filter oracle"),
+
+    // ---------------------------------------------------------------
     // Change-data-feed: the SAME deterministic batch as q115, but the
     // output is the FEED — every applied change with its resolved
     // _action. The base lake is rebuilt fresh each run (actions

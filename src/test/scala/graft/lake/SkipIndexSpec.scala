@@ -114,4 +114,46 @@ class SkipIndexSpec extends SparkSpec {
     val d = SkipIndex.prunedRead(spark, out, idx, "a", 1000, 2000)
     assert(d.columns.toSeq.sorted == Seq("a", "b", "payload") && d.count() == 0)
   }
+
+  test("footer build matches the scan build box for box") {
+    val (out, _) = lake
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("file", regexp_replace(col("file"), "^file:/+", "/"))
+      .orderBy("file", "col").collect().map(_.toSeq)
+    val scan = SkipIndex.build(spark.read.parquet(out), Seq("a", "b"))
+    val footer = SkipIndex.buildFromFooters(spark, out, Seq("a", "b"))
+    assert(canon(footer) === canon(scan))
+  }
+
+  test("footer-built index prunes and reads exactly like the scan-built one") {
+    val (out, src) = lake
+    val idx = SkipIndex.buildFromFooters(spark, out, Seq("a", "b"))
+    val expected = src.filter(col("a") >= 3 && col("a") <= 9 &&
+        col("b") >= 10 && col("b") <= 20)
+      .orderBy("payload").collect().map(_.toSeq)
+    val got = SkipIndex.prunedReadMulti(spark, out, idx,
+        Seq(("a", 3, 9), ("b", 10, 20)))
+      .orderBy("payload").collect().map(_.toSeq)
+    assert(got === expected)
+    // and it actually skips: the candidate set is a strict subset
+    val cand = SkipIndex.candidateFilesMulti(idx, Seq(("a", 3, 9), ("b", 10, 20)))
+    val all = spark.read.parquet(out).select(input_file_name())
+      .distinct().count()
+    assert(cand.size < all, s"${cand.size} of $all files — nothing skipped")
+  }
+
+  test("footer build: unusable stats widen to an infinite box, never skip") {
+    val (out, _) = lake
+    // a string column has binary stats — not numeric — so its box must
+    // be infinite and pruning on it keeps every file
+    val dir = java.nio.file.Files.createTempDirectory("graft_fidx").toString
+    spark.range(100).selectExpr("id", "cast(id as string) AS s")
+      .write.mode("overwrite").parquet(dir)
+    val idx = SkipIndex.buildFromFooters(spark, dir, Seq("s", "id"))
+    val sBoxes = idx.filter(col("col") === "s").collect()
+    assert(sBoxes.nonEmpty && sBoxes.forall(r =>
+      r.getDouble(2).isNegInfinity && r.getDouble(3).isPosInfinity))
+    val cand = SkipIndex.candidateFiles(idx, "s", 5, 6)
+    assert(cand.size === sBoxes.length) // nothing skipped on s
+  }
 }
