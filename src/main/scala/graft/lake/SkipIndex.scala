@@ -19,6 +19,14 @@ import org.apache.spark.sql.functions._
   * index is one aggregate over the data (build-time, not query-time)
   * and stays valid until the next rewrite of a file it covers.
   */
+/** One footer-derived index row. Top-level (not nested in the object):
+  * Catalyst's reflective encoder generates Janino code that cannot
+  * compile accessor calls on object-nested case classes
+  * (`SkipIndex$FooterEntry.file()` → codegen compile error +
+  * interpreted fallback on every build). */
+private[lake] case class FooterEntry(
+    file: String, col: String, lo: Double, hi: Double, rows: Long)
+
 object SkipIndex {
 
   /** One row per (file, indexed column): lo, hi, rows. Built with a
@@ -64,9 +72,6 @@ object SkipIndex {
       .select(col("file"), col("e.col").as("col"),
         col("e.lo").as("lo"), col("e.hi").as("hi"), col("rows"))
   }
-
-  private case class FooterEntry(
-      file: String, col: String, lo: Double, hi: Double, rows: Long)
 
   /** Metadata-only index build: the same (file, col, lo, hi, rows)
     * table as [[build]], derived from parquet FOOTER statistics — one
