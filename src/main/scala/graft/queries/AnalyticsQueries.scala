@@ -915,7 +915,53 @@ object AnalyticsQueries {
                min(CASE WHEN d = 1 THEN t END) AS first_start_us,
                max(CASE WHEN d = -1 THEN t END) AS last_end_us
         FROM sw GROUP BY 1 ORDER BY 1"""),
-      "sweep-line peak concurrency per type: endpoint-delta running sum, ends-before-starts tie rule")
+      "sweep-line peak concurrency per type: endpoint-delta running sum, ends-before-starts tie rule"),
+
+    // ---------------------------------------------------------------
+    // Categorical association lang × source: one joint groupBy (the
+    // only shuffle — contingency cells, not rows), marginals and the
+    // grand total as window sums OVER THE JOINT CELLS (5 × 20 here;
+    // bounded by |lang|·|source| at any corpus size — never a second
+    // data scan). Lift = observed/expected = the log-free PMI core
+    // (PMI = ln lift); chi2_part = this cell's chi-square term via
+    // the integer identity (n·n_xy − n_x·n_y)² / (n·n_x·n_y). All
+    // inputs are exact 64-bit counts; each output is one exactly-
+    // rounded IEEE divide, pinned with round(·, 6) on both sides.
+    // ---------------------------------------------------------------
+    Q("q162_assoc_lift",
+      (s, dir) => {
+        val joint = Tables(s, dir, "documents")
+          .filter(col("lang").isNotNull && col("source").isNotNull)
+          .groupBy("lang", "source").agg(count(lit(1)).as("n_xy"))
+        val dev = (col("n") * col("n_xy") - col("n_x") * col("n_y"))
+          .cast("double")
+        joint
+          .withColumn("n_x", sum("n_xy").over(Window.partitionBy("lang")))
+          .withColumn("n_y", sum("n_xy").over(Window.partitionBy("source")))
+          .withColumn("n", sum("n_xy").over(Window.partitionBy()))
+          .withColumn("lift", round((col("n_xy") * col("n")).cast("double")
+            / (col("n_x") * col("n_y")).cast("double"), 6))
+          .withColumn("chi2_part", round(dev * dev
+            / (col("n") * col("n_x") * col("n_y")).cast("double"), 6))
+          .orderBy("lang", "source")
+      },
+      Some("""
+        WITH joint AS (SELECT lang, source, count(*)::BIGINT AS n_xy
+                       FROM documents
+                       WHERE lang IS NOT NULL AND source IS NOT NULL
+                       GROUP BY 1, 2),
+        m AS (SELECT lang, source, n_xy,
+                     sum(n_xy) OVER (PARTITION BY lang)::BIGINT AS n_x,
+                     sum(n_xy) OVER (PARTITION BY source)::BIGINT AS n_y,
+                     sum(n_xy) OVER ()::BIGINT AS n
+              FROM joint)
+        SELECT lang, source, n_xy, n_x, n_y, n,
+               round((n_xy * n)::DOUBLE / (n_x * n_y)::DOUBLE, 6) AS lift,
+               round((n * n_xy - n_x * n_y)::DOUBLE
+                     * (n * n_xy - n_x * n_y)::DOUBLE
+                     / (n * n_x * n_y)::DOUBLE, 6) AS chi2_part
+        FROM m ORDER BY 1, 2"""),
+      "lang x source contingency: lift (log-free PMI) + chi-square terms from exact integer counts, one cell-level shuffle")
   )
 
   /** The q156 oracle: Holt weight tables rendered as DuckDB list
