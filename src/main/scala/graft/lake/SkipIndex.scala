@@ -309,6 +309,12 @@ object SkipIndex {
 
   private def normalize(p: String): String = p.replaceFirst("^file:/+", "/")
 
+  /** Shared with [[BloomIndex]] so its staleness guard matches this
+    * file's normalization and listing semantics exactly. */
+  private[lake] def normalizePath(p: String): String = normalize(p)
+  private[lake] def dataFilesUnder(spark: SparkSession, dataDir: String): Set[String] =
+    dataFiles(spark, dataDir)
+
   /** Driver-side recursive listing of the lake's parquet data files
     * (metadata dirs and marker files excluded), normalized paths. */
   private def dataFiles(spark: SparkSession, dataDir: String): Set[String] = {

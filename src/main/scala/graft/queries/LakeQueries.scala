@@ -8,7 +8,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.lake.{Maintenance, PathModel, Readers, SkipIndex, Versioned}
+import graft.lake.{BloomIndex, Maintenance, PathModel, Readers, SkipIndex, Versioned}
 import graft.ops.{MergeData, Overview}
 
 /** End-to-end csv.gz lake queries — the reference's core abstraction
@@ -519,6 +519,34 @@ object LakeQueries {
         WHERE user_id BETWEEN 2 AND 95 AND value BETWEEN 0.0 AND 80.0
         GROUP BY 1 ORDER BY 1"""),
       "footer-statistics skip index (no data scanned at build) pruned read == full-scan filter oracle"),
+
+    // ---------------------------------------------------------------
+    // Per-file BLOOM index, the point-lookup complement to q116/q161's
+    // zone maps: the z-layout clusters (user_id, ts), so event_id's
+    // min/max boxes span near the full range in every file and range
+    // pruning keeps everything — the bloom answers "can this key be in
+    // this file?" instead. IN-list primary-key lookup through the
+    // bloom-pruned read; the oracle is the plain full-scan IN filter,
+    // so a green row proves pruning loses no rows (BloomIndexSpec
+    // proves files actually get skipped).
+    // ---------------------------------------------------------------
+    Q("q163_bloom_index_lookup",
+      (s, dir) => {
+        val layout = zCompactedEvents(s, dir)
+        val idx = BloomIndex.build(s, layout, Seq("event_id"),
+          expectedPerFile = 100000L, fpp = 0.01)
+        BloomIndex.prunedReadIn(s, layout, idx, "event_id",
+            Seq(lit(7L), lit(250L), lit(861L)))
+          .select(col("event_id"), col("event_type"), col("user_id"),
+            round(col("value"), 4).as("value_r"))
+          .orderBy("event_id")
+      },
+      Some("""
+        SELECT event_id, event_type, user_id,
+               round(value::DOUBLE, 4) AS value_r
+        FROM events WHERE event_id IN (7, 250, 861)
+        ORDER BY event_id"""),
+      "per-file bloom index point lookup == full-scan IN filter; zone maps can't prune an unclustered key"),
 
     // ---------------------------------------------------------------
     // Change-data-feed: the SAME deterministic batch as q115, but the
