@@ -961,7 +961,46 @@ object AnalyticsQueries {
                      * (n * n_xy - n_x * n_y)::DOUBLE
                      / (n * n_x * n_y)::DOUBLE, 6) AS chi2_part
         FROM m ORDER BY 1, 2"""),
-      "lang x source contingency: lift (log-free PMI) + chi-square terms from exact integer counts, one cell-level shuffle")
+      "lang x source contingency: lift (log-free PMI) + chi-square terms from exact integer counts, one cell-level shuffle"),
+
+    // ---------------------------------------------------------------
+    // Grouped mode (argmax by frequency) with a DETERMINISTIC
+    // tie-break — count desc, then lexicographically smallest type —
+    // because a mode without a pinned tie rule isn't oracle-able (or
+    // reproducible run to run). One row-level shuffle builds the
+    // (user, type) counts; the row_number window then runs over those
+    // COUNTS (≤ users × types rows), not the data, and the per-user
+    // total rides the same partitioning for free.
+    // ---------------------------------------------------------------
+    Q("q164_grouped_mode",
+      (s, dir) => {
+        val counts = events(s, dir)
+          .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+          .groupBy("user_id", "event_type")
+          .agg(count(lit(1)).as("cnt"))
+        val byUser = Window.partitionBy("user_id")
+        val rank = byUser.orderBy(col("cnt").desc, col("event_type"))
+        counts
+          .withColumn("rn", row_number().over(rank))
+          .withColumn("total", sum("cnt").over(byUser))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type").as("modal_type"),
+            col("cnt").as("modal_cnt"), col("total"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH c AS (SELECT user_id, event_type, count(*)::BIGINT AS cnt
+                   FROM events
+                   WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+                   GROUP BY 1, 2),
+        r AS (SELECT user_id, event_type, cnt,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY cnt DESC, event_type) AS rn,
+                     sum(cnt) OVER (PARTITION BY user_id)::BIGINT AS total
+              FROM c)
+        SELECT user_id, event_type AS modal_type, cnt AS modal_cnt, total
+        FROM r WHERE rn = 1 ORDER BY user_id"""),
+      "per-group mode with pinned tie-break (cnt desc, type asc); window runs over counts, not rows")
   )
 
   /** The q156 oracle: Holt weight tables rendered as DuckDB list
