@@ -41,6 +41,22 @@ object BloomIndex {
     * the table); `fpp` is the per-probe false-positive rate. Sizing is
     * `BloomPrune.optimalNumBits` — ~1.2 MB per million keys at 1%. */
   def build(spark: SparkSession, dataDir: String, cols: Seq[String],
+      expectedPerFile: Long, fpp: Double): DataFrame =
+    buildDf(spark.read.parquet(dataDir), cols, expectedPerFile, fpp)
+
+  /** [[build]] over an EXPLICIT file set — a [[Versioned]] manifest's
+    * live files, or the touched subset [[refreshForFiles]] rebuilds.
+    * `basePath` recovers Hive partition columns so indexed columns may
+    * be partition columns too. */
+  def buildForFiles(spark: SparkSession, dataDir: String,
+      files: Seq[String], cols: Seq[String],
+      expectedPerFile: Long, fpp: Double): DataFrame = {
+    require(files.nonEmpty, "buildForFiles needs at least one file")
+    buildDf(spark.read.option("basePath", dataDir).parquet(files: _*),
+      cols, expectedPerFile, fpp)
+  }
+
+  private def buildDf(df: DataFrame, cols: Seq[String],
       expectedPerFile: Long, fpp: Double): DataFrame = {
     require(cols.nonEmpty, "BloomIndex.build needs at least one column")
     val numBits = graft.ops.BloomPrune.optimalNumBits(expectedPerFile, fpp)
@@ -50,7 +66,7 @@ object BloomIndex {
         Literal(expectedPerFile), Literal(numBits)).toAggregateExpression())
         .as(s"__bf_$c")
     }
-    val perFile = spark.read.parquet(dataDir)
+    val perFile = df
       .groupBy(input_file_name().as("file"))
       .agg(count(lit(1)).as("rows"), aggs: _*)
     val entries = cols.map(c =>
@@ -61,12 +77,37 @@ object BloomIndex {
         col("e.bloom").as("bloom"), col("rows"))
   }
 
-  /** Hash a probe literal EXACTLY as the build hashed column values:
-    * one local 1-row job through the same `xxhash64` expression.
-    * Callers must type the literal like the column (`lit(7L)` for a
-    * BIGINT column — `lit(7)` hashes as int and never matches). */
-  private def probeHash(spark: SparkSession, probe: Column): Long =
-    spark.range(1).select(xxhash64(probe).as("h")).head.getLong(0)
+  /** Incremental index maintenance after a versioned merge —
+    * [[SkipIndex.refreshForFiles]]'s pattern: entries for files under
+    * the TOUCHED partition directories are dropped and rebuilt from the
+    * LIVE files there (per the manifest — the directory listing still
+    * holds superseded files); everything else is kept as-is. Work
+    * scales with the merge batch, never the lake. A partition deleted
+    * outright contributes no new entries. */
+  def refreshForFiles(spark: SparkSession, dataDir: String, idx: DataFrame,
+      cols: Seq[String], expectedPerFile: Long, fpp: Double,
+      touchedDirs: Seq[String], liveFiles: Seq[String]): DataFrame = {
+    require(touchedDirs.nonEmpty, "refresh needs at least one touched partition")
+    val touched = (f: Column) => touchedDirs.map(d => f.contains(s"/$d/"))
+      .reduce(_ || _)
+    val survivors = idx.filter(!touched(col("file")))
+    val fresh = liveFiles.filter(f => touchedDirs.exists(d => f.contains(s"/$d/")))
+    if (fresh.isEmpty) survivors
+    else survivors.unionByName(
+      buildForFiles(spark, dataDir, fresh, cols, expectedPerFile, fpp))
+  }
+
+  /** Hash probe literals EXACTLY as the build hashed column values:
+    * ONE local 1-row job evaluating every probe's `xxhash64` at once
+    * (N separate jobs would pay N driver round-trips before the index
+    * scan even starts). Callers must type each literal like the column
+    * (`lit(7L)` for a BIGINT column — `lit(7)` hashes as int and never
+    * matches). */
+  private def probeHashes(spark: SparkSession, probes: Seq[Column]): Seq[Long] = {
+    val row = spark.range(1).select(
+      probes.zipWithIndex.map { case (p, i) => xxhash64(p).as(s"h$i") }: _*).head
+    probes.indices.map(row.getLong)
+  }
 
   /** Files whose bloom on `c` might contain ANY of `probes` (union of
     * per-key survivor sets — the IN-list lookup shape). Bloom decode +
@@ -74,7 +115,7 @@ object BloomIndex {
   def candidateFilesIn(spark: SparkSession, idx: DataFrame, c: String,
       probes: Seq[Column]): Seq[String] = {
     require(probes.nonEmpty, "candidateFilesIn needs at least one probe")
-    val hashes = probes.map(p => probeHash(spark, p))
+    val hashes = probeHashes(spark, probes)
     import spark.implicits._
     idx.filter(col("col") === c).select("file", "bloom")
       .as[(String, Array[Byte])]
@@ -109,6 +150,29 @@ object BloomIndex {
     val files = candidateFilesIn(spark, idx, c, probes)
     val residual = col(c).isin(probes: _*)
     if (files.isEmpty) spark.read.parquet(dataDir).filter(lit(false))
+    else spark.read.option("basePath", dataDir)
+      .parquet(files: _*).filter(residual)
+  }
+
+  /** [[prunedReadIn]] for a lake whose live-file set is EXPLICIT (a
+    * [[Versioned]] manifest): validation compares the index against the
+    * given set instead of the directory listing — which, on a versioned
+    * lake, still holds superseded files kept for time travel. Works for
+    * ANY version's (files, index) pair, so point lookups time-travel. */
+  def prunedReadInFiles(spark: SparkSession, dataDir: String, idx: DataFrame,
+      c: String, probes: Seq[Column], liveFiles: Seq[String]): DataFrame = {
+    val indexed = idx.select("file").distinct()
+      .collect().map(r => SkipIndex.normalizePath(r.getString(0))).toSet
+    val live = liveFiles.map(SkipIndex.normalizePath).toSet
+    require(indexed == live,
+      s"bloom index does not describe this file set (" +
+        s"${(live -- indexed).size} unindexed, ${(indexed -- live).size} extra): " +
+        "build/refresh the index against this version's manifest")
+    val files = candidateFilesIn(spark, idx, c, probes)
+    val residual = col(c).isin(probes: _*)
+    if (files.isEmpty)
+      spark.read.option("basePath", dataDir)
+        .parquet(liveFiles: _*).filter(lit(false))
     else spark.read.option("basePath", dataDir)
       .parquet(files: _*).filter(residual)
   }

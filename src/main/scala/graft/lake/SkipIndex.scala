@@ -92,10 +92,18 @@ object SkipIndex {
     * build driver-side (file count = listing scale) or extend this
     * with a serialized conf. */
   def buildFromFooters(spark: SparkSession, dataDir: String,
+      cols: Seq[String]): DataFrame =
+    buildFromFooterFiles(spark, dataFiles(spark, dataDir).toSeq.sorted, cols)
+
+  /** [[buildFromFooters]] over an EXPLICIT file list — a [[Versioned]]
+    * manifest's live files, so a metadata-only index can be built for
+    * exactly one version of a lake whose directory also holds
+    * superseded files. */
+  def buildFromFooterFiles(spark: SparkSession, files0: Seq[String],
       cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "buildFromFooters needs at least one column")
-    val files = dataFiles(spark, dataDir).toSeq.sorted
-    require(files.nonEmpty, s"no parquet data files under $dataDir")
+    val files = files0.map(normalize)
+    require(files.nonEmpty, "buildFromFooterFiles got no files")
     val exactLimit = 9007199254740992.0d // 2^53, as in build()
     val colsB = cols
     val entries = spark.sparkContext

@@ -55,10 +55,7 @@ object Versioned {
       .foldLeft(-1L)(math.max)
   }
 
-  /** Relative data-file paths live at `version` (latest if -1). */
-  def filesAt(spark: SparkSession, dir: String, version: Long = -1L): Seq[String] = {
-    val v = if (version >= 0) version else currentVersion(spark, dir)
-    require(v >= 0, s"no manifest in $dir — call init() first")
+  private def manifestLines(spark: SparkSession, dir: String, v: Long): Seq[String] = {
     val fs = fsOf(spark, dir)
     val p = manifestPath(dir, v)
     require(fs.exists(p), s"version $v does not exist in $dir")
@@ -66,6 +63,31 @@ object Versioned {
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
       .filter(_.nonEmpty).toList
     finally in.close()
+  }
+
+  /** Relative data-file paths live at `version` (latest if -1).
+    * Lines starting with `#` are commit metadata (txn markers), not
+    * files. */
+  def filesAt(spark: SparkSession, dir: String, version: Long = -1L): Seq[String] = {
+    val v = if (version >= 0) version else currentVersion(spark, dir)
+    require(v >= 0, s"no manifest in $dir — call init() first")
+    manifestLines(spark, dir, v).filterNot(_.startsWith("#"))
+  }
+
+  /** Highest batch id committed under `txnId`, or -1 — the Delta
+    * `txn` action: an idempotent writer (a streaming sink) stamps each
+    * commit with `(txnId, batchId)` and skips batches at or below the
+    * recorded high-water mark on replay. Scans manifests newest-first
+    * (driver-side, bounded by version count — the same scale as any
+    * log replay); batch ids commit in order per txn, so the first hit
+    * is the max. */
+  def lastTxn(spark: SparkSession, dir: String, txnId: String): Long = {
+    val cur = currentVersion(spark, dir)
+    val prefix = s"#txn $txnId "
+    (cur to 0L by -1L).iterator
+      .flatMap(v => manifestLines(spark, dir, v).find(_.startsWith(prefix)))
+      .map(_.stripPrefix(prefix).trim.toLong)
+      .nextOption().getOrElse(-1L)
   }
 
   /** Recursive data-file listing (relative), excluding metadata
@@ -88,12 +110,13 @@ object Versioned {
   }
 
   private def writeManifest(fs: FileSystem, dir: String, v: Long,
-      files: Seq[String]): Unit = {
+      files: Seq[String], meta: Seq[String] = Nil): Unit = {
+    require(meta.forall(_.startsWith("#")), "manifest metadata lines must start with #")
     val dst = manifestPath(dir, v)
     fs.mkdirs(dst.getParent)
     val tmp = new Path(dst.getParent, dst.getName + ".tmp")
     val out = fs.create(tmp, true)
-    try out.write((files.sorted.mkString("\n") + "\n").getBytes("UTF-8"))
+    try out.write(((meta ++ files.sorted).mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
     // THE commit point: one atomic metadata op. The exists check is the
     // optimistic-concurrency guard (Delta's CAS-on-log-entry): a racing
@@ -135,20 +158,39 @@ object Versioned {
       .parquet(files.map(f => s"$dir/$f"): _*)
   }
 
-  /** Row-level MERGE INTO with snapshot isolation — the semantics of
-    * [[graft.ops.MergeData.mergeInto]] (update/delete/insert on rowKey,
-    * schema evolution, touched-partition scope) committed through the
-    * manifest instead of a directory swap. New data files land as
-    * APPENDED parquet parts in the touched partition directories
-    * (Spark's task-UUID part names never collide); until the manifest
-    * rename they are invisible, after it they are the partition. Old
-    * files stay for time travel until [[vacuum]].
+  /** Row-level MERGE INTO with snapshot isolation — the EXACT
+    * semantics of [[graft.ops.MergeData.mergeInto]] (update/delete/
+    * insert on rowKey, schema evolution, touched-partition scope; both
+    * paths call the one shared [[graft.ops.MergeData.resolveMerge]]
+    * core) committed through the manifest instead of a directory swap.
+    * New data files land as APPENDED parquet parts in the touched
+    * partition directories (Spark's task-UUID part names never
+    * collide); until the manifest rename they are invisible, after it
+    * they are the partition. Old files stay for time travel until
+    * [[vacuum]].
     *
-    * Returns the committed version. */
+    * @param changeFeed optional (dir, batchId): publish this batch's
+    *   resolved Delta-CDF increment (same write-once pre-commit
+    *   contract as the swap path — see
+    *   [[graft.ops.MergeData.emitChangeFeed]]), so snapshot isolation
+    *   and CDC ride ONE write path.
+    * @param txn optional (txnId, batchId) idempotence marker (Delta's
+    *   `txn` action): if `batchId <=` [[lastTxn]] for `txnId`, the
+    *   batch already committed — return the current version WITHOUT
+    *   committing again. A replaying streaming sink therefore advances
+    *   the version exactly once per batch.
+    * Returns the committed (or already-committed) version. */
   def mergeInto(spark: SparkSession, dir: String, updates: DataFrame,
-      partitionKeys: Seq[String], rowKey: Seq[String]): Long = {
+      partitionKeys: Seq[String], rowKey: Seq[String],
+      changeFeed: Option[(String, Long)] = None,
+      txn: Option[(String, Long)] = None): Long = {
     require(rowKey.nonEmpty, "mergeInto needs at least one rowKey column")
     val v = init(spark, dir)
+    txn match {
+      case Some((id, batchId)) if lastTxn(spark, dir, id) >= batchId =>
+        return currentVersion(spark, dir) // replayed batch: already committed
+      case _ =>
+    }
     val live = filesAt(spark, dir, v)
     val fs = fsOf(spark, dir)
 
@@ -156,46 +198,34 @@ object Versioned {
     val del = if (hasDelete) coalesce(col("__delete"), lit(false)) else lit(false)
     val batch = updates.persist()
     try {
-      val touchedRows = batch.select(partitionKeys.map(col): _*)
-        .distinct().collect()
-      require(touchedRows.nonEmpty, "mergeInto got an empty updates batch")
-      val touchedPred = touchedRows.map { r =>
-        partitionKeys.zipWithIndex.map { case (k, i) =>
-          col(k) <=> lit(r.get(i))
-        }.reduce(_ && _)
-      }.reduce(_ || _)
-      val touchedDirs = touchedRows.map { r =>
-        partitionKeys.zipWithIndex.map { case (k, i) =>
-          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-            .getPartitionPathString(k, Option(r.get(i)).map(String.valueOf).orNull)
-        }.mkString("/")
-      }.toSet
+      // base = the SNAPSHOT's touched-partition rows (partition-pruned:
+      // the resolve core's filter on partition columns prunes at
+      // planning time)
+      val res = graft.ops.MergeData.resolveMerge(
+        snapshot(spark, dir, v), batch, partitionKeys, rowKey, del)
+      val touchedDirs = res.touchedDirs.toSet
       def underTouched(rel: String) =
         touchedDirs.exists(d => rel.startsWith(d + "/"))
 
-      // base = the SNAPSHOT's touched-partition rows (partition-pruned:
-      // the filter on partition columns prunes at planning time)
-      val base = snapshot(spark, dir, v).filter(touchedPred)
-      val survivors = base.join(
-        batch.select(rowKey.map(col): _*).distinct(), rowKey, "left_anti")
-      val applied = batch.filter(!del).drop("__delete")
-      val dropped = base.columns.toSet -- applied.columns.toSet
-      require(dropped.isEmpty,
-        s"mergeInto batch is missing base columns ${dropped.mkString(", ")}")
-      val merged = survivors.unionByName(applied, allowMissingColumns = true)
+      // the feed increment lands BEFORE the commit (crash-consistent:
+      // actions resolve against snapshot v, which no commit mutates)
+      changeFeed.foreach { case (fd, batchId) =>
+        graft.ops.MergeData.emitChangeFeed(spark, res, batch, rowKey, del, fd, batchId)
+      }
 
       // write new files: append-only, so pre-listing the touched dirs
       // (bounded by the batch) identifies exactly this commit's files
       val before = touchedDirs.flatMap(d =>
         listDataFiles(fs, new Path(dir), new Path(dir, d))).toSet
-      merged.repartition(partitionKeys.map(col): _*)
+      res.merged.repartition(partitionKeys.map(col): _*)
         .write.mode("append").partitionBy(partitionKeys: _*).parquet(dir)
       val after = touchedDirs.flatMap(d =>
         listDataFiles(fs, new Path(dir), new Path(dir, d))).toSet
       val newFiles = (after -- before).toSeq.sorted
 
       val next = live.filterNot(underTouched) ++ newFiles
-      writeManifest(fs, dir, v + 1, next)
+      writeManifest(fs, dir, v + 1, next,
+        meta = txn.map { case (id, b) => s"#txn $id $b" }.toSeq)
       v + 1
     } finally batch.unpersist()
   }
@@ -213,6 +243,20 @@ object Versioned {
     SkipIndex.prunedReadMultiFiles(spark, dir, idx, preds,
       filesAt(spark, dir, version).map(f => s"$dir/$f"))
 
+  /** Bloom-index pruned point/IN lookup of a snapshot — the
+    * [[prunedRead]] analogue for [[BloomIndex]]: the index must
+    * describe exactly this version's manifest (build it from the
+    * version's files, or advance it with [[BloomIndex.refreshForFiles]]
+    * after a merge). Validation is against the manifest, so lookups
+    * time-travel: version N's index keeps serving version N after
+    * later commits, even though the directory holds newer files. */
+  def prunedReadIn(spark: SparkSession, dir: String,
+      idx: org.apache.spark.sql.DataFrame, c: String,
+      probes: Seq[org.apache.spark.sql.Column],
+      version: Long = -1L): DataFrame =
+    BloomIndex.prunedReadInFiles(spark, dir, idx, c, probes,
+      filesAt(spark, dir, version).map(f => s"$dir/$f"))
+
   /** OPTIMIZE within the manifest protocol: partitions holding more
     * than `targetFilesPerPartition` live files are rewritten compacted
     * (one shuffle clustered on the partition keys, new files appended),
@@ -220,15 +264,29 @@ object Versioned {
     * Pure layout change: the snapshot's rows are identical, old
     * versions still see the old files (time travel intact), and work
     * is bounded by the partitions that actually need compacting.
+    *
+    * @param zorder optional clustering key (Delta's `OPTIMIZE ZORDER
+    *   BY`): pass a [[Maintenance.mortonKey]]/[[Maintenance.gridBucket]]
+    *   composition. When set, EVERY partition is rewritten (re-cluster
+    *   semantics, like Delta) as ~`targetFilesPerPartition` files per
+    *   partition, range-split and sorted on the key — each rewritten
+    *   file covers a disjoint zkey slice, so per-file min/max boxes are
+    *   tight on every interleaved dimension and a footer-built
+    *   [[SkipIndex]] over the snapshot prunes multi-predicate reads.
+    *   The key is layout only: it is computed, range-partitioned on,
+    *   sorted by, and dropped before the write.
     * Returns the committed version (unchanged if nothing to do). */
   def optimize(spark: SparkSession, dir: String,
-      partitionKeys: Seq[String], targetFilesPerPartition: Int = 1): Long = {
+      partitionKeys: Seq[String], targetFilesPerPartition: Int = 1,
+      zorder: Option[org.apache.spark.sql.Column] = None): Long = {
     require(targetFilesPerPartition >= 1, "need targetFilesPerPartition >= 1")
     val v = init(spark, dir)
     val live = filesAt(spark, dir, v)
     val byDir = live.groupBy(f => f.take(math.max(f.lastIndexOf('/'), 0)))
     val targets = byDir.filter { case (d, fs0) =>
-      d.nonEmpty && fs0.size > targetFilesPerPartition }
+      d.nonEmpty &&
+        (if (zorder.isDefined) fs0.nonEmpty // re-cluster everything
+         else fs0.size > targetFilesPerPartition) }
     if (targets.isEmpty) return v
     val fs = fsOf(spark, dir)
     val targetDirs = targets.keySet
@@ -236,8 +294,20 @@ object Versioned {
       listDataFiles(fs, new Path(dir), new Path(dir, d))).toSet
     val rows = spark.read.option("basePath", dir).option("mergeSchema", "true")
       .parquet(targets.values.flatten.map(f => s"$dir/$f").toSeq: _*)
-    rows.repartition(partitionKeys.map(col): _*)
-      .write.mode("append").partitionBy(partitionKeys: _*).parquet(dir)
+    val clustered = zorder match {
+      case Some(z) =>
+        // range-split on (partition, zkey): each task holds one
+        // contiguous zkey slice of one partition (a slice straddling a
+        // partition boundary just splits into two files at the write),
+        // and the in-task sort tightens row-group stats too
+        val keys = partitionKeys.map(col) :+ col("__zkey")
+        rows.withColumn("__zkey", z)
+          .repartitionByRange(targets.size * targetFilesPerPartition, keys: _*)
+          .sortWithinPartitions(keys: _*)
+          .drop("__zkey")
+      case None => rows.repartition(partitionKeys.map(col): _*)
+    }
+    clustered.write.mode("append").partitionBy(partitionKeys: _*).parquet(dir)
     val after = targetDirs.flatMap(d =>
       listDataFiles(fs, new Path(dir), new Path(dir, d))).toSet
     val newFiles = (after -- before).toSeq.sorted

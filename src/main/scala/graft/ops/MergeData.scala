@@ -211,16 +211,32 @@ object MergeData {
           .as("delta_count"))
   }
 
-  private def mergeIntoImpl(spark: SparkSession, baseDir: String,
-      updates: DataFrame, partitionKeys: Seq[String], rowKey: Seq[String],
-      del: org.apache.spark.sql.Column,
-      changeFeed: Option[(String, Long)]): Unit = {
+  /** The matched/unmatched resolution shared by BOTH commit strategies
+    * (swap-commit [[mergeIntoImpl]] and manifest-commit
+    * [[graft.lake.Versioned.mergeInto]]) — extracting it is what keeps
+    * their semantics from drifting: touched-partition scope, survivors
+    * anti-join, evolution guard and `__delete` handling are defined
+    * exactly once.
+    *
+    * @param baseAll the WHOLE base table (a mergeSchema dir read, or a
+    *   versioned snapshot); resolution filters it to touched partitions
+    */
+  private[graft] final case class MergeResolution(
+      touchedRows: Seq[org.apache.spark.sql.Row],
+      touchedDirs: Seq[String],
+      base: DataFrame,     // pre-merge rows of the touched partitions
+      applied: DataFrame,  // the batch's upsert rows (no __delete)
+      merged: DataFrame)   // post-merge rows of the touched partitions
+
+  private[graft] def resolveMerge(baseAll: DataFrame, updates: DataFrame,
+      partitionKeys: Seq[String], rowKey: Seq[String],
+      del: org.apache.spark.sql.Column): MergeResolution = {
     // one driver-side pass over the batch's distinct partitions: it is
     // bounded by the batch (a day's CDC touches few partitions), and it
-    // buys BOTH static partition pruning on the read and the commit
-    // swap list below
+    // buys BOTH static partition pruning on the read and the commit's
+    // swap/replace list
     val touchedRows = updates.select(partitionKeys.map(col): _*)
-      .distinct().collect()
+      .distinct().collect().toSeq
     require(touchedRows.nonEmpty, "mergeInto got an empty updates batch")
     // null-safe (<=>): a null partition value must still match the
     // base's null-partition rows, or those rows silently duplicate
@@ -229,12 +245,15 @@ object MergeData {
         col(k) <=> lit(r.get(i))
       }.reduce(_ && _)
     }.reduce(_ || _)
-    // mergeSchema: an evolved lake holds files written before a column
-    // existed next to files written after; the union schema is the
-    // table's schema (Delta keeps this in its log — here the footers
-    // are merged in a distributed job, bounded by file count)
-    val base = spark.read.option("mergeSchema", "true").parquet(baseDir)
-      .filter(touchedPred)
+    // the same strings the partitioned write renders as directories
+    // (nulls → __HIVE_DEFAULT_PARTITION__)
+    val touchedDirs = touchedRows.map { r =>
+      partitionKeys.zipWithIndex.map { case (k, i) =>
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .getPartitionPathString(k, Option(r.get(i)).map(String.valueOf).orNull)
+      }.mkString("/")
+    }
+    val base = baseAll.filter(touchedPred)
     val survivors = base.join(
       updates.select(rowKey.map(col): _*).distinct(), rowKey, "left_anti")
     val applied = updates.filter(!del).drop("__delete")
@@ -247,60 +266,84 @@ object MergeData {
       s"mergeInto batch is missing base columns ${dropped.mkString(", ")}: " +
         "batches must carry every base data column (evolution adds columns, never drops)")
     val merged = survivors.unionByName(applied, allowMissingColumns = true)
+    MergeResolution(touchedRows, touchedDirs, base, applied, merged)
+  }
 
-    // Change feed resolves against the PRE-merge base (rowKey-shaped
-    // joins over the touched partitions only) and must land before the
-    // swap below mutates it. Delta-CDF row classes — preimages carry
-    // the OLD row, which is what makes downstream incremental aggregate
-    // maintenance possible (delta = postimage − preimage):
-    //   insert            — batch row, key absent from base
-    //   update_postimage  — batch row, key present
-    //   update_preimage   — the BASE row that postimage replaced
-    //   delete            — the BASE row removed (absent key = no row)
+  /** Change-feed emission shared by both commit strategies. Actions
+    * resolve against the PRE-merge base (rowKey-shaped joins over the
+    * touched partitions only) and must be called BEFORE the commit
+    * mutates visible state. Delta-CDF row classes — preimages carry
+    * the OLD row, which is what makes downstream incremental aggregate
+    * maintenance possible (delta = postimage − preimage):
+    *   insert            — batch row, key absent from base
+    *   update_postimage  — batch row, key present
+    *   update_preimage   — the BASE row that postimage replaced
+    *   delete            — the BASE row removed (absent key = no row)
+    *
+    * WRITE-ONCE per batch_id, committed by atomic rename. Actions
+    * resolve against the PRE-merge base, so a batch REPLAYED after
+    * its commit landed would re-resolve against the merged state
+    * and publish garbage (pre == post zero-deltas, inserts become
+    * self-updates) — exactly what a crashed-and-restarted streaming
+    * merge does. Skipping an increment that already exists keeps the
+    * original, correctly-resolved actions; and because the feed is
+    * emitted BEFORE the commit, every crash window replays
+    * consistently (feed absent → base still pre-merge → correct
+    * re-resolve; feed present → skip). The staging+rename makes the
+    * increment all-or-nothing, so a crash mid-write can't leave a
+    * half increment that the skip check would then trust. */
+  private[graft] def emitChangeFeed(spark: SparkSession,
+      res: MergeResolution, updates: DataFrame, rowKey: Seq[String],
+      del: org.apache.spark.sql.Column, dir: String, batchId: Long): Unit = {
+    val feedRoot = new org.apache.hadoop.fs.Path(dir)
+    val feedFs = feedRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(feedRoot, s"batch_id=$batchId")
+    if (!feedFs.exists(target)) {
+      // feed rows carry the EVOLVED schema: inserts/postimages bring
+      // the batch's new columns, preimages/deletes (old base rows)
+      // null-fill them via the allowMissingColumns unions below
+      val base = res.base
+      val upserts = res.applied
+      val delKeys = updates.filter(del).select(rowKey.map(col): _*).distinct()
+      val upsKeys = upserts.select(rowKey.map(col): _*).distinct()
+      def tag(d: DataFrame, action: String) =
+        d.withColumn("_action", lit(action))
+      val actions =
+        tag(upserts.join(base.select(rowKey.map(col): _*).distinct(),
+          rowKey, "left_anti"), "insert")
+        .unionByName(tag(upserts.join(
+          base.select(rowKey.map(col): _*).distinct(), rowKey, "left_semi"),
+          "update_postimage"))
+        .unionByName(tag(base.join(upsKeys, rowKey, "left_semi"),
+          "update_preimage"), allowMissingColumns = true)
+        .unionByName(tag(base.join(delKeys, rowKey, "left_semi"), "delete"),
+          allowMissingColumns = true)
+      val stg = new org.apache.hadoop.fs.Path(
+        dir + "_feedstg_" + java.util.UUID.randomUUID().toString.take(8))
+      try {
+        actions.write.mode("overwrite").parquet(stg.toString)
+        feedFs.mkdirs(feedRoot)
+        require(feedFs.rename(stg, target),
+          s"feed commit: rename $stg -> $target failed")
+      } finally feedFs.delete(stg, true)
+    }
+  }
+
+  private def mergeIntoImpl(spark: SparkSession, baseDir: String,
+      updates: DataFrame, partitionKeys: Seq[String], rowKey: Seq[String],
+      del: org.apache.spark.sql.Column,
+      changeFeed: Option[(String, Long)]): Unit = {
+    // mergeSchema: an evolved lake holds files written before a column
+    // existed next to files written after; the union schema is the
+    // table's schema (Delta keeps this in its log — here the footers
+    // are merged in a distributed job, bounded by file count)
+    val baseAll = spark.read.option("mergeSchema", "true").parquet(baseDir)
+    val res = resolveMerge(baseAll, updates, partitionKeys, rowKey, del)
+    val merged = res.merged
+
+    // feed lands before the swap below mutates the base
     changeFeed.foreach { case (dir, batchId) =>
-      // WRITE-ONCE per batch_id, committed by atomic rename. Actions
-      // resolve against the PRE-merge base, so a batch REPLAYED after
-      // its data swap landed would re-resolve against the merged state
-      // and publish garbage (pre == post zero-deltas, inserts become
-      // self-updates) — exactly what a crashed-and-restarted streaming
-      // merge does. Skipping an increment that already exists keeps the
-      // original, correctly-resolved actions; and because the feed is
-      // emitted BEFORE the data swap below, every crash window replays
-      // consistently (feed absent → base still pre-merge → correct
-      // re-resolve; feed present → skip). The staging+rename makes the
-      // increment all-or-nothing, so a crash mid-write can't leave a
-      // half increment that the skip check would then trust.
-      val feedRoot = new org.apache.hadoop.fs.Path(dir)
-      val feedFs = feedRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val target = new org.apache.hadoop.fs.Path(feedRoot, s"batch_id=$batchId")
-      if (!feedFs.exists(target)) {
-        // feed rows carry the EVOLVED schema: inserts/postimages bring
-        // the batch's new columns, preimages/deletes (old base rows)
-        // null-fill them via the allowMissingColumns unions below
-        val upserts = applied
-        val delKeys = updates.filter(del).select(rowKey.map(col): _*).distinct()
-        val upsKeys = upserts.select(rowKey.map(col): _*).distinct()
-        def tag(d: DataFrame, action: String) =
-          d.withColumn("_action", lit(action))
-        val actions =
-          tag(upserts.join(base.select(rowKey.map(col): _*).distinct(),
-            rowKey, "left_anti"), "insert")
-          .unionByName(tag(upserts.join(
-            base.select(rowKey.map(col): _*).distinct(), rowKey, "left_semi"),
-            "update_postimage"))
-          .unionByName(tag(base.join(upsKeys, rowKey, "left_semi"),
-            "update_preimage"), allowMissingColumns = true)
-          .unionByName(tag(base.join(delKeys, rowKey, "left_semi"), "delete"),
-            allowMissingColumns = true)
-        val stg = new org.apache.hadoop.fs.Path(
-          dir + "_feedstg_" + java.util.UUID.randomUUID().toString.take(8))
-        try {
-          actions.write.mode("overwrite").parquet(stg.toString)
-          feedFs.mkdirs(feedRoot)
-          require(feedFs.rename(stg, target),
-            s"feed commit: rename $stg -> $target failed")
-        } finally feedFs.delete(stg, true)
-      }
+      emitChangeFeed(spark, res, updates, rowKey, del, dir, batchId)
     }
 
     // The write target IS the read source, which Spark's file-source
@@ -321,15 +364,7 @@ object MergeData {
     // semantics report non-empty-dst/quota failures by returning false,
     // not throwing) and delete staging ONLY after all swaps succeed. A
     // failed swap aborts loudly with the data recoverable in staging.
-    val parts = touchedRows.map { r =>
-      partitionKeys.zipWithIndex.map { case (k, i) =>
-        // null partition → Hive's __HIVE_DEFAULT_PARTITION__, matching
-        // the directory the partitioned write itself produces
-        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-          .getPartitionPathString(k, Option(r.get(i)).map(String.valueOf).orNull)
-      }.mkString("/")
-    }
-    parts.foreach { rel =>
+    res.touchedDirs.foreach { rel =>
       val dst = new org.apache.hadoop.fs.Path(baseDir, rel)
       val src = new org.apache.hadoop.fs.Path(staging, rel)
       fs.delete(dst, true)

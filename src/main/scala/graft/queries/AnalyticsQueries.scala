@@ -924,25 +924,31 @@ object AnalyticsQueries {
     // bounded by |lang|·|source| at any corpus size — never a second
     // data scan). Lift = observed/expected = the log-free PMI core
     // (PMI = ln lift); chi2_part = this cell's chi-square term via
-    // the integer identity (n·n_xy − n_x·n_y)² / (n·n_x·n_y). All
-    // inputs are exact 64-bit counts; each output is one exactly-
-    // rounded IEEE divide, pinned with round(·, 6) on both sides.
+    // the identity (n·n_xy − n_x·n_y)² / (n·n_x·n_y), computed in
+    // double from the start (counts stay exact below 2^53, and a
+    // BIGINT triple product would overflow ~10M docs) — identical
+    // IEEE ops on both engines, pinned with round(·, 6) on both sides.
     // ---------------------------------------------------------------
     Q("q162_assoc_lift",
       (s, dir) => {
         val joint = Tables(s, dir, "documents")
           .filter(col("lang").isNotNull && col("source").isNotNull)
           .groupBy("lang", "source").agg(count(lit(1)).as("n_xy"))
-        val dev = (col("n") * col("n_xy") - col("n_x") * col("n_y"))
-          .cast("double")
+        // Each COUNT is cast to double BEFORE any multiply: counts are
+        // exact in double up to 2^53, while a BIGINT triple product
+        // (n·n_x·n_y) overflows Long around ~10M documents. The double
+        // products/differences are then identical exactly-rounded IEEE
+        // ops on both engines, pinned by round(·, 6).
+        def d(c: String) = col(c).cast("double")
+        val dev = d("n") * d("n_xy") - d("n_x") * d("n_y")
         joint
           .withColumn("n_x", sum("n_xy").over(Window.partitionBy("lang")))
           .withColumn("n_y", sum("n_xy").over(Window.partitionBy("source")))
           .withColumn("n", sum("n_xy").over(Window.partitionBy()))
-          .withColumn("lift", round((col("n_xy") * col("n")).cast("double")
-            / (col("n_x") * col("n_y")).cast("double"), 6))
+          .withColumn("lift", round(d("n_xy") * d("n")
+            / (d("n_x") * d("n_y")), 6))
           .withColumn("chi2_part", round(dev * dev
-            / (col("n") * col("n_x") * col("n_y")).cast("double"), 6))
+            / (d("n") * d("n_x") * d("n_y")), 6))
           .orderBy("lang", "source")
       },
       Some("""
@@ -956,10 +962,10 @@ object AnalyticsQueries {
                      sum(n_xy) OVER ()::BIGINT AS n
               FROM joint)
         SELECT lang, source, n_xy, n_x, n_y, n,
-               round((n_xy * n)::DOUBLE / (n_x * n_y)::DOUBLE, 6) AS lift,
-               round((n * n_xy - n_x * n_y)::DOUBLE
-                     * (n * n_xy - n_x * n_y)::DOUBLE
-                     / (n * n_x * n_y)::DOUBLE, 6) AS chi2_part
+               round(n_xy::DOUBLE * n::DOUBLE / (n_x::DOUBLE * n_y::DOUBLE), 6) AS lift,
+               round((n::DOUBLE * n_xy::DOUBLE - n_x::DOUBLE * n_y::DOUBLE)
+                     * (n::DOUBLE * n_xy::DOUBLE - n_x::DOUBLE * n_y::DOUBLE)
+                     / (n::DOUBLE * n_x::DOUBLE * n_y::DOUBLE), 6) AS chi2_part
         FROM m ORDER BY 1, 2"""),
       "lang x source contingency: lift (log-free PMI) + chi-square terms from exact integer counts, one cell-level shuffle"),
 

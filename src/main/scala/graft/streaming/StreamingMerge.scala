@@ -55,25 +55,43 @@ object StreamingMerge {
     * ([[graft.lake.Versioned]]): every micro-batch merge is an atomic
     * versioned commit, so the CDC stream accumulates full snapshot
     * history (time travel over the stream's life) and concurrent
-    * readers are isolated from in-flight batches. Crash semantics are
-    * honest Delta semantics: a replayed batch commits an EXTRA version
-    * whose content equals the crashed one (data-level idempotence,
-    * VersionedSpec) — version count is at-least-once, data
-    * exactly-once. */
+    * readers are isolated from in-flight batches. EXACTLY-ONCE at the
+    * version level, not just the data level: each commit is stamped
+    * with a `(txnId, batchId)` manifest marker (Delta's `txn` action),
+    * so a batch replayed after a crash between the versioned commit
+    * and the streaming log record is SKIPPED — the version advances
+    * once per batch, ever (StreamingMergeSpec pins it).
+    *
+    * @param txnId identifies this stream in the manifest's txn
+    *   markers; defaults to a stable hash of the checkpoint path (the
+    *   same stream restarts with the same checkpoint, hence the same
+    *   id). Pass explicitly when two streams share a checkpoint
+    *   naming scheme.
+    * @param changeDir optional CDF root, as in [[start]]: the feed
+    *   increment is emitted by the same write-once pre-commit contract,
+    *   so snapshot history and the change feed ride one write path. */
   def startVersioned(updates: DataFrame, baseDir: String,
       partitionKeys: Seq[String], rowKey: Seq[String], checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow(),
-      afterBatch: Long => Unit = _ => ()): StreamingQuery =
+      afterBatch: Long => Unit = _ => (),
+      txnId: Option[String] = None,
+      changeDir: Option[String] = None): StreamingQuery = {
+    // String.hashCode is spec-pinned (JLS), so the default id is stable
+    // across JVMs/restarts for a given checkpoint path
+    val id = txnId.getOrElse("ckpt-" + Integer.toHexString(checkpoint.hashCode))
     updates.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, id: Long) =>
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
         if (!batch.isEmpty) {
           graft.lake.Versioned.mergeInto(batch.sparkSession, baseDir, batch,
-            partitionKeys, rowKey)
+            partitionKeys, rowKey,
+            changeFeed = changeDir.map(d => (d, bid)),
+            txn = Some((id, bid)))
         }
-        afterBatch(id)
+        afterBatch(bid)
       }
       .start()
+  }
 }

@@ -58,6 +58,53 @@ class BloomIndexSpec extends SparkSpec {
     assert(src.filter(col("key") === 999999L).count() == 0)
   }
 
+  test("bloom index rides the manifest: refresh tracks commits, lookups time-travel") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloomver").toFile
+    dir.deleteOnExit()
+    val lakeDir = new java.io.File(dir, "lake").getAbsolutePath
+    graft.ops.MergeData.writeMerged(spark,
+      df(Seq(("a", 1L, 1.0), ("a", 2L, 2.0), ("b", 10L, 10.0)),
+        "site", "id", "v"),
+      lakeDir, keys = Seq("site"))
+    Versioned.init(spark, lakeDir)
+    def liveFiles(v: Long = -1L) =
+      Versioned.filesAt(spark, lakeDir, v).map(f => s"$lakeDir/$f")
+    val built = BloomIndex.buildForFiles(spark, lakeDir, liveFiles(0L),
+      Seq("id"), 100L, 0.001)
+    // pin as a local relation: a lazy plan over the files could never go stale
+    val idx0 = spark.createDataFrame(
+      java.util.Arrays.asList(built.collect(): _*), built.schema)
+
+    Versioned.mergeInto(spark, lakeDir,
+      df(Seq(("a", 1L, 100.0, false), ("a", 4L, 4.0, false)),
+        "site", "id", "v", "__delete"),
+      Seq("site"), Seq("site", "id"))
+    // the v0 index does NOT describe v1...
+    val e = intercept[IllegalArgumentException] {
+      Versioned.prunedReadIn(spark, lakeDir, idx0, "id", Seq(lit(1L)))
+    }
+    assert(e.getMessage.contains("does not describe"))
+    // ...but still serves v0 exactly (point-lookup time travel), even
+    // though the directory now also holds v1's files
+    val tt = Versioned.prunedReadIn(spark, lakeDir, idx0, "id",
+      Seq(lit(1L), lit(10L)), version = 0L)
+    assert(tt.select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet ==
+      Set((1L, 1.0), (10L, 10.0)))
+    // refresh against v1's manifest (touched partition only): the
+    // index becomes exact for the latest snapshot
+    val idx1 = BloomIndex.refreshForFiles(spark, lakeDir, idx0, Seq("id"),
+      100L, 0.001, Seq("site=a"), liveFiles())
+    val now = Versioned.prunedReadIn(spark, lakeDir, idx1, "id",
+      Seq(lit(1L), lit(4L), lit(10L)))
+    assert(now.select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet ==
+      Set((1L, 100.0), (4L, 4.0), (10L, 10.0)))
+    // untouched-partition entries were kept, touched ones rebuilt
+    assert(idx1.filter(col("file").contains("/site=b/")).count() ==
+      idx0.filter(col("file").contains("/site=b/")).count())
+  }
+
   test("stale index (vanished or unindexed file) is refused loudly") {
     val (out, _) = lake
     val idx = BloomIndex.build(spark, out, Seq("key"), 1000L, 0.0001)

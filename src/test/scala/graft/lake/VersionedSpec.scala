@@ -160,6 +160,99 @@ class VersionedSpec extends SparkSpec {
       Set((1L, 100.0), (2L, 2.0), (4L, 4.0), (10L, 10.0)))
   }
 
+  test("txn marker makes a replayed batch a version-level no-op") {
+    val dir = freshLake()
+    Versioned.init(spark, dir)
+    val batch = df(Seq(("a", 1L, 5.0, false)), "site", "id", "v", "__delete")
+    val v1 = Versioned.mergeInto(spark, dir, batch, Seq("site"),
+      Seq("site", "id"), txn = Some(("stream-x", 0L)))
+    assert(v1 == 1L && Versioned.lastTxn(spark, dir, "stream-x") == 0L)
+    // replay of batch 0: skipped entirely, version unchanged
+    assert(Versioned.mergeInto(spark, dir, batch, Seq("site"),
+      Seq("site", "id"), txn = Some(("stream-x", 0L))) == 1L)
+    assert(Versioned.currentVersion(spark, dir) == 1L)
+    // the next batch commits; an unrelated txn id sees no high-water mark
+    assert(Versioned.lastTxn(spark, dir, "stream-y") == -1L)
+    val v2 = Versioned.mergeInto(spark, dir,
+      df(Seq(("a", 2L, 20.0, false)), "site", "id", "v", "__delete"),
+      Seq("site"), Seq("site", "id"), txn = Some(("stream-x", 1L)))
+    assert(v2 == 2L && Versioned.lastTxn(spark, dir, "stream-x") == 1L)
+    assert(state(Versioned.snapshot(spark, dir)) ==
+      Set(("a", 1L, 5.0), ("a", 2L, 20.0), ("b", 10L, 10.0)))
+  }
+
+  test("versioned merge emits the same change feed as the swap path") {
+    val dir = freshLake()
+    Versioned.init(spark, dir)
+    val feed = dir + "_feed"
+    val batch = df(Seq(("a", 1L, 100.0, false), ("a", 2L, 0.0, true),
+      ("c", 7L, 7.0, false)), "site", "id", "v", "__delete")
+    Versioned.mergeInto(spark, dir, batch, Seq("site"), Seq("site", "id"),
+      changeFeed = Some((feed, 0L)))
+    val rows = spark.read.parquet(feed)
+      .select("_action", "site", "id", "v").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(rows == Set(
+      ("insert", "c", 7L, 7.0),
+      ("update_preimage", "a", 1L, 1.0),
+      ("update_postimage", "a", 1L, 100.0),
+      ("delete", "a", 2L, 2.0)))
+    // replaying the batch keeps the write-once increment (no rewrite
+    // against the merged state) and the replica replay converges
+    Versioned.mergeInto(spark, dir, batch, Seq("site"), Seq("site", "id"),
+      changeFeed = Some((feed, 0L)))
+    assert(spark.read.parquet(feed).count() == 4)
+    val replica = dir + "_replica"
+    MergeData.writeMerged(spark,
+      df(Seq(("a", 1L, 1.0), ("a", 2L, 2.0), ("b", 10L, 10.0)),
+        "site", "id", "v"), replica, keys = Seq("site"))
+    MergeData.applyChangeFeed(spark, feed, replica, Seq("site"), Seq("site", "id"))
+    assert(state(spark.read.parquet(replica)) ==
+      state(Versioned.snapshot(spark, dir)))
+  }
+
+  test("OPTIMIZE ZORDER BY: re-clustered snapshot identical, files z-split, history intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_versioned_z").toFile
+    dir.deleteOnExit()
+    // shuffled 2-D data in 4 unclustered files per partition
+    val rows = (0L until 400L).map { i =>
+      (if (i % 2 == 0) "a" else "b", i, (i * 7919) % 1000, ((i * 104729) % 1000).toDouble)
+    }
+    df(rows, "site", "id", "x", "y")
+      .repartition(4)
+      .write.mode("overwrite").partitionBy("site").parquet(dir.getAbsolutePath)
+    Versioned.init(spark, dir.getAbsolutePath)
+    val before = Versioned.snapshot(spark, dir.getAbsolutePath)
+      .select("site", "id", "x", "y").collect().map(_.toSeq).toSet
+    val v1 = Versioned.optimize(spark, dir.getAbsolutePath, Seq("site"),
+      targetFilesPerPartition = 4,
+      zorder = Some(Maintenance.mortonKey(
+        col("x"), col("y").cast("long"), bits = 10)))
+    assert(v1 == 1L)
+    assert(Versioned.snapshot(spark, dir.getAbsolutePath)
+      .select("site", "id", "x", "y").collect().map(_.toSeq).toSet == before,
+      "zorder optimize is a pure layout change")
+    assert(Versioned.snapshot(spark, dir.getAbsolutePath, 0L)
+      .select("site", "id", "x", "y").collect().map(_.toSeq).toSet == before,
+      "pre-optimize version still reads identically")
+    // the z-layout pays: a footer-built index over the new snapshot
+    // prunes a 2-predicate read below the full file count, exactly
+    val live = Versioned.filesAt(spark, dir.getAbsolutePath, v1)
+      .map(f => s"${dir.getAbsolutePath}/$f")
+    assert(live.size > 2, "zorder rewrite must split partitions into slices")
+    val idx = SkipIndex.buildFromFooterFiles(spark, live, Seq("x", "y"))
+    val preds = Seq(("x", 0.0, 240.0), ("y", 0.0, 240.0))
+    val cand = SkipIndex.candidateFilesMulti(idx, preds)
+    assert(cand.size < live.size,
+      s"tight 2-D boxes must prune some files (${cand.size}/${live.size})")
+    val pruned = Versioned.prunedRead(spark, dir.getAbsolutePath, idx, preds)
+      .select("site", "id", "x", "y").collect().map(_.toSeq).toSet
+    val naive = before.filter(r =>
+      r(2).asInstanceOf[Long] <= 240 && r(3).asInstanceOf[Double] <= 240.0)
+    assert(pruned == naive)
+  }
+
   test("versioned merge is replay-idempotent at the data level") {
     val dir = freshLake()
     Versioned.init(spark, dir)

@@ -96,14 +96,16 @@ class StreamingMergeSpec extends SparkSpec {
     assert(state(replica) == Set(("a", 1L, 100.0), ("c", 7L, 70.0)))
   }
 
-  test("versioned streaming: manifest history accumulates; crash-replay adds a version, not data") {
+  test("versioned streaming: manifest history accumulates; crash-replay does NOT advance the version") {
     val (lake, in, ckpt) = mkDirs()
+    val feed = new File(new File(lake).getParentFile, "vfeed").getAbsolutePath
     seedBase(lake)
     graft.lake.Versioned.init(spark, lake)
     def runVersioned(afterBatch: Long => Unit = _ => ()): Unit = {
       val stream = spark.readStream.schema(schema).csv(in)
       val q = StreamingMerge.startVersioned(stream, lake,
-        Seq("site"), Seq("site", "id"), ckpt, afterBatch = afterBatch)
+        Seq("site"), Seq("site", "id"), ckpt, afterBatch = afterBatch,
+        changeDir = Some(feed))
       try q.awaitTermination()
       finally if (q.isActive) q.stop()
     }
@@ -126,15 +128,40 @@ class StreamingMergeSpec extends SparkSpec {
       runVersioned(afterBatch = _ => throw new RuntimeException("injected crash"))
     }
     assert(graft.lake.Versioned.currentVersion(spark, lake) == 2L)
-    // restart replays b2: one MORE version, identical content
+    // restart replays b2: the (txnId, batchId) manifest marker makes
+    // the replay a no-op — the version does NOT advance twice
     runVersioned()
-    assert(graft.lake.Versioned.currentVersion(spark, lake) == 3L)
-    assert(snapState(2L) == snapState(3L))
-    assert(snapState(3L) == Set(
+    assert(graft.lake.Versioned.currentVersion(spark, lake) == 2L,
+      "replayed batch must not commit a second version")
+    assert(snapState(2L) == Set(
       ("a", 1L, 100.0), ("b", 10L, 10.0), ("c", 7L, 70.0)))
     // and the stream's full history time-travels: v1 still intact
     assert(snapState(1L) == Set(
       ("a", 1L, 100.0), ("b", 10L, 10.0), ("c", 7L, 7.0)))
+
+    // the versioned path emitted one write-once CDF increment per
+    // micro-batch (the replayed batch kept its original increment)
+    val ids = spark.read.parquet(feed).select("batch_id").distinct()
+      .collect().map(_.getAs[Number](0).longValue()).toSet
+    assert(ids == Set(0L, 1L))
+
+    // streamed versioned lake == the same batches applied with batch
+    // Versioned.mergeInto on a twin lake
+    val twin = new File(new File(lake).getParentFile, "twin").getAbsolutePath
+    seedBase(twin)
+    graft.lake.Versioned.init(spark, twin)
+    graft.lake.Versioned.mergeInto(spark, twin,
+      df(Seq(("a", 1L, 100.0, false), ("a", 2L, 0.0, true), ("c", 7L, 7.0, false)),
+        "site", "id", "v", "__delete"), Seq("site"), Seq("site", "id"))
+    graft.lake.Versioned.mergeInto(spark, twin,
+      df(Seq(("c", 7L, 70.0, false)), "site", "id", "v", "__delete"),
+      Seq("site"), Seq("site", "id"))
+    def twinState(v: Long): Set[(String, Long, Double)] =
+      graft.lake.Versioned.snapshot(spark, twin, v)
+        .select("site", "id", "v").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(graft.lake.Versioned.currentVersion(spark, twin) == 2L)
+    (1L to 2L).foreach(v => assert(twinState(v) == snapState(v)))
   }
 
   test("crash between merge and commit: replay converges to the same state") {
