@@ -171,14 +171,16 @@ object MergeData {
     * (`_action='delete'` rows become `__delete`). The driver-side loop
     * is bounded by the number of UNAPPLIED batches (pass `sinceBatch`
     * = the replica's high-water mark, exactly like any log consumer),
-    * and each application touches only that batch's partitions. */
+    * and each application touches only that batch's partitions.
+    * `untilBatch` bounds the replay from above (point-in-time restore,
+    * or a catch-up that must stop at a published watermark). */
   def applyChangeFeed(spark: SparkSession, feedDir: String,
       replicaDir: String, partitionKeys: Seq[String], rowKey: Seq[String],
-      sinceBatch: Long = -1L): Unit = {
+      sinceBatch: Long = -1L, untilBatch: Long = Long.MaxValue): Unit = {
     // mergeSchema: feed batches published before a schema evolution sit
     // next to evolved ones; the replica applies the union schema
     val feed = spark.read.option("mergeSchema", "true").parquet(feedDir)
-      .filter(col("batch_id") > sinceBatch)
+      .filter(col("batch_id") > sinceBatch && col("batch_id") <= untilBatch)
     val batchIds = feed.select("batch_id").distinct()
       .collect().map(_.getAs[Number]("batch_id").longValue()).sorted
     batchIds.foreach { id =>
