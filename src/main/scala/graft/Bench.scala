@@ -77,8 +77,16 @@ object Bench {
     val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
+    // per-tier subtotals (source-file domains): tier-level drift is
+    // visible at a glance instead of eyeballing 160+ per-query numbers
+    val tierOf = graft.queries.Registry.tierOf
+    val tiers = results.toSeq.filter(_._2 >= 0)
+      .groupBy { case (k, _) => tierOf.getOrElse(k, "other") }
+      .toSeq.sortBy(_._1)
+      .map { case (t, vs) => s"${jstr(t)}:${vs.map(_._2).sum}" }
+      .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"tiers":$tiers,"errors":$errJson,"sf":"$sfDir"}"""
     // One clean line on stdout (build.sbt routes forked output straight
     // through, un-prefixed) + a file copy in case a log wrapper eats it.
     // The copy goes to an explicit, env-overridable absolute path so a

@@ -24,4 +24,22 @@ object Registry {
   def all: Seq[Q] =
     ReferenceQueries.all ++ SummaryQueries.all ++ LakeQueries.all ++
       CatalogQueries.all ++ ExtensionQueries.all ++ MvQueries.all
+
+  /** query name → tier (the per-domain source file), so the bench can
+    * report per-tier subtotals and rounds can see tier-level drift at a
+    * glance without eyeballing 167 per-query numbers. */
+  def tierOf: Map[String, String] = Seq(
+    ReferenceQueries.all -> "reference",
+    SummaryQueries.all -> "summary",
+    LakeQueries.all -> "lake",
+    CatalogQueries.all -> "catalog",
+    DedupQueries.all -> "dedup",
+    AnnQueries.all -> "ann",
+    TextQueries.all -> "text",
+    CurationQueries.all -> "curation",
+    MultimodalQueries.all -> "multimodal",
+    CapstoneQueries.all -> "capstone",
+    AnalyticsQueries.all -> "analytics",
+    MvQueries.all -> "mv"
+  ).flatMap { case (qs, tier) => qs.map(_.name -> tier) }.toMap
 }

@@ -155,12 +155,18 @@ class MergeIntoSpec extends SparkSpec {
         "site", "id", "v", "__delete"),
       Seq("site"), Seq("site", "id"), changeFeed = Some((feed, 1L)))
 
-    // replica replays the feed: both batches, then incrementally nothing
-    MergeData.applyChangeFeed(spark, feed, replica, Seq("site"), Seq("site", "id"))
+    // bounded catch-up (point-in-time restore): untilBatch = 0 stops
+    // at batch 0's state...
+    MergeData.applyChangeFeed(spark, feed, replica, Seq("site"), Seq("site", "id"),
+      untilBatch = 0L)
+    assert(state(replica) == Set(
+      ("a", 1L, 100.0), ("b", 10L, 10.0), ("c", 7L, 7.0)))
+    // ...then the high-water mark applies only what's above it
+    MergeData.applyChangeFeed(spark, feed, replica, Seq("site"), Seq("site", "id"),
+      sinceBatch = 0L)
     assert(state(replica) == state(primary))
     assert(state(replica) == Set(("a", 1L, 100.0), ("c", 7L, 70.0)))
-    // high-water mark: replaying from batch 1 applies only batch 1 —
-    // idempotent here because batch 1 touches keys already final
+    // replaying from batch 1 again is idempotent (keys already final)
     MergeData.applyChangeFeed(spark, feed, replica, Seq("site"), Seq("site", "id"),
       sinceBatch = 0L)
     assert(state(replica) == state(primary))
