@@ -136,6 +136,18 @@ object Versioned {
       v: Long, files: Seq[String]): Unit =
     writeManifest(fsOf(spark, dir), dir, v, files)
 
+  /** Equality-delete (tombstone) files live at `version` — relative
+    * paths recorded as `#del <path>` manifest lines. Empty for lakes
+    * that never used [[deleteWhere]] (and after
+    * [[materializeDeletes]]). */
+  def deleteFilesAt(spark: SparkSession, dir: String, version: Long = -1L): Seq[String] = {
+    val v = if (version >= 0) version else currentVersion(spark, dir)
+    require(v >= 0, s"no manifest in $dir — call init() first")
+    manifestLines(spark, dir, v).collect {
+      case l if l.startsWith("#del ") => l.stripPrefix("#del ").trim
+    }
+  }
+
   /** Version an existing lake: v0 = its current files. Idempotent
     * (no-op if any manifest exists); returns the current version. */
   def init(spark: SparkSession, dir: String): Long = {
@@ -150,12 +162,123 @@ object Versioned {
 
   /** The table at `version` (latest if -1): reads EXACTLY the
     * manifest's files; partition columns come from the Hive paths via
-    * basePath. Immune to concurrent commits by construction. */
+    * basePath. Immune to concurrent commits by construction.
+    * MERGE-ON-READ: any equality-delete tombstones recorded at this
+    * version ([[deleteWhere]]) are applied as one anti-join on the
+    * tombstone's key columns — readers never see deleted rows even
+    * though the data files still physically hold them. */
   def snapshot(spark: SparkSession, dir: String, version: Long = -1L): DataFrame = {
-    val files = filesAt(spark, dir, version)
+    val v = if (version >= 0) version else currentVersion(spark, dir)
+    val files = filesAt(spark, dir, v)
     require(files.nonEmpty, s"version $version of $dir has no files")
-    spark.read.option("basePath", dir).option("mergeSchema", "true")
+    val df = spark.read.option("basePath", dir).option("mergeSchema", "true")
       .parquet(files.map(f => s"$dir/$f"): _*)
+    val dels = deleteFilesAt(spark, dir, v)
+    if (dels.isEmpty) df
+    else {
+      val tomb = spark.read.parquet(dels.map(d => s"$dir/$d"): _*)
+      df.join(tomb, tomb.columns.toSeq, "left_anti")
+    }
+  }
+
+  /** MERGE-ON-READ equality delete (Iceberg's equality-delete files /
+    * Hudi's MOR tombstones, on the manifest protocol): rows matching
+    * `pred` are deleted by COMMITTING THEIR KEYS, not by rewriting
+    * their partitions — write cost is O(matching keys), zero data
+    * files touched, commit is the same atomic manifest rename, old
+    * versions still read pre-delete (time travel). The keys land as a
+    * parquet of `keyCols` under `_deletes/` and ride the manifest as
+    * `#del` lines; [[snapshot]] applies them as one anti-join.
+    *
+    * This is THE 100 TB deletion path (a GDPR user erasure touches a
+    * key list, not a petabyte of partitions); the read-side anti-join
+    * costs until [[materializeDeletes]] compacts — the classic MOR
+    * trade. Every tombstone on one table must use the SAME `keyCols`
+    * (enforced). Returns the committed version (unchanged when
+    * nothing matches). */
+  def deleteWhere(spark: SparkSession, dir: String,
+      pred: org.apache.spark.sql.Column, keyCols: Seq[String]): Long = {
+    require(keyCols.nonEmpty, "deleteWhere needs at least one key column")
+    val v = init(spark, dir)
+    val carried = deleteFilesAt(spark, dir, v)
+    if (carried.nonEmpty) {
+      val prior = spark.read.parquet(s"$dir/${carried.head}").columns.toSeq
+      require(prior.sorted == keyCols.sorted,
+        s"tombstone key mismatch: table already has equality deletes on " +
+          s"(${prior.mkString(", ")}), got (${keyCols.mkString(", ")})")
+    }
+    // keys resolve against the MOR snapshot: already-deleted rows
+    // can't be re-tombstoned, and the pred sees what a reader sees
+    val keys = snapshot(spark, dir, v).filter(pred)
+      .select(keyCols.map(col): _*).distinct()
+    if (keys.isEmpty) return v
+    val fs = fsOf(spark, dir)
+    val delRel = f"_deletes/v${v + 1}%06d"
+    keys.coalesce(1).write.mode("overwrite").parquet(s"$dir/$delRel")
+    val it = fs.listFiles(new Path(dir, delRel), false)
+    val delFiles = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val f = it.next().getPath.getName
+      if (f.endsWith(".parquet")) delFiles += s"$delRel/$f"
+    }
+    require(delFiles.nonEmpty, s"tombstone write produced no files under $delRel")
+    writeManifest(fs, dir, v + 1, filesAt(spark, dir, v),
+      meta = (carried ++ delFiles).map(f => s"#del $f"))
+    v + 1
+  }
+
+  /** Compact MERGE-ON-READ tombstones into the data (Hudi's
+    * compaction): ONLY partitions physically holding tombstoned rows
+    * are rewritten from the MOR snapshot; the new manifest drops the
+    * `#del` lines. Work is bounded by the affected partitions — the
+    * same COW scope as a merge — and old versions still time-travel
+    * to the tombstoned (and pre-delete) states. Required before
+    * [[mergeInto]]/[[optimize]] (both refuse while tombstones exist:
+    * a rewrite that carried stale tombstones could re-delete a
+    * re-inserted key, and one that dropped them would resurrect
+    * deleted rows — the sequence-number machinery real formats carry
+    * is out of scope, so the discipline is compact-then-merge). */
+  def materializeDeletes(spark: SparkSession, dir: String,
+      partitionKeys: Seq[String]): Long = {
+    val v = init(spark, dir)
+    val dels = deleteFilesAt(spark, dir, v)
+    if (dels.isEmpty) return v
+    val fs = fsOf(spark, dir)
+    val live = filesAt(spark, dir, v)
+    val tomb = spark.read.parquet(dels.map(d => s"$dir/$d"): _*)
+    // affected partitions = those whose RAW files still hold a
+    // tombstoned row (bounded driver collect: distinct partition
+    // values of the deleted keys)
+    val raw = spark.read.option("basePath", dir).option("mergeSchema", "true")
+      .parquet(live.map(f => s"$dir/$f"): _*)
+    val affectedRows = raw.join(tomb, tomb.columns.toSeq, "left_semi")
+      .select(partitionKeys.map(col): _*).distinct().collect()
+    val affectedDirs = affectedRows.map { r =>
+      partitionKeys.zipWithIndex.map { case (k, i) =>
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .getPartitionPathString(k, Option(r.get(i)).map(String.valueOf).orNull)
+      }.mkString("/")
+    }.toSet
+    def underAffected(rel: String) = affectedDirs.exists(d => rel.startsWith(d + "/"))
+    if (affectedDirs.isEmpty) { // tombstones matched nothing on disk
+      writeManifest(fs, dir, v + 1, live)
+      return v + 1
+    }
+    val affectedPred = affectedRows.map { r =>
+      partitionKeys.zipWithIndex.map { case (k, i) =>
+        col(k) <=> lit(r.get(i))
+      }.reduce(_ && _)
+    }.reduce(_ || _)
+    val clean = snapshot(spark, dir, v).filter(affectedPred)
+    val before = affectedDirs.flatMap(d =>
+      listDataFiles(fs, new Path(dir), new Path(dir, d))).toSet
+    clean.repartition(partitionKeys.map(col): _*)
+      .write.mode("append").partitionBy(partitionKeys: _*).parquet(dir)
+    val after = affectedDirs.flatMap(d =>
+      listDataFiles(fs, new Path(dir), new Path(dir, d))).toSet
+    val newFiles = (after -- before).toSeq.sorted
+    writeManifest(fs, dir, v + 1, live.filterNot(underAffected) ++ newFiles)
+    v + 1
   }
 
   /** Row-level MERGE INTO with snapshot isolation — the EXACT
@@ -186,6 +309,9 @@ object Versioned {
       txn: Option[(String, Long)] = None): Long = {
     require(rowKey.nonEmpty, "mergeInto needs at least one rowKey column")
     val v = init(spark, dir)
+    require(deleteFilesAt(spark, dir, v).isEmpty,
+      s"$dir has unmaterialized equality deletes: run materializeDeletes() " +
+        "before merging (stale tombstones could re-delete re-inserted keys)")
     txn match {
       case Some((id, batchId)) if lastTxn(spark, dir, id) >= batchId =>
         return currentVersion(spark, dir) // replayed batch: already committed
@@ -239,9 +365,12 @@ object Versioned {
   def prunedRead(spark: SparkSession, dir: String,
       idx: org.apache.spark.sql.DataFrame,
       preds: Seq[(String, Double, Double)],
-      version: Long = -1L): DataFrame =
+      version: Long = -1L): DataFrame = {
+    require(deleteFilesAt(spark, dir, version).isEmpty,
+      "pruned reads bypass merge-on-read tombstones: materializeDeletes() first")
     SkipIndex.prunedReadMultiFiles(spark, dir, idx, preds,
       filesAt(spark, dir, version).map(f => s"$dir/$f"))
+  }
 
   /** Bloom-index pruned point/IN lookup of a snapshot — the
     * [[prunedRead]] analogue for [[BloomIndex]]: the index must
@@ -253,9 +382,12 @@ object Versioned {
   def prunedReadIn(spark: SparkSession, dir: String,
       idx: org.apache.spark.sql.DataFrame, c: String,
       probes: Seq[org.apache.spark.sql.Column],
-      version: Long = -1L): DataFrame =
+      version: Long = -1L): DataFrame = {
+    require(deleteFilesAt(spark, dir, version).isEmpty,
+      "pruned reads bypass merge-on-read tombstones: materializeDeletes() first")
     BloomIndex.prunedReadInFiles(spark, dir, idx, c, probes,
       filesAt(spark, dir, version).map(f => s"$dir/$f"))
+  }
 
   /** OPTIMIZE within the manifest protocol: partitions holding more
     * than `targetFilesPerPartition` live files are rewritten compacted
@@ -281,6 +413,9 @@ object Versioned {
       zorder: Option[org.apache.spark.sql.Column] = None): Long = {
     require(targetFilesPerPartition >= 1, "need targetFilesPerPartition >= 1")
     val v = init(spark, dir)
+    require(deleteFilesAt(spark, dir, v).isEmpty,
+      s"$dir has unmaterialized equality deletes: run materializeDeletes() " +
+        "before optimize (a raw-file rewrite would resurrect deleted rows)")
     val live = filesAt(spark, dir, v)
     val byDir = live.groupBy(f => f.take(math.max(f.lastIndexOf('/'), 0)))
     val targets = byDir.filter { case (d, fs0) =>

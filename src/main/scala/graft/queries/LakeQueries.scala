@@ -1543,6 +1543,75 @@ object LakeQueries {
         SELECT 'v2', event_id, event_type, user_id, round(value::DOUBLE, 4)
         FROM stm WHERE event_id IN (139, 182, 330, 10000402, 10000002, 10000302)
         ORDER BY 1, 2"""),
-      "manifest-validated bloom lookups: v1 index time-travels after the v2 commit; refreshForFiles serves latest")
+      "manifest-validated bloom lookups: v1 index time-travels after the v2 commit; refreshForFiles serves latest"),
+
+    // ---------------------------------------------------------------
+    // MERGE-ON-READ equality deletes (Iceberg equality-delete files /
+    // Hudi MOR tombstones, on the manifest protocol): v1 commits ONLY
+    // the matching keys — zero data files rewritten, the O(keys)
+    // 100 TB deletion path — and the snapshot hides the rows via one
+    // anti-join; v2 materializes (compacts) the tombstones into the
+    // affected partitions. All three reads share two oracle states:
+    // v0 = the full table, v1 (merge-on-read) == v2 (materialized) =
+    // the filtered table — a green row pins that the tombstone
+    // anti-join and the compaction rewrite delete EXACTLY the same
+    // rows the predicate names, and that pre-delete time travel
+    // survives both commits. VersionedSpec pins the guards (merge/
+    // optimize/pruned reads refuse while tombstones pend) and the
+    // partition-scoped rewrite.
+    // ---------------------------------------------------------------
+    Q("q168_mor_delete",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val stamp = new File(dir, "events.parquet").lastModified()
+        val root = new File(new File(sys.props("user.dir"), "target"),
+          s"graft_morlake_${tag}_$stamp")
+        val lake = new File(root, "lake").getAbsolutePath
+        LakeQueries.synchronized {
+          if (!new File(root, "_SUCCESS").exists()) {
+            val fs = new org.apache.hadoop.fs.Path(root.getAbsolutePath)
+              .getFileSystem(s.sparkContext.hadoopConfiguration)
+            fs.delete(new org.apache.hadoop.fs.Path(root.getAbsolutePath), true)
+            val base = graft.Tables(s, dir, "events")
+              .select(MergeCols.map(col): _*)
+              .filter(col("event_type").isin("click", "view"))
+            MergeData.writeMerged(s, base, lake, keys = Seq("event_type"))
+            Versioned.init(s, lake)
+            Versioned.deleteWhere(s, lake, col("user_id") % 7 === 3,
+              keyCols = Seq("event_id"))
+            Versioned.materializeDeletes(s, lake, Seq("event_type"))
+            new File(root, "_SUCCESS").createNewFile()
+          }
+        }
+        def agg(v: Long, tag2: String) =
+          Versioned.snapshot(s, lake, v)
+            .groupBy("event_type").agg(
+              count(lit(1)).as("row_count"),
+              round(sum("value"), 4).as("sum_value"),
+              count_distinct(col("event_id")).as("n_ids"))
+            .withColumn("src", lit(tag2))
+        agg(0L, "v0_full").unionByName(agg(1L, "v1_mor"))
+          .unionByName(agg(2L, "v2_materialized"))
+          .select("src", "event_type", "row_count", "sum_value", "n_ids")
+          .orderBy("src", "event_type")
+      },
+      Some("""
+        WITH e AS (SELECT event_type, event_id, user_id, value FROM events
+                   WHERE event_type IN ('click','view')),
+        kept AS (SELECT * FROM e WHERE user_id % 7 <> 3)
+        SELECT 'v0_full' AS src, event_type, count(*) AS row_count,
+               round(sum(value::DOUBLE), 4) AS sum_value,
+               count(DISTINCT event_id) AS n_ids
+        FROM e GROUP BY 2
+        UNION ALL
+        SELECT 'v1_mor', event_type, count(*),
+               round(sum(value::DOUBLE), 4), count(DISTINCT event_id)
+        FROM kept GROUP BY 2
+        UNION ALL
+        SELECT 'v2_materialized', event_type, count(*),
+               round(sum(value::DOUBLE), 4), count(DISTINCT event_id)
+        FROM kept GROUP BY 2
+        ORDER BY 1, 2"""),
+      "merge-on-read equality delete: tombstoned snapshot == materialized rewrite == filter oracle; pre-delete time travel intact")
   )
 }

@@ -253,6 +253,67 @@ class VersionedSpec extends SparkSpec {
     assert(pruned == naive)
   }
 
+  test("merge-on-read equality deletes: tombstoned reads, time travel, guards, materialize") {
+    val dir = freshLake()
+    Versioned.init(spark, dir)
+    val v0Files = Versioned.filesAt(spark, dir, 0L)
+
+    // O(keys) delete: no data file touched, one tombstone committed
+    val v1 = Versioned.deleteWhere(spark, dir, col("id") === 1L, Seq("id"))
+    assert(v1 == 1L)
+    assert(Versioned.filesAt(spark, dir, 1L) == v0Files,
+      "equality delete must not rewrite data files")
+    assert(Versioned.deleteFilesAt(spark, dir, 1L).nonEmpty)
+    assert(state(Versioned.snapshot(spark, dir)) ==
+      Set(("a", 2L, 2.0), ("b", 10L, 10.0)))
+    // time travel still reads the pre-delete state
+    assert(state(Versioned.snapshot(spark, dir, 0L)) ==
+      Set(("a", 1L, 1.0), ("a", 2L, 2.0), ("b", 10L, 10.0)))
+
+    // matching nothing is a no-op; mismatched key columns are refused
+    assert(Versioned.deleteWhere(spark, dir, col("id") === 999L, Seq("id")) == 1L)
+    val km = intercept[IllegalArgumentException] {
+      Versioned.deleteWhere(spark, dir, col("id") === 2L, Seq("site", "id"))
+    }
+    assert(km.getMessage.contains("tombstone key mismatch"))
+
+    // merge/optimize/pruned reads refuse while tombstones are pending
+    val batch = df(Seq(("a", 7L, 7.0, false)), "site", "id", "v", "__delete")
+    assert(intercept[IllegalArgumentException] {
+      Versioned.mergeInto(spark, dir, batch, Seq("site"), Seq("site", "id"))
+    }.getMessage.contains("unmaterialized"))
+    assert(intercept[IllegalArgumentException] {
+      Versioned.optimize(spark, dir, Seq("site"))
+    }.getMessage.contains("unmaterialized"))
+    val idx = SkipIndex.build(
+      spark.read.option("basePath", dir)
+        .parquet(v0Files.map(f => s"$dir/$f"): _*), Seq("id"))
+    assert(intercept[IllegalArgumentException] {
+      Versioned.prunedRead(spark, dir, idx, Seq(("id", 0, 100)))
+    }.getMessage.contains("materializeDeletes"))
+
+    // materialize rewrites ONLY the affected partition (site=a holds
+    // id 1; site=b's file must survive byte-identical)
+    val bFilesBefore = Versioned.filesAt(spark, dir).filter(_.contains("site=b/"))
+    val v2 = Versioned.materializeDeletes(spark, dir, Seq("site"))
+    assert(v2 == 2L)
+    assert(Versioned.deleteFilesAt(spark, dir).isEmpty)
+    assert(state(Versioned.snapshot(spark, dir)) ==
+      Set(("a", 2L, 2.0), ("b", 10L, 10.0)))
+    assert(Versioned.filesAt(spark, dir).filter(_.contains("site=b/")) == bFilesBefore,
+      "unaffected partitions keep their files")
+    // tombstoned version still time-travels AFTER compaction
+    assert(state(Versioned.snapshot(spark, dir, 1L)) ==
+      Set(("a", 2L, 2.0), ("b", 10L, 10.0)))
+
+    // and the lake is mergeable again: re-inserting the deleted key sticks
+    Versioned.mergeInto(spark, dir,
+      df(Seq(("a", 1L, 11.0, false)), "site", "id", "v", "__delete"),
+      Seq("site"), Seq("site", "id"))
+    assert(state(Versioned.snapshot(spark, dir)) ==
+      Set(("a", 1L, 11.0), ("a", 2L, 2.0), ("b", 10L, 10.0)))
+  }
+
   test("versioned merge is replay-idempotent at the data level") {
     val dir = freshLake()
     Versioned.init(spark, dir)
