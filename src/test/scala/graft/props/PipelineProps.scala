@@ -445,6 +445,73 @@ object PipelineProps extends Properties("graft.pipeline") {
       }
     }
 
+  // ------------------------------------------------------------------
+  // MOR deletes under the same model discipline: random interleavings
+  // of merge batches, equality deletes, and materializations — EVERY
+  // committed version must equal the in-memory model, with the
+  // compact-then-merge guard honored the way a real writer would
+  // (materialize when tombstones pend before merging). Exercises the
+  // cases the example-based spec can't enumerate: delete-of-deleted
+  // (no commit), materialize-with-nothing (no commit), merge of a key
+  // re-inserted after its tombstone was compacted.
+  // ------------------------------------------------------------------
+
+  private sealed trait MorStep
+  private case class MorMerge(ops: List[(String, Long, Double, Boolean)]) extends MorStep
+  private case class MorDel(site: String, id: Long) extends MorStep
+  private case object MorMat extends MorStep
+
+  private val morStepGen: Gen[MorStep] = Gen.frequency(
+    (3, Gen.nonEmptyListOf(opGen).map(l => MorMerge(l.take(3)))),
+    (3, Gen.zip(Gen.oneOf("a", "b"), Gen.choose(1L, 4L))
+      .map { case (s, i) => MorDel(s, i) }),
+    (1, Gen.const(MorMat)))
+
+  property("Versioned MOR deletes: every version equals the key-value model") =
+    forAll(Gen.listOfN(3, morStepGen)) { steps =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_vmorprop").toFile
+      dir.deleteOnExit()
+      val baseRows = Seq(("a", 1L, 1.0), ("b", 2L, 2.0), ("c", 99L, 0.0))
+      graft.ops.MergeData.writeMerged(spark,
+        baseRows.toDF("site", "id", "v"),
+        dir.getAbsolutePath, keys = Seq("site"))
+      graft.lake.Versioned.init(spark, dir.getAbsolutePath)
+
+      var model = baseRows.map { case (s, i, v) => (s, i) -> v }.toMap
+      val states = scala.collection.mutable.ArrayBuffer(model)
+      var curV = 0L
+      def record(v: Long): Unit =
+        if (v > curV) { require(v == curV + 1); states += model; curV = v }
+      def materialize(): Unit =
+        record(graft.lake.Versioned.materializeDeletes(
+          spark, dir.getAbsolutePath, Seq("site")))
+      steps.foreach {
+        case MorDel(s, i) =>
+          val v = graft.lake.Versioned.deleteWhere(spark, dir.getAbsolutePath,
+            col("site") === s && col("id") === i, Seq("site", "id"))
+          if (model.contains((s, i))) model -= ((s, i))
+          record(v) // no-match deletes commit nothing; record is a no-op
+        case MorMat => materialize()
+        case MorMerge(raw) =>
+          if (graft.lake.Versioned.deleteFilesAt(spark, dir.getAbsolutePath).nonEmpty)
+            materialize() // the guard's documented discipline
+          val batch = raw.groupBy(o => (o._1, o._2)).map(_._2.last).toSeq
+          model = batch.foldLeft(model) { case (m, (s, i, v, del)) =>
+            if (del) m - ((s, i)) else m + ((s, i) -> v)
+          }
+          record(graft.lake.Versioned.mergeInto(spark, dir.getAbsolutePath,
+            batch.toDF("site", "id", "v", "__delete"),
+            Seq("site"), Seq("site", "id")))
+      }
+      states.zipWithIndex.forall { case (m, ver) =>
+        val got = graft.lake.Versioned
+          .snapshot(spark, dir.getAbsolutePath, ver.toLong)
+          .select("site", "id", "v").collect()
+          .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+        got == m
+      }
+    }
+
   private def levDist(a: String, b: String): Int = {
     val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
       if (i == 0) j else if (j == 0) i else 0 }
