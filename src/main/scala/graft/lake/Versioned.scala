@@ -451,9 +451,35 @@ object Versioned {
     v + 1
   }
 
+  /** Metadata-only COUNT(*) of a snapshot: sums parquet footer record
+    * counts over the version's manifest files — one distributed footer
+    * read per file, ZERO data rows scanned. At 100 TB this answers the
+    * most common query of all at listing cost. Exact by the parquet
+    * contract (the footer's record count is authoritative); refuses
+    * under pending merge-on-read tombstones, whose row effect cannot
+    * be known without scanning (materialize first, or count the
+    * [[snapshot]]). */
+  def fastRowCount(spark: SparkSession, dir: String, version: Long = -1L): Long = {
+    val v = if (version >= 0) version else currentVersion(spark, dir)
+    require(deleteFilesAt(spark, dir, v).isEmpty,
+      "fastRowCount under unmaterialized equality deletes would overcount: " +
+        "materializeDeletes() first or count the snapshot")
+    val files = filesAt(spark, dir, v).map(f => s"$dir/$f")
+    spark.sparkContext
+      .parallelize(files, math.max(1, math.min(files.size, 64)))
+      .map { p =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new Path(p), conf))
+        try r.getRecordCount finally r.close()
+      }.sum().toLong
+  }
+
   /** Delete data files unreferenced by the newest `keepVersions`
-    * manifests, and the older manifests themselves. After vacuum, time
-    * travel reaches back exactly `keepVersions` versions. */
+    * manifests, the older manifests themselves, and any equality-delete
+    * tombstone files no retained manifest references. After vacuum,
+    * time travel reaches back exactly `keepVersions` versions. */
   def vacuum(spark: SparkSession, dir: String, keepVersions: Int): Unit = {
     require(keepVersions >= 1, "must keep at least the current version")
     val fs = fsOf(spark, dir)
@@ -465,6 +491,21 @@ object Versioned {
     val all = listDataFiles(fs, new Path(dir), new Path(dir))
     all.filterNot(referenced).foreach(rel =>
       fs.delete(new Path(dir, rel), false))
+    // tombstones live under _deletes/ (invisible to listDataFiles):
+    // drop the ones only pre-retention manifests referenced
+    val refDels = (keepFrom to cur)
+      .flatMap(v => deleteFilesAt(spark, dir, v)).toSet
+    val delRoot = new Path(dir, "_deletes")
+    if (fs.exists(delRoot)) {
+      val rootUri = new Path(dir).toUri.getPath.stripSuffix("/")
+      val it = fs.listFiles(delRoot, true)
+      while (it.hasNext) {
+        val f = it.next().getPath
+        val rel = f.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+        if (f.getName.endsWith(".parquet") && !refDels.contains(rel))
+          fs.delete(f, false)
+      }
+    }
     (0L until keepFrom).foreach { v =>
       val p = manifestPath(dir, v)
       if (fs.exists(p)) fs.delete(p, false)

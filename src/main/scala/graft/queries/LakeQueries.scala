@@ -1612,6 +1612,39 @@ object LakeQueries {
                round(sum(value::DOUBLE), 4), count(DISTINCT event_id)
         FROM kept GROUP BY 2
         ORDER BY 1, 2"""),
-      "merge-on-read equality delete: tombstoned snapshot == materialized rewrite == filter oracle; pre-delete time travel intact")
+      "merge-on-read equality delete: tombstoned snapshot == materialized rewrite == filter oracle; pre-delete time travel intact"),
+
+    // ---------------------------------------------------------------
+    // Metadata-only COUNT(*): fastRowCount sums parquet footer record
+    // counts over each version's manifest files — zero data rows
+    // scanned, at ANY version (the shared z-lake's three layouts:
+    // fragmented v0, merged v1, z-ordered v2). The oracle recomputes
+    // each version's cardinality from the batch formulas; a green row
+    // pins that manifests + footers alone answer the most common
+    // query at listing cost, across rewrites that changed the file
+    // layout twice.
+    // ---------------------------------------------------------------
+    Q("q169_fast_count",
+      (s, dir) => {
+        val lake = versionedZLake(s, dir)
+        import s.implicits._
+        (0L to 2L).map(v => (v, Versioned.fastRowCount(s, lake, v)))
+          .toDF("version", "row_count")
+          .orderBy("version")
+      },
+      Some("""
+        WITH e AS (SELECT event_id FROM events
+                   WHERE event_type IN ('click','view')),
+        stm AS (
+          SELECT event_id FROM e WHERE event_id % 10 <> 1
+          UNION ALL
+          SELECT event_id + 10000000 FROM e WHERE event_id % 100 = 2)
+        SELECT 0::BIGINT AS version, (SELECT count(*) FROM e) AS row_count
+        UNION ALL
+        SELECT 1::BIGINT, (SELECT count(*) FROM stm)
+        UNION ALL
+        SELECT 2::BIGINT, (SELECT count(*) FROM stm)
+        ORDER BY 1"""),
+      "metadata-only COUNT(*) from manifest + parquet footers == per-version cardinality oracle; zero data rows scanned")
   )
 }

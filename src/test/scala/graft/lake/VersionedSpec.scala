@@ -312,6 +312,39 @@ class VersionedSpec extends SparkSpec {
       Seq("site"), Seq("site", "id"))
     assert(state(Versioned.snapshot(spark, dir)) ==
       Set(("a", 1L, 11.0), ("a", 2L, 2.0), ("b", 10L, 10.0)))
+
+    // vacuum past the tombstoned version also reaps its tombstone files
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir, "_deletes")))
+    Versioned.vacuum(spark, dir, keepVersions = 2) // keeps v2, v3 only
+    val delIt = fs.listFiles(new org.apache.hadoop.fs.Path(dir, "_deletes"), true)
+    var tombLeft = 0
+    while (delIt.hasNext) { if (delIt.next().getPath.getName.endsWith(".parquet")) tombLeft += 1 }
+    assert(tombLeft == 0, "vacuum must reap tombstones only dead manifests referenced")
+    assert(state(Versioned.snapshot(spark, dir, 2L)) ==
+      Set(("a", 2L, 2.0), ("b", 10L, 10.0)))
+  }
+
+  test("fastRowCount: footer-summed count == snapshot count at every version; refuses tombstones") {
+    val dir = freshLake()
+    Versioned.init(spark, dir)
+    Versioned.mergeInto(spark, dir,
+      df(Seq(("a", 1L, 100.0, false), ("a", 2L, 0.0, true), ("c", 7L, 7.0, false)),
+        "site", "id", "v", "__delete"),
+      Seq("site"), Seq("site", "id"))
+    (0L to 1L).foreach { v =>
+      assert(Versioned.fastRowCount(spark, dir, v) ==
+        Versioned.snapshot(spark, dir, v).count())
+    }
+    assert(Versioned.fastRowCount(spark, dir) == 3L) // a1, b10, c7
+    Versioned.deleteWhere(spark, dir, col("id") === 7L, Seq("id"))
+    val e = intercept[IllegalArgumentException] {
+      Versioned.fastRowCount(spark, dir)
+    }
+    assert(e.getMessage.contains("overcount"))
+    // older, tombstone-free versions still fast-count
+    assert(Versioned.fastRowCount(spark, dir, 1L) == 3L)
   }
 
   test("versioned merge is replay-idempotent at the data level") {
