@@ -234,15 +234,34 @@ object SkipIndex {
           "refresh() it after rewrites, or rebuild")
     }
     val files = candidateFilesMulti(idx, preds)
-    val residual: Column = preds
-      .map { case (c, lo, hi) => col(c) >= lo && col(c) <= hi }
-      .reduce(_ && _)
     if (files.isEmpty)
       spark.read.parquet(dataDir).filter(lit(false))
-    else
+    else {
       // basePath recovers Hive partition columns from the surviving
       // files' directory names (no-op for unpartitioned layouts)
-      spark.read.option("basePath", dataDir).parquet(files: _*).filter(residual)
+      val df = spark.read.option("basePath", dataDir).parquet(files: _*)
+      df.filter(residualFor(df, preds))
+    }
+  }
+
+  /** The exact residual predicate for a pruned read. For an INTEGRAL
+    * column the double range is tightened to the equivalent integer
+    * range (x >= 2.5 ⟺ x >= 3 on integers) instead of comparing
+    * through a cast-to-double — semantically identical, but the
+    * cast-free comparison reaches the parquet reader as a pushed
+    * filter, so row-group stats prune INSIDE the surviving files too
+    * (the file-level index already pruned across files). */
+  private def residualFor(df: DataFrame,
+      preds: Seq[(String, Double, Double)]): Column = {
+    import org.apache.spark.sql.types._
+    preds.map { case (c, lo, hi) =>
+      df.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType
+            if lo > Long.MinValue.toDouble && hi < Long.MaxValue.toDouble =>
+          col(c) >= math.ceil(lo).toLong && col(c) <= math.floor(hi).toLong
+        case _ => col(c) >= lo && col(c) <= hi
+      }
+    }.reduce(_ && _)
   }
 
   /** Incremental index maintenance after a COW merge: entries for files
@@ -289,14 +308,13 @@ object SkipIndex {
         s"${(live -- indexed).size} unindexed, ${(indexed -- live).size} extra): " +
         "build/refresh the index against this version's manifest")
     val files = candidateFilesMulti(idx, preds)
-    val residual: Column = preds
-      .map { case (c, lo, hi) => col(c) >= lo && col(c) <= hi }
-      .reduce(_ && _)
     if (files.isEmpty)
       spark.read.option("basePath", dataDir)
         .parquet(liveFiles: _*).filter(lit(false))
-    else
-      spark.read.option("basePath", dataDir).parquet(files: _*).filter(residual)
+    else {
+      val df = spark.read.option("basePath", dataDir).parquet(files: _*)
+      df.filter(residualFor(df, preds))
+    }
   }
 
   /** [[refresh]] for a versioned lake: rebuilt entries come from the

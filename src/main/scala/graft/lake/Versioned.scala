@@ -214,6 +214,10 @@ object Versioned {
     if (keys.isEmpty) return v
     val fs = fsOf(spark, dir)
     val delRel = f"_deletes/v${v + 1}%06d"
+    // one file per tombstone commit: erasure-style key lists are small
+    // by use-case (the read side anti-joins them, usually broadcast).
+    // A delete wide enough to make this file large is a rewrite-class
+    // operation — use the COW mergeInto with __delete instead.
     keys.coalesce(1).write.mode("overwrite").parquet(s"$dir/$delRel")
     val it = fs.listFiles(new Path(dir, delRel), false)
     val delFiles = scala.collection.mutable.ArrayBuffer.empty[String]
