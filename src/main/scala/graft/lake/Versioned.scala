@@ -195,9 +195,16 @@ object Versioned {
     * costs until [[materializeDeletes]] compacts — the classic MOR
     * trade. Every tombstone on one table must use the SAME `keyCols`
     * (enforced). Returns the committed version (unchanged when
-    * nothing matches). */
+    * nothing matches).
+    *
+    * @param changeFeed optional (dir, batchId): also publish the FULL
+    *   deleted rows as a `_action='delete'` feed increment (same
+    *   write-once pre-commit contract as the merge paths), so CDC
+    *   replicas converge across MOR deletes too — a feed consumer
+    *   replays the increment as an ordinary delete batch. */
   def deleteWhere(spark: SparkSession, dir: String,
-      pred: org.apache.spark.sql.Column, keyCols: Seq[String]): Long = {
+      pred: org.apache.spark.sql.Column, keyCols: Seq[String],
+      changeFeed: Option[(String, Long)] = None): Long = {
     require(keyCols.nonEmpty, "deleteWhere needs at least one key column")
     val v = init(spark, dir)
     val carried = deleteFilesAt(spark, dir, v)
@@ -209,9 +216,15 @@ object Versioned {
     }
     // keys resolve against the MOR snapshot: already-deleted rows
     // can't be re-tombstoned, and the pred sees what a reader sees
-    val keys = snapshot(spark, dir, v).filter(pred)
-      .select(keyCols.map(col): _*).distinct()
+    val deletedRows = snapshot(spark, dir, v).filter(pred)
+    val keys = deletedRows.select(keyCols.map(col): _*).distinct()
     if (keys.isEmpty) return v
+    // feed increment lands BEFORE the commit (resolution against the
+    // immutable snapshot v — replay-consistent like the merge paths)
+    changeFeed.foreach { case (fd, batchId) =>
+      graft.ops.MergeData.writeFeedIncrement(spark, fd, batchId,
+        deletedRows.withColumn("_action", lit("delete")))
+    }
     val fs = fsOf(spark, dir)
     val delRel = f"_deletes/v${v + 1}%06d"
     // one file per tombstone commit: erasure-style key lists are small

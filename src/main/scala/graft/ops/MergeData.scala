@@ -320,15 +320,29 @@ object MergeData {
           "update_preimage"), allowMissingColumns = true)
         .unionByName(tag(base.join(delKeys, rowKey, "left_semi"), "delete"),
           allowMissingColumns = true)
-      val stg = new org.apache.hadoop.fs.Path(
-        dir + "_feedstg_" + java.util.UUID.randomUUID().toString.take(8))
-      try {
-        actions.write.mode("overwrite").parquet(stg.toString)
-        feedFs.mkdirs(feedRoot)
-        require(feedFs.rename(stg, target),
-          s"feed commit: rename $stg -> $target failed")
-      } finally feedFs.delete(stg, true)
+      writeFeedIncrement(spark, dir, batchId, actions)
     }
+  }
+
+  /** The write-once increment commit shared by every feed emitter
+    * ([[emitChangeFeed]], [[graft.lake.Versioned.deleteWhere]]): stage,
+    * then atomically rename into `batch_id=N`; an increment that
+    * already exists is kept untouched (see [[emitChangeFeed]] for why
+    * keeping the original is what makes crash replay consistent). */
+  private[graft] def writeFeedIncrement(spark: SparkSession, dir: String,
+      batchId: Long, actions: DataFrame): Unit = {
+    val feedRoot = new org.apache.hadoop.fs.Path(dir)
+    val feedFs = feedRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(feedRoot, s"batch_id=$batchId")
+    if (feedFs.exists(target)) return
+    val stg = new org.apache.hadoop.fs.Path(
+      dir + "_feedstg_" + java.util.UUID.randomUUID().toString.take(8))
+    try {
+      actions.write.mode("overwrite").parquet(stg.toString)
+      feedFs.mkdirs(feedRoot)
+      require(feedFs.rename(stg, target),
+        s"feed commit: rename $stg -> $target failed")
+    } finally feedFs.delete(stg, true)
   }
 
   private def mergeIntoImpl(spark: SparkSession, baseDir: String,

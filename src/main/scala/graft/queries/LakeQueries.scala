@@ -1645,6 +1645,77 @@ object LakeQueries {
         UNION ALL
         SELECT 2::BIGINT, (SELECT count(*) FROM stm)
         ORDER BY 1"""),
-      "metadata-only COUNT(*) from manifest + parquet footers == per-version cardinality oracle; zero data rows scanned")
+      "metadata-only COUNT(*) from manifest + parquet footers == per-version cardinality oracle; zero data rows scanned"),
+
+    // ---------------------------------------------------------------
+    // CDC across a MERGE-ON-READ delete: the tombstone commit also
+    // publishes its deleted rows as a feed increment, so a replica
+    // that replays the feed converges even though the primary's
+    // delete never rewrote a data file. Primary = versioned lake with
+    // one feed-emitting deleteWhere (memoized); replica = fresh swap
+    // lake + applyChangeFeed per run. Both aggregates must equal the
+    // same filter oracle — and the primary leg reads the TOMBSTONED
+    // (un-materialized) snapshot, so the anti-join read path and the
+    // feed-replayed COW path are pinned equal through one oracle.
+    // ---------------------------------------------------------------
+    Q("q170_mor_delete_replication",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val stamp = new File(dir, "events.parquet").lastModified()
+        val root = new File(new File(sys.props("user.dir"), "target"),
+          s"graft_morrepl_${tag}_$stamp")
+        val lake = new File(root, "lake").getAbsolutePath
+        val feedDir = new File(root, "feed").getAbsolutePath
+        def baseCV = graft.Tables(s, dir, "events")
+          .select(MergeCols.map(col): _*)
+          .filter(col("event_type").isin("click", "view"))
+        LakeQueries.synchronized {
+          if (!new File(root, "_SUCCESS").exists()) {
+            val fs = new org.apache.hadoop.fs.Path(root.getAbsolutePath)
+              .getFileSystem(s.sparkContext.hadoopConfiguration)
+            fs.delete(new org.apache.hadoop.fs.Path(root.getAbsolutePath), true)
+            MergeData.writeMerged(s, baseCV, lake, keys = Seq("event_type"))
+            Versioned.init(s, lake)
+            Versioned.deleteWhere(s, lake, col("user_id") % 5 === 2,
+              keyCols = Seq("event_id"), changeFeed = Some((feedDir, 0L)))
+            new File(root, "_SUCCESS").createNewFile()
+          }
+        }
+        val tag2 = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val replica = new File(new File(sys.props("user.dir"), "target"),
+          s"graft_morrepl_rep_$tag2/replica").getAbsolutePath
+        LakeQueries.synchronized {
+          val fs = new org.apache.hadoop.fs.Path(replica)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(replica), true)
+          MergeData.writeMerged(s, baseCV, replica, keys = Seq("event_type"))
+          MergeData.applyChangeFeed(s, feedDir, replica,
+            Seq("event_type"), Seq("event_id"))
+        }
+        def agg(d: DataFrame, src: String) =
+          d.groupBy("event_type").agg(
+              count(lit(1)).as("row_count"),
+              round(sum("value"), 4).as("sum_value"),
+              count_distinct(col("event_id")).as("n_ids"))
+            .withColumn("src", lit(src))
+        agg(Versioned.snapshot(s, lake), "primary_mor")
+          .unionByName(agg(s.read.parquet(replica), "replica"))
+          .select("src", "event_type", "row_count", "sum_value", "n_ids")
+          .orderBy("src", "event_type")
+      },
+      Some("""
+        WITH kept AS (SELECT event_type, event_id, value FROM events
+                      WHERE event_type IN ('click','view')
+                        AND user_id % 5 <> 2)
+        SELECT 'primary_mor' AS src, event_type, count(*) AS row_count,
+               round(sum(value::DOUBLE), 4) AS sum_value,
+               count(DISTINCT event_id) AS n_ids
+        FROM kept GROUP BY 2
+        UNION ALL
+        SELECT 'replica', event_type, count(*),
+               round(sum(value::DOUBLE), 4), count(DISTINCT event_id)
+        FROM kept GROUP BY 2
+        ORDER BY 1, 2"""),
+      "MOR delete CDF: tombstoned primary snapshot == feed-replayed COW replica == filter oracle")
   )
 }

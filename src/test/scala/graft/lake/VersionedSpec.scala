@@ -326,6 +326,37 @@ class VersionedSpec extends SparkSpec {
       Set(("a", 2L, 2.0), ("b", 10L, 10.0)))
   }
 
+  test("MOR delete publishes a CDF increment; replicas converge across tombstone deletes") {
+    val dir = freshLake()
+    Versioned.init(spark, dir)
+    val feed = dir + "_morfeed"
+    Versioned.mergeInto(spark, dir,
+      df(Seq(("c", 7L, 7.0, false)), "site", "id", "v", "__delete"),
+      Seq("site"), Seq("site", "id"), changeFeed = Some((feed, 0L)))
+    Versioned.deleteWhere(spark, dir, col("v") < 5.0, Seq("site", "id"),
+      changeFeed = Some((feed, 1L)))
+    // the increment carries the FULL deleted rows as delete actions
+    val inc = spark.read.parquet(feed)
+      .filter(col("batch_id") === 1)
+      .select("_action", "site", "id", "v").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(inc == Set(("delete", "a", 1L, 1.0), ("delete", "a", 2L, 2.0)))
+    // replay keeps the original increment (write-once)
+    Versioned.deleteWhere(spark, dir, col("v") < 5.0, Seq("site", "id"),
+      changeFeed = Some((feed, 1L)))
+    assert(spark.read.parquet(feed).filter(col("batch_id") === 1).count() == 2)
+    // a swap-path replica replays merge + delete batches and converges
+    val replica = dir + "_replica2"
+    MergeData.writeMerged(spark,
+      df(Seq(("a", 1L, 1.0), ("a", 2L, 2.0), ("b", 10L, 10.0)),
+        "site", "id", "v"), replica, keys = Seq("site"))
+    MergeData.applyChangeFeed(spark, feed, replica, Seq("site"), Seq("site", "id"))
+    assert(state(spark.read.parquet(replica)) ==
+      state(Versioned.snapshot(spark, dir)))
+    assert(state(spark.read.parquet(replica)) ==
+      Set(("b", 10L, 10.0), ("c", 7L, 7.0)))
+  }
+
   test("fastRowCount: footer-summed count == snapshot count at every version; refuses tombstones") {
     val dir = freshLake()
     Versioned.init(spark, dir)
