@@ -106,15 +106,20 @@ object SkipIndex {
     require(files.nonEmpty, "buildFromFooterFiles got no files")
     val exactLimit = 9007199254740992.0d // 2^53, as in build()
     val colsB = cols
+    // session Hadoop conf shipped to the footer tasks (fs.* keys,
+    // object-store credentials) — a fresh Configuration() only works
+    // on local disk
+    val hconf = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
     val entries = spark.sparkContext
       .parallelize(files, math.max(1, math.min(files.size, 64)))
       .flatMap { path =>
         import scala.jdk.CollectionConverters._
         import org.apache.parquet.column.statistics._
-        val conf = new org.apache.hadoop.conf.Configuration()
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            new org.apache.hadoop.fs.Path(path), conf))
+            new org.apache.hadoop.fs.Path(path), hconf.value.value))
         try {
           val blocks = reader.getFooter.getBlocks.asScala.toSeq
           val nRows = blocks.map(_.getRowCount).sum

@@ -177,7 +177,12 @@ object Versioned {
     if (dels.isEmpty) df
     else {
       val tomb = spark.read.parquet(dels.map(d => s"$dir/$d"): _*)
-      df.join(tomb, tomb.columns.toSeq, "left_anti")
+      // null-safe (<=>), like every other key match in merge
+      // resolution: a base row whose key column is null must still be
+      // removed when its tombstone carries that null key — the
+      // usingColumns overload's EqualTo would never match it
+      df.join(tomb, tomb.columns.toSeq
+        .map(k => df(k) <=> tomb(k)).reduce(_ && _), "left_anti")
     }
   }
 
@@ -226,12 +231,17 @@ object Versioned {
         deletedRows.withColumn("_action", lit("delete")))
     }
     val fs = fsOf(spark, dir)
-    val delRel = f"_deletes/v${v + 1}%06d"
+    // UNIQUE staging path per attempt (never overwrite): a racing
+    // writer that loses the manifest CAS must not have first deleted
+    // the winner's already-committed tombstone files — same
+    // never-colliding append discipline as the data-file path
+    val delRel = f"_deletes/v${v + 1}%06d_" +
+      java.util.UUID.randomUUID().toString.take(8)
     // one file per tombstone commit: erasure-style key lists are small
     // by use-case (the read side anti-joins them, usually broadcast).
     // A delete wide enough to make this file large is a rewrite-class
     // operation — use the COW mergeInto with __delete instead.
-    keys.coalesce(1).write.mode("overwrite").parquet(s"$dir/$delRel")
+    keys.coalesce(1).write.mode("errorifexists").parquet(s"$dir/$delRel")
     val it = fs.listFiles(new Path(dir, delRel), false)
     val delFiles = scala.collection.mutable.ArrayBuffer.empty[String]
     while (it.hasNext) {
@@ -268,7 +278,8 @@ object Versioned {
     // values of the deleted keys)
     val raw = spark.read.option("basePath", dir).option("mergeSchema", "true")
       .parquet(live.map(f => s"$dir/$f"): _*)
-    val affectedRows = raw.join(tomb, tomb.columns.toSeq, "left_semi")
+    val affectedRows = raw.join(tomb, tomb.columns.toSeq
+        .map(k => raw(k) <=> tomb(k)).reduce(_ && _), "left_semi")
       .select(partitionKeys.map(col): _*).distinct().collect()
     val affectedDirs = affectedRows.map { r =>
       partitionKeys.zipWithIndex.map { case (k, i) =>
@@ -482,13 +493,18 @@ object Versioned {
       "fastRowCount under unmaterialized equality deletes would overcount: " +
         "materializeDeletes() first or count the snapshot")
     val files = filesAt(spark, dir, v).map(f => s"$dir/$f")
+    // ship the SESSION's Hadoop conf to the footer tasks (fs.* keys,
+    // object-store credentials): a fresh Configuration() would read
+    // local disk fine but fail to authenticate anywhere real
+    val hconf = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
     spark.sparkContext
       .parallelize(files, math.max(1, math.min(files.size, 64)))
       .map { p =>
-        val conf = new org.apache.hadoop.conf.Configuration()
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            new Path(p), conf))
+            new Path(p), hconf.value.value))
         try r.getRecordCount finally r.close()
       }.sum().toLong
   }

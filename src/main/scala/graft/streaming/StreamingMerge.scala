@@ -76,9 +76,16 @@ object StreamingMerge {
       afterBatch: Long => Unit = _ => (),
       txnId: Option[String] = None,
       changeDir: Option[String] = None): StreamingQuery = {
-    // String.hashCode is spec-pinned (JLS), so the default id is stable
-    // across JVMs/restarts for a given checkpoint path
-    val id = txnId.getOrElse("ckpt-" + Integer.toHexString(checkpoint.hashCode))
+    // SHA-256 prefix (64 bits) of the checkpoint path: stable across
+    // JVMs/restarts for a given checkpoint, and — unlike a 32-bit
+    // String.hashCode — collision between two distinct streams'
+    // checkpoints (which would silently share a high-water mark and
+    // skip each other's batches) is negligible
+    val id = txnId.getOrElse {
+      val d = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(checkpoint.getBytes("UTF-8"))
+      "ckpt-" + d.take(8).map(b => f"$b%02x").mkString
+    }
     updates.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
