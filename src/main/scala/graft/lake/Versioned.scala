@@ -12,83 +12,212 @@ import org.apache.spark.sql.functions._
   * concurrent with the swap can observe a partition mid-replacement,
   * and history is gone the moment the swap lands. Table formats solve
   * both with a log: DATA FILES ARE IMMUTABLE, each commit appends new
-  * files plus one manifest listing exactly the live files, and the
-  * manifest write is the atomic commit point. This object is that
-  * protocol, reduced to its load-bearing minimum:
+  * files plus one manifest entry, and the manifest write is the atomic
+  * commit point. This object is that protocol, reduced to its
+  * load-bearing minimum — Delta's delta-log-plus-checkpoint shape:
   *
-  *  - `_manifest/v<N>.txt` = newline-separated relative paths of every
-  *    file live at version N (Delta's checkpoint, not its delta log —
-  *    at manifest sizes of file-count lines, a full listing per commit
-  *    is cheaper than log replay and needs no compaction machinery);
+  *  - most commits write a DELTA manifest `_manifest/v<N>.delta.txt`
+  *    holding only `+file`/`-file` lines — bounded by the commit's own
+  *    churn, NEVER by the size of the lake (a streaming sink committing
+  *    every micro-batch to a million-file table writes manifest bytes
+  *    proportional to the batch, not the table);
+  *  - every [[CheckpointInterval]]-th commit (and v0) writes a full
+  *    CHECKPOINT `_manifest/v<N>.txt` listing every live file, so
+  *    resolving any version reads one checkpoint plus a bounded tail
+  *    of deltas — no unbounded log replay, no compaction machinery;
+  *  - commit METADATA (`#ts` commit timestamp, `#txn` streaming
+  *    high-water marks, `#del` pending tombstone files) is re-published
+  *    in full in EVERY manifest — it is small (one line per stream /
+  *    pending tombstone file), and carrying it forward means the latest
+  *    manifest alone answers [[lastTxn]] and [[deleteFilesAt]], and
+  *    [[vacuum]]ing old manifests can never erase a stream's
+  *    exactly-once marker (Delta's checkpoint discipline);
   *  - a commit writes data files FIRST (invisible to readers: nothing
-  *    references them), then renames `v<N+1>.txt.tmp` into place —
-  *    one metadata op, atomic on HDFS-like stores;
+  *    references them), then renames the manifest tmp into place — one
+  *    metadata op, atomic on HDFS-like stores;
   *  - readers resolve a version (latest by default) and read exactly
   *    its file list; a reader holding version N is immune to any
   *    concurrent commit because commits never mutate or delete files
   *    (only [[vacuum]] deletes, and only files unreferenced by every
   *    retained version);
-  *  - time travel = reading an older manifest.
+  *  - time travel = resolving an older version, by number
+  *    ([[snapshot]]) or by commit timestamp ([[snapshotAsOf]]).
   *
-  * Scale shape: every driver-side operation is bounded by FILE COUNT
-  * (the same scale as any file listing); data movement is bounded by
-  * the merge batch's touched partitions, exactly like the swap-based
+  * Scale shape: per-commit driver I/O is bounded by the BATCH (delta
+  * lines) plus one periodic checkpoint amortized over
+  * [[CheckpointInterval]] commits; data movement is bounded by the
+  * merge batch's touched partitions, exactly like the swap-based
   * merge. Reference: Delta Lake's transaction protocol (public spec);
   * re-expressed from scratch on plain Hadoop FS + Spark reads.
   */
 object Versioned {
 
+  /** A full checkpoint manifest is written every this-many commits;
+    * commits in between write delta manifests bounded by their own
+    * churn. Any version resolves from one checkpoint plus at most
+    * `CheckpointInterval - 1` deltas. */
+  val CheckpointInterval = 10
+
   private def fsOf(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def manifestPath(dir: String, v: Long) =
+  private def ckptPath(dir: String, v: Long) =
     new Path(dir, f"_manifest/v$v%06d.txt")
+  private def deltaPath(dir: String, v: Long) =
+    new Path(dir, f"_manifest/v$v%06d.delta.txt")
 
-  /** Latest committed version, or -1 if the lake is unversioned. */
-  def currentVersion(spark: SparkSession, dir: String): Long = {
-    val fs = fsOf(spark, dir)
+  /** One (version, isDelta) entry per manifest present. A checkpoint
+    * shadows a same-version delta (the [[vacuum]] checkpoint-rewrite
+    * crash window can briefly leave both). */
+  private def listManifests(fs: FileSystem, dir: String): Seq[(Long, Boolean)] = {
     val md = new Path(dir, "_manifest")
-    if (!fs.exists(md)) -1L
-    else fs.listStatus(md).map(_.getPath.getName)
-      .collect { case n if n.matches("v\\d+\\.txt") =>
-        n.stripPrefix("v").stripSuffix(".txt").toLong }
-      .foldLeft(-1L)(math.max)
+    if (!fs.exists(md)) return Nil
+    val names = fs.listStatus(md).map(_.getPath.getName)
+    val ckpts = names.collect { case n if n.matches("v\\d+\\.txt") =>
+      n.stripPrefix("v").stripSuffix(".txt").toLong }.toSet
+    val deltas = names.collect { case n if n.matches("v\\d+\\.delta\\.txt") =>
+      n.stripPrefix("v").stripSuffix(".delta.txt").toLong }.toSet
+    (ckpts ++ deltas).toSeq.sorted.map(v => (v, !ckpts.contains(v)))
   }
 
-  private def manifestLines(spark: SparkSession, dir: String, v: Long): Seq[String] = {
-    val fs = fsOf(spark, dir)
-    val p = manifestPath(dir, v)
-    require(fs.exists(p), s"version $v does not exist in $dir")
+  /** Latest committed version, or -1 if the lake is unversioned. */
+  def currentVersion(spark: SparkSession, dir: String): Long =
+    listManifests(fsOf(spark, dir), dir).map(_._1).foldLeft(-1L)(math.max)
+
+  private def readLines(fs: FileSystem, p: Path): Seq[String] = {
     val in = fs.open(p)
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
       .filter(_.nonEmpty).toList
     finally in.close()
   }
 
-  /** Relative data-file paths live at `version` (latest if -1).
-    * Lines starting with `#` are commit metadata (txn markers), not
-    * files. */
+  /** Version `v`'s own manifest lines (checkpoint preferred). */
+  private def manifestLinesAt(fs: FileSystem, dir: String, v: Long): Seq[String] = {
+    val cp = ckptPath(dir, v)
+    if (fs.exists(cp)) readLines(fs, cp)
+    else {
+      val dp = deltaPath(dir, v)
+      require(fs.exists(dp), s"version $v does not exist in $dir")
+      readLines(fs, dp)
+    }
+  }
+
+  /** Commit metadata carried in every manifest: the commit timestamp,
+    * the FULL per-stream txn high-water map, and the pending
+    * equality-delete tombstone files. Meta lines precede file lines. */
+  private[lake] final case class CommitMeta(ts: Option[Long],
+      txns: Map[String, Long], dels: Seq[String]) {
+    def render: Seq[String] =
+      ts.map(t => s"#ts $t").toSeq ++
+        txns.toSeq.sortBy(_._1).map { case (id, b) => s"#txn $id $b" } ++
+        dels.sorted.map(d => s"#del $d")
+  }
+  private[lake] object CommitMeta {
+    val empty: CommitMeta = CommitMeta(None, Map.empty, Nil)
+  }
+
+  private def parseMeta(lines: Seq[String]): CommitMeta = {
+    var ts: Option[Long] = None
+    val txns = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val dels = scala.collection.mutable.ArrayBuffer.empty[String]
+    lines.takeWhile(_.startsWith("#")).foreach { l =>
+      if (l.startsWith("#ts ")) ts = Some(l.stripPrefix("#ts ").trim.toLong)
+      else if (l.startsWith("#txn ")) {
+        // the batch id is the LAST token; everything before it is the
+        // txn id (ids with spaces round-trip)
+        val toks = l.stripPrefix("#txn ").trim.split(' ')
+        txns(toks.init.mkString(" ")) = toks.last.toLong
+      } else if (l.startsWith("#del ")) dels += l.stripPrefix("#del ").trim
+    }
+    CommitMeta(ts, txns.toMap, dels.toSeq)
+  }
+
+  private def metaAt(spark: SparkSession, dir: String, v: Long): CommitMeta =
+    parseMeta(manifestLinesAt(fsOf(spark, dir), dir, v))
+
+  /** Meta for commit `prevV + 1`: carries the full txn map forward
+    * (adding `newTxn`), replaces the tombstone list with `dels`, and
+    * clamps the commit timestamp monotonically non-decreasing (the
+    * Delta clock-skew adjustment — [[versionAsOf]] relies on it). */
+  private def carryMeta(spark: SparkSession, dir: String, prevV: Long,
+      commitTs: Long, newTxn: Option[(String, Long)],
+      dels: Seq[String]): CommitMeta = {
+    val prev = if (prevV >= 0) metaAt(spark, dir, prevV) else CommitMeta.empty
+    val ts = math.max(commitTs, prev.ts.getOrElse(Long.MinValue))
+    CommitMeta(Some(ts), prev.txns ++ newTxn.toMap, dels)
+  }
+
+  /** Relative data-file paths live at `version` (latest if -1),
+    * resolved as newest-checkpoint-at-or-below plus its delta tail. */
   def filesAt(spark: SparkSession, dir: String, version: Long = -1L): Seq[String] = {
-    val v = if (version >= 0) version else currentVersion(spark, dir)
+    val fs = fsOf(spark, dir)
+    val ms = listManifests(fs, dir)
+    val v = if (version >= 0) version else ms.map(_._1).foldLeft(-1L)(math.max)
     require(v >= 0, s"no manifest in $dir — call init() first")
-    manifestLines(spark, dir, v).filterNot(_.startsWith("#"))
+    require(ms.exists(_._1 == v), s"version $v does not exist in $dir")
+    val base = ms.collect { case (mv, false) if mv <= v => mv }
+      .foldLeft(-1L)(math.max)
+    require(base >= 0,
+      s"version $v of $dir has no checkpoint manifest at or below it (vacuumed?)")
+    val files = scala.collection.mutable.LinkedHashSet.empty[String]
+    manifestLinesAt(fs, dir, base).filterNot(_.startsWith("#")).foreach(files += _)
+    ((base + 1) to v).foreach { dv =>
+      manifestLinesAt(fs, dir, dv).filterNot(_.startsWith("#")).foreach { l =>
+        if (l.startsWith("+")) files += l.drop(1)
+        else if (l.startsWith("-")) files -= l.drop(1)
+        else throw new IllegalArgumentException(
+          s"manifest v$dv of $dir between checkpoints is not in delta form: '$l'")
+      }
+    }
+    files.toSeq.sorted
   }
 
   /** Highest batch id committed under `txnId`, or -1 — the Delta
     * `txn` action: an idempotent writer (a streaming sink) stamps each
     * commit with `(txnId, batchId)` and skips batches at or below the
-    * recorded high-water mark on replay. Scans manifests newest-first
-    * (driver-side, bounded by version count — the same scale as any
-    * log replay); batch ids commit in order per txn, so the first hit
-    * is the max. */
+    * recorded high-water mark on replay. The full high-water map rides
+    * EVERY manifest, so this reads only the latest one — O(1), and
+    * immune to [[vacuum]] (a reaped manifest's markers live on in every
+    * later manifest). Falls back to a newest-first scan of retained
+    * manifests for lakes whose older commits predate the carry
+    * discipline. */
   def lastTxn(spark: SparkSession, dir: String, txnId: String): Long = {
-    val cur = currentVersion(spark, dir)
-    val prefix = s"#txn $txnId "
-    (cur to 0L by -1L).iterator
-      .flatMap(v => manifestLines(spark, dir, v).find(_.startsWith(prefix)))
-      .map(_.stripPrefix(prefix).trim.toLong)
-      .nextOption().getOrElse(-1L)
+    val fs = fsOf(spark, dir)
+    val ms = listManifests(fs, dir)
+    val cur = ms.map(_._1).foldLeft(-1L)(math.max)
+    if (cur < 0) return -1L
+    metaAt(spark, dir, cur).txns.get(txnId) match {
+      case Some(b) => b
+      case None =>
+        ms.map(_._1).filter(_ < cur).sorted.reverse.iterator
+          .map(v => parseMeta(manifestLinesAt(fs, dir, v)).txns.get(txnId))
+          .collectFirst { case Some(b) => b }.getOrElse(-1L)
+    }
   }
+
+  /** Commit timestamp of `version` (absent only on legacy manifests
+    * written before timestamps were recorded). */
+  def commitTimeAt(spark: SparkSession, dir: String, version: Long): Option[Long] =
+    metaAt(spark, dir, version).ts
+
+  /** `TIMESTAMP AS OF`: the newest version whose commit timestamp is
+    * at or before `tsMillis`. Commit timestamps are monotonically
+    * non-decreasing (the commit path clamps clock skew), so the
+    * newest-first scan stops at the first hit. */
+  def versionAsOf(spark: SparkSession, dir: String, tsMillis: Long): Long = {
+    val fs = fsOf(spark, dir)
+    val ms = listManifests(fs, dir)
+    require(ms.nonEmpty, s"no manifest in $dir — call init() first")
+    ms.map(_._1).sorted.reverse.iterator
+      .map(v => v -> parseMeta(manifestLinesAt(fs, dir, v)).ts)
+      .collectFirst { case (v, Some(t)) if t <= tsMillis => v }
+      .getOrElse(throw new IllegalArgumentException(
+        s"timestamp $tsMillis is before the earliest retained commit of $dir"))
+  }
+
+  /** [[snapshot]] at [[versionAsOf]] `tsMillis`. */
+  def snapshotAsOf(spark: SparkSession, dir: String, tsMillis: Long): DataFrame =
+    snapshot(spark, dir, versionAsOf(spark, dir, tsMillis))
 
   /** Recursive data-file listing (relative), excluding metadata
     * (`_manifest`, `_SUCCESS`, dotfiles). Driver-side, bounded by file
@@ -109,53 +238,87 @@ object Versioned {
     buf.toSeq.sorted
   }
 
-  private def writeManifest(fs: FileSystem, dir: String, v: Long,
-      files: Seq[String], meta: Seq[String] = Nil): Unit = {
-    require(meta.forall(_.startsWith("#")), "manifest metadata lines must start with #")
-    val dst = manifestPath(dir, v)
+  private def writeManifestFile(fs: FileSystem, dst: Path,
+      body: Seq[String]): Path = {
     fs.mkdirs(dst.getParent)
-    val tmp = new Path(dst.getParent, dst.getName + ".tmp")
+    val tmp = new Path(dst.getParent, dst.getName + "." +
+      java.util.UUID.randomUUID().toString.take(8) + ".tmp")
     val out = fs.create(tmp, true)
-    try out.write(((meta ++ files.sorted).mkString("\n") + "\n").getBytes("UTF-8"))
+    try out.write((body.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
-    // THE commit point: one atomic metadata op. The exists check is the
-    // optimistic-concurrency guard (Delta's CAS-on-log-entry): a racing
-    // writer that committed the same version first wins, and this
-    // commit aborts with its data files unreferenced (vacuum-able)
-    // rather than clobbering the winner's manifest. Best-effort on file
-    // systems whose rename overwrites; exact on HDFS-style stores where
-    // rename onto an existing path fails.
-    require(!fs.exists(dst),
-      s"concurrent commit detected: version $v already exists in $dir")
+    tmp
+  }
+
+  /** Write version `v`'s manifest — THE commit point, one atomic
+    * metadata op. Delta form (`+file`/`-file` vs `prevFiles`, bounded
+    * by the commit's own churn) unless the checkpoint cadence — or
+    * v0, or `forceCheckpoint` — calls for a full listing. The exists
+    * check over BOTH forms is the optimistic-concurrency guard
+    * (Delta's CAS-on-log-entry): a racing writer that committed the
+    * same version first wins, and this commit aborts with its data
+    * files unreferenced (vacuum-able) rather than clobbering the
+    * winner's manifest. Best-effort on file systems whose rename
+    * overwrites; exact on HDFS-style stores where rename onto an
+    * existing path fails. */
+  private def writeCommit(fs: FileSystem, dir: String, v: Long,
+      files: Seq[String], prevFiles: Seq[String], meta: CommitMeta,
+      forceCheckpoint: Boolean = false): Unit = {
+    val baseCkpt = listManifests(fs, dir)
+      .collect { case (mv, false) if mv < v => mv }.foldLeft(-1L)(math.max)
+    val isCkpt = forceCheckpoint || v == 0L || baseCkpt < 0 ||
+      (v - baseCkpt) >= CheckpointInterval
+    val body =
+      if (isCkpt) meta.render ++ files.sorted
+      else {
+        val prev = prevFiles.toSet
+        val cur = files.toSet
+        meta.render ++
+          (cur -- prev).toSeq.sorted.map("+" + _) ++
+          (prev -- cur).toSeq.sorted.map("-" + _)
+      }
+    val dst = if (isCkpt) ckptPath(dir, v) else deltaPath(dir, v)
+    val tmp = writeManifestFile(fs, dst, body)
+    if (fs.exists(ckptPath(dir, v)) || fs.exists(deltaPath(dir, v))) {
+      fs.delete(tmp, false)
+      throw new IllegalArgumentException(
+        s"concurrent commit detected: version $v already exists in $dir")
+    }
     require(fs.rename(tmp, dst), s"manifest commit failed for $dst")
   }
 
   /** The raw CAS commit, exposed for the concurrency spec: commits
-    * `files` as version `v`, failing if `v` already exists. */
+    * `files` as version `v` (always a full checkpoint), failing if
+    * `v` already exists. Carries the previous version's meta forward. */
   private[lake] def commitManifest(spark: SparkSession, dir: String,
-      v: Long, files: Seq[String]): Unit =
-    writeManifest(fsOf(spark, dir), dir, v, files)
+      v: Long, files: Seq[String]): Unit = {
+    val fs = fsOf(spark, dir)
+    val prevMeta =
+      if (v > 0 && listManifests(fs, dir).exists(_._1 == v - 1))
+        metaAt(spark, dir, v - 1)
+      else CommitMeta.empty
+    writeCommit(fs, dir, v, files, Nil, prevMeta, forceCheckpoint = true)
+  }
 
   /** Equality-delete (tombstone) files live at `version` — relative
-    * paths recorded as `#del <path>` manifest lines. Empty for lakes
-    * that never used [[deleteWhere]] (and after
-    * [[materializeDeletes]]). */
+    * paths recorded as `#del <path>` manifest lines (carried in full
+    * in every manifest). Empty for lakes that never used
+    * [[deleteWhere]] (and after [[materializeDeletes]]). */
   def deleteFilesAt(spark: SparkSession, dir: String, version: Long = -1L): Seq[String] = {
     val v = if (version >= 0) version else currentVersion(spark, dir)
     require(v >= 0, s"no manifest in $dir — call init() first")
-    manifestLines(spark, dir, v).collect {
-      case l if l.startsWith("#del ") => l.stripPrefix("#del ").trim
-    }
+    metaAt(spark, dir, v).dels
   }
 
   /** Version an existing lake: v0 = its current files. Idempotent
     * (no-op if any manifest exists); returns the current version. */
-  def init(spark: SparkSession, dir: String): Long = {
+  def init(spark: SparkSession, dir: String,
+      commitTs: Long = System.currentTimeMillis()): Long = {
     val cur = currentVersion(spark, dir)
     if (cur >= 0) cur
     else {
       val fs = fsOf(spark, dir)
-      writeManifest(fs, dir, 0L, listDataFiles(fs, new Path(dir), new Path(dir)))
+      writeCommit(fs, dir, 0L, listDataFiles(fs, new Path(dir), new Path(dir)),
+        Nil, CommitMeta(Some(commitTs), Map.empty, Nil))
       0L
     }
   }
@@ -209,9 +372,10 @@ object Versioned {
     *   replays the increment as an ordinary delete batch. */
   def deleteWhere(spark: SparkSession, dir: String,
       pred: org.apache.spark.sql.Column, keyCols: Seq[String],
-      changeFeed: Option[(String, Long)] = None): Long = {
+      changeFeed: Option[(String, Long)] = None,
+      commitTs: Long = System.currentTimeMillis()): Long = {
     require(keyCols.nonEmpty, "deleteWhere needs at least one key column")
-    val v = init(spark, dir)
+    val v = init(spark, dir, commitTs)
     val carried = deleteFilesAt(spark, dir, v)
     if (carried.nonEmpty) {
       val prior = spark.read.parquet(s"$dir/${carried.head}").columns.toSeq
@@ -249,8 +413,9 @@ object Versioned {
       if (f.endsWith(".parquet")) delFiles += s"$delRel/$f"
     }
     require(delFiles.nonEmpty, s"tombstone write produced no files under $delRel")
-    writeManifest(fs, dir, v + 1, filesAt(spark, dir, v),
-      meta = (carried ++ delFiles).map(f => s"#del $f"))
+    val live = filesAt(spark, dir, v)
+    writeCommit(fs, dir, v + 1, live, live,
+      carryMeta(spark, dir, v, commitTs, None, carried ++ delFiles))
     v + 1
   }
 
@@ -266,8 +431,9 @@ object Versioned {
     * deleted rows — the sequence-number machinery real formats carry
     * is out of scope, so the discipline is compact-then-merge). */
   def materializeDeletes(spark: SparkSession, dir: String,
-      partitionKeys: Seq[String]): Long = {
-    val v = init(spark, dir)
+      partitionKeys: Seq[String],
+      commitTs: Long = System.currentTimeMillis()): Long = {
+    val v = init(spark, dir, commitTs)
     val dels = deleteFilesAt(spark, dir, v)
     if (dels.isEmpty) return v
     val fs = fsOf(spark, dir)
@@ -289,7 +455,8 @@ object Versioned {
     }.toSet
     def underAffected(rel: String) = affectedDirs.exists(d => rel.startsWith(d + "/"))
     if (affectedDirs.isEmpty) { // tombstones matched nothing on disk
-      writeManifest(fs, dir, v + 1, live)
+      writeCommit(fs, dir, v + 1, live, live,
+        carryMeta(spark, dir, v, commitTs, None, Nil))
       return v + 1
     }
     val affectedPred = affectedRows.map { r =>
@@ -305,7 +472,8 @@ object Versioned {
     val after = affectedDirs.flatMap(d =>
       listDataFiles(fs, new Path(dir), new Path(dir, d))).toSet
     val newFiles = (after -- before).toSeq.sorted
-    writeManifest(fs, dir, v + 1, live.filterNot(underAffected) ++ newFiles)
+    writeCommit(fs, dir, v + 1, live.filterNot(underAffected) ++ newFiles,
+      live, carryMeta(spark, dir, v, commitTs, None, Nil))
     v + 1
   }
 
@@ -334,9 +502,10 @@ object Versioned {
   def mergeInto(spark: SparkSession, dir: String, updates: DataFrame,
       partitionKeys: Seq[String], rowKey: Seq[String],
       changeFeed: Option[(String, Long)] = None,
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      commitTs: Long = System.currentTimeMillis()): Long = {
     require(rowKey.nonEmpty, "mergeInto needs at least one rowKey column")
-    val v = init(spark, dir)
+    val v = init(spark, dir, commitTs)
     require(deleteFilesAt(spark, dir, v).isEmpty,
       s"$dir has unmaterialized equality deletes: run materializeDeletes() " +
         "before merging (stale tombstones could re-delete re-inserted keys)")
@@ -378,8 +547,8 @@ object Versioned {
       val newFiles = (after -- before).toSeq.sorted
 
       val next = live.filterNot(underTouched) ++ newFiles
-      writeManifest(fs, dir, v + 1, next,
-        meta = txn.map { case (id, b) => s"#txn $id $b" }.toSeq)
+      writeCommit(fs, dir, v + 1, next, live,
+        carryMeta(spark, dir, v, commitTs, txn, Nil))
       v + 1
     } finally batch.unpersist()
   }
@@ -438,9 +607,10 @@ object Versioned {
     * Returns the committed version (unchanged if nothing to do). */
   def optimize(spark: SparkSession, dir: String,
       partitionKeys: Seq[String], targetFilesPerPartition: Int = 1,
-      zorder: Option[org.apache.spark.sql.Column] = None): Long = {
+      zorder: Option[org.apache.spark.sql.Column] = None,
+      commitTs: Long = System.currentTimeMillis()): Long = {
     require(targetFilesPerPartition >= 1, "need targetFilesPerPartition >= 1")
-    val v = init(spark, dir)
+    val v = init(spark, dir, commitTs)
     require(deleteFilesAt(spark, dir, v).isEmpty,
       s"$dir has unmaterialized equality deletes: run materializeDeletes() " +
         "before optimize (a raw-file rewrite would resurrect deleted rows)")
@@ -475,7 +645,8 @@ object Versioned {
       listDataFiles(fs, new Path(dir), new Path(dir, d))).toSet
     val newFiles = (after -- before).toSeq.sorted
     val replaced = targets.values.flatten.toSet
-    writeManifest(fs, dir, v + 1, live.filterNot(replaced) ++ newFiles)
+    writeCommit(fs, dir, v + 1, live.filterNot(replaced) ++ newFiles,
+      live, carryMeta(spark, dir, v, commitTs, None, Nil))
     v + 1
   }
 
@@ -512,13 +683,31 @@ object Versioned {
   /** Delete data files unreferenced by the newest `keepVersions`
     * manifests, the older manifests themselves, and any equality-delete
     * tombstone files no retained manifest references. After vacuum,
-    * time travel reaches back exactly `keepVersions` versions. */
+    * time travel reaches back exactly `keepVersions` versions.
+    *
+    * Streaming exactly-once survives any retention: every manifest
+    * re-publishes the full `#txn` high-water map, so reaping the
+    * manifest that originally recorded a marker loses nothing.
+    * If the oldest retained version's manifest is a delta, it is first
+    * rewritten as an equivalent checkpoint (same resolved listing and
+    * meta) so the retained tail resolves without the reaped manifests;
+    * readers prefer the checkpoint when the crash window leaves both
+    * forms. */
   def vacuum(spark: SparkSession, dir: String, keepVersions: Int): Unit = {
     require(keepVersions >= 1, "must keep at least the current version")
     val fs = fsOf(spark, dir)
-    val cur = currentVersion(spark, dir)
+    val ms = listManifests(fs, dir)
+    val cur = ms.map(_._1).foldLeft(-1L)(math.max)
     require(cur >= 0, s"no manifest in $dir")
     val keepFrom = math.max(0L, cur - keepVersions + 1)
+    if (ms.exists { case (mv, isDelta) => mv == keepFrom && isDelta }) {
+      val files = filesAt(spark, dir, keepFrom)
+      val meta = metaAt(spark, dir, keepFrom)
+      val dst = ckptPath(dir, keepFrom)
+      val tmp = writeManifestFile(fs, dst, meta.render ++ files.sorted)
+      require(fs.rename(tmp, dst), s"checkpoint rewrite failed for $dst")
+      fs.delete(deltaPath(dir, keepFrom), false)
+    }
     val referenced = (keepFrom to cur)
       .flatMap(v => filesAt(spark, dir, v)).toSet
     val all = listDataFiles(fs, new Path(dir), new Path(dir))
@@ -540,8 +729,8 @@ object Versioned {
       }
     }
     (0L until keepFrom).foreach { v =>
-      val p = manifestPath(dir, v)
-      if (fs.exists(p)) fs.delete(p, false)
+      fs.delete(ckptPath(dir, v), false)
+      fs.delete(deltaPath(dir, v), false)
     }
   }
 }

@@ -378,6 +378,120 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.fastRowCount(spark, dir, 1L) == 3L)
   }
 
+  test("delta manifests: commit bytes bounded by the batch; checkpoint every Nth; tail resolution exact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_versioned_delta").toFile
+    dir.deleteOnExit()
+    // a WIDE base: many files in partitions the merges never touch —
+    // if commits listed the whole lake, every manifest would scale
+    // with this, not with the one-partition batches below
+    df((1L to 200L).map(i => (s"wide_${i % 20}", i, i.toDouble)), "site", "id", "v")
+      .repartition(10)
+      .write.mode("overwrite").partitionBy("site").parquet(dir.getAbsolutePath)
+    MergeData.writeMerged(spark, df(Seq(("hot", 0L, 0.0)), "site", "id", "v"),
+      dir.getAbsolutePath, keys = Seq("site"))
+    Versioned.init(spark, dir.getAbsolutePath)
+    val totalFiles = Versioned.filesAt(spark, dir.getAbsolutePath, 0L).size
+    assert(totalFiles > 50, s"fixture must be wide, got $totalFiles files")
+
+    val expected = scala.collection.mutable.ArrayBuffer(
+      Versioned.snapshot(spark, dir.getAbsolutePath, 0L)
+        .select("site", "id", "v").collect().map(_.toSeq).toSet)
+    (1 to 12).foreach { i =>
+      Versioned.mergeInto(spark, dir.getAbsolutePath,
+        df(Seq(("hot", 0L, i.toDouble, false)), "site", "id", "v", "__delete"),
+        Seq("site"), Seq("site", "id"))
+      expected += Versioned.snapshot(spark, dir.getAbsolutePath, i.toLong)
+        .select("site", "id", "v").collect().map(_.toSeq).toSet
+    }
+    val md = new java.io.File(dir, "_manifest")
+    def lines(name: String): Seq[String] =
+      java.nio.file.Files.readAllLines(
+        new java.io.File(md, name).toPath).toArray.toSeq.map(_.toString)
+    // v1..v9: delta manifests whose file lines are bounded by the
+    // one-partition batch (one +file, one -file), NOT the lake width
+    (1 to 9).foreach { v =>
+      val name = f"v$v%06d.delta.txt"
+      assert(new java.io.File(md, name).exists(), s"v$v must be a delta manifest")
+      val fileLines = lines(name).filterNot(_.startsWith("#"))
+      assert(fileLines.nonEmpty && fileLines.size <= 4,
+        s"delta at v$v must be batch-bounded, got ${fileLines.size} lines")
+      assert(fileLines.forall(l => l.startsWith("+") || l.startsWith("-")))
+    }
+    // v10 hits the cadence: a full checkpoint listing the live lake
+    assert(new java.io.File(md, f"v${10}%06d.txt").exists(),
+      "v10 must be a checkpoint")
+    assert(lines(f"v${10}%06d.txt").count(!_.startsWith("#")) >= totalFiles - 2)
+    assert(new java.io.File(md, f"v${11}%06d.delta.txt").exists(),
+      "v11 resumes delta form")
+    // EVERY version resolves exactly through checkpoint + delta tail
+    (0 to 12).foreach { v =>
+      assert(Versioned.snapshot(spark, dir.getAbsolutePath, v.toLong)
+        .select("site", "id", "v").collect().map(_.toSeq).toSet == expected(v),
+        s"version $v must resolve exactly")
+      assert(Versioned.snapshot(spark, dir.getAbsolutePath, v.toLong)
+        .filter(col("site") === "hot" && col("id") === 0L)
+        .select("v").collect()(0).getDouble(0) == v.toDouble)
+    }
+  }
+
+  test("vacuum cannot break streaming exactly-once: txn marks survive manifest reaping") {
+    val dir = freshLake()
+    Versioned.init(spark, dir)
+    // four txn-stamped batches, then vacuum reaps every manifest that
+    // originally recorded batches 0..2
+    (0 to 3).foreach { b =>
+      Versioned.mergeInto(spark, dir,
+        df(Seq(("a", 1L, b.toDouble, false)), "site", "id", "v", "__delete"),
+        Seq("site"), Seq("site", "id"), txn = Some(("stream-z", b.toLong)))
+    }
+    Versioned.vacuum(spark, dir, keepVersions = 1)
+    intercept[IllegalArgumentException] { Versioned.filesAt(spark, dir, 3L) }
+    // the carried high-water map still answers from the one retained manifest
+    assert(Versioned.lastTxn(spark, dir, "stream-z") == 3L)
+    // replaying ANY reaped batch advances nothing
+    (0 to 3).foreach { b =>
+      assert(Versioned.mergeInto(spark, dir,
+        df(Seq(("a", 1L, b.toDouble, false)), "site", "id", "v", "__delete"),
+        Seq("site"), Seq("site", "id"), txn = Some(("stream-z", b.toLong))) == 4L)
+    }
+    assert(Versioned.currentVersion(spark, dir) == 4L)
+    assert(state(Versioned.snapshot(spark, dir)) ==
+      Set(("a", 1L, 3.0), ("a", 2L, 2.0), ("b", 10L, 10.0)))
+    // a fresh batch still commits normally
+    assert(Versioned.mergeInto(spark, dir,
+      df(Seq(("a", 1L, 9.0, false)), "site", "id", "v", "__delete"),
+      Seq("site"), Seq("site", "id"), txn = Some(("stream-z", 4L))) == 5L)
+  }
+
+  test("timestamp time travel: versionAsOf boundaries, monotonic clamp, snapshotAsOf") {
+    val dir = freshLake()
+    Versioned.init(spark, dir, commitTs = 1000L)
+    Versioned.mergeInto(spark, dir,
+      df(Seq(("a", 1L, 2.0, false)), "site", "id", "v", "__delete"),
+      Seq("site"), Seq("site", "id"), commitTs = 2000L)
+    // a commit whose clock reads EARLIER than its predecessor is
+    // clamped (Delta's skew adjustment) so timestamps stay monotonic
+    Versioned.mergeInto(spark, dir,
+      df(Seq(("a", 1L, 3.0, false)), "site", "id", "v", "__delete"),
+      Seq("site"), Seq("site", "id"), commitTs = 1500L)
+    assert(Versioned.commitTimeAt(spark, dir, 0L).contains(1000L))
+    assert(Versioned.commitTimeAt(spark, dir, 1L).contains(2000L))
+    assert(Versioned.commitTimeAt(spark, dir, 2L).contains(2000L))
+
+    assert(Versioned.versionAsOf(spark, dir, 1000L) == 0L) // exact boundary
+    assert(Versioned.versionAsOf(spark, dir, 1999L) == 0L)
+    assert(Versioned.versionAsOf(spark, dir, 2000L) == 2L) // newest at tie
+    assert(Versioned.versionAsOf(spark, dir, Long.MaxValue) == 2L)
+    val e = intercept[IllegalArgumentException] {
+      Versioned.versionAsOf(spark, dir, 999L)
+    }
+    assert(e.getMessage.contains("before the earliest"))
+    assert(state(Versioned.snapshotAsOf(spark, dir, 1500L)) ==
+      Set(("a", 1L, 1.0), ("a", 2L, 2.0), ("b", 10L, 10.0)))
+    assert(state(Versioned.snapshotAsOf(spark, dir, 2000L)) ==
+      Set(("a", 1L, 3.0), ("a", 2L, 2.0), ("b", 10L, 10.0)))
+  }
+
   test("versioned merge is replay-idempotent at the data level") {
     val dir = freshLake()
     Versioned.init(spark, dir)
