@@ -387,11 +387,19 @@ object Versioned {
     // can't be re-tombstoned, and the pred sees what a reader sees
     val deletedRows = snapshot(spark, dir, v).filter(pred)
     val keys = deletedRows.select(keyCols.map(col): _*).distinct()
-    if (keys.isEmpty) return v
-    // feed increment lands BEFORE the commit (resolution against the
-    // immutable snapshot v — replay-consistent like the merge paths)
+    if (keys.isEmpty) {
+      // replay after a crash between a prior commit and its promote:
+      // the keys already read as deleted, but the increment may still
+      // be sitting staged — publish it
+      changeFeed.foreach { case (fd, b) =>
+        graft.ops.MergeData.promoteFeedIncrement(spark, fd, b) }
+      return v
+    }
+    // the increment is STAGED before the commit (resolution against
+    // the immutable snapshot v — replay-consistent like the merge
+    // paths) and published only after the version is reserved
     changeFeed.foreach { case (fd, batchId) =>
-      graft.ops.MergeData.writeFeedIncrement(spark, fd, batchId,
+      graft.ops.MergeData.stageFeedIncrement(spark, fd, batchId,
         deletedRows.withColumn("_action", lit("delete")))
     }
     val fs = fsOf(spark, dir)
@@ -414,8 +422,15 @@ object Versioned {
     }
     require(delFiles.nonEmpty, s"tombstone write produced no files under $delRel")
     val live = filesAt(spark, dir, v)
-    writeCommit(fs, dir, v + 1, live, live,
+    try writeCommit(fs, dir, v + 1, live, live,
       carryMeta(spark, dir, v, commitTs, None, carried ++ delFiles))
+    catch { case e: Throwable =>
+      changeFeed.foreach { case (fd, b) =>
+        graft.ops.MergeData.discardStagedIncrement(spark, fd, b) }
+      throw e
+    }
+    changeFeed.foreach { case (fd, b) =>
+      graft.ops.MergeData.promoteFeedIncrement(spark, fd, b) }
     v + 1
   }
 
@@ -489,9 +504,12 @@ object Versioned {
     * [[vacuum]].
     *
     * @param changeFeed optional (dir, batchId): publish this batch's
-    *   resolved Delta-CDF increment (same write-once pre-commit
-    *   contract as the swap path — see
-    *   [[graft.ops.MergeData.emitChangeFeed]]), so snapshot isolation
+    *   resolved Delta-CDF increment — STAGED before the commit
+    *   (actions resolve against the immutable pre-merge snapshot,
+    *   write-once on replay) and published only after the manifest
+    *   CAS reserves the version, so a losing concurrent writer leaves
+    *   no visible feed trace (see
+    *   [[graft.ops.MergeData.stageFeedIncrement]]); snapshot isolation
     *   and CDC ride ONE write path.
     * @param txn optional (txnId, batchId) idempotence marker (Delta's
     *   `txn` action): if `batchId <=` [[lastTxn]] for `txnId`, the
@@ -511,7 +529,11 @@ object Versioned {
         "before merging (stale tombstones could re-delete re-inserted keys)")
     txn match {
       case Some((id, batchId)) if lastTxn(spark, dir, id) >= batchId =>
-        return currentVersion(spark, dir) // replayed batch: already committed
+        // replayed batch: already committed — publish any increment a
+        // crash left staged between that commit and its promote
+        changeFeed.foreach { case (fd, b) =>
+          graft.ops.MergeData.promoteFeedIncrement(spark, fd, b) }
+        return currentVersion(spark, dir)
       case _ =>
     }
     val live = filesAt(spark, dir, v)
@@ -530,10 +552,14 @@ object Versioned {
       def underTouched(rel: String) =
         touchedDirs.exists(d => rel.startsWith(d + "/"))
 
-      // the feed increment lands BEFORE the commit (crash-consistent:
-      // actions resolve against snapshot v, which no commit mutates)
+      // the feed increment is STAGED before the commit (resolution is
+      // crash-consistent: actions resolve against snapshot v, which no
+      // commit mutates) but published only AFTER the version is
+      // reserved — a writer that loses the commit CAS aborts with no
+      // visible feed trace
       changeFeed.foreach { case (fd, batchId) =>
-        graft.ops.MergeData.emitChangeFeed(spark, res, batch, rowKey, del, fd, batchId)
+        graft.ops.MergeData.stageFeedIncrement(spark, fd, batchId,
+          graft.ops.MergeData.resolveFeedActions(res, batch, rowKey, del))
       }
 
       // write new files: append-only, so pre-listing the touched dirs
@@ -547,11 +573,24 @@ object Versioned {
       val newFiles = (after -- before).toSeq.sorted
 
       val next = live.filterNot(underTouched) ++ newFiles
-      writeCommit(fs, dir, v + 1, next, live,
+      beforeCommitHook()
+      try writeCommit(fs, dir, v + 1, next, live,
         carryMeta(spark, dir, v, commitTs, txn, Nil))
+      catch { case e: Throwable =>
+        changeFeed.foreach { case (fd, batchId) =>
+          graft.ops.MergeData.discardStagedIncrement(spark, fd, batchId) }
+        throw e
+      }
+      changeFeed.foreach { case (fd, batchId) =>
+        graft.ops.MergeData.promoteFeedIncrement(spark, fd, batchId) }
       v + 1
     } finally batch.unpersist()
   }
+
+  /** Test seam: runs after the merge's data files are written, right
+    * before the manifest CAS — lets the concurrency spec inject a
+    * racing commit into the exact window the CAS guards. */
+  private[lake] var beforeCommitHook: () => Unit = () => ()
 
   /** Skip-index pruned read of a snapshot: the index must describe
     * exactly this version's manifest (build it from [[snapshot]], or

@@ -300,29 +300,98 @@ object MergeData {
     val feedRoot = new org.apache.hadoop.fs.Path(dir)
     val feedFs = feedRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val target = new org.apache.hadoop.fs.Path(feedRoot, s"batch_id=$batchId")
-    if (!feedFs.exists(target)) {
-      // feed rows carry the EVOLVED schema: inserts/postimages bring
-      // the batch's new columns, preimages/deletes (old base rows)
-      // null-fill them via the allowMissingColumns unions below
-      val base = res.base
-      val upserts = res.applied
-      val delKeys = updates.filter(del).select(rowKey.map(col): _*).distinct()
-      val upsKeys = upserts.select(rowKey.map(col): _*).distinct()
-      def tag(d: DataFrame, action: String) =
-        d.withColumn("_action", lit(action))
-      val actions =
-        tag(upserts.join(base.select(rowKey.map(col): _*).distinct(),
-          rowKey, "left_anti"), "insert")
-        .unionByName(tag(upserts.join(
-          base.select(rowKey.map(col): _*).distinct(), rowKey, "left_semi"),
-          "update_postimage"))
-        .unionByName(tag(base.join(upsKeys, rowKey, "left_semi"),
-          "update_preimage"), allowMissingColumns = true)
-        .unionByName(tag(base.join(delKeys, rowKey, "left_semi"), "delete"),
-          allowMissingColumns = true)
-      writeFeedIncrement(spark, dir, batchId, actions)
-    }
+    if (!feedFs.exists(target))
+      writeFeedIncrement(spark, dir, batchId,
+        resolveFeedActions(res, updates, rowKey, del))
   }
+
+  /** Resolve a batch's Delta-CDF action rows against its PRE-merge
+    * base (rowKey-shaped joins over the touched partitions only) —
+    * shared by the swap path's [[emitChangeFeed]] and the manifest
+    * path's staged emission ([[stageFeedIncrement]]). */
+  private[graft] def resolveFeedActions(res: MergeResolution,
+      updates: DataFrame, rowKey: Seq[String],
+      del: org.apache.spark.sql.Column): DataFrame = {
+    // feed rows carry the EVOLVED schema: inserts/postimages bring
+    // the batch's new columns, preimages/deletes (old base rows)
+    // null-fill them via the allowMissingColumns unions below
+    val base = res.base
+    val upserts = res.applied
+    val delKeys = updates.filter(del).select(rowKey.map(col): _*).distinct()
+    val upsKeys = upserts.select(rowKey.map(col): _*).distinct()
+    def tag(d: DataFrame, action: String) =
+      d.withColumn("_action", lit(action))
+    tag(upserts.join(base.select(rowKey.map(col): _*).distinct(),
+      rowKey, "left_anti"), "insert")
+      .unionByName(tag(upserts.join(
+        base.select(rowKey.map(col): _*).distinct(), rowKey, "left_semi"),
+        "update_postimage"))
+      .unionByName(tag(base.join(upsKeys, rowKey, "left_semi"),
+        "update_preimage"), allowMissingColumns = true)
+      .unionByName(tag(base.join(delKeys, rowKey, "left_semi"), "delete"),
+        allowMissingColumns = true)
+  }
+
+  private def feedFs(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def feedStagePath(dir: String, batchId: Long) =
+    new org.apache.hadoop.fs.Path(dir, s"_stg_batch_id=$batchId")
+  private def feedFinalPath(dir: String, batchId: Long) =
+    new org.apache.hadoop.fs.Path(dir, s"batch_id=$batchId")
+
+  /** Stage `batch_id=N`'s increment WITHOUT publishing it — the
+    * `_`-prefixed staging dir is invisible to feed readers. The
+    * manifest commit path must not publish an increment before its
+    * version is actually reserved: a writer that loses the commit CAS
+    * aborts with NO visible feed trace (emitting pre-commit would keep
+    * the loser's stale increment forever, undermining exactly what the
+    * CAS detects). First resolution wins: an increment already staged
+    * (by a crashed prior attempt of the same writer, resolved against
+    * the same pre-merge snapshot) is KEPT rather than re-resolved —
+    * that is what makes crash replay consistent — and an increment
+    * already PUBLISHED means nothing to do. `actions` is by-name and
+    * only resolved when a fresh stage is actually written. The staged
+    * write itself is all-or-nothing (tmp dir + atomic rename), so a
+    * crash mid-write can't leave a half increment the keep-check would
+    * then trust. */
+  private[graft] def stageFeedIncrement(spark: SparkSession, dir: String,
+      batchId: Long, actions: => DataFrame): Unit = {
+    val fs = feedFs(spark, dir)
+    if (fs.exists(feedFinalPath(dir, batchId))) return
+    if (fs.exists(feedStagePath(dir, batchId))) return
+    val tmp = new org.apache.hadoop.fs.Path(
+      dir + "_feedstg_" + java.util.UUID.randomUUID().toString.take(8))
+    try {
+      actions.write.mode("overwrite").parquet(tmp.toString)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+      require(fs.rename(tmp, feedStagePath(dir, batchId)),
+        s"feed stage: rename $tmp -> ${feedStagePath(dir, batchId)} failed")
+    } finally fs.delete(tmp, true)
+  }
+
+  /** Publish a staged increment after its commit landed: one atomic
+    * rename into `batch_id=N`. No-op when already published (a
+    * leftover stage is dropped — write-once keeps the published copy)
+    * or when nothing is staged. Also called on the txn-replay skip
+    * path, so an increment orphaned by a crash between the manifest
+    * commit and its promote still gets published. */
+  private[graft] def promoteFeedIncrement(spark: SparkSession, dir: String,
+      batchId: Long): Unit = {
+    val fs = feedFs(spark, dir)
+    val stg = feedStagePath(dir, batchId)
+    val dst = feedFinalPath(dir, batchId)
+    if (fs.exists(dst)) { fs.delete(stg, true); return }
+    if (fs.exists(stg))
+      require(fs.rename(stg, dst), s"feed promote: rename $stg -> $dst failed")
+  }
+
+  /** Reap a staged increment after an aborted commit (a lost CAS):
+    * the abort means another writer owns the version, so the staged
+    * resolution is stale — the retry re-resolves fresh. */
+  private[graft] def discardStagedIncrement(spark: SparkSession, dir: String,
+      batchId: Long): Unit =
+    feedFs(spark, dir).delete(feedStagePath(dir, batchId), true)
 
   /** The write-once increment commit shared by every feed emitter
     * ([[emitChangeFeed]], [[graft.lake.Versioned.deleteWhere]]): stage,

@@ -492,6 +492,41 @@ class VersionedSpec extends SparkSpec {
       Set(("a", 1L, 3.0), ("a", 2L, 2.0), ("b", 10L, 10.0)))
   }
 
+  test("a losing concurrent commit leaves NO visible feed increment; the retry publishes fresh") {
+    val dir = freshLake()
+    Versioned.init(spark, dir)
+    val feed = dir + "_racefeed"
+    val batch = df(Seq(("a", 1L, 100.0, false)), "site", "id", "v", "__delete")
+    // inject a racing commit into the CAS window: the merge resolves
+    // against v0, stages its increment, writes data files — and then
+    // finds v1 taken
+    Versioned.beforeCommitHook = () =>
+      Versioned.commitManifest(spark, dir, 1L, Versioned.filesAt(spark, dir, 0L))
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Versioned.mergeInto(spark, dir, batch, Seq("site"), Seq("site", "id"),
+          changeFeed = Some((feed, 0L)))
+      }
+      assert(e.getMessage.contains("concurrent commit"))
+    } finally Versioned.beforeCommitHook = () => ()
+    // the loser published nothing: no batch_id dir, nothing a feed
+    // reader can see (staged dirs are _-prefixed and reaped on abort)
+    val fs = new org.apache.hadoop.fs.Path(feed)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(feed, "batch_id=0")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(feed, "_stg_batch_id=0")))
+    // the retry re-resolves against the winner's state and publishes
+    val v2 = Versioned.mergeInto(spark, dir, batch, Seq("site"), Seq("site", "id"),
+      changeFeed = Some((feed, 0L)))
+    assert(v2 == 2L)
+    val inc = spark.read.parquet(feed)
+      .select("_action", "site", "id", "v").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(inc == Set(
+      ("update_preimage", "a", 1L, 1.0),
+      ("update_postimage", "a", 1L, 100.0)))
+  }
+
   test("versioned merge is replay-idempotent at the data level") {
     val dir = freshLake()
     Versioned.init(spark, dir)
