@@ -439,12 +439,11 @@ object Versioned {
     * are rewritten from the MOR snapshot; the new manifest drops the
     * `#del` lines. Work is bounded by the affected partitions — the
     * same COW scope as a merge — and old versions still time-travel
-    * to the tombstoned (and pre-delete) states. Required before
-    * [[mergeInto]]/[[optimize]] (both refuse while tombstones exist:
-    * a rewrite that carried stale tombstones could re-delete a
-    * re-inserted key, and one that dropped them would resurrect
-    * deleted rows — the sequence-number machinery real formats carry
-    * is out of scope, so the discipline is compact-then-merge). */
+    * to the tombstoned (and pre-delete) states. [[mergeInto]] no
+    * longer requires it (it materializes CONFLICTING tombstones
+    * scoped to its own commit); [[optimize]] and the pruned/fast read
+    * paths still refuse while tombstones pend, so run this before
+    * layout maintenance or to reclaim the MOR read-side anti-join. */
   def materializeDeletes(spark: SparkSession, dir: String,
       partitionKeys: Seq[String],
       commitTs: Long = System.currentTimeMillis()): Long = {
@@ -503,6 +502,14 @@ object Versioned {
     * they are the partition. Old files stay for time travel until
     * [[vacuum]].
     *
+    * Merging over PENDING merge-on-read tombstones works: the batch
+    * resolves against the MOR snapshot, tombstones whose keys the
+    * batch re-writes are materialized away (their physical partitions
+    * join the rewrite scope) and dropped from the carried set, and
+    * non-conflicting tombstones stay merge-on-read — see the inline
+    * interplay comment. Requires the tombstone key columns to be a
+    * subset of `rowKey` (refused loudly otherwise).
+    *
     * @param changeFeed optional (dir, batchId): publish this batch's
     *   resolved Delta-CDF increment — STAGED before the commit
     *   (actions resolve against the immutable pre-merge snapshot,
@@ -524,9 +531,6 @@ object Versioned {
       commitTs: Long = System.currentTimeMillis()): Long = {
     require(rowKey.nonEmpty, "mergeInto needs at least one rowKey column")
     val v = init(spark, dir, commitTs)
-    require(deleteFilesAt(spark, dir, v).isEmpty,
-      s"$dir has unmaterialized equality deletes: run materializeDeletes() " +
-        "before merging (stale tombstones could re-delete re-inserted keys)")
     txn match {
       case Some((id, batchId)) if lastTxn(spark, dir, id) >= batchId =>
         // replayed batch: already committed — publish any increment a
@@ -538,19 +542,101 @@ object Versioned {
     }
     val live = filesAt(spark, dir, v)
     val fs = fsOf(spark, dir)
+    val dels = deleteFilesAt(spark, dir, v)
 
     val hasDelete = updates.columns.contains("__delete")
     val del = if (hasDelete) coalesce(col("__delete"), lit(false)) else lit(false)
     val batch = updates.persist()
     try {
+      // ---- pending-tombstone interplay (Iceberg's sequence-number
+      // problem, solved by SCOPED materialization in this same commit):
+      // a tombstone whose key this batch re-writes would either
+      // re-delete the fresh row (if carried) or resurrect its stale
+      // physical rows (if dropped) — so the partitions physically
+      // holding those CONFLICTING keys join the rewrite scope, their
+      // stale rows are materialized away, and exactly the conflicting
+      // tombstone keys are dropped from the carried set. Non-conflicting
+      // tombstones stay merge-on-read: the common CDC case (no overlap
+      // between erasures and the day's upserts) pays ONE broadcast-size
+      // semi-join of tombstones against the batch and nothing else; the
+      // conflict case pays a lake-wide key probe — the same cost class
+      // as the materializeDeletes it replaces, but scoped to the
+      // conflicting partitions and folded into the merge's own commit.
+      val (extraRows, nextDels) =
+        if (dels.isEmpty) (Seq.empty[org.apache.spark.sql.Row], Nil)
+        else {
+          val tomb = spark.read.parquet(dels.map(d => s"$dir/$d"): _*)
+          val keyCols = tomb.columns.toSeq
+          require(keyCols.toSet.subsetOf(rowKey.toSet),
+            s"pending equality deletes on (${keyCols.mkString(", ")}) are not a " +
+              s"subset of the merge rowKey (${rowKey.mkString(", ")}): run " +
+              "materializeDeletes() first")
+          val batchKeys = batch.select(keyCols.map(col): _*).distinct()
+          def nsCond(l: DataFrame, r: DataFrame) =
+            keyCols.map(k => l(k) <=> r(k)).reduce(_ && _)
+          val conflict = tomb.join(batchKeys, nsCond(tomb, batchKeys), "left_semi")
+          if (conflict.isEmpty) (Seq.empty[org.apache.spark.sql.Row], dels)
+          else {
+            val raw = spark.read.option("basePath", dir)
+              .option("mergeSchema", "true")
+              .parquet(live.map(f => s"$dir/$f"): _*)
+            val conflictRows = raw.join(conflict, nsCond(raw, conflict), "left_semi")
+              .select(partitionKeys.map(col): _*).distinct().collect().toSeq
+            val remaining = tomb.join(batchKeys, nsCond(tomb, batchKeys), "left_anti")
+            val delMeta =
+              if (remaining.isEmpty) Nil
+              else {
+                val delRel = f"_deletes/v${v + 1}%06d_" +
+                  java.util.UUID.randomUUID().toString.take(8)
+                remaining.distinct().coalesce(1)
+                  .write.mode("errorifexists").parquet(s"$dir/$delRel")
+                val it = fs.listFiles(new Path(dir, delRel), false)
+                val delFiles = scala.collection.mutable.ArrayBuffer.empty[String]
+                while (it.hasNext) {
+                  val f = it.next().getPath.getName
+                  if (f.endsWith(".parquet")) delFiles += s"$delRel/$f"
+                }
+                delFiles.toSeq
+              }
+            (conflictRows, delMeta)
+          }
+        }
+
       // base = the SNAPSHOT's touched-partition rows (partition-pruned:
       // the resolve core's filter on partition columns prunes at
-      // planning time)
+      // planning time); the MOR snapshot already excludes tombstoned
+      // rows, so the rewrite materializes them away for free
       val res = graft.ops.MergeData.resolveMerge(
         snapshot(spark, dir, v), batch, partitionKeys, rowKey, del)
-      val touchedDirs = res.touchedDirs.toSet
+      // dedup against the batch scope by RENDERED DIRECTORY (the same
+      // normalization the write produces) — row-value equality would be
+      // type-brittle across a collected batch vs a path-inferred scan
+      def dirOf(r: org.apache.spark.sql.Row): String =
+        partitionKeys.zipWithIndex.map { case (k, i) =>
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .getPartitionPathString(k, Option(r.get(i)).map(String.valueOf).orNull)
+        }.mkString("/")
+      val touchedSet = res.touchedDirs.toSet
+      val extra = extraRows.filterNot(r => touchedSet.contains(dirOf(r)))
+      val extraDirs = extra.map(dirOf).toSet
+      val allDirs = res.touchedDirs.toSet ++ extraDirs
       def underTouched(rel: String) =
-        touchedDirs.exists(d => rel.startsWith(d + "/"))
+        allDirs.exists(d => rel.startsWith(d + "/"))
+      // conflict partitions OUTSIDE the batch's scope are rewritten
+      // MOR-clean from the snapshot (layout-only: no logical change,
+      // hence no feed rows for them)
+      val toWrite =
+        if (extra.isEmpty) res.merged
+        else {
+          val extraPred = extra.map { r =>
+            partitionKeys.zipWithIndex.map { case (k, i) =>
+              col(k) <=> lit(r.get(i))
+            }.reduce(_ && _)
+          }.reduce(_ || _)
+          res.merged.unionByName(
+            snapshot(spark, dir, v).filter(extraPred),
+            allowMissingColumns = true)
+        }
 
       // the feed increment is STAGED before the commit (resolution is
       // crash-consistent: actions resolve against snapshot v, which no
@@ -563,19 +649,20 @@ object Versioned {
       }
 
       // write new files: append-only, so pre-listing the touched dirs
-      // (bounded by the batch) identifies exactly this commit's files
-      val before = touchedDirs.flatMap(d =>
+      // (bounded by the batch + conflict scope) identifies exactly this
+      // commit's files
+      val before = allDirs.flatMap(d =>
         listDataFiles(fs, new Path(dir), new Path(dir, d))).toSet
-      res.merged.repartition(partitionKeys.map(col): _*)
+      toWrite.repartition(partitionKeys.map(col): _*)
         .write.mode("append").partitionBy(partitionKeys: _*).parquet(dir)
-      val after = touchedDirs.flatMap(d =>
+      val after = allDirs.flatMap(d =>
         listDataFiles(fs, new Path(dir), new Path(dir, d))).toSet
       val newFiles = (after -- before).toSeq.sorted
 
       val next = live.filterNot(underTouched) ++ newFiles
       beforeCommitHook()
       try writeCommit(fs, dir, v + 1, next, live,
-        carryMeta(spark, dir, v, commitTs, txn, Nil))
+        carryMeta(spark, dir, v, commitTs, txn, nextDels))
       catch { case e: Throwable =>
         changeFeed.foreach { case (fd, batchId) =>
           graft.ops.MergeData.discardStagedIncrement(spark, fd, batchId) }

@@ -277,11 +277,12 @@ class VersionedSpec extends SparkSpec {
     }
     assert(km.getMessage.contains("tombstone key mismatch"))
 
-    // merge/optimize/pruned reads refuse while tombstones are pending
+    // optimize/pruned reads refuse while tombstones are pending; a
+    // tombstone whose keys are NOT a rowKey subset refuses a merge
     val batch = df(Seq(("a", 7L, 7.0, false)), "site", "id", "v", "__delete")
     assert(intercept[IllegalArgumentException] {
-      Versioned.mergeInto(spark, dir, batch, Seq("site"), Seq("site", "id"))
-    }.getMessage.contains("unmaterialized"))
+      Versioned.mergeInto(spark, dir, batch, Seq("site"), Seq("site"))
+    }.getMessage.contains("subset"))
     assert(intercept[IllegalArgumentException] {
       Versioned.optimize(spark, dir, Seq("site"))
     }.getMessage.contains("unmaterialized"))
@@ -490,6 +491,62 @@ class VersionedSpec extends SparkSpec {
       Set(("a", 1L, 1.0), ("a", 2L, 2.0), ("b", 10L, 10.0)))
     assert(state(Versioned.snapshotAsOf(spark, dir, 2000L)) ==
       Set(("a", 1L, 3.0), ("a", 2L, 2.0), ("b", 10L, 10.0)))
+  }
+
+  test("merge over pending tombstones: conflicts materialized in-commit, rest stays MOR") {
+    val dir = freshLake() // a:(1,1.0),(2,2.0)  b:(10,10.0)
+    Versioned.init(spark, dir)
+    val v1 = Versioned.deleteWhere(spark, dir, col("id") === 1L, Seq("id"))
+    val v2 = Versioned.deleteWhere(spark, dir, col("id") === 10L, Seq("id"))
+    assert(v1 == 1L && v2 == 2L)
+
+    // NON-conflicting merge (updates id=2 only): commits right over the
+    // pending tombstones, which stay carried merge-on-read
+    val v3 = Versioned.mergeInto(spark, dir,
+      df(Seq(("a", 2L, 22.0, false)), "site", "id", "v", "__delete"),
+      Seq("site"), Seq("site", "id"))
+    assert(v3 == 3L)
+    assert(Versioned.deleteFilesAt(spark, dir, v3).nonEmpty,
+      "non-conflicting tombstones must stay MOR")
+    assert(state(Versioned.snapshot(spark, dir)) == Set(("a", 2L, 22.0)))
+    // site=b was never rewritten: the physical file is untouched
+    assert(Versioned.filesAt(spark, dir, v3).filter(_.contains("site=b/")) ==
+      Versioned.filesAt(spark, dir, 0L).filter(_.contains("site=b/")))
+
+    // PARTIAL conflict: re-insert id=10 (tombstoned, physical rows in
+    // site=b) — site=b joins the rewrite scope even though the batch
+    // only names it via the key, the id=10 tombstone is dropped, and
+    // the id=1 tombstone survives as a rewritten carried set
+    val v4 = Versioned.mergeInto(spark, dir,
+      df(Seq(("b", 10L, 99.0, false)), "site", "id", "v", "__delete"),
+      Seq("site"), Seq("site", "id"))
+    assert(v4 == 4L)
+    assert(state(Versioned.snapshot(spark, dir)) ==
+      Set(("a", 2L, 22.0), ("b", 10L, 99.0)))
+    val carried = Versioned.deleteFilesAt(spark, dir, v4)
+    assert(carried.nonEmpty, "the non-conflicting id=1 tombstone must survive")
+    assert(spark.read.parquet(carried.map(d => s"$dir/$d"): _*)
+      .collect().map(_.getLong(0)).toSet == Set(1L))
+
+    // FULL conflict: re-insert id=1 — every tombstone conflicts, the
+    // lake comes out fully materialized
+    val v5 = Versioned.mergeInto(spark, dir,
+      df(Seq(("a", 1L, 11.0, false)), "site", "id", "v", "__delete"),
+      Seq("site"), Seq("site", "id"))
+    assert(v5 == 5L)
+    assert(Versioned.deleteFilesAt(spark, dir, v5).isEmpty)
+    assert(state(Versioned.snapshot(spark, dir)) ==
+      Set(("a", 1L, 11.0), ("a", 2L, 22.0), ("b", 10L, 99.0)))
+
+    // history is intact across the whole interleaving
+    assert(state(Versioned.snapshot(spark, dir, 0L)) ==
+      Set(("a", 1L, 1.0), ("a", 2L, 2.0), ("b", 10L, 10.0)))
+    assert(state(Versioned.snapshot(spark, dir, 1L)) ==
+      Set(("a", 2L, 2.0), ("b", 10L, 10.0)))
+    assert(state(Versioned.snapshot(spark, dir, 2L)) == Set(("a", 2L, 2.0)))
+    assert(state(Versioned.snapshot(spark, dir, 3L)) == Set(("a", 2L, 22.0)))
+    assert(state(Versioned.snapshot(spark, dir, 4L)) ==
+      Set(("a", 2L, 22.0), ("b", 10L, 99.0)))
   }
 
   test("a losing concurrent commit leaves NO visible feed increment; the retry publishes fresh") {

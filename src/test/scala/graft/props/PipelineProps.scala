@@ -448,12 +448,14 @@ object PipelineProps extends Properties("graft.pipeline") {
   // ------------------------------------------------------------------
   // MOR deletes under the same model discipline: random interleavings
   // of merge batches, equality deletes, and materializations — EVERY
-  // committed version must equal the in-memory model, with the
-  // compact-then-merge guard honored the way a real writer would
-  // (materialize when tombstones pend before merging). Exercises the
-  // cases the example-based spec can't enumerate: delete-of-deleted
-  // (no commit), materialize-with-nothing (no commit), merge of a key
-  // re-inserted after its tombstone was compacted.
+  // committed version must equal the in-memory model, with NO forced
+  // materialize before merging: mergeInto itself materializes
+  // conflicting tombstones scoped to its own commit and carries the
+  // rest merge-on-read. Exercises the cases the example-based spec
+  // can't enumerate: delete-of-deleted (no commit),
+  // materialize-with-nothing (no commit), merge of a key re-inserted
+  // while its tombstone still pends, and merges that leave
+  // non-conflicting tombstones pending across further deletes.
   // ------------------------------------------------------------------
 
   private sealed trait MorStep
@@ -468,7 +470,7 @@ object PipelineProps extends Properties("graft.pipeline") {
     (1, Gen.const(MorMat)))
 
   property("Versioned MOR deletes: every version equals the key-value model") =
-    forAll(Gen.listOfN(3, morStepGen)) { steps =>
+    forAll(Gen.listOfN(4, morStepGen)) { steps =>
       val dir = java.nio.file.Files.createTempDirectory("graft_vmorprop").toFile
       dir.deleteOnExit()
       val baseRows = Seq(("a", 1L, 1.0), ("b", 2L, 2.0), ("c", 99L, 0.0))
@@ -493,8 +495,6 @@ object PipelineProps extends Properties("graft.pipeline") {
           record(v) // no-match deletes commit nothing; record is a no-op
         case MorMat => materialize()
         case MorMerge(raw) =>
-          if (graft.lake.Versioned.deleteFilesAt(spark, dir.getAbsolutePath).nonEmpty)
-            materialize() // the guard's documented discipline
           val batch = raw.groupBy(o => (o._1, o._2)).map(_._2.last).toSeq
           model = batch.foldLeft(model) { case (m, (s, i, v, del)) =>
             if (del) m - ((s, i)) else m + ((s, i) -> v)
