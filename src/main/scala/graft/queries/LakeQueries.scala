@@ -250,11 +250,15 @@ object LakeQueries {
           .filter(col("event_type").isin("click", "view")).persist()
         try {
           MergeData.writeMerged(s, base, lake, keys = Seq("event_type"))
-          Versioned.init(s, lake)
+          // PINNED commit timestamps (v0=1000, v1=2000, v2=3000,
+          // v3=4000 epochMillis) so q172's TIMESTAMP AS OF legs are
+          // deterministic — never the driver's wall clock
+          Versioned.init(s, lake, commitTs = 1000L)
           val batches = cdcPayload(base)
           batches.zipWithIndex.foreach { case (b, i) =>
             Versioned.mergeInto(s, lake, b, Seq("event_type"),
-              Seq("event_id"), changeFeed = Some((feedDir, i.toLong)))
+              Seq("event_id"), changeFeed = Some((feedDir, i.toLong)),
+              commitTs = 2000L + i * 1000L)
           }
         } finally base.unpersist()
         new File(root, "_SUCCESS").createNewFile()
@@ -1716,6 +1720,141 @@ object LakeQueries {
                round(sum(value::DOUBLE), 4), count(DISTINCT event_id)
         FROM kept GROUP BY 2
         ORDER BY 1, 2"""),
-      "MOR delete CDF: tombstoned primary snapshot == feed-replayed COW replica == filter oracle")
+      "MOR delete CDF: tombstoned primary snapshot == feed-replayed COW replica == filter oracle"),
+
+    // ---------------------------------------------------------------
+    // STREAMING change-feed source (Delta's readChangeFeed streaming
+    // mode): a file stream over the versioned fixture's feed drives a
+    // fresh VERSIONED replica to convergence inside the query —
+    // Trigger.AvailableNow terminates, then the replica's aggregate
+    // must equal the full 3-batch recompute oracle (q165's st3). The
+    // replica applies increments through the manifest merge core with
+    // (txnId, feedBatchId) markers, so its version count is pinned
+    // too: exactly init + one commit per feed batch. The REPLICA is
+    // rebuilt fresh per run (replication must be a pure function of
+    // (snapshot, log)); the primary+feed are the memoized fixture.
+    // ---------------------------------------------------------------
+    Q("q171_streaming_replica",
+      (s, dir) => {
+        val (_, vfeed) = versionedCdcFixture(s, dir)
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val root = new File(new File(sys.props("user.dir"), "target"),
+          s"graft_streplq_$tag")
+        val replica = new File(root, "replica").getAbsolutePath
+        val ckpt = new File(root, "ckpt").getAbsolutePath
+        val baseCV = graft.Tables(s, dir, "events")
+          .select(MergeCols.map(col): _*)
+          .filter(col("event_type").isin("click", "view"))
+        LakeQueries.synchronized {
+          val fs = new org.apache.hadoop.fs.Path(root.getAbsolutePath)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(root.getAbsolutePath), true)
+          MergeData.writeMerged(s, baseCV, replica, keys = Seq("event_type"))
+          graft.streaming.StreamingReplica.start(s, vfeed, replica,
+            Seq("event_type"), Seq("event_id"), ckpt).awaitTermination()
+        }
+        require(Versioned.currentVersion(s, replica) == 3L,
+          "streamed replica must commit exactly one version per feed batch")
+        Versioned.snapshot(s, replica)
+          .groupBy("event_type").agg(
+            count(lit(1)).as("row_count"),
+            round(sum("value"), 4).as("sum_value"),
+            count_distinct(col("event_id")).as("n_ids"))
+          .select("event_type", "row_count", "sum_value", "n_ids")
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH t AS (SELECT event_type, event_id, value FROM events
+                   WHERE event_type IN ('click','view')),
+        st3 AS (
+          SELECT event_type, event_id,
+                 CASE WHEN event_id % 10 = 4 THEN value + 100
+                      WHEN event_id % 10 = 6 THEN value - 1
+                      ELSE value END AS value
+          FROM t WHERE event_id % 10 NOT IN (0, 1, 5)
+          UNION ALL
+          SELECT event_type, event_id + 10000000, (value + 1) * 3
+          FROM t WHERE event_id % 100 = 2
+          UNION ALL
+          SELECT event_type, event_id + 20000000, value + 10
+          FROM t WHERE event_id % 100 = 7)
+        SELECT event_type, count(*) AS row_count,
+               round(sum(value::DOUBLE), 4) AS sum_value,
+               count(DISTINCT event_id) AS n_ids
+        FROM st3 GROUP BY 1
+        ORDER BY 1"""),
+      "streaming CDF source: file-stream-driven versioned replica converges to the 3-batch recompute oracle"),
+
+    // ---------------------------------------------------------------
+    // TIMESTAMP AS OF time travel: the versioned fixture commits with
+    // PINNED timestamps (v0=1000, v1=2000, v2=3000, v3=4000), and each
+    // leg resolves a timestamp — mid-interval, exact-boundary, and
+    // far-future — through versionAsOf/snapshotAsOf. Every resolved
+    // snapshot must equal its batch prefix's recompute oracle, so both
+    // the timestamp->version resolution AND the resolved read are
+    // oracle-gated at 3 SFs.
+    // ---------------------------------------------------------------
+    Q("q172_timestamp_travel",
+      (s, dir) => {
+        val (vlake, _) = versionedCdcFixture(s, dir)
+        require(Versioned.versionAsOf(s, vlake, 1500L) == 0L)
+        require(Versioned.versionAsOf(s, vlake, 2000L) == 1L)
+        def agg(d: DataFrame, src: String) =
+          d.groupBy("event_type").agg(
+              count(lit(1)).as("row_count"),
+              round(sum("value"), 4).as("sum_value"),
+              count_distinct(col("event_id")).as("n_ids"))
+            .withColumn("src", lit(src))
+        agg(Versioned.snapshotAsOf(s, vlake, 2500L), "asof_v1")
+          .unionByName(agg(Versioned.snapshotAsOf(s, vlake, 3000L), "asof_v2"))
+          .unionByName(agg(Versioned.snapshotAsOf(s, vlake, 999999L), "asof_v3"))
+          .select("src", "event_type", "row_count", "sum_value", "n_ids")
+          .orderBy("src", "event_type")
+      },
+      Some("""
+        WITH t AS (SELECT event_type, event_id, value FROM events
+                   WHERE event_type IN ('click','view')),
+        st1 AS (
+          SELECT event_type, event_id,
+                 CASE WHEN event_id % 10 = 0 THEN value * 2 ELSE value END AS value
+          FROM t WHERE event_id % 10 <> 1
+          UNION ALL
+          SELECT event_type, event_id + 10000000, value + 1
+          FROM t WHERE event_id % 100 = 2),
+        st2 AS (
+          SELECT event_type, event_id,
+                 CASE WHEN event_id % 10 = 0 THEN value * 2
+                      WHEN event_id % 10 = 4 THEN value + 100
+                      ELSE value END AS value
+          FROM t WHERE event_id % 10 NOT IN (1, 5)
+          UNION ALL
+          SELECT event_type, event_id + 10000000, (value + 1) * 3
+          FROM t WHERE event_id % 100 = 2),
+        st3 AS (
+          SELECT event_type, event_id,
+                 CASE WHEN event_id % 10 = 4 THEN value + 100
+                      WHEN event_id % 10 = 6 THEN value - 1
+                      ELSE value END AS value
+          FROM t WHERE event_id % 10 NOT IN (0, 1, 5)
+          UNION ALL
+          SELECT event_type, event_id + 10000000, (value + 1) * 3
+          FROM t WHERE event_id % 100 = 2
+          UNION ALL
+          SELECT event_type, event_id + 20000000, value + 10
+          FROM t WHERE event_id % 100 = 7)
+        SELECT 'asof_v1' AS src, event_type, count(*) AS row_count,
+               round(sum(value::DOUBLE), 4) AS sum_value,
+               count(DISTINCT event_id) AS n_ids
+        FROM st1 GROUP BY 2
+        UNION ALL
+        SELECT 'asof_v2', event_type, count(*), round(sum(value::DOUBLE), 4),
+               count(DISTINCT event_id)
+        FROM st2 GROUP BY 2
+        UNION ALL
+        SELECT 'asof_v3', event_type, count(*), round(sum(value::DOUBLE), 4),
+               count(DISTINCT event_id)
+        FROM st3 GROUP BY 2
+        ORDER BY 1, 2"""),
+      "TIMESTAMP AS OF: pinned-commit-ts fixture; mid/boundary/future timestamps resolve to per-prefix recompute oracles")
   )
 }
