@@ -74,16 +74,20 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    // 3-decimal seconds keep the one-line JSON under log-capture tail
+    // limits (a full-precision double per query tripled the line size
+    // and got the driver's copy truncated mid-JSON in round 9)
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val qs = results.map { case (k, v) => s"${jstr(k)}:${r3(v)}" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val total = r3(results.values.filter(_ >= 0).sum)
     // per-tier subtotals (source-file domains): tier-level drift is
     // visible at a glance instead of eyeballing 160+ per-query numbers
     val tierOf = graft.queries.Registry.tierOf
     val tiers = results.toSeq.filter(_._2 >= 0)
       .groupBy { case (k, _) => tierOf.getOrElse(k, "other") }
       .toSeq.sortBy(_._1)
-      .map { case (t, vs) => s"${jstr(t)}:${vs.map(_._2).sum}" }
+      .map { case (t, vs) => s"${jstr(t)}:${r3(vs.map(_._2).sum)}" }
       .mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"tiers":$tiers,"errors":$errJson,"sf":"$sfDir"}"""
@@ -91,9 +95,13 @@ object Bench {
     // through, un-prefixed) + a file copy in case a log wrapper eats it.
     // The copy goes to an explicit, env-overridable absolute path so a
     // forked JVM's cwd can't scatter it.
-    println(line)
     val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       new java.io.File(sys.props("user.dir"), "BENCH_LOCAL.json").getAbsolutePath)
+    // the stable-file pointer prints BEFORE the JSON so the JSON stays
+    // the last line (what the driver parses); a truncated tail can
+    // still recover the full result from the file
+    println(s"full bench JSON also written to $benchOut")
+    println(line)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(benchOut), line + "\n")
     spark.stop()
   }
