@@ -336,7 +336,15 @@ object Versioned {
     require(files.nonEmpty, s"version $version of $dir has no files")
     val df = spark.read.option("basePath", dir).option("mergeSchema", "true")
       .parquet(files.map(f => s"$dir/$f"): _*)
-    val dels = deleteFilesAt(spark, dir, v)
+    applyTombstones(spark, dir, v, df)
+  }
+
+  /** Apply `version`'s pending equality-delete tombstones (if any) to
+    * `df` as one anti-join — the merge-on-read filter shared by
+    * [[snapshot]] and the pruned read paths. */
+  private def applyTombstones(spark: SparkSession, dir: String,
+      version: Long, df: DataFrame): DataFrame = {
+    val dels = deleteFilesAt(spark, dir, version)
     if (dels.isEmpty) df
     else {
       val tomb = spark.read.parquet(dels.map(d => s"$dir/$d"): _*)
@@ -347,6 +355,27 @@ object Versioned {
       df.join(tomb, tomb.columns.toSeq
         .map(k => df(k) <=> tomb(k)).reduce(_ && _), "left_anti")
     }
+  }
+
+  /** DESCRIBE HISTORY: one row per retained version, newest first —
+    * version, commit timestamp, manifest form, live file count,
+    * pending tombstone file count, and the carried txn high-water
+    * map rendered `id:batch`. Driver cost is bounded by retained
+    * versions × manifest resolution (checkpoint + delta tail). */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    val fs = fsOf(spark, dir)
+    val ms = listManifests(fs, dir)
+    require(ms.nonEmpty, s"no manifest in $dir — call init() first")
+    val rows = ms.sortBy(-_._1).map { case (v, isDelta) =>
+      val meta = parseMeta(manifestLinesAt(fs, dir, v))
+      (v, meta.ts, !isDelta, filesAt(spark, dir, v).size.toLong,
+        meta.dels.size.toLong,
+        meta.txns.toSeq.sortBy(_._1)
+          .map { case (id, b) => s"$id:$b" }.mkString(","))
+    }
+    import spark.implicits._
+    rows.toDF("version", "commit_ts", "is_checkpoint", "n_files",
+      "n_pending_delete_files", "txns")
   }
 
   /** MERGE-ON-READ equality delete (Iceberg's equality-delete files /
@@ -439,11 +468,14 @@ object Versioned {
     * are rewritten from the MOR snapshot; the new manifest drops the
     * `#del` lines. Work is bounded by the affected partitions — the
     * same COW scope as a merge — and old versions still time-travel
-    * to the tombstoned (and pre-delete) states. [[mergeInto]] no
-    * longer requires it (it materializes CONFLICTING tombstones
-    * scoped to its own commit); [[optimize]] and the pruned/fast read
-    * paths still refuse while tombstones pend, so run this before
-    * layout maintenance or to reclaim the MOR read-side anti-join. */
+    * to the tombstoned (and pre-delete) states. Nothing REQUIRES it
+    * any more: [[mergeInto]] materializes conflicting tombstones
+    * scoped to its own commit, a ZORDER [[optimize]] compacts them as
+    * part of its re-cluster, and the pruned read paths apply them on
+    * top of the pruned scan. Run this explicitly to reclaim the MOR
+    * read-side anti-join without other maintenance (only
+    * [[fastRowCount]] still refuses while tombstones pend — a
+    * metadata-only count cannot know their row effect). */
   def materializeDeletes(spark: SparkSession, dir: String,
       partitionKeys: Seq[String],
       commitTs: Long = System.currentTimeMillis()): Long = {
@@ -689,10 +721,13 @@ object Versioned {
       idx: org.apache.spark.sql.DataFrame,
       preds: Seq[(String, Double, Double)],
       version: Long = -1L): DataFrame = {
-    require(deleteFilesAt(spark, dir, version).isEmpty,
-      "pruned reads bypass merge-on-read tombstones: materializeDeletes() first")
-    SkipIndex.prunedReadMultiFiles(spark, dir, idx, preds,
-      filesAt(spark, dir, version).map(f => s"$dir/$f"))
+    val v = if (version >= 0) version else currentVersion(spark, dir)
+    // pending MOR tombstones ride on top of the pruned scan as the
+    // same anti-join the snapshot applies — pruning only SKIPS files,
+    // so filtering the surviving rows preserves exactness
+    applyTombstones(spark, dir, v,
+      SkipIndex.prunedReadMultiFiles(spark, dir, idx, preds,
+        filesAt(spark, dir, v).map(f => s"$dir/$f")))
   }
 
   /** Bloom-index pruned point/IN lookup of a snapshot — the
@@ -706,10 +741,11 @@ object Versioned {
       idx: org.apache.spark.sql.DataFrame, c: String,
       probes: Seq[org.apache.spark.sql.Column],
       version: Long = -1L): DataFrame = {
-    require(deleteFilesAt(spark, dir, version).isEmpty,
-      "pruned reads bypass merge-on-read tombstones: materializeDeletes() first")
-    BloomIndex.prunedReadInFiles(spark, dir, idx, c, probes,
-      filesAt(spark, dir, version).map(f => s"$dir/$f"))
+    val v = if (version >= 0) version else currentVersion(spark, dir)
+    // MOR tombstones apply on top, as in [[prunedRead]]
+    applyTombstones(spark, dir, v,
+      BloomIndex.prunedReadInFiles(spark, dir, idx, c, probes,
+        filesAt(spark, dir, v).map(f => s"$dir/$f")))
   }
 
   /** OPTIMIZE within the manifest protocol: partitions holding more
@@ -719,6 +755,10 @@ object Versioned {
     * Pure layout change: the snapshot's rows are identical, old
     * versions still see the old files (time travel intact), and work
     * is bounded by the partitions that actually need compacting.
+    * Pending MOR tombstones don't block either mode: the ZORDER pass
+    * materializes them as part of its full re-cluster (the commit
+    * drops the `#del` lines), the small-file pass carries them
+    * untouched.
     *
     * @param zorder optional clustering key (Delta's `OPTIMIZE ZORDER
     *   BY`): pass a [[Maintenance.mortonKey]]/[[Maintenance.gridBucket]]
@@ -737,9 +777,7 @@ object Versioned {
       commitTs: Long = System.currentTimeMillis()): Long = {
     require(targetFilesPerPartition >= 1, "need targetFilesPerPartition >= 1")
     val v = init(spark, dir, commitTs)
-    require(deleteFilesAt(spark, dir, v).isEmpty,
-      s"$dir has unmaterialized equality deletes: run materializeDeletes() " +
-        "before optimize (a raw-file rewrite would resurrect deleted rows)")
+    val dels = deleteFilesAt(spark, dir, v)
     val live = filesAt(spark, dir, v)
     val byDir = live.groupBy(f => f.take(math.max(f.lastIndexOf('/'), 0)))
     val targets = byDir.filter { case (d, fs0) =>
@@ -751,8 +789,17 @@ object Versioned {
     val targetDirs = targets.keySet
     val before = targetDirs.flatMap(d =>
       listDataFiles(fs, new Path(dir), new Path(dir, d))).toSet
-    val rows = spark.read.option("basePath", dir).option("mergeSchema", "true")
+    val rawRows = spark.read.option("basePath", dir).option("mergeSchema", "true")
       .parquet(targets.values.flatten.map(f => s"$dir/$f").toSeq: _*)
+    // pending MOR tombstones: a ZORDER pass rewrites EVERY partition
+    // anyway, so it reads the tombstone-filtered view and the commit
+    // drops the #del lines — compaction folded into the re-cluster for
+    // free (Hudi's compact-on-clustering). The small-file pass is
+    // layout-only on the RAW files: stale rows stay physical but the
+    // carried tombstones keep hiding them, so nothing resurrects.
+    val (rows, nextDels) =
+      if (zorder.isDefined) (applyTombstones(spark, dir, v, rawRows), Nil)
+      else (rawRows, dels)
     val clustered = zorder match {
       case Some(z) =>
         // range-split on (partition, zkey): each task holds one
@@ -772,7 +819,7 @@ object Versioned {
     val newFiles = (after -- before).toSeq.sorted
     val replaced = targets.values.flatten.toSet
     writeCommit(fs, dir, v + 1, live.filterNot(replaced) ++ newFiles,
-      live, carryMeta(spark, dir, v, commitTs, None, Nil))
+      live, carryMeta(spark, dir, v, commitTs, None, nextDels))
     v + 1
   }
 

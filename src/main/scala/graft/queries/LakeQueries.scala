@@ -1560,8 +1560,9 @@ object LakeQueries {
     // the filtered table — a green row pins that the tombstone
     // anti-join and the compaction rewrite delete EXACTLY the same
     // rows the predicate names, and that pre-delete time travel
-    // survives both commits. VersionedSpec pins the guards (merge/
-    // optimize/pruned reads refuse while tombstones pend) and the
+    // survives both commits. VersionedSpec pins the interplay rules
+    // (merge materializes conflicts in-commit, zorder optimize
+    // compacts, pruned reads apply tombstones on top) and the
     // partition-scoped rewrite.
     // ---------------------------------------------------------------
     Q("q168_mor_delete",
@@ -1855,6 +1856,87 @@ object LakeQueries {
                count(DISTINCT event_id)
         FROM st3 GROUP BY 2
         ORDER BY 1, 2"""),
-      "TIMESTAMP AS OF: pinned-commit-ts fixture; mid/boundary/future timestamps resolve to per-prefix recompute oracles")
+      "TIMESTAMP AS OF: pinned-commit-ts fixture; mid/boundary/future timestamps resolve to per-prefix recompute oracles"),
+
+    // ---------------------------------------------------------------
+    // MOR deletes × OPTIMIZE ZORDER × skip index, composed: v1
+    // equality-deletes by key (zero data files rewritten), v2's ZORDER
+    // re-cluster COMPACTS the tombstones as part of the same commit
+    // (the re-cluster rewrites every partition anyway, so the deletes
+    // materialize for free and the #del lines drop), and a
+    // footer-built skip index over v2 serves a 2-predicate pruned
+    // read. Legs: pruned v2 read, and the TOMBSTONED v1 snapshot
+    // (anti-join MOR read) under the same predicate — both must equal
+    // one kept-rows oracle, pinning that the MOR anti-join, the
+    // compact-on-cluster rewrite, and the pruned scan all delete/keep
+    // exactly the same rows.
+    // ---------------------------------------------------------------
+    Q("q173_mor_zorder_pruned",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val stamp = new File(dir, "events.parquet").lastModified()
+        val root = new File(new File(sys.props("user.dir"), "target"),
+          s"graft_morz_${tag}_$stamp")
+        val lake = new File(root, "lake").getAbsolutePath
+        LakeQueries.synchronized {
+          if (!new File(root, "_SUCCESS").exists()) {
+            val fs = new org.apache.hadoop.fs.Path(root.getAbsolutePath)
+              .getFileSystem(s.sparkContext.hadoopConfiguration)
+            fs.delete(new org.apache.hadoop.fs.Path(root.getAbsolutePath), true)
+            val base = graft.Tables(s, dir, "events")
+              .select(MergeCols.map(col): _*)
+              .filter(col("event_type").isin("click", "view"))
+            base.repartition(4) // fragmented on purpose
+              .write.partitionBy("event_type").parquet(lake)
+            Versioned.init(s, lake)
+            Versioned.deleteWhere(s, lake, col("user_id") % 7 === 3,
+              keyCols = Seq("event_id"))
+            Versioned.optimize(s, lake, Seq("event_type"),
+              targetFilesPerPartition = 4,
+              zorder = Some(Maintenance.mortonKey(
+                col("user_id").bitwiseAND(lit(1023L)),
+                Maintenance.gridBucket(col("value"), 0.0, 1000.0, 10),
+                bits = 10)))
+            new File(root, "_SUCCESS").createNewFile()
+          }
+        }
+        require(Versioned.deleteFilesAt(s, lake, 1L).nonEmpty,
+          "v1 must be merge-on-read")
+        require(Versioned.deleteFilesAt(s, lake, 2L).isEmpty,
+          "zorder optimize must have compacted the tombstones")
+        val live = Versioned.filesAt(s, lake, 2L).map(f => s"$lake/$f")
+        val idx = SkipIndex.buildFromFooterFiles(s, live, Seq("user_id", "value"))
+        def agg(d: DataFrame, src: String) =
+          d.groupBy("event_type").agg(
+              count(lit(1)).as("row_count"),
+              round(sum("value"), 4).as("sum_value"),
+              count_distinct(col("user_id")).as("n_users"))
+            .withColumn("src", lit(src))
+        val pruned = agg(Versioned.prunedRead(s, lake, idx,
+          Seq(("user_id", 2.0, 95.0), ("value", 0.0, 80.0)), version = 2L),
+          "pruned_v2")
+        val morV1 = agg(Versioned.snapshot(s, lake, 1L)
+          .filter(col("user_id").between(2, 95) &&
+            col("value").between(0.0, 80.0)), "mor_v1")
+        pruned.unionByName(morV1)
+          .select("src", "event_type", "row_count", "sum_value", "n_users")
+          .orderBy("src", "event_type")
+      },
+      Some("""
+        WITH kept AS (
+          SELECT event_type, user_id, value FROM events
+          WHERE event_type IN ('click','view') AND user_id % 7 <> 3
+            AND user_id BETWEEN 2 AND 95
+            AND value BETWEEN 0.0 AND 80.0)
+        SELECT 'mor_v1' AS src, event_type, count(*) AS row_count,
+               round(sum(value::DOUBLE), 4) AS sum_value,
+               count(DISTINCT user_id) AS n_users
+        FROM kept GROUP BY 2
+        UNION ALL
+        SELECT 'pruned_v2', event_type, count(*),
+               round(sum(value::DOUBLE), 4), count(DISTINCT user_id)
+        FROM kept GROUP BY 2
+        ORDER BY 1, 2"""),
+      "MOR delete x compacting ZORDER x skip-index pruned read: tombstoned v1 anti-join == compacted v2 pruned scan == kept-rows oracle")
   )
 }

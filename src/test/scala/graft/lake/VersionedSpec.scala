@@ -277,21 +277,18 @@ class VersionedSpec extends SparkSpec {
     }
     assert(km.getMessage.contains("tombstone key mismatch"))
 
-    // optimize/pruned reads refuse while tombstones are pending; a
-    // tombstone whose keys are NOT a rowKey subset refuses a merge
+    // a tombstone whose keys are NOT a rowKey subset refuses a merge
     val batch = df(Seq(("a", 7L, 7.0, false)), "site", "id", "v", "__delete")
     assert(intercept[IllegalArgumentException] {
       Versioned.mergeInto(spark, dir, batch, Seq("site"), Seq("site"))
     }.getMessage.contains("subset"))
-    assert(intercept[IllegalArgumentException] {
-      Versioned.optimize(spark, dir, Seq("site"))
-    }.getMessage.contains("unmaterialized"))
+    // pruned reads apply pending tombstones on top of the pruned scan
     val idx = SkipIndex.build(
       spark.read.option("basePath", dir)
         .parquet(v0Files.map(f => s"$dir/$f"): _*), Seq("id"))
-    assert(intercept[IllegalArgumentException] {
-      Versioned.prunedRead(spark, dir, idx, Seq(("id", 0, 100)))
-    }.getMessage.contains("materializeDeletes"))
+    assert(Versioned.prunedRead(spark, dir, idx, Seq(("id", 0, 100)))
+      .select("id").collect().map(_.getLong(0)).toSet == Set(2L, 10L),
+      "pruned read must hide tombstoned rows")
 
     // materialize rewrites ONLY the affected partition (site=a holds
     // id 1; site=b's file must survive byte-identical)
@@ -491,6 +488,59 @@ class VersionedSpec extends SparkSpec {
       Set(("a", 1L, 1.0), ("a", 2L, 2.0), ("b", 10L, 10.0)))
     assert(state(Versioned.snapshotAsOf(spark, dir, 2000L)) ==
       Set(("a", 1L, 3.0), ("a", 2L, 2.0), ("b", 10L, 10.0)))
+  }
+
+  test("optimize under pending tombstones: small-file pass carries them, ZORDER pass compacts them; history() describes it all") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_versioned_optmor").toFile
+    dir.deleteOnExit()
+    df((1L to 40L).map(i => (if (i % 2 == 0) "a" else "b", i, i.toDouble)),
+      "site", "id", "v")
+      .repartition(4)
+      .write.mode("overwrite").partitionBy("site").parquet(dir.getAbsolutePath)
+    val lake = dir.getAbsolutePath
+    Versioned.init(spark, lake, commitTs = 1000L)
+    Versioned.deleteWhere(spark, lake, col("id") <= 4L, Seq("id"), commitTs = 2000L)
+    val expect = (5L to 40L).map(i => (if (i % 2 == 0) "a" else "b", i, i.toDouble)).toSet
+
+    // small-file compaction: layout-only, tombstones stay carried MOR
+    val v2 = Versioned.optimize(spark, lake, Seq("site"), commitTs = 3000L)
+    assert(v2 == 2L)
+    assert(Versioned.deleteFilesAt(spark, lake, v2).nonEmpty,
+      "small-file optimize must carry pending tombstones")
+    assert(state(Versioned.snapshot(spark, lake)) == expect)
+
+    // ZORDER re-cluster: materializes the tombstones in the same commit
+    val v3 = Versioned.optimize(spark, lake, Seq("site"),
+      targetFilesPerPartition = 2,
+      zorder = Some(Maintenance.mortonKey(col("id"), col("v").cast("long"), bits = 8)),
+      commitTs = 4000L)
+    assert(v3 == 3L)
+    assert(Versioned.deleteFilesAt(spark, lake, v3).isEmpty,
+      "zorder optimize must compact pending tombstones")
+    assert(state(Versioned.snapshot(spark, lake)) == expect)
+    // physical proof: the raw v3 files no longer hold the deleted rows
+    val raw3 = spark.read.option("basePath", lake)
+      .parquet(Versioned.filesAt(spark, lake, v3).map(f => s"$lake/$f"): _*)
+    assert(raw3.filter(col("id") <= 4L).count() == 0L)
+    // and a fastRowCount (which refuses under tombstones) works again
+    assert(Versioned.fastRowCount(spark, lake) == expect.size.toLong)
+    // history: pre-delete and tombstoned versions still travel
+    assert(state(Versioned.snapshot(spark, lake, 0L)).size == 40)
+    assert(state(Versioned.snapshot(spark, lake, 1L)) == expect)
+
+    val h = Versioned.history(spark, lake)
+      .select("version", "commit_ts", "is_checkpoint", "n_files",
+        "n_pending_delete_files")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        r.getLong(3), r.getLong(4)))
+    assert(h.map(_._1).toSeq == Seq(3L, 2L, 1L, 0L), "newest first")
+    assert(h.map(_._2).toSeq == Seq(4000L, 3000L, 2000L, 1000L))
+    assert(h.last._3, "v0 is a checkpoint")
+    assert(!h.head._3, "v3 is a delta")
+    assert(h.find(_._1 == 1L).get._5 == 1L, "v1 carries one tombstone file")
+    assert(h.find(_._1 == 3L).get._5 == 0L)
+    assert(h.find(_._1 == 3L).get._4 ==
+      Versioned.filesAt(spark, lake, 3L).size.toLong)
   }
 
   test("merge over pending tombstones: conflicts materialized in-commit, rest stays MOR") {
