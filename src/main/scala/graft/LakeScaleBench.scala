@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.lake.Versioned
+import graft.ops.MergeData
+
+/** Dev scaling harness for the versioned-lake tier (not part of the
+  * driver contract): builds a fresh versioned lake from a data dir's
+  * `events` table and times each lakehouse primitive the round-9/10
+  * verdicts asked to see measured — seed write, a one-partition merge
+  * commit (plus the BYTES of the manifest it wrote: the delta-manifest
+  * claim is that commit metadata scales with the batch, not the
+  * lake), metadata-only fastRowCount, an O(keys) equality delete
+  * (write side), the tombstoned MOR read (read side), and the
+  * partition-scoped materialize. Run against sf0.1 and its
+  * ScaleClone 10x/30x clones for the exponents.
+  *
+  * Usage: runMain graft.LakeScaleBench <dataDir> [workDir]
+  * Prints one JSON line of seconds/bytes/counts.
+  */
+object LakeScaleBench {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    // absolute: the manifest layer records paths RELATIVE to the lake
+    // root by URI-path stripping, which needs an absolute root
+    val work = new java.io.File(args.lift(1).getOrElse(
+      "target/lakescale_" + dir.replaceAll("[^a-zA-Z0-9]", "_")))
+      .getAbsolutePath
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val lake = work + "/lake"
+    val fs = new org.apache.hadoop.fs.Path(work)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(work), true)
+
+    val metrics = scala.collection.mutable.LinkedHashMap.empty[String, Any]
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      metrics(name + "_sec") = math.rint((System.nanoTime() - t0) / 1e6) / 1e3
+      r
+    }
+
+    val base = Tables(spark, dir, "events")
+      .select(col("event_id"), col("event_type"), col("user_id"), col("value"))
+      .filter(col("event_type").isin("click", "view"))
+    // warm the JVM + the source scan so seed_write isn't charged init
+    base.write.format("noop").mode("overwrite").save()
+
+    time("seed_write") {
+      MergeData.writeMerged(spark, base, lake, keys = Seq("event_type"))
+    }
+    Versioned.init(spark, lake)
+    metrics("n_rows") = Versioned.fastRowCount(spark, lake)
+    metrics("n_files_v0") = Versioned.filesAt(spark, lake).size
+
+    // one-partition merge commit: cost tracks the touched partition,
+    // manifest bytes track the batch churn
+    val batch = base.filter(col("event_type") === "click" &&
+        col("event_id") % 1000 === 7)
+      .withColumn("value", col("value") + 1)
+    time("merge_commit") {
+      Versioned.mergeInto(spark, lake, batch,
+        Seq("event_type"), Seq("event_id"))
+    }
+    val md = new org.apache.hadoop.fs.Path(lake, "_manifest")
+    val sizes = fs.listStatus(md).map(s => s.getPath.getName -> s.getLen).toMap
+    metrics("manifest_v0_ckpt_bytes") = sizes.getOrElse("v000000.txt", -1L)
+    metrics("manifest_v1_delta_bytes") = sizes.getOrElse("v000001.delta.txt", -1L)
+
+    metrics("fast_count") = time("fast_count") {
+      Versioned.fastRowCount(spark, lake)
+    }
+
+    // O(keys) erasure: ~0.2% of users; write side must stay zero data
+    // files, so its cost is the predicate scan + one small key file
+    val filesBefore = Versioned.filesAt(spark, lake)
+    time("delete_where") {
+      Versioned.deleteWhere(spark, lake, col("user_id") % 499 === 3,
+        keyCols = Seq("event_id"))
+    }
+    require(Versioned.filesAt(spark, lake) == filesBefore,
+      "equality delete must not touch data files")
+    val delFiles = Versioned.deleteFilesAt(spark, lake)
+    metrics("tombstone_bytes") = delFiles.map(f =>
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(lake, f)).getLen).sum
+    metrics("tombstone_keys") = spark.read
+      .parquet(delFiles.map(f => s"$lake/$f"): _*).count()
+
+    metrics("mor_read_rows") = time("mor_read") {
+      Versioned.snapshot(spark, lake).count()
+    }
+    time("materialize") {
+      Versioned.materializeDeletes(spark, lake, Seq("event_type"))
+    }
+    metrics("n_files_final") = Versioned.filesAt(spark, lake).size
+
+    def j(v: Any): String = v match {
+      case s: String => "\"" + s + "\""
+      case x => String.valueOf(x)
+    }
+    println(metrics.map { case (k, v) => s""""$k":${j(v)}""" }
+      .mkString("{", ",", s""","dir":"$dir"}"""))
+    spark.stop()
+  }
+}
