@@ -711,6 +711,41 @@ object Versioned {
     * racing commit into the exact window the CAS guards. */
   private[lake] var beforeCommitHook: () => Unit = () => ()
 
+  /** [[mergeInto]] with optimistic-concurrency RETRY — Delta's commit
+    * loop: a writer that loses the version CAS re-resolves its batch
+    * against the freshly read current snapshot and tries again, up to
+    * `maxAttempts`. Correct for independent writers because every
+    * attempt resolves against the snapshot it reads at entry, and a
+    * losing attempt abandons its work invisibly (data files
+    * unreferenced until [[vacuum]], staged feed increment discarded).
+    * The retry re-does the resolution — the simple, always-correct
+    * policy; Delta's disjoint-partition rebase (skipping re-resolution
+    * when the winner touched other partitions) is an optimization this
+    * engine trades for the guarantee that matched/unmatched splits are
+    * never computed against a stale base. Throws the final
+    * concurrent-commit error when attempts are exhausted. */
+  def mergeIntoRetry(spark: SparkSession, dir: String, updates: DataFrame,
+      partitionKeys: Seq[String], rowKey: Seq[String],
+      changeFeed: Option[(String, Long)] = None,
+      txn: Option[(String, Long)] = None,
+      commitTs: Long = System.currentTimeMillis(),
+      maxAttempts: Int = 3): Long = {
+    require(maxAttempts >= 1, "need maxAttempts >= 1")
+    var attempt = 1
+    while (true) {
+      try return mergeInto(spark, dir, updates, partitionKeys, rowKey,
+        changeFeed, txn, commitTs)
+      catch {
+        case e: IllegalArgumentException
+            if e.getMessage != null &&
+              e.getMessage.contains("concurrent commit") &&
+              attempt < maxAttempts =>
+          attempt += 1
+      }
+    }
+    -1L // unreachable
+  }
+
   /** Skip-index pruned read of a snapshot: the index must describe
     * exactly this version's manifest (build it from [[snapshot]], or
     * advance it with [[SkipIndex.refreshForFiles]] after a merge).

@@ -393,6 +393,30 @@ object MergeData {
       batchId: Long): Unit =
     feedFs(spark, dir).delete(feedStagePath(dir, batchId), true)
 
+  /** Feed RETENTION: delete published increments with `batch_id <=
+    * uptoBatch`. A change feed is an append-only log and grows
+    * forever without this; the safe bound is the MINIMUM high-water
+    * mark across consumers (a streaming replica's mark is in its own
+    * manifest txn map — [[graft.lake.Versioned.lastTxn]]; a batch
+    * consumer's is whatever `sinceBatch` it persists), because a
+    * consumer can never need an increment at or below its mark again.
+    * Staged (unpublished) increments are never touched. Returns the
+    * reaped batch ids. */
+  def vacuumFeed(spark: SparkSession, feedDir: String,
+      uptoBatch: Long): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(feedDir)
+    val fs = feedFs(spark, feedDir)
+    if (!fs.exists(root)) return Nil
+    val reaped = fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("batch_id=") =>
+        n.stripPrefix("batch_id=").toLong }
+      .filter(_ <= uptoBatch).sorted
+    reaped.foreach { id =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, s"batch_id=$id"), true)
+    }
+    reaped
+  }
+
   /** The write-once increment commit shared by every feed emitter
     * ([[emitChangeFeed]], [[graft.lake.Versioned.deleteWhere]]): stage,
     * then atomically rename into `batch_id=N`; an increment that

@@ -634,6 +634,77 @@ class VersionedSpec extends SparkSpec {
       ("update_postimage", "a", 1L, 100.0)))
   }
 
+  test("optimistic concurrency: a losing writer RETRIES against the winner's snapshot; both merges land") {
+    val dir = freshLake()
+    Versioned.init(spark, dir)
+    val batchA = df(Seq(("a", 1L, 111.0, false)), "site", "id", "v", "__delete")
+    val batchB = df(Seq(("b", 10L, 222.0, false), ("b", 11L, 11.0, false)),
+      "site", "id", "v", "__delete")
+    // writer B commits INSIDE writer A's CAS window (one-shot hook:
+    // B's own commit must not recurse)
+    var fired = false
+    Versioned.beforeCommitHook = () => {
+      if (!fired) {
+        fired = true
+        Versioned.mergeInto(spark, dir, batchB, Seq("site"), Seq("site", "id"))
+      }
+    }
+    try {
+      val v = Versioned.mergeIntoRetry(spark, dir, batchA,
+        Seq("site"), Seq("site", "id"))
+      assert(v == 2L, "A retried and committed after B took v1")
+    } finally Versioned.beforeCommitHook = () => ()
+    // BOTH writers' changes are in the final state — A's retry
+    // re-resolved against B's committed snapshot
+    assert(state(Versioned.snapshot(spark, dir)) == Set(
+      ("a", 1L, 111.0), ("a", 2L, 2.0),
+      ("b", 10L, 222.0), ("b", 11L, 11.0)))
+    assert(state(Versioned.snapshot(spark, dir, 1L)) == Set(
+      ("a", 1L, 1.0), ("a", 2L, 2.0),
+      ("b", 10L, 222.0), ("b", 11L, 11.0)), "v1 is B's commit alone")
+    // attempts exhausted -> the concurrent-commit error surfaces
+    Versioned.beforeCommitHook = () =>
+      Versioned.commitManifest(spark, dir,
+        Versioned.currentVersion(spark, dir) + 1,
+        Versioned.filesAt(spark, dir))
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Versioned.mergeIntoRetry(spark, dir, batchA,
+          Seq("site"), Seq("site", "id"), maxAttempts = 2)
+      }
+      assert(e.getMessage.contains("concurrent commit"))
+    } finally Versioned.beforeCommitHook = () => ()
+  }
+
+  test("vacuumFeed reaps consumed increments; consumers past the mark are unaffected") {
+    val dir = freshLake()
+    Versioned.init(spark, dir)
+    val feed = dir + "_vacfeed"
+    (0 to 2).foreach { b =>
+      Versioned.mergeInto(spark, dir,
+        df(Seq(("a", 1L, 100.0 + b, false)), "site", "id", "v", "__delete"),
+        Seq("site"), Seq("site", "id"), changeFeed = Some((feed, b.toLong)))
+    }
+    // a replica catches up through batch 1, persisting its mark
+    val replica = dir + "_vacreplica"
+    MergeData.writeMerged(spark,
+      df(Seq(("a", 1L, 1.0), ("a", 2L, 2.0), ("b", 10L, 10.0)),
+        "site", "id", "v"), replica, keys = Seq("site"))
+    MergeData.applyChangeFeed(spark, feed, replica, Seq("site"),
+      Seq("site", "id"), untilBatch = 1L)
+    // retention at the consumer's mark: batches 0 and 1 reaped
+    assert(MergeData.vacuumFeed(spark, feed, 1L) == Seq(0L, 1L))
+    assert(spark.read.parquet(feed).select("batch_id").distinct()
+      .collect().map(_.getAs[Number](0).longValue()).toSeq == Seq(2L))
+    // the consumer resumes from its mark and still converges
+    MergeData.applyChangeFeed(spark, feed, replica, Seq("site"),
+      Seq("site", "id"), sinceBatch = 1L)
+    assert(state(spark.read.parquet(replica)) ==
+      state(Versioned.snapshot(spark, dir)))
+    // reaping again is a no-op
+    assert(MergeData.vacuumFeed(spark, feed, 1L).isEmpty)
+  }
+
   test("versioned merge is replay-idempotent at the data level") {
     val dir = freshLake()
     Versioned.init(spark, dir)

@@ -81,4 +81,60 @@ class StreamingReplicaSpec extends SparkSpec {
     assert(state(Versioned.snapshot(spark, replica, 1L)) ==
       Set(("a", 1L, 100.0), ("a", 2L, 2.0), ("b", 10L, 10.0), ("c", 7L, 7.0)))
   }
+
+  test("end-to-end streaming CDC chain: stream -> versioned primary (CDF out) -> feed stream -> replica") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cdcchain").toFile
+    root.deleteOnExit()
+    def p(n: String) = new java.io.File(root, n).getAbsolutePath
+    val (in, primary, feed, replica) = (p("in"), p("primary"), p("feed"), p("replica"))
+
+    val base = df(Seq(("a", 1L, 1.0), ("b", 10L, 10.0)), "site", "id", "v")
+    MergeData.writeMerged(spark, base, primary, keys = Seq("site"))
+    Versioned.init(spark, primary)
+    MergeData.writeMerged(spark, base, replica, keys = Seq("site"))
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("site",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("__delete",
+        org.apache.spark.sql.types.BooleanType)))
+    def writeWave(name: String, rows: Seq[(String, Long, Double, Boolean)]): Unit = {
+      new java.io.File(in).mkdirs()
+      val tmp = new java.io.File(in, s".$name.tmp")
+      val w = new java.io.PrintWriter(tmp)
+      try rows.foreach { case (s, i, v, d) => w.println(s"$s,$i,$v,$d") }
+      finally w.close()
+      tmp.renameTo(new java.io.File(in, name))
+    }
+    def runChain(): Unit = {
+      StreamingMerge.startVersioned(
+        spark.readStream.schema(schema).csv(in), primary,
+        Seq("site"), Seq("site", "id"), p("ckpt_primary"),
+        changeDir = Some(feed)).awaitTermination()
+      StreamingReplica.start(spark, feed, replica, Seq("site"),
+        Seq("site", "id"), p("ckpt_replica")).awaitTermination()
+    }
+
+    writeWave("w0.csv", Seq(("a", 1L, 100.0, false), ("c", 7L, 7.0, false)))
+    runChain()
+    assert(state(Versioned.snapshot(spark, replica)) ==
+      state(Versioned.snapshot(spark, primary)))
+    assert(state(Versioned.snapshot(spark, replica)) ==
+      Set(("a", 1L, 100.0), ("b", 10L, 10.0), ("c", 7L, 7.0)))
+
+    // second wave, incremental end to end — including a delete
+    writeWave("w1.csv", Seq(("b", 10L, 0.0, true), ("c", 7L, 77.0, false)))
+    runChain()
+    assert(state(Versioned.snapshot(spark, replica)) ==
+      state(Versioned.snapshot(spark, primary)))
+    assert(state(Versioned.snapshot(spark, replica)) ==
+      Set(("a", 1L, 100.0), ("c", 7L, 77.0)))
+    // both lakes carry exactly one version per micro-batch wave
+    assert(Versioned.currentVersion(spark, primary) == 2L)
+    assert(Versioned.currentVersion(spark, replica) == 2L)
+  }
 }
