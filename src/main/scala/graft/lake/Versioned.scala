@@ -147,29 +147,59 @@ object Versioned {
     CommitMeta(Some(ts), prev.txns ++ newTxn.toMap, dels)
   }
 
+  // Resolved-listing cache (Delta's snapshot cache): a committed
+  // version's manifest is immutable — vacuum either deletes it
+  // (entries invalidated below) or rewrites it content-equivalently —
+  // so one (dir, version) resolution serves every later read in this
+  // driver. Without it, a single mergeInto resolves the same version
+  // several times (live list, snapshot, tombstone check), each paying
+  // the O(files) checkpoint read the delta-manifest design otherwise
+  // avoids. Bounded LRU; a vacuum by ANOTHER process is outside this
+  // JVM's view, the same caveat as any driver-side metadata cache.
+  private val resolveCache =
+    new java.util.LinkedHashMap[(String, Long), Seq[String]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long), Seq[String]]): Boolean =
+        size > 256
+    }
+  private def cacheGet(dir: String, v: Long): Option[Seq[String]] =
+    resolveCache.synchronized(Option(resolveCache.get((dir, v))))
+  private def cachePut(dir: String, v: Long, files: Seq[String]): Unit =
+    resolveCache.synchronized(resolveCache.put((dir, v), files))
+  private def cacheDrop(dir: String): Unit = resolveCache.synchronized {
+    resolveCache.keySet.removeIf(_._1 == dir)
+  }
+
   /** Relative data-file paths live at `version` (latest if -1),
-    * resolved as newest-checkpoint-at-or-below plus its delta tail. */
+    * resolved as newest-checkpoint-at-or-below plus its delta tail
+    * (memoized per (dir, version) — see the cache note above). */
   def filesAt(spark: SparkSession, dir: String, version: Long = -1L): Seq[String] = {
     val fs = fsOf(spark, dir)
-    val ms = listManifests(fs, dir)
-    val v = if (version >= 0) version else ms.map(_._1).foldLeft(-1L)(math.max)
+    val v =
+      if (version >= 0) version
+      else listManifests(fs, dir).map(_._1).foldLeft(-1L)(math.max)
     require(v >= 0, s"no manifest in $dir — call init() first")
-    require(ms.exists(_._1 == v), s"version $v does not exist in $dir")
-    val base = ms.collect { case (mv, false) if mv <= v => mv }
-      .foldLeft(-1L)(math.max)
-    require(base >= 0,
-      s"version $v of $dir has no checkpoint manifest at or below it (vacuumed?)")
-    val files = scala.collection.mutable.LinkedHashSet.empty[String]
-    manifestLinesAt(fs, dir, base).filterNot(_.startsWith("#")).foreach(files += _)
-    ((base + 1) to v).foreach { dv =>
-      manifestLinesAt(fs, dir, dv).filterNot(_.startsWith("#")).foreach { l =>
-        if (l.startsWith("+")) files += l.drop(1)
-        else if (l.startsWith("-")) files -= l.drop(1)
-        else throw new IllegalArgumentException(
-          s"manifest v$dv of $dir between checkpoints is not in delta form: '$l'")
+    cacheGet(dir, v).getOrElse {
+      val ms = listManifests(fs, dir)
+      require(ms.exists(_._1 == v), s"version $v does not exist in $dir")
+      val base = ms.collect { case (mv, false) if mv <= v => mv }
+        .foldLeft(-1L)(math.max)
+      require(base >= 0,
+        s"version $v of $dir has no checkpoint manifest at or below it (vacuumed?)")
+      val files = scala.collection.mutable.LinkedHashSet.empty[String]
+      manifestLinesAt(fs, dir, base).filterNot(_.startsWith("#")).foreach(files += _)
+      ((base + 1) to v).foreach { dv =>
+        manifestLinesAt(fs, dir, dv).filterNot(_.startsWith("#")).foreach { l =>
+          if (l.startsWith("+")) files += l.drop(1)
+          else if (l.startsWith("-")) files -= l.drop(1)
+          else throw new IllegalArgumentException(
+            s"manifest v$dv of $dir between checkpoints is not in delta form: '$l'")
+        }
       }
+      val resolved = files.toSeq.sorted
+      cachePut(dir, v, resolved)
+      resolved
     }
-    files.toSeq.sorted
   }
 
   /** Highest batch id committed under `txnId`, or -1 — the Delta
@@ -316,6 +346,10 @@ object Versioned {
     val cur = currentVersion(spark, dir)
     if (cur >= 0) cur
     else {
+      // a fresh v0 at this path means any cached resolutions belong to
+      // a PREVIOUS lake that was wiped and rebuilt here (per-run
+      // replicas do exactly this) — drop them
+      cacheDrop(dir)
       val fs = fsOf(spark, dir)
       writeCommit(fs, dir, 0L, listDataFiles(fs, new Path(dir), new Path(dir)),
         Nil, CommitMeta(Some(commitTs), Map.empty, Nil))
@@ -908,6 +942,7 @@ object Versioned {
     val cur = ms.map(_._1).foldLeft(-1L)(math.max)
     require(cur >= 0, s"no manifest in $dir")
     val keepFrom = math.max(0L, cur - keepVersions + 1)
+    cacheDrop(dir) // reaped versions must stop resolving from cache
     if (ms.exists { case (mv, isDelta) => mv == keepFrom && isDelta }) {
       val files = filesAt(spark, dir, keepFrom)
       val meta = metaAt(spark, dir, keepFrom)

@@ -705,6 +705,29 @@ class VersionedSpec extends SparkSpec {
     assert(MergeData.vacuumFeed(spark, feed, 1L).isEmpty)
   }
 
+  test("resolution cache: wipe-and-rebuild at the same path serves the NEW lake's files") {
+    val dir = freshLake()
+    Versioned.init(spark, dir)
+    Versioned.mergeInto(spark, dir,
+      df(Seq(("a", 1L, 5.0, false)), "site", "id", "v", "__delete"),
+      Seq("site"), Seq("site", "id"))
+    val oldV1 = Versioned.filesAt(spark, dir, 1L) // now cached
+    // wipe the lake and rebuild a DIFFERENT one at the same path
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    MergeData.writeMerged(spark,
+      df(Seq(("z", 99L, 9.0)), "site", "id", "v"), dir, keys = Seq("site"))
+    Versioned.init(spark, dir)
+    Versioned.mergeInto(spark, dir,
+      df(Seq(("z", 98L, 8.0, false)), "site", "id", "v", "__delete"),
+      Seq("site"), Seq("site", "id"))
+    val newV1 = Versioned.filesAt(spark, dir, 1L)
+    assert(newV1 != oldV1, "cache must not serve the wiped lake's listing")
+    assert(state(Versioned.snapshot(spark, dir, 1L)) ==
+      Set(("z", 99L, 9.0), ("z", 98L, 8.0)))
+  }
+
   test("versioned merge is replay-idempotent at the data level") {
     val dir = freshLake()
     Versioned.init(spark, dir)
