@@ -1937,6 +1937,34 @@ object LakeQueries {
                round(sum(value::DOUBLE), 4), count(DISTINCT user_id)
         FROM kept GROUP BY 2
         ORDER BY 1, 2"""),
-      "MOR delete x compacting ZORDER x skip-index pruned read: tombstoned v1 anti-join == compacted v2 pruned scan == kept-rows oracle")
+      "MOR delete x compacting ZORDER x skip-index pruned read: tombstoned v1 anti-join == compacted v2 pruned scan == kept-rows oracle"),
+
+    // ---------------------------------------------------------------
+    // DESCRIBE HISTORY over the pinned-timestamp fixture: version ids,
+    // commit timestamps (pinned 1000..4000 at build), manifest form
+    // (v0 checkpoint, v1-v3 deltas under the every-10th cadence), and
+    // pending-tombstone counts are all deterministic, so the whole
+    // history row set is oracle-gated as constants — pinning that the
+    // commit log records exactly what the protocol says it records.
+    // n_files is layout-dependent (task parallelism) and excluded;
+    // row counts per version are pinned by q165/q172 instead.
+    // ---------------------------------------------------------------
+    Q("q174_describe_history",
+      (s, dir) => {
+        val (vlake, _) = versionedCdcFixture(s, dir)
+        Versioned.history(s, vlake)
+          .select(col("version"), col("commit_ts"),
+            col("is_checkpoint"), col("n_pending_delete_files"))
+          .orderBy("version")
+      },
+      Some("""
+        SELECT * FROM (VALUES
+          (0::BIGINT, 1000::BIGINT, true,  0::BIGINT),
+          (1::BIGINT, 2000::BIGINT, false, 0::BIGINT),
+          (2::BIGINT, 3000::BIGINT, false, 0::BIGINT),
+          (3::BIGINT, 4000::BIGINT, false, 0::BIGINT))
+          AS t(version, commit_ts, is_checkpoint, n_pending_delete_files)
+        ORDER BY version"""),
+      "DESCRIBE HISTORY: versions, pinned commit timestamps, checkpoint cadence, tombstone counts == constant oracle")
   )
 }
