@@ -408,8 +408,12 @@ object PipelineProps extends Properties("graft.pipeline") {
   private val opGen = Gen.zip(
     Gen.oneOf("a", "b"), Gen.choose(1L, 4L),
     Gen.choose(-50, 50).map(_.toDouble), Gen.prob(0.3))
+  // ELEVEN batches so every generated case crosses the checkpoint
+  // cadence (v0 ckpt, v1-v9 deltas, v10 ckpt, v11 delta): the model
+  // equality then exercises delta-tail resolution on both sides of a
+  // checkpoint with random contents, not just the example-based spec
   private val batchesGen =
-    Gen.listOfN(2, Gen.nonEmptyListOf(opGen).map(_.take(3)))
+    Gen.listOfN(11, Gen.nonEmptyListOf(opGen).map(_.take(3)))
 
   property("Versioned.mergeInto: every version equals the key-value model") =
     forAll(batchesGen) { batches =>
