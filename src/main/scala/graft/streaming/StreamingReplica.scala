@@ -94,6 +94,11 @@ object StreamingReplica {
         .digest(checkpoint.getBytes("UTF-8"))
       "replica-" + d.take(8).map(b => f"$b%02x").mkString
     }
+    // a replica may start BEFORE the primary publishes its first
+    // increment; the file source needs the path to exist
+    val feedRoot = new org.apache.hadoop.fs.Path(feedDir)
+    feedRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .mkdirs(feedRoot)
     // the notification stream: schema only needs SOMETHING stable to
     // list against — project just the partition column, so feed schema
     // evolution can never wedge the source
