@@ -728,6 +728,31 @@ class VersionedSpec extends SparkSpec {
       Set(("z", 99L, 9.0), ("z", 98L, 8.0)))
   }
 
+  test("schema evolution through the manifest commit: new columns null-fill, old versions keep their schema") {
+    val dir = freshLake()
+    Versioned.init(spark, dir)
+    val evolved = df(Seq(("a", 1L, 100.0, "m1", false)),
+      "site", "id", "v", "tag", "__delete")
+    Versioned.mergeInto(spark, dir, evolved, Seq("site"), Seq("site", "id"))
+    val snap = Versioned.snapshot(spark, dir)
+    assert(snap.columns.contains("tag"))
+    val byId = snap.select("id", "tag").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(byId(1L).contains("m1"))
+    assert(byId(2L).isEmpty && byId(10L).isEmpty,
+      "untouched rows null-fill the evolved column")
+    // time travel reads v0 with v0's schema — the new column never
+    // existed there
+    assert(!Versioned.snapshot(spark, dir, 0L).columns.contains("tag"))
+    // evolution adds, never drops: a batch missing a base column refuses
+    val e = intercept[IllegalArgumentException] {
+      Versioned.mergeInto(spark, dir,
+        df(Seq(("a", 1L, false)), "site", "id", "__delete"),
+        Seq("site"), Seq("site", "id"))
+    }
+    assert(e.getMessage.contains("missing base columns"))
+  }
+
   test("versioned merge is replay-idempotent at the data level") {
     val dir = freshLake()
     Versioned.init(spark, dir)

@@ -80,6 +80,22 @@ class StreamingReplicaSpec extends SparkSpec {
     // and the replica's own history time-travels per feed batch
     assert(state(Versioned.snapshot(spark, replica, 1L)) ==
       Set(("a", 1L, 100.0), ("a", 2L, 2.0), ("b", 10L, 10.0), ("c", 7L, 7.0)))
+
+    // a MERGE-ON-READ delete on the primary publishes its deleted rows
+    // as a feed increment; the streaming replica consumes it as an
+    // ordinary delete batch — the MOR primary and the physically
+    // rewritten replica converge to the same state
+    Versioned.deleteWhere(spark, primary, col("id") === 10L,
+      Seq("site", "id"), changeFeed = Some((feed, 3L)))
+    StreamingReplica.start(spark, feed, replica, Seq("site"),
+      Seq("site", "id"), ckpt).awaitTermination()
+    assert(Versioned.deleteFilesAt(spark, primary).nonEmpty,
+      "primary stays merge-on-read")
+    assert(state(Versioned.snapshot(spark, replica)) ==
+      state(Versioned.snapshot(spark, primary)))
+    assert(state(Versioned.snapshot(spark, replica)) ==
+      Set(("c", 7L, 70.0)))
+    assert(Versioned.currentVersion(spark, replica) == 4L)
   }
 
   test("end-to-end streaming CDC chain: stream -> versioned primary (CDF out) -> feed stream -> replica") {
