@@ -102,6 +102,27 @@ object Versioned {
     }
   }
 
+  /** Version `v`'s meta lines ONLY — meta precedes file lines, so the
+    * read stops at the first non-`#` line instead of loading a
+    * checkpoint's whole O(files) listing. Every meta consumer
+    * ([[lastTxn]], [[deleteFilesAt]], carry-forward, [[versionAsOf]],
+    * [[history]]) pays O(meta), which is what lets commit metadata
+    * ride a million-file checkpoint for free. */
+  private def metaLinesAt(fs: FileSystem, dir: String, v: Long): Seq[String] = {
+    val cp = ckptPath(dir, v)
+    val p =
+      if (fs.exists(cp)) cp
+      else {
+        val dp = deltaPath(dir, v)
+        require(fs.exists(dp), s"version $v does not exist in $dir")
+        dp
+      }
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).takeWhile(_.startsWith("#")).toList
+    finally in.close()
+  }
+
   /** Commit metadata carried in every manifest: the commit timestamp,
     * the FULL per-stream txn high-water map, and the pending
     * equality-delete tombstone files. Meta lines precede file lines. */
@@ -133,7 +154,7 @@ object Versioned {
   }
 
   private def metaAt(spark: SparkSession, dir: String, v: Long): CommitMeta =
-    parseMeta(manifestLinesAt(fsOf(spark, dir), dir, v))
+    parseMeta(metaLinesAt(fsOf(spark, dir), dir, v))
 
   /** Meta for commit `prevV + 1`: carries the full txn map forward
     * (adding `newTxn`), replaces the tombstone list with `dels`, and
@@ -220,7 +241,7 @@ object Versioned {
       case Some(b) => b
       case None =>
         ms.map(_._1).filter(_ < cur).sorted.reverse.iterator
-          .map(v => parseMeta(manifestLinesAt(fs, dir, v)).txns.get(txnId))
+          .map(v => parseMeta(metaLinesAt(fs, dir, v)).txns.get(txnId))
           .collectFirst { case Some(b) => b }.getOrElse(-1L)
     }
   }
@@ -239,7 +260,7 @@ object Versioned {
     val ms = listManifests(fs, dir)
     require(ms.nonEmpty, s"no manifest in $dir — call init() first")
     ms.map(_._1).sorted.reverse.iterator
-      .map(v => v -> parseMeta(manifestLinesAt(fs, dir, v)).ts)
+      .map(v => v -> parseMeta(metaLinesAt(fs, dir, v)).ts)
       .collectFirst { case (v, Some(t)) if t <= tsMillis => v }
       .getOrElse(throw new IllegalArgumentException(
         s"timestamp $tsMillis is before the earliest retained commit of $dir"))
@@ -401,7 +422,7 @@ object Versioned {
     val ms = listManifests(fs, dir)
     require(ms.nonEmpty, s"no manifest in $dir — call init() first")
     val rows = ms.sortBy(-_._1).map { case (v, isDelta) =>
-      val meta = parseMeta(manifestLinesAt(fs, dir, v))
+      val meta = parseMeta(metaLinesAt(fs, dir, v))
       (v, meta.ts, !isDelta, filesAt(spark, dir, v).size.toLong,
         meta.dels.size.toLong,
         meta.txns.toSeq.sortBy(_._1)
