@@ -270,6 +270,44 @@ object Versioned {
   def snapshotAsOf(spark: SparkSession, dir: String, tsMillis: Long): DataFrame =
     snapshot(spark, dir, versionAsOf(spark, dir, tsMillis))
 
+  // ---- manifest file references -----------------------------------
+  // A manifest file entry is either a RELATIVE path (this table's own
+  // data file) or a FOREIGN reference `@<root>\t<rel>` introduced by
+  // [[cloneAt]] — a zero-copy pointer into another table's immutable
+  // data files (Delta's shallow clone). Foreign refs read with their
+  // OWN root as basePath (partition columns still parse from the
+  // source's Hive paths) and are dropped partition-by-partition as
+  // copy-on-write commits localize them.
+
+  /** Is this manifest entry a foreign (cloned) reference? */
+  def refIsForeign(ref: String): Boolean = ref.startsWith("@")
+
+  /** The entry's path relative to its root (partition-dir logic —
+    * touched-partition matching, layout grouping — runs on this). */
+  def refRel(ref: String): String =
+    if (refIsForeign(ref)) ref.drop(1).split('\t')(1) else ref
+
+  /** The entry's root directory (`dir` for the table's own files). */
+  def refRoot(dir: String, ref: String): String =
+    if (refIsForeign(ref)) ref.drop(1).split('\t')(0) else dir
+
+  /** The entry's full path. */
+  def refPath(dir: String, ref: String): String =
+    s"${refRoot(dir, ref)}/${refRel(ref)}"
+
+  /** Read a set of manifest entries as ONE DataFrame: entries group by
+    * root, each group reads with its root as `basePath` (so partition
+    * columns parse from the correct Hive prefix), groups align by
+    * column name (a clone may have evolved past its source). */
+  private def readRefs(spark: SparkSession, dir: String,
+      refs: Seq[String]): DataFrame = {
+    val byRoot = refs.groupBy(r => refRoot(dir, r)).toSeq.sortBy(_._1)
+    byRoot.map { case (root, rs) =>
+      spark.read.option("basePath", root).option("mergeSchema", "true")
+        .parquet(rs.map(r => s"$root/${refRel(r)}"): _*)
+    }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+  }
+
   /** Recursive data-file listing (relative), excluding metadata
     * (`_manifest`, `_SUCCESS`, dotfiles). Driver-side, bounded by file
     * count — the same cost as the listing every unversioned read does. */
@@ -389,9 +427,7 @@ object Versioned {
     val v = if (version >= 0) version else currentVersion(spark, dir)
     val files = filesAt(spark, dir, v)
     require(files.nonEmpty, s"version $version of $dir has no files")
-    val df = spark.read.option("basePath", dir).option("mergeSchema", "true")
-      .parquet(files.map(f => s"$dir/$f"): _*)
-    applyTombstones(spark, dir, v, df)
+    applyTombstones(spark, dir, v, readRefs(spark, dir, files))
   }
 
   /** Apply `version`'s pending equality-delete tombstones (if any) to
@@ -431,6 +467,153 @@ object Versioned {
     import spark.implicits._
     rows.toDF("version", "commit_ts", "is_checkpoint", "n_files",
       "n_pending_delete_files", "txns")
+  }
+
+  /** RESTORE TABLE ... TO VERSION AS OF — Delta's RESTORE: commits a
+    * NEW version whose live-file list and pending-tombstone set are
+    * exactly `toVersion`'s. METADATA-ONLY: zero data files are moved
+    * or rewritten — the protocol's immutable data files mean the old
+    * version's files are still on disk (verified; refused loudly if
+    * [[vacuum]] already reaped any of them). History is preserved:
+    * the rolled-back commits stay time-travelable, and the restore is
+    * itself one more commit (a delta manifest bounded by the file-list
+    * diff between the two versions, never the lake).
+    *
+    * @param changeFeed optional (dir, batchId): publish the ROW-LEVEL
+    *   diff current→target as a Delta-CDF increment so feed consumers
+    *   converge across the restore. Rows are classed BY `rowKey` —
+    *   keys only in the current state emit `delete`, keys only in the
+    *   target emit `insert`, keys in both with changed rows emit
+    *   `update_preimage`/`update_postimage` — because a feed batch is
+    *   replayed as ONE merge batch, where a same-key delete+insert
+    *   pair would collide. Same staged-then-promote discipline as the
+    *   merge paths: a restore that loses the commit CAS leaves no
+    *   visible feed trace. This diff is the only non-metadata work,
+    *   and only runs when a feed is attached.
+    * @param rowKey required with `changeFeed` (the diff's row identity).
+    * Returns the committed version — or the current version unchanged
+    * when it already equals the target state (idempotent replay). */
+  def restore(spark: SparkSession, dir: String, toVersion: Long,
+      changeFeed: Option[(String, Long)] = None,
+      rowKey: Seq[String] = Nil,
+      commitTs: Long = System.currentTimeMillis()): Long = {
+    val v = currentVersion(spark, dir)
+    require(v >= 0, s"no manifest in $dir — call init() first")
+    require(toVersion >= 0 && toVersion <= v,
+      s"cannot restore $dir to version $toVersion (current is $v)")
+    val live = filesAt(spark, dir, v)
+    val target = filesAt(spark, dir, toVersion)
+    val targetDels = deleteFilesAt(spark, dir, toVersion)
+    if (target == live && targetDels == deleteFilesAt(spark, dir, v)) {
+      // replay after a crash between a prior restore's commit and its
+      // promote: the state already reads as the target, but the
+      // increment may still be sitting staged — publish it
+      changeFeed.foreach { case (fd, b) =>
+        graft.ops.MergeData.promoteFeedIncrement(spark, fd, b) }
+      return v // already the target state — nothing to commit
+    }
+    val fs = fsOf(spark, dir)
+    val missing = (target ++ targetDels)
+      .filterNot(f => fs.exists(new Path(refPath(dir, f))))
+    require(missing.isEmpty,
+      s"cannot restore $dir to version $toVersion: ${missing.size} of its " +
+        s"files were vacuumed (first: ${missing.headOption.getOrElse("")})")
+    changeFeed.foreach { case (fd, batchId) =>
+      require(rowKey.nonEmpty, "restore with changeFeed needs rowKey")
+      // align schemas (evolution may have added columns after
+      // toVersion): each side gains the other's missing columns as
+      // typed nulls, so the diff compares the union schema
+      val cur0 = snapshot(spark, dir, v)
+      val tgt0 = snapshot(spark, dir, toVersion)
+      def align(d: DataFrame, other: DataFrame): DataFrame =
+        other.schema.fields.filterNot(f => d.columns.contains(f.name))
+          .foldLeft(d)((acc, f) => acc.withColumn(f.name, lit(null).cast(f.dataType)))
+      val cur = align(cur0, tgt0)
+      val tgt = align(tgt0, cur0).select(cur.columns.map(col): _*)
+      // rename the right side of every join — the two snapshots share
+      // file lineage (untouched partitions), which makes bare
+      // column-apply conditions a self-join ambiguity class
+      def tagged(d: DataFrame): DataFrame =
+        d.columns.foldLeft(d)((a, c) => a.withColumnRenamed(c, "__r_" + c))
+      def keyCond(l: DataFrame, r: DataFrame) =
+        rowKey.map(k => l(k) <=> r("__r_" + k)).reduce(_ && _)
+      val tgtT = tagged(tgt)
+      val curT = tagged(cur)
+      val dels = cur.join(tgtT, keyCond(cur, tgtT), "left_anti")
+        .withColumn("_action", lit("delete"))
+      val ins = tgt.join(curT, keyCond(tgt, curT), "left_anti")
+        .withColumn("_action", lit("insert"))
+      // a key-only table has no non-key columns, hence no update class
+      val nonKey = cur.columns.filterNot(rowKey.contains).toSeq
+      val changedPred =
+        if (nonKey.isEmpty) lit(false)
+        else nonKey.map(c => !(cur(c) <=> tgtT("__r_" + c))).reduce(_ || _)
+      val changedKeys = cur.join(tgtT, keyCond(cur, tgtT) && changedPred,
+          "inner")
+        .select(rowKey.map(cur(_)): _*).distinct()
+      val changedT = tagged(changedKeys)
+      def changedSide(d: DataFrame, action: String) =
+        d.join(changedT,
+            rowKey.map(k => d(k) <=> changedT("__r_" + k)).reduce(_ && _),
+            "left_semi")
+          .withColumn("_action", lit(action))
+      graft.ops.MergeData.stageFeedIncrement(spark, fd, batchId,
+        dels.unionByName(ins)
+          .unionByName(changedSide(cur, "update_preimage"))
+          .unionByName(changedSide(tgt, "update_postimage")))
+    }
+    try writeCommit(fs, dir, v + 1, target, live,
+      carryMeta(spark, dir, v, commitTs, None, targetDels))
+    catch { case e: Throwable =>
+      changeFeed.foreach { case (fd, b) =>
+        graft.ops.MergeData.discardStagedIncrement(spark, fd, b) }
+      throw e
+    }
+    changeFeed.foreach { case (fd, b) =>
+      graft.ops.MergeData.promoteFeedIncrement(spark, fd, b) }
+    v + 1
+  }
+
+  /** SHALLOW CLONE (Delta's `CREATE TABLE ... SHALLOW CLONE src`):
+    * `dstDir` becomes an independent versioned table whose v0 manifest
+    * holds FOREIGN references (`@root\trel`) to `srcDir`'s data files
+    * at `version` — ZERO data bytes copied, one manifest write. From
+    * then on the two tables evolve independently: a merge into the
+    * clone rewrites only its touched partitions (localizing exactly
+    * those partitions' foreign refs, copy-on-write), the source never
+    * observes anything, and the clone time-travels within its own
+    * history. `OPTIMIZE` on the clone localizes all remaining foreign
+    * refs (compaction doubles as clone materialization). The standard
+    * shallow-clone caveat applies and is the protocol's only coupling:
+    * [[vacuum]]ing the SOURCE can reap files the clone still
+    * references (the source cannot know its clones — Delta documents
+    * the same), which the clone's reads then surface as missing files.
+    *
+    * Refuses when the source version has pending MOR tombstones
+    * (`#del` files are root-relative and their interplay rules are a
+    * table-local concern): [[materializeDeletes]] on the source first.
+    * The source root must be absolute — the refs must stay valid from
+    * any working directory. Returns the clone's version (always 0). */
+  def cloneAt(spark: SparkSession, srcDir: String, dstDir: String,
+      version: Long = -1L,
+      commitTs: Long = System.currentTimeMillis()): Long = {
+    val v = if (version >= 0) version else currentVersion(spark, srcDir)
+    require(v >= 0, s"no manifest in $srcDir — call init() first")
+    require(new Path(srcDir).isAbsolute,
+      s"cloneAt needs an absolute source root, got $srcDir")
+    require(deleteFilesAt(spark, srcDir, v).isEmpty,
+      s"cannot clone $srcDir at version $v: pending equality-delete " +
+        "tombstones are table-local — materializeDeletes() first")
+    require(currentVersion(spark, dstDir) < 0,
+      s"$dstDir is already a versioned table")
+    val refs = filesAt(spark, srcDir, v).map { r =>
+      if (refIsForeign(r)) r // clone of a clone: keep the original root
+      else s"@$srcDir\t$r"
+    }
+    cacheDrop(dstDir)
+    writeCommit(fsOf(spark, dstDir), dstDir, 0L, refs, Nil,
+      CommitMeta(Some(commitTs), Map.empty, Nil))
+    0L
   }
 
   /** MERGE-ON-READ equality delete (Iceberg's equality-delete files /
@@ -543,8 +726,7 @@ object Versioned {
     // affected partitions = those whose RAW files still hold a
     // tombstoned row (bounded driver collect: distinct partition
     // values of the deleted keys)
-    val raw = spark.read.option("basePath", dir).option("mergeSchema", "true")
-      .parquet(live.map(f => s"$dir/$f"): _*)
+    val raw = readRefs(spark, dir, live)
     val affectedRows = raw.join(tomb, tomb.columns.toSeq
         .map(k => raw(k) <=> tomb(k)).reduce(_ && _), "left_semi")
       .select(partitionKeys.map(col): _*).distinct().collect()
@@ -554,7 +736,8 @@ object Versioned {
           .getPartitionPathString(k, Option(r.get(i)).map(String.valueOf).orNull)
       }.mkString("/")
     }.toSet
-    def underAffected(rel: String) = affectedDirs.exists(d => rel.startsWith(d + "/"))
+    def underAffected(ref: String) =
+      affectedDirs.exists(d => refRel(ref).startsWith(d + "/"))
     if (affectedDirs.isEmpty) { // tombstones matched nothing on disk
       writeCommit(fs, dir, v + 1, live, live,
         carryMeta(spark, dir, v, commitTs, None, Nil))
@@ -664,9 +847,7 @@ object Versioned {
           val conflict = tomb.join(batchKeys, nsCond(tomb, batchKeys), "left_semi")
           if (conflict.isEmpty) (Seq.empty[org.apache.spark.sql.Row], dels)
           else {
-            val raw = spark.read.option("basePath", dir)
-              .option("mergeSchema", "true")
-              .parquet(live.map(f => s"$dir/$f"): _*)
+            val raw = readRefs(spark, dir, live)
             val conflictRows = raw.join(conflict, nsCond(raw, conflict), "left_semi")
               .select(partitionKeys.map(col): _*).distinct().collect().toSeq
             val remaining = tomb.join(batchKeys, nsCond(tomb, batchKeys), "left_anti")
@@ -707,8 +888,10 @@ object Versioned {
       val extra = extraRows.filterNot(r => touchedSet.contains(dirOf(r)))
       val extraDirs = extra.map(dirOf).toSet
       val allDirs = res.touchedDirs.toSet ++ extraDirs
-      def underTouched(rel: String) =
-        allDirs.exists(d => rel.startsWith(d + "/"))
+      // matching runs on the ROOT-RELATIVE path, so a clone's foreign
+      // refs localize (drop) exactly when their partition is rewritten
+      def underTouched(ref: String) =
+        allDirs.exists(d => refRel(ref).startsWith(d + "/"))
       // conflict partitions OUTSIDE the batch's scope are rewritten
       // MOR-clean from the snapshot (layout-only: no logical change,
       // hence no feed rows for them)
@@ -812,12 +995,16 @@ object Versioned {
       preds: Seq[(String, Double, Double)],
       version: Long = -1L): DataFrame = {
     val v = if (version >= 0) version else currentVersion(spark, dir)
+    val files = filesAt(spark, dir, v)
+    require(!files.exists(refIsForeign),
+      "pruned reads need a single basePath: OPTIMIZE the clone first " +
+        "to localize its foreign file references")
     // pending MOR tombstones ride on top of the pruned scan as the
     // same anti-join the snapshot applies — pruning only SKIPS files,
     // so filtering the surviving rows preserves exactness
     applyTombstones(spark, dir, v,
       SkipIndex.prunedReadMultiFiles(spark, dir, idx, preds,
-        filesAt(spark, dir, v).map(f => s"$dir/$f")))
+        files.map(f => s"$dir/$f")))
   }
 
   /** Bloom-index pruned point/IN lookup of a snapshot — the
@@ -832,10 +1019,14 @@ object Versioned {
       probes: Seq[org.apache.spark.sql.Column],
       version: Long = -1L): DataFrame = {
     val v = if (version >= 0) version else currentVersion(spark, dir)
+    val files = filesAt(spark, dir, v)
+    require(!files.exists(refIsForeign),
+      "pruned reads need a single basePath: OPTIMIZE the clone first " +
+        "to localize its foreign file references")
     // MOR tombstones apply on top, as in [[prunedRead]]
     applyTombstones(spark, dir, v,
       BloomIndex.prunedReadInFiles(spark, dir, idx, c, probes,
-        filesAt(spark, dir, v).map(f => s"$dir/$f")))
+        files.map(f => s"$dir/$f")))
   }
 
   /** OPTIMIZE within the manifest protocol: partitions holding more
@@ -869,18 +1060,23 @@ object Versioned {
     val v = init(spark, dir, commitTs)
     val dels = deleteFilesAt(spark, dir, v)
     val live = filesAt(spark, dir, v)
-    val byDir = live.groupBy(f => f.take(math.max(f.lastIndexOf('/'), 0)))
+    // group by ROOT-RELATIVE partition dir: a clone's foreign refs
+    // compact together with its local files of the same partition, and
+    // the rewrite localizes them (compaction doubles as clone
+    // materialization, partition by partition)
+    val byDir = live.groupBy { f =>
+      val r = refRel(f); r.take(math.max(r.lastIndexOf('/'), 0)) }
     val targets = byDir.filter { case (d, fs0) =>
       d.nonEmpty &&
         (if (zorder.isDefined) fs0.nonEmpty // re-cluster everything
-         else fs0.size > targetFilesPerPartition) }
+         else fs0.size > targetFilesPerPartition ||
+           fs0.exists(refIsForeign)) }
     if (targets.isEmpty) return v
     val fs = fsOf(spark, dir)
     val targetDirs = targets.keySet
     val before = targetDirs.flatMap(d =>
       listDataFiles(fs, new Path(dir), new Path(dir, d))).toSet
-    val rawRows = spark.read.option("basePath", dir).option("mergeSchema", "true")
-      .parquet(targets.values.flatten.map(f => s"$dir/$f").toSeq: _*)
+    val rawRows = readRefs(spark, dir, targets.values.flatten.toSeq)
     // pending MOR tombstones: a ZORDER pass rewrites EVERY partition
     // anyway, so it reads the tombstone-filtered view and the commit
     // drops the #del lines — compaction folded into the re-cluster for
@@ -926,7 +1122,7 @@ object Versioned {
     require(deleteFilesAt(spark, dir, v).isEmpty,
       "fastRowCount under unmaterialized equality deletes would overcount: " +
         "materializeDeletes() first or count the snapshot")
-    val files = filesAt(spark, dir, v).map(f => s"$dir/$f")
+    val files = filesAt(spark, dir, v).map(f => refPath(dir, f))
     // ship the SESSION's Hadoop conf to the footer tasks (fs.* keys,
     // object-store credentials): a fresh Configuration() would read
     // local disk fine but fail to authenticate anywhere real

@@ -1965,6 +1965,244 @@ object LakeQueries {
           (3::BIGINT, 4000::BIGINT, false, 0::BIGINT))
           AS t(version, commit_ts, is_checkpoint, n_pending_delete_files)
         ORDER BY version"""),
-      "DESCRIBE HISTORY: versions, pinned commit timestamps, checkpoint cadence, tombstone counts == constant oracle")
+      "DESCRIBE HISTORY: versions, pinned commit timestamps, checkpoint cadence, tombstone counts == constant oracle"),
+
+    // ---------------------------------------------------------------
+    // RESTORE TABLE TO VERSION AS OF (Delta's RESTORE): its own
+    // memoized fixture commits v0 = base, v1 = b0, v2 = b1 (feed
+    // batches 0, 1), then RESTORES to v1 as v3 — a metadata-only
+    // commit (zero data files moved) that also publishes the row-level
+    // v2→v1 diff as feed batch 2. Legs: the restored latest snapshot
+    // == v1's recompute oracle (st1), the rolled-back v2 still
+    // time-travels to st2, and a fresh per-run replica seeded from the
+    // BASE converges to st1 by replaying all three feed batches — the
+    // merge increments AND the restore diff through one consumer path.
+    // require()s pin the protocol shape: 4 versions, restore replay is
+    // a version-level no-op, and no data file was written by it.
+    // ---------------------------------------------------------------
+    Q("q175_restore",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val stamp = new File(dir, "events.parquet").lastModified()
+        val root = new File(new File(sys.props("user.dir"), "target"),
+          s"graft_restfix_${tag}_$stamp")
+        val lake = new File(root, "lake").getAbsolutePath
+        val feedDir = new File(root, "feed").getAbsolutePath
+        def baseCV = graft.Tables(s, dir, "events")
+          .select(MergeCols.map(col): _*)
+          .filter(col("event_type").isin("click", "view"))
+        LakeQueries.synchronized {
+          if (!new File(root, "_SUCCESS").exists()) {
+            val fs = new org.apache.hadoop.fs.Path(root.getAbsolutePath)
+              .getFileSystem(s.sparkContext.hadoopConfiguration)
+            fs.delete(new org.apache.hadoop.fs.Path(root.getAbsolutePath), true)
+            val base = baseCV.persist()
+            try {
+              MergeData.writeMerged(s, base, lake, keys = Seq("event_type"))
+              Versioned.init(s, lake, commitTs = 1000L)
+              val Seq(b0, b1, _) = cdcPayload(base)
+              Versioned.mergeInto(s, lake, b0, Seq("event_type"),
+                Seq("event_id"), changeFeed = Some((feedDir, 0L)),
+                commitTs = 2000L)
+              Versioned.mergeInto(s, lake, b1, Seq("event_type"),
+                Seq("event_id"), changeFeed = Some((feedDir, 1L)),
+                commitTs = 3000L)
+              def physicalParquetCount(): Int = {
+                val it = fs.listFiles(
+                  new org.apache.hadoop.fs.Path(lake), true)
+                var n = 0
+                while (it.hasNext) {
+                  val p = it.next().getPath
+                  if (p.getName.endsWith(".parquet") &&
+                      !p.toString.contains("/_")) n += 1
+                }
+                n
+              }
+              val physBefore = physicalParquetCount()
+              Versioned.restore(s, lake, 1L,
+                changeFeed = Some((feedDir, 2L)),
+                rowKey = Seq("event_id"), commitTs = 4000L)
+              // metadata-only: exactly the target version's files, and
+              // not one physical data file written
+              require(Versioned.filesAt(s, lake, 3L) ==
+                Versioned.filesAt(s, lake, 1L),
+                "restore must reference exactly the target version's files")
+              require(physicalParquetCount() == physBefore,
+                "restore must not write data files")
+            } finally base.unpersist()
+            new File(root, "_SUCCESS").createNewFile()
+          }
+        }
+        require(Versioned.currentVersion(s, lake) == 3L)
+        // replay is a version-level no-op
+        require(Versioned.restore(s, lake, 1L) == 3L)
+        // fresh per-run replica: base + all three feed batches == st1
+        val replica = new File(new File(sys.props("user.dir"), "target"),
+          s"graft_restfix_rep_$tag/replica").getAbsolutePath
+        LakeQueries.synchronized {
+          val fs = new org.apache.hadoop.fs.Path(replica)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(replica), true)
+          MergeData.writeMerged(s, baseCV, replica, keys = Seq("event_type"))
+          MergeData.applyChangeFeed(s, feedDir, replica,
+            Seq("event_type"), Seq("event_id"))
+        }
+        def agg(d: DataFrame, src: String) =
+          d.groupBy("event_type").agg(
+              count(lit(1)).as("row_count"),
+              round(sum("value"), 4).as("sum_value"),
+              count_distinct(col("event_id")).as("n_ids"))
+            .withColumn("src", lit(src))
+        agg(Versioned.snapshot(s, lake), "restored")
+          .unionByName(agg(Versioned.snapshot(s, lake, 2L), "pre_restore"))
+          .unionByName(agg(s.read.parquet(replica), "replica"))
+          .select("src", "event_type", "row_count", "sum_value", "n_ids")
+          .orderBy("src", "event_type")
+      },
+      Some("""
+        WITH t AS (SELECT event_type, event_id, value FROM events
+                   WHERE event_type IN ('click','view')),
+        st1 AS (
+          SELECT event_type, event_id,
+                 CASE WHEN event_id % 10 = 0 THEN value * 2 ELSE value END AS value
+          FROM t WHERE event_id % 10 <> 1
+          UNION ALL
+          SELECT event_type, event_id + 10000000, value + 1
+          FROM t WHERE event_id % 100 = 2),
+        st2 AS (
+          SELECT event_type, event_id,
+                 CASE WHEN event_id % 10 = 0 THEN value * 2
+                      WHEN event_id % 10 = 4 THEN value + 100
+                      ELSE value END AS value
+          FROM t WHERE event_id % 10 NOT IN (1, 5)
+          UNION ALL
+          SELECT event_type, event_id + 10000000, (value + 1) * 3
+          FROM t WHERE event_id % 100 = 2)
+        SELECT 'pre_restore' AS src, event_type, count(*) AS row_count,
+               round(sum(value::DOUBLE), 4) AS sum_value,
+               count(DISTINCT event_id) AS n_ids
+        FROM st2 GROUP BY 2
+        UNION ALL
+        SELECT 'replica', event_type, count(*), round(sum(value::DOUBLE), 4),
+               count(DISTINCT event_id)
+        FROM st1 GROUP BY 2
+        UNION ALL
+        SELECT 'restored', event_type, count(*), round(sum(value::DOUBLE), 4),
+               count(DISTINCT event_id)
+        FROM st1 GROUP BY 2
+        ORDER BY 1, 2"""),
+      "RESTORE TO VERSION: metadata-only rollback == target recompute; rolled-back state still travels; replica converges through the restore's CDF diff"),
+
+    // ---------------------------------------------------------------
+    // SHALLOW CLONE (Delta's CREATE TABLE ... SHALLOW CLONE): the
+    // clone's v0 manifest holds FOREIGN refs into the shared versioned
+    // fixture's files at v1 — zero data bytes copied (require()-pinned:
+    // every v0 entry foreign, zero parquet files under the clone) —
+    // then b1 merges INTO THE CLONE, localizing its touched partitions
+    // copy-on-write. Legs: clone v0 == st1 (reads entirely through
+    // foreign refs), clone latest == st2 (independent evolution), and
+    // the SOURCE's latest == st3 (the clone's writes are invisible to
+    // it). Cloning is read-only on the source, so the shared fixture
+    // stays valid for q165/q171/q172/q174.
+    // ---------------------------------------------------------------
+    Q("q176_shallow_clone",
+      (s, dir) => {
+        val (vlake, _) = versionedCdcFixture(s, dir)
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val stamp = new File(dir, "events.parquet").lastModified()
+        val root = new File(new File(sys.props("user.dir"), "target"),
+          s"graft_clonefix_${tag}_$stamp")
+        val clone = new File(root, "clone").getAbsolutePath
+        LakeQueries.synchronized {
+          if (!new File(root, "_SUCCESS").exists()) {
+            val fs = new org.apache.hadoop.fs.Path(root.getAbsolutePath)
+              .getFileSystem(s.sparkContext.hadoopConfiguration)
+            fs.delete(new org.apache.hadoop.fs.Path(root.getAbsolutePath), true)
+            Versioned.cloneAt(s, vlake, clone, version = 1L,
+              commitTs = 5000L)
+            require(Versioned.filesAt(s, clone, 0L)
+              .forall(Versioned.refIsForeign),
+              "a shallow clone's v0 must be entirely foreign refs")
+            def localParquet(): Int = {
+              val it = fs.listFiles(new org.apache.hadoop.fs.Path(clone), true)
+              var n = 0
+              while (it.hasNext) {
+                val p = it.next().getPath
+                if (p.getName.endsWith(".parquet") &&
+                    !p.toString.contains("/_")) n += 1
+              }
+              n
+            }
+            require(localParquet() == 0,
+              "a shallow clone must copy zero data files")
+            val base = graft.Tables(s, dir, "events")
+              .select(MergeCols.map(col): _*)
+              .filter(col("event_type").isin("click", "view")).persist()
+            try {
+              val Seq(_, b1, _) = cdcPayload(base)
+              Versioned.mergeInto(s, clone, b1, Seq("event_type"),
+                Seq("event_id"), commitTs = 6000L)
+            } finally base.unpersist()
+            new File(root, "_SUCCESS").createNewFile()
+          }
+        }
+        require(Versioned.currentVersion(s, clone) == 1L)
+        def agg(d: DataFrame, src: String) =
+          d.groupBy("event_type").agg(
+              count(lit(1)).as("row_count"),
+              round(sum("value"), 4).as("sum_value"),
+              count_distinct(col("event_id")).as("n_ids"))
+            .withColumn("src", lit(src))
+        agg(Versioned.snapshot(s, clone, 0L), "clone_v0")
+          .unionByName(agg(Versioned.snapshot(s, clone), "clone_latest"))
+          .unionByName(agg(Versioned.snapshot(s, vlake), "src_latest"))
+          .select("src", "event_type", "row_count", "sum_value", "n_ids")
+          .orderBy("src", "event_type")
+      },
+      Some("""
+        WITH t AS (SELECT event_type, event_id, value FROM events
+                   WHERE event_type IN ('click','view')),
+        st1 AS (
+          SELECT event_type, event_id,
+                 CASE WHEN event_id % 10 = 0 THEN value * 2 ELSE value END AS value
+          FROM t WHERE event_id % 10 <> 1
+          UNION ALL
+          SELECT event_type, event_id + 10000000, value + 1
+          FROM t WHERE event_id % 100 = 2),
+        st2 AS (
+          SELECT event_type, event_id,
+                 CASE WHEN event_id % 10 = 0 THEN value * 2
+                      WHEN event_id % 10 = 4 THEN value + 100
+                      ELSE value END AS value
+          FROM t WHERE event_id % 10 NOT IN (1, 5)
+          UNION ALL
+          SELECT event_type, event_id + 10000000, (value + 1) * 3
+          FROM t WHERE event_id % 100 = 2),
+        st3 AS (
+          SELECT event_type, event_id,
+                 CASE WHEN event_id % 10 = 4 THEN value + 100
+                      WHEN event_id % 10 = 6 THEN value - 1
+                      ELSE value END AS value
+          FROM t WHERE event_id % 10 NOT IN (0, 1, 5)
+          UNION ALL
+          SELECT event_type, event_id + 10000000, (value + 1) * 3
+          FROM t WHERE event_id % 100 = 2
+          UNION ALL
+          SELECT event_type, event_id + 20000000, value + 10
+          FROM t WHERE event_id % 100 = 7)
+        SELECT 'clone_latest' AS src, event_type, count(*) AS row_count,
+               round(sum(value::DOUBLE), 4) AS sum_value,
+               count(DISTINCT event_id) AS n_ids
+        FROM st2 GROUP BY 2
+        UNION ALL
+        SELECT 'clone_v0', event_type, count(*), round(sum(value::DOUBLE), 4),
+               count(DISTINCT event_id)
+        FROM st1 GROUP BY 2
+        UNION ALL
+        SELECT 'src_latest', event_type, count(*), round(sum(value::DOUBLE), 4),
+               count(DISTINCT event_id)
+        FROM st3 GROUP BY 2
+        ORDER BY 1, 2"""),
+      "SHALLOW CLONE: zero-copy v0 reads the source's files == st1; COW merge evolves the clone to st2; the source's latest stays st3")
   )
 }

@@ -764,4 +764,165 @@ class VersionedSpec extends SparkSpec {
     assert(state(Versioned.snapshot(spark, dir)) == once &&
       once == Set(("a", 1L, 5.0), ("b", 10L, 10.0)))
   }
+
+  test("RESTORE: metadata-only rollback; history intact; CDF classes; replica converges; refuses reaped targets") {
+    val dir = freshLake()
+    val feedDir = java.nio.file.Files
+      .createTempDirectory("graft_restore_feed").toFile.getAbsolutePath
+    Versioned.init(spark, dir, commitTs = 1000L)
+    val v1 = Versioned.mergeInto(spark, dir,
+      df(Seq(("a", 1L, 100.0, false), ("a", 2L, 0.0, true),
+        ("c", 7L, 7.0, false)), "site", "id", "v", "__delete"),
+      Seq("site"), Seq("site", "id"), commitTs = 2000L)
+    val s1 = state(Versioned.snapshot(spark, dir, v1))
+    val v2 = Versioned.mergeInto(spark, dir,
+      df(Seq(("a", 1L, 111.0, false), ("b", 10L, 0.0, true),
+        ("d", 20L, 20.0, false)), "site", "id", "v", "__delete"),
+      Seq("site"), Seq("site", "id"), commitTs = 3000L)
+    val s2 = state(Versioned.snapshot(spark, dir, v2))
+    assert(s1 == Set(("a", 1L, 100.0), ("b", 10L, 10.0), ("c", 7L, 7.0)))
+    assert(s2 == Set(("a", 1L, 111.0), ("c", 7L, 7.0), ("d", 20L, 20.0)))
+
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def allDataFiles(): Set[String] = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+      val buf = scala.collection.mutable.Set.empty[String]
+      while (it.hasNext) {
+        val p = it.next().getPath
+        if (p.getName.endsWith(".parquet") &&
+            !p.toString.contains("/_")) buf += p.toString
+      }
+      buf.toSet
+    }
+    val filesBefore = allDataFiles()
+    val v3 = Versioned.restore(spark, dir, v1,
+      changeFeed = Some((feedDir, 0L)), rowKey = Seq("site", "id"),
+      commitTs = 4000L)
+    assert(v3 == 3L)
+    // metadata-only: not one data file written or deleted
+    assert(allDataFiles() == filesBefore, "restore must not touch data files")
+    // latest == restored target; the rolled-back state still time-travels
+    assert(state(Versioned.snapshot(spark, dir)) == s1)
+    assert(state(Versioned.snapshot(spark, dir, v2)) == s2)
+    val hist = Versioned.history(spark, dir).collect()
+    assert(hist.length == 4 &&
+      hist.head.getAs[Long]("version") == 3L &&
+      hist.head.getAs[Long]("commit_ts") == 4000L)
+
+    // CDF classes of the v2→v1 diff: d inserted at v2 → delete;
+    // b deleted at v2 → insert; a changed 111→100 → pre/postimage
+    val feed = spark.read.parquet(feedDir)
+    def cls(a: String): Set[(String, Long, Double)] =
+      feed.filter(col("_action") === a).select("site", "id", "v").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(cls("delete") == Set(("d", 20L, 20.0)))
+    assert(cls("insert") == Set(("b", 10L, 10.0)))
+    assert(cls("update_preimage") == Set(("a", 1L, 111.0)))
+    assert(cls("update_postimage") == Set(("a", 1L, 100.0)))
+
+    // a replica sitting at the pre-restore state converges through the feed
+    val replica = java.nio.file.Files
+      .createTempDirectory("graft_restore_replica").toFile.getAbsolutePath
+    MergeData.writeMerged(spark, Versioned.snapshot(spark, dir, v2),
+      replica, keys = Seq("site"))
+    MergeData.applyChangeFeed(spark, feedDir, replica,
+      Seq("site"), Seq("site", "id"))
+    assert(state(spark.read.parquet(replica)) == s1)
+
+    // replaying the same restore is a version-level no-op
+    assert(Versioned.restore(spark, dir, v1) == 3L)
+    assert(Versioned.history(spark, dir).count() == 4L)
+
+    // a target whose unique files were reaped refuses loudly: delete a
+    // file only v2 references (not live at v3 == v1's state)
+    val v2only = (Versioned.filesAt(spark, dir, v2).toSet --
+      Versioned.filesAt(spark, dir, v3).toSet).head
+    fs.delete(new org.apache.hadoop.fs.Path(dir, v2only), false)
+    val e = intercept[IllegalArgumentException] {
+      Versioned.restore(spark, dir, v2)
+    }
+    assert(e.getMessage.contains("vacuumed"))
+  }
+
+  test("SHALLOW CLONE: zero-copy at-version; independent evolution; COW localizes touched partitions; OPTIMIZE materializes") {
+    val src = freshLake()
+    Versioned.init(spark, src, commitTs = 1000L)
+    Versioned.mergeInto(spark, src,
+      df(Seq(("a", 1L, 100.0, false), ("c", 7L, 7.0, false)),
+        "site", "id", "v", "__delete"),
+      Seq("site"), Seq("site", "id"), commitTs = 2000L)
+    val s1 = state(Versioned.snapshot(spark, src, 1L))
+    assert(s1 == Set(("a", 1L, 100.0), ("a", 2L, 2.0), ("b", 10L, 10.0),
+      ("c", 7L, 7.0)))
+
+    val dst = new java.io.File(java.nio.file.Files
+      .createTempDirectory("graft_clone").toFile, "clone").getAbsolutePath
+    assert(Versioned.cloneAt(spark, src, dst, version = 1L) == 0L)
+
+    val fs = new org.apache.hadoop.fs.Path(dst)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def localParquet(): Int = {
+      if (!fs.exists(new org.apache.hadoop.fs.Path(dst))) return 0
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(dst), true)
+      var n = 0
+      while (it.hasNext) {
+        val p = it.next().getPath
+        if (p.getName.endsWith(".parquet") && !p.toString.contains("/_")) n += 1
+      }
+      n
+    }
+    // zero-copy: not one data file under the clone, yet it reads fully
+    assert(localParquet() == 0, "shallow clone must copy zero data files")
+    assert(Versioned.filesAt(spark, dst).forall(Versioned.refIsForeign))
+    assert(state(Versioned.snapshot(spark, dst)) == s1)
+    assert(Versioned.fastRowCount(spark, dst) == s1.size)
+
+    // independent evolution: merge into the clone; source unchanged
+    val srcBefore = state(Versioned.snapshot(spark, src))
+    Versioned.mergeInto(spark, dst,
+      df(Seq(("a", 1L, 42.0, false), ("a", 2L, 0.0, true)),
+        "site", "id", "v", "__delete"),
+      Seq("site"), Seq("site", "id"))
+    assert(state(Versioned.snapshot(spark, dst)) ==
+      Set(("a", 1L, 42.0), ("b", 10L, 10.0), ("c", 7L, 7.0)))
+    assert(state(Versioned.snapshot(spark, src)) == srcBefore,
+      "the source must never observe the clone's writes")
+    // COW localization: the touched partition (site=a) is now local,
+    // untouched partitions still reference the source
+    val refs = Versioned.filesAt(spark, dst)
+    val (aRefs, rest) = refs.partition(r => Versioned.refRel(r).startsWith("site=a/"))
+    assert(aRefs.nonEmpty && aRefs.forall(r => !Versioned.refIsForeign(r)))
+    assert(rest.nonEmpty && rest.forall(Versioned.refIsForeign))
+    // clone time-travels within its own history
+    assert(state(Versioned.snapshot(spark, dst, 0L)) == s1)
+
+    // pruned reads refuse while foreign refs remain
+    val eP = intercept[IllegalArgumentException] {
+      Versioned.prunedRead(spark, dst,
+        SkipIndex.buildFromFooterFiles(spark,
+          refs.map(r => Versioned.refPath(dst, r)), Seq("id")),
+        Seq(("id", 0.0, 5.0)))
+    }
+    assert(eP.getMessage.contains("OPTIMIZE"))
+
+    // OPTIMIZE localizes everything; rows identical; v1 still travels
+    val post = state(Versioned.snapshot(spark, dst))
+    Versioned.optimize(spark, dst, Seq("site"))
+    assert(Versioned.filesAt(spark, dst).forall(r => !Versioned.refIsForeign(r)))
+    assert(state(Versioned.snapshot(spark, dst)) == post)
+    assert(state(Versioned.snapshot(spark, dst, 1L)) == post)
+
+    // a source with pending tombstones refuses to clone
+    Versioned.deleteWhere(spark, src, col("id") === 10L, keyCols = Seq("id"))
+    val dst2 = new java.io.File(java.nio.file.Files
+      .createTempDirectory("graft_clone2").toFile, "c2").getAbsolutePath
+    val eT = intercept[IllegalArgumentException] {
+      Versioned.cloneAt(spark, src, dst2)
+    }
+    assert(eT.getMessage.contains("materializeDeletes"))
+    // but an older tombstone-free version still clones
+    assert(Versioned.cloneAt(spark, src, dst2, version = 1L) == 0L)
+    assert(state(Versioned.snapshot(spark, dst2)) == s1)
+  }
 }
