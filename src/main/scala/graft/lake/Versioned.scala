@@ -574,6 +574,156 @@ object Versioned {
     v + 1
   }
 
+  // ---- commit-time file statistics (Iceberg-style) ----------------
+  // Per-file (col, lo, hi, rows) boxes live in the METADATA layer as
+  // parquet sidecars under `_manifest/stats/`: `v<N>.full.parquet`
+  // covers every file live at N ([[backfillStats]] — the bootstrap,
+  // one distributed footer pass), `v<N>.inc.parquet` covers ONLY the
+  // files commit N introduced — bounded by the batch, written by the
+  // commit itself. Once a lake has stats, every later merge/optimize/
+  // materialize INHERITS the tracked column set automatically and
+  // extends coverage for free (Iceberg's "stats are part of the
+  // commit", minus any separate index build or refresh discipline).
+  // [[statsAt]] resolves newest-full + incremental tail — the same
+  // checkpoint+delta shape as the manifest — and [[statsPrunedRead]]
+  // feeds it straight to the skip-index pruning machinery. Data files
+  // are immutable, so a file's stats never change and any sidecar
+  // holding them is authoritative.
+
+  private def statsRoot(dir: String) = new Path(dir, "_manifest/stats")
+  private def fullStatsPath(dir: String, v: Long) =
+    new Path(statsRoot(dir), f"v$v%06d.full.parquet")
+  private def incStatsPath(dir: String, v: Long) =
+    new Path(statsRoot(dir), f"v$v%06d.inc.parquet")
+
+  private def listStatsSidecars(fs: FileSystem, dir: String): Seq[(Long, Boolean)] = {
+    val sr = statsRoot(dir)
+    if (!fs.exists(sr)) return Nil
+    fs.listStatus(sr).map(_.getPath.getName).toSeq.collect {
+      case n if n.matches("v\\d+\\.full\\.parquet") =>
+        (n.stripPrefix("v").stripSuffix(".full.parquet").toLong, true)
+      case n if n.matches("v\\d+\\.inc\\.parquet") =>
+        (n.stripPrefix("v").stripSuffix(".inc.parquet").toLong, false)
+    }.sorted
+  }
+
+  /** The column set this lake's stats sidecars track (decided by the
+    * newest sidecar at or below `v`; empty = no stats discipline). */
+  private def inheritedStatsCols(spark: SparkSession, dir: String,
+      v: Long): Seq[String] = {
+    val fs = fsOf(spark, dir)
+    listStatsSidecars(fs, dir).filter(_._1 <= v).sortBy(-_._1).headOption
+      .map { case (sv, isFull) =>
+        val p = if (isFull) fullStatsPath(dir, sv) else incStatsPath(dir, sv)
+        spark.read.parquet(p.toString).select("col").distinct()
+          .collect().map(_.getString(0)).toSeq.sorted
+      }.getOrElse(Nil)
+  }
+
+  /** One distributed footer pass over `refs`, written as a sidecar
+    * keyed by manifest REF (relative path — the lake can move; foreign
+    * clone refs read at their own root). */
+  private def writeStatsSidecar(spark: SparkSession, dir: String,
+      dst: Path, refs: Seq[String], cols: Seq[String]): Unit = {
+    val built = SkipIndex.buildFromFooterFiles(spark,
+      refs.map(r => refPath(dir, r)), cols)
+    val mapDf = spark.createDataFrame(
+        refs.map(r => (SkipIndex.normalizePath(refPath(dir, r)), r)))
+      .toDF("abs", "ref")
+    built.join(mapDf, built("file") === mapDf("abs"))
+      .select(mapDf("ref").as("file"), built("col").as("col"),
+        built("lo").as("lo"), built("hi").as("hi"),
+        built("rows").as("rows"))
+      .coalesce(1).write.mode("overwrite").parquet(dst.toString)
+  }
+
+  /** Post-commit stats hook shared by the committing write paths:
+    * extends coverage to the commit's new files when `statsCols` is
+    * given or the lake already tracks stats (inheritance). Runs AFTER
+    * the manifest commit — the version is reserved, so the sidecar
+    * path is owned; a crash in between leaves [[statsAt]] refusing
+    * (loudly, with the repair) rather than pruning wrongly. */
+  private def maybeWriteIncStats(spark: SparkSession, dir: String,
+      prevV: Long, newRefs: Seq[String], statsCols: Seq[String]): Unit = {
+    val cols =
+      if (statsCols.nonEmpty) statsCols
+      else inheritedStatsCols(spark, dir, prevV)
+    if (cols.nonEmpty && newRefs.nonEmpty)
+      writeStatsSidecar(spark, dir, incStatsPath(dir, prevV + 1), newRefs, cols)
+  }
+
+  /** Bootstrap (or re-establish) commit-time stats: one distributed
+    * footer pass over every file live at `version`, stored as that
+    * version's FULL sidecar. From here on commits maintain stats
+    * automatically (see the section note). Run it again to change the
+    * tracked column set, or to repair coverage after a crash between
+    * a commit and its stats write. */
+  def backfillStats(spark: SparkSession, dir: String, cols: Seq[String],
+      version: Long = -1L): Long = {
+    require(cols.nonEmpty, "backfillStats needs at least one column")
+    val v = if (version >= 0) version else currentVersion(spark, dir)
+    require(v >= 0, s"no manifest in $dir — call init() first")
+    writeStatsSidecar(spark, dir, fullStatsPath(dir, v),
+      filesAt(spark, dir, v), cols)
+    v
+  }
+
+  /** The stats index live at `version` — (file = full path, col, lo,
+    * hi, rows) for exactly [[filesAt]]'s files, resolved from the
+    * newest full sidecar at or below the version plus its incremental
+    * tail. Metadata-only (sidecar parquet reads; zero data files or
+    * footers touched). Time-travels: version N's stats keep serving N
+    * after later commits. Refuses unless every live file is covered on
+    * a uniform column set — [[backfillStats]] establishes or repairs. */
+  def statsAt(spark: SparkSession, dir: String, version: Long = -1L): DataFrame = {
+    val v = if (version >= 0) version else currentVersion(spark, dir)
+    val live = filesAt(spark, dir, v)
+    val fs = fsOf(spark, dir)
+    val sidecars = listStatsSidecars(fs, dir)
+    val fulls = sidecars.collect { case (sv, true) if sv <= v => sv }
+    require(fulls.nonEmpty,
+      s"no stats sidecar at or below version $v of $dir: backfillStats() first")
+    val base = fulls.max
+    val parts = fullStatsPath(dir, base).toString +:
+      sidecars.collect { case (sv, false) if sv > base && sv <= v =>
+        incStatsPath(dir, sv).toString }
+    val raw = spark.read.parquet(parts: _*).dropDuplicates("file", "col")
+    val mapDf = spark.createDataFrame(
+        live.map(r => (r, SkipIndex.normalizePath(refPath(dir, r)))))
+      .toDF("ref", "abs")
+    val idx = raw.join(mapDf, raw("file") === mapDf("ref"))
+      .select(mapDf("abs").as("file"), raw("col").as("col"),
+        raw("lo").as("lo"), raw("hi").as("hi"), raw("rows").as("rows"))
+    // coverage: every live file present, uniform per-file column count
+    val perFile = idx.groupBy("file").count()
+      .select("count").distinct().collect().map(_.getLong(0))
+    val nFiles = idx.select("file").distinct().count()
+    require(nFiles == live.size && perFile.length <= 1,
+      s"stats do not cover version $v of $dir " +
+        s"(${live.size - nFiles} of ${live.size} files missing, " +
+        s"${perFile.length} distinct column-set sizes): backfillStats() " +
+        "re-establishes coverage")
+    idx
+  }
+
+  /** Multi-predicate pruned read served ENTIRELY from commit-time
+    * stats — no index build, no refresh, no extra pass ever ran: the
+    * boxes were written by the commits that created the files. Same
+    * exactness contract as [[prunedRead]] (pruning only skips files;
+    * the residual filter and MOR tombstones apply on the survivors). */
+  def statsPrunedRead(spark: SparkSession, dir: String,
+      preds: Seq[(String, Double, Double)],
+      version: Long = -1L): DataFrame = {
+    val v = if (version >= 0) version else currentVersion(spark, dir)
+    val files = filesAt(spark, dir, v)
+    require(!files.exists(refIsForeign),
+      "pruned reads need a single basePath: OPTIMIZE the clone first " +
+        "to localize its foreign file references")
+    applyTombstones(spark, dir, v,
+      SkipIndex.prunedReadMultiFiles(spark, dir, statsAt(spark, dir, v),
+        preds, files.map(f => s"$dir/$f")))
+  }
+
   /** SHALLOW CLONE (Delta's `CREATE TABLE ... SHALLOW CLONE src`):
     * `dstDir` becomes an independent versioned table whose v0 manifest
     * holds FOREIGN references (`@root\trel`) to `srcDir`'s data files
@@ -758,6 +908,7 @@ object Versioned {
     val newFiles = (after -- before).toSeq.sorted
     writeCommit(fs, dir, v + 1, live.filterNot(underAffected) ++ newFiles,
       live, carryMeta(spark, dir, v, commitTs, None, Nil))
+    maybeWriteIncStats(spark, dir, v, newFiles, Nil)
     v + 1
   }
 
@@ -798,7 +949,8 @@ object Versioned {
       partitionKeys: Seq[String], rowKey: Seq[String],
       changeFeed: Option[(String, Long)] = None,
       txn: Option[(String, Long)] = None,
-      commitTs: Long = System.currentTimeMillis()): Long = {
+      commitTs: Long = System.currentTimeMillis(),
+      statsCols: Seq[String] = Nil): Long = {
     require(rowKey.nonEmpty, "mergeInto needs at least one rowKey column")
     val v = init(spark, dir, commitTs)
     txn match {
@@ -940,6 +1092,9 @@ object Versioned {
       }
       changeFeed.foreach { case (fd, batchId) =>
         graft.ops.MergeData.promoteFeedIncrement(spark, fd, batchId) }
+      // commit-time stats: one footer pass over THIS commit's files
+      // (explicit statsCols, or inherited once the lake tracks stats)
+      maybeWriteIncStats(spark, dir, v, newFiles, statsCols)
       v + 1
     } finally batch.unpersist()
   }
@@ -967,12 +1122,13 @@ object Versioned {
       changeFeed: Option[(String, Long)] = None,
       txn: Option[(String, Long)] = None,
       commitTs: Long = System.currentTimeMillis(),
-      maxAttempts: Int = 3): Long = {
+      maxAttempts: Int = 3,
+      statsCols: Seq[String] = Nil): Long = {
     require(maxAttempts >= 1, "need maxAttempts >= 1")
     var attempt = 1
     while (true) {
       try return mergeInto(spark, dir, updates, partitionKeys, rowKey,
-        changeFeed, txn, commitTs)
+        changeFeed, txn, commitTs, statsCols)
       catch {
         case e: IllegalArgumentException
             if e.getMessage != null &&
@@ -1106,6 +1262,7 @@ object Versioned {
     val replaced = targets.values.flatten.toSet
     writeCommit(fs, dir, v + 1, live.filterNot(replaced) ++ newFiles,
       live, carryMeta(spark, dir, v, commitTs, None, nextDels))
+    maybeWriteIncStats(spark, dir, v, newFiles, Nil)
     v + 1
   }
 
@@ -1167,6 +1324,32 @@ object Versioned {
       val tmp = writeManifestFile(fs, dst, meta.render ++ files.sorted)
       require(fs.rename(tmp, dst), s"checkpoint rewrite failed for $dst")
       fs.delete(deltaPath(dir, keepFrom), false)
+    }
+    // stats sidecars follow the manifest retention: if the base FULL
+    // sidecar would fall outside it, re-base an equivalent full at
+    // keepFrom ASSEMBLED from the existing sidecars (metadata-only —
+    // file stats are immutable, so no footer is ever re-read), then
+    // drop pre-retention sidecars. A lake with broken/no coverage just
+    // loses the stale sidecars (backfillStats re-establishes).
+    val sidecars = listStatsSidecars(fs, dir)
+    if (sidecars.nonEmpty) {
+      val fullsBelow = sidecars.collect { case (sv, true) if sv <= keepFrom => sv }
+      if (fullsBelow.nonEmpty && fullsBelow.max < keepFrom) {
+        val live = filesAt(spark, dir, keepFrom)
+        val base = fullsBelow.max
+        val parts = fullStatsPath(dir, base).toString +:
+          sidecars.collect { case (sv, false) if sv > base && sv <= keepFrom =>
+            incStatsPath(dir, sv).toString }
+        val liveDf = spark.createDataFrame(live.map(Tuple1(_))).toDF("ref")
+        spark.read.parquet(parts: _*).dropDuplicates("file", "col")
+          .join(liveDf, col("file") === col("ref"), "left_semi")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(fullStatsPath(dir, keepFrom).toString)
+      }
+      sidecars.filter(_._1 < keepFrom).foreach { case (sv, isFull) =>
+        fs.delete(if (isFull) fullStatsPath(dir, sv) else incStatsPath(dir, sv),
+          true)
+      }
     }
     val referenced = (keepFrom to cur)
       .flatMap(v => filesAt(spark, dir, v)).toSet

@@ -2203,6 +2203,111 @@ object LakeQueries {
                count(DISTINCT event_id)
         FROM st3 GROUP BY 2
         ORDER BY 1, 2"""),
-      "SHALLOW CLONE: zero-copy v0 reads the source's files == st1; COW merge evolves the clone to st2; the source's latest stays st3")
+      "SHALLOW CLONE: zero-copy v0 reads the source's files == st1; COW merge evolves the clone to st2; the source's latest stays st3"),
+
+    // ---------------------------------------------------------------
+    // COMMIT-TIME FILE STATS (Iceberg's min/max metadata): ONE
+    // backfillStats pass at v0 establishes (user_id, value) boxes;
+    // the b0 merge (v1) and the ZORDER optimize (v2) then extend
+    // coverage AUTOMATICALLY — no SkipIndex build or refresh is called
+    // anywhere in this query; every box was written by the commit that
+    // created its file. Legs: statsPrunedRead under a 2-predicate box
+    // at v0 == base filter, at v1 == st1 filter, at v2 (re-clustered,
+    // all-new files) == the same st1 filter — pruned exactness across
+    // three generations of stats. require()s pin that v1's incremental
+    // sidecar covers only the merge's own files and that the z-layout
+    // actually skips files at v2.
+    // ---------------------------------------------------------------
+    Q("q177_commit_time_stats",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val stamp = new File(dir, "events.parquet").lastModified()
+        val root = new File(new File(sys.props("user.dir"), "target"),
+          s"graft_statsfix_${tag}_$stamp")
+        val lake = new File(root, "lake").getAbsolutePath
+        LakeQueries.synchronized {
+          if (!new File(root, "_SUCCESS").exists()) {
+            val fs = new org.apache.hadoop.fs.Path(root.getAbsolutePath)
+              .getFileSystem(s.sparkContext.hadoopConfiguration)
+            fs.delete(new org.apache.hadoop.fs.Path(root.getAbsolutePath), true)
+            val base = graft.Tables(s, dir, "events")
+              .select(MergeCols.map(col): _*)
+              .filter(col("event_type").isin("click", "view")).persist()
+            try {
+              base.repartition(4) // fragmented on purpose
+                .write.partitionBy("event_type").parquet(lake)
+              Versioned.init(s, lake)
+              Versioned.backfillStats(s, lake, Seq("user_id", "value"))
+              val Seq(b0, _, _) = cdcPayload(base)
+              // NO statsCols passed: the commit inherits the discipline
+              Versioned.mergeInto(s, lake, b0, Seq("event_type"),
+                Seq("event_id"))
+              Versioned.optimize(s, lake, Seq("event_type"),
+                targetFilesPerPartition = 4,
+                zorder = Some(Maintenance.mortonKey(
+                  col("user_id").bitwiseAND(lit(1023L)),
+                  Maintenance.gridBucket(col("value"), 0.0, 1000.0, 10),
+                  bits = 10)))
+            } finally base.unpersist()
+            new File(root, "_SUCCESS").createNewFile()
+          }
+        }
+        // v1's incremental sidecar is bounded by the merge's own files
+        val incFiles = s.read.parquet(
+            s"$lake/_manifest/stats/v000001.inc.parquet")
+          .select("file").distinct().count()
+        val newAtV1 = (Versioned.filesAt(s, lake, 1L).toSet --
+          Versioned.filesAt(s, lake, 0L).toSet).size
+        require(incFiles == newAtV1.toLong,
+          "v1 inc sidecar must cover exactly the merge's own new files")
+        // the z-layout's commit-time boxes actually skip files
+        require(SkipIndex.candidateFilesMulti(
+            Versioned.statsAt(s, lake, 2L),
+            Seq(("user_id", 2.0, 95.0), ("value", 0.0, 80.0))).size <
+          Versioned.filesAt(s, lake, 2L).size,
+          "commit-time stats must prune the z-clustered layout")
+        val preds = Seq(("user_id", 2.0, 95.0), ("value", 0.0, 80.0))
+        def agg(d: DataFrame, src: String) =
+          d.groupBy("event_type").agg(
+              count(lit(1)).as("row_count"),
+              round(sum("value"), 4).as("sum_value"),
+              count_distinct(col("user_id")).as("n_users"))
+            .withColumn("src", lit(src))
+        agg(Versioned.statsPrunedRead(s, lake, preds, 0L), "pruned_v0")
+          .unionByName(agg(Versioned.statsPrunedRead(s, lake, preds, 1L),
+            "pruned_v1"))
+          .unionByName(agg(Versioned.statsPrunedRead(s, lake, preds, 2L),
+            "pruned_v2"))
+          .select("src", "event_type", "row_count", "sum_value", "n_users")
+          .orderBy("src", "event_type")
+      },
+      Some("""
+        WITH t AS (SELECT event_type, user_id, event_id, value FROM events
+                   WHERE event_type IN ('click','view')),
+        st1 AS (
+          SELECT event_type, user_id, event_id,
+                 CASE WHEN event_id % 10 = 0 THEN value * 2 ELSE value END AS value
+          FROM t WHERE event_id % 10 <> 1
+          UNION ALL
+          SELECT event_type, user_id, event_id + 10000000, value + 1
+          FROM t WHERE event_id % 100 = 2),
+        kept0 AS (SELECT * FROM t
+                  WHERE user_id BETWEEN 2 AND 95 AND value BETWEEN 0.0 AND 80.0),
+        kept1 AS (SELECT * FROM st1
+                  WHERE user_id BETWEEN 2 AND 95 AND value BETWEEN 0.0 AND 80.0)
+        SELECT 'pruned_v0' AS src, event_type, count(*) AS row_count,
+               round(sum(value::DOUBLE), 4) AS sum_value,
+               count(DISTINCT user_id) AS n_users
+        FROM kept0 GROUP BY 2
+        UNION ALL
+        SELECT 'pruned_v1', event_type, count(*),
+               round(sum(value::DOUBLE), 4), count(DISTINCT user_id)
+        FROM kept1 GROUP BY 2
+        UNION ALL
+        SELECT 'pruned_v2', event_type, count(*),
+               round(sum(value::DOUBLE), 4), count(DISTINCT user_id)
+        FROM kept1 GROUP BY 2
+        ORDER BY 1, 2"""),
+      "commit-time stats: backfill once, merge and ZORDER commits extend coverage automatically; stats-pruned reads match filter oracles at all three versions")
   )
 }

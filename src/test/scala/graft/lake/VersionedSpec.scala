@@ -925,4 +925,70 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.cloneAt(spark, src, dst2, version = 1L) == 0L)
     assert(state(Versioned.snapshot(spark, dst2)) == s1)
   }
+
+  test("commit-time stats: backfill once, commits inherit; statsPrunedRead == filter at every version; vacuum re-bases") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stats").toFile
+    dir.deleteOnExit()
+    val root = dir.getAbsolutePath
+    // range-clustered on id so per-file boxes are tight (pruning bites)
+    df((1L to 40L).map(i => (if (i % 2 == 0) "a" else "b", i, i.toDouble)),
+      "site", "id", "v")
+      .repartitionByRange(4, col("id"))
+      .write.mode("overwrite").partitionBy("site").parquet(root)
+    Versioned.init(spark, root)
+
+    // no stats yet: loud refusal naming the repair
+    val e0 = intercept[IllegalArgumentException] { Versioned.statsAt(spark, root) }
+    assert(e0.getMessage.contains("backfillStats"))
+
+    assert(Versioned.backfillStats(spark, root, Seq("id")) == 0L)
+    val nFilesV0 = Versioned.filesAt(spark, root, 0L).size
+    assert(Versioned.statsAt(spark, root, 0L).count() == nFilesV0.toLong)
+
+    // a merge with NO statsCols inherits the discipline
+    Versioned.mergeInto(spark, root,
+      df(Seq(("a", 50L, 50.0, false), ("a", 2L, 100.0, false)),
+        "site", "id", "v", "__delete"),
+      Seq("site"), Seq("site", "id"))
+    // the incremental sidecar covers ONLY the commit's new files
+    val incFiles = spark.read.parquet(
+        s"$root/_manifest/stats/v000001.inc.parquet")
+      .select("file").distinct().count()
+    val newAtV1 = (Versioned.filesAt(spark, root, 1L).toSet --
+      Versioned.filesAt(spark, root, 0L).toSet).size
+    assert(incFiles == newAtV1.toLong && incFiles < nFilesV0 + newAtV1,
+      "inc sidecar must cover exactly the commit's own files, not the lake")
+
+    def prunedIds(v: Long, lo: Double, hi: Double): Set[Long] =
+      Versioned.statsPrunedRead(spark, root, Seq(("id", lo, hi)), v)
+        .filter(col("id").between(lo, hi))
+        .select("id").collect().map(_.getLong(0)).toSet
+    // latest: stats-pruned == snapshot filter
+    assert(prunedIds(1L, 1.0, 8.0) ==
+      Versioned.snapshot(spark, root, 1L).filter(col("id").between(1, 8))
+        .select("id").collect().map(_.getLong(0)).toSet)
+    // pruning actually skips files on the range layout
+    assert(SkipIndex.candidateFilesMulti(
+        Versioned.statsAt(spark, root, 1L), Seq(("id", 1.0, 8.0))).size <
+      Versioned.filesAt(spark, root, 1L).size)
+    // time travel: v0's stats serve v0 even after the commit
+    assert(prunedIds(0L, 1.0, 8.0) == (1L to 8L).toSet)
+
+    // optimize inherits too (rewritten files get fresh boxes)
+    Versioned.optimize(spark, root, Seq("site"))
+    assert(prunedIds(2L, 1.0, 8.0) == (1L to 8L).toSet)
+    assert(Versioned.statsAt(spark, root, 2L).count() ==
+      Versioned.filesAt(spark, root, 2L).size.toLong)
+
+    // vacuum past the base full sidecar: stats re-base at keepFrom,
+    // every retained version still resolves
+    Versioned.vacuum(spark, root, keepVersions = 2)
+    assert(Versioned.statsAt(spark, root, 1L).count() ==
+      Versioned.filesAt(spark, root, 1L).size.toLong)
+    assert(prunedIds(2L, 1.0, 8.0) == (1L to 8L).toSet)
+    assert(prunedIds(1L, 30.0, 60.0) ==
+      Versioned.snapshot(spark, root, 1L)
+        .filter(col("id").between(30, 60))
+        .select("id").collect().map(_.getLong(0)).toSet)
+  }
 }
