@@ -104,6 +104,48 @@ object LakeScaleBench {
     }
     metrics("n_files_final") = Versioned.filesAt(spark, lake).size
 
+    // ---- round-10 primitives -------------------------------------
+    // RESTORE: metadata-only — must stay flat in lake size
+    time("restore") { Versioned.restore(spark, lake, 1L) }
+    // SHALLOW CLONE: one manifest write — flat in lake size
+    time("clone") { Versioned.cloneAt(spark, lake, work + "/clone") }
+    // stats bootstrap: one footer pass, O(files) not O(rows)
+    time("backfill_stats") {
+      Versioned.backfillStats(spark, lake, Seq("user_id", "value"))
+    }
+    // a merge under the stats discipline: commit + inherited inc
+    // sidecar; the extra cost over merge_commit is the batch-bounded
+    // footer pass on the commit's own files
+    val batch2 = base.filter(col("event_type") === "click" &&
+        col("event_id") % 1000 === 8)
+      .withColumn("value", col("value") + 1)
+    time("stats_merge_commit") {
+      Versioned.mergeInto(spark, lake, batch2,
+        Seq("event_type"), Seq("event_id"))
+    }
+    // ZORDER under stats: the re-cluster's fresh boxes arrive with the
+    // commit; the pruned read then skips files with no index built
+    time("zorder_optimize") {
+      Versioned.optimize(spark, lake, Seq("event_type"),
+        targetFilesPerPartition = 8,
+        zorder = Some(graft.lake.Maintenance.mortonKey(
+          col("user_id").bitwiseAND(lit(1023L)),
+          graft.lake.Maintenance.gridBucket(col("value"), 0.0, 1000.0, 10),
+          bits = 10)))
+    }
+    val preds = Seq(("user_id", 2.0, 95.0), ("value", 0.0, 80.0))
+    metrics("n_files_z") = Versioned.filesAt(spark, lake).size
+    metrics("stats_candidates") = graft.lake.SkipIndex.candidateFilesMulti(
+      Versioned.statsAt(spark, lake), preds).size
+    metrics("stats_pruned_rows") = time("stats_pruned_read") {
+      Versioned.statsPrunedRead(spark, lake, preds).count()
+    }
+    metrics("full_filter_rows") = time("full_filter_read") {
+      Versioned.snapshot(spark, lake)
+        .filter(col("user_id").between(2, 95) && col("value").between(0.0, 80.0))
+        .count()
+    }
+
     def j(v: Any): String = v match {
       case s: String => "\"" + s + "\""
       case x => String.valueOf(x)

@@ -695,13 +695,13 @@ object Versioned {
       .select(mapDf("abs").as("file"), raw("col").as("col"),
         raw("lo").as("lo"), raw("hi").as("hi"), raw("rows").as("rows"))
     // coverage: every live file present, uniform per-file column count
-    val perFile = idx.groupBy("file").count()
-      .select("count").distinct().collect().map(_.getLong(0))
-    val nFiles = idx.select("file").distinct().count()
-    require(nFiles == live.size && perFile.length <= 1,
+    // (ONE job: the per-file counts are |files| rows)
+    val perFile = idx.groupBy("file").count().collect()
+    val colSets = perFile.map(_.getLong(1)).distinct
+    require(perFile.length == live.size && colSets.length <= 1,
       s"stats do not cover version $v of $dir " +
-        s"(${live.size - nFiles} of ${live.size} files missing, " +
-        s"${perFile.length} distinct column-set sizes): backfillStats() " +
+        s"(${live.size - perFile.length} of ${live.size} files missing, " +
+        s"${colSets.length} distinct column-set sizes): backfillStats() " +
         "re-establishes coverage")
     idx
   }
