@@ -574,6 +574,92 @@ object Versioned {
     v + 1
   }
 
+  /** Blind APPEND commit — the event-ingest write at 100 TB: rows land
+    * as NEW files in their partitions (no resolution, no rewrite, no
+    * read of existing data), and the commit is a delta manifest of
+    * `+file` lines bounded by the batch. Schema may evolve additively
+    * (new columns null-fill on read via mergeSchema, as in merge
+    * evolution). Supports the same `txn` idempotence marker as
+    * [[mergeInto]] (a replaying streaming sink appends exactly once
+    * per batch) and the commit-time stats discipline (explicit
+    * `statsCols` or inherited).
+    *
+    * Refused when the batch's keys collide with PENDING equality
+    * deletes — without Iceberg sequence numbers the tombstone's
+    * anti-join would silently hide the fresh rows; use [[mergeInto]]
+    * (which materializes the conflict) instead. Returns the committed
+    * version. */
+  def append(spark: SparkSession, dir: String, rows: DataFrame,
+      partitionKeys: Seq[String],
+      txn: Option[(String, Long)] = None,
+      commitTs: Long = System.currentTimeMillis(),
+      statsCols: Seq[String] = Nil): Long = {
+    val v = init(spark, dir, commitTs)
+    txn match {
+      case Some((id, batchId)) if lastTxn(spark, dir, id) >= batchId =>
+        return currentVersion(spark, dir) // replayed batch
+      case _ =>
+    }
+    val fs = fsOf(spark, dir)
+    val live = filesAt(spark, dir, v)
+    val dels = deleteFilesAt(spark, dir, v)
+    if (dels.nonEmpty) {
+      val tomb = spark.read.parquet(dels.map(d => s"$dir/$d"): _*)
+      val hit = rows.join(tomb, tomb.columns.toSeq
+        .map(k => rows(k) <=> tomb(k)).reduce(_ && _), "left_semi")
+      require(hit.isEmpty,
+        "append under a pending equality delete on the same key would " +
+          "hide the fresh rows: mergeInto handles the conflict, or " +
+          "materializeDeletes() first")
+    }
+    val touched = rows.select(partitionKeys.map(col): _*).distinct()
+      .collect().toSeq
+    require(touched.nonEmpty, "append got an empty batch")
+    val dirs = touched.map { r =>
+      partitionKeys.zipWithIndex.map { case (k, i) =>
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .getPartitionPathString(k, Option(r.get(i)).map(String.valueOf).orNull)
+      }.mkString("/")
+    }.toSet
+    val before = dirs.flatMap(d =>
+      listDataFiles(fs, new Path(dir), new Path(dir, d))).toSet
+    rows.repartition(partitionKeys.map(col): _*)
+      .write.mode("append").partitionBy(partitionKeys: _*).parquet(dir)
+    val after = dirs.flatMap(d =>
+      listDataFiles(fs, new Path(dir), new Path(dir, d))).toSet
+    val newFiles = (after -- before).toSeq.sorted
+    writeCommit(fs, dir, v + 1, live ++ newFiles, live,
+      carryMeta(spark, dir, v, commitTs, txn, dels))
+    maybeWriteIncStats(spark, dir, v, newFiles, statsCols)
+    v + 1
+  }
+
+  /** Rows ADDED between two versions (`fromV` exclusive → `toV`
+    * inclusive), resolved from the manifests alone — the table-follow
+    * read (Delta's streaming-from-a-table contract): valid ONLY when
+    * every commit in the range was append-only, refused loudly when
+    * any commit removed files or changed tombstones (a rewrite's
+    * added files are NOT added rows — follow the change feed for
+    * those). Metadata cost: two listing resolutions; data cost: a
+    * scan of exactly the added files. */
+  def appendsBetween(spark: SparkSession, dir: String,
+      fromV: Long, toV: Long): DataFrame = {
+    require(0 <= fromV && fromV <= toV,
+      s"need 0 <= fromV <= toV, got ($fromV, $toV)")
+    require(deleteFilesAt(spark, dir, fromV) == deleteFilesAt(spark, dir, toV),
+      s"versions $fromV..$toV of $dir changed equality deletes — not " +
+        "append-only: consume the change feed instead")
+    val from = filesAt(spark, dir, fromV).toSet
+    val to = filesAt(spark, dir, toV)
+    val removed = from -- to.toSet
+    require(removed.isEmpty,
+      s"versions $fromV..$toV of $dir removed ${removed.size} files — not " +
+        "append-only: consume the change feed instead")
+    val added = to.filterNot(from)
+    if (added.isEmpty) snapshot(spark, dir, toV).limit(0)
+    else readRefs(spark, dir, added)
+  }
+
   // ---- commit-time file statistics (Iceberg-style) ----------------
   // Per-file (col, lo, hi, rows) boxes live in the METADATA layer as
   // parquet sidecars under `_manifest/stats/`: `v<N>.full.parquet`

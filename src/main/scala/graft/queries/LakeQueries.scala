@@ -2308,6 +2308,93 @@ object LakeQueries {
                round(sum(value::DOUBLE), 4), count(DISTINCT user_id)
         FROM kept1 GROUP BY 2
         ORDER BY 1, 2"""),
-      "commit-time stats: backfill once, merge and ZORDER commits extend coverage automatically; stats-pruned reads match filter oracles at all three versions")
+      "commit-time stats: backfill once, merge and ZORDER commits extend coverage automatically; stats-pruned reads match filter oracles at all three versions"),
+
+    // ---------------------------------------------------------------
+    // APPEND ingest + STREAM-FROM-TABLE (Delta's streaming source):
+    // the fixture commits two blind APPEND waves onto the v0 base
+    // (delta manifests of +file lines, no resolution, no rewrite);
+    // appendsBetween(0, 2) reads exactly the appended rows from the
+    // manifests alone == the two slices' recompute; a fresh-per-run
+    // FOLLOWER streams the table (initial snapshot + append ranges,
+    // manifest-gated visibility) into a txn-marked versioned sink that
+    // must equal the source. fastRowCount rides the appends (require:
+    // metadata count == oracle row total via the snapshot leg).
+    // ---------------------------------------------------------------
+    Q("q178_append_follow",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val stamp = new File(dir, "events.parquet").lastModified()
+        val root = new File(new File(sys.props("user.dir"), "target"),
+          s"graft_appfix_${tag}_$stamp")
+        val lake = new File(root, "lake").getAbsolutePath
+        def slice(i: Int) = graft.Tables(s, dir, "events")
+          .select(MergeCols.map(col): _*)
+          .filter(col("event_type").isin("click", "view") &&
+            col("event_id") % 3 === i)
+        LakeQueries.synchronized {
+          if (!new File(root, "_SUCCESS").exists()) {
+            val fs = new org.apache.hadoop.fs.Path(root.getAbsolutePath)
+              .getFileSystem(s.sparkContext.hadoopConfiguration)
+            fs.delete(new org.apache.hadoop.fs.Path(root.getAbsolutePath), true)
+            MergeData.writeMerged(s, slice(0), lake, keys = Seq("event_type"))
+            Versioned.init(s, lake, commitTs = 1000L)
+            Versioned.append(s, lake, slice(1), Seq("event_type"),
+              commitTs = 2000L)
+            Versioned.append(s, lake, slice(2), Seq("event_type"),
+              commitTs = 3000L)
+            new File(root, "_SUCCESS").createNewFile()
+          }
+        }
+        require(Versioned.currentVersion(s, lake) == 2L)
+        // metadata-only count stays exact across append commits
+        require(Versioned.fastRowCount(s, lake) ==
+          Versioned.snapshot(s, lake).count())
+        // fresh-per-run follower: initial snapshot + both append
+        // ranges stream into a txn-marked versioned sink
+        val froot = new File(new File(sys.props("user.dir"), "target"),
+          s"graft_appfix_follow_$tag")
+        val sink = new File(froot, "sink").getAbsolutePath
+        val ckpt = new File(froot, "ckpt").getAbsolutePath
+        LakeQueries.synchronized {
+          val fs = new org.apache.hadoop.fs.Path(froot.getAbsolutePath)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(froot.getAbsolutePath), true)
+          graft.streaming.StreamingTableFollow.start(s, lake, ckpt,
+            (d: DataFrame, _: Long, toV: Long) => {
+              Versioned.append(s, sink, d, Seq("event_type"),
+                txn = Some(("follow", toV))); ()
+            }).awaitTermination()
+        }
+        def agg(d: DataFrame, src: String) =
+          d.groupBy("event_type").agg(
+              count(lit(1)).as("row_count"),
+              round(sum("value"), 4).as("sum_value"),
+              count_distinct(col("event_id")).as("n_ids"))
+            .withColumn("src", lit(src))
+        agg(Versioned.appendsBetween(s, lake, 0L, 2L), "appends")
+          .unionByName(agg(Versioned.snapshot(s, lake), "snap"))
+          .unionByName(agg(Versioned.snapshot(s, sink), "followed"))
+          .select("src", "event_type", "row_count", "sum_value", "n_ids")
+          .orderBy("src", "event_type")
+      },
+      Some("""
+        WITH t AS (SELECT event_type, event_id, value FROM events
+                   WHERE event_type IN ('click','view')),
+        s12 AS (SELECT * FROM t WHERE event_id % 3 IN (1, 2))
+        SELECT 'appends' AS src, event_type, count(*) AS row_count,
+               round(sum(value::DOUBLE), 4) AS sum_value,
+               count(DISTINCT event_id) AS n_ids
+        FROM s12 GROUP BY 2
+        UNION ALL
+        SELECT 'followed', event_type, count(*), round(sum(value::DOUBLE), 4),
+               count(DISTINCT event_id)
+        FROM t GROUP BY 2
+        UNION ALL
+        SELECT 'snap', event_type, count(*), round(sum(value::DOUBLE), 4),
+               count(DISTINCT event_id)
+        FROM t GROUP BY 2
+        ORDER BY 1, 2"""),
+      "APPEND ingest + stream-from-table: appendsBetween == appended slices; followed txn-marked sink == source == full recompute")
   )
 }

@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.lake.Versioned
+import graft.ops.MergeData
+
+/** Streaming FROM a versioned table: initial snapshot + append-only
+  * version ranges, exactly-once into a txn-marked versioned sink
+  * across restarts and a lost high-water mark; rewrites refused. */
+class StreamingTableFollowSpec extends SparkSpec {
+
+  private def state(d: org.apache.spark.sql.DataFrame): Set[(String, Long, Double)] =
+    d.select("site", "id", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("followed sink == source across append waves; initial snapshot served; replay-safe; rewrites refused") {
+    val root = java.nio.file.Files.createTempDirectory("graft_follow").toFile
+    root.deleteOnExit()
+    val src = new java.io.File(root, "src").getAbsolutePath
+    val sink = new java.io.File(root, "sink").getAbsolutePath
+    val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+
+    MergeData.writeMerged(spark,
+      df(Seq(("a", 1L, 1.0), ("b", 10L, 10.0)), "site", "id", "v"),
+      src, keys = Seq("site"))
+    Versioned.init(spark, src)
+    Versioned.append(spark, src,
+      df(Seq(("a", 2L, 2.0), ("b", 11L, 11.0)), "site", "id", "v"),
+      Seq("site"))
+
+    // the sink applies each served range with a (txn, toV) marker —
+    // the exactly-once discipline the follower's at-least-once needs
+    val process = (d: org.apache.spark.sql.DataFrame, _: Long, toV: Long) =>
+      { Versioned.append(spark, sink, d, Seq("site"),
+          txn = Some(("follow", toV))); () }
+
+    StreamingTableFollow.start(spark, src, ckpt, process).awaitTermination()
+    assert(state(Versioned.snapshot(spark, sink)) ==
+      state(Versioned.snapshot(spark, src)),
+      "initial snapshot + first append wave must be served")
+    // v0 snapshot batch + v0..v1 appends batch = two sink commits
+    val sinkV1 = Versioned.currentVersion(spark, sink)
+
+    // second wave lands after the first run finished; a restarted
+    // follower with the same checkpoint picks up only the new range
+    Versioned.append(spark, src,
+      df(Seq(("a", 3L, 3.0)), "site", "id", "v"), Seq("site"))
+    StreamingTableFollow.start(spark, src, ckpt, process).awaitTermination()
+    assert(state(Versioned.snapshot(spark, sink)) ==
+      state(Versioned.snapshot(spark, src)))
+    assert(Versioned.currentVersion(spark, sink) == sinkV1 + 1,
+      "one sink commit per served range")
+
+    // lost high-water mark (crash between process and mark write):
+    // the follower re-serves, the sink's txn markers skip — no dupes,
+    // no version advance
+    val fs = new org.apache.hadoop.fs.Path(ckpt)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(ckpt, "table_follow_hw"), false)
+    val reserved = StreamingTableFollow.followOnce(spark, src, ckpt, process)
+    assert(reserved.isDefined, "a re-serve must have happened")
+    assert(state(Versioned.snapshot(spark, sink)) ==
+      state(Versioned.snapshot(spark, src)))
+    assert(Versioned.currentVersion(spark, sink) == sinkV1 + 1,
+      "replayed ranges must not advance the sink")
+
+    // idle follower: nothing to serve
+    assert(StreamingTableFollow.followOnce(spark, src, ckpt, process).isEmpty)
+
+    // a REWRITE commit poisons the append-only contract: the follower
+    // refuses and names the alternative
+    Versioned.mergeInto(spark, src,
+      df(Seq(("a", 1L, 99.0, false)), "site", "id", "v", "__delete"),
+      Seq("site"), Seq("site", "id"))
+    val e = intercept[IllegalArgumentException] {
+      StreamingTableFollow.followOnce(spark, src, ckpt, process)
+    }
+    assert(e.getMessage.contains("change feed"))
+  }
+
+  test("append refuses key collisions with pending tombstones; appendsBetween refuses tombstone changes") {
+    val root = java.nio.file.Files.createTempDirectory("graft_follow2").toFile
+    root.deleteOnExit()
+    val lake = new java.io.File(root, "lake").getAbsolutePath
+    MergeData.writeMerged(spark,
+      df(Seq(("a", 1L, 1.0), ("a", 2L, 2.0)), "site", "id", "v"),
+      lake, keys = Seq("site"))
+    Versioned.init(spark, lake)
+    Versioned.deleteWhere(spark, lake, col("id") === 1L, keyCols = Seq("id"))
+    // colliding key refused; disjoint append is fine
+    val e = intercept[IllegalArgumentException] {
+      Versioned.append(spark, lake,
+        df(Seq(("a", 1L, 5.0)), "site", "id", "v"), Seq("site"))
+    }
+    assert(e.getMessage.contains("mergeInto"))
+    Versioned.append(spark, lake,
+      df(Seq(("a", 3L, 3.0)), "site", "id", "v"), Seq("site"))
+    assert(state(Versioned.snapshot(spark, lake)) ==
+      Set(("a", 2L, 2.0), ("a", 3L, 3.0)))
+    // the deleteWhere commit changed visible rows without touching
+    // files — a follower range across it must refuse
+    val e2 = intercept[IllegalArgumentException] {
+      Versioned.appendsBetween(spark, lake, 0L, 2L)
+    }
+    assert(e2.getMessage.contains("change feed"))
+    // while the pure-append tail reads exactly the appended rows
+    assert(state(Versioned.appendsBetween(spark, lake, 1L, 2L)) ==
+      Set(("a", 3L, 3.0)))
+  }
+}
