@@ -124,14 +124,21 @@ object Versioned {
   }
 
   /** Commit metadata carried in every manifest: the commit timestamp,
-    * the FULL per-stream txn high-water map, and the pending
-    * equality-delete tombstone files. Meta lines precede file lines. */
+    * the FULL per-stream txn high-water map, the pending
+    * equality-delete tombstone files, and the table's CHECK
+    * constraints (name → SQL expression, base64-armored so arbitrary
+    * expressions round-trip one meta line each). Meta lines precede
+    * file lines. */
   private[lake] final case class CommitMeta(ts: Option[Long],
-      txns: Map[String, Long], dels: Seq[String]) {
+      txns: Map[String, Long], dels: Seq[String],
+      chks: Map[String, String] = Map.empty) {
     def render: Seq[String] =
       ts.map(t => s"#ts $t").toSeq ++
         txns.toSeq.sortBy(_._1).map { case (id, b) => s"#txn $id $b" } ++
-        dels.sorted.map(d => s"#del $d")
+        dels.sorted.map(d => s"#del $d") ++
+        chks.toSeq.sortBy(_._1).map { case (n, e) =>
+          s"#chk $n " + java.util.Base64.getEncoder
+            .encodeToString(e.getBytes("UTF-8")) }
   }
   private[lake] object CommitMeta {
     val empty: CommitMeta = CommitMeta(None, Map.empty, Nil)
@@ -141,6 +148,7 @@ object Versioned {
     var ts: Option[Long] = None
     val txns = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val dels = scala.collection.mutable.ArrayBuffer.empty[String]
+    val chks = scala.collection.mutable.LinkedHashMap.empty[String, String]
     lines.takeWhile(_.startsWith("#")).foreach { l =>
       if (l.startsWith("#ts ")) ts = Some(l.stripPrefix("#ts ").trim.toLong)
       else if (l.startsWith("#txn ")) {
@@ -149,8 +157,13 @@ object Versioned {
         val toks = l.stripPrefix("#txn ").trim.split(' ')
         txns(toks.init.mkString(" ")) = toks.last.toLong
       } else if (l.startsWith("#del ")) dels += l.stripPrefix("#del ").trim
+      else if (l.startsWith("#chk ")) {
+        val toks = l.stripPrefix("#chk ").trim.split(' ')
+        chks(toks.init.mkString(" ")) = new String(
+          java.util.Base64.getDecoder.decode(toks.last), "UTF-8")
+      }
     }
-    CommitMeta(ts, txns.toMap, dels.toSeq)
+    CommitMeta(ts, txns.toMap, dels.toSeq, chks.toMap)
   }
 
   private def metaAt(spark: SparkSession, dir: String, v: Long): CommitMeta =
@@ -165,7 +178,7 @@ object Versioned {
       dels: Seq[String]): CommitMeta = {
     val prev = if (prevV >= 0) metaAt(spark, dir, prevV) else CommitMeta.empty
     val ts = math.max(commitTs, prev.ts.getOrElse(Long.MinValue))
-    CommitMeta(Some(ts), prev.txns ++ newTxn.toMap, dels)
+    CommitMeta(Some(ts), prev.txns ++ newTxn.toMap, dels, prev.chks)
   }
 
   // Resolved-listing cache (Delta's snapshot cache): a committed
@@ -574,6 +587,81 @@ object Versioned {
     v + 1
   }
 
+  // ---- CHECK constraints (Delta's table constraints) --------------
+
+  /** Enforcement shared by the committing write paths: a row violates
+    * when the expression evaluates to FALSE (SQL CHECK semantics —
+    * NULL passes). ONE aggregate pass over the batch counts every
+    * constraint's violations; refused with per-name counts BEFORE any
+    * data file is written. */
+  private def enforceConstraints(spark: SparkSession, dir: String,
+      v: Long, batch: DataFrame, what: String): Unit = {
+    val chks = if (v >= 0) metaAt(spark, dir, v).chks else Map.empty[String, String]
+    if (chks.isEmpty) return
+    val names = chks.keys.toSeq.sorted
+    val aggs = names.map { n =>
+      sum(when(!coalesce(expr(chks(n)), lit(true)), 1L).otherwise(0L)).as(n)
+    }
+    val row = batch.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val bad = names.zipWithIndex
+      .map { case (n, i) => n -> (if (row.isNullAt(i)) 0L else row.getLong(i)) }
+      .filter(_._2 > 0)
+    require(bad.isEmpty,
+      s"$what violates CHECK constraint(s) of $dir: " +
+        bad.map { case (n, c) => s"$n ($c rows: ${chks(n)})" }.mkString("; "))
+  }
+
+  /** ALTER TABLE ADD CONSTRAINT: validates the EXISTING rows satisfy
+    * `exprStr` (one scan — Delta does the same), then commits
+    * METADATA-ONLY. From then on every merge/append batch is validated
+    * before its data writes (fail fast, nothing to vacuum), and the
+    * constraint rides every manifest like the txn map — vacuum can
+    * never erase it, clones do not inherit it (a clone starts its own
+    * meta), restore keeps the CURRENT constraint set (protocol rules,
+    * not data, survive a rollback). */
+  def addConstraint(spark: SparkSession, dir: String, name: String,
+      exprStr: String, commitTs: Long = System.currentTimeMillis()): Long = {
+    require(name.matches("[A-Za-z0-9_.-]+"),
+      s"constraint names are [A-Za-z0-9_.-]+, got '$name'")
+    val v = init(spark, dir, commitTs)
+    val prior = metaAt(spark, dir, v).chks
+    require(!prior.contains(name), s"constraint $name already exists on $dir")
+    val nViol = snapshot(spark, dir, v)
+      .filter(!coalesce(expr(exprStr), lit(true))).count()
+    require(nViol == 0L,
+      s"cannot add constraint $name to $dir: $nViol existing rows " +
+        s"violate (${exprStr})")
+    val live = filesAt(spark, dir, v)
+    writeCommit(fsOf(spark, dir), dir, v + 1, live, live,
+      carryMeta(spark, dir, v, commitTs, None, deleteFilesAt(spark, dir, v))
+        .copy(chks = prior + (name -> exprStr)))
+    v + 1
+  }
+
+  /** ALTER TABLE DROP CONSTRAINT — metadata-only. */
+  def dropConstraint(spark: SparkSession, dir: String, name: String,
+      commitTs: Long = System.currentTimeMillis()): Long = {
+    val v = currentVersion(spark, dir)
+    require(v >= 0, s"no manifest in $dir — call init() first")
+    val prior = metaAt(spark, dir, v).chks
+    require(prior.contains(name), s"no constraint $name on $dir")
+    val live = filesAt(spark, dir, v)
+    writeCommit(fsOf(spark, dir), dir, v + 1, live, live,
+      carryMeta(spark, dir, v, commitTs, None, deleteFilesAt(spark, dir, v))
+        .copy(chks = prior - name))
+    v + 1
+  }
+
+  /** The CHECK constraints in force at `version` — (name, expr),
+    * name-sorted. Time-travels like everything else in the meta. */
+  def constraints(spark: SparkSession, dir: String,
+      version: Long = -1L): DataFrame = {
+    val v = if (version >= 0) version else currentVersion(spark, dir)
+    require(v >= 0, s"no manifest in $dir — call init() first")
+    import spark.implicits._
+    metaAt(spark, dir, v).chks.toSeq.sortBy(_._1).toDF("name", "expr")
+  }
+
   /** Blind APPEND commit — the event-ingest write at 100 TB: rows land
     * as NEW files in their partitions (no resolution, no rewrite, no
     * read of existing data), and the commit is a delta manifest of
@@ -603,6 +691,7 @@ object Versioned {
     val fs = fsOf(spark, dir)
     val live = filesAt(spark, dir, v)
     val dels = deleteFilesAt(spark, dir, v)
+    enforceConstraints(spark, dir, v, rows, "append batch")
     if (dels.nonEmpty) {
       val tomb = spark.read.parquet(dels.map(d => s"$dir/$d"): _*)
       val hit = rows.join(tomb, tomb.columns.toSeq
@@ -1056,6 +1145,9 @@ object Versioned {
     val del = if (hasDelete) coalesce(col("__delete"), lit(false)) else lit(false)
     val batch = updates.persist()
     try {
+      // CHECK constraints validate the batch's UPSERT rows (a delete
+      // removes rows — nothing to check) before any data write
+      enforceConstraints(spark, dir, v, batch.filter(!del), "merge batch")
       // ---- pending-tombstone interplay (Iceberg's sequence-number
       // problem, solved by SCOPED materialization in this same commit):
       // a tombstone whose key this batch re-writes would either

@@ -2395,6 +2395,91 @@ object LakeQueries {
                count(DISTINCT event_id)
         FROM t GROUP BY 2
         ORDER BY 1, 2"""),
-      "APPEND ingest + stream-from-table: appendsBetween == appended slices; followed txn-marked sink == source == full recompute")
+      "APPEND ingest + stream-from-table: appendsBetween == appended slices; followed txn-marked sink == source == full recompute"),
+
+    // ---------------------------------------------------------------
+    // CHECK CONSTRAINTS (Delta's table constraints): two constraints
+    // added at v1/v2 (metadata-only commits — addConstraint first
+    // validates the EXISTING rows in one scan), then a valid append
+    // commits under them. Per run: a VIOLATING append must be refused
+    // pre-write (caught and require()d — nothing lands, versions don't
+    // advance). Legs: the constraint listing == a constant oracle
+    // (q174's pattern — the fixture pins everything), and the data
+    // under enforcement == the recompute oracle, proving enforcement
+    // rejected nothing valid.
+    // ---------------------------------------------------------------
+    Q("q179_check_constraints",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val stamp = new File(dir, "events.parquet").lastModified()
+        val root = new File(new File(sys.props("user.dir"), "target"),
+          s"graft_chkfix_${tag}_$stamp")
+        val lake = new File(root, "lake").getAbsolutePath
+        def slice(i: Int) = graft.Tables(s, dir, "events")
+          .select(MergeCols.map(col): _*)
+          .filter(col("event_type").isin("click", "view") &&
+            col("event_id") % 2 === i)
+        LakeQueries.synchronized {
+          if (!new File(root, "_SUCCESS").exists()) {
+            val fs = new org.apache.hadoop.fs.Path(root.getAbsolutePath)
+              .getFileSystem(s.sparkContext.hadoopConfiguration)
+            fs.delete(new org.apache.hadoop.fs.Path(root.getAbsolutePath), true)
+            MergeData.writeMerged(s, slice(0), lake, keys = Seq("event_type"))
+            Versioned.init(s, lake, commitTs = 1000L)
+            Versioned.addConstraint(s, lake, "value_nonneg",
+              "value >= 0", commitTs = 2000L)
+            Versioned.addConstraint(s, lake, "etype_known",
+              "event_type IN ('click','view')", commitTs = 3000L)
+            Versioned.append(s, lake, slice(1), Seq("event_type"),
+              commitTs = 4000L)
+            new File(root, "_SUCCESS").createNewFile()
+          }
+        }
+        require(Versioned.currentVersion(s, lake) == 3L)
+        // per run: a violating append is refused BEFORE anything lands
+        val caught =
+          try {
+            Versioned.append(s, lake,
+              slice(1).limit(5).withColumn("value", lit(-5.0)),
+              Seq("event_type"))
+            false
+          } catch {
+            case e: IllegalArgumentException =>
+              e.getMessage.contains("value_nonneg")
+          }
+        require(caught, "a violating append must be refused by name")
+        require(Versioned.currentVersion(s, lake) == 3L,
+          "a refused append must not advance the version")
+        val cons = Versioned.constraints(s, lake)
+          .withColumn("src", lit("constraint"))
+          .withColumn("row_count", lit(null).cast("long"))
+          .withColumn("sum_value", lit(null).cast("double"))
+          .select("src", "name", "expr", "row_count", "sum_value")
+        val data = Versioned.snapshot(s, lake)
+          .groupBy("event_type").agg(
+            count(lit(1)).as("row_count"),
+            round(sum("value"), 4).as("sum_value"))
+          .withColumn("src", lit("data"))
+          .withColumn("name", col("event_type"))
+          .withColumn("expr", lit(""))
+          .select("src", "name", "expr", "row_count", "sum_value")
+        cons.unionByName(data).orderBy("src", "name")
+      },
+      Some("""
+        WITH t AS (SELECT event_type, event_id, value FROM events
+                   WHERE event_type IN ('click','view'))
+        SELECT * FROM (
+          SELECT 'constraint' AS src, 'etype_known' AS name,
+                 'event_type IN (''click'',''view'')' AS expr,
+                 NULL::BIGINT AS row_count, NULL::DOUBLE AS sum_value
+          UNION ALL
+          SELECT 'constraint', 'value_nonneg', 'value >= 0',
+                 NULL::BIGINT, NULL::DOUBLE
+          UNION ALL
+          SELECT 'data', event_type, '', count(*),
+                 round(sum(value::DOUBLE), 4)
+          FROM t GROUP BY 2, 3)
+        ORDER BY 1, 2"""),
+      "CHECK constraints: listing == constant oracle; enforced appends == recompute; violating append refused by name, nothing lands")
   )
 }

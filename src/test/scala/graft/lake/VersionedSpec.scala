@@ -991,4 +991,75 @@ class VersionedSpec extends SparkSpec {
         .filter(col("id").between(30, 60))
         .select("id").collect().map(_.getLong(0)).toSet)
   }
+
+  test("CHECK constraints: add validates existing data; merge/append enforced pre-write; NULL passes; drop lifts; survives vacuum") {
+    val dir = freshLake() // (a,1,1.0), (a,2,2.0), (b,10,10.0)
+    Versioned.init(spark, dir)
+    // an expression the existing data violates is refused with a count
+    val e0 = intercept[IllegalArgumentException] {
+      Versioned.addConstraint(spark, dir, "v_big", "v > 5")
+    }
+    assert(e0.getMessage.contains("2 existing rows"))
+    Versioned.addConstraint(spark, dir, "v_nonneg", "v >= 0")
+    // NULL passes (SQL CHECK semantics): this expr is NULL for id=999
+    Versioned.addConstraint(spark, dir, "null_passes",
+      "CASE WHEN id = 999 THEN CAST(NULL AS BOOLEAN) ELSE true END")
+    assert(Versioned.constraints(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+      .keySet == Set("v_nonneg", "null_passes"))
+    // time travel: v0 had none
+    assert(Versioned.constraints(spark, dir, 0L).isEmpty)
+
+    // a violating merge batch is refused BEFORE any data write
+    val vBefore = Versioned.currentVersion(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def nParquet(): Int = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+      var n = 0
+      while (it.hasNext) {
+        val p = it.next().getPath
+        if (p.getName.endsWith(".parquet") && !p.toString.contains("/_")) n += 1
+      }
+      n
+    }
+    val filesBefore = nParquet()
+    val eM = intercept[IllegalArgumentException] {
+      Versioned.mergeInto(spark, dir,
+        df(Seq(("a", 5L, -1.0, false)), "site", "id", "v", "__delete"),
+        Seq("site"), Seq("site", "id"))
+    }
+    assert(eM.getMessage.contains("v_nonneg") &&
+      eM.getMessage.contains("1 rows"))
+    assert(nParquet() == filesBefore,
+      "a refused batch must not have written data files")
+    assert(Versioned.currentVersion(spark, dir) == vBefore)
+    // a delete-only batch carries no rows to check
+    Versioned.mergeInto(spark, dir,
+      df(Seq(("a", 2L, -999.0, true)), "site", "id", "v", "__delete"),
+      Seq("site"), Seq("site", "id"))
+    // NULL-expr rows pass; valid appends pass
+    Versioned.append(spark, dir,
+      df(Seq(("a", 999L, 9.0)), "site", "id", "v"), Seq("site"))
+    val eA = intercept[IllegalArgumentException] {
+      Versioned.append(spark, dir,
+        df(Seq(("a", 6L, -2.0)), "site", "id", "v"), Seq("site"))
+    }
+    assert(eA.getMessage.contains("v_nonneg"))
+
+    // constraints survive vacuum (carried in every manifest)
+    Versioned.vacuum(spark, dir, keepVersions = 1)
+    val eV = intercept[IllegalArgumentException] {
+      Versioned.append(spark, dir,
+        df(Seq(("a", 7L, -3.0)), "site", "id", "v"), Seq("site"))
+    }
+    assert(eV.getMessage.contains("v_nonneg"))
+
+    // drop lifts enforcement
+    Versioned.dropConstraint(spark, dir, "v_nonneg")
+    Versioned.append(spark, dir,
+      df(Seq(("a", 7L, -3.0)), "site", "id", "v"), Seq("site"))
+    assert(state(Versioned.snapshot(spark, dir))
+      .contains(("a", 7L, -3.0)))
+  }
 }
