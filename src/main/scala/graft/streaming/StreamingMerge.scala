@@ -101,4 +101,40 @@ object StreamingMerge {
       }
       .start()
   }
+
+  /** Insert-only streaming ingest through [[graft.lake.Versioned.append]]
+    * — the high-volume event firehose: every micro-batch is one blind
+    * APPEND commit (a delta manifest of `+file` lines, no resolution,
+    * no rewrite, no read of existing data — per-batch cost never sees
+    * the lake's size), stamped with the same `(txnId, batchId)` marker
+    * as [[startVersioned]] for version-level exactly-once across crash
+    * replays. Commit-time stats ride along once the lake tracks them
+    * (or pass `statsCols` to establish the discipline from the first
+    * batch). Downstream consumers chain off the manifest:
+    * [[StreamingTableFollow]] streams exactly these committed appends.
+    */
+  def startAppend(rows: DataFrame, baseDir: String,
+      partitionKeys: Seq[String], checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      afterBatch: Long => Unit = _ => (),
+      txnId: Option[String] = None,
+      statsCols: Seq[String] = Nil): StreamingQuery = {
+    val id = txnId.getOrElse {
+      val d = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(checkpoint.getBytes("UTF-8"))
+      "ckpt-" + d.take(8).map(b => f"$b%02x").mkString
+    }
+    rows.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (!batch.isEmpty) {
+          graft.lake.Versioned.append(batch.sparkSession, baseDir, batch,
+            partitionKeys, txn = Some((id, bid)), statsCols = statsCols)
+        }
+        afterBatch(bid)
+      }
+      .start()
+  }
 }

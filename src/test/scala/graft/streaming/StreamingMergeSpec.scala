@@ -182,4 +182,57 @@ class StreamingMergeSpec extends SparkSpec {
     runOnce(lake, in, ckpt)
     assert(state(lake) == afterCrash)
   }
+
+  test("streamed APPEND ingest: one versioned append commit per batch; crash-replay skipped; appendsBetween sees exactly the streamed rows") {
+    val (lake, in, ckpt) = mkDirs()
+    seedBase(lake)
+    graft.lake.Versioned.init(spark, lake)
+    val appendSchema = StructType(Seq(
+      StructField("site", StringType), StructField("id", LongType),
+      StructField("v", DoubleType)))
+    def writeRows(name: String, rows: Seq[(String, Long, Double)]): Unit = {
+      new File(in).mkdirs()
+      val tmp = new File(in, s".$name.tmp")
+      val w = new java.io.PrintWriter(tmp)
+      try rows.foreach { case (s0, i, v) => w.println(s"$s0,$i,$v") }
+      finally w.close()
+      tmp.renameTo(new File(in, name))
+    }
+    def runAppend(afterBatch: Long => Unit = _ => ()): Unit = {
+      val q = StreamingMerge.startAppend(
+        spark.readStream.schema(appendSchema).csv(in), lake,
+        Seq("site"), ckpt, afterBatch = afterBatch)
+      try q.awaitTermination()
+      finally if (q.isActive) q.stop()
+    }
+    def snap(): Set[(String, Long, Double)] =
+      graft.lake.Versioned.snapshot(spark, lake)
+        .select("site", "id", "v").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+
+    writeRows("a1.csv", Seq(("a", 50L, 5.0), ("b", 60L, 6.0)))
+    runAppend()
+    assert(graft.lake.Versioned.currentVersion(spark, lake) == 1L)
+    assert(snap() == Set(("a", 1L, 1.0), ("a", 2L, 2.0), ("b", 10L, 10.0),
+      ("a", 50L, 5.0), ("b", 60L, 6.0)))
+
+    // crash AFTER the append commit (v2), before the streaming record
+    writeRows("a2.csv", Seq(("c", 70L, 7.0)))
+    intercept[Exception] {
+      runAppend(afterBatch = _ => throw new RuntimeException("injected crash"))
+    }
+    assert(graft.lake.Versioned.currentVersion(spark, lake) == 2L)
+    // replay: the (txnId, batchId) marker skips — no version, no dupes
+    runAppend()
+    assert(graft.lake.Versioned.currentVersion(spark, lake) == 2L,
+      "replayed append batch must not commit a second version")
+    assert(snap().count(_._1 == "c") == 1)
+
+    // the streamed commits ARE an append-only range: a follower reads
+    // exactly the streamed rows from the manifests
+    val added = graft.lake.Versioned.appendsBetween(spark, lake, 0L, 2L)
+      .select("site", "id", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(added == Set(("a", 50L, 5.0), ("b", 60L, 6.0), ("c", 70L, 7.0)))
+  }
 }
