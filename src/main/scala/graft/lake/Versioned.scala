@@ -899,6 +899,40 @@ object Versioned {
         preds, files.map(f => s"$dir/$f")))
   }
 
+  /** Metadata-only MIN/MAX of a tracked column at a version, served
+    * entirely from the commit-time stats sidecars — zero data rows AND
+    * zero footers read (cf. [[fastRowCount]], which still opens
+    * footers). EXACT, never approximate: parquet column statistics
+    * are exact values from the file, so min(lo)/max(hi) over the
+    * version's boxes IS the table extremum — and the two cases where
+    * a box is NOT exact are detectable and REFUSED rather than
+    * answered (a file with unusable stats carries the infinite box;
+    * integral values past 2^53 were widened at build). Refuses under
+    * pending MOR tombstones (a deleted row may hold the extremum) and
+    * for untracked columns, naming the repair. */
+  def fastMinMax(spark: SparkSession, dir: String, c: String,
+      version: Long = -1L): (Double, Double) = {
+    val v = if (version >= 0) version else currentVersion(spark, dir)
+    require(deleteFilesAt(spark, dir, v).isEmpty,
+      "fastMinMax under unmaterialized equality deletes could return a " +
+        "deleted row's extremum: materializeDeletes() first or aggregate " +
+        "the snapshot")
+    val idx = statsAt(spark, dir, v).filter(col("col") === c)
+    val row = idx.agg(min("lo").as("lo"), max("hi").as("hi"),
+      count(lit(1)).as("n")).collect()(0)
+    require(row.getLong(2) > 0L,
+      s"column $c is not tracked by $dir's stats: backfillStats() with it")
+    val (lo, hi) = (row.getDouble(0), row.getDouble(1))
+    require(!lo.isInfinite && !hi.isInfinite,
+      s"some file's parquet stats for $c are unusable (infinite box): " +
+        "aggregate the snapshot instead")
+    val exactLimit = 9007199254740992.0d // 2^53 — the sidecar widens past it
+    require(math.abs(lo) < exactLimit && math.abs(hi) < exactLimit,
+      s"$c's extrema exceed 2^53 where integral stats were widened: " +
+        "aggregate the snapshot for an exact answer")
+    (lo, hi)
+  }
+
   /** SHALLOW CLONE (Delta's `CREATE TABLE ... SHALLOW CLONE src`):
     * `dstDir` becomes an independent versioned table whose v0 manifest
     * holds FOREIGN references (`@root\trel`) to `srcDir`'s data files

@@ -267,6 +267,47 @@ object LakeQueries {
     (lake, feedDir)
   }
 
+  /** Memoized lake under the COMMIT-TIME STATS discipline (q177,
+    * q180): fragmented base → v0 backfillStats(user_id, value) → v1
+    * merge b0 (stats inherited) → v2 OPTIMIZE ZORDER (stats
+    * inherited). v1 and v2 hold st1's rows; every version's boxes
+    * were written by the commit that created its files. */
+  private def statsLakeFixture(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val stamp = new File(dir, "events.parquet").lastModified()
+    val root = new File(new File(sys.props("user.dir"), "target"),
+      s"graft_statsfix_${tag}_$stamp")
+    val lake = new File(root, "lake").getAbsolutePath
+    LakeQueries.synchronized {
+      if (!new File(root, "_SUCCESS").exists()) {
+        val fs = new org.apache.hadoop.fs.Path(root.getAbsolutePath)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root.getAbsolutePath), true)
+        val base = graft.Tables(s, dir, "events")
+          .select(MergeCols.map(col): _*)
+          .filter(col("event_type").isin("click", "view")).persist()
+        try {
+          base.repartition(4) // fragmented on purpose
+            .write.partitionBy("event_type").parquet(lake)
+          Versioned.init(s, lake)
+          Versioned.backfillStats(s, lake, Seq("user_id", "value"))
+          val Seq(b0, _, _) = cdcPayload(base)
+          // NO statsCols passed: the commit inherits the discipline
+          Versioned.mergeInto(s, lake, b0, Seq("event_type"),
+            Seq("event_id"))
+          Versioned.optimize(s, lake, Seq("event_type"),
+            targetFilesPerPartition = 4,
+            zorder = Some(Maintenance.mortonKey(
+              col("user_id").bitwiseAND(lit(1023L)),
+              Maintenance.gridBucket(col("value"), 0.0, 1000.0, 10),
+              bits = 10)))
+        } finally base.unpersist()
+        new File(root, "_SUCCESS").createNewFile()
+      }
+    }
+    lake
+  }
+
   /** Memoized versioned lake with a Z-ORDERED latest snapshot (q166,
     * q167): v0 = deliberately fragmented click/view base (4 files per
     * partition), v1 = the q115-shaped merge, v2 = `OPTIMIZE ZORDER BY
@@ -2220,38 +2261,7 @@ object LakeQueries {
     // ---------------------------------------------------------------
     Q("q177_commit_time_stats",
       (s, dir) => {
-        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
-        val stamp = new File(dir, "events.parquet").lastModified()
-        val root = new File(new File(sys.props("user.dir"), "target"),
-          s"graft_statsfix_${tag}_$stamp")
-        val lake = new File(root, "lake").getAbsolutePath
-        LakeQueries.synchronized {
-          if (!new File(root, "_SUCCESS").exists()) {
-            val fs = new org.apache.hadoop.fs.Path(root.getAbsolutePath)
-              .getFileSystem(s.sparkContext.hadoopConfiguration)
-            fs.delete(new org.apache.hadoop.fs.Path(root.getAbsolutePath), true)
-            val base = graft.Tables(s, dir, "events")
-              .select(MergeCols.map(col): _*)
-              .filter(col("event_type").isin("click", "view")).persist()
-            try {
-              base.repartition(4) // fragmented on purpose
-                .write.partitionBy("event_type").parquet(lake)
-              Versioned.init(s, lake)
-              Versioned.backfillStats(s, lake, Seq("user_id", "value"))
-              val Seq(b0, _, _) = cdcPayload(base)
-              // NO statsCols passed: the commit inherits the discipline
-              Versioned.mergeInto(s, lake, b0, Seq("event_type"),
-                Seq("event_id"))
-              Versioned.optimize(s, lake, Seq("event_type"),
-                targetFilesPerPartition = 4,
-                zorder = Some(Maintenance.mortonKey(
-                  col("user_id").bitwiseAND(lit(1023L)),
-                  Maintenance.gridBucket(col("value"), 0.0, 1000.0, 10),
-                  bits = 10)))
-            } finally base.unpersist()
-            new File(root, "_SUCCESS").createNewFile()
-          }
-        }
+        val lake = statsLakeFixture(s, dir)
         // v1's incremental sidecar is bounded by the merge's own files
         val incFiles = s.read.parquet(
             s"$lake/_manifest/stats/v000001.inc.parquet")
@@ -2480,6 +2490,59 @@ object LakeQueries {
                  round(sum(value::DOUBLE), 4)
           FROM t GROUP BY 2, 3)
         ORDER BY 1, 2"""),
-      "CHECK constraints: listing == constant oracle; enforced appends == recompute; violating append refused by name, nothing lands")
+      "CHECK constraints: listing == constant oracle; enforced appends == recompute; violating append refused by name, nothing lands"),
+
+    // ---------------------------------------------------------------
+    // Metadata-only MIN/MAX from commit-time stats: fastMinMax reads
+    // the stats sidecars — zero data rows AND zero footers — and is
+    // EXACT (parquet column statistics are exact file values; the two
+    // inexact cases, unusable stats and past-2^53 widening, are
+    // refused). Legs: (user_id, value) extrema at v1 (merge-shaped
+    // files) and v2 (z-clustered files) on the q177 fixture — four
+    // metadata answers, each == the recompute oracle over st1. The
+    // require pins that a column the sidecars never tracked refuses
+    // by name rather than answering.
+    // ---------------------------------------------------------------
+    Q("q180_fast_min_max",
+      (s, dir) => {
+        val lake = statsLakeFixture(s, dir)
+        val caught =
+          try { Versioned.fastMinMax(s, lake, "event_id"); false }
+          catch { case e: IllegalArgumentException =>
+            e.getMessage.contains("backfillStats") }
+        require(caught, "an untracked column must refuse by name")
+        val rows = for {
+          (ver, src) <- Seq((1L, "v1"), (2L, "v2"))
+          c <- Seq("user_id", "value")
+        } yield {
+          val (lo, hi) = Versioned.fastMinMax(s, lake, c, ver)
+          (src, c, lo, hi)
+        }
+        import s.implicits._
+        rows.toDF("src", "metric", "lo", "hi").orderBy("src", "metric")
+      },
+      Some("""
+        WITH t AS (SELECT event_type, user_id, event_id, value FROM events
+                   WHERE event_type IN ('click','view')),
+        st1 AS (
+          SELECT event_type, user_id, event_id,
+                 CASE WHEN event_id % 10 = 0 THEN value * 2 ELSE value END AS value
+          FROM t WHERE event_id % 10 <> 1
+          UNION ALL
+          SELECT event_type, user_id, event_id + 10000000, value + 1
+          FROM t WHERE event_id % 100 = 2)
+        SELECT * FROM (
+          SELECT 'v1' AS src, 'user_id' AS metric,
+                 min(user_id)::DOUBLE AS lo, max(user_id)::DOUBLE AS hi
+          FROM st1
+          UNION ALL
+          SELECT 'v1', 'value', min(value)::DOUBLE, max(value)::DOUBLE FROM st1
+          UNION ALL
+          SELECT 'v2', 'user_id', min(user_id)::DOUBLE, max(user_id)::DOUBLE
+          FROM st1
+          UNION ALL
+          SELECT 'v2', 'value', min(value)::DOUBLE, max(value)::DOUBLE FROM st1)
+        ORDER BY 1, 2"""),
+      "metadata-only MIN/MAX from commit-time stats: zero rows, zero footers, exact == recompute oracle at both layouts; untracked column refused")
   )
 }

@@ -980,6 +980,15 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.statsAt(spark, root, 2L).count() ==
       Versioned.filesAt(spark, root, 2L).size.toLong)
 
+    // metadata-only extrema from the same sidecars: exact at every
+    // version, zero data/footer reads; untracked column refused
+    assert(Versioned.fastMinMax(spark, root, "id") == (1.0, 50.0))
+    assert(Versioned.fastMinMax(spark, root, "id", 0L) == (1.0, 40.0))
+    val eMM = intercept[IllegalArgumentException] {
+      Versioned.fastMinMax(spark, root, "v")
+    }
+    assert(eMM.getMessage.contains("backfillStats"))
+
     // vacuum past the base full sidecar: stats re-base at keepFrom,
     // every retained version still resolves
     Versioned.vacuum(spark, root, keepVersions = 2)
