@@ -131,9 +131,11 @@ object Versioned {
     * file lines. */
   private[lake] final case class CommitMeta(ts: Option[Long],
       txns: Map[String, Long], dels: Seq[String],
-      chks: Map[String, String] = Map.empty) {
+      chks: Map[String, String] = Map.empty,
+      op: Option[String] = None) {
     def render: Seq[String] =
       ts.map(t => s"#ts $t").toSeq ++
+        op.map(o => s"#op $o").toSeq ++
         txns.toSeq.sortBy(_._1).map { case (id, b) => s"#txn $id $b" } ++
         dels.sorted.map(d => s"#del $d") ++
         chks.toSeq.sortBy(_._1).map { case (n, e) =>
@@ -149,8 +151,10 @@ object Versioned {
     val txns = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val dels = scala.collection.mutable.ArrayBuffer.empty[String]
     val chks = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var op: Option[String] = None
     lines.takeWhile(_.startsWith("#")).foreach { l =>
       if (l.startsWith("#ts ")) ts = Some(l.stripPrefix("#ts ").trim.toLong)
+      else if (l.startsWith("#op ")) op = Some(l.stripPrefix("#op ").trim)
       else if (l.startsWith("#txn ")) {
         // the batch id is the LAST token; everything before it is the
         // txn id (ids with spaces round-trip)
@@ -163,22 +167,24 @@ object Versioned {
           java.util.Base64.getDecoder.decode(toks.last), "UTF-8")
       }
     }
-    CommitMeta(ts, txns.toMap, dels.toSeq, chks.toMap)
+    CommitMeta(ts, txns.toMap, dels.toSeq, chks.toMap, op)
   }
 
   private def metaAt(spark: SparkSession, dir: String, v: Long): CommitMeta =
     parseMeta(metaLinesAt(fsOf(spark, dir), dir, v))
 
-  /** Meta for commit `prevV + 1`: carries the full txn map forward
-    * (adding `newTxn`), replaces the tombstone list with `dels`, and
-    * clamps the commit timestamp monotonically non-decreasing (the
-    * Delta clock-skew adjustment — [[versionAsOf]] relies on it). */
+  /** Meta for commit `prevV + 1`: carries the full txn map and the
+    * constraint set forward (adding `newTxn`), replaces the tombstone
+    * list with `dels`, stamps the committing OPERATION (per-commit,
+    * never carried — DESCRIBE HISTORY's operation column), and clamps
+    * the commit timestamp monotonically non-decreasing (the Delta
+    * clock-skew adjustment — [[versionAsOf]] relies on it). */
   private def carryMeta(spark: SparkSession, dir: String, prevV: Long,
       commitTs: Long, newTxn: Option[(String, Long)],
-      dels: Seq[String]): CommitMeta = {
+      dels: Seq[String], op: String = "commit"): CommitMeta = {
     val prev = if (prevV >= 0) metaAt(spark, dir, prevV) else CommitMeta.empty
     val ts = math.max(commitTs, prev.ts.getOrElse(Long.MinValue))
-    CommitMeta(Some(ts), prev.txns ++ newTxn.toMap, dels, prev.chks)
+    CommitMeta(Some(ts), prev.txns ++ newTxn.toMap, dels, prev.chks, Some(op))
   }
 
   // Resolved-listing cache (Delta's snapshot cache): a committed
@@ -398,7 +404,8 @@ object Versioned {
       if (v > 0 && listManifests(fs, dir).exists(_._1 == v - 1))
         metaAt(spark, dir, v - 1)
       else CommitMeta.empty
-    writeCommit(fs, dir, v, files, Nil, prevMeta, forceCheckpoint = true)
+    writeCommit(fs, dir, v, files, Nil, prevMeta.copy(op = Some("commit")),
+      forceCheckpoint = true)
   }
 
   /** Equality-delete (tombstone) files live at `version` — relative
@@ -424,7 +431,7 @@ object Versioned {
       cacheDrop(dir)
       val fs = fsOf(spark, dir)
       writeCommit(fs, dir, 0L, listDataFiles(fs, new Path(dir), new Path(dir)),
-        Nil, CommitMeta(Some(commitTs), Map.empty, Nil))
+        Nil, CommitMeta(Some(commitTs), Map.empty, Nil, Map.empty, Some("init")))
       0L
     }
   }
@@ -462,24 +469,28 @@ object Versioned {
   }
 
   /** DESCRIBE HISTORY: one row per retained version, newest first —
-    * version, commit timestamp, manifest form, live file count,
-    * pending tombstone file count, and the carried txn high-water
-    * map rendered `id:batch`. Driver cost is bounded by retained
-    * versions × manifest resolution (checkpoint + delta tail). */
+    * version, commit timestamp, the committing OPERATION (merge /
+    * append / delete / materialize / optimize / restore / clone /
+    * init / add-constraint / drop-constraint; null on manifests
+    * written before operations were recorded), manifest form, live
+    * file count, pending tombstone file count, and the carried txn
+    * high-water map rendered `id:batch`. Driver cost is bounded by
+    * retained versions × manifest resolution (checkpoint + delta
+    * tail). */
   def history(spark: SparkSession, dir: String): DataFrame = {
     val fs = fsOf(spark, dir)
     val ms = listManifests(fs, dir)
     require(ms.nonEmpty, s"no manifest in $dir — call init() first")
     val rows = ms.sortBy(-_._1).map { case (v, isDelta) =>
       val meta = parseMeta(metaLinesAt(fs, dir, v))
-      (v, meta.ts, !isDelta, filesAt(spark, dir, v).size.toLong,
+      (v, meta.ts, meta.op, !isDelta, filesAt(spark, dir, v).size.toLong,
         meta.dels.size.toLong,
         meta.txns.toSeq.sortBy(_._1)
           .map { case (id, b) => s"$id:$b" }.mkString(","))
     }
     import spark.implicits._
-    rows.toDF("version", "commit_ts", "is_checkpoint", "n_files",
-      "n_pending_delete_files", "txns")
+    rows.toDF("version", "commit_ts", "operation", "is_checkpoint",
+      "n_files", "n_pending_delete_files", "txns")
   }
 
   /** RESTORE TABLE ... TO VERSION AS OF — Delta's RESTORE: commits a
@@ -576,7 +587,7 @@ object Versioned {
           .unionByName(changedSide(tgt, "update_postimage")))
     }
     try writeCommit(fs, dir, v + 1, target, live,
-      carryMeta(spark, dir, v, commitTs, None, targetDels))
+      carryMeta(spark, dir, v, commitTs, None, targetDels, "restore"))
     catch { case e: Throwable =>
       changeFeed.foreach { case (fd, b) =>
         graft.ops.MergeData.discardStagedIncrement(spark, fd, b) }
@@ -633,8 +644,8 @@ object Versioned {
         s"violate (${exprStr})")
     val live = filesAt(spark, dir, v)
     writeCommit(fsOf(spark, dir), dir, v + 1, live, live,
-      carryMeta(spark, dir, v, commitTs, None, deleteFilesAt(spark, dir, v))
-        .copy(chks = prior + (name -> exprStr)))
+      carryMeta(spark, dir, v, commitTs, None, deleteFilesAt(spark, dir, v),
+          "add-constraint").copy(chks = prior + (name -> exprStr)))
     v + 1
   }
 
@@ -647,8 +658,8 @@ object Versioned {
     require(prior.contains(name), s"no constraint $name on $dir")
     val live = filesAt(spark, dir, v)
     writeCommit(fsOf(spark, dir), dir, v + 1, live, live,
-      carryMeta(spark, dir, v, commitTs, None, deleteFilesAt(spark, dir, v))
-        .copy(chks = prior - name))
+      carryMeta(spark, dir, v, commitTs, None, deleteFilesAt(spark, dir, v),
+          "drop-constraint").copy(chks = prior - name))
     v + 1
   }
 
@@ -718,7 +729,7 @@ object Versioned {
       listDataFiles(fs, new Path(dir), new Path(dir, d))).toSet
     val newFiles = (after -- before).toSeq.sorted
     writeCommit(fs, dir, v + 1, live ++ newFiles, live,
-      carryMeta(spark, dir, v, commitTs, txn, dels))
+      carryMeta(spark, dir, v, commitTs, txn, dels, "append"))
     maybeWriteIncStats(spark, dir, v, newFiles, statsCols)
     v + 1
   }
@@ -971,7 +982,7 @@ object Versioned {
     }
     cacheDrop(dstDir)
     writeCommit(fsOf(spark, dstDir), dstDir, 0L, refs, Nil,
-      CommitMeta(Some(commitTs), Map.empty, Nil))
+      CommitMeta(Some(commitTs), Map.empty, Nil, Map.empty, Some("clone")))
     0L
   }
 
@@ -1049,7 +1060,7 @@ object Versioned {
     require(delFiles.nonEmpty, s"tombstone write produced no files under $delRel")
     val live = filesAt(spark, dir, v)
     try writeCommit(fs, dir, v + 1, live, live,
-      carryMeta(spark, dir, v, commitTs, None, carried ++ delFiles))
+      carryMeta(spark, dir, v, commitTs, None, carried ++ delFiles, "delete"))
     catch { case e: Throwable =>
       changeFeed.foreach { case (fd, b) =>
         graft.ops.MergeData.discardStagedIncrement(spark, fd, b) }
@@ -1099,7 +1110,7 @@ object Versioned {
       affectedDirs.exists(d => refRel(ref).startsWith(d + "/"))
     if (affectedDirs.isEmpty) { // tombstones matched nothing on disk
       writeCommit(fs, dir, v + 1, live, live,
-        carryMeta(spark, dir, v, commitTs, None, Nil))
+        carryMeta(spark, dir, v, commitTs, None, Nil, "materialize"))
       return v + 1
     }
     val affectedPred = affectedRows.map { r =>
@@ -1116,7 +1127,7 @@ object Versioned {
       listDataFiles(fs, new Path(dir), new Path(dir, d))).toSet
     val newFiles = (after -- before).toSeq.sorted
     writeCommit(fs, dir, v + 1, live.filterNot(underAffected) ++ newFiles,
-      live, carryMeta(spark, dir, v, commitTs, None, Nil))
+      live, carryMeta(spark, dir, v, commitTs, None, Nil, "materialize"))
     maybeWriteIncStats(spark, dir, v, newFiles, Nil)
     v + 1
   }
@@ -1296,7 +1307,7 @@ object Versioned {
       val next = live.filterNot(underTouched) ++ newFiles
       beforeCommitHook()
       try writeCommit(fs, dir, v + 1, next, live,
-        carryMeta(spark, dir, v, commitTs, txn, nextDels))
+        carryMeta(spark, dir, v, commitTs, txn, nextDels, "merge"))
       catch { case e: Throwable =>
         changeFeed.foreach { case (fd, batchId) =>
           graft.ops.MergeData.discardStagedIncrement(spark, fd, batchId) }
@@ -1473,7 +1484,7 @@ object Versioned {
     val newFiles = (after -- before).toSeq.sorted
     val replaced = targets.values.flatten.toSet
     writeCommit(fs, dir, v + 1, live.filterNot(replaced) ++ newFiles,
-      live, carryMeta(spark, dir, v, commitTs, None, nextDels))
+      live, carryMeta(spark, dir, v, commitTs, None, nextDels, "optimize"))
     maybeWriteIncStats(spark, dir, v, newFiles, Nil)
     v + 1
   }

@@ -1994,19 +1994,20 @@ object LakeQueries {
       (s, dir) => {
         val (vlake, _) = versionedCdcFixture(s, dir)
         Versioned.history(s, vlake)
-          .select(col("version"), col("commit_ts"),
+          .select(col("version"), col("commit_ts"), col("operation"),
             col("is_checkpoint"), col("n_pending_delete_files"))
           .orderBy("version")
       },
       Some("""
         SELECT * FROM (VALUES
-          (0::BIGINT, 1000::BIGINT, true,  0::BIGINT),
-          (1::BIGINT, 2000::BIGINT, false, 0::BIGINT),
-          (2::BIGINT, 3000::BIGINT, false, 0::BIGINT),
-          (3::BIGINT, 4000::BIGINT, false, 0::BIGINT))
-          AS t(version, commit_ts, is_checkpoint, n_pending_delete_files)
+          (0::BIGINT, 1000::BIGINT, 'init',  true,  0::BIGINT),
+          (1::BIGINT, 2000::BIGINT, 'merge', false, 0::BIGINT),
+          (2::BIGINT, 3000::BIGINT, 'merge', false, 0::BIGINT),
+          (3::BIGINT, 4000::BIGINT, 'merge', false, 0::BIGINT))
+          AS t(version, commit_ts, operation, is_checkpoint,
+               n_pending_delete_files)
         ORDER BY version"""),
-      "DESCRIBE HISTORY: versions, pinned commit timestamps, checkpoint cadence, tombstone counts == constant oracle"),
+      "DESCRIBE HISTORY: versions, pinned commit timestamps, operations, checkpoint cadence, tombstone counts == constant oracle"),
 
     // ---------------------------------------------------------------
     // RESTORE TABLE TO VERSION AS OF (Delta's RESTORE): its own

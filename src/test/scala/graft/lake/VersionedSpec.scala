@@ -808,7 +808,10 @@ class VersionedSpec extends SparkSpec {
     val hist = Versioned.history(spark, dir).collect()
     assert(hist.length == 4 &&
       hist.head.getAs[Long]("version") == 3L &&
-      hist.head.getAs[Long]("commit_ts") == 4000L)
+      hist.head.getAs[Long]("commit_ts") == 4000L &&
+      hist.head.getAs[String]("operation") == "restore" &&
+      hist.last.getAs[String]("operation") == "init" &&
+      hist(1).getAs[String]("operation") == "merge")
 
     // CDF classes of the v2→v1 diff: d inserted at v2 → delete;
     // b deleted at v2 → insert; a changed 111→100 → pre/postimage

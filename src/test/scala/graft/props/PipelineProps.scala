@@ -451,27 +451,35 @@ object PipelineProps extends Properties("graft.pipeline") {
 
   // ------------------------------------------------------------------
   // MOR deletes under the same model discipline: random interleavings
-  // of merge batches, equality deletes, and materializations — EVERY
-  // committed version must equal the in-memory model, with NO forced
-  // materialize before merging: mergeInto itself materializes
-  // conflicting tombstones scoped to its own commit and carries the
-  // rest merge-on-read. Exercises the cases the example-based spec
-  // can't enumerate: delete-of-deleted (no commit),
+  // of merge batches, equality deletes, materializations, blind
+  // APPENDs (fresh keys), and RESTOREs to uniformly chosen earlier
+  // versions — EVERY committed version must equal the in-memory model,
+  // with NO forced materialize before merging: mergeInto itself
+  // materializes conflicting tombstones scoped to its own commit and
+  // carries the rest merge-on-read. Exercises the cases the
+  // example-based spec can't enumerate: delete-of-deleted (no commit),
   // materialize-with-nothing (no commit), merge of a key re-inserted
-  // while its tombstone still pends, and merges that leave
-  // non-conflicting tombstones pending across further deletes.
+  // while its tombstone still pends, merges that leave non-conflicting
+  // tombstones pending across further deletes, appends landing over
+  // pending unrelated tombstones, restores that re-open pending
+  // tombstones, and restore-then-diverge histories.
   // ------------------------------------------------------------------
 
   private sealed trait MorStep
   private case class MorMerge(ops: List[(String, Long, Double, Boolean)]) extends MorStep
   private case class MorDel(site: String, id: Long) extends MorStep
   private case object MorMat extends MorStep
+  private case class MorAppend(rows: List[(String, Double)]) extends MorStep
+  private case class MorRestore(sel: Int) extends MorStep
 
   private val morStepGen: Gen[MorStep] = Gen.frequency(
     (3, Gen.nonEmptyListOf(opGen).map(l => MorMerge(l.take(3)))),
     (3, Gen.zip(Gen.oneOf("a", "b"), Gen.choose(1L, 4L))
       .map { case (s, i) => MorDel(s, i) }),
-    (1, Gen.const(MorMat)))
+    (1, Gen.const(MorMat)),
+    (2, Gen.nonEmptyListOf(Gen.zip(Gen.oneOf("a", "b"),
+      Gen.choose(0.0, 9.0))).map(l => MorAppend(l.take(2)))),
+    (1, Gen.choose(0, 16).map(MorRestore(_))))
 
   property("Versioned MOR deletes: every version equals the key-value model") =
     forAll(Gen.listOfN(4, morStepGen)) { steps =>
@@ -491,6 +499,10 @@ object PipelineProps extends Properties("graft.pipeline") {
       def materialize(): Unit =
         record(graft.lake.Versioned.materializeDeletes(
           spark, dir.getAbsolutePath, Seq("site")))
+      // appended keys come from a disjoint id range (blind appends must
+      // never duplicate a live key; colliding-with-tombstone appends are
+      // refused by design and out of this property's model)
+      var nextAppendId = 100L
       steps.foreach {
         case MorDel(s, i) =>
           val v = graft.lake.Versioned.deleteWhere(spark, dir.getAbsolutePath,
@@ -506,6 +518,20 @@ object PipelineProps extends Properties("graft.pipeline") {
           record(graft.lake.Versioned.mergeInto(spark, dir.getAbsolutePath,
             batch.toDF("site", "id", "v", "__delete"),
             Seq("site"), Seq("site", "id")))
+        case MorAppend(rows) =>
+          val withIds = rows.map { case (s, v) =>
+            val id = nextAppendId; nextAppendId += 1; (s, id, v) }
+          model ++= withIds.map { case (s, i, v) => (s, i) -> v }
+          record(graft.lake.Versioned.append(spark, dir.getAbsolutePath,
+            withIds.toDF("site", "id", "v"), Seq("site")))
+        case MorRestore(sel) =>
+          // roll back to a uniformly chosen committed version; the
+          // model rolls back with it (a restore targeting the current
+          // state commits nothing — record is a no-op)
+          val target = (sel % (curV + 1)).toLong
+          model = states(target.toInt)
+          record(graft.lake.Versioned.restore(spark, dir.getAbsolutePath,
+            target))
       }
       states.zipWithIndex.forall { case (m, ver) =>
         val got = graft.lake.Versioned
