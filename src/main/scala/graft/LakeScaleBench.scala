@@ -109,6 +109,14 @@ object LakeScaleBench {
     time("restore") { Versioned.restore(spark, lake, 1L) }
     // SHALLOW CLONE: one manifest write — flat in lake size
     time("clone") { Versioned.cloneAt(spark, lake, work + "/clone") }
+    // blind APPEND: write + a delta manifest bounded by the batch —
+    // per-commit cost must not see the lake's size
+    val appendBatch = base.filter(col("event_type") === "view" &&
+        col("event_id") % 1000 === 9)
+      .withColumn("event_id", col("event_id") + lit(900000000L))
+    time("append_commit") {
+      Versioned.append(spark, lake, appendBatch, Seq("event_type"))
+    }
     // stats bootstrap: one footer pass, O(files) not O(rows)
     time("backfill_stats") {
       Versioned.backfillStats(spark, lake, Seq("user_id", "value"))

@@ -692,7 +692,9 @@ object Versioned {
       partitionKeys: Seq[String],
       txn: Option[(String, Long)] = None,
       commitTs: Long = System.currentTimeMillis(),
-      statsCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil,
+      maxAttempts: Int = 5): Long = {
+    require(maxAttempts >= 1, "need maxAttempts >= 1")
     val v = init(spark, dir, commitTs)
     txn match {
       case Some((id, batchId)) if lastTxn(spark, dir, id) >= batchId =>
@@ -728,10 +730,50 @@ object Versioned {
     val after = dirs.flatMap(d =>
       listDataFiles(fs, new Path(dir), new Path(dir, d))).toSet
     val newFiles = (after -- before).toSeq.sorted
-    writeCommit(fs, dir, v + 1, live ++ newFiles, live,
-      carryMeta(spark, dir, v, commitTs, txn, dels, "append"))
-    maybeWriteIncStats(spark, dir, v, newFiles, statsCols)
-    v + 1
+    // blind appends COMMUTE: a lost manifest CAS never invalidates the
+    // already-written data files, so the retry is COMMIT-ONLY — re-read
+    // the winner's live list, re-check tombstone collisions against any
+    // new tombstones, CAS again. N concurrent ingest writers serialize
+    // at the manifest (one tiny metadata op each), never at the data —
+    // the property that makes a multi-writer firehose cheap.
+    var attempt = 1
+    var curV = v
+    var curDels = dels
+    var committed = -1L
+    while (committed < 0) {
+      beforeCommitHook()
+      try {
+        writeCommit(fs, dir, curV + 1, filesAt(spark, dir, curV) ++ newFiles,
+          filesAt(spark, dir, curV),
+          carryMeta(spark, dir, curV, commitTs, txn, curDels, "append"))
+        committed = curV + 1
+      } catch {
+        case e: IllegalArgumentException
+            if e.getMessage != null &&
+              e.getMessage.contains("concurrent commit") &&
+              attempt < maxAttempts =>
+          attempt += 1
+          curV = currentVersion(spark, dir)
+          txn match { // the winner may have been this txn's own replay
+            case Some((id, batchId)) if lastTxn(spark, dir, id) >= batchId =>
+              return curV
+            case _ =>
+          }
+          val newDels = deleteFilesAt(spark, dir, curV)
+          if (newDels != curDels && newDels.nonEmpty) {
+            val tomb = spark.read.parquet(newDels.map(d => s"$dir/$d"): _*)
+            val hit = rows.join(tomb, tomb.columns.toSeq
+              .map(k => rows(k) <=> tomb(k)).reduce(_ && _), "left_semi")
+            require(hit.isEmpty,
+              "append under a pending equality delete on the same key " +
+                "would hide the fresh rows: mergeInto handles the " +
+                "conflict, or materializeDeletes() first")
+          }
+          curDels = newDels
+      }
+    }
+    maybeWriteIncStats(spark, dir, committed - 1, newFiles, statsCols)
+    committed
   }
 
   /** Rows ADDED between two versions (`fromV` exclusive → `toV`

@@ -1004,6 +1004,45 @@ class VersionedSpec extends SparkSpec {
         .select("id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("concurrent appends: the loser retries its manifest CAS only — both land, no data files rewritten or orphaned") {
+    val dir = freshLake()
+    Versioned.init(spark, dir)
+    // writer B's append commits INSIDE writer A's CAS window (one-shot
+    // hook: B's own commit must not recurse)
+    var fired = false
+    Versioned.beforeCommitHook = () => {
+      if (!fired) {
+        fired = true
+        Versioned.append(spark, dir,
+          df(Seq(("b", 20L, 20.0)), "site", "id", "v"), Seq("site"))
+      }
+    }
+    val vA =
+      try Versioned.append(spark, dir,
+        df(Seq(("a", 30L, 30.0)), "site", "id", "v"), Seq("site"))
+      finally Versioned.beforeCommitHook = () => ()
+    assert(vA == 2L, "the losing appender must retry and land as v2")
+    assert(state(Versioned.snapshot(spark, dir)) ==
+      Set(("a", 1L, 1.0), ("a", 2L, 2.0), ("b", 10L, 10.0),
+        ("b", 20L, 20.0), ("a", 30L, 30.0)),
+      "both appends' rows must be visible")
+    // appends never supersede: every physical data file is referenced
+    // by the latest version — the retry wrote NO second copy
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+    var phys = 0
+    while (it.hasNext) {
+      val p = it.next().getPath
+      if (p.getName.endsWith(".parquet") && !p.toString.contains("/_")) phys += 1
+    }
+    assert(phys == Versioned.filesAt(spark, dir, 2L).size,
+      "a commit-only retry must not rewrite or orphan data files")
+    assert(Versioned.history(spark, dir).collect()
+      .map(_.getAs[String]("operation")).toSeq ==
+      Seq("append", "append", "init"))
+  }
+
   test("CHECK constraints: add validates existing data; merge/append enforced pre-write; NULL passes; drop lifts; survives vacuum") {
     val dir = freshLake() // (a,1,1.0), (a,2,2.0), (b,10,10.0)
     Versioned.init(spark, dir)
