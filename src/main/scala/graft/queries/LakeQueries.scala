@@ -2544,6 +2544,127 @@ object LakeQueries {
           UNION ALL
           SELECT 'v2', 'value', min(value)::DOUBLE, max(value)::DOUBLE FROM st1)
         ORDER BY 1, 2"""),
-      "metadata-only MIN/MAX from commit-time stats: zero rows, zero footers, exact == recompute oracle at both layouts; untracked column refused")
+      "metadata-only MIN/MAX from commit-time stats: zero rows, zero footers, exact == recompute oracle at both layouts; untracked column refused"),
+
+    // ---------------------------------------------------------------
+    // GOVERNED STREAMING INGEST capstone — the round-10 verbs composed
+    // on ONE lake: a CHECK constraint and the stats discipline are
+    // established up front, then TWO micro-batches stream in through
+    // StreamingMerge.startAppend (maxFilesPerTrigger=1 pins one
+    // versioned append commit per wave, txn-marked exactly-once; every
+    // batch validated against the constraint pre-write; every commit
+    // extends the stats sidecars), a FOLLOWER streams the committed
+    // table into its own txn-marked sink, and the metadata layer
+    // answers without touching data (fastRowCount == snapshot count,
+    // fastMinMax on the streamed column — both require()d). Legs: the
+    // governed table == recompute, the followed sink == the same, and
+    // the history's (operation, commit-form) sequence == a constant
+    // oracle — init, add-constraint, append, append, all deltas after
+    // the v0 checkpoint.
+    // ---------------------------------------------------------------
+    Q("q181_governed_ingest",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val stamp = new File(dir, "events.parquet").lastModified()
+        val root = new File(new File(sys.props("user.dir"), "target"),
+          s"graft_govfix_${tag}_$stamp")
+        val lake = new File(root, "lake").getAbsolutePath
+        def slice(i: Int) = graft.Tables(s, dir, "events")
+          .select(MergeCols.map(col): _*)
+          .filter(col("event_type").isin("click", "view") &&
+            col("event_id") % 3 === i)
+        LakeQueries.synchronized {
+          if (!new File(root, "_SUCCESS").exists()) {
+            val fs = new org.apache.hadoop.fs.Path(root.getAbsolutePath)
+              .getFileSystem(s.sparkContext.hadoopConfiguration)
+            fs.delete(new org.apache.hadoop.fs.Path(root.getAbsolutePath), true)
+            val in = new File(root, "in").getAbsolutePath
+            val ckpt = new File(root, "ingest_ckpt").getAbsolutePath
+            MergeData.writeMerged(s, slice(0), lake, keys = Seq("event_type"))
+            Versioned.init(s, lake, commitTs = 1000L)
+            Versioned.addConstraint(s, lake, "value_nonneg", "value >= 0",
+              commitTs = 2000L)
+            Versioned.backfillStats(s, lake, Seq("user_id", "value"))
+            // two single-file waves → exactly two streamed commits
+            slice(1).coalesce(1).write.parquet(s"$in/w1")
+            slice(2).coalesce(1).write.parquet(s"$in/w2")
+            val stream = s.readStream.schema(slice(1).schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("recursiveFileLookup", "true").parquet(in)
+            graft.streaming.StreamingMerge.startAppend(stream, lake,
+              Seq("event_type"), ckpt).awaitTermination()
+            new File(root, "_SUCCESS").createNewFile()
+          }
+        }
+        require(Versioned.currentVersion(s, lake) == 3L,
+          "exactly one versioned append commit per streamed wave")
+        // the metadata layer answers without touching data
+        require(Versioned.fastRowCount(s, lake) ==
+          Versioned.snapshot(s, lake).count())
+        val (loV, hiV) = Versioned.fastMinMax(s, lake, "value")
+        val mm = Versioned.snapshot(s, lake)
+          .agg(min("value"), max("value")).collect()(0)
+        require(loV == mm.getDouble(0) && hiV == mm.getDouble(1),
+          "fastMinMax must equal the streamed table's true extrema")
+        // fresh-per-run follower over the governed table
+        val froot = new File(new File(sys.props("user.dir"), "target"),
+          s"graft_govfix_follow_$tag")
+        val sink = new File(froot, "sink").getAbsolutePath
+        val fckpt = new File(froot, "ckpt").getAbsolutePath
+        LakeQueries.synchronized {
+          val fs = new org.apache.hadoop.fs.Path(froot.getAbsolutePath)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(froot.getAbsolutePath), true)
+          graft.streaming.StreamingTableFollow.start(s, lake, fckpt,
+            (d: DataFrame, _: Long, toV: Long) => {
+              Versioned.append(s, sink, d, Seq("event_type"),
+                txn = Some(("follow", toV))); ()
+            }).awaitTermination()
+        }
+        def agg(d: DataFrame, src: String) =
+          d.groupBy("event_type").agg(
+              count(lit(1)).as("row_count"),
+              round(sum("value"), 4).as("sum_value"),
+              count_distinct(col("event_id")).as("n_ids"))
+            .withColumn("src", lit(src))
+            .withColumn("operation", lit(""))
+            .withColumn("is_checkpoint", lit(null).cast("boolean"))
+            .select("src", "event_type", "operation", "is_checkpoint",
+              "row_count", "sum_value", "n_ids")
+        val hist = Versioned.history(s, lake)
+          .withColumn("src", lit("history"))
+          .withColumn("event_type",
+            concat(lit("v"), col("version").cast("string")))
+          .withColumn("row_count", lit(null).cast("long"))
+          .withColumn("sum_value", lit(null).cast("double"))
+          .withColumn("n_ids", lit(null).cast("long"))
+          .select("src", "event_type", "operation", "is_checkpoint",
+            "row_count", "sum_value", "n_ids")
+        agg(Versioned.snapshot(s, lake), "governed")
+          .unionByName(agg(Versioned.snapshot(s, sink), "followed"))
+          .unionByName(hist)
+          .orderBy("src", "event_type")
+      },
+      Some("""
+        WITH t AS (SELECT event_type, event_id, value FROM events
+                   WHERE event_type IN ('click','view'))
+        SELECT * FROM (
+          SELECT 'followed' AS src, event_type, '' AS operation,
+                 NULL::BOOLEAN AS is_checkpoint,
+                 count(*) AS row_count, round(sum(value::DOUBLE), 4) AS sum_value,
+                 count(DISTINCT event_id) AS n_ids
+          FROM t GROUP BY 2, 3, 4
+          UNION ALL
+          SELECT 'governed', event_type, '', NULL::BOOLEAN, count(*),
+                 round(sum(value::DOUBLE), 4), count(DISTINCT event_id)
+          FROM t GROUP BY 2, 3, 4
+          UNION ALL
+          SELECT 'history', h.et, h.op, h.ck,
+                 NULL::BIGINT, NULL::DOUBLE, NULL::BIGINT
+          FROM (VALUES ('v0', 'init', true), ('v1', 'add-constraint', false),
+                       ('v2', 'append', false), ('v3', 'append', false))
+            AS h(et, op, ck))
+        ORDER BY 1, 2"""),
+      "governed streaming ingest capstone: constraint + stats + txn-marked streamed appends + followed sink == recompute; history operations == constant oracle; metadata answers require()d")
   )
 }
