@@ -818,14 +818,21 @@ object Versioned {
   // are immutable, so a file's stats never change and any sidecar
   // holding them is authoritative.
 
-  private def statsRoot(dir: String) = new Path(dir, "_manifest/stats")
-  private def fullStatsPath(dir: String, v: Long) =
-    new Path(statsRoot(dir), f"v$v%06d.full.parquet")
-  private def incStatsPath(dir: String, v: Long) =
-    new Path(statsRoot(dir), f"v$v%06d.inc.parquet")
+  // Sidecar plumbing shared by the STATS ("stats") and BLOOM ("bloom")
+  // metadata families: both store per-file rows keyed by manifest REF
+  // under `_manifest/<kind>/`, a FULL sidecar at backfill plus an
+  // INCREMENTAL sidecar per commit bounded by the commit's own files,
+  // resolved newest-full + tail like the manifest itself.
+  private def sidecarRoot(dir: String, kind: String) =
+    new Path(dir, s"_manifest/$kind")
+  private def fullSidecarPath(dir: String, kind: String, v: Long) =
+    new Path(sidecarRoot(dir, kind), f"v$v%06d.full.parquet")
+  private def incSidecarPath(dir: String, kind: String, v: Long) =
+    new Path(sidecarRoot(dir, kind), f"v$v%06d.inc.parquet")
 
-  private def listStatsSidecars(fs: FileSystem, dir: String): Seq[(Long, Boolean)] = {
-    val sr = statsRoot(dir)
+  private def listSidecars(fs: FileSystem, dir: String,
+      kind: String): Seq[(Long, Boolean)] = {
+    val sr = sidecarRoot(dir, kind)
     if (!fs.exists(sr)) return Nil
     fs.listStatus(sr).map(_.getPath.getName).toSeq.collect {
       case n if n.matches("v\\d+\\.full\\.parquet") =>
@@ -835,18 +842,66 @@ object Versioned {
     }.sorted
   }
 
+  /** The ref-keyed sidecar rows covering exactly version `v`'s live
+    * files (newest full at or below `v` + incremental tail, deduped —
+    * a file's sidecar rows are immutable facts about an immutable
+    * file). None when the lake has no `kind` sidecar at or below `v`;
+    * refuses on broken coverage (a live file missing, or per-file
+    * column sets diverging). */
+  private def resolveSidecarRefs(spark: SparkSession, dir: String,
+      kind: String, v: Long): Option[DataFrame] = {
+    val live = filesAt(spark, dir, v)
+    val fs = fsOf(spark, dir)
+    val sidecars = listSidecars(fs, dir, kind)
+    val fulls = sidecars.collect { case (sv, true) if sv <= v => sv }
+    if (fulls.isEmpty) return None
+    val base = fulls.max
+    val parts = fullSidecarPath(dir, kind, base).toString +:
+      sidecars.collect { case (sv, false) if sv > base && sv <= v =>
+        incSidecarPath(dir, kind, sv).toString }
+    val raw = spark.read.parquet(parts: _*).dropDuplicates("file", "col")
+    val liveDf = spark.createDataFrame(live.map(Tuple1(_))).toDF("__live_ref")
+    val filtered = raw.join(liveDf, raw("file") === col("__live_ref"), "left_semi")
+    // coverage: every live file present, uniform per-file column count
+    val perFile = filtered.groupBy("file").count().collect()
+    val colSets = perFile.map(_.getLong(1)).distinct
+    require(perFile.length == live.size && colSets.length <= 1,
+      s"$kind sidecars do not cover version $v of $dir " +
+        s"(${live.size - perFile.length} of ${live.size} files missing, " +
+        s"${colSets.length} distinct column-set sizes): backfill to " +
+        "re-establish coverage")
+    Some(filtered)
+  }
+
+  /** Ref→absolute-path mapping frame for joining sidecar rows to the
+    * skip/bloom pruning machinery (which keys by full path). */
+  private def refAbsMap(spark: SparkSession, dir: String,
+      refs: Seq[String]): DataFrame =
+    spark.createDataFrame(
+        refs.map(r => (r, SkipIndex.normalizePath(refPath(dir, r)))))
+      .toDF("__ref", "__abs")
+
+  /** The newest `kind` sidecar at or below `v`, if any — how commits
+    * inherit a discipline's parameters. */
+  private def newestSidecarAt(spark: SparkSession, dir: String,
+      kind: String, v: Long): Option[DataFrame] = {
+    val fs = fsOf(spark, dir)
+    listSidecars(fs, dir, kind).filter(_._1 <= v).sortBy(-_._1).headOption
+      .map { case (sv, isFull) =>
+        val p = if (isFull) fullSidecarPath(dir, kind, sv)
+                else incSidecarPath(dir, kind, sv)
+        spark.read.parquet(p.toString)
+      }
+  }
+
   /** The column set this lake's stats sidecars track (decided by the
     * newest sidecar at or below `v`; empty = no stats discipline). */
   private def inheritedStatsCols(spark: SparkSession, dir: String,
-      v: Long): Seq[String] = {
-    val fs = fsOf(spark, dir)
-    listStatsSidecars(fs, dir).filter(_._1 <= v).sortBy(-_._1).headOption
-      .map { case (sv, isFull) =>
-        val p = if (isFull) fullStatsPath(dir, sv) else incStatsPath(dir, sv)
-        spark.read.parquet(p.toString).select("col").distinct()
-          .collect().map(_.getString(0)).toSeq.sorted
-      }.getOrElse(Nil)
-  }
+      v: Long): Seq[String] =
+    newestSidecarAt(spark, dir, "stats", v)
+      .map(_.select("col").distinct()
+        .collect().map(_.getString(0)).toSeq.sorted)
+      .getOrElse(Nil)
 
   /** One distributed footer pass over `refs`, written as a sidecar
     * keyed by manifest REF (relative path — the lake can move; foreign
@@ -877,7 +932,24 @@ object Versioned {
       if (statsCols.nonEmpty) statsCols
       else inheritedStatsCols(spark, dir, prevV)
     if (cols.nonEmpty && newRefs.nonEmpty)
-      writeStatsSidecar(spark, dir, incStatsPath(dir, prevV + 1), newRefs, cols)
+      writeStatsSidecar(spark, dir, incSidecarPath(dir, "stats", prevV + 1),
+        newRefs, cols)
+    maybeWriteIncBlooms(spark, dir, prevV, newRefs)
+  }
+
+  /** Bloom inheritance twin of the stats hook: once the lake has a
+    * bloom sidecar, every commit extends coverage for its own new
+    * files with the same (cols, expectedPerFile, fpp) parameters. */
+  private def maybeWriteIncBlooms(spark: SparkSession, dir: String,
+      prevV: Long, newRefs: Seq[String]): Unit = {
+    if (newRefs.isEmpty) return
+    newestSidecarAt(spark, dir, "bloom", prevV).foreach { prev =>
+      val head = prev.select("expected", "fpp").head()
+      val cols = prev.select("col").distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
+      writeBloomSidecar(spark, dir, incSidecarPath(dir, "bloom", prevV + 1),
+        newRefs, cols, head.getLong(0), head.getDouble(1))
+    }
   }
 
   /** Bootstrap (or re-establish) commit-time stats: one distributed
@@ -891,7 +963,7 @@ object Versioned {
     require(cols.nonEmpty, "backfillStats needs at least one column")
     val v = if (version >= 0) version else currentVersion(spark, dir)
     require(v >= 0, s"no manifest in $dir — call init() first")
-    writeStatsSidecar(spark, dir, fullStatsPath(dir, v),
+    writeStatsSidecar(spark, dir, fullSidecarPath(dir, "stats", v),
       filesAt(spark, dir, v), cols)
     v
   }
@@ -905,33 +977,13 @@ object Versioned {
     * a uniform column set — [[backfillStats]] establishes or repairs. */
   def statsAt(spark: SparkSession, dir: String, version: Long = -1L): DataFrame = {
     val v = if (version >= 0) version else currentVersion(spark, dir)
-    val live = filesAt(spark, dir, v)
-    val fs = fsOf(spark, dir)
-    val sidecars = listStatsSidecars(fs, dir)
-    val fulls = sidecars.collect { case (sv, true) if sv <= v => sv }
-    require(fulls.nonEmpty,
-      s"no stats sidecar at or below version $v of $dir: backfillStats() first")
-    val base = fulls.max
-    val parts = fullStatsPath(dir, base).toString +:
-      sidecars.collect { case (sv, false) if sv > base && sv <= v =>
-        incStatsPath(dir, sv).toString }
-    val raw = spark.read.parquet(parts: _*).dropDuplicates("file", "col")
-    val mapDf = spark.createDataFrame(
-        live.map(r => (r, SkipIndex.normalizePath(refPath(dir, r)))))
-      .toDF("ref", "abs")
-    val idx = raw.join(mapDf, raw("file") === mapDf("ref"))
-      .select(mapDf("abs").as("file"), raw("col").as("col"),
+    val raw = resolveSidecarRefs(spark, dir, "stats", v).getOrElse(
+      throw new IllegalArgumentException(
+        s"no stats sidecar at or below version $v of $dir: backfillStats() first"))
+    val mapDf = refAbsMap(spark, dir, filesAt(spark, dir, v))
+    raw.join(mapDf, raw("file") === mapDf("__ref"))
+      .select(mapDf("__abs").as("file"), raw("col").as("col"),
         raw("lo").as("lo"), raw("hi").as("hi"), raw("rows").as("rows"))
-    // coverage: every live file present, uniform per-file column count
-    // (ONE job: the per-file counts are |files| rows)
-    val perFile = idx.groupBy("file").count().collect()
-    val colSets = perFile.map(_.getLong(1)).distinct
-    require(perFile.length == live.size && colSets.length <= 1,
-      s"stats do not cover version $v of $dir " +
-        s"(${live.size - perFile.length} of ${live.size} files missing, " +
-        s"${colSets.length} distinct column-set sizes): backfillStats() " +
-        "re-establishes coverage")
-    idx
   }
 
   /** Multi-predicate pruned read served ENTIRELY from commit-time
@@ -950,6 +1002,79 @@ object Versioned {
     applyTombstones(spark, dir, v,
       SkipIndex.prunedReadMultiFiles(spark, dir, statsAt(spark, dir, v),
         preds, files.map(f => s"$dir/$f")))
+  }
+
+  /** Build + write a bloom sidecar for `refs` (one scan of exactly
+    * those files), keyed by manifest REF with the sizing parameters
+    * stored per row so commits can inherit them. */
+  private def writeBloomSidecar(spark: SparkSession, dir: String,
+      dst: Path, refs: Seq[String], cols: Seq[String],
+      expectedPerFile: Long, fpp: Double): Unit = {
+    require(!refs.exists(refIsForeign),
+      "bloom sidecars need a single basePath: OPTIMIZE the clone first " +
+        "to localize its foreign file references")
+    val built = BloomIndex.buildForFiles(spark, dir,
+      refs.map(r => s"$dir/$r"), cols, expectedPerFile, fpp)
+    val mapDf = refAbsMap(spark, dir, refs)
+    built.join(mapDf,
+        regexp_replace(built("file"), "^file:/+", "/") === mapDf("__abs"))
+      .select(mapDf("__ref").as("file"), built("col").as("col"),
+        built("bloom").as("bloom"), built("rows").as("rows"),
+        lit(expectedPerFile).as("expected"), lit(fpp).as("fpp"))
+      .coalesce(1).write.mode("overwrite").parquet(dst.toString)
+  }
+
+  /** Bootstrap (or re-establish) COMMIT-TIME BLOOM FILTERS — the
+    * point-lookup twin of [[backfillStats]] (Delta writes bloom
+    * filters at write time; Iceberg ships them as Puffin files): one
+    * scan builds a per-file bloom over `cols` for every file live at
+    * `version`, stored as that version's FULL bloom sidecar; every
+    * later commit extends coverage for its own new files with the
+    * same parameters, so [[bloomPrunedReadIn]] serves IN/point
+    * lookups with NO index build or refresh step ever again. */
+  def backfillBlooms(spark: SparkSession, dir: String, cols: Seq[String],
+      expectedPerFile: Long = 100000L, fpp: Double = 0.01,
+      version: Long = -1L): Long = {
+    require(cols.nonEmpty, "backfillBlooms needs at least one column")
+    val v = if (version >= 0) version else currentVersion(spark, dir)
+    require(v >= 0, s"no manifest in $dir — call init() first")
+    writeBloomSidecar(spark, dir, fullSidecarPath(dir, "bloom", v),
+      filesAt(spark, dir, v), cols, expectedPerFile, fpp)
+    v
+  }
+
+  /** The bloom index live at `version` — (file = full path, col,
+    * bloom, rows), exactly [[filesAt]]'s files, resolved newest-full +
+    * incremental tail. Time-travels; refuses on broken coverage. */
+  def bloomsAt(spark: SparkSession, dir: String, version: Long = -1L): DataFrame = {
+    val v = if (version >= 0) version else currentVersion(spark, dir)
+    val raw = resolveSidecarRefs(spark, dir, "bloom", v).getOrElse(
+      throw new IllegalArgumentException(
+        s"no bloom sidecar at or below version $v of $dir: backfillBlooms() first"))
+    val mapDf = refAbsMap(spark, dir, filesAt(spark, dir, v))
+    raw.join(mapDf, raw("file") === mapDf("__ref"))
+      .select(mapDf("__abs").as("file"), raw("col").as("col"),
+        raw("bloom").as("bloom"), raw("rows").as("rows"))
+  }
+
+  /** Equality/IN-list pruned read served ENTIRELY from commit-time
+    * blooms — the [[statsPrunedRead]] twin for point lookups on
+    * unclustered high-cardinality keys (where min/max boxes prune
+    * nothing): no build, no refresh, the filters were written by the
+    * commits that created the files. Residual IN filter + MOR
+    * tombstones apply on the survivors — false positives cost a file
+    * open, never a wrong row. */
+  def bloomPrunedReadIn(spark: SparkSession, dir: String, c: String,
+      probes: Seq[org.apache.spark.sql.Column],
+      version: Long = -1L): DataFrame = {
+    val v = if (version >= 0) version else currentVersion(spark, dir)
+    val files = filesAt(spark, dir, v)
+    require(!files.exists(refIsForeign),
+      "pruned reads need a single basePath: OPTIMIZE the clone first " +
+        "to localize its foreign file references")
+    applyTombstones(spark, dir, v,
+      BloomIndex.prunedReadInFiles(spark, dir, bloomsAt(spark, dir, v),
+        c, probes, files.map(f => s"$dir/$f")))
   }
 
   /** Metadata-only MIN/MAX of a tracked column at a version, served
@@ -1590,30 +1715,33 @@ object Versioned {
       require(fs.rename(tmp, dst), s"checkpoint rewrite failed for $dst")
       fs.delete(deltaPath(dir, keepFrom), false)
     }
-    // stats sidecars follow the manifest retention: if the base FULL
-    // sidecar would fall outside it, re-base an equivalent full at
-    // keepFrom ASSEMBLED from the existing sidecars (metadata-only —
-    // file stats are immutable, so no footer is ever re-read), then
+    // stats AND bloom sidecars follow the manifest retention: if a
+    // family's base FULL sidecar would fall outside it, re-base an
+    // equivalent full at keepFrom ASSEMBLED from the existing sidecars
+    // (metadata-only — a file's sidecar rows are immutable facts about
+    // an immutable file, so nothing is ever re-read or re-built), then
     // drop pre-retention sidecars. A lake with broken/no coverage just
-    // loses the stale sidecars (backfillStats re-establishes).
-    val sidecars = listStatsSidecars(fs, dir)
-    if (sidecars.nonEmpty) {
-      val fullsBelow = sidecars.collect { case (sv, true) if sv <= keepFrom => sv }
-      if (fullsBelow.nonEmpty && fullsBelow.max < keepFrom) {
-        val live = filesAt(spark, dir, keepFrom)
-        val base = fullsBelow.max
-        val parts = fullStatsPath(dir, base).toString +:
-          sidecars.collect { case (sv, false) if sv > base && sv <= keepFrom =>
-            incStatsPath(dir, sv).toString }
-        val liveDf = spark.createDataFrame(live.map(Tuple1(_))).toDF("ref")
-        spark.read.parquet(parts: _*).dropDuplicates("file", "col")
-          .join(liveDf, col("file") === col("ref"), "left_semi")
-          .coalesce(1).write.mode("overwrite")
-          .parquet(fullStatsPath(dir, keepFrom).toString)
-      }
-      sidecars.filter(_._1 < keepFrom).foreach { case (sv, isFull) =>
-        fs.delete(if (isFull) fullStatsPath(dir, sv) else incStatsPath(dir, sv),
-          true)
+    // loses the stale sidecars (the family's backfill re-establishes).
+    Seq("stats", "bloom").foreach { kind =>
+      val sidecars = listSidecars(fs, dir, kind)
+      if (sidecars.nonEmpty) {
+        val fullsBelow = sidecars.collect { case (sv, true) if sv <= keepFrom => sv }
+        if (fullsBelow.nonEmpty && fullsBelow.max < keepFrom) {
+          val live = filesAt(spark, dir, keepFrom)
+          val base = fullsBelow.max
+          val parts = fullSidecarPath(dir, kind, base).toString +:
+            sidecars.collect { case (sv, false) if sv > base && sv <= keepFrom =>
+              incSidecarPath(dir, kind, sv).toString }
+          val liveDf = spark.createDataFrame(live.map(Tuple1(_))).toDF("ref")
+          spark.read.parquet(parts: _*).dropDuplicates("file", "col")
+            .join(liveDf, col("file") === col("ref"), "left_semi")
+            .coalesce(1).write.mode("overwrite")
+            .parquet(fullSidecarPath(dir, kind, keepFrom).toString)
+        }
+        sidecars.filter(_._1 < keepFrom).foreach { case (sv, isFull) =>
+          fs.delete(if (isFull) fullSidecarPath(dir, kind, sv)
+            else incSidecarPath(dir, kind, sv), true)
+        }
       }
     }
     val referenced = (keepFrom to cur)

@@ -291,8 +291,10 @@ object LakeQueries {
             .write.partitionBy("event_type").parquet(lake)
           Versioned.init(s, lake)
           Versioned.backfillStats(s, lake, Seq("user_id", "value"))
+          Versioned.backfillBlooms(s, lake, Seq("event_id"),
+            expectedPerFile = 200000L, fpp = 0.01)
           val Seq(b0, _, _) = cdcPayload(base)
-          // NO statsCols passed: the commit inherits the discipline
+          // NO statsCols passed: the commit inherits BOTH disciplines
           Versioned.mergeInto(s, lake, b0, Seq("event_type"),
             Seq("event_id"))
           Versioned.optimize(s, lake, Seq("event_type"),
@@ -2665,6 +2667,60 @@ object LakeQueries {
                        ('v2', 'append', false), ('v3', 'append', false))
             AS h(et, op, ck))
         ORDER BY 1, 2"""),
-      "governed streaming ingest capstone: constraint + stats + txn-marked streamed appends + followed sink == recompute; history operations == constant oracle; metadata answers require()d")
+      "governed streaming ingest capstone: constraint + stats + txn-marked streamed appends + followed sink == recompute; history operations == constant oracle; metadata answers require()d"),
+
+    // ---------------------------------------------------------------
+    // COMMIT-TIME BLOOM FILTERS (Delta's write-time blooms / Iceberg
+    // Puffin): the stats fixture also carries a bloom discipline on
+    // event_id — the unclustered high-cardinality key whose min/max
+    // boxes prune nothing — backfilled ONCE at v0 and inherited by the
+    // merge (v1) and the ZORDER re-cluster (v2). Point/IN lookups are
+    // served with NO index build or refresh anywhere in this query.
+    // Probes hit updated keys (40, 100 — %10==0, st1 doubles their
+    // value; present in click/view at every SF), kept keys (59, 86),
+    // and a merge-inserted shifted key (10000302, present at sf0.1)
+    // that only the v1/v2 commits' OWN bloom sidecars can know.
+    // Legs: lookups at v1 (merge-shaped files) and v2 (z-clustered
+    // files) == the st1 IN-filter oracle.
+    // ---------------------------------------------------------------
+    Q("q182_commit_time_blooms",
+      (s, dir) => {
+        val lake = statsLakeFixture(s, dir)
+        val probes = Seq(lit(40L), lit(100L), lit(59L), lit(86L),
+          lit(10000302L))
+        // the shifted insert's probe must actually skip base files:
+        // only the merge commit's own files can hold it
+        require(BloomIndex.candidateFilesIn(s,
+            Versioned.bloomsAt(s, lake, 1L), "event_id",
+            Seq(lit(10000302L))).size <
+          Versioned.filesAt(s, lake, 1L).size,
+          "commit-time blooms must prune the unclustered key lookup")
+        def leg(v: Long, src: String) =
+          Versioned.bloomPrunedReadIn(s, lake, "event_id", probes, v)
+            .select(lit(src).as("src"), col("event_id"), col("event_type"),
+              col("user_id"), round(col("value"), 4).as("value_r"))
+        leg(1L, "v1").unionByName(leg(2L, "v2"))
+          .orderBy("src", "event_id", "event_type", "user_id")
+      },
+      Some("""
+        WITH t AS (SELECT event_type, user_id, event_id, value FROM events
+                   WHERE event_type IN ('click','view')),
+        st1 AS (
+          SELECT event_type, user_id, event_id,
+                 CASE WHEN event_id % 10 = 0 THEN value * 2 ELSE value END AS value
+          FROM t WHERE event_id % 10 <> 1
+          UNION ALL
+          SELECT event_type, user_id, event_id + 10000000, value + 1
+          FROM t WHERE event_id % 100 = 2),
+        hit AS (SELECT * FROM st1
+                WHERE event_id IN (40, 100, 59, 86, 10000302))
+        SELECT 'v1' AS src, event_id, event_type, user_id,
+               round(value::DOUBLE, 4) AS value_r
+        FROM hit
+        UNION ALL
+        SELECT 'v2', event_id, event_type, user_id, round(value::DOUBLE, 4)
+        FROM hit
+        ORDER BY 1, 2, 3, 4"""),
+      "commit-time blooms: backfill once, merge and ZORDER commits inherit; point lookups at both layouts == IN-filter oracle with zero index builds")
   )
 }

@@ -1043,6 +1043,55 @@ class VersionedSpec extends SparkSpec {
       Seq("append", "append", "init"))
   }
 
+  test("commit-time blooms: backfill once, commits inherit sizing; point lookups == IN filter at every version; vacuum re-bases") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_blooms").toFile
+    dir.deleteOnExit()
+    val root = dir.getAbsolutePath
+    df((1L to 40L).map(i => (if (i % 2 == 0) "a" else "b", i, i.toDouble)),
+      "site", "id", "v")
+      .repartition(4)
+      .write.mode("overwrite").partitionBy("site").parquet(root)
+    Versioned.init(spark, root)
+    val e0 = intercept[IllegalArgumentException] { Versioned.bloomsAt(spark, root) }
+    assert(e0.getMessage.contains("backfillBlooms"))
+
+    assert(Versioned.backfillBlooms(spark, root, Seq("id"),
+      expectedPerFile = 100L, fpp = 0.01) == 0L)
+    // a merge with NO parameters inherits cols AND sizing
+    Versioned.mergeInto(spark, root,
+      df(Seq(("a", 50L, 50.0, false), ("a", 2L, 100.0, false)),
+        "site", "id", "v", "__delete"),
+      Seq("site"), Seq("site", "id"))
+    val incFiles = spark.read.parquet(
+        s"$root/_manifest/bloom/v000001.inc.parquet")
+      .select("file").distinct().count()
+    val newAtV1 = (Versioned.filesAt(spark, root, 1L).toSet --
+      Versioned.filesAt(spark, root, 0L).toSet).size
+    assert(incFiles == newAtV1.toLong,
+      "bloom inc sidecar must cover exactly the commit's own files")
+
+    def lookup(v: Long, ids: Long*): Map[Long, Double] =
+      Versioned.bloomPrunedReadIn(spark, root, "id",
+          ids.map(lit(_)), v)
+        .select("id", "v").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(lookup(1L, 2L, 50L, 777L) == Map(2L -> 100.0, 50L -> 50.0))
+    // time travel: v0's blooms serve v0 — the updated row reads its
+    // ORIGINAL value, the inserted key is absent
+    assert(lookup(0L, 2L, 50L) == Map(2L -> 2.0))
+    // the inserted key's probe actually skips the base files
+    assert(BloomIndex.candidateFilesIn(spark,
+        Versioned.bloomsAt(spark, root, 1L), "id", Seq(lit(50L))).size <
+      Versioned.filesAt(spark, root, 1L).size)
+
+    // optimize inherits too; vacuum re-bases the family
+    Versioned.optimize(spark, root, Seq("site"))
+    assert(lookup(2L, 2L, 50L) == Map(2L -> 100.0, 50L -> 50.0))
+    Versioned.vacuum(spark, root, keepVersions = 2)
+    assert(lookup(1L, 50L) == Map(50L -> 50.0))
+    assert(lookup(2L, 2L, 50L, 777L) == Map(2L -> 100.0, 50L -> 50.0))
+  }
+
   test("CHECK constraints: add validates existing data; merge/append enforced pre-write; NULL passes; drop lifts; survives vacuum") {
     val dir = freshLake() // (a,1,1.0), (a,2,2.0), (b,10,10.0)
     Versioned.init(spark, dir)
