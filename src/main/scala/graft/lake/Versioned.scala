@@ -542,6 +542,12 @@ object Versioned {
     require(missing.isEmpty,
       s"cannot restore $dir to version $toVersion: ${missing.size} of its " +
         s"files were vacuumed (first: ${missing.headOption.getOrElse("")})")
+    // constraints survive a restore (protocol rules, not data, outlive
+    // a rollback) — so the TARGET data must satisfy the CURRENT rules:
+    // a constraint added after toVersion never validated those rows,
+    // and skipping this check would commit a table in violation
+    enforceConstraints(spark, dir, v, snapshot(spark, dir, toVersion),
+      s"restore to version $toVersion")
     changeFeed.foreach { case (fd, batchId) =>
       require(rowKey.nonEmpty, "restore with changeFeed needs rowKey")
       // align schemas (evolution may have added columns after

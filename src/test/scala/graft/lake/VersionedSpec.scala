@@ -1161,5 +1161,20 @@ class VersionedSpec extends SparkSpec {
       df(Seq(("a", 7L, -3.0)), "site", "id", "v"), Seq("site"))
     assert(state(Versioned.snapshot(spark, dir))
       .contains(("a", 7L, -3.0)))
+
+    // RESTORE re-validates against the CURRENT rules: the negative row
+    // is live now, so re-adding the constraint is refused — and after
+    // deleting the row and adding the rule, restoring to the
+    // violating state is refused too (a rollback must not commit a
+    // table in violation)
+    val vNeg = Versioned.currentVersion(spark, dir)
+    Versioned.mergeInto(spark, dir,
+      df(Seq(("a", 7L, 0.0, true)), "site", "id", "v", "__delete"),
+      Seq("site"), Seq("site", "id"))
+    Versioned.addConstraint(spark, dir, "v_nonneg2", "v >= 0")
+    val eR = intercept[IllegalArgumentException] {
+      Versioned.restore(spark, dir, vNeg)
+    }
+    assert(eR.getMessage.contains("v_nonneg2"))
   }
 }
