@@ -64,16 +64,19 @@ object StreamingTableFollow {
     val cur = Versioned.currentVersion(spark, tableDir)
     if (cur < 0) return None
     var hw = readHw(spark, checkpoint)
+    var served: Option[(Long, Long)] = None
     if (hw < 0) {
       process(Versioned.snapshot(spark, tableDir, 0L), -1L, 0L)
       hw = 0L
       writeHw(spark, checkpoint, hw)
+      served = Some((-1L, 0L))
     }
     if (cur > hw) {
       process(Versioned.appendsBetween(spark, tableDir, hw, cur), hw, cur)
       writeHw(spark, checkpoint, cur)
-      Some((hw, cur))
-    } else if (hw == 0L && cur == 0L) Some((-1L, 0L)) else None
+      served = Some((served.map(_._1).getOrElse(hw), cur))
+    }
+    served
   }
 
   /** Start following `tableDir`. The notification stream reads only
