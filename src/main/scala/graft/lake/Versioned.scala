@@ -123,24 +123,64 @@ object Versioned {
     finally in.close()
   }
 
+  /** The highest `#ver` reader-protocol level this build understands.
+    * Level 0 = the base protocol (manifests without `#ver`); level 1
+    * adds the `#cdf` change-feed table property; level 2 adds `#ren`/
+    * `#dropcol` column mapping. A manifest demanding a higher level is
+    * REFUSED (naming its features) instead of silently misread — the
+    * Delta reader/writer-version discipline: `#cdf` and `#ren` are
+    * SEMANTICS-BEARING meta, and an old build that ignored them would
+    * skip feed emission (silent CDF hole) or read renamed columns
+    * under their physical names (silently wrong schema). */
+  val SupportedProtocol = 2
+
+  private def b64e(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+  private def b64d(s: String): String =
+    new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
+
   /** Commit metadata carried in every manifest: the commit timestamp,
     * the FULL per-stream txn high-water map, the pending
-    * equality-delete tombstone files, and the table's CHECK
-    * constraints (name → SQL expression, base64-armored so arbitrary
-    * expressions round-trip one meta line each). Meta lines precede
-    * file lines. */
+    * equality-delete tombstone files, the table's CHECK constraints
+    * (name → SQL expression, base64-armored so arbitrary expressions
+    * round-trip one meta line each), the change-feed table property
+    * (feed dir + row identity), and the column-mapping state (logical→
+    * physical renames, dropped physical names). Meta lines precede
+    * file lines. The `#ver` line is DERIVED at render time from the
+    * features present (plus a carried floor), so a manifest can never
+    * understate what its meta demands of a reader. */
   private[lake] final case class CommitMeta(ts: Option[Long],
       txns: Map[String, Long], dels: Seq[String],
       chks: Map[String, String] = Map.empty,
-      op: Option[String] = None) {
-    def render: Seq[String] =
-      ts.map(t => s"#ts $t").toSeq ++
+      op: Option[String] = None,
+      verFloor: Int = 0,
+      cdf: Option[Seq[String]] = None,
+      cdfInc: Option[String] = None,
+      renames: Map[String, String] = Map.empty,
+      droppedCols: Seq[String] = Nil) {
+    /** (required reader level, feature names) demanded by this meta. */
+    def protocol: (Int, Seq[String]) = {
+      val fs = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+      if (cdf.isDefined) fs += ((1, "change-feed"))
+      if (renames.nonEmpty || droppedCols.nonEmpty) fs += ((2, "column-mapping"))
+      val v = (verFloor +: fs.map(_._1).toSeq).max
+      (v, fs.map(_._2).toSeq)
+    }
+    def render: Seq[String] = {
+      val (v, feats) = protocol
+      (if (v > 0) Seq(s"#ver $v" +
+        (if (feats.nonEmpty) " " + feats.mkString(",") else "")) else Nil) ++
+        ts.map(t => s"#ts $t").toSeq ++
         op.map(o => s"#op $o").toSeq ++
         txns.toSeq.sortBy(_._1).map { case (id, b) => s"#txn $id $b" } ++
         dels.sorted.map(d => s"#del $d") ++
-        chks.toSeq.sortBy(_._1).map { case (n, e) =>
-          s"#chk $n " + java.util.Base64.getEncoder
-            .encodeToString(e.getBytes("UTF-8")) }
+        chks.toSeq.sortBy(_._1).map { case (n, e) => s"#chk $n ${b64e(e)}" } ++
+        cdf.map(key => s"#cdf ${b64e(key.mkString(","))}").toSeq ++
+        cdfInc.map(rel => s"#cdfinc $rel").toSeq ++
+        renames.toSeq.sortBy(_._1).map { case (l, p) =>
+          s"#ren ${b64e(l)} ${b64e(p)}" } ++
+        droppedCols.sorted.map(c => s"#dropcol ${b64e(c)}")
+    }
   }
   private[lake] object CommitMeta {
     val empty: CommitMeta = CommitMeta(None, Map.empty, Nil)
@@ -152,10 +192,20 @@ object Versioned {
     val dels = scala.collection.mutable.ArrayBuffer.empty[String]
     val chks = scala.collection.mutable.LinkedHashMap.empty[String, String]
     var op: Option[String] = None
+    var ver = 0
+    var verFeats: Seq[String] = Nil
+    var cdf: Option[Seq[String]] = None
+    var cdfInc: Option[String] = None
+    val rens = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val drops = scala.collection.mutable.ArrayBuffer.empty[String]
     lines.takeWhile(_.startsWith("#")).foreach { l =>
       if (l.startsWith("#ts ")) ts = Some(l.stripPrefix("#ts ").trim.toLong)
       else if (l.startsWith("#op ")) op = Some(l.stripPrefix("#op ").trim)
-      else if (l.startsWith("#txn ")) {
+      else if (l.startsWith("#ver ")) {
+        val toks = l.stripPrefix("#ver ").trim.split(' ')
+        ver = toks(0).toInt
+        verFeats = if (toks.length > 1) toks(1).split(',').toSeq else Nil
+      } else if (l.startsWith("#txn ")) {
         // the batch id is the LAST token; everything before it is the
         // txn id (ids with spaces round-trip)
         val toks = l.stripPrefix("#txn ").trim.split(' ')
@@ -163,11 +213,31 @@ object Versioned {
       } else if (l.startsWith("#del ")) dels += l.stripPrefix("#del ").trim
       else if (l.startsWith("#chk ")) {
         val toks = l.stripPrefix("#chk ").trim.split(' ')
-        chks(toks.init.mkString(" ")) = new String(
-          java.util.Base64.getDecoder.decode(toks.last), "UTF-8")
+        chks(toks.init.mkString(" ")) = b64d(toks.last)
+      } else if (l.startsWith("#cdf ")) {
+        cdf = Some(b64d(l.stripPrefix("#cdf ").trim)
+          .split(',').toSeq.filter(_.nonEmpty))
+      } else if (l.startsWith("#cdfinc ")) {
+        cdfInc = Some(l.stripPrefix("#cdfinc ").trim)
+      } else if (l.startsWith("#ren ")) {
+        val toks = l.stripPrefix("#ren ").trim.split(' ')
+        rens(b64d(toks(0))) = b64d(toks(1))
+      } else if (l.startsWith("#dropcol ")) {
+        drops += b64d(l.stripPrefix("#dropcol ").trim)
       }
     }
-    CommitMeta(ts, txns.toMap, dels.toSeq, chks.toMap, op)
+    // the protocol guard: refuse a manifest demanding a level this
+    // build does not implement, NAMING the features — proceeding would
+    // silently misread semantics-bearing meta (Delta's reader-version
+    // refusal). Manifests without #ver are level 0 (backward compat).
+    require(ver <= SupportedProtocol,
+      s"manifest requires reader protocol $ver" +
+        (if (verFeats.nonEmpty) s" (features: ${verFeats.mkString(", ")})"
+         else "") +
+        s"; this build supports up to $SupportedProtocol — upgrade the engine")
+    CommitMeta(ts, txns.toMap, dels.toSeq, chks.toMap, op,
+      verFloor = ver, cdf = cdf, cdfInc = cdfInc,
+      renames = rens.toMap, droppedCols = drops.toSeq)
   }
 
   private def metaAt(spark: SparkSession, dir: String, v: Long): CommitMeta =
@@ -184,7 +254,11 @@ object Versioned {
       dels: Seq[String], op: String = "commit"): CommitMeta = {
     val prev = if (prevV >= 0) metaAt(spark, dir, prevV) else CommitMeta.empty
     val ts = math.max(commitTs, prev.ts.getOrElse(Long.MinValue))
-    CommitMeta(Some(ts), prev.txns ++ newTxn.toMap, dels, prev.chks, Some(op))
+    // table properties (constraints, change feed, column mapping) and
+    // the protocol floor carry forward; op and dels are per-commit
+    CommitMeta(Some(ts), prev.txns ++ newTxn.toMap, dels, prev.chks, Some(op),
+      verFloor = prev.verFloor, cdf = prev.cdf, renames = prev.renames,
+      droppedCols = prev.droppedCols)
   }
 
   // Resolved-listing cache (Delta's snapshot cache): a committed
@@ -222,6 +296,11 @@ object Versioned {
     cacheGet(dir, v).getOrElse {
       val ms = listManifests(fs, dir)
       require(ms.exists(_._1 == v), s"version $v does not exist in $dir")
+      // protocol guard on EVERY resolution path, not just meta readers:
+      // parseMeta refuses a manifest demanding a reader level this
+      // build lacks (v's meta is the strictest in its own history —
+      // the #ver floor carries forward)
+      parseMeta(metaLinesAt(fs, dir, v))
       val base = ms.collect { case (mv, false) if mv <= v => mv }
         .foldLeft(-1L)(math.max)
       require(base >= 0,
@@ -344,6 +423,49 @@ object Versioned {
         buf += rel
     }
     buf.toSeq.sorted
+  }
+
+  /** Test seam: runs after a committing write path's data files land
+    * in the staging directory, before they move into the table — the
+    * window where a CONCURRENT writer's files appear in the shared
+    * partition directories. The staged-write discipline below must
+    * keep this writer's file identification immune to them. */
+  private[lake] var afterDataWriteHook: () => Unit = () => ()
+
+  /** Write `prepared` (already repartitioned/clustered by the caller)
+    * Hive-partitioned into `dir` via a WRITER-PRIVATE staging
+    * directory, then move each part file into its partition directory;
+    * returns exactly the relative paths THIS writer created.
+    *
+    * This is how a commit identifies its own files. The obvious
+    * alternative — diffing a before/after listing of the touched
+    * partition directories — is wrong under concurrency: with two
+    * writers on the same partition, A's diff captures B's data files
+    * written after B's Spark job but before B's manifest CAS, so A's
+    * manifest would publish B's possibly-uncommitted data (duplicates
+    * on B's replay, or stale rows if B aborts). Listing the private
+    * staging dir instead makes the identification exact by
+    * construction; the per-file rename is a metadata op on HDFS-like
+    * stores, and Spark's task-UUID part names make collisions with
+    * concurrent writers' files impossible. The staging dir is
+    * `_`-prefixed, so readers and [[listDataFiles]] never see it. */
+  private def writeStagedFiles(spark: SparkSession, fs: FileSystem,
+      dir: String, prepared: DataFrame, partitionKeys: Seq[String]): Seq[String] = {
+    val staging = new Path(dir,
+      "_staging_" + java.util.UUID.randomUUID().toString.take(8))
+    try {
+      prepared.write.mode("append").partitionBy(partitionKeys: _*)
+        .parquet(staging.toString)
+      val staged = listDataFiles(fs, staging, staging)
+      afterDataWriteHook()
+      staged.map { rel =>
+        val src = new Path(staging, rel)
+        val dst = new Path(dir, rel)
+        fs.mkdirs(dst.getParent)
+        require(fs.rename(src, dst), s"staged-file move failed: $src -> $dst")
+        rel
+      }
+    } finally fs.delete(staging, true)
   }
 
   private def writeManifestFile(fs: FileSystem, dst: Path,
@@ -550,50 +672,17 @@ object Versioned {
       s"restore to version $toVersion")
     changeFeed.foreach { case (fd, batchId) =>
       require(rowKey.nonEmpty, "restore with changeFeed needs rowKey")
-      // align schemas (evolution may have added columns after
-      // toVersion): each side gains the other's missing columns as
-      // typed nulls, so the diff compares the union schema
-      val cur0 = snapshot(spark, dir, v)
-      val tgt0 = snapshot(spark, dir, toVersion)
-      def align(d: DataFrame, other: DataFrame): DataFrame =
-        other.schema.fields.filterNot(f => d.columns.contains(f.name))
-          .foldLeft(d)((acc, f) => acc.withColumn(f.name, lit(null).cast(f.dataType)))
-      val cur = align(cur0, tgt0)
-      val tgt = align(tgt0, cur0).select(cur.columns.map(col): _*)
-      // rename the right side of every join — the two snapshots share
-      // file lineage (untouched partitions), which makes bare
-      // column-apply conditions a self-join ambiguity class
-      def tagged(d: DataFrame): DataFrame =
-        d.columns.foldLeft(d)((a, c) => a.withColumnRenamed(c, "__r_" + c))
-      def keyCond(l: DataFrame, r: DataFrame) =
-        rowKey.map(k => l(k) <=> r("__r_" + k)).reduce(_ && _)
-      val tgtT = tagged(tgt)
-      val curT = tagged(cur)
-      val dels = cur.join(tgtT, keyCond(cur, tgtT), "left_anti")
-        .withColumn("_action", lit("delete"))
-      val ins = tgt.join(curT, keyCond(tgt, curT), "left_anti")
-        .withColumn("_action", lit("insert"))
-      // a key-only table has no non-key columns, hence no update class
-      val nonKey = cur.columns.filterNot(rowKey.contains).toSeq
-      val changedPred =
-        if (nonKey.isEmpty) lit(false)
-        else nonKey.map(c => !(cur(c) <=> tgtT("__r_" + c))).reduce(_ || _)
-      val changedKeys = cur.join(tgtT, keyCond(cur, tgtT) && changedPred,
-          "inner")
-        .select(rowKey.map(cur(_)): _*).distinct()
-      val changedT = tagged(changedKeys)
-      def changedSide(d: DataFrame, action: String) =
-        d.join(changedT,
-            rowKey.map(k => d(k) <=> changedT("__r_" + k)).reduce(_ && _),
-            "left_semi")
-          .withColumn("_action", lit(action))
       graft.ops.MergeData.stageFeedIncrement(spark, fd, batchId,
-        dels.unionByName(ins)
-          .unionByName(changedSide(cur, "update_preimage"))
-          .unionByName(changedSide(tgt, "update_postimage")))
+        restoreDiff(spark, dir, v, toVersion, rowKey), v)
+    }
+    // table-property CDF: crash-atomic increment published by the CAS,
+    // keyed by the property's row identity
+    val autoInc = metaAt(spark, dir, v).cdf.map { key =>
+      writeChangeInc(spark, dir, restoreDiff(spark, dir, v, toVersion, key))
     }
     try writeCommit(fs, dir, v + 1, target, live,
-      carryMeta(spark, dir, v, commitTs, None, targetDels, "restore"))
+      carryMeta(spark, dir, v, commitTs, None, targetDels, "restore")
+        .copy(cdfInc = autoInc))
     catch { case e: Throwable =>
       changeFeed.foreach { case (fd, b) =>
         graft.ops.MergeData.discardStagedIncrement(spark, fd, b) }
@@ -602,6 +691,54 @@ object Versioned {
     changeFeed.foreach { case (fd, b) =>
       graft.ops.MergeData.promoteFeedIncrement(spark, fd, b) }
     v + 1
+  }
+
+  /** The ROW-LEVEL Delta-CDF diff of restoring `dir` from version `v`
+    * back to `toVersion`, classed by `rowKey` (keys only in the
+    * current state → delete, only in the target → insert, in both
+    * with changed rows → update_preimage/update_postimage — a feed
+    * batch replays as ONE merge batch, where a same-key delete+insert
+    * pair would collide). Aligns schemas across evolution (each side
+    * gains the other's missing columns as typed nulls). */
+  private def restoreDiff(spark: SparkSession, dir: String, v: Long,
+      toVersion: Long, rowKey: Seq[String]): DataFrame = {
+    val cur0 = snapshot(spark, dir, v)
+    val tgt0 = snapshot(spark, dir, toVersion)
+    def align(d: DataFrame, other: DataFrame): DataFrame =
+      other.schema.fields.filterNot(f => d.columns.contains(f.name))
+        .foldLeft(d)((acc, f) => acc.withColumn(f.name, lit(null).cast(f.dataType)))
+    val cur = align(cur0, tgt0)
+    val tgt = align(tgt0, cur0).select(cur.columns.map(col): _*)
+    // rename the right side of every join — the two snapshots share
+    // file lineage (untouched partitions), which makes bare
+    // column-apply conditions a self-join ambiguity class
+    def tagged(d: DataFrame): DataFrame =
+      d.columns.foldLeft(d)((a, c) => a.withColumnRenamed(c, "__r_" + c))
+    def keyCond(l: DataFrame, r: DataFrame) =
+      rowKey.map(k => l(k) <=> r("__r_" + k)).reduce(_ && _)
+    val tgtT = tagged(tgt)
+    val curT = tagged(cur)
+    val dels = cur.join(tgtT, keyCond(cur, tgtT), "left_anti")
+      .withColumn("_action", lit("delete"))
+    val ins = tgt.join(curT, keyCond(tgt, curT), "left_anti")
+      .withColumn("_action", lit("insert"))
+    // a key-only table has no non-key columns, hence no update class
+    val nonKey = cur.columns.filterNot(rowKey.contains).toSeq
+    val changedPred =
+      if (nonKey.isEmpty) lit(false)
+      else nonKey.map(c => !(cur(c) <=> tgtT("__r_" + c))).reduce(_ || _)
+    val changedKeys = cur.join(tgtT, keyCond(cur, tgtT) && changedPred,
+        "inner")
+      .select(rowKey.map(cur(_)): _*).distinct()
+    val changedT = tagged(changedKeys)
+    def changedSide(d: DataFrame, action: String) =
+      d.join(changedT,
+          rowKey.map(k => d(k) <=> changedT("__r_" + k)).reduce(_ && _),
+          "left_semi")
+        .withColumn("_action", lit(action))
+    dels.unionByName(ins)
+      .unionByName(changedSide(cur, "update_preimage"))
+      .unionByName(changedSide(tgt, "update_postimage"))
   }
 
   // ---- CHECK constraints (Delta's table constraints) --------------
@@ -708,78 +845,76 @@ object Versioned {
       case _ =>
     }
     val fs = fsOf(spark, dir)
-    val live = filesAt(spark, dir, v)
     val dels = deleteFilesAt(spark, dir, v)
-    enforceConstraints(spark, dir, v, rows, "append batch")
-    if (dels.nonEmpty) {
-      val tomb = spark.read.parquet(dels.map(d => s"$dir/$d"): _*)
-      val hit = rows.join(tomb, tomb.columns.toSeq
-        .map(k => rows(k) <=> tomb(k)).reduce(_ && _), "left_semi")
-      require(hit.isEmpty,
-        "append under a pending equality delete on the same key would " +
-          "hide the fresh rows: mergeInto handles the conflict, or " +
-          "materializeDeletes() first")
-    }
-    val touched = rows.select(partitionKeys.map(col): _*).distinct()
-      .collect().toSeq
-    require(touched.nonEmpty, "append got an empty batch")
-    val dirs = touched.map { r =>
-      partitionKeys.zipWithIndex.map { case (k, i) =>
-        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-          .getPartitionPathString(k, Option(r.get(i)).map(String.valueOf).orNull)
-      }.mkString("/")
-    }.toSet
-    val before = dirs.flatMap(d =>
-      listDataFiles(fs, new Path(dir), new Path(dir, d))).toSet
-    rows.repartition(partitionKeys.map(col): _*)
-      .write.mode("append").partitionBy(partitionKeys: _*).parquet(dir)
-    val after = dirs.flatMap(d =>
-      listDataFiles(fs, new Path(dir), new Path(dir, d))).toSet
-    val newFiles = (after -- before).toSeq.sorted
-    // blind appends COMMUTE: a lost manifest CAS never invalidates the
-    // already-written data files, so the retry is COMMIT-ONLY — re-read
-    // the winner's live list, re-check tombstone collisions against any
-    // new tombstones, CAS again. N concurrent ingest writers serialize
-    // at the manifest (one tiny metadata op each), never at the data —
-    // the property that makes a multi-writer firehose cheap.
-    var attempt = 1
-    var curV = v
-    var curDels = dels
-    var committed = -1L
-    while (committed < 0) {
-      beforeCommitHook()
-      try {
-        writeCommit(fs, dir, curV + 1, filesAt(spark, dir, curV) ++ newFiles,
-          filesAt(spark, dir, curV),
-          carryMeta(spark, dir, curV, commitTs, txn, curDels, "append"))
-        committed = curV + 1
-      } catch {
-        case e: IllegalArgumentException
-            if e.getMessage != null &&
-              e.getMessage.contains("concurrent commit") &&
-              attempt < maxAttempts =>
-          attempt += 1
-          curV = currentVersion(spark, dir)
-          txn match { // the winner may have been this txn's own replay
-            case Some((id, batchId)) if lastTxn(spark, dir, id) >= batchId =>
-              return curV
-            case _ =>
-          }
-          val newDels = deleteFilesAt(spark, dir, curV)
-          if (newDels != curDels && newDels.nonEmpty) {
-            val tomb = spark.read.parquet(newDels.map(d => s"$dir/$d"): _*)
-            val hit = rows.join(tomb, tomb.columns.toSeq
-              .map(k => rows(k) <=> tomb(k)).reduce(_ && _), "left_semi")
-            require(hit.isEmpty,
-              "append under a pending equality delete on the same key " +
-                "would hide the fresh rows: mergeInto handles the " +
-                "conflict, or materializeDeletes() first")
-          }
-          curDels = newDels
+    // the append consumes the batch up to four times (constraint
+    // aggregate, tombstone semi-join, empty check, write) — materialize
+    // it ONCE; it is bounded by batch size, never lake size, and a
+    // batch derived from an expensive upstream (a curation funnel)
+    // would otherwise recompute per consumption
+    val batch = rows.persist()
+    try {
+      val entryChks = metaAt(spark, dir, v).chks
+      enforceConstraints(spark, dir, v, batch, "append batch")
+      def checkTombstones(ds: Seq[String]): Unit = if (ds.nonEmpty) {
+        val tomb = spark.read.parquet(ds.map(d => s"$dir/$d"): _*)
+        val hit = batch.join(tomb, tomb.columns.toSeq
+          .map(k => batch(k) <=> tomb(k)).reduce(_ && _), "left_semi")
+        require(hit.isEmpty,
+          "append under a pending equality delete on the same key would " +
+            "hide the fresh rows: mergeInto handles the conflict, or " +
+            "materializeDeletes() first")
       }
-    }
-    maybeWriteIncStats(spark, dir, committed - 1, newFiles, statsCols)
-    committed
+      checkTombstones(dels)
+      require(!batch.isEmpty, "append got an empty batch")
+      val newFiles = writeStagedFiles(spark, fs, dir,
+        batch.repartition(partitionKeys.map(col): _*), partitionKeys)
+      // table-property CDF: a blind append's increment is its own rows
+      // as inserts; published by whichever CAS attempt wins below
+      val autoInc = metaAt(spark, dir, v).cdf.map { _ =>
+        writeChangeInc(spark, dir, batch.withColumn("_action", lit("insert")))
+      }
+      // blind appends COMMUTE: a lost manifest CAS never invalidates the
+      // already-written data files, so the retry is COMMIT-ONLY — re-read
+      // the winner's live list, re-check tombstone collisions against any
+      // new tombstones AND re-run any constraint the winner added (the
+      // batch was never validated against it), CAS again. N concurrent
+      // ingest writers serialize at the manifest (one tiny metadata op
+      // each), never at the data — the property that makes a
+      // multi-writer firehose cheap.
+      var attempt = 1
+      var curV = v
+      var curDels = dels
+      var committed = -1L
+      while (committed < 0) {
+        beforeCommitHook()
+        try {
+          writeCommit(fs, dir, curV + 1, filesAt(spark, dir, curV) ++ newFiles,
+            filesAt(spark, dir, curV),
+            carryMeta(spark, dir, curV, commitTs, txn, curDels, "append")
+              .copy(cdfInc = autoInc))
+          committed = curV + 1
+        } catch {
+          case e: IllegalArgumentException
+              if e.getMessage != null &&
+                e.getMessage.contains("concurrent commit") &&
+                attempt < maxAttempts =>
+            attempt += 1
+            curV = currentVersion(spark, dir)
+            txn match { // the winner may have been this txn's own replay
+              case Some((id, batchId)) if lastTxn(spark, dir, id) >= batchId =>
+                return curV
+              case _ =>
+            }
+            if (metaAt(spark, dir, curV).chks != entryChks)
+              enforceConstraints(spark, dir, curV, batch, "append batch (retry)")
+            val newDels = deleteFilesAt(spark, dir, curV)
+            if (newDels != curDels) checkTombstones(newDels)
+            curDels = newDels
+        }
+      }
+      maybeWriteIncStats(spark, dir, committed - 1, newFiles, statsCols)
+      committed
+    } finally batch.unpersist()
   }
 
   /** Rows ADDED between two versions (`fromV` exclusive → `toV`
@@ -806,6 +941,149 @@ object Versioned {
     val added = to.filterNot(from)
     if (added.isEmpty) snapshot(spark, dir, toV).limit(0)
     else readRefs(spark, dir, added)
+  }
+
+  // ---- change feed as a TABLE PROPERTY ----------------------------
+  // Delta's `delta.enableChangeDataFeed`, on the manifest protocol:
+  // once enabled (`#cdf <rowKey>` carried in every manifest), EVERY
+  // mutating commit path — mergeInto, append, deleteWhere, restore —
+  // publishes its row-level increment WITHOUT any per-call argument,
+  // so no writer can "forget" and leave a silent hole for feed
+  // consumers. Publication is crash-atomic by construction: the
+  // increment's rows land under `_changes/inc_<nonce>` (invisible —
+  // nothing references them), and the committing manifest records the
+  // dir as a `#cdfinc` line — the manifest CAS IS the publication, so
+  // a lost CAS or a crash orphans the nonce dir ([[vacuum]] reaps it)
+  // instead of ever exposing a stale increment. No staging/promote
+  // dance, no two-phase window. Old engine builds are fenced by the
+  // `#ver 1` protocol floor the property sets: they refuse to read —
+  // and therefore to commit — rather than commit feed-less mutations.
+
+  /** Write `actions` as an (unpublished) change-increment dir;
+    * returns its table-relative path for the commit's `#cdfinc`. */
+  private def writeChangeInc(spark: SparkSession, dir: String,
+      actions: DataFrame): String = {
+    val rel = "_changes/inc_" + java.util.UUID.randomUUID().toString.take(12)
+    actions.write.mode("errorifexists").parquet(s"$dir/$rel")
+    rel
+  }
+
+  /** Enable the change feed as a table property: `rowKey` is the row
+    * identity every increment resolves against (and the key replicas
+    * apply with). Metadata-only commit; bumps the reader protocol
+    * floor to 1 so pre-CDF builds refuse rather than commit holes. */
+  def enableChangeFeed(spark: SparkSession, dir: String, rowKey: Seq[String],
+      commitTs: Long = System.currentTimeMillis()): Long = {
+    require(rowKey.nonEmpty, "enableChangeFeed needs the table's row identity")
+    val v = init(spark, dir, commitTs)
+    val prev = metaAt(spark, dir, v)
+    require(prev.cdf.isEmpty, s"change feed already enabled on $dir")
+    val missing = rowKey.filterNot(snapshot(spark, dir, v).columns.contains)
+    require(missing.isEmpty,
+      s"enableChangeFeed rowKey columns not in $dir: ${missing.mkString(", ")}")
+    val live = filesAt(spark, dir, v)
+    writeCommit(fsOf(spark, dir), dir, v + 1, live, live,
+      carryMeta(spark, dir, v, commitTs, None, deleteFilesAt(spark, dir, v),
+        "enable-cdf").copy(cdf = Some(rowKey)))
+    v + 1
+  }
+
+  /** Disable the table-property change feed (metadata-only). Already-
+    * published increments stay readable for the retained history. */
+  def disableChangeFeed(spark: SparkSession, dir: String,
+      commitTs: Long = System.currentTimeMillis()): Long = {
+    val v = currentVersion(spark, dir)
+    require(v >= 0, s"no manifest in $dir — call init() first")
+    require(metaAt(spark, dir, v).cdf.isDefined,
+      s"change feed is not enabled on $dir")
+    val live = filesAt(spark, dir, v)
+    writeCommit(fsOf(spark, dir), dir, v + 1, live, live,
+      carryMeta(spark, dir, v, commitTs, None, deleteFilesAt(spark, dir, v),
+        "disable-cdf").copy(cdf = None))
+    v + 1
+  }
+
+  /** The change-feed row identity in force at `version`, if enabled. */
+  def changeFeedKey(spark: SparkSession, dir: String,
+      version: Long = -1L): Option[Seq[String]] = {
+    val v = if (version >= 0) version else currentVersion(spark, dir)
+    require(v >= 0, s"no manifest in $dir — call init() first")
+    metaAt(spark, dir, v).cdf
+  }
+
+  /** Commits that change layout or metadata but no logical rows — a
+    * follower/replica skips them; every OTHER op without a `#cdfinc`
+    * is a hole and refused. (`init`/`clone` mint v0 and are never
+    * inside a change range.) */
+  private val RowNeutralOps = Set("optimize", "materialize",
+    "add-constraint", "drop-constraint", "enable-cdf", "disable-cdf",
+    "rename-column", "drop-column")
+
+  /** Version `v`'s published change increment: Some(CDF action rows)
+    * when the commit carried one, None when the commit was row-neutral
+    * (layout/metadata only), refused loudly when the commit mutated
+    * rows without an increment (it predates [[enableChangeFeed]] —
+    * re-seed the consumer from a snapshot instead). */
+  def changeIncrementAt(spark: SparkSession, dir: String,
+      v: Long): Option[DataFrame] = {
+    val m = metaAt(spark, dir, v)
+    m.cdfInc match {
+      case Some(rel) =>
+        Some(spark.read.option("mergeSchema", "true").parquet(s"$dir/$rel"))
+      case None if m.op.exists(RowNeutralOps) => None
+      case None => throw new IllegalArgumentException(
+        s"version $v of $dir (op ${m.op.getOrElse("unknown")}) carries no " +
+          "change increment — it predates enableChangeFeed: serve that " +
+          "range from a snapshot instead")
+    }
+  }
+
+  /** The CDF rows of versions `fromV` (exclusive) → `toV` (inclusive),
+    * each tagged `_commit_version` — the batch read of the table
+    * property feed (Delta's `table_changes`). Metadata cost: one meta
+    * read per version in range; data cost: exactly the increments. */
+  def changesBetween(spark: SparkSession, dir: String,
+      fromV: Long, toV: Long): DataFrame = {
+    require(0 <= fromV && fromV <= toV,
+      s"need 0 <= fromV <= toV, got ($fromV, $toV)")
+    val parts = ((fromV + 1) to toV).flatMap { v =>
+      changeIncrementAt(spark, dir, v)
+        .map(_.withColumn("_commit_version", lit(v)))
+    }
+    if (parts.isEmpty)
+      snapshot(spark, dir, toV).limit(0)
+        .withColumn("_action", lit(""))
+        .withColumn("_commit_version", lit(0L))
+    else parts.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+  }
+
+  /** Replicate `srcDir`'s committed changes onto `replicaDir` by
+    * applying each version's increment as one merge batch, in version
+    * order — the table-property twin of
+    * [[graft.ops.MergeData.applyChangeFeed]]: a replica seeded from a
+    * snapshot at version `sinceV` converges to `untilV` (current if
+    * -1) no matter which MIX of merge/append/delete/restore commits
+    * produced the history. Driver cost is bounded by the version
+    * range; each application touches only its increment's partitions.
+    * Returns the version the replica now reflects. */
+  def applyTableChanges(spark: SparkSession, srcDir: String,
+      replicaDir: String, partitionKeys: Seq[String],
+      sinceV: Long, untilV: Long = -1L): Long = {
+    val cur = if (untilV >= 0) untilV else currentVersion(spark, srcDir)
+    val key = changeFeedKey(spark, srcDir, cur).getOrElse(
+      throw new IllegalArgumentException(
+        s"$srcDir has no change-feed table property: enableChangeFeed() first"))
+    ((sinceV + 1) to cur).foreach { v =>
+      changeIncrementAt(spark, srcDir, v).foreach { inc =>
+        val b = inc.filter(col("_action") =!= "update_preimage")
+          .withColumn("__delete", col("_action") === "delete")
+          .drop("_action")
+        if (!b.isEmpty)
+          graft.ops.MergeData.mergeInto(spark, replicaDir, b,
+            partitionKeys, key)
+      }
+    }
+    cur
   }
 
   // ---- commit-time file statistics (Iceberg-style) ----------------
@@ -1210,7 +1488,7 @@ object Versioned {
     // paths) and published only after the version is reserved
     changeFeed.foreach { case (fd, batchId) =>
       graft.ops.MergeData.stageFeedIncrement(spark, fd, batchId,
-        deletedRows.withColumn("_action", lit("delete")))
+        deletedRows.withColumn("_action", lit("delete")), v)
     }
     val fs = fsOf(spark, dir)
     // UNIQUE staging path per attempt (never overwrite): a racing
@@ -1231,9 +1509,15 @@ object Versioned {
       if (f.endsWith(".parquet")) delFiles += s"$delRel/$f"
     }
     require(delFiles.nonEmpty, s"tombstone write produced no files under $delRel")
+    // table-property CDF: crash-atomic increment published by the CAS
+    val autoInc = metaAt(spark, dir, v).cdf.map { _ =>
+      writeChangeInc(spark, dir,
+        deletedRows.withColumn("_action", lit("delete")))
+    }
     val live = filesAt(spark, dir, v)
     try writeCommit(fs, dir, v + 1, live, live,
-      carryMeta(spark, dir, v, commitTs, None, carried ++ delFiles, "delete"))
+      carryMeta(spark, dir, v, commitTs, None, carried ++ delFiles, "delete")
+        .copy(cdfInc = autoInc))
     catch { case e: Throwable =>
       changeFeed.foreach { case (fd, b) =>
         graft.ops.MergeData.discardStagedIncrement(spark, fd, b) }
@@ -1292,13 +1576,8 @@ object Versioned {
       }.reduce(_ && _)
     }.reduce(_ || _)
     val clean = snapshot(spark, dir, v).filter(affectedPred)
-    val before = affectedDirs.flatMap(d =>
-      listDataFiles(fs, new Path(dir), new Path(dir, d))).toSet
-    clean.repartition(partitionKeys.map(col): _*)
-      .write.mode("append").partitionBy(partitionKeys: _*).parquet(dir)
-    val after = affectedDirs.flatMap(d =>
-      listDataFiles(fs, new Path(dir), new Path(dir, d))).toSet
-    val newFiles = (after -- before).toSeq.sorted
+    val newFiles = writeStagedFiles(spark, fs, dir,
+      clean.repartition(partitionKeys.map(col): _*), partitionKeys)
     writeCommit(fs, dir, v + 1, live.filterNot(underAffected) ++ newFiles,
       live, carryMeta(spark, dir, v, commitTs, None, Nil, "materialize"))
     maybeWriteIncStats(spark, dir, v, newFiles, Nil)
@@ -1463,24 +1742,30 @@ object Versioned {
       // visible feed trace
       changeFeed.foreach { case (fd, batchId) =>
         graft.ops.MergeData.stageFeedIncrement(spark, fd, batchId,
+          graft.ops.MergeData.resolveFeedActions(res, batch, rowKey, del), v)
+      }
+      // table-property CDF: the increment is written invisibly now and
+      // published BY the manifest CAS below (`#cdfinc`) — crash-atomic,
+      // nothing to promote or discard
+      val autoInc = metaAt(spark, dir, v).cdf.map { key =>
+        require(key.sorted == rowKey.sorted,
+          s"table-managed change feed of $dir is keyed (${key.mkString(", ")}) " +
+            s"but this merge resolves on (${rowKey.mkString(", ")}) — keys must agree")
+        writeChangeInc(spark, dir,
           graft.ops.MergeData.resolveFeedActions(res, batch, rowKey, del))
       }
 
-      // write new files: append-only, so pre-listing the touched dirs
-      // (bounded by the batch + conflict scope) identifies exactly this
-      // commit's files
-      val before = allDirs.flatMap(d =>
-        listDataFiles(fs, new Path(dir), new Path(dir, d))).toSet
-      toWrite.repartition(partitionKeys.map(col): _*)
-        .write.mode("append").partitionBy(partitionKeys: _*).parquet(dir)
-      val after = allDirs.flatMap(d =>
-        listDataFiles(fs, new Path(dir), new Path(dir, d))).toSet
-      val newFiles = (after -- before).toSeq.sorted
+      // write new files through the writer-private staging dir — the
+      // identification is exact under concurrent writers on the same
+      // partitions (see [[writeStagedFiles]])
+      val newFiles = writeStagedFiles(spark, fs, dir,
+        toWrite.repartition(partitionKeys.map(col): _*), partitionKeys)
 
       val next = live.filterNot(underTouched) ++ newFiles
       beforeCommitHook()
       try writeCommit(fs, dir, v + 1, next, live,
-        carryMeta(spark, dir, v, commitTs, txn, nextDels, "merge"))
+        carryMeta(spark, dir, v, commitTs, txn, nextDels, "merge")
+          .copy(cdfInc = autoInc))
       catch { case e: Throwable =>
         changeFeed.foreach { case (fd, batchId) =>
           graft.ops.MergeData.discardStagedIncrement(spark, fd, batchId) }
@@ -1625,9 +1910,6 @@ object Versioned {
            fs0.exists(refIsForeign)) }
     if (targets.isEmpty) return v
     val fs = fsOf(spark, dir)
-    val targetDirs = targets.keySet
-    val before = targetDirs.flatMap(d =>
-      listDataFiles(fs, new Path(dir), new Path(dir, d))).toSet
     val rawRows = readRefs(spark, dir, targets.values.flatten.toSeq)
     // pending MOR tombstones: a ZORDER pass rewrites EVERY partition
     // anyway, so it reads the tombstone-filtered view and the commit
@@ -1651,10 +1933,7 @@ object Versioned {
           .drop("__zkey")
       case None => rows.repartition(partitionKeys.map(col): _*)
     }
-    clustered.write.mode("append").partitionBy(partitionKeys: _*).parquet(dir)
-    val after = targetDirs.flatMap(d =>
-      listDataFiles(fs, new Path(dir), new Path(dir, d))).toSet
-    val newFiles = (after -- before).toSeq.sorted
+    val newFiles = writeStagedFiles(spark, fs, dir, clustered, partitionKeys)
     val replaced = targets.values.flatten.toSet
     writeCommit(fs, dir, v + 1, live.filterNot(replaced) ++ newFiles,
       live, carryMeta(spark, dir, v, commitTs, None, nextDels, "optimize"))

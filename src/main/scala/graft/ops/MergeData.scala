@@ -335,10 +335,28 @@ object MergeData {
   private def feedFs(spark: SparkSession, dir: String) =
     new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-  private def feedStagePath(dir: String, batchId: Long) =
-    new org.apache.hadoop.fs.Path(dir, s"_stg_batch_id=$batchId")
+  private def feedStagePath(dir: String, batchId: Long, base: Long) =
+    new org.apache.hadoop.fs.Path(dir,
+      if (base < 0) s"_stg_batch_id=$batchId"
+      else s"_stg_batch_id=$batchId.base=$base")
   private def feedFinalPath(dir: String, batchId: Long) =
     new org.apache.hadoop.fs.Path(dir, s"batch_id=$batchId")
+
+  /** The staged increment for `batchId`, if any, with the base version
+    * it was resolved against (-1 for stages written before base
+    * tracking, or by the base-less swap path). */
+  private def findStaged(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      batchId: Long): Option[(org.apache.hadoop.fs.Path, Long)] = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(root)) return None
+    val exact = s"_stg_batch_id=$batchId"
+    val pfx = s"_stg_batch_id=$batchId.base="
+    fs.listStatus(root).iterator.map(_.getPath).collectFirst {
+      case p if p.getName == exact => (p, -1L)
+      case p if p.getName.startsWith(pfx) =>
+        (p, p.getName.stripPrefix(pfx).toLong)
+    }
+  }
 
   /** Stage `batch_id=N`'s increment WITHOUT publishing it — the
     * `_`-prefixed staging dir is invisible to feed readers. The
@@ -354,19 +372,32 @@ object MergeData {
     * only resolved when a fresh stage is actually written. The staged
     * write itself is all-or-nothing (tmp dir + atomic rename), so a
     * crash mid-write can't leave a half increment the keep-check would
-    * then trust. */
+    * then trust.
+    *
+    * First-resolution-wins is qualified BY BASE VERSION (`baseVersion`
+    * = the snapshot version the actions resolved against): a stage is
+    * kept only when it was resolved against the SAME base — that is
+    * the crash-replay case. A leftover stage with a different base is
+    * a writer that lost the commit CAS and crashed before its discard;
+    * its resolution is stale (the winner changed the base), so keeping
+    * it would publish CDF rows that disagree with what the commit
+    * actually did. Such stages are discarded and restaged fresh. */
   private[graft] def stageFeedIncrement(spark: SparkSession, dir: String,
-      batchId: Long, actions: => DataFrame): Unit = {
+      batchId: Long, actions: => DataFrame, baseVersion: Long = -1L): Unit = {
     val fs = feedFs(spark, dir)
     if (fs.exists(feedFinalPath(dir, batchId))) return
-    if (fs.exists(feedStagePath(dir, batchId))) return
+    findStaged(fs, dir, batchId) match {
+      case Some((_, base)) if base == baseVersion => return // crash replay
+      case Some((p, _)) => fs.delete(p, true) // stale base: restage
+      case None =>
+    }
     val tmp = new org.apache.hadoop.fs.Path(
       dir + "_feedstg_" + java.util.UUID.randomUUID().toString.take(8))
+    val dst = feedStagePath(dir, batchId, baseVersion)
     try {
       actions.write.mode("overwrite").parquet(tmp.toString)
       fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
-      require(fs.rename(tmp, feedStagePath(dir, batchId)),
-        s"feed stage: rename $tmp -> ${feedStagePath(dir, batchId)} failed")
+      require(fs.rename(tmp, dst), s"feed stage: rename $tmp -> $dst failed")
     } finally fs.delete(tmp, true)
   }
 
@@ -379,19 +410,21 @@ object MergeData {
   private[graft] def promoteFeedIncrement(spark: SparkSession, dir: String,
       batchId: Long): Unit = {
     val fs = feedFs(spark, dir)
-    val stg = feedStagePath(dir, batchId)
     val dst = feedFinalPath(dir, batchId)
-    if (fs.exists(dst)) { fs.delete(stg, true); return }
-    if (fs.exists(stg))
-      require(fs.rename(stg, dst), s"feed promote: rename $stg -> $dst failed")
+    val stg = findStaged(fs, dir, batchId)
+    if (fs.exists(dst)) { stg.foreach(s => fs.delete(s._1, true)); return }
+    stg.foreach { case (p, _) =>
+      require(fs.rename(p, dst), s"feed promote: rename $p -> $dst failed") }
   }
 
   /** Reap a staged increment after an aborted commit (a lost CAS):
     * the abort means another writer owns the version, so the staged
     * resolution is stale — the retry re-resolves fresh. */
   private[graft] def discardStagedIncrement(spark: SparkSession, dir: String,
-      batchId: Long): Unit =
-    feedFs(spark, dir).delete(feedStagePath(dir, batchId), true)
+      batchId: Long): Unit = {
+    val fs = feedFs(spark, dir)
+    findStaged(fs, dir, batchId).foreach(s => fs.delete(s._1, true))
+  }
 
   /** Feed RETENTION: delete published increments with `batch_id <=
     * uptoBatch`. A change feed is an append-only log and grows

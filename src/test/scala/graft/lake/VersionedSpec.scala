@@ -621,7 +621,9 @@ class VersionedSpec extends SparkSpec {
     val fs = new org.apache.hadoop.fs.Path(feed)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(feed, "batch_id=0")))
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(feed, "_stg_batch_id=0")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(feed)) ||
+      !fs.listStatus(new org.apache.hadoop.fs.Path(feed))
+        .exists(_.getPath.getName.startsWith("_stg_batch_id=0")))
     // the retry re-resolves against the winner's state and publishes
     val v2 = Versioned.mergeInto(spark, dir, batch, Seq("site"), Seq("site", "id"),
       changeFeed = Some((feed, 0L)))
@@ -632,6 +634,103 @@ class VersionedSpec extends SparkSpec {
     assert(inc == Set(
       ("update_preimage", "a", 1L, 1.0),
       ("update_postimage", "a", 1L, 100.0)))
+  }
+
+  test("a concurrent writer's files landing in the same partition during the data-write window are never published by this commit") {
+    val dir = freshLake()
+    Versioned.init(spark, dir)
+    // Writer B crashes AFTER its data files landed in site=a but BEFORE
+    // its manifest CAS — the classic window. Writer A, appending to the
+    // same partition concurrently, must identify its commit's files by
+    // what IT wrote (staged-dir listing), never by diffing the shared
+    // partition directory — or it would publish B's uncommitted rows.
+    var fired = false
+    Versioned.afterDataWriteHook = () => {
+      if (!fired) {
+        fired = true
+        // B's orphaned (uncommitted) data files, directly in the dir
+        df(Seq(("a", 666L, 666.0)), "site", "id", "v")
+          .write.mode("append").partitionBy("site").parquet(dir)
+      }
+    }
+    try {
+      val v1 = Versioned.append(spark, dir,
+        df(Seq(("a", 5L, 5.0)), "site", "id", "v"), Seq("site"))
+      assert(v1 == 1L)
+    } finally Versioned.afterDataWriteHook = () => ()
+    // A's commit holds base + A's batch; B's orphan row is invisible
+    assert(state(Versioned.snapshot(spark, dir)) == Set(
+      ("a", 1L, 1.0), ("a", 2L, 2.0), ("b", 10L, 10.0), ("a", 5L, 5.0)))
+    // B's replay (the crash-restart) appends its batch exactly once
+    Versioned.append(spark, dir,
+      df(Seq(("a", 666L, 666.0)), "site", "id", "v"), Seq("site"))
+    assert(Versioned.snapshot(spark, dir)
+      .filter(col("id") === 666L).count() == 1L,
+      "the replayed batch must appear exactly once")
+  }
+
+  test("two concurrent appends to the SAME partition both land, each exactly once") {
+    val dir = freshLake()
+    Versioned.init(spark, dir)
+    // B runs a COMPLETE append (data + commit) inside A's window
+    // between A's data write and A's file identification + CAS
+    var fired = false
+    Versioned.afterDataWriteHook = () => {
+      if (!fired) {
+        fired = true
+        Versioned.append(spark, dir,
+          df(Seq(("a", 20L, 20.0)), "site", "id", "v"), Seq("site"))
+      }
+    }
+    try {
+      val v = Versioned.append(spark, dir,
+        df(Seq(("a", 30L, 30.0)), "site", "id", "v"), Seq("site"))
+      assert(v == 2L, "A lost the CAS to B and committed the next version")
+    } finally Versioned.afterDataWriteHook = () => ()
+    assert(state(Versioned.snapshot(spark, dir)) == Set(
+      ("a", 1L, 1.0), ("a", 2L, 2.0), ("b", 10L, 10.0),
+      ("a", 20L, 20.0), ("a", 30L, 30.0)))
+    // v1 is B's commit alone — A's files were not captured into it
+    assert(state(Versioned.snapshot(spark, dir, 1L)) == Set(
+      ("a", 1L, 1.0), ("a", 2L, 2.0), ("b", 10L, 10.0), ("a", 20L, 20.0)))
+  }
+
+  test("append retry re-validates the batch against a constraint the winning commit added") {
+    val dir = freshLake()
+    Versioned.init(spark, dir)
+    // the winner ADDS a CHECK constraint inside A's CAS window; A's
+    // batch violates it — the retry must refuse, not commit blind
+    var fired = false
+    Versioned.beforeCommitHook = () => {
+      if (!fired) {
+        fired = true
+        Versioned.addConstraint(spark, dir, "v_nonneg", "v >= 0")
+      }
+    }
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Versioned.append(spark, dir,
+          df(Seq(("a", 7L, -7.0)), "site", "id", "v"), Seq("site"))
+      }
+      assert(e.getMessage.contains("v_nonneg"),
+        s"retry must enforce the new constraint, got: ${e.getMessage}")
+    } finally Versioned.beforeCommitHook = () => ()
+    // and a conforming batch retries through fine
+    var fired2 = false
+    Versioned.beforeCommitHook = () => {
+      if (!fired2) {
+        fired2 = true
+        Versioned.commitManifest(spark, dir,
+          Versioned.currentVersion(spark, dir) + 1,
+          Versioned.filesAt(spark, dir))
+      }
+    }
+    try {
+      Versioned.append(spark, dir,
+        df(Seq(("a", 8L, 8.0)), "site", "id", "v"), Seq("site"))
+    } finally Versioned.beforeCommitHook = () => ()
+    assert(Versioned.snapshot(spark, dir)
+      .filter(col("id") === 8L).count() == 1L)
   }
 
   test("optimistic concurrency: a losing writer RETRIES against the winner's snapshot; both merges land") {
@@ -674,6 +773,52 @@ class VersionedSpec extends SparkSpec {
       }
       assert(e.getMessage.contains("concurrent commit"))
     } finally Versioned.beforeCommitHook = () => ()
+  }
+
+  test("a crashed loser's staged increment (older base) is discarded and restaged; same-base stages are kept") {
+    import graft.ops.MergeData
+    val root = java.nio.file.Files.createTempDirectory("graft_stgbase").toFile
+    root.deleteOnExit()
+    val feed = new java.io.File(root, "feed").getAbsolutePath
+    def inc(tag: String) =
+      df(Seq((tag, 1L, 1.0)), "site", "id", "v")
+        .withColumn("_action", lit("insert"))
+    // first resolution wins — but only against the SAME base version
+    MergeData.stageFeedIncrement(spark, feed, 0L, inc("a"), 0L)
+    MergeData.stageFeedIncrement(spark, feed, 0L, inc("b"), 0L)
+    MergeData.promoteFeedIncrement(spark, feed, 0L)
+    assert(spark.read.parquet(feed).select("site").collect()
+      .map(_.getString(0)).toSeq == Seq("a"), "same-base replay keeps the original")
+    // a stage left by a loser that crashed between its CAS failure and
+    // its discard was resolved against a base the winner replaced — a
+    // fresh attempt with a NEWER base must replace it, not keep it
+    MergeData.stageFeedIncrement(spark, feed, 1L, inc("stale"), 0L)
+    MergeData.stageFeedIncrement(spark, feed, 1L, inc("fresh"), 2L)
+    MergeData.promoteFeedIncrement(spark, feed, 1L)
+    assert(spark.read.parquet(feed).filter(col("batch_id") === 1L)
+      .select("site").collect().map(_.getString(0)).toSeq == Seq("fresh"),
+      "a stale-base stage must be restaged, not promoted")
+
+    // end-to-end: the published CDF of a merge that follows a crashed
+    // loser agrees with what the commit actually did
+    val dir = freshLake()
+    Versioned.init(spark, dir)
+    Versioned.mergeInto(spark, dir, // advance the lake to v1
+      df(Seq(("a", 1L, 50.0, false)), "site", "id", "v", "__delete"),
+      Seq("site"), Seq("site", "id"))
+    val feed2 = new java.io.File(root, "feed2").getAbsolutePath
+    // the crashed loser's leftover: resolved against v0 (stale)
+    MergeData.stageFeedIncrement(spark, feed2, 7L,
+      df(Seq(("a", 1L, 1.0)), "site", "id", "v")
+        .withColumn("_action", lit("update_preimage")), 0L)
+    Versioned.mergeInto(spark, dir,
+      df(Seq(("a", 1L, 60.0, false)), "site", "id", "v", "__delete"),
+      Seq("site"), Seq("site", "id"), changeFeed = Some((feed2, 7L)))
+    val pub = spark.read.parquet(feed2)
+      .select("_action", "v").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(pub == Set(("update_preimage", 50.0), ("update_postimage", 60.0)),
+      "the published increment must reflect the v1 base the commit used")
   }
 
   test("vacuumFeed reaps consumed increments; consumers past the mark are unaffected") {
