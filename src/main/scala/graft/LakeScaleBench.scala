@@ -154,6 +154,44 @@ object LakeScaleBench {
         .count()
     }
 
+    // ---- round-11 primitives -------------------------------------
+    // metadata-only null count from the commit-time sidecars
+    metrics("null_count") = time("fast_null_count") {
+      Versioned.fastNullCount(spark, lake, "value")
+    }
+    // one front door routing a range + a null test together
+    metrics("pruned_scan_rows") = time("pruned_scan") {
+      Versioned.prunedScan(spark, lake, Seq(
+        graft.lake.PruneRange("user_id", 2.0, 95.0),
+        graft.lake.PruneNotNull("value"))).count()
+    }
+    // BINPACK: 6 small-file append waves onto one partition, then the
+    // size-targeted compaction — cost tracks the compacted partition's
+    // bytes, never the lake
+    (0 until 6).foreach { i =>
+      Versioned.append(spark, lake,
+        base.filter(col("event_type") === "view" &&
+            col("event_id") % 3000 === i)
+          .withColumn("event_id", col("event_id") + lit((i + 2) * 1000000000L)),
+        Seq("event_type"))
+    }
+    metrics("n_files_pre_binpack") = Versioned.filesAt(spark, lake).size
+    time("binpack") {
+      Versioned.optimize(spark, lake, Seq("event_type"),
+        targetFileSizeBytes = Some(8L * 1024 * 1024))
+    }
+    metrics("n_files_post_binpack") = Versioned.filesAt(spark, lake).size
+    // change-feed as table property: the per-commit overhead of the
+    // crash-atomic #cdfinc increment (vs stats_merge_commit above)
+    Versioned.enableChangeFeed(spark, lake, Seq("event_id"))
+    val batch3 = base.filter(col("event_type") === "click" &&
+        col("event_id") % 1000 === 6)
+      .withColumn("value", col("value") + 2)
+    time("cdf_merge_commit") {
+      Versioned.mergeInto(spark, lake, batch3,
+        Seq("event_type"), Seq("event_id"))
+    }
+
     def j(v: Any): String = v match {
       case s: String => "\"" + s + "\""
       case x => String.valueOf(x)

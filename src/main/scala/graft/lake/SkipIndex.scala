@@ -25,7 +25,8 @@ import org.apache.spark.sql.functions._
   * (`SkipIndex$FooterEntry.file()` → codegen compile error +
   * interpreted fallback on every build). */
 private[lake] case class FooterEntry(
-    file: String, col: String, lo: Double, hi: Double, rows: Long)
+    file: String, col: String, lo: Double, hi: Double, rows: Long,
+    nulls: Long)
 
 object SkipIndex {
 
@@ -63,14 +64,17 @@ object SkipIndex {
       .agg(count(lit(1)).as("rows"),
         cols.flatMap(c => Seq(
           widenLo(min(col(c)).cast("double"), c).as(s"__lo_$c"),
-          widenHi(max(col(c)).cast("double"), c).as(s"__hi_$c"))): _*)
-    // unpivot to (file, col, lo, hi, rows) — schema stays fixed no
-    // matter which columns are indexed, so index tables compose
+          widenHi(max(col(c)).cast("double"), c).as(s"__hi_$c"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"))): _*)
+    // unpivot to (file, col, lo, hi, rows, nulls) — schema stays fixed
+    // no matter which columns are indexed, so index tables compose
     val entries = cols.map(c => struct(
-      lit(c).as("col"), col(s"__lo_$c").as("lo"), col(s"__hi_$c").as("hi")))
+      lit(c).as("col"), col(s"__lo_$c").as("lo"), col(s"__hi_$c").as("hi"),
+      col(s"__nn_$c").as("nulls")))
     perFile.select(col("file"), col("rows"), explode(array(entries: _*)).as("e"))
       .select(col("file"), col("e.col").as("col"),
-        col("e.lo").as("lo"), col("e.hi").as("hi"), col("rows"))
+        col("e.lo").as("lo"), col("e.hi").as("hi"), col("rows"),
+        col("e.nulls").as("nulls"))
   }
 
   /** Metadata-only index build: the same (file, col, lo, hi, rows)
@@ -128,11 +132,23 @@ object SkipIndex {
             var hi = Double.NegativeInfinity
             var integral = false
             var usable = blocks.nonEmpty
+            // null COUNTS track separately from the min/max box: a
+            // chunk with an unusable box (e.g. binary physical type)
+            // can still record exact num_nulls, and vice versa. -1 =
+            // unknown (any chunk without the count poisons the file's
+            // total — a partial sum would under-count).
+            var nulls = 0L
+            var nullsKnown = blocks.nonEmpty
             blocks.foreach { b =>
               b.getColumns.asScala.filter(_.getPath.toDotString == c) match {
-                case chunks if chunks.isEmpty => usable = false
+                case chunks if chunks.isEmpty =>
+                  usable = false; nullsKnown = false
                 case chunks => chunks.foreach { cc =>
-                  cc.getStatistics match {
+                  val anySt = cc.getStatistics
+                  if (anySt != null && anySt.isNumNullsSet)
+                    nulls += anySt.getNumNulls
+                  else nullsKnown = false
+                  anySt match {
                     case st: LongStatistics if st.hasNonNullValue =>
                       integral = true
                       lo = math.min(lo, st.genericGetMin.toDouble)
@@ -152,19 +168,21 @@ object SkipIndex {
                 }
               }
             }
+            val n = if (nullsKnown) nulls else -1L
             if (!usable) FooterEntry(path, c,
-              Double.NegativeInfinity, Double.PositiveInfinity, nRows)
+              Double.NegativeInfinity, Double.PositiveInfinity, nRows, n)
             else {
               val wLo = if (integral && math.abs(lo) >= exactLimit)
                 lo - math.abs(lo) * 4e-16 else lo
               val wHi = if (integral && math.abs(hi) >= exactLimit)
                 hi + math.abs(hi) * 4e-16 else hi
-              FooterEntry(path, c, wLo, wHi, nRows)
+              FooterEntry(path, c, wLo, wHi, nRows, n)
             }
           }
         } finally reader.close()
       }
-    spark.createDataFrame(entries).toDF("file", "col", "lo", "hi", "rows")
+    spark.createDataFrame(entries)
+      .toDF("file", "col", "lo", "hi", "rows", "nulls")
   }
 
   /** Files whose [lo, hi] box on `c` intersects [qLo, qHi]. The index

@@ -4,6 +4,22 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** Predicate forms the [[Versioned.prunedScan]] front door routes to
+  * the right commit-time metadata structure: ranges and null tests to
+  * the stats boxes, point/IN probes to the blooms. Column names are
+  * LOGICAL (the mapping layer translates). */
+sealed trait PrunePred { def column: String }
+/** `column BETWEEN lo AND hi` — routed to min/max stats boxes. */
+final case class PruneRange(column: String, lo: Double, hi: Double)
+  extends PrunePred
+/** `column IN (values...)` — routed to per-file bloom filters when
+  * the column carries them; residual-only otherwise. */
+final case class PruneIn(column: String, values: Seq[Any]) extends PrunePred
+/** `column IS NULL` — files with a zero footer null-count skip. */
+final case class PruneIsNull(column: String) extends PrunePred
+/** `column IS NOT NULL` — all-null files skip. */
+final case class PruneNotNull(column: String) extends PrunePred
+
 /** Versioned (snapshot-isolated) lake: a minimal Delta/Iceberg-style
   * manifest layer over a Hive-partitioned parquet directory.
   *
@@ -450,11 +466,13 @@ object Versioned {
     * concurrent writers' files impossible. The staging dir is
     * `_`-prefixed, so readers and [[listDataFiles]] never see it. */
   private def writeStagedFiles(spark: SparkSession, fs: FileSystem,
-      dir: String, prepared: DataFrame, partitionKeys: Seq[String]): Seq[String] = {
+      dir: String, prepared: DataFrame, partitionKeys: Seq[String],
+      maxRecordsPerFile: Option[Long] = None): Seq[String] = {
     val staging = new Path(dir,
       "_staging_" + java.util.UUID.randomUUID().toString.take(8))
     try {
-      prepared.write.mode("append").partitionBy(partitionKeys: _*)
+      val w0 = prepared.write.mode("append").partitionBy(partitionKeys: _*)
+      maxRecordsPerFile.fold(w0)(n => w0.option("maxRecordsPerFile", n))
         .parquet(staging.toString)
       val staged = listDataFiles(fs, staging, staging)
       afterDataWriteHook()
@@ -558,18 +576,157 @@ object Versioned {
     }
   }
 
+  // ---- column mapping (Delta name-mapping / Iceberg field IDs) ----
+  // RENAME/DROP COLUMN as METADATA-ONLY commits: data files keep their
+  // original (PHYSICAL) column names forever — a physical name is
+  // assigned once and never reused, which is exactly the field-ID
+  // discipline, spelled with names. The manifest carries the mapping
+  // (`#ren logical physical` + `#dropcol physical`), readers apply it
+  // as a final select (rename in place, dropped physicals pruned away
+  // — parquet never even reads them), writers reverse it before the
+  // parquet write so every file shares the physical naming. Old
+  // versions time-travel under their own meta, so pre-rename snapshots
+  // keep their old names for free. Re-adding a column whose name was
+  // dropped (or whose name is another column's live physical) auto-
+  // assigns a fresh physical (`<name>__r<version>`) in the committing
+  // manifest — old files' stale physical column can never resurrect.
+
+  /** The logical view of a physically-named frame under `meta`. */
+  private def applyColumnMapping(meta: CommitMeta, df: DataFrame): DataFrame = {
+    if (meta.renames.isEmpty && meta.droppedCols.isEmpty) return df
+    val physToLog = meta.renames.map(_.swap)
+    val dropSet = meta.droppedCols.toSet
+    val cols = df.columns.toSeq.flatMap { c =>
+      if (dropSet.contains(c)) None
+      else physToLog.get(c).map(l => col(c).as(l)).orElse(Some(col(c)))
+    }
+    df.select(cols: _*)
+  }
+
+  /** The physical view of a logically-named batch (the write side). */
+  private def toPhysical(meta: CommitMeta, df: DataFrame): DataFrame =
+    if (meta.renames.isEmpty) df
+    else df.select(df.columns.toSeq.map { c =>
+      meta.renames.get(c).map(p => col(c).as(p)).getOrElse(col(c)) }: _*)
+
+  /** Auto-assigned renames for batch columns whose name is a retired
+    * or occupied physical (re-added after DROP, or shadowing a live
+    * rename target): each gets a fresh, never-reused physical name
+    * stamped with the committing version. */
+  private def autoRenames(meta: CommitMeta, batchCols: Seq[String],
+      commitV: Long): Map[String, String] = {
+    val occupied = meta.renames.values.toSet ++ meta.droppedCols
+    batchCols.filter(c => occupied.contains(c) && !meta.renames.contains(c))
+      .map(c => c -> s"${c}__r$commitV").toMap
+  }
+
+  /** Partition columns, parsed from the manifest refs' Hive path
+    * segments — the mapping layer refuses to touch them (their names
+    * are baked into every directory). */
+  private def partitionColsOf(refs: Seq[String]): Set[String] =
+    refs.headOption.map { r =>
+      refRel(r).split('/').dropRight(1).filter(_.contains('='))
+        .map(_.split('=')(0)).toSet
+    }.getOrElse(Set.empty)
+
+  /** RENAME COLUMN — metadata-only: zero files rewritten, the new
+    * name takes effect for reads and writes at this version; earlier
+    * versions keep the old name under time travel. Refused for
+    * partition columns, for names a CHECK constraint references, and
+    * for collisions with visible columns. The change-feed property's
+    * rowKey follows the rename (replicas key by logical names). */
+  def renameColumn(spark: SparkSession, dir: String, from: String,
+      to: String, commitTs: Long = System.currentTimeMillis()): Long = {
+    val v = currentVersion(spark, dir)
+    require(v >= 0, s"no manifest in $dir — call init() first")
+    val meta = metaAt(spark, dir, v)
+    val visible = snapshot(spark, dir, v).columns.toSeq
+    require(visible.contains(from), s"no column $from in $dir")
+    require(!visible.contains(to), s"column $to already exists in $dir")
+    val parts = partitionColsOf(filesAt(spark, dir, v))
+    require(!parts.contains(from) && !parts.contains(to),
+      s"cannot rename a partition column ($from): partition names are " +
+        "baked into every directory path")
+    meta.chks.foreach { case (n, e) =>
+      require(!e.matches(s"(?s).*\\b${java.util.regex.Pattern.quote(from)}\\b.*"),
+        s"CHECK constraint $n references $from — drop the constraint first") }
+    val phys = meta.renames.getOrElse(from, from)
+    val live = filesAt(spark, dir, v)
+    writeCommit(fsOf(spark, dir), dir, v + 1, live, live,
+      carryMeta(spark, dir, v, commitTs, None, deleteFilesAt(spark, dir, v),
+          "rename-column")
+        .copy(renames = meta.renames - from + (to -> phys),
+          cdf = meta.cdf.map(_.map(k => if (k == from) to else k))))
+    v + 1
+  }
+
+  /** DROP COLUMN — metadata-only: the physical column stays in the
+    * files (old versions still travel to it) but vanishes from reads
+    * and is refused in writes; its name may be re-added later (a fresh
+    * physical is auto-assigned). Refused for partition columns,
+    * constraint-referenced columns, and change-feed key columns. */
+  def dropColumn(spark: SparkSession, dir: String, name: String,
+      commitTs: Long = System.currentTimeMillis()): Long = {
+    val v = currentVersion(spark, dir)
+    require(v >= 0, s"no manifest in $dir — call init() first")
+    val meta = metaAt(spark, dir, v)
+    val visible = snapshot(spark, dir, v).columns.toSeq
+    require(visible.contains(name), s"no column $name in $dir")
+    val parts = partitionColsOf(filesAt(spark, dir, v))
+    require(!parts.contains(name), s"cannot drop a partition column ($name)")
+    meta.chks.foreach { case (n, e) =>
+      require(!e.matches(s"(?s).*\\b${java.util.regex.Pattern.quote(name)}\\b.*"),
+        s"CHECK constraint $n references $name — drop the constraint first") }
+    meta.cdf.foreach(key => require(!key.contains(name),
+      s"$name is part of the change-feed row identity — disable the feed first"))
+    val phys = meta.renames.getOrElse(name, name)
+    val live = filesAt(spark, dir, v)
+    writeCommit(fsOf(spark, dir), dir, v + 1, live, live,
+      carryMeta(spark, dir, v, commitTs, None, deleteFilesAt(spark, dir, v),
+          "drop-column")
+        .copy(renames = meta.renames - name,
+          droppedCols = (meta.droppedCols :+ phys).distinct))
+    v + 1
+  }
+
+  /** The column mapping in force at `version`: (logical, physical,
+    * dropped flag) — DESCRIBE-style introspection. */
+  def columnMapping(spark: SparkSession, dir: String,
+      version: Long = -1L): DataFrame = {
+    val v = if (version >= 0) version else currentVersion(spark, dir)
+    require(v >= 0, s"no manifest in $dir — call init() first")
+    val meta = metaAt(spark, dir, v)
+    import spark.implicits._
+    (meta.renames.toSeq.map { case (l, p) => (l, p, false) } ++
+      meta.droppedCols.map(p => ("", p, true))).sortBy(r => (r._1, r._2))
+      .toDF("logical", "physical", "dropped")
+  }
+
+  /** `fileV`'s files and tombstones viewed under `metaV`'s COLUMN
+    * MAPPING — what restore needs: the restored commit takes the
+    * target's files but keeps the current mapping (protocol rules,
+    * like constraints, survive a rollback). */
+  private def snapshotUnderMeta(spark: SparkSession, dir: String,
+      fileV: Long, metaV: Long): DataFrame = {
+    val files = filesAt(spark, dir, fileV)
+    require(files.nonEmpty, s"version $fileV of $dir has no files")
+    applyColumnMapping(metaAt(spark, dir, metaV),
+      applyTombstones(spark, dir, fileV, readRefs(spark, dir, files)))
+  }
+
   /** The table at `version` (latest if -1): reads EXACTLY the
     * manifest's files; partition columns come from the Hive paths via
     * basePath. Immune to concurrent commits by construction.
     * MERGE-ON-READ: any equality-delete tombstones recorded at this
     * version ([[deleteWhere]]) are applied as one anti-join on the
     * tombstone's key columns — readers never see deleted rows even
-    * though the data files still physically hold them. */
+    * though the data files still physically hold them. Column
+    * mapping: the version's `#ren`/`#dropcol` meta applies as a final
+    * select, so renamed columns read under their logical names and
+    * dropped columns never surface (or get scanned). */
   def snapshot(spark: SparkSession, dir: String, version: Long = -1L): DataFrame = {
     val v = if (version >= 0) version else currentVersion(spark, dir)
-    val files = filesAt(spark, dir, v)
-    require(files.nonEmpty, s"version $version of $dir has no files")
-    applyTombstones(spark, dir, v, readRefs(spark, dir, files))
+    snapshotUnderMeta(spark, dir, v, v)
   }
 
   /** Apply `version`'s pending equality-delete tombstones (if any) to
@@ -668,7 +825,7 @@ object Versioned {
     // a rollback) — so the TARGET data must satisfy the CURRENT rules:
     // a constraint added after toVersion never validated those rows,
     // and skipping this check would commit a table in violation
-    enforceConstraints(spark, dir, v, snapshot(spark, dir, toVersion),
+    enforceConstraints(spark, dir, v, snapshotUnderMeta(spark, dir, toVersion, v),
       s"restore to version $toVersion")
     changeFeed.foreach { case (fd, batchId) =>
       require(rowKey.nonEmpty, "restore with changeFeed needs rowKey")
@@ -703,7 +860,9 @@ object Versioned {
   private def restoreDiff(spark: SparkSession, dir: String, v: Long,
       toVersion: Long, rowKey: Seq[String]): DataFrame = {
     val cur0 = snapshot(spark, dir, v)
-    val tgt0 = snapshot(spark, dir, toVersion)
+    // the target's files under the CURRENT column mapping — the diff
+    // must compare like-named columns even across a rename
+    val tgt0 = snapshotUnderMeta(spark, dir, toVersion, v)
     def align(d: DataFrame, other: DataFrame): DataFrame =
       other.schema.fields.filterNot(f => d.columns.contains(f.name))
         .foldLeft(d)((acc, f) => acc.withColumn(f.name, lit(null).cast(f.dataType)))
@@ -853,10 +1012,13 @@ object Versioned {
     // would otherwise recompute per consumption
     val batch = rows.persist()
     try {
-      val entryChks = metaAt(spark, dir, v).chks
+      val meta0 = metaAt(spark, dir, v)
+      val entryChks = meta0.chks
       enforceConstraints(spark, dir, v, batch, "append batch")
       def checkTombstones(ds: Seq[String]): Unit = if (ds.nonEmpty) {
-        val tomb = spark.read.parquet(ds.map(d => s"$dir/$d"): _*)
+        // tombstones are physical; compare in the logical view
+        val tomb = applyColumnMapping(meta0,
+          spark.read.parquet(ds.map(d => s"$dir/$d"): _*))
         val hit = batch.join(tomb, tomb.columns.toSeq
           .map(k => batch(k) <=> tomb(k)).reduce(_ && _), "left_semi")
         require(hit.isEmpty,
@@ -866,11 +1028,16 @@ object Versioned {
       }
       checkTombstones(dels)
       require(!batch.isEmpty, "append got an empty batch")
+      // logical batch -> physical files (fresh physicals for re-added
+      // dropped names, committed below)
+      val autoRen = autoRenames(meta0, batch.columns.toSeq, v + 1)
+      val writeMeta = meta0.copy(renames = meta0.renames ++ autoRen)
       val newFiles = writeStagedFiles(spark, fs, dir,
-        batch.repartition(partitionKeys.map(col): _*), partitionKeys)
+        toPhysical(writeMeta, batch)
+          .repartition(partitionKeys.map(col): _*), partitionKeys)
       // table-property CDF: a blind append's increment is its own rows
       // as inserts; published by whichever CAS attempt wins below
-      val autoInc = metaAt(spark, dir, v).cdf.map { _ =>
+      val autoInc = meta0.cdf.map { _ =>
         writeChangeInc(spark, dir, batch.withColumn("_action", lit("insert")))
       }
       // blind appends COMMUTE: a lost manifest CAS never invalidates the
@@ -888,10 +1055,10 @@ object Versioned {
       while (committed < 0) {
         beforeCommitHook()
         try {
+          val cm = carryMeta(spark, dir, curV, commitTs, txn, curDels, "append")
           writeCommit(fs, dir, curV + 1, filesAt(spark, dir, curV) ++ newFiles,
             filesAt(spark, dir, curV),
-            carryMeta(spark, dir, curV, commitTs, txn, curDels, "append")
-              .copy(cdfInc = autoInc))
+            cm.copy(cdfInc = autoInc, renames = cm.renames ++ autoRen))
           committed = curV + 1
         } catch {
           case e: IllegalArgumentException
@@ -940,7 +1107,8 @@ object Versioned {
         "append-only: consume the change feed instead")
     val added = to.filterNot(from)
     if (added.isEmpty) snapshot(spark, dir, toV).limit(0)
-    else readRefs(spark, dir, added)
+    else applyColumnMapping(metaAt(spark, dir, toV),
+      readRefs(spark, dir, added))
   }
 
   // ---- change feed as a TABLE PROPERTY ----------------------------
@@ -1143,7 +1311,15 @@ object Versioned {
     val parts = fullSidecarPath(dir, kind, base).toString +:
       sidecars.collect { case (sv, false) if sv > base && sv <= v =>
         incSidecarPath(dir, kind, sv).toString }
-    val raw = spark.read.parquet(parts: _*).dropDuplicates("file", "col")
+    // mergeSchema: sidecars written before the null-count column sit
+    // next to newer ones; missing counts read as null -> -1 (unknown)
+    val raw0 = spark.read.option("mergeSchema", "true").parquet(parts: _*)
+      .dropDuplicates("file", "col")
+    val raw =
+      if (kind != "stats") raw0
+      else if (raw0.columns.contains("nulls"))
+        raw0.withColumn("nulls", coalesce(col("nulls"), lit(-1L)))
+      else raw0.withColumn("nulls", lit(-1L))
     val liveDf = spark.createDataFrame(live.map(Tuple1(_))).toDF("__live_ref")
     val filtered = raw.join(liveDf, raw("file") === col("__live_ref"), "left_semi")
     // coverage: every live file present, uniform per-file column count
@@ -1200,7 +1376,7 @@ object Versioned {
     built.join(mapDf, built("file") === mapDf("abs"))
       .select(mapDf("ref").as("file"), built("col").as("col"),
         built("lo").as("lo"), built("hi").as("hi"),
-        built("rows").as("rows"))
+        built("rows").as("rows"), built("nulls").as("nulls"))
       .coalesce(1).write.mode("overwrite").parquet(dst.toString)
   }
 
@@ -1213,8 +1389,11 @@ object Versioned {
   private def maybeWriteIncStats(spark: SparkSession, dir: String,
       prevV: Long, newRefs: Seq[String], statsCols: Seq[String]): Unit = {
     val cols =
-      if (statsCols.nonEmpty) statsCols
-      else inheritedStatsCols(spark, dir, prevV)
+      if (statsCols.nonEmpty) {
+        // explicit tracked columns arrive logical; footers are physical
+        val rens = metaAt(spark, dir, prevV + 1).renames
+        statsCols.map(c => rens.getOrElse(c, c))
+      } else inheritedStatsCols(spark, dir, prevV)
     if (cols.nonEmpty && newRefs.nonEmpty)
       writeStatsSidecar(spark, dir, incSidecarPath(dir, "stats", prevV + 1),
         newRefs, cols)
@@ -1247,8 +1426,9 @@ object Versioned {
     require(cols.nonEmpty, "backfillStats needs at least one column")
     val v = if (version >= 0) version else currentVersion(spark, dir)
     require(v >= 0, s"no manifest in $dir — call init() first")
+    val rens = metaAt(spark, dir, v).renames
     writeStatsSidecar(spark, dir, fullSidecarPath(dir, "stats", v),
-      filesAt(spark, dir, v), cols)
+      filesAt(spark, dir, v), cols.map(c => rens.getOrElse(c, c)))
     v
   }
 
@@ -1267,7 +1447,8 @@ object Versioned {
     val mapDf = refAbsMap(spark, dir, filesAt(spark, dir, v))
     raw.join(mapDf, raw("file") === mapDf("__ref"))
       .select(mapDf("__abs").as("file"), raw("col").as("col"),
-        raw("lo").as("lo"), raw("hi").as("hi"), raw("rows").as("rows"))
+        raw("lo").as("lo"), raw("hi").as("hi"), raw("rows").as("rows"),
+        raw("nulls").as("nulls"))
   }
 
   /** Multi-predicate pruned read served ENTIRELY from commit-time
@@ -1283,9 +1464,14 @@ object Versioned {
     require(!files.exists(refIsForeign),
       "pruned reads need a single basePath: OPTIMIZE the clone first " +
         "to localize its foreign file references")
-    applyTombstones(spark, dir, v,
+    // predicates arrive in LOGICAL names; pruning and the residual
+    // filter run physical, the mapping applies on the survivors
+    val m = metaAt(spark, dir, v)
+    val predsP = preds.map { case (c, lo, hi) =>
+      (m.renames.getOrElse(c, c), lo, hi) }
+    applyColumnMapping(m, applyTombstones(spark, dir, v,
       SkipIndex.prunedReadMultiFiles(spark, dir, statsAt(spark, dir, v),
-        preds, files.map(f => s"$dir/$f")))
+        predsP, files.map(f => s"$dir/$f"))))
   }
 
   /** Build + write a bloom sidecar for `refs` (one scan of exactly
@@ -1322,8 +1508,10 @@ object Versioned {
     require(cols.nonEmpty, "backfillBlooms needs at least one column")
     val v = if (version >= 0) version else currentVersion(spark, dir)
     require(v >= 0, s"no manifest in $dir — call init() first")
+    val rens = metaAt(spark, dir, v).renames
     writeBloomSidecar(spark, dir, fullSidecarPath(dir, "bloom", v),
-      filesAt(spark, dir, v), cols, expectedPerFile, fpp)
+      filesAt(spark, dir, v), cols.map(c => rens.getOrElse(c, c)),
+      expectedPerFile, fpp)
     v
   }
 
@@ -1356,9 +1544,10 @@ object Versioned {
     require(!files.exists(refIsForeign),
       "pruned reads need a single basePath: OPTIMIZE the clone first " +
         "to localize its foreign file references")
-    applyTombstones(spark, dir, v,
+    val m = metaAt(spark, dir, v)
+    applyColumnMapping(m, applyTombstones(spark, dir, v,
       BloomIndex.prunedReadInFiles(spark, dir, bloomsAt(spark, dir, v),
-        c, probes, files.map(f => s"$dir/$f")))
+        m.renames.getOrElse(c, c), probes, files.map(f => s"$dir/$f"))))
   }
 
   /** Metadata-only MIN/MAX of a tracked column at a version, served
@@ -1379,7 +1568,10 @@ object Versioned {
       "fastMinMax under unmaterialized equality deletes could return a " +
         "deleted row's extremum: materializeDeletes() first or aggregate " +
         "the snapshot")
-    val idx = statsAt(spark, dir, v).filter(col("col") === c)
+    // sidecars key by PHYSICAL column name (a file's stats are facts
+    // about the file) — translate the logical query name
+    val phys = metaAt(spark, dir, v).renames.getOrElse(c, c)
+    val idx = statsAt(spark, dir, v).filter(col("col") === phys)
     val row = idx.agg(min("lo").as("lo"), max("hi").as("hi"),
       count(lit(1)).as("n")).collect()(0)
     require(row.getLong(2) > 0L,
@@ -1393,6 +1585,126 @@ object Versioned {
       s"$c's extrema exceed 2^53 where integral stats were widened: " +
         "aggregate the snapshot for an exact answer")
     (lo, hi)
+  }
+
+  /** Metadata-only NULL COUNT of a tracked column at a version —
+    * served entirely from the commit-time stats sidecars (their
+    * `nulls` column, written from parquet footer `num_nulls`). EXACT
+    * or refused: files whose footers did not record the count (-1)
+    * refuse with the repair named, as do pending MOR tombstones
+    * (a deleted row may be one of the nulls) and untracked columns. */
+  def fastNullCount(spark: SparkSession, dir: String, c: String,
+      version: Long = -1L): Long = {
+    val v = if (version >= 0) version else currentVersion(spark, dir)
+    require(deleteFilesAt(spark, dir, v).isEmpty,
+      "fastNullCount under unmaterialized equality deletes would " +
+        "overcount: materializeDeletes() first or count the snapshot")
+    val phys = metaAt(spark, dir, v).renames.getOrElse(c, c)
+    val row = statsAt(spark, dir, v).filter(col("col") === phys)
+      .agg(min("nulls").as("mn"), sum("nulls").as("s"),
+        count(lit(1)).as("n")).collect()(0)
+    require(row.getLong(2) > 0L,
+      s"column $c is not tracked by $dir's stats: backfillStats() with it")
+    require(row.getLong(0) >= 0L,
+      s"some file's footer did not record num_nulls for $c: " +
+        "backfillStats() re-establishes coverage, or count the snapshot")
+    row.getLong(1)
+  }
+
+  /** ONE pruning front door — routes each predicate to the metadata
+    * structure that can answer it, intersects the per-predicate
+    * survivor file sets, reads only the survivors, and re-applies
+    * every predicate exactly as a residual filter (pruning only SKIPS
+    * files — false survivors cost a file open, never a wrong row).
+    * Routing:
+    *   - [[PruneRange]]     → commit-time stats boxes ([[statsAt]])
+    *   - [[PruneIsNull]]    → stats null counts (files with zero
+    *     nulls are skipped; unknown counts survive)
+    *   - [[PruneNotNull]]   → stats null counts (all-null files skip)
+    *   - [[PruneIn]]        → commit-time blooms ([[bloomsAt]]) when
+    *     the column carries them; otherwise unpruned (residual only)
+    * Stats-routed predicates refuse on untracked columns (a missing
+    * column would otherwise silently prune everything); columns
+    * translate through the column mapping; MOR tombstones apply on
+    * the survivors; the result reads under logical names. */
+  def prunedScan(spark: SparkSession, dir: String, preds: Seq[PrunePred],
+      version: Long = -1L): DataFrame = {
+    require(preds.nonEmpty, "prunedScan needs at least one predicate")
+    val v = if (version >= 0) version else currentVersion(spark, dir)
+    val files = filesAt(spark, dir, v)
+    require(!files.exists(refIsForeign),
+      "pruned reads need a single basePath: OPTIMIZE the clone first " +
+        "to localize its foreign file references")
+    val m = metaAt(spark, dir, v)
+    def phys(c: String) = m.renames.getOrElse(c, c)
+    val surviving = prunedScanCandidates(spark, dir, preds, v)
+    val residual = preds.map {
+      case PruneRange(c, lo, hi) =>
+        col(phys(c)) >= lo && col(phys(c)) <= hi
+      case PruneIsNull(c) => col(phys(c)).isNull
+      case PruneNotNull(c) => col(phys(c)).isNotNull
+      case PruneIn(c, values) => col(phys(c)).isin(values: _*)
+    }.reduce(_ && _)
+    val base =
+      if (surviving.isEmpty)
+        spark.read.option("basePath", dir)
+          .parquet(files.map(f => s"$dir/$f"): _*).filter(lit(false))
+      else spark.read.option("basePath", dir)
+        .parquet(surviving: _*).filter(residual)
+    applyColumnMapping(m, applyTombstones(spark, dir, v, base))
+  }
+
+  /** The surviving file set [[prunedScan]] would read (the routing
+    * core, shared) — also introspection for pruning assertions and
+    * EXPLAIN-style tooling. */
+  def prunedScanCandidates(spark: SparkSession, dir: String,
+      preds: Seq[PrunePred], version: Long = -1L): Seq[String] = {
+    val v = if (version >= 0) version else currentVersion(spark, dir)
+    val m = metaAt(spark, dir, v)
+    def phys(c: String) = m.renames.getOrElse(c, c)
+    val all = filesAt(spark, dir, v)
+      .map(f => SkipIndex.normalizePath(refPath(dir, f))).toSet
+    lazy val stats = {
+      val s = statsAt(spark, dir, v)
+      // an untracked column would yield an EMPTY candidate set and
+      // silently prune everything — refuse with the repair named
+      val tracked = s.select("col").distinct()
+        .collect().map(_.getString(0)).toSet
+      preds.foreach {
+        case _: PruneIn => ()
+        case p => require(tracked.contains(phys(p.column)),
+          s"column ${p.column} is not tracked by $dir's stats: " +
+            "backfillStats() with it")
+      }
+      s
+    }
+    lazy val blooms: Option[DataFrame] =
+      if (listSidecars(fsOf(spark, dir), dir, "bloom").exists(_._1 <= v))
+        Some(bloomsAt(spark, dir, v))
+      else None
+    def fileSet(d: DataFrame): Set[String] =
+      d.select("file").collect().map(_.getString(0)).toSet
+    preds.foldLeft(all) { (acc, p) =>
+      val cand: Set[String] = p match {
+        case PruneRange(c, lo, hi) =>
+          fileSet(stats.filter(col("col") === phys(c) &&
+            col("hi") >= lo && col("lo") <= hi))
+        case PruneIsNull(c) =>
+          // survive when the file HAS nulls — or the count is unknown
+          fileSet(stats.filter(col("col") === phys(c) &&
+            (col("nulls") > 0L || col("nulls") < 0L)))
+        case PruneNotNull(c) =>
+          fileSet(stats.filter(col("col") === phys(c) &&
+            (col("nulls") < col("rows") || col("nulls") < 0L)))
+        case PruneIn(c, values) => blooms match {
+          case Some(b) if !b.filter(col("col") === phys(c)).isEmpty =>
+            BloomIndex.candidateFilesIn(spark, b, phys(c),
+              values.map(lit(_))).toSet
+          case _ => all // no bloom discipline on this column
+        }
+      }
+      acc.intersect(cand)
+    }.toSeq.sorted
   }
 
   /** SHALLOW CLONE (Delta's `CREATE TABLE ... SHALLOW CLONE src`):
@@ -1464,10 +1776,13 @@ object Versioned {
       commitTs: Long = System.currentTimeMillis()): Long = {
     require(keyCols.nonEmpty, "deleteWhere needs at least one key column")
     val v = init(spark, dir, commitTs)
+    val meta0 = metaAt(spark, dir, v)
     val carried = deleteFilesAt(spark, dir, v)
     if (carried.nonEmpty) {
+      // tombstone files are physical; keyCols are logical
       val prior = spark.read.parquet(s"$dir/${carried.head}").columns.toSeq
-      require(prior.sorted == keyCols.sorted,
+      val keyPhys = keyCols.map(k => meta0.renames.getOrElse(k, k))
+      require(prior.sorted == keyPhys.sorted,
         s"tombstone key mismatch: table already has equality deletes on " +
           s"(${prior.mkString(", ")}), got (${keyCols.mkString(", ")})")
     }
@@ -1501,7 +1816,8 @@ object Versioned {
     // by use-case (the read side anti-joins them, usually broadcast).
     // A delete wide enough to make this file large is a rewrite-class
     // operation — use the COW mergeInto with __delete instead.
-    keys.coalesce(1).write.mode("errorifexists").parquet(s"$dir/$delRel")
+    toPhysical(meta0, keys).coalesce(1)
+      .write.mode("errorifexists").parquet(s"$dir/$delRel")
     val it = fs.listFiles(new Path(dir, delRel), false)
     val delFiles = scala.collection.mutable.ArrayBuffer.empty[String]
     while (it.hasNext) {
@@ -1577,7 +1893,8 @@ object Versioned {
     }.reduce(_ || _)
     val clean = snapshot(spark, dir, v).filter(affectedPred)
     val newFiles = writeStagedFiles(spark, fs, dir,
-      clean.repartition(partitionKeys.map(col): _*), partitionKeys)
+      toPhysical(metaAt(spark, dir, v), clean)
+        .repartition(partitionKeys.map(col): _*), partitionKeys)
     writeCommit(fs, dir, v + 1, live.filterNot(underAffected) ++ newFiles,
       live, carryMeta(spark, dir, v, commitTs, None, Nil, "materialize"))
     maybeWriteIncStats(spark, dir, v, newFiles, Nil)
@@ -1637,6 +1954,7 @@ object Versioned {
     val live = filesAt(spark, dir, v)
     val fs = fsOf(spark, dir)
     val dels = deleteFilesAt(spark, dir, v)
+    val meta0 = metaAt(spark, dir, v)
 
     val hasDelete = updates.columns.contains("__delete")
     val del = if (hasDelete) coalesce(col("__delete"), lit(false)) else lit(false)
@@ -1662,7 +1980,11 @@ object Versioned {
       val (extraRows, nextDels) =
         if (dels.isEmpty) (Seq.empty[org.apache.spark.sql.Row], Nil)
         else {
-          val tomb = spark.read.parquet(dels.map(d => s"$dir/$d"): _*)
+          // tombstone files carry PHYSICAL names — lift to the logical
+          // view for every comparison against the (logical) batch, and
+          // write the surviving subset back physically
+          val tomb = applyColumnMapping(meta0,
+            spark.read.parquet(dels.map(d => s"$dir/$d"): _*))
           val keyCols = tomb.columns.toSeq
           require(keyCols.toSet.subsetOf(rowKey.toSet),
             s"pending equality deletes on (${keyCols.mkString(", ")}) are not a " +
@@ -1674,7 +1996,7 @@ object Versioned {
           val conflict = tomb.join(batchKeys, nsCond(tomb, batchKeys), "left_semi")
           if (conflict.isEmpty) (Seq.empty[org.apache.spark.sql.Row], dels)
           else {
-            val raw = readRefs(spark, dir, live)
+            val raw = applyColumnMapping(meta0, readRefs(spark, dir, live))
             val conflictRows = raw.join(conflict, nsCond(raw, conflict), "left_semi")
               .select(partitionKeys.map(col): _*).distinct().collect().toSeq
             val remaining = tomb.join(batchKeys, nsCond(tomb, batchKeys), "left_anti")
@@ -1683,7 +2005,7 @@ object Versioned {
               else {
                 val delRel = f"_deletes/v${v + 1}%06d_" +
                   java.util.UUID.randomUUID().toString.take(8)
-                remaining.distinct().coalesce(1)
+                toPhysical(meta0, remaining.distinct()).coalesce(1)
                   .write.mode("errorifexists").parquet(s"$dir/$delRel")
                 val it = fs.listFiles(new Path(dir, delRel), false)
                 val delFiles = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -1747,7 +2069,7 @@ object Versioned {
       // table-property CDF: the increment is written invisibly now and
       // published BY the manifest CAS below (`#cdfinc`) — crash-atomic,
       // nothing to promote or discard
-      val autoInc = metaAt(spark, dir, v).cdf.map { key =>
+      val autoInc = meta0.cdf.map { key =>
         require(key.sorted == rowKey.sorted,
           s"table-managed change feed of $dir is keyed (${key.mkString(", ")}) " +
             s"but this merge resolves on (${rowKey.mkString(", ")}) — keys must agree")
@@ -1757,15 +2079,20 @@ object Versioned {
 
       // write new files through the writer-private staging dir — the
       // identification is exact under concurrent writers on the same
-      // partitions (see [[writeStagedFiles]])
+      // partitions (see [[writeStagedFiles]]). The batch is logical;
+      // files are written PHYSICAL (re-added dropped names get a fresh
+      // physical, committed in this manifest's renames)
+      val autoRen = autoRenames(meta0, toWrite.columns.toSeq, v + 1)
+      val writeMeta = meta0.copy(renames = meta0.renames ++ autoRen)
       val newFiles = writeStagedFiles(spark, fs, dir,
-        toWrite.repartition(partitionKeys.map(col): _*), partitionKeys)
+        toPhysical(writeMeta, toWrite)
+          .repartition(partitionKeys.map(col): _*), partitionKeys)
 
       val next = live.filterNot(underTouched) ++ newFiles
       beforeCommitHook()
+      val cm = carryMeta(spark, dir, v, commitTs, txn, nextDels, "merge")
       try writeCommit(fs, dir, v + 1, next, live,
-        carryMeta(spark, dir, v, commitTs, txn, nextDels, "merge")
-          .copy(cdfInc = autoInc))
+        cm.copy(cdfInc = autoInc, renames = cm.renames ++ autoRen))
       catch { case e: Throwable =>
         changeFeed.foreach { case (fd, batchId) =>
           graft.ops.MergeData.discardStagedIncrement(spark, fd, batchId) }
@@ -1892,24 +2219,53 @@ object Versioned {
   def optimize(spark: SparkSession, dir: String,
       partitionKeys: Seq[String], targetFilesPerPartition: Int = 1,
       zorder: Option[org.apache.spark.sql.Column] = None,
-      commitTs: Long = System.currentTimeMillis()): Long = {
+      commitTs: Long = System.currentTimeMillis(),
+      targetFileSizeBytes: Option[Long] = None): Long = {
     require(targetFilesPerPartition >= 1, "need targetFilesPerPartition >= 1")
+    require(zorder.isEmpty || targetFileSizeBytes.isEmpty,
+      "ZORDER re-clusters everything; a size target is the small-file pass")
+    targetFileSizeBytes.foreach(t => require(t > 0, "need targetFileSizeBytes > 0"))
     val v = init(spark, dir, commitTs)
     val dels = deleteFilesAt(spark, dir, v)
     val live = filesAt(spark, dir, v)
+    val fs = fsOf(spark, dir)
     // group by ROOT-RELATIVE partition dir: a clone's foreign refs
     // compact together with its local files of the same partition, and
     // the rewrite localizes them (compaction doubles as clone
     // materialization, partition by partition)
     val byDir = live.groupBy { f =>
       val r = refRel(f); r.take(math.max(r.lastIndexOf('/'), 0)) }
+    // BINPACK sizing (Delta's OPTIMIZE file-size target): a partition
+    // needs compacting when it holds more files than its bytes demand —
+    // desired = ceil(bytes / target). Driver cost is one getFileStatus
+    // per live file, the same O(files) class as the listing itself.
+    def fileLen(ref: String): Long =
+      fs.getFileStatus(new Path(refPath(dir, ref))).getLen
+    val sizesByDir: Map[String, Long] =
+      if (targetFileSizeBytes.isEmpty) Map.empty
+      else byDir.map { case (d, rs) => d -> rs.map(fileLen).sum }
     val targets = byDir.filter { case (d, fs0) =>
       d.nonEmpty &&
         (if (zorder.isDefined) fs0.nonEmpty // re-cluster everything
-         else fs0.size > targetFilesPerPartition ||
-           fs0.exists(refIsForeign)) }
+         else targetFileSizeBytes match {
+           case Some(t) =>
+             fs0.size > math.max(1L, (sizesByDir(d) + t - 1) / t) ||
+               fs0.exists(refIsForeign)
+           case None => fs0.size > targetFilesPerPartition ||
+             fs0.exists(refIsForeign)
+         }) }
     if (targets.isEmpty) return v
-    val fs = fsOf(spark, dir)
+    // rows-per-file that lands files near the byte target: one footer
+    // pass over the files being compacted gives exact row counts, and
+    // bytes/rows gives the average encoded row width. maxRecordsPerFile
+    // then splits each task's output deterministically — file count per
+    // partition = ceil(partitionRows / rowsPerFile) ~= ceil(bytes/target)
+    val maxRecs: Option[Long] = targetFileSizeBytes.map { t =>
+      val tRefs = targets.values.flatten.toSeq
+      val totBytes = math.max(1L, targets.keys.map(sizesByDir).sum)
+      val totRows = countFooterRows(spark, tRefs.map(r => refPath(dir, r)))
+      math.max(1L, t * totRows / totBytes)
+    }
     val rawRows = readRefs(spark, dir, targets.values.flatten.toSeq)
     // pending MOR tombstones: a ZORDER pass rewrites EVERY partition
     // anyway, so it reads the tombstone-filtered view and the commit
@@ -1917,9 +2273,13 @@ object Versioned {
     // free (Hudi's compact-on-clustering). The small-file pass is
     // layout-only on the RAW files: stale rows stay physical but the
     // carried tombstones keep hiding them, so nothing resurrects.
-    val (rows, nextDels) =
+    val (rowsPhys, nextDels) =
       if (zorder.isDefined) (applyTombstones(spark, dir, v, rawRows), Nil)
       else (rawRows, dels)
+    // cluster in the LOGICAL view (a caller's zorder key references
+    // logical names), write back physical — identity when no mapping
+    val meta0opt = metaAt(spark, dir, v)
+    val rows = applyColumnMapping(meta0opt, rowsPhys)
     val clustered = zorder match {
       case Some(z) =>
         // range-split on (partition, zkey): each task holds one
@@ -1933,7 +2293,8 @@ object Versioned {
           .drop("__zkey")
       case None => rows.repartition(partitionKeys.map(col): _*)
     }
-    val newFiles = writeStagedFiles(spark, fs, dir, clustered, partitionKeys)
+    val newFiles = writeStagedFiles(spark, fs, dir,
+      toPhysical(meta0opt, clustered), partitionKeys, maxRecs)
     val replaced = targets.values.flatten.toSet
     writeCommit(fs, dir, v + 1, live.filterNot(replaced) ++ newFiles,
       live, carryMeta(spark, dir, v, commitTs, None, nextDels, "optimize"))
@@ -1954,10 +2315,15 @@ object Versioned {
     require(deleteFilesAt(spark, dir, v).isEmpty,
       "fastRowCount under unmaterialized equality deletes would overcount: " +
         "materializeDeletes() first or count the snapshot")
-    val files = filesAt(spark, dir, v).map(f => refPath(dir, f))
-    // ship the SESSION's Hadoop conf to the footer tasks (fs.* keys,
-    // object-store credentials): a fresh Configuration() would read
-    // local disk fine but fail to authenticate anywhere real
+    countFooterRows(spark, filesAt(spark, dir, v).map(f => refPath(dir, f)))
+  }
+
+  /** One distributed footer read per file, summed — shared by
+    * [[fastRowCount]] and the binpack sizing pass. Ships the SESSION's
+    * Hadoop conf to the tasks (fs.* keys, object-store credentials):
+    * a fresh Configuration() would read local disk fine but fail to
+    * authenticate anywhere real. */
+  private def countFooterRows(spark: SparkSession, files: Seq[String]): Long = {
     val hconf = spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(
         spark.sparkContext.hadoopConfiguration))
@@ -2018,7 +2384,8 @@ object Versioned {
             sidecars.collect { case (sv, false) if sv > base && sv <= keepFrom =>
               incSidecarPath(dir, kind, sv).toString }
           val liveDf = spark.createDataFrame(live.map(Tuple1(_))).toDF("ref")
-          spark.read.parquet(parts: _*).dropDuplicates("file", "col")
+          spark.read.option("mergeSchema", "true").parquet(parts: _*)
+            .dropDuplicates("file", "col")
             .join(liveDf, col("file") === col("ref"), "left_semi")
             .coalesce(1).write.mode("overwrite")
             .parquet(fullSidecarPath(dir, kind, keepFrom).toString)
@@ -2034,6 +2401,18 @@ object Versioned {
     val all = listDataFiles(fs, new Path(dir), new Path(dir))
     all.filterNot(referenced).foreach(rel =>
       fs.delete(new Path(dir, rel), false))
+    // change increments live under _changes/ (invisible to
+    // listDataFiles): drop the ones no retained manifest references —
+    // which also reaps orphans from lost CAS attempts and crashes
+    val refIncs = (keepFrom to cur)
+      .flatMap(v => metaAt(spark, dir, v).cdfInc).toSet
+    val chRoot = new Path(dir, "_changes")
+    if (fs.exists(chRoot)) {
+      fs.listStatus(chRoot).foreach { st =>
+        if (!refIncs.contains(s"_changes/${st.getPath.getName}"))
+          fs.delete(st.getPath, true)
+      }
+    }
     // tombstones live under _deletes/ (invisible to listDataFiles):
     // drop the ones only pre-retention manifests referenced
     val refDels = (keepFrom to cur)

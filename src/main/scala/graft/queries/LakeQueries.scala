@@ -8,7 +8,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.lake.{BloomIndex, Maintenance, PathModel, Readers, SkipIndex, Versioned}
+import graft.lake.{BloomIndex, Maintenance, PathModel, PruneIn,
+  PruneIsNull, PruneNotNull, PruneRange, Readers, SkipIndex, Versioned}
 import graft.ops.{MergeData, Overview}
 
 /** End-to-end csv.gz lake queries — the reference's core abstraction
@@ -265,6 +266,138 @@ object LakeQueries {
       }
     }
     (lake, feedDir)
+  }
+
+  /** Memoized lake under the change-feed TABLE PROPERTY (q183, q187):
+    * a mixed merge/append/delete/restore history where NO writer
+    * passes a feed argument — emission is the commit path's own
+    * invariant once [[Versioned.enableChangeFeed]] is in force, each
+    * increment published crash-atomically by its commit's manifest
+    * (`#cdfinc`). Versions (pinned commit timestamps):
+    *   v0 init = click/view base            (ts 1000)
+    *   v1 enable-cdf rowKey=(event_id)      (ts 2000)
+    *   v2 merge  = cdcPayload b0            (ts 3000)
+    *   v3 append = id%100==9 shifted +30M, value-5  (ts 4000)
+    *   v4 deleteWhere event_id%100==3 (MOR) (ts 5000)
+    *   v5 restore to v2                     (ts 6000)
+    * Final state == b0's state (st1 in the oracles). */
+  private def cdfPropFixture(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val stamp = new File(dir, "events.parquet").lastModified()
+    val root = new File(new File(sys.props("user.dir"), "target"),
+      s"graft_cdfprop_${tag}_$stamp")
+    val lake = new File(root, "lake").getAbsolutePath
+    LakeQueries.synchronized {
+      if (!new File(root, "_SUCCESS").exists()) {
+        val fs = new org.apache.hadoop.fs.Path(root.getAbsolutePath)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root.getAbsolutePath), true)
+        val base = Tables(s, dir, "events").select(MergeCols.map(col): _*)
+          .filter(col("event_type").isin("click", "view")).persist()
+        try {
+          MergeData.writeMerged(s, base, lake, keys = Seq("event_type"))
+          Versioned.init(s, lake, commitTs = 1000L)
+          Versioned.enableChangeFeed(s, lake, Seq("event_id"),
+            commitTs = 2000L)
+          Versioned.mergeInto(s, lake, cdcPayload(base).head,
+            Seq("event_type"), Seq("event_id"), commitTs = 3000L)
+          Versioned.append(s, lake,
+            base.filter(col("event_id") % 100 === 9)
+              .withColumn("event_id", col("event_id") + lit(30000000L))
+              .withColumn("value", col("value") - 5),
+            Seq("event_type"), commitTs = 4000L)
+          Versioned.deleteWhere(s, lake, col("event_id") % 100 === 3,
+            keyCols = Seq("event_id"), commitTs = 5000L)
+          Versioned.restore(s, lake, 2L, commitTs = 6000L)
+        } finally base.unpersist()
+        new File(root, "_SUCCESS").createNewFile()
+      }
+    }
+    lake
+  }
+
+  /** Memoized lake under COLUMN MAPPING (q184): rename + drop as
+    * metadata-only commits, with merge/append traffic before and
+    * after. Versions (pinned commit timestamps):
+    *   v0 init = click/view base             (ts 1000)
+    *   v1 rename value -> score              (ts 2000)
+    *   v2 merge = cdcPayload b0, logical name score  (ts 3000)
+    *   v3 drop user_id                       (ts 4000)
+    *   v4 append = id%100==9 shifted +30M, score-5   (ts 5000) */
+  private def colmapFixture(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val stamp = new File(dir, "events.parquet").lastModified()
+    val root = new File(new File(sys.props("user.dir"), "target"),
+      s"graft_colmap_${tag}_$stamp")
+    val lake = new File(root, "lake").getAbsolutePath
+    LakeQueries.synchronized {
+      if (!new File(root, "_SUCCESS").exists()) {
+        val fs = new org.apache.hadoop.fs.Path(root.getAbsolutePath)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root.getAbsolutePath), true)
+        val base = Tables(s, dir, "events").select(MergeCols.map(col): _*)
+          .filter(col("event_type").isin("click", "view")).persist()
+        try {
+          MergeData.writeMerged(s, base, lake, keys = Seq("event_type"))
+          Versioned.init(s, lake, commitTs = 1000L)
+          Versioned.renameColumn(s, lake, "value", "score",
+            commitTs = 2000L)
+          Versioned.mergeInto(s, lake,
+            cdcPayload(base).head.withColumnRenamed("value", "score"),
+            Seq("event_type"), Seq("event_id"), commitTs = 3000L)
+          Versioned.dropColumn(s, lake, "user_id", commitTs = 4000L)
+          Versioned.append(s, lake,
+            base.filter(col("event_id") % 100 === 9)
+              .withColumn("event_id", col("event_id") + lit(30000000L))
+              .withColumn("score", col("value") - 5)
+              .drop("value", "user_id"),
+            Seq("event_type"), commitTs = 5000L)
+        } finally base.unpersist()
+        new File(root, "_SUCCESS").createNewFile()
+      }
+    }
+    lake
+  }
+
+  /** Memoized lake with a NULLABLE tracked column (q185): value2 is
+    * NULL exactly on the click partition, so null-count pruning has
+    * real files to skip in both directions. v0 = base + backfilled
+    * stats on (event_id, value2); v1 = an append wave (inherits the
+    * discipline, so its files' null counts come from its own commit). */
+  private def nullStatsFixture(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val stamp = new File(dir, "events.parquet").lastModified()
+    val root = new File(new File(sys.props("user.dir"), "target"),
+      s"graft_nullstats_${tag}_$stamp")
+    val lake = new File(root, "lake").getAbsolutePath
+    def value2(scoreExpr: org.apache.spark.sql.Column) =
+      when(col("event_type") === "click", lit(null).cast("double"))
+        .otherwise(scoreExpr)
+    LakeQueries.synchronized {
+      if (!new File(root, "_SUCCESS").exists()) {
+        val fs = new org.apache.hadoop.fs.Path(root.getAbsolutePath)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root.getAbsolutePath), true)
+        val base = Tables(s, dir, "events")
+          .filter(col("event_type").isin("click", "view"))
+          .select(col("event_id"), value2(col("value")).as("value2"),
+            col("event_type")).persist()
+        try {
+          MergeData.writeMerged(s, base, lake, keys = Seq("event_type"))
+          Versioned.init(s, lake, commitTs = 1000L)
+          Versioned.backfillStats(s, lake, Seq("event_id", "value2"))
+          Versioned.append(s, lake,
+            Tables(s, dir, "events")
+              .filter(col("event_type").isin("click", "view") &&
+                col("event_id") % 100 === 9)
+              .select((col("event_id") + lit(30000000L)).as("event_id"),
+                value2(col("value") - 5).as("value2"), col("event_type")),
+            Seq("event_type"), commitTs = 2000L)
+        } finally base.unpersist()
+        new File(root, "_SUCCESS").createNewFile()
+      }
+    }
+    lake
   }
 
   /** Memoized lake under the COMMIT-TIME STATS discipline (q177,
@@ -2721,6 +2854,315 @@ object LakeQueries {
         SELECT 'v2', event_id, event_type, user_id, round(value::DOUBLE, 4)
         FROM hit
         ORDER BY 1, 2, 3, 4"""),
-      "commit-time blooms: backfill once, merge and ZORDER commits inherit; point lookups at both layouts == IN-filter oracle with zero index builds")
+      "commit-time blooms: backfill once, merge and ZORDER commits inherit; point lookups at both layouts == IN-filter oracle with zero index builds"),
+
+    // ---------------------------------------------------------------
+    // CHANGE FEED AS A TABLE PROPERTY (Delta's enableChangeDataFeed):
+    // a mixed merge/append/MOR-delete/restore history where NO writer
+    // passes a feed argument — each commit's increment is published
+    // crash-atomically by its own manifest (#cdfinc), so a hole is
+    // structurally impossible (and pre-CDF builds are fenced by the
+    // #ver 1 floor). Legs: time travel at v2/v3/v4 + the current
+    // (restored) state, each against its recomputed-prefix oracle,
+    // and a replica seeded from the enable-version snapshot and
+    // converged by applyTableChanges — which must equal the current
+    // state across all four commit kinds.
+    // ---------------------------------------------------------------
+    Q("q183_cdf_table_property",
+      (s, dir) => {
+        val lake = cdfPropFixture(s, dir)
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val replica = new File(
+          new File(sys.props("user.dir"), "target"),
+          s"graft_cdfprop_repl_$tag/replica").getAbsolutePath
+        LakeQueries.synchronized {
+          val fs = new org.apache.hadoop.fs.Path(replica)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(replica), true)
+          MergeData.writeMerged(s, Versioned.snapshot(s, lake, 1L),
+            replica, keys = Seq("event_type"))
+          Versioned.applyTableChanges(s, lake, replica,
+            Seq("event_type"), sinceV = 1L)
+        }
+        def agg(d: DataFrame, tag: String) =
+          d.groupBy("event_type").agg(
+              count(lit(1)).as("row_count"),
+              round(sum("value"), 4).as("sum_value"),
+              count_distinct(col("event_id")).as("n_ids"))
+            .withColumn("src", lit(tag))
+        agg(Versioned.snapshot(s, lake, 2L), "v2_merge")
+          .unionByName(agg(Versioned.snapshot(s, lake, 3L), "v3_append"))
+          .unionByName(agg(Versioned.snapshot(s, lake, 4L), "v4_delete"))
+          .unionByName(agg(Versioned.snapshot(s, lake), "v5_restored"))
+          .unionByName(agg(s.read.parquet(replica), "replica"))
+          .select("src", "event_type", "row_count", "sum_value", "n_ids")
+          .orderBy("src", "event_type")
+      },
+      Some("""
+        WITH t AS (SELECT event_type, event_id, value FROM events
+                   WHERE event_type IN ('click','view')),
+        st1 AS (
+          SELECT event_type, event_id,
+                 CASE WHEN event_id % 10 = 0 THEN value * 2 ELSE value END AS value
+          FROM t WHERE event_id % 10 <> 1
+          UNION ALL
+          SELECT event_type, event_id + 10000000, value + 1
+          FROM t WHERE event_id % 100 = 2),
+        v3 AS (
+          SELECT * FROM st1
+          UNION ALL
+          SELECT event_type, event_id + 30000000, value - 5
+          FROM t WHERE event_id % 100 = 9),
+        v4 AS (SELECT * FROM v3 WHERE event_id % 100 <> 3)
+        SELECT 'v2_merge' AS src, event_type, count(*) AS row_count,
+               round(sum(value::DOUBLE), 4) AS sum_value,
+               count(DISTINCT event_id) AS n_ids
+        FROM st1 GROUP BY 2
+        UNION ALL
+        SELECT 'v3_append', event_type, count(*), round(sum(value::DOUBLE), 4),
+               count(DISTINCT event_id)
+        FROM v3 GROUP BY 2
+        UNION ALL
+        SELECT 'v4_delete', event_type, count(*), round(sum(value::DOUBLE), 4),
+               count(DISTINCT event_id)
+        FROM v4 GROUP BY 2
+        UNION ALL
+        SELECT 'v5_restored', event_type, count(*), round(sum(value::DOUBLE), 4),
+               count(DISTINCT event_id)
+        FROM st1 GROUP BY 2
+        UNION ALL
+        SELECT 'replica', event_type, count(*), round(sum(value::DOUBLE), 4),
+               count(DISTINCT event_id)
+        FROM st1 GROUP BY 2
+        ORDER BY 1, 2"""),
+      "change feed as table property: argument-less merge/append/delete/restore all publish; time travel at each version + applyTableChanges replica == per-prefix recompute"),
+
+    // ---------------------------------------------------------------
+    // UNIFIED TABLE STREAM ACROSS REWRITE RANGES (Delta's streaming
+    // CDF read): a follower seeded at the enable version streams the
+    // WHOLE mixed history — append runs served from the appended
+    // files, merge/delete/restore commits from their #cdfinc
+    // increments — through followChangesOnce into a replica, which
+    // must equal the primary. The served range count is pinned as a
+    // constant leg: (1,2] merge, (2,3] append run, (3,4] delete,
+    // (4,5] restore = 4 ranges, proving the split actually ran
+    // (not one lump, not per-version fragments of the append run).
+    // ---------------------------------------------------------------
+    Q("q187_unified_table_stream",
+      (s, dir) => {
+        val lake = cdfPropFixture(s, dir)
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val froot = new File(new File(sys.props("user.dir"), "target"),
+          s"graft_cdfprop_follow_$tag")
+        val replica = new File(froot, "replica").getAbsolutePath
+        val ckpt = new File(froot, "ckpt").getAbsolutePath
+        val nRanges = LakeQueries.synchronized {
+          val fs = new org.apache.hadoop.fs.Path(froot.getAbsolutePath)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(froot.getAbsolutePath), true)
+          MergeData.writeMerged(s, Versioned.snapshot(s, lake, 1L),
+            replica, keys = Seq("event_type"))
+          graft.streaming.StreamingTableFollow.seedCheckpoint(s, ckpt, 1L)
+          val served = graft.streaming.StreamingTableFollow
+            .followChangesOnce(s, lake, ckpt, (d, _, _) => {
+              val b = d.filter(col("_action") =!= "update_preimage")
+                .withColumn("__delete", col("_action") === "delete")
+                .drop("_action")
+              if (!b.isEmpty)
+                MergeData.mergeInto(s, replica, b,
+                  Seq("event_type"), Seq("event_id"))
+            })
+          served.size
+        }
+        def agg(d: DataFrame, tag: String) =
+          d.groupBy("event_type").agg(
+              count(lit(1)).as("row_count"),
+              round(sum("value"), 4).as("sum_value"),
+              count_distinct(col("event_id")).as("n_ids"))
+            .withColumn("src", lit(tag))
+        agg(Versioned.snapshot(s, lake), "primary")
+          .unionByName(agg(s.read.parquet(replica), "followed"))
+          .unionByName(s.range(1).select(
+            lit(s"n=$nRanges").as("event_type"),
+            lit(null).cast("long").as("row_count"),
+            lit(null).cast("double").as("sum_value"),
+            lit(null).cast("long").as("n_ids"),
+            lit("ranges").as("src")))
+          .select("src", "event_type", "row_count", "sum_value", "n_ids")
+          .orderBy("src", "event_type")
+      },
+      Some("""
+        WITH t AS (SELECT event_type, event_id, value FROM events
+                   WHERE event_type IN ('click','view')),
+        st1 AS (
+          SELECT event_type, event_id,
+                 CASE WHEN event_id % 10 = 0 THEN value * 2 ELSE value END AS value
+          FROM t WHERE event_id % 10 <> 1
+          UNION ALL
+          SELECT event_type, event_id + 10000000, value + 1
+          FROM t WHERE event_id % 100 = 2)
+        SELECT * FROM (
+          SELECT 'primary' AS src, event_type, count(*) AS row_count,
+                 round(sum(value::DOUBLE), 4) AS sum_value,
+                 count(DISTINCT event_id) AS n_ids
+          FROM st1 GROUP BY 2
+          UNION ALL
+          SELECT 'followed', event_type, count(*), round(sum(value::DOUBLE), 4),
+                 count(DISTINCT event_id)
+          FROM st1 GROUP BY 2
+          UNION ALL
+          SELECT 'ranges', 'n=4', NULL::BIGINT, NULL::DOUBLE, NULL::BIGINT)
+        ORDER BY 1, 2"""),
+      "unified table stream: one follower across merge/append/delete/restore — append runs from files, rewrites from #cdfinc increments; replica == primary, range split pinned"),
+
+    // ---------------------------------------------------------------
+    // COLUMN MAPPING (Delta name-mapping / Iceberg field IDs): RENAME
+    // and DROP COLUMN as metadata-only commits — files keep their
+    // physical names forever, reads select through the manifest's
+    // mapping, writers reverse it, and old versions time-travel under
+    // their own meta. Legs: v0 under the ORIGINAL names, v2 (post-
+    // merge, renamed, user_id still visible), the current state (drop
+    // + append through the mapping), and the visible schema pinned as
+    // a constant — every leg against a recomputed-prefix oracle.
+    // ---------------------------------------------------------------
+    Q("q184_column_mapping",
+      (s, dir) => {
+        val lake = colmapFixture(s, dir)
+        require(Versioned.filesAt(s, lake, 1L) ==
+          Versioned.filesAt(s, lake, 0L),
+          "rename must be metadata-only (identical file list)")
+        def agg(d: DataFrame, tag: String, score: String, users: org.apache.spark.sql.Column) =
+          d.groupBy("event_type").agg(
+              count(lit(1)).as("row_count"),
+              round(sum(score), 4).as("sum_score"),
+              users.as("n_users"))
+            .withColumn("src", lit(tag))
+        val cols = Versioned.snapshot(s, lake).columns.sorted.mkString(",")
+        agg(Versioned.snapshot(s, lake, 0L), "v0_original",
+            "value", count_distinct(col("user_id")))
+          .unionByName(agg(Versioned.snapshot(s, lake, 2L), "v2_renamed",
+            "score", count_distinct(col("user_id"))))
+          .unionByName(agg(Versioned.snapshot(s, lake), "v4_current",
+            "score", lit(null).cast("long")))
+          .unionByName(s.range(1).select(
+            lit(cols).as("event_type"),
+            lit(null).cast("long").as("row_count"),
+            lit(null).cast("double").as("sum_score"),
+            lit(null).cast("long").as("n_users"),
+            lit("schema").as("src")))
+          .select("src", "event_type", "row_count", "sum_score", "n_users")
+          .orderBy("src", "event_type")
+      },
+      Some("""
+        WITH t AS (SELECT event_type, user_id, event_id, value FROM events
+                   WHERE event_type IN ('click','view')),
+        st1 AS (
+          SELECT event_type, user_id, event_id,
+                 CASE WHEN event_id % 10 = 0 THEN value * 2 ELSE value END AS value
+          FROM t WHERE event_id % 10 <> 1
+          UNION ALL
+          SELECT event_type, user_id, event_id + 10000000, value + 1
+          FROM t WHERE event_id % 100 = 2),
+        cur AS (
+          SELECT event_type, event_id, value FROM st1
+          UNION ALL
+          SELECT event_type, event_id + 30000000, value - 5
+          FROM t WHERE event_id % 100 = 9)
+        SELECT * FROM (
+          SELECT 'v0_original' AS src, event_type, count(*) AS row_count,
+                 round(sum(value::DOUBLE), 4) AS sum_score,
+                 count(DISTINCT user_id) AS n_users
+          FROM t GROUP BY 2
+          UNION ALL
+          SELECT 'v2_renamed', event_type, count(*),
+                 round(sum(value::DOUBLE), 4), count(DISTINCT user_id)
+          FROM st1 GROUP BY 2
+          UNION ALL
+          SELECT 'v4_current', event_type, count(*),
+                 round(sum(value::DOUBLE), 4), NULL::BIGINT
+          FROM cur GROUP BY 2
+          UNION ALL
+          SELECT 'schema', 'event_id,event_type,score',
+                 NULL::BIGINT, NULL::DOUBLE, NULL::BIGINT)
+        ORDER BY 1, 2"""),
+      "column mapping: rename/drop metadata-only (file list require()d identical); reads+writes through the mapping at every version == recomputed oracle; visible schema pinned"),
+
+    // ---------------------------------------------------------------
+    // NULL-COUNT PRUNING + THE ONE FRONT DOOR: stats sidecars carry
+    // per-file footer null counts, so IS NULL skips every no-null file
+    // and IS NOT NULL skips every all-null file — require()d to
+    // actually prune (value2 is null exactly on the click partition).
+    // prunedScan routes range -> boxes, null tests -> counts, IN ->
+    // blooms-or-residual, intersects the survivors, and re-applies
+    // everything exactly. fastNullCount answers metadata-only and is
+    // maintained by the append commit's own inc sidecar.
+    // ---------------------------------------------------------------
+    Q("q185_null_stats_pruning",
+      (s, dir) => {
+        val lake = nullStatsFixture(s, dir)
+        val total = Versioned.filesAt(s, lake).size
+        val isnullC = Versioned.prunedScanCandidates(s, lake,
+          Seq(PruneIsNull("value2")))
+        require(isnullC.nonEmpty && isnullC.size < total &&
+          isnullC.forall(_.contains("event_type=click")),
+          "IS NULL must skip the view files")
+        val nnC = Versioned.prunedScanCandidates(s, lake,
+          Seq(PruneNotNull("value2")))
+        require(nnC.nonEmpty && nnC.size < total &&
+          nnC.forall(_.contains("event_type=view")),
+          "IS NOT NULL must skip the all-null click files")
+        def agg(d: DataFrame, tag: String) =
+          d.groupBy("event_type").agg(
+              count(lit(1)).as("row_count"),
+              round(sum("value2"), 4).as("sum_v"))
+            .withColumn("src", lit(tag))
+        agg(Versioned.prunedScan(s, lake, Seq(PruneIsNull("value2"))),
+            "isnull")
+          .unionByName(agg(Versioned.prunedScan(s, lake,
+            Seq(PruneNotNull("value2"),
+              PruneRange("event_id", 0.0, 100000.0))), "notnull_range"))
+          .unionByName(agg(Versioned.prunedScan(s, lake,
+            Seq(PruneIn("event_id", Seq(40L, 59L, 86L, 100L)))), "probe"))
+          .unionByName(s.range(1).select(
+            concat(lit("nulls="), lit(Versioned.fastNullCount(s, lake,
+              "value2")).cast("string")).as("event_type"),
+            lit(null).cast("long").as("row_count"),
+            lit(null).cast("double").as("sum_v"),
+            lit("nullcount").as("src")))
+          .select("src", "event_type", "row_count", "sum_v")
+          .orderBy("src", "event_type")
+      },
+      Some("""
+        WITH t AS (SELECT event_type, event_id, value FROM events
+                   WHERE event_type IN ('click','view')),
+        w AS (
+          SELECT event_type, event_id,
+                 CASE WHEN event_type = 'click' THEN NULL
+                      ELSE value END AS value2
+          FROM t
+          UNION ALL
+          SELECT event_type, event_id + 30000000,
+                 CASE WHEN event_type = 'click' THEN NULL
+                      ELSE value - 5 END
+          FROM t WHERE event_id % 100 = 9)
+        SELECT * FROM (
+          SELECT 'isnull' AS src, event_type, count(*) AS row_count,
+                 round(sum(value2::DOUBLE), 4) AS sum_v
+          FROM w WHERE value2 IS NULL GROUP BY 2
+          UNION ALL
+          SELECT 'notnull_range', event_type, count(*),
+                 round(sum(value2::DOUBLE), 4)
+          FROM w WHERE value2 IS NOT NULL
+            AND event_id BETWEEN 0 AND 100000 GROUP BY 2
+          UNION ALL
+          SELECT 'probe', event_type, count(*),
+                 round(sum(value2::DOUBLE), 4)
+          FROM w WHERE event_id IN (40, 59, 86, 100) GROUP BY 2
+          UNION ALL
+          SELECT 'nullcount', 'nulls=' || count(*)::VARCHAR,
+                 NULL::BIGINT, NULL::DOUBLE
+          FROM w WHERE value2 IS NULL)
+        ORDER BY 1, 2"""),
+      "null-count stats: IS NULL / IS NOT NULL file pruning require()d real; one prunedScan front door routes boxes/nulls/blooms; fastNullCount == recomputed count")
   )
 }

@@ -413,16 +413,23 @@ object ReferenceQueries {
         ORDER BY revenue DESC, l_orderkey LIMIT 10""")),
 
     // ---------------------------------------------------------------
-    // Anti join.
+    // Anti join. Pinned against HIGH-VALUE orders (not all orders —
+    // every customer has SOME order at every SF, which made the anti
+    // side empty and the gate row vacuously green): customers with no
+    // order above 300k are a real minority slice at all 3 SFs
+    // (3 / 30 / 308 rows at sf0.001/0.01/0.1).
     // ---------------------------------------------------------------
     Q("q23_anti",
       (s, dir) => customer(s, dir)
-        .join(orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(orders(s, dir).filter(col("o_totalprice") > 300000.0),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey"),
       Some("""
         SELECT c_custkey, c_name FROM customer
-        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_totalprice > 300000)
         ORDER BY c_custkey""")),
 
     // ---------------------------------------------------------------
@@ -449,11 +456,18 @@ object ReferenceQueries {
     // ---------------------------------------------------------------
     // O4: intersect / except.
     // ---------------------------------------------------------------
+    // Pinned so BOTH set operations do real work at every SF (the old
+    // `except all-error-users` removed everyone — 0 rows, vacuous
+    // green): excepting only ERROR-HEAVY users (> 10 error events)
+    // keeps 4 / 32 / 354 of the 15 / 150 / 1500 intersect users.
     Q("q25_setops",
       (s, dir) => {
         val e = events(s, dir)
         def users(t: String) = e.filter(col("event_type") === t).select("user_id")
-        users("click").intersect(users("purchase")).except(users("error"))
+        val errorHeavy = e.filter(col("event_type") === "error")
+          .groupBy("user_id").agg(count(lit(1)).as("n"))
+          .filter(col("n") > 10).select("user_id")
+        users("click").intersect(users("purchase")).except(errorHeavy)
           .orderBy("user_id")
       },
       Some("""
@@ -462,6 +476,7 @@ object ReferenceQueries {
          SELECT user_id FROM events WHERE event_type = 'purchase')
         EXCEPT
         SELECT user_id FROM events WHERE event_type = 'error'
+        GROUP BY user_id HAVING count(*) > 10
         ORDER BY user_id""")),
 
     // ---------------------------------------------------------------

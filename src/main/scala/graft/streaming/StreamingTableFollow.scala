@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.lake.Versioned
@@ -16,85 +17,224 @@ import graft.lake.Versioned
   * Mechanics: the `_manifest/v*.txt` log is itself an append-only file
   * set, so a text file-stream over it is the NOTIFICATION channel
   * (same trick as [[StreamingReplica]]); each wakeup serves
-  *  - the INITIAL SNAPSHOT (version 0) as the first batch, then
-  *  - [[Versioned.appendsBetween]](highWater, current) — the rows of
-  *    exactly the files appended since, refused loudly if any commit
-  *    in the range rewrote files (follow the change feed for those).
+  *  - the CURRENT SNAPSHOT as a fresh checkpoint's initial batch (the
+  *    reference semantics — NOT version 0, which vacuum may have
+  *    reaped and any optimize has rewritten), then
+  *  - [[Versioned.appendsBetween]](highWater, pinned) — the rows of
+  *    exactly the files appended since; [[followOnce]] refuses loudly
+  *    if any commit in the range rewrote files, while
+  *    [[followChangesOnce]] serves those commits from the table's
+  *    change-feed increments instead (one unified source across
+  *    append, merge, delete and restore commits).
   *
-  * The high-water mark persists under the checkpoint; batches are
-  * handed to `process(df, fromV, toV)` BEFORE the mark advances, so
-  * delivery is at-least-once per VERSION RANGE — a process that
+  * EXACTLY-ONCE across crashes: the range to serve is PINNED in a
+  * plan file under the checkpoint BEFORE `process` runs, so a replay
+  * — even one racing new appends, even one that lost the high-water
+  * file — re-serves the IDENTICAL (fromV, toV] range; a process that
   * commits into a versioned sink with `txn = (id, toV)` markers
-  * ([[Versioned.append]]/[[Versioned.mergeInto]]) gets end-to-end
-  * exactly-once, the same contract as [[StreamingMerge]].
+  * ([[Versioned.append]]/[[Versioned.mergeInto]]) then deduplicates
+  * by construction, the same contract as [[StreamingMerge]]. Without
+  * the pin, a replay would recompute the range against an advanced
+  * current version and commit the already-committed prefix twice
+  * (its wider toV carries a fresh txn marker).
   *
-  * Scale shape: per-wakeup driver cost is two manifest resolutions +
-  * the high-water file; data cost is a scan of exactly the appended
-  * files. The table's size never enters.
+  * Scale shape: per-wakeup driver cost is a few manifest resolutions
+  * plus two checkpoint-scoped files; data cost is a scan of exactly
+  * the appended files (or the served increments). The table's size
+  * never enters.
   */
 object StreamingTableFollow {
 
   private def hwPath(checkpoint: String) = new Path(checkpoint, "table_follow_hw")
+  private def planPath(checkpoint: String) = new Path(checkpoint, "table_follow_plan")
 
-  private def readHw(spark: SparkSession, checkpoint: String): Long = {
-    val p = hwPath(checkpoint)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) -1L
+  private def fsOf(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def readLongs(spark: SparkSession, p: Path): Option[Seq[Long]] = {
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        .split(' ').toSeq.map(_.toLong))
       finally in.close()
     }
   }
 
-  private def writeHw(spark: SparkSession, checkpoint: String, v: Long): Unit = {
-    val p = hwPath(checkpoint)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def writeLongs(spark: SparkSession, p: Path, vs: Seq[Long]): Unit = {
+    val fs = fsOf(spark, p)
     fs.mkdirs(p.getParent)
     val out = fs.create(p, true)
-    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    try out.write(vs.mkString(" ").getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readHw(spark: SparkSession, checkpoint: String): Long =
+    readLongs(spark, hwPath(checkpoint)).map(_.head).getOrElse(-1L)
+
+  private def writeHw(spark: SparkSession, checkpoint: String, v: Long): Unit =
+    writeLongs(spark, hwPath(checkpoint), Seq(v))
+
+  /** The pinned (hw, toV) range for this wakeup: an unfinished prior
+    * plan if one exists (crash replay — serve the IDENTICAL range), a
+    * fresh pin against the current version otherwise, None when idle.
+    * A leftover plan whose toV is at or below the committed high-water
+    * mark is a crash between the mark write and the plan clear — fully
+    * served, just cleared. */
+  private def pinRange(spark: SparkSession, tableDir: String,
+      checkpoint: String): Option[(Long, Long)] = {
+    val prior = readLongs(spark, planPath(checkpoint))
+      .collect { case Seq(a, b) => (a, b) }
+    val hw = readHw(spark, checkpoint)
+    prior match {
+      case Some((_, toV)) if hw >= toV && toV >= 0 =>
+        fsOf(spark, planPath(checkpoint)).delete(planPath(checkpoint), false)
+      case Some(p) => return Some(p)
+      case None =>
+    }
+    val cur = Versioned.currentVersion(spark, tableDir)
+    if (cur < 0 || cur <= hw) None
+    else {
+      writeLongs(spark, planPath(checkpoint), Seq(hw, cur))
+      Some((hw, cur))
+    }
+  }
+
+  private def finishRange(spark: SparkSession, checkpoint: String,
+      toV: Long): Unit = {
+    writeHw(spark, checkpoint, toV)
+    fsOf(spark, planPath(checkpoint)).delete(planPath(checkpoint), false)
+  }
+
+  /** Seed a FRESH checkpoint to start following after `version` —
+    * Delta's `startingVersion`: the first served batch is the changes
+    * SINCE that version instead of the current snapshot (the consumer
+    * bootstrapped its state from that version's snapshot out of band).
+    * Refused once the checkpoint has consumed anything. */
+  def seedCheckpoint(spark: SparkSession, checkpoint: String,
+      version: Long): Unit = {
+    require(readHw(spark, checkpoint) < 0 &&
+      readLongs(spark, planPath(checkpoint)).isEmpty,
+      s"checkpoint $checkpoint has already consumed — cannot re-seed")
+    writeHw(spark, checkpoint, version)
   }
 
   /** One follow step — the loop each streaming wakeup runs, exposed
-    * for batch catch-up. Serves the initial snapshot first if this
-    * checkpoint has never consumed, then any appended versions.
-    * Returns the versions served as (fromExclusive, toInclusive). */
+    * for batch catch-up. Serves the CURRENT snapshot first if this
+    * checkpoint has never consumed, then any appended versions;
+    * refuses a range containing a rewrite commit (use
+    * [[followChangesOnce]] for those). Returns the versions served as
+    * (fromExclusive, toInclusive). */
   def followOnce(spark: SparkSession, tableDir: String, checkpoint: String,
       process: (DataFrame, Long, Long) => Unit): Option[(Long, Long)] = {
-    val cur = Versioned.currentVersion(spark, tableDir)
-    if (cur < 0) return None
-    var hw = readHw(spark, checkpoint)
-    var served: Option[(Long, Long)] = None
-    if (hw < 0) {
-      process(Versioned.snapshot(spark, tableDir, 0L), -1L, 0L)
-      hw = 0L
-      writeHw(spark, checkpoint, hw)
-      served = Some((-1L, 0L))
+    pinRange(spark, tableDir, checkpoint).map { case (hw, toV) =>
+      if (hw < 0) process(Versioned.snapshot(spark, tableDir, toV), -1L, toV)
+      else {
+        val batch = Versioned.appendsBetween(spark, tableDir, hw, toV)
+        // a purely metadata-only range added no files — advance the
+        // mark without a process call (a versioned sink would refuse
+        // an empty batch)
+        if (Versioned.filesAt(spark, tableDir, toV).toSet !=
+            Versioned.filesAt(spark, tableDir, hw).toSet)
+          process(batch, hw, toV)
+      }
+      finishRange(spark, checkpoint, toV)
+      (hw, toV)
     }
-    if (cur > hw) {
-      process(Versioned.appendsBetween(spark, tableDir, hw, cur), hw, cur)
-      writeHw(spark, checkpoint, cur)
-      served = Some((served.map(_._1).getOrElse(hw), cur))
-    }
-    served
   }
 
-  /** Start following `tableDir`. The notification stream reads only
-    * the manifest names (a text stream over `_manifest/v*.txt` — tiny,
-    * and glob-scoped away from the stats sidecars); all data reads go
-    * through the manifest-resolved [[followOnce]]. */
-  def start(spark: SparkSession, tableDir: String, checkpoint: String,
-      process: (DataFrame, Long, Long) => Unit,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+  /** Is commit `v` append-only (files only added, tombstones
+    * unchanged)? Metadata-only commits qualify trivially. */
+  private def isAppendOnly(spark: SparkSession, tableDir: String,
+      v: Long): Boolean =
+    Versioned.deleteFilesAt(spark, tableDir, v - 1) ==
+      Versioned.deleteFilesAt(spark, tableDir, v) &&
+      Versioned.filesAt(spark, tableDir, v - 1).toSet
+        .subsetOf(Versioned.filesAt(spark, tableDir, v).toSet)
+
+  /** The UNIFIED follow step — one source across rewrite ranges
+    * (Delta's streaming CDF read): every batch handed to `process` is
+    * CHANGE rows carrying `_action` — append-only runs are served from
+    * the appended files directly (synthesized `_action='insert'`, no
+    * increment read), and each rewrite commit (merge/delete/restore)
+    * is served from its table-property change increment
+    * ([[Versioned.changeIncrementAt]] — the table must have
+    * [[Versioned.enableChangeFeed]] in force for those commits).
+    * Rewrite commits are served ONE VERSION PER BATCH: a multi-version
+    * change batch could carry two actions for one key, which a merge
+    * apply would collide on; append runs coalesce freely.
+    *
+    * Exactly-once: the wakeup's range is pinned exactly as in
+    * [[followOnce]], and the sub-range split is a deterministic
+    * function of the manifests — a replay re-issues identical
+    * (range, batch) pairs, which a txn-marked sink (marker = each
+    * range's toV) deduplicates. Returns the ranges served. */
+  def followChangesOnce(spark: SparkSession, tableDir: String,
+      checkpoint: String,
+      process: (DataFrame, Long, Long) => Unit): Seq[(Long, Long)] = {
+    pinRange(spark, tableDir, checkpoint) match {
+      case None => Nil
+      case Some((hw, toV)) =>
+        val served = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        if (hw < 0) {
+          process(Versioned.snapshot(spark, tableDir, toV)
+            .withColumn("_action", lit("insert")), -1L, toV)
+          served += ((-1L, toV))
+        } else {
+          // split (hw, toV] into append-only runs and rewrite singletons
+          var runStart = hw
+          def closeRun(upTo: Long): Unit = if (upTo > runStart &&
+              Versioned.filesAt(spark, tableDir, upTo).toSet !=
+                Versioned.filesAt(spark, tableDir, runStart).toSet) {
+            val added = Versioned.appendsBetween(spark, tableDir, runStart, upTo)
+            process(added.withColumn("_action", lit("insert")), runStart, upTo)
+            served += ((runStart, upTo))
+          }
+          ((hw + 1) to toV).foreach { v =>
+            if (!isAppendOnly(spark, tableDir, v)) {
+              closeRun(v - 1)
+              Versioned.changeIncrementAt(spark, tableDir, v).foreach { inc =>
+                process(inc, v - 1, v)
+                served += ((v - 1, v))
+              }
+              runStart = v
+            }
+          }
+          closeRun(toV)
+        }
+        finishRange(spark, checkpoint, toV)
+        served.toSeq
+    }
+  }
+
+  private def notificationQuery(spark: SparkSession, tableDir: String,
+      checkpoint: String, trigger: Trigger,
+      step: SparkSession => Unit): StreamingQuery = {
     val notifications = spark.readStream.text(s"$tableDir/_manifest/v*.txt")
     notifications.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (mb: DataFrame, _: Long) =>
-        followOnce(mb.sparkSession, tableDir, checkpoint, process)
-        ()
-      }
+      .foreachBatch { (mb: DataFrame, _: Long) => step(mb.sparkSession); () }
       .start()
   }
+
+  /** Start following `tableDir` (append-only contract). The
+    * notification stream reads only the manifest names (a text stream
+    * over `_manifest/v*.txt` — tiny, and glob-scoped away from the
+    * stats sidecars); all data reads go through the manifest-resolved
+    * [[followOnce]]. */
+  def start(spark: SparkSession, tableDir: String, checkpoint: String,
+      process: (DataFrame, Long, Long) => Unit,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    notificationQuery(spark, tableDir, checkpoint, trigger,
+      s => { followOnce(s, tableDir, checkpoint, process); () })
+
+  /** Start the UNIFIED change stream ([[followChangesOnce]] per
+    * notification wakeup) — survives merge/delete/restore commits. */
+  def startChanges(spark: SparkSession, tableDir: String, checkpoint: String,
+      process: (DataFrame, Long, Long) => Unit,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    notificationQuery(spark, tableDir, checkpoint, trigger,
+      s => { followChangesOnce(s, tableDir, checkpoint, process); () })
 }

@@ -775,6 +775,313 @@ class VersionedSpec extends SparkSpec {
     } finally Versioned.beforeCommitHook = () => ()
   }
 
+  test("OPTIMIZE binpack: small files collapse to the byte target's file count; compact partitions untouched; idempotent; stats inherit") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_binpack").toFile
+    root.deleteOnExit()
+    val dir = new java.io.File(root, "lake").getAbsolutePath
+    // site=a: 8 small files of 25 wide rows each (1 KB of seeded
+    // pseudo-random payload per row — INCOMPRESSIBLE, so bytes stay
+    // ~linear in rows across the rewrite and the size trigger reaches
+    // a fixpoint); site=b: one compact file
+    def payload(seed: Long): String = {
+      val r = new scala.util.Random(seed)
+      r.alphanumeric.take(1024).mkString
+    }
+    def wave(i: Int) = (0 until 25)
+      .map(j => ("a", (i * 100 + j).toLong, payload(i * 100 + j)))
+      .toDF("site", "id", "pay")
+    MergeData.writeMerged(spark,
+      Seq(("b", 1L, payload(-1))).toDF("site", "id", "pay"),
+      dir, keys = Seq("site"))
+    Versioned.init(spark, dir)
+    Versioned.backfillStats(spark, dir, Seq("id"))
+    (0 until 8).foreach(i =>
+      Versioned.append(spark, dir, wave(i), Seq("site")))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def filesOf(p: String) = Versioned.filesAt(spark, dir)
+      .filter(_.startsWith(s"site=$p/"))
+    def bytesOf(refs: Seq[String]) = refs.map(r =>
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$dir/$r")).getLen).sum
+    assert(filesOf("a").size == 8)
+    val aBytes = bytesOf(filesOf("a"))
+    val aRows = 200L
+    val bFilesBefore = filesOf("b")
+    val preSnap = Versioned.snapshot(spark, dir)
+      .select("site", "id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+
+    // target ~ half the partition's bytes -> expect the impl's
+    // deterministic ceil(rows / rowsPerFile) file count, which for
+    // uniform rows equals ceil(bytes / target) = 2 (+/- encoding slack
+    // bounded by one file)
+    val target = aBytes / 2 + 1
+    val v = Versioned.optimize(spark, dir, Seq("site"),
+      targetFileSizeBytes = Some(target))
+    val rowsPerFile = math.max(1L, target * aRows / aBytes)
+    val expected = (aRows + rowsPerFile - 1) / rowsPerFile
+    assert(filesOf("a").size == expected && expected <= 3,
+      s"8 small files must collapse to ceil(rows/rowsPerFile) = $expected, " +
+        s"got ${filesOf("a").size}")
+    assert(filesOf("b") == bFilesBefore,
+      "a partition already within its byte budget is untouched")
+    assert(Versioned.snapshot(spark, dir)
+      .select("site", "id").collect().map(r => (r.getString(0), r.getLong(1)))
+      .toSet == preSnap, "binpack is layout-only")
+    // stats discipline inherited: the compacted files are covered
+    assert(Versioned.fastRowCount(spark, dir) == aRows + 1)
+    val (lo, hi) = Versioned.fastMinMax(spark, dir, "id")
+    assert(lo == 0.0 && hi == 724.0)
+    // idempotent: a second pass finds nothing to do
+    assert(Versioned.optimize(spark, dir, Seq("site"),
+      targetFileSizeBytes = Some(target)) == v)
+    // time travel still reads the pre-compaction layout
+    assert(Versioned.snapshot(spark, dir, v - 1)
+      .select("id").count() == aRows + 1)
+  }
+
+  test("null-count stats: fastNullCount is exact and maintained by commits; prunedScan routes range/null/IN predicates in one call") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_nullstats").toFile
+    root.deleteOnExit()
+    val dir = new java.io.File(root, "lake").getAbsolutePath
+    val base = Seq(
+      ("a", 1L, None: Option[Double]), ("a", 2L, None),
+      ("b", 10L, Some(10.0)), ("b", 11L, Some(11.0)))
+      .toDF("site", "id", "v")
+    MergeData.writeMerged(spark, base, dir, keys = Seq("site"))
+    Versioned.init(spark, dir)
+    Versioned.backfillStats(spark, dir, Seq("id", "v"))
+    assert(Versioned.fastNullCount(spark, dir, "v") == 2L)
+    assert(Versioned.fastNullCount(spark, dir, "id") == 0L)
+    // commits maintain the counts (inherited discipline)
+    Versioned.append(spark, dir,
+      Seq(("b", 12L, None: Option[Double])).toDF("site", "id", "v"),
+      Seq("site"))
+    assert(Versioned.fastNullCount(spark, dir, "v") == 3L)
+    assert(Versioned.fastNullCount(spark, dir, "v", 0L) == 2L,
+      "null counts time-travel")
+    // routing: IS NULL skips the no-null files, IS NOT NULL skips the
+    // all-null files, ranges use the boxes, IN falls through (no
+    // blooms) — all intersected in ONE call
+    def cands(ps: Seq[PrunePred]) =
+      Versioned.prunedScanCandidates(spark, dir, ps)
+    assert(cands(Seq(PruneIsNull("v"))).nonEmpty &&
+      cands(Seq(PruneIsNull("v"))).forall(f =>
+        f.contains("site=a") || f.contains("site=b")),
+      "IS NULL candidates exist")
+    val all = Versioned.filesAt(spark, dir).size
+    assert(cands(Seq(PruneNotNull("v"))).size < all,
+      "IS NOT NULL must skip the all-null site=a files")
+    assert(cands(Seq(PruneNotNull("v"))).forall(_.contains("site=b")))
+    assert(cands(Seq(PruneRange("id", 10.0, 11.0))).forall(_.contains("site=b")))
+    // results are exact (residual applies on survivors)
+    assert(Versioned.prunedScan(spark, dir, Seq(PruneIsNull("v")))
+      .select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 12L))
+    assert(Versioned.prunedScan(spark, dir,
+        Seq(PruneNotNull("v"), PruneRange("id", 10.0, 10.0)))
+      .select("id").collect().map(_.getLong(0)).toSet == Set(10L))
+    assert(Versioned.prunedScan(spark, dir,
+        Seq(PruneIn("id", Seq(11L, 12L)), PruneNotNull("v")))
+      .select("id").collect().map(_.getLong(0)).toSet == Set(11L))
+    // untracked columns refuse rather than prune everything
+    val e = intercept[IllegalArgumentException] {
+      Versioned.prunedScan(spark, dir, Seq(PruneRange("nope", 0.0, 1.0)))
+    }
+    assert(e.getMessage.contains("not tracked"))
+    // MOR tombstones apply on the survivors
+    Versioned.deleteWhere(spark, dir, col("id") === 1L, keyCols = Seq("id"))
+    assert(Versioned.prunedScan(spark, dir, Seq(PruneIsNull("v")))
+      .select("id").collect().map(_.getLong(0)).toSet == Set(2L, 12L))
+    val e2 = intercept[IllegalArgumentException] {
+      Versioned.fastNullCount(spark, dir, "v")
+    }
+    assert(e2.getMessage.contains("materializeDeletes"))
+  }
+
+  test("column mapping: RENAME/DROP are metadata-only; reads, writes, time travel, MOR deletes, stats and restore follow the mapping") {
+    val dir = freshLake()
+    Versioned.init(spark, dir)                                      // v0
+    val before = Versioned.filesAt(spark, dir, 0L)
+    // RENAME v -> val: zero files change hands
+    assert(Versioned.renameColumn(spark, dir, "v", "val") == 1L)    // v1
+    assert(Versioned.filesAt(spark, dir, 1L) == before,
+      "rename must be metadata-only")
+    assert(Versioned.snapshot(spark, dir).columns.toSeq ==
+      Seq("id", "val", "site"))
+    assert(Versioned.snapshot(spark, dir, 0L).columns.contains("v"),
+      "time travel keeps the old name")
+    // writes speak the NEW name; files stay physically 'v'
+    Versioned.mergeInto(spark, dir,
+      df(Seq(("a", 1L, 100.0, false)), "site", "id", "val", "__delete"),
+      Seq("site"), Seq("site", "id"))                               // v2
+    assert(state(Versioned.snapshot(spark, dir)
+        .withColumnRenamed("val", "v")) ==
+      Set(("a", 1L, 100.0), ("a", 2L, 2.0), ("b", 10L, 10.0)))
+    val physCols = spark.read
+      .parquet(s"$dir/${Versioned.filesAt(spark, dir).filterNot(before.contains).head}")
+      .columns.toSeq
+    assert(physCols.contains("v") && !physCols.contains("val"),
+      s"new files keep the physical name, got $physCols")
+    // blind append + MOR delete under the mapping
+    Versioned.append(spark, dir,
+      df(Seq(("b", 11L, 11.0)), "site", "id", "val"), Seq("site"))  // v3
+    Versioned.deleteWhere(spark, dir, col("val") === 11.0,
+      keyCols = Seq("site", "id"))                                  // v4
+    assert(Versioned.snapshot(spark, dir)
+      .filter(col("id") === 11L).isEmpty)
+    // stats answer under the logical name
+    Versioned.backfillStats(spark, dir, Seq("val"))
+    assert(Versioned.snapshot(spark, dir).count() == 3L)
+    // restore ACROSS the rename keeps the current (new) name
+    Versioned.restore(spark, dir, 0L)                               // v5
+    assert(Versioned.snapshot(spark, dir).columns.toSeq ==
+      Seq("id", "val", "site"))
+    assert(state(Versioned.snapshot(spark, dir)
+        .withColumnRenamed("val", "v")) ==
+      Set(("a", 1L, 1.0), ("a", 2L, 2.0), ("b", 10L, 10.0)))
+
+    // DROP then RE-ADD: the old physical column can never resurrect
+    Versioned.dropColumn(spark, dir, "val")                         // v6
+    assert(Versioned.snapshot(spark, dir).columns.toSeq == Seq("id", "site"))
+    Versioned.mergeInto(spark, dir,
+      df(Seq(("a", 1L, 777.0, false)), "site", "id", "val", "__delete"),
+      Seq("site"), Seq("site", "id"))                               // v7
+    val readd = Versioned.snapshot(spark, dir)
+      .select("site", "id", "val").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toSet
+    assert(readd.contains(("a", 1L, 777.0)))
+    assert(readd.filterNot(_._2 == 1L).forall(_._3.isNaN),
+      s"untouched rows must read NULL in the re-added column (no " +
+        s"resurrection from the dropped physical), got $readd")
+    // dropped-era travel still shows neither name; pre-drop shows data
+    assert(!Versioned.snapshot(spark, dir, 6L).columns.contains("val"))
+    assert(Versioned.snapshot(spark, dir, 5L).columns.contains("val"))
+
+    // guard rails
+    val e1 = intercept[IllegalArgumentException] {
+      Versioned.renameColumn(spark, dir, "site", "site2")
+    }
+    assert(e1.getMessage.contains("partition"))
+    Versioned.addConstraint(spark, dir, "id_pos", "id > 0")
+    val e2 = intercept[IllegalArgumentException] {
+      Versioned.renameColumn(spark, dir, "id", "ident")
+    }
+    assert(e2.getMessage.contains("id_pos"))
+    // the mapping bumps the protocol floor to 2
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val latest = new org.apache.hadoop.fs.Path(dir,
+      f"_manifest/v${Versioned.currentVersion(spark, dir)}%06d.delta.txt")
+    val lines = {
+      val in = fs.open(latest)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    }
+    assert(lines.exists(_.startsWith("#ver 2")),
+      s"column mapping demands reader protocol 2, got ${lines.take(2)}")
+  }
+
+  test("change-feed TABLE PROPERTY: argument-less writers feed a converging replica across merge/append/delete/restore; vacuum reaps only orphans") {
+    val dir = freshLake()
+    Versioned.init(spark, dir)                                    // v0
+    Versioned.enableChangeFeed(spark, dir, Seq("site", "id"))     // v1
+    // a replica seeded from the enable-version snapshot
+    val root = java.nio.file.Files.createTempDirectory("graft_cdfprop").toFile
+    root.deleteOnExit()
+    val replica = new java.io.File(root, "replica").getAbsolutePath
+    MergeData.writeMerged(spark, Versioned.snapshot(spark, dir, 1L),
+      replica, keys = Seq("site"))
+    // NONE of these writers passes a changeFeed argument — the
+    // property makes emission a commit-path invariant
+    Versioned.mergeInto(spark, dir,
+      df(Seq(("a", 1L, 100.0, false), ("c", 7L, 7.0, false)),
+        "site", "id", "v", "__delete"),
+      Seq("site"), Seq("site", "id"))                             // v2
+    Versioned.append(spark, dir,
+      df(Seq(("b", 11L, 11.0)), "site", "id", "v"), Seq("site"))  // v3
+    Versioned.deleteWhere(spark, dir, col("id") === 2L,
+      keyCols = Seq("site", "id"))                                // v4
+    Versioned.optimize(spark, dir, Seq("site"))                   // v5 layout-only
+    Versioned.restore(spark, dir, 2L)                             // v6
+    val cur = Versioned.applyTableChanges(spark, dir, replica,
+      Seq("site"), sinceV = 1L)
+    assert(cur == 6L)
+    assert(state(spark.read.parquet(replica)) ==
+      state(Versioned.snapshot(spark, dir)),
+      "replica must converge with zero per-call feed arguments")
+    // the batch read serves every increment, tagged by version
+    val ch = Versioned.changesBetween(spark, dir, 1L, 6L)
+    assert(ch.select("_commit_version").distinct().collect()
+      .map(_.getLong(0)).toSet == Set(2L, 3L, 4L, 6L),
+      "merge, append, delete and restore each published; optimize is layout-only")
+    // a merge keyed differently from the property is refused
+    val e = intercept[IllegalArgumentException] {
+      Versioned.mergeInto(spark, dir,
+        df(Seq(("a", 1L, 1.0, false)), "site", "id", "v", "__delete"),
+        Seq("site"), Seq("id"))
+    }
+    assert(e.getMessage.contains("keys must agree"))
+    // vacuum: referenced increments survive (the feed still serves the
+    // retained range), orphans (lost CAS / crash leftovers) are reaped
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val orphan = new org.apache.hadoop.fs.Path(dir, "_changes/inc_orphan")
+    fs.mkdirs(orphan)
+    Versioned.vacuum(spark, dir, keepVersions = 5) // keeps v2..v6
+    assert(!fs.exists(orphan), "unreferenced increment dirs are reaped")
+    assert(Versioned.changesBetween(spark, dir, 2L, 6L)
+      .select("_commit_version").distinct().collect()
+      .map(_.getLong(0)).toSet == Set(3L, 4L, 6L),
+      "retained increments survive vacuum")
+    // disable lifts the invariant
+    Versioned.disableChangeFeed(spark, dir)
+    val v8 = Versioned.mergeInto(spark, dir,
+      df(Seq(("a", 1L, 5.0, false)), "site", "id", "v", "__delete"),
+      Seq("site"), Seq("id")) // different key: fine once disabled
+    val e2 = intercept[IllegalArgumentException] {
+      Versioned.changeIncrementAt(spark, dir, v8)
+    }
+    assert(e2.getMessage.contains("no change increment"))
+  }
+
+  test("#ver protocol guard: a manifest demanding a future reader level is refused naming its features; enable-cdf stamps level 1") {
+    val dir = freshLake()
+    Versioned.init(spark, dir)
+    Versioned.enableChangeFeed(spark, dir, Seq("site", "id"))
+    // the property bumps the floor: the manifest SAYS what it demands
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mdir = new org.apache.hadoop.fs.Path(dir, "_manifest")
+    val v1 = fs.listStatus(mdir).map(_.getPath)
+      .find(_.getName.matches("v0*1\\..*txt")).get
+    val lines = {
+      val in = fs.open(v1)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    }
+    assert(lines.exists(_.startsWith("#ver 1 change-feed")),
+      s"enable-cdf must stamp the protocol line, got: ${lines.take(3)}")
+    // a future manifest is refused with the feature named, not misread
+    val cur = Versioned.currentVersion(spark, dir)
+    val future = new org.apache.hadoop.fs.Path(mdir,
+      f"v${cur + 1}%06d.delta.txt")
+    val out = fs.create(future, true)
+    out.write("#ver 99 time-crystals\n+nope.parquet\n".getBytes("UTF-8"))
+    out.close()
+    val e = intercept[IllegalArgumentException] {
+      Versioned.snapshot(spark, dir)
+    }
+    assert(e.getMessage.contains("protocol 99") &&
+      e.getMessage.contains("time-crystals") &&
+      e.getMessage.contains("upgrade"),
+      s"got: ${e.getMessage}")
+    // older versions of the same table still read fine
+    fs.delete(future, false)
+    assert(state(Versioned.snapshot(spark, dir)).nonEmpty)
+  }
+
   test("a crashed loser's staged increment (older base) is discarded and restaged; same-base stages are kept") {
     import graft.ops.MergeData
     val root = java.nio.file.Files.createTempDirectory("graft_stgbase").toFile

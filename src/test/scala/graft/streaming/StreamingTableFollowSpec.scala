@@ -79,6 +79,145 @@ class StreamingTableFollowSpec extends SparkSpec {
     assert(e.getMessage.contains("change feed"))
   }
 
+  test("a crash between process and the mark write re-serves the PINNED range even after new appends land") {
+    val root = java.nio.file.Files.createTempDirectory("graft_follow_pin").toFile
+    root.deleteOnExit()
+    val src = new java.io.File(root, "src").getAbsolutePath
+    val sink = new java.io.File(root, "sink").getAbsolutePath
+    val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+    MergeData.writeMerged(spark,
+      df(Seq(("a", 1L, 1.0)), "site", "id", "v"), src, keys = Seq("site"))
+    Versioned.init(spark, src)
+    val process = (d: org.apache.spark.sql.DataFrame, _: Long, toV: Long) =>
+      { Versioned.append(spark, sink, d, Seq("site"),
+          txn = Some(("follow", toV))); () }
+    // consume the initial snapshot
+    StreamingTableFollow.followOnce(spark, src, ckpt, process)
+    val sinkV0 = Versioned.currentVersion(spark, sink)
+
+    Versioned.append(spark, src,
+      df(Seq(("a", 2L, 2.0)), "site", "id", "v"), Seq("site"))
+    // the process COMMITS, then the follower crashes before its mark
+    // write — the classic at-least-once window
+    val boom = new RuntimeException("crash after process")
+    intercept[RuntimeException] {
+      StreamingTableFollow.followOnce(spark, src, ckpt,
+        (d, f, t) => { process(d, f, t); throw boom })
+    }
+    // NEW appends land before the restart
+    Versioned.append(spark, src,
+      df(Seq(("a", 3L, 3.0)), "site", "id", "v"), Seq("site"))
+    // the restarted follower must FIRST re-serve the identical pinned
+    // range (the sink's txn marker dedups it), not a recomputed wider
+    // one whose fresh marker would commit the prefix twice
+    val r1 = StreamingTableFollow.followOnce(spark, src, ckpt, process)
+    assert(r1.contains((0L, 1L)), s"pinned range must replay verbatim, got $r1")
+    val r2 = StreamingTableFollow.followOnce(spark, src, ckpt, process)
+    assert(r2.contains((1L, 2L)))
+    assert(state(Versioned.snapshot(spark, sink)) ==
+      state(Versioned.snapshot(spark, src)))
+    assert(Versioned.currentVersion(spark, sink) == sinkV0 + 2,
+      "exactly one sink commit per distinct range — no duplicate for the replay")
+  }
+
+  test("a fresh checkpoint starts from the CURRENT snapshot — even after vacuum reaped v0 and optimize rewrote files") {
+    val root = java.nio.file.Files.createTempDirectory("graft_follow_cur").toFile
+    root.deleteOnExit()
+    val src = new java.io.File(root, "src").getAbsolutePath
+    val sink = new java.io.File(root, "sink").getAbsolutePath
+    val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+    MergeData.writeMerged(spark,
+      df(Seq(("a", 1L, 1.0)), "site", "id", "v"), src, keys = Seq("site"))
+    Versioned.init(spark, src)
+    (2 to 4).foreach { i =>
+      Versioned.append(spark, src,
+        df(Seq(("a", i.toLong, i.toDouble)), "site", "id", "v"), Seq("site"))
+    }
+    Versioned.optimize(spark, src, Seq("site")) // rewrites every file
+    Versioned.vacuum(spark, src, keepVersions = 1) // v0 is GONE
+    val served = StreamingTableFollow.followOnce(spark, src, ckpt,
+      (d, _, toV) => { Versioned.append(spark, sink, d, Seq("site"),
+        txn = Some(("follow", toV))); () })
+    assert(served.isDefined)
+    assert(state(Versioned.snapshot(spark, sink)) ==
+      state(Versioned.snapshot(spark, src)))
+  }
+
+  test("unified change stream follows an append -> merge -> append -> delete -> restore history exactly-once across a crash") {
+    val root = java.nio.file.Files.createTempDirectory("graft_follow_uni").toFile
+    root.deleteOnExit()
+    val src = new java.io.File(root, "src").getAbsolutePath
+    val sink = new java.io.File(root, "sink").getAbsolutePath
+    val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+    MergeData.writeMerged(spark,
+      df(Seq(("a", 1L, 1.0), ("b", 10L, 10.0)), "site", "id", "v"),
+      src, keys = Seq("site"))
+    Versioned.init(spark, src)                                   // v0
+    Versioned.enableChangeFeed(spark, src, Seq("site", "id"))    // v1
+
+    // change-row sink: insert-only batches append, mixed batches merge;
+    // both stamp txn = (id, range toV) — the exactly-once discipline
+    def applyChanges(d: org.apache.spark.sql.DataFrame, toV: Long): Unit = {
+      val b = d.filter(col("_action") =!= "update_preimage")
+        .withColumn("__delete", col("_action") === "delete")
+        .drop("_action")
+      if (!b.isEmpty) {
+        if (Versioned.currentVersion(spark, sink) < 0)
+          Versioned.append(spark, sink, b.drop("__delete"), Seq("site"),
+            txn = Some(("cf", toV)))
+        else
+          Versioned.mergeInto(spark, sink, b, Seq("site"), Seq("site", "id"),
+            txn = Some(("cf", toV)))
+      }
+    }
+    // consume the initial snapshot, then build the mixed history
+    StreamingTableFollow.followChangesOnce(spark, src, ckpt,
+      (d, _, toV) => applyChanges(d, toV))
+    Versioned.append(spark, src,
+      df(Seq(("a", 2L, 2.0)), "site", "id", "v"), Seq("site"))   // v2
+    Versioned.mergeInto(spark, src,
+      df(Seq(("a", 1L, 100.0, false), ("b", 10L, 0.0, true)),
+        "site", "id", "v", "__delete"),
+      Seq("site"), Seq("site", "id"))                            // v3 rewrite
+    Versioned.append(spark, src,
+      df(Seq(("b", 11L, 11.0)), "site", "id", "v"), Seq("site")) // v4
+    Versioned.deleteWhere(spark, src, col("id") === 2L,
+      keyCols = Seq("site", "id"))                               // v5 MOR
+    Versioned.restore(spark, src, 2L)                            // v6
+
+    // crash after the FIRST served range commits — mid-catchup
+    val boom = new RuntimeException("crash mid-catchup")
+    intercept[RuntimeException] {
+      StreamingTableFollow.followChangesOnce(spark, src, ckpt,
+        (d, _, toV) => { applyChanges(d, toV); throw boom })
+    }
+    // restart: replays the identical plan; txn markers dedup the
+    // already-committed prefix, then the rest of the history applies
+    val served = StreamingTableFollow.followChangesOnce(spark, src, ckpt,
+      (d, _, toV) => applyChanges(d, toV))
+    assert(served.size >= 4,
+      s"append run, merge, append run, delete, restore each serve: $served")
+    assert(state(Versioned.snapshot(spark, sink)) ==
+      state(Versioned.snapshot(spark, src)),
+      "replica must converge across merge/delete/restore commits")
+    assert(state(Versioned.snapshot(spark, sink)) ==
+      Set(("a", 1L, 1.0), ("b", 10L, 10.0), ("a", 2L, 2.0)),
+      "restored state: v2's rows")
+
+    // further waves stream incrementally (one wakeup each)
+    Versioned.append(spark, src,
+      df(Seq(("c", 20L, 20.0)), "site", "id", "v"), Seq("site"))
+    Versioned.deleteWhere(spark, src, col("id") === 1L,
+      keyCols = Seq("site", "id"))
+    StreamingTableFollow.followChangesOnce(spark, src, ckpt,
+      (d, _, toV) => applyChanges(d, toV))
+    assert(state(Versioned.snapshot(spark, sink)) ==
+      state(Versioned.snapshot(spark, src)))
+    // idle
+    assert(StreamingTableFollow.followChangesOnce(spark, src, ckpt,
+      (d, _, toV) => applyChanges(d, toV)).isEmpty)
+  }
+
   test("append refuses key collisions with pending tombstones; appendsBetween refuses tombstone changes") {
     val root = java.nio.file.Files.createTempDirectory("graft_follow2").toFile
     root.deleteOnExit()
