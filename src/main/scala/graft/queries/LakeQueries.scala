@@ -2938,6 +2938,90 @@ object LakeQueries {
       "change feed as table property: argument-less merge/append/delete/restore all publish; time travel at each version + applyTableChanges replica == per-prefix recompute"),
 
     // ---------------------------------------------------------------
+    // OPTIMIZE BINPACK (Delta's size-targeted small-file compaction):
+    // a per-run lake accumulates 4 append waves of small files, then
+    // one size-targeted pass collapses every partition to its byte
+    // budget (8 MB >> partition bytes at every SF -> one file each;
+    // file-count collapse require()d, as is trigger idempotence).
+    // Layout-only: the compacted snapshot AND the pre-compaction
+    // version both equal the recompute oracle (time travel intact).
+    // ---------------------------------------------------------------
+    Q("q186_binpack_compaction",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val root = new File(new File(sys.props("user.dir"), "target"),
+          s"graft_binpackq_$tag")
+        val lake = new File(root, "lake").getAbsolutePath
+        val preV = LakeQueries.synchronized {
+          val fs = new org.apache.hadoop.fs.Path(root.getAbsolutePath)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(root.getAbsolutePath), true)
+          val base = Tables(s, dir, "events").select(MergeCols.map(col): _*)
+            .filter(col("event_type").isin("click", "view"))
+          MergeData.writeMerged(s, base, lake, keys = Seq("event_type"))
+          Versioned.init(s, lake, commitTs = 1000L)
+          (0 until 4).foreach { i =>
+            Versioned.append(s, lake,
+              base.filter(col("event_id") % 4 === i)
+                .withColumn("event_id",
+                  col("event_id") + lit((i + 1) * 100000000L)),
+              Seq("event_type"), commitTs = 2000L + i * 1000L)
+          }
+          val v0 = Versioned.currentVersion(s, lake)
+          val before = Versioned.filesAt(s, lake).size
+          val v = Versioned.optimize(s, lake, Seq("event_type"),
+            targetFileSizeBytes = Some(8L * 1024 * 1024),
+            commitTs = 9000L)
+          require(v == v0 + 1 &&
+            Versioned.filesAt(s, lake).size < before,
+            s"binpack must collapse the $before small files")
+          require(Versioned.optimize(s, lake, Seq("event_type"),
+            targetFileSizeBytes = Some(8L * 1024 * 1024),
+            commitTs = 9500L) == v,
+            "a partition within its byte budget must not re-compact")
+          v0
+        }
+        def agg(d: DataFrame, tag: String) =
+          d.groupBy("event_type").agg(
+              count(lit(1)).as("row_count"),
+              round(sum("value"), 4).as("sum_value"),
+              count_distinct(col("event_id")).as("n_ids"))
+            .withColumn("src", lit(tag))
+        agg(Versioned.snapshot(s, lake), "compacted")
+          .unionByName(agg(Versioned.snapshot(s, lake, preV), "pre_binpack"))
+          .select("src", "event_type", "row_count", "sum_value", "n_ids")
+          .orderBy("src", "event_type")
+      },
+      Some("""
+        WITH t AS (SELECT event_type, event_id, value FROM events
+                   WHERE event_type IN ('click','view')),
+        w AS (
+          SELECT * FROM t
+          UNION ALL
+          SELECT event_type, event_id + 100000000, value FROM t
+          WHERE event_id % 4 = 0
+          UNION ALL
+          SELECT event_type, event_id + 200000000, value FROM t
+          WHERE event_id % 4 = 1
+          UNION ALL
+          SELECT event_type, event_id + 300000000, value FROM t
+          WHERE event_id % 4 = 2
+          UNION ALL
+          SELECT event_type, event_id + 400000000, value FROM t
+          WHERE event_id % 4 = 3)
+        SELECT * FROM (
+          SELECT 'compacted' AS src, event_type, count(*) AS row_count,
+                 round(sum(value::DOUBLE), 4) AS sum_value,
+                 count(DISTINCT event_id) AS n_ids
+          FROM w GROUP BY 2
+          UNION ALL
+          SELECT 'pre_binpack', event_type, count(*),
+                 round(sum(value::DOUBLE), 4), count(DISTINCT event_id)
+          FROM w GROUP BY 2)
+        ORDER BY 1, 2"""),
+      "size-targeted binpack: file count collapse + idempotence require()d; compacted and pre-compaction versions both == recompute (layout-only, travel intact)"),
+
+    // ---------------------------------------------------------------
     // UNIFIED TABLE STREAM ACROSS REWRITE RANGES (Delta's streaming
     // CDF read): a follower seeded at the enable version streams the
     // WHOLE mixed history — append runs served from the appended
