@@ -23,6 +23,27 @@ object Readers {
     withSchema.csv(paths: _*)
   }
 
+  /** S4 at lake scale: one recursive csv.gz scan rooted at `root` —
+    * the reader takes the ROOT, not a driver-collected file list, so
+    * the only O(files) state is Spark's own distributed file index
+    * (the same listing the explicit-paths form builds on the driver
+    * anyway, without the 100 TB lake's path array living in driver
+    * memory). Row-level routing (include/exclude, lineage) happens by
+    * joining the result against the path inventory — files the join
+    * drops cost their scan bytes, which is the right trade when the
+    * excluded set is a handful of sites; a large standing exclusion
+    * belongs in the directory layout where the glob can prune it. */
+  def csvGzTree(spark: SparkSession, root: String,
+      schema: Option[StructType] = None,
+      glob: String = "*.csv.gz"): DataFrame = {
+    val base = spark.read
+      .option("header", "true")
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", glob)
+    val withSchema = schema.map(base.schema).getOrElse(base.option("inferSchema", "true"))
+    withSchema.csv(root)
+  }
+
   /** S1+S4 in one: recursive scan of a lake subtree, reference layout.
     *
     * Schema inference over a raw lake costs a FULL extra pass (read once

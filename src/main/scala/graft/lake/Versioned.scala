@@ -609,6 +609,34 @@ object Versioned {
     else df.select(df.columns.toSeq.map { c =>
       meta.renames.get(c).map(p => col(c).as(p)).getOrElse(col(c)) }: _*)
 
+  /** Columns the change-feed machinery adds around user rows — exempt
+    * from column-mapping translation (they are protocol, not data). */
+  private val CdfMetaCols = Set("_action", "_commit_version")
+
+  /** Re-spell a frame whose user columns are LOGICAL under `from`'s
+    * mapping into the logical names in force under `to` — the bridge
+    * across RENAME/DROP commits. Physical names are the stable rail
+    * (the field-ID discipline): logical-at-`from` → physical →
+    * logical-at-`to`; a column whose physical is dropped at `to`
+    * vanishes. Identity when the mappings agree, so the common
+    * no-evolution path pays nothing. */
+  private def translateLogical(from: CommitMeta, to: CommitMeta,
+      df: DataFrame): DataFrame = {
+    if (from.renames == to.renames && from.droppedCols == to.droppedCols)
+      return df
+    val physToLogTo = to.renames.map(_.swap)
+    val dropTo = to.droppedCols.toSet
+    val cols = df.columns.toSeq.flatMap { c =>
+      if (CdfMetaCols.contains(c)) Some(col(c))
+      else {
+        val phys = from.renames.getOrElse(c, c)
+        if (dropTo.contains(phys)) None
+        else Some(col(c).as(physToLogTo.getOrElse(phys, phys)))
+      }
+    }
+    df.select(cols: _*)
+  }
+
   /** Auto-assigned renames for batch columns whose name is a retired
     * or occupied physical (re-added after DROP, or shadowing a live
     * rename target): each gets a fresh, never-reused physical name
@@ -1209,14 +1237,23 @@ object Versioned {
   /** The CDF rows of versions `fromV` (exclusive) → `toV` (inclusive),
     * each tagged `_commit_version` — the batch read of the table
     * property feed (Delta's `table_changes`). Metadata cost: one meta
-    * read per version in range; data cost: exactly the increments. */
+    * read per version in range; data cost: exactly the increments.
+    *
+    * Every increment is served under the COLUMN MAPPING in force at
+    * `toV` (Delta's `table_changes` returns the latest schema): an
+    * increment written before a RENAME in range carries its commit's
+    * own names on disk, and [[translateLogical]] re-spells it along
+    * the stable physical rail — so the union below never forks one
+    * physical column across two logical names. */
   def changesBetween(spark: SparkSession, dir: String,
       fromV: Long, toV: Long): DataFrame = {
     require(0 <= fromV && fromV <= toV,
       s"need 0 <= fromV <= toV, got ($fromV, $toV)")
+    val mTo = metaAt(spark, dir, toV)
     val parts = ((fromV + 1) to toV).flatMap { v =>
       changeIncrementAt(spark, dir, v)
-        .map(_.withColumn("_commit_version", lit(v)))
+        .map(inc => translateLogical(metaAt(spark, dir, v), mTo, inc)
+          .withColumn("_commit_version", lit(v)))
     }
     if (parts.isEmpty)
       snapshot(spark, dir, toV).limit(0)
@@ -1241,9 +1278,36 @@ object Versioned {
     val key = changeFeedKey(spark, srcDir, cur).getOrElse(
       throw new IllegalArgumentException(
         s"$srcDir has no change-feed table property: enableChangeFeed() first"))
+    val mFrom = metaAt(spark, srcDir, sinceV)
+    val mTo = metaAt(spark, srcDir, cur)
+    // SCHEMA EVOLUTION IN RANGE: the replica was seeded from
+    // snapshot(sinceV) and so speaks sinceV's logical names. When the
+    // range contains RENAME/DROP commits, re-spell the replica ONCE up
+    // front to `cur`'s names (one bounded rewrite — the plain-parquet
+    // replica's honest cost; a versioned replica pays metadata only),
+    // then apply every increment translated to the same final names.
+    // Delta's streaming CDF read refuses here and demands a fresh
+    // checkpoint; converging through the rename is strictly stronger.
+    if (mFrom.renames != mTo.renames || mFrom.droppedCols != mTo.droppedCols) {
+      // write target == read source, so stage-and-swap (the same COW
+      // commit MergeData.mergeInto uses): the staging write is the only
+      // job, the swap is two FS metadata ops
+      val staging = new Path(replicaDir + "_remap_" +
+        java.util.UUID.randomUUID().toString.take(8))
+      val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val rep = translateLogical(mFrom, mTo, spark.read.parquet(replicaDir))
+      try graft.ops.MergeData.writeMerged(spark, rep, staging.toString,
+        keys = partitionKeys)
+      catch { case e: Throwable => fs.delete(staging, true); throw e }
+      fs.delete(new Path(replicaDir), true)
+      require(fs.rename(staging, new Path(replicaDir)),
+        s"replica remap: rename $staging -> $replicaDir failed; " +
+          "data recoverable in staging")
+    }
     ((sinceV + 1) to cur).foreach { v =>
       changeIncrementAt(spark, srcDir, v).foreach { inc =>
-        val b = inc.filter(col("_action") =!= "update_preimage")
+        val b = translateLogical(metaAt(spark, srcDir, v), mTo, inc)
+          .filter(col("_action") =!= "update_preimage")
           .withColumn("__delete", col("_action") === "delete")
           .drop("_action")
         if (!b.isEmpty)
@@ -1744,8 +1808,23 @@ object Versioned {
       else s"@$srcDir\t$r"
     }
     cacheDrop(dstDir)
+    // The clone INHERITS the source's table properties at `version` —
+    // Delta's clone copies the table metadata wholesale, and here it is
+    // load-bearing, not cosmetic: the source's data files carry PHYSICAL
+    // column names, so a clone without the `#ren`/`#dropcol` mapping
+    // would expose field-id spellings (`value__r7`) and resurrect
+    // dropped columns; without `#chk` a governed table's clone would
+    // accept rows the source refuses; without `#cdf` the clone's first
+    // mutating commit would punch a silent hole in its change feed; and
+    // without the `#txn` high-water map an exactly-once writer cut over
+    // to the clone would replay its delivered batches as duplicates.
+    // Per-commit state (`#del` refused above, `#cdfinc`, `#op`) does
+    // not carry — the clone starts its own history.
+    val srcMeta = metaAt(spark, srcDir, v)
     writeCommit(fsOf(spark, dstDir), dstDir, 0L, refs, Nil,
-      CommitMeta(Some(commitTs), Map.empty, Nil, Map.empty, Some("clone")))
+      CommitMeta(Some(commitTs), srcMeta.txns, Nil, srcMeta.chks,
+        Some("clone"), verFloor = srcMeta.verFloor, cdf = srcMeta.cdf,
+        renames = srcMeta.renames, droppedCols = srcMeta.droppedCols))
     0L
   }
 

@@ -498,16 +498,19 @@ object LakeQueries {
     val inv = PathModel.includeExclude(
       PathModel.parsePaths(listed, root),
       include = Nil, exclude = Seq(ExcludedSite))
-    // the file list drives the read, as in the reference's walk
-    val paths = inv.select("path").collect().map(_.getString(0)).toSeq
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("timestamp", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
-    val data = Readers.csvGz(s, paths, Some(schema))
+    // the reader takes the lake ROOT (no driver-collected path list —
+    // O(files) stays out of driver memory); the inventory join below
+    // enforces include/exclude row-wise, the same filter the reference
+    // applies to its walk
+    val data = Readers.csvGzTree(s, root, Some(schema))
       .withColumn("path", plainPath(input_file_name()))
-    // P1: content rows carry path-derived lineage via the inventory join;
-    // file-level aggregates come from the inventory alone so the csv.gz
-    // scan happens exactly once (for the content stats)
+    // P1: content rows carry path-derived lineage via the inventory join
+    // (INNER: excluded files' rows drop here); file-level aggregates come
+    // from the inventory alone so the csv.gz scan happens exactly once
+    // (for the content stats)
     val lined = data.join(
       inv.select("path", "site", "participant_id", "metric"), "path")
     val keys = Seq("site", "participant_id", "metric")
@@ -548,11 +551,11 @@ object LakeQueries {
     val listed = PathModel.listFiles(s, root)
       .withColumn("path", plainPath(col("path")))
     val inv = PathModel.parsePaths(listed, root)
-    val paths = inv.select("path").collect().map(_.getString(0)).toSeq
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("timestamp", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
-    val data = Readers.csvGz(s, paths, Some(schema))
+    // root-driven scan + inventory join (no driver-side path list)
+    val data = Readers.csvGzTree(s, root, Some(schema))
       .withColumn("path", plainPath(input_file_name()))
       .join(inv.select("path", "site", "participant_id", "metric"), "path")
       .select("site", "participant_id", "metric", "timestamp", "value")
@@ -644,6 +647,9 @@ object LakeQueries {
           .withColumn("path", plainPath(col("path")))
         val inv = PathModel.parsePaths(listed, root)
           .filter(col("participant_id") === "p1")
+        // this collect is bounded by ONE participant's files (the
+        // filter above), not the lake: per-directory sidecar schemas
+        // genuinely need a per-dir plan, and the dir set is the unit
         val paths = inv.select("path").collect().map(_.getString(0)).toSeq.sorted
         // EACH metric directory is read under ITS OWN sidecar — the
         // per-directory-schema contract S7 demonstrates; the per-dir
@@ -3020,6 +3026,197 @@ object LakeQueries {
           FROM w GROUP BY 2)
         ORDER BY 1, 2"""),
       "size-targeted binpack: file count collapse + idempotence require()d; compacted and pre-compaction versions both == recompute (layout-only, travel intact)"),
+
+    // ---------------------------------------------------------------
+    // SHALLOW CLONE INHERITS TABLE PROPERTIES (Delta's clone copies
+    // the table metadata wholesale): the source renames a column,
+    // adds a CHECK constraint and enables the change feed BEFORE the
+    // clone — the clone must read the physically-named files under
+    // the LOGICAL schema, refuse what the source refuses (require()d
+    // in-body), and publish a change increment on its first
+    // argument-less merge (require()d). The data legs: clone-after-
+    // merge, clone's v0 time travel, and the untouched source, all
+    // against one recompute oracle.
+    // ---------------------------------------------------------------
+    Q("q188_clone_inherits_properties",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val root = new File(new File(sys.props("user.dir"), "target"),
+          s"graft_clonepropq_$tag")
+        val src = new File(root, "src").getAbsolutePath
+        val cln = new File(root, "clone").getAbsolutePath
+        LakeQueries.synchronized {
+          val fs = new org.apache.hadoop.fs.Path(root.getAbsolutePath)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(root.getAbsolutePath), true)
+          val base = Tables(s, dir, "events").select(MergeCols.map(col): _*)
+            .filter(col("event_type").isin("click", "view")).persist()
+          MergeData.writeMerged(s, base, src, keys = Seq("event_type"))
+          Versioned.init(s, src, commitTs = 1000L)                      // v0
+          Versioned.renameColumn(s, src, "value", "reading",
+            commitTs = 2000L)                                           // v1
+          Versioned.addConstraint(s, src, "id_pos", "event_id > 0",
+            commitTs = 3000L)                                           // v2
+          Versioned.enableChangeFeed(s, src, Seq("event_id"),
+            commitTs = 4000L)                                           // v3
+          Versioned.cloneAt(s, src, cln, commitTs = 5000L)              // clone v0
+          val renamed = base.withColumnRenamed("value", "reading")
+          val inserts = renamed.filter(col("event_id") % 100 === 2)
+            .withColumn("event_id", col("event_id") + lit(10000000L))
+            .withColumn("reading", col("reading") + 1)
+          Versioned.mergeInto(s, cln,
+            renamed.filter(col("event_id") % 10 === 0)
+              .withColumn("reading", col("reading") * 2)
+              .unionByName(inserts)
+              .withColumn("__delete", lit(false)),
+            Seq("event_type"), Seq("event_id"), commitTs = 6000L)       // clone v1
+          // inherited CHECK: the clone refuses what the source refuses
+          val refused = try {
+            Versioned.append(s, cln,
+              renamed.limit(1).withColumn("event_id", lit(-1L)),
+              Seq("event_type"), commitTs = 7000L)
+            false
+          } catch { case e: IllegalArgumentException =>
+            e.getMessage.contains("id_pos") }
+          require(refused, "clone must inherit the CHECK constraint")
+          // inherited CHANGE FEED: the argument-less merge published
+          val inc = Versioned.changeIncrementAt(s, cln, 1L).getOrElse(
+            sys.error("clone must inherit the change-feed property"))
+          require(inc.filter(col("_action") === "insert").count() ==
+            inserts.count(), "clone increment must carry the inserts")
+          // inherited MAPPING: logical schema, not field-id spellings
+          require(Versioned.snapshot(s, cln).columns.contains("reading") &&
+            !Versioned.snapshot(s, cln).columns.contains("value"),
+            "clone must read under the source's logical column mapping")
+          base.unpersist()
+        }
+        def agg(d: DataFrame, tag: String) =
+          d.groupBy("event_type").agg(
+              count(lit(1)).as("row_count"),
+              round(sum("reading"), 4).as("sum_reading"),
+              count_distinct(col("event_id")).as("n_ids"))
+            .withColumn("src", lit(tag))
+        agg(Versioned.snapshot(s, cln), "clone")
+          .unionByName(agg(Versioned.snapshot(s, cln, 0L), "clone_v0"))
+          .unionByName(agg(Versioned.snapshot(s, src), "source"))
+          .select("src", "event_type", "row_count", "sum_reading", "n_ids")
+          .orderBy("src", "event_type")
+      },
+      Some("""
+        WITH t AS (SELECT event_type, event_id, value FROM events
+                   WHERE event_type IN ('click','view')),
+        m AS (
+          SELECT event_type, event_id,
+                 CASE WHEN event_id % 10 = 0 THEN value * 2 ELSE value END AS reading
+          FROM t
+          UNION ALL
+          SELECT event_type, event_id + 10000000, value + 1
+          FROM t WHERE event_id % 100 = 2)
+        SELECT * FROM (
+          SELECT 'clone' AS src, event_type, count(*) AS row_count,
+                 round(sum(reading::DOUBLE), 4) AS sum_reading,
+                 count(DISTINCT event_id) AS n_ids
+          FROM m GROUP BY 2
+          UNION ALL
+          SELECT 'clone_v0', event_type, count(*),
+                 round(sum(value::DOUBLE), 4), count(DISTINCT event_id)
+          FROM t GROUP BY 2
+          UNION ALL
+          SELECT 'source', event_type, count(*),
+                 round(sum(value::DOUBLE), 4), count(DISTINCT event_id)
+          FROM t GROUP BY 2)
+        ORDER BY 1, 2"""),
+      "shallow clone inherits column mapping + CHECK + change feed + txn marks: logical reads, refused violations, published increment all require()d; clone/travel/source == recompute"),
+
+    // ---------------------------------------------------------------
+    // CHANGE FEED ACROSS A RENAME (Delta refuses this; converging is
+    // strictly stronger): a replica seeded BEFORE a rename converges
+    // THROUGH it — changesBetween re-spells pre-rename increments to
+    // the range-end schema along the stable physical rail, and
+    // applyTableChanges re-spells the replica's own columns once.
+    // History: merge (old name) -> RENAME -> merge (new name) -> MOR
+    // delete; replica == source == recompute, under the NEW name.
+    // ---------------------------------------------------------------
+    Q("q189_cdf_replica_across_rename",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val root = new File(new File(sys.props("user.dir"), "target"),
+          s"graft_cdfrenq_$tag")
+        val src = new File(root, "src").getAbsolutePath
+        val replica = new File(root, "replica").getAbsolutePath
+        LakeQueries.synchronized {
+          val fs = new org.apache.hadoop.fs.Path(root.getAbsolutePath)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(root.getAbsolutePath), true)
+          val base = Tables(s, dir, "events").select(MergeCols.map(col): _*)
+            .filter(col("event_type").isin("click", "view")).persist()
+          MergeData.writeMerged(s, base, src, keys = Seq("event_type"))
+          Versioned.init(s, src, commitTs = 1000L)                      // v0
+          Versioned.enableChangeFeed(s, src, Seq("event_id"),
+            commitTs = 2000L)                                           // v1
+          MergeData.writeMerged(s, Versioned.snapshot(s, src, 1L),
+            replica, keys = Seq("event_type"))
+          Versioned.mergeInto(s, src,
+            base.filter(col("event_id") % 10 === 0)
+              .withColumn("value", col("value") * 2)
+              .withColumn("__delete", lit(false)),
+            Seq("event_type"), Seq("event_id"), commitTs = 3000L)       // v2
+          Versioned.renameColumn(s, src, "value", "reading",
+            commitTs = 4000L)                                           // v3
+          Versioned.mergeInto(s, src,
+            base.withColumnRenamed("value", "reading")
+              .filter(col("event_id") % 100 === 2)
+              .withColumn("event_id", col("event_id") + lit(10000000L))
+              .withColumn("reading", col("reading") + 1)
+              .withColumn("__delete", lit(false)),
+            Seq("event_type"), Seq("event_id"), commitTs = 5000L)       // v4
+          Versioned.deleteWhere(s, src, col("event_id") % 100 === 3,
+            keyCols = Seq("event_id"), commitTs = 6000L)                // v5
+          // the batch read serves ONE schema — the range end's
+          val ch = Versioned.changesBetween(s, src, 1L, 5L)
+          require(ch.columns.contains("reading") &&
+            !ch.columns.contains("value"),
+            "pre-rename increments must re-spell to the range-end schema")
+          val cur = Versioned.applyTableChanges(s, src, replica,
+            Seq("event_type"), sinceV = 1L)
+          require(cur == 5L, s"replica must reach v5, got $cur")
+          base.unpersist()
+        }
+        def agg(d: DataFrame, tag: String) =
+          d.groupBy("event_type").agg(
+              count(lit(1)).as("row_count"),
+              round(sum("reading"), 4).as("sum_reading"),
+              count_distinct(col("event_id")).as("n_ids"))
+            .withColumn("src", lit(tag))
+        agg(s.read.parquet(replica), "replica")
+          .unionByName(agg(Versioned.snapshot(s, src), "source"))
+          .select("src", "event_type", "row_count", "sum_reading", "n_ids")
+          .orderBy("src", "event_type")
+      },
+      Some("""
+        WITH t AS (SELECT event_type, event_id, value FROM events
+                   WHERE event_type IN ('click','view')),
+        m1 AS (
+          SELECT event_type, event_id,
+                 CASE WHEN event_id % 10 = 0 THEN value * 2 ELSE value END AS reading
+          FROM t),
+        m2 AS (
+          SELECT * FROM m1
+          UNION ALL
+          SELECT event_type, event_id + 10000000, value + 1
+          FROM t WHERE event_id % 100 = 2),
+        fin AS (SELECT * FROM m2 WHERE event_id % 100 <> 3)
+        SELECT * FROM (
+          SELECT 'replica' AS src, event_type, count(*) AS row_count,
+                 round(sum(reading::DOUBLE), 4) AS sum_reading,
+                 count(DISTINCT event_id) AS n_ids
+          FROM fin GROUP BY 2
+          UNION ALL
+          SELECT 'source', event_type, count(*),
+                 round(sum(reading::DOUBLE), 4), count(DISTINCT event_id)
+          FROM fin GROUP BY 2)
+        ORDER BY 1, 2"""),
+      "replica converges THROUGH a rename: changesBetween re-spells increments to range-end schema, applyTableChanges re-spells the replica once; replica == source == recompute under the new name"),
 
     // ---------------------------------------------------------------
     // UNIFIED TABLE STREAM ACROSS REWRITE RANGES (Delta's streaming

@@ -168,7 +168,17 @@ object StreamingTableFollow {
     * [[followOnce]], and the sub-range split is a deterministic
     * function of the manifests — a replay re-issues identical
     * (range, batch) pairs, which a txn-marked sink (marker = each
-    * range's toV) deduplicates. Returns the ranges served. */
+    * range's toV) deduplicates. Returns the ranges served.
+    *
+    * Column mapping: every batch is spelled under the logical names in
+    * force at ITS OWN range-end version — append runs read through
+    * [[Versioned.appendsBetween]] (which applies the run-end mapping)
+    * and a rewrite singleton's increment was written under its commit's
+    * names. A RENAME/DROP commit is metadata-only (an append-only run
+    * absorbs it), so the stream's schema changes exactly at the commit
+    * that changed it; a sink that must stay on one schema batch-reads
+    * [[Versioned.changesBetween]] instead, which re-spells the whole
+    * range to its end mapping. */
   def followChangesOnce(spark: SparkSession, tableDir: String,
       checkpoint: String,
       process: (DataFrame, Long, Long) => Unit): Seq[(Long, Long)] = {

@@ -1629,4 +1629,97 @@ class VersionedSpec extends SparkSpec {
     }
     assert(eR.getMessage.contains("v_nonneg2"))
   }
+
+  test("shallow clone inherits the source's table properties: mapping, constraints, change feed, txn high-waters") {
+    val dir = freshLake()
+    Versioned.init(spark, dir)                                      // v0
+    Versioned.renameColumn(spark, dir, "v", "reading")              // v1
+    Versioned.addConstraint(spark, dir, "id_pos", "id > 0")         // v2
+    Versioned.enableChangeFeed(spark, dir, Seq("site", "id"))       // v3
+    Versioned.append(spark, dir,
+      df(Seq(("b", 11L, 11.0)), "site", "id", "reading"), Seq("site"),
+      txn = Some(("ing", 5L)))                                      // v4
+    val clone = java.nio.file.Files
+      .createTempDirectory("graft_cloneprops").toFile
+    clone.deleteOnExit()
+    val cdir = clone.getAbsolutePath
+    Versioned.cloneAt(spark, dir, cdir)
+    // MAPPING carried: the clone reads the source's physically-named
+    // files under the LOGICAL schema (without #ren it would expose
+    // the physical spelling and mis-merge every later write)
+    assert(Versioned.snapshot(spark, cdir).columns.toSeq ==
+      Versioned.snapshot(spark, dir).columns.toSeq)
+    assert(Versioned.snapshot(spark, cdir).columns.contains("reading"))
+    // CONSTRAINTS carried: the governed table's clone refuses what
+    // the source refuses
+    val e = intercept[IllegalArgumentException] {
+      Versioned.append(spark, cdir,
+        df(Seq(("c", -1L, 1.0)), "site", "id", "reading"), Seq("site"))
+    }
+    assert(e.getMessage.contains("id_pos"))
+    // CHANGE FEED carried: the clone's first argument-less commit
+    // publishes its increment (no silent feed hole)
+    val cv = Versioned.mergeInto(spark, cdir,
+      df(Seq(("c", 7L, 7.0, false)), "site", "id", "reading", "__delete"),
+      Seq("site"), Seq("site", "id"))
+    assert(Versioned.changeIncrementAt(spark, cdir, cv).get.count() == 1L)
+    // TXN HIGH-WATERS carried: an exactly-once writer cut over to the
+    // clone does not replay batches it already delivered to the source
+    assert(Versioned.lastTxn(spark, cdir, "ing") == 5L)
+    // the source never observes any of it
+    assert(Versioned.currentVersion(spark, dir) == 4L)
+  }
+
+  test("change feed across RENAME/DROP: changesBetween re-spells to the range end; applyTableChanges converges a replica through the rename") {
+    val dir = freshLake()
+    Versioned.init(spark, dir)                                      // v0
+    Versioned.enableChangeFeed(spark, dir, Seq("site", "id"))       // v1
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cdfren").toFile
+    root.deleteOnExit()
+    val replica = new java.io.File(root, "replica").getAbsolutePath
+    MergeData.writeMerged(spark, Versioned.snapshot(spark, dir, 1L),
+      replica, keys = Seq("site"))
+    // a merge BEFORE the rename (its increment carries 'v' on disk)
+    Versioned.mergeInto(spark, dir,
+      df(Seq(("a", 1L, 100.0, false)), "site", "id", "v", "__delete"),
+      Seq("site"), Seq("site", "id"))                               // v2
+    Versioned.renameColumn(spark, dir, "v", "reading")              // v3
+    // a merge and a MOR delete AFTER (increments carry 'reading')
+    Versioned.mergeInto(spark, dir,
+      df(Seq(("c", 7L, 7.0, false)), "site", "id", "reading", "__delete"),
+      Seq("site"), Seq("site", "id"))                               // v4
+    Versioned.deleteWhere(spark, dir, col("id") === 2L,
+      keyCols = Seq("site", "id"))                                  // v5
+    // batch read: ONE schema — the range end's — for the whole range
+    val ch = Versioned.changesBetween(spark, dir, 1L, 5L)
+    assert(ch.columns.contains("reading") && !ch.columns.contains("v"),
+      s"pre-rename increments must be re-spelled, got ${ch.columns.toSeq}")
+    assert(ch.filter(col("_commit_version") === 2L &&
+        col("_action") === "update_postimage")
+      .select("reading").collect().map(_.getDouble(0)).toSeq == Seq(100.0),
+      "the v2 increment's physical 'v' values surface under 'reading'")
+    // replica seeded pre-rename converges THROUGH the rename: its
+    // existing columns are re-spelled once, then increments apply
+    val cur = Versioned.applyTableChanges(spark, dir, replica,
+      Seq("site"), sinceV = 1L)
+    assert(cur == 5L)
+    val rep = spark.read.parquet(replica)
+    assert(rep.columns.sorted.toSeq ==
+      Versioned.snapshot(spark, dir).columns.sorted.toSeq)
+    assert(rep.select("site", "id", "reading").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet ==
+      Versioned.snapshot(spark, dir).select("site", "id", "reading")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet,
+      "replica == source through a mid-range rename")
+    // a DROP mid-range prunes the column from earlier increments too
+    Versioned.dropColumn(spark, dir, "reading")                     // v6
+    Versioned.mergeInto(spark, dir,
+      df(Seq(("d", 9L, false)), "site", "id", "__delete"),
+      Seq("site"), Seq("site", "id"))                               // v7
+    val ch2 = Versioned.changesBetween(spark, dir, 1L, 7L)
+    assert(!ch2.columns.contains("reading") && !ch2.columns.contains("v"),
+      s"dropped physical must vanish from the whole range, got ${ch2.columns.toSeq}")
+  }
 }
