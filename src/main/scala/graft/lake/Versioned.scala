@@ -148,7 +148,7 @@ object Versioned {
     * SEMANTICS-BEARING meta, and an old build that ignored them would
     * skip feed emission (silent CDF hole) or read renamed columns
     * under their physical names (silently wrong schema). */
-  val SupportedProtocol = 2
+  val SupportedProtocol = 3
 
   private def b64e(s: String): String =
     java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
@@ -173,12 +173,14 @@ object Versioned {
       cdf: Option[Seq[String]] = None,
       cdfInc: Option[String] = None,
       renames: Map[String, String] = Map.empty,
-      droppedCols: Seq[String] = Nil) {
+      droppedCols: Seq[String] = Nil,
+      pkeys: Option[Seq[String]] = None) {
     /** (required reader level, feature names) demanded by this meta. */
     def protocol: (Int, Seq[String]) = {
       val fs = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
       if (cdf.isDefined) fs += ((1, "change-feed"))
       if (renames.nonEmpty || droppedCols.nonEmpty) fs += ((2, "column-mapping"))
+      if (pkeys.isDefined) fs += ((3, "partition-spec"))
       val v = (verFloor +: fs.map(_._1).toSeq).max
       (v, fs.map(_._2).toSeq)
     }
@@ -193,6 +195,7 @@ object Versioned {
         chks.toSeq.sortBy(_._1).map { case (n, e) => s"#chk $n ${b64e(e)}" } ++
         cdf.map(key => s"#cdf ${b64e(key.mkString(","))}").toSeq ++
         cdfInc.map(rel => s"#cdfinc $rel").toSeq ++
+        pkeys.map(ks => s"#pkeys ${b64e(ks.mkString(","))}").toSeq ++
         renames.toSeq.sortBy(_._1).map { case (l, p) =>
           s"#ren ${b64e(l)} ${b64e(p)}" } ++
         droppedCols.sorted.map(c => s"#dropcol ${b64e(c)}")
@@ -212,6 +215,7 @@ object Versioned {
     var verFeats: Seq[String] = Nil
     var cdf: Option[Seq[String]] = None
     var cdfInc: Option[String] = None
+    var pkeys: Option[Seq[String]] = None
     val rens = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val drops = scala.collection.mutable.ArrayBuffer.empty[String]
     lines.takeWhile(_.startsWith("#")).foreach { l =>
@@ -235,6 +239,9 @@ object Versioned {
           .split(',').toSeq.filter(_.nonEmpty))
       } else if (l.startsWith("#cdfinc ")) {
         cdfInc = Some(l.stripPrefix("#cdfinc ").trim)
+      } else if (l.startsWith("#pkeys ")) {
+        pkeys = Some(b64d(l.stripPrefix("#pkeys ").trim)
+          .split(',').toSeq.filter(_.nonEmpty))
       } else if (l.startsWith("#ren ")) {
         val toks = l.stripPrefix("#ren ").trim.split(' ')
         rens(b64d(toks(0))) = b64d(toks(1))
@@ -253,7 +260,7 @@ object Versioned {
         s"; this build supports up to $SupportedProtocol — upgrade the engine")
     CommitMeta(ts, txns.toMap, dels.toSeq, chks.toMap, op,
       verFloor = ver, cdf = cdf, cdfInc = cdfInc,
-      renames = rens.toMap, droppedCols = drops.toSeq)
+      renames = rens.toMap, droppedCols = drops.toSeq, pkeys = pkeys)
   }
 
   private def metaAt(spark: SparkSession, dir: String, v: Long): CommitMeta =
@@ -274,7 +281,7 @@ object Versioned {
     // the protocol floor carry forward; op and dels are per-commit
     CommitMeta(Some(ts), prev.txns ++ newTxn.toMap, dels, prev.chks, Some(op),
       verFloor = prev.verFloor, cdf = prev.cdf, renames = prev.renames,
-      droppedCols = prev.droppedCols)
+      droppedCols = prev.droppedCols, pkeys = prev.pkeys)
   }
 
   // Resolved-listing cache (Delta's snapshot cache): a committed
@@ -730,6 +737,99 @@ object Versioned {
       .toDF("logical", "physical", "dropped")
   }
 
+  // ---- partition spec as a table property --------------------------
+  // Iceberg evolves partition specs per-file; Delta repartitions by
+  // rewriting. This protocol takes the Delta road with Iceberg's
+  // declared-spec discipline: `#pkeys` carries the table's partition
+  // spec in every manifest, EVERY partition-keyed write path verifies
+  // the caller's keys against it (a writer using a stale spec after a
+  // re-partition would silently fork the directory layout — refused
+  // by name instead), and [[changePartitionSpec]] is the one sanctioned
+  // transition: a single commit that rewrites the FULL live set under
+  // the new layout. The full rewrite is what keeps every VERSION
+  // single-spec — reads, pruning, clone localization and the COW
+  // partition swap all reason about one layout per manifest, and time
+  // travel reads old versions under their own spec for free. The
+  // property bumps the reader protocol floor to 3: an old build that
+  // ignored `#pkeys` would pass its own keys unchecked and fork the
+  // layout — it must refuse instead.
+
+  /** The declared partition spec at `version`, if the table has one.
+    * Undeclared (legacy) tables return None and writes stay unchecked
+    * — [[changePartitionSpec]] with the CURRENT keys declares without
+    * rewriting. */
+  def partitionSpec(spark: SparkSession, dir: String,
+      version: Long = -1L): Option[Seq[String]] = {
+    val v = if (version >= 0) version else currentVersion(spark, dir)
+    require(v >= 0, s"no manifest in $dir — call init() first")
+    metaAt(spark, dir, v).pkeys
+  }
+
+  /** Refuse a write whose partition keys disagree with the declared
+    * spec — the guard that makes the spec a property, not a comment. */
+  private def checkPartitionSpec(meta: CommitMeta, keys: Seq[String],
+      op: String): Unit =
+    meta.pkeys.foreach(spec => require(spec == keys,
+      s"$op partitions by (${keys.mkString(", ")}) but the table's declared " +
+        s"spec is (${spec.mkString(", ")}) — pass the declared keys, or " +
+        "changePartitionSpec() to move the table"))
+
+  /** CHANGE (or first declare) the table's partition spec. When
+    * `newKeys` matches the current physical layout, this is a
+    * METADATA-ONLY declaration; otherwise ONE commit rewrites the full
+    * live set under the new layout — the honest cost of re-keying a
+    * hive-partitioned table (Delta's road; there is no lazy-migration
+    * middle that keeps per-version reads single-spec). The rewrite
+    * reads the tombstone-filtered snapshot, so pending MOR deletes
+    * materialize away in the same commit; row-neutral for the change
+    * feed. Refuses keys that are not visible columns and keys under a
+    * column-mapping rename (partition names are baked into every
+    * directory path — the mapping layer refuses to touch them, so a
+    * mapped column must be renamed back, or left a data column). */
+  def changePartitionSpec(spark: SparkSession, dir: String,
+      newKeys: Seq[String],
+      commitTs: Long = System.currentTimeMillis()): Long = {
+    require(newKeys.nonEmpty, "changePartitionSpec needs at least one key")
+    val v = currentVersion(spark, dir)
+    require(v >= 0, s"no manifest in $dir — call init() first")
+    val meta0 = metaAt(spark, dir, v)
+    val visible = snapshot(spark, dir, v).columns.toSeq
+    val missing = newKeys.filterNot(visible.contains)
+    require(missing.isEmpty,
+      s"partition keys not in $dir: ${missing.mkString(", ")}")
+    val mapped = newKeys.filter(meta0.renames.contains)
+    require(mapped.isEmpty,
+      s"cannot partition by renamed column(s) ${mapped.mkString(", ")}: " +
+        "partition names are baked into directory paths and the mapping " +
+        "layer refuses to touch them")
+    val live = filesAt(spark, dir, v)
+    val fs = fsOf(spark, dir)
+    // layout already matches (same keys, same directory nesting
+    // order): declare without rewriting. A reorder of the same keys
+    // re-nests every directory — that is the rewrite below.
+    val sameLayout = partitionColsOf(live) == newKeys.toSet &&
+      live.headOption.forall { r =>
+        refRel(r).split('/').dropRight(1).filter(_.contains('='))
+          .map(_.split('=')(0)).toSeq == newKeys
+      }
+    if (sameLayout) {
+      writeCommit(fs, dir, v + 1, live, live,
+        carryMeta(spark, dir, v, commitTs, None,
+          deleteFilesAt(spark, dir, v), "change-partition-spec")
+          .copy(pkeys = Some(newKeys)))
+      return v + 1
+    }
+    // full rewrite under the new layout: MOR tombstones fold away
+    val rows = snapshot(spark, dir, v)
+    val newFiles = writeStagedFiles(spark, fs, dir,
+      toPhysical(meta0, rows).repartition(newKeys.map(col): _*), newKeys)
+    writeCommit(fs, dir, v + 1, newFiles, live,
+      carryMeta(spark, dir, v, commitTs, None, Nil,
+        "change-partition-spec").copy(pkeys = Some(newKeys)))
+    maybeWriteIncStats(spark, dir, v, newFiles, Nil)
+    v + 1
+  }
+
   /** `fileV`'s files and tombstones viewed under `metaV`'s COLUMN
     * MAPPING — what restore needs: the restored commit takes the
     * target's files but keeps the current mapping (protocol rules,
@@ -849,6 +949,13 @@ object Versioned {
     require(missing.isEmpty,
       s"cannot restore $dir to version $toVersion: ${missing.size} of its " +
         s"files were vacuumed (first: ${missing.headOption.getOrElse("")})")
+    // a restore ACROSS a partition re-spec would commit old-layout
+    // files under the current spec's meta — refuse; re-spec back (or
+    // to the target's spec) first, then restore
+    require(metaAt(spark, dir, toVersion).pkeys ==
+      metaAt(spark, dir, v).pkeys,
+      s"cannot restore $dir across a partition-spec change: " +
+        "changePartitionSpec() to the target's spec first")
     // constraints survive a restore (protocol rules, not data, outlive
     // a rollback) — so the TARGET data must satisfy the CURRENT rules:
     // a constraint added after toVersion never validated those rows,
@@ -1041,6 +1148,7 @@ object Versioned {
     val batch = rows.persist()
     try {
       val meta0 = metaAt(spark, dir, v)
+      checkPartitionSpec(meta0, partitionKeys, "append")
       val entryChks = meta0.chks
       enforceConstraints(spark, dir, v, batch, "append batch")
       def checkTombstones(ds: Seq[String]): Unit = if (ds.nonEmpty) {
@@ -1100,7 +1208,11 @@ object Versioned {
                 return curV
               case _ =>
             }
-            if (metaAt(spark, dir, curV).chks != entryChks)
+            val retryMeta = metaAt(spark, dir, curV)
+            // the winner may have re-specced the table: this append's
+            // already-written files would fork the layout — refuse
+            checkPartitionSpec(retryMeta, partitionKeys, "append (retry)")
+            if (retryMeta.chks != entryChks)
               enforceConstraints(spark, dir, curV, batch, "append batch (retry)")
             val newDels = deleteFilesAt(spark, dir, curV)
             if (newDels != curDels) checkTombstones(newDels)
@@ -1213,7 +1325,7 @@ object Versioned {
     * inside a change range.) */
   private val RowNeutralOps = Set("optimize", "materialize",
     "add-constraint", "drop-constraint", "enable-cdf", "disable-cdf",
-    "rename-column", "drop-column")
+    "rename-column", "drop-column", "change-partition-spec")
 
   /** Version `v`'s published change increment: Some(CDF action rows)
     * when the commit carried one, None when the commit was row-neutral
@@ -1313,6 +1425,54 @@ object Versioned {
         if (!b.isEmpty)
           graft.ops.MergeData.mergeInto(spark, replicaDir, b,
             partitionKeys, key)
+      }
+    }
+    cur
+  }
+
+  /** [[applyTableChanges]] for a replica that is ITSELF a versioned
+    * table — the payoff of the mapping being metadata: RENAME/DROP
+    * commits in range mirror onto the replica as [[renameColumn]]/
+    * [[dropColumn]] (zero data files rewritten on either side, where
+    * the plain-parquet variant pays one replica rewrite), and every
+    * increment applies as one [[Versioned.mergeInto]] under its own
+    * version's names — which the just-mirrored replica speaks.
+    * Mirroring reads the source's `#op` label and diffs adjacent
+    * metas: a rename commit moves exactly one physical between
+    * logical names, a drop retires exactly one physical; auto-renames
+    * minted inside merge commits are NOT schema changes (the re-added
+    * column arrives through the increment itself). Returns the source
+    * version the replica now reflects. */
+  def applyTableChangesVersioned(spark: SparkSession, srcDir: String,
+      replicaDir: String, partitionKeys: Seq[String],
+      sinceV: Long, untilV: Long = -1L): Long = {
+    val cur = if (untilV >= 0) untilV else currentVersion(spark, srcDir)
+    require(changeFeedKey(spark, srcDir, cur).isDefined,
+      s"$srcDir has no change-feed table property: enableChangeFeed() first")
+    ((sinceV + 1) to cur).foreach { v =>
+      val op = metaAt(spark, srcDir, v).op
+      if (op.contains("rename-column")) {
+        val mPrev = metaAt(spark, srcDir, v - 1)
+        val mV = metaAt(spark, srcDir, v)
+        val (to, phys) = (mV.renames.toSet -- mPrev.renames.toSet).head
+        val from = mPrev.renames.find(_._2 == phys).map(_._1).getOrElse(phys)
+        renameColumn(spark, replicaDir, from, to)
+      } else if (op.contains("drop-column")) {
+        val mPrev = metaAt(spark, srcDir, v - 1)
+        val mV = metaAt(spark, srcDir, v)
+        val physDropped =
+          (mV.droppedCols.toSet -- mPrev.droppedCols.toSet).head
+        val name = mPrev.renames.find(_._2 == physDropped)
+          .map(_._1).getOrElse(physDropped)
+        dropColumn(spark, replicaDir, name)
+      } else changeIncrementAt(spark, srcDir, v).foreach { inc =>
+        val key = changeFeedKey(spark, srcDir, v).getOrElse(
+          sys.error(s"version $v published an increment without a feed key"))
+        val b = inc.filter(col("_action") =!= "update_preimage")
+          .withColumn("__delete", col("_action") === "delete")
+          .drop("_action")
+        if (!b.isEmpty)
+          mergeInto(spark, replicaDir, b, partitionKeys, key)
       }
     }
     cur
@@ -1824,7 +1984,8 @@ object Versioned {
     writeCommit(fsOf(spark, dstDir), dstDir, 0L, refs, Nil,
       CommitMeta(Some(commitTs), srcMeta.txns, Nil, srcMeta.chks,
         Some("clone"), verFloor = srcMeta.verFloor, cdf = srcMeta.cdf,
-        renames = srcMeta.renames, droppedCols = srcMeta.droppedCols))
+        renames = srcMeta.renames, droppedCols = srcMeta.droppedCols,
+        pkeys = srcMeta.pkeys))
     0L
   }
 
@@ -1940,6 +2101,8 @@ object Versioned {
       partitionKeys: Seq[String],
       commitTs: Long = System.currentTimeMillis()): Long = {
     val v = init(spark, dir, commitTs)
+    checkPartitionSpec(metaAt(spark, dir, v), partitionKeys,
+      "materializeDeletes")
     val dels = deleteFilesAt(spark, dir, v)
     if (dels.isEmpty) return v
     val fs = fsOf(spark, dir)
@@ -2034,6 +2197,7 @@ object Versioned {
     val fs = fsOf(spark, dir)
     val dels = deleteFilesAt(spark, dir, v)
     val meta0 = metaAt(spark, dir, v)
+    checkPartitionSpec(meta0, partitionKeys, "mergeInto")
 
     val hasDelete = updates.columns.contains("__delete")
     val del = if (hasDelete) coalesce(col("__delete"), lit(false)) else lit(false)
@@ -2301,10 +2465,13 @@ object Versioned {
       commitTs: Long = System.currentTimeMillis(),
       targetFileSizeBytes: Option[Long] = None): Long = {
     require(targetFilesPerPartition >= 1, "need targetFilesPerPartition >= 1")
-    require(zorder.isEmpty || targetFileSizeBytes.isEmpty,
-      "ZORDER re-clusters everything; a size target is the small-file pass")
+    // zorder + size target COMPOSE (Delta's OPTIMIZE ZORDER honors
+    // maxFileSize): the re-cluster pass rewrites everything and the
+    // byte target sizes its output files via the same rows-per-byte
+    // discipline as the small-file pass
     targetFileSizeBytes.foreach(t => require(t > 0, "need targetFileSizeBytes > 0"))
     val v = init(spark, dir, commitTs)
+    checkPartitionSpec(metaAt(spark, dir, v), partitionKeys, "optimize")
     val dels = deleteFilesAt(spark, dir, v)
     val live = filesAt(spark, dir, v)
     val fs = fsOf(spark, dir)
@@ -2364,10 +2531,18 @@ object Versioned {
         // range-split on (partition, zkey): each task holds one
         // contiguous zkey slice of one partition (a slice straddling a
         // partition boundary just splits into two files at the write),
-        // and the in-task sort tightens row-group stats too
+        // and the in-task sort tightens row-group stats too. With a
+        // byte target, split to ~one slice per target-sized file (the
+        // write's maxRecordsPerFile then enforces the size exactly —
+        // sequential splits of a sorted task stay contiguous in zkey)
+        val nSlices = targetFileSizeBytes match {
+          case Some(t) => math.max(targets.size,
+            ((targets.keys.map(sizesByDir).sum + t - 1) / t).toInt)
+          case None => targets.size * targetFilesPerPartition
+        }
         val keys = partitionKeys.map(col) :+ col("__zkey")
         rows.withColumn("__zkey", z)
-          .repartitionByRange(targets.size * targetFilesPerPartition, keys: _*)
+          .repartitionByRange(nSlices, keys: _*)
           .sortWithinPartitions(keys: _*)
           .drop("__zkey")
       case None => rows.repartition(partitionKeys.map(col): _*)
@@ -2429,6 +2604,26 @@ object Versioned {
     * meta) so the retained tail resolves without the reaped manifests;
     * readers prefer the checkpoint when the crash window leaves both
     * forms. */
+  /** Time-based retention (Delta's `VACUUM ... RETAIN n HOURS`): keeps
+    * every version committed within `retainMillis` of `nowMillis` —
+    * and always the current one — then reaps exactly like [[vacuum]].
+    * Commit timestamps are clamped monotonically non-decreasing at
+    * commit time ([[carryMeta]]), so the cutoff maps to a contiguous
+    * version suffix; a legacy manifest without `#ts` is never
+    * time-reaped (conservative: it and everything after it stay). */
+  def vacuumRetain(spark: SparkSession, dir: String, retainMillis: Long,
+      nowMillis: Long = System.currentTimeMillis()): Unit = {
+    require(retainMillis >= 0, "need retainMillis >= 0")
+    val versions = listManifests(fsOf(spark, dir), dir).map(_._1).sorted
+    require(versions.nonEmpty, s"no manifest in $dir")
+    val cutoff = nowMillis - retainMillis
+    val keepFrom = versions
+      .find(v => commitTimeAt(spark, dir, v).forall(_ >= cutoff))
+      .getOrElse(versions.last)
+    vacuum(spark, dir,
+      keepVersions = (versions.last - keepFrom + 1).toInt)
+  }
+
   def vacuum(spark: SparkSession, dir: String, keepVersions: Int): Unit = {
     require(keepVersions >= 1, "must keep at least the current version")
     val fs = fsOf(spark, dir)

@@ -3219,6 +3219,104 @@ object LakeQueries {
       "replica converges THROUGH a rename: changesBetween re-spells increments to range-end schema, applyTableChanges re-spells the replica once; replica == source == recompute under the new name"),
 
     // ---------------------------------------------------------------
+    // PARTITION SPEC AS A TABLE PROPERTY (#pkeys, reader protocol 3):
+    // declaring the current layout is metadata-only (require()d); a
+    // stale-keyed writer is refused by name (require()d); re-keying
+    // the table is ONE rewrite commit (the Delta road — the full
+    // rewrite is what keeps every version single-spec, so time travel
+    // reads each version under its own layout). Legs: pre-re-spec
+    // version (old layout), post-re-spec snapshot (new layout), and
+    // the new key's own grouping — all against one recompute oracle.
+    // ---------------------------------------------------------------
+    Q("q190_partition_respec",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val root = new File(new File(sys.props("user.dir"), "target"),
+          s"graft_respecq_$tag")
+        val lake = new File(root, "lake").getAbsolutePath
+        val preV = LakeQueries.synchronized {
+          val fs = new org.apache.hadoop.fs.Path(root.getAbsolutePath)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(root.getAbsolutePath), true)
+          val base = Tables(s, dir, "events").select(MergeCols.map(col): _*)
+            .filter(col("event_type").isin("click", "view"))
+            .withColumn("bucket", pmod(col("user_id"), lit(8L)))
+            .persist()
+          MergeData.writeMerged(s, base, lake, keys = Seq("event_type"))
+          Versioned.init(s, lake, commitTs = 1000L)                     // v0
+          val f0 = Versioned.filesAt(s, lake, 0L)
+          require(Versioned.changePartitionSpec(s, lake, Seq("event_type"),
+              commitTs = 2000L) == 1L &&
+            Versioned.filesAt(s, lake, 1L) == f0,
+            "declaring the current layout must be metadata-only")      // v1
+          Versioned.mergeInto(s, lake,
+            base.filter(col("event_id") % 10 === 0)
+              .withColumn("value", col("value") * 2)
+              .withColumn("__delete", lit(false)),
+            Seq("event_type"), Seq("event_id"), commitTs = 3000L)      // v2
+          Versioned.changePartitionSpec(s, lake, Seq("bucket"),
+            commitTs = 4000L)                                          // v3
+          require(Versioned.filesAt(s, lake).forall(_.startsWith("bucket=")),
+            "the re-spec must re-key every directory")
+          val refused = try {
+            Versioned.append(s, lake, base.limit(1)
+                .withColumn("event_id", col("event_id") + lit(20000000L)),
+              Seq("event_type"), commitTs = 4500L)
+            false
+          } catch { case e: IllegalArgumentException =>
+            e.getMessage.contains("declared spec") }
+          require(refused, "a stale-keyed writer must be refused by name")
+          Versioned.append(s, lake,
+            base.filter(col("event_id") % 100 === 2)
+              .withColumn("event_id", col("event_id") + lit(10000000L))
+              .withColumn("value", col("value") + 1),
+            Seq("bucket"), commitTs = 5000L)                           // v4
+          base.unpersist()
+          2L
+        }
+        def agg(d: DataFrame, tag: String, grp: org.apache.spark.sql.Column) =
+          d.groupBy(grp.as("grp")).agg(
+              count(lit(1)).as("row_count"),
+              round(sum("value"), 4).as("sum_value"),
+              count_distinct(col("event_id")).as("n_ids"))
+            .withColumn("src", lit(tag))
+        val cur = Versioned.snapshot(s, lake)
+        agg(Versioned.snapshot(s, lake, preV), "pre_respec", col("event_type"))
+          .unionByName(agg(cur, "post_respec", col("event_type")))
+          .unionByName(agg(cur, "by_bucket",
+            concat(lit("b"), col("bucket").cast("string"))))
+          .select("src", "grp", "row_count", "sum_value", "n_ids")
+          .orderBy("src", "grp")
+      },
+      Some("""
+        WITH t AS (SELECT event_type, event_id, user_id, value FROM events
+                   WHERE event_type IN ('click','view')),
+        m AS (
+          SELECT event_type, event_id, user_id,
+                 CASE WHEN event_id % 10 = 0 THEN value * 2 ELSE value END AS value
+          FROM t),
+        p AS (
+          SELECT * FROM m
+          UNION ALL
+          SELECT event_type, event_id + 10000000, user_id, value + 1
+          FROM t WHERE event_id % 100 = 2)
+        SELECT * FROM (
+          SELECT 'pre_respec' AS src, event_type AS grp, count(*) AS row_count,
+                 round(sum(value::DOUBLE), 4) AS sum_value,
+                 count(DISTINCT event_id) AS n_ids
+          FROM m GROUP BY 2
+          UNION ALL
+          SELECT 'post_respec', event_type, count(*),
+                 round(sum(value::DOUBLE), 4), count(DISTINCT event_id)
+          FROM p GROUP BY 2
+          UNION ALL
+          SELECT 'by_bucket', 'b' || (user_id % 8)::VARCHAR, count(*),
+                 round(sum(value::DOUBLE), 4), count(DISTINCT event_id)
+          FROM p GROUP BY 2)
+        ORDER BY 1, 2"""),
+      "partition re-spec: metadata-only declare + stale-writer refusal + new-layout dirs require()d; pre/post versions and the new key's grouping == recompute"),
+
+    // ---------------------------------------------------------------
     // UNIFIED TABLE STREAM ACROSS REWRITE RANGES (Delta's streaming
     // CDF read): a follower seeded at the enable version streams the
     // WHOLE mixed history — append runs served from the appended

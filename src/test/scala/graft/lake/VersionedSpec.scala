@@ -1722,4 +1722,184 @@ class VersionedSpec extends SparkSpec {
     assert(!ch2.columns.contains("reading") && !ch2.columns.contains("v"),
       s"dropped physical must vanish from the whole range, got ${ch2.columns.toSeq}")
   }
+
+  test("a VERSIONED replica mirrors RENAME/DROP metadata-only and converges across them") {
+    val dir = freshLake()
+    Versioned.init(spark, dir)                                      // v0
+    Versioned.enableChangeFeed(spark, dir, Seq("site", "id"))       // v1
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_vrepl").toFile
+    root.deleteOnExit()
+    val replica = new java.io.File(root, "replica").getAbsolutePath
+    MergeData.writeMerged(spark, Versioned.snapshot(spark, dir, 1L),
+      replica, keys = Seq("site"))
+    Versioned.init(spark, replica)                                  // rep v0
+    Versioned.mergeInto(spark, dir,
+      df(Seq(("a", 1L, 100.0, false)), "site", "id", "v", "__delete"),
+      Seq("site"), Seq("site", "id"))                               // v2
+    Versioned.renameColumn(spark, dir, "v", "val")                  // v3
+    Versioned.mergeInto(spark, dir,
+      df(Seq(("c", 7L, 7.0, false)), "site", "id", "val", "__delete"),
+      Seq("site"), Seq("site", "id"))                               // v4
+    Versioned.deleteWhere(spark, dir, col("id") === 2L,
+      keyCols = Seq("site", "id"))                                  // v5
+    val cur = Versioned.applyTableChangesVersioned(spark, dir, replica,
+      Seq("site"), sinceV = 1L)
+    assert(cur == 5L)
+    // converged, under the new name
+    assert(Versioned.snapshot(spark, replica).columns.contains("val"))
+    assert(state(Versioned.snapshot(spark, replica)
+        .withColumnRenamed("val", "v")) ==
+      state(Versioned.snapshot(spark, dir)
+        .withColumnRenamed("val", "v")))
+    // the mirrored rename is replica v2 (after one merge commit) and
+    // moved ZERO files — the metadata-only payoff over the plain-
+    // parquet replica's rewrite
+    assert(Versioned.filesAt(spark, replica, 2L) ==
+      Versioned.filesAt(spark, replica, 1L),
+      "mirrored rename must be metadata-only on the replica")
+    // a DROP mirrors metadata-only too, and later increments apply
+    Versioned.dropColumn(spark, dir, "val")                         // v6
+    Versioned.mergeInto(spark, dir,
+      df(Seq(("d", 9L, false)), "site", "id", "__delete"),
+      Seq("site"), Seq("site", "id"))                               // v7
+    Versioned.applyTableChangesVersioned(spark, dir, replica,
+      Seq("site"), sinceV = 5L)
+    assert(!Versioned.snapshot(spark, replica).columns.contains("val"))
+    assert(Versioned.snapshot(spark, replica)
+      .select("site", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Versioned.snapshot(spark, dir).select("site", "id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet)
+  }
+
+  test("vacuumRetain: time-based retention maps the cutoff to a version suffix; current always survives") {
+    val dir = freshLake()
+    Versioned.init(spark, dir, commitTs = 1000L)                    // v0
+    Versioned.append(spark, dir,
+      df(Seq(("a", 21L, 1.0)), "site", "id", "v"), Seq("site"),
+      commitTs = 2000L)                                             // v1
+    Versioned.append(spark, dir,
+      df(Seq(("a", 22L, 1.0)), "site", "id", "v"), Seq("site"),
+      commitTs = 3000L)                                             // v2
+    Versioned.append(spark, dir,
+      df(Seq(("a", 23L, 1.0)), "site", "id", "v"), Seq("site"),
+      commitTs = 4000L)                                             // v3
+    // cutoff = 4500 - 1500 = 3000: v2 (ts 3000) and v3 (ts 4000) stay
+    Versioned.vacuumRetain(spark, dir, retainMillis = 1500L,
+      nowMillis = 4500L)
+    assert(Versioned.snapshot(spark, dir, 2L).count() == 5L)
+    assert(Versioned.snapshot(spark, dir).count() == 6L)
+    intercept[Exception] { Versioned.filesAt(spark, dir, 1L) }
+    // a cutoff older than everything keeps everything
+    Versioned.vacuumRetain(spark, dir, retainMillis = 100000L,
+      nowMillis = 4500L)
+    assert(Versioned.snapshot(spark, dir, 2L).count() == 5L)
+    // retain 0 keeps only the current version
+    Versioned.vacuumRetain(spark, dir, retainMillis = 0L,
+      nowMillis = 9000L)
+    assert(Versioned.snapshot(spark, dir).count() == 6L)
+    intercept[Exception] { Versioned.filesAt(spark, dir, 2L) }
+  }
+
+  test("partition spec as a table property: declare, enforce, re-spec by rewrite, travel across, restore refusal") {
+    // after the re-spec, `id` reads back from the partition PATH as
+    // int32 — widen instead of getLong
+    def stateN(d: org.apache.spark.sql.DataFrame): Set[(String, Long, Double)] =
+      d.select("site", "id", "v").collect()
+        .map(r => (r.getString(0), r.getAs[Number](1).longValue(),
+          r.getDouble(2))).toSet
+    val dir = freshLake()
+    Versioned.init(spark, dir)                                      // v0
+    assert(Versioned.partitionSpec(spark, dir).isEmpty,
+      "legacy tables are undeclared")
+    // declaring the CURRENT layout is metadata-only
+    val before = Versioned.filesAt(spark, dir, 0L)
+    assert(Versioned.changePartitionSpec(spark, dir, Seq("site")) == 1L)
+    assert(Versioned.filesAt(spark, dir, 1L) == before,
+      "declaring the current layout must not rewrite")
+    assert(Versioned.partitionSpec(spark, dir).contains(Seq("site")))
+    // the property ENFORCES: a stale-keyed writer is refused by name
+    val e = intercept[IllegalArgumentException] {
+      Versioned.append(spark, dir,
+        df(Seq(("a", 31L, 1.0)), "site", "id", "v"), Seq("site", "id"))
+    }
+    assert(e.getMessage.contains("declared spec"))
+    // pending MOR tombstones fold away in the re-spec rewrite
+    Versioned.deleteWhere(spark, dir, col("id") === 2L,
+      keyCols = Seq("site", "id"))                                  // v2
+    val preSwitch = stateN(Versioned.snapshot(spark, dir))
+    val vSpec = Versioned.changePartitionSpec(spark, dir, Seq("id")) // v3
+    assert(vSpec == 3L)
+    assert(Versioned.deleteFilesAt(spark, dir, vSpec).isEmpty,
+      "the re-spec rewrite materializes pending tombstones")
+    assert(stateN(Versioned.snapshot(spark, dir)) == preSwitch,
+      "re-spec is layout-only")
+    assert(Versioned.filesAt(spark, dir, vSpec)
+      .forall(_.startsWith("id=")), "new layout keys the directories")
+    // old versions travel under their OWN layout
+    assert(stateN(Versioned.snapshot(spark, dir, 1L)) ==
+      Set(("a", 1L, 1.0), ("a", 2L, 2.0), ("b", 10L, 10.0)))
+    // writes under the new spec work; the old spec is refused
+    Versioned.mergeInto(spark, dir,
+      df(Seq(("c", 7L, 7.0, false)), "site", "id", "v", "__delete"),
+      Seq("id"), Seq("id"))                                         // v4
+    assert(stateN(Versioned.snapshot(spark, dir)).contains(("c", 7L, 7.0)))
+    val e2 = intercept[IllegalArgumentException] {
+      Versioned.mergeInto(spark, dir,
+        df(Seq(("c", 8L, 8.0, false)), "site", "id", "v", "__delete"),
+        Seq("site"), Seq("id"))
+    }
+    assert(e2.getMessage.contains("declared spec"))
+    // restore across the re-spec is refused (old-layout files under
+    // the new spec's meta would lie)
+    val e3 = intercept[IllegalArgumentException] {
+      Versioned.restore(spark, dir, 1L)
+    }
+    assert(e3.getMessage.contains("partition-spec"))
+    // restore WITHIN the spec works
+    Versioned.restore(spark, dir, vSpec)                            // v5
+    assert(stateN(Versioned.snapshot(spark, dir)) == preSwitch)
+    // the property demands reader protocol 3, named
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val latest = new org.apache.hadoop.fs.Path(dir,
+      f"_manifest/v${Versioned.currentVersion(spark, dir)}%06d.delta.txt")
+    val lines = {
+      val in = fs.open(latest)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    }
+    assert(lines.exists(l => l.startsWith("#ver 3") &&
+      l.contains("partition-spec")),
+      s"partition spec demands reader protocol 3, got ${lines.take(2)}")
+    // a clone inherits the spec
+    val clone = java.nio.file.Files
+      .createTempDirectory("graft_clonespec").toFile
+    clone.deleteOnExit()
+    Versioned.cloneAt(spark, dir, clone.getAbsolutePath)
+    assert(Versioned.partitionSpec(spark, clone.getAbsolutePath)
+      .contains(Seq("id")))
+  }
+
+  test("OPTIMIZE ZORDER with a byte target: re-cluster and size compose in one pass") {
+    val dir = freshLake()
+    Versioned.init(spark, dir)
+    (1 to 3).foreach { i =>
+      Versioned.append(spark, dir,
+        df(Seq(("a", 100L + i, i.toDouble), ("b", 200L + i, i.toDouble)),
+          "site", "id", "v"), Seq("site"))
+    }
+    val pre = state(Versioned.snapshot(spark, dir))
+    val nFilesPre = Versioned.filesAt(spark, dir).size
+    val v = Versioned.optimize(spark, dir, Seq("site"),
+      zorder = Some(col("id")),
+      targetFileSizeBytes = Some(8L * 1024 * 1024))
+    assert(state(Versioned.snapshot(spark, dir)) == pre,
+      "zorder+target is layout-only")
+    assert(Versioned.filesAt(spark, dir, v).size < nFilesPre,
+      "the sized re-cluster must compact the small files")
+    assert(state(Versioned.snapshot(spark, dir, v - 1)) == pre,
+      "pre-optimize version still travels")
+  }
 }
