@@ -192,6 +192,28 @@ object LakeScaleBench {
         Seq("event_type"), Seq("event_id"))
     }
 
+    // ---- round-11 continued: mapping + partition-spec primitives ---
+    // RENAME COLUMN: metadata-only — one manifest write, flat in lake
+    time("rename_column") {
+      Versioned.renameColumn(spark, lake, "value", "reading")
+    }
+    // partition spec on a dedicated lake (needs a low-cardinality
+    // re-key column): DECLARE is metadata-only and flat; the RE-SPEC
+    // is one full-rewrite commit whose cost TRACKS the lake — the
+    // honest, documented price of keeping every version single-spec
+    // (Delta's road: repartitioning is a rewrite)
+    val rlake = work + "/respec"
+    val rbase = base.withColumn("bucket", pmod(col("user_id"), lit(8L)))
+    MergeData.writeMerged(spark, rbase, rlake, keys = Seq("event_type"))
+    Versioned.init(spark, rlake)
+    time("declare_spec") {
+      Versioned.changePartitionSpec(spark, rlake, Seq("event_type"))
+    }
+    time("respec_rewrite") {
+      Versioned.changePartitionSpec(spark, rlake, Seq("bucket"))
+    }
+    metrics("n_files_respec") = Versioned.filesAt(spark, rlake).size
+
     def j(v: Any): String = v match {
       case s: String => "\"" + s + "\""
       case x => String.valueOf(x)

@@ -174,13 +174,15 @@ object Versioned {
       cdfInc: Option[String] = None,
       renames: Map[String, String] = Map.empty,
       droppedCols: Seq[String] = Nil,
-      pkeys: Option[Seq[String]] = None) {
+      pkeys: Option[Seq[String]] = None,
+      gens: Map[String, String] = Map.empty) {
     /** (required reader level, feature names) demanded by this meta. */
     def protocol: (Int, Seq[String]) = {
       val fs = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
       if (cdf.isDefined) fs += ((1, "change-feed"))
       if (renames.nonEmpty || droppedCols.nonEmpty) fs += ((2, "column-mapping"))
       if (pkeys.isDefined) fs += ((3, "partition-spec"))
+      if (gens.nonEmpty) fs += ((3, "generated-columns"))
       val v = (verFloor +: fs.map(_._1).toSeq).max
       (v, fs.map(_._2).toSeq)
     }
@@ -196,6 +198,8 @@ object Versioned {
         cdf.map(key => s"#cdf ${b64e(key.mkString(","))}").toSeq ++
         cdfInc.map(rel => s"#cdfinc $rel").toSeq ++
         pkeys.map(ks => s"#pkeys ${b64e(ks.mkString(","))}").toSeq ++
+        gens.toSeq.sortBy(_._1).map { case (n, e) =>
+          s"#gen ${b64e(n)} ${b64e(e)}" } ++
         renames.toSeq.sortBy(_._1).map { case (l, p) =>
           s"#ren ${b64e(l)} ${b64e(p)}" } ++
         droppedCols.sorted.map(c => s"#dropcol ${b64e(c)}")
@@ -216,6 +220,7 @@ object Versioned {
     var cdf: Option[Seq[String]] = None
     var cdfInc: Option[String] = None
     var pkeys: Option[Seq[String]] = None
+    val gens = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val rens = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val drops = scala.collection.mutable.ArrayBuffer.empty[String]
     lines.takeWhile(_.startsWith("#")).foreach { l =>
@@ -242,6 +247,9 @@ object Versioned {
       } else if (l.startsWith("#pkeys ")) {
         pkeys = Some(b64d(l.stripPrefix("#pkeys ").trim)
           .split(',').toSeq.filter(_.nonEmpty))
+      } else if (l.startsWith("#gen ")) {
+        val toks = l.stripPrefix("#gen ").trim.split(' ')
+        gens(b64d(toks(0))) = b64d(toks(1))
       } else if (l.startsWith("#ren ")) {
         val toks = l.stripPrefix("#ren ").trim.split(' ')
         rens(b64d(toks(0))) = b64d(toks(1))
@@ -260,7 +268,8 @@ object Versioned {
         s"; this build supports up to $SupportedProtocol — upgrade the engine")
     CommitMeta(ts, txns.toMap, dels.toSeq, chks.toMap, op,
       verFloor = ver, cdf = cdf, cdfInc = cdfInc,
-      renames = rens.toMap, droppedCols = drops.toSeq, pkeys = pkeys)
+      renames = rens.toMap, droppedCols = drops.toSeq, pkeys = pkeys,
+      gens = gens.toMap)
   }
 
   private def metaAt(spark: SparkSession, dir: String, v: Long): CommitMeta =
@@ -281,7 +290,8 @@ object Versioned {
     // the protocol floor carry forward; op and dels are per-commit
     CommitMeta(Some(ts), prev.txns ++ newTxn.toMap, dels, prev.chks, Some(op),
       verFloor = prev.verFloor, cdf = prev.cdf, renames = prev.renames,
-      droppedCols = prev.droppedCols, pkeys = prev.pkeys)
+      droppedCols = prev.droppedCols, pkeys = prev.pkeys,
+      gens = prev.gens)
   }
 
   // Resolved-listing cache (Delta's snapshot cache): a committed
@@ -685,6 +695,11 @@ object Versioned {
     meta.chks.foreach { case (n, e) =>
       require(!e.matches(s"(?s).*\\b${java.util.regex.Pattern.quote(from)}\\b.*"),
         s"CHECK constraint $n references $from — drop the constraint first") }
+    require(!meta.gens.contains(from),
+      s"$from is GENERATED — dropGeneratedColumn() first")
+    meta.gens.foreach { case (n, e) =>
+      require(!e.matches(s"(?s).*\\b${java.util.regex.Pattern.quote(from)}\\b.*"),
+        s"generated column $n references $from — dropGeneratedColumn() first") }
     val phys = meta.renames.getOrElse(from, from)
     val live = filesAt(spark, dir, v)
     writeCommit(fsOf(spark, dir), dir, v + 1, live, live,
@@ -714,13 +729,18 @@ object Versioned {
         s"CHECK constraint $n references $name — drop the constraint first") }
     meta.cdf.foreach(key => require(!key.contains(name),
       s"$name is part of the change-feed row identity — disable the feed first"))
+    meta.gens.foreach { case (n, e) =>
+      require(n == name ||
+        !e.matches(s"(?s).*\\b${java.util.regex.Pattern.quote(name)}\\b.*"),
+        s"generated column $n references $name — dropGeneratedColumn() first") }
     val phys = meta.renames.getOrElse(name, name)
     val live = filesAt(spark, dir, v)
     writeCommit(fsOf(spark, dir), dir, v + 1, live, live,
       carryMeta(spark, dir, v, commitTs, None, deleteFilesAt(spark, dir, v),
           "drop-column")
         .copy(renames = meta.renames - name,
-          droppedCols = (meta.droppedCols :+ phys).distinct))
+          droppedCols = (meta.droppedCols :+ phys).distinct,
+          gens = meta.gens - name))
     v + 1
   }
 
@@ -828,6 +848,107 @@ object Versioned {
         "change-partition-spec").copy(pkeys = Some(newKeys)))
     maybeWriteIncStats(spark, dir, v, newFiles, Nil)
     v + 1
+  }
+
+  // ---- generated columns (Delta's GENERATED ALWAYS AS) ------------
+  // `#gen name expr` is a carried table property: every write batch
+  // either OMITS the column (the write path computes it — which,
+  // combined with [[changePartitionSpec]] onto the generated column,
+  // is Iceberg's hidden partitioning: writers never spell the bucket)
+  // or carries it and is VALIDATED cell-by-cell against the expression
+  // (Delta's semantics — a writer that disagrees with the rule is
+  // refused, not silently trusted). Rides protocol level 3: an old
+  // build ignoring `#gen` would commit batches with the column null.
+
+  /** Enrich/validate `batch` under `meta`'s generated columns: absent
+    * columns are computed, present ones must null-safely equal their
+    * expression on every row. */
+  private def applyGenerated(spark: SparkSession, meta: CommitMeta,
+      batch: DataFrame, what: String): DataFrame =
+    meta.gens.foldLeft(batch) { case (b, (name, exprSql)) =>
+      if (!b.columns.contains(name)) b.withColumn(name, expr(exprSql))
+      else {
+        val bad = b.filter(!(col(name) <=> expr(exprSql))).count()
+        require(bad == 0L,
+          s"$what: column $name is GENERATED ALWAYS AS ($exprSql) but " +
+            s"$bad row(s) disagree with the expression")
+        b
+      }
+    }
+
+  /** The version's partition keys, declared (`#pkeys`) or parsed from
+    * the live layout's directory nesting order. */
+  private def layoutKeys(meta: CommitMeta, live: Seq[String]): Seq[String] =
+    meta.pkeys.getOrElse(live.headOption.map { r =>
+      refRel(r).split('/').dropRight(1).filter(_.contains('='))
+        .map(_.split('=')(0)).toSeq
+    }.getOrElse(Nil))
+
+  /** Declare `name` GENERATED ALWAYS AS `exprSql`. If the column
+    * already exists, current data must satisfy the rule (validated,
+    * metadata-only commit — [[addConstraint]]'s discipline); if it
+    * does not, ONE commit rewrites the live set computing it for the
+    * existing rows (pending tombstones fold away, as in any rewrite
+    * from the snapshot). Refused for mapped (renamed) names — the
+    * property addresses columns by their stable spelling. */
+  def addGeneratedColumn(spark: SparkSession, dir: String, name: String,
+      exprSql: String, commitTs: Long = System.currentTimeMillis()): Long = {
+    val v = currentVersion(spark, dir)
+    require(v >= 0, s"no manifest in $dir — call init() first")
+    val meta = metaAt(spark, dir, v)
+    require(!meta.gens.contains(name),
+      s"$name is already a generated column of $dir")
+    require(!meta.renames.contains(name),
+      s"cannot generate the renamed column $name: rename it back first")
+    val fs = fsOf(spark, dir)
+    val live = filesAt(spark, dir, v)
+    val snap = snapshot(spark, dir, v)
+    if (snap.columns.contains(name)) {
+      val bad = snap.filter(!(col(name) <=> expr(exprSql))).count()
+      require(bad == 0L,
+        s"cannot declare $name GENERATED ALWAYS AS ($exprSql): $bad " +
+          "existing row(s) disagree — fix the data or the expression")
+      writeCommit(fs, dir, v + 1, live, live,
+        carryMeta(spark, dir, v, commitTs, None,
+          deleteFilesAt(spark, dir, v), "add-generated")
+          .copy(gens = meta.gens + (name -> exprSql)))
+    } else {
+      val keys = layoutKeys(meta, live)
+      require(keys.nonEmpty, s"cannot infer the partition layout of $dir")
+      val rows = snap.withColumn(name, expr(exprSql))
+      val newFiles = writeStagedFiles(spark, fs, dir,
+        toPhysical(meta, rows).repartition(keys.map(col): _*), keys)
+      writeCommit(fs, dir, v + 1, newFiles, live,
+        carryMeta(spark, dir, v, commitTs, None, Nil, "add-generated")
+          .copy(gens = meta.gens + (name -> exprSql)))
+      maybeWriteIncStats(spark, dir, v, newFiles, Nil)
+    }
+    v + 1
+  }
+
+  /** Lift the generated-column rule from `name` (metadata-only; the
+    * column stays, it just stops being managed). */
+  def dropGeneratedColumn(spark: SparkSession, dir: String, name: String,
+      commitTs: Long = System.currentTimeMillis()): Long = {
+    val v = currentVersion(spark, dir)
+    require(v >= 0, s"no manifest in $dir — call init() first")
+    val meta = metaAt(spark, dir, v)
+    require(meta.gens.contains(name),
+      s"$name is not a generated column of $dir")
+    val live = filesAt(spark, dir, v)
+    writeCommit(fsOf(spark, dir), dir, v + 1, live, live,
+      carryMeta(spark, dir, v, commitTs, None,
+        deleteFilesAt(spark, dir, v), "drop-generated")
+        .copy(gens = meta.gens - name))
+    v + 1
+  }
+
+  /** The generated-column rules in force at `version`. */
+  def generatedColumns(spark: SparkSession, dir: String,
+      version: Long = -1L): Map[String, String] = {
+    val v = if (version >= 0) version else currentVersion(spark, dir)
+    require(v >= 0, s"no manifest in $dir — call init() first")
+    metaAt(spark, dir, v).gens
   }
 
   /** `fileV`'s files and tombstones viewed under `metaV`'s COLUMN
@@ -1145,10 +1266,12 @@ object Versioned {
     // it ONCE; it is bounded by batch size, never lake size, and a
     // batch derived from an expensive upstream (a curation funnel)
     // would otherwise recompute per consumption
-    val batch = rows.persist()
+    val batch0 = rows.persist()
     try {
       val meta0 = metaAt(spark, dir, v)
       checkPartitionSpec(meta0, partitionKeys, "append")
+      // generated columns: compute absent ones, validate present ones
+      val batch = applyGenerated(spark, meta0, batch0, "append batch")
       val entryChks = meta0.chks
       enforceConstraints(spark, dir, v, batch, "append batch")
       def checkTombstones(ds: Seq[String]): Unit = if (ds.nonEmpty) {
@@ -1221,7 +1344,7 @@ object Versioned {
       }
       maybeWriteIncStats(spark, dir, committed - 1, newFiles, statsCols)
       committed
-    } finally batch.unpersist()
+    } finally batch0.unpersist()
   }
 
   /** Rows ADDED between two versions (`fromV` exclusive → `toV`
@@ -1325,7 +1448,8 @@ object Versioned {
     * inside a change range.) */
   private val RowNeutralOps = Set("optimize", "materialize",
     "add-constraint", "drop-constraint", "enable-cdf", "disable-cdf",
-    "rename-column", "drop-column", "change-partition-spec")
+    "rename-column", "drop-column", "change-partition-spec",
+    "add-generated", "drop-generated")
 
   /** Version `v`'s published change increment: Some(CDF action rows)
     * when the commit carried one, None when the commit was row-neutral
@@ -1985,7 +2109,7 @@ object Versioned {
       CommitMeta(Some(commitTs), srcMeta.txns, Nil, srcMeta.chks,
         Some("clone"), verFloor = srcMeta.verFloor, cdf = srcMeta.cdf,
         renames = srcMeta.renames, droppedCols = srcMeta.droppedCols,
-        pkeys = srcMeta.pkeys))
+        pkeys = srcMeta.pkeys, gens = srcMeta.gens))
     0L
   }
 
@@ -2201,8 +2325,10 @@ object Versioned {
 
     val hasDelete = updates.columns.contains("__delete")
     val del = if (hasDelete) coalesce(col("__delete"), lit(false)) else lit(false)
-    val batch = updates.persist()
+    val batch0 = updates.persist()
     try {
+      // generated columns: compute absent ones, validate present ones
+      val batch = applyGenerated(spark, meta0, batch0, "merge batch")
       // CHECK constraints validate the batch's UPSERT rows (a delete
       // removes rows — nothing to check) before any data write
       enforceConstraints(spark, dir, v, batch.filter(!del), "merge batch")
@@ -2347,7 +2473,7 @@ object Versioned {
       // (explicit statsCols, or inherited once the lake tracks stats)
       maybeWriteIncStats(spark, dir, v, newFiles, statsCols)
       v + 1
-    } finally batch.unpersist()
+    } finally batch0.unpersist()
   }
 
   /** Test seam: runs after the merge's data files are written, right

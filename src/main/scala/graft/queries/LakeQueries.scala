@@ -3317,6 +3317,194 @@ object LakeQueries {
       "partition re-spec: metadata-only declare + stale-writer refusal + new-layout dirs require()d; pre/post versions and the new key's grouping == recompute"),
 
     // ---------------------------------------------------------------
+    // VERSIONED REPLICA ACROSS A RENAME (the metadata payoff q189's
+    // plain-parquet replica cannot claim): the replica is ITSELF a
+    // versioned table, so the source's RENAME commit mirrors onto it
+    // as one renameColumn — ZERO files moved on either side
+    // (require()d on the replica's own manifest) — while increments
+    // before and after apply under their own version's names.
+    // ---------------------------------------------------------------
+    Q("q191_versioned_replica_rename",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val root = new File(new File(sys.props("user.dir"), "target"),
+          s"graft_vreplq_$tag")
+        val src = new File(root, "src").getAbsolutePath
+        val replica = new File(root, "replica").getAbsolutePath
+        LakeQueries.synchronized {
+          val fs = new org.apache.hadoop.fs.Path(root.getAbsolutePath)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(root.getAbsolutePath), true)
+          val base = Tables(s, dir, "events").select(MergeCols.map(col): _*)
+            .filter(col("event_type").isin("click", "view")).persist()
+          MergeData.writeMerged(s, base, src, keys = Seq("event_type"))
+          Versioned.init(s, src, commitTs = 1000L)                      // v0
+          Versioned.enableChangeFeed(s, src, Seq("event_id"),
+            commitTs = 2000L)                                           // v1
+          MergeData.writeMerged(s, Versioned.snapshot(s, src, 1L),
+            replica, keys = Seq("event_type"))
+          Versioned.init(s, replica, commitTs = 1500L)                  // r0
+          Versioned.mergeInto(s, src,
+            base.filter(col("event_id") % 10 === 0)
+              .withColumn("value", col("value") * 2)
+              .withColumn("__delete", lit(false)),
+            Seq("event_type"), Seq("event_id"), commitTs = 3000L)       // v2
+          Versioned.renameColumn(s, src, "value", "reading",
+            commitTs = 4000L)                                           // v3
+          Versioned.mergeInto(s, src,
+            base.withColumnRenamed("value", "reading")
+              .filter(col("event_id") % 100 === 2)
+              .withColumn("event_id", col("event_id") + lit(10000000L))
+              .withColumn("reading", col("reading") + 1)
+              .withColumn("__delete", lit(false)),
+            Seq("event_type"), Seq("event_id"), commitTs = 5000L)       // v4
+          Versioned.deleteWhere(s, src, col("event_id") % 100 === 3,
+            keyCols = Seq("event_id"), commitTs = 6000L)                // v5
+          val cur = Versioned.applyTableChangesVersioned(s, src, replica,
+            Seq("event_type"), sinceV = 1L)
+          require(cur == 5L, s"replica must reach v5, got $cur")
+          // replica history: r1 merge, r2 mirrored rename, r3 merge,
+          // r4 delete-merge — the rename moved ZERO files
+          require(Versioned.filesAt(s, replica, 2L) ==
+            Versioned.filesAt(s, replica, 1L),
+            "the mirrored rename must be metadata-only on the replica")
+          require(Versioned.snapshot(s, replica).columns.contains("reading"),
+            "the replica must speak the new name")
+          base.unpersist()
+        }
+        def agg(d: DataFrame, tag: String) =
+          d.groupBy("event_type").agg(
+              count(lit(1)).as("row_count"),
+              round(sum("reading"), 4).as("sum_reading"),
+              count_distinct(col("event_id")).as("n_ids"))
+            .withColumn("src", lit(tag))
+        agg(Versioned.snapshot(s, replica), "replica")
+          .unionByName(agg(Versioned.snapshot(s, src), "source"))
+          .select("src", "event_type", "row_count", "sum_reading", "n_ids")
+          .orderBy("src", "event_type")
+      },
+      Some("""
+        WITH t AS (SELECT event_type, event_id, value FROM events
+                   WHERE event_type IN ('click','view')),
+        m1 AS (
+          SELECT event_type, event_id,
+                 CASE WHEN event_id % 10 = 0 THEN value * 2 ELSE value END AS reading
+          FROM t),
+        m2 AS (
+          SELECT * FROM m1
+          UNION ALL
+          SELECT event_type, event_id + 10000000, value + 1
+          FROM t WHERE event_id % 100 = 2),
+        fin AS (SELECT * FROM m2 WHERE event_id % 100 <> 3)
+        SELECT * FROM (
+          SELECT 'replica' AS src, event_type, count(*) AS row_count,
+                 round(sum(reading::DOUBLE), 4) AS sum_reading,
+                 count(DISTINCT event_id) AS n_ids
+          FROM fin GROUP BY 2
+          UNION ALL
+          SELECT 'source', event_type, count(*),
+                 round(sum(reading::DOUBLE), 4), count(DISTINCT event_id)
+          FROM fin GROUP BY 2)
+        ORDER BY 1, 2"""),
+      "a VERSIONED replica mirrors the source's rename metadata-only (zero files moved, require()d) and converges; replica == source == recompute under the new name"),
+
+    // ---------------------------------------------------------------
+    // HIDDEN PARTITIONING (Iceberg's bucket transform, composed from
+    // two table properties): `bucket` is GENERATED ALWAYS AS
+    // pmod(user_id, 8) — one declare-commit computes it for existing
+    // rows — and the table is then RE-KEYED onto it. From that point
+    // writers NEVER spell the bucket: merge and append batches omit
+    // the column and the write path computes it; a batch that
+    // disagrees with the rule is refused by name (require()d). Legs:
+    // the pre-declare version (no bucket), the current snapshot, and
+    // the bucket's own grouping — one recompute oracle.
+    // ---------------------------------------------------------------
+    Q("q192_hidden_partitioning",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val root = new File(new File(sys.props("user.dir"), "target"),
+          s"graft_hiddenq_$tag")
+        val lake = new File(root, "lake").getAbsolutePath
+        LakeQueries.synchronized {
+          val fs = new org.apache.hadoop.fs.Path(root.getAbsolutePath)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(root.getAbsolutePath), true)
+          val base = Tables(s, dir, "events").select(MergeCols.map(col): _*)
+            .filter(col("event_type").isin("click", "view")).persist()
+          MergeData.writeMerged(s, base, lake, keys = Seq("event_type"))
+          Versioned.init(s, lake, commitTs = 1000L)                     // v0
+          Versioned.addGeneratedColumn(s, lake, "bucket",
+            "pmod(user_id, 8)", commitTs = 2000L)                       // v1
+          Versioned.changePartitionSpec(s, lake, Seq("bucket"),
+            commitTs = 3000L)                                           // v2
+          require(Versioned.filesAt(s, lake).forall(_.startsWith("bucket=")),
+            "the generated column keys every directory")
+          // writers never spell the bucket
+          Versioned.mergeInto(s, lake,
+            base.filter(col("event_id") % 10 === 0)
+              .withColumn("value", col("value") * 2)
+              .withColumn("__delete", lit(false)),
+            Seq("bucket"), Seq("event_id"), commitTs = 4000L)           // v3
+          Versioned.append(s, lake,
+            base.filter(col("event_id") % 100 === 2)
+              .withColumn("event_id", col("event_id") + lit(10000000L))
+              .withColumn("value", col("value") + 1),
+            Seq("bucket"), commitTs = 5000L)                            // v4
+          // a batch that disagrees with the rule is refused by name
+          val refused = try {
+            Versioned.append(s, lake, base.limit(1)
+                .withColumn("event_id", col("event_id") + lit(20000000L))
+                .withColumn("bucket", lit(99L)),
+              Seq("bucket"), commitTs = 5500L)
+            false
+          } catch { case e: IllegalArgumentException =>
+            e.getMessage.contains("GENERATED ALWAYS AS") }
+          require(refused, "a disagreeing batch must be refused by name")
+          base.unpersist()
+        }
+        def agg(d: DataFrame, tag: String, grp: org.apache.spark.sql.Column) =
+          d.groupBy(grp.as("grp")).agg(
+              count(lit(1)).as("row_count"),
+              round(sum("value"), 4).as("sum_value"),
+              count_distinct(col("event_id")).as("n_ids"))
+            .withColumn("src", lit(tag))
+        val cur = Versioned.snapshot(s, lake)
+        agg(Versioned.snapshot(s, lake, 0L), "pre_gen", col("event_type"))
+          .unionByName(agg(cur, "hidden", col("event_type")))
+          .unionByName(agg(cur, "by_bucket",
+            concat(lit("b"), col("bucket").cast("string"))))
+          .select("src", "grp", "row_count", "sum_value", "n_ids")
+          .orderBy("src", "grp")
+      },
+      Some("""
+        WITH t AS (SELECT event_type, event_id, user_id, value FROM events
+                   WHERE event_type IN ('click','view')),
+        m AS (
+          SELECT event_type, event_id, user_id,
+                 CASE WHEN event_id % 10 = 0 THEN value * 2 ELSE value END AS value
+          FROM t),
+        p AS (
+          SELECT * FROM m
+          UNION ALL
+          SELECT event_type, event_id + 10000000, user_id, value + 1
+          FROM t WHERE event_id % 100 = 2)
+        SELECT * FROM (
+          SELECT 'pre_gen' AS src, event_type AS grp, count(*) AS row_count,
+                 round(sum(value::DOUBLE), 4) AS sum_value,
+                 count(DISTINCT event_id) AS n_ids
+          FROM t GROUP BY 2
+          UNION ALL
+          SELECT 'hidden', event_type, count(*),
+                 round(sum(value::DOUBLE), 4), count(DISTINCT event_id)
+          FROM p GROUP BY 2
+          UNION ALL
+          SELECT 'by_bucket', 'b' || (user_id % 8)::VARCHAR, count(*),
+                 round(sum(value::DOUBLE), 4), count(DISTINCT event_id)
+          FROM p GROUP BY 2)
+        ORDER BY 1, 2"""),
+      "hidden partitioning = generated column + partition re-spec: writers never spell the bucket (computed on merge AND append), disagreeing batch refused by name; pre/current/by-bucket == recompute"),
+
+    // ---------------------------------------------------------------
     // UNIFIED TABLE STREAM ACROSS REWRITE RANGES (Delta's streaming
     // CDF read): a follower seeded at the enable version streams the
     // WHOLE mixed history — append runs served from the appended

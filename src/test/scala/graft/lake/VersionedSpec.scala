@@ -1882,6 +1882,71 @@ class VersionedSpec extends SparkSpec {
       .contains(Seq("id")))
   }
 
+  test("generated columns: absent computed, present validated; hidden partitioning via changePartitionSpec; guard rails") {
+    def stateB(d: org.apache.spark.sql.DataFrame): Set[(String, Long, Double, Long)] =
+      d.select("site", "id", "v", "bucket").collect()
+        .map(r => (r.getString(0), r.getAs[Number](1).longValue(),
+          r.getDouble(2), r.getAs[Number](3).longValue())).toSet
+    val dir = freshLake()
+    Versioned.init(spark, dir)                                      // v0
+    // declaring over an ABSENT column rewrites once, computing it
+    assert(Versioned.addGeneratedColumn(spark, dir, "bucket",
+      "pmod(id, 2)") == 1L)                                         // v1
+    assert(stateB(Versioned.snapshot(spark, dir)) == Set(
+      ("a", 1L, 1.0, 1L), ("a", 2L, 2.0, 0L), ("b", 10L, 10.0, 0L)))
+    assert(!Versioned.snapshot(spark, dir, 0L).columns.contains("bucket"),
+      "old versions travel without the generated column")
+    // a batch WITHOUT the column gets it computed
+    Versioned.append(spark, dir,
+      df(Seq(("a", 3L, 3.0)), "site", "id", "v"), Seq("site"))      // v2
+    assert(stateB(Versioned.snapshot(spark, dir))
+      .contains(("a", 3L, 3.0, 1L)))
+    // a batch that DISAGREES with the rule is refused by name
+    val e = intercept[IllegalArgumentException] {
+      Versioned.append(spark, dir,
+        df(Seq(("a", 4L, 4.0, 7L)), "site", "id", "v", "bucket"),
+        Seq("site"))
+    }
+    assert(e.getMessage.contains("GENERATED ALWAYS AS"))
+    // HIDDEN PARTITIONING: re-key onto the generated column — writers
+    // still never spell it
+    Versioned.changePartitionSpec(spark, dir, Seq("bucket"))        // v3
+    Versioned.mergeInto(spark, dir,
+      df(Seq(("c", 7L, 7.0, false)), "site", "id", "v", "__delete"),
+      Seq("bucket"), Seq("site", "id"))                             // v4
+    assert(stateB(Versioned.snapshot(spark, dir))
+      .contains(("c", 7L, 7.0, 1L)))
+    assert(Versioned.filesAt(spark, dir).forall(_.startsWith("bucket=")))
+    // declaring over an EXISTING agreeing column is metadata-only;
+    // a disagreeing rule is refused
+    val before = Versioned.filesAt(spark, dir)
+    Versioned.addGeneratedColumn(spark, dir, "v", "v")              // v5
+    assert(Versioned.filesAt(spark, dir) == before)
+    Versioned.dropGeneratedColumn(spark, dir, "v")                  // v6
+    val e2 = intercept[IllegalArgumentException] {
+      Versioned.addGeneratedColumn(spark, dir, "v", "v + 1")
+    }
+    assert(e2.getMessage.contains("disagree"))
+    // a column a rule references cannot be renamed from under it
+    val e3 = intercept[IllegalArgumentException] {
+      Versioned.renameColumn(spark, dir, "id", "ident")
+    }
+    assert(e3.getMessage.contains("generated"))
+    // a clone inherits the rules; dropping lifts them
+    val clone = java.nio.file.Files
+      .createTempDirectory("graft_clonegen").toFile
+    clone.deleteOnExit()
+    Versioned.cloneAt(spark, dir, clone.getAbsolutePath)
+    assert(Versioned.generatedColumns(spark, clone.getAbsolutePath)
+      .contains("bucket"))
+    Versioned.dropGeneratedColumn(spark, dir, "bucket")             // v7
+    Versioned.append(spark, dir,
+      df(Seq(("d", 9L, 9.0, 42L)), "site", "id", "v", "bucket"),
+      Seq("bucket"))                                                // v8
+    assert(stateB(Versioned.snapshot(spark, dir))
+      .contains(("d", 9L, 9.0, 42L)), "lifted rule stops validating")
+  }
+
   test("OPTIMIZE ZORDER with a byte target: re-cluster and size compose in one pass") {
     val dir = freshLake()
     Versioned.init(spark, dir)
