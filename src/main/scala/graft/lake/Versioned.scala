@@ -2457,22 +2457,74 @@ object Versioned {
         toPhysical(writeMeta, toWrite)
           .repartition(partitionKeys.map(col): _*), partitionKeys)
 
-      val next = live.filterNot(underTouched) ++ newFiles
-      beforeCommitHook()
-      val cm = carryMeta(spark, dir, v, commitTs, txn, nextDels, "merge")
-      try writeCommit(fs, dir, v + 1, next, live,
-        cm.copy(cdfInc = autoInc, renames = cm.renames ++ autoRen))
-      catch { case e: Throwable =>
+      // COMMIT, with a COMMIT-ONLY retry when a concurrent writer wins
+      // the CAS on DISJOINT partitions (append's discipline, extended
+      // to merges): this writer's rewrite of ITS partitions is still
+      // exactly right against the winner's snapshot — the winner
+      // touched none of them and changed no table rule — so only the
+      // metadata op re-runs, never the data job. N concurrent CDC
+      // writers on disjoint partition sets serialize at one manifest
+      // write each. Any overlap, rule change (constraint/feed/mapping/
+      // spec/generated), tombstone movement, or auto-rename collision
+      // bails to the full re-resolve ([[mergeIntoRetry]]).
+      var curV = v
+      var curLive = live
+      var committed = -1L
+      var replayWon = false
+      var attempt = 1
+      try {
+        while (committed < 0 && !replayWon) {
+          beforeCommitHook()
+          try {
+            val cm = carryMeta(spark, dir, curV, commitTs, txn, nextDels,
+              "merge")
+            writeCommit(fs, dir, curV + 1,
+              curLive.filterNot(underTouched) ++ newFiles, curLive,
+              cm.copy(cdfInc = autoInc, renames = cm.renames ++ autoRen))
+            committed = curV + 1
+          } catch {
+            case e: IllegalArgumentException
+                if e.getMessage != null &&
+                  e.getMessage.contains("concurrent commit") &&
+                  attempt < 5 =>
+              attempt += 1
+              val newV = currentVersion(spark, dir)
+              if (txn.exists { case (id, batchId) =>
+                  lastTxn(spark, dir, id) >= batchId }) replayWon = true
+              else {
+                val newMeta = metaAt(spark, dir, newV)
+                val newLive = filesAt(spark, dir, newV)
+                val changed = (newLive.toSet -- curLive.toSet) ++
+                  (curLive.toSet -- newLive.toSet)
+                val disjoint = changed.forall(f => !underTouched(f))
+                val sameRules = newMeta.chks == meta0.chks &&
+                  newMeta.cdf == meta0.cdf &&
+                  newMeta.renames == meta0.renames &&
+                  newMeta.droppedCols == meta0.droppedCols &&
+                  newMeta.pkeys == meta0.pkeys &&
+                  newMeta.gens == meta0.gens &&
+                  autoRen.keySet.intersect(newMeta.renames.keySet).isEmpty &&
+                  deleteFilesAt(spark, dir, newV) == dels
+                if (!(disjoint && sameRules)) throw e
+                curV = newV
+                curLive = newLive
+              }
+          }
+        }
+      } catch { case e: Throwable =>
         changeFeed.foreach { case (fd, batchId) =>
           graft.ops.MergeData.discardStagedIncrement(spark, fd, batchId) }
         throw e
       }
       changeFeed.foreach { case (fd, batchId) =>
         graft.ops.MergeData.promoteFeedIncrement(spark, fd, batchId) }
-      // commit-time stats: one footer pass over THIS commit's files
-      // (explicit statsCols, or inherited once the lake tracks stats)
-      maybeWriteIncStats(spark, dir, v, newFiles, statsCols)
-      v + 1
+      if (replayWon) currentVersion(spark, dir)
+      else {
+        // commit-time stats: one footer pass over THIS commit's files
+        // (explicit statsCols, or inherited once the lake tracks stats)
+        maybeWriteIncStats(spark, dir, committed - 1, newFiles, statsCols)
+        committed
+      }
     } finally batch0.unpersist()
   }
 

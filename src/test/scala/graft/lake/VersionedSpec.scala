@@ -1495,6 +1495,69 @@ class VersionedSpec extends SparkSpec {
       Seq("append", "append", "init"))
   }
 
+  test("concurrent merges to DISJOINT partitions: the loser retries COMMIT-ONLY — no second data write, no orphans") {
+    val dir = freshLake()
+    Versioned.init(spark, dir)
+    // writer B merges site=b INSIDE writer A's (site=a) CAS window
+    var fired = false
+    Versioned.beforeCommitHook = () => {
+      if (!fired) {
+        fired = true
+        Versioned.mergeInto(spark, dir,
+          df(Seq(("b", 10L, 222.0, false)), "site", "id", "v", "__delete"),
+          Seq("site"), Seq("site", "id"))
+      }
+    }
+    // NOTE: plain mergeInto, NOT mergeIntoRetry — the disjoint loser
+    // must recover inside the commit loop without a full re-resolve
+    val vA =
+      try Versioned.mergeInto(spark, dir,
+        df(Seq(("a", 1L, 111.0, false)), "site", "id", "v", "__delete"),
+        Seq("site"), Seq("site", "id"))
+      finally Versioned.beforeCommitHook = () => ()
+    assert(vA == 2L, "the disjoint loser must land as v2 commit-only")
+    assert(state(Versioned.snapshot(spark, dir)) == Set(
+      ("a", 1L, 111.0), ("a", 2L, 2.0), ("b", 10L, 222.0)))
+    // the loser wrote its partition ONCE: every physical file is
+    // either referenced by v2 or was superseded by exactly the two
+    // merges' rewrites (site=a by A, site=b by B) — no extra copy
+    // from any second data job
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+    var phys = 0
+    while (it.hasNext) {
+      val p = it.next().getPath
+      if (p.getName.endsWith(".parquet") && !p.toString.contains("/_")) phys += 1
+    }
+    val referenced = (0L to 2L)
+      .flatMap(Versioned.filesAt(spark, dir, _)).toSet.size
+    assert(phys == referenced,
+      s"commit-only retry must add no unreferenced files: $phys physical " +
+        s"vs $referenced referenced across v0..v2")
+    // an OVERLAPPING winner still forces the full path: same-partition
+    // race surfaces concurrent-commit to mergeIntoRetry, which
+    // re-resolves — both changes land, B's last
+    var fired2 = false
+    Versioned.beforeCommitHook = () => {
+      if (!fired2) {
+        fired2 = true
+        Versioned.mergeInto(spark, dir,
+          df(Seq(("a", 5L, 5.0, false)), "site", "id", "v", "__delete"),
+          Seq("site"), Seq("site", "id"))
+      }
+    }
+    try {
+      val v = Versioned.mergeIntoRetry(spark, dir,
+        df(Seq(("a", 6L, 6.0, false)), "site", "id", "v", "__delete"),
+        Seq("site"), Seq("site", "id"))
+      assert(v == 4L, "overlapping loser re-resolves and lands after")
+    } finally Versioned.beforeCommitHook = () => ()
+    assert(state(Versioned.snapshot(spark, dir)).contains(("a", 5L, 5.0)) &&
+      state(Versioned.snapshot(spark, dir)).contains(("a", 6L, 6.0)),
+      "both overlapping merges' rows land via the full re-resolve")
+  }
+
   test("commit-time blooms: backfill once, commits inherit sizing; point lookups == IN filter at every version; vacuum re-bases") {
     val dir = java.nio.file.Files.createTempDirectory("graft_blooms").toFile
     dir.deleteOnExit()
