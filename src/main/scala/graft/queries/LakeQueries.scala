@@ -316,6 +316,92 @@ object LakeQueries {
     lake
   }
 
+  /** Memoized CDF-enabled lake whose history crosses a RENAME — the
+    * shared SOURCE for q189 (plain replica) and q191 (versioned
+    * replica): one build, two consumers, so the two queries' oracles
+    * cannot drift. The replicas themselves are per-run. Versions:
+    *   v0 init = click/view base                      (ts 1000)
+    *   v1 enableChangeFeed(event_id)                  (ts 2000)
+    *   v2 merge: id%10==0 -> value*2                  (ts 3000)
+    *   v3 rename value -> reading                     (ts 4000)
+    *   v4 merge: id%100==2 shifted +10M, reading+1    (ts 5000)
+    *   v5 deleteWhere id%100==3                       (ts 6000) */
+  private def cdfRenameFixture(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val stamp = new File(dir, "events.parquet").lastModified()
+    val root = new File(new File(sys.props("user.dir"), "target"),
+      s"graft_cdfren_${tag}_$stamp")
+    val lake = new File(root, "lake").getAbsolutePath
+    LakeQueries.synchronized {
+      if (!new File(root, "_SUCCESS").exists()) {
+        val fs = new org.apache.hadoop.fs.Path(root.getAbsolutePath)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root.getAbsolutePath), true)
+        val base = Tables(s, dir, "events").select(MergeCols.map(col): _*)
+          .filter(col("event_type").isin("click", "view")).persist()
+        try {
+          MergeData.writeMerged(s, base, lake, keys = Seq("event_type"))
+          Versioned.init(s, lake, commitTs = 1000L)
+          Versioned.enableChangeFeed(s, lake, Seq("event_id"),
+            commitTs = 2000L)
+          Versioned.mergeInto(s, lake,
+            base.filter(col("event_id") % 10 === 0)
+              .withColumn("value", col("value") * 2)
+              .withColumn("__delete", lit(false)),
+            Seq("event_type"), Seq("event_id"), commitTs = 3000L)
+          Versioned.renameColumn(s, lake, "value", "reading",
+            commitTs = 4000L)
+          Versioned.mergeInto(s, lake,
+            base.withColumnRenamed("value", "reading")
+              .filter(col("event_id") % 100 === 2)
+              .withColumn("event_id", col("event_id") + lit(10000000L))
+              .withColumn("reading", col("reading") + 1)
+              .withColumn("__delete", lit(false)),
+            Seq("event_type"), Seq("event_id"), commitTs = 5000L)
+          Versioned.deleteWhere(s, lake, col("event_id") % 100 === 3,
+            keyCols = Seq("event_id"), commitTs = 6000L)
+        } finally base.unpersist()
+        new File(root, "_SUCCESS").createNewFile()
+      }
+    }
+    lake
+  }
+
+  /** Memoized SOURCE for q188: a table whose properties (mapping,
+    * CHECK constraint, change feed) are all in force BEFORE a clone.
+    *   v0 init = click/view base            (ts 1000)
+    *   v1 rename value -> reading           (ts 2000)
+    *   v2 CHECK id_pos: event_id > 0        (ts 3000)
+    *   v3 enableChangeFeed(event_id)        (ts 4000) */
+  private def clonePropsFixture(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val stamp = new File(dir, "events.parquet").lastModified()
+    val root = new File(new File(sys.props("user.dir"), "target"),
+      s"graft_cloneprops_${tag}_$stamp")
+    val lake = new File(root, "lake").getAbsolutePath
+    LakeQueries.synchronized {
+      if (!new File(root, "_SUCCESS").exists()) {
+        val fs = new org.apache.hadoop.fs.Path(root.getAbsolutePath)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root.getAbsolutePath), true)
+        val base = Tables(s, dir, "events").select(MergeCols.map(col): _*)
+          .filter(col("event_type").isin("click", "view")).persist()
+        try {
+          MergeData.writeMerged(s, base, lake, keys = Seq("event_type"))
+          Versioned.init(s, lake, commitTs = 1000L)
+          Versioned.renameColumn(s, lake, "value", "reading",
+            commitTs = 2000L)
+          Versioned.addConstraint(s, lake, "id_pos", "event_id > 0",
+            commitTs = 3000L)
+          Versioned.enableChangeFeed(s, lake, Seq("event_id"),
+            commitTs = 4000L)
+        } finally base.unpersist()
+        new File(root, "_SUCCESS").createNewFile()
+      }
+    }
+    lake
+  }
+
   /** Memoized lake under COLUMN MAPPING (q184): rename + drop as
     * metadata-only commits, with merge/append traffic before and
     * after. Versions (pinned commit timestamps):
@@ -3040,10 +3126,10 @@ object LakeQueries {
     // ---------------------------------------------------------------
     Q("q188_clone_inherits_properties",
       (s, dir) => {
+        val src = clonePropsFixture(s, dir) // memoized source (v0-v3)
         val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
         val root = new File(new File(sys.props("user.dir"), "target"),
           s"graft_clonepropq_$tag")
-        val src = new File(root, "src").getAbsolutePath
         val cln = new File(root, "clone").getAbsolutePath
         LakeQueries.synchronized {
           val fs = new org.apache.hadoop.fs.Path(root.getAbsolutePath)
@@ -3051,14 +3137,6 @@ object LakeQueries {
           fs.delete(new org.apache.hadoop.fs.Path(root.getAbsolutePath), true)
           val base = Tables(s, dir, "events").select(MergeCols.map(col): _*)
             .filter(col("event_type").isin("click", "view")).persist()
-          MergeData.writeMerged(s, base, src, keys = Seq("event_type"))
-          Versioned.init(s, src, commitTs = 1000L)                      // v0
-          Versioned.renameColumn(s, src, "value", "reading",
-            commitTs = 2000L)                                           // v1
-          Versioned.addConstraint(s, src, "id_pos", "event_id > 0",
-            commitTs = 3000L)                                           // v2
-          Versioned.enableChangeFeed(s, src, Seq("event_id"),
-            commitTs = 4000L)                                           // v3
           Versioned.cloneAt(s, src, cln, commitTs = 5000L)              // clone v0
           val renamed = base.withColumnRenamed("value", "reading")
           val inserts = renamed.filter(col("event_id") % 100 === 2)
@@ -3139,39 +3217,17 @@ object LakeQueries {
     // ---------------------------------------------------------------
     Q("q189_cdf_replica_across_rename",
       (s, dir) => {
+        val src = cdfRenameFixture(s, dir) // memoized source (v0-v5)
         val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
         val root = new File(new File(sys.props("user.dir"), "target"),
           s"graft_cdfrenq_$tag")
-        val src = new File(root, "src").getAbsolutePath
         val replica = new File(root, "replica").getAbsolutePath
         LakeQueries.synchronized {
           val fs = new org.apache.hadoop.fs.Path(root.getAbsolutePath)
             .getFileSystem(s.sparkContext.hadoopConfiguration)
           fs.delete(new org.apache.hadoop.fs.Path(root.getAbsolutePath), true)
-          val base = Tables(s, dir, "events").select(MergeCols.map(col): _*)
-            .filter(col("event_type").isin("click", "view")).persist()
-          MergeData.writeMerged(s, base, src, keys = Seq("event_type"))
-          Versioned.init(s, src, commitTs = 1000L)                      // v0
-          Versioned.enableChangeFeed(s, src, Seq("event_id"),
-            commitTs = 2000L)                                           // v1
           MergeData.writeMerged(s, Versioned.snapshot(s, src, 1L),
             replica, keys = Seq("event_type"))
-          Versioned.mergeInto(s, src,
-            base.filter(col("event_id") % 10 === 0)
-              .withColumn("value", col("value") * 2)
-              .withColumn("__delete", lit(false)),
-            Seq("event_type"), Seq("event_id"), commitTs = 3000L)       // v2
-          Versioned.renameColumn(s, src, "value", "reading",
-            commitTs = 4000L)                                           // v3
-          Versioned.mergeInto(s, src,
-            base.withColumnRenamed("value", "reading")
-              .filter(col("event_id") % 100 === 2)
-              .withColumn("event_id", col("event_id") + lit(10000000L))
-              .withColumn("reading", col("reading") + 1)
-              .withColumn("__delete", lit(false)),
-            Seq("event_type"), Seq("event_id"), commitTs = 5000L)       // v4
-          Versioned.deleteWhere(s, src, col("event_id") % 100 === 3,
-            keyCols = Seq("event_id"), commitTs = 6000L)                // v5
           // the batch read serves ONE schema — the range end's
           val ch = Versioned.changesBetween(s, src, 1L, 5L)
           require(ch.columns.contains("reading") &&
@@ -3180,7 +3236,6 @@ object LakeQueries {
           val cur = Versioned.applyTableChanges(s, src, replica,
             Seq("event_type"), sinceV = 1L)
           require(cur == 5L, s"replica must reach v5, got $cur")
-          base.unpersist()
         }
         def agg(d: DataFrame, tag: String) =
           d.groupBy("event_type").agg(
@@ -3326,40 +3381,18 @@ object LakeQueries {
     // ---------------------------------------------------------------
     Q("q191_versioned_replica_rename",
       (s, dir) => {
+        val src = cdfRenameFixture(s, dir) // the SAME source as q189
         val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
         val root = new File(new File(sys.props("user.dir"), "target"),
           s"graft_vreplq_$tag")
-        val src = new File(root, "src").getAbsolutePath
         val replica = new File(root, "replica").getAbsolutePath
         LakeQueries.synchronized {
           val fs = new org.apache.hadoop.fs.Path(root.getAbsolutePath)
             .getFileSystem(s.sparkContext.hadoopConfiguration)
           fs.delete(new org.apache.hadoop.fs.Path(root.getAbsolutePath), true)
-          val base = Tables(s, dir, "events").select(MergeCols.map(col): _*)
-            .filter(col("event_type").isin("click", "view")).persist()
-          MergeData.writeMerged(s, base, src, keys = Seq("event_type"))
-          Versioned.init(s, src, commitTs = 1000L)                      // v0
-          Versioned.enableChangeFeed(s, src, Seq("event_id"),
-            commitTs = 2000L)                                           // v1
           MergeData.writeMerged(s, Versioned.snapshot(s, src, 1L),
             replica, keys = Seq("event_type"))
           Versioned.init(s, replica, commitTs = 1500L)                  // r0
-          Versioned.mergeInto(s, src,
-            base.filter(col("event_id") % 10 === 0)
-              .withColumn("value", col("value") * 2)
-              .withColumn("__delete", lit(false)),
-            Seq("event_type"), Seq("event_id"), commitTs = 3000L)       // v2
-          Versioned.renameColumn(s, src, "value", "reading",
-            commitTs = 4000L)                                           // v3
-          Versioned.mergeInto(s, src,
-            base.withColumnRenamed("value", "reading")
-              .filter(col("event_id") % 100 === 2)
-              .withColumn("event_id", col("event_id") + lit(10000000L))
-              .withColumn("reading", col("reading") + 1)
-              .withColumn("__delete", lit(false)),
-            Seq("event_type"), Seq("event_id"), commitTs = 5000L)       // v4
-          Versioned.deleteWhere(s, src, col("event_id") % 100 === 3,
-            keyCols = Seq("event_id"), commitTs = 6000L)                // v5
           val cur = Versioned.applyTableChangesVersioned(s, src, replica,
             Seq("event_type"), sinceV = 1L)
           require(cur == 5L, s"replica must reach v5, got $cur")
@@ -3370,7 +3403,6 @@ object LakeQueries {
             "the mirrored rename must be metadata-only on the replica")
           require(Versioned.snapshot(s, replica).columns.contains("reading"),
             "the replica must speak the new name")
-          base.unpersist()
         }
         def agg(d: DataFrame, tag: String) =
           d.groupBy("event_type").agg(
