@@ -192,6 +192,34 @@ object LakeScaleBench {
         Seq("event_type"), Seq("event_id"))
     }
 
+    // COMMIT-ONLY disjoint-merge retry: a loser whose CAS race was to
+    // a DISJOINT-partition winner re-runs ONE metadata op, never the
+    // data job — this row should read as cdf_merge_commit + epsilon,
+    // where the pre-feature full re-resolve read as ~2x
+    val batchD = base.filter(col("event_type") === "click" &&
+        col("event_id") % 1000 === 5)
+      .withColumn("value", col("value") + 3)
+    val batchOther = base.filter(col("event_type") === "view" &&
+        col("event_id") % 1000 === 4)
+      .withColumn("value", col("value") + 4)
+    // the winner's merge runs INSIDE the loser's timed window (that is
+    // what a CAS race is) — it is timed separately so the loser's own
+    // cost is the difference: loser - winner ≈ one merge + one CAS
+    var fired = false
+    Versioned.beforeCommitHook = () => {
+      if (!fired) {
+        fired = true
+        time("disjoint_winner_inner") {
+          Versioned.mergeInto(spark, lake, batchOther,
+            Seq("event_type"), Seq("event_id"))
+        }
+      }
+    }
+    try time("disjoint_loser_merge") {
+      Versioned.mergeInto(spark, lake, batchD,
+        Seq("event_type"), Seq("event_id"))
+    } finally Versioned.beforeCommitHook = () => ()
+
     // ---- round-11 continued: mapping + partition-spec primitives ---
     // RENAME COLUMN: metadata-only — one manifest write, flat in lake
     time("rename_column") {

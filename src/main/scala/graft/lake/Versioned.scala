@@ -2531,7 +2531,7 @@ object Versioned {
   /** Test seam: runs after the merge's data files are written, right
     * before the manifest CAS — lets the concurrency spec inject a
     * racing commit into the exact window the CAS guards. */
-  private[lake] var beforeCommitHook: () => Unit = () => ()
+  private[graft] var beforeCommitHook: () => Unit = () => ()
 
   /** [[mergeInto]] with optimistic-concurrency RETRY — Delta's commit
     * loop: a writer that loses the version CAS re-resolves its batch

@@ -3537,6 +3537,87 @@ object LakeQueries {
       "hidden partitioning = generated column + partition re-spec: writers never spell the bucket (computed on merge AND append), disagreeing batch refused by name; pre/current/by-bucket == recompute"),
 
     // ---------------------------------------------------------------
+    // TIME-BASED RETENTION (Delta's VACUUM RETAIN n HOURS): commit
+    // timestamps are pinned, so the cutoff is deterministic — retain
+    // 2500ms at now=5500 keeps exactly ts>=3000 (v2, v3). The
+    // pre-cutoff version must become UNREADABLE (require()d) while
+    // the oldest retained version still time-travels; both retained
+    // snapshots equal the recompute oracle.
+    // ---------------------------------------------------------------
+    Q("q193_vacuum_retain",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val root = new File(new File(sys.props("user.dir"), "target"),
+          s"graft_vretainq_$tag")
+        val lake = new File(root, "lake").getAbsolutePath
+        LakeQueries.synchronized {
+          val fs = new org.apache.hadoop.fs.Path(root.getAbsolutePath)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(root.getAbsolutePath), true)
+          val base = Tables(s, dir, "events").select(MergeCols.map(col): _*)
+            .filter(col("event_type").isin("click", "view")).persist()
+          MergeData.writeMerged(s, base, lake, keys = Seq("event_type"))
+          Versioned.init(s, lake, commitTs = 1000L)                     // v0
+          Versioned.append(s, lake,
+            base.filter(col("event_id") % 100 === 1)
+              .withColumn("event_id", col("event_id") + lit(10000000L)),
+            Seq("event_type"), commitTs = 2000L)                        // v1
+          Versioned.append(s, lake,
+            base.filter(col("event_id") % 100 === 2)
+              .withColumn("event_id", col("event_id") + lit(20000000L)),
+            Seq("event_type"), commitTs = 3000L)                        // v2
+          Versioned.mergeInto(s, lake,
+            base.filter(col("event_id") % 10 === 0)
+              .withColumn("value", col("value") * 2)
+              .withColumn("__delete", lit(false)),
+            Seq("event_type"), Seq("event_id"), commitTs = 4000L)       // v3
+          Versioned.vacuumRetain(s, lake, retainMillis = 2500L,
+            nowMillis = 5500L) // cutoff 3000: v2 and v3 stay
+          val gone = try { Versioned.filesAt(s, lake, 1L); false }
+            catch { case _: Exception => true }
+          require(gone, "the pre-cutoff version must be unreadable")
+          require(Versioned.currentVersion(s, lake) == 3L)
+          base.unpersist()
+        }
+        def agg(d: DataFrame, tag: String) =
+          d.groupBy("event_type").agg(
+              count(lit(1)).as("row_count"),
+              round(sum("value"), 4).as("sum_value"),
+              count_distinct(col("event_id")).as("n_ids"))
+            .withColumn("src", lit(tag))
+        agg(Versioned.snapshot(s, lake, 2L), "oldest_retained")
+          .unionByName(agg(Versioned.snapshot(s, lake), "current"))
+          .select("src", "event_type", "row_count", "sum_value", "n_ids")
+          .orderBy("src", "event_type")
+      },
+      Some("""
+        WITH t AS (SELECT event_type, event_id, value FROM events
+                   WHERE event_type IN ('click','view')),
+        v2 AS (
+          SELECT * FROM t
+          UNION ALL
+          SELECT event_type, event_id + 10000000, value
+          FROM t WHERE event_id % 100 = 1
+          UNION ALL
+          SELECT event_type, event_id + 20000000, value
+          FROM t WHERE event_id % 100 = 2),
+        v3 AS (
+          SELECT event_type, event_id,
+                 CASE WHEN event_id % 10 = 0 THEN value * 2 ELSE value END AS value
+          FROM v2)
+        SELECT * FROM (
+          SELECT 'current' AS src, event_type, count(*) AS row_count,
+                 round(sum(value::DOUBLE), 4) AS sum_value,
+                 count(DISTINCT event_id) AS n_ids
+          FROM v3 GROUP BY 2
+          UNION ALL
+          SELECT 'oldest_retained', event_type, count(*),
+                 round(sum(value::DOUBLE), 4), count(DISTINCT event_id)
+          FROM v2 GROUP BY 2)
+        ORDER BY 1, 2"""),
+      "time-based retention: pinned timestamps make the cutoff deterministic — pre-cutoff version unreadable require()d; oldest-retained travel + current == recompute"),
+
+    // ---------------------------------------------------------------
     // UNIFIED TABLE STREAM ACROSS REWRITE RANGES (Delta's streaming
     // CDF read): a follower seeded at the enable version streams the
     // WHOLE mixed history — append runs served from the appended
