@@ -247,4 +247,39 @@ class StreamingTableFollowSpec extends SparkSpec {
     assert(state(Versioned.appendsBetween(spark, lake, 1L, 2L)) ==
       Set(("a", 3L, 3.0)))
   }
+
+  test("unified stream across a RENAME: each batch speaks its own range-end's names (the documented contract)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_follow3").toFile
+    root.deleteOnExit()
+    val src = new java.io.File(root, "src").getAbsolutePath
+    val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+    MergeData.writeMerged(spark,
+      df(Seq(("a", 1L, 1.0), ("b", 10L, 10.0)), "site", "id", "v"),
+      src, keys = Seq("site"))
+    Versioned.init(spark, src)                                      // v0
+    Versioned.enableChangeFeed(spark, src, Seq("site", "id"))       // v1
+    val served = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Set[String])]
+    def record(d: org.apache.spark.sql.DataFrame, toV: Long): Unit =
+      served += ((toV, d.columns.toSet - "_action"))
+    // initial snapshot (pre-rename names)
+    StreamingTableFollow.followChangesOnce(spark, src, ckpt,
+      (d, _, toV) => record(d, toV))
+    Versioned.mergeInto(spark, src,
+      df(Seq(("a", 1L, 100.0, false)), "site", "id", "v", "__delete"),
+      Seq("site"), Seq("site", "id"))                               // v2
+    Versioned.renameColumn(spark, src, "v", "val")                  // v3
+    Versioned.append(spark, src,
+      df(Seq(("b", 11L, 11.0)), "site", "id", "val"), Seq("site"))  // v4
+    StreamingTableFollow.followChangesOnce(spark, src, ckpt,
+      (d, _, toV) => record(d, toV))
+    // the v2 increment speaks ITS commit's name ('v'); the append run
+    // ending at v4 — which absorbed the rename, a metadata commit —
+    // speaks the NEW name: the schema changes exactly at the commit
+    // that changed it (the documented follower contract)
+    assert(served.toList.map { case (toV, cols) =>
+      (toV, cols.contains("v"), cols.contains("val")) } ==
+      List((1L, true, false), (2L, true, false), (4L, false, true)),
+      s"got $served")
+  }
 }
