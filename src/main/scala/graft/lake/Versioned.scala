@@ -918,9 +918,23 @@ object Versioned {
       val rows = snap.withColumn(name, expr(exprSql))
       val newFiles = writeStagedFiles(spark, fs, dir,
         toPhysical(meta, rows).repartition(keys.map(col): _*), keys)
+      // the REWRITE variant is NOT row-neutral: every existing row
+      // gains the computed value. With a change feed attached, publish
+      // the update pre/post images (crash-atomic via the `#cdfinc`
+      // pointer, like every mutating commit) so replicas receive the
+      // computed values — a feed consumer that skipped this commit
+      // would keep nulls and silently diverge from the source. The
+      // metadata-only branch above stays row-neutral (it validated
+      // that the rows already agree).
+      val autoInc = meta.cdf.map { _ =>
+        writeChangeInc(spark, dir,
+          snap.withColumn("_action", lit("update_preimage")).unionByName(
+            rows.withColumn("_action", lit("update_postimage")),
+            allowMissingColumns = true))
+      }
       writeCommit(fs, dir, v + 1, newFiles, live,
         carryMeta(spark, dir, v, commitTs, None, Nil, "add-generated")
-          .copy(gens = meta.gens + (name -> exprSql)))
+          .copy(gens = meta.gens + (name -> exprSql), cdfInc = autoInc))
       maybeWriteIncStats(spark, dir, v, newFiles, Nil)
     }
     v + 1
@@ -1337,6 +1351,26 @@ object Versioned {
             checkPartitionSpec(retryMeta, partitionKeys, "append (retry)")
             if (retryMeta.chks != entryChks)
               enforceConstraints(spark, dir, curV, batch, "append batch (retry)")
+            // SEMANTICS-BEARING table properties must not have moved
+            // under this append (mergeInto's retry discipline): the
+            // batch's files are already written under meta0's rules —
+            // if the winner enabled a change feed, this retry would
+            // commit op=append with no `#cdfinc` (a permanent feed
+            // hole); a new generated column would commit files without
+            // it (silent nulls); a changed mapping (incl. a colliding
+            // auto-rename the winner minted) would clobber the
+            // winner's `#ren` lines and expose physical names raw.
+            // Bail to a caller-level re-run instead of re-CASing.
+            val rulesMoved = retryMeta.cdf != meta0.cdf ||
+              retryMeta.gens != meta0.gens ||
+              retryMeta.renames != meta0.renames ||
+              retryMeta.droppedCols != meta0.droppedCols ||
+              autoRen.keySet.intersect(retryMeta.renames.keySet).nonEmpty
+            if (rulesMoved) throw new IllegalArgumentException(
+              s"concurrent commit changed table properties of $dir " +
+                "(change feed / generated columns / column mapping) " +
+                "under this append — re-run the append against the new " +
+                "version", e)
             val newDels = deleteFilesAt(spark, dir, curV)
             if (newDels != curDels) checkTombstones(newDels)
             curDels = newDels
@@ -1507,6 +1541,38 @@ object Versioned {
     * produced the history. Driver cost is bounded by the version
     * range; each application touches only its increment's partitions.
     * Returns the version the replica now reflects. */
+  /** Recover a replica from a crash inside a prior remap swap. Two
+    * leftover shapes are possible: with the replica dir PRESENT, any
+    * `_remap_*` staging (complete-but-unpromoted or incomplete) and
+    * any `_old_*` aside (promote finished, cleanup didn't) are
+    * superseded — reaped; with the replica dir MISSING (crash between
+    * rename-aside and promote), the `_remap_*` staging holds the
+    * complete remapped replica (the aside rename only runs after the
+    * staging write returned) — promoted, with the aside copy as the
+    * defensive fallback. Idempotent; called on entry by
+    * [[applyTableChanges]] before any new work. */
+  private[lake] def resumeCrashedRemap(spark: SparkSession,
+      replicaDir: String): Unit = {
+    val rp = new Path(replicaDir)
+    val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parent = rp.getParent
+    if (parent == null || !fs.exists(parent)) return
+    val name = rp.getName
+    val leftovers = fs.listStatus(parent).map(_.getPath)
+      .filter(p => p.getName.startsWith(name + "_remap_") ||
+        p.getName.startsWith(name + "_old_"))
+    if (leftovers.isEmpty) return
+    if (fs.exists(rp)) leftovers.foreach(fs.delete(_, true))
+    else {
+      val staging = leftovers.filter(_.getName.startsWith(name + "_remap_"))
+      val aside = leftovers.filter(_.getName.startsWith(name + "_old_"))
+      staging.headOption.orElse(aside.headOption).foreach { src =>
+        require(fs.rename(src, rp), s"remap resume: rename $src -> $rp failed")
+        (staging ++ aside).filterNot(_ == src).foreach(fs.delete(_, true))
+      }
+    }
+  }
+
   def applyTableChanges(spark: SparkSession, srcDir: String,
       replicaDir: String, partitionKeys: Seq[String],
       sinceV: Long, untilV: Long = -1L): Long = {
@@ -1527,7 +1593,15 @@ object Versioned {
     if (mFrom.renames != mTo.renames || mFrom.droppedCols != mTo.droppedCols) {
       // write target == read source, so stage-and-swap (the same COW
       // commit MergeData.mergeInto uses): the staging write is the only
-      // job, the swap is two FS metadata ops
+      // job, the swap is FS metadata ops — sequenced so that ONE of
+      // the two directories exists at every instant. The naive
+      // delete-then-rename has a crash window with NO replica dir and
+      // the remapped data stranded in a staging dir nothing looks for;
+      // instead the OLD replica is renamed aside first (so a crash
+      // before the promote leaves the aside dir to resume from), and
+      // [[resumeCrashedRemap]] probes for both leftover shapes on
+      // entry before any new work.
+      resumeCrashedRemap(spark, replicaDir)
       val staging = new Path(replicaDir + "_remap_" +
         java.util.UUID.randomUUID().toString.take(8))
       val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1535,10 +1609,14 @@ object Versioned {
       try graft.ops.MergeData.writeMerged(spark, rep, staging.toString,
         keys = partitionKeys)
       catch { case e: Throwable => fs.delete(staging, true); throw e }
-      fs.delete(new Path(replicaDir), true)
+      val aside = new Path(replicaDir + "_old_" +
+        java.util.UUID.randomUUID().toString.take(8))
+      require(fs.rename(new Path(replicaDir), aside),
+        s"replica remap: rename-aside $replicaDir -> $aside failed")
       require(fs.rename(staging, new Path(replicaDir)),
-        s"replica remap: rename $staging -> $replicaDir failed; " +
-          "data recoverable in staging")
+        s"replica remap: promote $staging -> $replicaDir failed; " +
+          s"pre-remap data intact in $aside")
+      fs.delete(aside, true)
     }
     ((sinceV + 1) to cur).foreach { v =>
       changeIncrementAt(spark, srcDir, v).foreach { inc =>
@@ -2802,7 +2880,23 @@ object Versioned {
       keepVersions = (versions.last - keepFrom + 1).toInt)
   }
 
-  def vacuum(spark: SparkSession, dir: String, keepVersions: Int): Unit = {
+  /** Minimum age before [[vacuum]] reaps an UNREFERENCED change
+    * increment directory (`_changes/inc_*`). A committing writer
+    * writes its increment BEFORE its manifest CAS (by design — the
+    * CAS publishes the pointer crash-atomically), so at any instant
+    * an unreferenced increment may belong to an in-flight commit;
+    * reaping it would leave the winner's `#cdfinc` pointing at a
+    * deleted directory and permanently break feed reads of that
+    * version. Delta's vacuum solves the same window with a retention
+    * clock — an increment older than this is an orphan from a crash
+    * or lost CAS, not an in-flight write. */
+  val ChangeIncRetainMillis: Long = 60L * 60 * 1000
+
+  def vacuum(spark: SparkSession, dir: String, keepVersions: Int): Unit =
+    vacuum(spark, dir, keepVersions, System.currentTimeMillis())
+
+  private[lake] def vacuum(spark: SparkSession, dir: String,
+      keepVersions: Int, nowMillis: Long): Unit = {
     require(keepVersions >= 1, "must keep at least the current version")
     val fs = fsOf(spark, dir)
     val ms = listManifests(fs, dir)
@@ -2855,13 +2949,20 @@ object Versioned {
       fs.delete(new Path(dir, rel), false))
     // change increments live under _changes/ (invisible to
     // listDataFiles): drop the ones no retained manifest references —
-    // which also reaps orphans from lost CAS attempts and crashes
+    // which also reaps orphans from lost CAS attempts and crashes.
+    // AGE-GATED ([[ChangeIncRetainMillis]]): an increment is written
+    // BEFORE its commit's manifest CAS, so a young unreferenced one
+    // may belong to an in-flight commit whose `#cdfinc` pointer is
+    // about to land — reaping it would break that version's feed
+    // reads forever. Only increments past the retention clock are
+    // provably orphans.
     val refIncs = (keepFrom to cur)
       .flatMap(v => metaAt(spark, dir, v).cdfInc).toSet
     val chRoot = new Path(dir, "_changes")
     if (fs.exists(chRoot)) {
       fs.listStatus(chRoot).foreach { st =>
-        if (!refIncs.contains(s"_changes/${st.getPath.getName}"))
+        if (!refIncs.contains(s"_changes/${st.getPath.getName}") &&
+            st.getModificationTime < nowMillis - ChangeIncRetainMillis)
           fs.delete(st.getPath, true)
       }
     }

@@ -1030,7 +1030,13 @@ class VersionedSpec extends SparkSpec {
     val orphan = new org.apache.hadoop.fs.Path(dir, "_changes/inc_orphan")
     fs.mkdirs(orphan)
     Versioned.vacuum(spark, dir, keepVersions = 5) // keeps v2..v6
-    assert(!fs.exists(orphan), "unreferenced increment dirs are reaped")
+    assert(fs.exists(orphan),
+      "a YOUNG unreferenced increment may belong to an in-flight commit " +
+        "(increments are written before the manifest CAS) — never reaped")
+    Versioned.vacuum(spark, dir, 5,
+      System.currentTimeMillis() + Versioned.ChangeIncRetainMillis + 60000L)
+    assert(!fs.exists(orphan),
+      "aged-out unreferenced increment dirs are provably orphans — reaped")
     assert(Versioned.changesBetween(spark, dir, 2L, 6L)
       .select("_commit_version").distinct().collect()
       .map(_.getLong(0)).toSet == Set(3L, 4L, 6L),
@@ -2029,5 +2035,110 @@ class VersionedSpec extends SparkSpec {
       "the sized re-cluster must compact the small files")
     assert(state(Versioned.snapshot(spark, dir, v - 1)) == pre,
       "pre-optimize version still travels")
+  }
+
+  test("append's commit-only retry BAILS when the winner changed semantics-bearing properties (cdf/generated/mapping)") {
+    // a concurrent enableChangeFeed wins the CAS inside the append's
+    // commit window: re-CASing would commit op=append with no #cdfinc
+    // — a permanent feed hole. The retry must refuse instead.
+    val dir = freshLake()
+    Versioned.init(spark, dir)
+    var fired = false
+    Versioned.beforeCommitHook = () => {
+      if (!fired) { fired = true
+        Versioned.enableChangeFeed(spark, dir, Seq("site", "id")) }
+    }
+    val e = intercept[IllegalArgumentException] {
+      try Versioned.append(spark, dir,
+        df(Seq(("a", 30L, 30.0)), "site", "id", "v"), Seq("site"))
+      finally Versioned.beforeCommitHook = () => ()
+    }
+    assert(e.getMessage.contains("changed table properties"))
+    // the caller-level re-run sees the feed and publishes its increment
+    val v = Versioned.append(spark, dir,
+      df(Seq(("a", 30L, 30.0)), "site", "id", "v"), Seq("site"))
+    assert(Versioned.changeIncrementAt(spark, dir, v).isDefined,
+      "the re-run append must publish a feed increment")
+    // same discipline for a winner that added a GENERATED column: the
+    // loser's files were written without it (silent nulls if re-CASed)
+    val dir2 = freshLake()
+    Versioned.init(spark, dir2)
+    var fired2 = false
+    Versioned.beforeCommitHook = () => {
+      if (!fired2) { fired2 = true
+        Versioned.addGeneratedColumn(spark, dir2, "v2x", "v * 2") }
+    }
+    val e2 = intercept[IllegalArgumentException] {
+      try Versioned.append(spark, dir2,
+        df(Seq(("a", 31L, 31.0)), "site", "id", "v"), Seq("site"))
+      finally Versioned.beforeCommitHook = () => ()
+    }
+    assert(e2.getMessage.contains("changed table properties"))
+    assert(Versioned.snapshot(spark, dir2).filter(col("v2x").isNull).isEmpty,
+      "no null-v2x rows may have been committed by the bailed append")
+  }
+
+  test("add-generated REWRITE publishes update images: a feed replica receives the computed values") {
+    val dir = freshLake()
+    Versioned.init(spark, dir)
+    Versioned.enableChangeFeed(spark, dir, Seq("site", "id")) // v1
+    val replica = java.nio.file.Files
+      .createTempDirectory("graft_genrep").toFile.getAbsolutePath
+    // seed from v1, then the source gains a computed column (rewrite
+    // variant: the column does not exist yet)
+    graft.ops.MergeData.writeMerged(spark, Versioned.snapshot(spark, dir, 1L),
+      replica, keys = Seq("site"))
+    val v2 = Versioned.addGeneratedColumn(spark, dir, "v2x", "v * 2")
+    assert(v2 == 2L)
+    val inc = Versioned.changeIncrementAt(spark, dir, v2)
+    assert(inc.isDefined, "the rewrite variant is NOT row-neutral")
+    assert(inc.get.select("_action").distinct().collect()
+      .map(_.getString(0)).toSet ==
+      Set("update_preimage", "update_postimage"))
+    Versioned.applyTableChanges(spark, dir, replica, Seq("site"), sinceV = 1L)
+    val rep = spark.read.parquet(replica)
+    assert(rep.columns.contains("v2x"), "replica must gain the column")
+    assert(rep.filter(!(col("v2x") <=> col("v") * 2)).isEmpty,
+      "replica rows must carry the computed values, not nulls")
+    // the METADATA-ONLY variant (column already present and agreeing)
+    // stays row-neutral: no increment, replicas skip it
+    val v3 = Versioned.addGeneratedColumn(spark, dir, "v3x0",
+      "v * 0") // first create it physically via the rewrite
+    assert(Versioned.changeIncrementAt(spark, dir, v3).isDefined)
+    Versioned.dropGeneratedColumn(spark, dir, "v3x0") // v4: rule lifted
+    val v5 = Versioned.addGeneratedColumn(spark, dir, "v3x0", "v * 0")
+    assert(Versioned.changeIncrementAt(spark, dir, v5).isEmpty,
+      "re-declaring over agreeing data is metadata-only (row-neutral)")
+  }
+
+  test("replica remap crash windows: ONE of the two dirs always exists; resume promotes the staged remap") {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_remap").toFile
+    val replica = new java.io.File(root, "rep").getAbsolutePath
+    Seq(("a", 1L, 1.0)).toDF("site", "id", "v")
+      .write.parquet(replica)
+    val fs = new org.apache.hadoop.fs.Path(replica)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // shape 1: crash BETWEEN rename-aside and promote — no replica
+    // dir, complete staging + aside present. Resume must promote the
+    // staging (the remapped data), not the stale aside.
+    val staging = new org.apache.hadoop.fs.Path(replica + "_remap_abc")
+    Seq(("a", 1L, 2.0)).toDF("site", "id", "v_new")
+      .write.parquet(staging.toString)
+    require(fs.rename(new org.apache.hadoop.fs.Path(replica),
+      new org.apache.hadoop.fs.Path(replica + "_old_xyz")))
+    Versioned.resumeCrashedRemap(spark, replica)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(replica)))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(replica + "_old_xyz")))
+    assert(spark.read.parquet(replica).columns.contains("v_new"),
+      "resume must promote the REMAPPED staging, not the pre-remap aside")
+    // shape 2: replica present + leftover staging/aside — both are
+    // superseded work and must be reaped, replica untouched
+    val stale = new org.apache.hadoop.fs.Path(replica + "_remap_stale")
+    Seq(("x", 9L)).toDF("site", "id").write.parquet(stale.toString)
+    Versioned.resumeCrashedRemap(spark, replica)
+    assert(!fs.exists(stale) &&
+      spark.read.parquet(replica).columns.contains("v_new"))
   }
 }
