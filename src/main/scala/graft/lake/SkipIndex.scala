@@ -360,7 +360,7 @@ object SkipIndex {
 
   /** Shared with [[BloomIndex]] so its staleness guard matches this
     * file's normalization and listing semantics exactly. */
-  private[lake] def normalizePath(p: String): String = normalize(p)
+  private[graft] def normalizePath(p: String): String = normalize(p)
   private[lake] def dataFilesUnder(spark: SparkSession, dataDir: String): Set[String] =
     dataFiles(spark, dataDir)
 

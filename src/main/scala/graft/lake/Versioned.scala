@@ -2133,6 +2133,41 @@ object Versioned {
     }.toSeq.sorted
   }
 
+  /** [[prunedScanCandidates]] for PLANNER-driven pruning — the
+    * `graft` data source ([[graft.sources.GraftLakeSource]]) routes
+    * the Catalyst data filters of every `spark.read.format("graft")`
+    * scan here. Differs from the strict front door in exactly the way
+    * a planner hook must: it NEVER refuses. Predicates on columns the
+    * sidecars do not track are dropped (the scan still applies them
+    * exactly as residual filters — skipping is only ever an
+    * optimization), and absent or broken sidecar coverage yields
+    * `None` (read everything) instead of an error. Returns the
+    * surviving abs-normalized file paths, or None when nothing could
+    * prune. */
+  def prunedScanCandidatesLenient(spark: SparkSession, dir: String,
+      preds: Seq[PrunePred], version: Long = -1L): Option[Seq[String]] =
+    try {
+      if (preds.isEmpty) None
+      else {
+        val v = if (version >= 0) version else currentVersion(spark, dir)
+        val fs = fsOf(spark, dir)
+        val m = metaAt(spark, dir, v)
+        def phys(c: String) = m.renames.getOrElse(c, c)
+        val hasBlooms = listSidecars(fs, dir, "bloom").exists(_._1 <= v)
+        val tracked: Set[String] =
+          if (listSidecars(fs, dir, "stats").exists(_._1 <= v))
+            statsAt(spark, dir, v).select("col").distinct()
+              .collect().map(_.getString(0)).toSet
+          else Set.empty
+        val keep = preds.filter {
+          case _: PruneIn => hasBlooms
+          case p => tracked.contains(phys(p.column))
+        }
+        if (keep.isEmpty) None
+        else Some(prunedScanCandidates(spark, dir, keep, v))
+      }
+    } catch { case _: IllegalArgumentException => None }
+
   /** SHALLOW CLONE (Delta's `CREATE TABLE ... SHALLOW CLONE src`):
     * `dstDir` becomes an independent versioned table whose v0 manifest
     * holds FOREIGN references (`@root\trel`) to `srcDir`'s data files

@@ -3843,6 +3843,78 @@ object LakeQueries {
                  NULL::BIGINT, NULL::DOUBLE
           FROM w WHERE value2 IS NULL)
         ORDER BY 1, 2"""),
-      "null-count stats: IS NULL / IS NOT NULL file pruning require()d real; one prunedScan front door routes boxes/nulls/blooms; fastNullCount == recomputed count")
+      "null-count stats: IS NULL / IS NOT NULL file pruning require()d real; one prunedScan front door routes boxes/nulls/blooms; fastNullCount == recomputed count"),
+
+    // ---------------------------------------------------------------
+    // THE DATA SOURCE SURFACE (spark.read.format("graft")): the same
+    // versioned CDC fixture read through the PLANNER instead of the
+    // library — a HadoopFsRelation over the manifest-driven FileIndex,
+    // so Catalyst's column pruning, partition pruning and parquet
+    // pushdown all operate on the lake. Three legs: the latest
+    // snapshot, VERSION AS OF 1 (time travel as a reader option), and
+    // a pushed range filter (event_id < 10M cuts the synthetic-insert
+    // rows) — each must equal its batch prefix's recompute oracle.
+    // The require pins that the planner actually planned our index
+    // (scheme, not timing); file-skipping exactness is pinned by
+    // GraftLakeSourceSpec on a stats-bearing fixture.
+    // ---------------------------------------------------------------
+    Q("q194_datasource_read",
+      (s, dir) => {
+        val (vlake, _) = versionedCdcFixture(s, dir)
+        val latest = s.read.format("graft").load(vlake)
+        require(latest.queryExecution.executedPlan.toString()
+          .contains("GraftFileIndex"),
+          "the read must plan through the manifest-driven FileIndex")
+        val v1 = s.read.format("graft").option("versionAsOf", "1").load(vlake)
+        def agg(d: DataFrame, src: String) =
+          d.groupBy("event_type").agg(
+              count(lit(1)).as("row_count"),
+              round(sum("value"), 4).as("sum_value"),
+              count_distinct(col("event_id")).as("n_ids"))
+            .withColumn("src", lit(src))
+        agg(latest, "ds_latest")
+          .unionByName(agg(v1, "ds_v1"))
+          .unionByName(agg(latest.filter(col("event_id") < 10000000L),
+            "ds_range"))
+          .select("src", "event_type", "row_count", "sum_value", "n_ids")
+          .orderBy("src", "event_type")
+      },
+      Some("""
+        WITH t AS (SELECT event_type, event_id, value FROM events
+                   WHERE event_type IN ('click','view')),
+        st1 AS (
+          SELECT event_type, event_id,
+                 CASE WHEN event_id % 10 = 0 THEN value * 2 ELSE value END AS value
+          FROM t WHERE event_id % 10 <> 1
+          UNION ALL
+          SELECT event_type, event_id + 10000000, value + 1
+          FROM t WHERE event_id % 100 = 2),
+        st3 AS (
+          SELECT event_type, event_id,
+                 CASE WHEN event_id % 10 = 4 THEN value + 100
+                      WHEN event_id % 10 = 6 THEN value - 1
+                      ELSE value END AS value
+          FROM t WHERE event_id % 10 NOT IN (0, 1, 5)
+          UNION ALL
+          SELECT event_type, event_id + 10000000, (value + 1) * 3
+          FROM t WHERE event_id % 100 = 2
+          UNION ALL
+          SELECT event_type, event_id + 20000000, value + 10
+          FROM t WHERE event_id % 100 = 7)
+        SELECT * FROM (
+          SELECT 'ds_latest' AS src, event_type, count(*) AS row_count,
+                 round(sum(value::DOUBLE), 4) AS sum_value,
+                 count(DISTINCT event_id) AS n_ids
+          FROM st3 GROUP BY 2
+          UNION ALL
+          SELECT 'ds_v1', event_type, count(*), round(sum(value::DOUBLE), 4),
+                 count(DISTINCT event_id)
+          FROM st1 GROUP BY 2
+          UNION ALL
+          SELECT 'ds_range', event_type, count(*), round(sum(value::DOUBLE), 4),
+                 count(DISTINCT event_id)
+          FROM st3 WHERE event_id < 10000000 GROUP BY 2)
+        ORDER BY 1, 2"""),
+      "spark.read.format(graft): planner-driven lake reads — latest, VERSION AS OF, and a pushed range filter each equal the recompute oracle")
   )
 }
