@@ -242,6 +242,36 @@ object LakeScaleBench {
     }
     metrics("n_files_respec") = Versioned.filesAt(spark, rlake).size
 
+    // ---- round-12: ROW-LEVEL MOR MERGE vs COW on a SCATTERED batch -
+    // ~0.1% of rows hitting EVERY bucket partition — the COW
+    // write-amplification case: mergeInto must rewrite every touched
+    // partition (here the whole 8-bucket lake), mergeIntoMor writes
+    // ONE key file + the batch's own rows. cow_scatter_merge tracks
+    // the LAKE's bytes (≈30x on the 30x clone); mor_scatter_merge
+    // tracks the BATCH and stays ~flat. The MOR read-side anti-join
+    // and its one-time materialization are timed next to it — the
+    // full ledger of the trade.
+    val scatter = rbase.filter(col("event_id") % 997 === 13)
+      .withColumn("value", col("value") + 9)
+    metrics("scatter_batch_rows") = scatter.count()
+    val morLake = work + "/morlake"
+    MergeData.writeMerged(spark, rbase, morLake, keys = Seq("bucket"))
+    Versioned.init(spark, morLake)
+    time("cow_scatter_merge") {
+      Versioned.mergeInto(spark, rlake, scatter,
+        Seq("bucket"), Seq("event_id"))
+    }
+    time("mor_scatter_merge") {
+      Versioned.mergeIntoMor(spark, morLake, scatter,
+        Seq("bucket"), Seq("event_id"))
+    }
+    metrics("mor_scatter_read_rows") = time("mor_scatter_read") {
+      Versioned.snapshot(spark, morLake).count()
+    }
+    time("mor_materialize") {
+      Versioned.materializeDeletes(spark, morLake, Seq("bucket"))
+    }
+
     def j(v: Any): String = v match {
       case s: String => "\"" + s + "\""
       case x => String.valueOf(x)

@@ -142,13 +142,30 @@ object Versioned {
   /** The highest `#ver` reader-protocol level this build understands.
     * Level 0 = the base protocol (manifests without `#ver`); level 1
     * adds the `#cdf` change-feed table property; level 2 adds `#ren`/
-    * `#dropcol` column mapping. A manifest demanding a higher level is
-    * REFUSED (naming its features) instead of silently misread — the
-    * Delta reader/writer-version discipline: `#cdf` and `#ren` are
+    * `#dropcol` column mapping; level 3 adds `#pkeys`/`#gen`; level 4
+    * adds SCOPED tombstones (`#del <path> @<bound>` — the [[
+    * mergeIntoMor]] row-level merge). A manifest demanding a higher
+    * level is REFUSED (naming its features) instead of silently
+    * misread — the Delta reader/writer-version discipline: these are
     * SEMANTICS-BEARING meta, and an old build that ignored them would
-    * skip feed emission (silent CDF hole) or read renamed columns
-    * under their physical names (silently wrong schema). */
-  val SupportedProtocol = 3
+    * skip feed emission (silent CDF hole), read renamed columns under
+    * their physical names, or apply a scoped tombstone globally and
+    * hide a MOR merge's own fresh rows. */
+  val SupportedProtocol = 4
+
+  /** A `#del` entry is either a plain tombstone path (applies to every
+    * file — [[deleteWhere]]'s global equality delete) or `path @bound`
+    * ([[mergeIntoMor]]): the tombstone applies ONLY to rows in files
+    * ADDED BEFORE version `bound` — Iceberg's sequence-number rule,
+    * spelled with the manifest's own add-versions. The committing
+    * merge's fresh rows (added AT `bound`) are exempt by construction,
+    * which is what lets an upsert ship as tombstone+insert with zero
+    * partition rewrites. */
+  private val DelScopedRe = "^(.*) @(\\d+)$".r
+  private[lake] def delParse(e: String): (String, Option[Long]) = e match {
+    case DelScopedRe(p, b) => (p, Some(b.toLong))
+    case _ => (e, None)
+  }
 
   private def b64e(s: String): String =
     java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
@@ -183,6 +200,8 @@ object Versioned {
       if (renames.nonEmpty || droppedCols.nonEmpty) fs += ((2, "column-mapping"))
       if (pkeys.isDefined) fs += ((3, "partition-spec"))
       if (gens.nonEmpty) fs += ((3, "generated-columns"))
+      if (dels.exists(e => delParse(e)._2.isDefined))
+        fs += ((4, "scoped-tombstones"))
       val v = (verFloor +: fs.map(_._1).toSeq).max
       (v, fs.map(_._2).toSeq)
     }
@@ -992,23 +1011,95 @@ object Versioned {
     snapshotUnderMeta(spark, dir, v, v)
   }
 
-  /** Apply `version`'s pending equality-delete tombstones (if any) to
-    * `df` as one anti-join — the merge-on-read filter shared by
-    * [[snapshot]] and the pruned read paths. */
-  private def applyTombstones(spark: SparkSession, dir: String,
-      version: Long, df: DataFrame): DataFrame = {
-    val dels = deleteFilesAt(spark, dir, version)
-    if (dels.isEmpty) df
-    else {
-      val tomb = spark.read.parquet(dels.map(d => s"$dir/$d"): _*)
-      // null-safe (<=>), like every other key match in merge
-      // resolution: a base row whose key column is null must still be
-      // removed when its tombstone carries that null key — the
-      // usingColumns overload's EqualTo would never match it
-      df.join(tomb, tomb.columns.toSeq
-        .map(k => df(k) <=> tomb(k)).reduce(_ && _), "left_anti")
-    }
+  /** Files ADDED in versions `[fromV, toV]`, read from the manifests:
+    * a delta manifest lists its additions as `+` lines (bounded by the
+    * commit's churn); a checkpoint version in range diffs against the
+    * previous resolution (amortized: one per [[CheckpointInterval]]).
+    * This is how a SCOPED tombstone's exemption set resolves — files
+    * added at or after the tombstone's bound post-date the delete and
+    * are never filtered by it. Refuses (naming the repair) when the
+    * range's manifests were vacuumed. */
+  private def filesAddedSince(spark: SparkSession, dir: String,
+      fromV: Long, toV: Long): Set[String] = {
+    val fs = fsOf(spark, dir)
+    val forms = listManifests(fs, dir).toMap
+    (fromV to toV).iterator.flatMap { dv =>
+      require(forms.contains(dv),
+        s"version $dv of $dir was vacuumed but a pending scoped tombstone " +
+          "needs its additions: materializeDeletes() before vacuuming past " +
+          "a merge-on-read bound")
+      if (forms(dv)) // delta form: additions are the `+` lines
+        manifestLinesAt(fs, dir, dv).filterNot(_.startsWith("#"))
+          .collect { case l if l.startsWith("+") => l.drop(1) }
+      else {
+        val prev = if (dv == 0) Nil else filesAt(spark, dir, dv - 1)
+        filesAt(spark, dir, dv).diff(prev)
+      }
+    }.toSet
   }
+
+  /** Pending tombstones of `version` grouped by scope bound:
+    * (bound, tombstone keys as ONE logical-or-physical df per group,
+    * exempt file set for the bound). */
+  private def tombstoneGroups(spark: SparkSession, dir: String,
+      version: Long): Seq[(Option[Long], DataFrame, Set[String])] =
+    metaAt(spark, dir, version).dels.map(delParse)
+      .groupBy(_._2).toSeq.sortBy(_._1.getOrElse(-1L))
+      .map { case (bound, es) =>
+        val tomb = spark.read.parquet(es.map(e => s"$dir/${e._1}"): _*)
+        val exempt = bound.fold(Set.empty[String])(b =>
+          filesAddedSince(spark, dir, b, version)
+            .map(r => SkipIndex.normalizePath(refPath(dir, r))))
+        (bound, tomb, exempt)
+      }
+
+  /** Rows of `df` hit (scope-aware) or kept by `version`'s pending
+    * tombstones — the shared core of the MOR read ([[snapshot]], the
+    * pruned paths) and the materialization probes. `df` must read
+    * straight off the version's parquet files (scoped groups bind each
+    * row to its source file via `input_file_name`). Key matches are
+    * null-safe (`<=>`) like every other merge-key comparison; a scoped
+    * group additionally requires the row's file to PRE-DATE the bound
+    * (rows in files added at or after it are the upsert's own fresh
+    * data — never filtered). */
+  private def tombstoneFilter(spark: SparkSession, dir: String,
+      version: Long, df: DataFrame, keep: Boolean): DataFrame = {
+    val groups = tombstoneGroups(spark, dir, version)
+    if (groups.isEmpty) return if (keep) df else df.limit(0)
+    val anyScope = groups.exists(_._1.isDefined)
+    val srcCol = "__graft_src_file"
+    val base =
+      if (anyScope) df.withColumn(srcCol,
+        regexp_replace(input_file_name(), "^file:/+", "/"))
+      else df
+    def cond(l: DataFrame, tomb: DataFrame, exempt: Set[String]) = {
+      val keys = tomb.columns.toSeq
+        .map(k => l(k) <=> tomb(k)).reduce(_ && _)
+      if (exempt.isEmpty) keys
+      else keys && !l(srcCol).isInCollection(exempt.toSeq)
+    }
+    val out =
+      if (keep)
+        groups.foldLeft(base) { case (acc, (_, tomb, exempt)) =>
+          acc.join(tomb, cond(acc, tomb, exempt), "left_anti")
+        }
+      else
+        // hit rows per group, unioned (a row hit by several groups
+        // repeats — callers reduce to distinct partition values)
+        groups.map { case (_, tomb, exempt) =>
+          base.join(tomb, cond(base, tomb, exempt), "left_semi")
+        }.reduce(_ unionByName _)
+    if (anyScope) out.drop(srcCol) else out
+  }
+
+  /** Apply `version`'s pending equality-delete tombstones (if any) to
+    * `df` — the merge-on-read filter shared by [[snapshot]] and the
+    * pruned read paths. Global tombstones apply as one anti-join per
+    * tombstone commit; SCOPED tombstones ([[mergeIntoMor]]) only
+    * filter rows whose source file pre-dates their bound. */
+  private def applyTombstones(spark: SparkSession, dir: String,
+      version: Long, df: DataFrame): DataFrame =
+    tombstoneFilter(spark, dir, version, df, keep = true)
 
   /** DESCRIBE HISTORY: one row per retained version, newest first —
     * version, commit timestamp, the committing OPERATION (merge /
@@ -1079,7 +1170,18 @@ object Versioned {
       return v // already the target state — nothing to commit
     }
     val fs = fsOf(spark, dir)
-    val missing = (target ++ targetDels)
+    // a SCOPED tombstone's exemption is defined by file ADD-versions,
+    // and a restore RE-ADDS files in its own commit — the re-added
+    // files would post-date the bound and resurrect their tombstoned
+    // rows. Materialize first (the scoped window is meant to be
+    // short-lived); global tombstones are version-independent and
+    // restore fine.
+    require(!(targetDels ++ deleteFilesAt(spark, dir, v))
+      .exists(e => delParse(e)._2.isDefined),
+      s"cannot restore $dir across pending SCOPED tombstones (their " +
+        "file-age exemption does not survive re-added files): " +
+        "materializeDeletes() first")
+    val missing = (target ++ targetDels.map(delParse(_)._1))
       .filterNot(f => fs.exists(new Path(refPath(dir, f))))
     require(missing.isEmpty,
       s"cannot restore $dir to version $toVersion: ${missing.size} of its " +
@@ -1288,16 +1390,22 @@ object Versioned {
       val batch = applyGenerated(spark, meta0, batch0, "append batch")
       val entryChks = meta0.chks
       enforceConstraints(spark, dir, v, batch, "append batch")
-      def checkTombstones(ds: Seq[String]): Unit = if (ds.nonEmpty) {
-        // tombstones are physical; compare in the logical view
-        val tomb = applyColumnMapping(meta0,
-          spark.read.parquet(ds.map(d => s"$dir/$d"): _*))
-        val hit = batch.join(tomb, tomb.columns.toSeq
-          .map(k => batch(k) <=> tomb(k)).reduce(_ && _), "left_semi")
-        require(hit.isEmpty,
-          "append under a pending equality delete on the same key would " +
-            "hide the fresh rows: mergeInto handles the conflict, or " +
-            "materializeDeletes() first")
+      def checkTombstones(ds: Seq[String]): Unit = {
+        // only GLOBAL tombstones can hide an append's fresh rows —
+        // a SCOPED one ([[mergeIntoMor]]) exempts files added after
+        // its bound, which this append's files are by construction
+        val global = ds.map(delParse).collect { case (p, None) => p }
+        if (global.nonEmpty) {
+          // tombstones are physical; compare in the logical view
+          val tomb = applyColumnMapping(meta0,
+            spark.read.parquet(global.map(d => s"$dir/$d"): _*))
+          val hit = batch.join(tomb, tomb.columns.toSeq
+            .map(k => batch(k) <=> tomb(k)).reduce(_ && _), "left_semi")
+          require(hit.isEmpty,
+            "append under a pending equality delete on the same key would " +
+              "hide the fresh rows: mergeInto handles the conflict, or " +
+              "materializeDeletes() first")
+        }
       }
       checkTombstones(dels)
       require(!batch.isEmpty, "append got an empty batch")
@@ -2257,7 +2365,8 @@ object Versioned {
     val carried = deleteFilesAt(spark, dir, v)
     if (carried.nonEmpty) {
       // tombstone files are physical; keyCols are logical
-      val prior = spark.read.parquet(s"$dir/${carried.head}").columns.toSeq
+      val prior = spark.read
+        .parquet(s"$dir/${delParse(carried.head)._1}").columns.toSeq
       val keyPhys = keyCols.map(k => meta0.renames.getOrElse(k, k))
       require(prior.sorted == keyPhys.sorted,
         s"tombstone key mismatch: table already has equality deletes on " +
@@ -2344,13 +2453,13 @@ object Versioned {
     if (dels.isEmpty) return v
     val fs = fsOf(spark, dir)
     val live = filesAt(spark, dir, v)
-    val tomb = spark.read.parquet(dels.map(d => s"$dir/$d"): _*)
     // affected partitions = those whose RAW files still hold a
-    // tombstoned row (bounded driver collect: distinct partition
-    // values of the deleted keys)
+    // tombstone-HIT row (scope-aware: a scoped tombstone never hits
+    // rows in files added after its bound, so an upserted partition
+    // whose only matching rows are the fresh ones is NOT affected);
+    // bounded driver collect: distinct partition values of the hits
     val raw = readRefs(spark, dir, live)
-    val affectedRows = raw.join(tomb, tomb.columns.toSeq
-        .map(k => raw(k) <=> tomb(k)).reduce(_ && _), "left_semi")
+    val affectedRows = tombstoneFilter(spark, dir, v, raw, keep = false)
       .select(partitionKeys.map(col): _*).distinct().collect()
     val affectedDirs = affectedRows.map { r =>
       partitionKeys.zipWithIndex.map { case (k, i) =>
@@ -2378,6 +2487,172 @@ object Versioned {
       live, carryMeta(spark, dir, v, commitTs, None, Nil, "materialize"))
     maybeWriteIncStats(spark, dir, v, newFiles, Nil)
     v + 1
+  }
+
+  /** Row-level MERGE-ON-READ upsert (Iceberg's equality-delete write
+    * path / Delta's deletion-vector goal, on this manifest protocol):
+    * the same LOGICAL semantics as [[mergeInto]] — upsert by `rowKey`,
+    * delete where `__delete` — committed as (a) ONE SCOPED equality
+    * tombstone holding the batch's keys and (b) the batch's surviving
+    * rows as ordinary appended files. ZERO existing partitions are
+    * rewritten: write cost tracks the BATCH, never the touched
+    * partitions' bytes — a 100-row update scattered across 1,000
+    * partitions writes one key file plus 100 rows where COW rewrites
+    * 1,000 partitions. The read side pays one scope-aware anti-join
+    * until [[materializeDeletes]] or OPTIMIZE folds the tombstones
+    * away — the classic MOR trade, applied to the update path (the
+    * erasure path has had it since [[deleteWhere]]).
+    *
+    * The tombstone is SCOPED to this commit (`#del path @v+1`,
+    * protocol level 4): it hides matching rows ONLY in files added
+    * before the commit, so the batch's own inserts — added AT the
+    * commit — survive their own key's tombstone. Keys that match no
+    * existing row tombstone nothing (the anti-join never finds them);
+    * no base scan runs unless a change feed needs pre-images.
+    *
+    * Lost manifest CAS → full re-resolve and re-write (up to
+    * `maxAttempts`): the work is O(batch), so the simple
+    * always-correct retry is also the cheap one here; abandoned
+    * tombstone/data files are unreferenced and vacuum-reaped.
+    *
+    * @param changeFeed / cdf property: publishes the resolved
+    *   increment (update pre/post images, inserts, deleted rows) —
+    *   resolving pre-images is the one place this path scans the
+    *   base (key-pruned column scan, feed-attached tables only).
+    * @param txn exactly-once replay marker, as [[mergeInto]].
+    * Returns the committed (or already-committed) version. */
+  def mergeIntoMor(spark: SparkSession, dir: String, updates: DataFrame,
+      partitionKeys: Seq[String], rowKey: Seq[String],
+      changeFeed: Option[(String, Long)] = None,
+      txn: Option[(String, Long)] = None,
+      commitTs: Long = System.currentTimeMillis(),
+      statsCols: Seq[String] = Nil,
+      maxAttempts: Int = 3): Long = {
+    require(maxAttempts >= 1, "need maxAttempts >= 1")
+    var attempt = 1
+    while (true) {
+      try return mergeIntoMorOnce(spark, dir, updates, partitionKeys,
+        rowKey, changeFeed, txn, commitTs, statsCols)
+      catch {
+        case e: IllegalArgumentException
+            if e.getMessage != null &&
+              e.getMessage.contains("concurrent commit") &&
+              attempt < maxAttempts =>
+          attempt += 1 // full re-resolve against the winner's version
+      }
+    }
+    -1L // unreachable
+  }
+
+  private def mergeIntoMorOnce(spark: SparkSession, dir: String,
+      updates: DataFrame, partitionKeys: Seq[String], rowKey: Seq[String],
+      changeFeed: Option[(String, Long)], txn: Option[(String, Long)],
+      commitTs: Long, statsCols: Seq[String]): Long = {
+    require(rowKey.nonEmpty, "mergeIntoMor needs at least one rowKey column")
+    val v = init(spark, dir, commitTs)
+    txn match {
+      case Some((id, batchId)) if lastTxn(spark, dir, id) >= batchId =>
+        changeFeed.foreach { case (fd, b) =>
+          graft.ops.MergeData.promoteFeedIncrement(spark, fd, b) }
+        return currentVersion(spark, dir)
+      case _ =>
+    }
+    val live = filesAt(spark, dir, v)
+    val fs = fsOf(spark, dir)
+    val meta0 = metaAt(spark, dir, v)
+    checkPartitionSpec(meta0, partitionKeys, "mergeIntoMor")
+    val hasDelete = updates.columns.contains("__delete")
+    val del = if (hasDelete) coalesce(col("__delete"), lit(false)) else lit(false)
+    val batch0 = updates.persist()
+    try {
+      val batch = applyGenerated(spark, meta0, batch0, "merge batch")
+      require(!batch.isEmpty, "mergeIntoMor got an empty batch")
+      enforceConstraints(spark, dir, v, batch.filter(!del), "merge batch")
+      // one tombstone key discipline per table: every pending delete
+      // (scoped or global) must share this merge's key columns, or the
+      // read-side anti-joins would mix key shapes
+      val rawDels = meta0.dels
+      if (rawDels.nonEmpty) {
+        val prior = spark.read
+          .parquet(s"$dir/${delParse(rawDels.head)._1}").columns.toSeq
+        val keyPhys = rowKey.map(k => meta0.renames.getOrElse(k, k))
+        require(prior.sorted == keyPhys.sorted,
+          s"tombstone key mismatch: $dir already has equality deletes on " +
+            s"(${prior.mkString(", ")}), but this merge keys on " +
+            s"(${rowKey.mkString(", ")}) — materializeDeletes() first")
+      }
+      val inserts = batch.filter(!del).drop("__delete")
+      val keys = batch.select(rowKey.map(col): _*).distinct()
+      // resolved CDF actions — the one base scan, feed-attached only
+      def resolveActions(): DataFrame = {
+        val snap = snapshot(spark, dir, v)
+        val snapKeys = snap.select(rowKey.map(col): _*).distinct()
+        val updKeys = batch.filter(!del)
+          .select(rowKey.map(col): _*).distinct()
+        val delKeys = batch.filter(del)
+          .select(rowKey.map(col): _*).distinct()
+        def jn(l: DataFrame, r: DataFrame, how: String) =
+          l.join(r, rowKey.map(k => l(k) <=> r(k)).reduce(_ && _), how)
+        jn(snap, updKeys, "left_semi")
+          .withColumn("_action", lit("update_preimage"))
+          .unionByName(jn(inserts, snapKeys, "left_semi")
+            .withColumn("_action", lit("update_postimage")),
+            allowMissingColumns = true)
+          .unionByName(jn(inserts, snapKeys, "left_anti")
+            .withColumn("_action", lit("insert")),
+            allowMissingColumns = true)
+          .unionByName(jn(snap, delKeys, "left_semi")
+            .withColumn("_action", lit("delete")),
+            allowMissingColumns = true)
+      }
+      changeFeed.foreach { case (fd, batchId) =>
+        graft.ops.MergeData.stageFeedIncrement(spark, fd, batchId,
+          resolveActions(), v)
+      }
+      val autoInc = meta0.cdf.map { key =>
+        require(key.sorted == rowKey.sorted,
+          s"table-managed change feed of $dir is keyed (${key.mkString(", ")}) " +
+            s"but this merge resolves on (${rowKey.mkString(", ")}) — keys must agree")
+        writeChangeInc(spark, dir, resolveActions())
+      }
+      // the scoped tombstone: ONE small file of the batch's keys
+      val delRel = f"_deletes/v${v + 1}%06d_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      toPhysical(meta0, keys).coalesce(1)
+        .write.mode("errorifexists").parquet(s"$dir/$delRel")
+      val delFiles = scala.collection.mutable.ArrayBuffer.empty[String]
+      val it = fs.listFiles(new Path(dir, delRel), false)
+      while (it.hasNext) {
+        val f = it.next().getPath.getName
+        if (f.endsWith(".parquet")) delFiles += s"$delRel/$f"
+      }
+      require(delFiles.nonEmpty, s"tombstone write produced no files under $delRel")
+      // the batch's surviving rows: ordinary appended files (exempt
+      // from the tombstone above by their add-version)
+      val autoRen = autoRenames(meta0, inserts.columns.toSeq, v + 1)
+      val writeMeta = meta0.copy(renames = meta0.renames ++ autoRen)
+      val newFiles =
+        if (inserts.isEmpty) Nil
+        else writeStagedFiles(spark, fs, dir,
+          toPhysical(writeMeta, inserts)
+            .repartition(partitionKeys.map(col): _*), partitionKeys)
+      val scoped = delFiles.map(p => s"$p @${v + 1}")
+      beforeCommitHook()
+      try {
+        val cm = carryMeta(spark, dir, v, commitTs, txn,
+          rawDels ++ scoped, "merge-mor")
+        writeCommit(fs, dir, v + 1, live ++ newFiles, live,
+          cm.copy(cdfInc = autoInc, renames = cm.renames ++ autoRen))
+      } catch { case e: Throwable =>
+        changeFeed.foreach { case (fd, b) =>
+          graft.ops.MergeData.discardStagedIncrement(spark, fd, b) }
+        throw e
+      }
+      changeFeed.foreach { case (fd, b) =>
+        graft.ops.MergeData.promoteFeedIncrement(spark, fd, b) }
+      maybeWriteIncStats(spark, dir, v, newFiles, statsCols)
+      v + 1
+    } finally batch0.unpersist()
   }
 
   /** Row-level MERGE INTO with snapshot isolation — the EXACT
@@ -2464,41 +2739,62 @@ object Versioned {
         else {
           // tombstone files carry PHYSICAL names — lift to the logical
           // view for every comparison against the (logical) batch, and
-          // write the surviving subset back physically
-          val tomb = applyColumnMapping(meta0,
-            spark.read.parquet(dels.map(d => s"$dir/$d"): _*))
-          val keyCols = tomb.columns.toSeq
-          require(keyCols.toSet.subsetOf(rowKey.toSet),
-            s"pending equality deletes on (${keyCols.mkString(", ")}) are not a " +
-              s"subset of the merge rowKey (${rowKey.mkString(", ")}): run " +
-              "materializeDeletes() first")
-          val batchKeys = batch.select(keyCols.map(col): _*).distinct()
-          def nsCond(l: DataFrame, r: DataFrame) =
-            keyCols.map(k => l(k) <=> r(k)).reduce(_ && _)
-          val conflict = tomb.join(batchKeys, nsCond(tomb, batchKeys), "left_semi")
-          if (conflict.isEmpty) (Seq.empty[org.apache.spark.sql.Row], dels)
-          else {
-            val raw = applyColumnMapping(meta0, readRefs(spark, dir, live))
-            val conflictRows = raw.join(conflict, nsCond(raw, conflict), "left_semi")
-              .select(partitionKeys.map(col): _*).distinct().collect().toSeq
-            val remaining = tomb.join(batchKeys, nsCond(tomb, batchKeys), "left_anti")
-            val delMeta =
-              if (remaining.isEmpty) Nil
-              else {
+          // write the surviving subset back physically. Processing is
+          // PER SCOPE BOUND: a scoped tombstone's surviving keys must
+          // re-commit UNDER THE SAME BOUND (rewriting them unscoped
+          // would hide the post-bound rows its own upsert inserted).
+          val delGroups = dels.map(delParse)
+            .groupBy(_._2).toSeq.sortBy(_._1.getOrElse(-1L))
+          var conflicts = List.empty[DataFrame]
+          var confKeyCols: Seq[String] = Nil
+          val keptDels = scala.collection.mutable.ArrayBuffer.empty[String]
+          delGroups.foreach { case (bound, es) =>
+            val tomb = applyColumnMapping(meta0,
+              spark.read.parquet(es.map(e => s"$dir/${e._1}"): _*))
+            val keyCols = tomb.columns.toSeq
+            require(keyCols.toSet.subsetOf(rowKey.toSet),
+              s"pending equality deletes on (${keyCols.mkString(", ")}) are not a " +
+                s"subset of the merge rowKey (${rowKey.mkString(", ")}): run " +
+                "materializeDeletes() first")
+            val batchKeys = batch.select(keyCols.map(col): _*).distinct()
+            def nsCond(l: DataFrame, r: DataFrame) =
+              keyCols.map(k => l(k) <=> r(k)).reduce(_ && _)
+            val conflict = tomb.join(batchKeys, nsCond(tomb, batchKeys), "left_semi")
+            if (conflict.isEmpty)
+              keptDels ++= es.map(e => e._2.fold(e._1)(b => s"${e._1} @$b"))
+            else {
+              conflicts ::= conflict
+              confKeyCols = keyCols
+              val remaining = tomb.join(batchKeys,
+                nsCond(tomb, batchKeys), "left_anti")
+              if (!remaining.isEmpty) {
                 val delRel = f"_deletes/v${v + 1}%06d_" +
                   java.util.UUID.randomUUID().toString.take(8)
                 toPhysical(meta0, remaining.distinct()).coalesce(1)
                   .write.mode("errorifexists").parquet(s"$dir/$delRel")
                 val it = fs.listFiles(new Path(dir, delRel), false)
-                val delFiles = scala.collection.mutable.ArrayBuffer.empty[String]
                 while (it.hasNext) {
                   val f = it.next().getPath.getName
-                  if (f.endsWith(".parquet")) delFiles += s"$delRel/$f"
+                  if (f.endsWith(".parquet"))
+                    keptDels += bound.fold(s"$delRel/$f")(b => s"$delRel/$f @$b")
                 }
-                delFiles.toSeq
               }
-            (conflictRows, delMeta)
+            }
           }
+          val conflictRows =
+            if (conflicts.isEmpty) Seq.empty[org.apache.spark.sql.Row]
+            else {
+              // partitions whose raw files hold a conflicting key join
+              // the rewrite scope (conservative for scoped groups: an
+              // exempt-only match forces a layout-only rewrite, never
+              // a wrong row)
+              val raw = applyColumnMapping(meta0, readRefs(spark, dir, live))
+              val allConf = conflicts.reduce(_ unionByName _).distinct()
+              raw.join(allConf, confKeyCols
+                  .map(k => raw(k) <=> allConf(k)).reduce(_ && _), "left_semi")
+                .select(partitionKeys.map(col): _*).distinct().collect().toSeq
+            }
+          (conflictRows, keptDels.toSeq)
         }
 
       // base = the SNAPSHOT's touched-partition rows (partition-pruned:
@@ -2810,8 +3106,18 @@ object Versioned {
     // free (Hudi's compact-on-clustering). The small-file pass is
     // layout-only on the RAW files: stale rows stay physical but the
     // carried tombstones keep hiding them, so nothing resurrects.
+    // SCOPED tombstones must fold into ANY rewrite of covered files:
+    // the compacted replacements are added at the optimize commit —
+    // after every pending bound — so they would be EXEMPT, and raw
+    // stale rows would resurrect. Applying the (scope-aware) MOR
+    // filter during the rewrite keeps them gone; the carried `#del`
+    // lines still cover the untouched old files. Global tombstones
+    // keep the historical layout-only behavior (carried lines keep
+    // hiding rows wherever they physically sit).
+    val anyScoped = dels.exists(e => delParse(e)._2.isDefined)
     val (rowsPhys, nextDels) =
       if (zorder.isDefined) (applyTombstones(spark, dir, v, rawRows), Nil)
+      else if (anyScoped) (applyTombstones(spark, dir, v, rawRows), dels)
       else (rawRows, dels)
     // cluster in the LOGICAL view (a caller's zorder key references
     // logical names), write back physical — identity when no mapping
@@ -3002,17 +3308,36 @@ object Versioned {
       }
     }
     // tombstones live under _deletes/ (invisible to listDataFiles):
-    // drop the ones only pre-retention manifests referenced
-    val refDels = (keepFrom to cur)
-      .flatMap(v => deleteFilesAt(spark, dir, v)).toSet
+    // drop the ones only pre-retention manifests referenced. A SCOPED
+    // tombstone still pending at a retained version needs the
+    // manifests back to its bound (its exemption set reads their `+`
+    // lines) — vacuuming past the bound would break every later read,
+    // so it is refused with the repair named.
+    val scopedEntries = (keepFrom to cur)
+      .flatMap(v => metaAt(spark, dir, v).dels.map(delParse))
+    // strict (> keepFrom): the keepFrom manifest is rewritten as a
+    // checkpoint below, and resolving the BOUND version's additions
+    // needs the version before it
+    scopedEntries.foreach { case (p, bound) =>
+      bound.foreach(b => require(b > keepFrom,
+        s"cannot vacuum $dir to version $keepFrom: pending scoped " +
+          s"tombstone $p (bound $b) needs the manifests back past its " +
+          "bound — materializeDeletes() first, or retain more versions"))
+    }
+    val refDels = scopedEntries.map(_._1).toSet
     val delRoot = new Path(dir, "_deletes")
     if (fs.exists(delRoot)) {
       val rootUri = new Path(dir).toUri.getPath.stripSuffix("/")
       val it = fs.listFiles(delRoot, true)
       while (it.hasNext) {
-        val f = it.next().getPath
+        val st = it.next()
+        val f = st.getPath
         val rel = f.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
-        if (f.getName.endsWith(".parquet") && !refDels.contains(rel))
+        // same age gate as the change increments: a tombstone is
+        // written BEFORE its commit's CAS, so a young unreferenced one
+        // may belong to an in-flight deleteWhere/mergeIntoMor
+        if (f.getName.endsWith(".parquet") && !refDels.contains(rel) &&
+            st.getModificationTime < nowMillis - ChangeIncRetainMillis)
           fs.delete(f, false)
       }
     }

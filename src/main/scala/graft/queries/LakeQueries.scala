@@ -3915,6 +3915,100 @@ object LakeQueries {
                  count(DISTINCT event_id)
           FROM st3 WHERE event_id < 10000000 GROUP BY 2)
         ORDER BY 1, 2"""),
-      "spark.read.format(graft): planner-driven lake reads — latest, VERSION AS OF, and a pushed range filter each equal the recompute oracle")
+      "spark.read.format(graft): planner-driven lake reads — latest, VERSION AS OF, and a pushed range filter each equal the recompute oracle"),
+
+    // ---------------------------------------------------------------
+    // ROW-LEVEL MERGE-ON-READ (scoped tombstones): the same 3-batch
+    // CDC payload as q165, committed via mergeIntoMor — each batch
+    // writes ONE key file + its own rows, ZERO partition rewrites
+    // (require()d: every pre-existing file stays referenced through
+    // all three merges). Chained scoped tombstones must resolve to
+    // exactly the COW semantics: batch-1 state (time travel), the
+    // final state, and the post-materializeDeletes state all equal
+    // the recompute oracles; the require pins fastRowCount after the
+    // fold (the metadata-only count sees the same cardinality).
+    // ---------------------------------------------------------------
+    Q("q195_mor_merge",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val root = new File(new File(sys.props("user.dir"), "target"),
+          s"graft_morlake_$tag")
+        val lake = new File(root, "lake").getAbsolutePath
+        LakeQueries.synchronized {
+          val fs = new org.apache.hadoop.fs.Path(root.getAbsolutePath)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(root.getAbsolutePath), true)
+          val base = Tables(s, dir, "events").select(MergeCols.map(col): _*)
+            .filter(col("event_type").isin("click", "view")).persist()
+          try {
+            MergeData.writeMerged(s, base, lake, keys = Seq("event_type"))
+            Versioned.init(s, lake, commitTs = 1000L)
+            val v0Files = Versioned.filesAt(s, lake, 0L).toSet
+            cdcPayload(base).zipWithIndex.foreach { case (b, i) =>
+              Versioned.mergeIntoMor(s, lake, b, Seq("event_type"),
+                Seq("event_id"), commitTs = 2000L + 1000L * i)
+            }
+            require(v0Files.subsetOf(Versioned.filesAt(s, lake, 3L).toSet),
+              "MOR merges must not rewrite or drop any pre-existing file")
+          } finally base.unpersist()
+        }
+        def agg(d: DataFrame, src: String) =
+          d.groupBy("event_type").agg(
+              count(lit(1)).as("row_count"),
+              round(sum("value"), 4).as("sum_value"),
+              count_distinct(col("event_id")).as("n_ids"))
+            .withColumn("src", lit(src))
+        val out = agg(Versioned.snapshot(s, lake, 1L), "mor_v1")
+          .unionByName(agg(Versioned.snapshot(s, lake), "mor_final"))
+        // fold the tombstones; the materialized state re-reads equal
+        val folded = LakeQueries.synchronized {
+          Versioned.materializeDeletes(s, lake, Seq("event_type"))
+          require(Versioned.deleteFilesAt(s, lake).isEmpty)
+          agg(Versioned.snapshot(s, lake), "mor_materialized")
+        }
+        require(Versioned.fastRowCount(s, lake) ==
+          Versioned.snapshot(s, lake).count(),
+          "metadata-only count must agree after the fold")
+        out.unionByName(folded)
+          .select("src", "event_type", "row_count", "sum_value", "n_ids")
+          .orderBy("src", "event_type")
+      },
+      Some("""
+        WITH t AS (SELECT event_type, event_id, value FROM events
+                   WHERE event_type IN ('click','view')),
+        st1 AS (
+          SELECT event_type, event_id,
+                 CASE WHEN event_id % 10 = 0 THEN value * 2 ELSE value END AS value
+          FROM t WHERE event_id % 10 <> 1
+          UNION ALL
+          SELECT event_type, event_id + 10000000, value + 1
+          FROM t WHERE event_id % 100 = 2),
+        st3 AS (
+          SELECT event_type, event_id,
+                 CASE WHEN event_id % 10 = 4 THEN value + 100
+                      WHEN event_id % 10 = 6 THEN value - 1
+                      ELSE value END AS value
+          FROM t WHERE event_id % 10 NOT IN (0, 1, 5)
+          UNION ALL
+          SELECT event_type, event_id + 10000000, (value + 1) * 3
+          FROM t WHERE event_id % 100 = 2
+          UNION ALL
+          SELECT event_type, event_id + 20000000, value + 10
+          FROM t WHERE event_id % 100 = 7)
+        SELECT * FROM (
+          SELECT 'mor_v1' AS src, event_type, count(*) AS row_count,
+                 round(sum(value::DOUBLE), 4) AS sum_value,
+                 count(DISTINCT event_id) AS n_ids
+          FROM st1 GROUP BY 2
+          UNION ALL
+          SELECT 'mor_final', event_type, count(*), round(sum(value::DOUBLE), 4),
+                 count(DISTINCT event_id)
+          FROM st3 GROUP BY 2
+          UNION ALL
+          SELECT 'mor_materialized', event_type, count(*),
+                 round(sum(value::DOUBLE), 4), count(DISTINCT event_id)
+          FROM st3 GROUP BY 2)
+        ORDER BY 1, 2"""),
+      "row-level MOR merge: 3 chained scoped-tombstone upsert batches, zero partition rewrites require()d; v1 travel, final, and materialized states == COW recompute oracles")
   )
 }

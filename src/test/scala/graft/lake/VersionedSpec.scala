@@ -315,11 +315,20 @@ class VersionedSpec extends SparkSpec {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(fs.exists(new org.apache.hadoop.fs.Path(dir, "_deletes")))
+    def tombCount(): Int = {
+      val delIt = fs.listFiles(new org.apache.hadoop.fs.Path(dir, "_deletes"), true)
+      var n = 0
+      while (delIt.hasNext) { if (delIt.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
     Versioned.vacuum(spark, dir, keepVersions = 2) // keeps v2, v3 only
-    val delIt = fs.listFiles(new org.apache.hadoop.fs.Path(dir, "_deletes"), true)
-    var tombLeft = 0
-    while (delIt.hasNext) { if (delIt.next().getPath.getName.endsWith(".parquet")) tombLeft += 1 }
-    assert(tombLeft == 0, "vacuum must reap tombstones only dead manifests referenced")
+    assert(tombCount() == 1,
+      "a YOUNG unreferenced tombstone may be an in-flight writer's " +
+        "(written before its CAS) — age-gated, not reaped yet")
+    Versioned.vacuum(spark, dir, 2,
+      System.currentTimeMillis() + Versioned.ChangeIncRetainMillis + 60000L)
+    assert(tombCount() == 0,
+      "aged-out tombstones only dead manifests referenced are reaped")
     assert(state(Versioned.snapshot(spark, dir, 2L)) ==
       Set(("a", 2L, 2.0), ("b", 10L, 10.0)))
   }
@@ -2035,6 +2044,156 @@ class VersionedSpec extends SparkSpec {
       "the sized re-cluster must compact the small files")
     assert(state(Versioned.snapshot(spark, dir, v - 1)) == pre,
       "pre-optimize version still travels")
+  }
+
+  test("MOR merge (scoped tombstones): == COW merge == recompute; zero partition rewrites; own inserts survive; chains; materializes away") {
+    val dirM = freshLake()
+    val dirC = freshLake()
+    Versioned.init(spark, dirM)
+    Versioned.init(spark, dirC)
+    val batch = df(Seq(("a", 1L, 100.0, false), ("a", 2L, 0.0, true),
+      ("c", 7L, 7.0, false)), "site", "id", "v", "__delete")
+    val vM = Versioned.mergeIntoMor(spark, dirM, batch, Seq("site"),
+      Seq("site", "id"))
+    Versioned.mergeInto(spark, dirC, batch, Seq("site"), Seq("site", "id"))
+    assert(state(Versioned.snapshot(spark, dirM)) ==
+      state(Versioned.snapshot(spark, dirC)),
+      "MOR and COW merges must resolve identically")
+    assert(state(Versioned.snapshot(spark, dirM)) == Set(
+      ("a", 1L, 100.0), ("b", 10L, 10.0), ("c", 7L, 7.0)))
+    // ZERO rewrites: every v0 file is still referenced at vM
+    assert(Versioned.filesAt(spark, dirM, 0L).toSet
+      .subsetOf(Versioned.filesAt(spark, dirM, vM).toSet),
+      "MOR merge must not rewrite or drop any existing file")
+    // the tombstone is scoped: protocol floor is 4 while pending
+    assert(Versioned.deleteFilesAt(spark, dirM, vM)
+      .exists(_.matches(".* @\\d+$")), "the #del entry must carry @bound")
+    // time travel: v0 reads pre-merge
+    assert(state(Versioned.snapshot(spark, dirM, 0L)) ==
+      Set(("a", 1L, 1.0), ("a", 2L, 2.0), ("b", 10L, 10.0)))
+    // CHAINING: a second MOR merge on the SAME key — the second
+    // tombstone must hide the first merge's insert (pre-bound file)
+    // while the second's own insert survives
+    val v2 = Versioned.mergeIntoMor(spark, dirM,
+      df(Seq(("a", 1L, 500.0, false)), "site", "id", "v", "__delete"),
+      Seq("site"), Seq("site", "id"))
+    assert(state(Versioned.snapshot(spark, dirM)) == Set(
+      ("a", 1L, 500.0), ("b", 10L, 10.0), ("c", 7L, 7.0)))
+    assert(state(Versioned.snapshot(spark, dirM, vM)) == Set(
+      ("a", 1L, 100.0), ("b", 10L, 10.0), ("c", 7L, 7.0)),
+      "the first MOR state still time-travels")
+    // a plain append with a TOMBSTONED key is fine under scoped
+    // tombstones (its files post-date every bound)
+    Versioned.append(spark, dirM, df(Seq(("a", 2L, 22.0)), "site", "id", "v"),
+      Seq("site"))
+    assert(state(Versioned.snapshot(spark, dirM)).contains(("a", 2L, 22.0)))
+    // cross a CHECKPOINT boundary (every 10th commit): the exemption
+    // set must keep resolving through the checkpoint's full listing
+    (1 to 8).foreach { i =>
+      Versioned.append(spark, dirM,
+        df(Seq(("b", 1000L + i, i.toDouble)), "site", "id", "v"), Seq("site"))
+    }
+    assert(Versioned.currentVersion(spark, dirM) >= 10L)
+    assert(state(Versioned.snapshot(spark, dirM))
+      .contains(("a", 1L, 500.0)), "scoped filter must survive a checkpoint")
+    // materialization folds the tombstones; state unchanged
+    val pre = state(Versioned.snapshot(spark, dirM))
+    Versioned.materializeDeletes(spark, dirM, Seq("site"))
+    assert(Versioned.deleteFilesAt(spark, dirM).isEmpty)
+    assert(state(Versioned.snapshot(spark, dirM)) == pre)
+    assert(Versioned.fastRowCount(spark, dirM) == pre.size.toLong)
+    // and v2 still travels correctly AFTER materialization
+    assert(state(Versioned.snapshot(spark, dirM, v2)) == Set(
+      ("a", 1L, 500.0), ("b", 10L, 10.0), ("c", 7L, 7.0)))
+  }
+
+  test("MOR merge: OPTIMIZE small-file pass folds scoped tombstones (no resurrection); COW interplay preserves bounds; restore/vacuum guards") {
+    val dir = freshLake()
+    Versioned.init(spark, dir)
+    val v1 = Versioned.mergeIntoMor(spark, dir,
+      df(Seq(("a", 1L, 100.0, false), ("b", 77L, 77.0, false)),
+        "site", "id", "v", "__delete"),
+      Seq("site"), Seq("site", "id"))
+    // OPTIMIZE (small-file pass) rewrites partitions into files added
+    // AFTER the bound — without folding the tombstone in, (a,1,1.0)
+    // would resurrect
+    val vOpt = Versioned.optimize(spark, dir, Seq("site"))
+    assert(state(Versioned.snapshot(spark, dir)) == Set(
+      ("a", 1L, 100.0), ("a", 2L, 2.0), ("b", 10L, 10.0), ("b", 77L, 77.0)),
+      "compaction must not resurrect scope-tombstoned rows")
+    assert(state(Versioned.snapshot(spark, dir, v1)) ==
+      state(Versioned.snapshot(spark, dir, vOpt)), "layout-only")
+    // COW merge interplay under a PENDING scoped tombstone:
+    val dir2 = freshLake()
+    Versioned.init(spark, dir2)
+    Versioned.mergeIntoMor(spark, dir2,
+      df(Seq(("a", 1L, 100.0, false), ("b", 10L, 200.0, false)),
+        "site", "id", "v", "__delete"),
+      Seq("site"), Seq("site", "id"))
+    // batch conflicts with key (a,1) but not (b,10): the conflicting
+    // key materializes into the rewrite, the surviving keys re-commit
+    // UNDER THEIR ORIGINAL BOUND (an unscoped rewrite would hide
+    // (b,10,200.0), the earlier merge's own insert)
+    Versioned.mergeInto(spark, dir2,
+      df(Seq(("a", 1L, 111.0, false)), "site", "id", "v", "__delete"),
+      Seq("site"), Seq("site", "id"))
+    assert(state(Versioned.snapshot(spark, dir2)) == Set(
+      ("a", 1L, 111.0), ("a", 2L, 2.0), ("b", 10L, 200.0)),
+      "the surviving scoped tombstone must keep its bound through the rewrite")
+    assert(Versioned.deleteFilesAt(spark, dir2)
+      .exists(_.matches(".* @\\d+$")),
+      "the re-written remaining tombstone must stay scoped")
+    // restore across pending scoped tombstones is refused (re-added
+    // files would post-date the bound and resurrect)
+    val er = intercept[IllegalArgumentException] {
+      Versioned.restore(spark, dir2, 0L)
+    }
+    assert(er.getMessage.contains("SCOPED tombstones"))
+    // vacuum past a pending bound is refused with the repair named
+    val dir3 = freshLake()
+    Versioned.init(spark, dir3)
+    (1 to 3).foreach { i =>
+      Versioned.append(spark, dir3,
+        df(Seq(("a", 100L + i, i.toDouble)), "site", "id", "v"), Seq("site"))
+    }
+    Versioned.mergeIntoMor(spark, dir3,
+      df(Seq(("a", 1L, 9.0, false)), "site", "id", "v", "__delete"),
+      Seq("site"), Seq("site", "id")) // v4, bound 4
+    (1 to 3).foreach { i =>
+      Versioned.append(spark, dir3,
+        df(Seq(("b", 200L + i, i.toDouble)), "site", "id", "v"), Seq("site"))
+    }
+    val ev = intercept[IllegalArgumentException] {
+      Versioned.vacuum(spark, dir3, keepVersions = 2)
+    }
+    assert(ev.getMessage.contains("materializeDeletes"))
+    // retention that keeps the manifests back past the bound is fine,
+    // and reads still resolve the exemption set afterwards
+    Versioned.vacuum(spark, dir3, keepVersions = 5) // keeps v3..v7
+    assert(state(Versioned.snapshot(spark, dir3)).contains(("a", 1L, 9.0)))
+  }
+
+  test("MOR merge publishes CDF increments: a feed replica converges across mergeIntoMor") {
+    val dir = freshLake()
+    Versioned.init(spark, dir)
+    Versioned.enableChangeFeed(spark, dir, Seq("site", "id")) // v1
+    val replica = java.nio.file.Files
+      .createTempDirectory("graft_morrep").toFile.getAbsolutePath
+    MergeData.writeMerged(spark, Versioned.snapshot(spark, dir, 1L),
+      replica, keys = Seq("site"))
+    val v2 = Versioned.mergeIntoMor(spark, dir,
+      df(Seq(("a", 1L, 100.0, false), ("a", 2L, 0.0, true),
+        ("c", 7L, 7.0, false)), "site", "id", "v", "__delete"),
+      Seq("site"), Seq("site", "id"))
+    val inc = Versioned.changeIncrementAt(spark, dir, v2)
+    assert(inc.isDefined)
+    assert(inc.get.select("_action").distinct().collect()
+      .map(_.getString(0)).toSet ==
+      Set("update_preimage", "update_postimage", "insert", "delete"))
+    Versioned.applyTableChanges(spark, dir, replica, Seq("site"), sinceV = 1L)
+    assert(state(spark.read.parquet(replica)) ==
+      state(Versioned.snapshot(spark, dir)),
+      "a feed replica must converge across a MOR merge")
   }
 
   test("append's commit-only retry BAILS when the winner changed semantics-bearing properties (cdf/generated/mapping)") {
