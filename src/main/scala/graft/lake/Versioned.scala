@@ -533,17 +533,88 @@ object Versioned {
     tmp
   }
 
+  /** The ONE atomic metadata primitive the whole protocol rests on:
+    * publish version `v`'s manifest body such that EXACTLY ONE writer
+    * of a version succeeds and every other gets the
+    * `concurrent commit` refusal — the compare-and-swap all commit
+    * paths (append, merge, MOR merge, optimize, delete, restore,
+    * properties) serialize through. Pluggable because the default
+    * implementation's atomicity assumption — rename-onto-existing
+    * fails — holds on HDFS-like stores but NOT on S3, the engine's
+    * stated 100 TB habitat: there a deployment swaps in an owner
+    * built on the store's conditional put (S3 `If-None-Match:*` /
+    * GCS `ifGenerationMatch=0`) or an external reservation table
+    * (Delta's S3 LogStore + DynamoDB discipline). Everything else in
+    * the protocol is plain read/list/write of immutable objects. */
+  trait CommitOwner {
+    /** Publish `body` as version `v`'s manifest at `dst`, refusing
+      * (IllegalArgumentException mentioning `concurrent commit`) if
+      * version `v` exists in EITHER manifest form (`alternate` is the
+      * other form's path). */
+    def writeVersion(fs: FileSystem, dir: String, v: Long,
+        dst: Path, alternate: Path, body: Seq[String]): Unit
+  }
+
+  /** Default owner: tmp write + exists-check + rename. One atomic
+    * metadata op on HDFS-style stores (rename onto an existing path
+    * fails there); best-effort on file systems whose rename
+    * overwrites. */
+  object RenameCommitOwner extends CommitOwner {
+    override def writeVersion(fs: FileSystem, dir: String, v: Long,
+        dst: Path, alternate: Path, body: Seq[String]): Unit = {
+      val tmp = writeManifestFile(fs, dst, body)
+      if (fs.exists(dst) || fs.exists(alternate)) {
+        fs.delete(tmp, false)
+        throw new IllegalArgumentException(
+          s"concurrent commit detected: version $v already exists in $dir")
+      }
+      require(fs.rename(tmp, dst), s"manifest commit failed for $dst")
+    }
+  }
+
+  /** Conditional-put owner: models a store with NO atomic rename but
+    * a put-if-absent primitive — the version CAS is a per-(dir, v)
+    * reservation in a shared table (in production: the object store's
+    * conditional PUT on the manifest key, or a DynamoDB row à la
+    * Delta's S3 commit service), and the manifest bytes are written
+    * plainly AFTER the reservation is won. A crash between
+    * reservation and write leaves a reserved-but-absent version; a
+    * production owner re-drives the write from its reservation log —
+    * the in-memory table here exists so the concurrency spec can
+    * prove the PROTOCOL (every race in the suite) needs nothing
+    * stronger than put-if-absent. */
+  object MemoryConditionalPutOwner extends CommitOwner {
+    private val reserved =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Long)]()
+    def reset(): Unit = reserved.clear()
+    override def writeVersion(fs: FileSystem, dir: String, v: Long,
+        dst: Path, alternate: Path, body: Seq[String]): Unit = {
+      // adopt pre-existing manifests (lakes built under the rename
+      // owner): a version already on disk counts as reserved
+      if (!reserved.add((dir, v)) || fs.exists(dst) || fs.exists(alternate))
+        throw new IllegalArgumentException(
+          s"concurrent commit detected: version $v already exists in $dir")
+      // reservation won — plain (non-atomic) object write suffices
+      val out = fs.create(dst, false)
+      try out.write((body.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
+
+  /** The commit owner in force (a deployment-level choice, not
+    * per-table). Swap before touching any table on a store whose
+    * rename is not atomic. */
+  @volatile var commitOwner: CommitOwner = RenameCommitOwner
+
   /** Write version `v`'s manifest — THE commit point, one atomic
-    * metadata op. Delta form (`+file`/`-file` vs `prevFiles`, bounded
-    * by the commit's own churn) unless the checkpoint cadence — or
-    * v0, or `forceCheckpoint` — calls for a full listing. The exists
-    * check over BOTH forms is the optimistic-concurrency guard
-    * (Delta's CAS-on-log-entry): a racing writer that committed the
-    * same version first wins, and this commit aborts with its data
-    * files unreferenced (vacuum-able) rather than clobbering the
-    * winner's manifest. Best-effort on file systems whose rename
-    * overwrites; exact on HDFS-style stores where rename onto an
-    * existing path fails. */
+    * metadata op through [[commitOwner]]. Delta form (`+file`/`-file`
+    * vs `prevFiles`, bounded by the commit's own churn) unless the
+    * checkpoint cadence — or v0, or `forceCheckpoint` — calls for a
+    * full listing. The version-exists refusal is the
+    * optimistic-concurrency guard (Delta's CAS-on-log-entry): a
+    * racing writer that committed the same version first wins, and
+    * this commit aborts with its data files unreferenced
+    * (vacuum-able) rather than clobbering the winner's manifest. */
   private def writeCommit(fs: FileSystem, dir: String, v: Long,
       files: Seq[String], prevFiles: Seq[String], meta: CommitMeta,
       forceCheckpoint: Boolean = false): Unit = {
@@ -560,14 +631,10 @@ object Versioned {
           (cur -- prev).toSeq.sorted.map("+" + _) ++
           (prev -- cur).toSeq.sorted.map("-" + _)
       }
-    val dst = if (isCkpt) ckptPath(dir, v) else deltaPath(dir, v)
-    val tmp = writeManifestFile(fs, dst, body)
-    if (fs.exists(ckptPath(dir, v)) || fs.exists(deltaPath(dir, v))) {
-      fs.delete(tmp, false)
-      throw new IllegalArgumentException(
-        s"concurrent commit detected: version $v already exists in $dir")
-    }
-    require(fs.rename(tmp, dst), s"manifest commit failed for $dst")
+    val (dst, alt) =
+      if (isCkpt) (ckptPath(dir, v), deltaPath(dir, v))
+      else (deltaPath(dir, v), ckptPath(dir, v))
+    commitOwner.writeVersion(fs, dir, v, dst, alt, body)
   }
 
   /** The raw CAS commit, exposed for the concurrency spec: commits
@@ -3147,10 +3214,50 @@ object Versioned {
     val newFiles = writeStagedFiles(spark, fs, dir,
       toPhysical(meta0opt, clustered), partitionKeys, maxRecs)
     val replaced = targets.values.flatten.toSet
-    writeCommit(fs, dir, v + 1, live.filterNot(replaced) ++ newFiles,
-      live, carryMeta(spark, dir, v, commitTs, None, nextDels, "optimize"))
-    maybeWriteIncStats(spark, dir, v, newFiles, Nil)
-    v + 1
+    // COMMIT-ONLY CAS rebase (the disjoint-merge/append discipline,
+    // applied to compaction): losing the manifest race to a writer
+    // that did NOT remove any file this compaction read and changed
+    // no table rule must not discard the full rewrite — compaction is
+    // layout-only, so (winner's live − replaced) ∪ new is still
+    // exactly right against the winner's snapshot. A winner that
+    // removed a replaced file (its rows would resurrect through our
+    // rewrite), moved tombstones (the fold/carry decision was made
+    // against v), or changed any semantics-bearing property forces
+    // the abandon-and-rerun path as before.
+    var curV = v
+    var curLive = live
+    var committed = -1L
+    var attempt = 1
+    while (committed < 0) {
+      beforeCommitHook()
+      try {
+        writeCommit(fs, dir, curV + 1, curLive.filterNot(replaced) ++ newFiles,
+          curLive, carryMeta(spark, dir, curV, commitTs, None, nextDels,
+            "optimize"))
+        committed = curV + 1
+      } catch {
+        case e: IllegalArgumentException
+            if e.getMessage != null &&
+              e.getMessage.contains("concurrent commit") && attempt < 5 =>
+          attempt += 1
+          val newV = currentVersion(spark, dir)
+          val newMeta = metaAt(spark, dir, newV)
+          val newLive = filesAt(spark, dir, newV)
+          val rebaseOk = replaced.subsetOf(newLive.toSet) &&
+            newMeta.dels == meta0opt.dels &&
+            newMeta.chks == meta0opt.chks &&
+            newMeta.cdf == meta0opt.cdf &&
+            newMeta.renames == meta0opt.renames &&
+            newMeta.droppedCols == meta0opt.droppedCols &&
+            newMeta.pkeys == meta0opt.pkeys &&
+            newMeta.gens == meta0opt.gens
+          if (!rebaseOk) throw e
+          curV = newV
+          curLive = newLive
+      }
+    }
+    maybeWriteIncStats(spark, dir, committed - 1, newFiles, Nil)
+    committed
   }
 
   /** Metadata-only COUNT(*) of a snapshot: sums parquet footer record

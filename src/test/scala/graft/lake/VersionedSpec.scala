@@ -2173,6 +2173,55 @@ class VersionedSpec extends SparkSpec {
     assert(state(Versioned.snapshot(spark, dir3)).contains(("a", 1L, 9.0)))
   }
 
+  test("OPTIMIZE commit-only CAS rebase: a racing append no longer discards the compaction; a racing rewrite still aborts it") {
+    val dir = freshLake()
+    Versioned.init(spark, dir)
+    // fragment site=a so the compaction has work
+    (1 to 3).foreach { i =>
+      Versioned.append(spark, dir,
+        df(Seq(("a", 100L + i, i.toDouble)), "site", "id", "v"), Seq("site"))
+    }
+    // writer B's append commits INSIDE optimize's CAS window
+    var fired = false
+    Versioned.beforeCommitHook = () => {
+      if (!fired) { fired = true
+        Versioned.append(spark, dir,
+          df(Seq(("b", 777L, 77.0)), "site", "id", "v"), Seq("site")) }
+    }
+    val pre = state(Versioned.snapshot(spark, dir, 3L)) + (("b", 777L, 77.0))
+    val vOpt =
+      try Versioned.optimize(spark, dir, Seq("site"))
+      finally Versioned.beforeCommitHook = () => ()
+    assert(vOpt == 5L, "the losing compaction must rebase and land after the append")
+    assert(state(Versioned.snapshot(spark, dir)) == pre,
+      "compacted state must include the racing append's rows")
+    assert(Versioned.filesAt(spark, dir, vOpt)
+      .count(_.contains("site=a/")) == 1,
+      "the compaction's collapse must survive the rebase")
+    assert(Versioned.history(spark, dir).collect()
+      .map(_.getAs[String]("operation")).head == "optimize")
+    // a winner that REMOVED a replaced file (merge rewriting a target
+    // partition) forces the abandon path — rows must never resurrect
+    (1 to 3).foreach { i =>
+      Versioned.append(spark, dir,
+        df(Seq(("a", 200L + i, i.toDouble)), "site", "id", "v"), Seq("site"))
+    }
+    var fired2 = false
+    Versioned.beforeCommitHook = () => {
+      if (!fired2) { fired2 = true
+        Versioned.mergeInto(spark, dir,
+          df(Seq(("a", 201L, 999.0, false)), "site", "id", "v", "__delete"),
+          Seq("site"), Seq("site", "id")) }
+    }
+    val eo = intercept[IllegalArgumentException] {
+      try Versioned.optimize(spark, dir, Seq("site"))
+      finally Versioned.beforeCommitHook = () => ()
+    }
+    assert(eo.getMessage.contains("concurrent commit"))
+    assert(state(Versioned.snapshot(spark, dir)).contains(("a", 201L, 999.0)),
+      "the aborted compaction must leave the winner's merge intact")
+  }
+
   test("MOR merge publishes CDF increments: a feed replica converges across mergeIntoMor") {
     val dir = freshLake()
     Versioned.init(spark, dir)
