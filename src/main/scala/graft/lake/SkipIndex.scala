@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions._
   * interpreted fallback on every build). */
 private[lake] case class FooterEntry(
     file: String, col: String, lo: Double, hi: Double, rows: Long,
-    nulls: Long)
+    nulls: Long, bytes: Long)
 
 object SkipIndex {
 
@@ -121,12 +121,17 @@ object SkipIndex {
       .flatMap { path =>
         import scala.jdk.CollectionConverters._
         import org.apache.parquet.column.statistics._
-        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            new org.apache.hadoop.fs.Path(path), hconf.value.value))
+        val inFile = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(path), hconf.value.value)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(inFile)
         try {
           val blocks = reader.getFooter.getBlocks.asScala.toSeq
           val nRows = blocks.map(_.getRowCount).sum
+          // per-file BYTE SIZE rides every row (duplicated per column
+          // — tiny, and it keeps the sidecar one flat table): binpack
+          // sizing and clustering decisions become metadata-only
+          // instead of one driver getFileStatus per live file
+          val fBytes = inFile.getLength
           colsB.map { c =>
             var lo = Double.PositiveInfinity
             var hi = Double.NegativeInfinity
@@ -170,19 +175,20 @@ object SkipIndex {
             }
             val n = if (nullsKnown) nulls else -1L
             if (!usable) FooterEntry(path, c,
-              Double.NegativeInfinity, Double.PositiveInfinity, nRows, n)
+              Double.NegativeInfinity, Double.PositiveInfinity, nRows, n,
+              fBytes)
             else {
               val wLo = if (integral && math.abs(lo) >= exactLimit)
                 lo - math.abs(lo) * 4e-16 else lo
               val wHi = if (integral && math.abs(hi) >= exactLimit)
                 hi + math.abs(hi) * 4e-16 else hi
-              FooterEntry(path, c, wLo, wHi, nRows, n)
+              FooterEntry(path, c, wLo, wHi, nRows, n, fBytes)
             }
           }
         } finally reader.close()
       }
     spark.createDataFrame(entries)
-      .toDF("file", "col", "lo", "hi", "rows", "nulls")
+      .toDF("file", "col", "lo", "hi", "rows", "nulls", "bytes")
   }
 
   /** Files whose [lo, hi] box on `c` intersects [qLo, qHi]. The index

@@ -1916,11 +1916,18 @@ object Versioned {
     // next to newer ones; missing counts read as null -> -1 (unknown)
     val raw0 = spark.read.option("mergeSchema", "true").parquet(parts: _*)
       .dropDuplicates("file", "col")
-    val raw =
+    // back-compat defaults for columns the sidecar format grew later:
+    // -1 = unknown (old sidecars sit next to new ones via mergeSchema)
+    val raw1 =
       if (kind != "stats") raw0
       else if (raw0.columns.contains("nulls"))
         raw0.withColumn("nulls", coalesce(col("nulls"), lit(-1L)))
       else raw0.withColumn("nulls", lit(-1L))
+    val raw =
+      if (kind != "stats") raw1
+      else if (raw1.columns.contains("bytes"))
+        raw1.withColumn("bytes", coalesce(col("bytes"), lit(-1L)))
+      else raw1.withColumn("bytes", lit(-1L))
     val liveDf = spark.createDataFrame(live.map(Tuple1(_))).toDF("__live_ref")
     val filtered = raw.join(liveDf, raw("file") === col("__live_ref"), "left_semi")
     // coverage: every live file present, uniform per-file column count
@@ -1977,7 +1984,8 @@ object Versioned {
     built.join(mapDf, built("file") === mapDf("abs"))
       .select(mapDf("ref").as("file"), built("col").as("col"),
         built("lo").as("lo"), built("hi").as("hi"),
-        built("rows").as("rows"), built("nulls").as("nulls"))
+        built("rows").as("rows"), built("nulls").as("nulls"),
+        built("bytes").as("bytes"))
       .coalesce(1).write.mode("overwrite").parquet(dst.toString)
   }
 
@@ -2049,7 +2057,7 @@ object Versioned {
     raw.join(mapDf, raw("file") === mapDf("__ref"))
       .select(mapDf("__abs").as("file"), raw("col").as("col"),
         raw("lo").as("lo"), raw("hi").as("hi"), raw("rows").as("rows"),
-        raw("nulls").as("nulls"))
+        raw("nulls").as("nulls"), raw("bytes").as("bytes"))
   }
 
   /** Multi-predicate pruned read served ENTIRELY from commit-time
@@ -3113,6 +3121,11 @@ object Versioned {
     *   The key is layout only: it is computed, range-partitioned on,
     *   sorted by, and dropped before the write.
     * Returns the committed version (unchanged if nothing to do). */
+  /** Test seam: per-file getFileStatus calls the LAST [[optimize]]
+    * byte-sizing pass made — zero when the stats sidecars' `bytes`
+    * column covered every live file (the metadata-only path). */
+  private[lake] var optimizeFileStatProbes: Int = 0
+
   def optimize(spark: SparkSession, dir: String,
       partitionKeys: Seq[String], targetFilesPerPartition: Int = 1,
       zorder: Option[org.apache.spark.sql.Column] = None,
@@ -3137,10 +3150,26 @@ object Versioned {
       val r = refRel(f); r.take(math.max(r.lastIndexOf('/'), 0)) }
     // BINPACK sizing (Delta's OPTIMIZE file-size target): a partition
     // needs compacting when it holds more files than its bytes demand —
-    // desired = ceil(bytes / target). Driver cost is one getFileStatus
-    // per live file, the same O(files) class as the listing itself.
+    // desired = ceil(bytes / target). Sizing is METADATA-ONLY when the
+    // stats sidecars cover the live files (they carry per-file `bytes`
+    // since the commits that wrote them); only uncovered files — a
+    // lake without the stats discipline, or pre-bytes sidecars — pay
+    // the per-file getFileStatus fallback ([[optimizeFileStatProbes]]
+    // counts them; the spec pins zero under coverage).
+    optimizeFileStatProbes = 0
+    val statsBytes: Map[String, Long] =
+      if (targetFileSizeBytes.isEmpty) Map.empty
+      else try {
+        statsAt(spark, dir, v).groupBy("file")
+          .agg(max("bytes").as("b")).collect()
+          .collect { case r if r.getLong(1) > 0L =>
+            r.getString(0) -> r.getLong(1) }.toMap
+      } catch { case _: IllegalArgumentException => Map.empty }
     def fileLen(ref: String): Long =
-      fs.getFileStatus(new Path(refPath(dir, ref))).getLen
+      statsBytes.getOrElse(SkipIndex.normalizePath(refPath(dir, ref)), {
+        optimizeFileStatProbes += 1
+        fs.getFileStatus(new Path(refPath(dir, ref))).getLen
+      })
     val sizesByDir: Map[String, Long] =
       if (targetFileSizeBytes.isEmpty) Map.empty
       else byDir.map { case (d, rs) => d -> rs.map(fileLen).sum }

@@ -82,21 +82,32 @@ object StreamingTableFollow {
     * mark is a crash between the mark write and the plan clear — fully
     * served, just cleared. */
   private def pinRange(spark: SparkSession, tableDir: String,
-      checkpoint: String): Option[(Long, Long)] = {
+      checkpoint: String, maxVersions: Long = Long.MaxValue): Option[(Long, Long)] = {
+    require(maxVersions >= 1, "need maxVersionsPerTrigger >= 1")
     val prior = readLongs(spark, planPath(checkpoint))
       .collect { case Seq(a, b) => (a, b) }
     val hw = readHw(spark, checkpoint)
     prior match {
       case Some((_, toV)) if hw >= toV && toV >= 0 =>
         fsOf(spark, planPath(checkpoint)).delete(planPath(checkpoint), false)
+      // a leftover plan REPLAYS AS PINNED even if the caller's
+      // maxVersions changed meanwhile — the pin is what makes the
+      // crash replay byte-identical
       case Some(p) => return Some(p)
       case None =>
     }
     val cur = Versioned.currentVersion(spark, tableDir)
     if (cur < 0 || cur <= hw) None
     else {
-      writeLongs(spark, planPath(checkpoint), Seq(hw, cur))
-      Some((hw, cur))
+      // BACKPRESSURE (Delta's maxFilesPerTrigger, in versions): a
+      // follower that fell far behind serves the backlog in bounded
+      // chunks — each pinned range covers at most `maxVersions`
+      // commits, the next wakeup pins the next chunk. The initial
+      // snapshot delivery (hw < 0) is inherently one batch and is
+      // not chunked.
+      val toV = if (hw < 0) cur else hw + math.min(maxVersions, cur - hw)
+      writeLongs(spark, planPath(checkpoint), Seq(hw, toV))
+      Some((hw, toV))
     }
   }
 
@@ -126,8 +137,9 @@ object StreamingTableFollow {
     * [[followChangesOnce]] for those). Returns the versions served as
     * (fromExclusive, toInclusive). */
   def followOnce(spark: SparkSession, tableDir: String, checkpoint: String,
-      process: (DataFrame, Long, Long) => Unit): Option[(Long, Long)] = {
-    pinRange(spark, tableDir, checkpoint).map { case (hw, toV) =>
+      process: (DataFrame, Long, Long) => Unit,
+      maxVersionsPerTrigger: Long = Long.MaxValue): Option[(Long, Long)] = {
+    pinRange(spark, tableDir, checkpoint, maxVersionsPerTrigger).map { case (hw, toV) =>
       if (hw < 0) process(Versioned.snapshot(spark, tableDir, toV), -1L, toV)
       else {
         val batch = Versioned.appendsBetween(spark, tableDir, hw, toV)
@@ -181,8 +193,9 @@ object StreamingTableFollow {
     * range to its end mapping. */
   def followChangesOnce(spark: SparkSession, tableDir: String,
       checkpoint: String,
-      process: (DataFrame, Long, Long) => Unit): Seq[(Long, Long)] = {
-    pinRange(spark, tableDir, checkpoint) match {
+      process: (DataFrame, Long, Long) => Unit,
+      maxVersionsPerTrigger: Long = Long.MaxValue): Seq[(Long, Long)] = {
+    pinRange(spark, tableDir, checkpoint, maxVersionsPerTrigger) match {
       case None => Nil
       case Some((hw, toV)) =>
         val served = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
@@ -236,15 +249,25 @@ object StreamingTableFollow {
     * [[followOnce]]. */
   def start(spark: SparkSession, tableDir: String, checkpoint: String,
       process: (DataFrame, Long, Long) => Unit,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxVersionsPerTrigger: Long = Long.MaxValue): StreamingQuery =
     notificationQuery(spark, tableDir, checkpoint, trigger,
-      s => { followOnce(s, tableDir, checkpoint, process); () })
+      s => {
+        // drain the available backlog in bounded chunks — each chunk
+        // is its own pinned, exactly-once delivery
+        while (followOnce(s, tableDir, checkpoint, process,
+          maxVersionsPerTrigger).isDefined) ()
+      })
 
   /** Start the UNIFIED change stream ([[followChangesOnce]] per
     * notification wakeup) — survives merge/delete/restore commits. */
   def startChanges(spark: SparkSession, tableDir: String, checkpoint: String,
       process: (DataFrame, Long, Long) => Unit,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxVersionsPerTrigger: Long = Long.MaxValue): StreamingQuery =
     notificationQuery(spark, tableDir, checkpoint, trigger,
-      s => { followChangesOnce(s, tableDir, checkpoint, process); () })
+      s => {
+        while (followChangesOnce(s, tableDir, checkpoint, process,
+          maxVersionsPerTrigger).nonEmpty) ()
+      })
 }

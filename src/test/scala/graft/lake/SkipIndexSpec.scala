@@ -122,7 +122,11 @@ class SkipIndexSpec extends SparkSpec {
       .orderBy("file", "col").collect().map(_.toSeq)
     val scan = SkipIndex.build(spark.read.parquet(out), Seq("a", "b"))
     val footer = SkipIndex.buildFromFooters(spark, out, Seq("a", "b"))
-    assert(canon(footer) === canon(scan))
+    // the footer build additionally carries per-file bytes (the scan
+    // build cannot know them); the shared box columns must agree
+    assert(canon(footer.drop("bytes")) === canon(scan))
+    assert(footer.filter(col("bytes") <= 0L).isEmpty,
+      "every footer row records the file's positive byte size")
   }
 
   test("footer-built index prunes and reads exactly like the scan-built one") {

@@ -2173,6 +2173,62 @@ class VersionedSpec extends SparkSpec {
     assert(state(Versioned.snapshot(spark, dir3)).contains(("a", 1L, 9.0)))
   }
 
+  test("stats sidecars carry per-file bytes: binpack sizing is metadata-only under coverage; old sidecars and bare lakes fall back") {
+    val dir = freshLake()
+    Versioned.init(spark, dir)
+    Versioned.backfillStats(spark, dir, Seq("id"))
+    (1 to 3).foreach { i => // inherit stats (and bytes) per commit
+      Versioned.append(spark, dir,
+        df(Seq(("a", 100L + i, i.toDouble)), "site", "id", "v"), Seq("site"))
+    }
+    // the sidecar's bytes are the files' real sizes
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Versioned.statsAt(spark, dir).groupBy("file")
+      .agg(max("bytes").as("b")).collect().foreach { r =>
+        assert(r.getLong(1) ==
+          fs.getFileStatus(new org.apache.hadoop.fs.Path(r.getString(0))).getLen,
+          s"sidecar bytes must equal the file's size: ${r.getString(0)}")
+      }
+    val pre = state(Versioned.snapshot(spark, dir))
+    Versioned.optimize(spark, dir, Seq("site"),
+      targetFileSizeBytes = Some(8L * 1024 * 1024))
+    assert(Versioned.optimizeFileStatProbes == 0,
+      "byte sizing must be metadata-only when the sidecars cover the files")
+    assert(state(Versioned.snapshot(spark, dir)) == pre)
+    // a lake WITHOUT the stats discipline falls back per file
+    val dir2 = freshLake()
+    Versioned.init(spark, dir2)
+    (1 to 2).foreach { i =>
+      Versioned.append(spark, dir2,
+        df(Seq(("a", 100L + i, i.toDouble)), "site", "id", "v"), Seq("site"))
+    }
+    Versioned.optimize(spark, dir2, Seq("site"),
+      targetFileSizeBytes = Some(8L * 1024 * 1024))
+    assert(Versioned.optimizeFileStatProbes > 0,
+      "no sidecars -> the getFileStatus fallback must carry the sizing")
+    // OLD sidecars (written before the bytes column) keep working:
+    // statsAt reads bytes = -1 (unknown) and optimize falls back
+    val dir3 = freshLake()
+    Versioned.init(spark, dir3)
+    Versioned.backfillStats(spark, dir3, Seq("id"))
+    val scPath = new org.apache.hadoop.fs.Path(dir3,
+      "_manifest/stats/v000000.full.parquet").toString
+    val legacy = spark.read.parquet(scPath).drop("bytes")
+    val rows = legacy.collect().toSeq
+    val sch = legacy.schema
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), sch)
+      .coalesce(1).write.mode("overwrite").parquet(scPath)
+    assert(Versioned.statsAt(spark, dir3)
+      .filter(col("bytes") =!= -1L).isEmpty,
+      "a pre-bytes sidecar reads as unknown, not as an error")
+    Versioned.optimize(spark, dir3, Seq("site"),
+      targetFileSizeBytes = Some(8L * 1024 * 1024))
+    assert(Versioned.optimizeFileStatProbes > 0,
+      "unknown bytes -> fallback, never a wrong plan")
+  }
+
   test("OPTIMIZE commit-only CAS rebase: a racing append no longer discards the compaction; a racing rewrite still aborts it") {
     val dir = freshLake()
     Versioned.init(spark, dir)

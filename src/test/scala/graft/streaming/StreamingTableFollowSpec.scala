@@ -218,6 +218,90 @@ class StreamingTableFollowSpec extends SparkSpec {
       (d, _, toV) => applyChanges(d, toV)).isEmpty)
   }
 
+  test("maxVersionsPerTrigger: a 10-commit backlog drains in ceil(10/k) bounded deliveries; crash replays its chunk identically; no dup/loss") {
+    val root = java.nio.file.Files.createTempDirectory("graft_chunk").toFile
+    root.deleteOnExit()
+    val src = new java.io.File(root, "src").getAbsolutePath
+    val sink = new java.io.File(root, "sink").getAbsolutePath
+    val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+    MergeData.writeMerged(spark,
+      df(Seq(("a", 1L, 1.0), ("b", 10L, 10.0)), "site", "id", "v"),
+      src, keys = Seq("site"))
+    Versioned.init(spark, src)                                   // v0
+    Versioned.enableChangeFeed(spark, src, Seq("site", "id"))    // v1
+    def applyChanges(d: org.apache.spark.sql.DataFrame, toV: Long): Unit = {
+      val b = d.filter(col("_action") =!= "update_preimage")
+        .withColumn("__delete", col("_action") === "delete")
+        .drop("_action")
+      if (!b.isEmpty) {
+        if (Versioned.currentVersion(spark, sink) < 0)
+          Versioned.append(spark, sink, b.drop("__delete"), Seq("site"),
+            txn = Some(("chunk", toV)))
+        else
+          Versioned.mergeInto(spark, sink, b, Seq("site"), Seq("site", "id"),
+            txn = Some(("chunk", toV)))
+      }
+    }
+    // consume the initial snapshot (unchunked by design), then build
+    // a 10-commit backlog: 8 appends + 2 merges scattered in
+    StreamingTableFollow.followChangesOnce(spark, src, ckpt,
+      (d, _, toV) => applyChanges(d, toV))
+    (1 to 4).foreach { i =>
+      Versioned.append(spark, src,
+        df(Seq(("a", 100L + i, i.toDouble)), "site", "id", "v"), Seq("site"))
+    }
+    Versioned.mergeInto(spark, src,
+      df(Seq(("a", 1L, 111.0, false)), "site", "id", "v", "__delete"),
+      Seq("site"), Seq("site", "id"))
+    (5 to 8).foreach { i =>
+      Versioned.append(spark, src,
+        df(Seq(("b", 100L + i, i.toDouble)), "site", "id", "v"), Seq("site"))
+    }
+    Versioned.mergeInto(spark, src,
+      df(Seq(("b", 10L, 0.0, true)), "site", "id", "v", "__delete"),
+      Seq("site"), Seq("site", "id"))
+    assert(Versioned.currentVersion(spark, src) == 11L) // backlog (1, 11]
+    // drain with k=3: deliveries (pinned chunks) = ceil(10/3) = 4,
+    // each spanning at most 3 versions. Crash INSIDE delivery 2 after
+    // its sink commits; the restart must replay the IDENTICAL chunk
+    // (txn markers dedup) and keep draining.
+    val k = 3L
+    var deliveries = 0
+    var crashed = false
+    var done = false
+    while (!done) {
+      val served = StreamingTableFollow.followChangesOnce(spark, src, ckpt,
+        (d, _, toV) => applyChanges(d, toV), maxVersionsPerTrigger = k)
+      if (served.isEmpty) done = true
+      else {
+        deliveries += 1
+        assert(served.map(_._2).max - served.map(_._1).min <= k,
+          s"a delivery must span at most $k versions, got $served")
+      }
+      // inject ONE crash mid-chunk after delivery 1: the partially
+      // applied chunk stays pinned, and the next loop turn must
+      // replay it as ONE delivery (txn markers dedup the applied
+      // prefix) — not split, not widen
+      if (deliveries == 1 && !crashed) {
+        crashed = true
+        val boom = new RuntimeException("crash mid-chunk")
+        val thrown = intercept[RuntimeException] {
+          StreamingTableFollow.followChangesOnce(spark, src, ckpt,
+            (d, _, toV) => { applyChanges(d, toV); throw boom },
+            maxVersionsPerTrigger = k)
+        }
+        assert(thrown eq boom)
+      }
+    }
+    assert(crashed, "the crash leg must have run")
+    assert(deliveries == 4,
+      s"ceil(10/$k) = 4 bounded deliveries must drain the backlog " +
+        s"(the crashed chunk replays as ONE of them), got $deliveries")
+    assert(state(Versioned.snapshot(spark, sink)) ==
+      state(Versioned.snapshot(spark, src)),
+      "no dup, no loss: the chunked, crashed-and-replayed follower converges")
+  }
+
   test("append refuses key collisions with pending tombstones; appendsBetween refuses tombstone changes") {
     val root = java.nio.file.Files.createTempDirectory("graft_follow2").toFile
     root.deleteOnExit()
