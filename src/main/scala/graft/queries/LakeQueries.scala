@@ -65,6 +65,7 @@ object LakeQueries {
       s"graft_lake_v2_${tag}_$stamp")
     val marker = new File(root, "_SUCCESS")
     if (!marker.exists()) {
+      import spark.implicits._
       val rows = Tables(spark, dir, "events")
         .filter(col("user_id") < 12)
         .select(
@@ -74,55 +75,57 @@ object LakeQueries {
           unix_seconds(col("ts").cast("timestamp")).as("t"),
           col("value").cast("double").as("v"))
         .filter(col("t").isNotNull)
-        .collect()
-        .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3),
-          if (r.isNullAt(4)) None else Some(r.getDouble(4))))
-        .sortBy { case (s, p, m, t, v) => (s, p, m, t, v.map(_.toString).getOrElse("")) }
+        .as[(String, String, String, Long, Option[Double])]
 
-      // file window = epoch week; filename day = the window's first day
-      def weekOf(t: Long): Long = Math.floorDiv(Math.floorDiv(t, 86400L), 7L)
-      def weekDay(w: Long): String =
-        java.time.LocalDate.ofEpochDay(w * 7L)
-          .format(java.time.format.DateTimeFormatter.BASIC_ISO_DATE)
-
-      def writeGz(f: File, lines: Seq[String]): Unit = {
-        f.getParentFile.mkdirs()
-        val w = new BufferedWriter(new OutputStreamWriter(
-          new GZIPOutputStream(new java.io.FileOutputStream(f)), StandardCharsets.UTF_8))
-        try { w.write("timestamp,value\n"); lines.foreach(l => { w.write(l); w.write("\n") }) }
-        finally w.close()
-      }
-
-      val groups = rows.groupBy { case (s, p, m, t, _) => (s, p, m, weekOf(t)) }
-        .toSeq.sortBy(_._1)
-      // hundreds of independent tiny gzip files: write them on a pool
-      // (content is deterministic per group, so parallelism is safe)
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
-      try {
-        groups.map { case ((s, p, m, week), grp) =>
-          pool.submit(new Runnable {
-            def run(): Unit = {
-              val lines = grp.map { case (_, _, _, t, v) => s"$t,${v.map(_.toString).getOrElse("")}" }
-              val base = new File(root, s"raw/$s/$p/$m")
-              val day = weekDay(week)
-              if (s == "site_0" && lines.size >= 2) {
-                val (h1, h2) = lines.splitAt(lines.size / 2)
-                writeGz(new File(base, s"${day}_0000.csv.gz"), h1)
-                writeGz(new File(base, s"${day}_0001_1.csv.gz"), h2)
-              } else writeGz(new File(base, s"${day}_0000.csv.gz"), lines)
-            }
-          })
-        }.foreach(_.get())
-      } finally pool.shutdown()
+      // DISTRIBUTED fixture write (no driver collect): each
+      // (site, participant, metric, epoch-week) group becomes one task
+      // that writes its csv.gz shard(s) directly — content is a
+      // deterministic function of the group (rows sorted by
+      // (t, value-string), the same order the old global sort induced
+      // within a group), so the parallel write is replay-safe and the
+      // oracle's derivation from `events` is unchanged. Only the tiny
+      // distinct (site, participant, metric) list returns to the
+      // driver, for the schema sidecars.
+      val rootPath = root.getAbsolutePath
+      val metricDirs = rows
+        .groupByKey { case (s, p, m, t, _) =>
+          (s, p, m, Math.floorDiv(Math.floorDiv(t, 86400L), 7L)) }
+        .mapGroups { (key: (String, String, String, Long),
+            it: Iterator[(String, String, String, Long, Option[Double])]) =>
+          val (s, p, m, week) = key
+          val lines = it.toSeq
+            .sortBy { case (_, _, _, t, v) =>
+              (t, v.map(_.toString).getOrElse("")) }
+            .map { case (_, _, _, t, v) =>
+              s"$t,${v.map(_.toString).getOrElse("")}" }
+          val day = java.time.LocalDate.ofEpochDay(week * 7L)
+            .format(java.time.format.DateTimeFormatter.BASIC_ISO_DATE)
+          val base = new File(s"$rootPath/raw/$s/$p/$m")
+          def writeGz(f: File, ls: Seq[String]): Unit = {
+            f.getParentFile.mkdirs()
+            val w = new BufferedWriter(new OutputStreamWriter(
+              new GZIPOutputStream(new java.io.FileOutputStream(f)),
+              StandardCharsets.UTF_8))
+            try { w.write("timestamp,value\n")
+              ls.foreach(l => { w.write(l); w.write("\n") }) }
+            finally w.close()
+          }
+          if (s == "site_0" && lines.size >= 2) {
+            val (h1, h2) = lines.splitAt(lines.size / 2)
+            writeGz(new File(base, s"${day}_0000.csv.gz"), h1)
+            writeGz(new File(base, s"${day}_0001_1.csv.gz"), h2)
+          } else writeGz(new File(base, s"${day}_0000.csv.gz"), lines)
+          (s, p, m)
+        }
+        .distinct().collect()
       // S7: one schema sidecar per metric directory (flat
       // {"col": "sqlType"} form, see Readers.sidecarStructType) — the
       // reference keeps a schema.json next to the data files
-      groups.map { case ((s, p, m, _), _) => new File(root, s"raw/$s/$p/$m") }
-        .distinct.foreach { d =>
-          java.nio.file.Files.writeString(
-            new File(d, "schema.json").toPath,
-            """{"timestamp": "bigint", "value": "double"}""")
-        }
+      metricDirs.foreach { case (s, p, m) =>
+        java.nio.file.Files.writeString(
+          new File(root, s"raw/$s/$p/$m/schema.json").toPath,
+          """{"timestamp": "bigint", "value": "double"}""")
+      }
       marker.createNewFile()
     }
     root.getAbsolutePath
