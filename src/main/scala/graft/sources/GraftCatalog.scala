@@ -1,0 +1,169 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Row, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources.{BaseRelation, Filter, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.lake.Versioned
+
+/** A Spark `TableCatalog` over versioned graft lakes, registered as
+  * {{{
+  *   spark.sql.catalog.graft = graft.sources.GraftCatalog
+  * }}}
+  * so SQL can name tables by their directory —
+  * `SELECT ... FROM graft.`/data/lake`` — and, the part no `USING
+  * graft` view can give, Spark's OWN time-travel syntax resolves
+  * through the manifest log:
+  * `SELECT ... FROM graft.`/data/lake`` VERSION AS OF 3` /
+  * `TIMESTAMP AS OF '...'` (the planner calls the versioned
+  * `loadTable` overloads below).
+  *
+  * Read shape: the catalog table's scan is a [[V1Scan]] wrapping the
+  * same snapshot relation the `graft` format's mapping/MOR path uses
+  * — always correct (mapping, tombstones, scoped bounds all applied
+  * by [[Versioned.snapshot]]), row-based at the relation boundary.
+  * Pushed filters forward into the inner plan (whose parquet scan
+  * prunes and pushes) and remain residual for Spark, pushed columns
+  * prune the inner projection. For the vectorized fast path use the
+  * format surface (`spark.read.format("graft")` / `CREATE TABLE ...
+  * USING graft`); this catalog buys SQL NAMES + SQL TIME TRAVEL.
+  * Writes (CREATE/ALTER/DROP/MERGE) are refused — the library and
+  * format surfaces own mutation; SQL row-level ops would need the
+  * DSv2 row-level-operation API, documented as future surface. */
+class GraftCatalog extends TableCatalog {
+
+  private var catalogName: String = "graft"
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = { catalogName = name }
+
+  override def name(): String = catalogName
+
+  private def dirOf(ident: Identifier): String = {
+    // the table name IS the lake directory (namespace-less, or the
+    // namespace parts re-join the path a SQL parser split on dots)
+    val parts = ident.namespace().toSeq :+ ident.name()
+    parts.mkString(".") // dirs with dots re-assemble; plain paths pass through
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    Array.empty // lakes are paths, not an enumerable namespace
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = dirOf(ident)
+    val spark = SparkSession.active
+    val cur = Versioned.currentVersion(spark, dir)
+    if (cur < 0) throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchTableException(ident)
+    new GraftVersionedTable(dir, cur)
+  }
+
+  /** `VERSION AS OF <v>` — Spark hands the version string here. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = dirOf(ident)
+    val spark = SparkSession.active
+    val cur = Versioned.currentVersion(spark, dir)
+    if (cur < 0) throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchTableException(ident)
+    val v = version.toLong
+    require(v >= 0 && v <= cur,
+      s"version $v does not exist in $dir (current is $cur)")
+    new GraftVersionedTable(dir, v)
+  }
+
+  /** `TIMESTAMP AS OF <ts>` — Spark hands epoch MICROseconds. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = dirOf(ident)
+    val spark = SparkSession.active
+    val cur = Versioned.currentVersion(spark, dir)
+    if (cur < 0) throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchTableException(ident)
+    new GraftVersionedTable(dir,
+      Versioned.versionAsOf(spark, dir, timestamp / 1000L))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    throw new UnsupportedOperationException(
+      "graft catalog is read-only: create lakes with Versioned.init / " +
+        "MergeData.writeMerged")
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft catalog is read-only: evolve tables with Versioned.renameColumn/" +
+        "dropColumn/addConstraint/...")
+
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException("graft catalog is read-only")
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("graft catalog is read-only")
+}
+
+/** One versioned lake at one pinned version, as a DSv2 read-only
+  * table. The scan goes through [[V1Scan]] to the snapshot relation —
+  * see the catalog note for why (correct under mapping/MOR; the
+  * vectorized path is the format surface's job). */
+private[sources] final class GraftVersionedTable(dir: String, version: Long)
+  extends Table with SupportsRead {
+
+  override def name(): String = s"graft.`$dir`@v$version"
+
+  override lazy val schema: StructType =
+    Versioned.snapshot(SparkSession.active, dir, version).schema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownFilters
+      with SupportsPushDownRequiredColumns {
+      private var pushed: Array[Filter] = Array.empty
+      private var required: Option[StructType] = None
+
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        pushed = filters
+        filters // ALL stay residual — the forward below is best-effort
+      }
+      override def pushedFilters(): Array[Filter] = pushed
+
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = Some(requiredSchema)
+
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType =
+          required.getOrElse(schema)
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T =
+          new GraftV1TableScan(context, dir, version, pushed,
+            readSchema()).asInstanceOf[T]
+      }
+    }
+}
+
+/** The V1 leaf the catalog scan lowers to: snapshot → forwarded
+  * filters → pruned projection → RDD[Row]. */
+private[sources] final class GraftV1TableScan(
+    @transient override val sqlContext: SQLContext,
+    dir: String, version: Long, pushed: Array[Filter],
+    out: StructType) extends BaseRelation with TableScan {
+
+  override def schema: StructType = out
+
+  override def buildScan(): RDD[Row] = {
+    val filtered = pushed.flatMap(GraftSnapshotRelation.toColumn)
+      .foldLeft(Versioned.snapshot(sqlContext.sparkSession, dir, version))(
+        _.filter(_))
+    filtered.select(out.fieldNames.map(col).toSeq: _*).rdd
+  }
+}

@@ -275,13 +275,17 @@ private[sources] final class GraftSnapshotRelation(
 
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {
-    val filtered = filters.flatMap(toColumn).foldLeft(snap)(_.filter(_))
+    val filtered = filters.flatMap(GraftSnapshotRelation.toColumn)
+      .foldLeft(snap)(_.filter(_))
     filtered.select(requiredColumns.map(col).toSeq: _*).rdd
   }
+}
 
+private[sources] object GraftSnapshotRelation {
   /** `sources.Filter` → `Column`, for the shapes worth forwarding;
-    * None falls back to Spark's own residual evaluation. */
-  private def toColumn(f: Filter): Option[Column] = f match {
+    * None falls back to Spark's own residual evaluation. Shared by
+    * the format relation and the catalog's V1 scan. */
+  private[sources] def toColumn(f: Filter): Option[Column] = f match {
     case sources.EqualTo(a, v) => Some(col(a) === lit(v))
     case sources.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
     case sources.GreaterThan(a, v) => Some(col(a) > lit(v))

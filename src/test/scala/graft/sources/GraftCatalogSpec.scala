@@ -1,0 +1,73 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.lake.Versioned
+import graft.ops.MergeData
+
+/** The `graft` SQL catalog: lakes addressable by directory in plain
+  * SQL, with Spark's own `VERSION AS OF` / `TIMESTAMP AS OF` syntax
+  * resolving through the manifest log, correct under column mapping
+  * and MOR tombstones, and read-only (mutations refused by name). */
+class GraftCatalogSpec extends SparkSpec {
+
+  private def state(d: DataFrame): Set[(String, Long, Double)] =
+    d.select("site", "id", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+
+  private def freshLake(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cat").toFile
+    dir.deleteOnExit()
+    MergeData.writeMerged(spark,
+      df(Seq(("a", 1L, 1.0), ("a", 2L, 2.0), ("b", 10L, 10.0)),
+        "site", "id", "v"),
+      dir.getAbsolutePath, keys = Seq("site"))
+    dir.getAbsolutePath
+  }
+
+  private def sqlOn(dir: String, suffix: String = ""): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft",
+      "graft.sources.GraftCatalog")
+    spark.sql(s"SELECT * FROM graft.`$dir` $suffix")
+  }
+
+  test("SQL names a lake by directory; VERSION AS OF and TIMESTAMP AS OF travel through the manifest log") {
+    val dir = freshLake()
+    Versioned.init(spark, dir, commitTs = 1000L)
+    Versioned.mergeInto(spark, dir,
+      df(Seq(("a", 1L, 100.0, false)), "site", "id", "v", "__delete"),
+      Seq("site"), Seq("site", "id"), commitTs = 2000L)
+    assert(state(sqlOn(dir)) == state(Versioned.snapshot(spark, dir)))
+    assert(state(sqlOn(dir, "VERSION AS OF 0")) ==
+      state(Versioned.snapshot(spark, dir, 0L)))
+    // TIMESTAMP AS OF: commit ts are pinned (1000, 2000 epoch-millis);
+    // 1.5s after epoch resolves to v0
+    assert(state(sqlOn(dir,
+      "TIMESTAMP AS OF '1970-01-01 00:00:01.500'")) ==
+      state(Versioned.snapshot(spark, dir, 0L)))
+    // aggregation + filter through the catalog scan
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val agg = spark.sql(
+      s"SELECT site, count(*) AS n, round(sum(v), 2) AS s " +
+        s"FROM graft.`$dir` WHERE id < 10 GROUP BY site ORDER BY site")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(agg.toSeq == Seq(("a", 2L, 102.0)))
+  }
+
+  test("catalog reads stay correct under column mapping and MOR tombstones; mutations are refused") {
+    val dir = freshLake()
+    Versioned.init(spark, dir)
+    Versioned.renameColumn(spark, dir, "v", "value")
+    Versioned.deleteWhere(spark, dir, col("id") === 10L, Seq("site", "id"))
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val d = spark.sql(s"SELECT * FROM graft.`$dir`")
+    assert(d.columns.contains("value"), "logical names in SQL")
+    assert(d.count() == 2L, "tombstoned row hidden in SQL")
+    val e = intercept[Exception] {
+      spark.sql(s"DROP TABLE graft.`$dir`")
+    }
+    assert(e.getMessage.contains("read-only"))
+  }
+}
