@@ -251,20 +251,40 @@ object LakeScaleBench {
     // tracks the BATCH and stays ~flat. The MOR read-side anti-join
     // and its one-time materialization are timed next to it — the
     // full ledger of the trade.
-    val scatter = rbase.filter(col("event_id") % 997 === 13)
+    // FIXED-SIZE batch (same rows at every clone factor — the clone
+    // offsets new copies' ids upward, so a bounded-id predicate pins
+    // the batch while the lake grows): the clean separation of
+    // batch-proportional (MOR) from lake-proportional (COW) cost
+    val scatter = rbase.filter(col("event_id") % 997 === 13 &&
+        col("event_id") < 100000000L)
       .withColumn("value", col("value") + 9)
     metrics("scatter_batch_rows") = scatter.count()
     val morLake = work + "/morlake"
     MergeData.writeMerged(spark, rbase, morLake, keys = Seq("bucket"))
     Versioned.init(spark, morLake)
-    time("cow_scatter_merge") {
+    // bytes WRITTEN by each commit (added files + tombstones) — the
+    // scale-transparent ledger: wall time at these SFs is dominated by
+    // constant Spark overhead, but written bytes track the structure
+    // exactly (COW ∝ touched-partition bytes ∝ the LAKE here, since
+    // the batch hits every bucket; MOR ∝ the batch)
+    def commitBytes(lakeDir: String, v: Long): Long = {
+      val prevSet = Versioned.filesAt(spark, lakeDir, v - 1).toSet
+      val added = Versioned.filesAt(spark, lakeDir, v).filterNot(prevSet)
+      val dels = Versioned.deleteFilesAt(spark, lakeDir, v)
+        .map(e => e.split(" @").head)
+      (added ++ dels).map(f => fs.getFileStatus(
+        new org.apache.hadoop.fs.Path(s"$lakeDir/$f")).getLen).sum
+    }
+    val vCow = time("cow_scatter_merge") {
       Versioned.mergeInto(spark, rlake, scatter,
         Seq("bucket"), Seq("event_id"))
     }
-    time("mor_scatter_merge") {
+    metrics("cow_scatter_bytes_written") = commitBytes(rlake, vCow)
+    val vMor = time("mor_scatter_merge") {
       Versioned.mergeIntoMor(spark, morLake, scatter,
         Seq("bucket"), Seq("event_id"))
     }
+    metrics("mor_scatter_bytes_written") = commitBytes(morLake, vMor)
     metrics("mor_scatter_read_rows") = time("mor_scatter_read") {
       Versioned.snapshot(spark, morLake).count()
     }
