@@ -1297,11 +1297,17 @@ object Versioned {
     * pair would collide). Aligns schemas across evolution (each side
     * gains the other's missing columns as typed nulls). */
   private def restoreDiff(spark: SparkSession, dir: String, v: Long,
-      toVersion: Long, rowKey: Seq[String]): DataFrame = {
-    val cur0 = snapshot(spark, dir, v)
+      toVersion: Long, rowKey: Seq[String]): DataFrame =
     // the target's files under the CURRENT column mapping — the diff
     // must compare like-named columns even across a rename
-    val tgt0 = snapshotUnderMeta(spark, dir, toVersion, v)
+    rowDiff(snapshot(spark, dir, v),
+      snapshotUnderMeta(spark, dir, toVersion, v), rowKey)
+
+  /** The Delta-CDF action rows that turn `cur0` into `tgt0`, classed
+    * by `rowKey` — shared by [[restoreDiff]] (version → version) and
+    * [[overwrite]] (version → incoming batch). */
+  private def rowDiff(cur0: DataFrame, tgt0: DataFrame,
+      rowKey: Seq[String]): DataFrame = {
     def align(d: DataFrame, other: DataFrame): DataFrame =
       other.schema.fields.filterNot(f => d.columns.contains(f.name))
         .foldLeft(d)((acc, f) => acc.withColumn(f.name, lit(null).cast(f.dataType)))
@@ -1429,6 +1435,68 @@ object Versioned {
     * anti-join would silently hide the fresh rows; use [[mergeInto]]
     * (which materializes the conflict) instead. Returns the committed
     * version. */
+  /** INSERT OVERWRITE: ONE commit whose live set is exactly `rows` —
+    * the full-replace write (reference `merge-data.py`'s regenerate
+    * mode, Delta's `mode("overwrite")`), on the protocol: old files
+    * stay for time travel until [[vacuum]], pending tombstones drop
+    * (the new state is defined entirely by the batch), constraints /
+    * generated columns / partition spec all enforce as on any write.
+    * With a change feed attached, the increment is the ROW DIFF old
+    * snapshot → batch classed by the feed key (an overwrite is
+    * usually a regenerate — most rows unchanged, and the diff keeps
+    * replicas incremental instead of re-shipping the table).
+    * Refuses an empty batch: an empty live set would strand readers
+    * (deleteWhere/mergeInto express deletions). No commit-retry: two
+    * concurrent full-replaces are a semantic conflict — the loser
+    * surfaces `concurrent commit` and the caller decides. */
+  def overwrite(spark: SparkSession, dir: String, rows: DataFrame,
+      partitionKeys: Seq[String],
+      txn: Option[(String, Long)] = None,
+      commitTs: Long = System.currentTimeMillis(),
+      statsCols: Seq[String] = Nil): Long = {
+    val v = init(spark, dir, commitTs)
+    txn match {
+      case Some((id, batchId)) if lastTxn(spark, dir, id) >= batchId =>
+        return currentVersion(spark, dir) // replayed batch
+      case _ =>
+    }
+    val fs = fsOf(spark, dir)
+    val meta0 = metaAt(spark, dir, v)
+    checkPartitionSpec(meta0, partitionKeys, "overwrite")
+    val batch0 = rows.persist()
+    try {
+      val batch = applyGenerated(spark, meta0, batch0, "overwrite batch")
+      require(!batch.isEmpty,
+        "overwrite got an empty batch — an empty live set would strand " +
+          "readers; express deletions with deleteWhere/mergeInto")
+      enforceConstraints(spark, dir, v, batch, "overwrite batch")
+      val autoRen = autoRenames(meta0, batch.columns.toSeq, v + 1)
+      val writeMeta = meta0.copy(renames = meta0.renames ++ autoRen)
+      val newFiles = writeStagedFiles(spark, fs, dir,
+        toPhysical(writeMeta, batch)
+          .repartition(partitionKeys.map(col): _*), partitionKeys)
+      val autoInc = meta0.cdf.map { key =>
+        writeChangeInc(spark, dir, rowDiff(snapshot(spark, dir, v),
+          batch, key))
+      }
+      val live = filesAt(spark, dir, v)
+      val cm = carryMeta(spark, dir, v, commitTs, txn, Nil, "overwrite")
+      writeCommit(fs, dir, v + 1, newFiles, live,
+        cm.copy(cdfInc = autoInc, renames = cm.renames ++ autoRen))
+      maybeWriteIncStats(spark, dir, v, newFiles, statsCols)
+      v + 1
+    } finally batch0.unpersist()
+  }
+
+  /** The table's partition keys: the declared `#pkeys` spec, or the
+    * live layout's directory nesting — what a writer that was not
+    * handed keys (the `graft` format's write path) partitions by. */
+  def layoutPartitionKeys(spark: SparkSession, dir: String): Seq[String] = {
+    val v = currentVersion(spark, dir)
+    require(v >= 0, s"no manifest in $dir — call init() first")
+    layoutKeys(metaAt(spark, dir, v), filesAt(spark, dir, v))
+  }
+
   def append(spark: SparkSession, dir: String, rows: DataFrame,
       partitionKeys: Seq[String],
       txn: Option[(String, Long)] = None,

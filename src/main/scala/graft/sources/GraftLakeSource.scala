@@ -8,8 +8,9 @@ import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeRefer
 import org.apache.spark.sql.execution.datasources.{FileIndex, GraftPartitionBridge, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.{SaveMode}
 import org.apache.spark.sql.sources
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, Filter, PrunedFilteredScan, RelationProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, Filter, PrunedFilteredScan, RelationProvider}
 import org.apache.spark.sql.types.{ByteType, DateType, DoubleType, FloatType, IntegerType, LongType, ShortType, StructType}
 
 import graft.lake.{PruneIn, PruneIsNull, PruneNotNull, PrunePred, PruneRange, Versioned}
@@ -51,9 +52,59 @@ import graft.lake.{PruneIn, PruneIsNull, PruneNotNull, PrunePred, PruneRange, Ve
   * native equivalent of "commands anyone can run" is exactly this —
   * a format string any `spark.read` / `CREATE TEMP VIEW ... USING`
   * can name. */
-final class GraftLakeSource extends RelationProvider with DataSourceRegister {
+final class GraftLakeSource extends RelationProvider
+  with CreatableRelationProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
+
+  /** The WRITE surface — `df.write.format("graft")`:
+    *  - `mode("append")` on an existing lake → [[Versioned.append]]
+    *    (manifest-committed, constraints/generated/spec enforced,
+    *    change feed published — never a bare file drop);
+    *  - `mode("overwrite")` → [[Versioned.overwrite]] (one
+    *    full-replace commit, old versions still travel);
+    *  - first write to a fresh directory (any mode) lays the data out
+    *    Hive-partitioned by the REQUIRED `partitionKeys` option
+    *    (comma-separated), commits v0 and DECLARES the spec
+    *    (`changePartitionSpec` metadata-only), so every later writer
+    *    is spec-checked;
+    *  - on an existing lake the keys come from the declared spec /
+    *    the live layout — the option may be omitted.
+    * SQL `INSERT INTO` a fast-path relation does NOT route here
+    * (Spark plans HadoopFsRelation inserts as bare file writes, which
+    * the manifest would never reference — invisible to readers and
+    * vacuum-reaped); write through this path or the library. */
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val opts = parameters.map { case (k, v) => (k.toLowerCase, v) }
+    val dir = opts.getOrElse("path", throw new IllegalArgumentException(
+      "the graft writer needs a table directory: " +
+        "df.write.format(\"graft\").save(dir)"))
+    val exists = Versioned.currentVersion(spark, dir) >= 0
+    val optKeys = opts.get("partitionkeys")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    if (!exists) {
+      val keys = optKeys.getOrElse(throw new IllegalArgumentException(
+        "creating a graft lake needs .option(\"partitionKeys\", \"k1,k2\")"))
+      data.write.mode("errorifexists").partitionBy(keys: _*).parquet(dir)
+      Versioned.init(spark, dir)
+      Versioned.changePartitionSpec(spark, dir, keys) // declare (metadata-only)
+    } else {
+      val keys = optKeys.getOrElse(Versioned.layoutPartitionKeys(spark, dir))
+      mode match {
+        case SaveMode.Append =>
+          Versioned.append(spark, dir, data, keys)
+        case SaveMode.Overwrite =>
+          Versioned.overwrite(spark, dir, data, keys)
+        case SaveMode.ErrorIfExists =>
+          throw new IllegalArgumentException(
+            s"$dir is already a versioned graft lake (mode ErrorIfExists)")
+        case SaveMode.Ignore => ()
+      }
+    }
+    createRelation(sqlContext, parameters)
+  }
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {

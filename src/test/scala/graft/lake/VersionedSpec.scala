@@ -2278,6 +2278,43 @@ class VersionedSpec extends SparkSpec {
       "the aborted compaction must leave the winner's merge intact")
   }
 
+  test("overwrite: full-replace commit with a DIFF increment — replicas converge incrementally, unchanged rows don't re-ship") {
+    val dir = freshLake()
+    Versioned.init(spark, dir)
+    Versioned.enableChangeFeed(spark, dir, Seq("site", "id")) // v1
+    val replica = java.nio.file.Files
+      .createTempDirectory("graft_ovwrep").toFile.getAbsolutePath
+    MergeData.writeMerged(spark, Versioned.snapshot(spark, dir, 1L),
+      replica, keys = Seq("site"))
+    // regenerate: (a,1) changed, (a,2) unchanged, (b,10) gone, (c,7) new
+    val v2 = Versioned.overwrite(spark, dir,
+      df(Seq(("a", 1L, 100.0), ("a", 2L, 2.0), ("c", 7L, 7.0)),
+        "site", "id", "v"),
+      Seq("site"))
+    assert(state(Versioned.snapshot(spark, dir)) == Set(
+      ("a", 1L, 100.0), ("a", 2L, 2.0), ("c", 7L, 7.0)))
+    assert(state(Versioned.snapshot(spark, dir, 1L)) == Set(
+      ("a", 1L, 1.0), ("a", 2L, 2.0), ("b", 10L, 10.0)),
+      "the pre-overwrite state still travels")
+    val inc = Versioned.changeIncrementAt(spark, dir, v2).get
+    val byAction = inc.groupBy("_action").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byAction == Map("update_preimage" -> 1L,
+      "update_postimage" -> 1L, "delete" -> 1L, "insert" -> 1L),
+      s"the increment is the DIFF, not the table: $byAction")
+    Versioned.applyTableChanges(spark, dir, replica, Seq("site"), sinceV = 1L)
+    assert(state(spark.read.parquet(replica)) ==
+      state(Versioned.snapshot(spark, dir)))
+    // idempotent replay via txn marker
+    val vAgain = Versioned.overwrite(spark, dir,
+      df(Seq(("z", 1L, 1.0)), "site", "id", "v"), Seq("site"),
+      txn = Some(("ow", 1L)))
+    assert(vAgain == v2 + 1)
+    assert(Versioned.overwrite(spark, dir,
+      df(Seq(("z", 2L, 2.0)), "site", "id", "v"), Seq("site"),
+      txn = Some(("ow", 1L))) == vAgain, "replayed overwrite is a no-op")
+  }
+
   test("MOR merge publishes CDF increments: a feed replica converges across mergeIntoMor") {
     val dir = freshLake()
     Versioned.init(spark, dir)

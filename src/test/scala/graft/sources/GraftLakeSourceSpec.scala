@@ -124,6 +124,44 @@ class GraftLakeSourceSpec extends SparkSpec {
       "untracked-column predicates prune nothing (and break nothing)")
   }
 
+  test("write surface: df.write.format(graft) creates+declares, appends and overwrites through the manifest protocol") {
+    val root = java.nio.file.Files.createTempDirectory("graft_dsw").toFile
+    root.deleteOnExit()
+    val dir = new java.io.File(root, "lake").getAbsolutePath
+    // CREATE: lays out, commits v0, declares the spec
+    df(Seq(("a", 1L, 1.0), ("b", 10L, 10.0)), "site", "id", "v")
+      .write.format("graft").option("partitionKeys", "site").save(dir)
+    assert(Versioned.currentVersion(spark, dir) >= 0)
+    assert(Versioned.partitionSpec(spark, dir).contains(Seq("site")),
+      "the first write must DECLARE the partition spec")
+    // APPEND: a manifest commit, spec-checked, time travel intact
+    val vBefore = Versioned.currentVersion(spark, dir)
+    df(Seq(("a", 2L, 2.0)), "site", "id", "v")
+      .write.format("graft").mode("append").save(dir)
+    assert(state(spark.read.format("graft").load(dir)) ==
+      Set(("a", 1L, 1.0), ("b", 10L, 10.0), ("a", 2L, 2.0)))
+    assert(state(spark.read.format("graft")
+      .option("versionAsOf", vBefore.toString).load(dir)) ==
+      Set(("a", 1L, 1.0), ("b", 10L, 10.0)))
+    // OVERWRITE: one full-replace commit; the old state still travels
+    val vPre = Versioned.currentVersion(spark, dir)
+    df(Seq(("c", 99L, 9.0)), "site", "id", "v")
+      .write.format("graft").mode("overwrite").save(dir)
+    assert(state(spark.read.format("graft").load(dir)) ==
+      Set(("c", 99L, 9.0)))
+    assert(state(Versioned.snapshot(spark, dir, vPre)).size == 3,
+      "pre-overwrite version still time-travels")
+    assert(Versioned.history(spark, dir).collect()
+      .map(_.getAs[String]("operation")).head == "overwrite")
+    // a stale-keyed append is refused by the declared spec
+    val e = intercept[Exception] {
+      df(Seq(("x", 5L, 5.0)), "site", "id", "v")
+        .write.format("graft").mode("append")
+        .option("partitionKeys", "id").save(dir)
+    }
+    assert(e.getMessage.contains("declared"))
+  }
+
   test("mapping/MOR window: renamed columns read logical, tombstoned rows stay hidden, filters still answer exactly") {
     val dir = freshLake()
     Versioned.init(spark, dir)
