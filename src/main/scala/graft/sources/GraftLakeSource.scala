@@ -221,7 +221,6 @@ object GraftFileIndex {
     val refs = Versioned.filesAt(spark, dir, version)
     require(refs.nonEmpty, s"version $version of $dir has no files")
     val abs = refs.map(r => Versioned.refPath(dir, r))
-    val roots = refs.map(r => Versioned.refRoot(dir, r)).distinct
     // one listStatus per partition dir, filtered to the manifest's
     // members (a dir can hold files of several versions)
     val byDir = abs.groupBy(p => new Path(p).getParent)
@@ -231,10 +230,30 @@ object GraftFileIndex {
       d -> fs.listStatus(d).filter(st =>
         wanted.contains(st.getPath.toUri.getPath))
     }
-    val leafDirs = byDir.keys.toSeq.sortBy(_.toString)
     val tz = spark.conf.get("spark.sql.session.timeZone")
-    val spec = GraftPartitionBridge.parsePartitions(leafDirs,
-      roots.map(new Path(_)).toSet, tz)
+    // partition values parse PER ROOT (Spark's parser refuses mixed
+    // roots), then the specs merge — a shallow clone's foreign refs
+    // and its local files carry the same Hive columns; roots whose
+    // layouts genuinely diverged refuse with the localization repair
+    val leafToRoot: Seq[(Path, String)] = refs.map { r =>
+      new Path(Versioned.refPath(dir, r)).getParent ->
+        Versioned.refRoot(dir, r)
+    }.distinct
+    val spec = leafToRoot.groupBy(_._2).toSeq.sortBy(_._1)
+      .map { case (root, pairs) =>
+        GraftPartitionBridge.parsePartitions(
+          pairs.map(_._1).distinct.sortBy(_.toString),
+          Set(new Path(root)), tz)
+      }
+      .reduce { (a, b) =>
+        require(a.partitionColumns == b.partitionColumns,
+          s"clone roots of $dir parse different partition schemas " +
+            s"(${a.partitionColumns.fieldNames.mkString(",")} vs " +
+            s"${b.partitionColumns.fieldNames.mkString(",")}): " +
+            "OPTIMIZE the clone to localize its foreign references")
+        org.apache.spark.sql.execution.datasources.PartitionSpec(
+          a.partitionColumns, a.partitions ++ b.partitions)
+      }
     val parts: Seq[(InternalRow, Array[FileStatus])] =
       if (spec.partitionColumns.isEmpty)
         Seq((InternalRow.empty, statuses.values.flatten.toArray))

@@ -124,6 +124,33 @@ class GraftLakeSourceSpec extends SparkSpec {
       "untracked-column predicates prune nothing (and break nothing)")
   }
 
+  test("edges: a SHALLOW CLONE (foreign multi-root refs) and an UNPARTITIONED lake both read through the format") {
+    // clone: v0 refs point into the source root; the index must list
+    // and partition-parse across both roots
+    val src = freshLake()
+    Versioned.init(spark, src)
+    val clone = java.nio.file.Files
+      .createTempDirectory("graft_dsvclone").toFile.getAbsolutePath + "/c"
+    Versioned.cloneAt(spark, src, clone)
+    Versioned.append(spark, clone,
+      df(Seq(("d", 40L, 40.0)), "site", "id", "v"), Seq("site"))
+    assert(state(spark.read.format("graft").load(clone)) ==
+      state(Versioned.snapshot(spark, clone)),
+      "foreign + local refs must read identically to the library")
+    assert(spark.read.format("graft").load(clone)
+      .filter(col("site") === "d").count() == 1L)
+    // unpartitioned: files at the root, empty partition schema
+    val spark0 = spark
+    import spark0.implicits._
+    val flat = java.nio.file.Files
+      .createTempDirectory("graft_dsvflat").toFile.getAbsolutePath + "/f"
+    Seq(("a", 1L, 1.0), ("b", 2L, 2.0)).toDF("site", "id", "v")
+      .write.parquet(flat)
+    Versioned.init(spark, flat)
+    val r = spark.read.format("graft").load(flat)
+    assert(r.count() == 2L && r.filter(col("id") === 2L).count() == 1L)
+  }
+
   test("write surface: df.write.format(graft) creates+declares, appends and overwrites through the manifest protocol") {
     val root = java.nio.file.Files.createTempDirectory("graft_dsw").toFile
     root.deleteOnExit()
