@@ -3869,6 +3869,9 @@ object LakeQueries {
           .contains("GraftFileIndex"),
           "the read must plan through the manifest-driven FileIndex")
         val v1 = s.read.format("graft").option("versionAsOf", "1").load(vlake)
+        // the SQL catalog surface: VERSION AS OF through spark.sql
+        s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+        val sqlV1 = s.sql(s"SELECT * FROM graft.`$vlake` VERSION AS OF 1")
         def agg(d: DataFrame, src: String) =
           d.groupBy("event_type").agg(
               count(lit(1)).as("row_count"),
@@ -3877,6 +3880,7 @@ object LakeQueries {
             .withColumn("src", lit(src))
         agg(latest, "ds_latest")
           .unionByName(agg(v1, "ds_v1"))
+          .unionByName(agg(sqlV1, "ds_sql_v1"))
           .unionByName(agg(latest.filter(col("event_id") < 10000000L),
             "ds_range"))
           .select("src", "event_type", "row_count", "sum_value", "n_ids")
@@ -3914,11 +3918,15 @@ object LakeQueries {
                  count(DISTINCT event_id)
           FROM st1 GROUP BY 2
           UNION ALL
+          SELECT 'ds_sql_v1', event_type, count(*), round(sum(value::DOUBLE), 4),
+                 count(DISTINCT event_id)
+          FROM st1 GROUP BY 2
+          UNION ALL
           SELECT 'ds_range', event_type, count(*), round(sum(value::DOUBLE), 4),
                  count(DISTINCT event_id)
           FROM st3 WHERE event_id < 10000000 GROUP BY 2)
         ORDER BY 1, 2"""),
-      "spark.read.format(graft): planner-driven lake reads — latest, VERSION AS OF, and a pushed range filter each equal the recompute oracle"),
+      "spark.read.format(graft) + the SQL catalog: planner-driven lake reads — latest, VERSION AS OF (option and SQL syntax), and a pushed range filter each equal the recompute oracle"),
 
     // ---------------------------------------------------------------
     // ROW-LEVEL MERGE-ON-READ (scoped tombstones): the same 3-batch
