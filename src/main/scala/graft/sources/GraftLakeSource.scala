@@ -9,8 +9,10 @@ import org.apache.spark.sql.execution.datasources.{FileIndex, GraftPartitionBrid
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.{SaveMode}
+import org.apache.spark.sql.execution.streaming.Sink
 import org.apache.spark.sql.sources
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, Filter, PrunedFilteredScan, RelationProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, Filter, PrunedFilteredScan, RelationProvider, StreamSinkProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{ByteType, DateType, DoubleType, FloatType, IntegerType, LongType, ShortType, StructType}
 
 import graft.lake.{PruneIn, PruneIsNull, PruneNotNull, PrunePred, PruneRange, Versioned}
@@ -53,7 +55,8 @@ import graft.lake.{PruneIn, PruneIsNull, PruneNotNull, PrunePred, PruneRange, Ve
   * a format string any `spark.read` / `CREATE TEMP VIEW ... USING`
   * can name. */
 final class GraftLakeSource extends RelationProvider
-  with CreatableRelationProvider with DataSourceRegister {
+  with CreatableRelationProvider with StreamSinkProvider
+  with DataSourceRegister {
 
   override def shortName(): String = "graft"
 
@@ -126,6 +129,25 @@ final class GraftLakeSource extends RelationProvider
     val mor = Versioned.deleteFilesAt(spark, dir, version).nonEmpty
     if (mapped || mor) new GraftSnapshotRelation(sqlContext, dir, version)
     else GraftFileIndex.relation(sqlContext, dir, version)
+  }
+
+  /** The STREAMING write surface — see [[GraftStreamSink]]. */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    require(outputMode == OutputMode.Append(),
+      "the graft sink is append-only: express updates with " +
+        "foreachBatch + Versioned.mergeInto (or StreamingMerge)")
+    val opts = parameters.map { case (k, v) => (k.toLowerCase, v) }
+    val dir = opts.getOrElse("path", throw new IllegalArgumentException(
+      "the graft sink needs a table directory: .start(dir)"))
+    val keys =
+      if (partitionColumns.nonEmpty) Some(partitionColumns)
+      else opts.get("partitionkeys")
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    val txnId = opts.getOrElse("txnid",
+      "graft-sink:" + opts.getOrElse("checkpointlocation", dir))
+    new GraftStreamSink(sqlContext, dir, keys, txnId)
   }
 
   private def parseTs(s: String): Long =
