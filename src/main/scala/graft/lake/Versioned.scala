@@ -555,11 +555,21 @@ object Versioned {
         dst: Path, alternate: Path, body: Seq[String]): Unit
   }
 
-  /** Default owner: tmp write + exists-check + rename. One atomic
-    * metadata op on HDFS-style stores (rename onto an existing path
-    * fails there); best-effort on file systems whose rename
-    * overwrites. */
+  /** Default owner: tmp write + exists-check + promote. The promote
+    * is one atomic metadata op whose failure-on-existing is what makes
+    * it a CAS: on HDFS-style stores that is `rename` (refuses an
+    * existing destination); on LOCAL file systems POSIX `rename(2)`
+    * silently REPLACES an existing destination — two racers passing
+    * the exists check together would clobber one manifest and lose a
+    * commit (the ConcurrencyStressSpec thread race catches exactly
+    * this) — so the local promote is `link(2)` via
+    * `Files.createLink`, which is atomic create-if-absent by POSIX
+    * contract. */
   object RenameCommitOwner extends CommitOwner {
+    private def isLocal(fs: FileSystem): Boolean = {
+      val s = fs.getUri.getScheme
+      s == null || s == "file"
+    }
     override def writeVersion(fs: FileSystem, dir: String, v: Long,
         dst: Path, alternate: Path, body: Seq[String]): Unit = {
       val tmp = writeManifestFile(fs, dst, body)
@@ -568,7 +578,20 @@ object Versioned {
         throw new IllegalArgumentException(
           s"concurrent commit detected: version $v already exists in $dir")
       }
-      require(fs.rename(tmp, dst), s"manifest commit failed for $dst")
+      if (isLocal(fs)) {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(dst.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          fs.delete(tmp, false)
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            fs.delete(tmp, false)
+            throw new IllegalArgumentException(
+              s"concurrent commit detected: version $v already exists in $dir")
+        }
+      } else
+        require(fs.rename(tmp, dst), s"manifest commit failed for $dst")
     }
   }
 
@@ -594,10 +617,16 @@ object Versioned {
       if (!reserved.add((dir, v)) || fs.exists(dst) || fs.exists(alternate))
         throw new IllegalArgumentException(
           s"concurrent commit detected: version $v already exists in $dir")
-      // reservation won — plain (non-atomic) object write suffices
-      val out = fs.create(dst, false)
-      try out.write((body.mkString("\n") + "\n").getBytes("UTF-8"))
-      finally out.close()
+      // reservation won. The manifest must still APPEAR atomically —
+      // an object store's conditional PUT gives that for free (the
+      // object is invisible until complete); a plain fs.create here
+      // would let a concurrent reader observe a half-written manifest
+      // (and cache the truncated resolution — the stress spec caught
+      // a lost row exactly this way). tmp + rename simulates the
+      // atomic appearance; it is NOT the CAS — the reservation above
+      // already arbitrated, so this rename can never race a sibling.
+      val tmp = writeManifestFile(fs, dst, body)
+      require(fs.rename(tmp, dst), s"manifest publish failed for $dst")
     }
   }
 
