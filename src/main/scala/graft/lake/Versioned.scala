@@ -590,8 +590,19 @@ object Versioned {
             throw new IllegalArgumentException(
               s"concurrent commit detected: version $v already exists in $dir")
         }
-      } else
-        require(fs.rename(tmp, dst), s"manifest commit failed for $dst")
+      } else if (!fs.rename(tmp, dst)) {
+        fs.delete(tmp, false)
+        // a rename that refuses because dst appeared inside the
+        // exists-check→rename window is a LOST CAS, not an IO fault —
+        // it must carry the `concurrent commit` marker every retry/
+        // rebase loop (append, mergeIntoRetry, mergeIntoMor, optimize)
+        // matches on, or an HDFS-style store aborts the writer instead
+        // of retrying
+        if (fs.exists(dst) || fs.exists(alternate))
+          throw new IllegalArgumentException(
+            s"concurrent commit detected: version $v already exists in $dir")
+        throw new IllegalStateException(s"manifest commit failed for $dst")
+      }
     }
   }
 
@@ -1145,9 +1156,31 @@ object Versioned {
         val tomb = spark.read.parquet(es.map(e => s"$dir/${e._1}"): _*)
         val exempt = bound.fold(Set.empty[String])(b =>
           filesAddedSince(spark, dir, b, version)
-            .map(r => SkipIndex.normalizePath(refPath(dir, r))))
+            .map(r => encodedLeafPath(refPath(dir, r))))
         (bound, tomb, exempt)
       }
+
+  /** A manifest/driver path string in the SAME representation
+    * `input_file_name()` yields after [[encodedLeafPathCol]]: the
+    * URI-ENCODED path component, scheme and authority dropped.
+    * `input_file_name` returns `SparkPath.urlEncoded` (percent-escaped
+    * space/non-ASCII), while manifest refs hold the raw characters —
+    * comparing the raw strings silently misses every path a URI would
+    * encode, which for a scoped-tombstone exempt set means a merge's
+    * own fresh rows get filtered (data loss). `Path.toUri` applies
+    * exactly Spark's encoding, so both sides land on one form. */
+  private[lake] def encodedLeafPath(p: String): String =
+    new Path(p).toUri.getRawPath
+
+  /** Strip scheme+authority from an `input_file_name()` value, keeping
+    * its percent-encoding — the column-side twin of
+    * [[encodedLeafPath]]. Handles `file:///p`, `file:/p` and
+    * `scheme://host:port/p` forms. */
+  private[lake] def encodedLeafPathCol(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    regexp_replace(
+      regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", ""),
+      "^[a-zA-Z][a-zA-Z0-9+.-]*:/", "/")
 
   /** Rows of `df` hit (scope-aware) or kept by `version`'s pending
     * tombstones — the shared core of the MOR read ([[snapshot]], the
@@ -1166,7 +1199,7 @@ object Versioned {
     val srcCol = "__graft_src_file"
     val base =
       if (anyScope) df.withColumn(srcCol,
-        regexp_replace(input_file_name(), "^file:/+", "/"))
+        encodedLeafPathCol(input_file_name()))
       else df
     def cond(l: DataFrame, tomb: DataFrame, exempt: Set[String]) = {
       val keys = tomb.columns.toSeq

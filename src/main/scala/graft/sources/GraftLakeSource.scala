@@ -145,8 +145,19 @@ final class GraftLakeSource extends RelationProvider
       if (partitionColumns.nonEmpty) Some(partitionColumns)
       else opts.get("partitionkeys")
         .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
-    val txnId = opts.getOrElse("txnid",
-      "graft-sink:" + opts.getOrElse("checkpointlocation", dir))
+    // the txn id must be UNIQUE PER QUERY and stable across restarts.
+    // The checkpoint location is exactly that; the table dir is NOT (two
+    // queries appending to one lake would share an id, and whichever
+    // query's batchId lags would see its batches dropped as replays) —
+    // so when the checkpoint rides only the session conf (absent from
+    // the writer options), refuse rather than guess
+    val txnId = opts.get("txnid")
+      .orElse(opts.get("checkpointlocation").map("graft-sink:" + _))
+      .getOrElse(throw new IllegalArgumentException(
+        "the graft sink needs a stable per-query identity for " +
+          "exactly-once replay: set .option(\"checkpointLocation\", ...) " +
+          "on this writer (a spark.sql.streaming.checkpointLocation conf " +
+          "is not visible here) or .option(\"txnId\", ...)"))
     new GraftStreamSink(sqlContext, dir, keys, txnId)
   }
 
@@ -246,11 +257,21 @@ object GraftFileIndex {
     // one listStatus per partition dir, filtered to the manifest's
     // members (a dir can hold files of several versions)
     val byDir = abs.groupBy(p => new Path(p).getParent)
-    val wanted = abs.toSet
-    val statuses: Map[Path, Array[FileStatus]] = byDir.map { case (d, _) =>
+    // compare both sides as DECODED scheme-less URI paths: listStatus
+    // returns fully-qualified paths (`file:/...`, `hdfs://nn/...`)
+    // while the manifest refs are plain strings that may themselves be
+    // scheme-qualified — raw string equality would silently match
+    // NOTHING on a qualified table dir and read an empty table
+    val wanted = abs.map(p => new Path(p).toUri.getPath).toSet
+    val statuses: Map[Path, Array[FileStatus]] = byDir.map { case (d, members) =>
       val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      d -> fs.listStatus(d).filter(st =>
+      val matched = fs.listStatus(d).filter(st =>
         wanted.contains(st.getPath.toUri.getPath))
+      require(matched.nonEmpty,
+        s"manifest of $dir@v$version references ${members.size} file(s) " +
+          s"under $d but the listing matched none — path scheme/encoding " +
+          "mismatch or missing data files")
+      d -> matched
     }
     val tz = spark.conf.get("spark.sql.session.timeZone")
     // partition values parse PER ROOT (Spark's parser refuses mixed
