@@ -34,6 +34,26 @@ object Bench {
     // warm-up, not to whichever lake query happens to run first.
     graft.queries.LakeQueries.fixtureLake(spark, sfDir)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // THROTTLE CONTROLS, measured BEFORE the suite: three pinned,
+    // plan-stable queries (scan+agg / join / expression tiers) timed
+    // warm-min-of-3 while the host is as idle as this run gets. Their
+    // values calibrate the whole record — a round whose suite total
+    // drifts while its controls drift the same way is a HOST state,
+    // not a plan regression (r11's q142 and r12's +8.2% both burned a
+    // verdict cycle on exactly this adjudication).
+    val controlNames = Seq("q01_overview_stats", "q22_join3", "q38_lang_id")
+    val controls = controlNames.flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          spark.catalog.clearCache()
+          (System.nanoTime() - t0) / 1e9
+        }
+        try { once() /* warm */ ; name -> (1 to 3).map(_ => once()).min }
+        catch { case _: Throwable => name -> -1.0 }
+      }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       // Each query gets one UNMEASURED warm-up run before the timed run:
       // suite-order JIT/GC/codegen hiccups otherwise charge multi-second
@@ -89,8 +109,10 @@ object Bench {
       .toSeq.sortBy(_._1)
       .map { case (t, vs) => s"${jstr(t)}:${r3(vs.map(_._2).sum)}" }
       .mkString("{", ",", "}")
+    val controlsJson = controls
+      .map { case (k, v) => s"${jstr(k)}:${r3(v)}" }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"tiers":$tiers,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"tiers":$tiers,"controls":$controlsJson,"errors":$errJson,"sf":"$sfDir"}"""
     // One clean line on stdout (build.sbt routes forked output straight
     // through, un-prefixed) + a file copy in case a log wrapper eats it.
     // The copy goes to an explicit, env-overridable absolute path so a

@@ -37,14 +37,12 @@ private[sources] class GraftStreamSink(sqlContext: SQLContext,
     // planning NEW jobs over it (append's constraint/tombstone/write
     // passes) would re-analyze it as streaming and refuse. Detach it
     // the way file-format sinks do: take the already-planned physical
-    // rows and rebuild a plain batch frame (per-row conversion; the
-    // micro-batch is bounded by the trigger)
-    val converter = org.apache.spark.sql.catalyst.CatalystTypeConverters
-      .createToScalaConverter(data.schema)
-    val batch = spark.createDataFrame(
-      data.queryExecution.toRdd.map(ir =>
-        converter(ir).asInstanceOf[org.apache.spark.sql.Row]),
-      data.schema)
+    // rows and re-wrap them as a plain batch frame. The wrap is the
+    // INTERNAL-row spelling (zero per-row conversion — append's jobs
+    // run straight off the planned UnsafeRows; the prior Row round-trip
+    // paid a Catalyst→Scala→Catalyst copy per row per batch)
+    val batch = org.apache.spark.sql.GraftColumnBridge.internalDataFrame(
+      spark, data.queryExecution.toRdd, data.schema)
     if (batch.isEmpty) return // nothing to commit, nothing to dedup
     if (Versioned.currentVersion(spark, dir) < 0) {
       require(keysOpt.nonEmpty,
