@@ -31,6 +31,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // materialized-aggregate rewrite (opt-in by registry: a no-op until
     // MaterializedViews.register is called)
     ext.injectOptimizerRule(graft.plans.MvRewrite(_))
+    // SQL row-level writes over graft relations: MERGE INTO / UPDATE /
+    // DELETE / INSERT lowered onto the manifest mutation core
+    ext.injectOptimizerRule(graft.sources.GraftRowLevelSql(_))
   }
 }
 
@@ -168,5 +171,10 @@ object GraftExtensions {
     if (!mvAlready)
       spark.experimental.extraOptimizations ++=
         Seq(graft.plans.MvRewrite(spark))
+    val sqlWAlready = spark.experimental.extraOptimizations
+      .exists(_.isInstanceOf[graft.sources.GraftRowLevelSql])
+    if (!sqlWAlready)
+      spark.experimental.extraOptimizations ++=
+        Seq(graft.sources.GraftRowLevelSql(spark))
   }
 }

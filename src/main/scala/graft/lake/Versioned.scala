@@ -2635,6 +2635,156 @@ object Versioned {
     v + 1
   }
 
+  /** Shared COW scaffolding of [[updateWhere]] / [[deleteWhereCow]]:
+    * the affected-partition scope (driver cost bounded by the batch's
+    * distinct partitions, never the table), the rendered-directory
+    * match the write produces, and the partition-scoped commit. */
+  private def cowScope(snap: DataFrame, hit: org.apache.spark.sql.Column,
+      partitionKeys: Seq[String])
+      : Option[(org.apache.spark.sql.Column, String => Boolean)] = {
+    val touchedRows = snap.filter(hit)
+      .select(partitionKeys.map(col): _*).distinct().collect().toSeq
+    if (touchedRows.isEmpty) return None
+    val touchedPred = touchedRows.map { r =>
+      partitionKeys.zipWithIndex.map { case (k, i) =>
+        col(k) <=> lit(r.get(i))
+      }.reduce(_ && _)
+    }.reduce(_ || _)
+    val touchedDirs = touchedRows.map { r =>
+      partitionKeys.zipWithIndex.map { case (k, i) =>
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .getPartitionPathString(k,
+            Option(r.get(i)).map(String.valueOf).orNull)
+      }.mkString("/")
+    }.toSet
+    Some((touchedPred,
+      (ref: String) => touchedDirs.exists(d => refRel(ref).startsWith(d + "/"))))
+  }
+
+  /** SQL `UPDATE ... SET ... WHERE ...` as ONE copy-on-write commit:
+    * only partitions physically holding a matching row are rewritten
+    * from the MOR snapshot (the same scope class as a merge — a
+    * predicate on the partition keys prunes the rewrite to those
+    * partitions at planning time). Rides the full commit discipline:
+    * CHECK constraints validate the post-image, GENERATED columns are
+    * re-validated (an assignment that changes a generated column's
+    * input is refused — that mutation is a [[mergeInto]]), the
+    * table-property change feed gets `update_preimage`/`update_postimage`
+    * rows published by the manifest CAS, and commit-time stats/bloom
+    * sidecars extend to the new files. Partition columns cannot be
+    * assigned (rows would MOVE across partitions — a merge). Pending
+    * scoped tombstones carry (they exempt this commit's fresh files);
+    * pending UNSCOPED tombstones refuse assignments on their key
+    * columns (a new value could collide with a tombstoned key and
+    * vanish on read — materializeDeletes first). Returns the committed
+    * version, or the current one when no row matches (no-op). */
+  def updateWhere(spark: SparkSession, dir: String,
+      pred: org.apache.spark.sql.Column,
+      assignments: Map[String, org.apache.spark.sql.Column],
+      partitionKeys: Seq[String],
+      commitTs: Long = System.currentTimeMillis()): Long = {
+    require(assignments.nonEmpty, "updateWhere needs at least one assignment")
+    val v = init(spark, dir, commitTs)
+    val meta0 = metaAt(spark, dir, v)
+    checkPartitionSpec(meta0, partitionKeys, "updateWhere")
+    val snap = snapshot(spark, dir, v)
+    val cols = snap.columns.toSeq
+    val unknown = assignments.keySet -- cols.toSet
+    require(unknown.isEmpty,
+      s"updateWhere assigns unknown column(s): ${unknown.mkString(", ")}")
+    require(assignments.keySet.intersect(partitionKeys.toSet).isEmpty,
+      "updateWhere cannot assign a partition column (rows would move " +
+        "across partitions — express that as a mergeInto)")
+    val dels = deleteFilesAt(spark, dir, v)
+    val globalDelCols: Set[String] = {
+      val es = dels.map(delParse).filter(_._2.isEmpty)
+      if (es.isEmpty) Set.empty
+      else applyColumnMapping(meta0,
+        spark.read.parquet(es.map(e => s"$dir/${e._1}"): _*)).columns.toSet
+    }
+    require(assignments.keySet.intersect(globalDelCols).isEmpty,
+      "updateWhere cannot assign a column that pending UNSCOPED equality " +
+        "deletes key on (an updated value could collide with a tombstoned " +
+        "key and vanish on read) — materializeDeletes() first")
+    val hit = coalesce(pred, lit(false))
+    cowScope(snap, hit, partitionKeys) match {
+      case None => v // no row matched: no-op, no commit
+      case Some((touchedPred, underTouched)) =>
+        def imaged(d: DataFrame, only: org.apache.spark.sql.Column) =
+          d.select(cols.map { c =>
+            assignments.get(c)
+              .map(a => when(only, a).otherwise(col(c)).as(c))
+              .getOrElse(col(c))
+          }: _*)
+        // post-image of the touched partitions, one pass; generated
+        // columns KEEP their stored values and applyGenerated's
+        // validation branch re-checks them — an assignment that broke
+        // a generated invariant fails loudly here, before any write
+        val merged = applyGenerated(spark, meta0,
+          imaged(snap.filter(touchedPred), hit), "update post-image")
+        enforceConstraints(spark, dir, v, merged, "update post-image")
+        val autoInc = meta0.cdf.map { _ =>
+          val affected = snap.filter(hit)
+          writeChangeInc(spark, dir,
+            affected.withColumn("_action", lit("update_preimage"))
+              .unionByName(imaged(affected, lit(true))
+                .withColumn("_action", lit("update_postimage"))))
+        }
+        val fs = fsOf(spark, dir)
+        val live = filesAt(spark, dir, v)
+        val newFiles = writeStagedFiles(spark, fs, dir,
+          toPhysical(meta0, merged)
+            .repartition(partitionKeys.map(col): _*), partitionKeys)
+        writeCommit(fs, dir, v + 1,
+          live.filterNot(underTouched) ++ newFiles, live,
+          carryMeta(spark, dir, v, commitTs, None, dels, "update")
+            .copy(cdfInc = autoInc))
+        maybeWriteIncStats(spark, dir, v, newFiles, Nil)
+        v + 1
+    }
+  }
+
+  /** SQL `DELETE FROM ... WHERE ...` as ONE copy-on-write commit —
+    * the rewrite-class sibling of the equality-tombstone
+    * [[deleteWhere]]: partitions holding a matching row are rewritten
+    * from the MOR snapshot WITHOUT the matching rows (a fully-emptied
+    * partition simply writes no files), everything else is untouched
+    * metadata. No row key needed — this is the arbitrary-predicate
+    * delete a SQL `DELETE` expresses. The table-property change feed
+    * gets `delete` rows; pending tombstones carry (their hits were
+    * already invisible in the snapshot this rewrites from). Returns
+    * the committed version, or the current one on a no-match no-op. */
+  def deleteWhereCow(spark: SparkSession, dir: String,
+      pred: org.apache.spark.sql.Column, partitionKeys: Seq[String],
+      commitTs: Long = System.currentTimeMillis()): Long = {
+    val v = init(spark, dir, commitTs)
+    val meta0 = metaAt(spark, dir, v)
+    checkPartitionSpec(meta0, partitionKeys, "deleteWhereCow")
+    val snap = snapshot(spark, dir, v)
+    val hit = coalesce(pred, lit(false))
+    cowScope(snap, hit, partitionKeys) match {
+      case None => v // nothing matched: no-op, no commit
+      case Some((touchedPred, underTouched)) =>
+        val merged = snap.filter(touchedPred).filter(!hit)
+        val autoInc = meta0.cdf.map { _ =>
+          writeChangeInc(spark, dir,
+            snap.filter(hit).withColumn("_action", lit("delete")))
+        }
+        val fs = fsOf(spark, dir)
+        val live = filesAt(spark, dir, v)
+        val dels = deleteFilesAt(spark, dir, v)
+        val newFiles = writeStagedFiles(spark, fs, dir,
+          toPhysical(meta0, merged)
+            .repartition(partitionKeys.map(col): _*), partitionKeys)
+        writeCommit(fs, dir, v + 1,
+          live.filterNot(underTouched) ++ newFiles, live,
+          carryMeta(spark, dir, v, commitTs, None, dels, "delete")
+            .copy(cdfInc = autoInc))
+        maybeWriteIncStats(spark, dir, v, newFiles, Nil)
+        v + 1
+    }
+  }
+
   /** Compact MERGE-ON-READ tombstones into the data (Hudi's
     * compaction): ONLY partitions physically holding tombstoned rows
     * are rewritten from the MOR snapshot; the new manifest drops the

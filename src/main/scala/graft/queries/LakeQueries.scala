@@ -4020,6 +4020,168 @@ object LakeQueries {
                  round(sum(value::DOUBLE), 4), count(DISTINCT event_id)
           FROM st3 GROUP BY 2)
         ORDER BY 1, 2"""),
-      "row-level MOR merge: 3 chained scoped-tombstone upsert batches, zero partition rewrites require()d; v1 travel, final, and materialized states == COW recompute oracles")
+      "row-level MOR merge: 3 chained scoped-tombstone upsert batches, zero partition rewrites require()d; v1 travel, final, and materialized states == COW recompute oracles"),
+
+    // ---------------------------------------------------------------
+    // SQL MERGE INTO — q115's exact merge scenario as SQL TEXT through
+    // the catalog (GraftRowLevelSql lowers the analyzed MergeIntoTable
+    // onto Versioned.mergeInto): WHEN MATCHED AND s.del THEN DELETE,
+    // WHEN MATCHED THEN UPDATE SET *, WHEN NOT MATCHED THEN INSERT *.
+    // The readback is ALSO SQL (catalog name), so the whole row is the
+    // declarative surface end-to-end; the oracle is q115's recompute
+    // restricted to the same click/view base.
+    // ---------------------------------------------------------------
+    Q("q196_sql_merge",
+      (s, dir) => {
+        graft.GraftExtensions.register(s)
+        s.conf.set("spark.sql.catalog.gsql", "graft.sources.GraftCatalog")
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val root = new File(new File(sys.props("user.dir"), "target"),
+          s"graft_sqlmq_$tag")
+        val lake = new File(root, "lake").getAbsolutePath
+        LakeQueries.synchronized {
+          val fs = new org.apache.hadoop.fs.Path(root.getAbsolutePath)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(root.getAbsolutePath), true)
+          val base = Tables(s, dir, "events").select(MergeCols.map(col): _*)
+            .filter(col("event_type").isin("click", "view"))
+          MergeData.writeMerged(s, base, lake, keys = Seq("event_type"))
+          Versioned.init(s, lake, commitTs = 1000L)
+          base.filter(col("event_id") % 10 === 0)
+              .withColumn("value", col("value") * 2)
+              .withColumn("del", lit(false))
+            .unionByName(base.filter(col("event_id") % 10 === 1)
+              .withColumn("del", lit(true)))
+            .unionByName(base.filter(col("event_id") % 100 === 2)
+              .withColumn("event_id", col("event_id") + lit(10000000L))
+              .withColumn("value", col("value") + 1)
+              .withColumn("del", lit(false)))
+            .createOrReplaceTempView("q196_batch_src")
+          s.sql(
+            s"""MERGE INTO gsql.`$lake` t USING q196_batch_src s
+               |ON t.event_id = s.event_id
+               |WHEN MATCHED AND s.del THEN DELETE
+               |WHEN MATCHED THEN UPDATE SET *
+               |WHEN NOT MATCHED AND NOT s.del THEN INSERT *""".stripMargin)
+        }
+        s.sql(
+          s"""SELECT event_type, count(*) AS row_count,
+             |       round(sum(value), 4) AS sum_value,
+             |       count(DISTINCT event_id) AS n_ids
+             |FROM gsql.`$lake` GROUP BY 1 ORDER BY 1""".stripMargin)
+      },
+      Some("""
+        WITH t AS (SELECT event_type, event_id, value FROM events
+                   WHERE event_type IN ('click','view')),
+        fin AS (
+          SELECT event_type, event_id,
+                 CASE WHEN event_id % 10 = 0 THEN value * 2 ELSE value END AS value
+          FROM t WHERE event_id % 10 <> 1
+          UNION ALL
+          SELECT event_type, event_id + 10000000, value + 1
+          FROM t WHERE event_id % 100 = 2)
+        SELECT event_type, count(*) AS row_count,
+               round(sum(value::DOUBLE), 4) AS sum_value,
+               count(DISTINCT event_id) AS n_ids
+        FROM fin GROUP BY 1 ORDER BY 1"""),
+      "SQL MERGE INTO (DELETE / UPDATE SET * / conditional INSERT *) through the catalog == q115's recompute oracle; readback is SQL too"),
+
+    // ---------------------------------------------------------------
+    // SQL UPDATE + DELETE as text — partition-scoped COW commits
+    // (Versioned.updateWhere / deleteWhereCow) with the usual oracle
+    // recompute. The UPDATE assigns an ABSOLUTE expression so the row
+    // is idempotent under bench re-runs.
+    // ---------------------------------------------------------------
+    Q("q197_sql_update_delete",
+      (s, dir) => {
+        graft.GraftExtensions.register(s)
+        s.conf.set("spark.sql.catalog.gsql", "graft.sources.GraftCatalog")
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val root = new File(new File(sys.props("user.dir"), "target"),
+          s"graft_sqludq_$tag")
+        val lake = new File(root, "lake").getAbsolutePath
+        LakeQueries.synchronized {
+          val fs = new org.apache.hadoop.fs.Path(root.getAbsolutePath)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(root.getAbsolutePath), true)
+          val base = Tables(s, dir, "events").select(MergeCols.map(col): _*)
+            .filter(col("event_type").isin("click", "view"))
+          MergeData.writeMerged(s, base, lake, keys = Seq("event_type"))
+          Versioned.init(s, lake, commitTs = 1000L)
+          s.sql(s"UPDATE gsql.`$lake` SET value = user_id * 0.5D " +
+            "WHERE user_id % 7 = 0")
+          s.sql(s"DELETE FROM gsql.`$lake` WHERE user_id % 13 = 3")
+        }
+        s.sql(
+          s"""SELECT event_type, count(*) AS row_count,
+             |       round(sum(value), 4) AS sum_value,
+             |       count(DISTINCT user_id) AS n_users
+             |FROM gsql.`$lake` GROUP BY 1 ORDER BY 1""".stripMargin)
+      },
+      Some("""
+        WITH t AS (SELECT event_type, event_id, user_id, value FROM events
+                   WHERE event_type IN ('click','view')),
+        fin AS (
+          SELECT event_type, user_id,
+                 CASE WHEN user_id % 7 = 0 THEN user_id * 0.5::DOUBLE
+                      ELSE value END AS value
+          FROM t WHERE user_id % 13 <> 3)
+        SELECT event_type, count(*) AS row_count,
+               round(sum(value::DOUBLE), 4) AS sum_value,
+               count(DISTINCT user_id) AS n_users
+        FROM fin GROUP BY 1 ORDER BY 1"""),
+      "SQL UPDATE + DELETE as text: partition-scoped COW commits == CASE/filter recompute oracle"),
+
+    // ---------------------------------------------------------------
+    // SQL INSERT INTO + INSERT OVERWRITE through the catalog's V1
+    // write (every insert a manifest commit), with the post-INSERT
+    // state read back through SQL TIME TRAVEL (`VERSION AS OF`) after
+    // the OVERWRITE replaced it — inserts, overwrite and travel all
+    // exercised in one declarative row.
+    // ---------------------------------------------------------------
+    Q("q198_sql_insert",
+      (s, dir) => {
+        graft.GraftExtensions.register(s)
+        s.conf.set("spark.sql.catalog.gsql", "graft.sources.GraftCatalog")
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val root = new File(new File(sys.props("user.dir"), "target"),
+          s"graft_sqlinq_$tag")
+        val lake = new File(root, "lake").getAbsolutePath
+        LakeQueries.synchronized {
+          val fs = new org.apache.hadoop.fs.Path(root.getAbsolutePath)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(root.getAbsolutePath), true)
+          val base = Tables(s, dir, "events").select(MergeCols.map(col): _*)
+          MergeData.writeMerged(s, base.filter(col("event_type") === "click"),
+            lake, keys = Seq("event_type"))
+          Versioned.init(s, lake, commitTs = 1000L)
+          base.createOrReplaceTempView("q198_events_src")
+          s.sql(s"INSERT INTO gsql.`$lake` " +
+            "SELECT event_id, user_id, value, event_type " +
+            "FROM q198_events_src WHERE event_type = 'view'")
+          s.sql(s"INSERT OVERWRITE gsql.`$lake` " +
+            "SELECT event_id, user_id, value * 3, event_type " +
+            "FROM q198_events_src WHERE event_type = 'purchase'")
+        }
+        s.sql(
+          s"""SELECT 'after_insert' AS src, event_type,
+             |       count(*) AS row_count, round(sum(value), 4) AS sum_value
+             |FROM gsql.`$lake` VERSION AS OF 1 GROUP BY 2
+             |UNION ALL
+             |SELECT 'after_overwrite', event_type,
+             |       count(*), round(sum(value), 4)
+             |FROM gsql.`$lake` GROUP BY 2
+             |ORDER BY 1, 2""".stripMargin)
+      },
+      Some("""
+        SELECT 'after_insert' AS src, event_type, count(*) AS row_count,
+               round(sum(value::DOUBLE), 4) AS sum_value
+        FROM events WHERE event_type IN ('click','view') GROUP BY 2
+        UNION ALL
+        SELECT 'after_overwrite', event_type, count(*),
+               round(sum(value::DOUBLE * 3), 4)
+        FROM events WHERE event_type = 'purchase' GROUP BY 2
+        ORDER BY 1, 2"""),
+      "SQL INSERT INTO (manifest append) + INSERT OVERWRITE (full replace) through the catalog; pre-overwrite state read via SQL VERSION AS OF")
   )
 }

@@ -4,11 +4,12 @@ import java.util
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Row, SQLContext, SparkSession}
-import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.sources.{BaseRelation, Filter, TableScan}
+import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -35,9 +36,15 @@ import graft.lake.Versioned
   * prune the inner projection. For the vectorized fast path use the
   * format surface (`spark.read.format("graft")` / `CREATE TABLE ...
   * USING graft`); this catalog buys SQL NAMES + SQL TIME TRAVEL.
-  * Writes (CREATE/ALTER/DROP/MERGE) are refused — the library and
-  * format surfaces own mutation; SQL row-level ops would need the
-  * DSv2 row-level-operation API, documented as future surface. */
+  *
+  * Write surface: SQL `INSERT INTO`/`INSERT OVERWRITE` commit through
+  * the manifest (the table's [[org.apache.spark.sql.connector.write.V1Write]]
+  * routes to `Versioned.append`/`overwrite`); SQL `MERGE INTO` /
+  * `UPDATE` / `DELETE FROM` lower onto the mutation core via
+  * [[GraftRowLevelSql]] (register [[graft.GraftExtensions]]).
+  * ALTER/DROP/RENAME stay refused — schema evolution is the library's
+  * explicit, versioned surface (`Versioned.renameColumn/dropColumn/
+  * addConstraint/...`). */
 class GraftCatalog extends TableCatalog {
 
   private var catalogName: String = "graft"
@@ -113,16 +120,43 @@ class GraftCatalog extends TableCatalog {
   * table. The scan goes through [[V1Scan]] to the snapshot relation —
   * see the catalog note for why (correct under mapping/MOR; the
   * vectorized path is the format surface's job). */
-private[sources] final class GraftVersionedTable(dir: String, version: Long)
-  extends Table with SupportsRead {
+private[graft] final class GraftVersionedTable(
+    private[graft] val dir: String, private[graft] val pinnedVersion: Long)
+  extends Table with SupportsRead with SupportsWrite {
 
-  override def name(): String = s"graft.`$dir`@v$version"
+  override def name(): String = s"graft.`$dir`@v$pinnedVersion"
 
   override lazy val schema: StructType =
-    Versioned.snapshot(SparkSession.active, dir, version).schema
+    Versioned.snapshot(SparkSession.active, dir, pinnedVersion).schema
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  /** SQL `INSERT INTO` / `INSERT OVERWRITE` through the catalog: a
+    * [[V1Write]] routing to [[Versioned.append]]/[[Versioned.overwrite]]
+    * — every SQL insert is a manifest commit (constraints, generated
+    * columns, declared spec, change feed), never a bare file drop.
+    * Spark's output resolution has already matched and cast the query
+    * to this table's schema by the time `insert` runs. */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var truncateFirst = false
+      override def truncate(): WriteBuilder = { truncateFirst = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: org.apache.spark.sql.DataFrame,
+                overwrite: Boolean): Unit = {
+              val spark = data.sparkSession
+              val keys = Versioned.layoutPartitionKeys(spark, dir)
+              if (truncateFirst || overwrite)
+                Versioned.overwrite(spark, dir, data, keys)
+              else Versioned.append(spark, dir, data, keys)
+            }
+          }
+      }
+    }
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
@@ -145,7 +179,7 @@ private[sources] final class GraftVersionedTable(dir: String, version: Long)
           required.getOrElse(schema)
         override def toV1TableScan[T <: BaseRelation with TableScan](
             context: SQLContext): T =
-          new GraftV1TableScan(context, dir, version, pushed,
+          new GraftV1TableScan(context, dir, pinnedVersion, pushed,
             readSchema()).asInstanceOf[T]
       }
     }

@@ -73,10 +73,14 @@ final class GraftLakeSource extends RelationProvider
     *    is spec-checked;
     *  - on an existing lake the keys come from the declared spec /
     *    the live layout — the option may be omitted.
-    * SQL `INSERT INTO` a fast-path relation does NOT route here
-    * (Spark plans HadoopFsRelation inserts as bare file writes, which
-    * the manifest would never reference — invisible to readers and
-    * vacuum-reaped); write through this path or the library. */
+    * SQL `INSERT INTO` a fast-path relation is handled one layer up:
+    * with [[graft.GraftExtensions]] registered, [[GraftRowLevelSql]]
+    * reroutes Spark's bare `InsertIntoHadoopFsRelationCommand` into a
+    * manifest-committed [[GraftInsertCommand]]; without the rule, the
+    * bare write fails loudly ([[GraftFileIndex.refresh]] throws) and
+    * its unreferenced files stay invisible to readers until vacuum —
+    * the silent-bypass hazard documented in earlier rounds is closed
+    * both ways. */
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
       parameters: Map[String, String], data: DataFrame): BaseRelation = {
     val spark = sqlContext.sparkSession
@@ -187,13 +191,28 @@ final class GraftLakeSource extends RelationProvider
   * partition directory at construction (the same O(files) class as
   * any listing), zero data I/O. */
 final class GraftFileIndex(
-    spark: SparkSession, dir: String, version: Long,
+    spark: SparkSession, private[graft] val dir: String,
+    private[graft] val version: Long,
     override val partitionSchema: StructType,
     parts: Seq[(InternalRow, Array[FileStatus])]) extends FileIndex {
 
   override def rootPaths: Seq[Path] = Seq(new Path(dir))
 
-  override def refresh(): Unit = () // a committed version is immutable
+  /** A committed version is immutable, so there is nothing to refresh
+    * — and the ONE caller that invokes this on a write path is
+    * Spark's own `InsertIntoHadoopFsRelationCommand` after a bare
+    * file write that the manifest would never reference (invisible to
+    * readers, then vacuum-reaped). Throwing turns that documented
+    * silent-data-loss trap into a loud refusal even on sessions
+    * without [[graft.GraftExtensions]] registered (with them, SQL
+    * INSERT is intercepted and routed through [[Versioned.append]]
+    * before this command ever runs). */
+  override def refresh(): Unit =
+    throw new UnsupportedOperationException(
+      s"writes to graft table $dir must go through the manifest: use " +
+        "df.write.format(\"graft\"), Versioned.append/overwrite, or SQL " +
+        "INSERT with graft.GraftExtensions registered — a bare file write " +
+        "would be invisible to readers and reaped by vacuum")
 
   override lazy val sizeInBytes: Long =
     parts.iterator.flatMap(_._2).map(_.getLen).sum
@@ -373,9 +392,9 @@ object GraftFileIndex {
   * the relation boundary, not pushdown. Every filter is declared
   * unhandled: Spark re-applies them exactly on top, so the forwarded
   * pushdown can stay best-effort. */
-private[sources] final class GraftSnapshotRelation(
+private[graft] final class GraftSnapshotRelation(
     @transient override val sqlContext: SQLContext,
-    dir: String, version: Long)
+    private[graft] val dir: String, private[graft] val version: Long)
   extends BaseRelation with PrunedFilteredScan {
 
   @transient private lazy val snap: DataFrame =

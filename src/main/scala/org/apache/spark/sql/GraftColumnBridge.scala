@@ -24,6 +24,18 @@ object GraftColumnBridge {
     * the streaming SOURCE uses the `isStreaming = true` form, which is
     * how Spark's own V1 sources (FileStreamSource) mark their batch
     * plans as streaming. */
+  /** Forwarder for `Dataset.ofRows` (`private[sql]`): wrap an
+    * already-ANALYZED logical plan as a DataFrame. The SQL row-level
+    * commands hold the analyzer's resolved target/source plans and
+    * re-attach them as DataFrames at run time — by-plan attachment is
+    * what keeps the merge condition's `AttributeReference`s (bound by
+    * exprId during analysis) resolving against the right side of the
+    * join, something a by-name rebuild could not guarantee. */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   def internalDataFrame(spark: SparkSession,
       rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
       schema: org.apache.spark.sql.types.StructType,

@@ -1,0 +1,140 @@
+package graft.lake
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ops.MergeData
+
+/** The COW mutation primitives behind the SQL surface:
+  * [[Versioned.updateWhere]] and [[Versioned.deleteWhereCow]] —
+  * partition-scoped rewrites with the full commit discipline
+  * (constraints, generated re-validation, change feed, time travel,
+  * untouched partitions byte-identical). */
+class UpdateDeleteWhereSpec extends SparkSpec {
+
+  private def state(d: DataFrame): Set[(String, Long, Double)] =
+    d.select("site", "id", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+
+  private def freshLake(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_udw").toFile
+    dir.deleteOnExit()
+    MergeData.writeMerged(spark,
+      df(Seq(("a", 1L, 1.0), ("a", 2L, 2.0), ("b", 10L, 10.0),
+        ("c", 20L, 20.0)), "site", "id", "v"),
+      dir.getAbsolutePath, keys = Seq("site"))
+    Versioned.init(spark, dir.getAbsolutePath)
+    dir.getAbsolutePath
+  }
+
+  test("updateWhere: partition-scoped COW — matching rows change, untouched partitions keep their exact files, time travel intact") {
+    val dir = freshLake()
+    val before = Versioned.filesAt(spark, dir)
+    val v1 = Versioned.updateWhere(spark, dir,
+      col("site") === "a" && col("id") === 1L,
+      Map("v" -> (col("v") * 100)), Seq("site"))
+    assert(v1 == 1L)
+    assert(state(Versioned.snapshot(spark, dir)) ==
+      Set(("a", 1L, 100.0), ("a", 2L, 2.0), ("b", 10L, 10.0),
+        ("c", 20L, 20.0)))
+    // partitions b and c are NOT touched: same manifest refs
+    val after = Versioned.filesAt(spark, dir).toSet
+    val untouched = before.filter(r =>
+      r.contains("site=b") || r.contains("site=c"))
+    assert(untouched.nonEmpty && untouched.forall(after.contains),
+      "update must not rewrite partitions without a matching row")
+    assert(before.filter(_.contains("site=a")).forall(f => !after.contains(f)),
+      "the matched partition must be rewritten")
+    // pre-update state still travels
+    assert(state(Versioned.snapshot(spark, dir, 0L)) ==
+      Set(("a", 1L, 1.0), ("a", 2L, 2.0), ("b", 10L, 10.0), ("c", 20L, 20.0)))
+    // no-match predicate: no-op, no commit
+    assert(Versioned.updateWhere(spark, dir, col("id") === 999L,
+      Map("v" -> lit(0.0)), Seq("site")) == v1)
+    assert(Versioned.currentVersion(spark, dir) == v1)
+  }
+
+  test("updateWhere: refusals — unknown column, partition column, constraint violation, global-tombstone key") {
+    val dir = freshLake()
+    intercept[IllegalArgumentException] {
+      Versioned.updateWhere(spark, dir, lit(true),
+        Map("nope" -> lit(1)), Seq("site"))
+    }
+    intercept[IllegalArgumentException] {
+      Versioned.updateWhere(spark, dir, lit(true),
+        Map("site" -> lit("z")), Seq("site"))
+    }
+    Versioned.addConstraint(spark, dir, "v_pos", "v > 0")
+    val e = intercept[IllegalArgumentException] {
+      Versioned.updateWhere(spark, dir, col("id") === 1L,
+        Map("v" -> lit(-5.0)), Seq("site"))
+    }
+    assert(e.getMessage.contains("v_pos"))
+    assert(state(Versioned.snapshot(spark, dir)).contains(("a", 1L, 1.0)),
+      "a refused update must leave the table untouched")
+    // pending UNSCOPED equality delete keyed on (site, id): updating v
+    // is fine, updating id is refused
+    Versioned.deleteWhere(spark, dir, col("id") === 20L, Seq("site", "id"))
+    Versioned.updateWhere(spark, dir, col("id") === 1L,
+      Map("v" -> lit(7.0)), Seq("site"))
+    assert(state(Versioned.snapshot(spark, dir)) ==
+      Set(("a", 1L, 7.0), ("a", 2L, 2.0), ("b", 10L, 10.0)))
+    val e2 = intercept[IllegalArgumentException] {
+      Versioned.updateWhere(spark, dir, col("id") === 1L,
+        Map("id" -> lit(99L)), Seq("site"))
+    }
+    assert(e2.getMessage.contains("materializeDeletes"))
+  }
+
+  test("updateWhere: generated columns re-validate (breaking an invariant refuses; benign updates pass); change feed publishes pre/post images") {
+    val dir = freshLake()
+    Versioned.addGeneratedColumn(spark, dir, "v2x", "v * 2")
+    Versioned.enableChangeFeed(spark, dir, Seq("site", "id"))
+    val v0 = Versioned.currentVersion(spark, dir)
+    // an update that does NOT touch a generated input's invariant
+    // partner is refused (v feeds v2x)
+    val e = intercept[IllegalArgumentException] {
+      Versioned.updateWhere(spark, dir, col("id") === 10L,
+        Map("v" -> lit(11.0)), Seq("site"))
+    }
+    assert(e.getMessage.contains("v2x"),
+      s"generated invariant must catch the broken pair: ${e.getMessage}")
+    // assigning a non-input column passes and feeds the change feed
+    val v1 = Versioned.updateWhere(spark, dir, col("id") === 10L,
+      Map("id" -> lit(11L)), Seq("site"))
+    assert(v1 == v0 + 1)
+    val inc = Versioned.changesBetween(spark, dir, v0, v1)
+    val acts = inc.select("_action", "id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(acts == Set(("update_preimage", 10L), ("update_postimage", 11L)))
+  }
+
+  test("deleteWhereCow: arbitrary-predicate delete — rows gone, emptied partition drops its files, survivors byte-identical, CDF rows") {
+    val dir = freshLake()
+    Versioned.enableChangeFeed(spark, dir, Seq("site", "id"))
+    val v0 = Versioned.currentVersion(spark, dir)
+    val before = Versioned.filesAt(spark, dir)
+    // delete ALL of partition c plus one row of a (v > 1.5 keeps a@1)
+    val v1 = Versioned.deleteWhereCow(spark, dir,
+      col("site") === "c" || (col("site") === "a" && col("v") > 1.5),
+      Seq("site"))
+    assert(state(Versioned.snapshot(spark, dir)) ==
+      Set(("a", 1L, 1.0), ("b", 10L, 10.0)))
+    val after = Versioned.filesAt(spark, dir).toSet
+    assert(!after.exists(_.contains("site=c")),
+      "a fully-deleted partition must disappear from the manifest")
+    assert(before.filter(_.contains("site=b")).forall(after.contains),
+      "unmatched partitions keep their exact files")
+    assert(state(Versioned.snapshot(spark, dir, v0)) ==
+      Set(("a", 1L, 1.0), ("a", 2L, 2.0), ("b", 10L, 10.0), ("c", 20L, 20.0)))
+    val acts = Versioned.changesBetween(spark, dir, v0, v1)
+      .filter(col("_action") === "delete")
+      .select("site", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(acts == Set(("a", 2L), ("c", 20L)))
+    // no-match: no-op
+    assert(Versioned.deleteWhereCow(spark, dir, col("id") === 999L,
+      Seq("site")) == v1)
+  }
+}

@@ -1,0 +1,199 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.{GraftExtensions, SparkSpec}
+import graft.lake.Versioned
+import graft.ops.MergeData
+
+/** SQL row-level writes end-to-end: `MERGE INTO` / `UPDATE` /
+  * `DELETE FROM` / `INSERT INTO` as SQL TEXT over graft relations,
+  * lowered by [[GraftRowLevelSql]] onto the manifest mutation core.
+  * Pins that Spark's analyzer does the SQL-surface work (star
+  * expansion, resolution), that every mutation is a manifest commit
+  * (versions advance, time travel intact, txn/constraint discipline
+  * rides), the SQL cardinality contract, the MOR routing conf, and
+  * that the documented INSERT-INTO bypass is CLOSED both ways (routed
+  * with the rule, loudly refused without it). */
+class GraftSqlWritesSpec extends SparkSpec {
+
+  GraftExtensions.register(spark)
+  spark.conf.set("spark.sql.catalog.graft_sqlw", "graft.sources.GraftCatalog")
+
+  private def state(d: DataFrame): Set[(String, Long, Double)] =
+    d.select("site", "id", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+
+  private def freshLake(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sqlw").toFile
+    dir.deleteOnExit()
+    MergeData.writeMerged(spark,
+      df(Seq(("a", 1L, 1.0), ("a", 2L, 2.0), ("b", 10L, 10.0),
+        ("c", 20L, 20.0)), "site", "id", "v"),
+      dir.getAbsolutePath, keys = Seq("site"))
+    Versioned.init(spark, dir.getAbsolutePath)
+    dir.getAbsolutePath
+  }
+
+  private def tbl(dir: String) = s"graft_sqlw.`$dir`"
+
+  test("MERGE INTO (SET * / INSERT *): SQL == library mergeInto, versions advance, time travel intact") {
+    val dirS = freshLake() // mutated via SQL
+    val dirL = freshLake() // mutated via the library — the oracle
+    val batch = df(Seq(("a", 1L, 100.0), ("c", 7L, 7.0)), "site", "id", "v")
+    batch.createOrReplaceTempView("sqlw_src1")
+    spark.sql(
+      s"""MERGE INTO ${tbl(dirS)} t USING sqlw_src1 s
+         |ON t.site = s.site AND t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    Versioned.mergeInto(spark, dirL, batch, Seq("site"), Seq("site", "id"))
+    assert(state(Versioned.snapshot(spark, dirS)) ==
+      state(Versioned.snapshot(spark, dirL)))
+    assert(state(Versioned.snapshot(spark, dirS)) == Set(
+      ("a", 1L, 100.0), ("a", 2L, 2.0), ("b", 10L, 10.0),
+      ("c", 20L, 20.0), ("c", 7L, 7.0)))
+    assert(Versioned.currentVersion(spark, dirS) == 1L,
+      "one SQL merge = one manifest commit")
+    assert(state(Versioned.snapshot(spark, dirS, 0L)) == Set(
+      ("a", 1L, 1.0), ("a", 2L, 2.0), ("b", 10L, 10.0), ("c", 20L, 20.0)),
+      "pre-merge version still travels")
+  }
+
+  test("MERGE INTO: conditional partial UPDATE, DELETE, conditional INSERT, NOT MATCHED BY SOURCE — exact per-clause semantics") {
+    val dir = freshLake()
+    df(Seq(("a", 1L, 50.0), ("a", 2L, 0.0), ("c", 7L, 7.0),
+      ("c", 8L, -1.0)), "site", "id", "nv")
+      .createOrReplaceTempView("sqlw_src2")
+    spark.sql(
+      s"""MERGE INTO ${tbl(dir)} t USING sqlw_src2 s
+         |ON t.site = s.site AND t.id = s.id
+         |WHEN MATCHED AND s.nv = 0.0 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET v = s.nv + 0.5
+         |WHEN NOT MATCHED AND s.nv > 0 THEN INSERT (site, id, v) VALUES (s.site, s.id, s.nv)
+         |WHEN NOT MATCHED BY SOURCE AND t.site = 'c' THEN UPDATE SET v = -t.v
+         |""".stripMargin)
+    // a@1 matched+updated (50.5), a@2 matched+deleted, c@7 inserted,
+    // c@8 filtered by the insert condition, b@10 untouched (no NMBS
+    // action applies), c@20 NMBS-updated to -20
+    assert(state(Versioned.snapshot(spark, dir)) == Set(
+      ("a", 1L, 50.5), ("b", 10L, 10.0), ("c", 7L, 7.0), ("c", 20L, -20.0)))
+  }
+
+  test("MERGE INTO: cardinality violation and non-equi ON refuse loudly; nothing commits") {
+    val dir = freshLake()
+    df(Seq(("a", 1L, 9.0), ("a", 1L, 8.0)), "site", "id", "v")
+      .createOrReplaceTempView("sqlw_dup")
+    val v0 = Versioned.currentVersion(spark, dir)
+    val e = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO ${tbl(dir)} t USING sqlw_dup s
+           |ON t.site = s.site AND t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    }
+    assert(e.getMessage.contains("more than one row"),
+      s"expected the cardinality refusal, got: ${e.getMessage}")
+    val e2 = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO ${tbl(dir)} t USING sqlw_dup s
+           |ON t.site = s.site AND t.id >= s.id
+           |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    }
+    assert(e2.getMessage.contains("conjunction"),
+      s"expected the equi-key refusal, got: ${e2.getMessage}")
+    assert(Versioned.currentVersion(spark, dir) == v0,
+      "a refused merge must not commit")
+  }
+
+  test("MERGE INTO with spark.graft.sql.merge.mor=true routes to scoped tombstones (zero rewrites)") {
+    val dir = freshLake()
+    df(Seq(("a", 1L, 77.0)), "site", "id", "v")
+      .createOrReplaceTempView("sqlw_mor")
+    spark.conf.set("spark.graft.sql.merge.mor", "true")
+    try spark.sql(
+      s"""MERGE INTO ${tbl(dir)} t USING sqlw_mor s
+         |ON t.site = s.site AND t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    finally spark.conf.unset("spark.graft.sql.merge.mor")
+    val v = Versioned.currentVersion(spark, dir)
+    assert(Versioned.deleteFilesAt(spark, dir, v).nonEmpty,
+      "MOR routing must commit a scoped tombstone, not a rewrite")
+    assert(Versioned.filesAt(spark, dir, 0L).toSet
+      .subsetOf(Versioned.filesAt(spark, dir, v).toSet),
+      "MOR merge keeps every pre-existing file")
+    assert(state(Versioned.snapshot(spark, dir)).contains(("a", 1L, 77.0)))
+  }
+
+  test("UPDATE and DELETE as SQL text: partition-scoped commits, refusal on constraint violation") {
+    val dir = freshLake()
+    spark.sql(s"UPDATE ${tbl(dir)} SET v = v * 10 WHERE site = 'a' AND id = 1")
+    assert(state(Versioned.snapshot(spark, dir)) == Set(
+      ("a", 1L, 10.0), ("a", 2L, 2.0), ("b", 10L, 10.0), ("c", 20L, 20.0)))
+    spark.sql(s"DELETE FROM ${tbl(dir)} WHERE site = 'c'")
+    assert(state(Versioned.snapshot(spark, dir)) == Set(
+      ("a", 1L, 10.0), ("a", 2L, 2.0), ("b", 10L, 10.0)))
+    assert(!Versioned.filesAt(spark, dir).exists(_.contains("site=c")))
+    Versioned.addConstraint(spark, dir, "v_pos", "v > 0")
+    val v0 = Versioned.currentVersion(spark, dir)
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE ${tbl(dir)} SET v = -1.0 WHERE id = 1")
+    }
+    assert(e.getMessage.contains("v_pos"))
+    assert(Versioned.currentVersion(spark, dir) == v0)
+  }
+
+  test("INSERT INTO: catalog V1 write and format-view routing are manifest commits; INSERT OVERWRITE replaces") {
+    val dir = freshLake()
+    // catalog path: DSv2 V1 fallback write
+    spark.sql(s"INSERT INTO ${tbl(dir)} VALUES (30, 30.0, 'd')")
+    assert(Versioned.currentVersion(spark, dir) == 1L,
+      "catalog INSERT must be one manifest commit")
+    assert(state(Versioned.snapshot(spark, dir)).contains(("d", 30L, 30.0)))
+    // format-view path: the documented bypass, now ROUTED by the rule
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW sqlw_v " +
+      s"USING graft OPTIONS (path '$dir')")
+    spark.sql("INSERT INTO sqlw_v VALUES (40, 40.0, 'e')")
+    assert(Versioned.currentVersion(spark, dir) == 2L,
+      "view INSERT must be one manifest commit, not a bare file write")
+    assert(state(Versioned.snapshot(spark, dir)).contains(("e", 40L, 40.0)))
+    // the view now pins v1 while the table is at v2: a second insert
+    // through it refuses as STALE instead of committing blind
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO sqlw_v VALUES (50, 50.0, 'f')")
+    }
+    assert(e.getMessage.contains("stale"),
+      s"expected the stale-pin refusal, got: ${e.getMessage}")
+    // INSERT OVERWRITE through the catalog replaces the table state
+    spark.sql(s"INSERT OVERWRITE ${tbl(dir)} VALUES (1, 1.0, 'z')")
+    assert(state(Versioned.snapshot(spark, dir)) == Set(("z", 1L, 1.0)))
+    assert(state(Versioned.snapshot(spark, dir, 2L))
+      .contains(("e", 40L, 40.0)), "pre-overwrite version still travels")
+  }
+
+  test("WITHOUT the rule: a view INSERT fails loudly (refresh poison) and the manifest never references the bare files") {
+    val dir = freshLake()
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW sqlw_bare " +
+      s"USING graft OPTIONS (path '$dir')")
+    val rule = spark.experimental.extraOptimizations
+      .find(_.isInstanceOf[GraftRowLevelSql]).get
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ eq rule)
+    try {
+      val e = intercept[Exception] {
+        spark.sql("INSERT INTO sqlw_bare VALUES (60, 60.0, 'g')")
+      }
+      assert(e.getMessage != null && e.getMessage.contains("manifest"),
+        s"expected the refresh poison, got: ${e.getMessage}")
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ rule
+    }
+    assert(Versioned.currentVersion(spark, dir) == 0L,
+      "the failed bare insert must not have committed anything")
+    assert(state(Versioned.snapshot(spark, dir)) == Set(
+      ("a", 1L, 1.0), ("a", 2L, 2.0), ("b", 10L, 10.0), ("c", 20L, 20.0)),
+      "readers see the pre-insert state (bare files are unreferenced)")
+  }
+}
