@@ -4182,6 +4182,60 @@ object LakeQueries {
                round(sum(value::DOUBLE * 3), 4)
         FROM events WHERE event_type = 'purchase' GROUP BY 2
         ORDER BY 1, 2"""),
-      "SQL INSERT INTO (manifest append) + INSERT OVERWRITE (full replace) through the catalog; pre-overwrite state read via SQL VERSION AS OF")
+      "SQL INSERT INTO (manifest append) + INSERT OVERWRITE (full replace) through the catalog; pre-overwrite state read via SQL VERSION AS OF"),
+
+    // ---------------------------------------------------------------
+    // readStream.format("graft") — the streaming-read spelling of the
+    // table follower, batch-visible leg (q187's discipline): a source
+    // lake streams into a txn-marked graft sink (AvailableNow), a
+    // second wave appends and tails in on the next run, and the SINK's
+    // final state must hash-match the plain batch recompute. Streaming
+    // internals (restarts, crash replay, chunking) are pinned by
+    // GraftStreamSourceSpec; this row makes the surface oracle-graded.
+    // ---------------------------------------------------------------
+    Q("q199_readstream_follow",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val root = new File(new File(sys.props("user.dir"), "target"),
+          s"graft_rsfq_$tag")
+        val src = new File(root, "src").getAbsolutePath
+        val sink = new File(root, "sink").getAbsolutePath
+        val ckpt = new File(root, "ckpt").getAbsolutePath
+        LakeQueries.synchronized {
+          val fs = new org.apache.hadoop.fs.Path(root.getAbsolutePath)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(root.getAbsolutePath), true)
+          val base = Tables(s, dir, "events").select(MergeCols.map(col): _*)
+          def follow(): Unit =
+            s.readStream.format("graft").load(src)
+              .writeStream.format("graft")
+              .option("checkpointLocation", ckpt)
+              .option("partitionKeys", "event_type")
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start(sink).awaitTermination()
+          MergeData.writeMerged(s,
+            base.filter(col("event_type") === "click"), src,
+            keys = Seq("event_type"))
+          Versioned.init(s, src, commitTs = 1000L)
+          follow() // batch 0: the snapshot (clicks)
+          Versioned.append(s, src,
+            base.filter(col("event_type") === "view"), Seq("event_type"),
+            commitTs = 2000L)
+          follow() // tail: the appended views
+        }
+        Versioned.snapshot(s, sink)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("row_count"),
+            round(sum("value"), 4).as("sum_value"),
+            count_distinct(col("event_id")).as("n_ids"))
+          .orderBy("event_type")
+      },
+      Some("""
+        SELECT event_type, count(*) AS row_count,
+               round(sum(value::DOUBLE), 4) AS sum_value,
+               count(DISTINCT event_id) AS n_ids
+        FROM events WHERE event_type IN ('click','view')
+        GROUP BY 1 ORDER BY 1"""),
+      "readStream.format(graft) -> txn graft sink across two AvailableNow runs (snapshot + appended wave): sink state == batch recompute")
   )
 }

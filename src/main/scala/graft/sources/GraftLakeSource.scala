@@ -9,9 +9,9 @@ import org.apache.spark.sql.execution.datasources.{FileIndex, GraftPartitionBrid
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.{SaveMode}
-import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.execution.streaming.{Sink, Source}
 import org.apache.spark.sql.sources
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, Filter, PrunedFilteredScan, RelationProvider, StreamSinkProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, Filter, PrunedFilteredScan, RelationProvider, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{ByteType, DateType, DoubleType, FloatType, IntegerType, LongType, ShortType, StructType}
 
@@ -56,7 +56,7 @@ import graft.lake.{PruneIn, PruneIsNull, PruneNotNull, PrunePred, PruneRange, Ve
   * can name. */
 final class GraftLakeSource extends RelationProvider
   with CreatableRelationProvider with StreamSinkProvider
-  with DataSourceRegister {
+  with StreamSourceProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
 
@@ -163,6 +163,36 @@ final class GraftLakeSource extends RelationProvider
           "on this writer (a spark.sql.streaming.checkpointLocation conf " +
           "is not visible here) or .option(\"txnId\", ...)"))
     new GraftStreamSink(sqlContext, dir, keys, txnId)
+  }
+
+  /** The STREAMING read surface — see [[GraftStreamSource]].
+    * Options: `startingVersion` (serve appends after it instead of an
+    * initial snapshot), `maxVersionsPerTrigger` (backpressure, in
+    * commits per micro-batch). */
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val opts = parameters.map { case (k, v) => (k.toLowerCase, v) }
+    val dir = opts.getOrElse("path", throw new IllegalArgumentException(
+      "the graft stream source needs a table directory: " +
+        "spark.readStream.format(\"graft\").load(dir)"))
+    require(Versioned.currentVersion(sqlContext.sparkSession, dir) >= 0,
+      s"$dir is not a versioned graft lake (no _manifest): Versioned.init() first")
+    (shortName(), schema.getOrElse(
+      Versioned.snapshot(sqlContext.sparkSession, dir).schema))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val opts = parameters.map { case (k, v) => (k.toLowerCase, v) }
+    val dir = opts.getOrElse("path", throw new IllegalArgumentException(
+      "the graft stream source needs a table directory: " +
+        "spark.readStream.format(\"graft\").load(dir)"))
+    new GraftStreamSource(sqlContext, dir, metadataPath,
+      opts.get("startingversion").map(_.toLong),
+      opts.get("maxversionspertrigger").map(_.toLong)
+        .getOrElse(Long.MaxValue))
   }
 
   private def parseTs(s: String): Long =

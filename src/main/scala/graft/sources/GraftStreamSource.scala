@@ -1,0 +1,129 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, GraftColumnBridge, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types.StructType
+
+import graft.lake.Versioned
+
+/** `spark.readStream.format("graft").load(dir)` — follow a versioned
+  * lake as a STREAM, the standard spelling of what
+  * [[graft.streaming.StreamingTableFollow]] exposes as a library loop
+  * (Delta's "stream from a table"). The manifest gates visibility, so
+  * a micro-batch can never see an in-flight writer's files — exactly
+  * the guarantee a plain file stream over the data directory cannot
+  * give.
+  *
+  * OFFSETS ARE VERSIONS: Spark's own offset log records the manifest
+  * version each batch served through, so a restarted (or crashed)
+  * query replays the IDENTICAL (fromV, toV] range — manifests are
+  * immutable, so the replayed batch is byte-identical, and a
+  * downstream txn-marked sink (`writeStream.format("graft")`,
+  * [[Versioned.append]] with `txn`) deduplicates it by construction:
+  * exactly-once end to end with NO source-side state beyond a
+  * best-effort floor cache (`graft_hw` under the stream's metadata
+  * dir, used only to rate-limit `getOffset`; losing it costs one
+  * uncapped batch, never a wrong row).
+  *
+  * Batch semantics:
+  *  - first batch: the CURRENT SNAPSHOT (the reference's follower
+  *    semantics — not version 0, which vacuum may have reaped), or
+  *    the appends since `startingVersion` when that option is set
+  *    (the consumer bootstrapped out of band);
+  *  - every later batch: [[Versioned.appendsBetween]] — the rows of
+  *    exactly the files the versions in range appended. A range
+  *    containing a REWRITE commit (merge/optimize/delete) refuses
+  *    loudly and points at the change feed — same contract as the
+  *    library follower.
+  *
+  * `maxVersionsPerTrigger` (Delta's backpressure knob, in versions)
+  * bounds how many commits one micro-batch may cover. */
+private[sources] class GraftStreamSource(sqlContext: SQLContext,
+    dir: String, metadataPath: String,
+    startingVersion: Option[Long], maxVersionsPerTrigger: Long)
+  extends Source {
+
+  private val spark = sqlContext.sparkSession
+  private val fs = new Path(metadataPath)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private val startPath = new Path(metadataPath, "graft_start")
+  private val hwPath = new Path(metadataPath, "graft_hw")
+
+  private def readLong(p: Path): Option[Long] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.trim.toLong)
+      finally in.close()
+    }
+
+  private def writeLong(p: Path, v: Long): Unit = {
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The first batch's base, pinned ONCE per checkpoint (replays of
+    * batch 0 must serve the identical range even across restarts):
+    * -1 = snapshot mode, else the seeded starting version. */
+  private val startV: Long = readLong(startPath).getOrElse {
+    val v = startingVersion.getOrElse(-1L)
+    writeLong(startPath, v)
+    v
+  }
+
+  override val schema: StructType =
+    Versioned.snapshot(spark, dir).schema
+
+  private def ver(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case s: SerializedOffset => LongOffset(s).offset
+    case other => other.json().trim.toLong
+  }
+
+  override def getOffset: Option[Offset] = {
+    val cur = Versioned.currentVersion(spark, dir)
+    if (cur < 0) return None
+    readLong(hwPath) match {
+      case Some(hw) if cur <= hw => Some(LongOffset(hw))
+      case Some(hw) =>
+        // saturating add: the default cap is Long.MaxValue
+        val cap = hw + math.max(1L, maxVersionsPerTrigger)
+        Some(LongOffset(if (cap < hw) cur else math.min(cur, cap)))
+      case None => Some(LongOffset(cur)) // floor unknown: uncapped is safe
+    }
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val toV = ver(end)
+    val rows = start.map(ver) match {
+      case None if startV < 0 => Versioned.snapshot(spark, dir, toV)
+      case None => Versioned.appendsBetween(spark, dir, startV, toV)
+      case Some(fromV) if fromV >= toV =>
+        Versioned.snapshot(spark, dir, toV).limit(0)
+      case Some(fromV) => Versioned.appendsBetween(spark, dir, fromV, toV)
+    }
+    advanceHw(toV)
+    // pin the stream's schema: later commits may have evolved the
+    // table — drift columns drop, missing ones null-fill (U1's rule)
+    val aligned = rows.select(schema.fields.toSeq.map { f =>
+      if (rows.columns.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+    GraftColumnBridge.internalDataFrame(spark,
+      aligned.queryExecution.toRdd, aligned.schema, isStreaming = true)
+  }
+
+  override def commit(end: Offset): Unit = advanceHw(ver(end))
+
+  private def advanceHw(v: Long): Unit =
+    if (!readLong(hwPath).exists(_ >= v)) writeLong(hwPath, v)
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"GraftStreamSource[$dir]"
+}

@@ -1,0 +1,136 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.lake.Versioned
+import graft.ops.MergeData
+
+/** `readStream.format("graft")` — the streaming-read spelling of the
+  * table follower. Pins: snapshot-first batch semantics, append-only
+  * tailing across query RESTARTS with a txn-marked graft sink
+  * (exactly-once end to end: streamed state == batch snapshot, no
+  * duplicates on replay), `startingVersion` (no initial snapshot),
+  * `maxVersionsPerTrigger` backpressure (each run's batches stay
+  * within the cap, backlog drains across runs), and the loud refusal
+  * on a rewrite commit in range. */
+class GraftStreamSourceSpec extends SparkSpec {
+
+  private def state(d: DataFrame): Set[(String, Long, Double)] =
+    d.select("site", "id", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+
+  private def mkLake(root: java.io.File, rows: Seq[(String, Long, Double)])
+      : String = {
+    val lake = new java.io.File(root, "src_lake").getAbsolutePath
+    MergeData.writeMerged(spark, df(rows, "site", "id", "v"), lake,
+      keys = Seq("site"))
+    Versioned.init(spark, lake)
+    lake
+  }
+
+  private def follow(srcLake: String, sinkLake: String, ckpt: String,
+      options: Map[String, String] = Map.empty): Unit = {
+    val reader = spark.readStream.format("graft")
+    options.foreach { case (k, v) => reader.option(k, v) }
+    reader.load(srcLake)
+      .writeStream.format("graft")
+      .option("checkpointLocation", ckpt)
+      .option("partitionKeys", "site")
+      .trigger(Trigger.AvailableNow())
+      .start(sinkLake).awaitTermination()
+  }
+
+  test("follow: snapshot-first batch, appended versions tail in, restarts do not duplicate (exactly-once into the txn sink)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ssrc").toFile
+    root.deleteOnExit()
+    val src = mkLake(root, Seq(("a", 1L, 1.0), ("b", 10L, 10.0)))
+    val sink = new java.io.File(root, "sink").getAbsolutePath
+    val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+    follow(src, sink, ckpt)
+    assert(state(Versioned.snapshot(spark, sink)) ==
+      state(Versioned.snapshot(spark, src)),
+      "first run must deliver the current snapshot")
+    // two more appends, then one follow run: both tail in
+    Versioned.append(spark, src, df(Seq(("a", 2L, 2.0)), "site", "id", "v"),
+      Seq("site"))
+    Versioned.append(spark, src, df(Seq(("c", 3L, 3.0)), "site", "id", "v"),
+      Seq("site"))
+    follow(src, sink, ckpt)
+    assert(state(Versioned.snapshot(spark, sink)) ==
+      state(Versioned.snapshot(spark, src)))
+    // restart with NOTHING new: replay must be a no-op (no duplicates)
+    val nSink = Versioned.currentVersion(spark, sink)
+    follow(src, sink, ckpt)
+    assert(state(Versioned.snapshot(spark, sink)) ==
+      state(Versioned.snapshot(spark, src)))
+    assert(Versioned.currentVersion(spark, sink) == nSink,
+      "an idle restart must not commit anything")
+    // row-count sanity: exactly-once, not at-least-once
+    assert(Versioned.snapshot(spark, sink).count() == 4L)
+  }
+
+  test("startingVersion: no initial snapshot — only appends after the seed arrive") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ssrc_sv").toFile
+    root.deleteOnExit()
+    val src = mkLake(root, Seq(("a", 1L, 1.0), ("b", 10L, 10.0)))
+    Versioned.append(spark, src, df(Seq(("c", 3L, 3.0)), "site", "id", "v"),
+      Seq("site")) // v1 — after the seed
+    val sink = new java.io.File(root, "sink").getAbsolutePath
+    val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+    follow(src, sink, ckpt, Map("startingVersion" -> "0"))
+    assert(state(Versioned.snapshot(spark, sink)) == Set(("c", 3L, 3.0)),
+      "with startingVersion=0 only the post-v0 appends stream")
+  }
+
+  test("maxVersionsPerTrigger: backlog drains in bounded chunks across runs; floor cache survives") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ssrc_mx").toFile
+    root.deleteOnExit()
+    val src = mkLake(root, Seq(("a", 1L, 1.0)))
+    val sink = new java.io.File(root, "sink").getAbsolutePath
+    val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+    // consume the (inherently one-batch) initial snapshot first; the
+    // cap governs the TAIL, not the bootstrap
+    follow(src, sink, ckpt, Map("maxVersionsPerTrigger" -> "2"))
+    (2 to 5).foreach { i =>
+      Versioned.append(spark, src,
+        df(Seq(("a", i.toLong, i.toDouble)), "site", "id", "v"), Seq("site"))
+    } // src at v4: a 4-version backlog behind the follower
+    // AvailableNow pins its target from the source's capped offset, so
+    // each run consumes at most ONE chunk of <= 2 versions; the
+    // backlog drains in a bounded number of runs
+    var runs = 0
+    def caughtUp: Boolean = Versioned.currentVersion(spark, sink) >= 0 &&
+      state(Versioned.snapshot(spark, sink)) ==
+        state(Versioned.snapshot(spark, src))
+    while (!caughtUp && runs < 6) {
+      follow(src, sink, ckpt, Map("maxVersionsPerTrigger" -> "2"))
+      runs += 1
+    }
+    assert(state(Versioned.snapshot(spark, sink)) ==
+      state(Versioned.snapshot(spark, src)),
+      s"backlog must drain (gave up after $runs runs)")
+    assert(runs >= 2,
+      "a cap of 2 versions cannot deliver a 4-version backlog in one run")
+    assert(Versioned.snapshot(spark, sink).count() == 5L, "exactly-once")
+  }
+
+  test("a rewrite commit in range refuses loudly and points at the change feed") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ssrc_rw").toFile
+    root.deleteOnExit()
+    val src = mkLake(root, Seq(("a", 1L, 1.0), ("b", 10L, 10.0)))
+    val sink = new java.io.File(root, "sink").getAbsolutePath
+    val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+    follow(src, sink, ckpt) // consume the snapshot
+    Versioned.mergeInto(spark, src,
+      df(Seq(("a", 1L, 99.0)), "site", "id", "v"), Seq("site"),
+      Seq("site", "id")) // a REWRITE commit
+    val e = intercept[Exception] { follow(src, sink, ckpt) }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("change feed")),
+      s"expected the append-only refusal, got: ${msgs(e).mkString(" | ")}")
+  }
+}
