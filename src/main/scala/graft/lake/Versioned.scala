@@ -332,9 +332,21 @@ object Versioned {
     resolveCache.synchronized(Option(resolveCache.get((dir, v))))
   private def cachePut(dir: String, v: Long, files: Seq[String]): Unit =
     resolveCache.synchronized(resolveCache.put((dir, v), files))
-  private def cacheDrop(dir: String): Unit = resolveCache.synchronized {
-    resolveCache.keySet.removeIf(_._1 == dir)
+  private def cacheDrop(dir: String): Unit = {
+    resolveCache.synchronized {
+      resolveCache.keySet.removeIf(_._1 == dir)
+    }
+    cacheDropHooks.forEach(h => h(dir))
   }
+
+  /** Invalidation fan-out for DERIVED per-(dir, version) caches built
+    * on top of this resolution layer (the format relation cache in
+    * [[graft.sources.GraftFileIndex]]): whenever a table's resolutions
+    * drop here (vacuum, clone localization, restore-with-reap), every
+    * registered hook drops its entries for the same dir — one
+    * invalidation discipline, defined once. */
+  private[graft] val cacheDropHooks =
+    new java.util.concurrent.CopyOnWriteArrayList[String => Unit]()
 
   /** Relative data-file paths live at `version` (latest if -1),
     * resolved as newest-checkpoint-at-or-below plus its delta tail
@@ -1095,10 +1107,37 @@ object Versioned {
     * MAPPING — what restore needs: the restored commit takes the
     * target's files but keeps the current mapping (protocol rules,
     * like constraints, survive a rollback). */
+  // ---- schema anchor for EMPTY tables ------------------------------
+  // `CREATE TABLE` declares a schema before any row exists, but the
+  // manifest protocol carries schema IN the data files — so an empty
+  // table writes one zero-row parquet under `_schema/` (underscore:
+  // never listed as data, never referenced by a manifest, never
+  // vacuumed) and zero-file versions read a typed empty frame from it.
+  // The first real write makes the anchor irrelevant (files win).
+  private def anchorPath(dir: String) = s"$dir/_schema/anchor"
+
+  private[graft] def writeSchemaAnchor(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType): Unit =
+    spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .repartition(1).write.mode("overwrite").parquet(anchorPath(dir))
+
+  private def anchorDf(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val p = new Path(anchorPath(dir))
+    if (fsOf(spark, dir).exists(p)) Some(spark.read.parquet(p.toString))
+    else None
+  }
+
   private def snapshotUnderMeta(spark: SparkSession, dir: String,
       fileV: Long, metaV: Long): DataFrame = {
     val files = filesAt(spark, dir, fileV)
-    require(files.nonEmpty, s"version $fileV of $dir has no files")
+    if (files.isEmpty) {
+      val anchor = anchorDf(spark, dir).getOrElse(throw
+        new IllegalArgumentException(
+          s"version $fileV of $dir has no files (and no _schema anchor " +
+            "a CREATE TABLE would have left)"))
+      return applyColumnMapping(metaAt(spark, dir, metaV), anchor)
+    }
     applyColumnMapping(metaAt(spark, dir, metaV),
       applyTombstones(spark, dir, fileV, readRefs(spark, dir, files)))
   }

@@ -97,12 +97,38 @@ class GraftCatalog extends TableCatalog {
       Versioned.versionAsOf(spark, dir, timestamp / 1000L))
   }
 
+  /** SQL `CREATE TABLE graft.`dir`` (c1 T, ...) PARTITIONED BY (k)`:
+    * initializes a versioned lake at the directory — v0 is the EMPTY
+    * table (a zero-row `_schema` anchor carries the declared schema
+    * until the first write), and identity partition columns become the
+    * lake's DECLARED spec, so every later writer (SQL INSERT, the
+    * format, the library) is spec-checked from day one. Only identity
+    * transforms: bucket/days/etc. are expressed as GENERATED columns
+    * plus `changePartitionSpec` (hidden partitioning), the library's
+    * explicit surface. */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog is read-only: create lakes with Versioned.init / " +
-        "MergeData.writeMerged")
+      properties: util.Map[String, String]): Table = {
+    val dir = dirOf(ident)
+    val spark = SparkSession.active
+    if (Versioned.currentVersion(spark, dir) >= 0)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident)
+    val keys: Seq[String] = partitions.toSeq.map { t =>
+      require(t.name == "identity" && t.references.length == 1,
+        s"graft tables support only identity PARTITIONED BY columns " +
+          s"(got $t): express derived partitioning as a generated " +
+          "column + Versioned.changePartitionSpec")
+      t.references()(0).fieldNames().mkString(".")
+    }
+    val missing = keys.filterNot(schema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"PARTITIONED BY column(s) not in the schema: ${missing.mkString(", ")}")
+    Versioned.writeSchemaAnchor(spark, dir, schema)
+    Versioned.init(spark, dir)
+    if (keys.nonEmpty) Versioned.changePartitionSpec(spark, dir, keys)
+    loadTable(ident)
+  }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException(

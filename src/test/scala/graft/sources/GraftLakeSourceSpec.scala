@@ -215,4 +215,32 @@ class GraftLakeSourceSpec extends SparkSpec {
     val fast = spark.read.format("graft").load(dir)
     assert(state(fast) == state(Versioned.snapshot(spark, dir)))
   }
+
+  test("relation cache: a repeat read of the same version builds NOTHING (no listStatus, no footer pass); a new commit builds once; vacuum invalidates") {
+    val dir = freshLake()
+    Versioned.init(spark, dir)
+    def builds: Long = GraftFileIndex.relationBuilds
+    val b0 = builds
+    assert(state(spark.read.format("graft").load(dir)) ==
+      state(Versioned.snapshot(spark, dir)))
+    assert(builds == b0 + 1, "first read of v0 builds the relation")
+    spark.read.format("graft").load(dir).count()
+    spark.read.format("graft").load(dir).filter(col("site") === "a").count()
+    assert(builds == b0 + 1,
+      "repeat reads of the same version must serve from the cache " +
+        "(zero additional driver listStatus/schema work)")
+    // a commit moves the current version: exactly one new build
+    Versioned.append(spark, dir, df(Seq(("a", 9L, 9.0)), "site", "id", "v"),
+      Seq("site"))
+    spark.read.format("graft").load(dir).count()
+    assert(builds == b0 + 2, "a new version builds exactly once")
+    // explicit versionAsOf of the OLD version: still cached from read 1
+    spark.read.format("graft").option("versionAsOf", "0").load(dir).count()
+    assert(builds == b0 + 2, "time-travel to a cached version is free")
+    // vacuum drops the table's resolutions -> the derived cache drops
+    // with them (Versioned.cacheDropHooks fan-out)
+    Versioned.vacuum(spark, dir, keepVersions = 2)
+    spark.read.format("graft").load(dir).count()
+    assert(builds == b0 + 3, "vacuum must invalidate the relation cache")
+  }
 }

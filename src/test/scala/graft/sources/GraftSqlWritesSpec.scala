@@ -172,6 +172,39 @@ class GraftSqlWritesSpec extends SparkSpec {
       .contains(("e", 40L, 40.0)), "pre-overwrite version still travels")
   }
 
+  test("CREATE TABLE through the catalog: empty typed SELECT, declared spec enforced, SQL INSERT + format write round-trip") {
+    val dir = new java.io.File(
+      java.nio.file.Files.createTempDirectory("graft_ct").toFile,
+      "t1").getAbsolutePath
+    spark.sql(s"CREATE TABLE ${tbl(dir)} " +
+      "(id BIGINT, v DOUBLE, site STRING) PARTITIONED BY (site)")
+    // the empty table reads with the DECLARED schema, zero rows
+    val empty = spark.sql(s"SELECT * FROM ${tbl(dir)}")
+    assert(empty.count() == 0L)
+    assert(empty.schema.fieldNames.toSet == Set("id", "v", "site"))
+    assert(spark.read.format("graft").load(dir).count() == 0L,
+      "the format surface reads the empty table too")
+    // the spec was DECLARED: a write with the wrong keys refuses
+    val e = intercept[Exception] {
+      Versioned.append(spark, dir,
+        df(Seq((1L, 1.0, "a")), "id", "v", "site"), Seq("id"))
+    }
+    assert(e.getMessage.contains("declared"))
+    // SQL INSERT lands as a manifest commit under the declared spec
+    spark.sql(s"INSERT INTO ${tbl(dir)} VALUES (1, 1.0, 'a'), (2, 2.0, 'b')")
+    assert(state(Versioned.snapshot(spark, dir)) ==
+      Set(("a", 1L, 1.0), ("b", 2L, 2.0)))
+    assert(Versioned.filesAt(spark, dir).forall(_.startsWith("site=")),
+      "rows land Hive-partitioned by the declared key")
+    // the format write surface joins in (keys inferred from the spec)
+    df(Seq((3L, 3.0, "c")), "id", "v", "site")
+      .write.format("graft").mode("append").save(dir)
+    assert(state(Versioned.snapshot(spark, dir)) ==
+      Set(("a", 1L, 1.0), ("b", 2L, 2.0), ("c", 3L, 3.0)))
+    // CREATE on an existing lake refuses
+    intercept[Exception] { spark.sql(s"CREATE TABLE ${tbl(dir)} (x INT)") }
+  }
+
   test("WITHOUT the rule: a view INSERT fails loudly (refresh poison) and the manifest never references the bare files") {
     val dir = freshLake()
     spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW sqlw_bare " +
