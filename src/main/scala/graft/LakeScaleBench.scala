@@ -292,6 +292,30 @@ object LakeScaleBench {
       Versioned.materializeDeletes(spark, morLake, Seq("bucket"))
     }
 
+    // ---- round-13: PLANNER-PATH ledger ---------------------------
+    // The format relation is the dashboard user's per-query driver
+    // cost: ONE cold build pays a listStatus per partition dir plus a
+    // mergeSchema footer pass; every later read of the same version
+    // serves from the (dir, version) cache — the cached row must stay
+    // ~flat as the lake grows, and the cold row is the honest O(files)
+    // listing cost. listFiles planner work is O(candidate files): a
+    // partition filter prunes to that partition BEFORE any sidecar
+    // probe — files-listed counts pin it structurally.
+    val curR = Versioned.currentVersion(spark, rlake)
+    time("relation_cold_build") {
+      graft.sources.GraftFileIndex.relation(spark.sqlContext, rlake, curR)
+    }
+    time("relation_cached") {
+      graft.sources.GraftFileIndex.relation(spark.sqlContext, rlake, curR)
+    }
+    val rel = spark.read.format("graft").load(rlake)
+    rel.filter(col("bucket") === 3).count()
+    metrics("planner_files_one_bucket") =
+      graft.sources.GraftFileIndex.lastListedFiles.size
+    rel.count()
+    metrics("planner_files_full") =
+      graft.sources.GraftFileIndex.lastListedFiles.size
+
     def j(v: Any): String = v match {
       case s: String => "\"" + s + "\""
       case x => String.valueOf(x)

@@ -895,6 +895,14 @@ object Versioned {
       .toDF("logical", "physical", "dropped")
   }
 
+  /** The raw mapping of `version` for layers that need it as data, not
+    * a DataFrame: (logical→physical renames, dropped physicals). */
+  private[graft] def columnMappingRaw(spark: SparkSession, dir: String,
+      version: Long): (Map[String, String], Set[String]) = {
+    val meta = metaAt(spark, dir, version)
+    (meta.renames, meta.droppedCols.toSet)
+  }
+
   // ---- partition spec as a table property --------------------------
   // Iceberg evolves partition specs per-file; Delta repartitions by
   // rewriting. This protocol takes the Delta road with Iceberg's

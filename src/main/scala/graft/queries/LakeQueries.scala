@@ -4236,6 +4236,60 @@ object LakeQueries {
                count(DISTINCT event_id) AS n_ids
         FROM events WHERE event_type IN ('click','view')
         GROUP BY 1 ORDER BY 1"""),
-      "readStream.format(graft) -> txn graft sink across two AvailableNow runs (snapshot + appended wave): sink state == batch recompute")
+      "readStream.format(graft) -> txn graft sink across two AvailableNow runs (snapshot + appended wave): sink state == batch recompute"),
+
+    // ---------------------------------------------------------------
+    // COLUMN MAPPING on the VECTORIZED fast path: rename a column
+    // (metadata-only), append a post-rename wave (its files carry the
+    // PHYSICAL name), then read through the format — the plan is
+    // require()d to be a columnar FileSourceScan over GraftFileIndex
+    // (not the row-based snapshot relation the mapped read used to
+    // drop to), and the values hash against the plain recompute.
+    // ---------------------------------------------------------------
+    Q("q200_mapped_vectorized_read",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val root = new File(new File(sys.props("user.dir"), "target"),
+          s"graft_mapvq_$tag")
+        val lake = new File(root, "lake").getAbsolutePath
+        LakeQueries.synchronized {
+          val fs = new org.apache.hadoop.fs.Path(root.getAbsolutePath)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(root.getAbsolutePath), true)
+          val base = Tables(s, dir, "events").select(MergeCols.map(col): _*)
+          MergeData.writeMerged(s,
+            base.filter(col("event_type").isin("click", "view")), lake,
+            keys = Seq("event_type"))
+          Versioned.init(s, lake, commitTs = 1000L)
+          Versioned.renameColumn(s, lake, "value", "reading")
+          Versioned.append(s, lake,
+            base.filter(col("event_type") === "purchase")
+              .withColumnRenamed("value", "reading"),
+            Seq("event_type"), commitTs = 2000L)
+        }
+        val read = s.read.format("graft").load(lake)
+        val scans = read.queryExecution.executedPlan.collect {
+          case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+        }
+        require(scans.nonEmpty &&
+          scans.head.relation.location
+            .isInstanceOf[graft.sources.GraftFileIndex] &&
+          scans.head.supportsColumnar,
+          "mapped read must plan a columnar FileSourceScan over GraftFileIndex")
+        read.filter(col("reading") >= 0.0) // logical-name pushdown leg
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("row_count"),
+            round(sum("reading"), 4).as("sum_reading"),
+            count_distinct(col("event_id")).as("n_ids"))
+          .orderBy("event_type")
+      },
+      Some("""
+        SELECT event_type, count(*) AS row_count,
+               round(sum(value::DOUBLE), 4) AS sum_reading,
+               count(DISTINCT event_id) AS n_ids
+        FROM events WHERE event_type IN ('click','view','purchase')
+          AND value >= 0.0
+        GROUP BY 1 ORDER BY 1"""),
+      "column-mapped read stays vectorized (plan require()s GraftFileIndex + ColumnarBatch): rename + post-rename append read logical == recompute")
   )
 }

@@ -129,13 +129,16 @@ final class GraftLakeSource extends RelationProvider
       .getOrElse(cur)
     require(version >= 0 && version <= cur,
       s"versionAsOf $version does not exist in $dir (current is $cur)")
-    val mapped = !Versioned.columnMapping(spark, dir, version).isEmpty
     val mor = Versioned.deleteFilesAt(spark, dir, version).nonEmpty
     // an EMPTY version (CREATE TABLE before the first write) has no
     // files for a FileIndex — the snapshot relation serves the typed
-    // zero-row frame from the _schema anchor
+    // zero-row frame from the _schema anchor. Pending MOR tombstones
+    // need an anti-join no FileIndex can express — snapshot path.
+    // COLUMN MAPPING stays on the VECTORIZED fast path: the relation's
+    // file format translates logical names to the files' physical ones
+    // at the reader seam ([[GraftMappedParquetFileFormat]]).
     val empty = Versioned.filesAt(spark, dir, version).isEmpty
-    if (mapped || mor || empty)
+    if (mor || empty)
       new GraftSnapshotRelation(sqlContext, dir, version)
     else GraftFileIndex.relation(sqlContext, dir, version)
   }
@@ -394,12 +397,25 @@ object GraftFileIndex {
       if (spec.partitionColumns.isEmpty)
         Seq((InternalRow.empty, statuses.values.flatten.toArray))
       else spec.partitions.map(pp => (pp.values, statuses(pp.path)))
-    val dataSchema = spark.read.option("mergeSchema", "true")
+    // files carry PHYSICAL column names; the relation exposes LOGICAL
+    // ones (dropped physicals pruned, renames applied) and the file
+    // format translates back at the reader seam — the column-mapping
+    // read stays on the vectorized pipe
+    val (renames, dropped) = Versioned.columnMappingRaw(spark, dir, version)
+    val physToLog = renames.map(_.swap)
+    val physSchema = spark.read.option("mergeSchema", "true")
       .parquet(abs: _*).schema
+    val dataSchema = StructType(physSchema.flatMap { f =>
+      if (dropped.contains(f.name)) None
+      else Some(f.copy(name = physToLog.getOrElse(f.name, f.name)))
+    })
+    val fmt =
+      if (renames.isEmpty && dropped.isEmpty) new ParquetFileFormat
+      else new GraftMappedParquetFileFormat(renames)
     val index = new GraftFileIndex(spark, dir, version,
       spec.partitionColumns, parts)
     HadoopFsRelation(index, spec.partitionColumns, dataSchema, None,
-      new ParquetFileFormat, Map.empty[String, String])(
+      fmt, Map.empty[String, String])(
       sqlContext.sparkSession)
   }
 

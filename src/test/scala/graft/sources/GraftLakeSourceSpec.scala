@@ -216,6 +216,48 @@ class GraftLakeSourceSpec extends SparkSpec {
     assert(state(fast) == state(Versioned.snapshot(spark, dir)))
   }
 
+  test("column mapping stays VECTORIZED: renamed table reads through GraftFileIndex + ColumnarBatch, values == snapshot, pushdown lands physical") {
+    val dir = freshLake()
+    Versioned.init(spark, dir)
+    Versioned.renameColumn(spark, dir, "v", "reading")
+    // a post-rename append writes the PHYSICAL name under the hood;
+    // both generations must read back logical through one plan
+    Versioned.append(spark, dir,
+      df(Seq(("a", 3L, 30.0)), "site", "id", "reading"), Seq("site"))
+    val read = spark.read.format("graft").load(dir)
+    val scans = read.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, "mapped read must plan a FileSourceScan")
+    assert(scans.head.relation.location.isInstanceOf[GraftFileIndex],
+      "mapped read must stay on the manifest FileIndex fast path")
+    assert(scans.head.supportsColumnar,
+      "mapped read must keep the vectorized (ColumnarBatch) pipe")
+    val got = read.select("site", "id", "reading").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = Versioned.snapshot(spark, dir)
+      .select("site", "id", "reading").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want && got.contains(("a", 3L, 30.0)))
+    // a LOGICAL-name filter still pushes (displayed logical — the
+    // user-facing schema), answers exactly, and the format's reader-
+    // seam translation re-spells it physical for parquet
+    val filtered = read.filter(col("reading") > 5.0)
+    val fscan = filtered.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    assert(fscan.metadata("PushedFilters").contains("GreaterThan(reading,"),
+      s"filter must push: ${fscan.metadata("PushedFilters")}")
+    val fmt = fscan.relation.fileFormat
+      .asInstanceOf[GraftMappedParquetFileFormat]
+    assert(fmt.physFilter(org.apache.spark.sql.sources
+        .GreaterThan("reading", 5.0)) ==
+      Some(org.apache.spark.sql.sources.GreaterThan("v", 5.0)),
+      "the reader seam must re-spell pushed filters physical")
+    assert(filtered.count() ==
+      Versioned.snapshot(spark, dir).filter(col("reading") > 5.0).count())
+  }
+
   test("relation cache: a repeat read of the same version builds NOTHING (no listStatus, no footer pass); a new commit builds once; vacuum invalidates") {
     val dir = freshLake()
     Versioned.init(spark, dir)
