@@ -34,6 +34,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL row-level writes over graft relations: MERGE INTO / UPDATE /
     // DELETE / INSERT lowered onto the manifest mutation core
     ext.injectOptimizerRule(graft.sources.GraftRowLevelSql(_))
+    // vectorized-read upgrade (catalog scans, MOR windows) — must run
+    // AFTER the mutation lowering (a mutation target keeps its native
+    // relation shape); injection order preserves rule order
+    ext.injectOptimizerRule(graft.sources.GraftVectorizedReads(_))
   }
 }
 
@@ -176,5 +180,10 @@ object GraftExtensions {
     if (!sqlWAlready)
       spark.experimental.extraOptimizations ++=
         Seq(graft.sources.GraftRowLevelSql(spark))
+    val vecAlready = spark.experimental.extraOptimizations
+      .exists(_.isInstanceOf[graft.sources.GraftVectorizedReads])
+    if (!vecAlready) // after GraftRowLevelSql — ordering contract
+      spark.experimental.extraOptimizations ++=
+        Seq(graft.sources.GraftVectorizedReads(spark))
   }
 }

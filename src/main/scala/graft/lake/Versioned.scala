@@ -1239,8 +1239,14 @@ object Versioned {
     * (rows in files added at or after it are the upsert's own fresh
     * data — never filtered). */
   private def tombstoneFilter(spark: SparkSession, dir: String,
-      version: Long, df: DataFrame, keep: Boolean): DataFrame = {
+      version: Long, df: DataFrame, keep: Boolean,
+      liftTomb: DataFrame => DataFrame = identity): DataFrame = {
+    // `liftTomb` re-spells the tombstone keys for the frame being
+    // filtered: identity when `df` reads PHYSICAL columns (the
+    // snapshot core), the physical→logical mapping when `df` is the
+    // mapped fast relation (the vectorized MOR upgrade)
     val groups = tombstoneGroups(spark, dir, version)
+      .map { case (b, t, e) => (b, liftTomb(t), e) }
     if (groups.isEmpty) return if (keep) df else df.limit(0)
     val anyScope = groups.exists(_._1.isDefined)
     val srcCol = "__graft_src_file"
@@ -1276,6 +1282,19 @@ object Versioned {
   private def applyTombstones(spark: SparkSession, dir: String,
       version: Long, df: DataFrame): DataFrame =
     tombstoneFilter(spark, dir, version, df, keep = true)
+
+  /** [[applyTombstones]] for a frame that reads the version's files
+    * under LOGICAL names (the mapped vectorized relation): tombstone
+    * keys lift physical→logical before the anti-join. `df` must still
+    * read straight off the version's parquet files (scoped groups bind
+    * rows to source files via `input_file_name`) — the fast-path
+    * relation does. No-op when the version has no pending deletes. */
+  private[graft] def applyTombstonesLogical(spark: SparkSession,
+      dir: String, version: Long, df: DataFrame): DataFrame = {
+    val meta = metaAt(spark, dir, version)
+    tombstoneFilter(spark, dir, version, df, keep = true,
+      liftTomb = t => applyColumnMapping(meta, t))
+  }
 
   /** DESCRIBE HISTORY: one row per retained version, newest first —
     * version, commit timestamp, the committing OPERATION (merge /

@@ -4290,6 +4290,79 @@ object LakeQueries {
         FROM events WHERE event_type IN ('click','view','purchase')
           AND value >= 0.0
         GROUP BY 1 ORDER BY 1"""),
-      "column-mapped read stays vectorized (plan require()s GraftFileIndex + ColumnarBatch): rename + post-rename append read logical == recompute")
+      "column-mapped read stays vectorized (plan require()s GraftFileIndex + ColumnarBatch): rename + post-rename append read logical == recompute"),
+
+    // ---------------------------------------------------------------
+    // MOR WINDOW on the VECTORIZED path: with GraftVectorizedReads
+    // registered, a table holding PENDING scoped tombstones (a MOR
+    // merge) AND a column mapping reads as a columnar FileSourceScan
+    // over GraftFileIndex with the tombstones applied as a POST-SCAN
+    // anti-join — the plan shape is require()d (scan + LeftAnti), and
+    // the rows hash against the plain recompute. Before this round a
+    // MOR-steady-state table paid row conversion on every read.
+    // ---------------------------------------------------------------
+    Q("q201_mor_vectorized_read",
+      (s, dir) => {
+        graft.GraftExtensions.register(s)
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val root = new File(new File(sys.props("user.dir"), "target"),
+          s"graft_morvq_$tag")
+        val lake = new File(root, "lake").getAbsolutePath
+        LakeQueries.synchronized {
+          val fs = new org.apache.hadoop.fs.Path(root.getAbsolutePath)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(root.getAbsolutePath), true)
+          val base = Tables(s, dir, "events").select(MergeCols.map(col): _*)
+            .filter(col("event_type").isin("click", "view"))
+          MergeData.writeMerged(s, base, lake, keys = Seq("event_type"))
+          Versioned.init(s, lake, commitTs = 1000L)
+          Versioned.renameColumn(s, lake, "value", "reading")
+          // q115's batch shape through the MOR path, under the rename —
+          // the tombstones stay PENDING (no materialize): the read
+          // below exercises the scoped anti-join itself
+          Versioned.mergeIntoMor(s, lake,
+            base.filter(col("event_id") % 10 === 0)
+                .withColumn("value", col("value") * 2)
+                .withColumnRenamed("value", "reading")
+                .withColumn("__delete", lit(false))
+              .unionByName(base.filter(col("event_id") % 10 === 1)
+                .withColumnRenamed("value", "reading")
+                .withColumn("__delete", lit(true))),
+            Seq("event_type"), Seq("event_id"), commitTs = 2000L)
+          require(Versioned.deleteFilesAt(s, lake).nonEmpty,
+            "the MOR tombstones must still be pending for this row")
+        }
+        val read = s.read.format("graft").load(lake)
+        def scans(p: org.apache.spark.sql.execution.SparkPlan)
+            : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+          p.collect {
+            case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+              Seq(sc)
+            case a: org.apache.spark.sql.execution.adaptive
+                .AdaptiveSparkPlanExec => scans(a.executedPlan)
+          }.flatten
+        val ss = scans(read.queryExecution.executedPlan)
+        require(ss.exists(sc => sc.relation.location
+            .isInstanceOf[graft.sources.GraftFileIndex] &&
+            sc.supportsColumnar),
+          "MOR read must plan a columnar FileSourceScan over GraftFileIndex")
+        require(read.queryExecution.executedPlan.toString.contains("LeftAnti"),
+          "pending tombstones must apply as a post-scan anti-join")
+        read.groupBy("event_type")
+          .agg(count(lit(1)).as("row_count"),
+            round(sum("reading"), 4).as("sum_reading"),
+            count_distinct(col("event_id")).as("n_ids"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH t AS (SELECT event_type, event_id, value FROM events
+                   WHERE event_type IN ('click','view'))
+        SELECT event_type, count(*) AS row_count,
+               round(sum(CASE WHEN event_id % 10 = 0 THEN value * 2
+                              ELSE value END::DOUBLE), 4) AS sum_reading,
+               count(DISTINCT event_id) AS n_ids
+        FROM t WHERE event_id % 10 <> 1
+        GROUP BY 1 ORDER BY 1"""),
+      "PENDING scoped tombstones + column mapping read VECTORIZED (plan require()s GraftFileIndex scan + LeftAnti anti-join) == recompute")
   )
 }
