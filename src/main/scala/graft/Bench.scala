@@ -21,6 +21,11 @@ object Bench {
       // operators (connectedComponents) otherwise pay full-width
       // scheduling per round on tiny cached frames
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      // the graft rules (SQL row-level writes, vectorized-read upgrade)
+      // ride the BUILDER hook so they run inside the optimizer's own
+      // fixed point - filters push below the MOR anti-join etc.; the
+      // in-query register() calls stay as the live-session fallback
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
