@@ -4363,6 +4363,72 @@ object LakeQueries {
                count(DISTINCT event_id) AS n_ids
         FROM t WHERE event_id % 10 <> 1
         GROUP BY 1 ORDER BY 1"""),
-      "PENDING scoped tombstones + column mapping read VECTORIZED (plan require()s GraftFileIndex scan + LeftAnti anti-join) == recompute")
+      "PENDING scoped tombstones + column mapping read VECTORIZED (plan require()s GraftFileIndex scan + LeftAnti anti-join) == recompute"),
+
+    // ---------------------------------------------------------------
+    // readStream CDC mode (`readChanges` — Delta's readChangeFeed):
+    // a deterministic merge streams as row-level actions into a txn
+    // graft sink; the batch-visible sink aggregates per `_action`
+    // against a pure-SQL derivation of the feed rows (preimages = the
+    // old values of updated keys, postimages = the new, inserts = the
+    // genuinely-new keys). This is the follower that serves REWRITE
+    // commits the append-only mode refuses.
+    // ---------------------------------------------------------------
+    Q("q202_readstream_changes",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val root = new File(new File(sys.props("user.dir"), "target"),
+          s"graft_cdcsq_$tag")
+        val src = new File(root, "src").getAbsolutePath
+        val sink = new File(root, "sink").getAbsolutePath
+        val ckpt = new File(root, "ckpt").getAbsolutePath
+        LakeQueries.synchronized {
+          val fs = new org.apache.hadoop.fs.Path(root.getAbsolutePath)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(root.getAbsolutePath), true)
+          val base = Tables(s, dir, "events").select(MergeCols.map(col): _*)
+            .filter(col("event_type") === "click")
+          MergeData.writeMerged(s, base, src, keys = Seq("event_type"))
+          Versioned.init(s, src, commitTs = 1000L)
+          val vSeed = Versioned.enableChangeFeed(s, src, Seq("event_id"),
+            commitTs = 1500L)
+          Versioned.mergeInto(s, src,
+            base.filter(col("event_id") % 10 === 0)
+                .withColumn("value", col("value") * 2)
+              .unionByName(base.filter(col("event_id") % 100 === 2)
+                .withColumn("event_id", col("event_id") + lit(10000000L))
+                .withColumn("value", col("value") + 1)),
+            Seq("event_type"), Seq("event_id"), commitTs = 2000L)
+          s.readStream.format("graft")
+            .option("readChanges", "true")
+            .option("startingVersion", vSeed.toString)
+            .load(src)
+            .writeStream.format("graft")
+            .option("checkpointLocation", ckpt)
+            .option("partitionKeys", "event_type")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start(sink).awaitTermination()
+        }
+        Versioned.snapshot(s, sink)
+          .groupBy("_action")
+          .agg(count(lit(1)).as("row_count"),
+            round(sum("value"), 4).as("sum_value"))
+          .orderBy("_action")
+      },
+      Some("""
+        WITH t AS (SELECT event_id, value FROM events
+                   WHERE event_type = 'click'),
+        feed AS (
+          SELECT 'update_preimage' AS _action, value FROM t
+          WHERE event_id % 10 = 0
+          UNION ALL
+          SELECT 'update_postimage', value * 2 FROM t
+          WHERE event_id % 10 = 0
+          UNION ALL
+          SELECT 'insert', value + 1 FROM t WHERE event_id % 100 = 2)
+        SELECT _action, count(*) AS row_count,
+               round(sum(value::DOUBLE), 4) AS sum_value
+        FROM feed GROUP BY 1 ORDER BY 1"""),
+      "readStream readChanges (CDC mode) -> txn graft sink: a merge's insert/update pre+post rows stream exactly == SQL feed derivation")
   )
 }

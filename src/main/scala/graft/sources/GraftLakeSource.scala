@@ -176,7 +176,10 @@ final class GraftLakeSource extends RelationProvider
   /** The STREAMING read surface — see [[GraftStreamSource]].
     * Options: `startingVersion` (serve appends after it instead of an
     * initial snapshot), `maxVersionsPerTrigger` (backpressure, in
-    * commits per micro-batch). */
+    * commits per micro-batch), `readChanges` (CDC mode — Delta's
+    * `readChangeFeed`: batches are the change-feed increments with
+    * `_action`/`_commit_version` columns; requires `startingVersion`
+    * and a table with `enableChangeFeed` in force). */
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
@@ -184,10 +187,19 @@ final class GraftLakeSource extends RelationProvider
     val dir = opts.getOrElse("path", throw new IllegalArgumentException(
       "the graft stream source needs a table directory: " +
         "spark.readStream.format(\"graft\").load(dir)"))
-    require(Versioned.currentVersion(sqlContext.sparkSession, dir) >= 0,
+    val spark = sqlContext.sparkSession
+    require(Versioned.currentVersion(spark, dir) >= 0,
       s"$dir is not a versioned graft lake (no _manifest): Versioned.init() first")
-    (shortName(), schema.getOrElse(
-      Versioned.snapshot(sqlContext.sparkSession, dir).schema))
+    val base = Versioned.snapshot(spark, dir).schema
+    val out =
+      if (opts.get("readchanges").exists(_.toBoolean)) StructType(
+        base.fields.toSeq :+
+          org.apache.spark.sql.types.StructField("_action",
+            org.apache.spark.sql.types.StringType) :+
+          org.apache.spark.sql.types.StructField("_commit_version",
+            org.apache.spark.sql.types.LongType))
+      else base
+    (shortName(), schema.getOrElse(out))
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -200,7 +212,8 @@ final class GraftLakeSource extends RelationProvider
     new GraftStreamSource(sqlContext, dir, metadataPath,
       opts.get("startingversion").map(_.toLong),
       opts.get("maxversionspertrigger").map(_.toLong)
-        .getOrElse(Long.MaxValue))
+        .getOrElse(Long.MaxValue),
+      readChanges = opts.get("readchanges").exists(_.toBoolean))
   }
 
   private def parseTs(s: String): Long =

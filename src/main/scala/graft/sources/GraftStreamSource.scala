@@ -40,11 +40,19 @@ import graft.lake.Versioned
   *    library follower.
   *
   * `maxVersionsPerTrigger` (Delta's backpressure knob, in versions)
-  * bounds how many commits one micro-batch may cover. */
+  * bounds how many commits one micro-batch may cover.
+  *
+  * CHANGES MODE (`readChanges` + `startingVersion` — Delta's
+  * `readChangeFeed`): batches are [[Versioned.changesBetween]]
+  * increments with `_action`/`_commit_version` columns, so merges,
+  * deletes, restores and compactions ALL stream as row-level CDC —
+  * the append-only refusal above does not apply. Needs
+  * `enableChangeFeed` in force over the followed range (a pre-CDF
+  * commit in range refuses loudly, naming the repair). */
 private[sources] class GraftStreamSource(sqlContext: SQLContext,
     dir: String, metadataPath: String,
-    startingVersion: Option[Long], maxVersionsPerTrigger: Long)
-  extends Source {
+    startingVersion: Option[Long], maxVersionsPerTrigger: Long,
+    readChanges: Boolean = false) extends Source {
 
   private val spark = sqlContext.sparkSession
   private val fs = new Path(metadataPath)
@@ -67,6 +75,13 @@ private[sources] class GraftStreamSource(sqlContext: SQLContext,
     try out.write(v.toString.getBytes("UTF-8")) finally out.close()
   }
 
+  require(!readChanges || startingVersion.isDefined ||
+      readLong(startPath).exists(_ >= 0),
+    "readChanges needs .option(\"startingVersion\", v) — a CDC stream " +
+      "serves row-level increments SINCE a version, not a snapshot " +
+      "(Delta's readChangeFeed contract); the table must have " +
+      "enableChangeFeed in force over the followed range")
+
   /** The first batch's base, pinned ONCE per checkpoint (replays of
     * batch 0 must serve the identical range even across restarts):
     * -1 = snapshot mode, else the seeded starting version. */
@@ -77,7 +92,13 @@ private[sources] class GraftStreamSource(sqlContext: SQLContext,
   }
 
   override val schema: StructType =
-    Versioned.snapshot(spark, dir).schema
+    if (readChanges) StructType(
+      Versioned.snapshot(spark, dir).schema.fields.toSeq :+
+        org.apache.spark.sql.types.StructField("_action",
+          org.apache.spark.sql.types.StringType) :+
+        org.apache.spark.sql.types.StructField("_commit_version",
+          org.apache.spark.sql.types.LongType))
+    else Versioned.snapshot(spark, dir).schema
 
   private def ver(o: Offset): Long = o match {
     case l: LongOffset => l.offset
@@ -100,12 +121,19 @@ private[sources] class GraftStreamSource(sqlContext: SQLContext,
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val toV = ver(end)
+    // CHANGES mode: every batch is the change-feed increments of its
+    // version range — merges, deletes, restores and rewrites all
+    // stream as row-level actions (the append-only refusal below does
+    // not apply; this is the CDC spelling of the follower)
+    def serve(fromV: Long): DataFrame =
+      if (readChanges) Versioned.changesBetween(spark, dir, fromV, toV)
+      else Versioned.appendsBetween(spark, dir, fromV, toV)
     val rows = start.map(ver) match {
       case None if startV < 0 => Versioned.snapshot(spark, dir, toV)
-      case None => Versioned.appendsBetween(spark, dir, startV, toV)
+      case None => serve(startV)
       case Some(fromV) if fromV >= toV =>
-        Versioned.snapshot(spark, dir, toV).limit(0)
-      case Some(fromV) => Versioned.appendsBetween(spark, dir, fromV, toV)
+        Versioned.snapshot(spark, dir, toV).limit(0) // align null-fills
+      case Some(fromV) => serve(fromV)
     }
     advanceHw(toV)
     // pin the stream's schema: later commits may have evolved the

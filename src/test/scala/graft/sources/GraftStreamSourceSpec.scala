@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.SparkSpec
@@ -114,6 +115,70 @@ class GraftStreamSourceSpec extends SparkSpec {
     assert(runs >= 2,
       "a cap of 2 versions cannot deliver a 4-version backlog in one run")
     assert(Versioned.snapshot(spark, sink).count() == 5L, "exactly-once")
+  }
+
+  test("readChanges: merges and deletes stream as CDC rows == changesBetween; rewrites don't refuse; restarts don't duplicate") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ssrc_cdc").toFile
+    root.deleteOnExit()
+    val src = mkLake(root, Seq(("a", 1L, 1.0), ("b", 10L, 10.0)))
+    val vSeed = Versioned.enableChangeFeed(spark, src, Seq("site", "id"))
+    val sink = new java.io.File(root, "sink").getAbsolutePath
+    val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+    def followChanges(): Unit =
+      spark.readStream.format("graft")
+        .option("readChanges", "true")
+        .option("startingVersion", vSeed.toString)
+        .load(src)
+        .writeStream.format("graft")
+        .option("checkpointLocation", ckpt)
+        .option("partitionKeys", "site")
+        .trigger(Trigger.AvailableNow())
+        .start(sink).awaitTermination()
+    // wave 1: a REWRITE commit (merge) — the CDC stream serves it as
+    // actions instead of refusing like the append-only mode
+    Versioned.mergeInto(spark, src,
+      df(Seq(("a", 1L, 100.0), ("c", 7L, 7.0)), "site", "id", "v"),
+      Seq("site"), Seq("site", "id"))
+    followChanges()
+    def sinkRows: Set[(String, Long, Double, String, Long)] =
+      Versioned.snapshot(spark, sink)
+        .select("site", "id", "v", "_action", "_commit_version").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getString(3), r.getLong(4))).toSet
+    def oracle(toV: Long): Set[(String, Long, Double, String, Long)] =
+      Versioned.changesBetween(spark, src, vSeed, toV)
+        .select("site", "id", "v", "_action", "_commit_version").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getString(3), r.getLong(4))).toSet
+    assert(sinkRows == oracle(Versioned.currentVersion(spark, src)))
+    assert(sinkRows.map(_._4) ==
+      Set("insert", "update_preimage", "update_postimage"))
+    // wave 2: an equality DELETE — streams as `delete` actions
+    Versioned.deleteWhere(spark, src, col("id") === 10L, Seq("site", "id"))
+    followChanges()
+    assert(sinkRows == oracle(Versioned.currentVersion(spark, src)))
+    assert(sinkRows.exists(r => r._4 == "delete" && r._2 == 10L))
+    // restart with nothing new: no duplicates
+    val n = Versioned.snapshot(spark, sink).count()
+    followChanges()
+    assert(Versioned.snapshot(spark, sink).count() == n, "exactly-once")
+    // contract: readChanges without startingVersion refuses by name
+    val e = intercept[Exception] {
+      spark.readStream.format("graft").option("readChanges", "true")
+        .load(src)
+        .writeStream.format("graft")
+        .option("checkpointLocation",
+          new java.io.File(root, "ckpt2").getAbsolutePath)
+        .option("partitionKeys", "site")
+        .trigger(Trigger.AvailableNow())
+        .start(new java.io.File(root, "sink2").getAbsolutePath)
+        .awaitTermination()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("startingVersion")),
+      s"expected the startingVersion contract, got: ${msgs(e).mkString(" | ")}")
   }
 
   test("a rewrite commit in range refuses loudly and points at the change feed") {
