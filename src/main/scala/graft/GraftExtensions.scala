@@ -25,6 +25,7 @@ import graft.functions.{CosineSimilarity, StatsAggregator, WinnowFingerprints}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.expressions.foreach(ext.injectFunction)
+    GraftExtensions.tableFunctions.foreach(ext.injectTableFunction)
     // logical rewrites (opt-in by conf): BETWEEN theta-join → banded
     // equi-join (graft.plans.RangeJoinRewrite)
     ext.injectOptimizerRule(graft.plans.RangeJoinRewrite(_))
@@ -152,6 +153,46 @@ object GraftExtensions {
         terms.reduce[Expression](BitwiseOr(_, _))
       }))
 
+  /** TABLE-VALUED functions: the lake's introspection surface in SQL —
+    * `SELECT * FROM graft_history('/lake')` (DESCRIBE HISTORY) and
+    * `SELECT * FROM graft_changes('/lake', fromV, toV)` (the change
+    * feed as a relation — SQL users consume CDC increments without the
+    * library). Arguments must be literals: the builder resolves them at
+    * analysis time and returns the corresponding plan. */
+  val tableFunctions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = {
+    def litArg(e: Expression, what: String): Any = {
+      require(e.foldable, s"$what must be a literal")
+      e.eval()
+    }
+    def str(e: Expression, what: String): String =
+      String.valueOf(litArg(e, what))
+    def lng(e: Expression, what: String): Long =
+      litArg(e, what).asInstanceOf[Number].longValue()
+    Seq((
+      FunctionIdentifier("graft_history"),
+      info("graft_history",
+        "_FUNC_(dir) - the versioned lake's commit history (DESCRIBE HISTORY)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          s"graft_history(dir) takes 1 argument, got ${args.length}")
+        graft.lake.Versioned.history(SparkSession.active,
+          str(args(0), "graft_history dir")).queryExecution.analyzed
+      }), (
+      FunctionIdentifier("graft_changes"),
+      info("graft_changes",
+        "_FUNC_(dir, fromV, toV) - the change-feed increments of versions " +
+          "(fromV, toV] with _action/_commit_version columns"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          s"graft_changes(dir, fromV, toV) takes 3 arguments, got ${args.length}")
+        graft.lake.Versioned.changesBetween(SparkSession.active,
+          str(args(0), "graft_changes dir"),
+          lng(args(1), "graft_changes fromV"),
+          lng(args(2), "graft_changes toV")).queryExecution.analyzed
+      }))
+  }
+
   /** Register everything into a LIVE session (the extensions hook only
     * applies at session build time). Idempotent: re-registering simply
     * replaces the entry. Aggregators can't go through `injectFunction`
@@ -161,6 +202,10 @@ object GraftExtensions {
   def register(spark: SparkSession): Unit = {
     expressions.foreach { case (id, fnInfo, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, fnInfo, builder)
+    }
+    tableFunctions.foreach { case (id, fnInfo, builder) =>
+      spark.sessionState.tableFunctionRegistry
+        .registerFunction(id, fnInfo, builder)
     }
     spark.udf.register("stats_bundle", functions.udaf(StatsAggregator))
     // the optimizer-rule surface for live sessions (extension injection

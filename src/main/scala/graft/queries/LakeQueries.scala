@@ -4429,6 +4429,69 @@ object LakeQueries {
         SELECT _action, count(*) AS row_count,
                round(sum(value::DOUBLE), 4) AS sum_value
         FROM feed GROUP BY 1 ORDER BY 1"""),
-      "readStream readChanges (CDC mode) -> txn graft sink: a merge's insert/update pre+post rows stream exactly == SQL feed derivation")
+      "readStream readChanges (CDC mode) -> txn graft sink: a merge's insert/update pre+post rows stream exactly == SQL feed derivation"),
+
+    // ---------------------------------------------------------------
+    // SQL TABLE FUNCTIONS: graft_changes('/lake', fromV, toV) hands
+    // SQL users the change feed as a plain relation (and
+    // graft_history the commit log — require()d structurally: version
+    // count and operation labels). The whole query is ONE SQL
+    // statement over the TVF; the oracle derives the feed rows from
+    // the deterministic merge's predicates.
+    // ---------------------------------------------------------------
+    Q("q203_sql_tvf_changes",
+      (s, dir) => {
+        graft.GraftExtensions.register(s)
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val root = new File(new File(sys.props("user.dir"), "target"),
+          s"graft_tvfq_$tag")
+        val lake = new File(root, "lake").getAbsolutePath
+        val (vSeed, cur) = LakeQueries.synchronized {
+          val fs = new org.apache.hadoop.fs.Path(root.getAbsolutePath)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(root.getAbsolutePath), true)
+          val base = Tables(s, dir, "events").select(MergeCols.map(col): _*)
+            .filter(col("event_type") === "view")
+          MergeData.writeMerged(s, base, lake, keys = Seq("event_type"))
+          Versioned.init(s, lake, commitTs = 1000L)
+          val seed = Versioned.enableChangeFeed(s, lake, Seq("event_id"),
+            commitTs = 1500L)
+          Versioned.mergeInto(s, lake,
+            base.filter(col("event_id") % 10 === 3)
+                .withColumn("value", col("value") + 100)
+              .unionByName(base.filter(col("event_id") % 100 === 4)
+                .withColumn("event_id", col("event_id") + lit(20000000L))
+                .withColumn("value", col("value") * 3)),
+            Seq("event_type"), Seq("event_id"), commitTs = 2000L)
+          (seed, Versioned.currentVersion(s, lake))
+        }
+        // history TVF: structural pin — one row per version, the merge
+        // labeled as such
+        val hist = s.sql(s"SELECT version, operation " +
+          s"FROM graft_history('$lake') ORDER BY version").collect()
+        require(hist.map(_.getLong(0)).toSeq == (0L to cur) &&
+          hist.last.getString(1) == "merge",
+          "graft_history must list every version with its operation")
+        s.sql(
+          s"""SELECT _action, count(*) AS row_count,
+             |       round(sum(value), 4) AS sum_value
+             |FROM graft_changes('$lake', $vSeed, $cur)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
+      },
+      Some("""
+        WITH t AS (SELECT event_id, value FROM events
+                   WHERE event_type = 'view'),
+        feed AS (
+          SELECT 'update_preimage' AS _action, value FROM t
+          WHERE event_id % 10 = 3
+          UNION ALL
+          SELECT 'update_postimage', value + 100 FROM t
+          WHERE event_id % 10 = 3
+          UNION ALL
+          SELECT 'insert', value * 3 FROM t WHERE event_id % 100 = 4)
+        SELECT _action, count(*) AS row_count,
+               round(sum(value::DOUBLE), 4) AS sum_value
+        FROM feed GROUP BY 1 ORDER BY 1"""),
+      "SQL table functions: graft_changes feed aggregation == SQL derivation; graft_history require()d structurally (one row per version, ops labeled)")
   )
 }

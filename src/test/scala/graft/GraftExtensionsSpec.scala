@@ -119,6 +119,45 @@ class GraftExtensionsSpec extends SparkSpec {
     intercept[Exception] { spark.sql("SELECT morton_key(1, 2, 99)").collect() }
   }
 
+  test("table functions: graft_history == Versioned.history, graft_changes == changesBetween, literal args enforced") {
+    GraftExtensions.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_tvf").toFile
+    dir.deleteOnExit()
+    val d = dir.getAbsolutePath
+    graft.ops.MergeData.writeMerged(spark,
+      df(Seq(("a", 1L, 1.0), ("b", 10L, 10.0)), "site", "id", "v"),
+      d, keys = Seq("site"))
+    graft.lake.Versioned.init(spark, d)
+    val vSeed = graft.lake.Versioned.enableChangeFeed(spark, d, Seq("site", "id"))
+    graft.lake.Versioned.mergeInto(spark, d,
+      df(Seq(("a", 1L, 5.0), ("c", 3L, 3.0)), "site", "id", "v"),
+      Seq("site"), Seq("site", "id"))
+    val cur = graft.lake.Versioned.currentVersion(spark, d)
+    // history TVF: same versions/ops as the library call
+    val viaSql = spark.sql(s"SELECT version, operation FROM graft_history('$d') ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val viaLib = graft.lake.Versioned.history(spark, d)
+      .select("version", "operation").orderBy("version")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(viaSql == viaLib && viaSql.map(_._1) == (0L to cur))
+    // changes TVF: the feed increments as a plain relation
+    val sqlChanges = spark.sql(
+      s"SELECT site, id, v, _action FROM graft_changes('$d', $vSeed, $cur)")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getString(3))).toSet
+    val libChanges = graft.lake.Versioned.changesBetween(spark, d, vSeed, cur)
+      .select("site", "id", "v", "_action")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getString(3))).toSet
+    assert(sqlChanges == libChanges && sqlChanges.exists(_._4 == "insert"))
+    // and it COMPOSES: aggregate over the TVF in one statement
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft_changes('$d', $vSeed, $cur) WHERE _action = 'update_postimage'")
+      .head().getLong(0) == 1L)
+    // non-literal args refuse
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_history(concat('$d', rand()))").collect()
+    }
+  }
+
   test("extensions hook applies the same registration list") {
     // The builder hook path (spark.sql.extensions) can't be exercised on
     // the suite's shared session (extensions bind at session build);
