@@ -33,6 +33,10 @@ object LakeScaleBench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // production shape: the graft rules inside the optimizer's own
+      // fixed point (column pruning composes with the read upgrade);
+      // the row-based ledger legs exclude the upgrade rule per query
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -315,6 +319,33 @@ object LakeScaleBench {
     rel.count()
     metrics("planner_files_full") =
       graft.sources.GraftFileIndex.lastListedFiles.size
+
+    // ---- round-13b: read-upgrade ledger (row-based vs vectorized) --
+    // The same reads timed WITHOUT the graft rules (snapshot relation,
+    // per-row conversion) and WITH them (GraftVectorizedReads: columnar
+    // scan + anti-join). morLake gets a fresh MOR window first so the
+    // tombstone path is actually exercised; each variant runs once
+    // untimed (warm) then timed — the delta is the row boundary's cost,
+    // which grows with the lake while the vectorized side rides the
+    // columnar pipe.
+    Versioned.mergeIntoMor(spark, morLake,
+      rbase.filter(col("event_id") % 991 === 17 &&
+          col("event_id") < 100000000L)
+        .withColumn("value", col("value") + 5),
+      Seq("bucket"), Seq("event_id"))
+    def morAgg(): Unit = spark.read.format("graft").load(morLake)
+      .agg(count(lit(1)), sum("value")).collect()
+    spark.conf.set("spark.sql.catalog.graft_lsb",
+      "graft.sources.GraftCatalog")
+    def catAgg(): Unit = spark.sql(
+      s"SELECT count(*), sum(value) FROM graft_lsb.`$rlake`").collect()
+    val vecRule = "graft.sources.GraftVectorizedReads"
+    spark.conf.set("spark.sql.optimizer.excludedRules", vecRule)
+    morAgg(); time("mor_read_rowbased") { morAgg() }
+    catAgg(); time("catalog_read_rowbased") { catAgg() }
+    spark.conf.unset("spark.sql.optimizer.excludedRules")
+    morAgg(); time("mor_read_vectorized") { morAgg() }
+    catAgg(); time("catalog_read_vectorized") { catAgg() }
 
     def j(v: Any): String = v match {
       case s: String => "\"" + s + "\""
