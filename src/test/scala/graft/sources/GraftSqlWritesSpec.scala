@@ -73,12 +73,14 @@ class GraftSqlWritesSpec extends SparkSpec {
          |WHEN MATCHED THEN UPDATE SET v = s.nv + 0.5
          |WHEN NOT MATCHED AND s.nv > 0 THEN INSERT (site, id, v) VALUES (s.site, s.id, s.nv)
          |WHEN NOT MATCHED BY SOURCE AND t.site = 'c' THEN UPDATE SET v = -t.v
+         |WHEN NOT MATCHED BY SOURCE AND t.site = 'b' THEN DELETE
          |""".stripMargin)
     // a@1 matched+updated (50.5), a@2 matched+deleted, c@7 inserted,
-    // c@8 filtered by the insert condition, b@10 untouched (no NMBS
-    // action applies), c@20 NMBS-updated to -20
+    // c@8 filtered by the insert condition, b@10 NMBS-deleted (second
+    // NMBS clause — first-match gating must not shadow it), c@20
+    // NMBS-updated to -20 by the first clause
     assert(state(Versioned.snapshot(spark, dir)) == Set(
-      ("a", 1L, 50.5), ("b", 10L, 10.0), ("c", 7L, 7.0), ("c", 20L, -20.0)))
+      ("a", 1L, 50.5), ("c", 7L, 7.0), ("c", 20L, -20.0)))
   }
 
   test("MERGE INTO: cardinality violation and non-equi ON refuse loudly; nothing commits") {
