@@ -90,7 +90,15 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = bandWidth match {
     case None => plan
     case Some(w) => plan.transformUp {
-      case j @ Join(left, right, Inner, Some(cond), hint) =>
+      // IDEMPOTENT: a rewritten join keeps the original containment
+      // conjuncts (bucket equality is only the candidate filter), so a
+      // second application of this rule — sessions can carry it via
+      // BOTH the builder hook and a live register() — would band the
+      // banded join again (correct but bands² explode). The marker
+      // attributes identify our own output.
+      case j @ Join(left, right, Inner, Some(cond), hint)
+          if !cond.references.exists(a =>
+            a.name == "__pt_band" || a.name == "__iv_band") =>
         // point from the left child, interval from the right — or
         // mirrored; rewrite keeps the ORIGINAL child order and output.
         // A point must reference SOMETHING (a constant "point" has no
