@@ -130,10 +130,68 @@ class GraftCatalog extends TableCatalog {
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog is read-only: evolve tables with Versioned.renameColumn/" +
-        "dropColumn/addConstraint/...")
+  /** SQL `ALTER TABLE` for the evolutions the manifest protocol owns:
+    *
+    *  - `RENAME COLUMN a TO b` / `DROP COLUMN a` → the METADATA-ONLY
+    *    mapping commits (`Versioned.renameColumn`/`dropColumn` — data
+    *    files keep their physical names forever; reads stay on the
+    *    vectorized pipe via the mapped file format);
+    *  - `SET TBLPROPERTIES('graft.constraint.<name>' = '<expr>')` →
+    *    `addConstraint` (validates existing rows, then every writer),
+    *    `UNSET` → `dropConstraint` — Delta spells CHECK constraints
+    *    through properties the same way;
+    *  - `SET TBLPROPERTIES('graft.changeFeed.keys' = 'k1,k2')` →
+    *    `enableChangeFeed`, `UNSET` → `disableChangeFeed` (Delta's
+    *    `delta.enableChangeDataFeed` discipline).
+    *
+    * Everything else (ADD COLUMN, type changes, ...) refuses by name —
+    * columns enter through appending writes (drift null-fills), the
+    * library's explicit, versioned surface. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = dirOf(ident)
+    val spark = SparkSession.active
+    if (Versioned.currentVersion(spark, dir) < 0)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchTableException(ident)
+    val ConstraintProp = "graft.constraint."
+    val FeedProp = "graft.changeFeed.keys"
+    changes.foreach {
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1,
+          "graft tables have no nested columns to rename")
+        Versioned.renameColumn(spark, dir, r.fieldNames()(0), r.newName())
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1,
+          "graft tables have no nested columns to drop")
+        Versioned.dropColumn(spark, dir, d.fieldNames()(0))
+      case s: TableChange.SetProperty if s.property.startsWith(ConstraintProp) =>
+        Versioned.addConstraint(spark, dir,
+          s.property.stripPrefix(ConstraintProp), s.value)
+      case s: TableChange.SetProperty if s.property == FeedProp =>
+        Versioned.enableChangeFeed(spark, dir,
+          s.value.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      case s: TableChange.SetProperty =>
+        throw new UnsupportedOperationException(
+          s"unsupported graft table property '${s.property}': " +
+            s"'$ConstraintProp<name>' adds a CHECK constraint, " +
+            s"'$FeedProp' enables the change feed")
+      case rp: TableChange.RemoveProperty
+          if rp.property.startsWith(ConstraintProp) =>
+        Versioned.dropConstraint(spark, dir,
+          rp.property.stripPrefix(ConstraintProp))
+      case rp: TableChange.RemoveProperty if rp.property == FeedProp =>
+        Versioned.disableChangeFeed(spark, dir)
+      case rp: TableChange.RemoveProperty =>
+        throw new UnsupportedOperationException(
+          s"unsupported graft table property '${rp.property}'")
+      case other =>
+        throw new UnsupportedOperationException(
+          s"unsupported ALTER on a graft table: $other — columns enter " +
+            "through appending writes (schema drift null-fills); " +
+            "RENAME/DROP COLUMN and graft.* properties are the SQL surface")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     throw new UnsupportedOperationException("graft catalog is read-only")

@@ -207,6 +207,52 @@ class GraftSqlWritesSpec extends SparkSpec {
     intercept[Exception] { spark.sql(s"CREATE TABLE ${tbl(dir)} (x INT)") }
   }
 
+  test("ALTER TABLE: RENAME/DROP COLUMN are metadata-only mapping commits; TBLPROPERTIES drive constraints and the change feed; ADD COLUMN refuses") {
+    val dir = freshLake()
+    val files0 = Versioned.filesAt(spark, dir).toSet
+    spark.sql(s"ALTER TABLE ${tbl(dir)} RENAME COLUMN v TO reading")
+    assert(Versioned.filesAt(spark, dir).toSet == files0,
+      "a SQL rename must move zero data files")
+    assert(Versioned.snapshot(spark, dir).columns.contains("reading"))
+    // the renamed table still reads vectorized through the format
+    assert(spark.read.format("graft").load(dir)
+      .select("reading").count() == 4L)
+    // CHECK constraint via TBLPROPERTIES: violating writes refuse by name
+    spark.sql(s"ALTER TABLE ${tbl(dir)} " +
+      "SET TBLPROPERTIES ('graft.constraint.r_pos' = 'reading > 0')")
+    val e = intercept[Exception] {
+      Versioned.append(spark, dir,
+        df(Seq(("a", 9L, -1.0)), "site", "id", "reading"), Seq("site"))
+    }
+    assert(e.getMessage.contains("r_pos"))
+    spark.sql(s"ALTER TABLE ${tbl(dir)} " +
+      "UNSET TBLPROPERTIES ('graft.constraint.r_pos')")
+    Versioned.append(spark, dir,
+      df(Seq(("a", 9L, -1.0)), "site", "id", "reading"), Seq("site"))
+    // change feed via TBLPROPERTIES: the next merge publishes increments
+    spark.sql(s"ALTER TABLE ${tbl(dir)} " +
+      "SET TBLPROPERTIES ('graft.changeFeed.keys' = 'site,id')")
+    val vF = Versioned.currentVersion(spark, dir)
+    Versioned.mergeInto(spark, dir,
+      df(Seq(("a", 1L, 7.0)), "site", "id", "reading"),
+      Seq("site"), Seq("site", "id"))
+    val acts = Versioned.changesBetween(spark, dir, vF,
+      Versioned.currentVersion(spark, dir))
+      .select("_action").collect().map(_.getString(0)).toSet
+    assert(acts == Set("update_preimage", "update_postimage"))
+    // DROP COLUMN: metadata-only, the column vanishes
+    val files1 = Versioned.filesAt(spark, dir).toSet
+    spark.sql(s"ALTER TABLE ${tbl(dir)} DROP COLUMN reading")
+    assert(Versioned.filesAt(spark, dir).toSet == files1)
+    assert(!Versioned.snapshot(spark, dir).columns.contains("reading"))
+    // unsupported evolutions refuse with guidance
+    val e2 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE ${tbl(dir)} ADD COLUMN extra DOUBLE")
+    }
+    assert(e2.getMessage.contains("appending writes"),
+      s"expected the evolution guidance, got: ${e2.getMessage}")
+  }
+
   test("WITHOUT the rule: a view INSERT fails loudly (refresh poison) and the manifest never references the bare files") {
     val dir = freshLake()
     spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW sqlw_bare " +
