@@ -308,17 +308,31 @@ case class GraftUpdateCommand(dir: String, version: Long,
 }
 
 /** SQL DELETE → [[Versioned.deleteWhereCow]]: the arbitrary-predicate
-  * rewrite-class delete (the equality-tombstone MOR delete stays a
-  * library call — [[Versioned.deleteWhere]] — because it needs a
-  * declared key discipline a bare SQL predicate does not carry). */
+  * rewrite-class delete. Under `spark.graft.sql.delete.mor=true` on a
+  * table whose change feed declares a row identity, it routes to the
+  * O(keys) equality-tombstone [[Versioned.deleteWhere]] instead — ONE
+  * small key file, zero partition rewrites, the GDPR-erasure shape
+  * (the feed key IS the erasure identity, so the tombstone discipline
+  * a bare SQL predicate cannot carry comes from the table itself). */
 case class GraftDeleteCommand(dir: String, version: Long,
     condition: Expression) extends LeafRunnableCommand {
 
   override def run(spark: SparkSession): Seq[Row] = {
     GraftRowLevelSql.requireCurrent(spark, dir, version, "DELETE")
-    Versioned.deleteWhereCow(spark, dir,
-      GraftRowLevelSql.byName(condition),
-      Versioned.layoutPartitionKeys(spark, dir))
+    val pred = GraftRowLevelSql.byName(condition)
+    val mor = spark.conf.getOption("spark.graft.sql.delete.mor")
+      .exists(_.toBoolean)
+    if (mor) {
+      val keys = Versioned.changeFeedKey(spark, dir).getOrElse(
+        throw new IllegalArgumentException(
+          "spark.graft.sql.delete.mor needs a declared row identity: " +
+            s"enableChangeFeed (or the graft.changeFeed.keys table " +
+            s"property) on $dir first — the feed key is the equality-" +
+            "tombstone's erasure identity"))
+      Versioned.deleteWhere(spark, dir, pred, keys)
+    } else
+      Versioned.deleteWhereCow(spark, dir, pred,
+        Versioned.layoutPartitionKeys(spark, dir))
     Nil
   }
 }

@@ -207,6 +207,28 @@ class GraftSqlWritesSpec extends SparkSpec {
     intercept[Exception] { spark.sql(s"CREATE TABLE ${tbl(dir)} (x INT)") }
   }
 
+  test("DELETE with spark.graft.sql.delete.mor=true: an O(keys) tombstone commit (zero data-file changes), keyed by the change feed") {
+    val dir = freshLake()
+    Versioned.enableChangeFeed(spark, dir, Seq("site", "id"))
+    val files0 = Versioned.filesAt(spark, dir).toSet
+    spark.conf.set("spark.graft.sql.delete.mor", "true")
+    try {
+      spark.sql(s"DELETE FROM ${tbl(dir)} WHERE v > 15.0")
+      assert(Versioned.filesAt(spark, dir).toSet == files0,
+        "a MOR-routed SQL delete must not touch data files")
+      assert(Versioned.deleteFilesAt(spark, dir).nonEmpty,
+        "the delete must commit an equality tombstone")
+      assert(state(Versioned.snapshot(spark, dir)) ==
+        Set(("a", 1L, 1.0), ("a", 2L, 2.0), ("b", 10L, 10.0)))
+      // without a feed key the routing refuses with guidance
+      val bare = freshLake()
+      val e = intercept[Exception] {
+        spark.sql(s"DELETE FROM ${tbl(bare)} WHERE v > 15.0")
+      }
+      assert(e.getMessage.contains("enableChangeFeed"))
+    } finally spark.conf.unset("spark.graft.sql.delete.mor")
+  }
+
   test("ALTER TABLE: RENAME/DROP COLUMN are metadata-only mapping commits; TBLPROPERTIES drive constraints and the change feed; ADD COLUMN refuses") {
     val dir = freshLake()
     val files0 = Versioned.filesAt(spark, dir).toSet
