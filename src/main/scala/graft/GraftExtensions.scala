@@ -190,6 +190,28 @@ object GraftExtensions {
           str(args(0), "graft_changes dir"),
           lng(args(1), "graft_changes fromV"),
           lng(args(2), "graft_changes toV")).queryExecution.analyzed
+      }), (
+      FunctionIdentifier("graft_files"),
+      info("graft_files",
+        "_FUNC_(dir[, version]) - the version's live data files from the " +
+          "manifest (file, partition dir, foreign clone root if any)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1 || args.length == 2,
+          s"graft_files(dir[, version]) takes 1-2 arguments, got ${args.length}")
+        val spark = SparkSession.active
+        val dir = str(args(0), "graft_files dir")
+        val v = if (args.length == 2) lng(args(1), "graft_files version")
+                else -1L
+        import spark.implicits._
+        graft.lake.Versioned.filesAt(spark, dir, v).map { ref =>
+          val rel = graft.lake.Versioned.refRel(ref)
+          val part = rel.split('/').dropRight(1)
+            .filter(_.contains('=')).mkString("/")
+          val root = graft.lake.Versioned.refRoot(dir, ref)
+          (rel, if (part.isEmpty) null else part,
+            if (root == dir) null else root)
+        }.toDF("file", "partition", "foreign_root")
+          .queryExecution.analyzed
       }))
   }
 

@@ -4,7 +4,7 @@ import java.util
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Row, SQLContext, SparkSession}
-import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, TruncatableTable}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
@@ -206,7 +206,27 @@ class GraftCatalog extends TableCatalog {
   * vectorized path is the format surface's job). */
 private[graft] final class GraftVersionedTable(
     private[graft] val dir: String, private[graft] val pinnedVersion: Long)
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite
+  with TruncatableTable {
+
+  /** SQL `TRUNCATE TABLE`: one versioned commit deleting every row
+    * (`deleteWhereCow(true)` — the change feed gets its `delete` rows,
+    * pre-truncate versions still time-travel), with a `_schema` anchor
+    * written first so the now-empty table keeps reading with its
+    * schema. */
+  override def truncateTable(): Boolean = {
+    val spark = SparkSession.active
+    val keys = Versioned.layoutPartitionKeys(spark, dir)
+    // the layout is about to disappear with the files: DECLARE it
+    // (metadata-only) so later writers still infer the right keys
+    if (keys.nonEmpty && Versioned.partitionSpec(spark, dir).isEmpty)
+      Versioned.changePartitionSpec(spark, dir, keys)
+    Versioned.writeSchemaAnchor(spark, dir,
+      Versioned.snapshot(spark, dir).schema)
+    Versioned.deleteWhereCow(spark, dir,
+      org.apache.spark.sql.functions.lit(true), keys)
+    true
+  }
 
   override def name(): String = s"graft.`$dir`@v$pinnedVersion"
 

@@ -275,6 +275,34 @@ class GraftSqlWritesSpec extends SparkSpec {
       s"expected the evolution guidance, got: ${e2.getMessage}")
   }
 
+  test("TRUNCATE TABLE: one commit empties the table (typed empty read survives), pre-truncate versions travel, feed gets delete rows; graft_files lists the manifest") {
+    val dir = freshLake()
+    Versioned.enableChangeFeed(spark, dir, Seq("site", "id"))
+    val vPre = Versioned.currentVersion(spark, dir)
+    // graft_files TVF: the manifest listing as SQL
+    val files = spark.sql(s"SELECT file, partition FROM graft_files('$dir')")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(files.length == Versioned.filesAt(spark, dir).size &&
+      files.forall(_._2.startsWith("site=")))
+    spark.sql(s"TRUNCATE TABLE ${tbl(dir)}")
+    val empty = spark.sql(s"SELECT * FROM ${tbl(dir)}")
+    assert(empty.count() == 0L &&
+      empty.schema.fieldNames.toSet == Set("site", "id", "v"),
+      "the truncated table reads typed-empty")
+    assert(spark.sql(s"SELECT count(*) FROM graft_files('$dir')")
+      .head().getLong(0) == 0L)
+    assert(state(Versioned.snapshot(spark, dir, vPre)).size == 4,
+      "pre-truncate version still travels")
+    val acts = Versioned.changesBetween(spark, dir, vPre,
+      Versioned.currentVersion(spark, dir))
+      .select("_action").collect().map(_.getString(0))
+    assert(acts.length == 4 && acts.forall(_ == "delete"),
+      "truncate must publish one delete feed row per removed row")
+    // the table accepts writes again under the same layout
+    spark.sql(s"INSERT INTO ${tbl(dir)} VALUES (5, 5.0, 'e')")
+    assert(state(Versioned.snapshot(spark, dir)) == Set(("e", 5L, 5.0)))
+  }
+
   test("WITHOUT the rule: a view INSERT fails loudly (refresh poison) and the manifest never references the bare files") {
     val dir = freshLake()
     spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW sqlw_bare " +
