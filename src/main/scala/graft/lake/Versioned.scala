@@ -1125,10 +1125,24 @@ object Versioned {
   private def anchorPath(dir: String) = s"$dir/_schema/anchor"
 
   private[graft] def writeSchemaAnchor(spark: SparkSession, dir: String,
-      schema: org.apache.spark.sql.types.StructType): Unit =
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    // anchors store PHYSICAL names, exactly like data files, so the
+    // version's column mapping applies uniformly on read — a
+    // logical-named anchor under a live mapping would dodge (or be
+    // mangled by) the rename select (caught by the SQL model spec:
+    // TRUNCATE under a rename, then rename back, read the empty table)
+    val v = currentVersion(spark, dir)
+    val phys =
+      if (v < 0) schema
+      else {
+        val ren = metaAt(spark, dir, v).renames
+        org.apache.spark.sql.types.StructType(
+          schema.map(f => f.copy(name = ren.getOrElse(f.name, f.name))))
+      }
     spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], phys)
       .repartition(1).write.mode("overwrite").parquet(anchorPath(dir))
+  }
 
   private def anchorDf(spark: SparkSession, dir: String): Option[DataFrame] = {
     val p = new Path(anchorPath(dir))

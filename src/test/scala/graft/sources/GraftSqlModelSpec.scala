@@ -1,0 +1,132 @@
+package graft.sources
+
+import scala.util.Random
+
+import graft.{GraftExtensions, SparkSpec}
+import graft.lake.Versioned
+import graft.ops.MergeData
+
+/** MODEL-BASED spec for the SQL surface: a deterministic random
+  * sequence where EVERY mutation is SQL TEXT through the catalog —
+  * INSERT INTO, MERGE INTO (randomly routed MOR via the conf), UPDATE,
+  * DELETE, ALTER TABLE RENAME COLUMN (back and forth, so later SQL
+  * speaks the new name), TRUNCATE TABLE — interleaved with library
+  * maintenance (optimize, materializeDeletes), against a trivial
+  * in-memory map. After every statement the SQL readback must equal
+  * the model, and a sample of versions must time-travel through SQL
+  * `VERSION AS OF` under the column name each version carried. This is
+  * the interaction net for the round-13 surface: merges over renamed
+  * columns, truncate's schema anchor feeding a later merge's target
+  * read, MOR tombstones stacking under SQL, updates after truncates.
+  * Seeded, so a failure replays exactly. */
+class GraftSqlModelSpec extends SparkSpec {
+
+  GraftExtensions.register(spark)
+  spark.conf.set("spark.sql.catalog.gmodel", "graft.sources.GraftCatalog")
+
+  test("40 random SQL statements: readback == model after every one; versions travel under their own column names") {
+    val rnd = new Random(1313L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sqlmodel")
+      .toFile.getAbsolutePath
+    val sites = Seq("a", "b", "c")
+    var nextId = 100L
+    var valCol = "v"
+    def tblName = s"gmodel.`$dir`"
+
+    val seed = sites.zipWithIndex.map { case (s, i) => (s, i.toLong, i * 1.0) }
+    MergeData.writeMerged(spark, df(seed, "site", "id", "v"),
+      dir, keys = Seq("site"))
+    Versioned.init(spark, dir)
+    var model: Map[(String, Long), Double] =
+      seed.map { case (s, i, v) => (s, i) -> v }.toMap
+    val history = scala.collection.mutable
+      .Map[Long, (Map[(String, Long), Double], String)](0L -> (model, valCol))
+
+    def freshRows(n: Int): Seq[(String, Long, Double)] =
+      (1 to n).map { _ =>
+        val s = sites(rnd.nextInt(sites.size))
+        val id = { nextId += 1; nextId }
+        (s, id, math.rint(rnd.nextDouble() * 100) / 10)
+      }
+    def existingKeys(n: Int): Seq[(String, Long)] =
+      rnd.shuffle(model.keys.toSeq).take(n)
+    def readState(): Map[(String, Long), Double] =
+      spark.sql(s"SELECT site, id, `$valCol` AS v FROM $tblName").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+    (1 to 40).foreach { step =>
+      val op = rnd.nextInt(12)
+      op match {
+        case 0 | 1 => // SQL INSERT INTO ... VALUES
+          val rows = freshRows(1 + rnd.nextInt(3))
+          val values = rows
+            .map { case (s, i, v) => s"($i, ${v}D, '$s')" }.mkString(", ")
+          spark.sql(s"INSERT INTO $tblName VALUES $values")
+          model ++= rows.map { case (s, i, v) => (s, i) -> v }
+        case 2 | 3 | 4 => // SQL MERGE (randomly MOR-routed)
+          val ks = existingKeys(rnd.nextInt(5))
+          val (delK, updK) =
+            ks.splitAt(if (ks.isEmpty) 0 else rnd.nextInt(ks.size + 1))
+          val upd = updK.map { case (s, i) =>
+            (s, i, math.rint(rnd.nextDouble() * 1000) / 10, false) }
+          val ins = freshRows(1 + rnd.nextInt(2))
+            .map { case (s, i, v) => (s, i, v, false) }
+          val del = delK.map { case (s, i) => (s, i, 0.0, true) }
+          df(upd ++ ins ++ del, "site", "id", valCol, "del")
+            .createOrReplaceTempView("gmodel_src")
+          val mor = rnd.nextBoolean()
+          if (mor) spark.conf.set("spark.graft.sql.merge.mor", "true")
+          try spark.sql(
+            s"""MERGE INTO $tblName t USING gmodel_src s
+               |ON t.site = s.site AND t.id = s.id
+               |WHEN MATCHED AND s.del THEN DELETE
+               |WHEN MATCHED THEN UPDATE SET *
+               |WHEN NOT MATCHED AND NOT s.del THEN INSERT *""".stripMargin)
+          finally if (mor) spark.conf.unset("spark.graft.sql.merge.mor")
+          model --= delK
+          model ++= (upd ++ ins).map { case (s, i, v, _) => (s, i) -> v }
+        case 5 | 6 => // SQL UPDATE, absolute assignment
+          val m = rnd.nextInt(7)
+          val nv = math.rint(rnd.nextDouble() * 1000) / 10
+          spark.sql(
+            s"UPDATE $tblName SET `$valCol` = ${nv}D WHERE id % 7 = $m")
+          model = model.map { case (k @ (_, i), v0) =>
+            k -> (if (i % 7 == m) nv else v0) }
+        case 7 => // SQL DELETE (COW)
+          val m = rnd.nextInt(13)
+          spark.sql(s"DELETE FROM $tblName WHERE id % 13 = $m")
+          model = model.filter { case ((_, i), _) => i % 13 != m }
+        case 8 => // ALTER RENAME the value column, back and forth
+          val next = if (valCol == "v") "reading" else "v"
+          spark.sql(
+            s"ALTER TABLE $tblName RENAME COLUMN `$valCol` TO `$next`")
+          valCol = next
+        case 9 => // library maintenance interleaves, layout-only
+          Versioned.optimize(spark, dir, Seq("site"),
+            targetFilesPerPartition = 2)
+        case 10 => // SQL TRUNCATE
+          spark.sql(s"TRUNCATE TABLE $tblName")
+          model = Map.empty
+        case 11 =>
+          Versioned.materializeDeletes(spark, dir, Seq("site"))
+      }
+      val ver = Versioned.currentVersion(spark, dir)
+      history(ver) = (model, valCol)
+      val cols = Versioned.snapshot(spark, dir).columns.toSeq
+      assert(cols.contains(valCol),
+        s"step $step op $op: tracked column '$valCol' not in $cols")
+      assert(readState() == model,
+        s"divergence after step $step (op $op, version $ver)")
+    }
+
+    // SQL time travel, each version under ITS OWN column name
+    rnd.shuffle(history.keys.toSeq).take(8).foreach { ver =>
+      val (m, c) = history(ver)
+      val got = spark.sql(
+        s"SELECT site, id, `$c` AS v FROM $tblName VERSION AS OF $ver")
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+      assert(got == m, s"version $ver must travel under column '$c'")
+    }
+  }
+}
