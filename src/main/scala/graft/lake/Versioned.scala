@@ -1615,8 +1615,8 @@ object Versioned {
       val autoRen = autoRenames(meta0, batch.columns.toSeq, v + 1)
       val writeMeta = meta0.copy(renames = meta0.renames ++ autoRen)
       val newFiles = writeStagedFiles(spark, fs, dir,
-        toPhysical(writeMeta, batch)
-          .repartition(partitionKeys.map(col): _*), partitionKeys)
+        clusterByKeys(toPhysical(writeMeta, batch), partitionKeys),
+        partitionKeys)
       val autoInc = meta0.cdf.map { key =>
         writeChangeInc(spark, dir, rowDiff(snapshot(spark, dir, v),
           batch, key))
@@ -1691,8 +1691,8 @@ object Versioned {
       val autoRen = autoRenames(meta0, batch.columns.toSeq, v + 1)
       val writeMeta = meta0.copy(renames = meta0.renames ++ autoRen)
       val newFiles = writeStagedFiles(spark, fs, dir,
-        toPhysical(writeMeta, batch)
-          .repartition(partitionKeys.map(col): _*), partitionKeys)
+        clusterByKeys(toPhysical(writeMeta, batch), partitionKeys),
+        partitionKeys)
       // table-property CDF: a blind append's increment is its own rows
       // as inserts; published by whichever CAS attempt wins below
       val autoInc = meta0.cdf.map { _ =>
@@ -2722,6 +2722,15 @@ object Versioned {
   private def cowScope(snap: DataFrame, hit: org.apache.spark.sql.Column,
       partitionKeys: Seq[String])
       : Option[(org.apache.spark.sql.Column, String => Boolean)] = {
+    if (partitionKeys.isEmpty) {
+      // UNPARTITIONED table: the only "partition" is the table root, so
+      // one matching row scopes the FULL-TABLE rewrite — every live file
+      // is replaced (the honest COW cost when no layout can prune; the
+      // job below is the same bounded-driver class as the collect the
+      // partitioned branch runs)
+      return if (snap.filter(hit).isEmpty) None
+             else Some((lit(true), (_: String) => true))
+    }
     val touchedRows = snap.filter(hit)
       .select(partitionKeys.map(col): _*).distinct().collect().toSeq
     if (touchedRows.isEmpty) return None
@@ -2740,6 +2749,17 @@ object Versioned {
     Some((touchedPred,
       (ref: String) => touchedDirs.exists(d => refRel(ref).startsWith(d + "/"))))
   }
+
+  /** Cluster a batch for its partition layout before the staged write.
+    * With keys this is the usual shuffle-to-layout; with NO keys
+    * (unpartitioned table) the batch passes through UNCHANGED —
+    * `repartition()` on zero expressions is NOT a no-op, it hashes
+    * every row to one partition (measured: 3-row df → 1 partition),
+    * i.e. a single-task single-file write, which for a full-table COW
+    * rewrite of an unpartitioned table would serialize the whole
+    * table through one core. */
+  private def clusterByKeys(df: DataFrame, keys: Seq[String]): DataFrame =
+    if (keys.isEmpty) df else df.repartition(keys.map(col): _*)
 
   /** SQL `UPDATE ... SET ... WHERE ...` as ONE copy-on-write commit:
     * only partitions physically holding a matching row are rewritten
@@ -2813,8 +2833,8 @@ object Versioned {
         val fs = fsOf(spark, dir)
         val live = filesAt(spark, dir, v)
         val newFiles = writeStagedFiles(spark, fs, dir,
-          toPhysical(meta0, merged)
-            .repartition(partitionKeys.map(col): _*), partitionKeys)
+          clusterByKeys(toPhysical(meta0, merged), partitionKeys),
+          partitionKeys)
         writeCommit(fs, dir, v + 1,
           live.filterNot(underTouched) ++ newFiles, live,
           carryMeta(spark, dir, v, commitTs, None, dels, "update")
@@ -2854,8 +2874,8 @@ object Versioned {
         val live = filesAt(spark, dir, v)
         val dels = deleteFilesAt(spark, dir, v)
         val newFiles = writeStagedFiles(spark, fs, dir,
-          toPhysical(meta0, merged)
-            .repartition(partitionKeys.map(col): _*), partitionKeys)
+          clusterByKeys(toPhysical(meta0, merged), partitionKeys),
+          partitionKeys)
         writeCommit(fs, dir, v + 1,
           live.filterNot(underTouched) ++ newFiles, live,
           carryMeta(spark, dir, v, commitTs, None, dels, "delete")
@@ -2894,30 +2914,46 @@ object Versioned {
     // whose only matching rows are the fresh ones is NOT affected);
     // bounded driver collect: distinct partition values of the hits
     val raw = readRefs(spark, dir, live)
-    val affectedRows = tombstoneFilter(spark, dir, v, raw, keep = false)
-      .select(partitionKeys.map(col): _*).distinct().collect()
-    val affectedDirs = affectedRows.map { r =>
-      partitionKeys.zipWithIndex.map { case (k, i) =>
-        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-          .getPartitionPathString(k, Option(r.get(i)).map(String.valueOf).orNull)
-      }.mkString("/")
-    }.toSet
-    def underAffected(ref: String) =
-      affectedDirs.exists(d => refRel(ref).startsWith(d + "/"))
-    if (affectedDirs.isEmpty) { // tombstones matched nothing on disk
-      writeCommit(fs, dir, v + 1, live, live,
-        carryMeta(spark, dir, v, commitTs, None, Nil, "materialize"))
-      return v + 1
+    val hits = tombstoneFilter(spark, dir, v, raw, keep = false)
+    // the affected scope, in the same two shapes as [[cowScope]]: with
+    // keys it is the hit rows' distinct partitions; UNPARTITIONED, any
+    // hit scopes the full-table rewrite (no layout can prune)
+    val scope: Option[(org.apache.spark.sql.Column, String => Boolean)] =
+      if (partitionKeys.isEmpty) {
+        if (hits.isEmpty) None else Some((lit(true), (_: String) => true))
+      } else {
+        val affectedRows = hits
+          .select(partitionKeys.map(col): _*).distinct().collect()
+        if (affectedRows.isEmpty) None
+        else {
+          val affectedDirs = affectedRows.map { r =>
+            partitionKeys.zipWithIndex.map { case (k, i) =>
+              org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+                .getPartitionPathString(k,
+                  Option(r.get(i)).map(String.valueOf).orNull)
+            }.mkString("/")
+          }.toSet
+          val affectedPred = affectedRows.map { r =>
+            partitionKeys.zipWithIndex.map { case (k, i) =>
+              col(k) <=> lit(r.get(i))
+            }.reduce(_ && _)
+          }.reduce(_ || _)
+          Some((affectedPred,
+            (ref: String) =>
+              affectedDirs.exists(d => refRel(ref).startsWith(d + "/"))))
+        }
+      }
+    val (affectedPred, underAffected) = scope match {
+      case None => // tombstones matched nothing on disk
+        writeCommit(fs, dir, v + 1, live, live,
+          carryMeta(spark, dir, v, commitTs, None, Nil, "materialize"))
+        return v + 1
+      case Some(s) => s
     }
-    val affectedPred = affectedRows.map { r =>
-      partitionKeys.zipWithIndex.map { case (k, i) =>
-        col(k) <=> lit(r.get(i))
-      }.reduce(_ && _)
-    }.reduce(_ || _)
     val clean = snapshot(spark, dir, v).filter(affectedPred)
     val newFiles = writeStagedFiles(spark, fs, dir,
-      toPhysical(metaAt(spark, dir, v), clean)
-        .repartition(partitionKeys.map(col): _*), partitionKeys)
+      clusterByKeys(toPhysical(metaAt(spark, dir, v), clean), partitionKeys),
+      partitionKeys)
     writeCommit(fs, dir, v + 1, live.filterNot(underAffected) ++ newFiles,
       live, carryMeta(spark, dir, v, commitTs, None, Nil, "materialize"))
     maybeWriteIncStats(spark, dir, v, newFiles, Nil)
@@ -3069,8 +3105,8 @@ object Versioned {
       val newFiles =
         if (inserts.isEmpty) Nil
         else writeStagedFiles(spark, fs, dir,
-          toPhysical(writeMeta, inserts)
-            .repartition(partitionKeys.map(col): _*), partitionKeys)
+          clusterByKeys(toPhysical(writeMeta, inserts), partitionKeys),
+          partitionKeys)
       val scoped = delFiles.map(p => s"$p @${v + 1}")
       beforeCommitHook()
       try {
@@ -3253,7 +3289,9 @@ object Versioned {
       // matching runs on the ROOT-RELATIVE path, so a clone's foreign
       // refs localize (drop) exactly when their partition is rewritten
       def underTouched(ref: String) =
-        allDirs.exists(d => refRel(ref).startsWith(d + "/"))
+        // "" is the UNPARTITIONED table's root "partition" (the
+        // resolve core's convention): it claims every live ref
+        allDirs.exists(d => d.isEmpty || refRel(ref).startsWith(d + "/"))
       // conflict partitions OUTSIDE the batch's scope are rewritten
       // MOR-clean from the snapshot (layout-only: no logical change,
       // hence no feed rows for them)
@@ -3298,8 +3336,8 @@ object Versioned {
       val autoRen = autoRenames(meta0, toWrite.columns.toSeq, v + 1)
       val writeMeta = meta0.copy(renames = meta0.renames ++ autoRen)
       val newFiles = writeStagedFiles(spark, fs, dir,
-        toPhysical(writeMeta, toWrite)
-          .repartition(partitionKeys.map(col): _*), partitionKeys)
+        clusterByKeys(toPhysical(writeMeta, toWrite), partitionKeys),
+        partitionKeys)
 
       // COMMIT, with a COMMIT-ONLY retry when a concurrent writer wins
       // the CAS on DISJOINT partitions (append's discipline, extended
@@ -3598,7 +3636,7 @@ object Versioned {
           .repartitionByRange(nSlices, keys: _*)
           .sortWithinPartitions(keys: _*)
           .drop("__zkey")
-      case None => rows.repartition(partitionKeys.map(col): _*)
+      case None => clusterByKeys(rows, partitionKeys)
     }
     val newFiles = writeStagedFiles(spark, fs, dir,
       toPhysical(meta0opt, clustered), partitionKeys, maxRecs)

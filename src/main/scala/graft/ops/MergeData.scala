@@ -65,7 +65,10 @@ object MergeData {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
       def writer(d: DataFrame, keys: Seq[String]) =
-        d.repartition(keys.map(col): _*)
+        // no keys (unpartitioned): keep the batch's parallelism —
+        // repartition() on ZERO expressions hashes every row to one
+        // partition, a single-task write
+        (if (keys.isEmpty) d else d.repartition(keys.map(col): _*))
           .write
           .mode("overwrite")
           .partitionBy(keys: _*)
@@ -236,7 +239,23 @@ object MergeData {
     // one driver-side pass over the batch's distinct partitions: it is
     // bounded by the batch (a day's CDC touches few partitions), and it
     // buys BOTH static partition pruning on the read and the commit's
-    // swap/replace list
+    // swap/replace list. UNPARTITIONED (no keys): the one "partition"
+    // is the table root — touchedDirs' "" means "everything under the
+    // root" to every consumer (see [[graft.lake.Versioned.underDir]])
+    if (partitionKeys.isEmpty) {
+      require(!updates.isEmpty, "mergeInto got an empty updates batch")
+      val base = baseAll
+      val survivors = base.join(
+        updates.select(rowKey.map(col): _*).distinct(), rowKey, "left_anti")
+      val applied = updates.filter(!del).drop("__delete")
+      val dropped = base.columns.toSet -- applied.columns.toSet
+      require(dropped.isEmpty,
+        s"mergeInto batch is missing base columns ${dropped.mkString(", ")}: " +
+          "batches must carry every base data column (evolution adds columns, never drops)")
+      return MergeResolution(Seq(org.apache.spark.sql.Row()), Seq(""),
+        base, applied,
+        survivors.unionByName(applied, allowMissingColumns = true))
+    }
     val touchedRows = updates.select(partitionKeys.map(col): _*)
       .distinct().collect().toSeq
     require(touchedRows.nonEmpty, "mergeInto got an empty updates batch")
@@ -507,8 +526,12 @@ object MergeData {
     // not throwing) and delete staging ONLY after all swaps succeed. A
     // failed swap aborts loudly with the data recoverable in staging.
     res.touchedDirs.foreach { rel =>
-      val dst = new org.apache.hadoop.fs.Path(baseDir, rel)
-      val src = new org.apache.hadoop.fs.Path(staging, rel)
+      // "" = the UNPARTITIONED table root (resolveMerge's convention):
+      // the whole base directory is the one touched "partition"
+      val dst = if (rel.isEmpty) new org.apache.hadoop.fs.Path(baseDir)
+                else new org.apache.hadoop.fs.Path(baseDir, rel)
+      val src = if (rel.isEmpty) staging
+                else new org.apache.hadoop.fs.Path(staging, rel)
       fs.delete(dst, true)
       if (fs.exists(src)) { // DELETE-all batch leaves no staging dir
         fs.mkdirs(dst.getParent)

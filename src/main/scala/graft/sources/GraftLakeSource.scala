@@ -326,23 +326,39 @@ object GraftFileIndex {
   // cached, a repeat `spark.read.format("graft")` plans with ZERO
   // driver file-system calls. Invalidation rides Versioned's own
   // cache-drop fan-out (vacuum, clone localization). Bounded LRU.
+  //
+  // The key carries the OWNING SESSION (by reference — SparkSession
+  // equality is identity), not just (dir, version): a HadoopFsRelation
+  // is bound to the SQLContext that built it, and its partition values
+  // were parsed under that session's spark.sql.session.timeZone —
+  // serving it to a second session (or one created after the first was
+  // stopped) would pin plans to the wrong/stopped session. Each
+  // session builds its own entry; entries of stopped sessions are
+  // dropped on sight (and age out of the LRU regardless).
   private val relationCache =
-    new java.util.LinkedHashMap[(String, Long), BaseRelation](16, 0.75f, true) {
+    new java.util.LinkedHashMap[(SparkSession, String, Long), BaseRelation](
+        16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Long), BaseRelation]): Boolean =
-        size > 64
+          e: java.util.Map.Entry[(SparkSession, String, Long), BaseRelation])
+          : Boolean = size > 64
     }
   Versioned.cacheDropHooks.add((dir: String) =>
     relationCache.synchronized {
-      relationCache.keySet.removeIf(_._1 == dir)
+      relationCache.keySet.removeIf(_._2 == dir)
     })
 
   /** Build (or serve cached) the fast-path relation for a committed
     * version — see [[buildRelation]] for what a build does. */
   def relation(sqlContext: SQLContext, dir: String,
       version: Long): BaseRelation = {
-    val key = (dir, version)
-    relationCache.synchronized(Option(relationCache.get(key))) match {
+    val session = sqlContext.sparkSession
+    val key = (session, dir, version)
+    relationCache.synchronized {
+      // stopped sessions cannot serve plans; purge their entries so the
+      // LRU never keeps a dead session (or its relation) reachable
+      relationCache.keySet.removeIf(_._1.sparkContext.isStopped)
+      Option(relationCache.get(key))
+    } match {
       case Some(r) => r
       case None =>
         val r = buildRelation(sqlContext, dir, version)

@@ -251,35 +251,64 @@ case class GraftMergeIntoCommand(dir: String, version: Long,
       rows.filter(gs.reduce(_ || _)).select(img :+ delCol.as("__delete"): _*)
     }
 
-    // the SQL cardinality contract: at most one joined row per target
-    // key (covers both a multi-matching source and duplicate target
-    // keys — either would make the per-key upsert ambiguous)
-    if (matched.nonEmpty || notMatched.nonEmpty) {
-      val pair = src.join(tgt, condCol, "inner")
-      val dup = pair.groupBy(keyAttrs.map(colOf): _*).count()
+    // ONE source scan per merge: the source is an arbitrary query —
+    // at 100 TB usually the expensive side to recompute — and it feeds
+    // up to three joins below. Persist it (as Versioned.append persists
+    // its batch) so every family reads the cached source; persist the
+    // joined pair too, so the cardinality check and the matched images
+    // share a SINGLE join execution instead of replaying it.
+    val srcC = src.persist()
+    val pairC =
+      if (matched.nonEmpty || notMatched.nonEmpty)
+        Some(srcC.join(tgt, condCol, "inner").persist())
+      else None
+    try {
+      // the SQL cardinality contract: at most one joined row per target
+      // key (covers both a multi-matching source and duplicate target
+      // keys — either would make the per-key upsert ambiguous). This
+      // action also materializes the pair cache the images read from.
+      pairC.foreach { pair =>
+        val dup = pair.groupBy(keyAttrs.map(colOf): _*).count()
+          .filter(col("count") > 1).limit(1).count()
+        require(dup == 0L,
+          "MERGE INTO matched more than one row per target key — SQL merge " +
+            "requires a 1:1 match (deduplicate the source, or key-unique " +
+            "the target)")
+      }
+      val parts = Seq(
+        pairC.filter(_ => matched.nonEmpty).map(images(_, matched)),
+        if (notMatched.isEmpty) None
+        else Some(images(srcC.join(tgt, condCol, "left_anti"), notMatched)),
+        if (notMatchedBySource.isEmpty) None
+        else Some(images(tgt.join(srcC, condCol, "left_anti"),
+          notMatchedBySource))).flatten
+      val updates = parts.reduceOption(_ unionByName _).getOrElse(return Nil)
+      // the per-key upsert replaces ALL target rows of a batch key with
+      // the batch's image, so the BATCH must be key-unique. The pair
+      // check above cannot see every shape — a NOT MATCHED BY SOURCE
+      // merge against duplicate unmatched target keys, or a key with
+      // one matched and one unmatched copy claimed by different
+      // families, both build >1 image per key — so the committed batch
+      // itself is checked, completely.
+      val dupBatch = updates.groupBy(rowKey.map(col): _*).count()
         .filter(col("count") > 1).limit(1).count()
-      require(dup == 0L,
-        "MERGE INTO matched more than one row per target key — SQL merge " +
-          "requires a 1:1 match (deduplicate the source, or key-unique " +
-          "the target)")
-      // pair is rebuilt per image below; the check is its own job
+      require(dupBatch == 0L,
+        "MERGE INTO built more than one row image per target key (the " +
+          "target holds duplicate rows for a key this merge actions) — " +
+          "the per-key upsert cannot express that: key-unique the target " +
+          "first")
+      if (updates.isEmpty) return Nil // nothing actioned: SQL no-op
+      val partitionKeys = Versioned.layoutPartitionKeys(spark, dir)
+      val mor = spark.conf.getOption("spark.graft.sql.merge.mor")
+        .exists(_.toBoolean)
+      if (mor)
+        Versioned.mergeIntoMor(spark, dir, updates, partitionKeys, rowKey)
+      else Versioned.mergeInto(spark, dir, updates, partitionKeys, rowKey)
+      Nil
+    } finally {
+      pairC.foreach(_.unpersist())
+      srcC.unpersist()
     }
-    val parts = Seq(
-      if (matched.isEmpty) None
-      else Some(images(src.join(tgt, condCol, "inner"), matched)),
-      if (notMatched.isEmpty) None
-      else Some(images(src.join(tgt, condCol, "left_anti"), notMatched)),
-      if (notMatchedBySource.isEmpty) None
-      else Some(images(tgt.join(src, condCol, "left_anti"),
-        notMatchedBySource))).flatten
-    val updates = parts.reduceOption(_ unionByName _).getOrElse(return Nil)
-    if (updates.isEmpty) return Nil // nothing actioned: SQL no-op
-    val partitionKeys = Versioned.layoutPartitionKeys(spark, dir)
-    val mor = spark.conf.getOption("spark.graft.sql.merge.mor")
-      .exists(_.toBoolean)
-    if (mor) Versioned.mergeIntoMor(spark, dir, updates, partitionKeys, rowKey)
-    else Versioned.mergeInto(spark, dir, updates, partitionKeys, rowKey)
-    Nil
   }
 }
 

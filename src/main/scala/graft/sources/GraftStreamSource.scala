@@ -42,6 +42,15 @@ import graft.lake.Versioned
   * `maxVersionsPerTrigger` (Delta's backpressure knob, in versions)
   * bounds how many commits one micro-batch may cover.
   *
+  * SCHEMA is pinned per checkpoint (persisted `graft_schema`, like
+  * `graft_start`): restarts re-serve replayed offsets under the
+  * ORIGINAL column set even if the table evolved between runs —
+  * dropped columns null-fill, added columns wait for a new stream. A
+  * column RENAMED mid-stream keeps its pinned name only for data
+  * already written under it; to follow the new name, start a fresh
+  * checkpoint — the same restart Delta requires for non-additive
+  * schema changes.
+  *
   * CHANGES MODE (`readChanges` + `startingVersion` — Delta's
   * `readChangeFeed`): batches are [[Versioned.changesBetween]]
   * increments with `_action`/`_commit_version` columns, so merges,
@@ -59,21 +68,25 @@ private[sources] class GraftStreamSource(sqlContext: SQLContext,
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
   private val startPath = new Path(metadataPath, "graft_start")
   private val hwPath = new Path(metadataPath, "graft_hw")
+  private val schemaPath = new Path(metadataPath, "graft_schema")
 
-  private def readLong(p: Path): Option[Long] =
+  private def readText(p: Path): Option[String] =
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8")
-        .mkString.trim.toLong)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
       finally in.close()
     }
 
-  private def writeLong(p: Path, v: Long): Unit = {
+  private def readLong(p: Path): Option[Long] = readText(p).map(_.toLong)
+
+  private def writeText(p: Path, v: String): Unit = {
     fs.mkdirs(p.getParent)
     val out = fs.create(p, true)
-    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    try out.write(v.getBytes("UTF-8")) finally out.close()
   }
+
+  private def writeLong(p: Path, v: Long): Unit = writeText(p, v.toString)
 
   require(!readChanges || startingVersion.isDefined ||
       readLong(startPath).exists(_ >= 0),
@@ -91,14 +104,33 @@ private[sources] class GraftStreamSource(sqlContext: SQLContext,
     v
   }
 
+  /** The stream's BASE schema, pinned ONCE per checkpoint (like
+    * `graft_start`): the first construction resolves the table's
+    * current snapshot schema and persists its JSON under the stream's
+    * metadata dir; every later (re)construction — including restarts
+    * after an ALTER TABLE RENAME/DROP evolved the table — reads the
+    * file back with ZERO manifest resolutions, so a replayed offset
+    * range serves byte-identical batches under the ORIGINAL column
+    * set, exactly as the exactly-once contract documents. */
+  private val baseSchema: StructType = readText(schemaPath) match {
+    case Some(json) =>
+      org.apache.spark.sql.types.DataType.fromJson(json)
+        .asInstanceOf[StructType]
+    case None =>
+      GraftStreamSource.schemaResolutions += 1
+      val s = Versioned.snapshot(spark, dir).schema
+      writeText(schemaPath, s.json)
+      s
+  }
+
   override val schema: StructType =
     if (readChanges) StructType(
-      Versioned.snapshot(spark, dir).schema.fields.toSeq :+
+      baseSchema.fields.toSeq :+
         org.apache.spark.sql.types.StructField("_action",
           org.apache.spark.sql.types.StringType) :+
         org.apache.spark.sql.types.StructField("_commit_version",
           org.apache.spark.sql.types.LongType))
-    else Versioned.snapshot(spark, dir).schema
+    else baseSchema
 
   private def ver(o: Offset): Long = o match {
     case l: LongOffset => l.offset
@@ -154,4 +186,11 @@ private[sources] class GraftStreamSource(sqlContext: SQLContext,
   override def stop(): Unit = ()
 
   override def toString: String = s"GraftStreamSource[$dir]"
+}
+
+private[sources] object GraftStreamSource {
+  /** Snapshot-schema resolutions performed by stream constructions
+    * (cache/pin MISSES) — the seam the pinning spec counts: a second
+    * start of the same checkpoint must resolve ZERO schemas. */
+  @volatile var schemaResolutions: Long = 0L
 }

@@ -137,4 +137,73 @@ class UpdateDeleteWhereSpec extends SparkSpec {
     assert(Versioned.deleteWhereCow(spark, dir, col("id") === 999L,
       Seq("site")) == v1)
   }
+
+  // ---- UNPARTITIONED tables: the COW scope is the table root --------
+  // (a table created without PARTITIONED BY reaches updateWhere /
+  // deleteWhereCow / materializeDeletes with EMPTY partition keys; the
+  // scope must degrade to a full-table rewrite, not crash on an
+  // empty reduce or keep the old files beside the rewrite)
+
+  private def freshFlatLake(): String = {
+    val root = java.nio.file.Files.createTempDirectory("graft_udwf").toFile
+    root.deleteOnExit()
+    val dir = new java.io.File(root, "lake").getAbsolutePath
+    df(Seq(("a", 1L, 1.0), ("a", 2L, 2.0), ("b", 10L, 10.0),
+      ("c", 20L, 20.0)), "site", "id", "v")
+      .coalesce(2).write.parquet(dir)
+    Versioned.init(spark, dir)
+    assert(Versioned.layoutPartitionKeys(spark, dir).isEmpty)
+    dir
+  }
+
+  test("updateWhere: unpartitioned table — full-table COW rewrite, no duplicated rows, old files dropped, travel intact, no-op on no-match") {
+    val dir = freshFlatLake()
+    val before = Versioned.filesAt(spark, dir).toSet
+    val v1 = Versioned.updateWhere(spark, dir, col("id") === 1L,
+      Map("v" -> (col("v") * 100)), Nil)
+    assert(v1 == 1L)
+    assert(state(Versioned.snapshot(spark, dir)) ==
+      Set(("a", 1L, 100.0), ("a", 2L, 2.0), ("b", 10L, 10.0),
+        ("c", 20L, 20.0)))
+    // EVERY pre-rewrite file must leave the manifest (keeping any would
+    // duplicate its rows beside the rewrite)
+    val after = Versioned.filesAt(spark, dir).toSet
+    assert(before.intersect(after).isEmpty,
+      "an unpartitioned COW update must replace every live file")
+    assert(state(Versioned.snapshot(spark, dir, 0L)) ==
+      Set(("a", 1L, 1.0), ("a", 2L, 2.0), ("b", 10L, 10.0), ("c", 20L, 20.0)))
+    assert(Versioned.updateWhere(spark, dir, col("id") === 999L,
+      Map("v" -> lit(0.0)), Nil) == v1)
+  }
+
+  test("deleteWhereCow: unpartitioned table — rows gone exactly once, travel intact, no-op on no-match") {
+    val dir = freshFlatLake()
+    val v1 = Versioned.deleteWhereCow(spark, dir, col("v") > 1.5, Nil)
+    assert(v1 == 1L)
+    assert(state(Versioned.snapshot(spark, dir)) == Set(("a", 1L, 1.0)))
+    assert(state(Versioned.snapshot(spark, dir, 0L)) ==
+      Set(("a", 1L, 1.0), ("a", 2L, 2.0), ("b", 10L, 10.0), ("c", 20L, 20.0)))
+    assert(Versioned.deleteWhereCow(spark, dir, col("id") === 999L, Nil) == v1)
+  }
+
+  test("materializeDeletes: unpartitioned table — tombstones fold into a full rewrite; matched-nothing tombstones drop metadata-only") {
+    val dir = freshFlatLake()
+    val v1 = Versioned.deleteWhere(spark, dir,
+      col("site") === "a", Seq("site", "id"))
+    assert(Versioned.deleteFilesAt(spark, dir, v1).nonEmpty)
+    val v2 = Versioned.materializeDeletes(spark, dir, Nil)
+    assert(v2 == v1 + 1)
+    assert(Versioned.deleteFilesAt(spark, dir, v2).isEmpty)
+    assert(state(Versioned.snapshot(spark, dir)) ==
+      Set(("b", 10L, 10.0), ("c", 20L, 20.0)))
+    // a tombstone whose rows are already gone: metadata-only commit
+    val v3 = Versioned.deleteWhere(spark, dir,
+      col("site") === "a", Seq("site", "id"))
+    val filesBefore = Versioned.filesAt(spark, dir, v3).toSet
+    val v4 = Versioned.materializeDeletes(spark, dir, Nil)
+    assert(Versioned.filesAt(spark, dir, v4).toSet == filesBefore,
+      "materializing no-hit tombstones must not rewrite data")
+    assert(state(Versioned.snapshot(spark, dir)) ==
+      Set(("b", 10L, 10.0), ("c", 20L, 20.0)))
+  }
 }

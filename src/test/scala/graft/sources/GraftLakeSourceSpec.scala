@@ -285,4 +285,25 @@ class GraftLakeSourceSpec extends SparkSpec {
     spark.read.format("graft").load(dir).count()
     assert(builds == b0 + 3, "vacuum must invalidate the relation cache")
   }
+
+  test("relation cache is SESSION-scoped: a second session builds its own relation instead of borrowing one bound to another session") {
+    val dir = freshLake()
+    Versioned.init(spark, dir)
+    def builds: Long = GraftFileIndex.relationBuilds
+    spark.read.format("graft").load(dir).count()
+    val b0 = builds
+    spark.read.format("graft").load(dir).count()
+    assert(builds == b0, "same session: cached")
+    // a sibling session (own SQLConf/timeZone): a relation built by the
+    // first session would pin its plans to the WRONG session — it must
+    // build its own entry, which then caches for ITS repeat reads
+    val s2 = spark.newSession()
+    s2.read.format("graft").load(dir).count()
+    assert(builds == b0 + 1, "a new session must build its own relation")
+    s2.read.format("graft").load(dir).count()
+    assert(builds == b0 + 1, "…which is then cached for that session")
+    // and the first session's entry is untouched
+    spark.read.format("graft").load(dir).count()
+    assert(builds == b0 + 1)
+  }
 }

@@ -327,4 +327,94 @@ class GraftSqlWritesSpec extends SparkSpec {
       ("a", 1L, 1.0), ("a", 2L, 2.0), ("b", 10L, 10.0), ("c", 20L, 20.0)),
       "readers see the pre-insert state (bare files are unreferenced)")
   }
+
+  test("UNPARTITIONED table (no PARTITIONED BY): SQL UPDATE, DELETE, MERGE and TRUNCATE are full-table COW commits — no crash, no duplicated rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sqlwf")
+      .toFile.getAbsolutePath
+    spark.sql(s"CREATE TABLE graft_sqlw.`$dir` (site STRING, id BIGINT, v DOUBLE)")
+    spark.sql(s"INSERT INTO ${tbl(dir)} VALUES " +
+      "('a', 1, 1.0), ('a', 2, 2.0), ('b', 10, 10.0), ('c', 20, 20.0)")
+    assert(Versioned.layoutPartitionKeys(spark, dir).isEmpty)
+
+    spark.sql(s"UPDATE ${tbl(dir)} SET v = v * 10 WHERE id = 1")
+    assert(state(Versioned.snapshot(spark, dir)) == Set(
+      ("a", 1L, 10.0), ("a", 2L, 2.0), ("b", 10L, 10.0), ("c", 20L, 20.0)))
+
+    spark.sql(s"DELETE FROM ${tbl(dir)} WHERE site = 'c'")
+    assert(state(Versioned.snapshot(spark, dir)) == Set(
+      ("a", 1L, 10.0), ("a", 2L, 2.0), ("b", 10L, 10.0)))
+
+    df(Seq(("a", 1L, 0.5), ("d", 30L, 30.0)), "site", "id", "v")
+      .createOrReplaceTempView("sqlw_flat_src")
+    spark.sql(
+      s"""MERGE INTO ${tbl(dir)} t USING sqlw_flat_src s
+         |ON t.site = s.site AND t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(state(Versioned.snapshot(spark, dir)) == Set(
+      ("a", 1L, 0.5), ("a", 2L, 2.0), ("b", 10L, 10.0), ("d", 30L, 30.0)))
+
+    val vPre = Versioned.currentVersion(spark, dir)
+    spark.sql(s"TRUNCATE TABLE ${tbl(dir)}")
+    assert(spark.sql(s"SELECT * FROM ${tbl(dir)}").count() == 0L)
+    assert(state(Versioned.snapshot(spark, dir, vPre)).size == 4,
+      "pre-truncate version still travels")
+    // and the table accepts writes again
+    spark.sql(s"INSERT INTO ${tbl(dir)} VALUES ('e', 5, 5.0)")
+    assert(state(Versioned.snapshot(spark, dir)) == Set(("e", 5L, 5.0)))
+  }
+
+  test("MERGE with only NOT MATCHED BY SOURCE clauses against duplicate target keys refuses (the per-key upsert would be ambiguous)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sqlwd")
+      .toFile.getAbsolutePath
+    MergeData.writeMerged(spark,
+      df(Seq(("a", 1L, 1.0), ("a", 1L, 2.0), ("b", 10L, 10.0)),
+        "site", "id", "v"),
+      dir, keys = Seq("site"))
+    Versioned.init(spark, dir)
+    // source holds NO a-keys, so both duplicate a@1 rows land in the
+    // NOT MATCHED BY SOURCE family — two full-row images for one key
+    df(Seq(("b", 10L, 0.0)), "site", "id", "v")
+      .createOrReplaceTempView("sqlw_nmbs_dup")
+    val v0 = Versioned.currentVersion(spark, dir)
+    val e = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO ${tbl(dir)} t USING sqlw_nmbs_dup s
+           |ON t.site = s.site AND t.id = s.id
+           |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = -t.v""".stripMargin)
+    }
+    assert(e.getMessage.contains("more than one row image"),
+      s"expected the batch-uniqueness refusal, got: ${e.getMessage}")
+    assert(Versioned.currentVersion(spark, dir) == v0,
+      "a refused merge must not commit")
+  }
+
+  test("MERGE reads its source exactly once (all WHEN families + cardinality check share the persisted source)") {
+    val dir = freshLake()
+    val acc = spark.sparkContext.longAccumulator("sqlw_src_scans")
+    val srcRows = Seq(("a", 1L, 100.0), ("z", 99L, 9.0))
+    val rdd = spark.sparkContext.parallelize(srcRows, 1).map { r =>
+      acc.add(1); org.apache.spark.sql.Row(r._1, r._2, r._3)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("site",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.DoubleType)))
+    spark.createDataFrame(rdd, schema)
+      .createOrReplaceTempView("sqlw_counted_src")
+    spark.sql(
+      s"""MERGE INTO ${tbl(dir)} t USING sqlw_counted_src s
+         |ON t.site = s.site AND t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *
+         |WHEN NOT MATCHED BY SOURCE AND t.site = 'c' THEN DELETE""".stripMargin)
+    assert(state(Versioned.snapshot(spark, dir)) == Set(
+      ("a", 1L, 100.0), ("a", 2L, 2.0), ("b", 10L, 10.0), ("z", 99L, 9.0)))
+    assert(acc.value == srcRows.length.toLong,
+      s"source scanned ${acc.value / srcRows.length}x — the merge must " +
+        "read its source exactly once (persisted)")
+  }
 }

@@ -72,6 +72,34 @@ class GraftStreamSourceSpec extends SparkSpec {
     assert(Versioned.snapshot(spark, sink).count() == 4L)
   }
 
+  test("schema pinning: a restart resolves ZERO snapshot schemas (pinned under the checkpoint) and serves the ORIGINAL column names even after an ALTER-style rename") {
+    val root = java.nio.file.Files.createTempDirectory("graft_spin").toFile
+    root.deleteOnExit()
+    val src = mkLake(root, Seq(("a", 1L, 1.0), ("b", 10L, 10.0)))
+    val sink = new java.io.File(root, "sink").getAbsolutePath
+    val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+    val r0 = GraftStreamSource.schemaResolutions
+    follow(src, sink, ckpt)
+    assert(GraftStreamSource.schemaResolutions == r0 + 1,
+      "first start resolves (and pins) the schema once")
+    Versioned.append(spark, src, df(Seq(("c", 3L, 3.0)), "site", "id", "v"),
+      Seq("site"))
+    follow(src, sink, ckpt)
+    assert(GraftStreamSource.schemaResolutions == r0 + 1,
+      "a restart must read the pinned schema file — zero resolutions")
+    // rename a column in the followed table: the pinned stream keeps
+    // serving the ORIGINAL name (replays stay byte-identical; following
+    // the new name is a fresh checkpoint, Delta's restart discipline)
+    Versioned.renameColumn(spark, src, "v", "reading")
+    follow(src, sink, ckpt)
+    assert(GraftStreamSource.schemaResolutions == r0 + 1)
+    assert(Versioned.snapshot(spark, sink).columns.toSet ==
+      Set("site", "id", "v"),
+      "the sink must keep the stream's pinned (pre-rename) column set")
+    assert(state(Versioned.snapshot(spark, sink)) ==
+      Set(("a", 1L, 1.0), ("b", 10L, 10.0), ("c", 3L, 3.0)))
+  }
+
   test("startingVersion: no initial snapshot — only appends after the seed arrive") {
     val root = java.nio.file.Files.createTempDirectory("graft_ssrc_sv").toFile
     root.deleteOnExit()
