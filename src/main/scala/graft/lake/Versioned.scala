@@ -144,14 +144,18 @@ object Versioned {
     * adds the `#cdf` change-feed table property; level 2 adds `#ren`/
     * `#dropcol` column mapping; level 3 adds `#pkeys`/`#gen`; level 4
     * adds SCOPED tombstones (`#del <path> @<bound>` — the [[
-    * mergeIntoMor]] row-level merge). A manifest demanding a higher
+    * mergeIntoMor]] row-level merge); level 5 adds METADATA-ONLY
+    * schema additions (`#addcol` — [[addColumn]]) and POSITIONAL
+    * deletion vectors (`#dv` — [[deleteWhereVectors]]). A manifest
+    * demanding a higher
     * level is REFUSED (naming its features) instead of silently
     * misread — the Delta reader/writer-version discipline: these are
     * SEMANTICS-BEARING meta, and an old build that ignored them would
     * skip feed emission (silent CDF hole), read renamed columns under
-    * their physical names, or apply a scoped tombstone globally and
-    * hide a MOR merge's own fresh rows. */
-  val SupportedProtocol = 4
+    * their physical names, apply a scoped tombstone globally and
+    * hide a MOR merge's own fresh rows, read an added column as
+    * missing, or resurrect rows a deletion vector erased. */
+  val SupportedProtocol = 5
 
   /** A `#del` entry is either a plain tombstone path (applies to every
     * file — [[deleteWhere]]'s global equality delete) or `path @bound`
@@ -192,7 +196,8 @@ object Versioned {
       renames: Map[String, String] = Map.empty,
       droppedCols: Seq[String] = Nil,
       pkeys: Option[Seq[String]] = None,
-      gens: Map[String, String] = Map.empty) {
+      gens: Map[String, String] = Map.empty,
+      addCols: Seq[(String, String)] = Nil) {
     /** (required reader level, feature names) demanded by this meta. */
     def protocol: (Int, Seq[String]) = {
       val fs = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
@@ -202,6 +207,7 @@ object Versioned {
       if (gens.nonEmpty) fs += ((3, "generated-columns"))
       if (dels.exists(e => delParse(e)._2.isDefined))
         fs += ((4, "scoped-tombstones"))
+      if (addCols.nonEmpty) fs += ((5, "added-columns"))
       val v = (verFloor +: fs.map(_._1).toSeq).max
       (v, fs.map(_._2).toSeq)
     }
@@ -221,7 +227,8 @@ object Versioned {
           s"#gen ${b64e(n)} ${b64e(e)}" } ++
         renames.toSeq.sortBy(_._1).map { case (l, p) =>
           s"#ren ${b64e(l)} ${b64e(p)}" } ++
-        droppedCols.sorted.map(c => s"#dropcol ${b64e(c)}")
+        droppedCols.sorted.map(c => s"#dropcol ${b64e(c)}") ++
+        addCols.map { case (n, t) => s"#addcol ${b64e(n)} ${b64e(t)}" }
     }
   }
   private[lake] object CommitMeta {
@@ -242,6 +249,7 @@ object Versioned {
     val gens = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val rens = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val drops = scala.collection.mutable.ArrayBuffer.empty[String]
+    val adds = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     lines.takeWhile(_.startsWith("#")).foreach { l =>
       if (l.startsWith("#ts ")) ts = Some(l.stripPrefix("#ts ").trim.toLong)
       else if (l.startsWith("#op ")) op = Some(l.stripPrefix("#op ").trim)
@@ -274,6 +282,9 @@ object Versioned {
         rens(b64d(toks(0))) = b64d(toks(1))
       } else if (l.startsWith("#dropcol ")) {
         drops += b64d(l.stripPrefix("#dropcol ").trim)
+      } else if (l.startsWith("#addcol ")) {
+        val toks = l.stripPrefix("#addcol ").trim.split(' ')
+        adds += ((b64d(toks(0)), b64d(toks(1))))
       }
     }
     // the protocol guard: refuse a manifest demanding a level this
@@ -288,7 +299,7 @@ object Versioned {
     CommitMeta(ts, txns.toMap, dels.toSeq, chks.toMap, op,
       verFloor = ver, cdf = cdf, cdfInc = cdfInc,
       renames = rens.toMap, droppedCols = drops.toSeq, pkeys = pkeys,
-      gens = gens.toMap)
+      gens = gens.toMap, addCols = adds.toSeq)
   }
 
   private def metaAt(spark: SparkSession, dir: String, v: Long): CommitMeta =
@@ -310,7 +321,7 @@ object Versioned {
     CommitMeta(Some(ts), prev.txns ++ newTxn.toMap, dels, prev.chks, Some(op),
       verFloor = prev.verFloor, cdf = prev.cdf, renames = prev.renames,
       droppedCols = prev.droppedCols, pkeys = prev.pkeys,
-      gens = prev.gens)
+      gens = prev.gens, addCols = prev.addCols)
   }
 
   // Resolved-listing cache (Delta's snapshot cache): a committed
@@ -347,6 +358,25 @@ object Versioned {
     * invalidation discipline, defined once. */
   private[graft] val cacheDropHooks =
     new java.util.concurrent.CopyOnWriteArrayList[String => Unit]()
+
+  /** SQL `DROP TABLE` (and CTAS-failure cleanup): remove a versioned
+    * table — manifest log, data files, sidecars, the directory itself —
+    * and drop every cached resolution/relation for it. Refuses
+    * directories WITHOUT a manifest: this must never be a generic
+    * `rm -rf` (the SQL surface hands it user-supplied paths). History
+    * goes with the table (Delta path-table semantics — DROP is not a
+    * soft delete). A SHALLOW CLONE of this table holds absolute foreign
+    * refs into it and would dangle — same hazard Delta documents; clone
+    * owners localize first (OPTIMIZE materializes foreign refs). */
+  def dropTable(spark: SparkSession, dir: String): Unit = {
+    require(currentVersion(spark, dir) >= 0,
+      s"$dir is not a versioned graft table (no _manifest) — refusing to " +
+        "delete a directory this protocol does not own")
+    cacheDrop(dir)
+    val p = new Path(dir)
+    val fs = fsOf(spark, dir)
+    require(fs.delete(p, true), s"DROP TABLE: could not delete $dir")
+  }
 
   /** Relative data-file paths live at `version` (latest if -1),
     * resolved as newest-checkpoint-at-or-below plus its delta tail
@@ -882,6 +912,50 @@ object Versioned {
     v + 1
   }
 
+  /** ADD COLUMN — METADATA-ONLY (protocol level 5): one commit records
+    * `#addcol name type`; no data file is touched. Reads null-fill the
+    * column until a write physically carries it (then the ordinary
+    * mergeSchema/evolution machinery takes over — the `#addcol` line
+    * stays as the type authority for files that still lack it). The
+    * SQL spelling is `ALTER TABLE ... ADD COLUMN` through
+    * [[graft.sources.GraftCatalog]]. Refused: names already visible,
+    * names equal to a live column's PHYSICAL name (the new column's
+    * physical spelling would be misread as the renamed column), and
+    * non-nullable types (existing rows have no value to satisfy them).
+    * Re-adding a DROPPED name is fine — the write path auto-assigns a
+    * fresh physical exactly as for appends. Time travel: versions
+    * before the add read without the column (their meta has no
+    * `#addcol`). */
+  def addColumn(spark: SparkSession, dir: String, name: String,
+      dataType: org.apache.spark.sql.types.DataType,
+      commitTs: Long = System.currentTimeMillis()): Long = {
+    val v = currentVersion(spark, dir)
+    require(v >= 0, s"no manifest in $dir — call init() first")
+    val meta = metaAt(spark, dir, v)
+    val visible = snapshot(spark, dir, v).columns.toSeq
+    require(!visible.contains(name), s"column $name already exists in $dir")
+    require(!meta.renames.values.toSet.contains(name),
+      s"$name is the PHYSICAL name of a renamed live column — files " +
+        "carrying the new column would be misread as the renamed one; " +
+        "pick another name (or rename the mapped column back first)")
+    val live = filesAt(spark, dir, v)
+    writeCommit(fsOf(spark, dir), dir, v + 1, live, live,
+      carryMeta(spark, dir, v, commitTs, None, deleteFilesAt(spark, dir, v),
+          "add-column")
+        .copy(addCols = meta.addCols :+ (name -> dataType.json)))
+    v + 1
+  }
+
+  /** The `#addcol` columns in force at `version`, parsed — the fast
+    * relation extends its inferred file schema with the ones no file
+    * carries yet (parquet null-fills requested-but-absent columns on
+    * the vectorized path already). */
+  private[graft] def addedColumnsAt(spark: SparkSession, dir: String,
+      version: Long): Seq[(String, org.apache.spark.sql.types.DataType)] =
+    metaAt(spark, dir, version).addCols.map { case (n, tJson) =>
+      (n, org.apache.spark.sql.types.DataType.fromJson(tJson))
+    }
+
   /** The column mapping in force at `version`: (logical, physical,
     * dropped flag) — DESCRIBE-style introspection. */
   def columnMapping(spark: SparkSession, dir: String,
@@ -1152,17 +1226,29 @@ object Versioned {
 
   private def snapshotUnderMeta(spark: SparkSession, dir: String,
       fileV: Long, metaV: Long): DataFrame = {
+    val meta = metaAt(spark, dir, metaV)
     val files = filesAt(spark, dir, fileV)
     if (files.isEmpty) {
       val anchor = anchorDf(spark, dir).getOrElse(throw
         new IllegalArgumentException(
           s"version $fileV of $dir has no files (and no _schema anchor " +
             "a CREATE TABLE would have left)"))
-      return applyColumnMapping(metaAt(spark, dir, metaV), anchor)
+      return applyAddedColumns(meta, applyColumnMapping(meta, anchor))
     }
-    applyColumnMapping(metaAt(spark, dir, metaV),
-      applyTombstones(spark, dir, fileV, readRefs(spark, dir, files)))
+    applyAddedColumns(meta, applyColumnMapping(meta,
+      applyTombstones(spark, dir, fileV, readRefs(spark, dir, files))))
   }
+
+  /** Null-fill `#addcol` columns no data file carries yet (the read
+    * side of the METADATA-ONLY [[addColumn]]): once a write physically
+    * carries the column, the mergeSchema read surfaces it and this is
+    * the identity. */
+  private def applyAddedColumns(meta: CommitMeta, df: DataFrame): DataFrame =
+    meta.addCols.foldLeft(df) { case (d, (n, tJson)) =>
+      if (d.columns.contains(n)) d
+      else d.withColumn(n, lit(null).cast(
+        org.apache.spark.sql.types.DataType.fromJson(tJson)))
+    }
 
   /** The table at `version` (latest if -1): reads EXACTLY the
     * manifest's files; partition columns come from the Hive paths via
@@ -2615,7 +2701,8 @@ object Versioned {
       CommitMeta(Some(commitTs), srcMeta.txns, Nil, srcMeta.chks,
         Some("clone"), verFloor = srcMeta.verFloor, cdf = srcMeta.cdf,
         renames = srcMeta.renames, droppedCols = srcMeta.droppedCols,
-        pkeys = srcMeta.pkeys, gens = srcMeta.gens))
+        pkeys = srcMeta.pkeys, gens = srcMeta.gens,
+        addCols = srcMeta.addCols))
     0L
   }
 

@@ -4492,6 +4492,115 @@ object LakeQueries {
         SELECT _action, count(*) AS row_count,
                round(sum(value::DOUBLE), 4) AS sum_value
         FROM feed GROUP BY 1 ORDER BY 1"""),
-      "SQL table functions: graft_changes feed aggregation == SQL derivation; graft_history require()d structurally (one row per version, ops labeled)")
+      "SQL table functions: graft_changes feed aggregation == SQL derivation; graft_history require()d structurally (one row per version, ops labeled)"),
+
+    // ---------------------------------------------------------------
+    // CTAS + DROP TABLE — the table LIFECYCLE as SQL: CREATE TABLE ...
+    // PARTITIONED BY ... AS SELECT materializes a table atomically
+    // through the staged catalog create (v0 anchor + declared spec +
+    // one insert commit), a scratch CTAS is DROPped and require()d
+    // gone, and the readback is SQL through the catalog.
+    // ---------------------------------------------------------------
+    Q("q204_sql_ctas",
+      (s, dir) => {
+        graft.GraftExtensions.register(s)
+        s.conf.set("spark.sql.catalog.gsql", "graft.sources.GraftCatalog")
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val root = new File(new File(sys.props("user.dir"), "target"),
+          s"graft_ctasq_$tag")
+        val lake = new File(root, "lake").getAbsolutePath
+        LakeQueries.synchronized {
+          val fs = new org.apache.hadoop.fs.Path(root.getAbsolutePath)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(root.getAbsolutePath), true)
+          Tables(s, dir, "events").select(MergeCols.map(col): _*)
+            .filter(col("event_type").isin("click", "view"))
+            .createOrReplaceTempView("q204_src")
+          s.sql(s"CREATE TABLE gsql.`$lake` PARTITIONED BY (event_type) AS " +
+            "SELECT event_id, user_id, value, event_type FROM q204_src " +
+            "WHERE user_id % 5 <> 4")
+          require(Versioned.partitionSpec(s, lake) == Some(Seq("event_type")),
+            "CTAS PARTITIONED BY must declare the spec")
+          require(Versioned.filesAt(s, lake)
+            .forall(_.startsWith("event_type=")),
+            "CTAS data must land Hive-partitioned")
+          // lifecycle leg: a scratch CTAS, dropped, leaves nothing
+          val scratch = new File(root, "scratch").getAbsolutePath
+          s.sql(s"CREATE TABLE gsql.`$scratch` AS " +
+            "SELECT * FROM q204_src WHERE user_id % 5 = 4")
+          require(Versioned.currentVersion(s, scratch) >= 0)
+          s.sql(s"DROP TABLE gsql.`$scratch`")
+          require(Versioned.currentVersion(s, scratch) < 0 &&
+            !new File(scratch).exists(),
+            "DROP TABLE must remove manifest and data")
+        }
+        s.sql(
+          s"""SELECT event_type, count(*) AS row_count,
+             |       round(sum(value), 4) AS sum_value,
+             |       count(DISTINCT user_id) AS n_users
+             |FROM gsql.`$lake` GROUP BY 1 ORDER BY 1""".stripMargin)
+      },
+      Some("""
+        SELECT event_type, count(*) AS row_count,
+               round(sum(value::DOUBLE), 4) AS sum_value,
+               count(DISTINCT user_id) AS n_users
+        FROM events
+        WHERE event_type IN ('click','view') AND user_id % 5 <> 4
+        GROUP BY 1 ORDER BY 1"""),
+      "SQL CTAS (atomic staged create, PARTITIONED BY declares the spec) + DROP TABLE lifecycle; readback == direct SELECT oracle"),
+
+    // ---------------------------------------------------------------
+    // ALTER TABLE ADD COLUMN — METADATA-ONLY schema addition
+    // (protocol level 5, `#addcol`): zero data files change at the
+    // add (require()d), reads null-fill, a later SQL INSERT carries
+    // real values, and the aggregate splits on presence so the oracle
+    // checks both the null-filled old rows and the carried new ones.
+    // ---------------------------------------------------------------
+    Q("q205_sql_add_column",
+      (s, dir) => {
+        graft.GraftExtensions.register(s)
+        s.conf.set("spark.sql.catalog.gsql", "graft.sources.GraftCatalog")
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val root = new File(new File(sys.props("user.dir"), "target"),
+          s"graft_addcolq_$tag")
+        val lake = new File(root, "lake").getAbsolutePath
+        LakeQueries.synchronized {
+          val fs = new org.apache.hadoop.fs.Path(root.getAbsolutePath)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(root.getAbsolutePath), true)
+          val base = Tables(s, dir, "events").select(MergeCols.map(col): _*)
+            .filter(col("event_type") === "click")
+          MergeData.writeMerged(s, base, lake, keys = Seq("event_type"))
+          Versioned.init(s, lake, commitTs = 1000L)
+          val vPre = Versioned.currentVersion(s, lake)
+          val filesPre = Versioned.filesAt(s, lake).toSet
+          s.sql(s"ALTER TABLE gsql.`$lake` ADD COLUMN bonus DOUBLE")
+          require(Versioned.filesAt(s, lake).toSet == filesPre,
+            "ADD COLUMN must be metadata-only (zero data-file changes)")
+          require(!Versioned.snapshot(s, lake, vPre).columns.contains("bonus"),
+            "the pre-add version must travel WITHOUT the column")
+          base.createOrReplaceTempView("q205_src")
+          s.sql(s"INSERT INTO gsql.`$lake` " +
+            "SELECT event_id + 30000000, user_id, value * 2, event_type, " +
+            "value AS bonus FROM q205_src WHERE user_id % 7 = 0")
+        }
+        s.sql(
+          s"""SELECT (bonus IS NULL) AS no_bonus, count(*) AS row_count,
+             |       round(sum(value), 4) AS sum_value,
+             |       round(sum(coalesce(bonus, 0.0)), 4) AS sum_bonus
+             |FROM gsql.`$lake` GROUP BY 1 ORDER BY 1""".stripMargin)
+      },
+      Some("""
+        WITH t AS (SELECT event_id, user_id, value FROM events
+                   WHERE event_type = 'click'),
+        allr AS (
+          SELECT value, NULL::DOUBLE AS bonus FROM t
+          UNION ALL
+          SELECT value * 2, value FROM t WHERE user_id % 7 = 0)
+        SELECT (bonus IS NULL) AS no_bonus, count(*) AS row_count,
+               round(sum(value::DOUBLE), 4) AS sum_value,
+               round(sum(coalesce(bonus, 0.0)::DOUBLE), 4) AS sum_bonus
+        FROM allr GROUP BY 1 ORDER BY 1"""),
+      "SQL ADD COLUMN: metadata-only commit require()d (zero file changes, travel without it), null-filled reads + a carrying INSERT == UNION oracle")
   )
 }

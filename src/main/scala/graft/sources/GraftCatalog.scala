@@ -41,11 +41,14 @@ import graft.lake.Versioned
   * the manifest (the table's [[org.apache.spark.sql.connector.write.V1Write]]
   * routes to `Versioned.append`/`overwrite`); SQL `MERGE INTO` /
   * `UPDATE` / `DELETE FROM` lower onto the mutation core via
-  * [[GraftRowLevelSql]] (register [[graft.GraftExtensions]]).
-  * ALTER/DROP/RENAME stay refused — schema evolution is the library's
-  * explicit, versioned surface (`Versioned.renameColumn/dropColumn/
-  * addConstraint/...`). */
-class GraftCatalog extends TableCatalog {
+  * [[GraftRowLevelSql]] (register [[graft.GraftExtensions]]);
+  * `CREATE TABLE ... AS SELECT` runs atomically through the staged
+  * create below; `DROP TABLE` removes the manifest AND data (guarded).
+  * RENAME stays refused — tables are identified by path and clones
+  * hold absolute refs into it. Column-level evolution is `ALTER TABLE
+  * RENAME/DROP COLUMN`, `ADD COLUMN` and the `graft.*` properties. */
+class GraftCatalog extends TableCatalog
+  with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
 
   private var catalogName: String = "graft"
 
@@ -144,9 +147,12 @@ class GraftCatalog extends TableCatalog {
     *    `enableChangeFeed`, `UNSET` → `disableChangeFeed` (Delta's
     *    `delta.enableChangeDataFeed` discipline).
     *
-    * Everything else (ADD COLUMN, type changes, ...) refuses by name —
-    * columns enter through appending writes (drift null-fills), the
-    * library's explicit, versioned surface. */
+    *  - `ADD COLUMN c T` → the METADATA-ONLY `Versioned.addColumn`
+    *    commit (`#addcol` — reads null-fill until a write carries the
+    *    column; nullable, appended at the end).
+    *
+    * Everything else (type changes, nested columns, ...) refuses by
+    * name — the library's explicit, versioned surface. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = dirOf(ident)
     val spark = SparkSession.active
@@ -156,6 +162,17 @@ class GraftCatalog extends TableCatalog {
     val ConstraintProp = "graft.constraint."
     val FeedProp = "graft.changeFeed.keys"
     changes.foreach {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          "graft tables have no nested columns to add into")
+        require(a.isNullable,
+          "ADD COLUMN on a graft table must be nullable: existing rows " +
+            "null-fill (declare NOT NULL-like guards as a " +
+            "graft.constraint.* property after backfilling)")
+        require(a.position() == null,
+          "ADD COLUMN ... FIRST/AFTER is not supported on graft tables " +
+            "— added columns append at the end of the schema")
+        Versioned.addColumn(spark, dir, a.fieldNames()(0), a.dataType())
       case r: TableChange.RenameColumn =>
         require(r.fieldNames.length == 1,
           "graft tables have no nested columns to rename")
@@ -186,18 +203,86 @@ class GraftCatalog extends TableCatalog {
           s"unsupported graft table property '${rp.property}'")
       case other =>
         throw new UnsupportedOperationException(
-          s"unsupported ALTER on a graft table: $other — columns enter " +
-            "through appending writes (schema drift null-fills); " +
-            "RENAME/DROP COLUMN and graft.* properties are the SQL surface")
+          s"unsupported ALTER on a graft table: $other — ADD/RENAME/" +
+            "DROP COLUMN and graft.* properties are the SQL surface " +
+            "(type changes and nested evolution are not supported)")
     }
     loadTable(ident)
   }
 
-  override def dropTable(ident: Identifier): Boolean =
-    throw new UnsupportedOperationException("graft catalog is read-only")
+  /** SQL `DROP TABLE graft.`dir``: guarded removal of the manifest log
+    * AND data ([[Versioned.dropTable]] refuses directories the protocol
+    * does not own). Returns false for a non-table path — Spark turns
+    * that into TABLE_OR_VIEW_NOT_FOUND (`DROP TABLE IF EXISTS` relies
+    * on it). */
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = dirOf(ident)
+    val spark = SparkSession.active
+    if (Versioned.currentVersion(spark, dir) < 0) false
+    else { Versioned.dropTable(spark, dir); true }
+  }
 
+  /** `CREATE TABLE ... AS SELECT` lands here (the catalog implements
+    * [[StagingTableCatalog]], so Spark plans the ATOMIC CTAS exec):
+    * the staged create writes the v0 anchor + declared spec eagerly —
+    * every row the SELECT then inserts is an ordinary manifest commit
+    * through the table's own V1 write — and a FAILED write aborts by
+    * removing the directory, leaving nothing behind (the brief window
+    * where a path reader could see the staged empty table is the same
+    * one Delta's path tables have). */
+  override def stageCreate(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    val t = createTable(ident, info.schema(), info.partitions(),
+      info.properties()).asInstanceOf[GraftVersionedTable]
+    new GraftStagedTable(dirOf(ident), t)
+  }
+
+  override def stageReplace(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    throw new UnsupportedOperationException(
+      "REPLACE TABLE is not supported on graft tables — the versioned " +
+        "equivalents are INSERT OVERWRITE (data) and DROP + CREATE (schema)")
+
+  override def stageCreateOrReplace(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stageCreate(ident, info) // refuses via createTable if it exists
+
+  /** Graft tables are identified by their PATH, and a SHALLOW CLONE
+    * holds absolute refs into its source path — a rename would dangle
+    * every clone silently. Delta refuses renames of path tables for
+    * the same reason. */
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("graft catalog is read-only")
+    throw new UnsupportedOperationException(
+      "RENAME TABLE is not supported: graft tables are identified by " +
+        "their directory path (and shallow clones hold absolute refs " +
+        "into it) — copy with CREATE TABLE ... AS SELECT, or clone")
+}
+
+/** The table a staged (atomic) CTAS writes through: reads/writes
+  * delegate to the created [[GraftVersionedTable]] (every insert is a
+  * manifest commit already); commit is a no-op, abort removes the
+  * directory so a failed CTAS leaves nothing. */
+private[sources] final class GraftStagedTable(dir: String,
+    inner: GraftVersionedTable)
+  extends org.apache.spark.sql.connector.catalog.StagedTable
+  with SupportsRead with SupportsWrite {
+
+  override def name(): String = inner.name()
+  override def schema(): StructType = inner.schema
+  override def capabilities(): util.Set[TableCapability] =
+    inner.capabilities()
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    inner.newScanBuilder(options)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    inner.newWriteBuilder(info)
+
+  override def commitStagedChanges(): Unit = ()
+
+  override def abortStagedChanges(): Unit =
+    Versioned.dropTable(SparkSession.active, dir)
 }
 
 /** One versioned lake at one pinned version, as a DSv2 read-only

@@ -434,10 +434,18 @@ object GraftFileIndex {
     val physToLog = renames.map(_.swap)
     val physSchema = spark.read.option("mergeSchema", "true")
       .parquet(abs: _*).schema
-    val dataSchema = StructType(physSchema.flatMap { f =>
+    val mapped = StructType(physSchema.flatMap { f =>
       if (dropped.contains(f.name)) None
       else Some(f.copy(name = physToLog.getOrElse(f.name, f.name)))
     })
+    // `#addcol` columns no file carries yet: requested-but-absent
+    // parquet columns null-fill on the vectorized path already, so
+    // extending the data schema is the whole read-side cost
+    val dataSchema = Versioned.addedColumnsAt(spark, dir, version)
+      .foldLeft(mapped) { case (sch, (n, t)) =>
+        if (sch.fieldNames.contains(n)) sch
+        else sch.add(org.apache.spark.sql.types.StructField(n, t))
+      }
     val fmt =
       if (renames.isEmpty && dropped.isEmpty) new ParquetFileFormat
       else new GraftMappedParquetFileFormat(renames)

@@ -1,0 +1,376 @@
+package graft.sources
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.{ParseException, ParserInterface}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{DataType, LongType, StructType}
+
+import graft.lake.{Maintenance, Versioned}
+
+/** The SQL MAINTENANCE verbs — the operator loop an engine owner runs
+  * daily, spelled exactly as Delta spells them and lowered onto the
+  * manifest core's existing maintenance methods:
+  *
+  *  - `OPTIMIZE graft.`dir`` `[ZORDER BY (c1[, c2])]`
+  *    → [[Versioned.optimize]] (binpack compaction; two-column ZORDER
+  *    interleaves with [[Maintenance.mortonKey]]);
+  *  - `VACUUM graft.`dir`` `[RETAIN n HOURS]`
+  *    → [[Versioned.vacuumRetain]] (default 168 h, Delta's default);
+  *  - `RESTORE [TABLE] graft.`dir` TO VERSION AS OF v` (or
+  *    `TO TIMESTAMP AS OF 'yyyy-MM-dd HH:mm:ss'`) → [[Versioned.restore]];
+  *  - `CREATE TABLE graft.`dst` SHALLOW CLONE graft.`src``
+  *    `[VERSION AS OF v]` → [[Versioned.cloneAt]];
+  *  - `REORG TABLE graft.`dir` APPLY (PURGE)` → Delta's spelling for
+  *    "fold the MOR state into the data": [[Versioned.materializeDeletes]]
+  *    compacts pending tombstones AND deletion vectors away.
+  *
+  * This is a PARSER extension (`injectParser`), not analysis: Spark's
+  * own grammar has none of these statements, so the session-build hook
+  * is the only seam. The delegate parses everything else — this class
+  * claims a statement only when its FIRST keyword is one of the verbs
+  * above (or a CREATE TABLE whose token stream contains SHALLOW CLONE
+  * outside quotes), so the hot `spark.sql` path pays one regex test.
+  * Each verb builds a [[LeafRunnableCommand]] that RETURNS METRICS as
+  * rows (version committed, file counts) — the operator sees what the
+  * command did, Delta-style.
+  *
+  * Table names resolve through the CATALOG: `cat.`dir`` requires `cat`
+  * to be a registered [[GraftCatalog]]; the remaining (backquoted)
+  * parts re-join to the lake directory, exactly like the catalog's own
+  * `dirOf`. Live sessions built WITHOUT the extensions hook cannot
+  * swap their parser — they call the `Versioned` methods directly (or
+  * rebuild the session with `spark.sql.extensions=graft.GraftExtensions`).
+  */
+class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
+  extends ParserInterface {
+
+  import GraftSqlParser._
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    parseMaintenance(spark, sqlText).getOrElse(delegate.parsePlan(sqlText))
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+object GraftSqlParser {
+
+  /** Cheap ownership test, then the real (tiny) recursive-descent
+    * parse. None = not a maintenance statement, delegate it. */
+  private[sources] def parseMaintenance(spark: SparkSession,
+      sqlText: String): Option[LogicalPlan] = {
+    val head = FirstWord.findFirstMatchIn(sqlText).map(_.group(1).toUpperCase)
+    head match {
+      case Some("OPTIMIZE") | Some("VACUUM") | Some("RESTORE") |
+           Some("REORG") =>
+        Some(new Parser(spark, sqlText).statement())
+      case Some("CREATE") =>
+        // only a CREATE whose TOKENS spell SHALLOW CLONE is ours (a
+        // string literal or backquoted name containing the words must
+        // fall through to Spark) — lex first, decide after
+        val toks = try new Lexer(sqlText).all() catch {
+          case _: ParseException => return None // not lexable by us
+        }
+        val isClone = toks.sliding(2).exists {
+          case Seq(Word(a), Word(b)) =>
+            a.equalsIgnoreCase("SHALLOW") && b.equalsIgnoreCase("CLONE")
+          case _ => false
+        }
+        if (isClone) Some(new Parser(spark, sqlText).statement()) else None
+      case _ => None
+    }
+  }
+
+  private val FirstWord = "^\\s*([A-Za-z]+)".r
+
+  // ---- the token stream ---------------------------------------------
+  private[sources] sealed trait Tok
+  private[sources] final case class Word(raw: String) extends Tok {
+    def up: String = raw.toUpperCase
+  }
+  private[sources] final case class Quoted(s: String) extends Tok // `...`
+  private[sources] final case class Str(s: String) extends Tok // '...'
+  private[sources] final case class Num(s: String) extends Tok
+  private[sources] final case class Sym(c: Char) extends Tok
+  private[sources] case object End extends Tok
+
+  private def fail(msg: String): Nothing =
+    throw new ParseException(None, msg,
+      org.apache.spark.sql.catalyst.trees.Origin(),
+      org.apache.spark.sql.catalyst.trees.Origin())
+
+  /** Lexes the SMALL grammar above: words, backquoted identifiers
+    * (with `` escapes), single-quoted strings ('' escapes), numbers,
+    * and the symbols `.(),`. Anything else refuses — callers treat
+    * that as "not ours". */
+  private[sources] final class Lexer(text: String) {
+    private var i = 0
+    def all(): Vector[Tok] = {
+      val buf = Vector.newBuilder[Tok]
+      var t = next()
+      while (t != End) { buf += t; t = next() }
+      buf.result()
+    }
+    private def next(): Tok = {
+      while (i < text.length && text(i).isWhitespace) i += 1
+      if (i >= text.length) return End
+      val c = text(i)
+      if (c == '`') {
+        val sb = new StringBuilder; i += 1
+        while (i < text.length) {
+          if (text(i) == '`') {
+            if (i + 1 < text.length && text(i + 1) == '`') {
+              sb += '`'; i += 2
+            } else { i += 1; return Quoted(sb.toString) }
+          } else { sb += text(i); i += 1 }
+        }
+        fail("unterminated backquoted identifier")
+      } else if (c == '\'') {
+        val sb = new StringBuilder; i += 1
+        while (i < text.length) {
+          if (text(i) == '\'') {
+            if (i + 1 < text.length && text(i + 1) == '\'') {
+              sb += '\''; i += 2
+            } else { i += 1; return Str(sb.toString) }
+          } else { sb += text(i); i += 1 }
+        }
+        fail("unterminated string literal")
+      } else if (c.isDigit) {
+        val start = i
+        while (i < text.length && (text(i).isDigit || text(i) == '.')) i += 1
+        Num(text.substring(start, i))
+      } else if (c.isLetter || c == '_') {
+        val start = i
+        while (i < text.length &&
+          (text(i).isLetterOrDigit || text(i) == '_' || text(i) == '$')) i += 1
+        Word(text.substring(start, i))
+      } else if (c == '.' || c == '(' || c == ')' || c == ',' || c == ';') {
+        i += 1; Sym(c)
+      } else fail(s"unexpected character '$c' in maintenance statement")
+    }
+  }
+
+  private final class Parser(spark: SparkSession, text: String) {
+    private val toks: Vector[Tok] = new Lexer(text).all()
+      .filterNot(_ == Sym(';'))
+    private var p = 0
+    private def peek: Tok = if (p < toks.length) toks(p) else End
+    private def take(): Tok = { val t = peek; p += 1; t }
+    private def kw(expected: String): Unit = take() match {
+      case w: Word if w.up == expected =>
+      case other => fail(s"expected $expected, found $other in: $text")
+    }
+    private def optKw(expected: String): Boolean = peek match {
+      case w: Word if w.up == expected => p += 1; true
+      case _ => false
+    }
+    private def num(): String = take() match {
+      case Num(s) => s
+      case other => fail(s"expected a number, found $other in: $text")
+    }
+    private def namePart(): String = take() match {
+      case Quoted(s) => s
+      case w: Word => w.raw
+      case other => fail(s"expected an identifier, found $other in: $text")
+    }
+    /** `cat.`dir``: the head must name a registered [[GraftCatalog]];
+      * the rest re-joins to the lake directory (the catalog's own
+      * `dirOf` convention). */
+    private def tableDir(): String = {
+      val parts = Vector.newBuilder[String]
+      parts += namePart()
+      while (peek == Sym('.')) { take(); parts += namePart() }
+      val all = parts.result()
+      if (all.length < 2)
+        fail(s"maintenance verbs need a catalog-qualified table " +
+          s"(cat.`dir` where cat is a GraftCatalog), got: ${all.mkString(".")}")
+      val cat = try spark.sessionState.catalogManager.catalog(all.head)
+        catch { case _: Exception =>
+          fail(s"'${all.head}' is not a registered catalog — set " +
+            s"spark.sql.catalog.${all.head}=graft.sources.GraftCatalog") }
+      if (!cat.isInstanceOf[GraftCatalog])
+        fail(s"catalog '${all.head}' is not a graft catalog — " +
+          "maintenance verbs apply to graft tables only")
+      all.tail.mkString(".")
+    }
+    private def end(): Unit =
+      if (peek != End) fail(s"trailing input after statement: $text")
+
+    def statement(): LogicalPlan = take() match {
+      case w: Word if w.up == "OPTIMIZE" =>
+        val dir = tableDir()
+        val zcols =
+          if (optKw("ZORDER")) {
+            kw("BY")
+            val paren = peek == Sym('(')
+            if (paren) take()
+            val cols = Vector.newBuilder[String]
+            cols += namePart()
+            while (peek == Sym(',')) { take(); cols += namePart() }
+            if (paren) take() match {
+              case Sym(')') =>
+              case other => fail(s"expected ), found $other")
+            }
+            cols.result()
+          } else Nil
+        end()
+        GraftOptimizeCommand(dir, zcols)
+      case w: Word if w.up == "VACUUM" =>
+        val dir = tableDir()
+        val hours =
+          if (optKw("RETAIN")) { val n = num(); kw("HOURS"); n.toDouble }
+          else 168.0 // Delta's default retention
+        end()
+        GraftVacuumCommand(dir, hours)
+      case w: Word if w.up == "RESTORE" =>
+        optKw("TABLE")
+        val dir = tableDir()
+        kw("TO")
+        val cmd = take() match {
+          case v: Word if v.up == "VERSION" =>
+            kw("AS"); kw("OF"); GraftRestoreCommand(dir, Some(num().toLong), None)
+          case t: Word if t.up == "TIMESTAMP" =>
+            kw("AS"); kw("OF")
+            take() match {
+              case Str(s) => GraftRestoreCommand(dir, None, Some(s))
+              case Num(n) => GraftRestoreCommand(dir, None, Some(n))
+              case other => fail(s"expected a timestamp literal, found $other")
+            }
+          case other => fail(s"expected VERSION|TIMESTAMP AS OF, found $other")
+        }
+        end(); cmd
+      case w: Word if w.up == "REORG" =>
+        kw("TABLE")
+        val dir = tableDir()
+        kw("APPLY")
+        take() match { case Sym('(') =>; case o => fail(s"expected (, found $o") }
+        kw("PURGE")
+        take() match { case Sym(')') =>; case o => fail(s"expected ), found $o") }
+        end()
+        GraftReorgPurgeCommand(dir)
+      case w: Word if w.up == "CREATE" =>
+        kw("TABLE")
+        val dst = tableDir()
+        kw("SHALLOW"); kw("CLONE")
+        val src = tableDir()
+        val version = if (optKw("VERSION")) {
+          kw("AS"); kw("OF"); num().toLong
+        } else -1L
+        end()
+        GraftShallowCloneCommand(src, dst, version)
+      case other => fail(s"unexpected start of maintenance statement: $other")
+    }
+  }
+
+  private[sources] def longAttr(name: String): AttributeReference =
+    AttributeReference(name, LongType, nullable = false)()
+}
+
+/** `OPTIMIZE` → [[Versioned.optimize]]: binpack compaction of every
+  * partition holding more files than its bytes demand; `ZORDER BY`
+  * re-clusters (one column sorts directly; two interleave via the
+  * codegen'd [[Maintenance.mortonKey]] — the same composite the
+  * library callers build). More than two ZORDER columns refuses: a
+  * fold of pairwise interleaves is NOT a z-order, and pretending
+  * otherwise would silently cluster badly at 100 TB. */
+case class GraftOptimizeCommand(dir: String, zorderCols: Seq[String])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    GraftSqlParser.longAttr("version"),
+    GraftSqlParser.longAttr("files_before"),
+    GraftSqlParser.longAttr("files_after"))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val zorder = zorderCols match {
+      case Nil => None
+      case Seq(a) => Some(col(a))
+      case Seq(a, b) => Some(Maintenance.mortonKey(col(a), col(b)))
+      case more => throw new IllegalArgumentException(
+        s"ZORDER BY supports 1 or 2 columns (got ${more.size}): a " +
+          "pairwise-interleave fold is not a z-order — cluster on the " +
+          "two highest-selectivity columns, or build a custom key with " +
+          "Versioned.optimize(zorder = ...)")
+    }
+    val before = Versioned.filesAt(spark, dir).size.toLong
+    val v = Versioned.optimize(spark, dir,
+      Versioned.layoutPartitionKeys(spark, dir), zorder = zorder)
+    Seq(Row(v, before, Versioned.filesAt(spark, dir, v).size.toLong))
+  }
+}
+
+/** `VACUUM ... [RETAIN n HOURS]` → [[Versioned.vacuumRetain]]. */
+case class GraftVacuumCommand(dir: String, retainHours: Double)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    GraftSqlParser.longAttr("versions_kept"),
+    GraftSqlParser.longAttr("oldest_version"))
+  override def run(spark: SparkSession): Seq[Row] = {
+    require(retainHours >= 0, "RETAIN hours must be >= 0")
+    Versioned.vacuumRetain(spark, dir, (retainHours * 3600 * 1000).toLong)
+    val vs = Versioned.history(spark, dir).select("version")
+      .collect().map(_.getLong(0))
+    Seq(Row(vs.length.toLong, vs.min))
+  }
+}
+
+/** `RESTORE ... TO VERSION|TIMESTAMP AS OF` → [[Versioned.restore]]
+  * (a NEW commit that re-publishes the target state — history is
+  * append-only, exactly Delta's RESTORE). */
+case class GraftRestoreCommand(dir: String, toVersion: Option[Long],
+    toTimestamp: Option[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    GraftSqlParser.longAttr("restored_to_version"),
+    GraftSqlParser.longAttr("committed_version"))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val target = toVersion.getOrElse {
+      val s = toTimestamp.get
+      val millis =
+        if (s.forall(c => c.isDigit || c == '.')) s.toDouble.toLong
+        else java.sql.Timestamp.valueOf(s).getTime
+      Versioned.versionAsOf(spark, dir, millis)
+    }
+    val v = Versioned.restore(spark, dir, target)
+    Seq(Row(target, v))
+  }
+}
+
+/** `REORG TABLE ... APPLY (PURGE)` — Delta's spelling for "rewrite the
+  * MOR state into the data": folds pending equality tombstones and
+  * deletion vectors into the affected partitions
+  * ([[Versioned.materializeDeletes]]). */
+case class GraftReorgPurgeCommand(dir: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    GraftSqlParser.longAttr("version"))
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(Versioned.materializeDeletes(spark, dir,
+      Versioned.layoutPartitionKeys(spark, dir))))
+}
+
+/** `CREATE TABLE dst SHALLOW CLONE src [VERSION AS OF v]` →
+  * [[Versioned.cloneAt]]: a metadata-only table whose manifest
+  * references the source's files (localized partition-by-partition by
+  * later OPTIMIZE/COW commits). */
+case class GraftShallowCloneCommand(srcDir: String, dstDir: String,
+    version: Long) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    GraftSqlParser.longAttr("version"))
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(Versioned.cloneAt(spark, srcDir, dstDir, version)))
+}

@@ -56,7 +56,7 @@ class GraftCatalogSpec extends SparkSpec {
     assert(agg.toSeq == Seq(("a", 2L, 102.0)))
   }
 
-  test("catalog reads stay correct under column mapping and MOR tombstones; mutations are refused") {
+  test("catalog reads stay correct under column mapping and MOR tombstones; RENAME TABLE refuses; DROP TABLE removes") {
     val dir = freshLake()
     Versioned.init(spark, dir)
     Versioned.renameColumn(spark, dir, "v", "value")
@@ -66,8 +66,12 @@ class GraftCatalogSpec extends SparkSpec {
     assert(d.columns.contains("value"), "logical names in SQL")
     assert(d.count() == 2L, "tombstoned row hidden in SQL")
     val e = intercept[Exception] {
-      spark.sql(s"DROP TABLE graft.`$dir`")
+      spark.sql(s"ALTER TABLE graft.`$dir` RENAME TO graft.`${dir}_y`")
     }
-    assert(e.getMessage.contains("read-only"))
+    assert(e.getMessage.contains("RENAME"))
+    spark.sql(s"DROP TABLE graft.`$dir`")
+    assert(Versioned.currentVersion(spark, dir) < 0 &&
+      !new java.io.File(dir).exists(),
+      "DROP TABLE must remove the manifest and the data")
   }
 }

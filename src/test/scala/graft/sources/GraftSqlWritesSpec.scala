@@ -229,7 +229,7 @@ class GraftSqlWritesSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.sql.delete.mor")
   }
 
-  test("ALTER TABLE: RENAME/DROP COLUMN are metadata-only mapping commits; TBLPROPERTIES drive constraints and the change feed; ADD COLUMN refuses") {
+  test("ALTER TABLE: RENAME/DROP COLUMN are metadata-only mapping commits; TBLPROPERTIES drive constraints and the change feed; type changes refuse") {
     val dir = freshLake()
     val files0 = Versioned.filesAt(spark, dir).toSet
     spark.sql(s"ALTER TABLE ${tbl(dir)} RENAME COLUMN v TO reading")
@@ -267,12 +267,18 @@ class GraftSqlWritesSpec extends SparkSpec {
     spark.sql(s"ALTER TABLE ${tbl(dir)} DROP COLUMN reading")
     assert(Versioned.filesAt(spark, dir).toSet == files1)
     assert(!Versioned.snapshot(spark, dir).columns.contains("reading"))
-    // unsupported evolutions refuse with guidance
+    // a DROPPED name can come back as an ADD COLUMN (fresh physical
+    // auto-assigned on the next write carrying it)
+    spark.sql(s"ALTER TABLE ${tbl(dir)} ADD COLUMN reading DOUBLE")
+    assert(Versioned.snapshot(spark, dir).columns.contains("reading"))
+    assert(Versioned.snapshot(spark, dir)
+      .filter(col("reading").isNotNull).count() == 0L,
+      "a re-added dropped name must NOT resurrect the old values")
+    // unsupported evolutions still refuse with guidance
     val e2 = intercept[Exception] {
-      spark.sql(s"ALTER TABLE ${tbl(dir)} ADD COLUMN extra DOUBLE")
+      spark.sql(s"ALTER TABLE ${tbl(dir)} ALTER COLUMN id TYPE INT")
     }
-    assert(e2.getMessage.contains("appending writes"),
-      s"expected the evolution guidance, got: ${e2.getMessage}")
+    assert(e2.getMessage != null, s"type change must refuse: ${e2.getMessage}")
   }
 
   test("TRUNCATE TABLE: one commit empties the table (typed empty read survives), pre-truncate versions travel, feed gets delete rows; graft_files lists the manifest") {
@@ -416,5 +422,108 @@ class GraftSqlWritesSpec extends SparkSpec {
     assert(acc.value == srcRows.length.toLong,
       s"source scanned ${acc.value / srcRows.length}x — the merge must " +
         "read its source exactly once (persisted)")
+  }
+
+  test("CTAS: CREATE TABLE ... AS SELECT round-trips (incl. PARTITIONED BY declaring the spec); CTAS onto an existing table refuses") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ctas").toFile
+    root.deleteOnExit()
+    val dir = new java.io.File(root, "t1").getAbsolutePath
+    df(Seq(("a", 1L, 1.0), ("b", 10L, 10.0), ("b", 11L, 11.0)),
+      "site", "id", "v").createOrReplaceTempView("ctas_src")
+    spark.sql(s"CREATE TABLE ${tbl(dir)} PARTITIONED BY (site) AS " +
+      "SELECT id, v, site FROM ctas_src")
+    assert(state(Versioned.snapshot(spark, dir)) ==
+      Set(("a", 1L, 1.0), ("b", 10L, 10.0), ("b", 11L, 11.0)))
+    assert(Versioned.partitionSpec(spark, dir) == Some(Seq("site")),
+      "CTAS PARTITIONED BY must declare the table's spec")
+    assert(Versioned.filesAt(spark, dir).forall(_.startsWith("site=")),
+      "CTAS data must land Hive-partitioned by the declared key")
+    // readable straight back through SQL, and writable
+    assert(spark.sql(s"SELECT count(*) FROM ${tbl(dir)}").head().getLong(0) == 3L)
+    spark.sql(s"INSERT INTO ${tbl(dir)} VALUES (2, 2.0, 'a')")
+    assert(spark.sql(s"SELECT count(*) FROM ${tbl(dir)}").head().getLong(0) == 4L)
+    // CTAS onto the SAME table: refused, nothing clobbered
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE ${tbl(dir)} AS SELECT * FROM ctas_src")
+    }
+    assert(spark.sql(s"SELECT count(*) FROM ${tbl(dir)}").head().getLong(0) == 4L)
+    // unpartitioned CTAS
+    val dir2 = new java.io.File(root, "t2").getAbsolutePath
+    spark.sql(s"CREATE TABLE ${tbl(dir2)} AS " +
+      "SELECT site, id, v FROM ctas_src WHERE id > 1")
+    assert(state(Versioned.snapshot(spark, dir2)) ==
+      Set(("b", 10L, 10.0), ("b", 11L, 11.0)))
+  }
+
+  test("CTAS is atomic: a SELECT that fails mid-write leaves NOTHING behind (no directory, no half table)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ctasf").toFile
+    root.deleteOnExit()
+    val dir = new java.io.File(root, "t").getAbsolutePath
+    df(Seq(("a", 1L, 1.0), ("b", 10L, 0.0)), "site", "id", "v")
+      .createOrReplaceTempView("ctas_boom")
+    intercept[Exception] { // ANSI division by zero inside the write job
+      spark.sql(s"CREATE TABLE ${tbl(dir)} AS " +
+        "SELECT site, id, 1.0 / v AS inv FROM ctas_boom")
+    }
+    assert(Versioned.currentVersion(spark, dir) < 0,
+      "a failed CTAS must not leave a versioned table")
+    assert(!new java.io.File(dir).exists(),
+      "a failed CTAS must remove the staged directory entirely")
+  }
+
+  test("DROP TABLE removes manifest + data (guarded); IF EXISTS on a missing table is silent; a dropped dir can be re-created") {
+    val dir = freshLake()
+    assert(new java.io.File(dir).exists())
+    spark.sql(s"DROP TABLE ${tbl(dir)}")
+    assert(!new java.io.File(dir).exists(), "DROP must delete the directory")
+    assert(Versioned.currentVersion(spark, dir) < 0)
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl(dir)}") // silent
+    intercept[Exception] { spark.sql(s"DROP TABLE ${tbl(dir)}") }
+    // the path is free for a fresh CREATE
+    spark.sql(s"CREATE TABLE ${tbl(dir)} (site STRING, id BIGINT, v DOUBLE)")
+    spark.sql(s"INSERT INTO ${tbl(dir)} VALUES ('x', 1, 1.0)")
+    assert(state(Versioned.snapshot(spark, dir)) == Set(("x", 1L, 1.0)))
+    // and RENAME TABLE stays refused by name
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE ${tbl(dir)} RENAME TO graft_sqlw.`${dir}_x`")
+    }
+    assert(e.getMessage.contains("RENAME"), e.getMessage)
+  }
+
+  test("ALTER TABLE ADD COLUMN: metadata-only commit — reads null-fill, writes may carry it, travel reads without it, refusals by name") {
+    val dir = freshLake()
+    val vPre = Versioned.currentVersion(spark, dir)
+    spark.sql(s"ALTER TABLE ${tbl(dir)} ADD COLUMN note STRING")
+    assert(Versioned.currentVersion(spark, dir) == vPre + 1,
+      "ADD COLUMN is ONE commit")
+    assert(Versioned.filesAt(spark, dir).toSet ==
+      Versioned.filesAt(spark, dir, vPre).toSet,
+      "ADD COLUMN must be metadata-only (zero data-file changes)")
+    // reads: null-filled on BOTH surfaces (catalog SQL and format)
+    val viaSql = spark.sql(
+      s"SELECT site, id, note FROM ${tbl(dir)} ORDER BY site, id")
+    assert(viaSql.columns.toSeq == Seq("site", "id", "note"))
+    assert(viaSql.collect().forall(_.isNullAt(2)))
+    val viaFmt = spark.read.format("graft").load(dir)
+    assert(viaFmt.schema.fieldNames.contains("note"))
+    assert(viaFmt.filter(col("note").isNotNull).count() == 0L)
+    // travel: the pre-add version reads WITHOUT the column
+    assert(!Versioned.snapshot(spark, dir, vPre).columns.contains("note"))
+    // a write carrying the column: new rows hold values, old rows null
+    spark.sql(s"INSERT INTO ${tbl(dir)} VALUES (7, 7.0, 'd', 'seven')")
+    val after = spark.sql(s"SELECT id, note FROM ${tbl(dir)}")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(after(7L) == "seven" && after(1L) == null)
+    // and the added column UPDATEs like any other
+    spark.sql(s"UPDATE ${tbl(dir)} SET note = 'one' WHERE id = 1")
+    assert(spark.sql(s"SELECT note FROM ${tbl(dir)} WHERE id = 1")
+      .head().getString(0) == "one")
+    // refusals: duplicate, NOT NULL, positioned
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE ${tbl(dir)} ADD COLUMN note STRING") }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE ${tbl(dir)} ADD COLUMN n2 STRING NOT NULL") }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE ${tbl(dir)} ADD COLUMN n3 STRING FIRST") }
   }
 }
