@@ -39,6 +39,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // AFTER the mutation lowering (a mutation target keeps its native
     // relation shape); injection order preserves rule order
     ext.injectOptimizerRule(graft.sources.GraftVectorizedReads(_))
+    // SQL maintenance verbs (OPTIMIZE/VACUUM/RESTORE/SHALLOW CLONE/
+    // REORG PURGE) — a parser can only ride the session-build hook;
+    // live register() sessions call the Versioned methods directly
+    ext.injectParser((session, delegate) =>
+      new graft.sources.GraftSqlParser(session, delegate))
   }
 }
 

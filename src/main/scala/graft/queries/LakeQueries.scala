@@ -4601,6 +4601,88 @@ object LakeQueries {
                round(sum(value::DOUBLE), 4) AS sum_value,
                round(sum(coalesce(bonus, 0.0)::DOUBLE), 4) AS sum_bonus
         FROM allr GROUP BY 1 ORDER BY 1"""),
-      "SQL ADD COLUMN: metadata-only commit require()d (zero file changes, travel without it), null-filled reads + a carrying INSERT == UNION oracle")
+      "SQL ADD COLUMN: metadata-only commit require()d (zero file changes, travel without it), null-filled reads + a carrying INSERT == UNION oracle"),
+
+    // ---------------------------------------------------------------
+    // SQL MAINTENANCE VERBS — the operator loop as SQL text (needs the
+    // session-built parser extension, which Verify/Bench sessions set
+    // via spark.sql.extensions): OPTIMIZE compacts (file counts
+    // require()d from the command's own metric row), REORG APPLY
+    // (PURGE) folds a pending tombstone, RESTORE travels the table
+    // back, SHALLOW CLONE materializes a metadata-only copy, VACUUM
+    // reaps history — and the final readback is the CLONE, so the
+    // whole chain must have preserved the restored state exactly.
+    // ---------------------------------------------------------------
+    Q("q206_sql_maintenance",
+      (s, dir) => {
+        graft.GraftExtensions.register(s)
+        s.conf.set("spark.sql.catalog.gsql", "graft.sources.GraftCatalog")
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val root = new File(new File(sys.props("user.dir"), "target"),
+          s"graft_mntq_$tag")
+        val lake = new File(root, "lake").getAbsolutePath
+        val clone = new File(root, "clone").getAbsolutePath
+        LakeQueries.synchronized {
+          val fs = new org.apache.hadoop.fs.Path(root.getAbsolutePath)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(root.getAbsolutePath), true)
+          val base = Tables(s, dir, "events").select(MergeCols.map(col): _*)
+            .filter(col("event_type") === "view")
+          MergeData.writeMerged(s, base, lake, keys = Seq("event_type"))
+          Versioned.init(s, lake, commitTs = 1000L)
+          // two appends → small files for OPTIMIZE to earn its keep
+          Versioned.append(s, lake,
+            base.withColumn("event_id", col("event_id") + lit(40000000L))
+              .withColumn("value", col("value") * 2),
+            Seq("event_type"), commitTs = 2000L)
+          Versioned.append(s, lake,
+            base.withColumn("event_id", col("event_id") + lit(50000000L))
+              .withColumn("value", col("value") + 1),
+            Seq("event_type"), commitTs = 3000L)
+          val opt = s.sql(s"OPTIMIZE gsql.`$lake`").collect().head
+          require(opt.getLong(1) > opt.getLong(2),
+            s"OPTIMIZE must compact the appended small files (got $opt)")
+          val vOpt = opt.getLong(0)
+          // MOR delete + REORG PURGE: tombstone folded away
+          Versioned.deleteWhere(s, lake, col("event_id") % 10 === 7,
+            Seq("event_id"))
+          require(Versioned.deleteFilesAt(s, lake,
+            Versioned.currentVersion(s, lake)).nonEmpty)
+          s.sql(s"REORG TABLE gsql.`$lake` APPLY (PURGE)")
+          require(Versioned.deleteFilesAt(s, lake,
+            Versioned.currentVersion(s, lake)).isEmpty,
+            "REORG APPLY (PURGE) must leave no pending tombstones")
+          // RESTORE back to the post-optimize state (deletes undone)
+          val rest = s.sql(s"RESTORE TABLE gsql.`$lake` " +
+            s"TO VERSION AS OF $vOpt").collect().head
+          require(rest.getLong(0) == vOpt)
+          // SHALLOW CLONE the restored table, then VACUUM the source:
+          // the clone must still read (its refs are absolute)
+          s.sql(s"CREATE TABLE gsql.`$clone` SHALLOW CLONE gsql.`$lake`")
+          val kept = s.sql(s"VACUUM gsql.`$lake` RETAIN 0 HOURS")
+            .collect().head
+          require(kept.getLong(0) == 1L,
+            s"VACUUM RETAIN 0 must keep exactly the current version ($kept)")
+        }
+        s.sql(
+          s"""SELECT count(*) AS row_count,
+             |       round(sum(value), 4) AS sum_value,
+             |       count(DISTINCT event_id) AS n_ids
+             |FROM gsql.`$clone`""".stripMargin)
+      },
+      Some("""
+        WITH t AS (SELECT event_id, value FROM events
+                   WHERE event_type = 'view'),
+        allr AS (
+          SELECT event_id, value FROM t
+          UNION ALL
+          SELECT event_id + 40000000, value * 2 FROM t
+          UNION ALL
+          SELECT event_id + 50000000, value + 1 FROM t)
+        SELECT count(*) AS row_count,
+               round(sum(value::DOUBLE), 4) AS sum_value,
+               count(DISTINCT event_id) AS n_ids
+        FROM allr"""),
+      "SQL maintenance verbs end-to-end: OPTIMIZE (file-count metric require()d) -> MOR delete -> REORG APPLY (PURGE) -> RESTORE -> SHALLOW CLONE -> VACUUM; clone readback == 3-batch union oracle")
   )
 }
