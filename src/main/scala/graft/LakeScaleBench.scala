@@ -347,6 +347,65 @@ object LakeScaleBench {
     morAgg(); time("mor_read_vectorized") { morAgg() }
     catAgg(); time("catalog_read_vectorized") { catAgg() }
 
+    // ---- round-14: DELETION-VECTOR ledger -------------------------
+    // A FIXED-SIZE predicate delete (bounded-id predicate, same
+    // matched rows at every clone factor) via positional vectors:
+    // bytes written must track the MATCH, never the lake — the 30x
+    // clone's dv_bytes_written should read ~flat while a COW delete's
+    // would track the touched partitions (the lake, for a scattered
+    // predicate). The DV read pays the positional anti-join.
+    val dvPred = col("event_id") % 983 === 11 &&
+      col("event_id") < 100000000L
+    metrics("dv_match_rows") =
+      Versioned.snapshot(spark, morLake).filter(dvPred).count()
+    val filesPreDv = Versioned.filesAt(spark, morLake).toSet
+    val vDv = time("dv_delete") {
+      Versioned.deleteWhereVectors(spark, morLake, dvPred)
+    }
+    require(Versioned.filesAt(spark, morLake).toSet == filesPreDv,
+      "deletion-vector delete must not touch data files")
+    metrics("dv_bytes_written") = commitBytes(morLake, vDv)
+    metrics("dv_read_rows") = time("dv_read") {
+      Versioned.snapshot(spark, morLake).count()
+    }
+
+    // ---- round-14: SQL-MERGE lowering ledger ----------------------
+    // The same merge shape through SQL text (GraftRowLevelSql lowers
+    // the analyzed MergeIntoTable onto Versioned.mergeInto) and
+    // through the library, fresh fixed-size batches each: the DELTA
+    // is the SQL surface's own cost (parse + analyze + lowering + the
+    // cardinality-check job) and must stay ~flat across clones — the
+    // lowering is plan-time driver work, O(1) in lake size. Job count
+    // pins the structure (one source scan per merge since round 14).
+    val sqlBatch = rbase.filter(col("event_id") % 977 === 19 &&
+        col("event_id") < 100000000L)
+      .withColumn("value", col("value") + 7)
+    val libBatch = rbase.filter(col("event_id") % 971 === 23 &&
+        col("event_id") < 100000000L)
+      .withColumn("value", col("value") + 8)
+    metrics("sql_merge_batch_rows") = sqlBatch.count()
+    sqlBatch.createOrReplaceTempView("lsb_merge_src")
+    val jobCount = new java.util.concurrent.atomic.AtomicLong
+    val jl = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobCount.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(jl)
+    time("sql_merge_commit") {
+      spark.sql(s"MERGE INTO graft_lsb.`$rlake` t USING lsb_merge_src s " +
+        "ON t.event_id = s.event_id " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *")
+    }
+    Thread.sleep(300) // listener bus drains async
+    spark.sparkContext.removeSparkListener(jl)
+    metrics("sql_merge_jobs") = jobCount.get()
+    time("lib_merge_commit") {
+      Versioned.mergeInto(spark, rlake, libBatch,
+        Seq("bucket"), Seq("event_id"))
+    }
+
     def j(v: Any): String = v match {
       case s: String => "\"" + s + "\""
       case x => String.valueOf(x)

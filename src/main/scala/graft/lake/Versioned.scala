@@ -171,6 +171,27 @@ object Versioned {
     case _ => (e, None)
   }
 
+  /** A `#del` entry under `_deletes/dv_...` is a POSITIONAL DELETION
+    * VECTOR (protocol level 5, [[deleteWhereVectors]]): a parquet of
+    * (file, pos) rows naming exact row ordinals of exact live files —
+    * the arbitrary-predicate MOR delete. Riding the `#del` rail buys
+    * every tombstone discipline for free (carry-forward, vacuum
+    * age-gating + reference-gating, clone/fastRowCount refusals,
+    * materializeDeletes folding); only the READ-side join differs:
+    * (source file, row ordinal) instead of key equality. */
+  private[lake] def isDvRef(relPath: String): Boolean =
+    relPath.startsWith("_deletes/dv_")
+
+  /** Column names of a deletion-vector parquet. */
+  private[lake] val DvFileCol = "file"
+  private[lake] val DvPosCol = "pos"
+
+  /** The row-position column the DV read side joins on — attached at
+    * SCAN time (`_metadata.row_index` does not survive a union, so
+    * [[readRefs]] attaches it per root when asked; direct single-scan
+    * frames get it attached inside [[tombstoneFilter]]). */
+  private[lake] val DvSrcPos = "__graft_src_pos"
+
   private def b64e(s: String): String =
     java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
   private def b64d(s: String): String =
@@ -208,6 +229,8 @@ object Versioned {
       if (dels.exists(e => delParse(e)._2.isDefined))
         fs += ((4, "scoped-tombstones"))
       if (addCols.nonEmpty) fs += ((5, "added-columns"))
+      if (dels.exists(e => isDvRef(delParse(e)._1)))
+        fs += ((5, "deletion-vectors"))
       val v = (verFloor +: fs.map(_._1).toSeq).max
       (v, fs.map(_._2).toSeq)
     }
@@ -492,13 +515,22 @@ object Versioned {
     * columns parse from the correct Hive prefix), groups align by
     * column name (a clone may have evolved past its source). */
   private def readRefs(spark: SparkSession, dir: String,
-      refs: Seq[String]): DataFrame = {
+      refs: Seq[String], withPos: Boolean = false): DataFrame = {
     val byRoot = refs.groupBy(r => refRoot(dir, r)).toSeq.sortBy(_._1)
     byRoot.map { case (root, rs) =>
-      spark.read.option("basePath", root).option("mergeSchema", "true")
+      val d = spark.read.option("basePath", root).option("mergeSchema", "true")
         .parquet(rs.map(r => s"$root/${refRel(r)}"): _*)
+      // row positions for the deletion-vector anti-join must attach
+      // PER ROOT: `_metadata.row_index` resolves only on a direct file
+      // scan, never through the union below
+      if (withPos) d.withColumn(DvSrcPos, col("_metadata.row_index")) else d
     }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
   }
+
+  /** Does `version` carry pending deletion vectors? (drives the
+    * row-position attach on the raw read paths) */
+  private def hasDvAt(spark: SparkSession, dir: String, version: Long): Boolean =
+    metaAt(spark, dir, version).dels.exists(e => isDvRef(delParse(e)._1))
 
   /** Recursive data-file listing (relative), excluding metadata
     * (`_manifest`, `_SUCCESS`, dotfiles). Driver-side, bounded by file
@@ -1236,7 +1268,9 @@ object Versioned {
       return applyAddedColumns(meta, applyColumnMapping(meta, anchor))
     }
     applyAddedColumns(meta, applyColumnMapping(meta,
-      applyTombstones(spark, dir, fileV, readRefs(spark, dir, files))))
+      applyTombstones(spark, dir, fileV,
+        readRefs(spark, dir, files, withPos = hasDvAt(spark, dir, fileV)))
+        .drop(DvSrcPos)))
   }
 
   /** Null-fill `#addcol` columns no data file carries yet (the read
@@ -1296,16 +1330,27 @@ object Versioned {
     * (bound, tombstone keys as ONE logical-or-physical df per group,
     * exempt file set for the bound). */
   private def tombstoneGroups(spark: SparkSession, dir: String,
-      version: Long): Seq[(Option[Long], DataFrame, Set[String])] =
-    metaAt(spark, dir, version).dels.map(delParse)
-      .groupBy(_._2).toSeq.sortBy(_._1.getOrElse(-1L))
+      version: Long): Seq[(Option[Long], DataFrame, Set[String], Boolean)] = {
+    val (dvEs, eqEs) = metaAt(spark, dir, version).dels.map(delParse)
+      .partition(e => isDvRef(e._1))
+    val eq = eqEs.groupBy(_._2).toSeq.sortBy(_._1.getOrElse(-1L))
       .map { case (bound, es) =>
         val tomb = spark.read.parquet(es.map(e => s"$dir/${e._1}"): _*)
         val exempt = bound.fold(Set.empty[String])(b =>
           filesAddedSince(spark, dir, b, version)
             .map(r => encodedLeafPath(refPath(dir, r))))
-        (bound, tomb, exempt)
+        (bound, tomb, exempt, false)
       }
+    // every DV file shares one schema (file, pos): ONE group, ONE
+    // anti-join regardless of how many DV commits pend; the file
+    // reference is the scope, so no version bound applies
+    val dv =
+      if (dvEs.isEmpty) Nil
+      else Seq((None,
+        spark.read.parquet(dvEs.map(e => s"$dir/${e._1}"): _*),
+        Set.empty[String], true))
+    eq ++ dv
+  }
 
   /** A manifest/driver path string in the SAME representation
     * `input_file_name()` yields after [[encodedLeafPathCol]]: the
@@ -1345,33 +1390,58 @@ object Versioned {
     // filtered: identity when `df` reads PHYSICAL columns (the
     // snapshot core), the physical→logical mapping when `df` is the
     // mapped fast relation (the vectorized MOR upgrade)
+    // the logical lift applies ONLY to equality groups: a DV's
+    // (file, pos) columns are protocol, not data — mapping them could
+    // collide with a user column that happened to rename to "file"
     val groups = tombstoneGroups(spark, dir, version)
-      .map { case (b, t, e) => (b, liftTomb(t), e) }
+      .map { case (b, t, e, dv) => (b, if (dv) t else liftTomb(t), e, dv) }
     if (groups.isEmpty) return if (keep) df else df.limit(0)
     val anyScope = groups.exists(_._1.isDefined)
+    val anyDv = groups.exists(_._4)
     val srcCol = "__graft_src_file"
+    // DV groups join on the row's FILE + ORDINAL: the file comes from
+    // input_file_name (a runtime function, union-safe), the ordinal
+    // from `_metadata.row_index`, which only resolves on a direct file
+    // scan — the raw read paths pre-attach it (readRefs withPos); a
+    // direct-relation frame (pruned reads, the vectorized fast path)
+    // gets it attached here
+    val selfPos = anyDv && !df.columns.contains(DvSrcPos)
+    val withPos =
+      if (!selfPos) df
+      else try df.withColumn(DvSrcPos, col("_metadata.row_index"))
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalStateException(
+          s"$dir@v$version has pending deletion vectors but this frame " +
+            "cannot resolve _metadata.row_index — read through a path " +
+            "that attaches row positions (snapshot/pruned reads do)", e)
+      }
     val base =
-      if (anyScope) df.withColumn(srcCol,
+      if (anyScope || anyDv) withPos.withColumn(srcCol,
         encodedLeafPathCol(input_file_name()))
-      else df
-    def cond(l: DataFrame, tomb: DataFrame, exempt: Set[String]) = {
-      val keys = tomb.columns.toSeq
-        .map(k => l(k) <=> tomb(k)).reduce(_ && _)
+      else withPos
+    def cond(l: DataFrame, tomb: DataFrame, exempt: Set[String],
+        dv: Boolean) = {
+      val keys =
+        if (dv) (l(srcCol) <=> tomb(DvFileCol)) &&
+          (l(DvSrcPos) <=> tomb(DvPosCol))
+        else tomb.columns.toSeq
+          .map(k => l(k) <=> tomb(k)).reduce(_ && _)
       if (exempt.isEmpty) keys
       else keys && !l(srcCol).isInCollection(exempt.toSeq)
     }
     val out =
       if (keep)
-        groups.foldLeft(base) { case (acc, (_, tomb, exempt)) =>
-          acc.join(tomb, cond(acc, tomb, exempt), "left_anti")
+        groups.foldLeft(base) { case (acc, (_, tomb, exempt, dv)) =>
+          acc.join(tomb, cond(acc, tomb, exempt, dv), "left_anti")
         }
       else
         // hit rows per group, unioned (a row hit by several groups
         // repeats — callers reduce to distinct partition values)
-        groups.map { case (_, tomb, exempt) =>
-          base.join(tomb, cond(base, tomb, exempt), "left_semi")
+        groups.map { case (_, tomb, exempt, dv) =>
+          base.join(tomb, cond(base, tomb, exempt, dv), "left_semi")
         }.reduce(_ unionByName _)
-    if (anyScope) out.drop(srcCol) else out
+    val dropped = if (anyScope || anyDv) out.drop(srcCol) else out
+    if (selfPos) dropped.drop(DvSrcPos) else dropped
   }
 
   /** Apply `version`'s pending equality-delete tombstones (if any) to
@@ -1757,7 +1827,10 @@ object Versioned {
         // only GLOBAL tombstones can hide an append's fresh rows —
         // a SCOPED one ([[mergeIntoMor]]) exempts files added after
         // its bound, which this append's files are by construction
-        val global = ds.map(delParse).collect { case (p, None) => p }
+        // deletion vectors name exact EXISTING files — an append's
+        // fresh files can never be referenced, so no collision check
+        val global = ds.map(delParse)
+          .collect { case (p, None) if !isDvRef(p) => p }
         if (global.nonEmpty) {
           // tombstones are physical; compare in the logical view
           val tomb = applyColumnMapping(meta0,
@@ -2735,10 +2808,12 @@ object Versioned {
     val v = init(spark, dir, commitTs)
     val meta0 = metaAt(spark, dir, v)
     val carried = deleteFilesAt(spark, dir, v)
-    if (carried.nonEmpty) {
-      // tombstone files are physical; keyCols are logical
+    val carriedEq = carried.filterNot(e => isDvRef(delParse(e)._1))
+    if (carriedEq.nonEmpty) {
+      // tombstone files are physical; keyCols are logical (deletion
+      // vectors are keyless (file, pos) sidecars — exempt)
       val prior = spark.read
-        .parquet(s"$dir/${delParse(carried.head)._1}").columns.toSeq
+        .parquet(s"$dir/${delParse(carriedEq.head)._1}").columns.toSeq
       val keyPhys = keyCols.map(k => meta0.renames.getOrElse(k, k))
       require(prior.sorted == keyPhys.sorted,
         s"tombstone key mismatch: table already has equality deletes on " +
@@ -2884,7 +2959,8 @@ object Versioned {
         "across partitions — express that as a mergeInto)")
     val dels = deleteFilesAt(spark, dir, v)
     val globalDelCols: Set[String] = {
-      val es = dels.map(delParse).filter(_._2.isEmpty)
+      val es = dels.map(delParse)
+        .filter(e => e._2.isEmpty && !isDvRef(e._1))
       if (es.isEmpty) Set.empty
       else applyColumnMapping(meta0,
         spark.read.parquet(es.map(e => s"$dir/${e._1}"): _*)).columns.toSet
@@ -2972,6 +3048,97 @@ object Versioned {
     }
   }
 
+  /** SQL `DELETE ... WHERE ...` as POSITIONAL DELETION VECTORS
+    * (protocol level 5 — Delta/Iceberg's DV design on this manifest):
+    * ONE commit records a (file, row-ordinal) parquet sidecar naming
+    * exactly the rows the predicate matched — O(matched rows) written,
+    * ZERO partitions rewritten, no row key needed. This is the
+    * arbitrary-predicate MOR delete: a wide low-selectivity sweep
+    * (GDPR by predicate, TTL expiry) on a 100 TB table that COW would
+    * answer by rewriting every touched partition costs one scan plus
+    * one small sidecar here.
+    *
+    * Reads apply the vector as one (file, ordinal) anti-join on top of
+    * the scan — the positional twin of the equality-tombstone
+    * anti-join, sharing its machinery: the DV rides the `#del` rail
+    * (under `_deletes/dv_*`), so carry-forward, vacuum age/reference
+    * gating, clone and fastRowCount refusals, and
+    * [[materializeDeletes]]/OPTIMIZE folding all come from the
+    * existing tombstone discipline. Ordinals come from parquet's
+    * `_metadata.row_index` — stable for immutable files by
+    * construction; any rewrite of a referenced file (COW update,
+    * OPTIMIZE) reads the DV-filtered view first, so a stale vector
+    * line can only ever match nothing.
+    *
+    * The predicate evaluates on the LOGICAL MOR view (mapping applied,
+    * added columns null-filled, rows already deleted by tombstones or
+    * earlier vectors excluded), so the change feed publishes exactly
+    * the rows a reader saw disappear. Returns the committed version,
+    * or the current one on a no-match no-op. */
+  def deleteWhereVectors(spark: SparkSession, dir: String,
+      pred: org.apache.spark.sql.Column,
+      changeFeed: Option[(String, Long)] = None,
+      commitTs: Long = System.currentTimeMillis()): Long = {
+    val v = init(spark, dir, commitTs)
+    val meta0 = metaAt(spark, dir, v)
+    val live = filesAt(spark, dir, v)
+    if (live.isEmpty) return v // empty table: nothing to delete
+    val fs = fsOf(spark, dir)
+    // the source-file column attaches BEFORE any join so it projects
+    // at the scan (input_file_name is task-local; after a shuffle it
+    // would read empty) — the same discipline tombstoneFilter uses
+    val fileCol = "__graft_dv_src"
+    val raw = readRefs(spark, dir, live, withPos = true)
+      .withColumn(fileCol, encodedLeafPathCol(input_file_name()))
+    val visible = tombstoneFilter(spark, dir, v, raw, keep = true)
+    val logical = applyAddedColumns(meta0, applyColumnMapping(meta0, visible))
+    val hits = logical.filter(coalesce(pred, lit(false))).persist()
+    try {
+      if (hits.isEmpty) {
+        changeFeed.foreach { case (fd, b) =>
+          graft.ops.MergeData.promoteFeedIncrement(spark, fd, b) }
+        return v // no row matched: no-op, no commit
+      }
+      val dvRel = f"_deletes/dv_v${v + 1}%06d_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      hits.select(col(fileCol).as(DvFileCol),
+          col(DvSrcPos).cast("long").as(DvPosCol))
+        .write.mode("errorifexists").parquet(s"$dir/$dvRel")
+      val it = fs.listFiles(new Path(dir, dvRel), false)
+      val dvFiles = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val f = it.next().getPath.getName
+        if (f.endsWith(".parquet")) dvFiles += s"$dvRel/$f"
+      }
+      require(dvFiles.nonEmpty,
+        s"deletion-vector write produced no files under $dvRel")
+      val deletedRows = hits.drop(DvSrcPos).drop(fileCol)
+      // external feed: staged now, promoted only after the CAS wins
+      changeFeed.foreach { case (fd, batchId) =>
+        graft.ops.MergeData.stageFeedIncrement(spark, fd, batchId,
+          deletedRows.withColumn("_action", lit("delete")), v)
+      }
+      // table-property CDF: crash-atomic increment published by the CAS
+      val autoInc = meta0.cdf.map { _ =>
+        writeChangeInc(spark, dir,
+          deletedRows.withColumn("_action", lit("delete")))
+      }
+      val carried = deleteFilesAt(spark, dir, v)
+      try writeCommit(fs, dir, v + 1, live, live,
+        carryMeta(spark, dir, v, commitTs, None,
+          carried ++ dvFiles, "delete")
+          .copy(cdfInc = autoInc))
+      catch { case e: Throwable =>
+        changeFeed.foreach { case (fd, b) =>
+          graft.ops.MergeData.discardStagedIncrement(spark, fd, b) }
+        throw e
+      }
+      changeFeed.foreach { case (fd, b) =>
+        graft.ops.MergeData.promoteFeedIncrement(spark, fd, b) }
+      v + 1
+    } finally hits.unpersist()
+  }
+
   /** Compact MERGE-ON-READ tombstones into the data (Hudi's
     * compaction): ONLY partitions physically holding tombstoned rows
     * are rewritten from the MOR snapshot; the new manifest drops the
@@ -2995,12 +3162,17 @@ object Versioned {
     if (dels.isEmpty) return v
     val fs = fsOf(spark, dir)
     val live = filesAt(spark, dir, v)
+    if (live.isEmpty) { // e.g. TRUNCATE carried the lines: hit nothing
+      writeCommit(fs, dir, v + 1, live, live,
+        carryMeta(spark, dir, v, commitTs, None, Nil, "materialize"))
+      return v + 1
+    }
     // affected partitions = those whose RAW files still hold a
     // tombstone-HIT row (scope-aware: a scoped tombstone never hits
     // rows in files added after its bound, so an upserted partition
     // whose only matching rows are the fresh ones is NOT affected);
     // bounded driver collect: distinct partition values of the hits
-    val raw = readRefs(spark, dir, live)
+    val raw = readRefs(spark, dir, live, withPos = hasDvAt(spark, dir, v))
     val hits = tombstoneFilter(spark, dir, v, raw, keep = false)
     // the affected scope, in the same two shapes as [[cowScope]]: with
     // keys it is the hit rows' distinct partitions; UNPARTITIONED, any
@@ -3126,13 +3298,15 @@ object Versioned {
       val batch = applyGenerated(spark, meta0, batch0, "merge batch")
       require(!batch.isEmpty, "mergeIntoMor got an empty batch")
       enforceConstraints(spark, dir, v, batch.filter(!del), "merge batch")
-      // one tombstone key discipline per table: every pending delete
-      // (scoped or global) must share this merge's key columns, or the
-      // read-side anti-joins would mix key shapes
+      // one tombstone key discipline per table: every pending KEYED
+      // delete (scoped or global) must share this merge's key columns,
+      // or the read-side anti-joins would mix key shapes. Deletion
+      // vectors are keyless (file, pos) sidecars — exempt.
       val rawDels = meta0.dels
-      if (rawDels.nonEmpty) {
+      val rawEqDels = rawDels.filterNot(e => isDvRef(delParse(e)._1))
+      if (rawEqDels.nonEmpty) {
         val prior = spark.read
-          .parquet(s"$dir/${delParse(rawDels.head)._1}").columns.toSeq
+          .parquet(s"$dir/${delParse(rawEqDels.head)._1}").columns.toSeq
         val keyPhys = rowKey.map(k => meta0.renames.getOrElse(k, k))
         require(prior.sorted == keyPhys.sorted,
           s"tombstone key mismatch: $dir already has equality deletes on " +
@@ -3301,11 +3475,18 @@ object Versioned {
           // PER SCOPE BOUND: a scoped tombstone's surviving keys must
           // re-commit UNDER THE SAME BOUND (rewriting them unscoped
           // would hide the post-bound rows its own upsert inserted).
-          val delGroups = dels.map(delParse)
+          // deletion vectors pass through untouched: they name rows
+          // of EXISTING files by ordinal — the upsert's fresh rows
+          // live in new files, and a replaced old row is hidden by
+          // this commit's own key tombstone anyway
+          val (dvPass, keyedDels) = dels.partition(
+            e => isDvRef(delParse(e)._1))
+          val delGroups = keyedDels.map(delParse)
             .groupBy(_._2).toSeq.sortBy(_._1.getOrElse(-1L))
           var conflicts = List.empty[DataFrame]
           var confKeyCols: Seq[String] = Nil
           val keptDels = scala.collection.mutable.ArrayBuffer.empty[String]
+          keptDels ++= dvPass
           delGroups.foreach { case (bound, es) =>
             val tomb = applyColumnMapping(meta0,
               spark.read.parquet(es.map(e => s"$dir/${e._1}"): _*))
@@ -3680,7 +3861,9 @@ object Versioned {
       val totRows = countFooterRows(spark, tRefs.map(r => refPath(dir, r)))
       math.max(1L, t * totRows / totBytes)
     }
-    val rawRows = readRefs(spark, dir, targets.values.flatten.toSeq)
+    val anyDv = dels.exists(e => isDvRef(delParse(e)._1))
+    val rawRows = readRefs(spark, dir, targets.values.flatten.toSeq,
+      withPos = anyDv)
     // pending MOR tombstones: a ZORDER pass rewrites EVERY partition
     // anyway, so it reads the tombstone-filtered view and the commit
     // drops the #del lines — compaction folded into the re-cluster for
@@ -3695,10 +3878,17 @@ object Versioned {
     // lines still cover the untouched old files. Global tombstones
     // keep the historical layout-only behavior (carried lines keep
     // hiding rows wherever they physically sit).
+    // DELETION VECTORS must fold into ANY rewrite of their files: a DV
+    // names (file, ordinal), so compacting file F into F' with the DV
+    // carried would resurrect F's deleted rows in F'. Rewrites read the
+    // MOR-filtered view; DV lines for dropped files become inert (they
+    // match nothing) and carry harmlessly until materializeDeletes.
     val anyScoped = dels.exists(e => delParse(e)._2.isDefined)
     val (rowsPhys, nextDels) =
-      if (zorder.isDefined) (applyTombstones(spark, dir, v, rawRows), Nil)
-      else if (anyScoped) (applyTombstones(spark, dir, v, rawRows), dels)
+      if (zorder.isDefined)
+        (applyTombstones(spark, dir, v, rawRows).drop(DvSrcPos), Nil)
+      else if (anyScoped || anyDv)
+        (applyTombstones(spark, dir, v, rawRows).drop(DvSrcPos), dels)
       else (rawRows, dels)
     // cluster in the LOGICAL view (a caller's zorder key references
     // logical names), write back physical — identity when no mapping

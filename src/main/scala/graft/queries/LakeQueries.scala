@@ -50,6 +50,18 @@ object LakeQueries {
 
   private val ExcludedSite = "site_2"
 
+  /** Run a MAINTENANCE VERB statement: through the session's own parser
+    * when the graft parser extension is installed (the Verify/Bench
+    * sessions — the production path), else through the parser's
+    * direct lowering (plan-audit sessions built without extensions
+    * cannot swap their parser). Same command plan either way. */
+  private def sqlMaint(s: SparkSession, text: String)
+      : org.apache.spark.sql.DataFrame =
+    if (s.sessionState.sqlParser.isInstanceOf[graft.sources.GraftSqlParser])
+      s.sql(text)
+    else org.apache.spark.sql.GraftColumnBridge.ofRows(s,
+      graft.sources.GraftSqlParser.parseMaintenance(s, text).get)
+
   /** Generate (once per sf dir) the fixture lake; returns its root. */
   def fixtureLake(spark: SparkSession, dir: String): String = synchronized {
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
@@ -4639,7 +4651,7 @@ object LakeQueries {
             base.withColumn("event_id", col("event_id") + lit(50000000L))
               .withColumn("value", col("value") + 1),
             Seq("event_type"), commitTs = 3000L)
-          val opt = s.sql(s"OPTIMIZE gsql.`$lake`").collect().head
+          val opt = sqlMaint(s, s"OPTIMIZE gsql.`$lake`").collect().head
           require(opt.getLong(1) > opt.getLong(2),
             s"OPTIMIZE must compact the appended small files (got $opt)")
           val vOpt = opt.getLong(0)
@@ -4648,18 +4660,18 @@ object LakeQueries {
             Seq("event_id"))
           require(Versioned.deleteFilesAt(s, lake,
             Versioned.currentVersion(s, lake)).nonEmpty)
-          s.sql(s"REORG TABLE gsql.`$lake` APPLY (PURGE)")
+          sqlMaint(s, s"REORG TABLE gsql.`$lake` APPLY (PURGE)")
           require(Versioned.deleteFilesAt(s, lake,
             Versioned.currentVersion(s, lake)).isEmpty,
             "REORG APPLY (PURGE) must leave no pending tombstones")
           // RESTORE back to the post-optimize state (deletes undone)
-          val rest = s.sql(s"RESTORE TABLE gsql.`$lake` " +
+          val rest = sqlMaint(s, s"RESTORE TABLE gsql.`$lake` " +
             s"TO VERSION AS OF $vOpt").collect().head
           require(rest.getLong(0) == vOpt)
           // SHALLOW CLONE the restored table, then VACUUM the source:
           // the clone must still read (its refs are absolute)
-          s.sql(s"CREATE TABLE gsql.`$clone` SHALLOW CLONE gsql.`$lake`")
-          val kept = s.sql(s"VACUUM gsql.`$lake` RETAIN 0 HOURS")
+          sqlMaint(s, s"CREATE TABLE gsql.`$clone` SHALLOW CLONE gsql.`$lake`")
+          val kept = sqlMaint(s, s"VACUUM gsql.`$lake` RETAIN 0 HOURS")
             .collect().head
           require(kept.getLong(0) == 1L,
             s"VACUUM RETAIN 0 must keep exactly the current version ($kept)")
@@ -4668,7 +4680,7 @@ object LakeQueries {
           s"""SELECT count(*) AS row_count,
              |       round(sum(value), 4) AS sum_value,
              |       count(DISTINCT event_id) AS n_ids
-             |FROM gsql.`$clone`""".stripMargin)
+             |FROM gsql.`$clone` ORDER BY 1""".stripMargin)
       },
       Some("""
         WITH t AS (SELECT event_id, value FROM events
@@ -4682,7 +4694,66 @@ object LakeQueries {
         SELECT count(*) AS row_count,
                round(sum(value::DOUBLE), 4) AS sum_value,
                count(DISTINCT event_id) AS n_ids
-        FROM allr"""),
-      "SQL maintenance verbs end-to-end: OPTIMIZE (file-count metric require()d) -> MOR delete -> REORG APPLY (PURGE) -> RESTORE -> SHALLOW CLONE -> VACUUM; clone readback == 3-batch union oracle")
+        FROM allr ORDER BY 1"""),
+      "SQL maintenance verbs end-to-end: OPTIMIZE (file-count metric require()d) -> MOR delete -> REORG APPLY (PURGE) -> RESTORE -> SHALLOW CLONE -> VACUUM; clone readback == 3-batch union oracle"),
+
+    // ---------------------------------------------------------------
+    // POSITIONAL DELETION VECTORS (protocol level 5) — the arbitrary-
+    // predicate MOR delete at 100 TB shape: two stacked predicate
+    // deletes (one through SQL DELETE under the vectors conf, one
+    // through the library) commit (file, row-ordinal) sidecars with
+    // ZERO data-file changes (require()d), reads apply them as one
+    // positional anti-join, and the readback equals the filter
+    // recompute. The travel leg re-reads the pre-delete version.
+    // ---------------------------------------------------------------
+    Q("q207_delete_vectors",
+      (s, dir) => {
+        graft.GraftExtensions.register(s)
+        s.conf.set("spark.sql.catalog.gsql", "graft.sources.GraftCatalog")
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val root = new File(new File(sys.props("user.dir"), "target"),
+          s"graft_dvq_$tag")
+        val lake = new File(root, "lake").getAbsolutePath
+        LakeQueries.synchronized {
+          val fs = new org.apache.hadoop.fs.Path(root.getAbsolutePath)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(root.getAbsolutePath), true)
+          val base = Tables(s, dir, "events").select(MergeCols.map(col): _*)
+            .filter(col("event_type").isin("click", "view"))
+          MergeData.writeMerged(s, base, lake, keys = Seq("event_type"))
+          Versioned.init(s, lake, commitTs = 1000L)
+          val files0 = Versioned.filesAt(s, lake).toSet
+          // SQL DELETE routed to deletion vectors by conf
+          s.conf.set("spark.graft.sql.delete.vectors", "true")
+          try s.sql(s"DELETE FROM gsql.`$lake` WHERE event_id % 13 = 5")
+          finally s.conf.unset("spark.graft.sql.delete.vectors")
+          // a second, stacked vector through the library
+          Versioned.deleteWhereVectors(s, lake,
+            col("value") < 0.1 && col("user_id") % 2 === 0)
+          require(Versioned.filesAt(s, lake).toSet == files0,
+            "deletion-vector deletes must not touch any data file")
+          require(Versioned.deleteFilesAt(s, lake,
+            Versioned.currentVersion(s, lake)).size >= 2,
+            "both vector commits must pend")
+          // travel: the pre-delete version still reads every row
+          require(Versioned.snapshot(s, lake, 0L).count() == base.count(),
+            "pre-delete version must travel with all rows")
+        }
+        s.sql(
+          s"""SELECT event_type, count(*) AS row_count,
+             |       round(sum(value), 4) AS sum_value,
+             |       count(DISTINCT event_id) AS n_ids
+             |FROM gsql.`$lake` GROUP BY 1 ORDER BY 1""".stripMargin)
+      },
+      Some("""
+        SELECT event_type, count(*) AS row_count,
+               round(sum(value::DOUBLE), 4) AS sum_value,
+               count(DISTINCT event_id) AS n_ids
+        FROM events
+        WHERE event_type IN ('click','view')
+          AND event_id % 13 <> 5
+          AND NOT (value < 0.1 AND user_id % 2 = 0)
+        GROUP BY 1 ORDER BY 1"""),
+      "positional deletion vectors: two stacked arbitrary-predicate MOR deletes (SQL-routed + library), zero data-file changes require()d, read == filter recompute oracle")
   )
 }

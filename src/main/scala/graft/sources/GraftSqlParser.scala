@@ -74,8 +74,10 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
 object GraftSqlParser {
 
   /** Cheap ownership test, then the real (tiny) recursive-descent
-    * parse. None = not a maintenance statement, delegate it. */
-  private[sources] def parseMaintenance(spark: SparkSession,
+    * parse. None = not a maintenance statement, delegate it. Exposed
+    * package-wide so sessions built WITHOUT the extensions hook (whose
+    * parser cannot be swapped) can still lower the verbs directly. */
+  private[graft] def parseMaintenance(spark: SparkSession,
       sqlText: String): Option[LogicalPlan] = {
     val head = FirstWord.findFirstMatchIn(sqlText).map(_.group(1).toUpperCase)
     head match {

@@ -337,21 +337,28 @@ case class GraftUpdateCommand(dir: String, version: Long,
 }
 
 /** SQL DELETE → [[Versioned.deleteWhereCow]]: the arbitrary-predicate
-  * rewrite-class delete. Under `spark.graft.sql.delete.mor=true` on a
-  * table whose change feed declares a row identity, it routes to the
-  * O(keys) equality-tombstone [[Versioned.deleteWhere]] instead — ONE
-  * small key file, zero partition rewrites, the GDPR-erasure shape
-  * (the feed key IS the erasure identity, so the tombstone discipline
-  * a bare SQL predicate cannot carry comes from the table itself). */
+  * rewrite-class delete. Two MOR routings by conf:
+  *
+  *  - `spark.graft.sql.delete.vectors=true` → POSITIONAL DELETION
+  *    VECTORS ([[Versioned.deleteWhereVectors]]): O(matched rows)
+  *    written, ZERO rewrites, ANY predicate, no key needed — the
+  *    100 TB shape for wide low-selectivity deletes;
+  *  - `spark.graft.sql.delete.mor=true` on a table whose change feed
+  *    declares a row identity → the O(keys) equality-tombstone
+  *    [[Versioned.deleteWhere]] — ONE small key file, the
+  *    GDPR-erasure shape (the feed key IS the erasure identity; an
+  *    equality tombstone also hides later re-inserts of the key,
+  *    which a positional vector deliberately does not). */
 case class GraftDeleteCommand(dir: String, version: Long,
     condition: Expression) extends LeafRunnableCommand {
 
   override def run(spark: SparkSession): Seq[Row] = {
     GraftRowLevelSql.requireCurrent(spark, dir, version, "DELETE")
     val pred = GraftRowLevelSql.byName(condition)
-    val mor = spark.conf.getOption("spark.graft.sql.delete.mor")
-      .exists(_.toBoolean)
-    if (mor) {
+    def conf(k: String) = spark.conf.getOption(k).exists(_.toBoolean)
+    if (conf("spark.graft.sql.delete.vectors"))
+      Versioned.deleteWhereVectors(spark, dir, pred)
+    else if (conf("spark.graft.sql.delete.mor")) {
       val keys = Versioned.changeFeedKey(spark, dir).getOrElse(
         throw new IllegalArgumentException(
           "spark.graft.sql.delete.mor needs a declared row identity: " +

@@ -9,9 +9,11 @@ import graft.ops.MergeData
 /** MODEL-BASED spec for the SQL surface: a deterministic random
   * sequence where EVERY mutation is SQL TEXT through the catalog —
   * INSERT INTO, MERGE INTO (randomly routed MOR via the conf), UPDATE,
-  * DELETE, ALTER TABLE RENAME COLUMN (back and forth, so later SQL
-  * speaks the new name), TRUNCATE TABLE — interleaved with library
-  * maintenance (optimize, materializeDeletes), against a trivial
+  * DELETE (COW, and vector-routed under the conf — positional
+  * deletion vectors stacking under every later mutation), ALTER TABLE
+  * RENAME COLUMN (back and forth, so later SQL speaks the new name),
+  * TRUNCATE TABLE — interleaved with SQL maintenance verbs (OPTIMIZE,
+  * REORG APPLY (PURGE) through the parser), against a trivial
   * in-memory map. After every statement the SQL readback must equal
   * the model, and a sample of versions must time-travel through SQL
   * `VERSION AS OF` under the column name each version carried. This is
@@ -24,7 +26,7 @@ class GraftSqlModelSpec extends SparkSpec {
   GraftExtensions.register(spark)
   spark.conf.set("spark.sql.catalog.gmodel", "graft.sources.GraftCatalog")
 
-  test("40 random SQL statements: readback == model after every one; versions travel under their own column names") {
+  test("44 random SQL statements: readback == model after every one; versions travel under their own column names") {
     val rnd = new Random(1313L)
     val dir = java.nio.file.Files.createTempDirectory("graft_sqlmodel")
       .toFile.getAbsolutePath
@@ -54,8 +56,12 @@ class GraftSqlModelSpec extends SparkSpec {
       spark.sql(s"SELECT site, id, `$valCol` AS v FROM $tblName").collect()
         .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
 
-    (1 to 40).foreach { step =>
-      val op = rnd.nextInt(12)
+    def sqlMaint(text: String): Unit =
+      org.apache.spark.sql.GraftColumnBridge.ofRows(spark,
+        GraftSqlParser.parseMaintenance(spark, text).get).collect()
+
+    (1 to 44).foreach { step =>
+      val op = rnd.nextInt(13)
       op match {
         case 0 | 1 => // SQL INSERT INTO ... VALUES
           val rows = freshRows(1 + rnd.nextInt(3))
@@ -101,14 +107,20 @@ class GraftSqlModelSpec extends SparkSpec {
           spark.sql(
             s"ALTER TABLE $tblName RENAME COLUMN `$valCol` TO `$next`")
           valCol = next
-        case 9 => // library maintenance interleaves, layout-only
-          Versioned.optimize(spark, dir, Seq("site"),
-            targetFilesPerPartition = 2)
+        case 9 => // SQL OPTIMIZE interleaves, layout-only
+          sqlMaint(s"OPTIMIZE $tblName")
         case 10 => // SQL TRUNCATE
           spark.sql(s"TRUNCATE TABLE $tblName")
           model = Map.empty
-        case 11 =>
-          Versioned.materializeDeletes(spark, dir, Seq("site"))
+        case 11 => // SQL REORG APPLY (PURGE): folds tombstones + DVs
+          sqlMaint(s"REORG TABLE $tblName APPLY (PURGE)")
+        case 12 => // SQL DELETE routed to POSITIONAL DELETION VECTORS
+          val cut = rnd.nextInt(1000) / 10.0 + 0.05
+          spark.conf.set("spark.graft.sql.delete.vectors", "true")
+          try spark.sql(
+            s"DELETE FROM $tblName WHERE `$valCol` > ${cut}D")
+          finally spark.conf.unset("spark.graft.sql.delete.vectors")
+          model = model.filter { case (_, v) => !(v > cut) }
       }
       val ver = Versioned.currentVersion(spark, dir)
       history(ver) = (model, valCol)
