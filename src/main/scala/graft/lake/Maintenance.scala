@@ -46,6 +46,34 @@ object Maintenance {
     terms.reduce(_ bitwiseOR _)
   }
 
+  /** True N-dimensional Z-order (Morton) key: bit i of dimension j
+    * lands at position `i*N + (N-1-j)` — earlier columns take the more
+    * significant slot within each bit group, so
+    * `mortonKeyN(Seq(a, b))` == [[mortonKey]]`(a, b)` exactly. This IS
+    * a z-order for N dims (every dimension's bits interleave at the
+    * same granularity), unlike a fold of pairwise interleaves — which
+    * is why the SQL `OPTIMIZE ... ZORDER BY` route refused >2 columns
+    * until this existed. Statically unrolled (`N*bits` shift/mask/or
+    * terms, whole-stage codegen, no UDF); `N*bits` must fit a signed
+    * long (≤63). Dimensions must be non-negative integral (or
+    * pre-scaled via [[gridBucket]]); resolution per dimension falls as
+    * N grows — past ~4 dims the per-file boxes stop being tight in any
+    * of them, so prefer the few highest-selectivity columns.
+    */
+  def mortonKeyN(cols: Seq[Column], bits: Int = 16): Column = {
+    val n = cols.length
+    require(n >= 1, "mortonKeyN needs at least one column")
+    require(bits >= 1 && n * bits <= 63,
+      s"n*bits must be in [1,63] to fit a long key, got $n*$bits")
+    if (n == 1) return cols.head.cast("long")
+    val longs = cols.map(_.cast("long"))
+    val terms = for {
+      i <- 0 until bits
+      (c, j) <- longs.zipWithIndex
+    } yield shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * n + (n - 1 - j))
+    terms.reduce(_ bitwiseOR _)
+  }
+
   /** Min-max scale a numeric column onto the [0, 2^bits) integer grid
     * (the usual pre-step for [[mortonKey]] over non-integer or
     * wide-range dimensions). `lo`/`hi` are the domain bounds — pass

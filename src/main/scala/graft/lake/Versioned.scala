@@ -4032,6 +4032,36 @@ object Versioned {
       keepVersions = (versions.last - keepFrom + 1).toInt)
   }
 
+  /** DRY-RUN preview of [[vacuumRetain]]: the (path, kind) list a
+    * vacuum at this retention WOULD remove — unreferenced data files
+    * (`kind=data`) and pre-retention manifests (`kind=manifest`) —
+    * with NOTHING deleted and no cache dropped. Change increments and
+    * tombstones are age-gated at vacuum time (their candidacy depends
+    * on the wall clock at execution), so the preview reports the two
+    * categories whose fate is decided by the retention alone; Delta's
+    * `VACUUM ... DRY RUN` scopes the same way (data files only). */
+  def vacuumPlan(spark: SparkSession, dir: String, retainMillis: Long,
+      nowMillis: Long = System.currentTimeMillis()): Seq[(String, String)] = {
+    require(retainMillis >= 0, "need retainMillis >= 0")
+    val fs = fsOf(spark, dir)
+    val versions = listManifests(fs, dir).map(_._1).sorted
+    require(versions.nonEmpty, s"no manifest in $dir")
+    val cutoff = nowMillis - retainMillis
+    val keepFrom = versions
+      .find(v => commitTimeAt(spark, dir, v).forall(_ >= cutoff))
+      .getOrElse(versions.last)
+    val cur = versions.last
+    val referenced = (keepFrom to cur)
+      .flatMap(v => filesAt(spark, dir, v)).toSet
+    val data = listDataFiles(fs, new Path(dir), new Path(dir))
+      .filterNot(referenced).sorted.map((_, "data"))
+    val manifests = versions.filter(_ < keepFrom).flatMap { v =>
+      Seq(ckptPath(dir, v), deltaPath(dir, v))
+        .filter(fs.exists).map(p => (s"_manifest/${p.getName}", "manifest"))
+    }
+    data ++ manifests
+  }
+
   /** Minimum age before [[vacuum]] reaps an UNREFERENCED change
     * increment directory (`_changes/inc_*`). A committing writer
     * writes its increment BEFORE its manifest CAS (by design — the

@@ -4754,6 +4754,163 @@ object LakeQueries {
           AND event_id % 13 <> 5
           AND NOT (value < 0.1 AND user_id % 2 = 0)
         GROUP BY 1 ORDER BY 1"""),
-      "positional deletion vectors: two stacked arbitrary-predicate MOR deletes (SQL-routed + library), zero data-file changes require()d, read == filter recompute oracle")
+      "positional deletion vectors: two stacked arbitrary-predicate MOR deletes (SQL-routed + library), zero data-file changes require()d, read == filter recompute oracle"),
+
+    // ---------------------------------------------------------------
+    // SQL COPY INTO — the reference's ingest loop as a verb: csv.gz
+    // upload drops land idempotently (file-level ledger + the txn
+    // exactly-once rail). The re-run MUST load zero files and commit
+    // nothing (require()d — the whole point of the verb), the late
+    // drop loads only itself, and the readback equals the union
+    // oracle recomputed from `events`.
+    // ---------------------------------------------------------------
+    Q("q208_sql_copy_into",
+      (s, dir) => {
+        graft.GraftExtensions.register(s)
+        s.conf.set("spark.sql.catalog.gsql", "graft.sources.GraftCatalog")
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val root = new File(new File(sys.props("user.dir"), "target"),
+          s"graft_copyq_$tag")
+        val lake = new File(root, "lake").getAbsolutePath
+        val drops = new File(root, "drops").getAbsolutePath
+        LakeQueries.synchronized {
+          val fs = new org.apache.hadoop.fs.Path(root.getAbsolutePath)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(root.getAbsolutePath), true)
+          val base = Tables(s, dir, "events").select(MergeCols.map(col): _*)
+            .filter(col("event_type").isin("click", "view"))
+          // seed table: the click rows; the drops carry the rest
+          MergeData.writeMerged(s, base.filter(col("event_type") === "click"),
+            lake, keys = Seq("event_type"))
+          Versioned.init(s, lake, commitTs = 1000L)
+          base.filter(col("event_type") === "view").coalesce(1)
+            .write.option("header", "true").option("compression", "gzip")
+            .csv(s"$drops/upload_view")
+          val copy = s"COPY INTO gsql.`$lake` FROM '$drops' " +
+            "FILEFORMAT = CSV PATTERN = '*.csv.gz' " +
+            "FORMAT_OPTIONS ('header' = 'true')"
+          val r1 = sqlMaint(s, copy).collect().head
+          require(r1.getLong(1) > 0L, s"first COPY must load files ($r1)")
+          // idempotent re-run: zero loads, zero commits
+          val v1 = Versioned.currentVersion(s, lake)
+          val r2 = sqlMaint(s, copy).collect().head
+          require(r2.getLong(1) == 0L && r2.getLong(2) == r1.getLong(1),
+            s"re-run must skip every loaded file ($r2)")
+          require(Versioned.currentVersion(s, lake) == v1,
+            "re-run must not commit")
+          // a late drop loads ONLY itself
+          base.filter(col("event_type") === "click")
+            .withColumn("event_id", col("event_id") + lit(100000000L))
+            .withColumn("value", col("value") * 3)
+            .coalesce(1)
+            .write.option("header", "true").option("compression", "gzip")
+            .csv(s"$drops/upload_late")
+          val r3 = sqlMaint(s, copy).collect().head
+          require(r3.getLong(1) > 0L && r3.getLong(2) == r1.getLong(1),
+            s"late drop must load only itself ($r3)")
+        }
+        s.sql(
+          s"""SELECT event_type, count(*) AS row_count,
+             |       round(sum(value), 4) AS sum_value,
+             |       count(DISTINCT event_id) AS n_ids
+             |FROM gsql.`$lake` GROUP BY 1 ORDER BY 1""".stripMargin)
+      },
+      Some("""
+        WITH t AS (SELECT event_id, value, event_type FROM events
+                   WHERE event_type IN ('click','view')),
+        allr AS (
+          SELECT event_id, value, event_type FROM t
+          UNION ALL
+          SELECT event_id + 100000000, value * 3, event_type FROM t
+          WHERE event_type = 'click')
+        SELECT event_type, count(*) AS row_count,
+               round(sum(value::DOUBLE), 4) AS sum_value,
+               count(DISTINCT event_id) AS n_ids
+        FROM allr GROUP BY 1 ORDER BY 1"""),
+      "SQL COPY INTO: csv.gz upload drops land idempotently (re-run loads 0 files and commits nothing, require()d; late drop loads only itself); readback == union oracle"),
+
+    // ---------------------------------------------------------------
+    // SQL ANALYZE — bootstrapping the commit-time skipping metadata
+    // over a lake that predates it: COMPUTE STATISTICS backfills the
+    // min/max sidecar (and the NEXT commit extends coverage by
+    // inheritance, require()d), COMPUTE BLOOM STATISTICS the per-file
+    // blooms; a range read and a point read then serve from the
+    // sidecars with files actually skipped (require()d) and equal the
+    // filter oracle.
+    // ---------------------------------------------------------------
+    Q("q209_sql_analyze",
+      (s, dir) => {
+        graft.GraftExtensions.register(s)
+        s.conf.set("spark.sql.catalog.gsql", "graft.sources.GraftCatalog")
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val root = new File(new File(sys.props("user.dir"), "target"),
+          s"graft_anlq_$tag")
+        val lake = new File(root, "lake").getAbsolutePath
+        val (rangeLeg, pointLeg) = LakeQueries.synchronized {
+          val fs = new org.apache.hadoop.fs.Path(root.getAbsolutePath)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(root.getAbsolutePath), true)
+          val base = Tables(s, dir, "events").select(MergeCols.map(col): _*)
+            .filter(col("event_type").isin("click", "view"))
+          MergeData.writeMerged(s, base, lake, keys = Seq("event_type"))
+          Versioned.init(s, lake, commitTs = 1000L)
+          Versioned.append(s, lake,
+            base.withColumn("event_id", col("event_id") + lit(100000000L))
+              .withColumn("value", col("value") * 2),
+            Seq("event_type"), commitTs = 2000L)
+          // bootstrap stats over the two existing commits' files
+          val m = sqlMaint(s, s"ANALYZE TABLE gsql.`$lake` COMPUTE " +
+            "STATISTICS FOR COLUMNS (event_id, value)").collect().head
+          require(m.getLong(1) == Versioned.filesAt(s, lake).size.toLong)
+          // the NEXT commit inherits coverage — no re-analyze
+          Versioned.append(s, lake,
+            base.withColumn("event_id", col("event_id") + lit(200000000L))
+              .withColumn("value", col("value") + 1),
+            Seq("event_type"), commitTs = 3000L)
+          sqlMaint(s, s"ANALYZE TABLE gsql.`$lake` COMPUTE BLOOM " +
+            "STATISTICS FOR COLUMNS (event_id) EXPECTED 200000 ITEMS " +
+            "FPP 0.01")
+          // range leg: only the third commit's files survive pruning
+          val total = Versioned.filesAt(s, lake).size.toLong
+          val cands = Versioned.statsAt(s, lake)
+            .filter(col("col") === "event_id" &&
+              !(col("hi") < 2.0e8 || col("lo") > 9.0e18)).count()
+          require(cands < total,
+            s"range pruning must skip files ($cands of $total candidates)")
+          val range = Versioned.statsPrunedRead(s, lake,
+            Seq(("event_id", 2.0e8, 9.0e18)))
+          // point leg: one known id from the SECOND commit's region
+          val probe = base.filter(col("event_type") === "click")
+            .agg(min("event_id")).collect().head.getLong(0) + 100000000L
+          val point = Versioned.bloomPrunedReadIn(s, lake, "event_id",
+            Seq(lit(probe)))
+          (range.agg(count(lit(1)).as("row_count"),
+              round(sum("value"), 4).as("sum_value"))
+              .withColumn("leg", lit("range")),
+            point.agg(count(lit(1)).as("row_count"),
+              round(sum("value"), 4).as("sum_value"))
+              .withColumn("leg", lit("point")))
+        }
+        pointLeg.unionByName(rangeLeg)
+          .select("leg", "row_count", "sum_value").orderBy("leg")
+      },
+      Some("""
+        WITH t AS (SELECT event_id, value, event_type FROM events
+                   WHERE event_type IN ('click','view')),
+        m AS (SELECT min(event_id) + 100000000 AS probe FROM t
+              WHERE event_type = 'click'),
+        a1 AS (SELECT event_id + 100000000 AS event_id, value * 2 AS value
+               FROM t),
+        a2 AS (SELECT event_id + 200000000 AS event_id, value + 1 AS value
+               FROM t)
+        SELECT 'point' AS leg, count(*) AS row_count,
+               round(sum(a1.value::DOUBLE), 4) AS sum_value
+        FROM a1, m WHERE a1.event_id = m.probe
+        UNION ALL
+        SELECT 'range' AS leg, count(*) AS row_count,
+               round(sum(value::DOUBLE), 4) AS sum_value
+        FROM a2
+        ORDER BY leg"""),
+      "SQL ANALYZE: stats backfill + commit inheritance (require()d) + bloom backfill; range read skips files (require()d) and point read probes blooms; both == filter oracles")
   )
 }

@@ -318,9 +318,15 @@ private[graft] final class GraftVersionedTable(
   override lazy val schema: StructType =
     Versioned.snapshot(SparkSession.active, dir, pinnedVersion).schema
 
+  /** AUTOMATIC_SCHEMA_EVOLUTION gates `MERGE ... WITH SCHEMA
+    * EVOLUTION`: Spark's ResolveMergeIntoSchemaEvolution then commits
+    * the source-minus-target column diff through [[GraftCatalog
+    * .alterTable]] (the metadata-only ADD COLUMN) during analysis and
+    * re-resolves against the evolved table. */
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   /** SQL `INSERT INTO` / `INSERT OVERWRITE` through the catalog: a
     * [[V1Write]] routing to [[Versioned.append]]/[[Versioned.overwrite]]

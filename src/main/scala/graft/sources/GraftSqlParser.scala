@@ -18,15 +18,29 @@ import graft.lake.{Maintenance, Versioned}
   *  - `OPTIMIZE graft.`dir`` `[ZORDER BY (c1[, c2])]`
   *    → [[Versioned.optimize]] (binpack compaction; two-column ZORDER
   *    interleaves with [[Maintenance.mortonKey]]);
-  *  - `VACUUM graft.`dir`` `[RETAIN n HOURS]`
+  *  - `VACUUM graft.`dir`` `[RETAIN n HOURS] [DRY RUN]`
   *    → [[Versioned.vacuumRetain]] (default 168 h, Delta's default);
+  *    `DRY RUN` previews via [[Versioned.vacuumPlan]], deleting
+  *    nothing;
+  *  - `DESCRIBE DETAIL graft.`dir`` → the one-row operational
+  *    snapshot (version, files, bytes, partition columns, pending MOR
+  *    state); claimed only for graft-catalog tables;
   *  - `RESTORE [TABLE] graft.`dir` TO VERSION AS OF v` (or
   *    `TO TIMESTAMP AS OF 'yyyy-MM-dd HH:mm:ss'`) → [[Versioned.restore]];
   *  - `CREATE TABLE graft.`dst` SHALLOW CLONE graft.`src``
   *    `[VERSION AS OF v]` → [[Versioned.cloneAt]];
   *  - `REORG TABLE graft.`dir` APPLY (PURGE)` → Delta's spelling for
   *    "fold the MOR state into the data": [[Versioned.materializeDeletes]]
-  *    compacts pending tombstones AND deletion vectors away.
+  *    compacts pending tombstones AND deletion vectors away;
+  *  - `ANALYZE TABLE graft.`dir` COMPUTE [BLOOM] STATISTICS FOR
+  *    COLUMNS (...)` → [[Versioned.backfillStats]] /
+  *    [[Versioned.backfillBlooms]] (bootstrap the commit-time
+  *    skipping metadata; claimed ONLY for graft-catalog tables —
+  *    Spark's own ANALYZE TABLE statements delegate untouched);
+  *  - `COPY INTO graft.`dir` FROM '<path>' FILEFORMAT = ... [PATTERN
+  *    = ...] [FORMAT_OPTIONS (...)] [COPY_OPTIONS ('force'='true')]`
+  *    → [[graft.lake.CopyInto.run]] (idempotent bulk ingestion with a
+  *    file-level ledger + the txn exactly-once rail).
   *
   * This is a PARSER extension (`injectParser`), not analysis: Spark's
   * own grammar has none of these statements, so the session-build hook
@@ -82,8 +96,39 @@ object GraftSqlParser {
     val head = FirstWord.findFirstMatchIn(sqlText).map(_.group(1).toUpperCase)
     head match {
       case Some("OPTIMIZE") | Some("VACUUM") | Some("RESTORE") |
-           Some("REORG") =>
+           Some("REORG") | Some("COPY") =>
         Some(new Parser(spark, sqlText).statement())
+      case Some("ANALYZE") =>
+        // ANALYZE TABLE is SPARK grammar too — claim it only when the
+        // table is catalog-qualified AND the catalog head resolves to
+        // a registered GraftCatalog; every other ANALYZE (session
+        // catalog, hive, v2) falls through to Spark untouched.
+        val toks = try new Lexer(sqlText).all() catch {
+          case _: IllegalArgumentException => return None
+        }
+        val graftTarget = toks match {
+          case Word(a) +: Word(t) +: rest
+              if a.equalsIgnoreCase("ANALYZE") &&
+                t.equalsIgnoreCase("TABLE") =>
+            graftQualified(spark, rest)
+          case _ => false
+        }
+        if (graftTarget) Some(new Parser(spark, sqlText).statement())
+        else None
+      case Some("DESCRIBE") | Some("DESC") =>
+        // DESCRIBE is Spark grammar too — ours is ONLY the Delta-shaped
+        // `DESCRIBE DETAIL <graft table>`.
+        val toks = try new Lexer(sqlText).all() catch {
+          case _: IllegalArgumentException => return None
+        }
+        val graftTarget = toks match {
+          case Word(_) +: Word(d) +: rest
+              if d.equalsIgnoreCase("DETAIL") =>
+            graftQualified(spark, rest)
+          case _ => false
+        }
+        if (graftTarget) Some(new Parser(spark, sqlText).statement())
+        else None
       case Some("CREATE") =>
         // only a CREATE whose TOKENS spell SHALLOW CLONE is ours (a
         // string literal or backquoted name containing the words must
@@ -102,6 +147,21 @@ object GraftSqlParser {
   }
 
   private val FirstWord = "^\\s*([A-Za-z]+)".r
+
+  /** `rest` starts with `<name> .` where `<name>` is a registered
+    * [[GraftCatalog]] — the soft ownership test for verbs Spark's own
+    * grammar also spells (ANALYZE, DESCRIBE). */
+  private def graftQualified(spark: SparkSession, rest: Seq[Tok]): Boolean = {
+    val head = rest.headOption.collect {
+      case Word(w) => w
+      case Quoted(q) => q
+    }
+    rest.lift(1).contains(Sym('.')) && head.exists { name =>
+      try spark.sessionState.catalogManager.catalog(name)
+        .isInstanceOf[GraftCatalog]
+      catch { case _: Exception => false }
+    }
+  }
 
   // ---- the token stream ---------------------------------------------
   private[sources] sealed trait Tok
@@ -166,7 +226,8 @@ object GraftSqlParser {
         while (i < text.length &&
           (text(i).isLetterOrDigit || text(i) == '_' || text(i) == '$')) i += 1
         Word(text.substring(start, i))
-      } else if (c == '.' || c == '(' || c == ')' || c == ',' || c == ';') {
+      } else if (c == '.' || c == '(' || c == ')' || c == ',' ||
+          c == ';' || c == '=') {
         i += 1; Sym(c)
       } else fail(s"unexpected character '$c' in maintenance statement")
     }
@@ -194,6 +255,40 @@ object GraftSqlParser {
       case Quoted(s) => s
       case w: Word => w.raw
       case other => fail(s"expected an identifier, found $other in: $text")
+    }
+    private def eq(): Unit = take() match {
+      case Sym('=') =>
+      case other => fail(s"expected =, found $other in: $text")
+    }
+    /** `('k' = 'v'[, ...])` — the Delta options-map spelling. */
+    private def optionsMap(): Map[String, String] = {
+      take() match {
+        case Sym('(') =>
+        case other => fail(s"expected (, found $other in: $text")
+      }
+      val m = Map.newBuilder[String, String]
+      var more = peek != Sym(')')
+      while (more) {
+        val k = take() match {
+          case Str(s) => s
+          case other => fail(s"expected a quoted option key, found $other")
+        }
+        eq()
+        val v = take() match {
+          case Str(s) => s
+          case Num(s) => s
+          case w: Word => w.raw
+          case other => fail(s"expected an option value, found $other")
+        }
+        m += (k -> v)
+        more = peek == Sym(',')
+        if (more) take()
+      }
+      take() match {
+        case Sym(')') =>
+        case other => fail(s"expected ), found $other in: $text")
+      }
+      m.result()
     }
     /** `cat.`dir``: the head must name a registered [[GraftCatalog]];
       * the rest re-joins to the lake directory (the catalog's own
@@ -242,8 +337,16 @@ object GraftSqlParser {
         val hours =
           if (optKw("RETAIN")) { val n = num(); kw("HOURS"); n.toDouble }
           else 168.0 // Delta's default retention
+        val dry = optKw("DRY")
+        if (dry) kw("RUN")
         end()
-        GraftVacuumCommand(dir, hours)
+        if (dry) GraftVacuumDryRunCommand(dir, hours)
+        else GraftVacuumCommand(dir, hours)
+      case w: Word if w.up == "DESCRIBE" || w.up == "DESC" =>
+        kw("DETAIL")
+        val dir = tableDir()
+        end()
+        GraftDescribeDetailCommand(dir)
       case w: Word if w.up == "RESTORE" =>
         optKw("TABLE")
         val dir = tableDir()
@@ -270,6 +373,65 @@ object GraftSqlParser {
         take() match { case Sym(')') =>; case o => fail(s"expected ), found $o") }
         end()
         GraftReorgPurgeCommand(dir)
+      case w: Word if w.up == "COPY" =>
+        kw("INTO")
+        val dir = tableDir()
+        kw("FROM")
+        val from = take() match {
+          case Str(s) => s
+          case other => fail(s"expected a quoted source path, found $other")
+        }
+        kw("FILEFORMAT"); eq()
+        val fmt = namePart()
+        var pattern: Option[String] = None
+        var fmtOpts = Map.empty[String, String]
+        var force = false
+        while (peek != End) take() match {
+          case k: Word if k.up == "PATTERN" =>
+            eq()
+            pattern = Some(take() match {
+              case Str(s) => s
+              case other => fail(s"expected a quoted glob, found $other")
+            })
+          case k: Word if k.up == "FORMAT_OPTIONS" =>
+            fmtOpts = optionsMap()
+          case k: Word if k.up == "COPY_OPTIONS" =>
+            optionsMap().foreach { case (ok, ov) =>
+              if (ok.equalsIgnoreCase("force"))
+                force = ov.equalsIgnoreCase("true")
+              else fail(s"unsupported COPY_OPTIONS key '$ok' — 'force' " +
+                "is the supported option")
+            }
+          case other =>
+            fail(s"unexpected COPY INTO clause starting at $other")
+        }
+        end()
+        GraftCopyIntoCommand(dir, from, fmt, pattern, fmtOpts, force)
+      case w: Word if w.up == "ANALYZE" =>
+        kw("TABLE")
+        val dir = tableDir()
+        kw("COMPUTE")
+        val bloom = optKw("BLOOM")
+        kw("STATISTICS")
+        kw("FOR"); kw("COLUMNS")
+        val paren = peek == Sym('(')
+        if (paren) take()
+        val cols = Vector.newBuilder[String]
+        cols += namePart()
+        while (peek == Sym(',')) { take(); cols += namePart() }
+        if (paren) take() match {
+          case Sym(')') =>
+          case other => fail(s"expected ), found $other")
+        }
+        // bloom sizing knobs (defaults match backfillBlooms)
+        var expected = 100000L
+        var fpp = 0.01
+        if (bloom) {
+          if (optKw("EXPECTED")) { expected = num().toLong; kw("ITEMS") }
+          if (optKw("FPP")) fpp = num().toDouble
+        }
+        end()
+        GraftAnalyzeCommand(dir, cols.result(), bloom, expected, fpp)
       case w: Word if w.up == "CREATE" =>
         kw("TABLE")
         val dst = tableDir()
@@ -286,15 +448,67 @@ object GraftSqlParser {
 
   private[sources] def longAttr(name: String): AttributeReference =
     AttributeReference(name, LongType, nullable = false)()
+
+  private[sources] def strAttr(name: String): AttributeReference =
+    AttributeReference(name, org.apache.spark.sql.types.StringType,
+      nullable = false)()
+}
+
+/** `VACUUM ... [RETAIN n HOURS] DRY RUN` → [[Versioned.vacuumPlan]]:
+  * the files a real vacuum at this retention would remove, one row
+  * each, with NOTHING deleted — Delta's preview verb, the thing an
+  * operator runs before the first destructive vacuum on a 100 TB
+  * table. */
+case class GraftVacuumDryRunCommand(dir: String, retainHours: Double)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    GraftSqlParser.strAttr("path"),
+    GraftSqlParser.strAttr("kind"))
+  override def run(spark: SparkSession): Seq[Row] = {
+    require(retainHours >= 0, "RETAIN hours must be >= 0")
+    Versioned.vacuumPlan(spark, dir, (retainHours * 3600 * 1000).toLong)
+      .map { case (p, k) => Row(p, k) }
+  }
+}
+
+/** `DESCRIBE DETAIL graft.`dir`` — the one-row operational snapshot
+  * Delta spells the same way: format, location, current version, live
+  * file count and bytes, partition columns, pending MOR state. Bytes
+  * come from one FS status per live file (the manifest stores refs,
+  * not sizes — a diagnostic verb pays the listing, never a scan). */
+case class GraftDescribeDetailCommand(dir: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    GraftSqlParser.strAttr("format"),
+    GraftSqlParser.strAttr("location"),
+    GraftSqlParser.longAttr("version"),
+    GraftSqlParser.longAttr("num_files"),
+    GraftSqlParser.longAttr("size_bytes"),
+    GraftSqlParser.strAttr("partition_columns"),
+    GraftSqlParser.longAttr("num_pending_delete_files"))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = Versioned.currentVersion(spark, dir)
+    require(v >= 0, s"not a graft table: $dir")
+    val refs = Versioned.filesAt(spark, dir, v)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val bytes = refs.map(r => fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(Versioned.refPath(dir, r))).getLen).sum
+    Seq(Row("graft", dir, v, refs.size.toLong, bytes,
+      Versioned.layoutPartitionKeys(spark, dir).mkString(","),
+      Versioned.deleteFilesAt(spark, dir, v).size.toLong))
+  }
 }
 
 /** `OPTIMIZE` → [[Versioned.optimize]]: binpack compaction of every
   * partition holding more files than its bytes demand; `ZORDER BY`
-  * re-clusters (one column sorts directly; two interleave via the
-  * codegen'd [[Maintenance.mortonKey]] — the same composite the
-  * library callers build). More than two ZORDER columns refuses: a
-  * fold of pairwise interleaves is NOT a z-order, and pretending
-  * otherwise would silently cluster badly at 100 TB. */
+  * re-clusters (one column sorts directly; 2–4 interleave via the
+  * codegen'd [[Maintenance.mortonKeyN]] — a TRUE N-dimensional
+  * z-order, every dimension's bits at the same granularity, never a
+  * fold of pairwise interleaves). More than four refuses: per-
+  * dimension resolution is `63/N` bits and skip quality collapses
+  * past ~4 dims — at 100 TB that silently clusters badly, so the
+  * command says so instead. */
 case class GraftOptimizeCommand(dir: String, zorderCols: Seq[String])
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
@@ -305,17 +519,73 @@ case class GraftOptimizeCommand(dir: String, zorderCols: Seq[String])
     val zorder = zorderCols match {
       case Nil => None
       case Seq(a) => Some(col(a))
-      case Seq(a, b) => Some(Maintenance.mortonKey(col(a), col(b)))
+      case more if more.size <= 4 =>
+        Some(Maintenance.mortonKeyN(more.map(col),
+          math.min(16, 63 / more.size)))
       case more => throw new IllegalArgumentException(
-        s"ZORDER BY supports 1 or 2 columns (got ${more.size}): a " +
-          "pairwise-interleave fold is not a z-order — cluster on the " +
-          "two highest-selectivity columns, or build a custom key with " +
+        s"ZORDER BY supports 1 to 4 columns (got ${more.size}): past " +
+          "~4 interleaved dimensions each file's min/max box is tight " +
+          "in none of them — cluster on the highest-selectivity " +
+          "columns, or build a custom key with " +
           "Versioned.optimize(zorder = ...)")
     }
     val before = Versioned.filesAt(spark, dir).size.toLong
     val v = Versioned.optimize(spark, dir,
       Versioned.layoutPartitionKeys(spark, dir), zorder = zorder)
     Seq(Row(v, before, Versioned.filesAt(spark, dir, v).size.toLong))
+  }
+}
+
+/** `COPY INTO graft.`dir` FROM '<path>' FILEFORMAT = PARQUET|CSV|JSON
+  * [PATTERN = '<glob>'] [FORMAT_OPTIONS (...)] [COPY_OPTIONS ('force'
+  * = 'true')]` → [[graft.lake.CopyInto.run]]: idempotent bulk file
+  * ingestion — files already named by the COPY ledger are skipped,
+  * the fresh ones land as ONE manifest commit riding the streaming
+  * sink's txn rail (exactly-once across crashes; see CopyInto's
+  * protocol note). This is the reference's ingest loop as a SQL verb:
+  * re-run it after every upload drop, it loads only what's new. */
+case class GraftCopyIntoCommand(dir: String, from: String, format: String,
+    pattern: Option[String], formatOptions: Map[String, String],
+    force: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    GraftSqlParser.longAttr("version"),
+    GraftSqlParser.longAttr("files_loaded"),
+    GraftSqlParser.longAttr("files_skipped"))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val r = graft.lake.CopyInto.run(spark, dir, from, format, pattern,
+      formatOptions, force)
+    Seq(Row(r.version, r.filesLoaded, r.filesSkipped))
+  }
+}
+
+/** `ANALYZE TABLE graft.`dir` COMPUTE [BLOOM] STATISTICS FOR COLUMNS
+  * (c1[, c2]) [EXPECTED n ITEMS] [FPP p]` — bootstraps (or repairs,
+  * or re-columns) the COMMIT-TIME metadata disciplines over a lake
+  * that predates them:
+  *  - plain → [[Versioned.backfillStats]]: one distributed footer
+  *    pass writes the version's FULL min/max/rows/nulls sidecar;
+  *  - BLOOM → [[Versioned.backfillBlooms]]: one data scan builds the
+  *    per-file bloom filters (EXPECTED/FPP size them; the defaults
+  *    are backfillBlooms' own).
+  * From then on EVERY commit extends coverage for its own files
+  * automatically (inheritance — see the Versioned sidecar note), so
+  * this statement runs once per lake, not per refresh: ANALYZE is the
+  * bootstrap of a discipline, never a recurring index build. Spark's
+  * own `ANALYZE TABLE` statements are untouched — the parser claims
+  * the verb only for catalog-qualified graft tables. */
+case class GraftAnalyzeCommand(dir: String, cols: Seq[String],
+    bloom: Boolean, expected: Long, fpp: Double)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    GraftSqlParser.longAttr("version"),
+    GraftSqlParser.longAttr("files_covered"),
+    GraftSqlParser.longAttr("columns_tracked"))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v =
+      if (bloom) Versioned.backfillBlooms(spark, dir, cols, expected, fpp)
+      else Versioned.backfillStats(spark, dir, cols)
+    Seq(Row(v, Versioned.filesAt(spark, dir, v).size.toLong,
+      cols.size.toLong))
   }
 }
 

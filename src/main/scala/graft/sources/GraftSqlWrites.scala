@@ -59,10 +59,16 @@ case class GraftRowLevelSql(spark: SparkSession) extends Rule[LogicalPlan] {
     case m: MergeIntoTable if m.resolved =>
       GraftRowLevelSql.graftTarget(m.targetTable) match {
         case Some((dir, version)) =>
-          require(!m.withSchemaEvolution,
-            "MERGE ... WITH SCHEMA EVOLUTION is not supported on graft " +
-              "tables: evolve the schema with an appending write (drift " +
-              "columns null-fill) or Versioned.renameColumn/dropColumn")
+          // MERGE ... WITH SCHEMA EVOLUTION needs no work HERE: Spark's
+          // ResolveMergeIntoSchemaEvolution already ran at analysis —
+          // it computed the source-minus-target column diff, committed
+          // it through GraftCatalog.alterTable (the METADATA-ONLY
+          // Versioned.addColumn, old rows null-fill), and re-resolved
+          // the target against the evolved, re-pinned table. By this
+          // optimizer rule the evolution is a committed fact and the
+          // assignments are aligned to the evolved schema; unsupported
+          // evolutions (nested adds, type changes) refused loudly in
+          // alterTable during analysis.
           GraftMergeIntoCommand(dir, version, m.targetTable, m.sourceTable,
             m.mergeCondition, m.matchedActions, m.notMatchedActions,
             m.notMatchedBySourceActions)

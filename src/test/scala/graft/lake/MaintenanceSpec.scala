@@ -25,6 +25,43 @@ class MaintenanceSpec extends SparkSpec {
     assert(zs == zs.sorted && zs.distinct.size == zs.size)
   }
 
+  test("mortonKeyN: 2-dim case equals mortonKey exactly; N-dim matches a bit-level model; diagonal stays monotone") {
+    // 2-dim equivalence on a value sweep
+    val pairs = Seq((0L, 0L), (1L, 0L), (0L, 1L), (5L, 3L), (12345L, 54321L),
+      (65535L, 65535L))
+    val two = df(pairs, "a", "b").select(
+      mortonKey(col("a"), col("b")).as("m"),
+      mortonKeyN(Seq(col("a"), col("b"))).as("mn"))
+    rowsOf(two).foreach(r => assert(r(0) == r(1), s"2-dim mismatch: $r"))
+    // 3-dim against a Scala bit model: bit i of dim j → i*3 + (2-j)
+    def model(vs: Seq[Long], bits: Int): Long = {
+      val n = vs.length
+      (for {
+        i <- 0 until bits
+        j <- 0 until n
+      } yield ((vs(j) >> i) & 1L) << (i * n + (n - 1 - j))).sum
+    }
+    val triples = Seq((0L, 0L, 0L), (1L, 0L, 0L), (0L, 1L, 0L),
+      (0L, 0L, 1L), (5L, 3L, 6L), (1023L, 511L, 255L))
+    val three = df(triples, "a", "b", "c").select(
+      mortonKeyN(Seq(col("a"), col("b"), col("c")), bits = 10).as("z"))
+    assert(rowsOf(three).map(_.head) ==
+      triples.map { case (a, b, c) => model(Seq(a, b, c), 10) })
+    // earlier columns more significant within a bit group: (1,0,0)
+    // beats (0,1,0) beats (0,0,1)
+    assert(model(Seq(1L, 0L, 0L), 1) > model(Seq(0L, 1L, 0L), 1))
+    assert(model(Seq(0L, 1L, 0L), 1) > model(Seq(0L, 0L, 1L), 1))
+    // diagonal monotone in 3 dims
+    val zs = rowsOf(df((0L until 16L).map(Tuple1(_)), "k")
+        .select(mortonKeyN(Seq(col("k"), col("k"), col("k")), 5).as("z")))
+      .map(_.head.asInstanceOf[Long])
+    assert(zs == zs.sorted && zs.distinct.size == zs.size)
+    // n*bits > 63 refuses
+    intercept[IllegalArgumentException] {
+      mortonKeyN(Seq(col("a"), col("b"), col("c")), bits = 22)
+    }
+  }
+
   test("gridBucket clamps and scales to the 2^bits grid") {
     val d = df(Seq(-5.0, 0.0, 50.0, 100.0, 999.0).map(Tuple1(_)), "v")
       .select(gridBucket(col("v"), 0.0, 100.0, bits = 4).as("g"))

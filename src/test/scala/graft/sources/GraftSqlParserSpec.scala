@@ -73,10 +73,13 @@ class GraftSqlParserSpec extends SparkSpec {
     Versioned.init(spark, dir2)
     sqlM(s"OPTIMIZE graft_mnt.`$dir2` ZORDER BY (x, y)")
     assert(Versioned.snapshot(spark, dir2).count() == 3L)
-    // >2 columns refuse with guidance
+    // 3-column ZORDER: true N-dim interleave (mortonKeyN)
+    sqlM(s"OPTIMIZE graft_mnt.`$dir2` ZORDER BY (x, y, x)")
+    assert(Versioned.snapshot(spark, dir2).count() == 3L)
+    // >4 columns refuse with guidance
     val e = intercept[Exception] {
-      sqlM(s"OPTIMIZE graft_mnt.`$dir2` ZORDER BY (x, y, site)") }
-    assert(e.getMessage.contains("1 or 2 columns"), e.getMessage)
+      sqlM(s"OPTIMIZE graft_mnt.`$dir2` ZORDER BY (x, y, x, y, x)") }
+    assert(e.getMessage.contains("1 to 4 columns"), e.getMessage)
   }
 
   test("VACUUM [RETAIN n HOURS]: reaps to the retention cutoff, keeps the current version; reports kept count") {
@@ -133,6 +136,91 @@ class GraftSqlParserSpec extends SparkSpec {
       Versioned.currentVersion(spark, dir)).isEmpty,
       "PURGE must leave no pending tombstones")
     assert(state(Versioned.snapshot(spark, dir)) == expected)
+  }
+
+  test("ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS: bootstraps the stats sidecar; later commits inherit; pruned reads serve from it") {
+    val dir = freshLake()
+    val m = sqlM(s"ANALYZE TABLE ${tbl(dir)} COMPUTE STATISTICS " +
+      "FOR COLUMNS (id, v)").collect().head
+    assert(m.getLong(0) == Versioned.currentVersion(spark, dir))
+    assert(m.getLong(1) == Versioned.filesAt(spark, dir).size.toLong)
+    assert(m.getLong(2) == 2L)
+    assert(Versioned.statsAt(spark, dir).select("col").distinct()
+      .collect().map(_.getString(0)).toSet == Set("id", "v"))
+    // inheritance: the NEXT commit extends coverage with no re-analyze
+    Versioned.append(spark, dir,
+      df(Seq(("b", 500L, 42.0)), "site", "id", "v"), Seq("site"))
+    val pruned = Versioned.statsPrunedRead(spark, dir,
+      Seq(("id", 400.0, 600.0)))
+    assert(state(pruned) == Set(("b", 500L, 42.0)))
+    // unparenthesized column list parses too
+    sqlM(s"ANALYZE TABLE ${tbl(dir)} COMPUTE STATISTICS FOR COLUMNS v")
+    assert(Versioned.statsAt(spark, dir).select("col").distinct()
+      .collect().map(_.getString(0)).toSet == Set("v"),
+      "re-ANALYZE re-columns the discipline")
+  }
+
+  test("ANALYZE TABLE ... COMPUTE BLOOM STATISTICS [EXPECTED n ITEMS] [FPP p]: bootstraps per-file blooms; point reads prune from them; non-graft ANALYZE delegates") {
+    val dir = freshLake()
+    val m = sqlM(s"ANALYZE TABLE ${tbl(dir)} COMPUTE BLOOM STATISTICS " +
+      "FOR COLUMNS (id) EXPECTED 1000 ITEMS FPP 0.02").collect().head
+    assert(m.getLong(0) == Versioned.currentVersion(spark, dir))
+    val blooms = Versioned.bloomsAt(spark, dir)
+    assert(blooms.select("col").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("id"))
+    // a later commit inherits the SAME sizing parameters
+    Versioned.append(spark, dir,
+      df(Seq(("b", 777L, 7.0)), "site", "id", "v"), Seq("site"))
+    val hit = Versioned.bloomPrunedReadIn(spark, dir, "id", Seq(lit(777L)))
+    assert(state(hit) == Set(("b", 777L, 7.0)))
+    // Spark's own ANALYZE statements are NOT claimed
+    assert(GraftSqlParser.parseMaintenance(spark,
+      "ANALYZE TABLE some_table COMPUTE STATISTICS").isEmpty,
+      "session-catalog ANALYZE must delegate to Spark")
+    assert(GraftSqlParser.parseMaintenance(spark,
+      "ANALYZE TABLE spark_catalog.default.t COMPUTE STATISTICS").isEmpty,
+      "non-graft catalog ANALYZE must delegate to Spark")
+  }
+
+  test("VACUUM ... DRY RUN previews exactly what the real vacuum removes, deleting nothing; DESCRIBE DETAIL reports the operational snapshot") {
+    val dir = freshLake()
+    // detail BEFORE any maintenance
+    val d0 = sqlM(s"DESCRIBE DETAIL ${tbl(dir)}").collect().head
+    assert(d0.getString(0) == "graft" && d0.getString(1) == dir)
+    assert(d0.getLong(2) == 3L) // current version
+    assert(d0.getLong(3) == Versioned.filesAt(spark, dir).size.toLong)
+    assert(d0.getLong(4) > 0L, "size_bytes sums the live files")
+    assert(d0.getString(5) == "site")
+    assert(d0.getLong(6) == 0L)
+    // optimize strands the small files -> dry run names them
+    sqlM(s"OPTIMIZE ${tbl(dir)}")
+    val plan = sqlM(s"VACUUM ${tbl(dir)} RETAIN 0 HOURS DRY RUN")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(plan.exists(_._2 == "data"), "stranded files must be listed")
+    assert(plan.exists(_._2 == "manifest"), "reaped manifests listed too")
+    // nothing was deleted: every pre-optimize version still reads
+    assert(Versioned.snapshot(spark, dir, 0L).count() == 2L)
+    val nFilesBefore = Versioned.filesAt(spark, dir).size
+    // the REAL vacuum removes exactly the previewed data files
+    val dataPlanned = plan.collect { case (p, "data") => p }.toSet
+    sqlM(s"VACUUM ${tbl(dir)} RETAIN 0 HOURS")
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    dataPlanned.foreach(p => assert(
+      !fs.exists(new org.apache.hadoop.fs.Path(dir, p)),
+      s"previewed file $p must be gone after the real vacuum"))
+    assert(Versioned.filesAt(spark, dir).size == nFilesBefore,
+      "vacuum never touches live files")
+    // pending MOR state surfaces in the detail row
+    Versioned.deleteWhere(spark, dir, col("id") === 10L, Seq("site", "id"))
+    val d1 = sqlM(s"DESCRIBE DETAIL ${tbl(dir)}").collect().head
+    assert(d1.getLong(6) == 1L, "pending tombstone must be reported")
+    // Spark's own DESCRIBE statements are not claimed
+    assert(GraftSqlParser.parseMaintenance(spark,
+      "DESCRIBE TABLE some_table").isEmpty)
+    assert(GraftSqlParser.parseMaintenance(spark,
+      "DESCRIBE DETAIL spark_catalog.default.t").isEmpty,
+      "DESCRIBE DETAIL of a non-graft catalog must delegate")
   }
 
   test("ownership: non-maintenance statements (incl. CTAS with a 'shallow clone' string) delegate; malformed verbs and non-graft catalogs refuse loudly") {

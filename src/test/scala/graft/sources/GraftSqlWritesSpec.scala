@@ -83,6 +83,50 @@ class GraftSqlWritesSpec extends SparkSpec {
       ("a", 1L, 50.5), ("c", 7L, 7.0), ("c", 20L, -20.0)))
   }
 
+  test("MERGE ... WITH SCHEMA EVOLUTION: source-only columns evolve the target via the metadata-only ADD COLUMN during analysis, then the merge commits") {
+    val dir = freshLake()
+    df(Seq(("a", 1L, 100.0, "gold"), ("c", 7L, 7.0, "new")),
+      "site", "id", "v", "tier")
+      .createOrReplaceTempView("sqlw_sevo")
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO ${tbl(dir)} t
+         |USING sqlw_sevo s
+         |ON t.site = s.site AND t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = Versioned.snapshot(spark, dir)
+      .select("site", "id", "v", "tier").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        Option(r.getString(3)))).toSet
+    assert(got == Set(
+      ("a", 1L, 100.0, Some("gold")), // matched: update carries tier
+      ("a", 2L, 2.0, None), // untouched rows null-fill the new column
+      ("b", 10L, 10.0, None),
+      ("c", 20L, 20.0, None),
+      ("c", 7L, 7.0, Some("new")))) // inserted with the new column
+    // the evolution is its own METADATA-ONLY commit before the merge
+    assert(Versioned.currentVersion(spark, dir) == 2L,
+      "add-column commit + merge commit")
+    assert(Versioned.filesAt(spark, dir, 1L).toSet ==
+      Versioned.filesAt(spark, dir, 0L).toSet,
+      "the evolution commit must touch no data file")
+    assert(!Versioned.snapshot(spark, dir, 0L).columns.contains("tier"),
+      "pre-evolution version travels WITHOUT the column")
+    // WITHOUT the keyword nothing evolves: INSERT * aligns to the
+    // TARGET's columns (Spark's star expansion ignores extra source
+    // columns), the schema stays put, one merge commit only
+    val dir2 = freshLake()
+    spark.sql(
+      s"""MERGE INTO ${tbl(dir2)} t USING sqlw_sevo s
+         |ON t.site = s.site AND t.id = s.id
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(!Versioned.snapshot(spark, dir2).columns.contains("tier"),
+      "no evolution without the keyword")
+    assert(Versioned.currentVersion(spark, dir2) == 1L)
+    assert(state(Versioned.snapshot(spark, dir2))
+      .contains(("c", 7L, 7.0)))
+  }
+
   test("MERGE INTO: cardinality violation and non-equi ON refuse loudly; nothing commits") {
     val dir = freshLake()
     df(Seq(("a", 1L, 9.0), ("a", 1L, 8.0)), "site", "id", "v")
