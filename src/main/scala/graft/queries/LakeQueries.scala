@@ -4911,6 +4911,72 @@ object LakeQueries {
                round(sum(value::DOUBLE), 4) AS sum_value
         FROM a2
         ORDER BY leg"""),
-      "SQL ANALYZE: stats backfill + commit inheritance (require()d) + bloom backfill; range read skips files (require()d) and point read probes blooms; both == filter oracles")
+      "SQL ANALYZE: stats backfill + commit inheritance (require()d) + bloom backfill; range read skips files (require()d) and point read probes blooms; both == filter oracles"),
+
+    // ---------------------------------------------------------------
+    // MERGE ... WITH SCHEMA EVOLUTION — the source's extra column
+    // evolves the target DURING ANALYSIS (Spark's rule committing
+    // through the catalog's metadata-only ADD COLUMN, gated by the
+    // AUTOMATIC_SCHEMA_EVOLUTION capability), then one merge commit:
+    // matched rows update and carry the new column, untouched rows
+    // null-fill it, inserts arrive with it. The evolution commit must
+    // touch zero data files (require()d) and the pre-merge version
+    // must travel WITHOUT the column (require()d).
+    // ---------------------------------------------------------------
+    Q("q210_sql_merge_evolve",
+      (s, dir) => {
+        graft.GraftExtensions.register(s)
+        s.conf.set("spark.sql.catalog.gsql", "graft.sources.GraftCatalog")
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val root = new File(new File(sys.props("user.dir"), "target"),
+          s"graft_sevoq_$tag")
+        val lake = new File(root, "lake").getAbsolutePath
+        LakeQueries.synchronized {
+          val fs = new org.apache.hadoop.fs.Path(root.getAbsolutePath)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(root.getAbsolutePath), true)
+          val base = Tables(s, dir, "events").select(MergeCols.map(col): _*)
+          MergeData.writeMerged(s, base.filter(col("event_type") === "click"),
+            lake, keys = Seq("event_type"))
+          Versioned.init(s, lake, commitTs = 1000L)
+          val files0 = Versioned.filesAt(s, lake).toSet
+          base.filter(col("event_type") === "click" &&
+              col("event_id") % 3 === 0)
+            .withColumn("value", col("value") * 10)
+            .withColumn("tag", lit("upd"))
+            .unionByName(base.filter(col("event_type") === "view")
+              .withColumn("tag", lit("ins")))
+            .createOrReplaceTempView("q210_evolve_src")
+          s.sql(
+            s"""MERGE WITH SCHEMA EVOLUTION INTO gsql.`$lake` t
+               |USING q210_evolve_src s
+               |ON t.event_id = s.event_id
+               |WHEN MATCHED THEN UPDATE SET *
+               |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+          require(Versioned.filesAt(s, lake, 1L).toSet == files0,
+            "the evolution commit must be metadata-only")
+          require(Versioned.currentVersion(s, lake) == 2L,
+            "exactly add-column commit + merge commit")
+          require(!Versioned.snapshot(s, lake, 0L).columns.contains("tag"),
+            "pre-evolution version travels without the column")
+        }
+        s.sql(
+          s"""SELECT coalesce(tag, 'none') AS tag, count(*) AS row_count,
+             |       round(sum(value), 4) AS sum_value
+             |FROM gsql.`$lake` GROUP BY 1 ORDER BY 1""".stripMargin)
+      },
+      Some("""
+        WITH t AS (SELECT event_id, value, event_type FROM events),
+        merged AS (
+          SELECT CASE WHEN event_id % 3 = 0 THEN value * 10
+                      ELSE value END AS value,
+                 CASE WHEN event_id % 3 = 0 THEN 'upd' END AS tag
+          FROM t WHERE event_type = 'click'
+          UNION ALL
+          SELECT value, 'ins' FROM t WHERE event_type = 'view')
+        SELECT coalesce(tag, 'none') AS tag, count(*) AS row_count,
+               round(sum(value::DOUBLE), 4) AS sum_value
+        FROM merged GROUP BY 1 ORDER BY 1"""),
+      "MERGE WITH SCHEMA EVOLUTION: analyzer-driven metadata-only ADD COLUMN (zero file changes require()d) + one merge commit; null-fill/carry semantics == union oracle")
   )
 }
