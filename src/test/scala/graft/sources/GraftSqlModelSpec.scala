@@ -13,7 +13,10 @@ import graft.ops.MergeData
   * deletion vectors stacking under every later mutation), ALTER TABLE
   * RENAME COLUMN (back and forth, so later SQL speaks the new name),
   * TRUNCATE TABLE — interleaved with SQL maintenance verbs (OPTIMIZE,
-  * REORG APPLY (PURGE) through the parser), against a trivial
+  * REORG APPLY (PURGE), ANALYZE [BLOOM] STATISTICS — metadata-only,
+  * with coverage inherited by every LATER commit — VACUUM DRY RUN,
+  * which may change nothing, and COPY INTO of fresh csv drops whose
+  * headers speak the current logical column names), against a trivial
   * in-memory map. After every statement the SQL readback must equal
   * the model, and a sample of versions must time-travel through SQL
   * `VERSION AS OF` under the column name each version carried. This is
@@ -26,7 +29,7 @@ class GraftSqlModelSpec extends SparkSpec {
   GraftExtensions.register(spark)
   spark.conf.set("spark.sql.catalog.gmodel", "graft.sources.GraftCatalog")
 
-  test("44 random SQL statements: readback == model after every one; versions travel under their own column names") {
+  test("52 random SQL statements: readback == model after every one; versions travel under their own column names") {
     val rnd = new Random(1313L)
     val dir = java.nio.file.Files.createTempDirectory("graft_sqlmodel")
       .toFile.getAbsolutePath
@@ -60,8 +63,9 @@ class GraftSqlModelSpec extends SparkSpec {
       org.apache.spark.sql.GraftColumnBridge.ofRows(spark,
         GraftSqlParser.parseMaintenance(spark, text).get).collect()
 
-    (1 to 44).foreach { step =>
-      val op = rnd.nextInt(13)
+    var copySeq = 0
+    (1 to 52).foreach { step =>
+      val op = rnd.nextInt(16)
       op match {
         case 0 | 1 => // SQL INSERT INTO ... VALUES
           val rows = freshRows(1 + rnd.nextInt(3))
@@ -121,6 +125,30 @@ class GraftSqlModelSpec extends SparkSpec {
             s"DELETE FROM $tblName WHERE `$valCol` > ${cut}D")
           finally spark.conf.unset("spark.graft.sql.delete.vectors")
           model = model.filter { case (_, v) => !(v > cut) }
+        case 13 => // SQL ANALYZE: metadata-only bootstrap/re-column of
+          // the stats or bloom discipline — the model never moves, and
+          // every LATER commit (merges, optimizes, vector deletes,
+          // truncates) must keep the inherited coverage consistent
+          if (Versioned.filesAt(spark, dir).nonEmpty) {
+            if (rnd.nextBoolean())
+              sqlMaint(s"ANALYZE TABLE $tblName COMPUTE STATISTICS " +
+                s"FOR COLUMNS (id, `$valCol`)")
+            else
+              sqlMaint(s"ANALYZE TABLE $tblName COMPUTE BLOOM STATISTICS " +
+                "FOR COLUMNS (id) EXPECTED 1000 ITEMS FPP 0.02")
+          }
+        case 14 => // VACUUM DRY RUN: read-only — nothing may change
+          sqlMaint(s"VACUUM $tblName RETAIN 0 HOURS DRY RUN")
+        case 15 => // SQL COPY INTO a fresh csv drop: appends like INSERT,
+          // headers speak the CURRENT logical column name
+          val rows = freshRows(1 + rnd.nextInt(3))
+          copySeq += 1
+          val drop = s"$dir/../drops_$copySeq"
+          df(rows, "site", "id", valCol).coalesce(1)
+            .write.option("header", "true").csv(drop)
+          sqlMaint(s"COPY INTO $tblName FROM '$drop' FILEFORMAT = CSV " +
+            "FORMAT_OPTIONS ('header' = 'true')")
+          model ++= rows.map { case (s, i, v) => (s, i) -> v }
       }
       val ver = Versioned.currentVersion(spark, dir)
       history(ver) = (model, valCol)
