@@ -406,6 +406,47 @@ object LakeScaleBench {
         Seq("bucket"), Seq("event_id"))
     }
 
+    // ---- round-14: COPY INTO ledger --------------------------------
+    // Idempotent ingestion against the BIG lake: the drop set is
+    // FIXED-SIZE (bounded-id slice, same files/rows at every clone
+    // factor), so the claim under test is that COPY's cost tracks the
+    // DROP (listing + fresh-file scan + one append commit) and its
+    // no-op re-run tracks the LEDGER (a handful of tiny reads) —
+    // never the lake's bytes or history.
+    // drops speak the table's CURRENT logical names (the bench renamed
+    // value -> reading above; a real upload pipeline would too)
+    val dropRows = base.filter(col("event_id") % 991 === 7 &&
+        col("event_id") < 100000000L)
+      .withColumn("event_id", col("event_id") + lit(900000000L))
+      .withColumnRenamed("value", "reading")
+    val dropDir = work + "/copy_drops"
+    dropRows.repartition(10).write
+      .option("header", "true").option("compression", "gzip")
+      .csv(dropDir + "/d1")
+    metrics("copy_drop_rows") = dropRows.count()
+    val copy1 = time("copy_first") {
+      graft.lake.CopyInto.run(spark, lake, dropDir, "csv",
+        pattern = Some("*.csv.gz"), options = Map("header" -> "true"))
+    }
+    metrics("copy_first_files") = copy1.filesLoaded
+    val copyNoop = time("copy_noop") {
+      graft.lake.CopyInto.run(spark, lake, dropDir, "csv",
+        pattern = Some("*.csv.gz"), options = Map("header" -> "true"))
+    }
+    require(copyNoop.filesLoaded == 0L, s"re-run must skip ($copyNoop)")
+    // a late one-file drop: the incremental COPY loads ONLY it
+    dropRows.limit(50).withColumn("event_id",
+        col("event_id") + lit(1000000000L))
+      .coalesce(1).write
+      .option("header", "true").option("compression", "gzip")
+      .csv(dropDir + "/d2")
+    val copyIncr = time("copy_incr") {
+      graft.lake.CopyInto.run(spark, lake, dropDir, "csv",
+        pattern = Some("*.csv.gz"), options = Map("header" -> "true"))
+    }
+    require(copyIncr.filesLoaded == 1L && copyIncr.filesSkipped == 10L,
+      s"incremental COPY must load only the late drop ($copyIncr)")
+
     def j(v: Any): String = v match {
       case s: String => "\"" + s + "\""
       case x => String.valueOf(x)

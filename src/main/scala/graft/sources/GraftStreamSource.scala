@@ -61,7 +61,8 @@ import graft.lake.Versioned
 private[sources] class GraftStreamSource(sqlContext: SQLContext,
     dir: String, metadataPath: String,
     startingVersion: Option[Long], maxVersionsPerTrigger: Long,
-    readChanges: Boolean = false) extends Source {
+    readChanges: Boolean = false) extends Source
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private val spark = sqlContext.sparkSession
   private val fs = new Path(metadataPath)
@@ -179,6 +180,63 @@ private[sources] class GraftStreamSource(sqlContext: SQLContext,
   }
 
   override def commit(end: Offset): Unit = advanceHw(ver(end))
+
+  // ---- Trigger.AvailableNow (SupportsTriggerAvailableNow) ----------
+  // "Drain everything available AT START, in maxVersionsPerTrigger-
+  // bounded batches, then stop" — the bounded-backfill run Delta
+  // offers on its table streams. Without the trait Spark falls back
+  // to single-batch execution, which silently IGNORES the
+  // backpressure bound (one giant batch) and cannot drain an
+  // uncommitted tail. Implementing SupportsAdmissionControl also
+  // moves REGULAR triggers from getOffset onto latestOffset — the
+  // logic below reproduces getOffset's floor-cache rate limiting
+  // exactly, preferring the engine's own start offset (authoritative)
+  // over the best-effort hw cache.
+
+  /** The drain bound, captured ONCE when an AvailableNow run starts:
+    * versions committed after this moment wait for the next run. */
+  @volatile private var availableNowBound: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowBound = Some(Versioned.currentVersion(spark, dir))
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  override def latestOffset(
+      startOffset: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    val cur0 = Versioned.currentVersion(spark, dir)
+    val cur = availableNowBound.fold(cur0)(b => math.min(cur0, b))
+    if (cur < 0) return null // no manifest yet: no data to offer
+    val from = Option(startOffset).map {
+      case o: Offset => ver(o)
+      case o => o.json().trim.toLong
+    }.orElse(readLong(hwPath))
+    from match {
+      case Some(hw) if cur <= hw =>
+        // all known versions consumed per the floor. With a recorded
+        // engine offset this is "no progress"; with only the cache
+        // floor (a crash between getBatch's hw write and the offset
+        // log), still OFFER the floor — the engine has not logged
+        // batch 0 yet (getOffset's exact rule)
+        if (startOffset != null) startOffset else LongOffset(hw)
+      case Some(hw) =>
+        val cap = hw + math.max(1L, maxVersionsPerTrigger)
+        LongOffset(if (cap < hw) cur else math.min(cur, cap))
+      case None => LongOffset(cur) // floor unknown: uncapped is safe
+    }
+  }
+
+  /** The TRUE latest (uncapped by the AvailableNow bound or the
+    * per-trigger limit) — progress reporting only. */
+  override def reportLatestOffset()
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    val cur = Versioned.currentVersion(spark, dir)
+    if (cur < 0) null else LongOffset(cur)
+  }
 
   private def advanceHw(v: Long): Unit =
     if (!readLong(hwPath).exists(_ >= v)) writeLong(hwPath, v)

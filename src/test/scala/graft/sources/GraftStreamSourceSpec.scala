@@ -126,23 +126,25 @@ class GraftStreamSourceSpec extends SparkSpec {
       Versioned.append(spark, src,
         df(Seq(("a", i.toLong, i.toDouble)), "site", "id", "v"), Seq("site"))
     } // src at v4: a 4-version backlog behind the follower
-    // AvailableNow pins its target from the source's capped offset, so
-    // each run consumes at most ONE chunk of <= 2 versions; the
-    // backlog drains in a bounded number of runs
-    var runs = 0
-    def caughtUp: Boolean = Versioned.currentVersion(spark, sink) >= 0 &&
-      state(Versioned.snapshot(spark, sink)) ==
-        state(Versioned.snapshot(spark, src))
-    while (!caughtUp && runs < 6) {
-      follow(src, sink, ckpt, Map("maxVersionsPerTrigger" -> "2"))
-      runs += 1
-    }
+    // the source implements SupportsTriggerAvailableNow: ONE run
+    // drains the WHOLE backlog captured at start, in multiple
+    // micro-batches each bounded by the cap — each micro-batch is one
+    // txn-marked sink commit, so the sink's version delta counts the
+    // batches and proves the cap bit
+    val sinkV0 = Versioned.currentVersion(spark, sink)
+    follow(src, sink, ckpt, Map("maxVersionsPerTrigger" -> "2"))
     assert(state(Versioned.snapshot(spark, sink)) ==
       state(Versioned.snapshot(spark, src)),
-      s"backlog must drain (gave up after $runs runs)")
-    assert(runs >= 2,
-      "a cap of 2 versions cannot deliver a 4-version backlog in one run")
+      "one AvailableNow run must drain the whole backlog")
+    val batches = Versioned.currentVersion(spark, sink) - sinkV0
+    assert(batches >= 2,
+      s"a cap of 2 versions must split a 4-version backlog into >= 2 " +
+        s"micro-batches (saw $batches sink commits)")
     assert(Versioned.snapshot(spark, sink).count() == 5L, "exactly-once")
+    // an idle re-run offers no progress and commits nothing
+    follow(src, sink, ckpt, Map("maxVersionsPerTrigger" -> "2"))
+    assert(Versioned.currentVersion(spark, sink) == sinkV0 + batches,
+      "a caught-up AvailableNow run must commit nothing")
   }
 
   test("readChanges: merges and deletes stream as CDC rows == changesBetween; rewrites don't refuse; restarts don't duplicate") {
