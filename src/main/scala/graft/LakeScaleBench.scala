@@ -447,6 +447,42 @@ object LakeScaleBench {
     require(copyIncr.filesLoaded == 1L && copyIncr.filesSkipped == 10L,
       s"incremental COPY must load only the late drop ($copyIncr)")
 
+    // ---- round-14: N-dim ZORDER skip ledger ------------------------
+    // True 3-dim interleave (mortonKeyN): after ONE re-cluster, a
+    // single-dimension filter on ANY of the three clustered columns
+    // must skip files (candidate counts from the commit-time boxes).
+    // A plain sort tightens only its leading column; a pairwise fold
+    // privileges the first pair — this is the property that makes
+    // multi-predicate dashboards cheap on one layout.
+    Versioned.backfillStats(spark, lake,
+      Seq("user_id", "reading", "event_id"))
+    time("zorder3_optimize") {
+      Versioned.optimize(spark, lake, Seq("event_type"),
+        targetFilesPerPartition = 8,
+        zorder = Some(graft.lake.Maintenance.mortonKeyN(Seq(
+          graft.lake.Maintenance.gridBucket(col("user_id"), 0.0, 1500.0, 10),
+          graft.lake.Maintenance.gridBucket(col("reading"), 0.0, 1000.0, 10),
+          graft.lake.Maintenance.gridBucket(col("event_id"),
+            0.0, 1.0e10, 10)), bits = 10)))
+    }
+    val z3Stats = Versioned.statsAt(spark, lake)
+    metrics("z3_files") = Versioned.filesAt(spark, lake).size
+    def cands(c: String, lo: Double, hi: Double): Int =
+      graft.lake.SkipIndex.candidateFilesMulti(z3Stats,
+        Seq((c, lo, hi))).size
+    // single-dim windows, one per clustered dimension (stats key by
+    // PHYSICAL name: reading's physical spelling is value). The
+    // user_id window is a uniform 7% slice; the reading and event_id
+    // windows probe the RARE tails (skewed dims on a linear grid —
+    // where clustering either pays or doesn't)
+    metrics("z3_cand_user") = cands("user_id", 100.0, 200.0)
+    metrics("z3_cand_reading") = cands("value", 400.0, 600.0)
+    metrics("z3_cand_event") = cands("event_id", 6.9e9, 7.2e9)
+    metrics("z3_pruned_rows") = time("z3_pruned_read") {
+      Versioned.statsPrunedRead(spark, lake,
+        Seq(("user_id", 100.0, 200.0))).count()
+    }
+
     def j(v: Any): String = v match {
       case s: String => "\"" + s + "\""
       case x => String.valueOf(x)

@@ -115,6 +115,14 @@ object BloomIndex {
   def candidateFilesIn(spark: SparkSession, idx: DataFrame, c: String,
       probes: Seq[Column]): Seq[String] = {
     require(probes.nonEmpty, "candidateFilesIn needs at least one probe")
+    // a probe on an un-bloomed column must REFUSE, not prune: zero
+    // matching rows would silently drop every file
+    val tracked = idx.select("col").distinct()
+      .collect().map(_.getString(0)).toSet
+    require(tracked.contains(c),
+      s"column $c has no bloom filters in this index (tracked: " +
+        s"${tracked.toSeq.sorted.mkString(", ")}): rebuild/backfill " +
+        "with it, or filter the full scan")
     val hashes = probeHashes(spark, probes)
     import spark.implicits._
     idx.filter(col("col") === c).select("file", "bloom")

@@ -221,6 +221,17 @@ object SkipIndex {
     val rowOk = byCol.foldLeft(lit(false)) { case (acc, (c, p)) =>
       when(col("col") === c, p).otherwise(acc)
     }
+    // a predicate on a column the index does not track must REFUSE,
+    // not prune: zero matching rows would silently drop every file —
+    // an empty (wrong) result instead of a loud repair
+    val tracked = idx.select("col").distinct()
+      .collect().map(_.getString(0)).toSet
+    val untracked = byCol.keySet -- tracked
+    require(untracked.isEmpty,
+      s"predicated column(s) ${untracked.toSeq.sorted.mkString(", ")} " +
+        "are not tracked by this skip index (tracked: " +
+        s"${tracked.toSeq.sorted.mkString(", ")}): rebuild/backfill " +
+        "with them, or filter the full scan")
     idx.filter(col("col").isin(byCol.keys.toSeq: _*))
       .groupBy(col("file"))
       .agg(sum(when(rowOk, 1L).otherwise(0L)).as("__ok"))

@@ -2319,11 +2319,16 @@ object Versioned {
       .toDF("__ref", "__abs")
 
   /** The newest `kind` sidecar at or below `v`, if any — how commits
-    * inherit a discipline's parameters. */
+    * inherit a discipline's parameters. At a version holding BOTH an
+    * inc (the commit's own) and a full (an explicit backfill ran
+    * after the commit, re-columning the discipline), the FULL wins:
+    * it is the newer write and the re-columning authority — the next
+    * commit must inherit the NEW column set. */
   private def newestSidecarAt(spark: SparkSession, dir: String,
       kind: String, v: Long): Option[DataFrame] = {
     val fs = fsOf(spark, dir)
-    listSidecars(fs, dir, kind).filter(_._1 <= v).sortBy(-_._1).headOption
+    listSidecars(fs, dir, kind).filter(_._1 <= v)
+      .sortBy { case (sv, isFull) => (-sv, !isFull) }.headOption
       .map { case (sv, isFull) =>
         val p = if (isFull) fullSidecarPath(dir, kind, sv)
                 else incSidecarPath(dir, kind, sv)
@@ -4030,6 +4035,31 @@ object Versioned {
       .getOrElse(versions.last)
     vacuum(spark, dir,
       keepVersions = (versions.last - keepFrom + 1).toInt)
+  }
+
+  /** The user-facing table properties at `version` — what SQL `SHOW
+    * TBLPROPERTIES` reports through the catalog: the SAME `graft.*`
+    * names `ALTER TABLE SET TBLPROPERTIES` speaks (constraints, the
+    * change feed) plus read-only operational facts (version, protocol
+    * level + feature names, partition keys, generated columns, the
+    * column mapping). Metadata-only — one manifest resolution. */
+  def tableProperties(spark: SparkSession, dir: String,
+      version: Long = -1L): Map[String, String] = {
+    val v = if (version >= 0) version else currentVersion(spark, dir)
+    require(v >= 0, s"no manifest in $dir — not a graft table")
+    val m = metaAt(spark, dir, v)
+    val (lvl, feats) = m.protocol
+    Map(
+      "graft.version" -> v.toString,
+      "graft.minReaderLevel" -> lvl.toString,
+      "graft.partitionKeys" -> m.pkeys
+        .getOrElse(layoutPartitionKeys(spark, dir)).mkString(",")) ++
+      (if (feats.nonEmpty) Map("graft.features" -> feats.mkString(","))
+       else Map.empty) ++
+      m.cdf.map(ks => "graft.changeFeed.keys" -> ks.mkString(",")) ++
+      m.chks.map { case (n, e) => s"graft.constraint.$n" -> e } ++
+      m.gens.map { case (c, e) => s"graft.generated.$c" -> e } ++
+      m.renames.map { case (l, p) => s"graft.columnMapping.$l" -> p }
   }
 
   /** DRY-RUN preview of [[vacuumRetain]]: the (path, kind) list a

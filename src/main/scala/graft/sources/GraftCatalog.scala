@@ -318,6 +318,17 @@ private[graft] final class GraftVersionedTable(
   override lazy val schema: StructType =
     Versioned.snapshot(SparkSession.active, dir, pinnedVersion).schema
 
+  /** SQL `SHOW TBLPROPERTIES` (and DESCRIBE EXTENDED's property block)
+    * ride Spark's own machinery through this: the same `graft.*`
+    * names ALTER TABLE SET TBLPROPERTIES speaks, plus read-only
+    * operational facts ([[Versioned.tableProperties]]). */
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    Versioned.tableProperties(SparkSession.active, dir, pinnedVersion)
+      .foreach { case (k, v) => m.put(k, v) }
+    m
+  }
+
   /** AUTOMATIC_SCHEMA_EVOLUTION gates `MERGE ... WITH SCHEMA
     * EVOLUTION`: Spark's ResolveMergeIntoSchemaEvolution then commits
     * the source-minus-target column diff through [[GraftCatalog

@@ -2442,4 +2442,41 @@ class VersionedSpec extends SparkSpec {
     assert(!fs.exists(stale) &&
       spark.read.parquet(replica).columns.contains("v_new"))
   }
+
+  test("re-columning backfill wins same-version inheritance; untracked-column pruning refuses instead of pruning to empty") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_recol")
+      .toFile.getAbsolutePath + "/lake"
+    MergeData.writeMerged(spark,
+      Seq(("a", 1L, 1.0), ("b", 2L, 2.0)).toDF("site", "id", "v"),
+      dir, keys = Seq("site"))
+    Versioned.init(spark, dir)
+    Versioned.backfillStats(spark, dir, Seq("id"))
+    // a commit under the (id)-discipline, then a RE-COLUMNING backfill
+    // at the SAME version the commit's inc sidecar owns: the full must
+    // win inheritance — the NEXT commit extends (id, v), not (id)
+    Versioned.append(spark, dir,
+      Seq(("a", 10L, 10.0)).toDF("site", "id", "v"), Seq("site"))
+    Versioned.backfillStats(spark, dir, Seq("id", "v"))
+    Versioned.append(spark, dir,
+      Seq(("b", 20L, 20.0)).toDF("site", "id", "v"), Seq("site"))
+    val cols = Versioned.statsAt(spark, dir).select("col").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(cols == Set("id", "v"),
+      s"post-backfill commits must inherit the re-columned set (got $cols)")
+    // a predicate on v serves from the boxes
+    assert(Versioned.statsPrunedRead(spark, dir, Seq(("v", 15.0, 25.0)))
+      .select("id").collect().map(_.getLong(0)).toSet == Set(20L))
+    // an UNTRACKED column refuses loudly — never an empty result
+    val e = intercept[IllegalArgumentException] {
+      Versioned.statsPrunedRead(spark, dir, Seq(("site", 0.0, 1.0))).count()
+    }
+    assert(e.getMessage.contains("not tracked"), e.getMessage)
+    // bloom twin: probes on an un-bloomed column refuse too
+    Versioned.backfillBlooms(spark, dir, Seq("id"), 100L, 0.01)
+    val e2 = intercept[IllegalArgumentException] {
+      Versioned.bloomPrunedReadIn(spark, dir, "v", Seq(lit(10.0))).count()
+    }
+    assert(e2.getMessage.contains("no bloom filters"), e2.getMessage)
+  }
 }

@@ -56,6 +56,38 @@ class GraftCatalogSpec extends SparkSpec {
     assert(agg.toSeq == Seq(("a", 2L, 102.0)))
   }
 
+  test("SHOW TBLPROPERTIES rides Spark's machinery: graft.* speaks the same names ALTER sets, plus read-only operational facts; properties travel") {
+    val dir = freshLake()
+    Versioned.init(spark, dir, commitTs = 1000L)
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    def props(): Map[String, String] =
+      spark.sql(s"SHOW TBLPROPERTIES graft.`$dir`").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+    val p0 = props()
+    assert(p0("graft.partitionKeys") == "site")
+    assert(p0("graft.version") == "0")
+    // ALTER-set properties surface under the SAME names (rename first:
+    // a constraint referencing the old name correctly blocks renames)
+    spark.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN v TO reading")
+    spark.sql(s"ALTER TABLE graft.`$dir` SET TBLPROPERTIES " +
+      "('graft.constraint.pos_v' = 'reading >= 0')")
+    spark.sql(s"ALTER TABLE graft.`$dir` SET TBLPROPERTIES " +
+      "('graft.changeFeed.keys' = 'site,id')")
+    val p1 = props()
+    assert(p1("graft.constraint.pos_v") == "reading >= 0")
+    assert(p1("graft.changeFeed.keys") == "site,id")
+    assert(p1("graft.columnMapping.reading") == "v")
+    assert(p1("graft.minReaderLevel").toInt >= 2,
+      s"column mapping must raise the reader level (got $p1)")
+    assert(p1("graft.features").contains("column-mapping"))
+    // properties time-travel with the version pin (Spark's SHOW
+    // grammar has no AS OF clause — the library accessor serves it)
+    val v0props = Versioned.tableProperties(spark, dir, 0L)
+    assert(!v0props.contains("graft.constraint.pos_v") &&
+      v0props("graft.version") == "0",
+      s"v0 must report v0's properties (got $v0props)")
+  }
+
   test("catalog reads stay correct under column mapping and MOR tombstones; RENAME TABLE refuses; DROP TABLE removes") {
     val dir = freshLake()
     Versioned.init(spark, dir)
