@@ -218,7 +218,8 @@ object Versioned {
       droppedCols: Seq[String] = Nil,
       pkeys: Option[Seq[String]] = None,
       gens: Map[String, String] = Map.empty,
-      addCols: Seq[(String, String)] = Nil) {
+      addCols: Seq[(String, String)] = Nil,
+      cluster: Option[Seq[String]] = None) {
     /** (required reader level, feature names) demanded by this meta. */
     def protocol: (Int, Seq[String]) = {
       val fs = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
@@ -251,7 +252,8 @@ object Versioned {
         renames.toSeq.sortBy(_._1).map { case (l, p) =>
           s"#ren ${b64e(l)} ${b64e(p)}" } ++
         droppedCols.sorted.map(c => s"#dropcol ${b64e(c)}") ++
-        addCols.map { case (n, t) => s"#addcol ${b64e(n)} ${b64e(t)}" }
+        addCols.map { case (n, t) => s"#addcol ${b64e(n)} ${b64e(t)}" } ++
+        cluster.map(cs => s"#cluster ${b64e(cs.mkString(","))}").toSeq
     }
   }
   private[lake] object CommitMeta {
@@ -269,6 +271,7 @@ object Versioned {
     var cdf: Option[Seq[String]] = None
     var cdfInc: Option[String] = None
     var pkeys: Option[Seq[String]] = None
+    var cluster: Option[Seq[String]] = None
     val gens = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val rens = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val drops = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -308,6 +311,9 @@ object Versioned {
       } else if (l.startsWith("#addcol ")) {
         val toks = l.stripPrefix("#addcol ").trim.split(' ')
         adds += ((b64d(toks(0)), b64d(toks(1))))
+      } else if (l.startsWith("#cluster ")) {
+        cluster = Some(b64d(l.stripPrefix("#cluster ").trim)
+          .split(',').toSeq.filter(_.nonEmpty))
       }
     }
     // the protocol guard: refuse a manifest demanding a level this
@@ -322,7 +328,7 @@ object Versioned {
     CommitMeta(ts, txns.toMap, dels.toSeq, chks.toMap, op,
       verFloor = ver, cdf = cdf, cdfInc = cdfInc,
       renames = rens.toMap, droppedCols = drops.toSeq, pkeys = pkeys,
-      gens = gens.toMap, addCols = adds.toSeq)
+      gens = gens.toMap, addCols = adds.toSeq, cluster = cluster)
   }
 
   private def metaAt(spark: SparkSession, dir: String, v: Long): CommitMeta =
@@ -344,7 +350,7 @@ object Versioned {
     CommitMeta(Some(ts), prev.txns ++ newTxn.toMap, dels, prev.chks, Some(op),
       verFloor = prev.verFloor, cdf = prev.cdf, renames = prev.renames,
       droppedCols = prev.droppedCols, pkeys = prev.pkeys,
-      gens = prev.gens, addCols = prev.addCols)
+      gens = prev.gens, addCols = prev.addCols, cluster = prev.cluster)
   }
 
   // Resolved-listing cache (Delta's snapshot cache): a committed
@@ -1692,6 +1698,53 @@ object Versioned {
       carryMeta(spark, dir, v, commitTs, None, deleteFilesAt(spark, dir, v),
           "add-constraint").copy(chks = prior + (name -> exprStr)))
     v + 1
+  }
+
+  /** Declare (or clear, with `Nil`) the table's CLUSTERING COLUMNS —
+    * the liquid-clustering discipline: a `#cluster` metadata-only
+    * commit records which columns the table should be z-ordered on,
+    * and every later `OPTIMIZE` WITHOUT an explicit ZORDER clusters
+    * on them automatically (the SQL command builds the
+    * [[Maintenance.mortonKeyN]] key with grid domains from the
+    * table's own min/max). ADVISORY layout metadata: readers are
+    * unaffected, the protocol level does not move, and unlike
+    * `#pkeys` nothing is checked at write time — clustering is an
+    * OPTIMIZE-time promise, not a layout invariant (Delta's liquid
+    * position exactly). Columns must exist and be numeric (a morton
+    * key needs an integer grid; cluster strings via a numeric
+    * surrogate column). */
+  def setClusterBy(spark: SparkSession, dir: String, cols: Seq[String],
+      commitTs: Long = System.currentTimeMillis()): Long = {
+    val v = init(spark, dir, commitTs)
+    if (cols.nonEmpty) {
+      val snap = snapshot(spark, dir, v)
+      val missing = cols.filterNot(snap.columns.contains)
+      require(missing.isEmpty,
+        s"CLUSTER BY column(s) not in $dir: ${missing.mkString(", ")}")
+      val nonNum = cols.filterNot(c => snap.schema(c).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType])
+      require(nonNum.isEmpty,
+        s"CLUSTER BY needs numeric columns (a morton key needs an " +
+          s"integer grid), got non-numeric: ${nonNum.mkString(", ")} — " +
+          "cluster on a numeric surrogate (hash, id, bucket) instead")
+      require(cols.size <= 4,
+        s"CLUSTER BY supports 1 to 4 columns (got ${cols.size}): past " +
+          "~4 interleaved dimensions no per-file box stays tight")
+    }
+    val live = filesAt(spark, dir, v)
+    writeCommit(fsOf(spark, dir), dir, v + 1, live, live,
+      carryMeta(spark, dir, v, commitTs, None, deleteFilesAt(spark, dir, v),
+          "cluster-by")
+        .copy(cluster = if (cols.isEmpty) None else Some(cols)))
+    v + 1
+  }
+
+  /** The declared clustering columns at `version` (empty = none). */
+  def clusterByOf(spark: SparkSession, dir: String,
+      version: Long = -1L): Seq[String] = {
+    val v = if (version >= 0) version else currentVersion(spark, dir)
+    require(v >= 0, s"no manifest in $dir")
+    metaAt(spark, dir, v).cluster.getOrElse(Nil)
   }
 
   /** ALTER TABLE DROP CONSTRAINT — metadata-only. */
@@ -3844,8 +3897,12 @@ object Versioned {
     val sizesByDir: Map[String, Long] =
       if (targetFileSizeBytes.isEmpty) Map.empty
       else byDir.map { case (d, rs) => d -> rs.map(fileLen).sum }
+    // UNPARTITIONED tables group under the root ("" — no partition
+    // dirs): they compact/re-cluster like any single partition. For a
+    // PARTITIONED layout a root-level group would be malformed refs —
+    // keep those excluded.
     val targets = byDir.filter { case (d, fs0) =>
-      d.nonEmpty &&
+      (d.nonEmpty || partitionKeys.isEmpty) &&
         (if (zorder.isDefined) fs0.nonEmpty // re-cluster everything
          else targetFileSizeBytes match {
            case Some(t) =>
@@ -3918,6 +3975,17 @@ object Versioned {
           .repartitionByRange(nSlices, keys: _*)
           .sortWithinPartitions(keys: _*)
           .drop("__zkey")
+      case None if partitionKeys.isEmpty =>
+        // the append-path passthrough for empty keys is WRONG here:
+        // binpack exists to reduce file count, so the root group
+        // explicitly repartitions to its target width (byte-target
+        // splits still apply via maxRecordsPerFile)
+        val nOut = targetFileSizeBytes match {
+          case Some(t) => math.max(1L,
+            (sizesByDir.getOrElse("", 0L) + t - 1) / t).toInt
+          case None => targetFilesPerPartition
+        }
+        rows.repartition(nOut)
       case None => clusterByKeys(rows, partitionKeys)
     }
     val newFiles = writeStagedFiles(spark, fs, dir,
@@ -4057,6 +4125,7 @@ object Versioned {
       (if (feats.nonEmpty) Map("graft.features" -> feats.mkString(","))
        else Map.empty) ++
       m.cdf.map(ks => "graft.changeFeed.keys" -> ks.mkString(",")) ++
+      m.cluster.map(cs => "graft.clusterBy" -> cs.mkString(",")) ++
       m.chks.map { case (n, e) => s"graft.constraint.$n" -> e } ++
       m.gens.map { case (c, e) => s"graft.generated.$c" -> e } ++
       m.renames.map { case (l, p) => s"graft.columnMapping.$l" -> p }

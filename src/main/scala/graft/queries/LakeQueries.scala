@@ -4977,6 +4977,70 @@ object LakeQueries {
         SELECT coalesce(tag, 'none') AS tag, count(*) AS row_count,
                round(sum(value::DOUBLE), 4) AS sum_value
         FROM merged GROUP BY 1 ORDER BY 1"""),
-      "MERGE WITH SCHEMA EVOLUTION: analyzer-driven metadata-only ADD COLUMN (zero file changes require()d) + one merge commit; null-fill/carry semantics == union oracle")
+      "MERGE WITH SCHEMA EVOLUTION: analyzer-driven metadata-only ADD COLUMN (zero file changes require()d) + one merge commit; null-fill/carry semantics == union oracle"),
+
+    // ---------------------------------------------------------------
+    // DECLARED CLUSTERING (liquid): CREATE TABLE ... CLUSTER BY
+    // declares the layout columns as a #cluster metadata commit, and a
+    // BARE `OPTIMIZE` self-clusters on them — mortonKeyN with grid
+    // domains from the table's own min/max, no ZORDER spelled. The
+    // compaction is require()d (file count drops to the target) and
+    // the clustered readback equals the filter oracle.
+    // ---------------------------------------------------------------
+    Q("q211_sql_cluster_by",
+      (s, dir) => {
+        graft.GraftExtensions.register(s)
+        s.conf.set("spark.sql.catalog.gsql", "graft.sources.GraftCatalog")
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val root = new File(new File(sys.props("user.dir"), "target"),
+          s"graft_clbyq_$tag")
+        val lake = new File(root, "lake").getAbsolutePath
+        LakeQueries.synchronized {
+          val fs = new org.apache.hadoop.fs.Path(root.getAbsolutePath)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(root.getAbsolutePath), true)
+          s.sql(s"CREATE TABLE gsql.`$lake` (event_id BIGINT, " +
+            "user_id BIGINT, value DOUBLE, event_type STRING) " +
+            "CLUSTER BY (event_id, user_id)")
+          require(Versioned.clusterByOf(s, lake) ==
+            Seq("event_id", "user_id"))
+          val base = Tables(s, dir, "events").select(MergeCols.map(col): _*)
+            .filter(col("event_type").isin("click", "view"))
+          // three scattered inserts -> an unclustered small-file pile
+          Seq("click", "view").foreach { t =>
+            base.filter(col("event_type") === t)
+              .createOrReplaceTempView("q211_ins_src")
+            s.sql(s"INSERT INTO gsql.`$lake` SELECT * FROM q211_ins_src")
+          }
+          base.filter(col("event_id") % 2 === 0)
+            .withColumn("event_id", col("event_id") + lit(50000000L))
+            .createOrReplaceTempView("q211_ins_src")
+          s.sql(s"INSERT INTO gsql.`$lake` SELECT * FROM q211_ins_src")
+          // BARE OPTIMIZE: clusters on the DECLARED columns
+          val m = sqlMaint(s, s"OPTIMIZE gsql.`$lake`").collect().head
+          require(m.getLong(1) > m.getLong(2),
+            s"bare OPTIMIZE must compact the clustered table (got $m)")
+        }
+        s.sql(
+          s"""SELECT event_type, count(*) AS row_count,
+             |       round(sum(value), 4) AS sum_value,
+             |       count(DISTINCT event_id) AS n_ids
+             |FROM gsql.`$lake` WHERE user_id % 5 < 3
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
+      },
+      Some("""
+        WITH t AS (SELECT event_id, user_id, value, event_type FROM events
+                   WHERE event_type IN ('click','view')),
+        allr AS (
+          SELECT event_id, user_id, value, event_type FROM t
+          UNION ALL
+          SELECT event_id + 50000000, user_id, value, event_type FROM t
+          WHERE event_id % 2 = 0)
+        SELECT event_type, count(*) AS row_count,
+               round(sum(value::DOUBLE), 4) AS sum_value,
+               count(DISTINCT event_id) AS n_ids
+        FROM allr WHERE user_id % 5 < 3
+        GROUP BY 1 ORDER BY 1"""),
+      "declared clustering (CLUSTER BY): #cluster metadata commit + bare OPTIMIZE self-clustering via mortonKeyN with min/max grids (compaction require()d); readback == union oracle")
   )
 }

@@ -117,19 +117,27 @@ class GraftCatalog extends TableCatalog
     if (Versioned.currentVersion(spark, dir) >= 0)
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(ident)
-    val keys: Seq[String] = partitions.toSeq.map { t =>
+    // CLUSTER BY arrives as its own transform (Spark's ClusterBy):
+    // split it from the identity partition keys — it declares the
+    // liquid-clustering columns, not the directory layout
+    val (clusterTs, partTs) = partitions.toSeq.partition(
+      _.name().equalsIgnoreCase("cluster_by"))
+    val keys: Seq[String] = partTs.map { t =>
       require(t.name == "identity" && t.references.length == 1,
         s"graft tables support only identity PARTITIONED BY columns " +
           s"(got $t): express derived partitioning as a generated " +
           "column + Versioned.changePartitionSpec")
       t.references()(0).fieldNames().mkString(".")
     }
+    val clusterCols: Seq[String] = clusterTs.flatMap(
+      _.references().toSeq.map(_.fieldNames().mkString(".")))
     val missing = keys.filterNot(schema.fieldNames.contains)
     require(missing.isEmpty,
       s"PARTITIONED BY column(s) not in the schema: ${missing.mkString(", ")}")
     Versioned.writeSchemaAnchor(spark, dir, schema)
     Versioned.init(spark, dir)
     if (keys.nonEmpty) Versioned.changePartitionSpec(spark, dir, keys)
+    if (clusterCols.nonEmpty) Versioned.setClusterBy(spark, dir, clusterCols)
     loadTable(ident)
   }
 
@@ -187,11 +195,18 @@ class GraftCatalog extends TableCatalog
       case s: TableChange.SetProperty if s.property == FeedProp =>
         Versioned.enableChangeFeed(spark, dir,
           s.value.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      case s: TableChange.SetProperty if s.property == "graft.clusterBy" =>
+        Versioned.setClusterBy(spark, dir,
+          s.value.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      case rp: TableChange.RemoveProperty
+          if rp.property == "graft.clusterBy" =>
+        Versioned.setClusterBy(spark, dir, Nil)
       case s: TableChange.SetProperty =>
         throw new UnsupportedOperationException(
           s"unsupported graft table property '${s.property}': " +
             s"'$ConstraintProp<name>' adds a CHECK constraint, " +
-            s"'$FeedProp' enables the change feed")
+            s"'$FeedProp' enables the change feed, " +
+            "'graft.clusterBy' declares the clustering columns")
       case rp: TableChange.RemoveProperty
           if rp.property.startsWith(ConstraintProp) =>
         Versioned.dropConstraint(spark, dir,

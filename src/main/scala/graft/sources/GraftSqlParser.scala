@@ -517,7 +517,15 @@ case class GraftOptimizeCommand(dir: String, zorderCols: Seq[String])
     GraftSqlParser.longAttr("files_after"))
   override def run(spark: SparkSession): Seq[Row] = {
     val zorder = zorderCols match {
-      case Nil => None
+      case Nil =>
+        // no explicit ZORDER: a table with DECLARED clustering columns
+        // (CLUSTER BY / graft.clusterBy) self-clusters — the liquid
+        // discipline: `OPTIMIZE t` alone maintains the layout. Grid
+        // domains come from the table's own min/max (one aggregate —
+        // small next to the rewrite it shapes).
+        val cluster = Versioned.clusterByOf(spark, dir)
+        if (cluster.isEmpty) None
+        else Some(GraftOptimizeCommand.clusterKey(spark, dir, cluster))
       case Seq(a) => Some(col(a))
       case more if more.size <= 4 =>
         Some(Maintenance.mortonKeyN(more.map(col),
@@ -533,6 +541,34 @@ case class GraftOptimizeCommand(dir: String, zorderCols: Seq[String])
     val v = Versioned.optimize(spark, dir,
       Versioned.layoutPartitionKeys(spark, dir), zorder = zorder)
     Seq(Row(v, before, Versioned.filesAt(spark, dir, v).size.toLong))
+  }
+}
+
+object GraftOptimizeCommand {
+  /** The morton key for a table's DECLARED clustering columns: each
+    * (numeric, setClusterBy-validated) dimension min-max grids onto
+    * `min(16, 63/N)` bits from the snapshot's own extrema — one
+    * aggregate job, paid once per OPTIMIZE, small next to the rewrite
+    * it shapes. Constant columns grid to a single cell. */
+  private[sources] def clusterKey(spark: SparkSession, dir: String,
+      cluster: Seq[String]): org.apache.spark.sql.Column = {
+    val bits = math.min(16, 63 / cluster.size)
+    val snap = Versioned.snapshot(spark, dir)
+    val aggs = cluster.flatMap(c => Seq(
+      org.apache.spark.sql.functions.min(col(c).cast("double")),
+      org.apache.spark.sql.functions.max(col(c).cast("double"))))
+    val row = snap.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val dims = cluster.zipWithIndex.map { case (c, i) =>
+      // null extrema (empty or all-null column) and constant columns
+      // grid to a single cell — nothing to interleave on that dim
+      if (row.isNullAt(2 * i) || row.isNullAt(2 * i + 1) ||
+          !(row.getDouble(2 * i + 1) > row.getDouble(2 * i)))
+        org.apache.spark.sql.functions.lit(0L)
+      else Maintenance.gridBucket(col(c),
+        row.getDouble(2 * i), row.getDouble(2 * i + 1), bits)
+    }
+    if (dims.size == 1) dims.head
+    else Maintenance.mortonKeyN(dims, bits)
   }
 }
 

@@ -2443,6 +2443,27 @@ class VersionedSpec extends SparkSpec {
       spark.read.parquet(replica).columns.contains("v_new"))
   }
 
+  test("OPTIMIZE on an UNPARTITIONED table: the root group compacts like any partition (binpack route), data identical") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_unpopt")
+      .toFile.getAbsolutePath + "/lake"
+    MergeData.writeMerged(spark,
+      Seq(("a", 1L, 1.0)).toDF("site", "id", "v"), dir, keys = Nil)
+    Versioned.init(spark, dir)
+    (2 to 5).foreach { i =>
+      Versioned.append(spark, dir,
+        Seq(("a", i.toLong, i.toDouble)).toDF("site", "id", "v"), Nil)
+    }
+    val before = Versioned.snapshot(spark, dir)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(Versioned.filesAt(spark, dir).size >= 5)
+    Versioned.optimize(spark, dir, Nil)
+    assert(Versioned.filesAt(spark, dir).size == 1,
+      "unpartitioned binpack must compact the root group")
+    assert(Versioned.snapshot(spark, dir)
+      .select("id").collect().map(_.getLong(0)).toSet == before)
+  }
+
   test("re-columning backfill wins same-version inheritance; untracked-column pruning refuses instead of pruning to empty") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_recol")

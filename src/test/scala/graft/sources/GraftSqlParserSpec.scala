@@ -223,6 +223,46 @@ class GraftSqlParserSpec extends SparkSpec {
       "DESCRIBE DETAIL of a non-graft catalog must delegate")
   }
 
+  test("CLUSTER BY: declared clustering round-trips (CREATE / properties / ALTER), and a bare OPTIMIZE self-clusters on it") {
+    val root = java.nio.file.Files.createTempDirectory("graft_mntcl").toFile
+    root.deleteOnExit()
+    val dir = new java.io.File(root, "t").getAbsolutePath
+    spark.sql(s"CREATE TABLE ${tbl(dir)} (site STRING, id BIGINT, " +
+      "v DOUBLE) CLUSTER BY (id, v)")
+    assert(Versioned.clusterByOf(spark, dir) == Seq("id", "v"))
+    assert(Versioned.tableProperties(spark, dir)("graft.clusterBy") == "id,v")
+    // three scattered inserts -> small unclustered files
+    spark.sql(s"INSERT INTO ${tbl(dir)} VALUES " +
+      "('a', 7, 70.0), ('a', 1, 10.0), ('a', 9, 90.0)")
+    spark.sql(s"INSERT INTO ${tbl(dir)} VALUES ('a', 4, 40.0), ('a', 2, 20.0)")
+    spark.sql(s"INSERT INTO ${tbl(dir)} VALUES ('a', 8, 80.0), ('a', 3, 30.0)")
+    // a BARE OPTIMIZE clusters on the declared columns (liquid): the
+    // compacted file's rows come back in cluster-key order — with v
+    // proportional to id the 2-dim morton key is monotone in id
+    val m = sqlM(s"OPTIMIZE ${tbl(dir)}").collect().head
+    assert(m.getLong(1) > m.getLong(2), s"must compact ($m)")
+    val files = Versioned.filesAt(spark, dir)
+    assert(files.size == 1)
+    val ids = spark.read.parquet(s"$dir/${files.head}")
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(ids == ids.sorted,
+      s"bare OPTIMIZE must sort by the declared cluster key (got $ids)")
+    // ALTER re-declares and clears through the property
+    spark.sql(s"ALTER TABLE ${tbl(dir)} SET TBLPROPERTIES " +
+      "('graft.clusterBy' = 'v')")
+    assert(Versioned.clusterByOf(spark, dir) == Seq("v"))
+    spark.sql(s"ALTER TABLE ${tbl(dir)} UNSET TBLPROPERTIES " +
+      "('graft.clusterBy')")
+    assert(Versioned.clusterByOf(spark, dir).isEmpty)
+    assert(!Versioned.tableProperties(spark, dir).contains("graft.clusterBy"))
+    // non-numeric clustering refuses with guidance
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE ${tbl(dir)} SET TBLPROPERTIES " +
+        "('graft.clusterBy' = 'site')")
+    }
+    assert(e.getMessage.contains("numeric"), e.getMessage)
+  }
+
   test("ownership: non-maintenance statements (incl. CTAS with a 'shallow clone' string) delegate; malformed verbs and non-graft catalogs refuse loudly") {
     assert(GraftSqlParser.parseMaintenance(spark,
       "SELECT 1").isEmpty)
