@@ -57,6 +57,17 @@ class GraftCatalog extends TableCatalog
 
   override def name(): String = catalogName
 
+  /** SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS lets `CREATE TABLE
+    * (c T GENERATED ALWAYS AS (expr))` through the analyzer: the
+    * expression arrives in the column's metadata and [[createTable]]
+    * lowers it onto the manifest's own `#gen` rail
+    * ([[Versioned.addGeneratedColumn]] — every writer computes absent
+    * values and VALIDATES present ones from then on). */
+  override def capabilities(): java.util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
+
   private def dirOf(ident: Identifier): String = {
     // the table name IS the lake directory (namespace-less, or the
     // namespace parts re-join the path a SQL parser split on dots)
@@ -109,9 +120,43 @@ class GraftCatalog extends TableCatalog
     * transforms: bucket/days/etc. are expressed as GENERATED columns
     * plus `changePartitionSpec` (hidden partitioning), the library's
     * explicit surface. */
-  override def createTable(ident: Identifier, schema: StructType,
+  /** The v2-Column overload is where GENERATED ALWAYS AS arrives
+    * (`Column.generationExpression()` — the StructType conversion
+    * below drops it): extract the rules, then run the common flow. */
+  override def createTable(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
+    val gens = columns.toSeq.collect {
+      case c if c.generationExpression() != null =>
+        c.name() -> c.generationExpression()
+    }
+    require(!columns.exists(_.defaultValue() != null),
+      "DEFAULT values are not supported on graft tables — use a " +
+        "GENERATED ALWAYS AS column, or coalesce at read")
+    require(!columns.exists(_.identityColumnSpec() != null),
+      "IDENTITY columns are not supported on graft tables — derive " +
+        "keys from the data (hash/uuid expressions)")
+    createImpl(ident,
+      StructType(columns.map { c =>
+        val md = Option(c.comment()).map(cm =>
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .putString("comment", cm).build())
+          .getOrElse(org.apache.spark.sql.types.Metadata.empty)
+        org.apache.spark.sql.types.StructField(
+          c.name(), c.dataType(), c.nullable(), md)
+      }),
+      partitions, gens)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    createImpl(ident, schema, partitions, Nil)
+
+  private def createImpl(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      gensIn: Seq[(String, String)]): Table = {
     val dir = dirOf(ident)
     val spark = SparkSession.active
     if (Versioned.currentVersion(spark, dir) >= 0)
@@ -134,10 +179,24 @@ class GraftCatalog extends TableCatalog
     val missing = keys.filterNot(schema.fieldNames.contains)
     require(missing.isEmpty,
       s"PARTITIONED BY column(s) not in the schema: ${missing.mkString(", ")}")
-    Versioned.writeSchemaAnchor(spark, dir, schema)
+    // GENERATED ALWAYS AS rules ride the `#gen` rail, not the anchored
+    // schema — strip any metadata spelling so the anchor stays clean
+    val GenKey = "GENERATION_EXPRESSION"
+    val gens: Seq[(String, String)] = gensIn ++
+      schema.fields.toSeq.collect {
+        case f if f.metadata.contains(GenKey) =>
+          f.name -> f.metadata.getString(GenKey)
+      }
+    val cleanSchema = StructType(schema.fields.map { f =>
+      if (!f.metadata.contains(GenKey)) f
+      else f.copy(metadata = org.apache.spark.sql.types.Metadata.empty)
+    })
+    Versioned.writeSchemaAnchor(spark, dir, cleanSchema)
     Versioned.init(spark, dir)
     if (keys.nonEmpty) Versioned.changePartitionSpec(spark, dir, keys)
     if (clusterCols.nonEmpty) Versioned.setClusterBy(spark, dir, clusterCols)
+    gens.foreach { case (n, e) =>
+      Versioned.addGeneratedColumn(spark, dir, n, e) }
     loadTable(ident)
   }
 
@@ -371,9 +430,24 @@ private[graft] final class GraftVersionedTable(
                 overwrite: Boolean): Unit = {
               val spark = data.sparkSession
               val keys = Versioned.layoutPartitionKeys(spark, dir)
+              // GENERATED columns a SQL INSERT omitted arrive null-
+              // filled by Spark's output resolution: drop an all-null
+              // generated column so the write path COMPUTES it (the
+              // ALWAYS contract — a partially-supplied column still
+              // validates row by row in the append)
+              val gens = Versioned.generatedColumns(spark, dir).keySet
+                .filter(data.columns.contains)
+              val toCompute = if (gens.isEmpty) Set.empty[String]
+                else {
+                  val row = data.select(gens.toSeq.map(g =>
+                    org.apache.spark.sql.functions.count(col(g)).as(g)): _*)
+                    .collect()(0)
+                  gens.filter(g => row.getLong(row.fieldIndex(g)) == 0L)
+                }
+              val batch = toCompute.foldLeft(data)(_.drop(_))
               if (truncateFirst || overwrite)
-                Versioned.overwrite(spark, dir, data, keys)
-              else Versioned.append(spark, dir, data, keys)
+                Versioned.overwrite(spark, dir, batch, keys)
+              else Versioned.append(spark, dir, batch, keys)
             }
           }
       }

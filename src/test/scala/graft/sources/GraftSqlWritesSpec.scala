@@ -127,6 +127,31 @@ class GraftSqlWritesSpec extends SparkSpec {
       .contains(("c", 7L, 7.0)))
   }
 
+  test("CREATE TABLE with GENERATED ALWAYS AS: the expression rides the #gen rail — inserts compute omitted values and validate supplied ones") {
+    val root = java.nio.file.Files.createTempDirectory("graft_sqlwgen").toFile
+    root.deleteOnExit()
+    val dir = new java.io.File(root, "t").getAbsolutePath
+    spark.sql(s"CREATE TABLE ${tbl(dir)} (site STRING, id BIGINT, " +
+      "twice BIGINT GENERATED ALWAYS AS (id * 2)) PARTITIONED BY (site)")
+    assert(Versioned.generatedColumns(spark, dir) == Map("twice" -> "id * 2"))
+    // supplying the CORRECT computed value validates and lands
+    spark.sql(s"INSERT INTO ${tbl(dir)} VALUES ('a', 1, 2)")
+    // omitting the column (a column-list insert): the write COMPUTES it
+    spark.sql(s"INSERT INTO ${tbl(dir)} (site, id) VALUES ('a', 5)")
+    val got = spark.sql(s"SELECT id, twice FROM ${tbl(dir)} ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 2L), (5L, 10L)),
+      s"omitted generated column must be computed (got $got)")
+    // a WRONG supplied value refuses (ALWAYS means the rule owns it)
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO ${tbl(dir)} (site, id, twice) " +
+        "VALUES ('a', 3, 7)")
+    }
+    assert(e.getMessage.contains("GENERATED"), e.getMessage)
+    assert(spark.sql(s"SELECT count(*) FROM ${tbl(dir)}")
+      .collect().head.getLong(0) == 2L, "refused insert must not commit")
+  }
+
   test("MERGE INTO: cardinality violation and non-equi ON refuse loudly; nothing commits") {
     val dir = freshLake()
     df(Seq(("a", 1L, 9.0), ("a", 1L, 8.0)), "site", "id", "v")
