@@ -65,8 +65,13 @@ class GraftCatalog extends TableCatalog
     * values and VALIDATES present ones from then on). */
   override def capabilities(): java.util.Set[
       org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
-    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
-      .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      // ANSI `ALTER TABLE ... ADD CONSTRAINT name CHECK (expr)` —
+      // lowered onto the manifest's `#chk` rail in alterTable
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORT_TABLE_CONSTRAINT)
 
   private def dirOf(ident: Identifier): String = {
     // the table name IS the lake directory (namespace-less, or the
@@ -275,6 +280,22 @@ class GraftCatalog extends TableCatalog
       case rp: TableChange.RemoveProperty =>
         throw new UnsupportedOperationException(
           s"unsupported graft table property '${rp.property}'")
+      // ANSI constraint syntax (ALTER TABLE ... ADD CONSTRAINT name
+      // CHECK (expr)) — the same `#chk` rail the TBLPROPERTIES
+      // spelling drives: existing rows validate, then every writer
+      case ac: TableChange.AddConstraint =>
+        ac.constraint() match {
+          case chk: org.apache.spark.sql.connector.catalog.constraints.Check =>
+            Versioned.addConstraint(spark, dir, chk.name(),
+              chk.predicateSql())
+          case other =>
+            throw new UnsupportedOperationException(
+              s"graft tables enforce CHECK constraints only (got " +
+                s"${other.toDDL}): UNIQUE/PRIMARY KEY/FOREIGN KEY are " +
+                "not enforced — pin them with dedup/merge keys instead")
+        }
+      case dc: TableChange.DropConstraint =>
+        Versioned.dropConstraint(spark, dir, dc.name())
       case other =>
         throw new UnsupportedOperationException(
           s"unsupported ALTER on a graft table: $other — ADD/RENAME/" +
@@ -391,6 +412,19 @@ private[graft] final class GraftVersionedTable(
 
   override lazy val schema: StructType =
     Versioned.snapshot(SparkSession.active, dir, pinnedVersion).schema
+
+  /** The table's CHECK constraints as Spark's own constraint objects
+    * (DESCRIBE and the analyzer see them) — assembled from the same
+    * `#chk` rail every writer enforces. */
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    Versioned.tableProperties(SparkSession.active, dir, pinnedVersion)
+      .collect { case (k, v) if k.startsWith("graft.constraint.") =>
+        org.apache.spark.sql.connector.catalog.constraints.Constraint
+          .check(k.stripPrefix("graft.constraint."))
+          .predicateSql(v).build()
+          : org.apache.spark.sql.connector.catalog.constraints.Constraint
+      }.toArray
 
   /** SQL `SHOW TBLPROPERTIES` (and DESCRIBE EXTENDED's property block)
     * ride Spark's own machinery through this: the same `graft.*`

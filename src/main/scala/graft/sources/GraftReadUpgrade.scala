@@ -42,6 +42,12 @@ case class GraftVectorizedReads(spark: SparkSession)
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
     case _: MergeIntoTable | _: UpdateTable | _: DeleteFromTable => plan
+    // ANSI ADD CONSTRAINT plans a validation scan whose child the
+    // constraint strategy matches BY SHAPE (DataSourceV2ScanRelation):
+    // upgrading it to the V1 fast path would leave the command
+    // unplannable — a one-off validation scan keeps the stock plan
+    case _: org.apache.spark.sql.catalyst.plans.logical.AddCheckConstraint =>
+      plan
     case _ => plan.transform {
       case s: DataSourceV2ScanRelation
           if s.relation.table.isInstanceOf[GraftVersionedTable] =>

@@ -64,6 +64,8 @@ class GraftSqlModelSpec extends SparkSpec {
         GraftSqlParser.parseMaintenance(spark, text).get).collect()
 
     var copySeq = 0
+    val dropRoot = java.nio.file.Files
+      .createTempDirectory("graft_sqlmodel_drops").toFile.getAbsolutePath
     (1 to 52).foreach { step =>
       val op = rnd.nextInt(16)
       op match {
@@ -143,7 +145,7 @@ class GraftSqlModelSpec extends SparkSpec {
           // headers speak the CURRENT logical column name
           val rows = freshRows(1 + rnd.nextInt(3))
           copySeq += 1
-          val drop = s"$dir/../drops_$copySeq"
+          val drop = s"$dropRoot/drops_$copySeq"
           df(rows, "site", "id", valCol).coalesce(1)
             .write.option("header", "true").csv(drop)
           sqlMaint(s"COPY INTO $tblName FROM '$drop' FILEFORMAT = CSV " +

@@ -152,6 +152,35 @@ class GraftSqlWritesSpec extends SparkSpec {
       .collect().head.getLong(0) == 2L, "refused insert must not commit")
   }
 
+  test("ANSI constraints: ALTER TABLE ADD CONSTRAINT ... CHECK lowers onto the #chk rail; violating writes refuse; DROP CONSTRAINT lifts; non-CHECK kinds refuse") {
+    val dir = freshLake()
+    spark.sql(s"ALTER TABLE ${tbl(dir)} ADD CONSTRAINT pos_v CHECK (v >= 0)")
+    assert(Versioned.tableProperties(spark, dir)
+      .get("graft.constraint.pos_v").exists(_.contains("v")),
+      "the ANSI spelling must land on the same rail as the property one")
+    // the table reports it through Spark's own constraint objects
+    val cat = spark.sessionState.catalogManager.catalog("graft_sqlw")
+      .asInstanceOf[GraftCatalog]
+    val t = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array.empty[String], dir))
+    assert(t.constraints().exists(_.name() == "pos_v"))
+    // violating INSERT refuses, nothing commits
+    val v0 = Versioned.currentVersion(spark, dir)
+    intercept[Exception] {
+      spark.sql(s"INSERT INTO ${tbl(dir)} VALUES (99L, -5.0, 'a')")
+    }
+    assert(Versioned.currentVersion(spark, dir) == v0)
+    // DROP CONSTRAINT lifts the rule
+    spark.sql(s"ALTER TABLE ${tbl(dir)} DROP CONSTRAINT pos_v")
+    assert(!Versioned.tableProperties(spark, dir)
+      .contains("graft.constraint.pos_v"))
+    // non-CHECK constraint kinds refuse with guidance
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE ${tbl(dir)} ADD CONSTRAINT uq UNIQUE (id)")
+    }
+    assert(e.getMessage.contains("CHECK"), e.getMessage)
+  }
+
   test("MERGE INTO: cardinality violation and non-equi ON refuse loudly; nothing commits") {
     val dir = freshLake()
     df(Seq(("a", 1L, 9.0), ("a", 1L, 8.0)), "site", "id", "v")
