@@ -159,6 +159,33 @@ class GraftCatalog extends TableCatalog
       properties: util.Map[String, String]): Table =
     createImpl(ident, schema, partitions, Nil)
 
+  /** The TableInfo overload is where INLINE table constraints arrive
+    * (`CREATE TABLE (..., CONSTRAINT c CHECK (expr))`) — the default
+    * delegation would DROP them silently. CHECK lands on the `#chk`
+    * rail after the create; other kinds refuse. */
+  override def createTable(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo): Table = {
+    val t = createTable(ident, info.columns(), info.partitions(),
+      info.properties())
+    applyCreateConstraints(ident, info.constraints())
+    if (info.constraints().nonEmpty) loadTable(ident) else t
+  }
+
+  private def applyCreateConstraints(ident: Identifier,
+      cs: Array[org.apache.spark.sql.connector.catalog.constraints.Constraint])
+      : Unit = {
+    val spark = SparkSession.active
+    cs.toSeq.foreach {
+      case chk: org.apache.spark.sql.connector.catalog.constraints.Check =>
+        Versioned.addConstraint(spark, dirOf(ident), chk.name(),
+          chk.predicateSql())
+      case other => throw new UnsupportedOperationException(
+        s"graft tables enforce CHECK constraints only (got " +
+          s"${other.toDDL}): UNIQUE/PRIMARY KEY/FOREIGN KEY are not " +
+          "enforced — pin them with dedup/merge keys instead")
+    }
+  }
+
   private def createImpl(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       gensIn: Seq[(String, String)]): Table = {
@@ -330,6 +357,9 @@ class GraftCatalog extends TableCatalog
       : org.apache.spark.sql.connector.catalog.StagedTable = {
     val t = createTable(ident, info.schema(), info.partitions(),
       info.properties()).asInstanceOf[GraftVersionedTable]
+    // inline constraints enter BEFORE the CTAS rows: the SELECT's
+    // inserts validate against them like any write
+    applyCreateConstraints(ident, info.constraints())
     new GraftStagedTable(dirOf(ident), t)
   }
 

@@ -179,6 +179,20 @@ class GraftSqlWritesSpec extends SparkSpec {
       spark.sql(s"ALTER TABLE ${tbl(dir)} ADD CONSTRAINT uq UNIQUE (id)")
     }
     assert(e.getMessage.contains("CHECK"), e.getMessage)
+    // INLINE constraints on CREATE land too (the TableInfo channel the
+    // default delegation would drop)
+    val root2 = java.nio.file.Files.createTempDirectory("graft_sqlwc").toFile
+    root2.deleteOnExit()
+    val dir2 = new java.io.File(root2, "t").getAbsolutePath
+    spark.sql(s"CREATE TABLE ${tbl(dir2)} (site STRING, id BIGINT, " +
+      "v DOUBLE, CONSTRAINT inline_pos CHECK (v >= 0)) " +
+      "PARTITIONED BY (site)")
+    assert(Versioned.tableProperties(spark, dir2)
+      .contains("graft.constraint.inline_pos"))
+    intercept[Exception] {
+      spark.sql(s"INSERT INTO ${tbl(dir2)} VALUES ('a', 1, -2.0)")
+    }
+    assert(Versioned.snapshot(spark, dir2).count() == 0L)
   }
 
   test("MERGE INTO: cardinality violation and non-equi ON refuse loudly; nothing commits") {
