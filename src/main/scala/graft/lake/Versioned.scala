@@ -3854,7 +3854,8 @@ object Versioned {
       partitionKeys: Seq[String], targetFilesPerPartition: Int = 1,
       zorder: Option[org.apache.spark.sql.Column] = None,
       commitTs: Long = System.currentTimeMillis(),
-      targetFileSizeBytes: Option[Long] = None): Long = {
+      targetFileSizeBytes: Option[Long] = None,
+      partitionFilter: Option[Map[String, String]] = None): Long = {
     require(targetFilesPerPartition >= 1, "need targetFilesPerPartition >= 1")
     // zorder + size target COMPOSE (Delta's OPTIMIZE ZORDER honors
     // maxFileSize): the re-cluster pass rewrites everything and the
@@ -3901,8 +3902,26 @@ object Versioned {
     // dirs): they compact/re-cluster like any single partition. For a
     // PARTITIONED layout a root-level group would be malformed refs —
     // keep those excluded.
+    // `partitionFilter` (the SQL `OPTIMIZE ... WHERE k = v` scope):
+    // only partition dirs carrying EVERY (key=value) segment are
+    // candidates — maintenance on a 100 TB lake targets the hot
+    // partition, never a full sweep.
+    partitionFilter.foreach { pf =>
+      val bad = pf.keySet.filterNot(partitionKeys.contains)
+      require(bad.isEmpty,
+        s"OPTIMIZE WHERE references non-partition column(s) " +
+          s"${bad.mkString(", ")} of $dir (partition keys: " +
+          s"${partitionKeys.mkString(", ")}) — the scope must name " +
+          "partition columns only")
+    }
+    def inScope(d: String): Boolean = partitionFilter.forall(_.forall {
+      case (k, vRaw) =>
+        val seg = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .getPartitionPathString(k, vRaw)
+        d.split('/').contains(seg)
+    })
     val targets = byDir.filter { case (d, fs0) =>
-      (d.nonEmpty || partitionKeys.isEmpty) &&
+      (d.nonEmpty || partitionKeys.isEmpty) && inScope(d) &&
         (if (zorder.isDefined) fs0.nonEmpty // re-cluster everything
          else targetFileSizeBytes match {
            case Some(t) =>

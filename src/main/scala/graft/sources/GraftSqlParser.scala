@@ -15,9 +15,12 @@ import graft.lake.{Maintenance, Versioned}
   * daily, spelled exactly as Delta spells them and lowered onto the
   * manifest core's existing maintenance methods:
   *
-  *  - `OPTIMIZE graft.`dir`` `[ZORDER BY (c1[, c2])]`
-  *    → [[Versioned.optimize]] (binpack compaction; two-column ZORDER
-  *    interleaves with [[Maintenance.mortonKey]]);
+  *  - `OPTIMIZE graft.`dir`` `[WHERE k = v [AND ...]] [ZORDER BY
+  *    (c1[, ..., c4])]` → [[Versioned.optimize]] (binpack compaction;
+  *    1–4 ZORDER columns interleave via [[Maintenance.mortonKeyN]];
+  *    WHERE scopes to the named partitions — the hot-partition
+  *    maintenance move; a bare OPTIMIZE on a CLUSTER BY table
+  *    self-clusters on the declared columns);
   *  - `VACUUM graft.`dir`` `[RETAIN n HOURS] [DRY RUN]`
   *    → [[Versioned.vacuumRetain]] (default 168 h, Delta's default);
   *    `DRY RUN` previews via [[Versioned.vacuumPlan]], deleting
@@ -316,6 +319,24 @@ object GraftSqlParser {
     def statement(): LogicalPlan = take() match {
       case w: Word if w.up == "OPTIMIZE" =>
         val dir = tableDir()
+        // WHERE k = v [AND k2 = v2] — the partition scope (Delta's
+        // OPTIMIZE WHERE): equality conjunctions on partition columns
+        val where = Map.newBuilder[String, String]
+        if (optKw("WHERE")) {
+          var more = true
+          while (more) {
+            val k = namePart()
+            eq()
+            val v = take() match {
+              case Str(s) => s
+              case Num(s) => s
+              case w2: Word => w2.raw
+              case other => fail(s"expected a partition value, found $other")
+            }
+            where += (k -> v)
+            more = optKw("AND")
+          }
+        }
         val zcols =
           if (optKw("ZORDER")) {
             kw("BY")
@@ -331,7 +352,7 @@ object GraftSqlParser {
             cols.result()
           } else Nil
         end()
-        GraftOptimizeCommand(dir, zcols)
+        GraftOptimizeCommand(dir, zcols, where.result())
       case w: Word if w.up == "VACUUM" =>
         val dir = tableDir()
         val hours =
@@ -509,7 +530,8 @@ case class GraftDescribeDetailCommand(dir: String)
   * dimension resolution is `63/N` bits and skip quality collapses
   * past ~4 dims — at 100 TB that silently clusters badly, so the
   * command says so instead. */
-case class GraftOptimizeCommand(dir: String, zorderCols: Seq[String])
+case class GraftOptimizeCommand(dir: String, zorderCols: Seq[String],
+    where: Map[String, String] = Map.empty)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     GraftSqlParser.longAttr("version"),
@@ -539,7 +561,8 @@ case class GraftOptimizeCommand(dir: String, zorderCols: Seq[String])
     }
     val before = Versioned.filesAt(spark, dir).size.toLong
     val v = Versioned.optimize(spark, dir,
-      Versioned.layoutPartitionKeys(spark, dir), zorder = zorder)
+      Versioned.layoutPartitionKeys(spark, dir), zorder = zorder,
+      partitionFilter = if (where.isEmpty) None else Some(where))
     Seq(Row(v, before, Versioned.filesAt(spark, dir, v).size.toLong))
   }
 }

@@ -82,6 +82,30 @@ class GraftSqlParserSpec extends SparkSpec {
     assert(e.getMessage.contains("1 to 4 columns"), e.getMessage)
   }
 
+  test("OPTIMIZE ... WHERE scopes to the named partitions only; non-partition columns refuse; composes with ZORDER") {
+    val dir = freshLake() // site=a holds 4 small files, site=b holds 1
+    def filesUnder(p: String) = Versioned.filesAt(spark, dir)
+      .filter(_.startsWith(s"site=$p/"))
+    assert(filesUnder("a").size == 4 && filesUnder("b").size == 1)
+    val bBefore = filesUnder("b")
+    sqlM(s"OPTIMIZE ${tbl(dir)} WHERE site = 'a'")
+    assert(filesUnder("a").size == 1, "the scoped partition compacts")
+    assert(filesUnder("b") == bBefore, "out-of-scope partitions untouched")
+    assert(state(Versioned.snapshot(spark, dir)).size == 5)
+    // a non-partition column refuses with the scope rule named
+    val e = intercept[Exception] {
+      sqlM(s"OPTIMIZE ${tbl(dir)} WHERE id = 3") }
+    assert(e.getMessage.contains("partition"), e.getMessage)
+    // composes with ZORDER: only the scoped partition re-clusters
+    Versioned.append(spark, dir,
+      df(Seq(("a", 300L, 3.5)), "site", "id", "v"), Seq("site"))
+    val b2 = filesUnder("b")
+    sqlM(s"OPTIMIZE ${tbl(dir)} WHERE site = 'a' ZORDER BY (id)")
+    assert(filesUnder("b") == b2,
+      "ZORDER WHERE must not rewrite out-of-scope partitions")
+    assert(state(Versioned.snapshot(spark, dir)).size == 6)
+  }
+
   test("VACUUM [RETAIN n HOURS]: reaps to the retention cutoff, keeps the current version; reports kept count") {
     val dir = freshLake()
     val cur = Versioned.currentVersion(spark, dir)
