@@ -43,7 +43,10 @@ import graft.lake.{Maintenance, Versioned}
   *  - `COPY INTO graft.`dir` FROM '<path>' FILEFORMAT = ... [PATTERN
   *    = ...] [FORMAT_OPTIONS (...)] [COPY_OPTIONS ('force'='true')]`
   *    → [[graft.lake.CopyInto.run]] (idempotent bulk ingestion with a
-  *    file-level ledger + the txn exactly-once rail).
+  *    file-level ledger + the txn exactly-once rail);
+  *  - `CONVERT TO GRAFT graft.`dir` [PARTITIONED BY (...)]` — adopt
+  *    an existing parquet directory into the protocol in place
+  *    (zero rewrites; the manifest is the only new artifact).
   *
   * This is a PARSER extension (`injectParser`), not analysis: Spark's
   * own grammar has none of these statements, so the session-build hook
@@ -99,7 +102,7 @@ object GraftSqlParser {
     val head = FirstWord.findFirstMatchIn(sqlText).map(_.group(1).toUpperCase)
     head match {
       case Some("OPTIMIZE") | Some("VACUUM") | Some("RESTORE") |
-           Some("REORG") | Some("COPY") =>
+           Some("REORG") | Some("COPY") | Some("CONVERT") =>
         Some(new Parser(spark, sqlText).statement())
       case Some("ANALYZE") =>
         // ANALYZE TABLE is SPARK grammar too — claim it only when the
@@ -394,6 +397,27 @@ object GraftSqlParser {
         take() match { case Sym(')') =>; case o => fail(s"expected ), found $o") }
         end()
         GraftReorgPurgeCommand(dir)
+      case w: Word if w.up == "CONVERT" =>
+        kw("TO"); kw("GRAFT")
+        val dir = tableDir()
+        val pkeys =
+          if (optKw("PARTITIONED")) {
+            kw("BY")
+            take() match {
+              case Sym('(') =>
+              case other => fail(s"expected (, found $other")
+            }
+            val ks = Vector.newBuilder[String]
+            ks += namePart()
+            while (peek == Sym(',')) { take(); ks += namePart() }
+            take() match {
+              case Sym(')') =>
+              case other => fail(s"expected ), found $other")
+            }
+            ks.result()
+          } else Nil
+        end()
+        GraftConvertCommand(dir, pkeys)
       case w: Word if w.up == "COPY" =>
         kw("INTO")
         val dir = tableDir()
@@ -592,6 +616,34 @@ object GraftOptimizeCommand {
     }
     if (dims.size == 1) dims.head
     else Maintenance.mortonKeyN(dims, bits)
+  }
+}
+
+/** `CONVERT TO GRAFT graft.`dir` [PARTITIONED BY (k1[, k2])]` —
+  * adopt an EXISTING parquet directory into the manifest protocol
+  * (Delta's CONVERT TO DELTA): v0 references the directory's current
+  * files in place (zero rewrites, zero copies — the manifest is the
+  * only new artifact), and a declared PARTITIONED BY pins the layout
+  * spec so every later writer is spec-checked (it must match the
+  * directory's existing Hive nesting; declare-only, no rewrite).
+  * Refuses on an already-converted table. The reference's merged
+  * parquet lakes onboard with exactly this one statement. */
+case class GraftConvertCommand(dir: String, pkeys: Seq[String])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    GraftSqlParser.longAttr("version"),
+    GraftSqlParser.longAttr("files_adopted"))
+  override def run(spark: SparkSession): Seq[Row] = {
+    require(Versioned.currentVersion(spark, dir) < 0,
+      s"$dir is already a graft table (version " +
+        s"${Versioned.currentVersion(spark, dir)}) — CONVERT adopts " +
+        "plain parquet directories only")
+    val v = Versioned.init(spark, dir)
+    val n = Versioned.filesAt(spark, dir, v).size.toLong
+    require(n > 0L,
+      s"CONVERT found no parquet data files under $dir — nothing to adopt")
+    if (pkeys.nonEmpty) Versioned.changePartitionSpec(spark, dir, pkeys)
+    Seq(Row(Versioned.currentVersion(spark, dir), n))
   }
 }
 

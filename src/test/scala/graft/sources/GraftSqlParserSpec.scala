@@ -206,6 +206,44 @@ class GraftSqlParserSpec extends SparkSpec {
       "non-graft catalog ANALYZE must delegate to Spark")
   }
 
+  test("CONVERT TO GRAFT adopts an existing parquet directory in place: zero rewrites, spec declared, writers spec-checked from then on; re-convert refuses") {
+    val root = java.nio.file.Files.createTempDirectory("graft_mntcv").toFile
+    root.deleteOnExit()
+    val dir = new java.io.File(root, "plain").getAbsolutePath
+    // a PLAIN hive-partitioned parquet directory — no manifest
+    df(Seq(("a", 1L, 1.0), ("b", 2L, 2.0), ("b", 3L, 3.0)),
+      "site", "id", "v")
+      .write.partitionBy("site").parquet(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def dataFiles() = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+      val b = Vector.newBuilder[String]
+      while (it.hasNext) { val f = it.next().getPath
+        if (f.getName.endsWith(".parquet")) b += f.toString }
+      b.result().toSet
+    }
+    val before = dataFiles()
+    val m = sqlM(s"CONVERT TO GRAFT ${tbl(dir)} PARTITIONED BY (site)")
+      .collect().head
+    assert(m.getLong(0) >= 0L && m.getLong(1) == before.size.toLong)
+    assert(dataFiles() == before, "CONVERT must adopt files IN PLACE")
+    assert(state(Versioned.snapshot(spark, dir)) ==
+      Set(("a", 1L, 1.0), ("b", 2L, 2.0), ("b", 3L, 3.0)))
+    // the declared spec now guards writers
+    intercept[Exception] {
+      Versioned.append(spark, dir,
+        df(Seq(("c", 9L, 9.0)), "site", "id", "v"), Seq("site", "id"))
+    }
+    Versioned.append(spark, dir,
+      df(Seq(("c", 9L, 9.0)), "site", "id", "v"), Seq("site"))
+    assert(state(Versioned.snapshot(spark, dir)).size == 4)
+    // an already-converted table refuses
+    val e = intercept[Exception] {
+      sqlM(s"CONVERT TO GRAFT ${tbl(dir)}") }
+    assert(e.getMessage.contains("already"), e.getMessage)
+  }
+
   test("VACUUM ... DRY RUN previews exactly what the real vacuum removes, deleting nothing; DESCRIBE DETAIL reports the operational snapshot") {
     val dir = freshLake()
     // detail BEFORE any maintenance
