@@ -483,6 +483,31 @@ object LakeScaleBench {
         Seq(("user_id", 100.0, 200.0))).count()
     }
 
+    // ---- round-14: OPTIMIZE WHERE ledger ---------------------------
+    // The hot-partition maintenance move, on the UNIFORM 8-bucket
+    // lake: fragment ONE bucket with small appends, then a
+    // WHERE-scoped OPTIMIZE vs a FULL sweep — the scoped rewrite's
+    // bytes track the TOUCHED PARTITION (≈ 1/8 of the lake here),
+    // the full sweep pays everything. The RATIO is the structural
+    // claim; both legs grow with the lake, the scope divides it.
+    (1 to 3).foreach { i => // small-file debt in EVERY bucket
+      Versioned.append(spark, rlake,
+        rbase.filter(col("event_id") % 1009 === i)
+          .withColumn("event_id", col("event_id") + lit(i * 20000000000L)),
+        Seq("bucket"))
+    }
+    val vScoped = time("optimize_where_scoped") {
+      Versioned.optimize(spark, rlake, Seq("bucket"),
+        partitionFilter = Some(Map("bucket" -> "3")))
+    }
+    metrics("optwhere_scoped_bytes") = commitBytes(rlake, vScoped)
+    // the full sweep then heals the other 7 buckets (bucket 3 is
+    // already compact and skips): scoped/full ≈ 1/7 here
+    val vFull = time("optimize_full") {
+      Versioned.optimize(spark, rlake, Seq("bucket"))
+    }
+    metrics("optwhere_full_bytes") = commitBytes(rlake, vFull)
+
     def j(v: Any): String = v match {
       case s: String => "\"" + s + "\""
       case x => String.valueOf(x)

@@ -5041,6 +5041,89 @@ object LakeQueries {
                count(DISTINCT event_id) AS n_ids
         FROM allr WHERE user_id % 5 < 3
         GROUP BY 1 ORDER BY 1"""),
-      "declared clustering (CLUSTER BY): #cluster metadata commit + bare OPTIMIZE self-clustering via mortonKeyN with min/max grids (compaction require()d); readback == union oracle")
+      "declared clustering (CLUSTER BY): #cluster metadata commit + bare OPTIMIZE self-clustering via mortonKeyN with min/max grids (compaction require()d); readback == union oracle"),
+
+    // ---------------------------------------------------------------
+    // CONVERT TO GRAFT + OPTIMIZE WHERE — onboarding and the
+    // hot-partition maintenance move: a PLAIN hive-partitioned parquet
+    // directory is adopted IN PLACE (file set byte-identical,
+    // require()d), the declared spec guards later writers, and a
+    // WHERE-scoped OPTIMIZE compacts ONLY the named partition (the
+    // other partition's files stay byte-identical, require()d).
+    // ---------------------------------------------------------------
+    Q("q212_sql_convert",
+      (s, dir) => {
+        graft.GraftExtensions.register(s)
+        s.conf.set("spark.sql.catalog.gsql", "graft.sources.GraftCatalog")
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val root = new File(new File(sys.props("user.dir"), "target"),
+          s"graft_cvtq_$tag")
+        val lake = new File(root, "plain").getAbsolutePath
+        LakeQueries.synchronized {
+          val fs = new org.apache.hadoop.fs.Path(root.getAbsolutePath)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(root.getAbsolutePath), true)
+          val base = Tables(s, dir, "events").select(MergeCols.map(col): _*)
+            .filter(col("event_type").isin("click", "view"))
+          // a PLAIN parquet lake — written by vanilla Spark, no manifest
+          base.write.partitionBy("event_type").parquet(lake)
+          def files(p: String): Set[String] = {
+            val it = fs.listFiles(new org.apache.hadoop.fs.Path(lake), true)
+            val b = Set.newBuilder[String]
+            while (it.hasNext) { val f = it.next().getPath
+              if (f.getName.endsWith(".parquet") &&
+                  f.toString.contains(s"event_type=$p/")) b += f.toString }
+            b.result()
+          }
+          val clickBefore = files("click")
+          val viewBefore = files("view")
+          val m = sqlMaint(s, s"CONVERT TO GRAFT gsql.`$lake` " +
+            "PARTITIONED BY (event_type)").collect().head
+          require(m.getLong(1) ==
+            (clickBefore.size + viewBefore.size).toLong &&
+            files("click") == clickBefore,
+            "CONVERT must adopt the files in place")
+          // small appends fragment ONE partition; scoped OPTIMIZE heals
+          // exactly it
+          (1 to 3).foreach { i =>
+            Versioned.append(s, lake,
+              base.filter(col("event_type") === "click" &&
+                  col("event_id") % 97 === i)
+                .withColumn("event_id", col("event_id") + lit(i * 10000000L)),
+              Seq("event_type"), commitTs = 1000L + i)
+          }
+          val viewPre = files("view")
+          sqlMaint(s, s"OPTIMIZE gsql.`$lake` WHERE event_type = click")
+          require(files("view") == viewPre,
+            "WHERE-scoped OPTIMIZE must not touch the other partition")
+          require(Versioned.filesAt(s, lake)
+            .count(_.startsWith("event_type=click/")) == 1,
+            "the scoped partition must compact to one file")
+        }
+        s.sql(
+          s"""SELECT event_type, count(*) AS row_count,
+             |       round(sum(value), 4) AS sum_value,
+             |       count(DISTINCT event_id) AS n_ids
+             |FROM gsql.`$lake` GROUP BY 1 ORDER BY 1""".stripMargin)
+      },
+      Some("""
+        WITH t AS (SELECT event_id, value, event_type FROM events
+                   WHERE event_type IN ('click','view')),
+        allr AS (
+          SELECT event_id, value, event_type FROM t
+          UNION ALL
+          SELECT event_id + 10000000, value, event_type FROM t
+          WHERE event_type = 'click' AND event_id % 97 = 1
+          UNION ALL
+          SELECT event_id + 20000000, value, event_type FROM t
+          WHERE event_type = 'click' AND event_id % 97 = 2
+          UNION ALL
+          SELECT event_id + 30000000, value, event_type FROM t
+          WHERE event_type = 'click' AND event_id % 97 = 3)
+        SELECT event_type, count(*) AS row_count,
+               round(sum(value::DOUBLE), 4) AS sum_value,
+               count(DISTINCT event_id) AS n_ids
+        FROM allr GROUP BY 1 ORDER BY 1"""),
+      "CONVERT TO GRAFT (in-place adoption require()d) + OPTIMIZE WHERE (out-of-scope partition byte-identical, scoped one compacts to 1 file, require()d); readback == union oracle")
   )
 }
