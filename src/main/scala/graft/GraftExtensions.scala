@@ -217,6 +217,22 @@ object GraftExtensions {
             if (root == dir) null else root)
         }.toDF("file", "partition", "foreign_root")
           .queryExecution.analyzed
+      }),
+    (
+      FunctionIdentifier("graft_copy_ledger"),
+      info("graft_copy_ledger",
+        "_FUNC_(dir) - the COPY INTO ledger: one row per (batch seq, " +
+          "source file) with the batch's commit status (false = intent " +
+          "pending recovery)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          s"graft_copy_ledger(dir) takes 1 argument, got ${args.length}")
+        val spark = SparkSession.active
+        import spark.implicits._
+        graft.lake.CopyInto.ledger(spark,
+            str(args(0), "graft_copy_ledger dir"))
+          .toDF("seq", "src_file", "committed")
+          .queryExecution.analyzed
       }))
   }
 

@@ -174,6 +174,21 @@ object CopyInto {
       col(f.name).cast(f.dataType).as(f.name)): _*)
   }
 
+  /** The COPY ledger as rows — one per (batch seq, source file) with
+    * the batch's commit status from the txn rail (`committed=false`
+    * marks an intent whose commit is pending recovery). Torn entries
+    * are omitted (pre-drop debris, cleaned by the next run). The
+    * observability read for the ingest loop: which uploads landed,
+    * which batch brought them. */
+  def ledger(spark: SparkSession, dir: String): Seq[(Long, String, Boolean)] = {
+    val fs = fsOf(spark, dir)
+    val hw = Versioned.lastTxn(spark, dir, txnId(dir))
+    listEntries(fs, dir).flatMap { seq =>
+      readEntry(fs, dir, seq).getOrElse(Seq.empty)
+        .map(f => (seq, f, hw >= seq))
+    }
+  }
+
   /** Run one COPY INTO batch. `force` reloads matching files even if
     * the ledger names them (the entry still records them — the ledger
     * is a set union, duplicates are harmless). */

@@ -120,6 +120,31 @@ class CopyIntoSpec extends SparkSpec {
     assert(state(lake).contains(("d", 300L, 3.0)))
   }
 
+  test("graft_copy_ledger TVF: one row per (seq, file) with commit status; uncommitted intents report false") {
+    graft.GraftExtensions.register(spark)
+    val lake = freshTarget()
+    val src = dropFiles(2, "ledger")
+    CopyInto.run(spark, lake, src, "parquet")
+    df(Seq(("e", 400L, 4.0)), "site", "id", "v")
+      .coalesce(1).write.parquet(s"$src/upload_3")
+    CopyInto.run(spark, lake, src, "parquet")
+    val rows = spark.sql(s"SELECT * FROM graft_copy_ledger('$lake')")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    assert(rows.length == 3, s"3 loaded files expected (got ${rows.toSeq})")
+    assert(rows.count(_._1 == 0L) == 2 && rows.count(_._1 == 1L) == 1)
+    assert(rows.forall(_._3), "both batches committed")
+    // a hand-planted uncommitted intent reports committed=false
+    val fs = new Path(lake).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new Path(lake, "_manifest/copyinto/seq000002.list"),
+      false)
+    out.write("/pending/file.parquet\n#end\n".getBytes("UTF-8"))
+    out.close()
+    val pend = spark.sql(s"SELECT * FROM graft_copy_ledger('$lake') " +
+      "WHERE NOT committed").collect()
+    assert(pend.length == 1 && pend.head.getString(1) == "/pending/file.parquet")
+  }
+
   test("schema discipline: extra/missing source columns refuse with the diff; casts align matching columns; non-table target refuses") {
     val lake = freshTarget()
     val src = java.nio.file.Files.createTempDirectory("graft_drop_schema")
