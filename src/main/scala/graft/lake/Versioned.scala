@@ -781,6 +781,15 @@ object Versioned {
     metaAt(spark, dir, v).dels
   }
 
+  /** The data files an [[init]] (or SQL CONVERT) of `dir` would adopt,
+    * WITHOUT writing anything — the pre-flight for adoption verbs: an
+    * empty or mistyped directory must refuse before any manifest
+    * artifact exists (a v0 written first would wedge the retry with
+    * "already a graft table" and hide later-landing files behind an
+    * empty listing). */
+  def adoptableFiles(spark: SparkSession, dir: String): Seq[String] =
+    listDataFiles(fsOf(spark, dir), new Path(dir), new Path(dir))
+
   /** Version an existing lake: v0 = its current files. Idempotent
     * (no-op if any manifest exists); returns the current version. */
   def init(spark: SparkSession, dir: String,

@@ -119,7 +119,15 @@ object GraftSqlParser {
             graftQualified(spark, rest)
           case _ => false
         }
-        if (graftTarget) Some(new Parser(spark, sqlText).statement())
+        // claim only the shapes the graft grammar accepts (`COMPUTE
+        // [BLOOM] STATISTICS FOR COLUMNS ...`): standard Spark
+        // spellings on the same table — `COMPUTE STATISTICS [NOSCAN]`,
+        // `FOR ALL COLUMNS`, partition specs — delegate untouched
+        // (ADVICE r14: a blanket claim made them die with a graft
+        // parse error instead of reaching Spark's own ANALYZE)
+        if (graftTarget)
+          try Some(new Parser(spark, sqlText).statement())
+          catch { case _: IllegalArgumentException => None }
         else None
       case Some("DESCRIBE") | Some("DESC") =>
         // DESCRIBE is Spark grammar too — ours is ONLY the Delta-shaped
@@ -638,12 +646,20 @@ case class GraftConvertCommand(dir: String, pkeys: Seq[String])
       s"$dir is already a graft table (version " +
         s"${Versioned.currentVersion(spark, dir)}) — CONVERT adopts " +
         "plain parquet directories only")
-    val v = Versioned.init(spark, dir)
-    val n = Versioned.filesAt(spark, dir, v).size.toLong
+    // pre-flight BEFORE any manifest write (ADVICE r14: init-then-check
+    // left an empty v0 behind on an empty/mistyped directory, wedging
+    // the retry with 'already a graft table' and hiding files that
+    // landed later) — an empty or absent directory refuses with
+    // nothing written
+    val n = Versioned.adoptableFiles(spark, dir).size.toLong
     require(n > 0L,
-      s"CONVERT found no parquet data files under $dir — nothing to adopt")
+      s"CONVERT found no parquet data files under $dir — nothing to " +
+        "adopt (no manifest was written; fix the path or land the " +
+        "files, then re-run)")
+    val v = Versioned.init(spark, dir)
     if (pkeys.nonEmpty) Versioned.changePartitionSpec(spark, dir, pkeys)
-    Seq(Row(Versioned.currentVersion(spark, dir), n))
+    Seq(Row(Versioned.currentVersion(spark, dir),
+      Versioned.filesAt(spark, dir, v).size.toLong))
   }
 }
 

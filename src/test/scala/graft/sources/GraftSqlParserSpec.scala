@@ -244,6 +244,47 @@ class GraftSqlParserSpec extends SparkSpec {
     assert(e.getMessage.contains("already"), e.getMessage)
   }
 
+  test("CONVERT on an empty or missing directory refuses BEFORE any manifest write — the retry after data lands succeeds") {
+    val root = java.nio.file.Files.createTempDirectory("graft_mntcv0").toFile
+    root.deleteOnExit()
+    val dir = new java.io.File(root, "empty").getAbsolutePath
+    // missing directory: refuse, nothing written
+    val e1 = intercept[Exception] { sqlM(s"CONVERT TO GRAFT ${tbl(dir)}") }
+    assert(e1.getMessage.contains("no parquet data files"), e1.getMessage)
+    assert(Versioned.currentVersion(spark, dir) < 0,
+      "a failed CONVERT must leave NO v0 manifest behind")
+    // empty directory (exists, no data): same refusal, same cleanliness
+    new java.io.File(dir).mkdirs()
+    val e2 = intercept[Exception] { sqlM(s"CONVERT TO GRAFT ${tbl(dir)}") }
+    assert(e2.getMessage.contains("no parquet data files"), e2.getMessage)
+    assert(Versioned.currentVersion(spark, dir) < 0)
+    // data lands later: the retry ADOPTS it (the r14 bug wedged here
+    // with 'already a graft table' behind an empty v0)
+    df(Seq(("a", 1L, 1.0)), "site", "id", "v").write
+      .mode("append").parquet(dir)
+    val m = sqlM(s"CONVERT TO GRAFT ${tbl(dir)}").collect().head
+    assert(m.getLong(1) > 0L)
+    assert(state(Versioned.snapshot(spark, dir)) == Set(("a", 1L, 1.0)))
+  }
+
+  test("ANALYZE shapes outside the graft grammar delegate to Spark even on a graft-catalog table") {
+    val dir = freshLake()
+    // the graft shape claims
+    assert(GraftSqlParser.parseMaintenance(spark,
+      s"ANALYZE TABLE ${tbl(dir)} COMPUTE STATISTICS FOR COLUMNS (id)")
+      .isDefined)
+    // standard Spark spellings on the SAME graft table fall through
+    // (r14 ADVICE: a blanket claim made these die in the graft parser)
+    Seq(
+      s"ANALYZE TABLE ${tbl(dir)} COMPUTE STATISTICS",
+      s"ANALYZE TABLE ${tbl(dir)} COMPUTE STATISTICS NOSCAN",
+      s"ANALYZE TABLE ${tbl(dir)} COMPUTE STATISTICS FOR ALL COLUMNS"
+    ).foreach { stmt =>
+      assert(GraftSqlParser.parseMaintenance(spark, stmt).isEmpty,
+        s"must delegate to Spark: $stmt")
+    }
+  }
+
   test("VACUUM ... DRY RUN previews exactly what the real vacuum removes, deleting nothing; DESCRIBE DETAIL reports the operational snapshot") {
     val dir = freshLake()
     // detail BEFORE any maintenance
