@@ -44,14 +44,28 @@ import org.apache.spark.sql.functions.col
   *
   * At 100 TB shape: the ledger costs one tiny FS object per COPY
   * batch (not per file — a batch names thousands of files in one
-  * entry), the skip set resolves from `O(batches)` small reads, and
-  * the data cost is a scan of exactly the FRESH files. Nothing here
-  * scales with lake size or history depth.
+  * entry), the skip set resolves from ONE checkpoint read plus the
+  * recent tail ([[loadedFiles]] — committed entries fold into a
+  * `loaded.<seq>.set` checkpoint, the same newest-checkpoint-plus-tail
+  * discipline the manifest itself uses, so an hourly ingest loop run
+  * for years never accumulates per-batch reads), and the data cost is
+  * a scan of exactly the FRESH files. Nothing here scales with lake
+  * size or history depth.
   */
 object CopyInto {
 
   final case class Result(version: Long, filesLoaded: Long,
       filesSkipped: Long)
+
+  /** Test seam: when set, [[run]] halts after recording the intent and
+    * before the data commit — the crash window between the two rails
+    * the recovery scan must resolve. */
+  private[lake] var haltBeforeCommit: Boolean = false
+
+  /** Committed tail entries beyond this fold into the checkpoint at
+    * the end of a run — small enough that the tail stays a handful of
+    * reads, large enough that folding is amortized. */
+  private[lake] val CompactAfter = 8
 
   private def fsOf(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
@@ -61,10 +75,27 @@ object CopyInto {
   private def entryPath(dir: String, seq: Long) =
     new Path(ledgerRoot(dir), f"seq$seq%06d.list")
 
+  private def ckptPath(dir: String, upto: Long) =
+    new Path(ledgerRoot(dir), f"loaded$upto%06d.set")
+
   /** The target-scoped transaction id: COPY batches into the same
     * table share one sequential rail whatever their source — the seq
     * is the batch identity, the named files are the payload. */
   private def txnId(dir: String): String = "copyinto"
+
+  private def b64e(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+  private def b64d(s: String): String =
+    new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
+
+  /** One recorded intent: the files the batch loads PLUS the parse
+    * recipe (format + options) the batch was issued with, so crash
+    * recovery replays the bytes under the SAME reader — a recovering
+    * COPY issued with a different FILEFORMAT/FORMAT_OPTIONS must not
+    * silently misparse the crashed batch (legacy entries predate the
+    * recipe and fall back to the recovering invocation's). */
+  private[lake] final case class Intent(files: Seq[String],
+      format: Option[String], options: Map[String, String])
 
   private def listEntries(fs: FileSystem, dir: String): Seq[Long] = {
     val root = ledgerRoot(dir)
@@ -75,58 +106,153 @@ object CopyInto {
     }.sorted
   }
 
+  /** Checkpoint sequence numbers present, ascending (normally one;
+    * a crash between write-new and delete-old leaves two — the newest
+    * complete one wins, it is a superset by construction). */
+  private def listCkpts(fs: FileSystem, dir: String): Seq[Long] = {
+    val root = ledgerRoot(dir)
+    if (!fs.exists(root)) return Nil
+    fs.listStatus(root).map(_.getPath.getName).toSeq.collect {
+      case n if n.matches("loaded\\d+\\.set") =>
+        n.stripPrefix("loaded").stripSuffix(".set").toLong
+    }.sorted
+  }
+
+  private def readAllLines(fs: FileSystem, p: Path): Vector[String] = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+    finally in.close()
+  }
+
   /** Reads an intent entry; None when the entry is torn (no `#end`
-    * terminator — the writer died mid-entry). */
+    * terminator — the writer died mid-entry). Header lines (`#format`,
+    * `#option`) carry the parse recipe; everything else is a file. */
   private def readEntry(fs: FileSystem, dir: String,
-      seq: Long): Option[Seq[String]] = {
-    val in = fs.open(entryPath(dir, seq))
-    val lines =
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
-      finally in.close()
-    if (lines.lastOption.contains("#end")) Some(lines.dropRight(1))
-    else None
+      seq: Long): Option[Intent] = {
+    val lines = readAllLines(fs, entryPath(dir, seq))
+    if (!lines.lastOption.contains("#end")) return None
+    var fmt: Option[String] = None
+    val opts = Map.newBuilder[String, String]
+    val files = Vector.newBuilder[String]
+    lines.dropRight(1).foreach { l =>
+      if (l.startsWith("#format ")) fmt = Some(l.stripPrefix("#format ").trim)
+      else if (l.startsWith("#option ")) {
+        val toks = l.stripPrefix("#option ").trim.split(' ')
+        opts += (b64d(toks(0)) -> b64d(toks(1)))
+      } else if (!l.startsWith("#")) files += l
+    }
+    Some(Intent(files.result(), fmt, opts.result()))
   }
 
   /** Create-exclusive intent write: refuses if the seq exists (a
     * concurrent COPY took it — caller recomputes against the winner's
     * ledger). The `#end` terminator makes torn writes detectable. */
   private def writeEntry(fs: FileSystem, dir: String, seq: Long,
-      files: Seq[String]): Unit = {
+      files: Seq[String], format: String,
+      options: Map[String, String]): Unit = {
     fs.mkdirs(ledgerRoot(dir))
     val out = fs.create(entryPath(dir, seq), false)
     try {
-      val body = (files.sorted :+ "#end").mkString("", "\n", "\n")
+      val header = s"#format ${format.toLowerCase}" +:
+        options.toSeq.sortBy(_._1).map { case (k, v) =>
+          s"#option ${b64e(k)} ${b64e(v)}" }
+      val body = (header ++ files.sorted :+ "#end").mkString("", "\n", "\n")
       out.write(body.getBytes("UTF-8"))
     } finally out.close()
   }
 
-  /** Files already loaded (union of every COMMITTED or intended
-    * entry — an uncommitted intent is either recovered first or torn
-    * and deleted, so by the time the skip set is consulted every
-    * entry counts). */
-  private def loadedFiles(fs: FileSystem, dir: String): Set[String] =
-    listEntries(fs, dir).flatMap(s => readEntry(fs, dir, s)
-      .getOrElse(Seq.empty)).toSet
+  /** The newest COMPLETE checkpoint's (upto, rows) — rows are
+    * (seq, file) pairs so the per-batch attribution survives the fold
+    * (the [[ledger]] observability read stays whole). Torn checkpoints
+    * (no `#end`) are skipped: their fold never deleted anything, the
+    * tail below still covers them. */
+  private def readCkpt(fs: FileSystem,
+      dir: String): Option[(Long, Seq[(Long, String)])] =
+    listCkpts(fs, dir).sorted.reverse.iterator.flatMap { upto =>
+      val lines = readAllLines(fs, ckptPath(dir, upto))
+      if (!lines.lastOption.contains("#end")) None
+      else Some((upto, lines.dropRight(1).filterNot(_.startsWith("#"))
+        .map { l =>
+          val i = l.indexOf('\t')
+          (l.substring(0, i).toLong, l.substring(i + 1))
+        }))
+    }.nextOption()
+
+  /** Files already loaded (checkpoint union + every COMMITTED or
+    * intended tail entry — an uncommitted intent is either recovered
+    * first or torn and deleted, so by the time the skip set is
+    * consulted every entry counts). O(1 + recent batches) reads. */
+  private def loadedFiles(fs: FileSystem, dir: String): Set[String] = {
+    val ckpt = readCkpt(fs, dir)
+    val base = ckpt.map(_._2.map(_._2)).getOrElse(Nil)
+    (base ++ listEntries(fs, dir).flatMap(s => readEntry(fs, dir, s)
+      .map(_.files).getOrElse(Seq.empty))).toSet
+  }
+
+  /** Fold committed tail entries into a new checkpoint once the tail
+    * outgrows [[CompactAfter]]. Crash-safe at every step: the new
+    * checkpoint is written CREATE-EXCLUSIVE under its own name (a
+    * concurrent folder loses the create and simply skips), old
+    * checkpoints are deleted only after the new one is complete
+    * (newest-complete-wins makes the overlap harmless), and folded
+    * entries are deleted last (an entry surviving next to the
+    * checkpoint that absorbed it is a no-op union). Only entries at or
+    * below the txn high-water fold — an uncommitted intent stays in
+    * place for the recovery scan. */
+  private def maybeCompact(spark: SparkSession, fs: FileSystem,
+      dir: String): Unit = {
+    val hw = Versioned.lastTxn(spark, dir, txnId(dir))
+    val prior = readCkpt(fs, dir)
+    val priorUpto = prior.map(_._1).getOrElse(-1L)
+    val foldable = listEntries(fs, dir)
+      .filter(s => s <= hw && s > priorUpto)
+    if (foldable.size <= CompactAfter) return
+    val upto = foldable.max
+    val rows = prior.map(_._2).getOrElse(Nil) ++ foldable.flatMap(s =>
+      readEntry(fs, dir, s).map(_.files).getOrElse(Seq.empty)
+        .map(f => (s, f)))
+    val out = try fs.create(ckptPath(dir, upto), false) catch {
+      case _: java.io.IOException => return // concurrent folder won
+    }
+    try {
+      val body = (rows.map { case (s, f) => s"$s\t$f" } :+ "#end")
+        .mkString("", "\n", "\n")
+      out.write(body.getBytes("UTF-8"))
+    } finally out.close()
+    listCkpts(fs, dir).filter(_ < upto)
+      .foreach(u => fs.delete(ckptPath(dir, u), false))
+    // every entry at or below upto is absorbed (by this checkpoint or
+    // one it embeds) — deleting stragglers a crashed earlier fold left
+    // behind keeps the tail bounded
+    listEntries(fs, dir).filter(_ <= upto)
+      .foreach(s => fs.delete(entryPath(dir, s), false))
+  }
 
   /** Lists source files under `from` matching `pattern` (a glob over
     * the file NAME tail when relative, or the full path when it
     * contains `/`). Directories recurse; hidden/underscore files and
     * anything under a `_`/`.` directory are skipped (Spark's own data
-    * source convention). */
-  private def listSource(fs: FileSystem, from: String,
+    * source convention). The FileSystem comes from the SOURCE path
+    * itself — never the target table's (an s3a:// source feeding a
+    * local table, or cross-bucket, must list and read on its own
+    * store) — and the returned paths are FULLY QUALIFIED URIs, so the
+    * ledger and the recovery read resolve against the right
+    * filesystem wherever the table lives. */
+  private def listSource(spark: SparkSession, from: String,
       pattern: Option[String]): Seq[String] = {
     val root = new Path(from)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     require(fs.exists(root), s"COPY INTO source does not exist: $from")
     val buf = Vector.newBuilder[String]
     def walk(p: Path): Unit = fs.listStatus(p).foreach { st =>
       val n = st.getPath.getName
       if (!n.startsWith("_") && !n.startsWith(".")) {
         if (st.isDirectory) walk(st.getPath)
-        else buf += st.getPath.toUri.getPath
+        else buf += fs.makeQualified(st.getPath).toUri.toString
       }
     }
     if (fs.getFileStatus(root).isDirectory) walk(root)
-    else buf += root.toUri.getPath
+    else buf += fs.makeQualified(root).toUri.toString
     val all = buf.result()
     pattern match {
       case None => all
@@ -136,7 +262,10 @@ object CopyInto {
           case '?' => "[^/]"
           case c => java.util.regex.Pattern.quote(c.toString)
         } + "$").r
-        if (g.contains('/')) all.filter(p => rx.findFirstIn(p).isDefined)
+        // full-path globs match the SCHEMELESS path (users write them
+        // against plain paths; the ledger still stores qualified URIs)
+        if (g.contains('/')) all.filter(p =>
+          rx.findFirstIn(new Path(p).toUri.getPath).isDefined)
         else all.filter(p =>
           rx.findFirstIn(new Path(p).getName).isDefined)
     }
@@ -176,17 +305,23 @@ object CopyInto {
 
   /** The COPY ledger as rows — one per (batch seq, source file) with
     * the batch's commit status from the txn rail (`committed=false`
-    * marks an intent whose commit is pending recovery). Torn entries
-    * are omitted (pre-drop debris, cleaned by the next run). The
-    * observability read for the ingest loop: which uploads landed,
-    * which batch brought them. */
+    * marks an intent whose commit is pending recovery). Checkpointed
+    * batches report through the fold's (seq, file) pairs — compaction
+    * never loses per-batch attribution. Torn entries are omitted
+    * (pre-drop debris, cleaned by the next run). The observability
+    * read for the ingest loop: which uploads landed, which batch
+    * brought them. */
   def ledger(spark: SparkSession, dir: String): Seq[(Long, String, Boolean)] = {
     val fs = fsOf(spark, dir)
     val hw = Versioned.lastTxn(spark, dir, txnId(dir))
-    listEntries(fs, dir).flatMap { seq =>
-      readEntry(fs, dir, seq).getOrElse(Seq.empty)
-        .map(f => (seq, f, hw >= seq))
-    }
+    val ckptRows = readCkpt(fs, dir).map(_._2).getOrElse(Nil)
+      .map { case (seq, f) => (seq, f, true) } // folds hold only committed
+    val ckptSeqs = ckptRows.map(_._1).toSet
+    ckptRows ++ listEntries(fs, dir).filterNot(ckptSeqs.contains)
+      .flatMap { seq =>
+        readEntry(fs, dir, seq).map(_.files).getOrElse(Seq.empty)
+          .map(f => (seq, f, hw >= seq))
+      }
   }
 
   /** Run one COPY INTO batch. `force` reloads matching files even if
@@ -207,9 +342,15 @@ object CopyInto {
     listEntries(fs, dir).lastOption.foreach { last =>
       if (Versioned.lastTxn(spark, dir, tid) < last) {
         readEntry(fs, dir, last) match {
-          case Some(intended) =>
-            // intent written, commit lost: replay EXACTLY this batch
-            val batch = readAligned(spark, dir, intended, format, options)
+          case Some(intent) =>
+            // intent written, commit lost: replay EXACTLY this batch,
+            // under the RECIPE the intent recorded — the recovering
+            // invocation's own format/options may differ (a crashed
+            // CSV batch replayed by a parquet COPY must not misparse);
+            // legacy entries without a recipe use the current one
+            val batch = readAligned(spark, dir, intent.files,
+              intent.format.getOrElse(format),
+              if (intent.format.isDefined) intent.options else options)
             Versioned.append(spark, dir, batch, keys,
               txn = Some((tid, last)))
           case None =>
@@ -227,19 +368,30 @@ object CopyInto {
     }
 
     // ---- the new batch ----------------------------------------------
-    val listed = listSource(fs, from, pattern)
+    val listed = listSource(spark, from, pattern)
     val loaded = loadedFiles(fs, dir)
-    val fresh = if (force) listed else listed.filterNot(loaded.contains)
-    if (fresh.isEmpty)
+    // legacy ledgers recorded scheme-stripped paths: a listed URI is
+    // loaded when EITHER spelling is named
+    def known(p: String): Boolean =
+      loaded.contains(p) || loaded.contains(new Path(p).toUri.getPath)
+    val fresh = if (force) listed else listed.filterNot(known)
+    if (fresh.isEmpty) {
+      maybeCompact(spark, fs, dir)
       return Result(Versioned.currentVersion(spark, dir), 0L,
         listed.size.toLong)
+    }
     // validate the batch BEFORE recording intent: a misaligned source
     // must fail with nothing written, not wedge recovery on a batch
     // that can never load (alignment checks run at construction)
     val batch = readAligned(spark, dir, fresh, format, options)
-    val seq = listEntries(fs, dir).lastOption.getOrElse(-1L) + 1L
-    writeEntry(fs, dir, seq, fresh) // create-exclusive: concurrent COPY loses here
+    val seq = math.max(
+      listEntries(fs, dir).lastOption.getOrElse(-1L),
+      readCkpt(fs, dir).map(_._1).getOrElse(-1L)) + 1L
+    writeEntry(fs, dir, seq, fresh, format, options) // create-exclusive: concurrent COPY loses here
+    if (haltBeforeCommit)
+      throw new IllegalStateException("halt-before-commit (test seam)")
     val v = Versioned.append(spark, dir, batch, keys, txn = Some((tid, seq)))
+    maybeCompact(spark, fs, dir)
     Result(v, fresh.size.toLong, (listed.size - fresh.size).toLong)
   }
 }

@@ -145,6 +145,125 @@ class CopyIntoSpec extends SparkSpec {
     assert(pend.length == 1 && pend.head.getString(1) == "/pending/file.parquet")
   }
 
+  test("ledger checkpoint: committed entries fold into loaded.set — skip set identical across the fold, seq allocation continues, per-batch attribution survives") {
+    val lake = freshTarget()
+    val src = java.nio.file.Files.createTempDirectory("graft_drop_ckpt")
+      .toFile.getAbsolutePath
+    val n = CopyInto.CompactAfter + 3 // enough batches to trigger a fold
+    (1 to n).foreach { i =>
+      df(Seq(("b", 100L + i, i.toDouble)), "site", "id", "v")
+        .coalesce(1).write.parquet(s"$src/upload_$i")
+      val r = CopyInto.run(spark, lake, src, "parquet")
+      assert(r.filesLoaded == 1L, s"batch $i must load exactly its file")
+    }
+    val fs = new Path(lake).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val ledgerDir = new Path(lake, "_manifest/copyinto")
+    def names() = fs.listStatus(ledgerDir).map(_.getPath.getName).toSeq
+    assert(names().exists(_.matches("loaded\\d+\\.set")),
+      s"a checkpoint must exist after $n batches (got ${names()})")
+    val tail = names().count(_.matches("seq\\d+\\.list"))
+    assert(tail <= CopyInto.CompactAfter,
+      s"folded entries must be deleted (tail=$tail)")
+    // the skip set is IDENTICAL across the fold: nothing reloads
+    val v = Versioned.currentVersion(spark, lake)
+    val r = CopyInto.run(spark, lake, src, "parquet")
+    assert(r.filesLoaded == 0L && r.filesSkipped == n.toLong, s"got $r")
+    assert(Versioned.currentVersion(spark, lake) == v)
+    // seq allocation continues PAST the checkpoint (never reuses a
+    // folded seq — the txn rail would silently skip the commit)
+    df(Seq(("f", 900L, 9.0)), "site", "id", "v")
+      .coalesce(1).write.parquet(s"$src/upload_extra")
+    val r2 = CopyInto.run(spark, lake, src, "parquet")
+    assert(r2.filesLoaded == 1L)
+    assert(Versioned.lastTxn(spark, lake, "copyinto") == n.toLong,
+      "seq must continue from the checkpointed high-water")
+    // per-batch attribution survives the fold: one ledger row per
+    // (seq, file), all committed, covering every batch
+    val rows = CopyInto.ledger(spark, lake)
+    assert(rows.size == n + 1 && rows.forall(_._3),
+      s"ledger must stay whole across the fold (got ${rows.size})")
+    assert(rows.map(_._1).distinct.size == n + 1)
+  }
+
+  test("checkpoint crash windows: entries surviving next to the checkpoint that absorbed them are a harmless union; a torn checkpoint is ignored") {
+    val lake = freshTarget()
+    val src = dropFiles(2, "ckptcrash")
+    CopyInto.run(spark, lake, src, "parquet")
+    CopyInto.run(spark, lake, src, "parquet") // no-op, nothing new
+    val fs = new Path(lake).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val ledgerDir = new Path(lake, "_manifest/copyinto")
+    // simulate a fold that crashed between checkpoint write and entry
+    // delete: plant the checkpoint, LEAVE the entries
+    val entry = CopyInto.ledger(spark, lake)
+    val out = fs.create(new Path(ledgerDir, "loaded000000.set"), false)
+    out.write((entry.map { case (s, f, _) => s"$s\t$f" } :+ "#end")
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    out.close()
+    val r = CopyInto.run(spark, lake, src, "parquet")
+    assert(r.filesLoaded == 0L && r.filesSkipped == 2L,
+      s"checkpoint+entry overlap must stay a no-op union (got $r)")
+    // a TORN checkpoint (no #end) is ignored — the entries still cover
+    fs.delete(new Path(ledgerDir, "loaded000000.set"), false)
+    val out2 = fs.create(new Path(ledgerDir, "loaded000000.set"), true)
+    out2.write("0\t/lost/row.parquet\n".getBytes("UTF-8")) // no #end
+    out2.close()
+    val r2 = CopyInto.run(spark, lake, src, "parquet")
+    assert(r2.filesLoaded == 0L && r2.filesSkipped == 2L,
+      s"a torn checkpoint must not hide (or invent) loaded files (got $r2)")
+  }
+
+  test("recovery replays under the intent's RECORDED format/options, not the recovering invocation's") {
+    val lake = freshTarget()
+    val src = java.nio.file.Files.createTempDirectory("graft_drop_recipe")
+      .toFile.getAbsolutePath
+    df(Seq(("b", 77L, 7.5)), "site", "id", "v").coalesce(1)
+      .write.option("header", "true").csv(s"$src/d1")
+    // crash window: a CSV batch's intent is on disk, its commit lost
+    val e1 = intercept[Exception] { // writes the intent, then we fake the crash
+      CopyInto.haltBeforeCommit = true
+      try CopyInto.run(spark, lake, src, "csv",
+        options = Map("header" -> "true"))
+      finally CopyInto.haltBeforeCommit = false
+    }
+    assert(e1.getMessage.contains("halt"), e1.getMessage)
+    assert(Versioned.lastTxn(spark, lake, "copyinto") == -1L)
+    // the recovering COPY is issued as PARQUET — the intent's recorded
+    // csv+header recipe must win, or the replay misparses the bytes
+    val r = CopyInto.run(spark, lake, src, "parquet")
+    assert(r.filesLoaded == 0L, s"recovery consumed the intent (got $r)")
+    assert(state(lake) == Set(("a", 1L, 1.0), ("b", 77L, 7.5)),
+      "the crashed CSV batch must replay as CSV with its header option")
+  }
+
+  test("ledger entries store fully-qualified URIs (cross-filesystem sources); legacy scheme-stripped entries still skip") {
+    val lake = freshTarget()
+    val src = dropFiles(1, "uri")
+    CopyInto.run(spark, lake, src, "parquet")
+    val rows = CopyInto.ledger(spark, lake)
+    assert(rows.nonEmpty && rows.forall(_._2.startsWith("file:")),
+      s"ledger paths must be fully qualified (got ${rows.map(_._2)})")
+    // a LEGACY entry naming the same file scheme-stripped still skips
+    val lake2 = freshTarget()
+    val fs = new Path(lake2).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(lake2, "_manifest/copyinto"))
+    val stripped = rows.map(r => new Path(r._2).toUri.getPath)
+    val out = fs.create(new Path(lake2, "_manifest/copyinto/seq000000.list"),
+      false)
+    out.write((stripped.sorted :+ "#end").mkString("", "\n", "\n")
+      .getBytes("UTF-8"))
+    out.close()
+    // mark seq 0 committed on the txn rail so recovery doesn't replay
+    Versioned.append(spark, lake2,
+      df(Seq(("x", 1L, 1.0)), "site", "id", "v"), Seq("site"),
+      txn = Some(("copyinto", 0L)))
+    val r = CopyInto.run(spark, lake2, src, "parquet")
+    assert(r.filesLoaded == 0L && r.filesSkipped == 1L,
+      s"legacy scheme-stripped ledger paths must still skip (got $r)")
+  }
+
   test("schema discipline: extra/missing source columns refuse with the diff; casts align matching columns; non-table target refuses") {
     val lake = freshTarget()
     val src = java.nio.file.Files.createTempDirectory("graft_drop_schema")
