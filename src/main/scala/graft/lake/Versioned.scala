@@ -538,23 +538,110 @@ object Versioned {
   private def hasDvAt(spark: SparkSession, dir: String, version: Long): Boolean =
     metaAt(spark, dir, version).dels.exists(e => isDvRef(delParse(e)._1))
 
-  /** Recursive data-file listing (relative), excluding metadata
-    * (`_manifest`, `_SUCCESS`, dotfiles). Driver-side, bounded by file
-    * count — the same cost as the listing every unversioned read does. */
-  private def listDataFiles(fs: FileSystem, root: Path, sub: Path): Seq[String] = {
+  /** Recursive data-file listing (relative, with byte length — the
+    * listing's own statuses carry it, zero extra RPCs), excluding
+    * metadata (`_manifest`, `_SUCCESS`, dotfiles). Driver-side,
+    * bounded by file count — the same cost as the listing every
+    * unversioned read does. */
+  private def listDataFilesWithLen(fs: FileSystem, root: Path,
+      sub: Path): Seq[(String, Long)] = {
     if (!fs.exists(sub)) return Nil
     val it = fs.listFiles(sub, true)
-    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     val rootUri = root.toUri.getPath.stripSuffix("/")
     while (it.hasNext) {
-      val f = it.next().getPath
+      val st = it.next()
+      val f = st.getPath
       val rel = f.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
       val segs = rel.split('/')
       if (f.getName.endsWith(".parquet") &&
           !segs.exists(s => s.startsWith("_") || s.startsWith(".")))
-        buf += rel
+        buf += ((rel, st.getLen))
     }
-    buf.toSeq.sorted
+    buf.sortBy(_._1).toSeq
+  }
+
+  private def listDataFiles(fs: FileSystem, root: Path, sub: Path): Seq[String] =
+    listDataFilesWithLen(fs, root, sub).map(_._1)
+
+  // ---- manifest-recorded file sizes (`#bytes` trailing lines) ------
+  // Writers KNOW each staged file's size at commit time (the staging
+  // listing's statuses carry it — zero extra RPCs), so every commit
+  // records `#bytes <b64 ref> <len>` for the files it adds, AFTER the
+  // file lines (meta readers stop at the first file line, so the meta
+  // path stays O(meta); file-list readers skip `#`-lines anywhere, so
+  // old builds and old manifests are unaffected — the rail is advisory
+  // and needs no protocol bump). DESCRIBE DETAIL and OPTIMIZE's
+  // binpack sizing then resolve sizes from the manifests they already
+  // read instead of issuing one driver getFileStatus per live file —
+  // at millions of files that is minutes of sequential RPC wall-clock
+  // become a handful of text reads.
+
+  /** Sizes captured by the most recent staged write(s) on this thread,
+    * drained into `#bytes` lines by the next successful [[writeCommit]]
+    * (same-thread by construction: every commit path stages then
+    * commits synchronously). Cleared only on commit success so CAS
+    * retries re-emit; a permanently failed commit's entries can never
+    * leak into another commit's lines (the emission intersects with
+    * the committing file list, and part names never recur). */
+  private val stagedSizes =
+    new ThreadLocal[scala.collection.mutable.Map[String, Long]] {
+      override def initialValue() = scala.collection.mutable.Map.empty[String, Long]
+    }
+
+  private def noteStagedSizes(m: Iterable[(String, Long)]): Unit =
+    stagedSizes.get() ++= m
+
+  /** Per-file byte-size fallback probes issued by [[fileSizesAt]]
+    * since last reset — the seam the zero-FS-calls spec pins (mirrors
+    * [[optimizeFileStatProbes]]). */
+  @volatile private[graft] var sizeStatProbes: Long = 0L
+
+  /** The per-file sizes the manifests THEMSELVES record for version
+    * `version`'s live files — newest-first walk over the retained
+    * manifests' trailing `#bytes` lines, stopping as soon as the live
+    * set is covered (a file's size is an immutable fact; any record of
+    * it is authoritative). Metadata-only: O(retained manifests) small
+    * text reads, ZERO per-file RPCs. Files whose recording commit was
+    * vacuumed (or predates the rail) are simply absent — callers fall
+    * back ([[fileSizesAt]]) or skip. */
+  def fileSizesKnown(spark: SparkSession, dir: String,
+      version: Long = -1L): Map[String, Long] = {
+    val fs = fsOf(spark, dir)
+    val v = if (version >= 0) version else currentVersion(spark, dir)
+    require(v >= 0, s"no manifest in $dir — call init() first")
+    val live = filesAt(spark, dir, v).toSet
+    val acc = scala.collection.mutable.Map.empty[String, Long]
+    val it = listManifests(fs, dir).map(_._1).filter(_ <= v)
+      .sorted.reverse.iterator
+    while (acc.size < live.size && it.hasNext) {
+      val mv = it.next()
+      manifestLinesAt(fs, dir, mv).foreach { l =>
+        if (l.startsWith("#bytes ")) {
+          val toks = l.stripPrefix("#bytes ").trim.split(' ')
+          val r = b64d(toks(0))
+          if (live.contains(r) && !acc.contains(r)) acc(r) = toks(1).toLong
+        }
+      }
+    }
+    acc.toMap
+  }
+
+  /** Sizes for EVERY file live at `version`: manifest-recorded where
+    * available, one `getFileStatus` per uncovered file otherwise (the
+    * lazy fallback for pre-rail history — counted by
+    * [[sizeStatProbes]]). */
+  def fileSizesAt(spark: SparkSession, dir: String,
+      version: Long = -1L): Map[String, Long] = {
+    val v = if (version >= 0) version else currentVersion(spark, dir)
+    val known = fileSizesKnown(spark, dir, v)
+    val fs = fsOf(spark, dir)
+    filesAt(spark, dir, v).map { r =>
+      r -> known.getOrElse(r, {
+        sizeStatProbes += 1
+        fs.getFileStatus(new Path(refPath(dir, r))).getLen
+      })
+    }.toMap
   }
 
   /** Test seam: runs after a committing write path's data files land
@@ -590,9 +677,10 @@ object Versioned {
       val w0 = prepared.write.mode("append").partitionBy(partitionKeys: _*)
       maxRecordsPerFile.fold(w0)(n => w0.option("maxRecordsPerFile", n))
         .parquet(staging.toString)
-      val staged = listDataFiles(fs, staging, staging)
+      val staged = listDataFilesWithLen(fs, staging, staging)
       afterDataWriteHook()
-      staged.map { rel =>
+      noteStagedSizes(staged) // the committing manifest records them
+      staged.map { case (rel, _) =>
         val src = new Path(staging, rel)
         val dst = new Path(dir, rel)
         fs.mkdirs(dst.getParent)
@@ -742,19 +830,28 @@ object Versioned {
       .collect { case (mv, false) if mv < v => mv }.foldLeft(-1L)(math.max)
     val isCkpt = forceCheckpoint || v == 0L || baseCkpt < 0 ||
       (v - baseCkpt) >= CheckpointInterval
+    // trailing `#bytes` lines for the files THIS commit adds whose
+    // sizes the staged write captured (see the sizes-rail note): after
+    // the file lines, so meta stays O(meta); skipped by every file-list
+    // reader (`#` lines); cleared only on success so a CAS retry
+    // re-emits
+    val sizes = stagedSizes.get()
+    val sizeLines = files.filter(sizes.contains).sorted
+      .map(f => s"#bytes ${b64e(f)} ${sizes(f)}")
     val body =
-      if (isCkpt) meta.render ++ files.sorted
+      if (isCkpt) meta.render ++ files.sorted ++ sizeLines
       else {
         val prev = prevFiles.toSet
         val cur = files.toSet
         meta.render ++
           (cur -- prev).toSeq.sorted.map("+" + _) ++
-          (prev -- cur).toSeq.sorted.map("-" + _)
+          (prev -- cur).toSeq.sorted.map("-" + _) ++ sizeLines
       }
     val (dst, alt) =
       if (isCkpt) (ckptPath(dir, v), deltaPath(dir, v))
       else (deltaPath(dir, v), ckptPath(dir, v))
     commitOwner.writeVersion(fs, dir, v, dst, alt, body)
+    stagedSizes.get().clear()
   }
 
   /** The raw CAS commit, exposed for the concurrency spec: commits
@@ -802,7 +899,9 @@ object Versioned {
       // replicas do exactly this) — drop them
       cacheDrop(dir)
       val fs = fsOf(spark, dir)
-      writeCommit(fs, dir, 0L, listDataFiles(fs, new Path(dir), new Path(dir)),
+      val adopted = listDataFilesWithLen(fs, new Path(dir), new Path(dir))
+      noteStagedSizes(adopted) // adoption's own listing already has them
+      writeCommit(fs, dir, 0L, adopted.map(_._1),
         Nil, CommitMeta(Some(commitTs), Map.empty, Nil, Map.empty, Some("init")))
       0L
     }
@@ -2837,6 +2936,13 @@ object Versioned {
     // Per-commit state (`#del` refused above, `#cdfinc`, `#op`) does
     // not carry — the clone starts its own history.
     val srcMeta = metaAt(spark, srcDir, v)
+    // sizes the SOURCE manifests record travel with the clone (keyed
+    // under the clone's foreign-ref spelling) — no FS calls, and the
+    // clone's DESCRIBE DETAIL stays metadata-only; unrecorded source
+    // files just fall back lazily on the clone like anywhere else
+    val srcSizes = fileSizesKnown(spark, srcDir, v)
+    noteStagedSizes(srcSizes.map { case (r, b) =>
+      (if (refIsForeign(r)) r else s"@$srcDir\t$r") -> b })
     writeCommit(fsOf(spark, dstDir), dstDir, 0L, refs, Nil,
       CommitMeta(Some(commitTs), srcMeta.txns, Nil, srcMeta.chks,
         Some("clone"), verFloor = srcMeta.verFloor, cdf = srcMeta.cdf,
@@ -3884,14 +3990,17 @@ object Versioned {
       val r = refRel(f); r.take(math.max(r.lastIndexOf('/'), 0)) }
     // BINPACK sizing (Delta's OPTIMIZE file-size target): a partition
     // needs compacting when it holds more files than its bytes demand —
-    // desired = ceil(bytes / target). Sizing is METADATA-ONLY when the
-    // stats sidecars cover the live files (they carry per-file `bytes`
-    // since the commits that wrote them); only uncovered files — a
-    // lake without the stats discipline, or pre-bytes sidecars — pay
-    // the per-file getFileStatus fallback ([[optimizeFileStatProbes]]
-    // counts them; the spec pins zero under coverage).
+    // desired = ceil(bytes / target). Sizing is METADATA-ONLY for any
+    // file whose size either the MANIFEST records (`#bytes` — every
+    // commit since the rail; [[fileSizesKnown]]) or the stats sidecars
+    // carry; only files predating both disciplines pay the per-file
+    // getFileStatus fallback ([[optimizeFileStatProbes]] counts them;
+    // the spec pins zero under coverage).
     optimizeFileStatProbes = 0
-    val statsBytes: Map[String, Long] =
+    val manifestBytes: Map[String, Long] =
+      if (targetFileSizeBytes.isEmpty) Map.empty
+      else fileSizesKnown(spark, dir, v)
+    lazy val statsBytes: Map[String, Long] = // touched only past a manifest miss
       if (targetFileSizeBytes.isEmpty) Map.empty
       else try {
         statsAt(spark, dir, v).groupBy("file")
@@ -3900,10 +4009,11 @@ object Versioned {
             r.getString(0) -> r.getLong(1) }.toMap
       } catch { case _: IllegalArgumentException => Map.empty }
     def fileLen(ref: String): Long =
-      statsBytes.getOrElse(SkipIndex.normalizePath(refPath(dir, ref)), {
-        optimizeFileStatProbes += 1
-        fs.getFileStatus(new Path(refPath(dir, ref))).getLen
-      })
+      manifestBytes.getOrElse(ref,
+        statsBytes.getOrElse(SkipIndex.normalizePath(refPath(dir, ref)), {
+          optimizeFileStatProbes += 1
+          fs.getFileStatus(new Path(refPath(dir, ref))).getLen
+        }))
     val sizesByDir: Map[String, Long] =
       if (targetFileSizeBytes.isEmpty) Map.empty
       else byDir.map { case (d, rs) => d -> rs.map(fileLen).sum }
@@ -4216,8 +4326,15 @@ object Versioned {
     if (ms.exists { case (mv, isDelta) => mv == keepFrom && isDelta }) {
       val files = filesAt(spark, dir, keepFrom)
       val meta = metaAt(spark, dir, keepFrom)
+      // sizes the about-to-be-reaped manifests record for still-live
+      // files bake into the rewritten checkpoint — vacuum never turns
+      // a metadata-only DESCRIBE/binpack back into per-file RPCs
+      val sizes = fileSizesKnown(spark, dir, keepFrom)
+      val sizeLines = files.filter(sizes.contains).sorted
+        .map(f => s"#bytes ${b64e(f)} ${sizes(f)}")
       val dst = ckptPath(dir, keepFrom)
-      val tmp = writeManifestFile(fs, dst, meta.render ++ files.sorted)
+      val tmp = writeManifestFile(fs, dst,
+        meta.render ++ files.sorted ++ sizeLines)
       require(fs.rename(tmp, dst), s"checkpoint rewrite failed for $dst")
       fs.delete(deltaPath(dir, keepFrom), false)
     }

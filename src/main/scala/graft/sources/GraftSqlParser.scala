@@ -527,8 +527,12 @@ case class GraftVacuumDryRunCommand(dir: String, retainHours: Double)
 /** `DESCRIBE DETAIL graft.`dir`` — the one-row operational snapshot
   * Delta spells the same way: format, location, current version, live
   * file count and bytes, partition columns, pending MOR state. Bytes
-  * come from one FS status per live file (the manifest stores refs,
-  * not sizes — a diagnostic verb pays the listing, never a scan). */
+  * resolve from the manifests' OWN `#bytes` lines (writers record
+  * each staged file's size at commit — [[Versioned.fileSizesAt]]):
+  * the snapshot is metadata-only, never one `getFileStatus` RPC per
+  * live file (at millions of files that was minutes of sequential
+  * driver wall-clock); only files whose recording commit predates the
+  * rail or was vacuumed pay the lazy per-file fallback. */
 case class GraftDescribeDetailCommand(dir: String)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
@@ -542,12 +546,8 @@ case class GraftDescribeDetailCommand(dir: String)
   override def run(spark: SparkSession): Seq[Row] = {
     val v = Versioned.currentVersion(spark, dir)
     require(v >= 0, s"not a graft table: $dir")
-    val refs = Versioned.filesAt(spark, dir, v)
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    val bytes = refs.map(r => fs.getFileStatus(
-      new org.apache.hadoop.fs.Path(Versioned.refPath(dir, r))).getLen).sum
-    Seq(Row("graft", dir, v, refs.size.toLong, bytes,
+    val sizes = Versioned.fileSizesAt(spark, dir, v)
+    Seq(Row("graft", dir, v, sizes.size.toLong, sizes.values.sum,
       Versioned.layoutPartitionKeys(spark, dir).mkString(","),
       Versioned.deleteFilesAt(spark, dir, v).size.toLong))
   }

@@ -23,6 +23,24 @@ class VersionedSpec extends SparkSpec {
     dir.getAbsolutePath
   }
 
+  /** Rewrite every manifest of `dir` WITHOUT its `#bytes` lines — the
+    * pre-rail legacy shape the lazy size fallback must still serve. */
+  private def stripManifestSizes(dir: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val md = new org.apache.hadoop.fs.Path(dir, "_manifest")
+    fs.listStatus(md).map(_.getPath)
+      .filter(_.getName.matches("v\\d+(\\.delta)?\\.txt")).foreach { p =>
+        val in = fs.open(p)
+        val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().toVector finally in.close()
+        val out = fs.create(p, true)
+        try out.write((lines.filterNot(_.startsWith("#bytes "))
+          .mkString("\n") + "\n").getBytes("UTF-8"))
+        finally out.close()
+      }
+  }
+
   test("versioned merge applies update/delete/insert and commits a new version") {
     val dir = freshLake()
     assert(Versioned.init(spark, dir) == 0L)
@@ -2196,7 +2214,8 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.optimizeFileStatProbes == 0,
       "byte sizing must be metadata-only when the sidecars cover the files")
     assert(state(Versioned.snapshot(spark, dir)) == pre)
-    // a lake WITHOUT the stats discipline falls back per file
+    // a lake WITHOUT the stats discipline is STILL metadata-only: the
+    // manifests' own #bytes rail covers every rail-era commit
     val dir2 = freshLake()
     Versioned.init(spark, dir2)
     (1 to 2).foreach { i =>
@@ -2205,8 +2224,22 @@ class VersionedSpec extends SparkSpec {
     }
     Versioned.optimize(spark, dir2, Seq("site"),
       targetFileSizeBytes = Some(8L * 1024 * 1024))
+    assert(Versioned.optimizeFileStatProbes == 0,
+      "no sidecars, but the manifest #bytes rail must carry the sizing")
+    // PRE-RAIL manifests (no #bytes lines) without sidecars: the
+    // per-file getFileStatus fallback carries the sizing
+    val dir2b = freshLake()
+    Versioned.init(spark, dir2b)
+    (1 to 2).foreach { i =>
+      Versioned.append(spark, dir2b,
+        df(Seq(("a", 100L + i, i.toDouble)), "site", "id", "v"), Seq("site"))
+    }
+    stripManifestSizes(dir2b)
+    Versioned.optimize(spark, dir2b, Seq("site"),
+      targetFileSizeBytes = Some(8L * 1024 * 1024))
     assert(Versioned.optimizeFileStatProbes > 0,
-      "no sidecars -> the getFileStatus fallback must carry the sizing")
+      "pre-rail manifests and no sidecars -> the getFileStatus " +
+        "fallback must carry the sizing")
     // OLD sidecars (written before the bytes column) keep working:
     // statsAt reads bytes = -1 (unknown) and optimize falls back
     val dir3 = freshLake()
@@ -2223,10 +2256,59 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.statsAt(spark, dir3)
       .filter(col("bytes") =!= -1L).isEmpty,
       "a pre-bytes sidecar reads as unknown, not as an error")
+    stripManifestSizes(dir3) // pre-rail manifests too
     Versioned.optimize(spark, dir3, Seq("site"),
       targetFileSizeBytes = Some(8L * 1024 * 1024))
     assert(Versioned.optimizeFileStatProbes > 0,
       "unknown bytes -> fallback, never a wrong plan")
+  }
+
+  test("manifest #bytes rail: fileSizesAt is metadata-only for rail-era commits, equals FS truth, survives vacuum's checkpoint rewrite, travels with clones; pre-rail manifests fall back lazily") {
+    val dir = freshLake()
+    Versioned.init(spark, dir, commitTs = 1000L)
+    (1 to 3).foreach { i =>
+      Versioned.append(spark, dir,
+        df(Seq(("a", 100L + i, i.toDouble)), "site", "id", "v"),
+        Seq("site"), commitTs = 1000L + i)
+    }
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def fsTruth(): Map[String, Long] =
+      Versioned.filesAt(spark, dir).map(r => r -> fs.getFileStatus(
+        new org.apache.hadoop.fs.Path(Versioned.refPath(dir, r))).getLen)
+        .toMap
+    Versioned.sizeStatProbes = 0L
+    val sizes = Versioned.fileSizesAt(spark, dir)
+    assert(Versioned.sizeStatProbes == 0L,
+      "rail-era commits must resolve sizes from the manifests alone")
+    assert(sizes == fsTruth(), "manifest-recorded sizes must equal FS truth")
+    // vacuum rewrites the oldest retained delta as a checkpoint — the
+    // sizes of reaped commits must bake into it, staying metadata-only
+    Versioned.vacuum(spark, dir, keepVersions = 2)
+    Versioned.sizeStatProbes = 0L
+    val afterVac = Versioned.fileSizesAt(spark, dir)
+    assert(Versioned.sizeStatProbes == 0L,
+      "vacuum must bake reaped manifests' sizes into the rewritten checkpoint")
+    assert(afterVac == fsTruth())
+    // a shallow clone inherits the source's recorded sizes (keyed by
+    // its foreign refs) — DESCRIBE on the clone is metadata-only too
+    val cloneDir = new java.io.File(
+      java.nio.file.Files.createTempDirectory("graft_sizeclone").toFile,
+      "clone").getAbsolutePath
+    Versioned.cloneAt(spark, dir, cloneDir)
+    Versioned.sizeStatProbes = 0L
+    val cloneSizes = Versioned.fileSizesAt(spark, cloneDir)
+    assert(Versioned.sizeStatProbes == 0L,
+      "clone sizes must travel from the source's manifests")
+    assert(cloneSizes.values.sum == afterVac.values.sum)
+    // PRE-RAIL manifests (stripped #bytes): same totals via the lazy
+    // per-file fallback — old lakes still read, the counter says so
+    stripManifestSizes(dir)
+    Versioned.sizeStatProbes = 0L
+    val legacy = Versioned.fileSizesAt(spark, dir)
+    assert(Versioned.sizeStatProbes > 0L,
+      "stripped manifests must fall back per file")
+    assert(legacy == fsTruth(), "fallback sizes must equal FS truth")
   }
 
   test("OPTIMIZE commit-only CAS rebase: a racing append no longer discards the compaction; a racing rewrite still aborts it") {

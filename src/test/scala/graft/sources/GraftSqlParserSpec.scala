@@ -287,12 +287,22 @@ class GraftSqlParserSpec extends SparkSpec {
 
   test("VACUUM ... DRY RUN previews exactly what the real vacuum removes, deleting nothing; DESCRIBE DETAIL reports the operational snapshot") {
     val dir = freshLake()
-    // detail BEFORE any maintenance
+    // detail BEFORE any maintenance — METADATA-ONLY on a rail-era
+    // table: zero getFileStatus fallbacks (the seam counter), and the
+    // byte total still equals FS truth
+    Versioned.sizeStatProbes = 0L
     val d0 = sqlM(s"DESCRIBE DETAIL ${tbl(dir)}").collect().head
+    assert(Versioned.sizeStatProbes == 0L,
+      "DESCRIBE DETAIL must resolve sizes from the manifests alone")
     assert(d0.getString(0) == "graft" && d0.getString(1) == dir)
     assert(d0.getLong(2) == 3L) // current version
     assert(d0.getLong(3) == Versioned.filesAt(spark, dir).size.toLong)
-    assert(d0.getLong(4) > 0L, "size_bytes sums the live files")
+    val fsT = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val truth = Versioned.filesAt(spark, dir).map(r => fsT.getFileStatus(
+      new org.apache.hadoop.fs.Path(Versioned.refPath(dir, r))).getLen).sum
+    assert(d0.getLong(4) == truth,
+      "size_bytes must equal the FS truth for the live files")
     assert(d0.getString(5) == "site")
     assert(d0.getLong(6) == 0L)
     // optimize strands the small files -> dry run names them
