@@ -87,6 +87,30 @@ object Maintenance {
         .cast("long")))
   }
 
+  /** Rank-space bucket: the index of `c` among the sorted `cuts`
+    * (bucket = number of cuts at or below the value, in
+    * [0, cuts.size]) as a BALANCED comparison tree — log2(cells)
+    * comparisons per row, statically unrolled, whole-stage codegen,
+    * no UDF. The quantile twin of [[gridBucket]]: cells hold equal
+    * POPULATION instead of equal WIDTH, so a skewed dimension (zipf
+    * ids, hot enum values) still spreads its files across the grid
+    * where the linear scaling collapses the tail into one cell — and
+    * because the comparisons are plain Column ops, STRING dimensions
+    * cluster lexicographically with no numeric surrogate column.
+    * NULLs land in bucket 0 (they sort first, like Spark's own
+    * ordering). `cuts` must be sorted ascending and duplicate-free.
+    */
+  def quantileBucket(c: Column, cuts: Seq[Column]): Column = {
+    require(cuts.nonEmpty, "quantileBucket needs at least one cut")
+    def tree(lo: Int, hi: Int): Column =
+      if (lo >= hi) lit(lo.toLong)
+      else {
+        val mid = (lo + hi) / 2
+        when(c < cuts(mid), tree(lo, mid)).otherwise(tree(mid + 1, hi))
+      }
+    when(c.isNull, lit(0L)).otherwise(tree(0, cuts.size))
+  }
+
   /** Rewrite `df` as ~`nFiles` parquet files range-partitioned and
     * sorted by `zkey`. The key column is dropped before the write — it
     * is layout, not data — and because the final Project preserves the

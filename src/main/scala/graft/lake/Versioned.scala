@@ -154,8 +154,14 @@ object Versioned {
     * skip feed emission (silent CDF hole), read renamed columns under
     * their physical names, apply a scoped tombstone globally and
     * hide a MOR merge's own fresh rows, read an added column as
-    * missing, or resurrect rows a deletion vector erased. */
-  val SupportedProtocol = 5
+    * missing, or resurrect rows a deletion vector erased. Level 6
+    * adds the PINNED PHYSICAL SCHEMA (`#schema` — [[widenColumn]]'s
+    * type-widening rail): an old build ignoring it would infer the
+    * table schema from parquet footers that legitimately DISAGREE
+    * (pre-widen int files next to post-widen long files) and crash —
+    * or silently read a narrow type — instead of reading every file
+    * under the declared wide schema. */
+  val SupportedProtocol = 6
 
   /** A `#del` entry is either a plain tombstone path (applies to every
     * file — [[deleteWhere]]'s global equality delete) or `path @bound`
@@ -219,7 +225,8 @@ object Versioned {
       pkeys: Option[Seq[String]] = None,
       gens: Map[String, String] = Map.empty,
       addCols: Seq[(String, String)] = Nil,
-      cluster: Option[Seq[String]] = None) {
+      cluster: Option[Seq[String]] = None,
+      pinnedSchema: Option[String] = None) {
     /** (required reader level, feature names) demanded by this meta. */
     def protocol: (Int, Seq[String]) = {
       val fs = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
@@ -232,9 +239,15 @@ object Versioned {
       if (addCols.nonEmpty) fs += ((5, "added-columns"))
       if (dels.exists(e => isDvRef(delParse(e)._1)))
         fs += ((5, "deletion-vectors"))
+      if (pinnedSchema.isDefined) fs += ((6, "pinned-schema"))
       val v = (verFloor +: fs.map(_._1).toSeq).max
       (v, fs.map(_._2).toSeq)
     }
+    /** The pinned physical DATA schema, parsed (None = infer from
+      * footers, the pre-widening behavior). */
+    def pinned: Option[org.apache.spark.sql.types.StructType] =
+      pinnedSchema.map(j => org.apache.spark.sql.types.DataType
+        .fromJson(b64d(j)).asInstanceOf[org.apache.spark.sql.types.StructType])
     def render: Seq[String] = {
       val (v, feats) = protocol
       (if (v > 0) Seq(s"#ver $v" +
@@ -253,7 +266,8 @@ object Versioned {
           s"#ren ${b64e(l)} ${b64e(p)}" } ++
         droppedCols.sorted.map(c => s"#dropcol ${b64e(c)}") ++
         addCols.map { case (n, t) => s"#addcol ${b64e(n)} ${b64e(t)}" } ++
-        cluster.map(cs => s"#cluster ${b64e(cs.mkString(","))}").toSeq
+        cluster.map(cs => s"#cluster ${b64e(cs.mkString(","))}").toSeq ++
+        pinnedSchema.map(j => s"#schema $j").toSeq
     }
   }
   private[lake] object CommitMeta {
@@ -272,6 +286,7 @@ object Versioned {
     var cdfInc: Option[String] = None
     var pkeys: Option[Seq[String]] = None
     var cluster: Option[Seq[String]] = None
+    var pinnedSchema: Option[String] = None
     val gens = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val rens = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val drops = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -314,6 +329,8 @@ object Versioned {
       } else if (l.startsWith("#cluster ")) {
         cluster = Some(b64d(l.stripPrefix("#cluster ").trim)
           .split(',').toSeq.filter(_.nonEmpty))
+      } else if (l.startsWith("#schema ")) {
+        pinnedSchema = Some(l.stripPrefix("#schema ").trim)
       }
     }
     // the protocol guard: refuse a manifest demanding a level this
@@ -328,7 +345,8 @@ object Versioned {
     CommitMeta(ts, txns.toMap, dels.toSeq, chks.toMap, op,
       verFloor = ver, cdf = cdf, cdfInc = cdfInc,
       renames = rens.toMap, droppedCols = drops.toSeq, pkeys = pkeys,
-      gens = gens.toMap, addCols = adds.toSeq, cluster = cluster)
+      gens = gens.toMap, addCols = adds.toSeq, cluster = cluster,
+      pinnedSchema = pinnedSchema)
   }
 
   private def metaAt(spark: SparkSession, dir: String, v: Long): CommitMeta =
@@ -350,7 +368,8 @@ object Versioned {
     CommitMeta(Some(ts), prev.txns ++ newTxn.toMap, dels, prev.chks, Some(op),
       verFloor = prev.verFloor, cdf = prev.cdf, renames = prev.renames,
       droppedCols = prev.droppedCols, pkeys = prev.pkeys,
-      gens = prev.gens, addCols = prev.addCols, cluster = prev.cluster)
+      gens = prev.gens, addCols = prev.addCols, cluster = prev.cluster,
+      pinnedSchema = prev.pinnedSchema)
   }
 
   // Resolved-listing cache (Delta's snapshot cache): a committed
@@ -519,13 +538,28 @@ object Versioned {
   /** Read a set of manifest entries as ONE DataFrame: entries group by
     * root, each group reads with its root as `basePath` (so partition
     * columns parse from the correct Hive prefix), groups align by
-    * column name (a clone may have evolved past its source). */
+    * column name (a clone may have evolved past its source).
+    *
+    * `pinned` (the version's `#schema`, when type widening is in
+    * force) replaces footer inference entirely: every file reads under
+    * the DECLARED physical data schema — parquet's vectorized reader
+    * promotes narrow stored types (int32 under a bigint request) and
+    * null-fills requested-but-absent columns, so pre-widen and
+    * post-widen files coexist in one scan where a mergeSchema
+    * inference would refuse to merge their footers. Partition columns
+    * are not in the pin; Spark appends them from the Hive paths. */
   private def readRefs(spark: SparkSession, dir: String,
-      refs: Seq[String], withPos: Boolean = false): DataFrame = {
+      refs: Seq[String], withPos: Boolean = false,
+      pinned: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
     val byRoot = refs.groupBy(r => refRoot(dir, r)).toSeq.sortBy(_._1)
     byRoot.map { case (root, rs) =>
-      val d = spark.read.option("basePath", root).option("mergeSchema", "true")
-        .parquet(rs.map(r => s"$root/${refRel(r)}"): _*)
+      val r0 = spark.read.option("basePath", root)
+      val reader = pinned match {
+        case Some(s) => r0.schema(s)
+        case None => r0.option("mergeSchema", "true")
+      }
+      val d = reader.parquet(rs.map(r => s"$root/${refRel(r)}"): _*)
       // row positions for the deletion-vector anti-join must attach
       // PER ROOT: `_metadata.row_index` resolves only on a direct file
       // scan, never through the union below
@@ -1092,6 +1126,134 @@ object Versioned {
     v + 1
   }
 
+  // ---- type widening (Delta's ALTER COLUMN TYPE, protocol level 6) --
+  // A widen is METADATA-ONLY: one commit pins the table's full
+  // PHYSICAL data schema (`#schema`, partition columns excluded) with
+  // the column's new wider type. No data file is touched — parquet's
+  // vectorized reader promotes narrow stored types under a wider
+  // requested schema (int32 under bigint, float under double, decimal
+  // re-scale), so every read path simply swaps footer INFERENCE for
+  // the DECLARED schema from the widen onward. Old versions
+  // time-travel under their own (unpinned, narrow) meta for free;
+  // writers keep committing whatever width their batch carries, cast
+  // UP to the pin so post-widen files converge on the wide type.
+
+  /** The lossless widening matrix — exactly the promotions the
+    * vectorized parquet reader executes natively (probed on this
+    * Spark): integral up-chains, float→double, int→double,
+    * decimal scale/precision growth, integral→decimal with enough
+    * integer digits. Everything else (narrowing, string↔numeric,
+    * long→double's precision loss) refuses by name. */
+  private[lake] def widenOk(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    def intDigits(d: DataType): Option[Int] = d match {
+      case ByteType => Some(3)
+      case ShortType => Some(5)
+      case IntegerType => Some(10)
+      case LongType => Some(19)
+      case _ => None
+    }
+    (from, to) match {
+      case (a, b) if a == b => true // idempotent re-declare
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (ByteType | ShortType | IntegerType | FloatType, DoubleType) => true
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale >= f.scale && t.precision - t.scale >= f.precision - f.scale
+      case (f, t: DecimalType) =>
+        intDigits(f).exists(d => t.precision - t.scale >= d)
+      case _ => false
+    }
+  }
+
+  /** `ALTER TABLE ... ALTER COLUMN name TYPE newType` — the
+    * metadata-only widen (see the section note). Refusals: unknown or
+    * partition columns, and any (current, new) pair outside
+    * [[widenOk]]'s lossless matrix. Repeated widens re-pin (the pin
+    * always holds the CURRENT widest declaration). */
+  def widenColumn(spark: SparkSession, dir: String, name: String,
+      newType: org.apache.spark.sql.types.DataType,
+      commitTs: Long = System.currentTimeMillis()): Long = {
+    val v = currentVersion(spark, dir)
+    require(v >= 0, s"no manifest in $dir — call init() first")
+    val meta = metaAt(spark, dir, v)
+    val snapSchema = snapshot(spark, dir, v).schema
+    require(snapSchema.fieldNames.contains(name),
+      s"no column $name in $dir")
+    val parts = partitionColsOf(filesAt(spark, dir, v)) ++
+      meta.pkeys.getOrElse(Nil)
+    require(!parts.contains(name),
+      s"cannot widen partition column $name: its values are baked into " +
+        "directory paths — changePartitionSpec to a data column first")
+    val cur = snapSchema(name).dataType
+    require(widenOk(cur, newType),
+      s"cannot change column $name of $dir from ${cur.simpleString} to " +
+        s"${newType.simpleString}: only LOSSLESS widenings are " +
+        "metadata-only (byte/short/int -> long, byte/short/int/float -> " +
+        "double, decimal scale/precision growth, integral -> decimal " +
+        "with enough digits) — narrowing or string<->numeric changes " +
+        "need an explicit rewrite (CREATE TABLE ... AS SELECT CAST)")
+    // the pin: every visible DATA column (partition columns excluded)
+    // under its PHYSICAL name, with the widened type swapped in
+    val pin = org.apache.spark.sql.types.StructType(
+      snapSchema.fields.toSeq
+        .filterNot(f => parts.contains(f.name))
+        .map { f =>
+          val t = if (f.name == name) newType else f.dataType
+          org.apache.spark.sql.types.StructField(
+            meta.renames.getOrElse(f.name, f.name), t, f.nullable)
+        })
+    val live = filesAt(spark, dir, v)
+    writeCommit(fsOf(spark, dir), dir, v + 1, live, live,
+      carryMeta(spark, dir, v, commitTs, None, deleteFilesAt(spark, dir, v),
+          "widen-column")
+        .copy(pinnedSchema = Some(b64e(pin.json))))
+    v + 1
+  }
+
+  /** Conform a PHYSICAL write batch to the pinned schema: pinned
+    * columns cast UP to their declared width (a writer still speaking
+    * the pre-widen type is promoted losslessly; a batch whose type
+    * cannot widen to the pin refuses — that is a schema change, not a
+    * write), genuinely new columns EXTEND the pin (additive evolution
+    * keeps working under pinning; without this the pinned read would
+    * silently drop the evolved column). Partition columns stay out of
+    * the pin. Returns the conformed batch and the pin to commit.
+    * Identity when no pin is in force. */
+  private def conformToPinned(meta: CommitMeta, df: DataFrame,
+      partitionKeys: Seq[String], what: String)
+      : (DataFrame, Option[String]) = meta.pinned match {
+    case None => (df, None)
+    case Some(pin) =>
+      val pinMap = pin.fields.map(f => f.name -> f.dataType).toMap
+      val out = df.schema.fields.foldLeft(df) { case (d, f) =>
+        pinMap.get(f.name) match {
+          case Some(t) if t != f.dataType =>
+            require(widenOk(f.dataType, t),
+              s"$what carries column ${f.name} as " +
+                s"${f.dataType.simpleString} but the table's pinned " +
+                s"schema declares ${t.simpleString} — cast the batch, " +
+                "or ALTER COLUMN ... TYPE to widen the table")
+            d.withColumn(f.name, col(f.name).cast(t))
+          case _ => d
+        }
+      }
+      val extra = df.schema.fields.toSeq.filterNot(f =>
+        pinMap.contains(f.name) || partitionKeys.contains(f.name))
+      val newPin = org.apache.spark.sql.types.StructType(
+        pin.fields.toSeq ++ extra)
+      (out, Some(b64e(newPin.json)))
+  }
+
+  /** The pinned physical data schema at `version` (type widening in
+    * force), or None — the fast relation reads under it instead of
+    * footer inference, exactly like [[readRefs]]. */
+  private[graft] def pinnedSchemaAt(spark: SparkSession, dir: String,
+      version: Long): Option[org.apache.spark.sql.types.StructType] =
+    metaAt(spark, dir, version).pinned
+
   /** The `#addcol` columns in force at `version`, parsed — the fast
     * relation extends its inferred file schema with the ones no file
     * carries yet (parquet null-fills requested-but-absent columns on
@@ -1359,10 +1521,19 @@ object Versioned {
         org.apache.spark.sql.types.StructType(
           schema.map(f => f.copy(name = ren.getOrElse(f.name, f.name))))
       }
-    spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], phys)
-      .repartition(1).write.mode("overwrite").parquet(anchorPath(dir))
+    writeSchemaAnchorRaw(spark, dir, phys)
   }
+
+  /** Anchor write WITHOUT the current-meta physical mapping — for
+    * [[replaceTable]], whose committing meta RESETS the mapping: the
+    * new definition's names ARE its physical names, and mapping them
+    * through the outgoing table's renames would mangle any name the
+    * old table had remapped. */
+  private def writeSchemaAnchorRaw(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType): Unit =
+    spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .repartition(1).write.mode("overwrite").parquet(anchorPath(dir))
 
   private def anchorDf(spark: SparkSession, dir: String): Option[DataFrame] = {
     val p = new Path(anchorPath(dir))
@@ -1375,15 +1546,25 @@ object Versioned {
     val meta = metaAt(spark, dir, metaV)
     val files = filesAt(spark, dir, fileV)
     if (files.isEmpty) {
-      val anchor = anchorDf(spark, dir).getOrElse(throw
+      val anchor0 = anchorDf(spark, dir).getOrElse(throw
         new IllegalArgumentException(
           s"version $fileV of $dir has no files (and no _schema anchor " +
             "a CREATE TABLE would have left)"))
+      // a pre-widen anchor still declares the narrow type: the pin is
+      // the authority, cast up (name-matched physical columns only)
+      val anchor = meta.pinned.fold(anchor0)(pin =>
+        pin.fields.foldLeft(anchor0) { case (d, f) =>
+          if (d.columns.contains(f.name) &&
+              d.schema(f.name).dataType != f.dataType)
+            d.withColumn(f.name, col(f.name).cast(f.dataType))
+          else d
+        })
       return applyAddedColumns(meta, applyColumnMapping(meta, anchor))
     }
     applyAddedColumns(meta, applyColumnMapping(meta,
       applyTombstones(spark, dir, fileV,
-        readRefs(spark, dir, files, withPos = hasDvAt(spark, dir, fileV)))
+        readRefs(spark, dir, files, withPos = hasDvAt(spark, dir, fileV),
+          pinned = meta.pinned))
         .drop(DvSrcPos)))
   }
 
@@ -1818,9 +1999,11 @@ object Versioned {
     * unaffected, the protocol level does not move, and unlike
     * `#pkeys` nothing is checked at write time — clustering is an
     * OPTIMIZE-time promise, not a layout invariant (Delta's liquid
-    * position exactly). Columns must exist and be numeric (a morton
-    * key needs an integer grid; cluster strings via a numeric
-    * surrogate column). */
+    * position exactly). Columns must exist and be numeric or string:
+    * numerics bucket by quantile, strings by lexicographic rank (the
+    * SQL OPTIMIZE's [[graft.sources.GraftOptimizeCommand.clusterKey]]
+    * builds both from the table's own distribution — Delta's liquid
+    * clustering accepts strings the same way). */
   def setClusterBy(spark: SparkSession, dir: String, cols: Seq[String],
       commitTs: Long = System.currentTimeMillis()): Long = {
     val v = init(spark, dir, commitTs)
@@ -1829,12 +2012,17 @@ object Versioned {
       val missing = cols.filterNot(snap.columns.contains)
       require(missing.isEmpty,
         s"CLUSTER BY column(s) not in $dir: ${missing.mkString(", ")}")
-      val nonNum = cols.filterNot(c => snap.schema(c).dataType
-        .isInstanceOf[org.apache.spark.sql.types.NumericType])
-      require(nonNum.isEmpty,
-        s"CLUSTER BY needs numeric columns (a morton key needs an " +
-          s"integer grid), got non-numeric: ${nonNum.mkString(", ")} — " +
-          "cluster on a numeric surrogate (hash, id, bucket) instead")
+      val badType = cols.filterNot { c =>
+        val t = snap.schema(c).dataType
+        t.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+          t == org.apache.spark.sql.types.StringType ||
+          t == org.apache.spark.sql.types.DateType ||
+          t == org.apache.spark.sql.types.TimestampType
+      }
+      require(badType.isEmpty,
+        s"CLUSTER BY needs numeric, string, date or timestamp " +
+          s"columns, got: ${badType.mkString(", ")} — cluster on a " +
+          "derived column (hash, id, bucket) instead")
       require(cols.size <= 4,
         s"CLUSTER BY supports 1 to 4 columns (got ${cols.size}): past " +
           "~4 interleaved dimensions no per-file box stays tight")
@@ -1931,9 +2119,10 @@ object Versioned {
       enforceConstraints(spark, dir, v, batch, "overwrite batch")
       val autoRen = autoRenames(meta0, batch.columns.toSeq, v + 1)
       val writeMeta = meta0.copy(renames = meta0.renames ++ autoRen)
+      val (physBatch, pinOut) = conformToPinned(writeMeta,
+        toPhysical(writeMeta, batch), partitionKeys, "overwrite batch")
       val newFiles = writeStagedFiles(spark, fs, dir,
-        clusterByKeys(toPhysical(writeMeta, batch), partitionKeys),
-        partitionKeys)
+        clusterByKeys(physBatch, partitionKeys), partitionKeys)
       val autoInc = meta0.cdf.map { key =>
         writeChangeInc(spark, dir, rowDiff(snapshot(spark, dir, v),
           batch, key))
@@ -1941,10 +2130,86 @@ object Versioned {
       val live = filesAt(spark, dir, v)
       val cm = carryMeta(spark, dir, v, commitTs, txn, Nil, "overwrite")
       writeCommit(fs, dir, v + 1, newFiles, live,
-        cm.copy(cdfInc = autoInc, renames = cm.renames ++ autoRen))
+        cm.copy(cdfInc = autoInc, renames = cm.renames ++ autoRen,
+          pinnedSchema = pinOut.orElse(cm.pinnedSchema)))
       maybeWriteIncStats(spark, dir, v, newFiles, statsCols)
       v + 1
     } finally batch0.unpersist()
+  }
+
+  /** `REPLACE TABLE` / `CREATE OR REPLACE TABLE [AS SELECT]` — the
+    * HISTORY-PRESERVING definition swap (Delta's REPLACE on a path
+    * table): ONE atomic commit publishes a whole NEW table definition
+    * — schema (a fresh `_schema` anchor), declared partition spec,
+    * declared clustering, contents (`rows`, or empty) — while every
+    * pre-replace version keeps time-traveling under its own meta and
+    * files (vacuum owns their retirement, exactly as for overwrite).
+    *
+    * Definition-level state RESETS to the new declaration: column
+    * mapping, metadata-added columns, generated columns, CHECK
+    * constraints and the change-feed property all belong to the
+    * definition being replaced (carrying a CHECK the new schema never
+    * declared, or a feed key naming a dropped column, would be wrong
+    * by construction — re-declare what the new table needs with ALTER
+    * TABLE). The `#txn` high-water map and the protocol floor CARRY:
+    * idempotence markers fence replayed writers against double-commit
+    * whatever the schema, and the floor never lowers.
+    *
+    * Failure atomicity: data files stage first (a failed SELECT leaves
+    * the original table byte-identical), and a lost commit CAS
+    * restores the pre-replace schema anchor before rethrowing — the
+    * one shared-artifact window (the anchor only serves zero-file
+    * versions). No commit retry: racing a replace is a semantic
+    * conflict, the loser surfaces `concurrent commit`. */
+  def replaceTable(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      partitionKeys: Seq[String],
+      clusterCols: Seq[String] = Nil,
+      rows: Option[DataFrame] = None,
+      commitTs: Long = System.currentTimeMillis()): Long = {
+    val v = currentVersion(spark, dir)
+    require(v >= 0,
+      s"no table at $dir to replace — CREATE TABLE (or init) first")
+    val missing = partitionKeys.filterNot(schema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"PARTITIONED BY column(s) not in the replacing schema: " +
+        missing.mkString(", "))
+    val badCluster = clusterCols.filterNot(schema.fieldNames.contains)
+    require(badCluster.isEmpty,
+      s"CLUSTER BY column(s) not in the replacing schema: " +
+        badCluster.mkString(", "))
+    val meta0 = metaAt(spark, dir, v)
+    val live = filesAt(spark, dir, v)
+    val fs = fsOf(spark, dir)
+    val oldSchema = snapshot(spark, dir, v).schema // for anchor rollback
+    // stage the new contents FIRST: a failed query/write aborts with
+    // the original table untouched (the staged files are unreferenced
+    // debris, reaped by vacuum)
+    val newFiles = rows.map { r =>
+      val aligned = r.select(schema.fields.toSeq.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)): _*)
+      writeStagedFiles(spark, fs, dir,
+        clusterByKeys(aligned, partitionKeys), partitionKeys)
+    }.getOrElse(Nil)
+    writeSchemaAnchorRaw(spark, dir, schema)
+    val newMeta = CommitMeta(
+      Some(math.max(commitTs, meta0.ts.getOrElse(Long.MinValue))),
+      meta0.txns, Nil, Map.empty, Some("replace"),
+      verFloor = meta0.verFloor, cdf = None,
+      renames = Map.empty, droppedCols = Nil,
+      pkeys = if (partitionKeys.nonEmpty) Some(partitionKeys) else None,
+      gens = Map.empty, addCols = Nil,
+      cluster = if (clusterCols.nonEmpty) Some(clusterCols) else None)
+    try writeCommit(fs, dir, v + 1, newFiles, live, newMeta)
+    catch { case e: Throwable =>
+      // the anchor is the ONE artifact shared across versions: put the
+      // outgoing definition's back (old meta is still in force — the
+      // commit never landed) so zero-file reads of the original stay
+      // correct, then surface the failure
+      writeSchemaAnchor(spark, dir, oldSchema)
+      throw e
+    }
+    v + 1
   }
 
   /** The table's partition keys: the declared `#pkeys` spec, or the
@@ -2010,9 +2275,10 @@ object Versioned {
       // dropped names, committed below)
       val autoRen = autoRenames(meta0, batch.columns.toSeq, v + 1)
       val writeMeta = meta0.copy(renames = meta0.renames ++ autoRen)
+      val (physBatch, pinOut) = conformToPinned(writeMeta,
+        toPhysical(writeMeta, batch), partitionKeys, "append batch")
       val newFiles = writeStagedFiles(spark, fs, dir,
-        clusterByKeys(toPhysical(writeMeta, batch), partitionKeys),
-        partitionKeys)
+        clusterByKeys(physBatch, partitionKeys), partitionKeys)
       // table-property CDF: a blind append's increment is its own rows
       // as inserts; published by whichever CAS attempt wins below
       val autoInc = meta0.cdf.map { _ =>
@@ -2036,7 +2302,8 @@ object Versioned {
           val cm = carryMeta(spark, dir, curV, commitTs, txn, curDels, "append")
           writeCommit(fs, dir, curV + 1, filesAt(spark, dir, curV) ++ newFiles,
             filesAt(spark, dir, curV),
-            cm.copy(cdfInc = autoInc, renames = cm.renames ++ autoRen))
+            cm.copy(cdfInc = autoInc, renames = cm.renames ++ autoRen,
+              pinnedSchema = pinOut.orElse(cm.pinnedSchema)))
           committed = curV + 1
         } catch {
           case e: IllegalArgumentException
@@ -2070,6 +2337,7 @@ object Versioned {
               retryMeta.gens != meta0.gens ||
               retryMeta.renames != meta0.renames ||
               retryMeta.droppedCols != meta0.droppedCols ||
+              retryMeta.pinnedSchema != meta0.pinnedSchema ||
               autoRen.keySet.intersect(retryMeta.renames.keySet).nonEmpty
             if (rulesMoved) throw new IllegalArgumentException(
               s"concurrent commit changed table properties of $dir " +
@@ -2110,7 +2378,8 @@ object Versioned {
     val added = to.filterNot(from)
     if (added.isEmpty) snapshot(spark, dir, toV).limit(0)
     else applyColumnMapping(metaAt(spark, dir, toV),
-      readRefs(spark, dir, added))
+      readRefs(spark, dir, added,
+        pinned = metaAt(spark, dir, toV).pinned))
   }
 
   // ---- change feed as a TABLE PROPERTY ----------------------------
@@ -2948,7 +3217,7 @@ object Versioned {
         Some("clone"), verFloor = srcMeta.verFloor, cdf = srcMeta.cdf,
         renames = srcMeta.renames, droppedCols = srcMeta.droppedCols,
         pkeys = srcMeta.pkeys, gens = srcMeta.gens,
-        addCols = srcMeta.addCols))
+        addCols = srcMeta.addCols, pinnedSchema = srcMeta.pinnedSchema))
     0L
   }
 
@@ -3261,7 +3530,8 @@ object Versioned {
     // at the scan (input_file_name is task-local; after a shuffle it
     // would read empty) — the same discipline tombstoneFilter uses
     val fileCol = "__graft_dv_src"
-    val raw = readRefs(spark, dir, live, withPos = true)
+    val raw = readRefs(spark, dir, live, withPos = true,
+      pinned = meta0.pinned)
       .withColumn(fileCol, encodedLeafPathCol(input_file_name()))
     val visible = tombstoneFilter(spark, dir, v, raw, keep = true)
     val logical = applyAddedColumns(meta0, applyColumnMapping(meta0, visible))
@@ -3345,7 +3615,8 @@ object Versioned {
     // rows in files added after its bound, so an upserted partition
     // whose only matching rows are the fresh ones is NOT affected);
     // bounded driver collect: distinct partition values of the hits
-    val raw = readRefs(spark, dir, live, withPos = hasDvAt(spark, dir, v))
+    val raw = readRefs(spark, dir, live, withPos = hasDvAt(spark, dir, v),
+      pinned = metaAt(spark, dir, v).pinned)
     val hits = tombstoneFilter(spark, dir, v, raw, keep = false)
     // the affected scope, in the same two shapes as [[cowScope]]: with
     // keys it is the hit rows' distinct partitions; UNPARTITIONED, any
@@ -3536,10 +3807,12 @@ object Versioned {
       // from the tombstone above by their add-version)
       val autoRen = autoRenames(meta0, inserts.columns.toSeq, v + 1)
       val writeMeta = meta0.copy(renames = meta0.renames ++ autoRen)
+      val (physInserts, pinOut) = conformToPinned(writeMeta,
+        toPhysical(writeMeta, inserts), partitionKeys, "merge-mor batch")
       val newFiles =
         if (inserts.isEmpty) Nil
         else writeStagedFiles(spark, fs, dir,
-          clusterByKeys(toPhysical(writeMeta, inserts), partitionKeys),
+          clusterByKeys(physInserts, partitionKeys),
           partitionKeys)
       val scoped = delFiles.map(p => s"$p @${v + 1}")
       beforeCommitHook()
@@ -3547,7 +3820,8 @@ object Versioned {
         val cm = carryMeta(spark, dir, v, commitTs, txn,
           rawDels ++ scoped, "merge-mor")
         writeCommit(fs, dir, v + 1, live ++ newFiles, live,
-          cm.copy(cdfInc = autoInc, renames = cm.renames ++ autoRen))
+          cm.copy(cdfInc = autoInc, renames = cm.renames ++ autoRen,
+            pinnedSchema = pinOut.orElse(cm.pinnedSchema)))
       } catch { case e: Throwable =>
         changeFeed.foreach { case (fd, b) =>
           graft.ops.MergeData.discardStagedIncrement(spark, fd, b) }
@@ -3700,7 +3974,8 @@ object Versioned {
               // the rewrite scope (conservative for scoped groups: an
               // exempt-only match forces a layout-only rewrite, never
               // a wrong row)
-              val raw = applyColumnMapping(meta0, readRefs(spark, dir, live))
+              val raw = applyColumnMapping(meta0,
+                readRefs(spark, dir, live, pinned = meta0.pinned))
               val allConf = conflicts.reduce(_ unionByName _).distinct()
               raw.join(allConf, confKeyCols
                   .map(k => raw(k) <=> allConf(k)).reduce(_ && _), "left_semi")
@@ -3776,8 +4051,10 @@ object Versioned {
       // physical, committed in this manifest's renames)
       val autoRen = autoRenames(meta0, toWrite.columns.toSeq, v + 1)
       val writeMeta = meta0.copy(renames = meta0.renames ++ autoRen)
+      val (physWrite, pinOut) = conformToPinned(writeMeta,
+        toPhysical(writeMeta, toWrite), partitionKeys, "merge batch")
       val newFiles = writeStagedFiles(spark, fs, dir,
-        clusterByKeys(toPhysical(writeMeta, toWrite), partitionKeys),
+        clusterByKeys(physWrite, partitionKeys),
         partitionKeys)
 
       // COMMIT, with a COMMIT-ONLY retry when a concurrent writer wins
@@ -3803,7 +4080,8 @@ object Versioned {
               "merge")
             writeCommit(fs, dir, curV + 1,
               curLive.filterNot(underTouched) ++ newFiles, curLive,
-              cm.copy(cdfInc = autoInc, renames = cm.renames ++ autoRen))
+              cm.copy(cdfInc = autoInc, renames = cm.renames ++ autoRen,
+                pinnedSchema = pinOut.orElse(cm.pinnedSchema)))
             committed = curV + 1
           } catch {
             case e: IllegalArgumentException
@@ -3826,6 +4104,7 @@ object Versioned {
                   newMeta.droppedCols == meta0.droppedCols &&
                   newMeta.pkeys == meta0.pkeys &&
                   newMeta.gens == meta0.gens &&
+                  newMeta.pinnedSchema == meta0.pinnedSchema &&
                   autoRen.keySet.intersect(newMeta.renames.keySet).isEmpty &&
                   deleteFilesAt(spark, dir, newV) == dels
                 if (!(disjoint && sameRules)) throw e
@@ -4063,7 +4342,7 @@ object Versioned {
     }
     val anyDv = dels.exists(e => isDvRef(delParse(e)._1))
     val rawRows = readRefs(spark, dir, targets.values.flatten.toSeq,
-      withPos = anyDv)
+      withPos = anyDv, pinned = metaAt(spark, dir, v).pinned)
     // pending MOR tombstones: a ZORDER pass rewrites EVERY partition
     // anyway, so it reads the tombstone-filtered view and the commit
     // drops the #del lines — compaction folded into the re-cluster for
@@ -4165,7 +4444,8 @@ object Versioned {
             newMeta.renames == meta0opt.renames &&
             newMeta.droppedCols == meta0opt.droppedCols &&
             newMeta.pkeys == meta0opt.pkeys &&
-            newMeta.gens == meta0opt.gens
+            newMeta.gens == meta0opt.gens &&
+            newMeta.pinnedSchema == meta0opt.pinnedSchema
           if (!rebaseOk) throw e
           curV = newV
           curLive = newLive
@@ -4179,16 +4459,39 @@ object Versioned {
     * counts over the version's manifest files — one distributed footer
     * read per file, ZERO data rows scanned. At 100 TB this answers the
     * most common query of all at listing cost. Exact by the parquet
-    * contract (the footer's record count is authoritative); refuses
-    * under pending merge-on-read tombstones, whose row effect cannot
-    * be known without scanning (materialize first, or count the
-    * [[snapshot]]). */
+    * contract (the footer's record count is authoritative).
+    *
+    * Pending DELETION VECTORS stay metadata-only: a DV names exact
+    * (file, ordinal) rows, so its row effect is its own cardinality —
+    * the count subtracts the distinct DV entries that still reference
+    * a LIVE file (entries for since-rewritten files are inert and
+    * subtract nothing), read from the metadata-sized sidecars.
+    * Pending EQUALITY tombstones still refuse: a key list's row
+    * effect genuinely cannot be known without scanning the data
+    * (materializeDeletes first, or count the [[snapshot]]). */
   def fastRowCount(spark: SparkSession, dir: String, version: Long = -1L): Long = {
     val v = if (version >= 0) version else currentVersion(spark, dir)
-    require(deleteFilesAt(spark, dir, v).isEmpty,
+    val (dvEs, eqEs) = deleteFilesAt(spark, dir, v).map(delParse)
+      .partition(e => isDvRef(e._1))
+    require(eqEs.isEmpty,
       "fastRowCount under unmaterialized equality deletes would overcount: " +
         "materializeDeletes() first or count the snapshot")
-    countFooterRows(spark, filesAt(spark, dir, v).map(f => refPath(dir, f)))
+    val base = countFooterRows(spark,
+      filesAt(spark, dir, v).map(f => refPath(dir, f)))
+    if (dvEs.isEmpty) base
+    else {
+      val liveDf = spark.createDataFrame(
+          filesAt(spark, dir, v)
+            .map(r => Tuple1(encodedLeafPath(refPath(dir, r)))))
+        .toDF("__live_file")
+      val dv = spark.read.parquet(dvEs.map(e => s"$dir/${e._1}"): _*)
+      // distinct: stacked vectors can never re-delete a row (each
+      // evaluates on the MOR view), but replay debris could duplicate
+      val deleted = dv.dropDuplicates(DvFileCol, DvPosCol)
+        .join(liveDf, col(DvFileCol) === col("__live_file"), "left_semi")
+        .count()
+      base - deleted
+    }
   }
 
   /** One distributed footer read per file, summed — shared by

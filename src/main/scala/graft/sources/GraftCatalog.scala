@@ -323,11 +323,20 @@ class GraftCatalog extends TableCatalog
         }
       case dc: TableChange.DropConstraint =>
         Versioned.dropConstraint(spark, dir, dc.name())
+      // `ALTER TABLE ... ALTER COLUMN c TYPE t` — METADATA-ONLY type
+      // widening (Delta's feature, the manifest's `#schema` pin):
+      // lossless promotions only, refused by name otherwise
+      case ut: TableChange.UpdateColumnType =>
+        require(ut.fieldNames.length == 1,
+          "graft tables have no nested columns to widen")
+        Versioned.widenColumn(spark, dir, ut.fieldNames()(0),
+          ut.newDataType())
       case other =>
         throw new UnsupportedOperationException(
           s"unsupported ALTER on a graft table: $other — ADD/RENAME/" +
-            "DROP COLUMN and graft.* properties are the SQL surface " +
-            "(type changes and nested evolution are not supported)")
+            "DROP COLUMN, ALTER COLUMN ... TYPE (lossless widening) " +
+            "and graft.* properties are the SQL surface (nested " +
+            "evolution is not supported)")
     }
     loadTable(ident)
   }
@@ -363,17 +372,66 @@ class GraftCatalog extends TableCatalog
     new GraftStagedTable(dirOf(ident), t)
   }
 
+  /** `REPLACE TABLE [AS SELECT]` — Spark's AtomicReplaceTableExec has
+    * already verified existence (tableExists → loadTable); the staged
+    * table defers EVERYTHING to one [[Versioned.replaceTable]] commit:
+    * new schema anchor + declared spec + contents, atomically, with
+    * pre-replace versions still time-traveling. An abort before that
+    * commit leaves the original byte-identical. */
   override def stageReplace(ident: Identifier,
       info: org.apache.spark.sql.connector.catalog.TableInfo)
-      : org.apache.spark.sql.connector.catalog.StagedTable =
-    throw new UnsupportedOperationException(
-      "REPLACE TABLE is not supported on graft tables — the versioned " +
-        "equivalents are INSERT OVERWRITE (data) and DROP + CREATE (schema)")
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    val spark = SparkSession.active
+    if (Versioned.currentVersion(spark, dirOf(ident)) < 0)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchTableException(ident)
+    stagedReplace(ident, info)
+  }
 
+  /** `CREATE OR REPLACE TABLE [AS SELECT]`: CREATE semantics on a
+    * missing table, REPLACE semantics on an existing one — never the
+    * r14 silent downgrade to CREATE-or-throw. */
   override def stageCreateOrReplace(ident: Identifier,
       info: org.apache.spark.sql.connector.catalog.TableInfo)
-      : org.apache.spark.sql.connector.catalog.StagedTable =
-    stageCreate(ident, info) // refuses via createTable if it exists
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    val spark = SparkSession.active
+    if (Versioned.currentVersion(spark, dirOf(ident)) < 0)
+      stageCreate(ident, info)
+    else stagedReplace(ident, info)
+  }
+
+  private def stagedReplace(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    // the replacing DEFINITION is schema + PARTITIONED BY + CLUSTER BY;
+    // inline constraints / generated columns are create-time sugar the
+    // replace refuses BY NAME (declare them post-replace with ALTER
+    // TABLE — silently dropping a governance rule would be worse than
+    // the extra statement)
+    require(info.constraints().isEmpty,
+      "REPLACE TABLE with inline CONSTRAINT is not supported on graft " +
+        "tables — replace first, then ALTER TABLE ... ADD CONSTRAINT")
+    require(!info.columns().exists(_.generationExpression() != null),
+      "REPLACE TABLE with GENERATED ALWAYS AS is not supported on graft " +
+        "tables — replace first, then declare the rule " +
+        "(Versioned.addGeneratedColumn)")
+    require(!info.columns().exists(_.defaultValue() != null),
+      "DEFAULT values are not supported on graft tables — use a " +
+        "GENERATED ALWAYS AS column, or coalesce at read")
+    val (clusterTs, partTs) = info.partitions().toSeq.partition(
+      _.name().equalsIgnoreCase("cluster_by"))
+    val keys: Seq[String] = partTs.map { t =>
+      require(t.name == "identity" && t.references.length == 1,
+        s"graft tables support only identity PARTITIONED BY columns " +
+          s"(got $t): express derived partitioning as a generated " +
+          "column + Versioned.changePartitionSpec")
+      t.references()(0).fieldNames().mkString(".")
+    }
+    val clusterCols: Seq[String] = clusterTs.flatMap(
+      _.references().toSeq.map(_.fieldNames().mkString(".")))
+    new GraftStagedReplaceTable(dirOf(ident), ident, info.schema(),
+      keys, clusterCols)
+  }
 
   /** Graft tables are identified by their PATH, and a SHALLOW CLONE
     * holds absolute refs into its source path — a rename would dangle
@@ -408,6 +466,61 @@ private[sources] final class GraftStagedTable(dir: String,
 
   override def abortStagedChanges(): Unit =
     Versioned.dropTable(SparkSession.active, dir)
+}
+
+/** The staged table a REPLACE (or CREATE OR REPLACE on an existing
+  * table) writes through. NOTHING mutates until the single
+  * [[Versioned.replaceTable]] commit: an RTAS query's rows trigger it
+  * from the write path (the insert IS the replace); a plain REPLACE
+  * with no query commits the empty definition from
+  * [[commitStagedChanges]]. Abort is a true no-op — the original
+  * table, history and anchor are untouched until the commit lands. */
+private[sources] final class GraftStagedReplaceTable(dir: String,
+    ident: Identifier, declared: StructType, keys: Seq[String],
+    clusterCols: Seq[String])
+  extends org.apache.spark.sql.connector.catalog.StagedTable
+  with SupportsWrite {
+
+  private var replaced = false
+
+  override def name(): String = s"graft.`$dir` (staged replace)"
+  override def schema(): StructType = declared
+  override def partitioning(): Array[Transform] =
+    keys.map(k => org.apache.spark.sql.connector.expressions.Expressions
+      .identity(k): Transform).toArray
+  override def properties(): util.Map[String, String] =
+    java.util.Collections.emptyMap()
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      override def truncate(): WriteBuilder = this // replace IS truncate
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: org.apache.spark.sql.DataFrame,
+                overwrite: Boolean): Unit = {
+              // Spark's output resolution aligned the query to the
+              // declared schema; the positional rename pins the names
+              val aligned = data.toDF(declared.fieldNames.toSeq: _*)
+              Versioned.replaceTable(data.sparkSession, dir, declared,
+                keys, clusterCols, rows = Some(aligned))
+              replaced = true
+            }
+          }
+      }
+    }
+
+  override def commitStagedChanges(): Unit =
+    if (!replaced) { // plain REPLACE, no AS SELECT: empty new definition
+      Versioned.replaceTable(SparkSession.active, dir, declared, keys,
+        clusterCols, rows = None)
+      replaced = true
+    }
+
+  override def abortStagedChanges(): Unit = () // nothing happened yet
 }
 
 /** One versioned lake at one pinned version, as a DSv2 read-only
@@ -495,23 +608,46 @@ private[graft] final class GraftVersionedTable(
               val spark = data.sparkSession
               val keys = Versioned.layoutPartitionKeys(spark, dir)
               // GENERATED columns a SQL INSERT omitted arrive null-
-              // filled by Spark's output resolution: drop an all-null
-              // generated column so the write path COMPUTES it (the
-              // ALWAYS contract — a partially-supplied column still
-              // validates row by row in the append)
+              // filled by Spark's output resolution: drop such a
+              // column so the write path COMPUTES it (the ALWAYS
+              // contract — a partially-supplied column still validates
+              // row by row in the append). Omission is detected from
+              // the ANALYZED PLAN — the filled column is a literal
+              // null projection — so the probe costs zero jobs; only
+              // a plan shape we cannot read pays a data probe, on a
+              // CACHED input (the r14 version ran count() straight on
+              // the incoming frame, executing every INSERT ... SELECT
+              // source twice)
               val gens = Versioned.generatedColumns(spark, dir).keySet
                 .filter(data.columns.contains)
-              val toCompute = if (gens.isEmpty) Set.empty[String]
-                else {
-                  val row = data.select(gens.toSeq.map(g =>
+              val planOmitted: Option[Set[String]] =
+                if (gens.isEmpty) Some(Set.empty)
+                else data.queryExecution.analyzed match {
+                  case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+                    Some(gens.filter(g => p.projectList.exists {
+                      case a: org.apache.spark.sql.catalyst.expressions.Alias
+                          if a.name == g =>
+                        a.child.foldable && a.child.eval(null) == null
+                      case _ => false
+                    }))
+                  case _ => None
+                }
+              val (batchIn, cached) = planOmitted match {
+                case Some(_) => (data, false)
+                case None => (data.persist(), true)
+              }
+              try {
+                val toCompute = planOmitted.getOrElse {
+                  val row = batchIn.select(gens.toSeq.map(g =>
                     org.apache.spark.sql.functions.count(col(g)).as(g)): _*)
                     .collect()(0)
                   gens.filter(g => row.getLong(row.fieldIndex(g)) == 0L)
                 }
-              val batch = toCompute.foldLeft(data)(_.drop(_))
-              if (truncateFirst || overwrite)
-                Versioned.overwrite(spark, dir, batch, keys)
-              else Versioned.append(spark, dir, batch, keys)
+                val batch = toCompute.foldLeft(batchIn)(_.drop(_))
+                if (truncateFirst || overwrite)
+                  Versioned.overwrite(spark, dir, batch, keys)
+                else Versioned.append(spark, dir, batch, keys)
+              } finally if (cached) batchIn.unpersist()
             }
           }
       }

@@ -432,8 +432,13 @@ object GraftFileIndex {
     // read stays on the vectorized pipe
     val (renames, dropped) = Versioned.columnMappingRaw(spark, dir, version)
     val physToLog = renames.map(_.swap)
-    val physSchema = spark.read.option("mergeSchema", "true")
-      .parquet(abs: _*).schema
+    // a PINNED schema (type widening in force) replaces footer
+    // inference: mixed pre/post-widen footers legitimately disagree
+    // and the vectorized reader promotes narrow stored types under
+    // the declared wide schema — the fast path stays fast
+    val physSchema = Versioned.pinnedSchemaAt(spark, dir, version)
+      .getOrElse(spark.read.option("mergeSchema", "true")
+        .parquet(abs: _*).schema)
     val mapped = StructType(physSchema.flatMap { f =>
       if (dropped.contains(f.name)) None
       else Some(f.copy(name = physToLog.getOrElse(f.name, f.name)))

@@ -600,30 +600,78 @@ case class GraftOptimizeCommand(dir: String, zorderCols: Seq[String],
 }
 
 object GraftOptimizeCommand {
-  /** The morton key for a table's DECLARED clustering columns: each
-    * (numeric, setClusterBy-validated) dimension min-max grids onto
-    * `min(16, 63/N)` bits from the snapshot's own extrema — one
-    * aggregate job, paid once per OPTIMIZE, small next to the rewrite
-    * it shapes. Constant columns grid to a single cell. */
+  /** The morton key for a table's DECLARED clustering columns — RANK
+    * (quantile) bucketing, not linear min-max scaling: each dimension
+    * buckets into `2^min(8, 63/N)` equal-POPULATION cells via
+    * [[Maintenance.quantileBucket]]'s codegen'd comparison tree.
+    *
+    *  - NUMERIC dims take their cut points from ONE
+    *    `approx_percentile` aggregate over all dims together — a
+    *    zipf-skewed id no longer collapses its tail into one linear
+    *    cell (the r14 ledger's measured selectivity loss);
+    *  - STRING dims cluster LEXICOGRAPHICALLY: cut points come from
+    *    the sorted distinct values (collected whole when small, a
+    *    seeded sample above 10k distincts — the RangePartitioner
+    *    discipline), so `CLUSTER BY (event_type)` needs no numeric
+    *    surrogate.
+    *
+    * Equal-population cells also mean the per-file min/max boxes the
+    * stats sidecar skips on stay tight on BOTH dense and sparse
+    * regions of the domain. One aggregate (plus a bounded distinct
+    * per string dim), paid once per OPTIMIZE, small next to the
+    * rewrite it shapes. Constant/all-null dims grid to a single
+    * cell. */
   private[sources] def clusterKey(spark: SparkSession, dir: String,
       cluster: Seq[String]): org.apache.spark.sql.Column = {
-    val bits = math.min(16, 63 / cluster.size)
+    import org.apache.spark.sql.functions.{lit, percentile_approx, coalesce}
+    val bits = math.min(8, 63 / cluster.size)
+    val cells = 1 << bits
+    val probs = (1 until cells).map(i => i.toDouble / cells).toArray
     val snap = Versioned.snapshot(spark, dir)
-    val aggs = cluster.flatMap(c => Seq(
-      org.apache.spark.sql.functions.min(col(c).cast("double")),
-      org.apache.spark.sql.functions.max(col(c).cast("double"))))
-    val row = snap.agg(aggs.head, aggs.tail: _*).collect()(0)
-    val dims = cluster.zipWithIndex.map { case (c, i) =>
-      // null extrema (empty or all-null column) and constant columns
-      // grid to a single cell — nothing to interleave on that dim
-      if (row.isNullAt(2 * i) || row.isNullAt(2 * i + 1) ||
-          !(row.getDouble(2 * i + 1) > row.getDouble(2 * i)))
-        org.apache.spark.sql.functions.lit(0L)
-      else Maintenance.gridBucket(col(c),
-        row.getDouble(2 * i), row.getDouble(2 * i + 1), bits)
+    val (numCols, strCols) = cluster.partition(c => snap.schema(c)
+      .dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+    val numCuts: Map[String, Seq[Double]] =
+      if (numCols.isEmpty) Map.empty
+      else {
+        val aggs = numCols.map(c => percentile_approx(
+          col(c).cast("double"),
+          lit(probs), lit(10000)).as(c))
+        val row = snap.agg(aggs.head, aggs.tail: _*).collect()(0)
+        numCols.zipWithIndex.map { case (c, i) =>
+          val cuts = if (row.isNullAt(i)) Nil
+            else row.getSeq[Double](i).filter(_ != null).distinct.sorted
+          c -> cuts
+        }.toMap
+      }
+    val strCuts: Map[String, Seq[String]] = strCols.map { c =>
+      val d = snap.select(col(c).cast("string").as(c)).na.drop.distinct()
+      val n = d.count()
+      val sample =
+        if (n <= 10000L) d.orderBy(col(c)).collect().map(_.getString(0)).toSeq
+        else d.sample(withReplacement = false, 10000.0 / n, seed = 42L)
+          .collect().map(_.getString(0)).sorted.toSeq
+      val k = sample.size
+      val cuts =
+        if (k <= 1) Nil
+        else (1 until cells).map(i => sample(math.min(k - 1, i * k / cells)))
+          .distinct.sorted
+      c -> cuts
+    }.toMap
+    val dims = cluster.map { c =>
+      numCuts.get(c) match {
+        case Some(cuts) if cuts.size >= 1 =>
+          Maintenance.quantileBucket(col(c).cast("double"), cuts.map(lit(_)))
+        case Some(_) => lit(0L) // constant or all-null: one cell
+        case None =>
+          val cuts = strCuts(c)
+          if (cuts.isEmpty) lit(0L)
+          else Maintenance.quantileBucket(col(c).cast("string"),
+            cuts.map(lit(_)))
+      }
     }
-    if (dims.size == 1) dims.head
-    else Maintenance.mortonKeyN(dims, bits)
+    val key = if (dims.size == 1) dims.head
+      else Maintenance.mortonKeyN(dims, bits)
+    coalesce(key, lit(0L))
   }
 }
 

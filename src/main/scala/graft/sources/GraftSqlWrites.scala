@@ -342,19 +342,36 @@ case class GraftUpdateCommand(dir: String, version: Long,
   }
 }
 
-/** SQL DELETE → [[Versioned.deleteWhereCow]]: the arbitrary-predicate
-  * rewrite-class delete. Two MOR routings by conf:
+/** SQL DELETE — COST-BASED routing between the engine's three delete
+  * strategies, confs as overrides (at 100 TB the DEFAULT is what saves
+  * the fleet, not the expert knob):
   *
-  *  - `spark.graft.sql.delete.vectors=true` → POSITIONAL DELETION
+  *  - `spark.graft.sql.delete.vectors=true` forces POSITIONAL DELETION
   *    VECTORS ([[Versioned.deleteWhereVectors]]): O(matched rows)
-  *    written, ZERO rewrites, ANY predicate, no key needed — the
-  *    100 TB shape for wide low-selectivity deletes;
+  *    written, ZERO rewrites, ANY predicate, no key needed;
   *  - `spark.graft.sql.delete.mor=true` on a table whose change feed
-  *    declares a row identity → the O(keys) equality-tombstone
+  *    declares a row identity forces the O(keys) equality-tombstone
   *    [[Versioned.deleteWhere]] — ONE small key file, the
-  *    GDPR-erasure shape (the feed key IS the erasure identity; an
-  *    equality tombstone also hides later re-inserts of the key,
-  *    which a positional vector deliberately does not). */
+  *    GDPR-erasure shape. This stays OPT-IN ONLY, never auto-routed:
+  *    an equality tombstone also hides later RE-INSERTS of the key
+  *    (deliberately — erasure semantics), which positional/COW
+  *    deletes do not, and the engine must not change future-write
+  *    semantics on a cost estimate;
+  *  - `spark.graft.sql.delete.cow=true` forces the copy-on-write
+  *    rewrite ([[Versioned.deleteWhereCow]]).
+  *
+  * AUTO (no conf): a predicate touching ONLY partition columns routes
+  * to COW — the rewrite prunes to exactly the named partitions and
+  * leaves zero MOR read debt. Otherwise the stats sidecar (when the
+  * table runs the discipline) estimates the predicate's FILE
+  * footprint — the same min/max boxes the pruned reads use: a
+  * predicate whose candidate files are a small fraction of the table
+  * (<= `spark.graft.sql.delete.cowMaxFraction`, default 0.25) pays
+  * the bounded rewrite and stays debt-free; a WIDE sweep (a TTL
+  * expiry, a GDPR predicate across every partition) routes to
+  * deletion vectors — O(matched) bytes instead of rewriting most of a
+  * 100 TB table. Unstatsed tables and untranslatable predicates keep
+  * the COW default (no estimate, no surprise). */
 case class GraftDeleteCommand(dir: String, version: Long,
     condition: Expression) extends LeafRunnableCommand {
 
@@ -362,20 +379,54 @@ case class GraftDeleteCommand(dir: String, version: Long,
     GraftRowLevelSql.requireCurrent(spark, dir, version, "DELETE")
     val pred = GraftRowLevelSql.byName(condition)
     def conf(k: String) = spark.conf.getOption(k).exists(_.toBoolean)
+    val keys = Versioned.layoutPartitionKeys(spark, dir)
     if (conf("spark.graft.sql.delete.vectors"))
       Versioned.deleteWhereVectors(spark, dir, pred)
     else if (conf("spark.graft.sql.delete.mor")) {
-      val keys = Versioned.changeFeedKey(spark, dir).getOrElse(
+      val feedKeys = Versioned.changeFeedKey(spark, dir).getOrElse(
         throw new IllegalArgumentException(
           "spark.graft.sql.delete.mor needs a declared row identity: " +
             s"enableChangeFeed (or the graft.changeFeed.keys table " +
             s"property) on $dir first — the feed key is the equality-" +
             "tombstone's erasure identity"))
-      Versioned.deleteWhere(spark, dir, pred, keys)
-    } else
-      Versioned.deleteWhereCow(spark, dir, pred,
-        Versioned.layoutPartitionKeys(spark, dir))
+      Versioned.deleteWhere(spark, dir, pred, feedKeys)
+    } else if (conf("spark.graft.sql.delete.cow"))
+      Versioned.deleteWhereCow(spark, dir, pred, keys)
+    else GraftDeleteCommand.route(spark, dir, condition, keys) match {
+      case GraftDeleteCommand.Cow =>
+        Versioned.deleteWhereCow(spark, dir, pred, keys)
+      case GraftDeleteCommand.Vectors =>
+        Versioned.deleteWhereVectors(spark, dir, pred)
+    }
     Nil
+  }
+}
+
+object GraftDeleteCommand {
+  private[sources] sealed trait Route
+  private[sources] case object Cow extends Route
+  private[sources] case object Vectors extends Route
+
+  /** The auto-routing decision, exposed for the spec: COW for
+    * partition-aligned or provably-narrow predicates, deletion vectors
+    * for provably-wide ones, COW when nothing can be proven. */
+  private[sources] def route(spark: SparkSession, dir: String,
+      condition: Expression, partitionKeys: Seq[String]): Route = {
+    val refs = condition.references.map(_.name).toSet
+    if (partitionKeys.nonEmpty && refs.nonEmpty &&
+        refs.subsetOf(partitionKeys.toSet))
+      return Cow // the rewrite prunes to exactly the named partitions
+    val maxFrac = spark.conf
+      .getOption("spark.graft.sql.delete.cowMaxFraction")
+      .map(_.toDouble).getOrElse(0.25)
+    val preds = GraftFileIndex.toPrunePreds(condition)
+    val total = Versioned.filesAt(spark, dir).size
+    if (preds.isEmpty || total == 0) return Cow
+    Versioned.prunedScanCandidatesLenient(spark, dir, preds) match {
+      case Some(cand) if cand.size.toDouble / total > maxFrac => Vectors
+      case Some(_) => Cow // narrow footprint: bounded rewrite, no debt
+      case None => Cow // no stats discipline: no estimate, no surprise
+    }
   }
 }
 

@@ -2263,6 +2263,69 @@ class VersionedSpec extends SparkSpec {
       "unknown bytes -> fallback, never a wrong plan")
   }
 
+  test("type widening (#schema pin): metadata-only int->long and float->double, mixed-era files read wide, travel keeps the narrow type, refusal matrix, clones inherit the pin") {
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("graft_widen").toFile
+    root.deleteOnExit()
+    val dir = new java.io.File(root, "lake").getAbsolutePath
+    MergeData.writeMerged(spark,
+      df(Seq(("a", 1, 1.5f), ("b", 2, 2.5f)), "site", "id", "v"),
+      dir, keys = Seq("site"))
+    Versioned.init(spark, dir, commitTs = 1000L)
+    val vNarrow = Versioned.currentVersion(spark, dir)
+    assert(Versioned.snapshot(spark, dir).schema("id").dataType == IntegerType)
+    // the widen is ONE metadata commit — zero data files change
+    val filesBefore = Versioned.filesAt(spark, dir)
+    val vW = Versioned.widenColumn(spark, dir, "id", LongType)
+    assert(Versioned.filesAt(spark, dir, vW) == filesBefore,
+      "widening must touch no data file")
+    assert(Versioned.snapshot(spark, dir).schema("id").dataType == LongType)
+    // a post-widen append carries values only the wide type can hold;
+    // pre-widen (int) and post-widen (long) files then READ AS ONE
+    // SCAN under the pin (footer inference would refuse to merge them)
+    Versioned.append(spark, dir,
+      df(Seq(("a", 5000000000L, 3.5f)), "site", "id", "v"), Seq("site"))
+    val got = Versioned.snapshot(spark, dir)
+      .agg(sum(col("id")).as("s"), count(lit(1)).as("n")).head()
+    assert(got.getLong(0) == 5000000003L && got.getLong(1) == 3L)
+    // a NARROW writer batch after the widen is cast up at the write
+    Versioned.append(spark, dir,
+      df(Seq(("b", 7, 4.5f)), "site", "id", "v"), Seq("site"))
+    assert(Versioned.snapshot(spark, dir)
+      .filter(col("id") === 7L).count() == 1L)
+    // float -> double stacks on the same pin
+    Versioned.widenColumn(spark, dir, "v", DoubleType)
+    assert(Versioned.snapshot(spark, dir).schema("v").dataType == DoubleType)
+    assert(math.abs(Versioned.snapshot(spark, dir)
+      .agg(sum(col("v"))).head().getDouble(0) - 12.0) < 1e-9)
+    // TRAVEL: the pre-widen version still reads under its own (narrow)
+    // meta — no pin, plain inference, int type
+    assert(Versioned.snapshot(spark, dir, vNarrow)
+      .schema("id").dataType == IntegerType,
+      "pre-widen versions must travel under their own type")
+    // the fast format path reads the same pin (vectorized promotion)
+    val fast = spark.read.format("graft").load(dir)
+    assert(fast.schema("id").dataType == LongType)
+    assert(fast.agg(sum(col("id"))).head().getLong(0) == 5000000010L)
+    // REFUSAL MATRIX: narrowing, string<->numeric, long->double
+    val eNarrow = intercept[IllegalArgumentException] {
+      Versioned.widenColumn(spark, dir, "id", IntegerType) }
+    assert(eNarrow.getMessage.contains("LOSSLESS"), eNarrow.getMessage)
+    intercept[IllegalArgumentException] {
+      Versioned.widenColumn(spark, dir, "id", StringType) }
+    intercept[IllegalArgumentException] {
+      Versioned.widenColumn(spark, dir, "site", LongType) } // string->num and partition col
+    intercept[IllegalArgumentException] {
+      Versioned.widenColumn(spark, dir, "id", DoubleType) } // long->double is lossy
+    // clones inherit the pin (their foreign files include narrow ones)
+    val cloneDir = new java.io.File(root, "clone").getAbsolutePath
+    Versioned.cloneAt(spark, dir, cloneDir)
+    assert(Versioned.snapshot(spark, cloneDir).schema("id").dataType ==
+      LongType)
+    assert(Versioned.snapshot(spark, cloneDir)
+      .agg(sum(col("id"))).head().getLong(0) == 5000000010L)
+  }
+
   test("manifest #bytes rail: fileSizesAt is metadata-only for rail-era commits, equals FS truth, survives vacuum's checkpoint rewrite, travels with clones; pre-rail manifests fall back lazily") {
     val dir = freshLake()
     Versioned.init(spark, dir, commitTs = 1000L)

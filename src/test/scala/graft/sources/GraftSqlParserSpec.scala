@@ -368,12 +368,18 @@ class GraftSqlParserSpec extends SparkSpec {
       "('graft.clusterBy')")
     assert(Versioned.clusterByOf(spark, dir).isEmpty)
     assert(!Versioned.tableProperties(spark, dir).contains("graft.clusterBy"))
-    // non-numeric clustering refuses with guidance
+    // STRING clustering is accepted (lexicographic rank cuts — r15):
+    // declare, then a bare OPTIMIZE self-clusters on it
+    spark.sql(s"ALTER TABLE ${tbl(dir)} SET TBLPROPERTIES " +
+      "('graft.clusterBy' = 'site')")
+    assert(Versioned.clusterByOf(spark, dir) == Seq("site"))
+    sqlM(s"OPTIMIZE ${tbl(dir)}") // must run, not refuse
+    // unknown columns still refuse
     val e = intercept[Exception] {
       spark.sql(s"ALTER TABLE ${tbl(dir)} SET TBLPROPERTIES " +
-        "('graft.clusterBy' = 'site')")
+        "('graft.clusterBy' = 'nope')")
     }
-    assert(e.getMessage.contains("numeric"), e.getMessage)
+    assert(e.getMessage.contains("not in"), e.getMessage)
   }
 
   test("ownership: non-maintenance statements (incl. CTAS with a 'shallow clone' string) delegate; malformed verbs and non-graft catalogs refuse loudly") {

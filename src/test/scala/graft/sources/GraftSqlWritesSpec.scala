@@ -386,11 +386,90 @@ class GraftSqlWritesSpec extends SparkSpec {
     assert(Versioned.snapshot(spark, dir)
       .filter(col("reading").isNotNull).count() == 0L,
       "a re-added dropped name must NOT resurrect the old values")
-    // unsupported evolutions still refuse with guidance
+    // NARROWING still refuses with guidance (id is BIGINT)
     val e2 = intercept[Exception] {
       spark.sql(s"ALTER TABLE ${tbl(dir)} ALTER COLUMN id TYPE INT")
     }
     assert(e2.getMessage != null, s"type change must refuse: ${e2.getMessage}")
+  }
+
+  test("DELETE auto-routing: partition-aligned -> COW, stats-wide -> deletion vectors, stats-narrow -> COW, unstatsed -> COW; confs stay overrides") {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, GreaterThanOrEqual, Literal}
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val dir = freshLake()
+    (1 to 7).foreach { i => // 8+ files so a one-file hit is < 25%
+      Versioned.append(spark, dir,
+        df(Seq(("a", 1000L + i * 100, i.toDouble)), "site", "id", "v"),
+        Seq("site"))
+    }
+    def idRef = AttributeReference("id", LongType)()
+    def siteRef = AttributeReference("site", StringType)()
+    val keys = Versioned.layoutPartitionKeys(spark, dir)
+    val wide = GreaterThanOrEqual(idRef, Literal(0L))
+    val narrow = EqualTo(idRef, Literal(1700L))
+    val aligned = EqualTo(siteRef, Literal("b"))
+    // UNSTATSED: no estimate -> COW (today's semantics, no surprise)
+    assert(GraftDeleteCommand.route(spark, dir, wide, keys) ==
+      GraftDeleteCommand.Cow)
+    // partition-aligned -> COW regardless of stats
+    assert(GraftDeleteCommand.route(spark, dir, aligned, keys) ==
+      GraftDeleteCommand.Cow)
+    Versioned.backfillStats(spark, dir, Seq("id"))
+    // stats in force: a wide sweep routes to deletion vectors, a
+    // narrow (one-file box) predicate keeps the bounded rewrite
+    assert(GraftDeleteCommand.route(spark, dir, wide, keys) ==
+      GraftDeleteCommand.Vectors)
+    assert(GraftDeleteCommand.route(spark, dir, narrow, keys) ==
+      GraftDeleteCommand.Cow)
+    // END-TO-END: the SQL DELETE physically honors the routing — a
+    // wide delete writes a DV sidecar and rewrites NOTHING
+    val filesBefore = Versioned.filesAt(spark, dir)
+    spark.sql(s"DELETE FROM ${tbl(dir)} WHERE id >= 1000")
+    assert(Versioned.filesAt(spark, dir) == filesBefore,
+      "a wide auto-routed delete must rewrite zero files")
+    assert(Versioned.deleteFilesAt(spark, dir)
+      .exists(_.contains("_deletes/dv_")),
+      "a wide auto-routed delete must commit a deletion vector")
+    assert(state(Versioned.snapshot(spark, dir)) ==
+      Set(("a", 1L, 1.0), ("a", 2L, 2.0), ("b", 10L, 10.0),
+        ("c", 20L, 20.0)))
+    // ... and a partition-aligned delete COW-rewrites (no new DV)
+    val dvsBefore = Versioned.deleteFilesAt(spark, dir).size
+    spark.sql(s"DELETE FROM ${tbl(dir)} WHERE site = 'c'")
+    assert(Versioned.deleteFilesAt(spark, dir).size == dvsBefore,
+      "a partition-aligned delete must not add MOR debt")
+    assert(!state(Versioned.snapshot(spark, dir)).exists(_._1 == "c"))
+    // conf override beats the estimate
+    spark.conf.set("spark.graft.sql.delete.cow", "true")
+    try {
+      val before2 = Versioned.deleteFilesAt(spark, dir).size
+      spark.sql(s"DELETE FROM ${tbl(dir)} WHERE id >= 0")
+      assert(Versioned.deleteFilesAt(spark, dir).size == before2,
+        "the cow override must veto the wide->vectors estimate")
+    } finally spark.conf.unset("spark.graft.sql.delete.cow")
+  }
+
+  test("ALTER COLUMN ... TYPE widening via SQL: int->long is metadata-only, long-range inserts land, travel keeps the narrow type") {
+    val root = java.nio.file.Files.createTempDirectory("graft_widsql").toFile
+    root.deleteOnExit()
+    val dir = new java.io.File(root, "t").getAbsolutePath
+    spark.sql(s"CREATE TABLE ${tbl(dir)} " +
+      "(id INT, v DOUBLE, site STRING) PARTITIONED BY (site)")
+    spark.sql(s"INSERT INTO ${tbl(dir)} VALUES (1, 1.0, 'a'), (2, 2.0, 'b')")
+    val vPre = Versioned.currentVersion(spark, dir)
+    spark.sql(s"ALTER TABLE ${tbl(dir)} ALTER COLUMN id TYPE BIGINT")
+    assert(spark.sql(s"SELECT * FROM ${tbl(dir)}")
+      .schema("id").dataType.simpleString == "bigint")
+    // a value only BIGINT can hold, next to the old int files
+    spark.sql(s"INSERT INTO ${tbl(dir)} VALUES (5000000000, 3.0, 'a')")
+    assert(spark.sql(s"SELECT sum(id) AS s FROM ${tbl(dir)}")
+      .head().getLong(0) == 5000000003L)
+    // pre-widen versions travel under the narrow type
+    assert(spark.sql(s"SELECT * FROM ${tbl(dir)} VERSION AS OF $vPre")
+      .schema("id").dataType.simpleString == "int")
+    // refusals: string<->numeric
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE ${tbl(dir)} ALTER COLUMN v TYPE STRING") }
   }
 
   test("TRUNCATE TABLE: one commit empties the table (typed empty read survives), pre-truncate versions travel, feed gets delete rows; graft_files lists the manifest") {
@@ -565,6 +644,91 @@ class GraftSqlWritesSpec extends SparkSpec {
       "SELECT site, id, v FROM ctas_src WHERE id > 1")
     assert(state(Versioned.snapshot(spark, dir2)) ==
       Set(("b", 10L, 10.0), ("b", 11L, 11.0)))
+  }
+
+  test("REPLACE TABLE AS SELECT: one history-preserving commit swaps schema + spec + contents; pre-replace versions travel; definition state resets") {
+    val root = java.nio.file.Files.createTempDirectory("graft_rtas").toFile
+    root.deleteOnExit()
+    val dir = new java.io.File(root, "t").getAbsolutePath
+    df(Seq(("a", 1L, 1.0), ("b", 10L, 10.0)), "site", "id", "v")
+      .createOrReplaceTempView("rtas_src")
+    spark.sql(s"CREATE TABLE ${tbl(dir)} PARTITIONED BY (site) AS " +
+      "SELECT id, v, site FROM rtas_src")
+    spark.sql(s"ALTER TABLE ${tbl(dir)} SET TBLPROPERTIES(" +
+      "'graft.constraint.pos' = 'v >= 0')")
+    val vPre = Versioned.currentVersion(spark, dir)
+    // replace with a DIFFERENT schema (from the SELECT — Spark's RTAS
+    // grammar forbids an explicit column list), DIFFERENT spec
+    spark.sql(s"REPLACE TABLE ${tbl(dir)} PARTITIONED BY (region) AS " +
+      "SELECT site AS region, sum(v) AS total FROM rtas_src GROUP BY site")
+    assert(Versioned.currentVersion(spark, dir) == vPre + 1,
+      "REPLACE must be ONE commit")
+    val now = spark.sql(s"SELECT region, total FROM ${tbl(dir)} ORDER BY region")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(now == Seq(("a", 1.0), ("b", 10.0)))
+    assert(Versioned.partitionSpec(spark, dir) == Some(Seq("region")))
+    // pre-replace versions STILL travel under their own schema
+    val old = spark.sql(
+      s"SELECT site, id, v FROM ${tbl(dir)} VERSION AS OF $vPre")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(old == Set(("a", 1L, 1.0), ("b", 10L, 10.0)),
+      "pre-replace versions must time-travel")
+    // the OLD definition's constraint does not haunt the new table
+    assert(Versioned.constraints(spark, dir).isEmpty,
+      "definition-level state must reset with the definition")
+    // (partition columns read last, Hive-layout order: total, region)
+    spark.sql(s"INSERT INTO ${tbl(dir)} VALUES (-5.0, 'c')") // pos would refuse
+    assert(spark.sql(s"SELECT count(*) FROM ${tbl(dir)}").head().getLong(0) == 3L)
+    // REPLACE a MISSING table refuses; CREATE OR REPLACE creates it
+    val dir2 = new java.io.File(root, "t2").getAbsolutePath
+    intercept[Exception] {
+      spark.sql(s"REPLACE TABLE ${tbl(dir2)} AS SELECT * FROM rtas_src") }
+    assert(Versioned.currentVersion(spark, dir2) < 0)
+    spark.sql(s"CREATE OR REPLACE TABLE ${tbl(dir2)} AS " +
+      "SELECT site, id, v FROM rtas_src")
+    assert(state(Versioned.snapshot(spark, dir2)) ==
+      Set(("a", 1L, 1.0), ("b", 10L, 10.0)),
+      "CREATE OR REPLACE on a missing table == CREATE")
+    // ... and on the EXISTING table it now REPLACES (the r14 downgrade
+    // threw TableAlreadyExists here)
+    spark.sql(s"CREATE OR REPLACE TABLE ${tbl(dir2)} AS " +
+      "SELECT site, id, v * 2 AS v FROM rtas_src")
+    assert(state(Versioned.snapshot(spark, dir2)) ==
+      Set(("a", 1L, 2.0), ("b", 10L, 20.0)))
+  }
+
+  test("REPLACE TABLE without AS SELECT publishes an empty new definition; a failed replacing SELECT aborts leaving the original intact") {
+    val root = java.nio.file.Files.createTempDirectory("graft_rtasf").toFile
+    root.deleteOnExit()
+    val dir = new java.io.File(root, "t").getAbsolutePath
+    df(Seq(("a", 1L, 1.0)), "site", "id", "v")
+      .createOrReplaceTempView("rtasf_src")
+    spark.sql(s"CREATE TABLE ${tbl(dir)} AS SELECT site, id, v FROM rtasf_src")
+    val vPre = Versioned.currentVersion(spark, dir)
+    // plain REPLACE: empty table under the NEW schema, old travels
+    spark.sql(s"REPLACE TABLE ${tbl(dir)} (k STRING, n BIGINT)")
+    assert(spark.sql(s"SELECT * FROM ${tbl(dir)}").columns.toSeq ==
+      Seq("k", "n"))
+    assert(spark.sql(s"SELECT count(*) FROM ${tbl(dir)}").head().getLong(0) == 0L)
+    assert(state(Versioned.snapshot(spark, dir, vPre)) ==
+      Set(("a", 1L, 1.0)))
+    // a replacing SELECT that FAILS mid-write: nothing committed, the
+    // (new-definition) table stays exactly as before the attempt
+    df(Seq(("x", 0L)), "k", "n").createOrReplaceTempView("rtasf_boom")
+    intercept[Exception] { // ANSI division by zero inside the write job
+      spark.sql(s"REPLACE TABLE ${tbl(dir)} AS " +
+        "SELECT k, 1 / n AS inv FROM rtasf_boom")
+    }
+    assert(spark.sql(s"SELECT * FROM ${tbl(dir)}").columns.toSeq ==
+      Seq("k", "n"),
+      "a failed replace must leave the original definition intact")
+    assert(Versioned.currentVersion(spark, dir) == vPre + 1,
+      "a failed replace must not commit")
+    // inline create-time sugar refuses BY NAME under replace
+    val e = intercept[Exception] {
+      spark.sql(s"REPLACE TABLE ${tbl(dir)} " +
+        "(k STRING, n BIGINT, CONSTRAINT c CHECK (n > 0))") }
+    assert(e.getMessage.contains("ADD CONSTRAINT"), e.getMessage)
   }
 
   test("CTAS is atomic: a SELECT that fails mid-write leaves NOTHING behind (no directory, no half table)") {
