@@ -5124,6 +5124,287 @@ object LakeQueries {
                round(sum(value::DOUBLE), 4) AS sum_value,
                count(DISTINCT event_id) AS n_ids
         FROM allr GROUP BY 1 ORDER BY 1"""),
-      "CONVERT TO GRAFT (in-place adoption require()d) + OPTIMIZE WHERE (out-of-scope partition byte-identical, scoped one compacts to 1 file, require()d); readback == union oracle")
+      "CONVERT TO GRAFT (in-place adoption require()d) + OPTIMIZE WHERE (out-of-scope partition byte-identical, scoped one compacts to 1 file, require()d); readback == union oracle"),
+
+    // ---------------------------------------------------------------
+    // REPLACE TABLE AS SELECT — the history-preserving definition
+    // swap: ONE commit replaces schema + contents (require()d), the
+    // pre-replace version still time-travels (require()d), and the
+    // readback of the NEW definition hashes against the recompute.
+    // ---------------------------------------------------------------
+    Q("q213_sql_replace",
+      (s, dir) => {
+        graft.GraftExtensions.register(s)
+        s.conf.set("spark.sql.catalog.gsql", "graft.sources.GraftCatalog")
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val root = new File(new File(sys.props("user.dir"), "target"),
+          s"graft_replq_$tag")
+        val lake = new File(root, "t").getAbsolutePath
+        LakeQueries.synchronized {
+          val fs = new org.apache.hadoop.fs.Path(root.getAbsolutePath)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(root.getAbsolutePath), true)
+          Tables(s, dir, "events").select(MergeCols.map(col): _*)
+            .filter(col("event_type").isin("click", "view", "purchase"))
+            .createOrReplaceTempView("q213_src")
+          s.sql(s"CREATE TABLE gsql.`$lake` PARTITIONED BY (event_type) " +
+            "AS SELECT event_id, user_id, value, event_type FROM q213_src " +
+            "WHERE event_type IN ('click','view')")
+          val vPre = Versioned.currentVersion(s, lake)
+          val preCount = s.sql(s"SELECT count(*) FROM gsql.`$lake`")
+            .head().getLong(0)
+          // the definition swap: different schema, different grain
+          s.sql(s"REPLACE TABLE gsql.`$lake` AS " +
+            "SELECT user_id, count(*) AS n_events, " +
+            "round(sum(value), 4) AS sum_value FROM q213_src GROUP BY user_id")
+          require(Versioned.currentVersion(s, lake) == vPre + 1,
+            "REPLACE must be ONE history-preserving commit")
+          require(s.sql(s"SELECT count(*) FROM gsql.`$lake` " +
+              s"VERSION AS OF $vPre").head().getLong(0) == preCount,
+            "the pre-replace version must still time-travel")
+        }
+        s.sql(s"SELECT user_id, n_events, sum_value FROM gsql.`$lake` " +
+          "ORDER BY user_id")
+      },
+      Some("""
+        SELECT user_id, count(*) AS n_events,
+               round(sum(value::DOUBLE), 4) AS sum_value
+        FROM events WHERE event_type IN ('click','view','purchase')
+        GROUP BY user_id ORDER BY user_id"""),
+      "REPLACE TABLE AS SELECT: one atomic definition swap (single commit + pre-replace travel require()d); new-definition readback == recompute oracle"),
+
+    // ---------------------------------------------------------------
+    // ALTER COLUMN ... TYPE widening — metadata-only int -> bigint
+    // (#schema pin): values only the wide type can hold land next to
+    // the narrow-era files and read as ONE scan; time travel keeps
+    // the narrow declaration (require()d).
+    // ---------------------------------------------------------------
+    Q("q214_sql_widen",
+      (s, dir) => {
+        graft.GraftExtensions.register(s)
+        s.conf.set("spark.sql.catalog.gsql", "graft.sources.GraftCatalog")
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val root = new File(new File(sys.props("user.dir"), "target"),
+          s"graft_widq_$tag")
+        val lake = new File(root, "t").getAbsolutePath
+        LakeQueries.synchronized {
+          val fs = new org.apache.hadoop.fs.Path(root.getAbsolutePath)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(root.getAbsolutePath), true)
+          s.sql(s"CREATE TABLE gsql.`$lake` (uid INT, value DOUBLE, " +
+            "etype STRING) PARTITIONED BY (etype)")
+          Tables(s, dir, "events")
+            .filter(col("event_type") === "click")
+            .select(col("user_id").cast("int").as("uid"), col("value"),
+              col("event_type").as("etype"))
+            .createOrReplaceTempView("q214_narrow")
+          s.sql(s"INSERT INTO gsql.`$lake` SELECT uid, value, etype " +
+            "FROM q214_narrow")
+          val vPre = Versioned.currentVersion(s, lake)
+          val filesPre = Versioned.filesAt(s, lake)
+          s.sql(s"ALTER TABLE gsql.`$lake` ALTER COLUMN uid TYPE BIGINT")
+          require(Versioned.filesAt(s, lake) == filesPre,
+            "the widen must be METADATA-ONLY — zero files rewritten")
+          // values only BIGINT can hold, next to the int-era files
+          Tables(s, dir, "events")
+            .filter(col("event_type") === "view")
+            .select((col("user_id") + lit(6000000000L)).as("uid"),
+              col("value"), col("event_type").as("etype"))
+            .createOrReplaceTempView("q214_wide")
+          s.sql(s"INSERT INTO gsql.`$lake` SELECT uid, value, etype " +
+            "FROM q214_wide")
+          require(s.sql(s"SELECT * FROM gsql.`$lake` VERSION AS OF $vPre")
+              .schema("uid").dataType.simpleString == "int",
+            "pre-widen versions must travel under the narrow type")
+        }
+        s.sql(
+          s"""SELECT etype, count(*) AS n, sum(uid) AS sum_uid,
+             |       round(sum(value), 4) AS sum_value
+             |FROM gsql.`$lake` GROUP BY 1 ORDER BY 1""".stripMargin)
+      },
+      Some("""
+        WITH t AS (
+          SELECT user_id AS uid, value, event_type AS etype FROM events
+          WHERE event_type = 'click'
+          UNION ALL
+          SELECT user_id + 6000000000, value, event_type FROM events
+          WHERE event_type = 'view')
+        SELECT etype, count(*) AS n, sum(uid)::BIGINT AS sum_uid,
+               round(sum(value::DOUBLE), 4) AS sum_value
+        FROM t GROUP BY 1 ORDER BY 1"""),
+      "metadata-only type widening (int->bigint via #schema pin): zero rewrites + narrow-type travel require()d; mixed-era scan == union oracle"),
+
+    // ---------------------------------------------------------------
+    // Cost-based SQL DELETE routing — a WIDE predicate (stats boxes
+    // intersect every file) auto-routes to deletion vectors (zero
+    // rewrites, require()d); a PARTITION-ALIGNED one COW-rewrites
+    // with no MOR debt (require()d).
+    // ---------------------------------------------------------------
+    Q("q215_delete_routing",
+      (s, dir) => {
+        graft.GraftExtensions.register(s)
+        s.conf.set("spark.sql.catalog.gsql", "graft.sources.GraftCatalog")
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val root = new File(new File(sys.props("user.dir"), "target"),
+          s"graft_delrq_$tag")
+        val lake = new File(root, "t").getAbsolutePath
+        LakeQueries.synchronized {
+          val fs = new org.apache.hadoop.fs.Path(root.getAbsolutePath)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(root.getAbsolutePath), true)
+          val base = Tables(s, dir, "events").select(MergeCols.map(col): _*)
+            .filter(col("event_type").isin("click", "view", "purchase"))
+          base.createOrReplaceTempView("q215_src")
+          s.sql(s"CREATE TABLE gsql.`$lake` PARTITIONED BY (event_type) " +
+            "AS SELECT event_id, user_id, value, event_type FROM q215_src")
+          (1 to 2).foreach { i => // several files per partition
+            s.sql(s"INSERT INTO gsql.`$lake` " +
+              s"SELECT event_id + ${i * 100000000L}, user_id, value, " +
+              "event_type FROM q215_src")
+          }
+          sqlMaint(s, s"ANALYZE TABLE gsql.`$lake` COMPUTE STATISTICS " +
+            "FOR COLUMNS (value)")
+          // WIDE sweep: every file's [min,max] value box intersects ->
+          // the router picks deletion vectors, rewriting NOTHING
+          val filesPre = Versioned.filesAt(s, lake)
+          s.sql(s"DELETE FROM gsql.`$lake` WHERE value >= 0.7")
+          require(Versioned.filesAt(s, lake) == filesPre,
+            "a wide auto-routed DELETE must rewrite zero files")
+          require(Versioned.deleteFilesAt(s, lake)
+              .exists(_.contains("_deletes/dv_")),
+            "a wide auto-routed DELETE must commit a deletion vector")
+          // PARTITION-ALIGNED: the rewrite prunes to the named
+          // partition and leaves no MOR debt
+          val dvsPre = Versioned.deleteFilesAt(s, lake).size
+          s.sql(s"DELETE FROM gsql.`$lake` WHERE event_type = 'purchase'")
+          require(Versioned.deleteFilesAt(s, lake).size == dvsPre,
+            "a partition-aligned DELETE must not add MOR debt")
+        }
+        s.sql(
+          s"""SELECT event_type, count(*) AS n,
+             |       round(sum(value), 4) AS sum_value,
+             |       count(DISTINCT event_id) AS n_ids
+             |FROM gsql.`$lake` GROUP BY 1 ORDER BY 1""".stripMargin)
+      },
+      Some("""
+        WITH t AS (SELECT event_id, value, event_type FROM events
+                   WHERE event_type IN ('click','view','purchase')),
+        allr AS (
+          SELECT event_id, value, event_type FROM t
+          UNION ALL
+          SELECT event_id + 100000000, value, event_type FROM t
+          UNION ALL
+          SELECT event_id + 200000000, value, event_type FROM t),
+        kept AS (
+          SELECT * FROM allr
+          WHERE (value < 0.7 OR value IS NULL)
+            AND event_type IN ('click','view'))
+        SELECT event_type, count(*) AS n,
+               round(sum(value::DOUBLE), 4) AS sum_value,
+               count(DISTINCT event_id) AS n_ids
+        FROM kept GROUP BY 1 ORDER BY 1"""),
+      "cost-based DELETE routing: stats-wide predicate -> deletion vectors (zero rewrites require()d), partition-aligned -> COW (no MOR debt require()d); MOR readback == oracle"),
+
+    // ---------------------------------------------------------------
+    // STRING (+ mixed) CLUSTER BY — the liquid declaration accepts a
+    // string dimension (lexicographic rank cuts, no numeric
+    // surrogate); bare OPTIMIZE self-clusters and compacts
+    // (require()d).
+    // ---------------------------------------------------------------
+    Q("q216_cluster_by_string",
+      (s, dir) => {
+        graft.GraftExtensions.register(s)
+        s.conf.set("spark.sql.catalog.gsql", "graft.sources.GraftCatalog")
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val root = new File(new File(sys.props("user.dir"), "target"),
+          s"graft_clsq_$tag")
+        val lake = new File(root, "t").getAbsolutePath
+        LakeQueries.synchronized {
+          val fs = new org.apache.hadoop.fs.Path(root.getAbsolutePath)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(root.getAbsolutePath), true)
+          s.sql(s"CREATE TABLE gsql.`$lake` (event_id BIGINT, " +
+            "user_id BIGINT, value DOUBLE, event_type STRING) " +
+            "CLUSTER BY (event_type, user_id)") // STRING + numeric dims
+          require(Versioned.clusterByOf(s, lake) ==
+            Seq("event_type", "user_id"),
+            "a string CLUSTER BY column must be accepted")
+          val base = Tables(s, dir, "events").select(MergeCols.map(col): _*)
+          (0 to 2).foreach { i => // scattered small-file inserts
+            base.filter(col("event_id") % 3 === i)
+              .createOrReplaceTempView("q216_ins")
+            s.sql(s"INSERT INTO gsql.`$lake` SELECT * FROM q216_ins")
+          }
+          val m = sqlMaint(s, s"OPTIMIZE gsql.`$lake`").collect().head
+          require(m.getLong(1) > m.getLong(2),
+            s"bare OPTIMIZE must compact the string-clustered table ($m)")
+        }
+        s.sql(
+          s"""SELECT event_type, count(*) AS n,
+             |       round(sum(value), 4) AS sum_value,
+             |       count(DISTINCT user_id) AS n_users
+             |FROM gsql.`$lake` GROUP BY 1 ORDER BY 1""".stripMargin)
+      },
+      Some("""
+        SELECT event_type, count(*) AS n,
+               round(sum(value::DOUBLE), 4) AS sum_value,
+               count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY 1 ORDER BY 1"""),
+      "CLUSTER BY with a STRING dimension (lexicographic rank cuts): declaration accepted + bare OPTIMIZE self-clusters and compacts (require()d); readback == oracle"),
+
+    // ---------------------------------------------------------------
+    // fastRowCount under pending deletion vectors + metadata-only
+    // DESCRIBE DETAIL — both stay O(metadata): the count subtracts
+    // the DV cardinality (== snapshot count, require()d), DESCRIBE
+    // resolves bytes with ZERO per-file FS probes (require()d).
+    // ---------------------------------------------------------------
+    Q("q217_fastcount_dv",
+      (s, dir) => {
+        graft.GraftExtensions.register(s)
+        s.conf.set("spark.sql.catalog.gsql", "graft.sources.GraftCatalog")
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val root = new File(new File(sys.props("user.dir"), "target"),
+          s"graft_fcdvq_$tag")
+        val lake = new File(root, "t").getAbsolutePath
+        LakeQueries.synchronized {
+          val fs = new org.apache.hadoop.fs.Path(root.getAbsolutePath)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(root.getAbsolutePath), true)
+          val base = Tables(s, dir, "events").select(MergeCols.map(col): _*)
+            .filter(col("event_type").isin("click", "view"))
+          MergeData.writeMerged(s, base, lake, keys = Seq("event_type"))
+          Versioned.init(s, lake, commitTs = 1000L)
+          // two STACKED deletion vectors (each evaluates on the MOR view)
+          Versioned.deleteWhereVectors(s, lake, col("value") >= 0.5,
+            commitTs = 1001L)
+          Versioned.deleteWhereVectors(s, lake, col("user_id") % 2 === 0,
+            commitTs = 1002L)
+          val fast = Versioned.fastRowCount(s, lake)
+          val slow = Versioned.snapshot(s, lake).count()
+          require(fast == slow,
+            s"fastRowCount must stay exact under stacked DVs ($fast != $slow)")
+          // DESCRIBE DETAIL: bytes from the manifests alone
+          Versioned.sizeStatProbes = 0L
+          val d = sqlMaint(s, s"DESCRIBE DETAIL gsql.`$lake`")
+            .collect().head
+          require(Versioned.sizeStatProbes == 0L,
+            "DESCRIBE DETAIL must resolve sizes without per-file FS probes")
+          require(d.getLong(4) > 0L, "size_bytes must be positive")
+        }
+        Versioned.snapshot(s, lake)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("value")), 4).as("sum_value"))
+          .orderBy("event_type")
+      },
+      Some("""
+        SELECT event_type, count(*) AS n,
+               round(sum(value::DOUBLE), 4) AS sum_value
+        FROM events
+        WHERE event_type IN ('click','view')
+          AND (value < 0.5 OR value IS NULL)
+          AND user_id % 2 <> 0
+        GROUP BY 1 ORDER BY 1"""),
+      "fastRowCount under STACKED deletion vectors (metadata-only count == snapshot count, require()d) + DESCRIBE DETAIL with zero per-file FS probes (require()d); MOR readback == oracle")
   )
 }
