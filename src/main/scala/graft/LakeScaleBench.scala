@@ -478,7 +478,55 @@ object LakeScaleBench {
     metrics("z3_cand_user") = cands("user_id", 100.0, 200.0)
     metrics("z3_cand_reading") = cands("value", 400.0, 600.0)
     metrics("z3_cand_event") = cands("event_id", 6.9e9, 7.2e9)
+    // the DENSE region of the skewed dim: a linear [0, 1e10] grid
+    // packs virtually every row into cell 0, so per-file boxes stay
+    // domain-wide and a dense-region window prunes nothing — the
+    // failure mode rank cells exist to fix
+    metrics("z3_cand_event_dense") = cands("event_id", 1.0e6, 1.2e6)
     metrics("z3_pruned_rows") = time("z3_pruned_read") {
+      Versioned.statsPrunedRead(spark, lake,
+        Seq(("user_id", 100.0, 200.0))).count()
+    }
+
+    // ---- round-15: QUANTILE (rank) grid vs the LINEAR grid above ---
+    // Same lake, same windows, one re-cluster with equal-POPULATION
+    // cells (the clusterKey discipline: approx_percentile cuts +
+    // quantileBucket's balanced comparison tree). The structural
+    // claim: on SKEWED dims (reading's value tail, event_id's sparse
+    // top decade) the linear grid packs most rows into a few cells —
+    // per-file boxes stay wide and the rare-tail windows prune little
+    // — while rank cells hold equal row counts, so the SAME windows
+    // see tighter boxes and fewer candidates at every clone factor.
+    val qProbs = (1 until 256).map(_ / 256.0).toArray
+    val cutRow = Versioned.snapshot(spark, lake).agg(
+      percentile_approx(col("user_id").cast("double"),
+        lit(qProbs), lit(10000)),
+      percentile_approx(col("reading").cast("double"),
+        lit(qProbs), lit(10000)),
+      percentile_approx(col("event_id").cast("double"),
+        lit(qProbs), lit(10000))).head()
+    def qcuts(i: Int): Seq[Double] =
+      cutRow.getSeq[Double](i).distinct.sorted
+    def qb(c: String, i: Int) =
+      graft.lake.Maintenance.quantileBucket(col(c).cast("double"),
+        qcuts(i).map(lit(_)))
+    time("z3q_optimize") {
+      Versioned.optimize(spark, lake, Seq("event_type"),
+        targetFilesPerPartition = 8,
+        zorder = Some(graft.lake.Maintenance.mortonKeyN(Seq(
+          qb("user_id", 0), qb("reading", 1), qb("event_id", 2)),
+          bits = 8)))
+    }
+    val zqStats = Versioned.statsAt(spark, lake)
+    def qcands(c: String, lo: Double, hi: Double): Int =
+      graft.lake.SkipIndex.candidateFilesMulti(zqStats,
+        Seq((c, lo, hi))).size
+    metrics("z3q_files") = Versioned.filesAt(spark, lake).size
+    metrics("z3q_cand_user") = qcands("user_id", 100.0, 200.0)
+    metrics("z3q_cand_reading") = qcands("value", 400.0, 600.0)
+    metrics("z3q_cand_event") = qcands("event_id", 6.9e9, 7.2e9)
+    metrics("z3q_cand_event_dense") = qcands("event_id", 1.0e6, 1.2e6)
+    metrics("z3q_pruned_rows") = time("z3q_pruned_read") {
       Versioned.statsPrunedRead(spark, lake,
         Seq(("user_id", 100.0, 200.0))).count()
     }
