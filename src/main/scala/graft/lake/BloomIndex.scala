@@ -168,7 +168,11 @@ object BloomIndex {
     * lake, still holds superseded files kept for time travel. Works for
     * ANY version's (files, index) pair, so point lookups time-travel. */
   def prunedReadInFiles(spark: SparkSession, dataDir: String, idx: DataFrame,
-      c: String, probes: Seq[Column], liveFiles: Seq[String]): DataFrame = {
+      c: String, probes: Seq[Column], liveFiles: Seq[String],
+      pinned: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
+    // pinned schema (type widening): see SkipIndex.prunedReadMultiFiles
+    def reader = pinned.fold(spark.read)(s0 => spark.read.schema(s0))
     val indexed = idx.select("file").distinct()
       .collect().map(r => SkipIndex.normalizePath(r.getString(0))).toSet
     val live = liveFiles.map(SkipIndex.normalizePath).toSet
@@ -179,9 +183,9 @@ object BloomIndex {
     val files = candidateFilesIn(spark, idx, c, probes)
     val residual = col(c).isin(probes: _*)
     if (files.isEmpty)
-      spark.read.option("basePath", dataDir)
+      reader.option("basePath", dataDir)
         .parquet(liveFiles: _*).filter(lit(false))
-    else spark.read.option("basePath", dataDir)
+    else reader.option("basePath", dataDir)
       .parquet(files: _*).filter(residual)
   }
 }

@@ -339,7 +339,13 @@ object SkipIndex {
     * index that described that version. */
   def prunedReadMultiFiles(spark: SparkSession, dataDir: String,
       idx: DataFrame, preds: Seq[(String, Double, Double)],
-      liveFiles: Seq[String]): DataFrame = {
+      liveFiles: Seq[String],
+      pinned: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
+    // a PINNED schema (type widening in force) replaces footer
+    // inference: survivor sets can mix pre/post-widen widths, which
+    // plain inference would read under whichever footer it sampled
+    def reader = pinned.fold(spark.read)(s0 => spark.read.schema(s0))
     val indexed = idx.select("file").distinct()
       .collect().map(r => normalize(r.getString(0))).toSet
     val live = liveFiles.map(normalize).toSet
@@ -349,10 +355,10 @@ object SkipIndex {
         "build/refresh the index against this version's manifest")
     val files = candidateFilesMulti(idx, preds)
     if (files.isEmpty)
-      spark.read.option("basePath", dataDir)
+      reader.option("basePath", dataDir)
         .parquet(liveFiles: _*).filter(lit(false))
     else {
-      val df = spark.read.option("basePath", dataDir).parquet(files: _*)
+      val df = reader.option("basePath", dataDir).parquet(files: _*)
       df.filter(residualFor(df, preds))
     }
   }

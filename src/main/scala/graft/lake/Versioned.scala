@@ -226,7 +226,8 @@ object Versioned {
       gens: Map[String, String] = Map.empty,
       addCols: Seq[(String, String)] = Nil,
       cluster: Option[Seq[String]] = None,
-      pinnedSchema: Option[String] = None) {
+      pinnedSchema: Option[String] = None,
+      clusterAt: Option[Long] = None) {
     /** (required reader level, feature names) demanded by this meta. */
     def protocol: (Int, Seq[String]) = {
       val fs = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
@@ -267,6 +268,7 @@ object Versioned {
         droppedCols.sorted.map(c => s"#dropcol ${b64e(c)}") ++
         addCols.map { case (n, t) => s"#addcol ${b64e(n)} ${b64e(t)}" } ++
         cluster.map(cs => s"#cluster ${b64e(cs.mkString(","))}").toSeq ++
+        clusterAt.map(a => s"#clusterat $a").toSeq ++
         pinnedSchema.map(j => s"#schema $j").toSeq
     }
   }
@@ -287,6 +289,7 @@ object Versioned {
     var pkeys: Option[Seq[String]] = None
     var cluster: Option[Seq[String]] = None
     var pinnedSchema: Option[String] = None
+    var clusterAt: Option[Long] = None
     val gens = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val rens = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val drops = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -331,6 +334,8 @@ object Versioned {
           .split(',').toSeq.filter(_.nonEmpty))
       } else if (l.startsWith("#schema ")) {
         pinnedSchema = Some(l.stripPrefix("#schema ").trim)
+      } else if (l.startsWith("#clusterat ")) {
+        clusterAt = Some(l.stripPrefix("#clusterat ").trim.toLong)
       }
     }
     // the protocol guard: refuse a manifest demanding a level this
@@ -346,7 +351,7 @@ object Versioned {
       verFloor = ver, cdf = cdf, cdfInc = cdfInc,
       renames = rens.toMap, droppedCols = drops.toSeq, pkeys = pkeys,
       gens = gens.toMap, addCols = adds.toSeq, cluster = cluster,
-      pinnedSchema = pinnedSchema)
+      pinnedSchema = pinnedSchema, clusterAt = clusterAt)
   }
 
   private def metaAt(spark: SparkSession, dir: String, v: Long): CommitMeta =
@@ -369,7 +374,7 @@ object Versioned {
       verFloor = prev.verFloor, cdf = prev.cdf, renames = prev.renames,
       droppedCols = prev.droppedCols, pkeys = prev.pkeys,
       gens = prev.gens, addCols = prev.addCols, cluster = prev.cluster,
-      pinnedSchema = prev.pinnedSchema)
+      pinnedSchema = prev.pinnedSchema, clusterAt = prev.clusterAt)
   }
 
   // Resolved-listing cache (Delta's snapshot cache): a committed
@@ -2031,7 +2036,8 @@ object Versioned {
     writeCommit(fsOf(spark, dir), dir, v + 1, live, live,
       carryMeta(spark, dir, v, commitTs, None, deleteFilesAt(spark, dir, v),
           "cluster-by")
-        .copy(cluster = if (cols.isEmpty) None else Some(cols)))
+        .copy(cluster = if (cols.isEmpty) None else Some(cols),
+          clusterAt = None))
     v + 1
   }
 
@@ -2041,6 +2047,44 @@ object Versioned {
     val v = if (version >= 0) version else currentVersion(spark, dir)
     require(v >= 0, s"no manifest in $dir")
     metaAt(spark, dir, v).cluster.getOrElse(Nil)
+  }
+
+  /** The version stamped by the last SELF-CLUSTERING OPTIMIZE
+    * (`#clusterat`), if any — the incremental-clustering boundary:
+    * files added at or before it are already laid out, files added
+    * after it are the next incremental stripe. Advisory (like the
+    * `#cluster` declaration itself): no reader semantics, no protocol
+    * move. */
+  def clusterStampOf(spark: SparkSession, dir: String,
+      version: Long = -1L): Option[Long] = {
+    val v = if (version >= 0) version else currentVersion(spark, dir)
+    require(v >= 0, s"no manifest in $dir")
+    metaAt(spark, dir, v).clusterAt
+  }
+
+  /** Files ADDED strictly after `sinceV` and still live at the
+    * current version — the incremental-clustering stripe. Throws
+    * (like [[filesAddedSince]]) when the range's manifests were
+    * vacuumed; callers fall back to a full pass. */
+  private[graft] def filesAddedAfter(spark: SparkSession, dir: String,
+      sinceV: Long): Set[String] = {
+    val v = currentVersion(spark, dir)
+    if (sinceV >= v) return Set.empty
+    filesAddedSince(spark, dir, sinceV + 1, v)
+      .intersect(filesAt(spark, dir, v).toSet)
+  }
+
+  /** The LOGICAL view of a SUBSET of the current live files (mapping,
+    * added columns and the pinned schema applied; NO tombstone filter
+    * — for layout computations like incremental-cluster cut points,
+    * where a deleted row's value still describes the file holding
+    * it). */
+  private[graft] def snapshotOfFiles(spark: SparkSession, dir: String,
+      refs: Seq[String]): DataFrame = {
+    val v = currentVersion(spark, dir)
+    val meta = metaAt(spark, dir, v)
+    applyAddedColumns(meta, applyColumnMapping(meta,
+      readRefs(spark, dir, refs, pinned = meta.pinned)))
   }
 
   /** ALTER TABLE DROP CONSTRAINT — metadata-only. */
@@ -2884,7 +2928,7 @@ object Versioned {
       (m.renames.getOrElse(c, c), lo, hi) }
     applyColumnMapping(m, applyTombstones(spark, dir, v,
       SkipIndex.prunedReadMultiFiles(spark, dir, statsAt(spark, dir, v),
-        predsP, files.map(f => s"$dir/$f"))))
+        predsP, files.map(f => s"$dir/$f"), pinned = m.pinned)))
   }
 
   /** Build + write a bloom sidecar for `refs` (one scan of exactly
@@ -2960,7 +3004,8 @@ object Versioned {
     val m = metaAt(spark, dir, v)
     applyColumnMapping(m, applyTombstones(spark, dir, v,
       BloomIndex.prunedReadInFiles(spark, dir, bloomsAt(spark, dir, v),
-        m.renames.getOrElse(c, c), probes, files.map(f => s"$dir/$f"))))
+        m.renames.getOrElse(c, c), probes, files.map(f => s"$dir/$f"),
+        pinned = m.pinned)))
   }
 
   /** Metadata-only MIN/MAX of a tracked column at a version, served
@@ -3058,11 +3103,13 @@ object Versioned {
       case PruneNotNull(c) => col(phys(c)).isNotNull
       case PruneIn(c, values) => col(phys(c)).isin(values: _*)
     }.reduce(_ && _)
+    // pinned schema (type widening): the survivor set can mix widths
+    val rd = m.pinned.fold(spark.read)(s0 => spark.read.schema(s0))
     val base =
       if (surviving.isEmpty)
-        spark.read.option("basePath", dir)
+        rd.option("basePath", dir)
           .parquet(files.map(f => s"$dir/$f"): _*).filter(lit(false))
-      else spark.read.option("basePath", dir)
+      else rd.option("basePath", dir)
         .parquet(surviving: _*).filter(residual)
     applyColumnMapping(m, applyTombstones(spark, dir, v, base))
   }
@@ -3447,6 +3494,114 @@ object Versioned {
         maybeWriteIncStats(spark, dir, v, newFiles, Nil)
         v + 1
     }
+  }
+
+  /** SQL `UPDATE ... SET ... WHERE ...` as MERGE-ON-READ — the
+    * deletion-vector twin of [[updateWhere]] (Delta's DV-based
+    * update): ONE commit hides the matched rows behind a positional
+    * deletion vector AND appends their POST-IMAGES as fresh files —
+    * O(matched rows) written, ZERO partitions rewritten. This is the
+    * 100 TB shape for a WIDE low-selectivity update (a backfill
+    * touching a sliver of every partition): COW would rewrite every
+    * touched partition; this writes exactly the changed rows plus a
+    * metadata-sized sidecar.
+    *
+    * The appended post-images can never be hit by the vector (a DV
+    * names (file, ordinal) of EXISTING files — fresh files are exempt
+    * by construction, no scoping machinery needed), and every
+    * discipline of the two rails it composes rides unchanged:
+    * constraints validate the post-image, generated columns
+    * re-validate, the change feed gets `update_preimage`/
+    * `update_postimage` rows published by the CAS, stats/bloom
+    * sidecars extend to the new files, and [[materializeDeletes]] /
+    * OPTIMIZE fold the vector away later. Same refusal matrix as
+    * [[updateWhere]] (unknown columns, partition-column assignments,
+    * columns pending unscoped equality deletes key on). Returns the
+    * committed version, or the current one on a no-match no-op. */
+  def updateWhereVectors(spark: SparkSession, dir: String,
+      pred: org.apache.spark.sql.Column,
+      assignments: Map[String, org.apache.spark.sql.Column],
+      partitionKeys: Seq[String],
+      commitTs: Long = System.currentTimeMillis()): Long = {
+    require(assignments.nonEmpty,
+      "updateWhereVectors needs at least one assignment")
+    val v = init(spark, dir, commitTs)
+    val meta0 = metaAt(spark, dir, v)
+    checkPartitionSpec(meta0, partitionKeys, "updateWhereVectors")
+    val live = filesAt(spark, dir, v)
+    if (live.isEmpty) return v
+    val cols = snapshot(spark, dir, v).columns.toSeq
+    val unknown = assignments.keySet -- cols.toSet
+    require(unknown.isEmpty,
+      s"updateWhereVectors assigns unknown column(s): ${unknown.mkString(", ")}")
+    require(assignments.keySet.intersect(partitionKeys.toSet).isEmpty,
+      "updateWhereVectors cannot assign a partition column (rows would " +
+        "move across partitions — express that as a mergeInto)")
+    val carried = deleteFilesAt(spark, dir, v)
+    val globalDelCols: Set[String] = {
+      val es = carried.map(delParse)
+        .filter(e => e._2.isEmpty && !isDvRef(e._1))
+      if (es.isEmpty) Set.empty
+      else applyColumnMapping(meta0,
+        spark.read.parquet(es.map(e => s"$dir/${e._1}"): _*)).columns.toSet
+    }
+    require(assignments.keySet.intersect(globalDelCols).isEmpty,
+      "updateWhereVectors cannot assign a column that pending UNSCOPED " +
+        "equality deletes key on (an updated value could collide with a " +
+        "tombstoned key and vanish on read) — materializeDeletes() first")
+    val fs = fsOf(spark, dir)
+    // row identity for the vector: source file + ordinal, attached at
+    // the scan (the deleteWhereVectors discipline)
+    val fileCol = "__graft_dv_src"
+    val raw = readRefs(spark, dir, live, withPos = true,
+        pinned = meta0.pinned)
+      .withColumn(fileCol, encodedLeafPathCol(input_file_name()))
+    val visible = tombstoneFilter(spark, dir, v, raw, keep = true)
+    val logical = applyAddedColumns(meta0, applyColumnMapping(meta0, visible))
+    val hits = logical.filter(coalesce(pred, lit(false))).persist()
+    try {
+      if (hits.isEmpty) return v // no row matched: no-op, no commit
+      // the vector names exactly the matched rows
+      val dvRel = f"_deletes/dv_v${v + 1}%06d_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      hits.select(col(fileCol).as(DvFileCol),
+          col(DvSrcPos).cast("long").as(DvPosCol))
+        .write.mode("errorifexists").parquet(s"$dir/$dvRel")
+      val it = fs.listFiles(new Path(dir, dvRel), false)
+      val dvFiles = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val f = it.next().getPath.getName
+        if (f.endsWith(".parquet")) dvFiles += s"$dvRel/$f"
+      }
+      require(dvFiles.nonEmpty,
+        s"deletion-vector write produced no files under $dvRel")
+      // the post-images, appended as ordinary fresh files; generated
+      // columns keep stored values and re-validate (an assignment that
+      // broke a generated invariant fails loudly before any commit)
+      val pre = hits.drop(DvSrcPos).drop(fileCol)
+      val post0 = pre.select(cols.map { c =>
+        assignments.get(c).map(_.as(c)).getOrElse(col(c))
+      }: _*)
+      val post = applyGenerated(spark, meta0, post0, "update post-image")
+      enforceConstraints(spark, dir, v, post, "update post-image")
+      val (physPost, pinOut) = conformToPinned(meta0,
+        toPhysical(meta0, post), partitionKeys, "update post-image")
+      val newFiles = writeStagedFiles(spark, fs, dir,
+        clusterByKeys(physPost, partitionKeys), partitionKeys)
+      val autoInc = meta0.cdf.map { _ =>
+        writeChangeInc(spark, dir,
+          pre.withColumn("_action", lit("update_preimage"))
+            .unionByName(post.withColumn("_action",
+              lit("update_postimage"))))
+      }
+      writeCommit(fs, dir, v + 1, live ++ newFiles, live,
+        carryMeta(spark, dir, v, commitTs, None, carried ++ dvFiles,
+            "update")
+          .copy(cdfInc = autoInc,
+            pinnedSchema = pinOut.orElse(meta0.pinnedSchema)))
+      maybeWriteIncStats(spark, dir, v, newFiles, Nil)
+      v + 1
+    } finally hits.unpersist()
   }
 
   /** SQL `DELETE FROM ... WHERE ...` as ONE copy-on-write commit —
@@ -4191,7 +4346,8 @@ object Versioned {
     // so filtering the surviving rows preserves exactness
     applyTombstones(spark, dir, v,
       SkipIndex.prunedReadMultiFiles(spark, dir, idx, preds,
-        files.map(f => s"$dir/$f")))
+        files.map(f => s"$dir/$f"),
+        pinned = metaAt(spark, dir, v).pinned))
   }
 
   /** Bloom-index pruned point/IN lookup of a snapshot — the
@@ -4213,7 +4369,8 @@ object Versioned {
     // MOR tombstones apply on top, as in [[prunedRead]]
     applyTombstones(spark, dir, v,
       BloomIndex.prunedReadInFiles(spark, dir, idx, c, probes,
-        files.map(f => s"$dir/$f")))
+        files.map(f => s"$dir/$f"),
+        pinned = metaAt(spark, dir, v).pinned))
   }
 
   /** OPTIMIZE within the manifest protocol: partitions holding more
@@ -4249,7 +4406,9 @@ object Versioned {
       zorder: Option[org.apache.spark.sql.Column] = None,
       commitTs: Long = System.currentTimeMillis(),
       targetFileSizeBytes: Option[Long] = None,
-      partitionFilter: Option[Map[String, String]] = None): Long = {
+      partitionFilter: Option[Map[String, String]] = None,
+      onlyFiles: Option[Set[String]] = None,
+      stampClusterAt: Boolean = false): Long = {
     require(targetFilesPerPartition >= 1, "need targetFilesPerPartition >= 1")
     // zorder + size target COMPOSE (Delta's OPTIMIZE ZORDER honors
     // maxFileSize): the re-cluster pass rewrites everything and the
@@ -4261,11 +4420,20 @@ object Versioned {
     val dels = deleteFilesAt(spark, dir, v)
     val live = filesAt(spark, dir, v)
     val fs = fsOf(spark, dir)
+    // `onlyFiles` (the INCREMENTAL clustering scope — files added
+    // since the last `#clusterat` stamp): the rewrite is restricted to
+    // exactly these live files; everything else is untouched metadata.
+    // At 100 TB this is what keeps the steady-state OPTIMIZE loop
+    // priced by INGEST CHURN, never lake size.
+    val scopeFiles = onlyFiles match {
+      case None => live
+      case Some(set) => live.filter(set.contains)
+    }
     // group by ROOT-RELATIVE partition dir: a clone's foreign refs
     // compact together with its local files of the same partition, and
     // the rewrite localizes them (compaction doubles as clone
     // materialization, partition by partition)
-    val byDir = live.groupBy { f =>
+    val byDir = scopeFiles.groupBy { f =>
       val r = refRel(f); r.take(math.max(r.lastIndexOf('/'), 0)) }
     // BINPACK sizing (Delta's OPTIMIZE file-size target): a partition
     // needs compacting when it holds more files than its bytes demand —
@@ -4425,9 +4593,12 @@ object Versioned {
     while (committed < 0) {
       beforeCommitHook()
       try {
+        val cmOpt = carryMeta(spark, dir, curV, commitTs, None, nextDels,
+          "optimize")
         writeCommit(fs, dir, curV + 1, curLive.filterNot(replaced) ++ newFiles,
-          curLive, carryMeta(spark, dir, curV, commitTs, None, nextDels,
-            "optimize"))
+          curLive,
+          if (stampClusterAt) cmOpt.copy(clusterAt = Some(curV + 1))
+          else cmOpt)
         committed = curV + 1
       } catch {
         case e: IllegalArgumentException

@@ -5405,6 +5405,138 @@ object LakeQueries {
           AND (value < 0.5 OR value IS NULL)
           AND user_id % 2 <> 0
         GROUP BY 1 ORDER BY 1"""),
-      "fastRowCount under STACKED deletion vectors (metadata-only count == snapshot count, require()d) + DESCRIBE DETAIL with zero per-file FS probes (require()d); MOR readback == oracle")
+      "fastRowCount under STACKED deletion vectors (metadata-only count == snapshot count, require()d) + DESCRIBE DETAIL with zero per-file FS probes (require()d); MOR readback == oracle"),
+
+    // ---------------------------------------------------------------
+    // MOR UPDATE routing — a WIDE SQL UPDATE auto-routes to the
+    // deletion-vector update (pre-images hidden, post-images appended,
+    // ZERO files rewritten, require()d); a partition-aligned one stays
+    // COW (no MOR debt, require()d). Identical results either way —
+    // the readback hashes against the recompute.
+    // ---------------------------------------------------------------
+    Q("q218_update_routing",
+      (s, dir) => {
+        graft.GraftExtensions.register(s)
+        s.conf.set("spark.sql.catalog.gsql", "graft.sources.GraftCatalog")
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val root = new File(new File(sys.props("user.dir"), "target"),
+          s"graft_updrq_$tag")
+        val lake = new File(root, "t").getAbsolutePath
+        LakeQueries.synchronized {
+          val fs = new org.apache.hadoop.fs.Path(root.getAbsolutePath)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(root.getAbsolutePath), true)
+          val base = Tables(s, dir, "events").select(MergeCols.map(col): _*)
+            .filter(col("event_type").isin("click", "view"))
+          base.createOrReplaceTempView("q218_src")
+          s.sql(s"CREATE TABLE gsql.`$lake` PARTITIONED BY (event_type) " +
+            "AS SELECT event_id, user_id, value, event_type FROM q218_src")
+          (1 to 2).foreach { i =>
+            s.sql(s"INSERT INTO gsql.`$lake` " +
+              s"SELECT event_id + ${i * 100000000L}, user_id, value, " +
+              "event_type FROM q218_src")
+          }
+          sqlMaint(s, s"ANALYZE TABLE gsql.`$lake` COMPUTE STATISTICS " +
+            "FOR COLUMNS (value)")
+          // WIDE backfill: every value box intersects -> the DV update
+          val filesPre = Versioned.filesAt(s, lake)
+          s.sql(s"UPDATE gsql.`$lake` SET value = value + 10 " +
+            "WHERE value >= 0.2")
+          val after = Versioned.filesAt(s, lake)
+          require(filesPre.forall(after.contains),
+            "a wide auto-routed UPDATE must rewrite zero files")
+          require(Versioned.deleteFilesAt(s, lake)
+              .exists(_.contains("_deletes/dv_")),
+            "a wide auto-routed UPDATE must commit a deletion vector")
+          // PARTITION-ALIGNED: COW, no new MOR debt
+          val dvsPre = Versioned.deleteFilesAt(s, lake).size
+          s.sql(s"UPDATE gsql.`$lake` SET value = value * 2 " +
+            "WHERE event_type = 'view'")
+          require(Versioned.deleteFilesAt(s, lake).size == dvsPre,
+            "a partition-aligned UPDATE must not add MOR debt")
+        }
+        s.sql(
+          s"""SELECT event_type, count(*) AS n,
+             |       round(sum(value), 4) AS sum_value
+             |FROM gsql.`$lake` GROUP BY 1 ORDER BY 1""".stripMargin)
+      },
+      Some("""
+        WITH t AS (SELECT event_id, value, event_type FROM events
+                   WHERE event_type IN ('click','view')),
+        allr AS (
+          SELECT value, event_type FROM t
+          UNION ALL SELECT value, event_type FROM t
+          UNION ALL SELECT value, event_type FROM t),
+        upd1 AS (
+          SELECT CASE WHEN value >= 0.2 THEN value + 10 ELSE value END
+                   AS value, event_type
+          FROM allr),
+        upd2 AS (
+          SELECT CASE WHEN event_type = 'view' THEN value * 2
+                      ELSE value END AS value, event_type
+          FROM upd1)
+        SELECT event_type, count(*) AS n,
+               round(sum(value::DOUBLE), 4) AS sum_value
+        FROM upd2 GROUP BY 1 ORDER BY 1"""),
+      "cost-based UPDATE routing: stats-wide predicate -> deletion-vector update (zero rewrites + DV require()d), partition-aligned -> COW (no MOR debt require()d); MOR readback == double-update oracle"),
+
+    // ---------------------------------------------------------------
+    // INCREMENTAL liquid clustering — the first bare OPTIMIZE stamps
+    // #clusterat; after fresh inserts the next bare OPTIMIZE lays out
+    // ONLY the since-added stripe (the clustered bulk's files are
+    // byte-identical, require()d) and a stamp-current table no-ops
+    // (no commit, require()d).
+    // ---------------------------------------------------------------
+    Q("q219_incremental_cluster",
+      (s, dir) => {
+        graft.GraftExtensions.register(s)
+        s.conf.set("spark.sql.catalog.gsql", "graft.sources.GraftCatalog")
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val root = new File(new File(sys.props("user.dir"), "target"),
+          s"graft_incclq_$tag")
+        val lake = new File(root, "t").getAbsolutePath
+        LakeQueries.synchronized {
+          val fs = new org.apache.hadoop.fs.Path(root.getAbsolutePath)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(root.getAbsolutePath), true)
+          s.sql(s"CREATE TABLE gsql.`$lake` (event_id BIGINT, " +
+            "user_id BIGINT, value DOUBLE, event_type STRING) " +
+            "CLUSTER BY (user_id, value)")
+          val base = Tables(s, dir, "events").select(MergeCols.map(col): _*)
+            .filter(col("event_type").isin("click", "view"))
+          base.filter(col("event_id") % 2 === 0)
+            .createOrReplaceTempView("q219_ins")
+          s.sql(s"INSERT INTO gsql.`$lake` SELECT * FROM q219_ins")
+          sqlMaint(s, s"OPTIMIZE gsql.`$lake`") // full layout + stamp
+          require(Versioned.clusterStampOf(s, lake)
+              .contains(Versioned.currentVersion(s, lake)),
+            "the self-cluster must stamp #clusterat")
+          // stamp-current: the maintenance loop costs NOTHING
+          val vCur = Versioned.currentVersion(s, lake)
+          sqlMaint(s, s"OPTIMIZE gsql.`$lake`")
+          require(Versioned.currentVersion(s, lake) == vCur,
+            "no fresh files -> bare OPTIMIZE must not commit")
+          val clustered = Versioned.filesAt(s, lake)
+          // fresh stripe, then the incremental pass
+          base.filter(col("event_id") % 2 === 1)
+            .createOrReplaceTempView("q219_ins")
+          s.sql(s"INSERT INTO gsql.`$lake` SELECT * FROM q219_ins")
+          sqlMaint(s, s"OPTIMIZE gsql.`$lake`")
+          require(clustered.forall(Versioned.filesAt(s, lake).contains),
+            "the stripe pass must not rewrite the clustered bulk")
+        }
+        s.sql(
+          s"""SELECT event_type, count(*) AS n,
+             |       round(sum(value), 4) AS sum_value,
+             |       count(DISTINCT event_id) AS n_ids
+             |FROM gsql.`$lake` GROUP BY 1 ORDER BY 1""".stripMargin)
+      },
+      Some("""
+        SELECT event_type, count(*) AS n,
+               round(sum(value::DOUBLE), 4) AS sum_value,
+               count(DISTINCT event_id) AS n_ids
+        FROM events WHERE event_type IN ('click','view')
+        GROUP BY 1 ORDER BY 1"""),
+      "incremental liquid clustering: #clusterat stamp + stripe-only OPTIMIZE (clustered bulk byte-identical require()d) + stamp-current no-op (no commit require()d); readback == oracle")
   )
 }

@@ -130,14 +130,15 @@ object GraftSqlParser {
           catch { case _: IllegalArgumentException => None }
         else None
       case Some("DESCRIBE") | Some("DESC") =>
-        // DESCRIBE is Spark grammar too — ours is ONLY the Delta-shaped
-        // `DESCRIBE DETAIL <graft table>`.
+        // DESCRIBE is Spark grammar too — ours are ONLY the Delta-shaped
+        // `DESCRIBE DETAIL|HISTORY <graft table>`.
         val toks = try new Lexer(sqlText).all() catch {
           case _: IllegalArgumentException => return None
         }
         val graftTarget = toks match {
           case Word(_) +: Word(d) +: rest
-              if d.equalsIgnoreCase("DETAIL") =>
+              if d.equalsIgnoreCase("DETAIL") ||
+                d.equalsIgnoreCase("HISTORY") =>
             graftQualified(spark, rest)
           case _ => false
         }
@@ -330,6 +331,9 @@ object GraftSqlParser {
     def statement(): LogicalPlan = take() match {
       case w: Word if w.up == "OPTIMIZE" =>
         val dir = tableDir()
+        // FULL (Delta's spelling): force a complete re-layout of a
+        // CLUSTER BY table instead of the incremental stripe
+        val full = optKw("FULL")
         // WHERE k = v [AND k2 = v2] — the partition scope (Delta's
         // OPTIMIZE WHERE): equality conjunctions on partition columns
         val where = Map.newBuilder[String, String]
@@ -363,7 +367,7 @@ object GraftSqlParser {
             cols.result()
           } else Nil
         end()
-        GraftOptimizeCommand(dir, zcols, where.result())
+        GraftOptimizeCommand(dir, zcols, where.result(), full)
       case w: Word if w.up == "VACUUM" =>
         val dir = tableDir()
         val hours =
@@ -375,10 +379,15 @@ object GraftSqlParser {
         if (dry) GraftVacuumDryRunCommand(dir, hours)
         else GraftVacuumCommand(dir, hours)
       case w: Word if w.up == "DESCRIBE" || w.up == "DESC" =>
-        kw("DETAIL")
-        val dir = tableDir()
-        end()
-        GraftDescribeDetailCommand(dir)
+        take() match {
+          case d: Word if d.up == "DETAIL" =>
+            val dir = tableDir(); end()
+            GraftDescribeDetailCommand(dir)
+          case d: Word if d.up == "HISTORY" =>
+            val dir = tableDir(); end()
+            GraftDescribeHistoryCommand(dir)
+          case other => fail(s"expected DETAIL or HISTORY, found $other")
+        }
       case w: Word if w.up == "RESTORE" =>
         optKw("TABLE")
         val dir = tableDir()
@@ -553,6 +562,38 @@ case class GraftDescribeDetailCommand(dir: String)
   }
 }
 
+/** `DESCRIBE HISTORY graft.`dir`` — the commit log as rows, newest
+  * first (Delta's verb): version, commit timestamp, operation,
+  * checkpoint form, live-file count, pending MOR entries, txn
+  * high-waters. Metadata-only — one manifest-listing walk
+  * ([[Versioned.history]]); the operator's first question ("what
+  * happened to this table?") answered without touching data. */
+case class GraftDescribeHistoryCommand(dir: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    GraftSqlParser.longAttr("version"),
+    GraftSqlParser.longAttr("commit_ts"),
+    GraftSqlParser.strAttr("operation"),
+    AttributeReference("is_checkpoint",
+      org.apache.spark.sql.types.BooleanType, nullable = false)(),
+    GraftSqlParser.longAttr("n_files"),
+    GraftSqlParser.longAttr("n_pending_delete_files"),
+    GraftSqlParser.strAttr("txns"))
+  override def run(spark: SparkSession): Seq[Row] = {
+    require(Versioned.currentVersion(spark, dir) >= 0,
+      s"not a graft table: $dir")
+    Versioned.history(spark, dir).collect().toSeq.map { r =>
+      Row(r.getLong(0), r.getAs[Any](1) match {
+          case null => -1L
+          case l: Long => l
+          case o => o.toString.toLong
+        },
+        Option(r.getString(2)).getOrElse(""), r.getBoolean(3),
+        r.getLong(4), r.getLong(5), Option(r.getString(6)).getOrElse(""))
+    }
+  }
+}
+
 /** `OPTIMIZE` → [[Versioned.optimize]]: binpack compaction of every
   * partition holding more files than its bytes demand; `ZORDER BY`
   * re-clusters (one column sorts directly; 2–4 interleave via the
@@ -563,23 +604,48 @@ case class GraftDescribeDetailCommand(dir: String)
   * past ~4 dims — at 100 TB that silently clusters badly, so the
   * command says so instead. */
 case class GraftOptimizeCommand(dir: String, zorderCols: Seq[String],
-    where: Map[String, String] = Map.empty)
+    where: Map[String, String] = Map.empty, full: Boolean = false)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     GraftSqlParser.longAttr("version"),
     GraftSqlParser.longAttr("files_before"),
     GraftSqlParser.longAttr("files_after"))
   override def run(spark: SparkSession): Seq[Row] = {
+    val before = Versioned.filesAt(spark, dir).size.toLong
+    val keys = Versioned.layoutPartitionKeys(spark, dir)
+    val cluster =
+      if (zorderCols.nonEmpty) Nil else Versioned.clusterByOf(spark, dir)
+    // INCREMENTAL self-cluster (the liquid steady state): a bare
+    // OPTIMIZE on a table already stamped `#clusterat` lays out ONLY
+    // the files added since the stamp — one stripe, cut points from
+    // the stripe's own distribution, cost priced by ingest churn
+    // while the already-clustered bulk is untouched metadata. FULL
+    // forces the complete re-layout (and a vacuumed stamp range falls
+    // back to it); WHERE keeps its scoped semantics un-stamped.
+    val incremental: Option[Set[String]] =
+      if (full || cluster.isEmpty || where.nonEmpty) None
+      else Versioned.clusterStampOf(spark, dir).flatMap { stamp =>
+        try Some(Versioned.filesAddedAfter(spark, dir, stamp))
+        catch { case _: IllegalArgumentException => None } // vacuumed
+      }
+    incremental match {
+      case Some(fresh) if fresh.isEmpty =>
+        // nothing new since the stamp: the layout is current — no-op
+        return Seq(Row(Versioned.currentVersion(spark, dir), before, before))
+      case _ =>
+    }
     val zorder = zorderCols match {
       case Nil =>
         // no explicit ZORDER: a table with DECLARED clustering columns
         // (CLUSTER BY / graft.clusterBy) self-clusters — the liquid
-        // discipline: `OPTIMIZE t` alone maintains the layout. Grid
-        // domains come from the table's own min/max (one aggregate —
-        // small next to the rewrite it shapes).
-        val cluster = Versioned.clusterByOf(spark, dir)
+        // discipline: `OPTIMIZE t` alone maintains the layout. Cut
+        // points come from the rows being laid out (the whole table,
+        // or just the incremental stripe — each stripe self-normalizes
+        // and its per-file boxes stay tight).
         if (cluster.isEmpty) None
-        else Some(GraftOptimizeCommand.clusterKey(spark, dir, cluster))
+        else Some(GraftOptimizeCommand.clusterKey(spark, dir, cluster,
+          over = incremental.map(fresh =>
+            Versioned.snapshotOfFiles(spark, dir, fresh.toSeq.sorted))))
       case Seq(a) => Some(col(a))
       case more if more.size <= 4 =>
         Some(Maintenance.mortonKeyN(more.map(col),
@@ -591,10 +657,10 @@ case class GraftOptimizeCommand(dir: String, zorderCols: Seq[String],
           "columns, or build a custom key with " +
           "Versioned.optimize(zorder = ...)")
     }
-    val before = Versioned.filesAt(spark, dir).size.toLong
-    val v = Versioned.optimize(spark, dir,
-      Versioned.layoutPartitionKeys(spark, dir), zorder = zorder,
-      partitionFilter = if (where.isEmpty) None else Some(where))
+    val v = Versioned.optimize(spark, dir, keys, zorder = zorder,
+      partitionFilter = if (where.isEmpty) None else Some(where),
+      onlyFiles = incremental,
+      stampClusterAt = cluster.nonEmpty && where.isEmpty)
     Seq(Row(v, before, Versioned.filesAt(spark, dir, v).size.toLong))
   }
 }
@@ -622,12 +688,14 @@ object GraftOptimizeCommand {
     * rewrite it shapes. Constant/all-null dims grid to a single
     * cell. */
   private[sources] def clusterKey(spark: SparkSession, dir: String,
-      cluster: Seq[String]): org.apache.spark.sql.Column = {
+      cluster: Seq[String],
+      over: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{lit, percentile_approx, coalesce}
     val bits = math.min(8, 63 / cluster.size)
     val cells = 1 << bits
     val probs = (1 until cells).map(i => i.toDouble / cells).toArray
-    val snap = Versioned.snapshot(spark, dir)
+    val snap = over.getOrElse(Versioned.snapshot(spark, dir))
     val (numCols, strCols) = cluster.partition(c => snap.schema(c)
       .dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
     val numCuts: Map[String, Seq[Double]] =

@@ -318,8 +318,15 @@ case class GraftMergeIntoCommand(dir: String, version: Long,
   }
 }
 
-/** SQL UPDATE → [[Versioned.updateWhere]]: a partition-scoped COW
-  * rewrite with constraint/generated/change-feed discipline. */
+/** SQL UPDATE — the SAME cost-based routing as DELETE (see
+  * [[GraftDeleteCommand]]), between the partition-scoped COW rewrite
+  * ([[Versioned.updateWhere]]) and the MERGE-ON-READ deletion-vector
+  * update ([[Versioned.updateWhereVectors]]: hide the matched rows
+  * behind a (file, ordinal) vector + append their post-images —
+  * O(matched rows), zero rewrites, the wide-backfill shape at
+  * 100 TB). Both produce identical results; the router picks the
+  * cheaper write. `spark.graft.sql.update.vectors` /
+  * `spark.graft.sql.update.cow` force a strategy. */
 case class GraftUpdateCommand(dir: String, version: Long,
     assignments: Seq[Assignment], condition: Option[Expression])
   extends LeafRunnableCommand {
@@ -336,8 +343,23 @@ case class GraftUpdateCommand(dir: String, version: Long,
     require(assigns.map(_._1).distinct.size == assigns.size,
       "UPDATE assigns the same column twice")
     val pred = condition.map(GraftRowLevelSql.byName).getOrElse(lit(true))
-    Versioned.updateWhere(spark, dir, pred, assigns.toMap,
-      Versioned.layoutPartitionKeys(spark, dir))
+    val keys = Versioned.layoutPartitionKeys(spark, dir)
+    def conf(k: String) = spark.conf.getOption(k).exists(_.toBoolean)
+    val useVectors =
+      if (conf("spark.graft.sql.update.vectors")) true
+      else if (conf("spark.graft.sql.update.cow")) false
+      else condition match {
+        case Some(c) =>
+          GraftDeleteCommand.route(spark, dir, c, keys) ==
+            GraftDeleteCommand.Vectors
+        // no WHERE = every row: the rewrite IS the work either way,
+        // and COW leaves no MOR debt behind it
+        case None => false
+      }
+    if (useVectors)
+      Versioned.updateWhereVectors(spark, dir, pred, assigns.toMap, keys)
+    else
+      Versioned.updateWhere(spark, dir, pred, assigns.toMap, keys)
     Nil
   }
 }

@@ -156,6 +156,94 @@ class UpdateDeleteWhereSpec extends SparkSpec {
     dir
   }
 
+  test("updateWhereVectors: MOR update — DV hides the pre-images, post-images append, ZERO rewrites, count invariant, materialize folds, travel intact") {
+    val dir = freshLake()
+    val before = Versioned.filesAt(spark, dir)
+    // a WIDE update touching every partition: COW would rewrite all
+    // three; the DV update rewrites NONE
+    val v1 = Versioned.updateWhereVectors(spark, dir,
+      col("id") >= 2L, Map("v" -> (col("v") + 1000)), Seq("site"))
+    assert(v1 == 1L)
+    val after = Versioned.filesAt(spark, dir)
+    assert(before.forall(after.contains),
+      "a DV update must keep every pre-existing file in place")
+    assert(after.size > before.size, "post-images land as fresh files")
+    assert(Versioned.deleteFilesAt(spark, dir)
+      .exists(_.contains("_deletes/dv_")))
+    // exactly-once visibility: old rows hidden, new rows visible
+    assert(state(Versioned.snapshot(spark, dir)) ==
+      Set(("a", 1L, 1.0), ("a", 2L, 1002.0), ("b", 10L, 1010.0),
+        ("c", 20L, 1020.0)))
+    // an update keeps the row count — and fastRowCount stays exact
+    // under the pending vector (base + appended - DV)
+    assert(Versioned.fastRowCount(spark, dir) == 4L)
+    // pre-update state still travels
+    assert(state(Versioned.snapshot(spark, dir, 0L)) ==
+      Set(("a", 1L, 1.0), ("a", 2L, 2.0), ("b", 10L, 10.0),
+        ("c", 20L, 20.0)))
+    // a SECOND DV update stacks (evaluates on the MOR view)
+    Versioned.updateWhereVectors(spark, dir,
+      col("v") >= 1010.0, Map("v" -> (col("v") * 2)), Seq("site"))
+    assert(state(Versioned.snapshot(spark, dir)) ==
+      Set(("a", 1L, 1.0), ("a", 2L, 1002.0), ("b", 10L, 2020.0),
+        ("c", 20L, 2040.0)))
+    // materialize folds the vectors into plain data
+    Versioned.materializeDeletes(spark, dir, Seq("site"))
+    assert(Versioned.deleteFilesAt(spark, dir).isEmpty)
+    assert(state(Versioned.snapshot(spark, dir)) ==
+      Set(("a", 1L, 1.0), ("a", 2L, 1002.0), ("b", 10L, 2020.0),
+        ("c", 20L, 2040.0)))
+    // refusals mirror updateWhere
+    intercept[IllegalArgumentException] {
+      Versioned.updateWhereVectors(spark, dir, lit(true),
+        Map("site" -> lit("z")), Seq("site")) // partition column
+    }
+    intercept[IllegalArgumentException] {
+      Versioned.updateWhereVectors(spark, dir, lit(true),
+        Map("nope" -> lit(1)), Seq("site")) // unknown column
+    }
+    // no-match no-op
+    val vCur = Versioned.currentVersion(spark, dir)
+    assert(Versioned.updateWhereVectors(spark, dir,
+      col("id") === 999L, Map("v" -> lit(0.0)), Seq("site")) == vCur)
+  }
+
+  test("SQL UPDATE routes by cost: a stats-wide predicate takes the DV update (zero rewrites), a narrow one keeps COW; confs override") {
+    graft.GraftExtensions.register(spark)
+    spark.conf.set("spark.sql.catalog.graft_updv", "graft.sources.GraftCatalog")
+    val dir = freshLake()
+    (1 to 7).foreach { i => // enough files that one box is < 25%
+      Versioned.append(spark, dir,
+        df(Seq(("a", 1000L + i * 100, i.toDouble)), "site", "id", "v"),
+        Seq("site"))
+    }
+    Versioned.backfillStats(spark, dir, Seq("id"))
+    def tbl = s"graft_updv.`$dir`"
+    // WIDE: every id box intersects -> the DV update, nothing rewritten
+    val filesPre = Versioned.filesAt(spark, dir)
+    spark.sql(s"UPDATE $tbl SET v = v + 0.5 WHERE id >= 0")
+    assert(filesPre.forall(Versioned.filesAt(spark, dir).contains),
+      "a wide auto-routed UPDATE must rewrite zero files")
+    assert(Versioned.deleteFilesAt(spark, dir)
+      .exists(_.contains("_deletes/dv_")))
+    assert(Versioned.snapshot(spark, dir)
+      .filter(col("id") === 10L).select("v").head().getDouble(0) == 10.5)
+    // NARROW (one file's box): COW — no new DV entries
+    val dvsPre = Versioned.deleteFilesAt(spark, dir).size
+    spark.sql(s"UPDATE $tbl SET v = 0.25 WHERE id = 1700")
+    assert(Versioned.deleteFilesAt(spark, dir).size == dvsPre,
+      "a narrow auto-routed UPDATE must stay COW (no MOR debt)")
+    assert(Versioned.snapshot(spark, dir)
+      .filter(col("id") === 1700L).select("v").head().getDouble(0) == 0.25)
+    // conf veto
+    spark.conf.set("spark.graft.sql.update.cow", "true")
+    try {
+      val dvs2 = Versioned.deleteFilesAt(spark, dir).size
+      spark.sql(s"UPDATE $tbl SET v = v WHERE id >= 0")
+      assert(Versioned.deleteFilesAt(spark, dir).size == dvs2)
+    } finally spark.conf.unset("spark.graft.sql.update.cow")
+  }
+
   test("updateWhere: unpartitioned table — full-table COW rewrite, no duplicated rows, old files dropped, travel intact, no-op on no-match") {
     val dir = freshFlatLake()
     val before = Versioned.filesAt(spark, dir).toSet

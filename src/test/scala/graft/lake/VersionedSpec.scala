@@ -2317,6 +2317,14 @@ class VersionedSpec extends SparkSpec {
       Versioned.widenColumn(spark, dir, "site", LongType) } // string->num and partition col
     intercept[IllegalArgumentException] {
       Versioned.widenColumn(spark, dir, "id", DoubleType) } // long->double is lossy
+    // the PRUNED read paths read mixed-width survivors under the pin
+    // too (plain inference would sample whichever footer came first)
+    Versioned.backfillStats(spark, dir, Seq("id"))
+    val pruned = Versioned.statsPrunedRead(spark, dir,
+      Seq(("id", 4.0e9, 6.0e9)))
+    assert(pruned.select("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(5000000000L),
+      "statsPrunedRead must serve widened tables exactly")
     // clones inherit the pin (their foreign files include narrow ones)
     val cloneDir = new java.io.File(root, "clone").getAbsolutePath
     Versioned.cloneAt(spark, dir, cloneDir)

@@ -305,6 +305,15 @@ class GraftSqlParserSpec extends SparkSpec {
       "size_bytes must equal the FS truth for the live files")
     assert(d0.getString(5) == "site")
     assert(d0.getLong(6) == 0L)
+    // DESCRIBE HISTORY: the commit log as rows, newest first
+    val h = sqlM(s"DESCRIBE HISTORY ${tbl(dir)}").collect()
+    assert(h.length == 4 && h.head.getLong(0) == 3L,
+      s"history must list every commit newest-first (got ${h.toSeq})")
+    assert(h.last.getLong(0) == 0L && h.last.getString(2) == "init")
+    assert(h.head.getString(2) == "append")
+    // ... and non-DETAIL/HISTORY DESCRIBE delegates to Spark
+    assert(GraftSqlParser.parseMaintenance(spark,
+      s"DESCRIBE TABLE some_table").isEmpty)
     // optimize strands the small files -> dry run names them
     sqlM(s"OPTIMIZE ${tbl(dir)}")
     val plan = sqlM(s"VACUUM ${tbl(dir)} RETAIN 0 HOURS DRY RUN")
@@ -380,6 +389,47 @@ class GraftSqlParserSpec extends SparkSpec {
         "('graft.clusterBy' = 'nope')")
     }
     assert(e.getMessage.contains("not in"), e.getMessage)
+  }
+
+  test("incremental liquid clustering: bare OPTIMIZE stamps #clusterat, the next pass lays out ONLY the since-added stripe, no-op when nothing is fresh, FULL re-layouts") {
+    val dir = freshLake()
+    Versioned.setClusterBy(spark, dir, Seq("id"))
+    val expect = state(Versioned.snapshot(spark, dir))
+    // first bare OPTIMIZE: full self-cluster + the stamp
+    val m1 = sqlM(s"OPTIMIZE ${tbl(dir)}").collect().head
+    assert(m1.getLong(1) > m1.getLong(2), s"first pass compacts ($m1)")
+    assert(Versioned.clusterStampOf(spark, dir)
+      .contains(Versioned.currentVersion(spark, dir)),
+      "the self-cluster must stamp #clusterat")
+    val clustered = Versioned.filesAt(spark, dir)
+    // nothing fresh: NO-OP — no commit at all
+    val vCur = Versioned.currentVersion(spark, dir)
+    val m2 = sqlM(s"OPTIMIZE ${tbl(dir)}").collect().head
+    assert(Versioned.currentVersion(spark, dir) == vCur &&
+      m2.getLong(1) == m2.getLong(2),
+      "no files since the stamp -> the optimize loop costs nothing")
+    // fresh appends form the next stripe; the incremental pass lays
+    // out ONLY them — the clustered bulk is untouched metadata
+    (1 to 2).foreach { i =>
+      Versioned.append(spark, dir,
+        df(Seq(("a", 500L + i, i.toDouble)), "site", "id", "v"),
+        Seq("site"))
+    }
+    sqlM(s"OPTIMIZE ${tbl(dir)}")
+    val afterIncr = Versioned.filesAt(spark, dir)
+    assert(clustered.forall(afterIncr.contains),
+      "already-clustered files must not be rewritten by the stripe pass")
+    assert(Versioned.clusterStampOf(spark, dir)
+      .contains(Versioned.currentVersion(spark, dir)),
+      "the stripe pass re-stamps")
+    val expect2 = expect ++ Set(("a", 501L, 1.0), ("a", 502L, 2.0))
+    assert(state(Versioned.snapshot(spark, dir)) == expect2)
+    // FULL forces the complete re-layout (every file replaced)
+    sqlM(s"OPTIMIZE ${tbl(dir)} FULL")
+    val afterFull = Versioned.filesAt(spark, dir).toSet
+    assert(clustered.forall(f => !afterFull.contains(f)),
+      "FULL must re-layout the clustered bulk too")
+    assert(state(Versioned.snapshot(spark, dir)) == expect2)
   }
 
   test("ownership: non-maintenance statements (incl. CTAS with a 'shallow clone' string) delegate; malformed verbs and non-graft catalogs refuse loudly") {
