@@ -531,6 +531,36 @@ object LakeScaleBench {
         Seq(("user_id", 100.0, 200.0))).count()
     }
 
+    // ---- round-15: INCREMENTAL liquid clustering -------------------
+    // The steady-state claim: after the first (full) self-cluster
+    // stamps `#clusterat`, the maintenance loop's cost tracks INGEST
+    // CHURN — a bare OPTIMIZE lays out only the since-added stripe
+    // (liquid_incr ≈ batch-sized at every clone factor, while
+    // liquid_full grows with the lake) and a stamp-current table
+    // no-ops without a commit.
+    Versioned.setClusterBy(spark, lake, Seq("user_id", "reading"))
+    time("liquid_full") {
+      graft.sources.GraftOptimizeCommand(lake, Nil).run(spark)
+    }
+    val liquidBulk = Versioned.filesAt(spark, lake).toSet
+    metrics("liquid_bulk_files") = liquidBulk.size
+    time("liquid_noop") { // stamp-current: nothing to do, no commit
+      graft.sources.GraftOptimizeCommand(lake, Nil).run(spark)
+    }
+    // a ~0.5% stripe lands, then the incremental pass
+    Versioned.append(spark, lake,
+      Versioned.snapshot(spark, lake)
+        .filter(col("event_id") % 211 === 0)
+        .withColumn("event_id", col("event_id") + lit(3.0e10.toLong)),
+      Seq("event_type"))
+    time("liquid_incr") {
+      graft.sources.GraftOptimizeCommand(lake, Nil).run(spark)
+    }
+    metrics("liquid_bulk_untouched") =
+      liquidBulk.count(Versioned.filesAt(spark, lake).contains)
+    require(liquidBulk.forall(Versioned.filesAt(spark, lake).contains),
+      "the stripe pass must not rewrite the clustered bulk")
+
     // ---- round-14: OPTIMIZE WHERE ledger ---------------------------
     // The hot-partition maintenance move, on the UNIFORM 8-bucket
     // lake: fragment ONE bucket with small appends, then a
