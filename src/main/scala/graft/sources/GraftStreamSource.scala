@@ -170,7 +170,22 @@ private[sources] class GraftStreamSource(sqlContext: SQLContext,
     }
     advanceHw(toV)
     // pin the stream's schema: later commits may have evolved the
-    // table — drift columns drop, missing ones null-fill (U1's rule)
+    // table — drift columns drop, missing ones null-fill (U1's rule).
+    // A TYPE change under the pin (ALTER COLUMN ... TYPE widened the
+    // table mid-stream) refuses loudly: serving long values through a
+    // checkpoint that declared int would hand Spark misaligned
+    // internal rows (or silently truncate) — the rename discipline
+    // applies: following the NEW type means a fresh checkpoint
+    rows.schema.fields.foreach { f =>
+      schema.fields.find(_.name == f.name).foreach { pinnedF =>
+        require(pinnedF.dataType == f.dataType,
+          s"stream checkpoint pinned ${f.name} as " +
+            s"${pinnedF.dataType.simpleString} but the table now serves " +
+            s"${f.dataType.simpleString} (ALTER COLUMN ... TYPE ran " +
+            "mid-stream) — restart the stream with a FRESH checkpoint " +
+            "to follow the widened type")
+      }
+    }
     val aligned = rows.select(schema.fields.toSeq.map { f =>
       if (rows.columns.contains(f.name)) col(f.name)
       else lit(null).cast(f.dataType).as(f.name)

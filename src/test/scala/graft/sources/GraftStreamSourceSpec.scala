@@ -100,6 +100,37 @@ class GraftStreamSourceSpec extends SparkSpec {
       Set(("a", 1L, 1.0), ("b", 10L, 10.0), ("c", 3L, 3.0)))
   }
 
+  test("a mid-stream type widen refuses loudly with the fresh-checkpoint guidance; a fresh checkpoint follows the widened type") {
+    val root = java.nio.file.Files.createTempDirectory("graft_swid").toFile
+    root.deleteOnExit()
+    // an INT-columned source lake (id narrow on purpose)
+    val lake = new java.io.File(root, "src_lake").getAbsolutePath
+    MergeData.writeMerged(spark,
+      df(Seq(("a", 1, 1.0), ("b", 10, 10.0)), "site", "id", "v"),
+      lake, keys = Seq("site"))
+    Versioned.init(spark, lake)
+    val sink = new java.io.File(root, "sink").getAbsolutePath
+    val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+    follow(lake, sink, ckpt) // pins id: int under this checkpoint
+    // the table widens and takes values only the wide type can hold
+    Versioned.widenColumn(spark, lake, "id",
+      org.apache.spark.sql.types.LongType)
+    Versioned.append(spark, lake,
+      df(Seq(("a", 5000000000L, 2.0)), "site", "id", "v"), Seq("site"))
+    val e = intercept[Exception] { follow(lake, sink, ckpt) }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | "))
+    assert(rootMsg(e).contains("FRESH checkpoint"), rootMsg(e).take(500))
+    // a FRESH checkpoint follows the widened table
+    val sink2 = new java.io.File(root, "sink2").getAbsolutePath
+    val ckpt2 = new java.io.File(root, "ckpt2").getAbsolutePath
+    follow(lake, sink2, ckpt2)
+    assert(Versioned.snapshot(spark, sink2)
+      .agg(org.apache.spark.sql.functions.sum("id")).head().getLong(0) ==
+      5000000011L)
+  }
+
   test("startingVersion: no initial snapshot — only appends after the seed arrive") {
     val root = java.nio.file.Files.createTempDirectory("graft_ssrc_sv").toFile
     root.deleteOnExit()
