@@ -5431,11 +5431,9 @@ object LakeQueries {
           base.createOrReplaceTempView("q218_src")
           s.sql(s"CREATE TABLE gsql.`$lake` PARTITIONED BY (event_type) " +
             "AS SELECT event_id, user_id, value, event_type FROM q218_src")
-          (1 to 2).foreach { i =>
-            s.sql(s"INSERT INTO gsql.`$lake` " +
-              s"SELECT event_id + ${i * 100000000L}, user_id, value, " +
-              "event_type FROM q218_src")
-          }
+          s.sql(s"INSERT INTO gsql.`$lake` " +
+            "SELECT event_id + 100000000, user_id, value, event_type " +
+            "FROM q218_src")
           sqlMaint(s, s"ANALYZE TABLE gsql.`$lake` COMPUTE STATISTICS " +
             "FOR COLUMNS (value)")
           // WIDE backfill: every value box intersects -> the DV update
@@ -5465,7 +5463,6 @@ object LakeQueries {
                    WHERE event_type IN ('click','view')),
         allr AS (
           SELECT value, event_type FROM t
-          UNION ALL SELECT value, event_type FROM t
           UNION ALL SELECT value, event_type FROM t),
         upd1 AS (
           SELECT CASE WHEN value >= 0.2 THEN value + 10 ELSE value END
