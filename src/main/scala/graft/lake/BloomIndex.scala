@@ -50,9 +50,16 @@ object BloomIndex {
     * be partition columns too. */
   def buildForFiles(spark: SparkSession, dataDir: String,
       files: Seq[String], cols: Seq[String],
-      expectedPerFile: Long, fpp: Double): DataFrame = {
+      expectedPerFile: Long, fpp: Double,
+      pinned: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
     require(files.nonEmpty, "buildForFiles needs at least one file")
-    buildDf(spark.read.option("basePath", dataDir).parquet(files: _*),
+    // pinned schema (type widening): a post-widen re-backfill reads
+    // mixed pre/post-widen footers, which plain inference refuses to
+    // merge — and the hashes MUST be built over the WIDE type, the
+    // one probes arrive as
+    val reader = pinned.fold(spark.read)(s0 => spark.read.schema(s0))
+    buildDf(reader.option("basePath", dataDir).parquet(files: _*),
       cols, expectedPerFile, fpp)
   }
 

@@ -137,12 +137,25 @@ object CopyInto {
     lines.dropRight(1).foreach { l =>
       if (l.startsWith("#format ")) fmt = Some(l.stripPrefix("#format ").trim)
       else if (l.startsWith("#option ")) {
+        // an EMPTY option value (e.g. nullValue='') base64-encodes to
+        // the empty string — one token after the key, not two
         val toks = l.stripPrefix("#option ").trim.split(' ')
-        opts += (b64d(toks(0)) -> b64d(toks(1)))
+        opts += (b64d(toks(0)) ->
+          (if (toks.length > 1) b64d(toks(1)) else ""))
       } else if (!l.startsWith("#")) files += l
     }
     Some(Intent(files.result(), fmt, opts.result()))
   }
+
+  /** [[readEntry]] tolerating an entry FOLDED AWAY between the listing
+    * and the read (a concurrent compaction deleted it AFTER writing
+    * the checkpoint that absorbed it): None-with-absence is safe for
+    * the skip-set union exactly because the checkpoint read happens
+    * AFTER the entry reads in [[loadedFiles]]. */
+  private def readEntryIfPresent(fs: FileSystem, dir: String,
+      seq: Long): Option[Intent] =
+    try readEntry(fs, dir, seq)
+    catch { case _: java.io.FileNotFoundException => None }
 
   /** Create-exclusive intent write: refuses if the seq exists (a
     * concurrent COPY took it — caller recomputes against the winner's
@@ -181,12 +194,20 @@ object CopyInto {
   /** Files already loaded (checkpoint union + every COMMITTED or
     * intended tail entry — an uncommitted intent is either recovered
     * first or torn and deleted, so by the time the skip set is
-    * consulted every entry counts). O(1 + recent batches) reads. */
+    * consulted every entry counts). O(1 + recent batches) reads.
+    *
+    * READ ORDER is the concurrency guard: entries FIRST, checkpoint
+    * SECOND. A concurrent fold writes its checkpoint BEFORE deleting
+    * the entries it absorbed, so an entry that vanishes between the
+    * listing and its read is guaranteed covered by a checkpoint this
+    * later read observes — reading the checkpoint first would race
+    * the deletes and silently drop committed batches from the skip
+    * set (re-loading their files as duplicates). */
   private def loadedFiles(fs: FileSystem, dir: String): Set[String] = {
-    val ckpt = readCkpt(fs, dir)
-    val base = ckpt.map(_._2.map(_._2)).getOrElse(Nil)
-    (base ++ listEntries(fs, dir).flatMap(s => readEntry(fs, dir, s)
-      .map(_.files).getOrElse(Seq.empty))).toSet
+    val tail = listEntries(fs, dir).flatMap(s =>
+      readEntryIfPresent(fs, dir, s).map(_.files).getOrElse(Seq.empty))
+    val base = readCkpt(fs, dir).map(_._2.map(_._2)).getOrElse(Nil)
+    (base ++ tail).toSet
   }
 
   /** Fold committed tail entries into a new checkpoint once the tail
@@ -314,14 +335,16 @@ object CopyInto {
   def ledger(spark: SparkSession, dir: String): Seq[(Long, String, Boolean)] = {
     val fs = fsOf(spark, dir)
     val hw = Versioned.lastTxn(spark, dir, txnId(dir))
-    val ckptRows = readCkpt(fs, dir).map(_._2).getOrElse(Nil)
-      .map { case (seq, f) => (seq, f, true) } // folds hold only committed
-    val ckptSeqs = ckptRows.map(_._1).toSet
-    ckptRows ++ listEntries(fs, dir).filterNot(ckptSeqs.contains)
-      .flatMap { seq =>
-        readEntry(fs, dir, seq).map(_.files).getOrElse(Seq.empty)
-          .map(f => (seq, f, hw >= seq))
-      }
+    // entries FIRST, checkpoint SECOND — the same fold-race ordering
+    // loadedFiles documents
+    val tail = listEntries(fs, dir).flatMap { seq =>
+      readEntryIfPresent(fs, dir, seq).map(_.files).getOrElse(Seq.empty)
+        .map(f => (seq, f, hw >= seq))
+    }
+    val tailSeqs = tail.map(_._1).toSet
+    readCkpt(fs, dir).map(_._2).getOrElse(Nil)
+      .collect { case (seq, f) if !tailSeqs.contains(seq) =>
+        (seq, f, true) } ++ tail // folds hold only committed
   }
 
   /** Run one COPY INTO batch. `force` reloads matching files even if

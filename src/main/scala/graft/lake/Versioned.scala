@@ -1211,10 +1211,42 @@ object Versioned {
             meta.renames.getOrElse(f.name, f.name), t, f.nullable)
         })
     val live = filesAt(spark, dir, v)
-    writeCommit(fsOf(spark, dir), dir, v + 1, live, live,
+    val fs = fsOf(spark, dir)
+    // BLOOM sidecars are TYPE-BOUND (xxhash64 of int 42 != xxhash64 of
+    // long 42): a pre-widen bloom on this column would answer
+    // post-widen probes with FALSE NEGATIVES — pruned reads would
+    // silently LOSE matching rows. Re-base the family WITHOUT the
+    // widened column at the widen version (the other columns keep
+    // their coverage; re-run ANALYZE ... COMPUTE BLOOM to re-establish
+    // this one); when it was the only tracked column the family drops
+    // entirely (an empty sidecar would poison inheritance). Stats
+    // boxes store lo/hi as DOUBLE — type-agnostic, they carry.
+    val physName = meta.renames.getOrElse(name, name)
+    val rebasedBloom: Option[Path] =
+      try resolveSidecarRefs(spark, dir, "bloom", v) match {
+        case Some(rows) if !rows.filter(col("col") === physName).isEmpty =>
+          val remaining = rows.filter(col("col") =!= physName)
+          if (remaining.isEmpty) {
+            fs.delete(sidecarRoot(dir, "bloom"), true)
+            None
+          } else {
+            val dst = fullSidecarPath(dir, "bloom", v + 1)
+            remaining.coalesce(1).write.mode("overwrite")
+              .parquet(dst.toString)
+            Some(dst)
+          }
+        case _ => None // no bloom discipline on this column
+      } catch { case _: IllegalArgumentException => None } // broken coverage: bloomsAt already refuses loudly
+    try writeCommit(fs, dir, v + 1, live, live,
       carryMeta(spark, dir, v, commitTs, None, deleteFilesAt(spark, dir, v),
           "widen-column")
         .copy(pinnedSchema = Some(b64e(pin.json))))
+    catch { case e: Throwable =>
+      // a lost CAS must not leave the re-based sidecar poisoning
+      // whatever commit actually takes v+1
+      rebasedBloom.foreach(p => fs.delete(p, true))
+      throw e
+    }
     v + 1
   }
 
@@ -1509,10 +1541,25 @@ object Versioned {
   // never listed as data, never referenced by a manifest, never
   // vacuumed) and zero-file versions read a typed empty frame from it.
   // The first real write makes the anchor irrelevant (files win).
-  private def anchorPath(dir: String) = s"$dir/_schema/anchor"
+  //
+  // Anchors are VERSIONED (`anchor_v%06d` = the definition in force
+  // FROM that commit on; a zero-file read at meta version M resolves
+  // the newest anchor at or below M, falling back to the legacy
+  // un-versioned `anchor`). Writing version N's anchor BEFORE N's
+  // manifest CAS is crash-safe BY CONSTRUCTION: a CAS that never
+  // lands leaves an orphan above every committed version — invisible
+  // to every read — instead of the old in-place overwrite, where a
+  // process crash mid-REPLACE (or a lost CAS) served the NEW
+  // definition's anchor for the OLD still-in-force table. Versioning
+  // also makes empty-table reads TIME-TRAVEL across TRUNCATE/REPLACE
+  // definition changes for free.
+  private def legacyAnchorPath(dir: String) = s"$dir/_schema/anchor"
+  private def anchorPathV(dir: String, v: Long) =
+    f"$dir/_schema/anchor_v$v%06d"
 
   private[graft] def writeSchemaAnchor(spark: SparkSession, dir: String,
-      schema: org.apache.spark.sql.types.StructType): Unit = {
+      schema: org.apache.spark.sql.types.StructType,
+      forVersion: Long = -1L): Unit = {
     // anchors store PHYSICAL names, exactly like data files, so the
     // version's column mapping applies uniformly on read — a
     // logical-named anchor under a live mapping would dodge (or be
@@ -1526,24 +1573,41 @@ object Versioned {
         org.apache.spark.sql.types.StructType(
           schema.map(f => f.copy(name = ren.getOrElse(f.name, f.name))))
       }
-    writeSchemaAnchorRaw(spark, dir, phys)
+    writeSchemaAnchorRaw(spark, dir, phys,
+      if (forVersion >= 0) forVersion else v + 1)
   }
 
   /** Anchor write WITHOUT the current-meta physical mapping — for
     * [[replaceTable]], whose committing meta RESETS the mapping: the
     * new definition's names ARE its physical names, and mapping them
     * through the outgoing table's renames would mangle any name the
-    * old table had remapped. */
+    * old table had remapped. `forVersion` is the commit the anchor
+    * defines (see the section note on pre-CAS crash safety). */
   private def writeSchemaAnchorRaw(spark: SparkSession, dir: String,
-      schema: org.apache.spark.sql.types.StructType): Unit =
+      schema: org.apache.spark.sql.types.StructType,
+      forVersion: Long): Unit =
     spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      .repartition(1).write.mode("overwrite").parquet(anchorPath(dir))
+      .repartition(1).write.mode("overwrite")
+      .parquet(anchorPathV(dir, math.max(0L, forVersion)))
 
-  private def anchorDf(spark: SparkSession, dir: String): Option[DataFrame] = {
-    val p = new Path(anchorPath(dir))
-    if (fsOf(spark, dir).exists(p)) Some(spark.read.parquet(p.toString))
-    else None
+  /** The newest anchor at or below `metaV` (legacy un-versioned
+    * anchor = version -∞). */
+  private def anchorDf(spark: SparkSession, dir: String,
+      metaV: Long): Option[DataFrame] = {
+    val fs = fsOf(spark, dir)
+    val root = new Path(dir, "_schema")
+    if (!fs.exists(root)) return None
+    val versioned = fs.listStatus(root).map(_.getPath.getName).collect {
+      case n if n.matches("anchor_v\\d+") =>
+        n.stripPrefix("anchor_v").toLong
+    }.filter(_ <= metaV)
+    if (versioned.nonEmpty)
+      Some(spark.read.parquet(anchorPathV(dir, versioned.max)))
+    else {
+      val p = new Path(legacyAnchorPath(dir))
+      if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+    }
   }
 
   private def snapshotUnderMeta(spark: SparkSession, dir: String,
@@ -1551,7 +1615,7 @@ object Versioned {
     val meta = metaAt(spark, dir, metaV)
     val files = filesAt(spark, dir, fileV)
     if (files.isEmpty) {
-      val anchor0 = anchorDf(spark, dir).getOrElse(throw
+      val anchor0 = anchorDf(spark, dir, metaV).getOrElse(throw
         new IllegalArgumentException(
           s"version $fileV of $dir has no files (and no _schema anchor " +
             "a CREATE TABLE would have left)"))
@@ -2225,9 +2289,13 @@ object Versioned {
     val meta0 = metaAt(spark, dir, v)
     val live = filesAt(spark, dir, v)
     val fs = fsOf(spark, dir)
-    val oldSchema = snapshot(spark, dir, v).schema // for anchor rollback
-    // stage the new contents FIRST: a failed query/write aborts with
-    // the original table untouched (the staged files are unreferenced
+    // the new definition's anchor is VERSIONED to the committing
+    // version: until the CAS lands it is invisible to every read
+    // (crash-safe by construction — see the anchor section note), so
+    // a failed replace leaves the original definition fully intact
+    writeSchemaAnchorRaw(spark, dir, schema, v + 1)
+    // stage the new contents: a failed query/write aborts with the
+    // original table untouched (the staged files are unreferenced
     // debris, reaped by vacuum)
     val newFiles = rows.map { r =>
       val aligned = r.select(schema.fields.toSeq.map(f =>
@@ -2235,7 +2303,6 @@ object Versioned {
       writeStagedFiles(spark, fs, dir,
         clusterByKeys(aligned, partitionKeys), partitionKeys)
     }.getOrElse(Nil)
-    writeSchemaAnchorRaw(spark, dir, schema)
     val newMeta = CommitMeta(
       Some(math.max(commitTs, meta0.ts.getOrElse(Long.MinValue))),
       meta0.txns, Nil, Map.empty, Some("replace"),
@@ -2244,15 +2311,7 @@ object Versioned {
       pkeys = if (partitionKeys.nonEmpty) Some(partitionKeys) else None,
       gens = Map.empty, addCols = Nil,
       cluster = if (clusterCols.nonEmpty) Some(clusterCols) else None)
-    try writeCommit(fs, dir, v + 1, newFiles, live, newMeta)
-    catch { case e: Throwable =>
-      // the anchor is the ONE artifact shared across versions: put the
-      // outgoing definition's back (old meta is still in force — the
-      // commit never landed) so zero-file reads of the original stay
-      // correct, then surface the failure
-      writeSchemaAnchor(spark, dir, oldSchema)
-      throw e
-    }
+    writeCommit(fs, dir, v + 1, newFiles, live, newMeta)
     v + 1
   }
 
@@ -2941,7 +3000,8 @@ object Versioned {
       "bloom sidecars need a single basePath: OPTIMIZE the clone first " +
         "to localize its foreign file references")
     val built = BloomIndex.buildForFiles(spark, dir,
-      refs.map(r => s"$dir/$r"), cols, expectedPerFile, fpp)
+      refs.map(r => s"$dir/$r"), cols, expectedPerFile, fpp,
+      pinned = metaAt(spark, dir, currentVersion(spark, dir)).pinned)
     val mapDf = refAbsMap(spark, dir, refs)
     built.join(mapDf,
         regexp_replace(built("file"), "^file:/+", "/") === mapDf("__abs"))
@@ -4531,10 +4591,23 @@ object Versioned {
     // MOR-filtered view; DV lines for dropped files become inert (they
     // match nothing) and carry harmlessly until materializeDeletes.
     val anyScoped = dels.exists(e => delParse(e)._2.isDefined)
+    // dropping the #del lines is legal ONLY when this rewrite covers
+    // EVERY live file: a SCOPED pass (OPTIMIZE WHERE, or the
+    // incremental-clustering stripe via `onlyFiles`) leaves untouched
+    // bulk files whose deleted rows the carried lines still hide —
+    // dropping them there would resurrect every MOR-deleted row in
+    // the bulk. The scoped rewrite still reads the MOR-FILTERED view
+    // (its own replacements must not resurrect their stale rows:
+    // replacements are added after every pending bound, hence exempt
+    // from scoped tombstones, and DV lines for its dropped files go
+    // inert), and the carried lines stay correct for the rest: a
+    // tombstone hides rows wherever they still physically sit, and
+    // the rewritten files simply no longer hold them.
+    val fullRewrite = onlyFiles.isEmpty && partitionFilter.isEmpty
     val (rowsPhys, nextDels) =
-      if (zorder.isDefined)
+      if (zorder.isDefined && fullRewrite)
         (applyTombstones(spark, dir, v, rawRows).drop(DvSrcPos), Nil)
-      else if (anyScoped || anyDv)
+      else if (zorder.isDefined || anyScoped || anyDv)
         (applyTombstones(spark, dir, v, rawRows).drop(DvSrcPos), dels)
       else (rawRows, dels)
     // cluster in the LOGICAL view (a caller's zorder key references

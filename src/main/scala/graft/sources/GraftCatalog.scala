@@ -624,12 +624,24 @@ private[graft] final class GraftVersionedTable(
                 if (gens.isEmpty) Some(Set.empty)
                 else data.queryExecution.analyzed match {
                   case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
-                    Some(gens.filter(g => p.projectList.exists {
-                      case a: org.apache.spark.sql.catalyst.expressions.Alias
-                          if a.name == g =>
-                        a.child.foldable && a.child.eval(null) == null
-                      case _ => false
-                    }))
+                    // per generated column: an Alias of a foldable null
+                    // = OMITTED, an Alias of anything else = SUPPLIED;
+                    // a bare AttributeReference just forwards a lower
+                    // node's output — could be EITHER, so the plan is
+                    // unreadable for that column and the cached data
+                    // probe decides (never guess: guessing 'supplied'
+                    // would refuse an omitted column at validation,
+                    // guessing 'omitted' would silently discard values)
+                    val verdicts = gens.map { g =>
+                      g -> p.projectList.collectFirst {
+                        case a: org.apache.spark.sql.catalyst.expressions.Alias
+                            if a.name == g =>
+                          a.child.foldable && a.child.eval(null) == null
+                      }
+                    }
+                    if (verdicts.exists(_._2.isEmpty)) None // unreadable
+                    else Some(verdicts.collect {
+                      case (g, Some(true)) => g }.toSet)
                   case _ => None
                 }
               val (batchIn, cached) = planOmitted match {

@@ -237,6 +237,23 @@ class CopyIntoSpec extends SparkSpec {
       "the crashed CSV batch must replay as CSV with its header option")
   }
 
+  test("an EMPTY FORMAT_OPTIONS value round-trips through the intent recipe (the r15 review crash: b64('') is one token)") {
+    val lake = freshTarget()
+    val src = java.nio.file.Files.createTempDirectory("graft_drop_emptyopt")
+      .toFile.getAbsolutePath
+    df(Seq(("b", 55L, 5.5)), "site", "id", "v").coalesce(1)
+      .write.option("header", "true").csv(s"$src/d1")
+    val r = CopyInto.run(spark, lake, src, "csv",
+      options = Map("header" -> "true", "nullValue" -> ""))
+    assert(r.filesLoaded == 1L)
+    // the re-run must PARSE the recorded recipe (readEntry crashed on
+    // the empty-value #option line before the fix) and skip everything
+    val r2 = CopyInto.run(spark, lake, src, "csv",
+      options = Map("header" -> "true", "nullValue" -> ""))
+    assert(r2.filesLoaded == 0L && r2.filesSkipped == 1L, s"got $r2")
+    assert(CopyInto.ledger(spark, lake).nonEmpty)
+  }
+
   test("ledger entries store fully-qualified URIs (cross-filesystem sources); legacy scheme-stripped entries still skip") {
     val lake = freshTarget()
     val src = dropFiles(1, "uri")

@@ -2334,6 +2334,92 @@ class VersionedSpec extends SparkSpec {
       .agg(sum(col("id"))).head().getLong(0) == 5000000010L)
   }
 
+  test("scoped ZORDER rewrites (OPTIMIZE WHERE / incremental stripe) CARRY the #del lines — MOR-deleted rows in untouched bulk files never resurrect") {
+    import org.apache.spark.sql.functions.input_file_name
+    val dir = freshLake() // partitions a, b
+    Versioned.init(spark, dir, commitTs = 1000L)
+    // fragment both partitions so a scoped optimize has work
+    (1 to 2).foreach { i =>
+      Versioned.append(spark, dir,
+        df(Seq(("a", 100L + i, i.toDouble), ("b", 200L + i, i.toDouble)),
+          "site", "id", "v"), Seq("site"), commitTs = 1000L + i)
+    }
+    // a deletion vector hides rows in BOTH partitions
+    Versioned.deleteWhereVectors(spark, dir, col("id") % 2 === 0L,
+      commitTs = 1010L)
+    val visible = state(Versioned.snapshot(spark, dir))
+    assert(!visible.exists(_._2 % 2 == 0))
+    // a WHERE-scoped ZORDER pass touches ONLY site=a: the r15 review
+    // bug dropped every #del line here, resurrecting site=b's deleted
+    // rows through the carried bulk files
+    Versioned.optimize(spark, dir, Seq("site"),
+      zorder = Some(col("id")),
+      partitionFilter = Some(Map("site" -> "a")))
+    assert(state(Versioned.snapshot(spark, dir)) == visible,
+      "a scoped ZORDER must not resurrect MOR-deleted rows elsewhere")
+    assert(Versioned.deleteFilesAt(spark, dir).nonEmpty,
+      "the scoped pass must CARRY the pending #del lines")
+    // the incremental-clustering stripe pass (onlyFiles) is the same
+    // shape: cluster, stamp, DV-delete in the bulk, append a stripe,
+    // incremental OPTIMIZE — the bulk's deleted rows stay gone
+    Versioned.setClusterBy(spark, dir, Seq("id"))
+    graft.sources.GraftOptimizeCommand(dir, Nil).run(spark) // full + stamp
+    Versioned.deleteWhereVectors(spark, dir, col("id") === 1L,
+      commitTs = 1020L)
+    val visible2 = state(Versioned.snapshot(spark, dir))
+    Versioned.append(spark, dir,
+      df(Seq(("a", 901L, 9.0)), "site", "id", "v"), Seq("site"),
+      commitTs = 1021L)
+    graft.sources.GraftOptimizeCommand(dir, Nil).run(spark) // stripe only
+    assert(state(Versioned.snapshot(spark, dir)) ==
+      visible2 + (("a", 901L, 9.0)),
+      "the incremental stripe must not resurrect bulk deletes")
+    // a FULL re-layout folds the MOR state away as before
+    graft.sources.GraftOptimizeCommand(dir, Nil, full = true).run(spark)
+    assert(Versioned.deleteFilesAt(spark, dir).isEmpty,
+      "a FULL re-cluster still folds the #del lines into the data")
+    assert(state(Versioned.snapshot(spark, dir)) ==
+      visible2 + (("a", 901L, 9.0)))
+  }
+
+  test("widening a bloom-covered column re-bases the bloom family without it (type-bound hashes would false-negative) — probes stay correct, re-ANALYZE re-establishes") {
+    import org.apache.spark.sql.types.LongType
+    val root = java.nio.file.Files.createTempDirectory("graft_widbloom").toFile
+    root.deleteOnExit()
+    val dir = new java.io.File(root, "lake").getAbsolutePath
+    MergeData.writeMerged(spark,
+      df(Seq(("a", 7, 1.0), ("b", 8, 2.0)), "site", "uid", "v"),
+      dir, keys = Seq("site"))
+    Versioned.init(spark, dir, commitTs = 1000L)
+    Versioned.backfillBlooms(spark, dir, Seq("uid", "v"),
+      expectedPerFile = 100L)
+    // pre-widen, the bloom prunes uid probes
+    assert(state2(Versioned.bloomPrunedReadIn(spark, dir, "uid",
+      Seq(lit(7)))) == Set(("a", 7L, 1.0)))
+    Versioned.widenColumn(spark, dir, "uid", LongType)
+    // the family re-based WITHOUT uid: remaining coverage intact,
+    // uid probes stop pruning (correct, never a false negative)
+    val cols = Versioned.bloomsAt(spark, dir).select("col").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(cols == Set("v"),
+      s"the widened column's type-bound blooms must drop (got $cols)")
+    // re-ANALYZE rebuilds over the WIDE type — a long-range probe hits
+    Versioned.append(spark, dir,
+      df(Seq(("a", 6000000000L, 3.0)), "site", "uid", "v"), Seq("site"))
+    Versioned.backfillBlooms(spark, dir, Seq("uid"),
+      expectedPerFile = 100L)
+    assert(state2(Versioned.bloomPrunedReadIn(spark, dir, "uid",
+      Seq(lit(6000000000L)))) == Set(("a", 6000000000L, 3.0)))
+    assert(state2(Versioned.bloomPrunedReadIn(spark, dir, "uid",
+      Seq(lit(7L)))) == Set(("a", 7L, 1.0)),
+      "pre-widen values must still be found under the rebuilt blooms")
+  }
+
+  private def state2(d: org.apache.spark.sql.DataFrame): Set[(String, Long, Double)] =
+    d.select("site", "uid", "v").collect()
+      .map(r => (r.getString(0), // uid reads int pre-widen, long after
+        r.get(1).asInstanceOf[Number].longValue(), r.getDouble(2))).toSet
+
   test("manifest #bytes rail: fileSizesAt is metadata-only for rail-era commits, equals FS truth, survives vacuum's checkpoint rewrite, travels with clones; pre-rail manifests fall back lazily") {
     val dir = freshLake()
     Versioned.init(spark, dir, commitTs = 1000L)

@@ -731,6 +731,24 @@ class GraftSqlWritesSpec extends SparkSpec {
     assert(e.getMessage.contains("ADD CONSTRAINT"), e.getMessage)
   }
 
+  test("anchors are VERSIONED: empty-table reads time-travel across REPLACE/TRUNCATE definition changes (the old in-place anchor was clobbered)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_anchv").toFile
+    root.deleteOnExit()
+    val dir = new java.io.File(root, "t").getAbsolutePath
+    spark.sql(s"CREATE TABLE ${tbl(dir)} (a INT, s STRING)") // v0+v? empty
+    val v0 = Versioned.currentVersion(spark, dir)
+    assert(spark.sql(s"SELECT * FROM ${tbl(dir)}").columns.toSeq ==
+      Seq("a", "s"))
+    // replace the EMPTY table with a different empty definition
+    spark.sql(s"REPLACE TABLE ${tbl(dir)} (k STRING, n BIGINT)")
+    assert(spark.sql(s"SELECT * FROM ${tbl(dir)}").columns.toSeq ==
+      Seq("k", "n"))
+    // the pre-replace EMPTY version still reads under ITS OWN anchor
+    assert(spark.sql(s"SELECT * FROM ${tbl(dir)} VERSION AS OF $v0")
+        .columns.toSeq == Seq("a", "s"),
+      "a zero-file version must travel under its own definition's anchor")
+  }
+
   test("CTAS is atomic: a SELECT that fails mid-write leaves NOTHING behind (no directory, no half table)") {
     val root = java.nio.file.Files.createTempDirectory("graft_ctasf").toFile
     root.deleteOnExit()
