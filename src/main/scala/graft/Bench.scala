@@ -52,7 +52,7 @@ object Bench {
     // "drift" was a 7.49 s in-suite read vs a 1.36 s warm floor.
     val controlNames = Seq("q01_overview_stats", "q22_join3", "q38_lang_id",
       "q32_minhash_lsh")
-    val controls = controlNames.flatMap { name =>
+    val controls0 = controlNames.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         def once(): Double = {
           val t0 = System.nanoTime()
@@ -64,6 +64,41 @@ object Bench {
         catch { case _: Throwable => name -> -1.0 }
       }
     }
+    // LAKE-TIER control (r15 ask): a fixed 20-commit append loop on a
+    // throwaway versioned table — the tier most sensitive to
+    // commit-path drift (#bytes rail, anchor resolve, conformToPinned)
+    // gets a warm per-round reference the per-query numbers can be
+    // adjudicated against. Warm-min-of-2 of the WHOLE loop.
+    val controls = controls0 :+ ("ctl_commit_path20" -> {
+      try {
+        val wd = new java.io.File(sys.props("user.dir"),
+          "target/bench_ctl_lake").getAbsolutePath
+        val fsp = new org.apache.hadoop.fs.Path(wd)
+        val fs = fsp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        def loop(tag: String): Double = {
+          val lake = s"$wd/$tag"
+          spark.range(100)
+            .selectExpr("id AS event_id", "CAST(id % 4 AS STRING) AS site",
+              "CAST(id AS DOUBLE) AS v")
+            .coalesce(1).write.partitionBy("site").parquet(lake)
+          graft.lake.Versioned.init(spark, lake)
+          val row = spark.range(1)
+            .selectExpr("9000000 AS event_id", "'a' AS site", "0.5 AS v")
+          val t0 = System.nanoTime()
+          (1 to 20).foreach { i =>
+            graft.lake.Versioned.append(spark, lake,
+              row.withColumn("event_id", org.apache.spark.sql.functions
+                .lit(9000000L + i)), Seq("site"))
+          }
+          (System.nanoTime() - t0) / 1e9
+        }
+        fs.delete(fsp, true)
+        loop("warm") // JVM + codepath warm-up, unmeasured
+        val v = math.min(loop("m1"), loop("m2"))
+        fs.delete(fsp, true)
+        v
+      } catch { case _: Throwable => -1.0 }
+    })
     val results = SparkEntry.queries.map { case (name, fn) =>
       // Each query gets one UNMEASURED warm-up run before the timed run:
       // suite-order JIT/GC/codegen hiccups otherwise charge multi-second
@@ -110,6 +145,53 @@ object Bench {
       name -> (if (errors.contains(name)) (-1.0, None)
                else (two.min, floor.filter(f => two.min / f > 2.0)))
     }
+    // ---- ROUND-OVER-ROUND adjudication (r15 verdict ask #2) --------
+    // `floors` above only fires on IN-SUITE spread (>2x between a
+    // query's two runs) — a uniform fleet-wide slowdown shows a clean
+    // min-of-2 everywhere and an empty floors map, leaving the judge
+    // to guess environment vs regression (exactly r15). So the record
+    // now diffs each carried query against the PREVIOUS round's
+    // committed per-query map (BENCH_r{N-1}.json -> parsed.queries)
+    // and re-measures a min-of-5 steady floor for every >1.5x mover
+    // (>0.3s absolute, top 8 by absolute growth): `prevdiff` says
+    // per-query whether the drift is real (floor tracks cur) or a
+    // measurement artifact (floor tracks prev).
+    val repoDir = new java.io.File(sys.props("user.dir"))
+    val prevN = Option(repoDir.listFiles()).getOrElse(Array.empty)
+      .flatMap(f => "^BENCH_r(\\d+)\\.json$".r
+        .findFirstMatchIn(f.getName).map(_.group(1).toInt))
+      .foldLeft(-1)(math.max)
+    val prevMap: Map[String, Double] =
+      if (prevN < 0) Map.empty
+      else try {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val qs = om.readTree(new java.io.File(repoDir,
+          f"BENCH_r$prevN%02d.json")).path("parsed").path("queries")
+        if (!qs.isObject) Map.empty
+        else {
+          val b = Map.newBuilder[String, Double]
+          val it = qs.fieldNames()
+          while (it.hasNext) { val k = it.next(); b += k -> qs.get(k).asDouble(-1.0) }
+          b.result()
+        }
+      } catch { case _: Throwable => Map.empty }
+    val movers = results.toSeq.collect {
+      case (k, (v, _)) if v >= 0 && prevMap.get(k).exists(p =>
+        p > 0 && v > p * 1.5 && v - p > 0.3) => (k, v, prevMap(k))
+    }.sortBy { case (_, v, p) => p - v }.take(8)
+    val prevdiff = movers.map { case (k, v, p) =>
+      val fn = SparkEntry.queries(k)
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val floor = try (1 to 5).map(_ => once()).min
+        catch { case _: Throwable => -1.0 }
+      k -> (p, v, floor)
+    }
+
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -139,8 +221,20 @@ object Bench {
     val floorsJson = results.toSeq
       .collect { case (k, (_, Some(f))) => s"${jstr(k)}:${r3(f)}" }
       .mkString("{", ",", "}")
+    val prevdiffJson = prevdiff.map { case (k, (p, v, f)) =>
+      s"${jstr(k)}:{\"prev\":${r3(p)},\"cur\":${r3(v)},\"floor\":${r3(f)}}"
+    }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"tiers":$tiers,"controls":$controlsJson,"floors":$floorsJson,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"tiers":$tiers,"controls":$controlsJson,"floors":$floorsJson,"prevdiff":$prevdiffJson,"prev_round":$prevN,"errors":$errJson,"sf":"$sfDir"}"""
+    // the per-query map ALSO persists as a tracked per-round file
+    // (BENCH_QUERIES_r{N}.json, N = prev driver round + 1) so the next
+    // round's diff has a committed baseline even if the driver's
+    // BENCH_r{N}.json copy is truncated
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(repoDir.getPath,
+        f"BENCH_QUERIES_r${prevN + 1}%02d.json"),
+      line + "\n")
+    catch { case _: Throwable => }
     // One clean line on stdout (build.sbt routes forked output straight
     // through, un-prefixed) + a file copy in case a log wrapper eats it.
     // The copy goes to an explicit, env-overridable absolute path so a

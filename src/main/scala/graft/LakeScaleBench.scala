@@ -531,6 +531,35 @@ object LakeScaleBench {
         Seq(("user_id", 100.0, 200.0))).count()
     }
 
+    // ---- round-16: the SQL VERB's explicit ZORDER BY ---------------
+    // `OPTIMIZE ... ZORDER BY (user_id, reading, event_id)` now routes
+    // through the SAME rank-cut clusterKey as declared clustering, with
+    // the byte-target conf sizing the layout. This row pins that the
+    // VERB's candidates match the hand-built z3q layout above — the r15
+    // defect was the verb interleaving RAW low bits (`id mod 65536` on
+    // these 1e10-domain ids: hash noise, domain-wide boxes, no skip).
+    val lakeBytes = fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(lake)).getLength
+    spark.conf.set("spark.graft.optimize.targetFileSize",
+      math.max(65536L, lakeBytes / 16L).toString)
+    try time("z3sql_optimize") {
+      graft.sources.GraftOptimizeCommand(lake,
+        Seq("user_id", "reading", "event_id")).run(spark)
+    } finally spark.conf.unset("spark.graft.optimize.targetFileSize")
+    val zsStats = Versioned.statsAt(spark, lake)
+    def scands(c: String, lo: Double, hi: Double): Int =
+      graft.lake.SkipIndex.candidateFilesMulti(zsStats,
+        Seq((c, lo, hi))).size
+    metrics("z3sql_files") = Versioned.filesAt(spark, lake).size
+    metrics("z3sql_cand_user") = scands("user_id", 100.0, 200.0)
+    metrics("z3sql_cand_reading") = scands("value", 400.0, 600.0)
+    metrics("z3sql_cand_event") = scands("event_id", 6.9e9, 7.2e9)
+    metrics("z3sql_cand_event_dense") = scands("event_id", 1.0e6, 1.2e6)
+    metrics("z3sql_pruned_rows") = time("z3sql_pruned_read") {
+      Versioned.statsPrunedRead(spark, lake,
+        Seq(("user_id", 100.0, 200.0))).count()
+    }
+
     // ---- round-15: INCREMENTAL liquid clustering -------------------
     // The steady-state claim: after the first (full) self-cluster
     // stamps `#clusterat`, the maintenance loop's cost tracks INGEST
@@ -585,6 +614,27 @@ object LakeScaleBench {
       Versioned.optimize(spark, rlake, Seq("bucket"))
     }
     metrics("optwhere_full_bytes") = commitBytes(rlake, vFull)
+
+    // ---- round-16: COMMIT-PATH microbench --------------------------
+    // 20 fixed one-row appends at full history depth: isolates the
+    // per-commit metadata cost (#bytes rail, versioned-anchor resolve,
+    // conformToPinned, txn carry) from any data-volume effect — the
+    // r15 round's +32% lake-tier drift correlated with commit-path
+    // additions but was never microbenched. FLAT across clone factors
+    // = the commit path is lake-size-independent; the per-round diff
+    // of this row is the line-item adjudication.
+    val cpSnap = Versioned.snapshot(spark, lake).limit(1)
+    val cpRows = cpSnap.collect()
+    val cpSchema = cpSnap.schema
+    time("commit_path_20") {
+      (1 to 20).foreach { i =>
+        Versioned.append(spark, lake,
+          spark.createDataFrame(
+              spark.sparkContext.parallelize(cpRows.toSeq, 1), cpSchema)
+            .withColumn("event_id", lit(91000000000L + i)),
+          Seq("event_type"))
+      }
+    }
 
     def j(v: Any): String = v match {
       case s: String => "\"" + s + "\""

@@ -70,9 +70,9 @@ object CopyInto {
   private def fsOf(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
 
-  private def ledgerRoot(dir: String) = new Path(dir, "_manifest/copyinto")
+  private[lake] def ledgerRoot(dir: String) = new Path(dir, "_manifest/copyinto")
 
-  private def entryPath(dir: String, seq: Long) =
+  private[lake] def entryPath(dir: String, seq: Long) =
     new Path(ledgerRoot(dir), f"seq$seq%06d.list")
 
   private def ckptPath(dir: String, upto: Long) =
@@ -180,16 +180,37 @@ object CopyInto {
     * (no `#end`) are skipped: their fold never deleted anything, the
     * tail below still covers them. */
   private def readCkpt(fs: FileSystem,
-      dir: String): Option[(Long, Seq[(Long, String)])] =
-    listCkpts(fs, dir).sorted.reverse.iterator.flatMap { upto =>
-      val lines = readAllLines(fs, ckptPath(dir, upto))
-      if (!lines.lastOption.contains("#end")) None
-      else Some((upto, lines.dropRight(1).filterNot(_.startsWith("#"))
-        .map { l =>
-          val i = l.indexOf('\t')
-          (l.substring(0, i).toLong, l.substring(i + 1))
-        }))
-    }.nextOption()
+      dir: String): Option[(Long, Seq[(Long, String)])] = {
+    // a checkpoint listed a moment ago can VANISH before the read: a
+    // concurrent fold deletes older checkpoints AFTER writing its new
+    // one. A vanished candidate was absorbed by a NEWER checkpoint —
+    // skip it when a complete listed one still reads (newest-complete-
+    // wins), but when EVERY candidate vanished the absorber postdates
+    // our listing: re-list and read it (falling through to None there
+    // would drop the whole folded base from the skip set → duplicates).
+    var attempts = 0
+    while (attempts < 5) {
+      attempts += 1
+      var sawVanish = false
+      val res = listCkpts(fs, dir).sorted.reverse.iterator.flatMap { upto =>
+        try {
+          val lines = readAllLines(fs, ckptPath(dir, upto))
+          if (!lines.lastOption.contains("#end")) None // torn: its fold never deleted
+          else Some((upto, lines.dropRight(1).filterNot(_.startsWith("#"))
+            .map { l =>
+              val i = l.indexOf('\t')
+              (l.substring(0, i).toLong, l.substring(i + 1))
+            }))
+        } catch {
+          case _: java.io.FileNotFoundException => sawVanish = true; None
+        }
+      }.nextOption()
+      if (res.isDefined || !sawVanish) return res
+    }
+    throw new IllegalStateException(
+      s"COPY INTO ledger checkpoints of $dir kept vanishing across 5 " +
+        "re-listings — folds are racing faster than reads; retry the COPY")
+  }
 
   /** Files already loaded (checkpoint union + every COMMITTED or
     * intended tail entry — an uncommitted intent is either recovered
@@ -220,6 +241,21 @@ object CopyInto {
     * checkpoint that absorbed it is a no-op union). Only entries at or
     * below the txn high-water fold — an uncommitted intent stays in
     * place for the recovery scan. */
+  /** [[maybeCompact]] as the POST-COMMIT caller must see it: best
+    * effort. By the time compaction runs the batch's append has
+    * COMMITTED — a checkpoint race or a transient IO error in ledger
+    * maintenance must not report failure for a COPY that succeeded
+    * (the caller would retry a batch the txn fence then no-ops,
+    * or page an operator for nothing). The fold is self-healing: the
+    * next batch retries it. */
+  private def compactBestEffort(spark: SparkSession, fs: FileSystem,
+      dir: String): Unit =
+    try maybeCompact(spark, fs, dir)
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(
+        s"COPY INTO ledger compaction of $dir skipped: ${e.getMessage}")
+    }
+
   private def maybeCompact(spark: SparkSession, fs: FileSystem,
       dir: String): Unit = {
     val hw = Versioned.lastTxn(spark, dir, txnId(dir))
@@ -229,9 +265,19 @@ object CopyInto {
       .filter(s => s <= hw && s > priorUpto)
     if (foldable.size <= CompactAfter) return
     val upto = foldable.max
-    val rows = prior.map(_._2).getOrElse(Nil) ++ foldable.flatMap(s =>
-      readEntry(fs, dir, s).map(_.files).getOrElse(Seq.empty)
-        .map(f => (s, f)))
+    // read every foldable entry BEFORE writing anything: an entry that
+    // vanished between the listing and its read was absorbed by a
+    // CONCURRENT fold whose checkpoint postdates our `prior` — folding
+    // without its files and then deleting that checkpoint (it sorts
+    // below our upto) would drop them from the skip set. Abort instead;
+    // the next batch's fold re-lists and retries.
+    val reads = foldable.map { s =>
+      try (s, readEntry(fs, dir, s), false)
+      catch { case _: java.io.FileNotFoundException => (s, None, true) }
+    }
+    if (reads.exists(_._3)) return // vanished mid-read: racing fold won
+    val rows = prior.map(_._2).getOrElse(Nil) ++ reads.flatMap {
+      case (s, e, _) => e.map(_.files).getOrElse(Seq.empty).map(f => (s, f)) }
     val out = try fs.create(ckptPath(dir, upto), false) catch {
       case _: java.io.IOException => return // concurrent folder won
     }
@@ -399,7 +445,7 @@ object CopyInto {
       loaded.contains(p) || loaded.contains(new Path(p).toUri.getPath)
     val fresh = if (force) listed else listed.filterNot(known)
     if (fresh.isEmpty) {
-      maybeCompact(spark, fs, dir)
+      compactBestEffort(spark, fs, dir)
       return Result(Versioned.currentVersion(spark, dir), 0L,
         listed.size.toLong)
     }
@@ -414,7 +460,7 @@ object CopyInto {
     if (haltBeforeCommit)
       throw new IllegalStateException("halt-before-commit (test seam)")
     val v = Versioned.append(spark, dir, batch, keys, txn = Some((tid, seq)))
-    maybeCompact(spark, fs, dir)
+    compactBestEffort(spark, fs, dir)
     Result(v, fresh.size.toLong, (listed.size - fresh.size).toLong)
   }
 }

@@ -1218,23 +1218,22 @@ object Versioned {
     // silently LOSE matching rows. Re-base the family WITHOUT the
     // widened column at the widen version (the other columns keep
     // their coverage; re-run ANALYZE ... COMPUTE BLOOM to re-establish
-    // this one); when it was the only tracked column the family drops
-    // entirely (an empty sidecar would poison inheritance). Stats
-    // boxes store lo/hi as DOUBLE — type-agnostic, they carry.
+    // this one); when it was the ONLY tracked column the re-based full
+    // is ZERO-ROW — the EMPTY-FAMILY MARKER [[resolveSidecarRefs]] and
+    // [[maybeWriteIncBlooms]] read as "discipline dropped here". The
+    // historical sidecars stay in place, so pre-widen versions keep
+    // their time-traveled bloom coverage; deleting the root here (the
+    // pre-r16 behavior) destroyed that history BEFORE the CAS — a lost
+    // CAS wiped coverage for a commit that never landed. Stats boxes
+    // store lo/hi as DOUBLE — type-agnostic, they carry.
     val physName = meta.renames.getOrElse(name, name)
     val rebasedBloom: Option[Path] =
       try resolveSidecarRefs(spark, dir, "bloom", v) match {
         case Some(rows) if !rows.filter(col("col") === physName).isEmpty =>
-          val remaining = rows.filter(col("col") =!= physName)
-          if (remaining.isEmpty) {
-            fs.delete(sidecarRoot(dir, "bloom"), true)
-            None
-          } else {
-            val dst = fullSidecarPath(dir, "bloom", v + 1)
-            remaining.coalesce(1).write.mode("overwrite")
-              .parquet(dst.toString)
-            Some(dst)
-          }
+          val dst = fullSidecarPath(dir, "bloom", v + 1)
+          rows.filter(col("col") =!= physName)
+            .coalesce(1).write.mode("overwrite").parquet(dst.toString)
+          Some(dst)
         case _ => None // no bloom discipline on this column
       } catch { case _: IllegalArgumentException => None } // broken coverage: bloomsAt already refuses loudly
     try writeCommit(fs, dir, v + 1, live, live,
@@ -2294,24 +2293,36 @@ object Versioned {
     // (crash-safe by construction — see the anchor section note), so
     // a failed replace leaves the original definition fully intact
     writeSchemaAnchorRaw(spark, dir, schema, v + 1)
-    // stage the new contents: a failed query/write aborts with the
-    // original table untouched (the staged files are unreferenced
-    // debris, reaped by vacuum)
-    val newFiles = rows.map { r =>
-      val aligned = r.select(schema.fields.toSeq.map(f =>
-        col(f.name).cast(f.dataType).as(f.name)): _*)
-      writeStagedFiles(spark, fs, dir,
-        clusterByKeys(aligned, partitionKeys), partitionKeys)
-    }.getOrElse(Nil)
-    val newMeta = CommitMeta(
-      Some(math.max(commitTs, meta0.ts.getOrElse(Long.MinValue))),
-      meta0.txns, Nil, Map.empty, Some("replace"),
-      verFloor = meta0.verFloor, cdf = None,
-      renames = Map.empty, droppedCols = Nil,
-      pkeys = if (partitionKeys.nonEmpty) Some(partitionKeys) else None,
-      gens = Map.empty, addCols = Nil,
-      cluster = if (clusterCols.nonEmpty) Some(clusterCols) else None)
-    writeCommit(fs, dir, v + 1, newFiles, live, newMeta)
+    try {
+      // stage the new contents: a failed query/write aborts with the
+      // original table untouched (the staged files are unreferenced
+      // debris, reaped by vacuum)
+      val newFiles = rows.map { r =>
+        val aligned = r.select(schema.fields.toSeq.map(f =>
+          col(f.name).cast(f.dataType).as(f.name)): _*)
+        writeStagedFiles(spark, fs, dir,
+          clusterByKeys(aligned, partitionKeys), partitionKeys)
+      }.getOrElse(Nil)
+      val newMeta = CommitMeta(
+        Some(math.max(commitTs, meta0.ts.getOrElse(Long.MinValue))),
+        meta0.txns, Nil, Map.empty, Some("replace"),
+        verFloor = meta0.verFloor, cdf = None,
+        renames = Map.empty, droppedCols = Nil,
+        pkeys = if (partitionKeys.nonEmpty) Some(partitionKeys) else None,
+        gens = Map.empty, addCols = Nil,
+        cluster = if (clusterCols.nonEmpty) Some(clusterCols) else None)
+      writeCommit(fs, dir, v + 1, newFiles, live, newMeta)
+    } catch { case e: Throwable =>
+      // the promised restore: a failed replace — staging OR a lost
+      // commit CAS — must not leave the NEW definition's anchor as the
+      // newest at-or-below v+1: whatever commit actually takes v+1
+      // (a racing writer, a later TRUNCATE) would serve the FAILED
+      // replace's schema on its zero-file reads. Delete it; the
+      // pre-replace anchors are untouched, so reads fall back to them.
+      try fs.delete(new Path(anchorPathV(dir, v + 1)), true)
+      catch { case _: java.io.IOException => } // surfacing e matters more
+      throw e
+    }
     v + 1
   }
 
@@ -2811,6 +2822,13 @@ object Versioned {
     val fulls = sidecars.collect { case (sv, true) if sv <= v => sv }
     if (fulls.isEmpty) return None
     val base = fulls.max
+    // a ZERO-ROW full is the EMPTY-FAMILY MARKER (widenColumn drops a
+    // single-column family without destroying older versions' sidecars):
+    // the discipline ends at `base` — exactly as if never established.
+    // Incs cannot follow a marker (inheritance stops at it), and a later
+    // re-backfill writes a newer full that becomes the base instead.
+    if (spark.read.parquet(fullSidecarPath(dir, kind, base).toString).isEmpty)
+      return None
     val parts = fullSidecarPath(dir, kind, base).toString +:
       sidecars.collect { case (sv, false) if sv > base && sv <= v =>
         incSidecarPath(dir, kind, sv).toString }
@@ -2923,11 +2941,14 @@ object Versioned {
       prevV: Long, newRefs: Seq[String]): Unit = {
     if (newRefs.isEmpty) return
     newestSidecarAt(spark, dir, "bloom", prevV).foreach { prev =>
-      val head = prev.select("expected", "fpp").head()
-      val cols = prev.select("col").distinct()
-        .collect().map(_.getString(0)).toSeq.sorted
-      writeBloomSidecar(spark, dir, incSidecarPath(dir, "bloom", prevV + 1),
-        newRefs, cols, head.getLong(0), head.getDouble(1))
+      // a zero-row newest full is the empty-family marker (widenColumn
+      // dropped the last tracked column): inheritance stops here
+      prev.select("expected", "fpp").collect().headOption.foreach { head =>
+        val cols = prev.select("col").distinct()
+          .collect().map(_.getString(0)).toSeq.sorted
+        writeBloomSidecar(spark, dir, incSidecarPath(dir, "bloom", prevV + 1),
+          newRefs, cols, head.getLong(0), head.getDouble(1))
+      }
     }
   }
 

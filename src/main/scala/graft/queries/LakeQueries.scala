@@ -5534,6 +5534,83 @@ object LakeQueries {
                count(DISTINCT event_id) AS n_ids
         FROM events WHERE event_type IN ('click','view')
         GROUP BY 1 ORDER BY 1"""),
-      "incremental liquid clustering: #clusterat stamp + stripe-only OPTIMIZE (clustered bulk byte-identical require()d) + stamp-current no-op (no commit require()d); readback == oracle")
+      "incremental liquid clustering: #clusterat stamp + stripe-only OPTIMIZE (clustered bulk byte-identical require()d) + stamp-current no-op (no commit require()d); readback == oracle"),
+
+    // ---------------------------------------------------------------
+    // Explicit SQL `ZORDER BY (c1, c2)` on WIDE-DOMAIN ids — the r15
+    // verdict's one scale defect: the verb used to interleave the RAW
+    // low 16 bits (`id mod 65536` past the wrap — hash noise, every
+    // per-file box domain-wide, zero skipping, silent success). Now it
+    // takes the same rank-cut key as declared clustering. The
+    // require() pins SKIP QUALITY, not compaction counts: a 2% domain
+    // slice must prune most files of the byte-target-sized layout.
+    // ids are scaled x100000 (to ~6e12 at sf0.1) so the old wrap is
+    // exercised at every SF; the probe window is min/max-relative
+    // (same IEEE double arithmetic spelled on both sides).
+    // ---------------------------------------------------------------
+    Q("q220_sql_zorder_wide",
+      (s, dir) => {
+        graft.GraftExtensions.register(s)
+        s.conf.set("spark.sql.catalog.gsql", "graft.sources.GraftCatalog")
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val root = new File(new File(sys.props("user.dir"), "target"),
+          s"graft_zsqlq_$tag")
+        val lake = new File(root, "t").getAbsolutePath
+        LakeQueries.synchronized {
+          val fs = new org.apache.hadoop.fs.Path(root.getAbsolutePath)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(root.getAbsolutePath), true)
+          val base = Tables(s, dir, "events").select(MergeCols.map(col): _*)
+            .withColumn("event_id", col("event_id") * 100000L)
+          base.repartition(8).write.parquet(lake) // fragmented, unpartitioned
+          Versioned.init(s, lake)
+          // size the layout to ~24 files at EVERY SF (fixture-scale
+          // shards: skip QUALITY is the subject, not file economics)
+          val bytes = fs.getContentSummary(
+            new org.apache.hadoop.fs.Path(lake)).getLength
+          s.conf.set("spark.graft.optimize.targetFileSize",
+            math.max(1024L, bytes / 24L).toString)
+          try sqlMaint(s, s"OPTIMIZE gsql.`$lake` ZORDER BY (event_id, user_id)")
+          finally s.conf.unset("spark.graft.optimize.targetFileSize")
+          val live = Versioned.filesAt(s, lake).map(f => s"$lake/$f")
+          require(live.size >= 6,
+            s"byte-target ZORDER must yield a multi-file layout (${live.size})")
+          val Array(mnL, mxL) = Versioned.snapshot(s, lake)
+            .agg(min("event_id"), max("event_id")).head()
+            .toSeq.map(_.asInstanceOf[Long]).toArray
+          val lo = math.floor(mnL + 0.40 * (mxL - mnL)).toLong
+          val hi = math.floor(mnL + 0.42 * (mxL - mnL)).toLong
+          val idx = SkipIndex.buildFromFooterFiles(s, live, Seq("event_id"))
+          val cands = SkipIndex.candidateFiles(idx, "event_id",
+            lo.toDouble, hi.toDouble).size
+          require(cands * 3 <= live.size,
+            s"the SQL ZORDER verb must produce tight event_id boxes " +
+              s"($cands of ${live.size} candidates for a 2% slice — the " +
+              "raw-interleave layout left every box domain-wide)")
+          // the readback RIDES the pruned read (index skip + residual
+          // filter): exactness of the skip is part of the oracle hash
+          Versioned.prunedRead(s, lake, idx,
+              Seq(("event_id", lo.toDouble, hi.toDouble)))
+            .filter(col("event_id").between(lo, hi))
+            .groupBy("event_type")
+            .agg(count(lit(1)).as("n"),
+              round(sum("value"), 4).as("sum_value"),
+              count_distinct(col("user_id")).as("n_users"))
+            .orderBy("event_type")
+        }
+      },
+      Some("""
+        WITH e AS (SELECT event_type, user_id, event_id * 100000 AS event_id,
+                          value FROM events),
+        b AS (SELECT min(event_id) AS mn, max(event_id) AS mx FROM e),
+        f AS (SELECT e.* FROM e, b
+              WHERE e.event_id
+                BETWEEN CAST(FLOOR(b.mn + 0.40::DOUBLE * (b.mx - b.mn)) AS BIGINT)
+                    AND CAST(FLOOR(b.mn + 0.42::DOUBLE * (b.mx - b.mn)) AS BIGINT))
+        SELECT event_type, count(*) AS n,
+               round(sum(value::DOUBLE), 4) AS sum_value,
+               count(DISTINCT user_id) AS n_users
+        FROM f GROUP BY 1 ORDER BY 1"""),
+      "explicit SQL ZORDER BY on wide-domain ids: rank-cut key + byte-target layout, skip quality require()d (2% probe prunes >= 2/3 of files); sliced readback == oracle")
   )
 }

@@ -17,7 +17,8 @@ import graft.lake.{Maintenance, Versioned}
   *
   *  - `OPTIMIZE graft.`dir`` `[WHERE k = v [AND ...]] [ZORDER BY
   *    (c1[, ..., c4])]` → [[Versioned.optimize]] (binpack compaction;
-  *    1–4 ZORDER columns interleave via [[Maintenance.mortonKeyN]];
+  *    1 ZORDER column range-sorts; 2–4 rank-bucket per dimension then
+  *    interleave via [[Maintenance.mortonKeyN]];
   *    WHERE scopes to the named partitions — the hot-partition
   *    maintenance move; a bare OPTIMIZE on a CLUSTER BY table
   *    self-clusters on the declared columns);
@@ -596,13 +597,15 @@ case class GraftDescribeHistoryCommand(dir: String)
 
 /** `OPTIMIZE` → [[Versioned.optimize]]: binpack compaction of every
   * partition holding more files than its bytes demand; `ZORDER BY`
-  * re-clusters (one column sorts directly; 2–4 interleave via the
-  * codegen'd [[Maintenance.mortonKeyN]] — a TRUE N-dimensional
-  * z-order, every dimension's bits at the same granularity, never a
-  * fold of pairwise interleaves). More than four refuses: per-
-  * dimension resolution is `63/N` bits and skip quality collapses
-  * past ~4 dims — at 100 TB that silently clusters badly, so the
-  * command says so instead. */
+  * re-clusters (one column sorts directly; 2–4 take the same
+  * RANK-CUT key as declared clustering — [[GraftOptimizeCommand
+  * .clusterKey]] buckets each dimension into equal-population cells,
+  * then the codegen'd [[Maintenance.mortonKeyN]] interleaves the
+  * CELL ids: a TRUE N-dimensional z-order at the same granularity
+  * per dimension, domain-size- and type-proof). More than four
+  * refuses: per-dimension resolution is `63/N` bits and skip quality
+  * collapses past ~4 dims — at 100 TB that silently clusters badly,
+  * so the command says so instead. */
 case class GraftOptimizeCommand(dir: String, zorderCols: Seq[String],
     where: Map[String, String] = Map.empty, full: Boolean = false)
   extends LeafRunnableCommand {
@@ -646,10 +649,26 @@ case class GraftOptimizeCommand(dir: String, zorderCols: Seq[String],
         else Some(GraftOptimizeCommand.clusterKey(spark, dir, cluster,
           over = incremental.map(fresh =>
             Versioned.snapshotOfFiles(spark, dir, fresh.toSeq.sorted))))
-      case Seq(a) => Some(col(a))
+      case Seq(a) =>
+        // single column: a plain range sort IS the optimal layout (no
+        // interleave to balance), and raw values keep the boxes exact.
+        // Strings sort natively — no cast, no grid.
+        Some(col(a))
       case more if more.size <= 4 =>
-        Some(Maintenance.mortonKeyN(more.map(col),
-          math.min(16, 63 / more.size)))
+        // explicit columns OVERRIDE the declared CLUSTER BY list but
+        // take the SAME rank-cut discipline: clusterKey buckets each
+        // dimension into equal-POPULATION cells (approx_percentile for
+        // numerics, sorted-distinct/sampled cuts for strings) before
+        // the morton interleave. Interleaving RAW values (the pre-r16
+        // path) used only the low min(16, 63/n) bits — on any id domain
+        // past 2^16 that is `value mod 65536`, hash noise: every file's
+        // min/max box stays domain-wide and skipping dies, silently,
+        // exactly at the scale ZORDER exists for; strings crashed (ANSI
+        // cast) or clustered on null. Rank cuts are domain- and
+        // type-proof, and WHERE-scoped rewrites keep tight boxes too
+        // (equal-population cuts from the whole table stay monotone on
+        // any subset).
+        Some(GraftOptimizeCommand.clusterKey(spark, dir, more))
       case more => throw new IllegalArgumentException(
         s"ZORDER BY supports 1 to 4 columns (got ${more.size}): past " +
           "~4 interleaved dimensions each file's min/max box is tight " +
@@ -657,7 +676,19 @@ case class GraftOptimizeCommand(dir: String, zorderCols: Seq[String],
           "columns, or build a custom key with " +
           "Versioned.optimize(zorder = ...)")
     }
+    // file-size target (Delta's OPTIMIZE maxFileSize, default 1 GiB):
+    // without it a ZORDER rewrite lands ONE file per partition — at
+    // test scale invisible, on a 10 TB partition catastrophic. The
+    // byte target sizes both the binpack trigger (a partition already
+    // at ceil(bytes/target) files is a metadata no-op) and the
+    // re-cluster's output slices; `0` opts out (the pre-r16 shape).
+    val targetBytes: Option[Long] = {
+      val raw = spark.conf.get("spark.graft.optimize.targetFileSize", "1g")
+      val b = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
+      if (b <= 0L) None else Some(b)
+    }
     val v = Versioned.optimize(spark, dir, keys, zorder = zorder,
+      targetFileSizeBytes = targetBytes,
       partitionFilter = if (where.isEmpty) None else Some(where),
       onlyFiles = incremental,
       stampClusterAt = cluster.nonEmpty && where.isEmpty)

@@ -302,4 +302,51 @@ class CopyIntoSpec extends SparkSpec {
       CopyInto.run(spark, "/tmp/graft_not_a_table", src2, "parquet") }
     assert(e2.getMessage.contains("not a graft table"), e2.getMessage)
   }
+
+  test("a fold that loses an entry mid-read ABORTS (no checkpoint written, no skip-set loss) and the COPY that triggered it still reports success — ledger maintenance is best-effort post-commit") {
+    val lake = freshTarget()
+    val src = java.nio.file.Files.createTempDirectory("graft_drop_race")
+      .toFile.getAbsolutePath
+    val fs = new Path(lake).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // exactly CompactAfter batches: the tail sits AT the threshold, so
+    // the NEXT (trigger) batch is the one whose post-commit fold runs
+    val n = CopyInto.CompactAfter
+    (1 to n).foreach { i =>
+      df(Seq(("b", 100L + i, i.toDouble)), "site", "id", "v")
+        .coalesce(1).write.parquet(s"$src/upload_$i")
+      assert(CopyInto.run(spark, lake, src, "parquet").filesLoaded == 1L)
+    }
+    // deterministic stand-in for "entry vanished between the listing
+    // and its read" (a racing fold absorbed + deleted it): replace a
+    // committed entry with a nonempty DIRECTORY of the same name —
+    // listed by name, FileNotFoundException on open. Its source upload
+    // goes too, so the skip-set gap cannot re-list the file as fresh.
+    val seqs = fs.listStatus(CopyInto.ledgerRoot(lake))
+      .map(_.getPath.getName).filter(_.matches("seq\\d+\\.list"))
+      .map(_.stripPrefix("seq").stripSuffix(".list").toLong).sorted
+    val victim = CopyInto.entryPath(lake, seqs.head)
+    fs.delete(victim, false)
+    fs.mkdirs(new Path(victim, "child"))
+    fs.delete(new Path(s"$src/upload_1"), true)
+    def ledgerNames() = fs.listStatus(CopyInto.ledgerRoot(lake))
+      .map(_.getPath.getName).toSeq
+    val ckptsBefore = ledgerNames().filter(_.matches("loaded\\d+\\.set"))
+    // this batch pushes the tail past CompactAfter: the fold runs, hits
+    // the vanished entry, and must ABORT silently — the batch itself
+    // (already committed) still reports success
+    df(Seq(("b", 999L, 99.0)), "site", "id", "v")
+      .coalesce(1).write.parquet(s"$src/upload_trigger")
+    val r = CopyInto.run(spark, lake, src, "parquet")
+    assert(r.filesLoaded == 1L,
+      "the COPY batch must succeed even when post-commit compaction aborts")
+    assert(state(lake).contains(("b", 999L, 99.0)))
+    val ckptsAfter = ledgerNames().filter(_.matches("loaded\\d+\\.set"))
+    assert(ckptsAfter == ckptsBefore,
+      s"an aborted fold must write NO checkpoint (before=$ckptsBefore after=$ckptsAfter)")
+    // and nothing re-loads: the committed entries still fence their files
+    val r2 = CopyInto.run(spark, lake, src, "parquet")
+    assert(r2.filesLoaded == 0L,
+      "skip set must survive the aborted fold intact")
+  }
 }

@@ -2420,6 +2420,80 @@ class VersionedSpec extends SparkSpec {
       .map(r => (r.getString(0), // uid reads int pre-widen, long after
         r.get(1).asInstanceOf[Number].longValue(), r.getDouble(2))).toSet
 
+  test("widening the ONLY bloom-tracked column drops the family via a zero-row marker: pre-widen versions keep time-traveled coverage, post-widen refuses with the backfill repair, inheritance stops, re-backfill re-establishes") {
+    import org.apache.spark.sql.types.LongType
+    val root = java.nio.file.Files.createTempDirectory("graft_widmark").toFile
+    root.deleteOnExit()
+    val dir = new java.io.File(root, "lake").getAbsolutePath
+    MergeData.writeMerged(spark,
+      df(Seq(("a", 7, 1.0), ("b", 8, 2.0)), "site", "uid", "v"),
+      dir, keys = Seq("site"))
+    Versioned.init(spark, dir, commitTs = 1000L)
+    val vB = Versioned.backfillBlooms(spark, dir, Seq("uid"),
+      expectedPerFile = 100L)
+    assert(state2(Versioned.bloomPrunedReadIn(spark, dir, "uid",
+      Seq(lit(7)))) == Set(("a", 7L, 1.0)))
+    Versioned.widenColumn(spark, dir, "uid", LongType)
+    // post-widen: the family is DROPPED (type-bound hashes would
+    // false-negative) — reads refuse with the repair named
+    val e = intercept[IllegalArgumentException] {
+      Versioned.bloomsAt(spark, dir) }
+    assert(e.getMessage.contains("backfillBlooms"), e.getMessage)
+    // the marker did NOT destroy history: the pre-widen version still
+    // time-travels under its own coverage (the pre-r16 root delete
+    // wiped this — and did so BEFORE the commit CAS)
+    assert(Versioned.bloomsAt(spark, dir, vB).select("col").distinct()
+      .collect().map(_.getString(0)).toSet == Set("uid"),
+      "pre-widen bloom coverage must survive the widen")
+    // inheritance stopped at the marker: a post-widen append neither
+    // crashes on the empty family nor resurrects it
+    Versioned.append(spark, dir,
+      df(Seq(("a", 6000000000L, 3.0)), "site", "uid", "v"), Seq("site"))
+    assert(intercept[IllegalArgumentException] {
+      Versioned.bloomsAt(spark, dir) }.getMessage.contains("backfillBlooms"))
+    // re-ANALYZE over the WIDE type re-establishes from scratch
+    Versioned.backfillBlooms(spark, dir, Seq("uid"),
+      expectedPerFile = 100L)
+    assert(state2(Versioned.bloomPrunedReadIn(spark, dir, "uid",
+      Seq(lit(7L)))) == Set(("a", 7L, 1.0)))
+    assert(state2(Versioned.bloomPrunedReadIn(spark, dir, "uid",
+      Seq(lit(6000000000L)))) == Set(("a", 6000000000L, 3.0)))
+  }
+
+  test("a FAILED replace deletes its staged anchor: the version counter holds, and the next successful definition's zero-file reads serve ITS schema — never the failed replace's") {
+    import org.apache.spark.sql.types._
+    val dir = freshLake()
+    Versioned.init(spark, dir, commitTs = 1000L)
+    val v0 = Versioned.currentVersion(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val anchorNext = new org.apache.hadoop.fs.Path(
+      f"$dir/_schema/anchor_v${v0 + 1}%06d")
+    // the replacing rows lack the new schema's columns: staging fails
+    // AFTER the anchor write — exactly the orphan window
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Versioned.replaceTable(spark, dir,
+        StructType(Seq(StructField("x", LongType), StructField("y", StringType))),
+        Nil, rows = Some(df(Seq(("a", 1L, 1.0)), "site", "id", "v")))
+    }
+    assert(!fs.exists(anchorNext),
+      "a failed replace must not leave its anchor as v+1's newest — a " +
+        "racing commit taking v+1 would serve the failed schema on " +
+        "zero-file reads")
+    assert(Versioned.currentVersion(spark, dir) == v0,
+      "a failed replace must not move the version counter")
+    assert(state(Versioned.snapshot(spark, dir)) ==
+      Set(("a", 1L, 1.0), ("a", 2L, 2.0), ("b", 10L, 10.0)),
+      "the original table must be byte-identical after the failed replace")
+    // the NEXT definition to take v+1 owns its zero-file reads
+    val good = StructType(Seq(
+      StructField("k", StringType), StructField("n", LongType)))
+    val v1 = Versioned.replaceTable(spark, dir, good, Nil)
+    assert(v1 == v0 + 1)
+    assert(Versioned.snapshot(spark, dir, v1).columns.toSeq == Seq("k", "n"),
+      "the successful replace's empty read must serve ITS schema")
+  }
+
   test("manifest #bytes rail: fileSizesAt is metadata-only for rail-era commits, equals FS truth, survives vacuum's checkpoint rewrite, travels with clones; pre-rail manifests fall back lazily") {
     val dir = freshLake()
     Versioned.init(spark, dir, commitTs = 1000L)

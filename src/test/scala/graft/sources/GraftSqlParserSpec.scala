@@ -106,6 +106,39 @@ class GraftSqlParserSpec extends SparkSpec {
     assert(state(Versioned.snapshot(spark, dir)).size == 6)
   }
 
+  test("explicit ZORDER BY takes the rank-cut key: wide-domain ids get tight per-file boxes (a narrow probe prunes), STRING columns cluster, and the byte target sizes the layout — the raw low-bit interleave did none of these") {
+    import graft.lake.SkipIndex
+    val root = java.nio.file.Files.createTempDirectory("graft_mntzw")
+      .toFile.getAbsolutePath + "/lake"
+    // ids spanning to 4e9 — 60000x past the 2^16 wrap where the raw
+    // interleave degenerated to `id mod 65536` (hash noise); etype is
+    // a STRING dim (the raw path cast it to long: ANSI crash)
+    val rows = spark.range(0, 40000).select(
+      (col("id") * 100000L).as("eid"),
+      concat(lit("type_"), (col("id") % 7).cast("string")).as("etype"),
+      (col("id") % 100).cast("double").as("v"))
+    rows.repartition(8).write.parquet(root)
+    Versioned.init(spark, root)
+    spark.conf.set("spark.graft.optimize.targetFileSize", "32k")
+    try sqlM(s"OPTIMIZE graft_mnt.`$root` ZORDER BY (eid, etype)")
+    finally spark.conf.unset("spark.graft.optimize.targetFileSize")
+    val live = Versioned.filesAt(spark, root).map(f => s"$root/$f")
+    assert(live.size >= 6,
+      s"the byte target must produce a multi-file layout (got ${live.size})")
+    // SKIP QUALITY, not just compaction counts: a 2% domain slice must
+    // prune most files. Under the pre-r16 raw interleave every file's
+    // eid box was domain-wide (candidates == all files).
+    val idx = SkipIndex.buildFromFooterFiles(spark, live, Seq("eid"))
+    val cands = SkipIndex.candidateFiles(idx, "eid", 1.00e9, 1.08e9).size
+    assert(cands * 3 <= live.size,
+      s"rank-cut ZORDER must give tight eid boxes ($cands of ${live.size} " +
+        "files are candidates for a 2% slice)")
+    // layout-only: every row survives, the string dim included
+    assert(Versioned.snapshot(spark, root).count() == 40000L)
+    assert(Versioned.snapshot(spark, root)
+      .filter(col("etype") === "type_3").count() === 40000L / 7)
+  }
+
   test("VACUUM [RETAIN n HOURS]: reaps to the retention cutoff, keeps the current version; reports kept count") {
     val dir = freshLake()
     val cur = Versioned.currentVersion(spark, dir)
