@@ -160,8 +160,13 @@ object Versioned {
     * table schema from parquet footers that legitimately DISAGREE
     * (pre-widen int files next to post-widen long files) and crash —
     * or silently read a narrow type — instead of reading every file
-    * under the declared wide schema. */
-  val SupportedProtocol = 6
+    * under the declared wide schema. Level 7 adds COLUMN DEFAULTS
+    * (`#default` — [[setColumnDefault]]): write-time semantics, but
+    * the single-level model gates writers through the read path — an
+    * old build ignoring the rail would commit omitted columns as null
+    * where the declaration promises a value, silently diverging from
+    * every compliant writer. */
+  val SupportedProtocol = 7
 
   /** A `#del` entry is either a plain tombstone path (applies to every
     * file — [[deleteWhere]]'s global equality delete) or `path @bound`
@@ -227,7 +232,8 @@ object Versioned {
       addCols: Seq[(String, String)] = Nil,
       cluster: Option[Seq[String]] = None,
       pinnedSchema: Option[String] = None,
-      clusterAt: Option[Long] = None) {
+      clusterAt: Option[Long] = None,
+      defaults: Map[String, String] = Map.empty) {
     /** (required reader level, feature names) demanded by this meta. */
     def protocol: (Int, Seq[String]) = {
       val fs = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
@@ -241,6 +247,7 @@ object Versioned {
       if (dels.exists(e => isDvRef(delParse(e)._1)))
         fs += ((5, "deletion-vectors"))
       if (pinnedSchema.isDefined) fs += ((6, "pinned-schema"))
+      if (defaults.nonEmpty) fs += ((7, "column-defaults"))
       val v = (verFloor +: fs.map(_._1).toSeq).max
       (v, fs.map(_._2).toSeq)
     }
@@ -269,7 +276,9 @@ object Versioned {
         addCols.map { case (n, t) => s"#addcol ${b64e(n)} ${b64e(t)}" } ++
         cluster.map(cs => s"#cluster ${b64e(cs.mkString(","))}").toSeq ++
         clusterAt.map(a => s"#clusterat $a").toSeq ++
-        pinnedSchema.map(j => s"#schema $j").toSeq
+        pinnedSchema.map(j => s"#schema $j").toSeq ++
+        defaults.toSeq.sortBy(_._1).map { case (n, e) =>
+          s"#default ${b64e(n)} ${b64e(e)}" }
     }
   }
   private[lake] object CommitMeta {
@@ -291,6 +300,7 @@ object Versioned {
     var pinnedSchema: Option[String] = None
     var clusterAt: Option[Long] = None
     val gens = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val defaults = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val rens = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val drops = scala.collection.mutable.ArrayBuffer.empty[String]
     val adds = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
@@ -336,6 +346,9 @@ object Versioned {
         pinnedSchema = Some(l.stripPrefix("#schema ").trim)
       } else if (l.startsWith("#clusterat ")) {
         clusterAt = Some(l.stripPrefix("#clusterat ").trim.toLong)
+      } else if (l.startsWith("#default ")) {
+        val toks = l.stripPrefix("#default ").trim.split(' ')
+        defaults(b64d(toks(0))) = b64d(toks(1))
       }
     }
     // the protocol guard: refuse a manifest demanding a level this
@@ -351,7 +364,8 @@ object Versioned {
       verFloor = ver, cdf = cdf, cdfInc = cdfInc,
       renames = rens.toMap, droppedCols = drops.toSeq, pkeys = pkeys,
       gens = gens.toMap, addCols = adds.toSeq, cluster = cluster,
-      pinnedSchema = pinnedSchema, clusterAt = clusterAt)
+      pinnedSchema = pinnedSchema, clusterAt = clusterAt,
+      defaults = defaults.toMap)
   }
 
   private def metaAt(spark: SparkSession, dir: String, v: Long): CommitMeta =
@@ -374,7 +388,8 @@ object Versioned {
       verFloor = prev.verFloor, cdf = prev.cdf, renames = prev.renames,
       droppedCols = prev.droppedCols, pkeys = prev.pkeys,
       gens = prev.gens, addCols = prev.addCols, cluster = prev.cluster,
-      pinnedSchema = prev.pinnedSchema, clusterAt = prev.clusterAt)
+      pinnedSchema = prev.pinnedSchema, clusterAt = prev.clusterAt,
+      defaults = prev.defaults)
   }
 
   // Resolved-listing cache (Delta's snapshot cache): a committed
@@ -653,18 +668,30 @@ object Versioned {
     val acc = scala.collection.mutable.Map.empty[String, Long]
     val it = listManifests(fs, dir).map(_._1).filter(_ <= v)
       .sorted.reverse.iterator
-    while (acc.size < live.size && it.hasNext) {
+    var sawRollup = false
+    while (acc.size < live.size && !sawRollup && it.hasNext) {
       val mv = it.next()
+      manifestSizeWalkReads += 1
       manifestLinesAt(fs, dir, mv).foreach { l =>
         if (l.startsWith("#bytes ")) {
           val toks = l.stripPrefix("#bytes ").trim.split(' ')
           val r = b64d(toks(0))
           if (live.contains(r) && !acc.contains(r)) acc(r) = toks(1).toLong
+        } else if (l == "#bytesall") {
+          // roll-up checkpoint: it carries EVERY size the rail knew at
+          // its version — nothing older can add coverage, stop here
+          // (pre-roll-up checkpoints lack the marker and keep walking)
+          sawRollup = true
         }
       }
     }
     acc.toMap
   }
+
+  /** Diagnostic counter: manifests TEXT-READ by [[fileSizesKnown]]'s
+    * newest-first walk — the roll-up spec pins it at
+    * ≤ CheckpointInterval + 1 on any history depth. */
+  private[lake] var manifestSizeWalkReads: Long = 0L
 
   /** Sizes for EVERY file live at `version`: manifest-recorded where
     * available, one `getFileStatus` per uncovered file otherwise (the
@@ -875,8 +902,36 @@ object Versioned {
     // reader (`#` lines); cleared only on success so a CAS retry
     // re-emits
     val sizes = stagedSizes.get()
-    val sizeLines = files.filter(sizes.contains).sorted
-      .map(f => s"#bytes ${b64e(f)} ${sizes(f)}")
+    // CHECKPOINTS additionally ROLL UP the rail: every live file's
+    // size the retained manifests record bakes into the checkpoint
+    // (plus a `#bytesall` completeness marker), so [[fileSizesKnown]]'s
+    // newest-first walk STOPS at the newest checkpoint instead of
+    // scanning O(retained manifests) of text — the walk here is itself
+    // capped by the PREVIOUS roll-up, so the amortized cost is one
+    // ~CheckpointInterval-manifest read per checkpoint, never O(history).
+    val rolled = scala.collection.mutable.Map.empty[String, Long]
+    if (isCkpt && v > 0L) {
+      val liveSet = files.toSet
+      val it = listManifests(fs, dir).filter(_._1 < v)
+        .sortBy(-_._1).iterator
+      var sawRollup = false
+      while (it.hasNext && !sawRollup &&
+          (rolled.size + sizes.size) < liveSet.size) {
+        val (mv, _) = it.next()
+        manifestLinesAt(fs, dir, mv).foreach { l =>
+          if (l.startsWith("#bytes ")) {
+            val toks = l.stripPrefix("#bytes ").trim.split(' ')
+            val r = b64d(toks(0))
+            if (liveSet.contains(r) && !rolled.contains(r) &&
+                !sizes.contains(r)) rolled(r) = toks(1).toLong
+          } else if (l == "#bytesall") sawRollup = true
+        }
+      }
+    }
+    val sizeLines = (files.filter(sizes.contains).map(f => f -> sizes(f)) ++
+      rolled.toSeq).sortBy(_._1)
+      .map { case (f, n) => s"#bytes ${b64e(f)} $n" } ++
+      (if (isCkpt) Seq("#bytesall") else Nil)
     val body =
       if (isCkpt) meta.render ++ files.sorted ++ sizeLines
       else {
@@ -1110,19 +1165,62 @@ object Versioned {
     * Re-adding a DROPPED name is fine — the write path auto-assigns a
     * fresh physical exactly as for appends. Time travel: versions
     * before the add read without the column (their meta has no
-    * `#addcol`). */
+    * `#addcol`).
+    *
+    * NESTED fields evolve with a DOTTED name (`meta.fps`): every
+    * prefix must resolve to an existing STRUCT column and the final
+    * field must be absent — the read side splices a null field into
+    * the struct ([[applyAddedColumns]]'s `withField`), rows whose
+    * struct is NULL stay null whole, and a later write carrying the
+    * evolved struct shape takes over physically. Type CHANGES inside
+    * structs still refuse (widening is top-level only). */
   def addColumn(spark: SparkSession, dir: String, name: String,
       dataType: org.apache.spark.sql.types.DataType,
       commitTs: Long = System.currentTimeMillis()): Long = {
     val v = currentVersion(spark, dir)
     require(v >= 0, s"no manifest in $dir — call init() first")
     val meta = metaAt(spark, dir, v)
-    val visible = snapshot(spark, dir, v).columns.toSeq
-    require(!visible.contains(name), s"column $name already exists in $dir")
-    require(!meta.renames.values.toSet.contains(name),
-      s"$name is the PHYSICAL name of a renamed live column — files " +
-        "carrying the new column would be misread as the renamed one; " +
-        "pick another name (or rename the mapped column back first)")
+    val snapSchema = snapshot(spark, dir, v).schema
+    val visible = snapSchema.fieldNames.toSeq
+    if (!name.contains('.')) {
+      require(!visible.contains(name), s"column $name already exists in $dir")
+      require(!meta.renames.values.toSet.contains(name),
+        s"$name is the PHYSICAL name of a renamed live column — files " +
+          "carrying the new column would be misread as the renamed one; " +
+          "pick another name (or rename the mapped column back first)")
+    } else {
+      val segs = name.split('.').toSeq
+      require(segs.forall(_.nonEmpty), s"malformed nested name: $name")
+      require(visible.contains(segs.head),
+        s"no column ${segs.head} in $dir to evolve ($name)")
+      // walk every intermediate segment: each must be a struct field
+      var cur: org.apache.spark.sql.types.DataType =
+        snapSchema(segs.head).dataType
+      segs.tail.init.foreach { s =>
+        cur = cur match {
+          case st: org.apache.spark.sql.types.StructType =>
+            st.find(_.name == s).map(_.dataType).getOrElse(
+              throw new IllegalArgumentException(
+                s"no field $s under ${segs.head} in $dir ($name)"))
+          case other => throw new IllegalArgumentException(
+            s"$s of $name is not a struct (${other.simpleString}) — " +
+              "only struct fields can gain nested columns")
+        }
+      }
+      cur match {
+        case st: org.apache.spark.sql.types.StructType =>
+          require(!st.fieldNames.contains(segs.last),
+            s"field $name already exists in $dir")
+        case other => throw new IllegalArgumentException(
+          s"${segs.init.mkString(".")} of $dir is not a struct " +
+            s"(${other.simpleString}) — only struct columns can gain " +
+            "nested fields")
+      }
+      require(!meta.renames.contains(segs.head),
+        s"cannot evolve the renamed column ${segs.head}: the #addcol " +
+          "rail addresses columns by their stable spelling — rename " +
+          "it back first")
+    }
     val live = filesAt(spark, dir, v)
     writeCommit(fsOf(spark, dir), dir, v + 1, live, live,
       carryMeta(spark, dir, v, commitTs, None, deleteFilesAt(spark, dir, v),
@@ -1440,6 +1538,18 @@ object Versioned {
       }
     }
 
+  /** Fill `meta`'s COLUMN DEFAULTS into `batch`: a default fires ONLY
+    * when the batch OMITS the column entirely — a supplied column
+    * always wins, explicit NULL cells included (the SQL-standard split
+    * from GENERATED ALWAYS AS, which validates supplied values). The
+    * stored expression already carries its CAST to the declared type
+    * ([[setColumnDefault]] bakes it), so the filled column lands with
+    * the column's type, not the literal's. */
+  private def applyDefaults(meta: CommitMeta, batch: DataFrame): DataFrame =
+    meta.defaults.foldLeft(batch) { case (b, (name, exprSql)) =>
+      if (b.columns.contains(name)) b else b.withColumn(name, expr(exprSql))
+    }
+
   /** The version's partition keys, declared (`#pkeys`) or parsed from
     * the live layout's directory nesting order. */
   private def layoutKeys(meta: CommitMeta, live: Seq[String]): Seq[String] =
@@ -1527,6 +1637,86 @@ object Versioned {
     val v = if (version >= 0) version else currentVersion(spark, dir)
     require(v >= 0, s"no manifest in $dir — call init() first")
     metaAt(spark, dir, v).gens
+  }
+
+  // `#default name expr` — SQL COLUMN DEFAULTS (protocol level 7,
+  // Delta's allowColumnDefaults): a declared per-column expression
+  // that fires ONLY when a write batch OMITS the column entirely.
+  // Supplied values — explicit NULLs included — always win: that is
+  // the SQL-standard line between DEFAULT (fills absence, overridable)
+  // and GENERATED ALWAYS AS (computes or validates, never overridable),
+  // and why one column cannot carry both. Declared at CREATE TABLE
+  // (`c T DEFAULT expr`) or ALTER COLUMN ... SET DEFAULT; the catalog
+  // also reports the rule through the column metadata Spark's own
+  // analyzer consults, so a SQL INSERT that omits the column gets the
+  // default filled at ANALYSIS time (plan-side, zero probes) while
+  // library writers omitting the column get it filled at COMMIT time
+  // by [[applyDefaults]]. Existing rows are untouched at declare time
+  // — defaults are write-time semantics, never a read-time rewrite.
+
+  /** Declare (or re-declare) DEFAULT `exprSql` for column `name` —
+    * metadata-only commit. Declare-time validation: the expression
+    * must analyze WITHOUT any row context (no column references — a
+    * default that reads other columns is a GENERATED column) and cast
+    * to the column's declared type under ANSI rules; the CAST is baked
+    * into the stored rule so every filled value lands typed. Refused
+    * for generated and renamed columns. */
+  def setColumnDefault(spark: SparkSession, dir: String, name: String,
+      exprSql: String, commitTs: Long = System.currentTimeMillis()): Long = {
+    val v = currentVersion(spark, dir)
+    require(v >= 0, s"no manifest in $dir — call init() first")
+    val meta = metaAt(spark, dir, v)
+    require(!meta.gens.contains(name),
+      s"$name is GENERATED ALWAYS AS — a generated column computes " +
+        "itself on every write; it cannot also carry a DEFAULT")
+    require(!meta.renames.contains(name),
+      s"cannot default the renamed column $name: rename it back first")
+    val snapSchema = snapshot(spark, dir, v).schema
+    require(snapSchema.fieldNames.contains(name),
+      s"no column $name in $dir")
+    val t = snapSchema(name).dataType
+    val stored = s"CAST(($exprSql) AS ${t.sql})"
+    // validate on a ONE-ROW, ZERO-COLUMN frame: any column reference
+    // (range(1) would falsely resolve `id`) fails analysis here
+    try spark.range(1).drop("id").select(expr(stored)).collect()
+    catch { case e: Exception =>
+      throw new IllegalArgumentException(
+        s"DEFAULT ($exprSql) for $name must be a row-free expression " +
+          s"castable to ${t.simpleString} (a default reading other " +
+          "columns is a GENERATED column): ${e.getMessage}")
+    }
+    val live = filesAt(spark, dir, v)
+    writeCommit(fsOf(spark, dir), dir, v + 1, live, live,
+      carryMeta(spark, dir, v, commitTs, None,
+        deleteFilesAt(spark, dir, v), "set-default")
+        .copy(defaults = meta.defaults + (name -> stored)))
+    v + 1
+  }
+
+  /** Lift the DEFAULT from `name` (metadata-only; omitted writes go
+    * back to null). */
+  def dropColumnDefault(spark: SparkSession, dir: String, name: String,
+      commitTs: Long = System.currentTimeMillis()): Long = {
+    val v = currentVersion(spark, dir)
+    require(v >= 0, s"no manifest in $dir — call init() first")
+    val meta = metaAt(spark, dir, v)
+    require(meta.defaults.contains(name),
+      s"$name has no DEFAULT on $dir")
+    val live = filesAt(spark, dir, v)
+    writeCommit(fsOf(spark, dir), dir, v + 1, live, live,
+      carryMeta(spark, dir, v, commitTs, None,
+        deleteFilesAt(spark, dir, v), "drop-default")
+        .copy(defaults = meta.defaults - name))
+    v + 1
+  }
+
+  /** The column-default rules in force at `version` (name → stored
+    * expression, CAST included). */
+  def columnDefaults(spark: SparkSession, dir: String,
+      version: Long = -1L): Map[String, String] = {
+    val v = if (version >= 0) version else currentVersion(spark, dir)
+    require(v >= 0, s"no manifest in $dir — call init() first")
+    metaAt(spark, dir, v).defaults
   }
 
   /** `fileV`'s files and tombstones viewed under `metaV`'s COLUMN
@@ -1639,12 +1829,31 @@ object Versioned {
   /** Null-fill `#addcol` columns no data file carries yet (the read
     * side of the METADATA-ONLY [[addColumn]]): once a write physically
     * carries the column, the mergeSchema read surfaces it and this is
-    * the identity. */
+    * the identity. NESTED names (`meta.fps`) splice a null field into
+    * the parent struct via `withField` — codegen'd struct surgery, no
+    * shuffle, no UDF; rows whose struct is NULL stay null whole
+    * (reading `meta.fps` under a null `meta` is null either way). */
   private def applyAddedColumns(meta: CommitMeta, df: DataFrame): DataFrame =
     meta.addCols.foldLeft(df) { case (d, (n, tJson)) =>
-      if (d.columns.contains(n)) d
-      else d.withColumn(n, lit(null).cast(
-        org.apache.spark.sql.types.DataType.fromJson(tJson)))
+      lazy val t = org.apache.spark.sql.types.DataType.fromJson(tJson)
+      if (!n.contains('.')) {
+        if (d.columns.contains(n)) d
+        else d.withColumn(n, lit(null).cast(t))
+      } else {
+        val segs = n.split('.').toSeq
+        def present(dt: org.apache.spark.sql.types.DataType,
+            path: Seq[String]): Boolean = dt match {
+          case st: org.apache.spark.sql.types.StructType =>
+            st.find(_.name == path.head).exists(f =>
+              path.tail.isEmpty || present(f.dataType, path.tail))
+          case _ => false
+        }
+        if (!d.columns.contains(segs.head)) d // parent dropped since
+        else if (present(d.schema(segs.head).dataType, segs.tail)) d
+        else d.withColumn(segs.head,
+          col(segs.head).withField(segs.tail.mkString("."),
+            lit(null).cast(t)))
+      }
     }
 
   /** The table at `version` (latest if -1): reads EXACTLY the
@@ -2219,7 +2428,8 @@ object Versioned {
     checkPartitionSpec(meta0, partitionKeys, "overwrite")
     val batch0 = rows.persist()
     try {
-      val batch = applyGenerated(spark, meta0, batch0, "overwrite batch")
+      val batch = applyGenerated(spark, meta0,
+        applyDefaults(meta0, batch0), "overwrite batch")
       require(!batch.isEmpty,
         "overwrite got an empty batch — an empty live set would strand " +
           "readers; express deletions with deleteWhere/mergeInto")
@@ -2360,7 +2570,8 @@ object Versioned {
       val meta0 = metaAt(spark, dir, v)
       checkPartitionSpec(meta0, partitionKeys, "append")
       // generated columns: compute absent ones, validate present ones
-      val batch = applyGenerated(spark, meta0, batch0, "append batch")
+      val batch = applyGenerated(spark, meta0,
+        applyDefaults(meta0, batch0), "append batch")
       val entryChks = meta0.chks
       enforceConstraints(spark, dir, v, batch, "append batch")
       def checkTombstones(ds: Seq[String]): Unit = {
@@ -3975,7 +4186,8 @@ object Versioned {
     val del = if (hasDelete) coalesce(col("__delete"), lit(false)) else lit(false)
     val batch0 = updates.persist()
     try {
-      val batch = applyGenerated(spark, meta0, batch0, "merge batch")
+      val batch = applyGenerated(spark, meta0,
+        applyDefaults(meta0, batch0), "merge batch")
       require(!batch.isEmpty, "mergeIntoMor got an empty batch")
       enforceConstraints(spark, dir, v, batch.filter(!del), "merge batch")
       // one tombstone key discipline per table: every pending KEYED
@@ -4131,7 +4343,8 @@ object Versioned {
     val batch0 = updates.persist()
     try {
       // generated columns: compute absent ones, validate present ones
-      val batch = applyGenerated(spark, meta0, batch0, "merge batch")
+      val batch = applyGenerated(spark, meta0,
+        applyDefaults(meta0, batch0), "merge batch")
       // CHECK constraints validate the batch's UPSERT rows (a delete
       // removes rows — nothing to check) before any data write
       enforceConstraints(spark, dir, v, batch.filter(!del), "merge batch")
@@ -4834,6 +5047,7 @@ object Versioned {
       m.cluster.map(cs => "graft.clusterBy" -> cs.mkString(",")) ++
       m.chks.map { case (n, e) => s"graft.constraint.$n" -> e } ++
       m.gens.map { case (c, e) => s"graft.generated.$c" -> e } ++
+      m.defaults.map { case (c, e) => s"graft.default.$c" -> e } ++
       m.renames.map { case (l, p) => s"graft.columnMapping.$l" -> p }
   }
 
@@ -4899,7 +5113,7 @@ object Versioned {
       // a metadata-only DESCRIBE/binpack back into per-file RPCs
       val sizes = fileSizesKnown(spark, dir, keepFrom)
       val sizeLines = files.filter(sizes.contains).sorted
-        .map(f => s"#bytes ${b64e(f)} ${sizes(f)}")
+        .map(f => s"#bytes ${b64e(f)} ${sizes(f)}") :+ "#bytesall"
       val dst = ckptPath(dir, keepFrom)
       val tmp = writeManifestFile(fs, dst,
         meta.render ++ files.sorted ++ sizeLines)

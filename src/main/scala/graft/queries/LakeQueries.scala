@@ -5611,6 +5611,208 @@ object LakeQueries {
                round(sum(value::DOUBLE), 4) AS sum_value,
                count(DISTINCT user_id) AS n_users
         FROM f GROUP BY 1 ORDER BY 1"""),
-      "explicit SQL ZORDER BY on wide-domain ids: rank-cut key + byte-target layout, skip quality require()d (2% probe prunes >= 2/3 of files); sliced readback == oracle")
+      "explicit SQL ZORDER BY on wide-domain ids: rank-cut key + byte-target layout, skip quality require()d (2% probe prunes >= 2/3 of files); sliced readback == oracle"),
+
+    // ---------------------------------------------------------------
+    // COLUMN DEFAULTS (#default rail, protocol 7 — the r15 verdict's
+    // missing-ring #1): `src STRING DEFAULT 'api'` fills INSERTs that
+    // OMIT the column (SQL fills at analysis via reported column
+    // metadata; a library append fills at commit), while supplied
+    // values win. Three write shapes land: a supplying SQL INSERT, an
+    // omitting SQL INSERT, and an omitting library append — the
+    // grouped readback recomputes all three in DuckDB.
+    // ---------------------------------------------------------------
+    Q("q221_column_defaults",
+      (s, dir) => {
+        graft.GraftExtensions.register(s)
+        s.conf.set("spark.sql.catalog.gsql", "graft.sources.GraftCatalog")
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val root = new File(new File(sys.props("user.dir"), "target"),
+          s"graft_defq_$tag")
+        val lake = new File(root, "t").getAbsolutePath
+        LakeQueries.synchronized {
+          val fs = new org.apache.hadoop.fs.Path(root.getAbsolutePath)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(root.getAbsolutePath), true)
+          s.sql(s"CREATE TABLE gsql.`$lake` (event_id BIGINT, " +
+            "user_id BIGINT, value DOUBLE, src STRING DEFAULT 'api', " +
+            "event_type STRING) PARTITIONED BY (event_type)")
+          require(Versioned.columnDefaults(s, lake).keySet == Set("src"),
+            "CREATE ... DEFAULT must land on the #default rail")
+          val base = Tables(s, dir, "events").select(MergeCols.map(col): _*)
+            .filter(col("event_type").isin("click", "view"))
+          // supplying INSERT: explicit src values win
+          base.filter(col("event_id") % 3 === 0)
+            .withColumn("src",
+              concat(lit("u"), (col("user_id") % 3).cast("string")))
+            .createOrReplaceTempView("q221_sup")
+          s.sql(s"INSERT INTO gsql.`$lake` (event_id, user_id, value, " +
+            "src, event_type) SELECT event_id, user_id, value, src, " +
+            "event_type FROM q221_sup")
+          // omitting SQL INSERT: the analyzer fills the default
+          base.filter(col("event_id") % 3 === 1)
+            .createOrReplaceTempView("q221_omit")
+          s.sql(s"INSERT INTO gsql.`$lake` (event_id, user_id, value, " +
+            "event_type) SELECT event_id, user_id, value, event_type " +
+            "FROM q221_omit")
+          // omitting LIBRARY append: the commit fills the default
+          Versioned.append(s, lake,
+            base.filter(col("event_id") % 3 === 2), Seq("event_type"))
+        }
+        s.sql(
+          s"""SELECT src, event_type, count(*) AS n,
+             |       round(sum(value), 4) AS sum_value
+             |FROM gsql.`$lake` GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+      },
+      Some("""
+        WITH e AS (SELECT event_type, user_id, event_id, value FROM events
+                   WHERE event_type IN ('click','view')),
+        t AS (
+          SELECT 'u' || CAST(user_id % 3 AS VARCHAR) AS src, event_type,
+                 value FROM e WHERE event_id % 3 = 0
+          UNION ALL
+          SELECT 'api', event_type, value FROM e WHERE event_id % 3 <> 0)
+        SELECT src, event_type, count(*) AS n,
+               round(sum(value::DOUBLE), 4) AS sum_value
+        FROM t GROUP BY 1, 2 ORDER BY 1, 2"""),
+      "column DEFAULTs: omitted INSERT columns fill (SQL at analysis, library at commit), supplied values win; three write shapes recomputed in the oracle"),
+
+    // ---------------------------------------------------------------
+    // NESTED-STRUCT SCHEMA EVOLUTION (r15 missing-ring #2): the
+    // multimodal tier's metadata columns are structs — evolving
+    // `meta<width,height>` to gain `fps` must be one METADATA-ONLY
+    // commit (require()d: zero files touched), old rows read the new
+    // field as null, pre-evolution versions time-travel under the OLD
+    // shape (require()d), and a post-evolution write carrying the
+    // evolved struct coexists with null-filled old files in one scan.
+    // ---------------------------------------------------------------
+    Q("q222_nested_evolution",
+      (s, dir) => {
+        graft.GraftExtensions.register(s)
+        s.conf.set("spark.sql.catalog.gsql", "graft.sources.GraftCatalog")
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val root = new File(new File(sys.props("user.dir"), "target"),
+          s"graft_nestq_$tag")
+        val lake = new File(root, "t").getAbsolutePath
+        LakeQueries.synchronized {
+          val fs = new org.apache.hadoop.fs.Path(root.getAbsolutePath)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(root.getAbsolutePath), true)
+          val base = Tables(s, dir, "events").select(MergeCols.map(col): _*)
+            .filter(col("event_type").isin("click", "view"))
+          def shaped(d: DataFrame) = d.select(
+            col("event_id"), col("value"),
+            struct(
+              (col("user_id") % 100).cast("int").as("width"),
+              (col("user_id") % 50).cast("int").as("height")).as("meta"),
+            col("event_type"))
+          MergeData.writeMerged(s,
+            shaped(base.filter(col("event_id") % 2 === 0)), lake,
+            keys = Seq("event_type"))
+          Versioned.init(s, lake)
+          val vOld = Versioned.currentVersion(s, lake)
+          s.sql(s"ALTER TABLE gsql.`$lake` ADD COLUMN meta.fps DOUBLE")
+          require(Versioned.filesAt(s, lake).toSet ==
+            Versioned.filesAt(s, lake, vOld).toSet,
+            "nested ADD COLUMN must be metadata-only")
+          require(!Versioned.snapshot(s, lake, vOld).schema("meta").dataType
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+            .fieldNames.contains("fps"),
+            "pre-evolution versions must travel under the OLD struct shape")
+          // the evolved write: fps materializes physically
+          Versioned.append(s, lake,
+            shaped(base.filter(col("event_id") % 2 === 1))
+              .withColumn("meta", col("meta").withField("fps",
+                (col("event_id") % 30).cast("double"))),
+            Seq("event_type"))
+        }
+        Versioned.snapshot(s, lake)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("meta.width").cast("long")).as("sum_width"),
+            round(sum(coalesce(col("meta.fps"), lit(-1.0))), 4)
+              .as("sum_fps"),
+            round(sum("value"), 4).as("sum_value"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH e AS (SELECT event_type, user_id, event_id, value FROM events
+                   WHERE event_type IN ('click','view')),
+        t AS (
+          SELECT event_type, value, user_id % 100 AS width,
+                 NULL::DOUBLE AS fps
+          FROM e WHERE event_id % 2 = 0
+          UNION ALL
+          SELECT event_type, value, user_id % 100,
+                 CAST(event_id % 30 AS DOUBLE)
+          FROM e WHERE event_id % 2 = 1)
+        SELECT event_type, count(*) AS n,
+               sum(width)::BIGINT AS sum_width,
+               round(sum(coalesce(fps, -1.0)), 4) AS sum_fps,
+               round(sum(value::DOUBLE), 4) AS sum_value
+        FROM t GROUP BY 1 ORDER BY 1"""),
+      "nested-struct evolution: meta gains fps metadata-only (zero files require()d), old shape time-travels (require()d), null-filled and evolved files share one scan; flattened rollup == oracle"),
+
+    // ---------------------------------------------------------------
+    // `startingTimestamp` on the stream source (r15 missing-ring #3 —
+    // the q199 twin seeded by COMMIT TIME instead of version): the
+    // clicks commit at ts=1000 predates the seed, the views commit at
+    // ts=2000 is AT it — one AvailableNow run must deliver exactly the
+    // views (no initial snapshot), and a restart after a third wave
+    // delivers only that wave (the checkpoint pinned the resolved
+    // floor; nothing replays).
+    // ---------------------------------------------------------------
+    Q("q223_readstream_timestamp",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val root = new File(new File(sys.props("user.dir"), "target"),
+          s"graft_rstq_$tag")
+        val src = new File(root, "src").getAbsolutePath
+        val sink = new File(root, "sink").getAbsolutePath
+        val ckpt = new File(root, "ckpt").getAbsolutePath
+        LakeQueries.synchronized {
+          val fs = new org.apache.hadoop.fs.Path(root.getAbsolutePath)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(root.getAbsolutePath), true)
+          val base = Tables(s, dir, "events").select(MergeCols.map(col): _*)
+          def follow(): Unit =
+            s.readStream.format("graft")
+              .option("startingTimestamp", "2000")
+              .load(src)
+              .writeStream.format("graft")
+              .option("checkpointLocation", ckpt)
+              .option("partitionKeys", "event_type")
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start(sink).awaitTermination()
+          MergeData.writeMerged(s,
+            base.filter(col("event_type") === "click"), src,
+            keys = Seq("event_type"))
+          Versioned.init(s, src, commitTs = 1000L) // BEFORE the seed
+          Versioned.append(s, src,
+            base.filter(col("event_type") === "view"), Seq("event_type"),
+            commitTs = 2000L) // AT the seed: streams
+          follow()
+          require(Versioned.snapshot(s, sink)
+              .filter(col("event_type") === "click").isEmpty,
+            "commits before startingTimestamp must NOT stream")
+          Versioned.append(s, src,
+            base.filter(col("event_type") === "purchase"),
+            Seq("event_type"), commitTs = 3000L)
+          follow() // restart: pinned floor, only the new wave arrives
+        }
+        Versioned.snapshot(s, sink)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("row_count"),
+            round(sum("value"), 4).as("sum_value"),
+            count_distinct(col("event_id")).as("n_ids"))
+          .orderBy("event_type")
+      },
+      Some("""
+        SELECT event_type, count(*) AS row_count,
+               round(sum(value::DOUBLE), 4) AS sum_value,
+               count(DISTINCT event_id) AS n_ids
+        FROM events WHERE event_type IN ('view','purchase')
+        GROUP BY 1 ORDER BY 1"""),
+      "startingTimestamp stream seed: commit-time floor resolved once (clicks at ts<seed never stream), restart-stable across a third wave; sink state == batch recompute")
   )
 }

@@ -71,7 +71,13 @@ class GraftCatalog extends TableCatalog
       // ANSI `ALTER TABLE ... ADD CONSTRAINT name CHECK (expr)` —
       // lowered onto the manifest's `#chk` rail in alterTable
       org.apache.spark.sql.connector.catalog.TableCatalogCapability
-        .SUPPORT_TABLE_CONSTRAINT)
+        .SUPPORT_TABLE_CONSTRAINT,
+      // `CREATE TABLE (c T DEFAULT expr)` — lowered onto the `#default`
+      // rail ([[Versioned.setColumnDefault]]); the rule is also
+      // reported back through column metadata so Spark's analyzer
+      // fills OMITTED insert columns plan-side
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORT_COLUMN_DEFAULT_VALUE)
 
   private def dirOf(ident: Identifier): String = {
     // the table name IS the lake directory (namespace-less, or the
@@ -136,9 +142,14 @@ class GraftCatalog extends TableCatalog
       case c if c.generationExpression() != null =>
         c.name() -> c.generationExpression()
     }
-    require(!columns.exists(_.defaultValue() != null),
-      "DEFAULT values are not supported on graft tables — use a " +
-        "GENERATED ALWAYS AS column, or coalesce at read")
+    // `c T DEFAULT expr` — Spark has already constant-folded and
+    // type-checked the expression (ColumnDefaultValue carries the
+    // folded literal); the ORIGINAL SQL goes to the `#default` rail so
+    // re-evaluating defaults (current_timestamp) stay per-write
+    val defaults = columns.toSeq.collect {
+      case c if c.defaultValue() != null =>
+        c.name() -> c.defaultValue().getSql()
+    }
     require(!columns.exists(_.identityColumnSpec() != null),
       "IDENTITY columns are not supported on graft tables — derive " +
         "keys from the data (hash/uuid expressions)")
@@ -151,13 +162,13 @@ class GraftCatalog extends TableCatalog
         org.apache.spark.sql.types.StructField(
           c.name(), c.dataType(), c.nullable(), md)
       }),
-      partitions, gens)
+      partitions, gens, defaults)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table =
-    createImpl(ident, schema, partitions, Nil)
+    createImpl(ident, schema, partitions, Nil, Nil)
 
   /** The TableInfo overload is where INLINE table constraints arrive
     * (`CREATE TABLE (..., CONSTRAINT c CHECK (expr))`) — the default
@@ -188,7 +199,8 @@ class GraftCatalog extends TableCatalog
 
   private def createImpl(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
-      gensIn: Seq[(String, String)]): Table = {
+      gensIn: Seq[(String, String)],
+      defaultsIn: Seq[(String, String)] = Nil): Table = {
     val dir = dirOf(ident)
     val spark = SparkSession.active
     if (Versioned.currentVersion(spark, dir) >= 0)
@@ -211,17 +223,35 @@ class GraftCatalog extends TableCatalog
     val missing = keys.filterNot(schema.fieldNames.contains)
     require(missing.isEmpty,
       s"PARTITIONED BY column(s) not in the schema: ${missing.mkString(", ")}")
-    // GENERATED ALWAYS AS rules ride the `#gen` rail, not the anchored
-    // schema — strip any metadata spelling so the anchor stays clean
+    // GENERATED ALWAYS AS and DEFAULT rules ride their manifest rails
+    // (`#gen`/`#default`), not the anchored schema — strip any
+    // metadata spelling so the anchor stays clean
     val GenKey = "GENERATION_EXPRESSION"
+    val DefaultKeys = Seq(
+      org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+        .CURRENT_DEFAULT_COLUMN_METADATA_KEY,
+      org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+        .EXISTS_DEFAULT_COLUMN_METADATA_KEY)
     val gens: Seq[(String, String)] = gensIn ++
       schema.fields.toSeq.collect {
         case f if f.metadata.contains(GenKey) =>
           f.name -> f.metadata.getString(GenKey)
       }
+    val defaults: Seq[(String, String)] = defaultsIn ++
+      schema.fields.toSeq.collect {
+        case f if f.metadata.contains(DefaultKeys.head) &&
+            !defaultsIn.exists(_._1 == f.name) =>
+          f.name -> f.metadata.getString(DefaultKeys.head)
+      }
     val cleanSchema = StructType(schema.fields.map { f =>
-      if (!f.metadata.contains(GenKey)) f
-      else f.copy(metadata = org.apache.spark.sql.types.Metadata.empty)
+      val stripped = (GenKey +: DefaultKeys).filter(f.metadata.contains)
+      if (stripped.isEmpty) f
+      else {
+        val mb = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+        stripped.foreach(mb.remove)
+        f.copy(metadata = mb.build())
+      }
     })
     Versioned.writeSchemaAnchor(spark, dir, cleanSchema)
     Versioned.init(spark, dir)
@@ -229,6 +259,8 @@ class GraftCatalog extends TableCatalog
     if (clusterCols.nonEmpty) Versioned.setClusterBy(spark, dir, clusterCols)
     gens.foreach { case (n, e) =>
       Versioned.addGeneratedColumn(spark, dir, n, e) }
+    defaults.foreach { case (n, e) =>
+      Versioned.setColumnDefault(spark, dir, n, e) }
     loadTable(ident)
   }
 
@@ -262,16 +294,18 @@ class GraftCatalog extends TableCatalog
     val FeedProp = "graft.changeFeed.keys"
     changes.foreach {
       case a: TableChange.AddColumn =>
-        require(a.fieldNames.length == 1,
-          "graft tables have no nested columns to add into")
+        // multi-part names address NESTED struct fields (`meta.fps`) —
+        // Versioned.addColumn validates every prefix resolves to a
+        // struct and the final field is absent
         require(a.isNullable,
           "ADD COLUMN on a graft table must be nullable: existing rows " +
             "null-fill (declare NOT NULL-like guards as a " +
             "graft.constraint.* property after backfilling)")
         require(a.position() == null,
           "ADD COLUMN ... FIRST/AFTER is not supported on graft tables " +
-            "— added columns append at the end of the schema")
-        Versioned.addColumn(spark, dir, a.fieldNames()(0), a.dataType())
+            "— added columns append at the end of the schema (or struct)")
+        Versioned.addColumn(spark, dir, a.fieldNames().mkString("."),
+          a.dataType())
       case r: TableChange.RenameColumn =>
         require(r.fieldNames.length == 1,
           "graft tables have no nested columns to rename")
@@ -331,12 +365,22 @@ class GraftCatalog extends TableCatalog
           "graft tables have no nested columns to widen")
         Versioned.widenColumn(spark, dir, ut.fieldNames()(0),
           ut.newDataType())
+      case ud: TableChange.UpdateColumnDefaultValue =>
+        // `ALTER COLUMN c SET DEFAULT expr` / `DROP DEFAULT` (Spark
+        // spells DROP as an empty new default) → the `#default` rail
+        require(ud.fieldNames.length == 1,
+          "graft tables have no nested columns to default")
+        val sql = Option(ud.newCurrentDefault()).map(_.getSql)
+          .getOrElse("")
+        if (sql.trim.isEmpty)
+          Versioned.dropColumnDefault(spark, dir, ud.fieldNames()(0))
+        else Versioned.setColumnDefault(spark, dir, ud.fieldNames()(0), sql)
       case other =>
         throw new UnsupportedOperationException(
           s"unsupported ALTER on a graft table: $other — ADD/RENAME/" +
-            "DROP COLUMN, ALTER COLUMN ... TYPE (lossless widening) " +
-            "and graft.* properties are the SQL surface (nested " +
-            "evolution is not supported)")
+            "DROP COLUMN, ALTER COLUMN ... TYPE (lossless widening) / " +
+            "SET DEFAULT and graft.* properties are the SQL surface " +
+            "(nested evolution is not supported)")
     }
     loadTable(ident)
   }
@@ -416,8 +460,9 @@ class GraftCatalog extends TableCatalog
         "tables — replace first, then declare the rule " +
         "(Versioned.addGeneratedColumn)")
     require(!info.columns().exists(_.defaultValue() != null),
-      "DEFAULT values are not supported on graft tables — use a " +
-        "GENERATED ALWAYS AS column, or coalesce at read")
+      "REPLACE TABLE with DEFAULT is not supported on graft tables — " +
+        "replace first, then declare the rule (ALTER TABLE ... ALTER " +
+        "COLUMN c SET DEFAULT expr / Versioned.setColumnDefault)")
     val (clusterTs, partTs) = info.partitions().toSeq.partition(
       _.name().equalsIgnoreCase("cluster_by"))
     val keys: Seq[String] = partTs.map { t =>
@@ -553,8 +598,39 @@ private[graft] final class GraftVersionedTable(
 
   override def name(): String = s"graft.`$dir`@v$pinnedVersion"
 
-  override lazy val schema: StructType =
-    Versioned.snapshot(SparkSession.active, dir, pinnedVersion).schema
+  /** The snapshot schema, with each `#default` rule reported back
+    * through the CURRENT_DEFAULT column metadata Spark's analyzer
+    * consults: a SQL INSERT that OMITS the column gets the default
+    * filled at ANALYSIS time (plan-side, zero probes), and an explicit
+    * NULL stays null — the SQL-standard semantics, for free.
+    * EXISTS_DEFAULT is deliberately NOT set: it would make Spark's
+    * readers rewrite pre-declaration missing columns to the default,
+    * and this table's defaults are write-time-only (declare-time rows
+    * keep what they have). */
+  override lazy val schema: StructType = {
+    val base = Versioned.snapshot(SparkSession.active, dir, pinnedVersion)
+      .schema
+    val defaults = Versioned.columnDefaults(
+      SparkSession.active, dir, pinnedVersion)
+    val CurKey = org.apache.spark.sql.catalyst.util
+      .ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY
+    val ExistsKey = org.apache.spark.sql.catalyst.util
+      .ResolveDefaultColumns.EXISTS_DEFAULT_COLUMN_METADATA_KEY
+    StructType(base.fields.map { f =>
+      // the snapshot schema comes from parquet footers, and files
+      // written through the cast-to-table-schema bake the metadata of
+      // the table AS OF THEIR WRITE into their footers — a dropped
+      // default would resurrect from an old file's footer. The RAIL is
+      // the only authority: strip both keys, then overlay.
+      val mb = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+      mb.remove(CurKey)
+      mb.remove(ExistsKey)
+      defaults.get(f.name).foreach(sql => mb.putString(CurKey, sql))
+      val md = mb.build()
+      if (md == f.metadata) f else f.copy(metadata = md)
+    })
+  }
 
   /** The table's CHECK constraints as Spark's own constraint objects
     * (DESCRIBE and the analyzer see them) — assembled from the same
@@ -679,7 +755,16 @@ private[graft] final class GraftVersionedTable(
       override def pushedFilters(): Array[Filter] = pushed
 
       override def pruneColumns(requiredSchema: StructType): Unit =
-        required = Some(requiredSchema)
+        // honor TOP-LEVEL pruning only: the V1 scan materializes whole
+        // columns, and a NESTED-pruned struct type (meta<width,fps> of
+        // a meta<width,height,fps> column) cannot be produced by a
+        // column select — re-encoding full structs under the narrowed
+        // type crashes (INVALID_EXTERNAL_TYPE). Widen each required
+        // field back to the table's full type; Catalyst prunes nested
+        // fields again inside the snapshot scan itself.
+        required = Some(StructType(requiredSchema.fields.map { f =>
+          schema.fields.find(_.name == f.name).getOrElse(f)
+        }))
 
       override def build(): Scan = new V1Scan {
         override def readSchema(): StructType =

@@ -175,11 +175,16 @@ final class GraftLakeSource extends RelationProvider
 
   /** The STREAMING read surface — see [[GraftStreamSource]].
     * Options: `startingVersion` (serve appends after it instead of an
-    * initial snapshot), `maxVersionsPerTrigger` (backpressure, in
+    * initial snapshot), `startingTimestamp` (the same floor seeded by
+    * commit time — epoch millis or `yyyy-MM-dd HH:mm:ss[.f]`; resolved
+    * ONCE to a version, commits at or after the timestamp stream;
+    * refuses when vacuum reaped the anchoring history),
+    * `maxVersionsPerTrigger` (backpressure, in
     * commits per micro-batch), `readChanges` (CDC mode — Delta's
     * `readChangeFeed`: batches are the change-feed increments with
-    * `_action`/`_commit_version` columns; requires `startingVersion`
-    * and a table with `enableChangeFeed` in force). */
+    * `_action`/`_commit_version` columns; requires `startingVersion`/
+    * `startingTimestamp` and a table with `enableChangeFeed` in
+    * force). */
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
@@ -209,8 +214,36 @@ final class GraftLakeSource extends RelationProvider
     val dir = opts.getOrElse("path", throw new IllegalArgumentException(
       "the graft stream source needs a table directory: " +
         "spark.readStream.format(\"graft\").load(dir)"))
+    // `startingTimestamp` (Delta's twin of startingVersion): resolve
+    // the timestamp to the newest version committed STRICTLY BEFORE it
+    // (RESTORE's TIMESTAMP AS OF machinery), so every commit at or
+    // after the timestamp streams — then the version path takes over
+    // (the resolution happens ONCE; the checkpoint pins the version,
+    // so restarts never re-resolve against a clock). Both options
+    // together are ambiguous and refuse.
+    val startVer: Option[Long] =
+      (opts.get("startingversion"), opts.get("startingtimestamp")) match {
+        case (Some(_), Some(_)) => throw new IllegalArgumentException(
+          "set startingVersion OR startingTimestamp, not both — they " +
+            "seed the same replay floor")
+        case (Some(v), None) => Some(v.toLong)
+        case (None, Some(ts)) =>
+          val millis = parseTs(ts)
+          val spark = sqlContext.sparkSession
+          try Some(Versioned.versionAsOf(spark, dir, millis - 1L))
+          catch { case e: IllegalArgumentException =>
+            throw new IllegalArgumentException(
+              s"startingTimestamp $ts predates the retained history of " +
+                s"$dir (${e.getMessage}) — vacuum reaped the versions " +
+                "that would anchor the replay floor. Either drop the " +
+                "option (the stream starts from the current snapshot) " +
+                "or seed with startingVersion from DESCRIBE HISTORY",
+              e)
+          }
+        case _ => None
+      }
     new GraftStreamSource(sqlContext, dir, metadataPath,
-      opts.get("startingversion").map(_.toLong),
+      startVer,
       opts.get("maxversionspertrigger").map(_.toLong)
         .getOrElse(Long.MaxValue),
       readChanges = opts.get("readchanges").exists(_.toBoolean))

@@ -35,7 +35,8 @@ class VersionedSpec extends SparkSpec {
         val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
           .getLines().toVector finally in.close()
         val out = fs.create(p, true)
-        try out.write((lines.filterNot(_.startsWith("#bytes "))
+        try out.write((lines.filterNot(l =>
+            l.startsWith("#bytes ") || l == "#bytesall")
           .mkString("\n") + "\n").getBytes("UTF-8"))
         finally out.close()
       }
@@ -2540,6 +2541,33 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.sizeStatProbes > 0L,
       "stripped manifests must fall back per file")
     assert(legacy == fsTruth(), "fallback sizes must equal FS truth")
+  }
+
+  test("#bytes roll-up: checkpoints bake every known live size (+#bytesall), so fileSizesKnown's walk is capped at checkpoint+tail on ANY history depth — sizes == FS truth, zero stat probes") {
+    val dir = freshLake()
+    Versioned.init(spark, dir, commitTs = 1000L)
+    // 25 commits = two checkpoint cadences past v0: a pre-roll-up walk
+    // would read every one of the ~26 retained manifests
+    (1 to 25).foreach { i =>
+      Versioned.append(spark, dir,
+        df(Seq(("a", 500L + i, i.toDouble)), "site", "id", "v"),
+        Seq("site"), commitTs = 1000L + i)
+    }
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val truth = Versioned.filesAt(spark, dir).map(r => r -> fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(Versioned.refPath(dir, r))).getLen).toMap
+    Versioned.sizeStatProbes = 0L
+    Versioned.manifestSizeWalkReads = 0L
+    val sizes = Versioned.fileSizesAt(spark, dir)
+    assert(sizes == truth, "rolled-up sizes must equal FS truth")
+    assert(Versioned.sizeStatProbes == 0L,
+      "the roll-up must keep DESCRIBE/binpack metadata-only")
+    assert(Versioned.manifestSizeWalkReads <=
+        Versioned.CheckpointInterval + 1,
+      s"the size walk must stop at the newest roll-up checkpoint " +
+        s"(read ${Versioned.manifestSizeWalkReads} manifests for a " +
+        "26-version history)")
   }
 
   test("OPTIMIZE commit-only CAS rebase: a racing append no longer discards the compaction; a racing rewrite still aborts it") {

@@ -152,6 +152,117 @@ class GraftSqlWritesSpec extends SparkSpec {
       .collect().head.getLong(0) == 2L, "refused insert must not commit")
   }
 
+  test("CREATE TABLE with DEFAULT: omitted insert columns fill (SQL plan-side, library commit-side), supplied values and explicit NULLs win, SET/DROP DEFAULT alter the rule, row-reading and generated-column defaults refuse") {
+    val root = java.nio.file.Files.createTempDirectory("graft_sqlwdef").toFile
+    root.deleteOnExit()
+    val dir = new java.io.File(root, "t").getAbsolutePath
+    spark.sql(s"CREATE TABLE ${tbl(dir)} (site STRING, id BIGINT, " +
+      "src STRING DEFAULT 'api', score DOUBLE DEFAULT 0.5) " +
+      "PARTITIONED BY (site)")
+    assert(Versioned.columnDefaults(spark, dir).keySet == Set("src", "score"))
+    // omitted columns fill with the default (column-list insert)
+    spark.sql(s"INSERT INTO ${tbl(dir)} (site, id) VALUES ('a', 1)")
+    // fully supplied values win
+    spark.sql(s"INSERT INTO ${tbl(dir)} (site, id, src, score) " +
+      "VALUES ('a', 2, 'manual', 0.9)")
+    // explicit NULL stays null — the SQL-standard DEFAULT/NULL split
+    spark.sql(s"INSERT INTO ${tbl(dir)} (site, id, src, score) " +
+      "VALUES ('a', 3, NULL, 0.1)")
+    // the DEFAULT keyword in VALUES resolves per-cell
+    spark.sql(s"INSERT INTO ${tbl(dir)} (site, id, src, score) " +
+      "VALUES ('a', 4, DEFAULT, DEFAULT)")
+    def got(): Seq[(Long, Option[String], Option[Double])] =
+      spark.sql(s"SELECT id, src, score FROM ${tbl(dir)} ORDER BY id")
+        .collect().map(r => (r.getLong(0), Option(r.getString(1)),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    assert(got() == Seq(
+      (1L, Some("api"), Some(0.5)), (2L, Some("manual"), Some(0.9)),
+      (3L, None, Some(0.1)), (4L, Some("api"), Some(0.5))), got().toString)
+    // a LIBRARY writer omitting the columns: the COMMIT fills them
+    Versioned.append(spark, dir,
+      df(Seq(("b", 7L)), "site", "id"), Seq("site"))
+    assert(got().contains((7L, Some("api"), Some(0.5))),
+      "append must fill declared defaults for omitted columns")
+    // ALTER COLUMN ... SET DEFAULT re-declares; DROP DEFAULT lifts
+    spark.sql(s"ALTER TABLE ${tbl(dir)} ALTER COLUMN src SET DEFAULT 'edge'")
+    spark.sql(s"ALTER TABLE ${tbl(dir)} ALTER COLUMN score DROP DEFAULT")
+    assert(Versioned.columnDefaults(spark, dir).keySet == Set("src"),
+      s"rail after ALTERs: ${Versioned.columnDefaults(spark, dir)}")
+    spark.sql(s"INSERT INTO ${tbl(dir)} (site, id) VALUES ('a', 8)")
+    assert(got().contains((8L, Some("edge"), None)),
+      s"SET DEFAULT must re-declare and DROP DEFAULT must lift (${got()})")
+    // a default that READS other columns refuses with guidance
+    val e1 = intercept[IllegalArgumentException] {
+      Versioned.setColumnDefault(spark, dir, "src", "concat('x', site)") }
+    assert(e1.getMessage.contains("row-free"), e1.getMessage)
+    // a GENERATED column cannot also carry a DEFAULT
+    val dir2 = new java.io.File(root, "t2").getAbsolutePath
+    spark.sql(s"CREATE TABLE ${tbl(dir2)} (site STRING, id BIGINT, " +
+      "twice BIGINT GENERATED ALWAYS AS (id * 2)) PARTITIONED BY (site)")
+    val e2 = intercept[IllegalArgumentException] {
+      Versioned.setColumnDefault(spark, dir2, "twice", "0") }
+    assert(e2.getMessage.contains("GENERATED"), e2.getMessage)
+    // the rail demands protocol 7 and names its feature — an old build
+    // (which would write omitted columns as null) refuses the table
+    val props = Versioned.tableProperties(spark, dir)
+    assert(props("graft.minReaderLevel").toInt == 7, props.toString)
+    assert(props("graft.features").contains("column-defaults"), props)
+    assert(props.get("graft.default.src").exists(_.contains("edge")), props)
+  }
+
+  test("NESTED ADD COLUMN: ALTER TABLE ADD COLUMN meta.fps evolves a struct metadata-only — null-filled reads, old versions travel under the old shape, evolved writes take over physically; bad paths refuse by name") {
+    val root = java.nio.file.Files.createTempDirectory("graft_sqlwnest").toFile
+    root.deleteOnExit()
+    val dir = new java.io.File(root, "t").getAbsolutePath
+    // the multimodal tier's shape: an id + a typed metadata STRUCT
+    spark.sql(s"CREATE TABLE ${tbl(dir)} (site STRING, id BIGINT, " +
+      "meta STRUCT<width: INT, height: INT>) PARTITIONED BY (site)")
+    spark.sql(s"INSERT INTO ${tbl(dir)} (site, id, meta) " +
+      "VALUES ('a', 1, named_struct('width', 640, 'height', 480)), " +
+      "('a', 2, NULL)")
+    val v1 = Versioned.currentVersion(spark, dir)
+    // the evolution: metadata-only (no data file touched)
+    spark.sql(s"ALTER TABLE ${tbl(dir)} ADD COLUMN meta.fps DOUBLE")
+    assert(Versioned.filesAt(spark, dir).toSet ==
+      Versioned.filesAt(spark, dir, v1).toSet,
+      "nested ADD COLUMN must touch no data file")
+    // reads null-fill the new field; a NULL struct stays null whole
+    val got = spark.sql(s"SELECT id, meta.width, meta.fps, " +
+        s"meta IS NULL AS mn FROM ${tbl(dir)} ORDER BY id").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1 else r.getInt(1),
+        r.isNullAt(2), r.getBoolean(3))).toSeq
+    assert(got == Seq((1L, 640, true, false), (2L, -1, true, true)), got)
+    // the PRE-evolution version travels under the OLD struct shape
+    assert(!Versioned.snapshot(spark, dir, v1).schema("meta").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.contains("fps"),
+      "time travel must read the old struct shape")
+    // an evolved WRITE takes over physically; null-filled rows coexist
+    spark.sql(s"INSERT INTO ${tbl(dir)} (site, id, meta) VALUES " +
+      "('a', 3, named_struct('width', 1920, 'height', 1080, 'fps', 29.97))")
+    val got2 = spark.sql(s"SELECT id, meta.fps FROM ${tbl(dir)} " +
+        "WHERE meta.fps IS NOT NULL").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got2 == Seq((3L, 29.97)), got2.toString)
+    // TWO-level nesting evolves too
+    spark.sql(s"ALTER TABLE ${tbl(dir)} ADD COLUMN meta.codec STRING")
+    assert(spark.sql(s"SELECT meta.codec FROM ${tbl(dir)}").count() == 3L)
+    // refusals name the defect: non-struct parent, existing field,
+    // missing parent
+    val e1 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE ${tbl(dir)} ADD COLUMN id.sub INT") }
+    assert(e1.getMessage.contains("struct") ||
+      e1.getMessage.contains("FIELD"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE ${tbl(dir)} ADD COLUMN meta.width INT") }
+    assert(e2.getMessage.toLowerCase.contains("exist"), e2.getMessage)
+    val e3 = intercept[Exception] {
+      Versioned.addColumn(spark, dir, "nosuch.f",
+        org.apache.spark.sql.types.IntegerType) }
+    assert(e3.getMessage.contains("nosuch"), e3.getMessage)
+  }
+
   test("ANSI constraints: ALTER TABLE ADD CONSTRAINT ... CHECK lowers onto the #chk rail; violating writes refuse; DROP CONSTRAINT lifts; non-CHECK kinds refuse") {
     val dir = freshLake()
     spark.sql(s"ALTER TABLE ${tbl(dir)} ADD CONSTRAINT pos_v CHECK (v >= 0)")

@@ -144,6 +144,56 @@ class GraftStreamSourceSpec extends SparkSpec {
       "with startingVersion=0 only the post-v0 appends stream")
   }
 
+  test("startingTimestamp: the replay floor seeds by commit time — commits AT or after the timestamp stream, the checkpoint pins the resolved version across restarts, pre-history timestamps refuse with the repair, both seed options together refuse") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ssrc_st").toFile
+    root.deleteOnExit()
+    val src = new java.io.File(root, "src_lake").getAbsolutePath
+    MergeData.writeMerged(spark, df(Seq(("a", 1L, 1.0)), "site", "id", "v"),
+      src, keys = Seq("site"))
+    Versioned.init(spark, src, commitTs = 1000L)
+    Versioned.append(spark, src, df(Seq(("b", 2L, 2.0)), "site", "id", "v"),
+      Seq("site"), commitTs = 2000L)
+    Versioned.append(spark, src, df(Seq(("c", 3L, 3.0)), "site", "id", "v"),
+      Seq("site"), commitTs = 3000L)
+    val sink = new java.io.File(root, "sink").getAbsolutePath
+    val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+    // seed AT v1's commit time: v1 and v2 stream (at-or-after), v0 not
+    follow(src, sink, ckpt, Map("startingTimestamp" -> "2000"))
+    assert(state(Versioned.snapshot(spark, sink)) ==
+      Set(("b", 2L, 2.0), ("c", 3L, 3.0)),
+      "commits AT or after the timestamp must stream; earlier ones not")
+    // restart: the pinned floor serves — only the NEW commit arrives,
+    // nothing replays as a duplicate
+    Versioned.append(spark, src, df(Seq(("d", 4L, 4.0)), "site", "id", "v"),
+      Seq("site"), commitTs = 4000L)
+    follow(src, sink, ckpt, Map("startingTimestamp" -> "2000"))
+    assert(Versioned.snapshot(spark, sink).count() == 3L,
+      "a restart must not duplicate the already-delivered range")
+    assert(state(Versioned.snapshot(spark, sink)) ==
+      Set(("b", 2L, 2.0), ("c", 3L, 3.0), ("d", 4L, 4.0)))
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    // a timestamp before the earliest retained commit refuses, naming
+    // the option and the repair
+    val e1 = intercept[Exception] {
+      follow(src, new java.io.File(root, "sink2").getAbsolutePath,
+        new java.io.File(root, "ckpt2").getAbsolutePath,
+        Map("startingTimestamp" -> "500"))
+    }
+    assert(msgs(e1).exists(m => m.contains("startingTimestamp") &&
+      m.contains("startingVersion")),
+      s"expected the pre-history refusal with repair, got: ${msgs(e1).mkString(" | ")}")
+    // both seeds together are ambiguous
+    val e2 = intercept[Exception] {
+      follow(src, new java.io.File(root, "sink3").getAbsolutePath,
+        new java.io.File(root, "ckpt3").getAbsolutePath,
+        Map("startingTimestamp" -> "2000", "startingVersion" -> "0"))
+    }
+    assert(msgs(e2).exists(_.contains("not both")),
+      s"expected the both-options refusal, got: ${msgs(e2).mkString(" | ")}")
+  }
+
   test("maxVersionsPerTrigger: backlog drains in bounded chunks across runs; floor cache survives") {
     val root = java.nio.file.Files.createTempDirectory("graft_ssrc_mx").toFile
     root.deleteOnExit()
