@@ -161,20 +161,32 @@ object Bench {
       .flatMap(f => "^BENCH_r(\\d+)\\.json$".r
         .findFirstMatchIn(f.getName).map(_.group(1).toInt))
       .foldLeft(-1)(math.max)
+    // prefer the tracked BENCH_QUERIES_r{N-1}.json this round writes
+    // for exactly this purpose — the driver's BENCH_r{N-1}.json embeds
+    // the per-query map only when its log capture wasn't truncated
+    // (r15's was: parsed=null, 2 KB of tail)
     val prevMap: Map[String, Double] =
       if (prevN < 0) Map.empty
-      else try {
+      else {
         val om = new com.fasterxml.jackson.databind.ObjectMapper()
-        val qs = om.readTree(new java.io.File(repoDir,
-          f"BENCH_r$prevN%02d.json")).path("parsed").path("queries")
-        if (!qs.isObject) Map.empty
-        else {
-          val b = Map.newBuilder[String, Double]
-          val it = qs.fieldNames()
-          while (it.hasNext) { val k = it.next(); b += k -> qs.get(k).asDouble(-1.0) }
-          b.result()
-        }
-      } catch { case _: Throwable => Map.empty }
+        def mapOf(file: String, path: Seq[String]): Option[Map[String, Double]] =
+          try {
+            val qs = path.foldLeft(
+              om.readTree(new java.io.File(repoDir, file))
+                : com.fasterxml.jackson.databind.JsonNode)(_.path(_))
+            if (!qs.isObject) None
+            else {
+              val b = Map.newBuilder[String, Double]
+              val it = qs.fieldNames()
+              while (it.hasNext) {
+                val k = it.next(); b += k -> qs.get(k).asDouble(-1.0) }
+              Some(b.result())
+            }
+          } catch { case _: Throwable => None }
+        mapOf(f"BENCH_QUERIES_r$prevN%02d.json", Seq("queries"))
+          .orElse(mapOf(f"BENCH_r$prevN%02d.json", Seq("parsed", "queries")))
+          .getOrElse(Map.empty)
+      }
     val movers = results.toSeq.collect {
       case (k, (v, _)) if v >= 0 && prevMap.get(k).exists(p =>
         p > 0 && v > p * 1.5 && v - p > 0.3) => (k, v, prevMap(k))

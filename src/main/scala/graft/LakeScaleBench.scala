@@ -538,8 +538,10 @@ object LakeScaleBench {
     // VERB's candidates match the hand-built z3q layout above — the r15
     // defect was the verb interleaving RAW low bits (`id mod 65536` on
     // these 1e10-domain ids: hash noise, domain-wide boxes, no skip).
-    val lakeBytes = fs.getContentSummary(
-      new org.apache.hadoop.fs.Path(lake)).getLength
+    // LIVE bytes (metadata-only via the #bytes rail) — a directory
+    // listing would count the dead generations earlier rewrites left
+    // (no vacuum ran) and overshoot the target ~4x
+    val lakeBytes = Versioned.fileSizesAt(spark, lake).values.sum
     spark.conf.set("spark.graft.optimize.targetFileSize",
       math.max(65536L, lakeBytes / 16L).toString)
     try time("z3sql_optimize") {
