@@ -100,6 +100,14 @@ object Versioned {
   def currentVersion(spark: SparkSession, dir: String): Long =
     listManifests(fsOf(spark, dir), dir).map(_._1).foldLeft(-1L)(math.max)
 
+  /** The OLDEST version still retained (vacuum moves it up; 0 on a
+    * never-vacuumed table). Refuses on a non-table dir. */
+  def earliestVersion(spark: SparkSession, dir: String): Long = {
+    val vs = listManifests(fsOf(spark, dir), dir).map(_._1)
+    require(vs.nonEmpty, s"no manifest in $dir — call init() first")
+    vs.min
+  }
+
   private def readLines(fs: FileSystem, p: Path): Seq[String] = {
     val in = fs.open(p)
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
@@ -912,11 +920,19 @@ object Versioned {
     val rolled = scala.collection.mutable.Map.empty[String, Long]
     if (isCkpt && v > 0L) {
       val liveSet = files.toSet
+      // count ONLY staged entries that are live here: stagedSizes can
+      // hold stale keys from an earlier FAILED commit on this thread
+      // (cleared only on success) — overcounting coverage would stop
+      // the walk early and stamp #bytesall over a hole
+      val stagedLive = sizes.keysIterator.count(liveSet.contains)
       val it = listManifests(fs, dir).filter(_._1 < v)
         .sortBy(-_._1).iterator
-      var sawRollup = false
-      while (it.hasNext && !sawRollup &&
-          (rolled.size + sizes.size) < liveSet.size) {
+      // the WRITE-side walk does NOT stop at an older #bytesall: a
+      // RESTORE can resurrect files whose only size record predates
+      // the previous marker — the checkpoint is the one place that
+      // heals such gaps (amortized: 1-in-CheckpointInterval commits,
+      // and the walk ends as soon as coverage completes)
+      while (it.hasNext && (rolled.size + stagedLive) < liveSet.size) {
         val (mv, _) = it.next()
         manifestLinesAt(fs, dir, mv).foreach { l =>
           if (l.startsWith("#bytes ")) {
@@ -924,7 +940,7 @@ object Versioned {
             val r = b64d(toks(0))
             if (liveSet.contains(r) && !rolled.contains(r) &&
                 !sizes.contains(r)) rolled(r) = toks(1).toLong
-          } else if (l == "#bytesall") sawRollup = true
+          }
         }
       }
     }
@@ -1108,6 +1124,19 @@ object Versioned {
     meta.gens.foreach { case (n, e) =>
       require(!e.matches(s"(?s).*\\b${java.util.regex.Pattern.quote(from)}\\b.*"),
         s"generated column $n references $from — dropGeneratedColumn() first") }
+    // the #default and #addcol rails address columns by their STABLE
+    // spelling: a rename would strand the rule under the old name (a
+    // phantom column resurrects on the next omitting write; nested
+    // fields silently vanish) — refuse with the repair, like gens
+    require(!meta.defaults.contains(from),
+      s"$from carries a DEFAULT — dropColumnDefault() first, rename, " +
+        "then re-declare under the new name")
+    require(!meta.addCols.exists(_._1.startsWith(from + ".")),
+      s"$from carries metadata-added nested field(s) " +
+        s"${meta.addCols.map(_._1).filter(_.startsWith(from + "."))
+          .mkString(", ")} — they address the struct by its stable " +
+        "spelling; write a batch that materializes them (or recreate " +
+        "the table) before renaming")
     val phys = meta.renames.getOrElse(from, from)
     val live = filesAt(spark, dir, v)
     writeCommit(fsOf(spark, dir), dir, v + 1, live, live,
@@ -1148,7 +1177,15 @@ object Versioned {
           "drop-column")
         .copy(renames = meta.renames - name,
           droppedCols = (meta.droppedCols :+ phys).distinct,
-          gens = meta.gens - name))
+          gens = meta.gens - name,
+          // the dropped column's DEFAULT and pending nested #addcol
+          // entries go with it: a surviving default would RESURRECT
+          // the column on the next omitting write (applyDefaults),
+          // and a stale nested entry under a re-added non-struct name
+          // would poison every read (withField on a non-struct)
+          defaults = meta.defaults - name,
+          addCols = meta.addCols.filterNot { case (n, _) =>
+            n == name || n.startsWith(name + ".") }))
     v + 1
   }
 
@@ -2501,7 +2538,18 @@ object Versioned {
     // the new definition's anchor is VERSIONED to the committing
     // version: until the CAS lands it is invisible to every read
     // (crash-safe by construction — see the anchor section note), so
-    // a failed replace leaves the original definition fully intact
+    // a failed replace leaves the original definition fully intact.
+    // An anchor ALREADY at v+1 is either an orphan of a crashed
+    // earlier attempt (no commit took v+1 — reclaim it) or a
+    // CONCURRENT replace's staged anchor (it is about to commit v+1 —
+    // this replace must lose NOW, before staging data or overwriting
+    // the winner's schema)
+    val anchorNext = new Path(anchorPathV(dir, v + 1))
+    if (fs.exists(anchorNext)) {
+      require(currentVersion(spark, dir) == v,
+        s"concurrent commit detected: version ${v + 1} already exists in $dir")
+      fs.delete(anchorNext, true) // orphan of a failed attempt
+    }
     writeSchemaAnchorRaw(spark, dir, schema, v + 1)
     try {
       // stage the new contents: a failed query/write aborts with the
@@ -2527,9 +2575,13 @@ object Versioned {
       // commit CAS — must not leave the NEW definition's anchor as the
       // newest at-or-below v+1: whatever commit actually takes v+1
       // (a racing writer, a later TRUNCATE) would serve the FAILED
-      // replace's schema on its zero-file reads. Delete it; the
-      // pre-replace anchors are untouched, so reads fall back to them.
-      try fs.delete(new Path(anchorPathV(dir, v + 1)), true)
+      // replace's schema on its zero-file reads. Delete it ONLY while
+      // no commit holds v+1 — if a racing replace already landed
+      // there, the anchor at this path may be the WINNER'S committed
+      // schema (both attempts spell the same path), and deleting it
+      // would destroy a definition that DID land.
+      try if (currentVersion(spark, dir) <= v)
+        fs.delete(new Path(anchorPathV(dir, v + 1)), true)
       catch { case _: java.io.IOException => } // surfacing e matters more
       throw e
     }
@@ -3038,7 +3090,9 @@ object Versioned {
     // the discipline ends at `base` — exactly as if never established.
     // Incs cannot follow a marker (inheritance stops at it), and a later
     // re-backfill writes a newer full that becomes the base instead.
-    if (spark.read.parquet(fullSidecarPath(dir, kind, base).toString).isEmpty)
+    // take(1): a LIMIT-1 probe of one tiny sidecar, never a full read
+    if (spark.read.parquet(fullSidecarPath(dir, kind, base).toString)
+        .take(1).isEmpty)
       return None
     val parts = fullSidecarPath(dir, kind, base).toString +:
       sidecars.collect { case (sv, false) if sv > base && sv <= v =>
@@ -3153,8 +3207,9 @@ object Versioned {
     if (newRefs.isEmpty) return
     newestSidecarAt(spark, dir, "bloom", prevV).foreach { prev =>
       // a zero-row newest full is the empty-family marker (widenColumn
-      // dropped the last tracked column): inheritance stops here
-      prev.select("expected", "fpp").collect().headOption.foreach { head =>
+      // dropped the last tracked column): inheritance stops here.
+      // take(1) = LIMIT-1 — never a full collect of the sidecar
+      prev.select("expected", "fpp").take(1).headOption.foreach { head =>
         val cols = prev.select("col").distinct()
           .collect().map(_.getString(0)).toSeq.sorted
         writeBloomSidecar(spark, dir, incSidecarPath(dir, "bloom", prevV + 1),

@@ -304,6 +304,15 @@ class GraftCatalog extends TableCatalog
         require(a.position() == null,
           "ADD COLUMN ... FIRST/AFTER is not supported on graft tables " +
             "— added columns append at the end of the schema (or struct)")
+        // a QUOTED single identifier containing '.' (`a.b`) would be
+        // indistinguishable from the nested path [a, b] once joined —
+        // the #addcol rail spells nesting with dots, so literal dotted
+        // names refuse rather than silently evolve the wrong thing
+        require(a.fieldNames().length > 1 ||
+            !a.fieldNames()(0).contains('.'),
+          s"column name ${a.fieldNames()(0)} contains '.': the #addcol " +
+            "rail addresses NESTED struct fields by dotted path — pick " +
+            "a dot-free name")
         Versioned.addColumn(spark, dir, a.fieldNames().mkString("."),
           a.dataType())
       case r: TableChange.RenameColumn =>

@@ -214,39 +214,23 @@ final class GraftLakeSource extends RelationProvider
     val dir = opts.getOrElse("path", throw new IllegalArgumentException(
       "the graft stream source needs a table directory: " +
         "spark.readStream.format(\"graft\").load(dir)"))
-    // `startingTimestamp` (Delta's twin of startingVersion): resolve
-    // the timestamp to the newest version committed STRICTLY BEFORE it
-    // (RESTORE's TIMESTAMP AS OF machinery), so every commit at or
-    // after the timestamp streams — then the version path takes over
-    // (the resolution happens ONCE; the checkpoint pins the version,
-    // so restarts never re-resolve against a clock). Both options
-    // together are ambiguous and refuse.
-    val startVer: Option[Long] =
-      (opts.get("startingversion"), opts.get("startingtimestamp")) match {
-        case (Some(_), Some(_)) => throw new IllegalArgumentException(
-          "set startingVersion OR startingTimestamp, not both — they " +
-            "seed the same replay floor")
-        case (Some(v), None) => Some(v.toLong)
-        case (None, Some(ts)) =>
-          val millis = parseTs(ts)
-          val spark = sqlContext.sparkSession
-          try Some(Versioned.versionAsOf(spark, dir, millis - 1L))
-          catch { case e: IllegalArgumentException =>
-            throw new IllegalArgumentException(
-              s"startingTimestamp $ts predates the retained history of " +
-                s"$dir (${e.getMessage}) — vacuum reaped the versions " +
-                "that would anchor the replay floor. Either drop the " +
-                "option (the stream starts from the current snapshot) " +
-                "or seed with startingVersion from DESCRIBE HISTORY",
-              e)
-          }
-        case _ => None
-      }
+    // `startingTimestamp` (Delta's twin of startingVersion): the seed
+    // resolves to a version INSIDE the source's pinned-floor
+    // initializer — only when the checkpoint has no floor yet — so a
+    // restarted stream never re-resolves against the clock (vacuum
+    // reaping the anchoring manifests mid-life cannot fail a restart
+    // whose floor the checkpoint already owns). Both options together
+    // are ambiguous and refuse.
+    val tsOpt = opts.get("startingtimestamp").map(parseTs)
+    require(opts.get("startingversion").isEmpty || tsOpt.isEmpty,
+      "set startingVersion OR startingTimestamp, not both — they " +
+        "seed the same replay floor")
     new GraftStreamSource(sqlContext, dir, metadataPath,
-      startVer,
+      opts.get("startingversion").map(_.toLong),
       opts.get("maxversionspertrigger").map(_.toLong)
         .getOrElse(Long.MaxValue),
-      readChanges = opts.get("readchanges").exists(_.toBoolean))
+      readChanges = opts.get("readchanges").exists(_.toBoolean),
+      startingTimestampMs = tsOpt)
   }
 
   private def parseTs(s: String): Long =

@@ -61,7 +61,8 @@ import graft.lake.Versioned
 private[sources] class GraftStreamSource(sqlContext: SQLContext,
     dir: String, metadataPath: String,
     startingVersion: Option[Long], maxVersionsPerTrigger: Long,
-    readChanges: Boolean = false) extends Source
+    readChanges: Boolean = false,
+    startingTimestampMs: Option[Long] = None) extends Source
   with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private val spark = sqlContext.sparkSession
@@ -90,17 +91,44 @@ private[sources] class GraftStreamSource(sqlContext: SQLContext,
   private def writeLong(p: Path, v: Long): Unit = writeText(p, v.toString)
 
   require(!readChanges || startingVersion.isDefined ||
+      startingTimestampMs.isDefined ||
       readLong(startPath).exists(_ >= 0),
     "readChanges needs .option(\"startingVersion\", v) — a CDC stream " +
       "serves row-level increments SINCE a version, not a snapshot " +
       "(Delta's readChangeFeed contract); the table must have " +
       "enableChangeFeed in force over the followed range")
 
+  /** `startingTimestamp` → the replay floor: the newest version
+    * committed STRICTLY BEFORE the seed, so every commit AT or after
+    * the timestamp streams. A seed at or before the FIRST RETAINED
+    * commit: if version 0 is still retained the seed simply predates
+    * the table — everything at-or-after it is everything, i.e.
+    * SNAPSHOT mode (-1; Delta's start-from-version-0 analogue); if
+    * vacuum reaped v0, the floor is unprovable — refuse naming the
+    * cause and the repair. */
+  private def resolveStartingTs(ms: Long): Long =
+    try Versioned.versionAsOf(spark, dir, ms - 1L)
+    catch { case e: IllegalArgumentException =>
+      if (Versioned.earliestVersion(spark, dir) == 0L) -1L
+      else throw new IllegalArgumentException(
+        s"startingTimestamp $ms predates the retained history of $dir " +
+          s"(${e.getMessage}) — vacuum reaped the versions that would " +
+          "anchor the replay floor. Either drop the option (the stream " +
+          "starts from the current snapshot) or seed with " +
+          "startingVersion from DESCRIBE HISTORY", e)
+    }
+
   /** The first batch's base, pinned ONCE per checkpoint (replays of
     * batch 0 must serve the identical range even across restarts):
-    * -1 = snapshot mode, else the seeded starting version. */
+    * -1 = snapshot mode, else the seeded starting version. A
+    * `startingTimestamp` seed resolves HERE — inside the pin — so a
+    * RESTARTED checkpoint never re-resolves against the clock: vacuum
+    * reaping the anchoring manifests after the stream started cannot
+    * fail a restart whose floor the checkpoint already owns. */
   private val startV: Long = readLong(startPath).getOrElse {
-    val v = startingVersion.getOrElse(-1L)
+    val v = startingVersion
+      .orElse(startingTimestampMs.map(resolveStartingTs))
+      .getOrElse(-1L)
     writeLong(startPath, v)
     v
   }

@@ -2570,6 +2570,74 @@ class VersionedSpec extends SparkSpec {
         "26-version history)")
   }
 
+  test("#bytes roll-up heals RESTORE-resurrected files: a checkpoint's walk continues past older markers, so sizes recorded before an intervening roll-up re-enter the rail") {
+    val dir = freshLake()
+    Versioned.init(spark, dir, commitTs = 1000L)
+    (1 to 12).foreach { i => // crosses the v10 checkpoint cadence
+      Versioned.append(spark, dir,
+        df(Seq(("a", 700L + i, i.toDouble)), "site", "id", "v"),
+        Seq("site"), commitTs = 1000L + i)
+    }
+    // back to v2: files dropped after v2 resurrect; their only #bytes
+    // records sit BELOW the v10 roll-up marker
+    Versioned.restore(spark, dir, 2L, commitTs = 2000L)
+    // ride to the next checkpoint cadence: its roll-up must WALK PAST
+    // the stale marker and re-collect the resurrected files' sizes
+    (1 to 10).foreach { i =>
+      Versioned.append(spark, dir,
+        df(Seq(("a", 800L + i, i.toDouble)), "site", "id", "v"),
+        Seq("site"), commitTs = 2000L + i)
+    }
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val truth = Versioned.filesAt(spark, dir).map(r => r -> fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(Versioned.refPath(dir, r))).getLen).toMap
+    Versioned.sizeStatProbes = 0L
+    assert(Versioned.fileSizesAt(spark, dir) == truth)
+    assert(Versioned.sizeStatProbes == 0L,
+      "post-restore checkpoints must re-collect resurrected files' " +
+        "sizes — the write-side walk may not stop at a stale marker")
+  }
+
+  test("DROP COLUMN purges its DEFAULT and pending nested #addcol entries; RENAME refuses both by name (stable-spelling rails)") {
+    import org.apache.spark.sql.types.DoubleType
+    val dir = freshLake()
+    Versioned.init(spark, dir, commitTs = 1000L)
+    Versioned.setColumnDefault(spark, dir, "v", "0.5")
+    // a surviving default would RESURRECT the dropped column on the
+    // next omitting write (applyDefaults injects, autoRenames assigns
+    // a fresh physical): the drop must take the rule with it
+    Versioned.dropColumn(spark, dir, "v")
+    Versioned.append(spark, dir,
+      df(Seq(("a", 900L)), "site", "id"), Seq("site"))
+    assert(!Versioned.snapshot(spark, dir).columns.contains("v"),
+      "a dropped column's DEFAULT must not resurrect it")
+    assert(Versioned.columnDefaults(spark, dir).isEmpty)
+    // rename of a defaulted column refuses with the repair
+    val dir2 = freshLake()
+    Versioned.init(spark, dir2, commitTs = 1000L)
+    Versioned.setColumnDefault(spark, dir2, "v", "0.5")
+    val e1 = intercept[IllegalArgumentException] {
+      Versioned.renameColumn(spark, dir2, "v", "reading") }
+    assert(e1.getMessage.contains("dropColumnDefault"), e1.getMessage)
+    // nested #addcol: rename of the parent refuses; drop purges (a
+    // stale meta.fps entry under a re-added non-struct meta would
+    // throw withField-on-non-struct on EVERY read — bricking the table)
+    Versioned.addColumn(spark, dir2, "meta",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("w",
+          org.apache.spark.sql.types.IntegerType))))
+    Versioned.addColumn(spark, dir2, "meta.fps", DoubleType)
+    val e2 = intercept[IllegalArgumentException] {
+      Versioned.renameColumn(spark, dir2, "meta", "m2") }
+    assert(e2.getMessage.contains("meta.fps"), e2.getMessage)
+    Versioned.dropColumn(spark, dir2, "meta")
+    Versioned.addColumn(spark, dir2, "meta",
+      org.apache.spark.sql.types.IntegerType) // re-added as NON-struct
+    assert(Versioned.snapshot(spark, dir2).select("meta").count() >= 0L,
+      "a purged nested entry must not poison reads of the re-added column")
+  }
+
   test("OPTIMIZE commit-only CAS rebase: a racing append no longer discards the compaction; a racing rewrite still aborts it") {
     val dir = freshLake()
     Versioned.init(spark, dir)

@@ -261,6 +261,11 @@ class GraftSqlWritesSpec extends SparkSpec {
       Versioned.addColumn(spark, dir, "nosuch.f",
         org.apache.spark.sql.types.IntegerType) }
     assert(e3.getMessage.contains("nosuch"), e3.getMessage)
+    // a QUOTED literal name containing '.' is indistinguishable from a
+    // nested path once on the rail — refused with the naming rule
+    val e4 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE ${tbl(dir)} ADD COLUMN `lit.eral` INT") }
+    assert(e4.getMessage.contains("dot-free"), e4.getMessage)
   }
 
   test("ANSI constraints: ALTER TABLE ADD CONSTRAINT ... CHECK lowers onto the #chk rail; violating writes refuse; DROP CONSTRAINT lifts; non-CHECK kinds refuse") {

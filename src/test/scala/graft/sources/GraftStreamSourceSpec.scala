@@ -174,16 +174,16 @@ class GraftStreamSourceSpec extends SparkSpec {
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x =>
         Option(x.getMessage).toSeq ++ msgs(x.getCause))
-    // a timestamp before the earliest retained commit refuses, naming
-    // the option and the repair
-    val e1 = intercept[Exception] {
-      follow(src, new java.io.File(root, "sink2").getAbsolutePath,
-        new java.io.File(root, "ckpt2").getAbsolutePath,
-        Map("startingTimestamp" -> "500"))
-    }
-    assert(msgs(e1).exists(m => m.contains("startingTimestamp") &&
-      m.contains("startingVersion")),
-      s"expected the pre-history refusal with repair, got: ${msgs(e1).mkString(" | ")}")
+    // a seed PREDATING the table on a never-vacuumed lake is NOT an
+    // error: everything is at-or-after it — snapshot mode (Delta's
+    // start-from-version-0 analogue)
+    follow(src, new java.io.File(root, "sink2").getAbsolutePath,
+      new java.io.File(root, "ckpt2").getAbsolutePath,
+      Map("startingTimestamp" -> "500"))
+    assert(state(Versioned.snapshot(spark,
+        new java.io.File(root, "sink2").getAbsolutePath)) ==
+      state(Versioned.snapshot(spark, src)),
+      "a pre-table seed on retained-v0 history must stream everything")
     // both seeds together are ambiguous
     val e2 = intercept[Exception] {
       follow(src, new java.io.File(root, "sink3").getAbsolutePath,
@@ -192,6 +192,30 @@ class GraftStreamSourceSpec extends SparkSpec {
     }
     assert(msgs(e2).exists(_.contains("not both")),
       s"expected the both-options refusal, got: ${msgs(e2).mkString(" | ")}")
+    // VACUUM reaps the anchoring history: a FRESH seed that predates
+    // it refuses naming the cause and the repair — but the ORIGINAL
+    // checkpointed stream RESTARTS fine (its floor is pinned; the
+    // resolution never re-runs against the clock: the r16 review's
+    // restart-outage finding)
+    // keep the LAST-SERVED batch range resolvable (Spark re-serves the
+    // final committed batch on restart) while reaping v0/v1 — the
+    // versions that anchored the original timestamp seed
+    Versioned.vacuum(spark, src, keepVersions = 2)
+    val e3 = intercept[Exception] {
+      follow(src, new java.io.File(root, "sink4").getAbsolutePath,
+        new java.io.File(root, "ckpt4").getAbsolutePath,
+        Map("startingTimestamp" -> "500"))
+    }
+    assert(msgs(e3).exists(m => m.contains("startingTimestamp") &&
+      m.contains("startingVersion")),
+      s"expected the post-vacuum refusal with repair, got: ${msgs(e3).mkString(" | ")}")
+    Versioned.append(spark, src, df(Seq(("e", 5L, 5.0)), "site", "id", "v"),
+      Seq("site"), commitTs = 5000L)
+    follow(src, sink, ckpt, Map("startingTimestamp" -> "2000"))
+    assert(state(Versioned.snapshot(spark, sink)) ==
+      Set(("b", 2L, 2.0), ("c", 3L, 3.0), ("d", 4L, 4.0), ("e", 5L, 5.0)),
+      "a checkpointed stream must restart after vacuum reaped the " +
+        "versions that anchored its original timestamp seed")
   }
 
   test("maxVersionsPerTrigger: backlog drains in bounded chunks across runs; floor cache survives") {
