@@ -216,6 +216,14 @@ object Versioned {
   private def b64d(s: String): String =
     new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
 
+  /** One IDENTITY rule (`#ident` rail): `start`/`step` are the
+    * declaration, `hw` is the LAST VALUE ASSIGNED so far (None until
+    * the first assignment — next id is `start`), `allowExplicit` is
+    * the ALWAYS/BY DEFAULT split (BY DEFAULT accepts supplied values
+    * and syncs the high-water past them). */
+  private[lake] final case class IdentRule(start: Long, step: Long,
+      hw: Option[Long], allowExplicit: Boolean)
+
   /** Commit metadata carried in every manifest: the commit timestamp,
     * the FULL per-stream txn high-water map, the pending
     * equality-delete tombstone files, the table's CHECK constraints
@@ -241,7 +249,8 @@ object Versioned {
       cluster: Option[Seq[String]] = None,
       pinnedSchema: Option[String] = None,
       clusterAt: Option[Long] = None,
-      defaults: Map[String, String] = Map.empty) {
+      defaults: Map[String, String] = Map.empty,
+      idents: Map[String, IdentRule] = Map.empty) {
     /** (required reader level, feature names) demanded by this meta. */
     def protocol: (Int, Seq[String]) = {
       val fs = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
@@ -256,6 +265,7 @@ object Versioned {
         fs += ((5, "deletion-vectors"))
       if (pinnedSchema.isDefined) fs += ((6, "pinned-schema"))
       if (defaults.nonEmpty) fs += ((7, "column-defaults"))
+      if (idents.nonEmpty) fs += ((7, "identity-columns"))
       val v = (verFloor +: fs.map(_._1).toSeq).max
       (v, fs.map(_._2).toSeq)
     }
@@ -286,7 +296,10 @@ object Versioned {
         clusterAt.map(a => s"#clusterat $a").toSeq ++
         pinnedSchema.map(j => s"#schema $j").toSeq ++
         defaults.toSeq.sortBy(_._1).map { case (n, e) =>
-          s"#default ${b64e(n)} ${b64e(e)}" }
+          s"#default ${b64e(n)} ${b64e(e)}" } ++
+        idents.toSeq.sortBy(_._1).map { case (n, r) =>
+          s"#ident ${b64e(n)} ${r.start} ${r.step} " +
+            s"${r.hw.map(_.toString).getOrElse("-")} ${r.allowExplicit}" }
     }
   }
   private[lake] object CommitMeta {
@@ -309,6 +322,7 @@ object Versioned {
     var clusterAt: Option[Long] = None
     val gens = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val defaults = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val idents = scala.collection.mutable.LinkedHashMap.empty[String, IdentRule]
     val rens = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val drops = scala.collection.mutable.ArrayBuffer.empty[String]
     val adds = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
@@ -357,6 +371,11 @@ object Versioned {
       } else if (l.startsWith("#default ")) {
         val toks = l.stripPrefix("#default ").trim.split(' ')
         defaults(b64d(toks(0))) = b64d(toks(1))
+      } else if (l.startsWith("#ident ")) {
+        val toks = l.stripPrefix("#ident ").trim.split(' ')
+        idents(b64d(toks(0))) = IdentRule(toks(1).toLong, toks(2).toLong,
+          if (toks(3) == "-") None else Some(toks(3).toLong),
+          toks(4).toBoolean)
       }
     }
     // the protocol guard: refuse a manifest demanding a level this
@@ -373,7 +392,7 @@ object Versioned {
       renames = rens.toMap, droppedCols = drops.toSeq, pkeys = pkeys,
       gens = gens.toMap, addCols = adds.toSeq, cluster = cluster,
       pinnedSchema = pinnedSchema, clusterAt = clusterAt,
-      defaults = defaults.toMap)
+      defaults = defaults.toMap, idents = idents.toMap)
   }
 
   private def metaAt(spark: SparkSession, dir: String, v: Long): CommitMeta =
@@ -397,7 +416,7 @@ object Versioned {
       droppedCols = prev.droppedCols, pkeys = prev.pkeys,
       gens = prev.gens, addCols = prev.addCols, cluster = prev.cluster,
       pinnedSchema = prev.pinnedSchema, clusterAt = prev.clusterAt,
-      defaults = prev.defaults)
+      defaults = prev.defaults, idents = prev.idents)
   }
 
   // Resolved-listing cache (Delta's snapshot cache): a committed
@@ -1131,6 +1150,9 @@ object Versioned {
     require(!meta.defaults.contains(from),
       s"$from carries a DEFAULT — dropColumnDefault() first, rename, " +
         "then re-declare under the new name")
+    require(!meta.idents.contains(from),
+      s"$from is an IDENTITY column — dropIdentity() first (the " +
+        "#ident rail addresses columns by their stable spelling)")
     require(!meta.addCols.exists(_._1.startsWith(from + ".")),
       s"$from carries metadata-added nested field(s) " +
         s"${meta.addCols.map(_._1).filter(_.startsWith(from + "."))
@@ -1184,6 +1206,7 @@ object Versioned {
           // and a stale nested entry under a re-added non-struct name
           // would poison every read (withField on a non-struct)
           defaults = meta.defaults - name,
+          idents = meta.idents - name,
           addCols = meta.addCols.filterNot { case (n, _) =>
             n == name || n.startsWith(name + ".") }))
     v + 1
@@ -1327,6 +1350,9 @@ object Versioned {
     require(!parts.contains(name),
       s"cannot widen partition column $name: its values are baked into " +
         "directory paths — changePartitionSpec to a data column first")
+    require(!meta.idents.contains(name),
+      s"cannot change the type of IDENTITY column $name: identities " +
+        "are BIGINT by contract (dropIdentity() first)")
     val cur = snapSchema(name).dataType
     require(widenOk(cur, newType),
       s"cannot change column $name of $dir from ${cur.simpleString} to " +
@@ -1575,6 +1601,142 @@ object Versioned {
       }
     }
 
+  // `#ident name start step hw allowExplicit` — IDENTITY COLUMNS
+  // (protocol level 7, Delta's GENERATED [ALWAYS | BY DEFAULT] AS
+  // IDENTITY): the engine assigns monotonic BIGINT ids to write
+  // batches that OMIT the column. The SQL/Delta contract is UNIQUE and
+  // MONOTONIC per the declared step — NOT gap-free and NOT an
+  // assignment order promise (a distributed writer that promised
+  // gap-free consecutive ids would serialize every batch through one
+  // counter). Assignment is dense WITHIN a commit (zipWithIndex — one
+  // count job over the batch, bounded by batch size), and the commit
+  // carries the ADVANCED high-water, so the next writer continues past
+  // it; a concurrent identity-advancing commit forces the loser to
+  // re-run (the id ranges were minted against a stale high-water —
+  // the rules-moved bail every write path already implements).
+  // ALWAYS refuses supplied values; BY DEFAULT accepts them and SYNCS
+  // the high-water past their extreme so later engine-assigned ids
+  // never collide. Merges require the column SUPPLIED (BY DEFAULT
+  // only): a merge's output cannot attribute which rows are inserts.
+
+  /** Assign/validate `meta`'s IDENTITY columns on `batch`; returns the
+    * (possibly extended) batch and the advanced rules the commit must
+    * carry. `forMerge` demands the column be present. */
+  private def applyIdentity(spark: SparkSession, meta: CommitMeta,
+      batch: DataFrame, what: String,
+      forMerge: Boolean = false): (DataFrame, Map[String, IdentRule]) = {
+    if (meta.idents.isEmpty) return (batch, meta.idents)
+    var out = batch
+    var rules = meta.idents
+    meta.idents.foreach { case (name, r) =>
+      if (!out.columns.contains(name)) {
+        require(!forMerge,
+          s"$what: a merge into an IDENTITY table must carry $name " +
+            "explicitly — a merge's output cannot attribute which rows " +
+            "are inserts (assign ids upstream on a BY DEFAULT identity, " +
+            "or append the new rows instead)")
+        // DENSE in-commit assignment: zipWithIndex = one count job over
+        // the (caller-persisted) batch, then a map — no single-partition
+        // window, no shuffle
+        val next = r.hw.map(_ + r.step).getOrElse(r.start)
+        val schema2 = out.schema.add(name,
+          org.apache.spark.sql.types.LongType, nullable = false)
+        val n = out.count()
+        val rdd = out.rdd.zipWithIndex().map { case (row, i) =>
+          org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (next + r.step * i)) }
+        out = spark.createDataFrame(rdd, schema2)
+        if (n > 0L) rules += name -> r.copy(hw = Some(next + r.step * (n - 1)))
+      } else {
+        require(r.allowExplicit,
+          s"$what: column $name is GENERATED ALWAYS AS IDENTITY — the " +
+            "engine owns its values; omit the column (BY DEFAULT " +
+            "identities accept supplied values)")
+        // BY DEFAULT with supplied values: nulls refuse (an identity
+        // is a key), and the high-water SYNCS past the supplied
+        // extreme in the step's direction — one aggregate job
+        val agg0 = out.agg(
+          (if (r.step > 0) max(col(name).cast("long"))
+           else min(col(name).cast("long"))).as("ext"),
+          sum(when(col(name).isNull, 1L).otherwise(0L)).as("nulls")).head()
+        require(agg0.isNullAt(1) || agg0.getLong(1) == 0L,
+          s"$what: supplied IDENTITY column $name contains NULLs")
+        if (!agg0.isNullAt(0)) {
+          val ext = agg0.getLong(0)
+          val moved = r.hw match {
+            case Some(h) if r.step > 0 => math.max(h, ext)
+            case Some(h) => math.min(h, ext)
+            case None =>
+              if (r.step > 0) math.max(r.start - r.step, ext)
+              else math.min(r.start - r.step, ext)
+          }
+          rules += name -> r.copy(hw = Some(moved))
+        }
+      }
+    }
+    (out, rules)
+  }
+
+  /** Declare `name` GENERATED [ALWAYS | BY DEFAULT] AS IDENTITY
+    * (START WITH `start` INCREMENT BY `step`). Declared at CREATE —
+    * refused once the table holds rows (existing values would need a
+    * scan to anchor the high-water; create the table with the rule).
+    * BIGINT only, step != 0; generated/defaulted columns refuse. */
+  def declareIdentity(spark: SparkSession, dir: String, name: String,
+      start: Long = 1L, step: Long = 1L, allowExplicit: Boolean = false,
+      commitTs: Long = System.currentTimeMillis()): Long = {
+    val v = currentVersion(spark, dir)
+    require(v >= 0, s"no manifest in $dir — call init() first")
+    val meta = metaAt(spark, dir, v)
+    require(step != 0L, "IDENTITY needs INCREMENT BY != 0")
+    require(!meta.gens.contains(name) && !meta.defaults.contains(name),
+      s"$name already carries a GENERATED/DEFAULT rule on $dir")
+    require(!meta.idents.contains(name),
+      s"$name is already an IDENTITY column of $dir")
+    val snapSchema = snapshot(spark, dir, v).schema
+    require(snapSchema.fieldNames.contains(name), s"no column $name in $dir")
+    require(snapSchema(name).dataType ==
+        org.apache.spark.sql.types.LongType,
+      s"IDENTITY columns must be BIGINT (got " +
+        s"${snapSchema(name).dataType.simpleString})")
+    require(filesAt(spark, dir, v).isEmpty,
+      s"IDENTITY declares at CREATE: $dir already holds data — the " +
+        "high-water cannot anchor without a scan (recreate the table " +
+        "with the rule, seeding START WITH past the existing ids)")
+    val live = filesAt(spark, dir, v)
+    writeCommit(fsOf(spark, dir), dir, v + 1, live, live,
+      carryMeta(spark, dir, v, commitTs, None,
+        deleteFilesAt(spark, dir, v), "declare-identity")
+        .copy(idents = meta.idents +
+          (name -> IdentRule(start, step, None, allowExplicit))))
+    v + 1
+  }
+
+  /** Lift the IDENTITY rule from `name` (metadata-only; the column
+    * stays with its values, the engine just stops assigning). */
+  def dropIdentity(spark: SparkSession, dir: String, name: String,
+      commitTs: Long = System.currentTimeMillis()): Long = {
+    val v = currentVersion(spark, dir)
+    require(v >= 0, s"no manifest in $dir — call init() first")
+    val meta = metaAt(spark, dir, v)
+    require(meta.idents.contains(name), s"$name is not IDENTITY on $dir")
+    val live = filesAt(spark, dir, v)
+    writeCommit(fsOf(spark, dir), dir, v + 1, live, live,
+      carryMeta(spark, dir, v, commitTs, None,
+        deleteFilesAt(spark, dir, v), "drop-identity")
+        .copy(idents = meta.idents - name))
+    v + 1
+  }
+
+  /** The IDENTITY rules in force at `version`:
+    * name → (start, step, lastAssigned, allowExplicit). */
+  def identityColumns(spark: SparkSession, dir: String,
+      version: Long = -1L): Map[String, (Long, Long, Option[Long], Boolean)] = {
+    val v = if (version >= 0) version else currentVersion(spark, dir)
+    require(v >= 0, s"no manifest in $dir — call init() first")
+    metaAt(spark, dir, v).idents.map { case (n, r) =>
+      n -> (r.start, r.step, r.hw, r.allowExplicit) }
+  }
+
   /** Fill `meta`'s COLUMN DEFAULTS into `batch`: a default fires ONLY
     * when the batch OMITS the column entirely — a supplied column
     * always wins, explicit NULL cells included (the SQL-standard split
@@ -1609,6 +1771,8 @@ object Versioned {
     val meta = metaAt(spark, dir, v)
     require(!meta.gens.contains(name),
       s"$name is already a generated column of $dir")
+    require(!meta.idents.contains(name),
+      s"$name is an IDENTITY column — it cannot also be GENERATED")
     require(!meta.renames.contains(name),
       s"cannot generate the renamed column $name: rename it back first")
     val fs = fsOf(spark, dir)
@@ -1706,6 +1870,9 @@ object Versioned {
     require(!meta.gens.contains(name),
       s"$name is GENERATED ALWAYS AS — a generated column computes " +
         "itself on every write; it cannot also carry a DEFAULT")
+    require(!meta.idents.contains(name),
+      s"$name is an IDENTITY column — the engine assigns it; it " +
+        "cannot also carry a DEFAULT")
     require(!meta.renames.contains(name),
       s"cannot default the renamed column $name: rename it back first")
     val snapSchema = snapshot(spark, dir, v).schema
@@ -2465,8 +2632,9 @@ object Versioned {
     checkPartitionSpec(meta0, partitionKeys, "overwrite")
     val batch0 = rows.persist()
     try {
-      val batch = applyGenerated(spark, meta0,
-        applyDefaults(meta0, batch0), "overwrite batch")
+      val (batch, advIdents) = applyIdentity(spark, meta0,
+        applyGenerated(spark, meta0,
+          applyDefaults(meta0, batch0), "overwrite batch"), "overwrite batch")
       require(!batch.isEmpty,
         "overwrite got an empty batch — an empty live set would strand " +
           "readers; express deletions with deleteWhere/mergeInto")
@@ -2485,7 +2653,8 @@ object Versioned {
       val cm = carryMeta(spark, dir, v, commitTs, txn, Nil, "overwrite")
       writeCommit(fs, dir, v + 1, newFiles, live,
         cm.copy(cdfInc = autoInc, renames = cm.renames ++ autoRen,
-          pinnedSchema = pinOut.orElse(cm.pinnedSchema)))
+          pinnedSchema = pinOut.orElse(cm.pinnedSchema),
+          idents = advIdents))
       maybeWriteIncStats(spark, dir, v, newFiles, statsCols)
       v + 1
     } finally batch0.unpersist()
@@ -2622,8 +2791,9 @@ object Versioned {
       val meta0 = metaAt(spark, dir, v)
       checkPartitionSpec(meta0, partitionKeys, "append")
       // generated columns: compute absent ones, validate present ones
-      val batch = applyGenerated(spark, meta0,
-        applyDefaults(meta0, batch0), "append batch")
+      val (batch, advIdents) = applyIdentity(spark, meta0,
+        applyGenerated(spark, meta0,
+          applyDefaults(meta0, batch0), "append batch"), "append batch")
       val entryChks = meta0.chks
       enforceConstraints(spark, dir, v, batch, "append batch")
       def checkTombstones(ds: Seq[String]): Unit = {
@@ -2680,7 +2850,8 @@ object Versioned {
           writeCommit(fs, dir, curV + 1, filesAt(spark, dir, curV) ++ newFiles,
             filesAt(spark, dir, curV),
             cm.copy(cdfInc = autoInc, renames = cm.renames ++ autoRen,
-              pinnedSchema = pinOut.orElse(cm.pinnedSchema)))
+              pinnedSchema = pinOut.orElse(cm.pinnedSchema),
+              idents = advIdents))
           committed = curV + 1
         } catch {
           case e: IllegalArgumentException
@@ -2712,6 +2883,7 @@ object Versioned {
             // Bail to a caller-level re-run instead of re-CASing.
             val rulesMoved = retryMeta.cdf != meta0.cdf ||
               retryMeta.gens != meta0.gens ||
+              retryMeta.idents != meta0.idents ||
               retryMeta.renames != meta0.renames ||
               retryMeta.droppedCols != meta0.droppedCols ||
               retryMeta.pinnedSchema != meta0.pinnedSchema ||
@@ -4241,8 +4413,10 @@ object Versioned {
     val del = if (hasDelete) coalesce(col("__delete"), lit(false)) else lit(false)
     val batch0 = updates.persist()
     try {
-      val batch = applyGenerated(spark, meta0,
-        applyDefaults(meta0, batch0), "merge batch")
+      val (batch, advIdents) = applyIdentity(spark, meta0,
+        applyGenerated(spark, meta0,
+          applyDefaults(meta0, batch0), "merge batch"), "merge batch",
+        forMerge = true)
       require(!batch.isEmpty, "mergeIntoMor got an empty batch")
       enforceConstraints(spark, dir, v, batch.filter(!del), "merge batch")
       // one tombstone key discipline per table: every pending KEYED
@@ -4324,7 +4498,8 @@ object Versioned {
           rawDels ++ scoped, "merge-mor")
         writeCommit(fs, dir, v + 1, live ++ newFiles, live,
           cm.copy(cdfInc = autoInc, renames = cm.renames ++ autoRen,
-            pinnedSchema = pinOut.orElse(cm.pinnedSchema)))
+            pinnedSchema = pinOut.orElse(cm.pinnedSchema),
+            idents = advIdents))
       } catch { case e: Throwable =>
         changeFeed.foreach { case (fd, b) =>
           graft.ops.MergeData.discardStagedIncrement(spark, fd, b) }
@@ -4397,9 +4572,12 @@ object Versioned {
     val del = if (hasDelete) coalesce(col("__delete"), lit(false)) else lit(false)
     val batch0 = updates.persist()
     try {
-      // generated columns: compute absent ones, validate present ones
-      val batch = applyGenerated(spark, meta0,
-        applyDefaults(meta0, batch0), "merge batch")
+      // generated columns: compute absent ones, validate present ones;
+      // identity columns must arrive SUPPLIED (BY DEFAULT) in a merge
+      val (batch, advIdents) = applyIdentity(spark, meta0,
+        applyGenerated(spark, meta0,
+          applyDefaults(meta0, batch0), "merge batch"), "merge batch",
+        forMerge = true)
       // CHECK constraints validate the batch's UPSERT rows (a delete
       // removes rows — nothing to check) before any data write
       enforceConstraints(spark, dir, v, batch.filter(!del), "merge batch")
@@ -4585,7 +4763,8 @@ object Versioned {
             writeCommit(fs, dir, curV + 1,
               curLive.filterNot(underTouched) ++ newFiles, curLive,
               cm.copy(cdfInc = autoInc, renames = cm.renames ++ autoRen,
-                pinnedSchema = pinOut.orElse(cm.pinnedSchema)))
+                pinnedSchema = pinOut.orElse(cm.pinnedSchema),
+                idents = advIdents))
             committed = curV + 1
           } catch {
             case e: IllegalArgumentException
@@ -4608,6 +4787,7 @@ object Versioned {
                   newMeta.droppedCols == meta0.droppedCols &&
                   newMeta.pkeys == meta0.pkeys &&
                   newMeta.gens == meta0.gens &&
+                  newMeta.idents == meta0.idents &&
                   newMeta.pinnedSchema == meta0.pinnedSchema &&
                   autoRen.keySet.intersect(newMeta.renames.keySet).isEmpty &&
                   deleteFilesAt(spark, dir, newV) == dels
@@ -5103,6 +5283,10 @@ object Versioned {
       m.chks.map { case (n, e) => s"graft.constraint.$n" -> e } ++
       m.gens.map { case (c, e) => s"graft.generated.$c" -> e } ++
       m.defaults.map { case (c, e) => s"graft.default.$c" -> e } ++
+      m.idents.map { case (c, r) => s"graft.identity.$c" ->
+        (s"start=${r.start},step=${r.step}," +
+          s"last=${r.hw.map(_.toString).getOrElse("-")}," +
+          s"allowExplicit=${r.allowExplicit}") } ++
       m.renames.map { case (l, p) => s"graft.columnMapping.$l" -> p }
   }
 

@@ -5813,6 +5813,65 @@ object LakeQueries {
                count(DISTINCT event_id) AS n_ids
         FROM events WHERE event_type IN ('view','purchase')
         GROUP BY 1 ORDER BY 1"""),
-      "startingTimestamp stream seed: commit-time floor resolved once (clicks at ts<seed never stream), restart-stable across a third wave; sink state == batch recompute")
+      "startingTimestamp stream seed: commit-time floor resolved once (clicks at ts<seed never stream), restart-stable across a third wave; sink state == batch recompute"),
+
+    // ---------------------------------------------------------------
+    // IDENTITY columns (#ident rail, protocol 7 — the LAST r15
+    // missing-ring item): `rid BIGINT GENERATED ALWAYS AS IDENTITY`
+    // assigns dense per-commit monotonic ids to INSERTs that omit the
+    // column; the high-water carries in the manifest, so a second
+    // wave continues past the first. Row↔id attribution is not a
+    // contract (distributed assignment order), but the id SET is:
+    // after N rows across omitting commits with start=1 step=1 the
+    // ids are exactly {1..N} — min/max/sum/distinct all recompute in
+    // DuckDB from the row count alone.
+    // ---------------------------------------------------------------
+    Q("q224_identity_columns",
+      (s, dir) => {
+        graft.GraftExtensions.register(s)
+        s.conf.set("spark.sql.catalog.gsql", "graft.sources.GraftCatalog")
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val root = new File(new File(sys.props("user.dir"), "target"),
+          s"graft_idq_$tag")
+        val lake = new File(root, "t").getAbsolutePath
+        LakeQueries.synchronized {
+          val fs = new org.apache.hadoop.fs.Path(root.getAbsolutePath)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(root.getAbsolutePath), true)
+          s.sql(s"CREATE TABLE gsql.`$lake` (" +
+            "rid BIGINT GENERATED ALWAYS AS IDENTITY, event_id BIGINT, " +
+            "user_id BIGINT, value DOUBLE, event_type STRING) " +
+            "PARTITIONED BY (event_type)")
+          val base = Tables(s, dir, "events").select(MergeCols.map(col): _*)
+            .filter(col("event_type").isin("click", "view"))
+          // two OMITTING waves: SQL INSERT, then a library append —
+          // the second must continue past the first's high-water
+          base.filter(col("event_id") % 2 === 0)
+            .createOrReplaceTempView("q224_w1")
+          s.sql(s"INSERT INTO gsql.`$lake` (event_id, user_id, value, " +
+            "event_type) SELECT event_id, user_id, value, event_type " +
+            "FROM q224_w1")
+          Versioned.append(s, lake,
+            base.filter(col("event_id") % 2 === 1), Seq("event_type"))
+          val n = Versioned.snapshot(s, lake).count()
+          require(Versioned.identityColumns(s, lake)("rid")._3
+              .contains(n),
+            "the manifest high-water must equal the assigned row count")
+        }
+        s.sql(
+          s"""SELECT count(*) AS n, count(DISTINCT rid) AS n_ids,
+             |       min(rid) AS min_id, max(rid) AS max_id,
+             |       sum(rid) AS sum_ids, round(sum(value), 4) AS sum_value
+             |FROM gsql.`$lake` ORDER BY 1""".stripMargin)
+      },
+      Some("""
+        WITH e AS (SELECT value FROM events
+                   WHERE event_type IN ('click','view')),
+        c AS (SELECT count(*) AS n,
+                     round(sum(value::DOUBLE), 4) AS sum_value FROM e)
+        SELECT n, n AS n_ids, 1::BIGINT AS min_id, n AS max_id,
+               (n * (n + 1) / 2)::BIGINT AS sum_ids, sum_value
+        FROM c ORDER BY 1"""),
+      "IDENTITY columns: dense engine-assigned ids across an omitting SQL INSERT + library append (high-water == row count require()d); the id SET {1..N} recomputed in DuckDB")
   )
 }

@@ -77,7 +77,13 @@ class GraftCatalog extends TableCatalog
       // reported back through column metadata so Spark's analyzer
       // fills OMITTED insert columns plan-side
       org.apache.spark.sql.connector.catalog.TableCatalogCapability
-        .SUPPORT_COLUMN_DEFAULT_VALUE)
+        .SUPPORT_COLUMN_DEFAULT_VALUE,
+      // `c BIGINT GENERATED [ALWAYS | BY DEFAULT] AS IDENTITY (START
+      // WITH s INCREMENT BY k)` — lowered onto the `#ident` rail
+      // ([[Versioned.declareIdentity]]): engine-assigned monotonic ids,
+      // unique but NOT gap-free (the distributed contract)
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
 
   private def dirOf(ident: Identifier): String = {
     // the table name IS the lake directory (namespace-less, or the
@@ -150,9 +156,14 @@ class GraftCatalog extends TableCatalog
       case c if c.defaultValue() != null =>
         c.name() -> c.defaultValue().getSql()
     }
-    require(!columns.exists(_.identityColumnSpec() != null),
-      "IDENTITY columns are not supported on graft tables — derive " +
-        "keys from the data (hash/uuid expressions)")
+    val idents = columns.toSeq.collect {
+      case c if c.identityColumnSpec() != null =>
+        val sp = c.identityColumnSpec()
+        require(c.dataType() == org.apache.spark.sql.types.LongType,
+          s"IDENTITY column ${c.name()} must be BIGINT " +
+            s"(got ${c.dataType().simpleString})")
+        (c.name(), sp.getStart, sp.getStep, sp.isAllowExplicitInsert)
+    }
     createImpl(ident,
       StructType(columns.map { c =>
         val md = Option(c.comment()).map(cm =>
@@ -162,7 +173,7 @@ class GraftCatalog extends TableCatalog
         org.apache.spark.sql.types.StructField(
           c.name(), c.dataType(), c.nullable(), md)
       }),
-      partitions, gens, defaults)
+      partitions, gens, defaults, idents)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -200,7 +211,8 @@ class GraftCatalog extends TableCatalog
   private def createImpl(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       gensIn: Seq[(String, String)],
-      defaultsIn: Seq[(String, String)] = Nil): Table = {
+      defaultsIn: Seq[(String, String)] = Nil,
+      identsIn: Seq[(String, Long, Long, Boolean)] = Nil): Table = {
     val dir = dirOf(ident)
     val spark = SparkSession.active
     if (Versioned.currentVersion(spark, dir) >= 0)
@@ -261,6 +273,8 @@ class GraftCatalog extends TableCatalog
       Versioned.addGeneratedColumn(spark, dir, n, e) }
     defaults.foreach { case (n, e) =>
       Versioned.setColumnDefault(spark, dir, n, e) }
+    identsIn.foreach { case (n, st, sp, ax) =>
+      Versioned.declareIdentity(spark, dir, n, st, sp, ax) }
     loadTable(ident)
   }
 
@@ -472,6 +486,10 @@ class GraftCatalog extends TableCatalog
       "REPLACE TABLE with DEFAULT is not supported on graft tables — " +
         "replace first, then declare the rule (ALTER TABLE ... ALTER " +
         "COLUMN c SET DEFAULT expr / Versioned.setColumnDefault)")
+    require(!info.columns().exists(_.identityColumnSpec() != null),
+      "REPLACE TABLE with IDENTITY is not supported on graft tables — " +
+        "replace to the empty definition first, then declare the rule " +
+        "(Versioned.declareIdentity; it anchors on an empty table)")
     val (clusterTs, partTs) = info.partitions().toSeq.partition(
       _.name().equalsIgnoreCase("cluster_by"))
     val keys: Seq[String] = partTs.map { t =>
@@ -703,7 +721,11 @@ private[graft] final class GraftVersionedTable(
               // CACHED input (the r14 version ran count() straight on
               // the incoming frame, executing every INSERT ... SELECT
               // source twice)
-              val gens = Versioned.generatedColumns(spark, dir).keySet
+              // identity columns ride the same probe: an omitted one
+              // arrives as a literal-null projection too, and dropping
+              // it lets the commit path ASSIGN ids (applyIdentity)
+              val gens = (Versioned.generatedColumns(spark, dir).keySet ++
+                  Versioned.identityColumns(spark, dir).keySet)
                 .filter(data.columns.contains)
               val planOmitted: Option[Set[String]] =
                 if (gens.isEmpty) Some(Set.empty)

@@ -210,6 +210,72 @@ class GraftSqlWritesSpec extends SparkSpec {
     assert(props.get("graft.default.src").exists(_.contains("edge")), props)
   }
 
+  test("IDENTITY columns: the engine assigns unique monotonic BIGINT ids to omitting writes (SQL + library), ALWAYS refuses supplied values, BY DEFAULT accepts and syncs the high-water, merges demand supplied ids, interplay rules refuse by name") {
+    val root = java.nio.file.Files.createTempDirectory("graft_sqlwid").toFile
+    root.deleteOnExit()
+    val dir = new java.io.File(root, "t").getAbsolutePath
+    spark.sql(s"CREATE TABLE ${tbl(dir)} (site STRING, " +
+      "rid BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 10 INCREMENT BY 2), " +
+      "v DOUBLE) PARTITIONED BY (site)")
+    assert(Versioned.identityColumns(spark, dir) ==
+      Map("rid" -> (10L, 2L, None, false)))
+    // SQL INSERT omitting the column: engine assigns 10, 12, 14
+    spark.sql(s"INSERT INTO ${tbl(dir)} (site, v) " +
+      "VALUES ('a', 1.0), ('a', 2.0), ('b', 3.0)")
+    // library append omitting: continues past the high-water
+    Versioned.append(spark, dir,
+      df(Seq(("a", 4.0), ("b", 5.0)), "site", "v"), Seq("site"))
+    val ids = spark.sql(s"SELECT rid FROM ${tbl(dir)}").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(10L, 12L, 14L, 16L, 18L),
+      s"dense per-commit assignment must continue past the high-water ($ids)")
+    assert(Versioned.identityColumns(spark, dir)("rid")._3 == Some(18L))
+    // ALWAYS refuses supplied values
+    val e1 = intercept[Exception] {
+      Versioned.append(spark, dir,
+        df(Seq(("a", 99L, 9.0)), "site", "rid", "v"), Seq("site")) }
+    assert(e1.getMessage.contains("ALWAYS AS IDENTITY"), e1.getMessage)
+    // merges demand supplied ids (cannot attribute inserts)
+    val e2 = intercept[Exception] {
+      Versioned.mergeInto(spark, dir,
+        df(Seq(("a", 7.0)), "site", "v"), Seq("site"), Seq("site")) }
+    assert(e2.getMessage.contains("carry rid"), e2.getMessage)
+    // BY DEFAULT: supplied values win and SYNC the high-water
+    val dir2 = new java.io.File(root, "t2").getAbsolutePath
+    spark.sql(s"CREATE TABLE ${tbl(dir2)} (site STRING, " +
+      "rid BIGINT GENERATED BY DEFAULT AS IDENTITY, v DOUBLE) " +
+      "PARTITIONED BY (site)")
+    Versioned.append(spark, dir2,
+      df(Seq(("a", 500L, 1.0)), "site", "rid", "v"), Seq("site"))
+    Versioned.append(spark, dir2,
+      df(Seq(("a", 2.0)), "site", "v"), Seq("site")) // engine assigns
+    val ids2 = spark.sql(s"SELECT rid FROM ${tbl(dir2)}").collect()
+      .map(_.getLong(0)).toSet
+    assert(ids2 == Set(500L, 501L),
+      s"BY DEFAULT must sync the high-water past supplied values ($ids2)")
+    // interplay refusals: rename/widen/default/generated on identity
+    assert(intercept[Exception] {
+      Versioned.renameColumn(spark, dir2, "rid", "id2") }
+      .getMessage.contains("dropIdentity"))
+    assert(intercept[Exception] {
+      Versioned.setColumnDefault(spark, dir2, "rid", "7") }
+      .getMessage.contains("IDENTITY"))
+    // non-BIGINT refuses
+    assert(intercept[Exception] {
+      Versioned.declareIdentity(spark, dir2, "v") }
+      .getMessage.contains("BIGINT"))
+    // dropIdentity lifts: values stay, the engine stops assigning
+    Versioned.dropIdentity(spark, dir2, "rid")
+    assert(Versioned.identityColumns(spark, dir2).isEmpty)
+    assert(spark.sql(s"SELECT count(*) FROM ${tbl(dir2)}")
+      .collect().head.getLong(0) == 2L)
+    // declare-on-nonempty refuses with the anchor rationale (rid is
+    // BIGINT and rule-free now, but the table holds rows)
+    assert(intercept[Exception] {
+      Versioned.declareIdentity(spark, dir2, "rid") }
+      .getMessage.contains("CREATE"))
+  }
+
   test("NESTED ADD COLUMN: ALTER TABLE ADD COLUMN meta.fps evolves a struct metadata-only — null-filled reads, old versions travel under the old shape, evolved writes take over physically; bad paths refuse by name") {
     val root = java.nio.file.Files.createTempDirectory("graft_sqlwnest").toFile
     root.deleteOnExit()
