@@ -1628,6 +1628,17 @@ object Versioned {
     if (meta.idents.isEmpty) return (batch, meta.idents)
     var out = batch
     var rules = meta.idents
+    // a merge batch's __delete rows REMOVE rows — they carry keys, not
+    // values, so the identity discipline (null refusal, hw sync) reads
+    // the upsert rows only, exactly like enforceConstraints
+    def upserts(d: DataFrame): DataFrame =
+      if (d.columns.contains("__delete"))
+        d.filter(!coalesce(col("__delete"), lit(false)))
+      else d
+    def overflow(name: String): Nothing =
+      throw new IllegalArgumentException(
+        s"$what: IDENTITY column $name overflowed BIGINT — the " +
+          "start/step declaration has exhausted the 64-bit id space")
     meta.idents.foreach { case (name, r) =>
       if (!out.columns.contains(name)) {
         require(!forMerge,
@@ -1635,26 +1646,46 @@ object Versioned {
             "explicitly — a merge's output cannot attribute which rows " +
             "are inserts (assign ids upstream on a BY DEFAULT identity, " +
             "or append the new rows instead)")
-        // DENSE in-commit assignment: zipWithIndex = one count job over
-        // the (caller-persisted) batch, then a map — no single-partition
-        // window, no shuffle
-        val next = r.hw.map(_ + r.step).getOrElse(r.start)
+        // DENSE in-commit assignment, ONE count job over the
+        // (caller-persisted) batch: per-partition counts collected
+        // once, then a lazy per-partition map assigns from cumulative
+        // offsets — no single-partition window, no shuffle, no second
+        // pass (zipWithIndex would re-run the count internally)
+        val next = r.hw.map(h =>
+          try Math.addExact(h, r.step)
+          catch { case _: ArithmeticException => overflow(name) })
+          .getOrElse(r.start)
         val schema2 = out.schema.add(name,
           org.apache.spark.sql.types.LongType, nullable = false)
-        val n = out.count()
-        val rdd = out.rdd.zipWithIndex().map { case (row, i) =>
-          org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (next + r.step * i)) }
+        val src = out.rdd
+        val counts = src.mapPartitionsWithIndex { case (i, it) =>
+          Iterator((i, it.size.toLong)) }.collect().toMap
+        val n = counts.values.sum
+        val last =
+          try Math.addExact(next, Math.multiplyExact(r.step, math.max(0L, n - 1)))
+          catch { case _: ArithmeticException => overflow(name) }
+        val offsets: Map[Int, Long] = {
+          var acc = 0L
+          counts.toSeq.sortBy(_._1).map { case (i, c) =>
+            val o = acc; acc += c; i -> o }.toMap
+        }
+        val rdd = src.mapPartitionsWithIndex { case (i, it) =>
+          val base = offsets(i)
+          it.zipWithIndex.map { case (row, j) =>
+            org.apache.spark.sql.Row.fromSeq(
+              row.toSeq :+ (next + r.step * (base + j))) }
+        }
         out = spark.createDataFrame(rdd, schema2)
-        if (n > 0L) rules += name -> r.copy(hw = Some(next + r.step * (n - 1)))
+        if (n > 0L) rules += name -> r.copy(hw = Some(last))
       } else {
         require(r.allowExplicit,
           s"$what: column $name is GENERATED ALWAYS AS IDENTITY — the " +
             "engine owns its values; omit the column (BY DEFAULT " +
             "identities accept supplied values)")
-        // BY DEFAULT with supplied values: nulls refuse (an identity
-        // is a key), and the high-water SYNCS past the supplied
-        // extreme in the step's direction — one aggregate job
-        val agg0 = out.agg(
+        // BY DEFAULT with supplied values: nulls refuse on UPSERT rows
+        // (an identity is a key), and the high-water SYNCS past the
+        // supplied extreme in the step's direction — one aggregate job
+        val agg0 = upserts(out).agg(
           (if (r.step > 0) max(col(name).cast("long"))
            else min(col(name).cast("long"))).as("ext"),
           sum(when(col(name).isNull, 1L).otherwise(0L)).as("nulls")).head()
@@ -1662,12 +1693,15 @@ object Versioned {
           s"$what: supplied IDENTITY column $name contains NULLs")
         if (!agg0.isNullAt(0)) {
           val ext = agg0.getLong(0)
+          val floor = // "one step before start": next-from-here == start
+            try Math.subtractExact(r.start, r.step)
+            catch { case _: ArithmeticException => ext }
           val moved = r.hw match {
             case Some(h) if r.step > 0 => math.max(h, ext)
             case Some(h) => math.min(h, ext)
             case None =>
-              if (r.step > 0) math.max(r.start - r.step, ext)
-              else math.min(r.start - r.step, ext)
+              if (r.step > 0) math.max(floor, ext)
+              else math.min(floor, ext)
           }
           rules += name -> r.copy(hw = Some(moved))
         }
@@ -1698,11 +1732,15 @@ object Versioned {
         org.apache.spark.sql.types.LongType,
       s"IDENTITY columns must be BIGINT (got " +
         s"${snapSchema(name).dataType.simpleString})")
-    require(filesAt(spark, dir, v).isEmpty,
+    require(!meta.renames.contains(name),
+      s"cannot declare IDENTITY on the renamed column $name: the " +
+        "#ident rail addresses columns by their stable spelling — " +
+        "rename it back first")
+    val live = filesAt(spark, dir, v)
+    require(live.isEmpty,
       s"IDENTITY declares at CREATE: $dir already holds data — the " +
         "high-water cannot anchor without a scan (recreate the table " +
         "with the rule, seeding START WITH past the existing ids)")
-    val live = filesAt(spark, dir, v)
     writeCommit(fsOf(spark, dir), dir, v + 1, live, live,
       carryMeta(spark, dir, v, commitTs, None,
         deleteFilesAt(spark, dir, v), "declare-identity")
@@ -1725,6 +1763,17 @@ object Versioned {
         deleteFilesAt(spark, dir, v), "drop-identity")
         .copy(idents = meta.idents - name))
     v + 1
+  }
+
+  /** Columns whose values the WRITE PATH owns at the current version —
+    * generated ∪ identity — in ONE meta resolution (the SQL insert
+    * probe's hot path would otherwise pay two). */
+  private[graft] def engineOwnedColumns(spark: SparkSession,
+      dir: String): Set[String] = {
+    val v = currentVersion(spark, dir)
+    require(v >= 0, s"no manifest in $dir — call init() first")
+    val m = metaAt(spark, dir, v)
+    m.gens.keySet ++ m.idents.keySet
   }
 
   /** The IDENTITY rules in force at `version`:
@@ -3783,7 +3832,8 @@ object Versioned {
         Some("clone"), verFloor = srcMeta.verFloor, cdf = srcMeta.cdf,
         renames = srcMeta.renames, droppedCols = srcMeta.droppedCols,
         pkeys = srcMeta.pkeys, gens = srcMeta.gens,
-        addCols = srcMeta.addCols, pinnedSchema = srcMeta.pinnedSchema))
+        addCols = srcMeta.addCols, pinnedSchema = srcMeta.pinnedSchema,
+        idents = srcMeta.idents, defaults = srcMeta.defaults))
     0L
   }
 
@@ -3965,6 +4015,10 @@ object Versioned {
     require(assignments.keySet.intersect(partitionKeys.toSet).isEmpty,
       "updateWhere cannot assign a partition column (rows would move " +
         "across partitions — express that as a mergeInto)")
+    require(assignments.keySet.intersect(meta0.idents.keySet).isEmpty,
+      "updateWhere cannot assign an IDENTITY column: the engine owns " +
+        "its values and a rewritten id would collide with later " +
+        "assignments (dropIdentity() first if the column must change)")
     val dels = deleteFilesAt(spark, dir, v)
     val globalDelCols: Set[String] = {
       val es = dels.map(delParse)
@@ -4056,6 +4110,10 @@ object Versioned {
     require(assignments.keySet.intersect(partitionKeys.toSet).isEmpty,
       "updateWhereVectors cannot assign a partition column (rows would " +
         "move across partitions — express that as a mergeInto)")
+    require(assignments.keySet.intersect(meta0.idents.keySet).isEmpty,
+      "updateWhereVectors cannot assign an IDENTITY column: the engine " +
+        "owns its values and a rewritten id would collide with later " +
+        "assignments (dropIdentity() first if the column must change)")
     val carried = deleteFilesAt(spark, dir, v)
     val globalDelCols: Set[String] = {
       val es = carried.map(delParse)

@@ -723,9 +723,14 @@ private[graft] final class GraftVersionedTable(
               // source twice)
               // identity columns ride the same probe: an omitted one
               // arrives as a literal-null projection too, and dropping
-              // it lets the commit path ASSIGN ids (applyIdentity)
-              val gens = (Versioned.generatedColumns(spark, dir).keySet ++
-                  Versioned.identityColumns(spark, dir).keySet)
+              // it lets the commit path ASSIGN ids (applyIdentity).
+              // KNOWN semantic edge: an EXPLICIT `NULL` into the column
+              // is plan-indistinguishable from omission, so it assigns
+              // too — MySQL's AUTO_INCREMENT-on-NULL semantics rather
+              // than the ANSI refusal (the library append still
+              // refuses, where the intent is unambiguous). One meta
+              // resolution covers both rails.
+              val gens = Versioned.engineOwnedColumns(spark, dir)
                 .filter(data.columns.contains)
               val planOmitted: Option[Set[String]] =
                 if (gens.isEmpty) Some(Set.empty)

@@ -274,6 +274,50 @@ class GraftSqlWritesSpec extends SparkSpec {
     assert(intercept[Exception] {
       Versioned.declareIdentity(spark, dir2, "rid") }
       .getMessage.contains("CREATE"))
+    // a CLONE inherits the rule AND its high-water: an omitting append
+    // on the clone continues past the source's last id (the review
+    // finding: the clone meta dropped the #ident rail silently)
+    val cloneDir = new java.io.File(root, "clone").getAbsolutePath
+    Versioned.cloneAt(spark, dir, cloneDir)
+    assert(Versioned.identityColumns(spark, cloneDir)("rid")._3 ==
+      Some(18L), "the clone must inherit the rule and high-water")
+    Versioned.append(spark, cloneDir,
+      df(Seq(("a", 6.0)), "site", "v"), Seq("site"))
+    assert(spark.sql(s"SELECT max(rid) FROM ${tbl(cloneDir)}")
+      .collect().head.getLong(0) == 20L,
+      "the clone's assignment must continue past the inherited high-water")
+    // UPDATE cannot rewrite engine-owned ids (hw would go stale and
+    // later assignments would collide)
+    val e3 = intercept[Exception] {
+      Versioned.updateWhere(spark, dir, col("v") === 1.0,
+        Map("rid" -> lit(100L)), Seq("site")) }
+    assert(e3.getMessage.contains("IDENTITY"), e3.getMessage)
+    // a MERGE whose __delete rows carry NULL ids still lands (deletes
+    // remove rows — only the UPSERT rows obey the identity discipline)
+    val dir3 = new java.io.File(root, "t3").getAbsolutePath
+    spark.sql(s"CREATE TABLE ${tbl(dir3)} (site STRING, " +
+      "rid BIGINT GENERATED BY DEFAULT AS IDENTITY, v DOUBLE) " +
+      "PARTITIONED BY (site)")
+    Versioned.append(spark, dir3,
+      df(Seq(("a", 1L, 1.0), ("a", 2L, 2.0)), "site", "rid", "v"),
+      Seq("site"))
+    Versioned.mergeInto(spark, dir3,
+      spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+          org.apache.spark.sql.Row("a", 1L, 1.0, true),
+          org.apache.spark.sql.Row("a", 3L, 3.0, false))),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("site",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("rid",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("__delete",
+            org.apache.spark.sql.types.BooleanType)))),
+      Seq("site"), Seq("site", "rid"))
+    assert(spark.sql(s"SELECT rid FROM ${tbl(dir3)}").collect()
+      .map(_.getLong(0)).toSet == Set(2L, 3L),
+      "merge deletes must not trip the identity null refusal")
   }
 
   test("NESTED ADD COLUMN: ALTER TABLE ADD COLUMN meta.fps evolves a struct metadata-only — null-filled reads, old versions travel under the old shape, evolved writes take over physically; bad paths refuse by name") {
