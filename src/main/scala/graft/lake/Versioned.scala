@@ -304,6 +304,78 @@ object Versioned {
   }
   private[lake] object CommitMeta {
     val empty: CommitMeta = CommitMeta(None, Map.empty, Nil)
+
+    // ----- THE RAIL REGISTRY -------------------------------------------
+    // Every CommitMeta field is classified here EXACTLY ONCE, and the
+    // class-load require() below fails the whole suite the moment a new
+    // field is added without a classification. This exists because the
+    // "new rail missing from an explicit field list" bug class bit three
+    // times (cloneAt missed `defaults` and `idents`; the append retry
+    // guard missed `defaults`): from now on the carry paths are
+    // copy-based (a new rail CARRIES by construction) and the append
+    // retry guard is derived from `appendSemantic` (a new rail is
+    // guarded unless someone consciously argues it into `retrySafe`).
+
+    /** Per-commit state — reset by every carry path (carryMeta sets
+      * them fresh; cloneAt starts its own history). */
+    val perCommit: Set[String] = Set("ts", "dels", "op", "cdfInc")
+
+    /** Carried rails whose MOVEMENT under an in-flight append breaks
+      * the batch already written under the old rules: a new change
+      * feed would get a permanent hole (no `#cdfinc`), a new generated
+      * column / identity / default was not filled into the staged
+      * files (silent nulls / divergence from compliant writers), a
+      * changed mapping or pinned schema invalidates the staged files'
+      * physical spelling. The append retry bails to a caller re-run
+      * when ANY of these differ from the meta the batch was built
+      * against. */
+    val appendSemantic: Map[String, CommitMeta => Any] = Map(
+      "cdf" -> (_.cdf),
+      "gens" -> (_.gens),
+      "idents" -> (_.idents),
+      "renames" -> (_.renames),
+      "droppedCols" -> (_.droppedCols),
+      "pinnedSchema" -> (_.pinnedSchema),
+      "defaults" -> (_.defaults))
+
+    /** Carried rails an in-flight append retry either RE-CHECKS itself
+      * (chks re-enforced, pkeys re-specced, dels re-merged via
+      * checkTombstones) or that cannot invalidate already-staged files:
+      * `addCols` splices missing columns at READ time so old-schema
+      * files commit fine; `cluster`/`clusterAt` are layout hints;
+      * `txns` is the exactly-once high-water map (own lastTxn check);
+      * `verFloor` is a monotone reader floor. */
+    val retrySafe: Set[String] = Set("txns", "chks", "verFloor", "pkeys",
+      "addCols", "cluster", "clusterAt")
+
+    // exhaustiveness at CLASS LOAD: adding a CommitMeta field without
+    // classifying it here fails every Versioned-touching test at once
+    {
+      val classified = perCommit ++ appendSemantic.keySet ++ retrySafe
+      val actual = empty.productElementNames.toSet
+      require(classified == actual,
+        s"CommitMeta rail registry out of date: unclassified=" +
+          s"${(actual -- classified).mkString(",")} stale=" +
+          s"${(classified -- actual).mkString(",")} — classify every " +
+          "new rail as perCommit, appendSemantic, or retrySafe")
+      require((perCommit & appendSemantic.keySet).isEmpty &&
+        (perCommit & retrySafe).isEmpty &&
+        (appendSemantic.keySet & retrySafe).isEmpty,
+        "CommitMeta rail registry: classifications must be disjoint")
+    }
+
+    /** True when any append-semantic rail differs — the derived form
+      * of the retry guard, so a future rail is guarded by default. */
+    def railsMoved(a: CommitMeta, b: CommitMeta): Boolean =
+      appendSemantic.values.exists(get => get(a) != get(b))
+
+    /** The table-property carry, copy-based: EVERYTHING carries except
+      * the per-commit fields, which the caller resets explicitly. A new
+      * rail added to CommitMeta is carried here by construction. */
+    def carryAll(prev: CommitMeta, ts: Long, op: String,
+        dels: Seq[String], newTxn: Option[(String, Long)]): CommitMeta =
+      prev.copy(ts = Some(ts), txns = prev.txns ++ newTxn.toMap,
+        dels = dels, op = Some(op), cdfInc = None)
   }
 
   private def parseMeta(lines: Seq[String]): CommitMeta = {
@@ -409,14 +481,9 @@ object Versioned {
       dels: Seq[String], op: String = "commit"): CommitMeta = {
     val prev = if (prevV >= 0) metaAt(spark, dir, prevV) else CommitMeta.empty
     val ts = math.max(commitTs, prev.ts.getOrElse(Long.MinValue))
-    // table properties (constraints, change feed, column mapping) and
-    // the protocol floor carry forward; op and dels are per-commit
-    CommitMeta(Some(ts), prev.txns ++ newTxn.toMap, dels, prev.chks, Some(op),
-      verFloor = prev.verFloor, cdf = prev.cdf, renames = prev.renames,
-      droppedCols = prev.droppedCols, pkeys = prev.pkeys,
-      gens = prev.gens, addCols = prev.addCols, cluster = prev.cluster,
-      pinnedSchema = prev.pinnedSchema, clusterAt = prev.clusterAt,
-      defaults = prev.defaults, idents = prev.idents)
+    // table properties carry forward BY CONSTRUCTION (the rail
+    // registry's copy-based carry); op, dels, ts, cdfInc are per-commit
+    CommitMeta.carryAll(prev, ts, op, dels, newTxn)
   }
 
   // Resolved-listing cache (Delta's snapshot cache): a committed
@@ -2930,18 +2997,17 @@ object Versioned {
             // auto-rename the winner minted) would clobber the
             // winner's `#ren` lines and expose physical names raw.
             // Bail to a caller-level re-run instead of re-CASing.
-            val rulesMoved = retryMeta.cdf != meta0.cdf ||
-              retryMeta.gens != meta0.gens ||
-              retryMeta.idents != meta0.idents ||
-              retryMeta.renames != meta0.renames ||
-              retryMeta.droppedCols != meta0.droppedCols ||
-              retryMeta.pinnedSchema != meta0.pinnedSchema ||
+            // derived from the rail registry, not an ad-hoc field
+            // list — a rail added tomorrow is guarded by default
+            // (this list forgot `defaults` once and `idents` nearly
+            // twice; see CommitMeta.appendSemantic)
+            val rulesMoved = CommitMeta.railsMoved(retryMeta, meta0) ||
               autoRen.keySet.intersect(retryMeta.renames.keySet).nonEmpty
             if (rulesMoved) throw new IllegalArgumentException(
               s"concurrent commit changed table properties of $dir " +
-                "(change feed / generated columns / column mapping) " +
-                "under this append — re-run the append against the new " +
-                "version", e)
+                "(change feed / generated columns / identity / column " +
+                "defaults / column mapping / pinned schema) under this " +
+                "append — re-run the append against the new version", e)
             val newDels = deleteFilesAt(spark, dir, curV)
             if (newDels != curDels) checkTombstones(newDels)
             curDels = newDels
@@ -3827,13 +3893,13 @@ object Versioned {
     val srcSizes = fileSizesKnown(spark, srcDir, v)
     noteStagedSizes(srcSizes.map { case (r, b) =>
       (if (refIsForeign(r)) r else s"@$srcDir\t$r") -> b })
+    // copy-based carry (the rail registry): every table property —
+    // including declared clustering and any rail added tomorrow —
+    // travels to the clone by construction; only per-commit state is
+    // reset. This construction site forgot `defaults` and `idents`
+    // once each when it was an explicit field list.
     writeCommit(fsOf(spark, dstDir), dstDir, 0L, refs, Nil,
-      CommitMeta(Some(commitTs), srcMeta.txns, Nil, srcMeta.chks,
-        Some("clone"), verFloor = srcMeta.verFloor, cdf = srcMeta.cdf,
-        renames = srcMeta.renames, droppedCols = srcMeta.droppedCols,
-        pkeys = srcMeta.pkeys, gens = srcMeta.gens,
-        addCols = srcMeta.addCols, pinnedSchema = srcMeta.pinnedSchema,
-        idents = srcMeta.idents, defaults = srcMeta.defaults))
+      CommitMeta.carryAll(srcMeta, commitTs, "clone", Nil, None))
     0L
   }
 
@@ -4839,14 +4905,14 @@ object Versioned {
                 val changed = (newLive.toSet -- curLive.toSet) ++
                   (curLive.toSet -- newLive.toSet)
                 val disjoint = changed.forall(f => !underTouched(f))
-                val sameRules = newMeta.chks == meta0.chks &&
-                  newMeta.cdf == meta0.cdf &&
-                  newMeta.renames == meta0.renames &&
-                  newMeta.droppedCols == meta0.droppedCols &&
+                // the semantics-bearing rails come from the registry
+                // (so a new rail is guarded by default — this list
+                // once omitted `defaults`); merge is additionally
+                // strict on chks/pkeys/dels because its staged result
+                // was RESOLVED against snapshot v, not just written
+                val sameRules = !CommitMeta.railsMoved(newMeta, meta0) &&
+                  newMeta.chks == meta0.chks &&
                   newMeta.pkeys == meta0.pkeys &&
-                  newMeta.gens == meta0.gens &&
-                  newMeta.idents == meta0.idents &&
-                  newMeta.pinnedSchema == meta0.pinnedSchema &&
                   autoRen.keySet.intersect(newMeta.renames.keySet).isEmpty &&
                   deleteFilesAt(spark, dir, newV) == dels
                 if (!(disjoint && sameRules)) throw e

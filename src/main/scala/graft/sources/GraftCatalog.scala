@@ -318,15 +318,16 @@ class GraftCatalog extends TableCatalog
         require(a.position() == null,
           "ADD COLUMN ... FIRST/AFTER is not supported on graft tables " +
             "— added columns append at the end of the schema (or struct)")
-        // a QUOTED single identifier containing '.' (`a.b`) would be
-        // indistinguishable from the nested path [a, b] once joined —
-        // the #addcol rail spells nesting with dots, so literal dotted
-        // names refuse rather than silently evolve the wrong thing
-        require(a.fieldNames().length > 1 ||
-            !a.fieldNames()(0).contains('.'),
-          s"column name ${a.fieldNames()(0)} contains '.': the #addcol " +
-            "rail addresses NESTED struct fields by dotted path — pick " +
-            "a dot-free name")
+        // a QUOTED identifier containing '.' (`a.b`, or s.`a.b`) would
+        // be indistinguishable from the deeper nested path once joined
+        // — the #addcol rail spells nesting with dots, so a literal
+        // dot in ANY segment refuses rather than silently evolving the
+        // wrong field
+        a.fieldNames().foreach { seg =>
+          require(!seg.contains('.'),
+            s"column name segment `$seg` contains '.': the #addcol " +
+              "rail addresses NESTED struct fields by dotted path — " +
+              "pick a dot-free name") }
         Versioned.addColumn(spark, dir, a.fieldNames().mkString("."),
           a.dataType())
       case r: TableChange.RenameColumn =>
@@ -400,10 +401,12 @@ class GraftCatalog extends TableCatalog
         else Versioned.setColumnDefault(spark, dir, ud.fieldNames()(0), sql)
       case other =>
         throw new UnsupportedOperationException(
-          s"unsupported ALTER on a graft table: $other — ADD/RENAME/" +
-            "DROP COLUMN, ALTER COLUMN ... TYPE (lossless widening) / " +
-            "SET DEFAULT and graft.* properties are the SQL surface " +
-            "(nested evolution is not supported)")
+          s"unsupported ALTER on a graft table: $other — ADD COLUMN " +
+            "(incl. nested struct fields by dotted path), RENAME/DROP " +
+            "COLUMN (top-level), ALTER COLUMN ... TYPE (lossless " +
+            "widening) / SET DEFAULT and graft.* properties are the " +
+            "SQL surface; FIRST/AFTER positions, non-lossless type " +
+            "changes, and literal dotted names refuse")
     }
     loadTable(ident)
   }

@@ -2909,4 +2909,80 @@ class VersionedSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("no bloom filters"), e2.getMessage)
   }
+
+  test("rail registry: every CommitMeta field is classified exactly once, and defaults is append-semantic") {
+    // the class-load require() in CommitMeta's companion is the real
+    // guard (an unclassified field fails EVERY Versioned test); this
+    // spec pins the partition's intent so a misclassification — moving
+    // a semantics-bearing rail into retrySafe to silence the loader —
+    // still fails somewhere readable
+    val names = Versioned.CommitMeta.empty.productElementNames.toSet
+    val classified = Versioned.CommitMeta.perCommit ++
+      Versioned.CommitMeta.appendSemantic.keySet ++
+      Versioned.CommitMeta.retrySafe
+    assert(classified == names,
+      s"registry drift: ${(names -- classified) ++ (classified -- names)}")
+    assert(Versioned.CommitMeta.empty.productArity == names.size)
+    // the thrice-bitten rails are all in the guarded set
+    for (rail <- Seq("defaults", "idents", "gens", "cdf", "renames",
+        "droppedCols", "pinnedSchema"))
+      assert(Versioned.CommitMeta.appendSemantic.contains(rail),
+        s"$rail must be append-semantic")
+    // and railsMoved actually fires on a defaults-only change
+    val a = Versioned.CommitMeta.empty
+    val b = a.copy(defaults = Map("src" -> "x"))
+    assert(Versioned.CommitMeta.railsMoved(a, b))
+    assert(!Versioned.CommitMeta.railsMoved(a, a.copy(op = Some("x"),
+      cluster = Some(Seq("site")), chks = Map("c" -> "e"))))
+  }
+
+  test("append retry bails when a concurrent SET DEFAULT landed inside the CAS window; the re-run fills the default") {
+    val dir = freshLake()
+    Versioned.init(spark, dir)
+    // writer A's batch OMITS `src`; the winner declares a DEFAULT for
+    // `src` inside A's CAS window. A's staged files were built against
+    // the old meta (no fill) — a blind retry would commit src=NULL
+    // where every compliant post-DDL writer fills 'api'
+    Versioned.addColumn(spark, dir, "src",
+      org.apache.spark.sql.types.StringType)
+    var fired = false
+    Versioned.beforeCommitHook = () => {
+      if (!fired) {
+        fired = true
+        Versioned.setColumnDefault(spark, dir, "src", "'api'")
+      }
+    }
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Versioned.append(spark, dir,
+          df(Seq(("a", 70L, 7.0)), "site", "id", "v"), Seq("site"))
+      }
+      assert(e.getMessage.contains("defaults") ||
+        e.getMessage.contains("table properties"), e.getMessage)
+    } finally Versioned.beforeCommitHook = () => ()
+    // the caller-level re-run sees the new meta and fills the default
+    Versioned.append(spark, dir,
+      df(Seq(("a", 70L, 7.0)), "site", "id", "v"), Seq("site"))
+    val got = Versioned.snapshot(spark, dir)
+      .filter(col("id") === 70L).select("src").collect().map(_.getString(0))
+    assert(got.toSeq == Seq("api"),
+      s"re-run must fill the concurrent default, got ${got.toSeq}")
+  }
+
+  test("clone carries declared clustering (copy-based rail carry)") {
+    val dir = freshLake()
+    Versioned.init(spark, dir)
+    Versioned.setClusterBy(spark, dir, Seq("id"))
+    Versioned.setColumnDefault(spark, dir, "v", "0.25")
+    val clone = java.nio.file.Files
+      .createTempDirectory("graft_clone_rails").toFile
+    clone.deleteOnExit()
+    Versioned.cloneAt(spark, dir, clone.getAbsolutePath)
+    assert(Versioned.clusterByOf(spark, clone.getAbsolutePath) == Seq("id"),
+      "declared clustering must travel to the clone")
+    assert(Versioned.columnDefaults(spark, clone.getAbsolutePath) ==
+      Versioned.columnDefaults(spark, dir) &&
+      Versioned.columnDefaults(spark, dir).keySet == Set("v"),
+      "column defaults must travel to the clone")
+  }
 }
