@@ -259,10 +259,11 @@ object CopyInto {
   private def maybeCompact(spark: SparkSession, fs: FileSystem,
       dir: String): Unit = {
     val hw = Versioned.lastTxn(spark, dir, txnId(dir))
-    val prior = readCkpt(fs, dir)
-    val priorUpto = prior.map(_._1).getOrElse(-1L)
+    // this first checkpoint read only SIZES the fold — the embedding
+    // read happens below, AFTER the entry reads (see why there)
+    val priorUpto0 = readCkpt(fs, dir).map(_._1).getOrElse(-1L)
     val foldable = listEntries(fs, dir)
-      .filter(s => s <= hw && s > priorUpto)
+      .filter(s => s <= hw && s > priorUpto0)
     if (foldable.size <= CompactAfter) return
     val upto = foldable.max
     // read every foldable entry BEFORE writing anything: an entry that
@@ -276,8 +277,26 @@ object CopyInto {
       catch { case _: java.io.FileNotFoundException => (s, None, true) }
     }
     if (reads.exists(_._3)) return // vanished mid-read: racing fold won
-    val rows = prior.map(_._2).getOrElse(Nil) ++ reads.flatMap {
-      case (s, e, _) => e.map(_.files).getOrElse(Seq.empty).map(f => (s, f)) }
+    // the checkpoint this fold EMBEDS is read AFTER every entry read
+    // succeeded (entries first, checkpoint second — the same order
+    // loadedFiles uses, for the same reason): a racing fold that
+    // FULLY completed between an earlier checkpoint read and our
+    // listing would leave `prior` stale — its checkpoint absorbed
+    // entries we never saw, and a new checkpoint built on the stale
+    // prior would omit them, then delete the racer's checkpoint and
+    // drop those files from the dedup skip set (duplicate loads).
+    // Reading prior HERE closes that: either the racer finished
+    // before our listing (prior now IS its checkpoint, which embeds
+    // everything it deleted), or it deleted an entry after our
+    // listing (the vanish abort above fired), or it finished after
+    // our reads (we hold every entry it folded, so our checkpoint is
+    // a superset of its — deleting it below is safe).
+    val prior = readCkpt(fs, dir)
+    val priorUpto = prior.map(_._1).getOrElse(-1L)
+    if (priorUpto >= upto) return // a racer folded past us: done
+    val rows = (prior.map(_._2).getOrElse(Nil) ++ reads.flatMap {
+      case (s, e, _) => e.map(_.files).getOrElse(Seq.empty).map(f => (s, f)) })
+      .distinct
     val out = try fs.create(ckptPath(dir, upto), false) catch {
       case _: java.io.IOException => return // concurrent folder won
     }

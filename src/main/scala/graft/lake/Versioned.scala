@@ -173,8 +173,12 @@ object Versioned {
     * the single-level model gates writers through the read path — an
     * old build ignoring the rail would commit omitted columns as null
     * where the declaration promises a value, silently diverging from
-    * every compliant writer. */
-  val SupportedProtocol = 7
+    * every compliant writer. Level 8 adds the SCHEMA-ANCHOR REFERENCE
+    * (`#anchor` — the attempt-unique anchor path the committing
+    * definition owns): an old build ignoring the rail falls back to
+    * the legacy versioned-filename scan and fails zero-file reads
+    * loudly instead of serving the definition's declared schema. */
+  val SupportedProtocol = 8
 
   /** A `#del` entry is either a plain tombstone path (applies to every
     * file — [[deleteWhere]]'s global equality delete) or `path @bound`
@@ -250,7 +254,8 @@ object Versioned {
       pinnedSchema: Option[String] = None,
       clusterAt: Option[Long] = None,
       defaults: Map[String, String] = Map.empty,
-      idents: Map[String, IdentRule] = Map.empty) {
+      idents: Map[String, IdentRule] = Map.empty,
+      anchorRef: Option[String] = None) {
     /** (required reader level, feature names) demanded by this meta. */
     def protocol: (Int, Seq[String]) = {
       val fs = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
@@ -266,6 +271,7 @@ object Versioned {
       if (pinnedSchema.isDefined) fs += ((6, "pinned-schema"))
       if (defaults.nonEmpty) fs += ((7, "column-defaults"))
       if (idents.nonEmpty) fs += ((7, "identity-columns"))
+      if (anchorRef.isDefined) fs += ((8, "anchor-ref"))
       val v = (verFloor +: fs.map(_._1).toSeq).max
       (v, fs.map(_._2).toSeq)
     }
@@ -299,7 +305,8 @@ object Versioned {
           s"#default ${b64e(n)} ${b64e(e)}" } ++
         idents.toSeq.sortBy(_._1).map { case (n, r) =>
           s"#ident ${b64e(n)} ${r.start} ${r.step} " +
-            s"${r.hw.map(_.toString).getOrElse("-")} ${r.allowExplicit}" }
+            s"${r.hw.map(_.toString).getOrElse("-")} ${r.allowExplicit}" } ++
+        anchorRef.map(r => s"#anchor ${b64e(r)}").toSeq
     }
   }
   private[lake] object CommitMeta {
@@ -346,7 +353,10 @@ object Versioned {
       * `txns` is the exactly-once high-water map (own lastTxn check);
       * `verFloor` is a monotone reader floor. */
     val retrySafe: Set[String] = Set("txns", "chks", "verFloor", "pkeys",
-      "addCols", "cluster", "clusterAt")
+      "addCols", "cluster", "clusterAt",
+      // the anchor only serves ZERO-FILE reads; an append's staged
+      // files neither depend on it nor change it
+      "anchorRef")
 
     // exhaustiveness at CLASS LOAD: adding a CommitMeta field without
     // classifying it here fails every Versioned-touching test at once
@@ -392,6 +402,7 @@ object Versioned {
     var cluster: Option[Seq[String]] = None
     var pinnedSchema: Option[String] = None
     var clusterAt: Option[Long] = None
+    var anchorRef: Option[String] = None
     val gens = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val defaults = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val idents = scala.collection.mutable.LinkedHashMap.empty[String, IdentRule]
@@ -448,6 +459,8 @@ object Versioned {
         idents(b64d(toks(0))) = IdentRule(toks(1).toLong, toks(2).toLong,
           if (toks(3) == "-") None else Some(toks(3).toLong),
           toks(4).toBoolean)
+      } else if (l.startsWith("#anchor ")) {
+        anchorRef = Some(b64d(l.stripPrefix("#anchor ").trim))
       }
     }
     // the protocol guard: refuse a manifest demanding a level this
@@ -464,7 +477,8 @@ object Versioned {
       renames = rens.toMap, droppedCols = drops.toSeq, pkeys = pkeys,
       gens = gens.toMap, addCols = adds.toSeq, cluster = cluster,
       pinnedSchema = pinnedSchema, clusterAt = clusterAt,
-      defaults = defaults.toMap, idents = idents.toMap)
+      defaults = defaults.toMap, idents = idents.toMap,
+      anchorRef = anchorRef)
   }
 
   private def metaAt(spark: SparkSession, dir: String, v: Long): CommitMeta =
@@ -760,17 +774,28 @@ object Versioned {
     require(v >= 0, s"no manifest in $dir — call init() first")
     val live = filesAt(spark, dir, v).toSet
     val acc = scala.collection.mutable.Map.empty[String, Long]
+    // `#bytes <ref> -1` = RECORDED-UNKNOWABLE: a roll-up checkpoint
+    // proved no retained manifest records this file's size (pre-rail
+    // history). Counts as coverage so the walk terminates; excluded
+    // from the returned map so callers fall back lazily as for any
+    // absent file.
+    val unknowable = scala.collection.mutable.Set.empty[String]
     val it = listManifests(fs, dir).map(_._1).filter(_ <= v)
       .sorted.reverse.iterator
     var sawRollup = false
-    while (acc.size < live.size && !sawRollup && it.hasNext) {
+    while ((acc.size + unknowable.size) < live.size && !sawRollup &&
+        it.hasNext) {
       val mv = it.next()
       manifestSizeWalkReads += 1
       manifestLinesAt(fs, dir, mv).foreach { l =>
         if (l.startsWith("#bytes ")) {
           val toks = l.stripPrefix("#bytes ").trim.split(' ')
           val r = b64d(toks(0))
-          if (live.contains(r) && !acc.contains(r)) acc(r) = toks(1).toLong
+          val n = toks(1).toLong
+          if (live.contains(r) && !acc.contains(r) &&
+              !unknowable.contains(r)) {
+            if (n < 0) unknowable += r else acc(r) = n
+          }
         } else if (l == "#bytesall") {
           // roll-up checkpoint: it carries EVERY size the rail knew at
           // its version — nothing older can add coverage, stop here
@@ -786,6 +811,12 @@ object Versioned {
     * newest-first walk — the roll-up spec pins it at
     * ≤ CheckpointInterval + 1 on any history depth. */
   private[lake] var manifestSizeWalkReads: Long = 0L
+
+  /** Diagnostic counter: manifests TEXT-READ by the CHECKPOINT
+    * write-side roll-up walk — the `-1` sentinel spec pins it: once a
+    * roll-up stamped pre-rail files recorded-unknowable, later
+    * checkpoints stop at it instead of re-reading all history. */
+  private[lake] var rollupWalkReads: Long = 0L
 
   /** Sizes for EVERY file live at `version`: manifest-recorded where
     * available, one `getFileStatus` per uncovered file otherwise (the
@@ -1017,9 +1048,14 @@ object Versioned {
       // RESTORE can resurrect files whose only size record predates
       // the previous marker — the checkpoint is the one place that
       // heals such gaps (amortized: 1-in-CheckpointInterval commits,
-      // and the walk ends as soon as coverage completes)
+      // and the walk ends as soon as coverage completes). A previous
+      // roll-up's `-1` sentinels count as coverage here too, so a
+      // pre-rail file with no record ANYWHERE stops the walk at the
+      // last checkpoint instead of forcing a full-history re-read on
+      // every checkpoint forever.
       while (it.hasNext && (rolled.size + stagedLive) < liveSet.size) {
         val (mv, _) = it.next()
+        rollupWalkReads += 1
         manifestLinesAt(fs, dir, mv).foreach { l =>
           if (l.startsWith("#bytes ")) {
             val toks = l.stripPrefix("#bytes ").trim.split(' ')
@@ -1027,6 +1063,18 @@ object Versioned {
             if (liveSet.contains(r) && !rolled.contains(r) &&
                 !sizes.contains(r)) rolled(r) = toks(1).toLong
           }
+        }
+      }
+      // manifests EXHAUSTED with live files still uncovered: no
+      // retained manifest records their size (pre-rail history).
+      // Stamp them RECORDED-UNKNOWABLE (`-1`) so this checkpoint
+      // completes the rail's coverage and every later walk terminates
+      // here; a restore-resurrected file is unaffected (it was not
+      // live at this checkpoint, so it gets no sentinel, and its real
+      // record — wherever it is — still wins a later walk).
+      if (!it.hasNext && (rolled.size + stagedLive) < liveSet.size) {
+        liveSet.foreach { f =>
+          if (!rolled.contains(f) && !sizes.contains(f)) rolled(f) = -1L
         }
       }
     }
@@ -1086,7 +1134,8 @@ object Versioned {
   /** Version an existing lake: v0 = its current files. Idempotent
     * (no-op if any manifest exists); returns the current version. */
   def init(spark: SparkSession, dir: String,
-      commitTs: Long = System.currentTimeMillis()): Long = {
+      commitTs: Long = System.currentTimeMillis(),
+      anchorRef: Option[String] = None): Long = {
     val cur = currentVersion(spark, dir)
     if (cur >= 0) cur
     else {
@@ -1098,7 +1147,8 @@ object Versioned {
       val adopted = listDataFilesWithLen(fs, new Path(dir), new Path(dir))
       noteStagedSizes(adopted) // adoption's own listing already has them
       writeCommit(fs, dir, 0L, adopted.map(_._1),
-        Nil, CommitMeta(Some(commitTs), Map.empty, Nil, Map.empty, Some("init")))
+        Nil, CommitMeta(Some(commitTs), Map.empty, Nil, Map.empty,
+          Some("init"), anchorRef = anchorRef))
       0L
     }
   }
@@ -2051,24 +2101,33 @@ object Versioned {
   // vacuumed) and zero-file versions read a typed empty frame from it.
   // The first real write makes the anchor irrelevant (files win).
   //
-  // Anchors are VERSIONED (`anchor_v%06d` = the definition in force
-  // FROM that commit on; a zero-file read at meta version M resolves
-  // the newest anchor at or below M, falling back to the legacy
-  // un-versioned `anchor`). Writing version N's anchor BEFORE N's
-  // manifest CAS is crash-safe BY CONSTRUCTION: a CAS that never
-  // lands leaves an orphan above every committed version — invisible
-  // to every read — instead of the old in-place overwrite, where a
-  // process crash mid-REPLACE (or a lost CAS) served the NEW
-  // definition's anchor for the OLD still-in-force table. Versioning
-  // also makes empty-table reads TIME-TRAVEL across TRUNCATE/REPLACE
-  // definition changes for free.
+  // Anchors are ATTEMPT-UNIQUE (`_schema/anchor_<uuid>`) and the
+  // committing definition RECORDS its own anchor's relative path on
+  // the `#anchor` rail (protocol 8), which then CARRIES like every
+  // table property: a zero-file read at meta version M serves exactly
+  // metaAt(M).anchorRef — time travel across TRUNCATE/REPLACE
+  // definition changes for free, and NO shared path exists for two
+  // racing definitions to clobber (the former `anchor_v{N}` scheme
+  // had a TOCTOU: a replace could reclaim a CONCURRENT replace's
+  // staged anchor as a crashed attempt's orphan and overwrite it, so
+  // the winner's committed version served the loser's schema).
+  // Writing the anchor BEFORE the manifest CAS stays crash-safe BY
+  // CONSTRUCTION: a CAS that never lands leaves an unreferenced file
+  // invisible to every read. Legacy resolution (versioned
+  // `anchor_v%06d`, then the un-versioned `anchor`) remains the
+  // fallback for tables written before the rail.
   private def legacyAnchorPath(dir: String) = s"$dir/_schema/anchor"
   private def anchorPathV(dir: String, v: Long) =
     f"$dir/_schema/anchor_v$v%06d"
+  private def newAnchorRel(): String =
+    s"_schema/anchor_${java.util.UUID.randomUUID().toString.replace("-", "").take(16)}"
 
+  /** Writes the anchor parquet under an attempt-unique `_schema/`
+    * path and returns its RELATIVE path — the caller must record it
+    * on the committing meta's `anchorRef` rail (or delete it on a
+    * failed commit; unreferenced anchors are invisible either way). */
   private[graft] def writeSchemaAnchor(spark: SparkSession, dir: String,
-      schema: org.apache.spark.sql.types.StructType,
-      forVersion: Long = -1L): Unit = {
+      schema: org.apache.spark.sql.types.StructType): String = {
     // anchors store PHYSICAL names, exactly like data files, so the
     // version's column mapping applies uniformly on read — a
     // logical-named anchor under a live mapping would dodge (or be
@@ -2082,28 +2141,33 @@ object Versioned {
         org.apache.spark.sql.types.StructType(
           schema.map(f => f.copy(name = ren.getOrElse(f.name, f.name))))
       }
-    writeSchemaAnchorRaw(spark, dir, phys,
-      if (forVersion >= 0) forVersion else v + 1)
+    writeSchemaAnchorRaw(spark, dir, phys)
   }
 
   /** Anchor write WITHOUT the current-meta physical mapping — for
     * [[replaceTable]], whose committing meta RESETS the mapping: the
     * new definition's names ARE its physical names, and mapping them
     * through the outgoing table's renames would mangle any name the
-    * old table had remapped. `forVersion` is the commit the anchor
-    * defines (see the section note on pre-CAS crash safety). */
+    * old table had remapped. Returns the relative path for the
+    * `#anchor` rail. */
   private def writeSchemaAnchorRaw(spark: SparkSession, dir: String,
-      schema: org.apache.spark.sql.types.StructType,
-      forVersion: Long): Unit =
+      schema: org.apache.spark.sql.types.StructType): String = {
+    val rel = newAnchorRel()
     spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      .repartition(1).write.mode("overwrite")
-      .parquet(anchorPathV(dir, math.max(0L, forVersion)))
+      .repartition(1).write.mode("errorifexists").parquet(s"$dir/$rel")
+    rel
+  }
 
-  /** The newest anchor at or below `metaV` (legacy un-versioned
-    * anchor = version -∞). */
+  /** The anchor in force at `metaV`: the `#anchor` rail (foreign-ref
+    * aware — a clone's anchor lives under its source), else the
+    * legacy newest `anchor_v*` at or below `metaV`, else the
+    * un-versioned `anchor`. */
   private def anchorDf(spark: SparkSession, dir: String,
       metaV: Long): Option[DataFrame] = {
+    metaAt(spark, dir, metaV).anchorRef.foreach { ref =>
+      return Some(spark.read.parquet(refPath(dir, ref)))
+    }
     val fs = fsOf(spark, dir)
     val root = new Path(dir, "_schema")
     if (!fs.exists(root)) return None
@@ -2820,22 +2884,16 @@ object Versioned {
     val meta0 = metaAt(spark, dir, v)
     val live = filesAt(spark, dir, v)
     val fs = fsOf(spark, dir)
-    // the new definition's anchor is VERSIONED to the committing
-    // version: until the CAS lands it is invisible to every read
-    // (crash-safe by construction — see the anchor section note), so
-    // a failed replace leaves the original definition fully intact.
-    // An anchor ALREADY at v+1 is either an orphan of a crashed
-    // earlier attempt (no commit took v+1 — reclaim it) or a
-    // CONCURRENT replace's staged anchor (it is about to commit v+1 —
-    // this replace must lose NOW, before staging data or overwriting
-    // the winner's schema)
-    val anchorNext = new Path(anchorPathV(dir, v + 1))
-    if (fs.exists(anchorNext)) {
-      require(currentVersion(spark, dir) == v,
-        s"concurrent commit detected: version ${v + 1} already exists in $dir")
-      fs.delete(anchorNext, true) // orphan of a failed attempt
-    }
-    writeSchemaAnchorRaw(spark, dir, schema, v + 1)
+    // the new definition's anchor is ATTEMPT-UNIQUE and recorded on
+    // the committing meta's `#anchor` rail: until the CAS lands it is
+    // invisible to every read (crash-safe by construction — see the
+    // anchor section note), a failed replace leaves the original
+    // definition fully intact, and a CONCURRENT replace's staged
+    // anchor shares no path with this one — the old versioned-path
+    // scheme let this attempt reclaim a racer's staged anchor as a
+    // crashed orphan and overwrite it, serving the winner's committed
+    // version under the loser's schema
+    val aRef = writeSchemaAnchorRaw(spark, dir, schema)
     try {
       // stage the new contents: a failed query/write aborts with the
       // original table untouched (the staged files are unreferenced
@@ -2853,20 +2911,15 @@ object Versioned {
         renames = Map.empty, droppedCols = Nil,
         pkeys = if (partitionKeys.nonEmpty) Some(partitionKeys) else None,
         gens = Map.empty, addCols = Nil,
-        cluster = if (clusterCols.nonEmpty) Some(clusterCols) else None)
+        cluster = if (clusterCols.nonEmpty) Some(clusterCols) else None,
+        anchorRef = Some(aRef))
       writeCommit(fs, dir, v + 1, newFiles, live, newMeta)
     } catch { case e: Throwable =>
-      // the promised restore: a failed replace — staging OR a lost
-      // commit CAS — must not leave the NEW definition's anchor as the
-      // newest at-or-below v+1: whatever commit actually takes v+1
-      // (a racing writer, a later TRUNCATE) would serve the FAILED
-      // replace's schema on its zero-file reads. Delete it ONLY while
-      // no commit holds v+1 — if a racing replace already landed
-      // there, the anchor at this path may be the WINNER'S committed
-      // schema (both attempts spell the same path), and deleting it
-      // would destroy a definition that DID land.
-      try if (currentVersion(spark, dir) <= v)
-        fs.delete(new Path(anchorPathV(dir, v + 1)), true)
+      // a failed replace — staging OR a lost commit CAS — deletes its
+      // own staged anchor: the path is attempt-unique, so this can
+      // never touch a racing winner's anchor, and an unreferenced
+      // anchor left by a crash is invisible to every read anyway
+      try fs.delete(new Path(dir, aRef), true)
       catch { case _: java.io.IOException => } // surfacing e matters more
       throw e
     }
@@ -3703,6 +3756,130 @@ object Versioned {
     row.getLong(1)
   }
 
+  // ---- metadata-only aggregate answering ---------------------------
+  // `SELECT count(*) / min(k) / max(k) FROM t` — the top query of
+  // every 100 TB dashboard — answered from the manifest + stats rail
+  // ALONE: zero data files opened, zero footers read (Delta/Iceberg's
+  // metadata-only query answering). The contract is EXACT-OR-BAIL:
+  // every guard that could make the metadata answer diverge from a
+  // full scan (pending equality deletes, deletion vectors under an
+  // extremum query, untracked columns, partial sidecar coverage,
+  // unusable footer boxes, post-2^53 widening) returns None and the
+  // caller falls back to the ordinary scan — a metadata answer is
+  // never approximate.
+
+  /** One requested aggregate for [[metadataAggregate]]. */
+  sealed trait MetaAgg
+  /** `count(*)` — DV-aware (vector sidecars subtract; they are
+    * metadata, not data). */
+  case object MetaCount extends MetaAgg
+  /** `count(col)` = rows − nulls, from footer null counts. */
+  final case class MetaCountCol(col: String) extends MetaAgg
+  /** `min(col)` over the stats boxes (exact: parquet min is a real
+    * value of the file, and SQL `min` ignores nulls exactly like the
+    * footer box does). */
+  final case class MetaMin(col: String) extends MetaAgg
+  /** `max(col)` — see [[MetaMin]]. */
+  final case class MetaMax(col: String) extends MetaAgg
+
+  /** Diagnostic counter: aggregates SERVED metadata-only (the SQL
+    * pushdown and the library path both bump it) — the oracle leg
+    * pins it against `sizeStatProbes`-style zero-scan expectations. */
+  @volatile var metadataAggServed: Long = 0L
+
+  /** Answers `aggs` at `version` from the manifest + stats sidecars,
+    * or None when ANY guard fails — the caller must then aggregate
+    * the snapshot (the SQL surface falls back automatically; see the
+    * section note for the guard list). Values: counts as `Long`,
+    * extrema as `Double` (exactness-guarded; the SQL layer casts back
+    * to the column's type). Logical column names; the column mapping
+    * translates. */
+  def metadataAggregate(spark: SparkSession, dir: String,
+      aggs: Seq[MetaAgg], version: Long = -1L): Option[Seq[Any]] = {
+    if (aggs.isEmpty) return None
+    val v = if (version >= 0) version else currentVersion(spark, dir)
+    if (v < 0) return None
+    try {
+      val (dvEs, eqEs) = deleteFilesAt(spark, dir, v).map(delParse)
+        .partition(e => isDvRef(e._1))
+      if (eqEs.nonEmpty) return None // MOR equality deletes: bail
+      val needCol = aggs.exists { case MetaCount => false; case _ => true }
+      // a DV-deleted row may hold an extremum or a null — only the
+      // plain count can subtract vectors safely
+      if (dvEs.nonEmpty && needCol) return None
+      val live = filesAt(spark, dir, v)
+      if (live.isEmpty) {
+        // zero-file table: count(*) = 0 is exact; min/max are NULL —
+        // served here so an empty table's dashboard stays zero-scan
+        metadataAggServed += 1
+        return Some(aggs.map {
+          case MetaCount => 0L
+          case MetaCountCol(_) => 0L
+          case _ => null
+        })
+      }
+      val renames = metaAt(spark, dir, v).renames
+      // ONE resolved stats frame answers everything (statsAt REFUSES
+      // on partial coverage — the bail below catches it)
+      val stats = statsAt(spark, dir, v)
+      val rowsTotal = stats.dropDuplicates("file")
+        .agg(sum("rows").as("s"), min("rows").as("mn")).collect()(0)
+      if (rowsTotal.isNullAt(0) || rowsTotal.getLong(1) < 0L) return None
+      val base = rowsTotal.getLong(0)
+      val dvDeleted =
+        if (dvEs.isEmpty) 0L
+        else {
+          val liveDf = spark.createDataFrame(
+              live.map(r => Tuple1(encodedLeafPath(refPath(dir, r)))))
+            .toDF("__live_file")
+          spark.read.parquet(dvEs.map(e => s"$dir/${e._1}"): _*)
+            .dropDuplicates(DvFileCol, DvPosCol)
+            .join(liveDf, col(DvFileCol) === col("__live_file"), "left_semi")
+            .count()
+        }
+      val cols = aggs.collect {
+        case MetaCountCol(c) => c
+        case MetaMin(c) => c
+        case MetaMax(c) => c
+      }.distinct.map(c => c -> renames.getOrElse(c, c)).toMap
+      val byCol: Map[String, (Double, Double, Long, Long, Long)] =
+        if (cols.isEmpty) Map.empty
+        else stats.filter(col("col").isin(cols.values.toSeq: _*))
+          .groupBy("col")
+          .agg(min("lo").as("lo"), max("hi").as("hi"),
+            sum("nulls").as("nulls"), min("nulls").as("mnulls"),
+            count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) ->
+            (r.getDouble(1), r.getDouble(2), r.getLong(3), r.getLong(4),
+              r.getLong(5))).toMap
+      val exactLimit = 9007199254740992.0d // 2^53: the sidecar widened past it
+      def box(c: String): Option[(Double, Double)] =
+        byCol.get(cols(c)).flatMap { case (lo, hi, _, _, n) =>
+          // n == live.size ⇔ every live file has a box for c (the
+          // uniform-coverage require() already held; this pins the
+          // specific column); infinite = some file's stats unusable
+          if (n != live.size || lo.isInfinite || hi.isInfinite ||
+              math.abs(lo) >= exactLimit || math.abs(hi) >= exactLimit) None
+          else Some((lo, hi))
+        }
+      def nonNull(c: String): Option[Long] =
+        byCol.get(cols(c)).flatMap { case (_, _, nulls, mnulls, n) =>
+          if (n != live.size || mnulls < 0L) None else Some(base - nulls)
+        }
+      val out = aggs.map {
+        case MetaCount => Some(base - dvDeleted)
+        case MetaCountCol(c) => nonNull(c)
+        case MetaMin(c) => box(c).map(_._1)
+        case MetaMax(c) => box(c).map(_._2)
+      }
+      if (out.exists(_.isEmpty)) None
+      else {
+        metadataAggServed += 1
+        Some(out.map(_.get))
+      }
+    } catch { case _: IllegalArgumentException => None } // coverage bail
+  }
+
   /** ONE pruning front door — routes each predicate to the metadata
     * structure that can answer it, intersects the per-predicate
     * survivor file sets, reads only the survivors, and re-applies
@@ -3897,9 +4074,13 @@ object Versioned {
     // including declared clustering and any rail added tomorrow —
     // travels to the clone by construction; only per-commit state is
     // reset. This construction site forgot `defaults` and `idents`
-    // once each when it was an explicit field list.
+    // once each when it was an explicit field list. The schema anchor
+    // re-spells as a FOREIGN ref (it lives under the source, exactly
+    // like the data files — and shares their dangling-on-drop caveat).
+    val cloneMeta = CommitMeta.carryAll(srcMeta, commitTs, "clone", Nil, None)
     writeCommit(fsOf(spark, dstDir), dstDir, 0L, refs, Nil,
-      CommitMeta.carryAll(srcMeta, commitTs, "clone", Nil, None))
+      cloneMeta.copy(anchorRef = cloneMeta.anchorRef.map(r =>
+        if (refIsForeign(r)) r else s"@$srcDir\t$r")))
     0L
   }
 
@@ -4259,7 +4440,8 @@ object Versioned {
     * the committed version, or the current one on a no-match no-op. */
   def deleteWhereCow(spark: SparkSession, dir: String,
       pred: org.apache.spark.sql.Column, partitionKeys: Seq[String],
-      commitTs: Long = System.currentTimeMillis()): Long = {
+      commitTs: Long = System.currentTimeMillis(),
+      anchorRef: Option[String] = None): Long = {
     val v = init(spark, dir, commitTs)
     val meta0 = metaAt(spark, dir, v)
     checkPartitionSpec(meta0, partitionKeys, "deleteWhereCow")
@@ -4279,10 +4461,12 @@ object Versioned {
         val newFiles = writeStagedFiles(spark, fs, dir,
           clusterByKeys(toPhysical(meta0, merged), partitionKeys),
           partitionKeys)
+        val cm = carryMeta(spark, dir, v, commitTs, None, dels, "delete")
         writeCommit(fs, dir, v + 1,
           live.filterNot(underTouched) ++ newFiles, live,
-          carryMeta(spark, dir, v, commitTs, None, dels, "delete")
-            .copy(cdfInc = autoInc))
+          cm.copy(cdfInc = autoInc,
+            // a TRUNCATE hands the zero-file definition's anchor in
+            anchorRef = anchorRef.orElse(cm.anchorRef)))
         maybeWriteIncStats(spark, dir, v, newFiles, Nil)
         v + 1
     }

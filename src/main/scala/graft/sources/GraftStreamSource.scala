@@ -103,13 +103,25 @@ private[sources] class GraftStreamSource(sqlContext: SQLContext,
     * the timestamp streams. A seed at or before the FIRST RETAINED
     * commit: if version 0 is still retained the seed simply predates
     * the table — everything at-or-after it is everything, i.e.
-    * SNAPSHOT mode (-1; Delta's start-from-version-0 analogue); if
-    * vacuum reaped v0, the floor is unprovable — refuse naming the
-    * cause and the repair. */
+    * SNAPSHOT mode (-1; Delta's start-from-version-0 analogue) —
+    * EXCEPT under readChanges, where snapshot mode would hand a CDC
+    * consumer plain rows whose `_action`/`_commit_version` columns
+    * null-fill through the alignment select (silently wrong actions):
+    * refuse naming the repair instead; if vacuum reaped v0, the floor
+    * is unprovable — refuse naming the cause and the repair. */
   private def resolveStartingTs(ms: Long): Long =
     try Versioned.versionAsOf(spark, dir, ms - 1L)
     catch { case e: IllegalArgumentException =>
-      if (Versioned.earliestVersion(spark, dir) == 0L) -1L
+      if (Versioned.earliestVersion(spark, dir) == 0L) {
+        if (readChanges) throw new IllegalArgumentException(
+          s"startingTimestamp $ms predates the whole history of $dir " +
+            "and readChanges is set: a change-feed stream cannot fall " +
+            "back to snapshot mode (the snapshot has no _action rows) " +
+            "— seed with startingVersion (0 serves every recorded " +
+            "increment) or move the timestamp inside the change-feed " +
+            "range", e)
+        -1L
+      }
       else throw new IllegalArgumentException(
         s"startingTimestamp $ms predates the retained history of $dir " +
           s"(${e.getMessage}) — vacuum reaped the versions that would " +

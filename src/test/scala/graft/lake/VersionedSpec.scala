@@ -2468,8 +2468,10 @@ class VersionedSpec extends SparkSpec {
     val v0 = Versioned.currentVersion(spark, dir)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val anchorNext = new org.apache.hadoop.fs.Path(
-      f"$dir/_schema/anchor_v${v0 + 1}%06d")
+    val schemaRoot = new org.apache.hadoop.fs.Path(dir, "_schema")
+    def anchorCount(): Int =
+      if (!fs.exists(schemaRoot)) 0 else fs.listStatus(schemaRoot).length
+    val before = anchorCount()
     // the replacing rows lack the new schema's columns: staging fails
     // AFTER the anchor write — exactly the orphan window
     intercept[org.apache.spark.sql.AnalysisException] {
@@ -2477,10 +2479,9 @@ class VersionedSpec extends SparkSpec {
         StructType(Seq(StructField("x", LongType), StructField("y", StringType))),
         Nil, rows = Some(df(Seq(("a", 1L, 1.0)), "site", "id", "v")))
     }
-    assert(!fs.exists(anchorNext),
-      "a failed replace must not leave its anchor as v+1's newest — a " +
-        "racing commit taking v+1 would serve the failed schema on " +
-        "zero-file reads")
+    assert(anchorCount() == before,
+      "a failed replace must delete its own staged (attempt-unique) " +
+        "anchor — no _schema debris")
     assert(Versioned.currentVersion(spark, dir) == v0,
       "a failed replace must not move the version counter")
     assert(state(Versioned.snapshot(spark, dir)) ==
@@ -2967,6 +2968,76 @@ class VersionedSpec extends SparkSpec {
       .filter(col("id") === 70L).select("src").collect().map(_.getString(0))
     assert(got.toSeq == Seq("api"),
       s"re-run must fill the concurrent default, got ${got.toSeq}")
+  }
+
+  test("racing replaces: the winner's committed definition serves the WINNER'S schema — the loser's staged anchor can never clobber it") {
+    import org.apache.spark.sql.types._
+    val dir = freshLake()
+    Versioned.init(spark, dir)
+    // B commits its replace INSIDE A's CAS window, AFTER A staged its
+    // anchor: under the shared anchor_v{v+1} path A's staging had
+    // already reclaimed-and-overwritten B's anchor as a 'crashed
+    // orphan', so B's committed v+1 served A's schema (the TOCTOU);
+    // attempt-unique anchors on the #anchor rail make the paths
+    // disjoint and the committed manifest name its own anchor
+    // replace has no retry loop (racing a replace is a semantic
+    // conflict), so inject through the commit owner: B's whole replace
+    // runs inside A's staged-anchor → CAS window
+    val real = Versioned.commitOwner
+    var fired = false
+    Versioned.commitOwner = new Versioned.CommitOwner {
+      override def writeVersion(fs: org.apache.hadoop.fs.FileSystem,
+          d: String, v: Long, dst: org.apache.hadoop.fs.Path,
+          alternate: org.apache.hadoop.fs.Path,
+          body: Seq[String]): Unit = {
+        if (!fired) {
+          fired = true // one-shot BEFORE recursing (B commits through here)
+          Versioned.replaceTable(spark, dir,
+            StructType(Seq(StructField("win", StringType),
+              StructField("n", LongType))), Nil)
+        }
+        real.writeVersion(fs, d, v, dst, alternate, body)
+      }
+    }
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Versioned.replaceTable(spark, dir,
+          StructType(Seq(StructField("lose", DoubleType))), Nil)
+      }
+      assert(e.getMessage.contains("concurrent commit"), e.getMessage)
+    } finally Versioned.commitOwner = real
+    assert(Versioned.snapshot(spark, dir).columns.toSeq == Seq("win", "n"),
+      "the winner's zero-file reads must serve the WINNER'S schema")
+  }
+
+  test("checkpoint roll-up walk terminates on pre-rail files: a -1 sentinel records the unknowable, later checkpoints stop at it") {
+    val dir = freshLake()
+    Versioned.init(spark, dir)
+    // the three v0 files lose every size record — pre-rail history
+    stripManifestSizes(dir)
+    // drive to the first post-strip checkpoint (v10): its walk
+    // exhausts the manifests and must stamp the v0 files -1
+    for (i <- 1 to Versioned.CheckpointInterval)
+      Versioned.append(spark, dir,
+        df(Seq(("a", 100L + i, 1.0)), "site", "id", "v"), Seq("site"))
+    // …and to one commit short of the second checkpoint
+    for (i <- 1 to Versioned.CheckpointInterval - 1)
+      Versioned.append(spark, dir,
+        df(Seq(("a", 200L + i, 1.0)), "site", "id", "v"), Seq("site"))
+    Versioned.rollupWalkReads = 0L
+    Versioned.append(spark, dir,
+      df(Seq(("a", 300L, 1.0)), "site", "id", "v"), Seq("site")) // ckpt
+    assert(Versioned.rollupWalkReads <= Versioned.CheckpointInterval + 1,
+      s"the second post-strip checkpoint must stop its roll-up walk at " +
+        s"the first one's sentinels, not re-read all history " +
+        s"(read ${Versioned.rollupWalkReads} manifests)")
+    // sentinels never leak as sizes: the unknowable files are absent
+    // from fileSizesKnown and served by the lazy stat fallback
+    val known = Versioned.fileSizesKnown(spark, dir)
+    assert(known.values.forall(_ >= 0L), "a -1 sentinel leaked as a size")
+    val all = Versioned.fileSizesAt(spark, dir)
+    assert(all.size == Versioned.filesAt(spark, dir).size &&
+      all.values.forall(_ > 0L))
   }
 
   test("clone carries declared clustering (copy-based rail carry)") {

@@ -204,9 +204,12 @@ class GraftSqlWritesSpec extends SparkSpec {
     assert(e2.getMessage.contains("GENERATED"), e2.getMessage)
     // the rail demands protocol 7 and names its feature — an old build
     // (which would write omitted columns as null) refuses the table
+    // (level 8 here: CREATE TABLE's schema anchor rides the `#anchor`
+    // rail, a level-8 feature of its own)
     val props = Versioned.tableProperties(spark, dir)
-    assert(props("graft.minReaderLevel").toInt == 7, props.toString)
-    assert(props("graft.features").contains("column-defaults"), props)
+    assert(props("graft.minReaderLevel").toInt == 8, props.toString)
+    assert(props("graft.features").contains("column-defaults") &&
+      props("graft.features").contains("anchor-ref"), props)
     assert(props.get("graft.default.src").exists(_.contains("edge")), props)
   }
 
@@ -376,6 +379,11 @@ class GraftSqlWritesSpec extends SparkSpec {
     val e4 = intercept[Exception] {
       spark.sql(s"ALTER TABLE ${tbl(dir)} ADD COLUMN `lit.eral` INT") }
     assert(e4.getMessage.contains("dot-free"), e4.getMessage)
+    // …and in EVERY segment of a multi-part name: meta.`a.b` would be
+    // indistinguishable from the deeper path meta.a.b
+    val e5 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE ${tbl(dir)} ADD COLUMN meta.`a.b` INT") }
+    assert(e5.getMessage.contains("dot-free"), e5.getMessage)
   }
 
   test("ANSI constraints: ALTER TABLE ADD CONSTRAINT ... CHECK lowers onto the #chk rail; violating writes refuse; DROP CONSTRAINT lifts; non-CHECK kinds refuse") {

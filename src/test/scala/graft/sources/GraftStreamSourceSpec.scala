@@ -314,6 +314,26 @@ class GraftStreamSourceSpec extends SparkSpec {
         Option(x.getMessage).toSeq ++ msgs(x.getCause))
     assert(msgs(e).exists(_.contains("startingVersion")),
       s"expected the startingVersion contract, got: ${msgs(e).mkString(" | ")}")
+    // readChanges + a startingTimestamp that predates the WHOLE
+    // retained history must refuse, not fall back to snapshot mode:
+    // the snapshot's rows would null-fill _action/_commit_version
+    // through the alignment select — silent non-actions to a CDC
+    // consumer
+    val e2 = intercept[Exception] {
+      spark.readStream.format("graft").option("readChanges", "true")
+        .option("startingTimestamp", "1") // before every commit
+        .load(src)
+        .writeStream.format("graft")
+        .option("checkpointLocation",
+          new java.io.File(root, "ckpt3").getAbsolutePath)
+        .option("partitionKeys", "site")
+        .trigger(Trigger.AvailableNow())
+        .start(new java.io.File(root, "sink3").getAbsolutePath)
+        .awaitTermination()
+    }
+    assert(msgs(e2).exists(m => m.contains("readChanges") &&
+      m.contains("startingVersion")),
+      s"expected the CDC pre-history refusal, got: ${msgs(e2).mkString(" | ")}")
   }
 
   test("a rewrite commit in range refuses loudly and points at the change feed") {
