@@ -5872,6 +5872,88 @@ object LakeQueries {
         SELECT n, n AS n_ids, 1::BIGINT AS min_id, n AS max_id,
                (n * (n + 1) / 2)::BIGINT AS sum_ids, sum_value
         FROM c ORDER BY 1"""),
-      "IDENTITY columns: dense engine-assigned ids across an omitting SQL INSERT + library append (high-water == row count require()d); the id SET {1..N} recomputed in DuckDB")
+      "IDENTITY columns: dense engine-assigned ids across an omitting SQL INSERT + library append (high-water == row count require()d); the id SET {1..N} recomputed in DuckDB"),
+
+    // ---------------------------------------------------------------
+    // METADATA-ONLY AGGREGATE ANSWERING — the top query of every
+    // 100 TB dashboard (`SELECT count(*)/min(k)/max(k) FROM t`)
+    // served from the manifest + stats rail via DSv2 aggregate
+    // pushdown: ZERO data files read (require()d through the served
+    // counter AND a parquet-free physical plan), exact under a
+    // deletion vector for count, bail-to-scan require()d for the
+    // residual-predicate case. Values hash against DuckDB computing
+    // the same aggregates the slow way.
+    // ---------------------------------------------------------------
+    Q("q225_metadata_agg",
+      (s, dir) => {
+        graft.GraftExtensions.register(s)
+        s.conf.set("spark.sql.catalog.gsql", "graft.sources.GraftCatalog")
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val root = new File(new File(sys.props("user.dir"), "target"),
+          s"graft_maggq_$tag")
+        val lake = new File(root, "t").getAbsolutePath
+        LakeQueries.synchronized {
+          val fs = new org.apache.hadoop.fs.Path(root.getAbsolutePath)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(root.getAbsolutePath), true)
+          val base = Tables(s, dir, "events").select(MergeCols.map(col): _*)
+            .filter(col("event_type").isin("click", "view"))
+          base.createOrReplaceTempView("q225_src")
+          s.sql(s"CREATE TABLE gsql.`$lake` PARTITIONED BY (event_type) " +
+            "AS SELECT event_id, user_id, value, event_type FROM q225_src")
+          sqlMaint(s, s"ANALYZE TABLE gsql.`$lake` COMPUTE STATISTICS " +
+            "FOR COLUMNS (user_id, value)")
+        }
+        // the dashboard query: answered METADATA-ONLY, require()d
+        val served0 = Versioned.metadataAggServed
+        val aggDf = s.sql(
+          s"""SELECT count(*) AS n, count(value) AS n_value,
+             |       min(value) AS min_value, max(value) AS max_value,
+             |       min(user_id) AS min_user, max(user_id) AS max_user
+             |FROM gsql.`$lake`""".stripMargin)
+        val agg = aggDf.collect()(0)
+        require(Versioned.metadataAggServed - served0 >= 1L,
+          "the aggregate must be served from the stats rail, not a scan")
+        require(!aggDf.queryExecution.executedPlan.toString
+            .toLowerCase.contains("parquet"),
+          "a metadata-answered aggregate must not plan a parquet scan")
+        // a residual predicate BAILS to the scan (and still answers)
+        val servedW0 = Versioned.metadataAggServed
+        val whereN = s.sql(s"SELECT count(*) AS n FROM gsql.`$lake` " +
+          "WHERE event_type = 'click'").collect()(0).getLong(0)
+        require(Versioned.metadataAggServed == servedW0,
+          "a residual predicate must bail to the ordinary scan")
+        // a deletion vector: count stays pushed AND exact
+        LakeQueries.synchronized {
+          Versioned.deleteWhereVectors(s, lake, col("user_id") % 7 === 0,
+            commitTs = 2000L)
+        }
+        val servedDv0 = Versioned.metadataAggServed
+        val nAfterDv = s.sql(s"SELECT count(*) AS n FROM gsql.`$lake`")
+          .collect()(0).getLong(0)
+        require(Versioned.metadataAggServed - servedDv0 >= 1L,
+          "count under a deletion vector must stay metadata-answered")
+        require(nAfterDv == Versioned.snapshot(s, lake).count(),
+          "the DV-adjusted metadata count must equal the MOR snapshot")
+        import s.implicits._
+        Seq((agg.getLong(0), agg.getLong(1), agg.getDouble(2),
+          agg.getDouble(3), agg.getLong(4), agg.getLong(5),
+          whereN, nAfterDv))
+          .toDF("n", "n_value", "min_value", "max_value", "min_user",
+            "max_user", "n_click", "n_after_dv")
+      },
+      Some("""
+        WITH e AS (SELECT user_id, value, event_type FROM events
+                   WHERE event_type IN ('click','view'))
+        SELECT count(*) AS n, count(value) AS n_value,
+               min(value::DOUBLE) AS min_value,
+               max(value::DOUBLE) AS max_value,
+               min(user_id) AS min_user, max(user_id) AS max_user,
+               (SELECT count(*) FROM e WHERE event_type = 'click')
+                 AS n_click,
+               (SELECT count(*) FROM e WHERE user_id % 7 <> 0)
+                 AS n_after_dv
+        FROM e"""),
+      "metadata-only aggregates: count(*)/count(k)/min/max from the stats rail via DSv2 pushdown (zero-scan require()d: served counter + parquet-free plan), residual-predicate bail require()d, DV-adjusted count == MOR snapshot require()d; all values hash vs DuckDB")
   )
 }

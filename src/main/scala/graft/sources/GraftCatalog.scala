@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownF
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{ByteType, DoubleType, FloatType, IntegerType, LongType, ShortType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.lake.Versioned
@@ -265,8 +265,8 @@ class GraftCatalog extends TableCatalog
         f.copy(metadata = mb.build())
       }
     })
-    Versioned.writeSchemaAnchor(spark, dir, cleanSchema)
-    Versioned.init(spark, dir)
+    val aRef = Versioned.writeSchemaAnchor(spark, dir, cleanSchema)
+    Versioned.init(spark, dir, anchorRef = Some(aRef))
     if (keys.nonEmpty) Versioned.changePartitionSpec(spark, dir, keys)
     if (clusterCols.nonEmpty) Versioned.setClusterBy(spark, dir, clusterCols)
     gens.foreach { case (n, e) =>
@@ -619,10 +619,11 @@ private[graft] final class GraftVersionedTable(
     // (metadata-only) so later writers still infer the right keys
     if (keys.nonEmpty && Versioned.partitionSpec(spark, dir).isEmpty)
       Versioned.changePartitionSpec(spark, dir, keys)
-    Versioned.writeSchemaAnchor(spark, dir,
+    val aRef = Versioned.writeSchemaAnchor(spark, dir,
       Versioned.snapshot(spark, dir).schema)
     Versioned.deleteWhereCow(spark, dir,
-      org.apache.spark.sql.functions.lit(true), keys)
+      org.apache.spark.sql.functions.lit(true), keys,
+      anchorRef = Some(aRef))
     true
   }
 
@@ -783,15 +784,98 @@ private[graft] final class GraftVersionedTable(
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownFilters
-      with SupportsPushDownRequiredColumns {
+      with SupportsPushDownRequiredColumns
+      with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
       private var pushed: Array[Filter] = Array.empty
       private var required: Option[StructType] = None
+      private var aggAnswer: Option[(StructType, Row)] = None
 
       override def pushFilters(filters: Array[Filter]): Array[Filter] = {
         pushed = filters
         filters // ALL stay residual — the forward below is best-effort
       }
       override def pushedFilters(): Array[Filter] = pushed
+
+      // ---- metadata-only aggregate pushdown -----------------------
+      // `SELECT count(*) / count(k) / min(k) / max(k) FROM t` answers
+      // from the manifest + stats rail with ZERO data files read
+      // (Delta/Iceberg's metadata-only query answering, spelled as
+      // Spark's own DSv2 aggregate pushdown — the JDBC connector's
+      // V1Scan handshake). EXACT-OR-BAIL: any residual predicate,
+      // GROUP BY, unsupported function, untracked column, pending
+      // delete, or coverage gap returns false and the ordinary scan
+      // plans instead — a pushed answer is never approximate.
+      private def tryAnswer(agg: org.apache.spark.sql.connector
+          .expressions.aggregate.Aggregation): Boolean = {
+        if (aggAnswer.isDefined) return true
+        if (pushed.nonEmpty) return false // a WHERE remains residual
+        if (agg.groupByExpressions.nonEmpty) return false
+        import org.apache.spark.sql.connector.expressions.NamedReference
+        import org.apache.spark.sql.connector.expressions.aggregate._
+        def colOf(e: org.apache.spark.sql.connector.expressions
+            .Expression): Option[(String, org.apache.spark.sql.types
+            .DataType)] = e match {
+          case nr: NamedReference if nr.fieldNames().length == 1 =>
+            schema.fields.find(_.name == nr.fieldNames()(0))
+              .map(f => (f.name, f.dataType))
+          case _ => None
+        }
+        def numeric(dt: org.apache.spark.sql.types.DataType): Boolean =
+          dt match {
+            case _: org.apache.spark.sql.types.ByteType |
+                 _: org.apache.spark.sql.types.ShortType |
+                 _: org.apache.spark.sql.types.IntegerType |
+                 _: org.apache.spark.sql.types.LongType |
+                 _: org.apache.spark.sql.types.FloatType |
+                 _: org.apache.spark.sql.types.DoubleType => true
+            case _ => false
+          }
+        val translated: Seq[Option[(Versioned.MetaAgg, StructField)]] =
+          agg.aggregateExpressions().toSeq.map {
+            case _: CountStar =>
+              Some((Versioned.MetaCount,
+                StructField("count(*)", LongType, nullable = false)))
+            case c: Count if !c.isDistinct =>
+              colOf(c.column).map { case (n, _) =>
+                (Versioned.MetaCountCol(n),
+                  StructField(s"count($n)", LongType, nullable = false)) }
+            case m: Min =>
+              colOf(m.column).collect { case (n, dt) if numeric(dt) =>
+                (Versioned.MetaMin(n), StructField(s"min($n)", dt)) }
+            case m: Max =>
+              colOf(m.column).collect { case (n, dt) if numeric(dt) =>
+                (Versioned.MetaMax(n), StructField(s"max($n)", dt)) }
+            case _ => None
+          }
+        if (translated.exists(_.isEmpty)) return false
+        val (metas, fields) = translated.flatten.unzip
+        Versioned.metadataAggregate(SparkSession.active, dir, metas,
+          pinnedVersion) match {
+          case None => false
+          case Some(values) =>
+            val cells = values.zip(fields).map {
+              case (null, _) => null
+              case (v: Long, _) => java.lang.Long.valueOf(v)
+              case (v: Double, f) => f.dataType match {
+                case _: ByteType => java.lang.Byte.valueOf(v.toByte)
+                case _: ShortType => java.lang.Short.valueOf(v.toShort)
+                case _: IntegerType => java.lang.Integer.valueOf(v.toInt)
+                case _: LongType => java.lang.Long.valueOf(v.toLong)
+                case _: FloatType => java.lang.Float.valueOf(v.toFloat)
+                case _ => java.lang.Double.valueOf(v)
+              }
+              case (other, _) => other
+            }
+            aggAnswer = Some((StructType(fields),
+              Row.fromSeq(cells)))
+            true
+        }
+      }
+      override def supportCompletePushDown(agg: org.apache.spark.sql
+          .connector.expressions.aggregate.Aggregation): Boolean =
+        tryAnswer(agg)
+      override def pushAggregation(agg: org.apache.spark.sql.connector
+          .expressions.aggregate.Aggregation): Boolean = tryAnswer(agg)
 
       override def pruneColumns(requiredSchema: StructType): Unit =
         // honor TOP-LEVEL pruning only: the V1 scan materializes whole
@@ -805,15 +889,35 @@ private[graft] final class GraftVersionedTable(
           schema.fields.find(_.name == f.name).getOrElse(f)
         }))
 
-      override def build(): Scan = new V1Scan {
-        override def readSchema(): StructType =
-          required.getOrElse(schema)
-        override def toV1TableScan[T <: BaseRelation with TableScan](
-            context: SQLContext): T =
-          new GraftV1TableScan(context, dir, pinnedVersion, pushed,
-            readSchema()).asInstanceOf[T]
+      override def build(): Scan = aggAnswer match {
+        case Some((aggSchema, row)) => new V1Scan {
+          override def readSchema(): StructType = aggSchema
+          override def toV1TableScan[T <: BaseRelation with TableScan](
+              context: SQLContext): T =
+            new GraftV1MetaAggScan(context, aggSchema, row)
+              .asInstanceOf[T]
+        }
+        case None => new V1Scan {
+          override def readSchema(): StructType =
+            required.getOrElse(schema)
+          override def toV1TableScan[T <: BaseRelation with TableScan](
+              context: SQLContext): T =
+            new GraftV1TableScan(context, dir, pinnedVersion, pushed,
+              readSchema()).asInstanceOf[T]
+        }
       }
     }
+}
+
+/** The one-row leaf a METADATA-ANSWERED aggregate lowers to: the
+  * values were computed from the manifest + stats rail at plan time;
+  * no data file of the table is ever opened. */
+private[sources] final class GraftV1MetaAggScan(
+    @transient override val sqlContext: SQLContext,
+    out: StructType, answer: Row) extends BaseRelation with TableScan {
+  override def schema: StructType = out
+  override def buildScan(): RDD[Row] =
+    sqlContext.sparkContext.parallelize(Seq(answer), 1)
 }
 
 /** The V1 leaf the catalog scan lowers to: snapshot → forwarded
