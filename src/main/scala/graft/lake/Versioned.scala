@@ -206,6 +206,14 @@ object Versioned {
     relPath.startsWith("_deletes/dv_")
 
   /** Column names of a deletion-vector parquet. */
+  /** ROW TRACKING's engine-owned id column (Delta's row tracking on
+    * this protocol): a hidden BIGINT every row of an enabled table
+    * carries, assigned by the `#ident` machinery at write time and
+    * carried through rewrites because every rewrite path reads
+    * [[snapshotAll]]. [[enableChangeFeed]] with an EMPTY rowKey keys
+    * the change feed by it — keyless CDF. */
+  private[graft] val RowIdCol = "__graft_rid"
+
   private[lake] val DvFileCol = "file"
   private[lake] val DvPosCol = "pos"
 
@@ -1357,6 +1365,9 @@ object Versioned {
     val v = currentVersion(spark, dir)
     require(v >= 0, s"no manifest in $dir — call init() first")
     val meta = metaAt(spark, dir, v)
+    require(!name.split('.').exists(_.startsWith("__graft_")),
+      s"column name $name: the __graft_ prefix is engine-owned " +
+        "(row tracking ids live there) — pick another name")
     val snapSchema = snapshot(spark, dir, v).schema
     val visible = snapSchema.fieldNames.toSeq
     if (!name.contains('.')) {
@@ -1444,6 +1455,17 @@ object Versioned {
         t.scale >= f.scale && t.precision - t.scale >= f.precision - f.scale
       case (f, t: DecimalType) =>
         intDigits(f).exists(d => t.precision - t.scale >= d)
+      // STRUCTS widen field-wise (same names, same order, each leaf a
+      // lossless widen) — what a NESTED `ALTER COLUMN meta.width TYPE
+      // LONG` pins, and what lets a pre-widen writer's struct batch
+      // cast up through conformToPinned
+      case (f: StructType, t: StructType) =>
+        f.length == t.length && f.fields.zip(t.fields).forall {
+          case (a, b) => a.name == b.name && widenOk(a.dataType, b.dataType)
+        }
+      case (f: ArrayType, t: ArrayType) =>
+        f.containsNull == t.containsNull &&
+          widenOk(f.elementType, t.elementType)
       case _ => false
     }
   }
@@ -1460,17 +1482,50 @@ object Versioned {
     require(v >= 0, s"no manifest in $dir — call init() first")
     val meta = metaAt(spark, dir, v)
     val snapSchema = snapshot(spark, dir, v).schema
-    require(snapSchema.fieldNames.contains(name),
-      s"no column $name in $dir")
+    // NESTED fields widen by dotted path (`meta.width`) — the same
+    // addressing the #addcol rail uses; every prefix must resolve to
+    // a struct and the leaf must exist
+    val segs = name.split('.').toSeq
+    val top = segs.head
+    require(snapSchema.fieldNames.contains(top),
+      s"no column $top in $dir")
     val parts = partitionColsOf(filesAt(spark, dir, v)) ++
       meta.pkeys.getOrElse(Nil)
-    require(!parts.contains(name),
-      s"cannot widen partition column $name: its values are baked into " +
+    require(!parts.contains(top),
+      s"cannot widen partition column $top: its values are baked into " +
         "directory paths — changePartitionSpec to a data column first")
     require(!meta.idents.contains(name),
       s"cannot change the type of IDENTITY column $name: identities " +
         "are BIGINT by contract (dropIdentity() first)")
-    val cur = snapSchema(name).dataType
+    require(!meta.addCols.exists(_._1 == name),
+      s"cannot widen metadata-added column $name: no data file carries " +
+        "it — drop and re-add it with the wider type instead")
+    def leafType(dt: org.apache.spark.sql.types.DataType,
+        path: Seq[String]): org.apache.spark.sql.types.DataType =
+      if (path.isEmpty) dt
+      else dt match {
+        case st: org.apache.spark.sql.types.StructType =>
+          val f = st.fields.find(_.name == path.head).getOrElse(
+            throw new IllegalArgumentException(
+              s"no nested field ${path.head} under $top in $dir"))
+          leafType(f.dataType, path.tail)
+        case other => throw new IllegalArgumentException(
+          s"cannot widen $name: ${path.head}'s parent is " +
+            s"${other.simpleString}, not a struct")
+      }
+    def swapLeaf(dt: org.apache.spark.sql.types.DataType,
+        path: Seq[String]): org.apache.spark.sql.types.DataType =
+      if (path.isEmpty) newType
+      else dt match {
+        case st: org.apache.spark.sql.types.StructType =>
+          org.apache.spark.sql.types.StructType(st.fields.map { f =>
+            if (f.name == path.head)
+              f.copy(dataType = swapLeaf(f.dataType, path.tail))
+            else f
+          })
+        case other => other // unreachable: leafType validated the path
+      }
+    val cur = leafType(snapSchema(top).dataType, segs.tail)
     require(widenOk(cur, newType),
       s"cannot change column $name of $dir from ${cur.simpleString} to " +
         s"${newType.simpleString}: only LOSSLESS widenings are " +
@@ -1478,13 +1533,14 @@ object Versioned {
         "double, decimal scale/precision growth, integral -> decimal " +
         "with enough digits) — narrowing or string<->numeric changes " +
         "need an explicit rewrite (CREATE TABLE ... AS SELECT CAST)")
+    val newTopType = swapLeaf(snapSchema(top).dataType, segs.tail)
     // the pin: every visible DATA column (partition columns excluded)
     // under its PHYSICAL name, with the widened type swapped in
     val pin = org.apache.spark.sql.types.StructType(
       snapSchema.fields.toSeq
         .filterNot(f => parts.contains(f.name))
         .map { f =>
-          val t = if (f.name == name) newType else f.dataType
+          val t = if (f.name == top) newTopType else f.dataType
           org.apache.spark.sql.types.StructField(
             meta.renames.getOrElse(f.name, f.name), t, f.nullable)
         })
@@ -1506,7 +1562,8 @@ object Versioned {
     // store lo/hi as DOUBLE — type-agnostic, they carry.
     val physName = meta.renames.getOrElse(name, name)
     val rebasedBloom: Option[Path] =
-      try resolveSidecarRefs(spark, dir, "bloom", v) match {
+      if (segs.length > 1) None // nested fields are never bloom-tracked
+      else try resolveSidecarRefs(spark, dir, "bloom", v) match {
         case Some(rows) if !rows.filter(col("col") === physName).isEmpty =>
           val dst = fullSidecarPath(dir, "bloom", v + 1)
           rows.filter(col("col") =!= physName)
@@ -1682,7 +1739,8 @@ object Versioned {
       return v + 1
     }
     // full rewrite under the new layout: MOR tombstones fold away
-    val rows = snapshot(spark, dir, v)
+    // (snapshotAll: the hidden row-tracking id must survive the rewrite)
+    val rows = snapshotAll(spark, dir, v)
     val newFiles = writeStagedFiles(spark, fs, dir,
       toPhysical(meta0, rows).repartition(newKeys.map(col): _*), newKeys)
     writeCommit(fs, dir, v + 1, newFiles, live,
@@ -1758,7 +1816,12 @@ object Versioned {
           "start/step declaration has exhausted the 64-bit id space")
     meta.idents.foreach { case (name, r) =>
       if (!out.columns.contains(name)) {
-        require(!forMerge,
+        // the ENGINE-HIDDEN row-tracking id is exempt from the merge
+        // refusal: the engine owns it outright, so a merge batch gets
+        // FRESH ids upfront (matched rows are whole-row replacements —
+        // id reassignment — which is why the rid-keyed change feed
+        // emits delete+insert instead of update pairs)
+        require(!forMerge || name == RowIdCol,
           s"$what: a merge into an IDENTITY table must carry $name " +
             "explicitly — a merge's output cannot attribute which rows " +
             "are inserts (assign ids upstream on a BY DEFAULT identity, " +
@@ -1795,7 +1858,11 @@ object Versioned {
         out = spark.createDataFrame(rdd, schema2)
         if (n > 0L) rules += name -> r.copy(hw = Some(last))
       } else {
-        require(r.allowExplicit,
+        // the engine-hidden row-tracking id is supplied BY THE ENGINE
+        // on replica application (a CDF increment's rows carry the
+        // source's ids, and the replica must store exactly those) —
+        // the hw-sync below keeps later local assignments collision-free
+        require(r.allowExplicit || name == RowIdCol,
           s"$what: column $name is GENERATED ALWAYS AS IDENTITY — the " +
             "engine owns its values; omit the column (BY DEFAULT " +
             "identities accept supplied values)")
@@ -1843,6 +1910,9 @@ object Versioned {
       s"$name already carries a GENERATED/DEFAULT rule on $dir")
     require(!meta.idents.contains(name),
       s"$name is already an IDENTITY column of $dir")
+    require(!name.startsWith("__graft_"),
+      s"column name $name: the __graft_ prefix is engine-owned — " +
+        "enableRowTracking() declares the hidden id")
     val snapSchema = snapshot(spark, dir, v).schema
     require(snapSchema.fieldNames.contains(name), s"no column $name in $dir")
     require(snapSchema(name).dataType ==
@@ -2251,6 +2321,19 @@ object Versioned {
     * select, so renamed columns read under their logical names and
     * dropped columns never surface (or get scanned). */
   def snapshot(spark: SparkSession, dir: String, version: Long = -1L): DataFrame = {
+    val s = snapshotAll(spark, dir, version)
+    // ROW TRACKING's engine-owned id is a physical column users never
+    // see — every mutation path reads [[snapshotAll]] so the id
+    // CARRIES through rewrites; only this public read boundary (and
+    // the catalog schema derived from it) hides it
+    if (s.columns.contains(RowIdCol)) s.drop(RowIdCol) else s
+  }
+
+  /** [[snapshot]] INCLUDING engine-hidden columns (the row-tracking
+    * id) — the read every rewrite path uses, so engine-owned state
+    * survives COW updates, merges, re-specs and OPTIMIZE. */
+  private[graft] def snapshotAll(spark: SparkSession, dir: String,
+      version: Long = -1L): DataFrame = {
     val v = if (version >= 0) version else currentVersion(spark, dir)
     snapshotUnderMeta(spark, dir, v, v)
   }
@@ -2554,7 +2637,7 @@ object Versioned {
       toVersion: Long, rowKey: Seq[String]): DataFrame =
     // the target's files under the CURRENT column mapping — the diff
     // must compare like-named columns even across a rename
-    rowDiff(snapshot(spark, dir, v),
+    rowDiff(snapshotAll(spark, dir, v),
       snapshotUnderMeta(spark, dir, toVersion, v), rowKey)
 
   /** The Delta-CDF action rows that turn `cur0` into `tgt0`, classed
@@ -2823,10 +2906,12 @@ object Versioned {
       val writeMeta = meta0.copy(renames = meta0.renames ++ autoRen)
       val (physBatch, pinOut) = conformToPinned(writeMeta,
         toPhysical(writeMeta, batch), partitionKeys, "overwrite batch")
+      val (shapedOw, rowCapOw) =
+        shapeForWrite(spark, dir, physBatch, partitionKeys)
       val newFiles = writeStagedFiles(spark, fs, dir,
-        clusterByKeys(physBatch, partitionKeys), partitionKeys)
+        shapedOw, partitionKeys, maxRecordsPerFile = rowCapOw)
       val autoInc = meta0.cdf.map { key =>
-        writeChangeInc(spark, dir, rowDiff(snapshot(spark, dir, v),
+        writeChangeInc(spark, dir, rowDiff(snapshotAll(spark, dir, v),
           batch, key))
       }
       val live = filesAt(spark, dir, v)
@@ -2993,8 +3078,10 @@ object Versioned {
       val writeMeta = meta0.copy(renames = meta0.renames ++ autoRen)
       val (physBatch, pinOut) = conformToPinned(writeMeta,
         toPhysical(writeMeta, batch), partitionKeys, "append batch")
+      val (shapedAp, rowCapAp) =
+        shapeForWrite(spark, dir, physBatch, partitionKeys)
       val newFiles = writeStagedFiles(spark, fs, dir,
-        clusterByKeys(physBatch, partitionKeys), partitionKeys)
+        shapedAp, partitionKeys, maxRecordsPerFile = rowCapAp)
       // table-property CDF: a blind append's increment is its own rows
       // as inserts; published by whichever CAS attempt wins below
       val autoInc = meta0.cdf.map { _ =>
@@ -3067,6 +3154,9 @@ object Versioned {
         }
       }
       maybeWriteIncStats(spark, dir, committed - 1, newFiles, statsCols)
+      // cross-batch small-file folding (the firehose path) — a no-op
+      // unless spark.graft.write.autoCompact asks for it
+      maybeAutoCompact(spark, dir, partitionKeys)
       committed
     } finally batch0.unpersist()
   }
@@ -3093,7 +3183,7 @@ object Versioned {
       s"versions $fromV..$toV of $dir removed ${removed.size} files — not " +
         "append-only: consume the change feed instead")
     val added = to.filterNot(from)
-    if (added.isEmpty) snapshot(spark, dir, toV).limit(0)
+    if (added.isEmpty) snapshotAll(spark, dir, toV).limit(0)
     else applyColumnMapping(metaAt(spark, dir, toV),
       readRefs(spark, dir, added,
         pinned = metaAt(spark, dir, toV).pinned))
@@ -3124,17 +3214,84 @@ object Versioned {
     rel
   }
 
+  /** ROW TRACKING (Delta's row tracking on this protocol): declares
+    * the engine-hidden [[RowIdCol]] identity and BACKFILLS every
+    * existing row with a unique id in ONE rewrite commit (the same
+    * one-time cost Delta's row-tracking backfill pays). From here on
+    * every write path assigns ids to new rows (the `#ident`
+    * machinery), every rewrite path carries them ([[snapshotAll]]),
+    * and [[enableChangeFeed]] with an EMPTY rowKey keys the change
+    * feed by them — keyless CDF. The id is invisible to [[snapshot]]
+    * and the SQL schema. Refuses under pending MOR deletes (the
+    * backfill rewrite would materialize them with surprise scope —
+    * materializeDeletes() first, explicitly). Idempotent. */
+  def enableRowTracking(spark: SparkSession, dir: String,
+      commitTs: Long = System.currentTimeMillis()): Long = {
+    val v = init(spark, dir, commitTs)
+    val meta0 = metaAt(spark, dir, v)
+    if (meta0.idents.contains(RowIdCol)) return v // already tracking
+    require(deleteFilesAt(spark, dir, v).isEmpty,
+      s"enableRowTracking on $dir under pending MOR deletes would fold " +
+        "them into the backfill rewrite: materializeDeletes() first")
+    val rule = IdentRule(1L, 1L, None, allowExplicit = false)
+    val live = filesAt(spark, dir, v)
+    val fs = fsOf(spark, dir)
+    if (live.isEmpty) {
+      // empty table: the rule alone — the first write assigns from 1
+      writeCommit(fs, dir, v + 1, Nil, Nil,
+        carryMeta(spark, dir, v, commitTs, None, Nil,
+          "enable-row-tracking").copy(idents =
+            meta0.idents + (RowIdCol -> rule)))
+      return v + 1
+    }
+    // the backfill: ONE rewrite assigning dense ids to every existing
+    // row, through the same assignment pass every later write uses
+    val keys = layoutKeys(meta0, live)
+    val snap = snapshotAll(spark, dir, v).persist()
+    try {
+      val (withIds, adv) = applyIdentity(spark,
+        meta0.copy(idents = Map(RowIdCol -> rule)), snap,
+        "enable-row-tracking backfill")
+      val (phys, pinOut) = conformToPinned(meta0,
+        toPhysical(meta0, withIds), keys, "row-tracking backfill")
+      val newFiles = writeStagedFiles(spark, fs, dir,
+        clusterByKeys(phys, keys), keys)
+      writeCommit(fs, dir, v + 1, newFiles, live,
+        carryMeta(spark, dir, v, commitTs, None, Nil,
+          "enable-row-tracking").copy(
+            idents = meta0.idents ++ adv,
+            pinnedSchema = pinOut.orElse(meta0.pinnedSchema)))
+      v + 1
+    } finally snap.unpersist()
+  }
+
+  /** Is the engine-hidden row id in force at `version`? */
+  def rowTrackingEnabled(spark: SparkSession, dir: String,
+      version: Long = -1L): Boolean = {
+    val v = if (version >= 0) version else currentVersion(spark, dir)
+    require(v >= 0, s"no manifest in $dir — call init() first")
+    metaAt(spark, dir, v).idents.contains(RowIdCol)
+  }
+
   /** Enable the change feed as a table property: `rowKey` is the row
     * identity every increment resolves against (and the key replicas
-    * apply with). Metadata-only commit; bumps the reader protocol
-    * floor to 1 so pre-CDF builds refuse rather than commit holes. */
-  def enableChangeFeed(spark: SparkSession, dir: String, rowKey: Seq[String],
+    * apply with). An EMPTY rowKey enables KEYLESS CDF: the engine's
+    * own row ids key the feed ([[enableRowTracking]] runs first —
+    * including its one-time backfill rewrite — if not already on).
+    * Metadata-only commit otherwise; bumps the reader protocol floor
+    * to 1 so pre-CDF builds refuse rather than commit holes. */
+  def enableChangeFeed(spark: SparkSession, dir: String,
+      rowKey: Seq[String] = Nil,
       commitTs: Long = System.currentTimeMillis()): Long = {
-    require(rowKey.nonEmpty, "enableChangeFeed needs the table's row identity")
+    if (rowKey.isEmpty) {
+      enableRowTracking(spark, dir, commitTs)
+      return enableChangeFeed(spark, dir, Seq(RowIdCol), commitTs)
+    }
     val v = init(spark, dir, commitTs)
     val prev = metaAt(spark, dir, v)
     require(prev.cdf.isEmpty, s"change feed already enabled on $dir")
-    val missing = rowKey.filterNot(snapshot(spark, dir, v).columns.contains)
+    val missing = rowKey
+      .filterNot(snapshotAll(spark, dir, v).columns.contains)
     require(missing.isEmpty,
       s"enableChangeFeed rowKey columns not in $dir: ${missing.mkString(", ")}")
     val live = filesAt(spark, dir, v)
@@ -3174,7 +3331,10 @@ object Versioned {
   private val RowNeutralOps = Set("optimize", "materialize",
     "add-constraint", "drop-constraint", "enable-cdf", "disable-cdf",
     "rename-column", "drop-column", "change-partition-spec",
-    "add-generated", "drop-generated")
+    "add-generated", "drop-generated",
+    // the row-tracking backfill rewrites every file but changes no
+    // logical row — a follower skips it like any OPTIMIZE
+    "enable-row-tracking")
 
   /** Version `v`'s published change increment: Some(CDF action rows)
     * when the commit carried one, None when the commit was row-neutral
@@ -3217,7 +3377,7 @@ object Versioned {
           .withColumn("_commit_version", lit(v)))
     }
     if (parts.isEmpty)
-      snapshot(spark, dir, toV).limit(0)
+      snapshotAll(spark, dir, toV).limit(0)
         .withColumn("_action", lit(""))
         .withColumn("_commit_version", lit(0L))
     else parts.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
@@ -4126,7 +4286,7 @@ object Versioned {
     }
     // keys resolve against the MOR snapshot: already-deleted rows
     // can't be re-tombstoned, and the pred sees what a reader sees
-    val deletedRows = snapshot(spark, dir, v).filter(pred)
+    val deletedRows = snapshotAll(spark, dir, v).filter(pred)
     val keys = deletedRows.select(keyCols.map(col): _*).distinct()
     if (keys.isEmpty) {
       // replay after a crash between a prior commit and its promote:
@@ -4228,6 +4388,137 @@ object Versioned {
   private def clusterByKeys(df: DataFrame, keys: Seq[String]): DataFrame =
     if (keys.isEmpty) df else df.repartition(keys.map(col): _*)
 
+  // ---- write-side file sizing (Delta's optimizeWrite) ---------------
+  // With `spark.graft.write.optimizeWrite=true`, append/overwrite/merge
+  // output is REPARTITIONED TO THE BYTE TARGET before the staged write
+  // (`spark.graft.optimize.targetFileSize`, the same knob OPTIMIZE
+  // honors): an unpartitioned firehose batch stops landing one file
+  // per shuffle partition, and a skewed partition key splits into
+  // ~ceil(bytes/target) slices instead of one oversized file. The
+  // bytes-per-row calibration comes from the table's OWN stats rail
+  // (sum bytes / sum rows over covered live files — zero data IO); an
+  // uncalibrated table (no stats yet) writes unshaped, and the rail
+  // the first commits establish calibrates every later one. Off by
+  // default: fixtures and specs that deliberately fan files out keep
+  // their layout.
+  private[lake] def diskBytesPerRow(spark: SparkSession,
+      dir: String): Option[Double] =
+    try {
+      if (currentVersion(spark, dir) < 0) return None
+      val r = statsAt(spark, dir).dropDuplicates("file")
+        .filter(col("bytes") >= 0L && col("rows") > 0L)
+        .agg(sum("bytes").as("b"), sum("rows").as("r")).collect()(0)
+      if (r.isNullAt(0) || r.getLong(1) <= 0L) None
+      else Some(math.max(1.0, r.getLong(0).toDouble / r.getLong(1)))
+    } catch { case _: IllegalArgumentException => None }
+
+  private def writeTargetBytes(spark: SparkSession): Option[Long] = {
+    if (!spark.conf.get("spark.graft.write.optimizeWrite", "false")
+        .toBoolean) return None
+    val raw = spark.conf.get("spark.graft.optimize.targetFileSize", "1g")
+    val b = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
+    if (b <= 0L) None else Some(b)
+  }
+
+  /** [[clusterByKeys]] with the optimizeWrite shaping applied when the
+    * conf asks for it and the stats rail can calibrate; `(shaped df,
+    * per-file row cap)` — the cap rides `maxRecordsPerFile` so one
+    * straggler task still splits at the target (with 20% slack: the
+    * cap exists to split GROSSLY oversized tasks, and round-robin /
+    * salt imbalance of a few rows must not shave off a sliver file). */
+  private def shapeForWrite(spark: SparkSession, dir: String,
+      batch: DataFrame, keys: Seq[String]): (DataFrame, Option[Long]) = {
+    val target = writeTargetBytes(spark)
+    val bpr = target.flatMap(_ => diskBytesPerRow(spark, dir))
+    (target, bpr) match {
+      case (Some(t), Some(b)) =>
+        val rowsPerFile = math.max(1L, (t / b).toLong)
+        val rowCap = rowsPerFile + math.max(1L, rowsPerFile / 5)
+        if (keys.isEmpty) {
+          val n = batch.count()
+          val slices = math.max(1, math.min(4096L,
+            (n + rowsPerFile - 1) / rowsPerFile)).toInt
+          (batch.repartition(slices), Some(rowCap))
+        } else {
+          // per-key slice counts (driver-bounded by partition-key
+          // cardinality, the dynamic-partition-overwrite class); the
+          // salt spreads an oversized key across ceil(bytes/target)
+          // writers, deterministically (hash of the full row)
+          val counts = batch.groupBy(keys.map(col): _*).count().collect()
+          val slicesRows = counts.map { r =>
+            val k = keys.indices.map(r.get)
+            val slices = math.max(1L, math.min(4096L,
+              (r.getLong(keys.length) + rowsPerFile - 1) / rowsPerFile))
+            org.apache.spark.sql.Row.fromSeq(k :+ slices)
+          }
+          val total = slicesRows.map(_.getLong(keys.length)).sum
+          if (total <= counts.length) {
+            // nothing oversized: one slice per key — plain key
+            // clustering already gives exactly that layout
+            (clusterByKeys(batch, keys), Some(rowCap))
+          } else {
+            val keyFields = keys.map(k =>
+              org.apache.spark.sql.types.StructField(k,
+                batch.schema(k).dataType))
+            val slicesDf = spark.createDataFrame(
+              spark.sparkContext.parallelize(slicesRows.toSeq, 1),
+              org.apache.spark.sql.types.StructType(keyFields :+
+                org.apache.spark.sql.types.StructField("__ow_slices",
+                  org.apache.spark.sql.types.LongType)))
+            val salted = batch
+              .join(broadcast(slicesDf), keys, "left")
+              .withColumn("__ow_salt",
+                pmod(hash(batch.columns.map(col): _*),
+                  coalesce(col("__ow_slices"), lit(1L))))
+              .drop("__ow_slices")
+            val shaped = salted.repartition(
+                math.min(4096L, math.max(total,
+                  spark.sessionState.conf.numShufflePartitions.toLong))
+                  .toInt,
+                (keys :+ "__ow_salt").map(col): _*)
+              .drop("__ow_salt")
+            (shaped, Some(rowCap))
+          }
+        }
+      case _ => (clusterByKeys(batch, keys), None)
+    }
+  }
+
+  /** Post-commit AUTO-COMPACT (Delta's autoCompact, best-effort): with
+    * `spark.graft.write.autoCompact=true`, an append that leaves at
+    * least `spark.graft.write.autoCompact.minFiles` (default 8) live
+    * files under HALF the byte target triggers a synchronous binpack
+    * OPTIMIZE scoped to exactly those small files — the cross-batch
+    * half of the small-files treadmill (optimizeWrite shapes within a
+    * batch; a trickle of one-file commits still needs folding). Sizes
+    * come from the manifest rail (zero FS probes); files the rail
+    * cannot size are left alone. Best-effort: a concurrent commit or
+    * IO error must never fail the append that already committed. */
+  private def maybeAutoCompact(spark: SparkSession, dir: String,
+      partitionKeys: Seq[String]): Unit = {
+    if (!spark.conf.get("spark.graft.write.autoCompact", "false")
+        .toBoolean) return
+    val target = {
+      val raw = spark.conf.get("spark.graft.optimize.targetFileSize", "1g")
+      val b = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
+      if (b <= 0L) return else b
+    }
+    val minFiles = spark.conf
+      .get("spark.graft.write.autoCompact.minFiles", "8").toInt
+    try {
+      val sizes = fileSizesKnown(spark, dir)
+      val small = filesAt(spark, dir)
+        .filter(f => sizes.get(f).exists(_ < target / 2))
+      if (small.size >= minFiles)
+        optimize(spark, dir, partitionKeys,
+          targetFileSizeBytes = Some(target),
+          onlyFiles = Some(small.toSet))
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(
+        s"auto-compact of $dir skipped: ${e.getMessage}")
+    }
+  }
+
   /** SQL `UPDATE ... SET ... WHERE ...` as ONE copy-on-write commit:
     * only partitions physically holding a matching row are rewritten
     * from the MOR snapshot (the same scope class as a merge — a
@@ -4251,10 +4542,12 @@ object Versioned {
       partitionKeys: Seq[String],
       commitTs: Long = System.currentTimeMillis()): Long = {
     require(assignments.nonEmpty, "updateWhere needs at least one assignment")
+    require(!assignments.contains(RowIdCol),
+      s"$RowIdCol is the engine-owned row-tracking id — not assignable")
     val v = init(spark, dir, commitTs)
     val meta0 = metaAt(spark, dir, v)
     checkPartitionSpec(meta0, partitionKeys, "updateWhere")
-    val snap = snapshot(spark, dir, v)
+    val snap = snapshotAll(spark, dir, v)
     val cols = snap.columns.toSeq
     val unknown = assignments.keySet -- cols.toSet
     require(unknown.isEmpty,
@@ -4347,10 +4640,15 @@ object Versioned {
       "updateWhereVectors needs at least one assignment")
     val v = init(spark, dir, commitTs)
     val meta0 = metaAt(spark, dir, v)
+    require(!assignments.contains(RowIdCol),
+      s"$RowIdCol is the engine-owned row-tracking id — not assignable")
     checkPartitionSpec(meta0, partitionKeys, "updateWhereVectors")
     val live = filesAt(spark, dir, v)
     if (live.isEmpty) return v
-    val cols = snapshot(spark, dir, v).columns.toSeq
+    // snapshotAll: the hidden row-tracking id must survive into the
+    // DV update's post-images (a DV update keeps ids STABLE — the
+    // post-image row is the pre-image with assignments applied)
+    val cols = snapshotAll(spark, dir, v).columns.toSeq
     val unknown = assignments.keySet -- cols.toSet
     require(unknown.isEmpty,
       s"updateWhereVectors assigns unknown column(s): ${unknown.mkString(", ")}")
@@ -4445,7 +4743,7 @@ object Versioned {
     val v = init(spark, dir, commitTs)
     val meta0 = metaAt(spark, dir, v)
     checkPartitionSpec(meta0, partitionKeys, "deleteWhereCow")
-    val snap = snapshot(spark, dir, v)
+    val snap = snapshotAll(spark, dir, v)
     val hit = coalesce(pred, lit(false))
     cowScope(snap, hit, partitionKeys) match {
       case None => v // nothing matched: no-op, no commit
@@ -4635,7 +4933,7 @@ object Versioned {
         return v + 1
       case Some(s) => s
     }
-    val clean = snapshot(spark, dir, v).filter(affectedPred)
+    val clean = snapshotAll(spark, dir, v).filter(affectedPred)
     val newFiles = writeStagedFiles(spark, fs, dir,
       clusterByKeys(toPhysical(metaAt(spark, dir, v), clean), partitionKeys),
       partitionKeys)
@@ -4746,7 +5044,7 @@ object Versioned {
       val keys = batch.select(rowKey.map(col): _*).distinct()
       // resolved CDF actions — the one base scan, feed-attached only
       def resolveActions(): DataFrame = {
-        val snap = snapshot(spark, dir, v)
+        val snap = snapshotAll(spark, dir, v)
         val snapKeys = snap.select(rowKey.map(col): _*).distinct()
         val updKeys = batch.filter(!del)
           .select(rowKey.map(col): _*).distinct()
@@ -4771,10 +5069,20 @@ object Versioned {
           resolveActions(), v)
       }
       val autoInc = meta0.cdf.map { key =>
-        require(key.sorted == rowKey.sorted,
-          s"table-managed change feed of $dir is keyed (${key.mkString(", ")}) " +
-            s"but this merge resolves on (${rowKey.mkString(", ")}) — keys must agree")
-        writeChangeInc(spark, dir, resolveActions())
+        if (key == Seq(RowIdCol))
+          // keyless (row-tracked) feed: the MOR merge rewrites every
+          // matched row as a fresh-id append — same delete+insert
+          // algebra as the COW path (see its note)
+          writeChangeInc(spark, dir, resolveActions().withColumn("_action",
+            when(col("_action") === "update_postimage", lit("insert"))
+              .when(col("_action") === "update_preimage", lit("delete"))
+              .otherwise(col("_action"))))
+        else {
+          require(key.sorted == rowKey.sorted,
+            s"table-managed change feed of $dir is keyed (${key.mkString(", ")}) " +
+              s"but this merge resolves on (${rowKey.mkString(", ")}) — keys must agree")
+          writeChangeInc(spark, dir, resolveActions())
+        }
       }
       // the scoped tombstone: ONE small file of the batch's keys
       val delRel = f"_deletes/v${v + 1}%06d_" +
@@ -4796,9 +5104,12 @@ object Versioned {
         toPhysical(writeMeta, inserts), partitionKeys, "merge-mor batch")
       val newFiles =
         if (inserts.isEmpty) Nil
-        else writeStagedFiles(spark, fs, dir,
-          clusterByKeys(physInserts, partitionKeys),
-          partitionKeys)
+        else {
+          val (shapedIns, rowCapIns) =
+            shapeForWrite(spark, dir, physInserts, partitionKeys)
+          writeStagedFiles(spark, fs, dir, shapedIns, partitionKeys,
+            maxRecordsPerFile = rowCapIns)
+        }
       val scoped = delFiles.map(p => s"$p @${v + 1}")
       beforeCommitHook()
       try {
@@ -4979,7 +5290,7 @@ object Versioned {
       // planning time); the MOR snapshot already excludes tombstoned
       // rows, so the rewrite materializes them away for free
       val res = graft.ops.MergeData.resolveMerge(
-        snapshot(spark, dir, v), batch, partitionKeys, rowKey, del)
+        snapshotAll(spark, dir, v), batch, partitionKeys, rowKey, del)
       // dedup against the batch scope by RENDERED DIRECTORY (the same
       // normalization the write produces) — row-value equality would be
       // type-brittle across a collected batch vs a path-inferred scan
@@ -5010,7 +5321,7 @@ object Versioned {
             }.reduce(_ && _)
           }.reduce(_ || _)
           res.merged.unionByName(
-            snapshot(spark, dir, v).filter(extraPred),
+            snapshotAll(spark, dir, v).filter(extraPred),
             allowMissingColumns = true)
         }
 
@@ -5027,11 +5338,24 @@ object Versioned {
       // published BY the manifest CAS below (`#cdfinc`) — crash-atomic,
       // nothing to promote or discard
       val autoInc = meta0.cdf.map { key =>
-        require(key.sorted == rowKey.sorted,
-          s"table-managed change feed of $dir is keyed (${key.mkString(", ")}) " +
-            s"but this merge resolves on (${rowKey.mkString(", ")}) — keys must agree")
-        writeChangeInc(spark, dir,
-          graft.ops.MergeData.resolveFeedActions(res, batch, rowKey, del))
+        val acts = graft.ops.MergeData.resolveFeedActions(res, batch,
+          rowKey, del)
+        if (key == Seq(RowIdCol))
+          // keyless (row-tracked) feed: a COW merge REASSIGNS row ids
+          // on matched rows (whole-row replacement), so update pairs
+          // cannot share an id — emit the id-honest delete+insert
+          // algebra instead (a replica keyed by the id converges:
+          // delete the old id's row, insert the new id's row)
+          writeChangeInc(spark, dir, acts.withColumn("_action",
+            when(col("_action") === "update_postimage", lit("insert"))
+              .when(col("_action") === "update_preimage", lit("delete"))
+              .otherwise(col("_action"))))
+        else {
+          require(key.sorted == rowKey.sorted,
+            s"table-managed change feed of $dir is keyed (${key.mkString(", ")}) " +
+              s"but this merge resolves on (${rowKey.mkString(", ")}) — keys must agree")
+          writeChangeInc(spark, dir, acts)
+        }
       }
 
       // write new files through the writer-private staging dir — the
@@ -5043,9 +5367,10 @@ object Versioned {
       val writeMeta = meta0.copy(renames = meta0.renames ++ autoRen)
       val (physWrite, pinOut) = conformToPinned(writeMeta,
         toPhysical(writeMeta, toWrite), partitionKeys, "merge batch")
+      val (shapedMg, rowCapMg) =
+        shapeForWrite(spark, dir, physWrite, partitionKeys)
       val newFiles = writeStagedFiles(spark, fs, dir,
-        clusterByKeys(physWrite, partitionKeys),
-        partitionKeys)
+        shapedMg, partitionKeys, maxRecordsPerFile = rowCapMg)
 
       // COMMIT, with a COMMIT-ONLY retry when a concurrent writer wins
       // the CAS on DISJOINT partitions (append's discipline, extended

@@ -5954,6 +5954,169 @@ object LakeQueries {
                (SELECT count(*) FROM e WHERE user_id % 7 <> 0)
                  AS n_after_dv
         FROM e"""),
-      "metadata-only aggregates: count(*)/count(k)/min/max from the stats rail via DSv2 pushdown (zero-scan require()d: served counter + parquet-free plan), residual-predicate bail require()d, DV-adjusted count == MOR snapshot require()d; all values hash vs DuckDB")
+      "metadata-only aggregates: count(*)/count(k)/min/max from the stats rail via DSv2 pushdown (zero-scan require()d: served counter + parquet-free plan), residual-predicate bail require()d, DV-adjusted count == MOR snapshot require()d; all values hash vs DuckDB"),
+
+    // ---------------------------------------------------------------
+    // KEYLESS CDF via ROW TRACKING — enableChangeFeed with NO row key
+    // (SQL spelling: the empty graft.changeFeed.keys property): the
+    // engine backfills hidden row ids, every SQL UPDATE / DELETE /
+    // MERGE publishes id-keyed increments, and a replica converges
+    // with no user key anywhere (require()d row-for-row, ids
+    // included). The ids never leak into the SQL schema (require()d).
+    // The surviving business rows hash against DuckDB recomputing the
+    // same mutation sequence relationally.
+    // ---------------------------------------------------------------
+    Q("q226_keyless_cdf",
+      (s, dir) => {
+        graft.GraftExtensions.register(s)
+        s.conf.set("spark.sql.catalog.gsql", "graft.sources.GraftCatalog")
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val root = new File(new File(sys.props("user.dir"), "target"),
+          s"graft_kcdfq_$tag")
+        val lake = new File(root, "t").getAbsolutePath
+        val rep = new File(root, "rep").getAbsolutePath
+        LakeQueries.synchronized {
+          val fs = new org.apache.hadoop.fs.Path(root.getAbsolutePath)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(root.getAbsolutePath), true)
+          val base = Tables(s, dir, "events").select(MergeCols.map(col): _*)
+            .filter(col("event_type").isin("click", "view"))
+          base.createOrReplaceTempView("q226_src")
+          s.sql(s"CREATE TABLE gsql.`$lake` PARTITIONED BY (event_type) " +
+            "AS SELECT event_id, user_id, value, event_type FROM q226_src")
+          // KEYLESS enable through the SQL property surface: empty key
+          // list = row tracking (backfill rewrite) + id-keyed feed
+          s.sql(s"ALTER TABLE gsql.`$lake` " +
+            "SET TBLPROPERTIES ('graft.changeFeed.keys' = '')")
+          require(Versioned.changeFeedKey(s, lake)
+              .contains(Seq(Versioned.RowIdCol)),
+            "the empty key property must enable the id-keyed feed")
+          require(!s.sql(s"SELECT * FROM gsql.`$lake` LIMIT 1").columns
+              .contains(Versioned.RowIdCol),
+            "the hidden row id must not leak into the SQL schema")
+          val seedV = Versioned.currentVersion(s, lake)
+          // replica seeded from the id-carrying snapshot, then the full
+          // SQL mutation mix — no user key anywhere
+          MergeData.writeMerged(s, Versioned.snapshotAll(s, lake, seedV),
+            rep, keys = Seq("event_type"))
+          Versioned.init(s, rep)
+          s.sql(s"UPDATE gsql.`$lake` SET value = value * 2 " +
+            "WHERE user_id % 5 = 0")
+          s.sql(s"DELETE FROM gsql.`$lake` WHERE user_id % 7 = 3")
+          base.filter(col("user_id") % 11 === 0)
+            .withColumn("value", lit(-1.0))
+            .createOrReplaceTempView("q226_mrg")
+          s.sql(
+            s"""MERGE INTO gsql.`$lake` t USING q226_mrg m
+               |ON t.event_type = m.event_type AND t.event_id = m.event_id
+               |WHEN MATCHED THEN UPDATE SET *
+               |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+          val cur = Versioned.applyTableChangesVersioned(s, lake, rep,
+            Seq("event_type"), seedV)
+          require(cur == Versioned.currentVersion(s, lake))
+          val srcAll = Versioned.snapshotAll(s, lake)
+          val repAll = Versioned.snapshotAll(s, rep)
+          require(srcAll.unionByName(repAll).distinct().count() ==
+            srcAll.count() && srcAll.count() == repAll.count(),
+            "the keyless replica must converge row-for-row, ids included")
+          val ids = srcAll.agg(
+            countDistinct(col(Versioned.RowIdCol)).as("d"),
+            count(lit(1)).as("n")).collect()(0)
+          require(ids.getLong(0) == ids.getLong(1),
+            "row ids must stay unique across the mutation mix")
+        }
+        Versioned.snapshot(s, lake)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("value")), 4).as("sum_value"),
+            sum(col("user_id")).as("sum_user"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH base AS (SELECT event_id, user_id, value::DOUBLE AS value,
+                             event_type FROM events
+                      WHERE event_type IN ('click','view')),
+        u AS (SELECT event_id, user_id,
+                     CASE WHEN user_id % 5 = 0 THEN value * 2
+                          ELSE value END AS value, event_type FROM base),
+        d AS (SELECT * FROM u WHERE user_id % 7 <> 3),
+        mk AS (SELECT event_id, user_id, -1.0::DOUBLE AS value, event_type
+               FROM base WHERE user_id % 11 = 0),
+        m AS (SELECT * FROM d WHERE NOT EXISTS (
+                SELECT 1 FROM mk WHERE mk.event_type = d.event_type
+                  AND mk.event_id = d.event_id)
+              UNION ALL SELECT * FROM mk)
+        SELECT event_type, count(*) AS n,
+               round(sum(value), 4) AS sum_value,
+               sum(user_id)::BIGINT AS sum_user
+        FROM m GROUP BY 1 ORDER BY 1"""),
+      "keyless CDF: SQL empty-key property enables row tracking (hidden id backfill) + id-keyed feed; SQL UPDATE/DELETE/MERGE replicate onto a keyless replica (row-for-row convergence incl. ids require()d, id uniqueness require()d, schema hiding require()d); survivors hash vs DuckDB"),
+
+    // ---------------------------------------------------------------
+    // NESTED TYPE WIDENING — ALTER COLUMN meta.width TYPE BIGINT as a
+    // METADATA-ONLY commit (zero files rewritten, require()d): old
+    // int32 files upcast on read through the pinned schema, wide
+    // writes land, the pre-widen version still travels narrow
+    // (require()d). The readback hashes against DuckDB computing the
+    // same values from flat columns.
+    // ---------------------------------------------------------------
+    Q("q227_nested_widening",
+      (s, dir) => {
+        graft.GraftExtensions.register(s)
+        s.conf.set("spark.sql.catalog.gsql", "graft.sources.GraftCatalog")
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val root = new File(new File(sys.props("user.dir"), "target"),
+          s"graft_nwq_$tag")
+        val lake = new File(root, "t").getAbsolutePath
+        LakeQueries.synchronized {
+          val fs = new org.apache.hadoop.fs.Path(root.getAbsolutePath)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(root.getAbsolutePath), true)
+          val base = Tables(s, dir, "events").select(MergeCols.map(col): _*)
+            .filter(col("event_type").isin("click", "view"))
+          // nest (user_id, a scaled value) into a typed struct column
+          // floor() both sides: Spark's double->int cast truncates,
+          // DuckDB's rounds — floor first makes them agree
+          base.selectExpr("event_id", "event_type",
+            "named_struct('uid', CAST(user_id AS INT), 'score', " +
+              "CAST(floor(value * 100) AS INT)) AS meta")
+            .createOrReplaceTempView("q227_src")
+          s.sql(s"CREATE TABLE gsql.`$lake` PARTITIONED BY (event_type) " +
+            "AS SELECT event_id, meta, event_type FROM q227_src")
+          val v1 = Versioned.currentVersion(s, lake)
+          val filesPre = Versioned.filesAt(s, lake).toSet
+          s.sql(s"ALTER TABLE gsql.`$lake` " +
+            "ALTER COLUMN meta.uid TYPE BIGINT")
+          require(Versioned.filesAt(s, lake).toSet == filesPre,
+            "nested widening must be metadata-only")
+          // a wide write the old type could not hold
+          s.sql(s"INSERT INTO gsql.`$lake` (event_id, meta, event_type) " +
+            "VALUES (900000001, named_struct('uid', CAST(9000000000 AS " +
+            "BIGINT), 'score', 50), 'click')")
+          // the pre-widen version still reads the NARROW type
+          require(Versioned.snapshot(s, lake, v1).schema("meta").dataType
+            .asInstanceOf[org.apache.spark.sql.types.StructType]("uid")
+            .dataType == org.apache.spark.sql.types.IntegerType,
+            "time travel must serve the pre-widen nested type")
+        }
+        s.sql(
+          s"""SELECT event_type, count(*) AS n,
+             |       sum(meta.uid) AS sum_uid,
+             |       sum(meta.score) AS sum_score,
+             |       max(meta.uid) AS max_uid
+             |FROM gsql.`$lake` GROUP BY event_type ORDER BY event_type"""
+            .stripMargin)
+      },
+      Some("""
+        WITH base AS (SELECT event_id, user_id,
+                             CAST(floor(value * 100) AS INT) AS score, event_type
+                      FROM events
+                      WHERE event_type IN ('click','view')),
+        w AS (SELECT user_id AS uid, score, event_type FROM base
+              UNION ALL SELECT 9000000000, 50, 'click')
+        SELECT event_type, count(*) AS n, sum(uid)::BIGINT AS sum_uid,
+               sum(score)::BIGINT AS sum_score, max(uid) AS max_uid
+        FROM w GROUP BY 1 ORDER BY 1"""),
+      "nested type widening: ALTER COLUMN meta.uid TYPE BIGINT metadata-only (zero files rewritten require()d), int32 files upcast through the pin, a >2^31 write lands, pre-widen version travels narrow (require()d); aggregates hash vs DuckDB")
   )
 }

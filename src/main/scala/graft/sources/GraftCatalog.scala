@@ -385,9 +385,13 @@ class GraftCatalog extends TableCatalog
       // widening (Delta's feature, the manifest's `#schema` pin):
       // lossless promotions only, refused by name otherwise
       case ut: TableChange.UpdateColumnType =>
-        require(ut.fieldNames.length == 1,
-          "graft tables have no nested columns to widen")
-        Versioned.widenColumn(spark, dir, ut.fieldNames()(0),
+        // multi-part names widen NESTED struct fields (meta.width) —
+        // same dotted addressing (and literal-dot refusal) as ADD COLUMN
+        ut.fieldNames().foreach { seg =>
+          require(!seg.contains('.'),
+            s"column name segment `$seg` contains '.': nested fields " +
+              "are addressed by dotted path — pick a dot-free name") }
+        Versioned.widenColumn(spark, dir, ut.fieldNames().mkString("."),
           ut.newDataType())
       case ud: TableChange.UpdateColumnDefaultValue =>
         // `ALTER COLUMN c SET DEFAULT expr` / `DROP DEFAULT` (Spark

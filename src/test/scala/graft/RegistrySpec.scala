@@ -31,7 +31,8 @@ class RegistrySpec extends AnyFunSuite {
     val singleRow = Set(
       "q57_catalog_staleness", // one staleness report row
       "q81_funnel",            // one funnel row
-      "q87_event_interval_join") // one count row
+      "q87_event_interval_join", // one count row
+      "q225_metadata_agg")     // one table-wide aggregate row
     val unordered = Registry.all
       .filter(q => q.oracle.exists(!_.toUpperCase.contains("ORDER BY")))
       .map(_.name).toSet

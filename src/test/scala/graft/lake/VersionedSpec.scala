@@ -3040,6 +3040,87 @@ class VersionedSpec extends SparkSpec {
       all.values.forall(_ > 0L))
   }
 
+  test("optimizeWrite: appends shape to the byte target (unpartitioned coalesce, skewed-key split); autoCompact folds a 4-batch firehose to ~ceil(bytes/target) files") {
+    def confs(ow: String, ac: String, target: String): Unit = {
+      spark.conf.set("spark.graft.write.optimizeWrite", ow)
+      spark.conf.set("spark.graft.write.autoCompact", ac)
+      spark.conf.set("spark.graft.optimize.targetFileSize", target)
+    }
+    try {
+      // ---- unpartitioned: a 16-partition batch is the 1-file-per-
+      // shuffle-partition treadmill; the shaper coalesces it ----------
+      val dir = java.nio.file.Files.createTempDirectory("graft_ow")
+        .toFile.getAbsolutePath
+      val wide = spark.range(0, 400).selectExpr("id", "rand(7) AS v")
+        .repartition(16)
+      // batch 1 UNCALIBRATED (no stats yet): writes unshaped — 16 files
+      confs("true", "false", "1g")
+      Versioned.overwrite(spark, dir, wide, Nil)
+      assert(Versioned.filesAt(spark, dir).size == 16,
+        "an uncalibrated table writes unshaped (no stats rail yet)")
+      Versioned.backfillStats(spark, dir, Seq("v"))
+      // batch 2: calibrated, huge target -> ONE file, not 16
+      Versioned.append(spark, dir, wide, Nil)
+      def addedAtHead(d: String): Seq[String] = {
+        val cur = Versioned.currentVersion(spark, d)
+        (Versioned.filesAt(spark, d, cur).toSet --
+          Versioned.filesAt(spark, d, cur - 1).toSet).toSeq
+      }
+      val v2files = addedAtHead(dir)
+      assert(v2files.size == 1,
+        s"a calibrated append under a 1g target must land 1 file, " +
+          s"got ${v2files.size}")
+      // tiny target -> ~ceil split (round-robin: exact)
+      val bpr = Versioned.diskBytesPerRow(spark, dir).get
+      confs("true", "false", math.ceil(bpr * 100).toLong.toString)
+      Versioned.append(spark, dir, wide, Nil) // 400 rows -> 4 slices
+      val v3files = addedAtHead(dir)
+      assert(v3files.size == 4,
+        s"400 rows at a 100-row target must land 4 files, got ${v3files.size}")
+
+      // ---- partitioned skew: one key 10x the target splits ----------
+      val dir2 = java.nio.file.Files.createTempDirectory("graft_ow2")
+        .toFile.getAbsolutePath
+      val skewed = spark.range(0, 440)
+        .selectExpr("CASE WHEN id < 400 THEN 'big' ELSE 'tiny' END AS site",
+          "id", "rand(7) AS v")
+      confs("true", "false", "1g")
+      Versioned.overwrite(spark, dir2, skewed, Seq("site"))
+      Versioned.backfillStats(spark, dir2, Seq("v"))
+      val bpr2 = Versioned.diskBytesPerRow(spark, dir2).get
+      confs("true", "false", math.ceil(bpr2 * 100).toLong.toString)
+      Versioned.append(spark, dir2, skewed, Seq("site"))
+      val added = addedAtHead(dir2)
+      val bigFiles = added.count(_.contains("site=big"))
+      val tinyFiles = added.count(_.contains("site=tiny"))
+      assert(bigFiles >= 3 && bigFiles <= 6,
+        s"the 400-row key at a 100-row target must split ~4 ways, " +
+          s"got $bigFiles")
+      assert(tinyFiles == 1, s"the 40-row key stays one file, got $tinyFiles")
+
+      // ---- the 4-batch firehose: autoCompact folds cross-batch ------
+      val dir3 = java.nio.file.Files.createTempDirectory("graft_ow3")
+        .toFile.getAbsolutePath
+      confs("true", "false", "1g")
+      Versioned.overwrite(spark, dir3, wide, Nil)
+      Versioned.backfillStats(spark, dir3, Seq("v"))
+      spark.conf.set("spark.graft.write.autoCompact", "true")
+      spark.conf.set("spark.graft.write.autoCompact.minFiles", "4")
+      for (_ <- 1 to 4) Versioned.append(spark, dir3, wide, Nil)
+      val finalFiles = Versioned.filesAt(spark, dir3)
+      assert(finalFiles.size <= 2,
+        s"the firehose must fold to ~ceil(bytes/target)=1 files " +
+          s"(+1 in-flight), got ${finalFiles.size}")
+      assert(Versioned.snapshot(spark, dir3).count() == 400L * 5,
+        "auto-compact must never change the row set")
+    } finally {
+      spark.conf.unset("spark.graft.write.optimizeWrite")
+      spark.conf.unset("spark.graft.write.autoCompact")
+      spark.conf.unset("spark.graft.write.autoCompact.minFiles")
+      spark.conf.unset("spark.graft.optimize.targetFileSize")
+    }
+  }
+
   test("clone carries declared clustering (copy-based rail carry)") {
     val dir = freshLake()
     Versioned.init(spark, dir)

@@ -323,6 +323,65 @@ class GraftSqlWritesSpec extends SparkSpec {
       "merge deletes must not trip the identity null refusal")
   }
 
+  test("NESTED TYPE WIDENING: ALTER COLUMN meta.width TYPE BIGINT is metadata-only — old int files upcast, wide writes land, old versions travel narrow, refusals name the rule") {
+    val root = java.nio.file.Files.createTempDirectory("graft_sqlwnw").toFile
+    root.deleteOnExit()
+    val dir = new java.io.File(root, "t").getAbsolutePath
+    spark.sql(s"CREATE TABLE ${tbl(dir)} (site STRING, id BIGINT, " +
+      "meta STRUCT<width: INT, fps: DOUBLE>) PARTITIONED BY (site)")
+    spark.sql(s"INSERT INTO ${tbl(dir)} (site, id, meta) " +
+      "VALUES ('a', 1, named_struct('width', 640, 'fps', 24.0)), " +
+      "('a', 2, NULL)")
+    val v1 = Versioned.currentVersion(spark, dir)
+    val filesPre = Versioned.filesAt(spark, dir).toSet
+    spark.sql(s"ALTER TABLE ${tbl(dir)} ALTER COLUMN meta.width TYPE BIGINT")
+    assert(Versioned.filesAt(spark, dir).toSet == filesPre,
+      "nested widening must touch no data file")
+    // the evolved schema reports LONG; old int files upcast on read
+    def widthType(v: Long = -1L) = Versioned.snapshot(spark, dir, v)
+      .schema("meta").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]("width").dataType
+    assert(widthType() == org.apache.spark.sql.types.LongType)
+    val got = spark.sql(s"SELECT id, meta.width FROM ${tbl(dir)} " +
+        "WHERE meta IS NOT NULL").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 640L)), got.toString)
+    // a genuinely wide write lands (the point of the widen)
+    spark.sql(s"INSERT INTO ${tbl(dir)} (site, id, meta) VALUES " +
+      "('a', 3, named_struct('width', 9000000000, 'fps', 30.0))")
+    assert(spark.sql(s"SELECT sum(meta.width) AS s FROM ${tbl(dir)}")
+      .collect()(0).getLong(0) == 9000000640L)
+    // a pre-widen writer's NARROW struct batch casts up through the pin
+    Versioned.append(spark, dir,
+      spark.sql("SELECT 'a' AS site, 4L AS id, " +
+        "named_struct('width', 7, 'fps', CAST(1.0 AS DOUBLE)) AS meta"),
+      Seq("site"))
+    assert(spark.sql(s"SELECT meta.width FROM ${tbl(dir)} WHERE id = 4")
+      .collect()(0).getLong(0) == 7L)
+    // the pre-widen version still travels NARROW
+    assert(widthType(v1) == org.apache.spark.sql.types.IntegerType,
+      "time travel must read the old nested type")
+    // refusals: narrowing (Spark's analyzer catches it before the
+    // catalog — either voice is a refusal), unknown leaf, non-struct
+    // parent — by name
+    val e1 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE ${tbl(dir)} ALTER COLUMN meta.fps TYPE INT") }
+    assert(e1.getMessage.contains("LOSSLESS") ||
+      e1.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"), e1.getMessage)
+    // …and the library path refuses with the lossless rule by name
+    val e1b = intercept[Exception] {
+      Versioned.widenColumn(spark, dir, "meta.fps",
+        org.apache.spark.sql.types.IntegerType) }
+    assert(e1b.getMessage.contains("LOSSLESS"), e1b.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE ${tbl(dir)} ALTER COLUMN meta.nope TYPE BIGINT") }
+    assert(e2.getMessage.toLowerCase.contains("nope"), e2.getMessage)
+    val e3 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE ${tbl(dir)} ALTER COLUMN id.sub TYPE BIGINT") }
+    assert(e3.getMessage.contains("struct") ||
+      e3.getMessage.contains("FIELD"), e3.getMessage)
+  }
+
   test("NESTED ADD COLUMN: ALTER TABLE ADD COLUMN meta.fps evolves a struct metadata-only — null-filled reads, old versions travel under the old shape, evolved writes take over physically; bad paths refuse by name") {
     val root = java.nio.file.Files.createTempDirectory("graft_sqlwnest").toFile
     root.deleteOnExit()
