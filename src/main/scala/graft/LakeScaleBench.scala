@@ -638,6 +638,66 @@ object LakeScaleBench {
       }
     }
 
+    // ---- round-17: IDENTITY/ROW-TRACKING append cost ---------------
+    // The dense id assignment pays one count job plus a Row-RDD
+    // round trip (Versioned.applyIdentity) per batch. These twin rows
+    // price that against a plain append of the SAME batch onto an
+    // identically-seeded lake, at every clone factor — the ratio is
+    // the ledger line for "what does writing into an identity table
+    // cost before someone ships TB batches into one".
+    val iSeed = base.filter(col("event_id") % 97 === 0)
+    val iPlain = work + "/ident_plain"
+    val iTracked = work + "/ident_tracked"
+    MergeData.writeMerged(spark, iSeed, iPlain, keys = Seq("event_type"))
+    Versioned.init(spark, iPlain)
+    MergeData.writeMerged(spark, iSeed, iTracked, keys = Seq("event_type"))
+    Versioned.init(spark, iTracked)
+    Versioned.enableRowTracking(spark, iTracked)
+    val iBatch = base.withColumn("event_id",
+      col("event_id") + lit(50000000000L))
+    time("ident_append_plain") {
+      Versioned.append(spark, iPlain, iBatch, Seq("event_type"))
+    }
+    time("ident_append_tracked") {
+      Versioned.append(spark, iTracked, iBatch, Seq("event_type"))
+    }
+    metrics("ident_append_ratio") = {
+      val p = metrics("ident_append_plain_sec").asInstanceOf[Double]
+      val t = metrics("ident_append_tracked_sec").asInstanceOf[Double]
+      if (p > 0) math.rint(t / p * 100) / 100.0 else -1.0
+    }
+
+    // ---- round-17: WRITE-SIDE SIZING steady state ------------------
+    // A 10-batch firehose with optimizeWrite + autoCompact ON must
+    // hold the live file count ~flat (ceil(bytes/target) + in-flight)
+    // where the unshaped control accumulates per-batch slivers — the
+    // small-files treadmill priced at every clone factor.
+    val fSlice = base.filter(col("event_id") % 7 === 0)
+    def firehose(lakeDir: String, label: String): Unit = {
+      MergeData.writeMerged(spark, fSlice, lakeDir, keys = Seq("event_type"))
+      Versioned.init(spark, lakeDir)
+      Versioned.backfillStats(spark, lakeDir, Seq("value"))
+      time(label) {
+        (1 to 10).foreach { i =>
+          Versioned.append(spark, lakeDir,
+            fSlice.withColumn("event_id",
+              col("event_id") + lit(i * 60000000000L)),
+            Seq("event_type"))
+        }
+      }
+      metrics(label + "_files") = Versioned.filesAt(spark, lakeDir).size
+    }
+    spark.conf.set("spark.graft.write.optimizeWrite", "true")
+    spark.conf.set("spark.graft.write.autoCompact", "true")
+    spark.conf.set("spark.graft.write.autoCompact.minFiles", "8")
+    spark.conf.set("spark.graft.optimize.targetFileSize", "128m")
+    firehose(work + "/fh_shaped", "optwrite_firehose10")
+    spark.conf.unset("spark.graft.write.optimizeWrite")
+    spark.conf.unset("spark.graft.write.autoCompact")
+    spark.conf.unset("spark.graft.write.autoCompact.minFiles")
+    spark.conf.unset("spark.graft.optimize.targetFileSize")
+    firehose(work + "/fh_treadmill", "treadmill_firehose10")
+
     def j(v: Any): String = v match {
       case s: String => "\"" + s + "\""
       case x => String.valueOf(x)
