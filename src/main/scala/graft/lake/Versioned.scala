@@ -366,6 +366,16 @@ object Versioned {
       // files neither depend on it nor change it
       "anchorRef")
 
+    /** Rails whose values INDEX INTO THIS TABLE'S VERSION HISTORY — a
+      * clone restarts history at 0, so they cannot travel: a carried
+      * `clusterAt=50` on a clone whose files all land at v0 would
+      * claim every file (and every append until the clone's own
+      * version passes the source's) as already laid out, making the
+      * incremental-clustering pass skip exactly the files the source
+      * knew were pending. Orthogonal to the three carry classes above
+      * (must be a subset of them); [[cloneAll]] resets these. */
+    val historyBound: Set[String] = Set("clusterAt")
+
     // exhaustiveness at CLASS LOAD: adding a CommitMeta field without
     // classifying it here fails every Versioned-touching test at once
     {
@@ -380,6 +390,8 @@ object Versioned {
         (perCommit & retrySafe).isEmpty &&
         (appendSemantic.keySet & retrySafe).isEmpty,
         "CommitMeta rail registry: classifications must be disjoint")
+      require(historyBound.subsetOf(classified),
+        "CommitMeta rail registry: historyBound names an unknown field")
     }
 
     /** True when any append-semantic rail differs — the derived form
@@ -394,6 +406,15 @@ object Versioned {
         dels: Seq[String], newTxn: Option[(String, Long)]): CommitMeta =
       prev.copy(ts = Some(ts), txns = prev.txns ++ newTxn.toMap,
         dels = dels, op = Some(op), cdfInc = None)
+
+    /** [[carryAll]] for a CLONE: additionally resets the
+      * [[historyBound]] rails — a clone's history restarts at 0, so
+      * version stamps indexed into the SOURCE's history are
+      * meaningless on it (the first bare OPTIMIZE on the clone does a
+      * full layout and stamps fresh). This copy must reset exactly
+      * the fields `historyBound` names; RegistrySpec pins that. */
+    def cloneAll(prev: CommitMeta, ts: Long, op: String): CommitMeta =
+      carryAll(prev, ts, op, Nil, None).copy(clusterAt = None)
   }
 
   private def parseMeta(lines: Seq[String]): CommitMeta = {
@@ -1256,6 +1277,12 @@ object Versioned {
     val visible = snapshot(spark, dir, v).columns.toSeq
     require(visible.contains(from), s"no column $from in $dir")
     require(!visible.contains(to), s"column $to already exists in $dir")
+    // the visible-collision check above cannot see the HIDDEN row id,
+    // so a rename TO __graft_rid on a row-tracked table would pass it
+    // and map two physical columns onto one engine-owned name
+    require(!to.startsWith("__graft_"),
+      s"column name $to: the __graft_ prefix is engine-owned " +
+        "(row tracking ids live there) — pick another name")
     val parts = partitionColsOf(filesAt(spark, dir, v))
     require(!parts.contains(from) && !parts.contains(to),
       s"cannot rename a partition column ($from): partition names are " +
@@ -1481,7 +1508,12 @@ object Versioned {
     val v = currentVersion(spark, dir)
     require(v >= 0, s"no manifest in $dir — call init() first")
     val meta = metaAt(spark, dir, v)
-    val snapSchema = snapshot(spark, dir, v).schema
+    // the ID-BEARING schema: the pin rebuilt below must keep a
+    // row-tracked table's hidden __graft_rid (a rid-less pin would
+    // hide the ids from every read and the next rewrite would commit
+    // files without them — permanent id loss). Widening the rid
+    // itself is refused by the IDENTITY guard below.
+    val snapSchema = snapshotAll(spark, dir, v).schema
     // NESTED fields widen by dotted path (`meta.width`) — the same
     // addressing the #addcol rail uses; every prefix must resolve to
     // a struct and the leaf must exist
@@ -2011,9 +2043,18 @@ object Versioned {
       s"$name is an IDENTITY column — it cannot also be GENERATED")
     require(!meta.renames.contains(name),
       s"cannot generate the renamed column $name: rename it back first")
+    require(!name.startsWith("__graft_"),
+      s"column name $name: the __graft_ prefix is engine-owned " +
+        "(row tracking ids live there) — pick another name")
     val fs = fsOf(spark, dir)
     val live = filesAt(spark, dir, v)
-    val snap = snapshot(spark, dir, v)
+    // the ID-BEARING view: on a row-tracked table the rewrite branch
+    // must carry __graft_rid through (snapshot() hides it — a rewrite
+    // from the public view would WIPE every row id), and the change
+    // feed's images must carry the ids too (keyless replicas key on
+    // them). The extra hidden column is invisible to the validation
+    // branch (name can never be engine-owned, refused above).
+    val snap = snapshotAll(spark, dir, v)
     if (snap.columns.contains(name)) {
       val bad = snap.filter(!(col(name) <=> expr(exprSql))).count()
       require(bad == 0L,
@@ -3261,6 +3302,13 @@ object Versioned {
           "enable-row-tracking").copy(
             idents = meta0.idents ++ adv,
             pinnedSchema = pinOut.orElse(meta0.pinnedSchema)))
+      // the backfill REPLACES every live file: without extending the
+      // stats/bloom sidecars to the new files, established coverage
+      // breaks at this version forever (statsPrunedRead throws,
+      // metadataAggregate and optimizeWrite calibration silently bail
+      // until a manual re-backfill) — the same discipline every other
+      // full-rewrite commit path follows
+      maybeWriteIncStats(spark, dir, v, newFiles, Nil)
       v + 1
     } finally snap.unpersist()
   }
@@ -3284,6 +3332,11 @@ object Versioned {
       rowKey: Seq[String] = Nil,
       commitTs: Long = System.currentTimeMillis()): Long = {
     if (rowKey.isEmpty) {
+      // refuse BEFORE the row-tracking backfill: enableRowTracking is
+      // a full-table rewrite commit — running it first would mutate
+      // the table and only then hit the already-enabled refusal below
+      require(metaAt(spark, dir, init(spark, dir, commitTs)).cdf.isEmpty,
+        s"change feed already enabled on $dir")
       enableRowTracking(spark, dir, commitTs)
       return enableChangeFeed(spark, dir, Seq(RowIdCol), commitTs)
     }
@@ -3953,9 +4006,21 @@ object Versioned {
     * section note for the guard list). Values: counts as `Long`,
     * extrema as `Double` (exactness-guarded; the SQL layer casts back
     * to the column's type). Logical column names; the column mapping
-    * translates. */
+    * translates.
+    *
+    * `partitionPred` scopes the answer to a PARTITION-ALIGNED `WHERE`
+    * (Delta's metadata-only answering under partition predicates):
+    * each `(col, allowed values)` entry is a conjunct, the values are
+    * the PATH-BAKED spellings (`site=a` → "a"), and a file's path must
+    * carry EVERY predicate column or the whole call bails — every row
+    * of a surviving file satisfies the predicate BY CONSTRUCTION, so
+    * the subset answer stays exact. The caller owns the filter→value
+    * translation exactness (the SQL layer only forwards EqualTo/In on
+    * partition columns whose literals round-trip through the path
+    * spelling). */
   def metadataAggregate(spark: SparkSession, dir: String,
-      aggs: Seq[MetaAgg], version: Long = -1L): Option[Seq[Any]] = {
+      aggs: Seq[MetaAgg], version: Long = -1L,
+      partitionPred: Seq[(String, Set[String])] = Nil): Option[Seq[Any]] = {
     if (aggs.isEmpty) return None
     val v = if (version >= 0) version else currentVersion(spark, dir)
     if (v < 0) return None
@@ -3967,7 +4032,27 @@ object Versioned {
       // a DV-deleted row may hold an extremum or a null — only the
       // plain count can subtract vectors safely
       if (dvEs.nonEmpty && needCol) return None
-      val live = filesAt(spark, dir, v)
+      val liveAll = filesAt(spark, dir, v)
+      val live =
+        if (partitionPred.isEmpty) liveAll
+        else {
+          val parsed = liveAll.map { r =>
+            r -> refRel(r).split('/').dropRight(1)
+              .filter(_.contains('=')).map { seg =>
+                val i = seg.indexOf('=')
+                seg.substring(0, i) -> seg.substring(i + 1)
+              }.toMap
+          }
+          // EXACTNESS: every live file must bake every predicate
+          // column into its directory path — a file missing the key
+          // (pre-spec layout drift) cannot be classified, so the
+          // whole call bails to the ordinary scan
+          if (partitionPred.exists { case (k, _) =>
+              parsed.exists(!_._2.contains(k)) })
+            return None
+          parsed.collect { case (r, pv) if partitionPred.forall {
+            case (k, vs) => vs.contains(pv(k)) } => r }
+        }
       if (live.isEmpty) {
         // zero-file table: count(*) = 0 is exact; min/max are NULL —
         // served here so an empty table's dashboard stays zero-scan
@@ -3980,23 +4065,24 @@ object Versioned {
       }
       val renames = metaAt(spark, dir, v).renames
       // ONE resolved stats frame answers everything (statsAt REFUSES
-      // on partial coverage — the bail below catches it)
-      val stats = statsAt(spark, dir, v)
+      // on partial coverage — the bail below catches it), restricted
+      // to the partition-pruned subset through the SAME path
+      // normalization statsAt keys files by (refAbsMap on both sides
+      // — a hand-rolled spelling here would be the path-mismatch bug
+      // class encodedLeafPath exists to prevent)
+      val statsAll = statsAt(spark, dir, v)
+      val stats =
+        if (partitionPred.isEmpty) statsAll
+        else {
+          val sub = refAbsMap(spark, dir, live).select(col("__abs"))
+          statsAll.join(sub, statsAll("file") === sub("__abs"),
+            "left_semi")
+        }
       val rowsTotal = stats.dropDuplicates("file")
         .agg(sum("rows").as("s"), min("rows").as("mn")).collect()(0)
       if (rowsTotal.isNullAt(0) || rowsTotal.getLong(1) < 0L) return None
       val base = rowsTotal.getLong(0)
-      val dvDeleted =
-        if (dvEs.isEmpty) 0L
-        else {
-          val liveDf = spark.createDataFrame(
-              live.map(r => Tuple1(encodedLeafPath(refPath(dir, r)))))
-            .toDF("__live_file")
-          spark.read.parquet(dvEs.map(e => s"$dir/${e._1}"): _*)
-            .dropDuplicates(DvFileCol, DvPosCol)
-            .join(liveDf, col(DvFileCol) === col("__live_file"), "left_semi")
-            .count()
-        }
+      val dvDeleted = dvDeletedCount(spark, dir, live, dvEs.map(_._1))
       val cols = aggs.collect {
         case MetaCountCol(c) => c
         case MetaMin(c) => c
@@ -4232,12 +4318,14 @@ object Versioned {
       (if (refIsForeign(r)) r else s"@$srcDir\t$r") -> b })
     // copy-based carry (the rail registry): every table property —
     // including declared clustering and any rail added tomorrow —
-    // travels to the clone by construction; only per-commit state is
-    // reset. This construction site forgot `defaults` and `idents`
-    // once each when it was an explicit field list. The schema anchor
-    // re-spells as a FOREIGN ref (it lives under the source, exactly
-    // like the data files — and shares their dangling-on-drop caveat).
-    val cloneMeta = CommitMeta.carryAll(srcMeta, commitTs, "clone", Nil, None)
+    // travels to the clone by construction; only per-commit state and
+    // the history-bound stamps (clusterAt indexes the SOURCE's
+    // versions) are reset. This construction site forgot `defaults`
+    // and `idents` once each when it was an explicit field list. The
+    // schema anchor re-spells as a FOREIGN ref (it lives under the
+    // source, exactly like the data files — and shares their
+    // dangling-on-drop caveat).
+    val cloneMeta = CommitMeta.cloneAll(srcMeta, commitTs, "clone")
     writeCommit(fsOf(spark, dstDir), dstDir, 0L, refs, Nil,
       cloneMeta.copy(anchorRef = cloneMeta.anchorRef.map(r =>
         if (refIsForeign(r)) r else s"@$srcDir\t$r")))
@@ -4496,16 +4584,18 @@ object Versioned {
     * IO error must never fail the append that already committed. */
   private def maybeAutoCompact(spark: SparkSession, dir: String,
       partitionKeys: Seq[String]): Unit = {
-    if (!spark.conf.get("spark.graft.write.autoCompact", "false")
-        .toBoolean) return
-    val target = {
-      val raw = spark.conf.get("spark.graft.optimize.targetFileSize", "1g")
-      val b = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
-      if (b <= 0L) return else b
-    }
-    val minFiles = spark.conf
-      .get("spark.graft.write.autoCompact.minFiles", "8").toInt
+    // EVERYTHING inside the guard, conf parsing included: a malformed
+    // minFiles/targetFileSize string must not fail an append that
+    // already committed (the caller would retry and double-commit)
     try {
+      if (!spark.conf.get("spark.graft.write.autoCompact", "false")
+          .toBoolean) return
+      val raw = spark.conf.get("spark.graft.optimize.targetFileSize", "1g")
+      val target = org.apache.spark.network.util.JavaUtils
+        .byteStringAsBytes(raw)
+      if (target <= 0L) return
+      val minFiles = spark.conf
+        .get("spark.graft.write.autoCompact.minFiles", "8").toInt
       val sizes = fileSizesKnown(spark, dir)
       val small = filesAt(spark, dir)
         .filter(f => sizes.get(f).exists(_ < target / 2))
@@ -5824,21 +5914,30 @@ object Versioned {
         "materializeDeletes() first or count the snapshot")
     val base = countFooterRows(spark,
       filesAt(spark, dir, v).map(f => refPath(dir, f)))
-    if (dvEs.isEmpty) base
+    base - dvDeletedCount(spark, dir, filesAt(spark, dir, v),
+      dvEs.map(_._1))
+  }
+
+  /** Distinct deletion-vector entries that still reference a LIVE
+    * file = the rows a metadata-only count must subtract (entries for
+    * since-rewritten files are inert). ONE implementation shared by
+    * [[fastRowCount]] and [[metadataAggregate]] so the DV path-match
+    * normalization ([[encodedLeafPath]] — the exact bug class it
+    * exists to prevent) lives in a single place. Distinct because
+    * stacked vectors can never re-delete a row (each evaluates on the
+    * MOR view), but replay debris could duplicate entries. */
+  private def dvDeletedCount(spark: SparkSession, dir: String,
+      liveRefs: Seq[String], dvRels: Seq[String]): Long =
+    if (dvRels.isEmpty) 0L
     else {
       val liveDf = spark.createDataFrame(
-          filesAt(spark, dir, v)
-            .map(r => Tuple1(encodedLeafPath(refPath(dir, r)))))
+          liveRefs.map(r => Tuple1(encodedLeafPath(refPath(dir, r)))))
         .toDF("__live_file")
-      val dv = spark.read.parquet(dvEs.map(e => s"$dir/${e._1}"): _*)
-      // distinct: stacked vectors can never re-delete a row (each
-      // evaluates on the MOR view), but replay debris could duplicate
-      val deleted = dv.dropDuplicates(DvFileCol, DvPosCol)
+      spark.read.parquet(dvRels.map(rel => s"$dir/$rel"): _*)
+        .dropDuplicates(DvFileCol, DvPosCol)
         .join(liveDf, col(DvFileCol) === col("__live_file"), "left_semi")
         .count()
-      base - deleted
     }
-  }
 
   /** One distributed footer read per file, summed — shared by
     * [[fastRowCount]] and the binpack sizing pass. Ships the SESSION's

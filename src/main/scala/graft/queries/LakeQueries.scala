@@ -5917,11 +5917,21 @@ object LakeQueries {
         require(!aggDf.queryExecution.executedPlan.toString
             .toLowerCase.contains("parquet"),
           "a metadata-answered aggregate must not plan a parquet scan")
-        // a residual predicate BAILS to the scan (and still answers)
+        // a PARTITION-ALIGNED predicate is served over the pruned
+        // file subset (Delta's metadata-only answering under
+        // partition predicates — every row of a surviving file
+        // matches by construction, so the subset answer stays exact)
         val servedW0 = Versioned.metadataAggServed
         val whereN = s.sql(s"SELECT count(*) AS n FROM gsql.`$lake` " +
           "WHERE event_type = 'click'").collect()(0).getLong(0)
-        require(Versioned.metadataAggServed == servedW0,
+        require(Versioned.metadataAggServed - servedW0 >= 1L,
+          "a partition-aligned predicate must stay metadata-answered")
+        // a genuinely RESIDUAL predicate (non-partition column) BAILS
+        // to the scan (and still answers)
+        val servedR0 = Versioned.metadataAggServed
+        val posN = s.sql(s"SELECT count(*) AS n FROM gsql.`$lake` " +
+          "WHERE value > 0.0").collect()(0).getLong(0)
+        require(Versioned.metadataAggServed == servedR0,
           "a residual predicate must bail to the ordinary scan")
         // a deletion vector: count stays pushed AND exact
         LakeQueries.synchronized {
@@ -5938,9 +5948,9 @@ object LakeQueries {
         import s.implicits._
         Seq((agg.getLong(0), agg.getLong(1), agg.getDouble(2),
           agg.getDouble(3), agg.getLong(4), agg.getLong(5),
-          whereN, nAfterDv))
+          whereN, posN, nAfterDv))
           .toDF("n", "n_value", "min_value", "max_value", "min_user",
-            "max_user", "n_click", "n_after_dv")
+            "max_user", "n_click", "n_pos", "n_after_dv")
       },
       Some("""
         WITH e AS (SELECT user_id, value, event_type FROM events
@@ -5951,10 +5961,12 @@ object LakeQueries {
                min(user_id) AS min_user, max(user_id) AS max_user,
                (SELECT count(*) FROM e WHERE event_type = 'click')
                  AS n_click,
+               (SELECT count(*) FROM e WHERE value::DOUBLE > 0.0)
+                 AS n_pos,
                (SELECT count(*) FROM e WHERE user_id % 7 <> 0)
                  AS n_after_dv
         FROM e"""),
-      "metadata-only aggregates: count(*)/count(k)/min/max from the stats rail via DSv2 pushdown (zero-scan require()d: served counter + parquet-free plan), residual-predicate bail require()d, DV-adjusted count == MOR snapshot require()d; all values hash vs DuckDB"),
+      "metadata-only aggregates: count(*)/count(k)/min/max from the stats rail via DSv2 pushdown (zero-scan require()d: served counter + parquet-free plan), partition-aligned WHERE served over the pruned subset require()d, residual-predicate bail require()d, DV-adjusted count == MOR snapshot require()d; all values hash vs DuckDB"),
 
     // ---------------------------------------------------------------
     // KEYLESS CDF via ROW TRACKING — enableChangeFeed with NO row key

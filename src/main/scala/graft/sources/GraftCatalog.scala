@@ -218,6 +218,14 @@ class GraftCatalog extends TableCatalog
     if (Versioned.currentVersion(spark, dir) >= 0)
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(ident)
+    // a declared column in the engine namespace would be silently
+    // hidden by every read (snapshot() drops __graft_rid) — refuse at
+    // declaration, like ADD COLUMN and declareIdentity already do
+    schema.fieldNames.filter(_.startsWith("__graft_")).foreach { n =>
+      throw new IllegalArgumentException(
+        s"column name $n: the __graft_ prefix is engine-owned " +
+          "(row tracking ids live there) — pick another name")
+    }
     // CLUSTER BY arrives as its own transform (Spark's ClusterBy):
     // split it from the identity partition keys — it declares the
     // liquid-clustering columns, not the directory layout
@@ -791,14 +799,79 @@ private[graft] final class GraftVersionedTable(
       with SupportsPushDownRequiredColumns
       with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
       private var pushed: Array[Filter] = Array.empty
+      private var accepted: Array[Filter] = Array.empty
+      private var residual: Array[Filter] = Array.empty
+      private var partPred: Seq[(String, Set[String])] = Nil
       private var required: Option[StructType] = None
       private var aggAnswer: Option[(StructType, Row)] = None
 
+      // PARTITION-ALIGNED filters are ACCEPTED (not residual): the V1
+      // scan applies them exactly (toColumn translates every accepted
+      // shape), Spark drops its own Filter node, and — because no
+      // Filter remains between Aggregate and scan — the aggregate
+      // pushdown below can then answer `SELECT count(*)/min/max ...
+      // WHERE part = 'x'` metadata-only over the pruned file subset.
+      // Acceptance is deliberately narrow-and-exact: EqualTo / In on a
+      // partition column whose literal's path spelling round-trips
+      // (no escaping) — anything else stays residual and Spark
+      // re-evaluates it.
+      private lazy val partCols: Set[String] =
+        scala.util.Try(Versioned.layoutPartitionKeys(
+          SparkSession.active, dir).toSet).getOrElse(Set.empty)
+      private def pathSafe(s: String): Boolean =
+        s.nonEmpty && s.forall(c =>
+          c.isLetterOrDigit || c == '.' || c == '_' || c == '-')
+      private def plainLit(v: Any): Option[String] = v match {
+        case null => None
+        case _: String | _: java.lang.Boolean | _: java.lang.Byte |
+             _: java.lang.Short | _: java.lang.Integer |
+             _: java.lang.Long =>
+          // the default-partition spelling is path-ambiguous with a
+          // NULL partition value — never match it literally
+          Some(v.toString).filter(s =>
+            pathSafe(s) && s != "__HIVE_DEFAULT_PARTITION__")
+        case _ => None // float/decimal/date spellings: stay residual
+      }
+      private def partValuesOf(
+          f: Filter): Option[(String, Set[String])] = f match {
+        case org.apache.spark.sql.sources.EqualTo(a, v)
+            if partCols.contains(a) =>
+          plainLit(v).map(s => a -> Set(s))
+        case org.apache.spark.sql.sources.EqualNullSafe(a, v)
+            if v != null && partCols.contains(a) =>
+          plainLit(v).map(s => a -> Set(s))
+        case org.apache.spark.sql.sources.In(a, vs)
+            if partCols.contains(a) && vs.nonEmpty =>
+          val ss = vs.toSeq.map(plainLit)
+          if (ss.exists(_.isEmpty)) None
+          else Some(a -> ss.flatten.toSet)
+        case _ => None
+      }
+
       override def pushFilters(filters: Array[Filter]): Array[Filter] = {
         pushed = filters
-        filters // ALL stay residual — the forward below is best-effort
+        // Catalyst pairs every null-intolerant predicate with an
+        // implicit IsNotNull(col): accept that companion too when an
+        // accepted EqualTo/In on the same column SUBSUMES it (their
+        // path-safe values can never match the null partition's
+        // spelling), or the leftover residual blocks the aggregate
+        // pushdown for every WHERE part = 'x' query
+        val valued = filters.flatMap(f => partValuesOf(f)
+          .filter(_ => GraftSnapshotRelation.toColumn(f).isDefined)
+          .map(f -> _))
+        val coveredCols = valued.map(_._2._1).toSet
+        val (ok, rest) = filters.partition {
+          case f if valued.exists(_._1 eq f) => true
+          case org.apache.spark.sql.sources.IsNotNull(a) =>
+            coveredCols.contains(a)
+          case _ => false
+        }
+        accepted = ok
+        partPred = valued.toSeq.map(_._2)
+        residual = rest
+        rest // Spark re-evaluates only these
       }
-      override def pushedFilters(): Array[Filter] = pushed
+      override def pushedFilters(): Array[Filter] = accepted
 
       // ---- metadata-only aggregate pushdown -----------------------
       // `SELECT count(*) / count(k) / min(k) / max(k) FROM t` answers
@@ -812,7 +885,13 @@ private[graft] final class GraftVersionedTable(
       private def tryAnswer(agg: org.apache.spark.sql.connector
           .expressions.aggregate.Aggregation): Boolean = {
         if (aggAnswer.isDefined) return true
-        if (pushed.nonEmpty) return false // a WHERE remains residual
+        // residual predicates bail (Spark's own Filter node blocks the
+        // pushdown anyway — this is the defensive twin); ACCEPTED
+        // partition filters scope the answer to the pruned file
+        // subset instead (partitionPred below — still exact-or-bail:
+        // a file whose path does not bake a predicate column falls
+        // back to the scan inside metadataAggregate)
+        if (residual.nonEmpty) return false
         if (agg.groupByExpressions.nonEmpty) return false
         import org.apache.spark.sql.connector.expressions.NamedReference
         import org.apache.spark.sql.connector.expressions.aggregate._
@@ -854,7 +933,7 @@ private[graft] final class GraftVersionedTable(
         if (translated.exists(_.isEmpty)) return false
         val (metas, fields) = translated.flatten.unzip
         Versioned.metadataAggregate(SparkSession.active, dir, metas,
-          pinnedVersion) match {
+          pinnedVersion, partPred) match {
           case None => false
           case Some(values) =>
             val cells = values.zip(fields).map {

@@ -167,4 +167,76 @@ class RowTrackingSpec extends SparkSpec {
       Versioned.enableRowTracking(spark, dir2) }
     assert(e2.getMessage.contains("materializeDeletes"), e2.getMessage)
   }
+
+  test("addGeneratedColumn's backfill rewrite carries ids, and its refusals cover the engine namespace") {
+    val dir = freshLake()
+    Versioned.enableRowTracking(spark, dir)
+    val before = Versioned.snapshotAll(spark, dir)
+      .select("id", Rid).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the rewrite branch (column absent) replaces EVERY live file — it
+    // must read the id-bearing view or the backfill wipes all ids
+    Versioned.addGeneratedColumn(spark, dir, "vneg", "0.0 - v")
+    assert(Versioned.snapshotAll(spark, dir).select("id", Rid).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == before,
+      "the generated-column backfill rewrite must carry row ids")
+    assert(Versioned.snapshot(spark, dir)
+      .filter(col("vneg") =!= -col("v")).count() == 0L)
+    val e = intercept[IllegalArgumentException] {
+      Versioned.addGeneratedColumn(spark, dir, "__graft_g", "v") }
+    assert(e.getMessage.contains("engine-owned"), e.getMessage)
+  }
+
+  test("widenColumn re-pins WITH the hidden id: the ids stay visible to the engine and survive the next rewrite") {
+    val d = java.nio.file.Files.createTempDirectory("graft_rtw")
+      .toFile.getAbsolutePath
+    MergeData.writeMerged(spark,
+      df(Seq(("a", 1L, 1), ("a", 2L, 2), ("b", 3L, 3)), "site", "id", "w"),
+      d, keys = Seq("site"))
+    Versioned.init(spark, d)
+    Versioned.enableRowTracking(spark, d)
+    val ids = Versioned.snapshotAll(spark, d)
+      .select("id", Rid).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Versioned.widenColumn(spark, d, "w",
+      org.apache.spark.sql.types.LongType)
+    // a rid-less pin would HIDE the ids here (and the update below
+    // would then rewrite its partitions without them — permanent loss)
+    assert(Versioned.snapshotAll(spark, d).columns.contains(Rid),
+      "the widen pin must keep the engine id column")
+    Versioned.updateWhere(spark, d, col("id") === 1L,
+      Map("w" -> lit(10L)), Seq("site"))
+    assert(Versioned.snapshotAll(spark, d).select("id", Rid).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == ids,
+      "ids must survive a rewrite AFTER the widen re-pin")
+  }
+
+  test("the backfill rewrite extends established stats coverage (pruned reads and metadata counts keep working)") {
+    val dir = freshLake()
+    Versioned.backfillStats(spark, dir, Seq("v"))
+    Versioned.enableRowTracking(spark, dir)
+    // statsAt REFUSES on partial coverage — the backfill replaced
+    // every file, so without the incremental extension this throws
+    // (and statsPrunedRead/metadataAggregate break with it)
+    assert(Versioned.statsAt(spark, dir).count() > 0L,
+      "stats coverage must survive the row-tracking backfill")
+  }
+
+  test("keyless enableChangeFeed on an already-keyed table refuses BEFORE the backfill rewrite") {
+    val dir = freshLake()
+    Versioned.enableChangeFeed(spark, dir, Seq("site", "id"))
+    val v = Versioned.currentVersion(spark, dir)
+    val e = intercept[IllegalArgumentException] {
+      Versioned.enableChangeFeed(spark, dir) }
+    assert(e.getMessage.contains("already enabled"), e.getMessage)
+    assert(Versioned.currentVersion(spark, dir) == v,
+      "the refusal must not leave a row-tracking rewrite commit behind")
+    assert(!Versioned.rowTrackingEnabled(spark, dir))
+  }
+
+  test("renameColumn cannot target the engine namespace (the hidden id is invisible to the collision check)") {
+    val dir = freshLake()
+    Versioned.enableRowTracking(spark, dir)
+    val e = intercept[IllegalArgumentException] {
+      Versioned.renameColumn(spark, dir, "v", Rid) }
+    assert(e.getMessage.contains("engine-owned"), e.getMessage)
+  }
 }

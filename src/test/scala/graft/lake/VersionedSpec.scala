@@ -3137,4 +3137,47 @@ class VersionedSpec extends SparkSpec {
       Versioned.columnDefaults(spark, dir).keySet == Set("v"),
       "column defaults must travel to the clone")
   }
+
+  test("clone RESETS the history-bound clusterAt stamp (a source stamp would claim the clone's files as already laid out)") {
+    val dir = freshLake()
+    Versioned.init(spark, dir)
+    Versioned.setClusterBy(spark, dir, Seq("id"))
+    // bump the source's version past the clone's whole future history
+    (1 to 3).foreach { i =>
+      Versioned.append(spark, dir,
+        df(Seq(("c", 100L + i, 1.0)), "site", "id", "v"), Seq("site")) }
+    Versioned.optimize(spark, dir, Seq("site"), stampClusterAt = true)
+    assert(Versioned.clusterStampOf(spark, dir).nonEmpty)
+    val clone = java.nio.file.Files
+      .createTempDirectory("graft_clone_stamp").toFile
+    clone.deleteOnExit()
+    Versioned.cloneAt(spark, dir, clone.getAbsolutePath)
+    // the stamp indexes the SOURCE's history: carried onto a clone
+    // whose versions restart at 0, every clone file (v0 <= stamp)
+    // would read as already-clustered and the incremental pass would
+    // skip them forever — the registry's historyBound class resets it
+    assert(Versioned.clusterStampOf(spark, clone.getAbsolutePath).isEmpty,
+      "a clone must NOT inherit the source's clusterAt stamp")
+    assert(Versioned.clusterByOf(spark, clone.getAbsolutePath) == Seq("id"),
+      "the clustering DECLARATION itself still travels")
+  }
+
+  test("auto-compact is best-effort through conf parsing too: a malformed minFiles cannot fail a committed append") {
+    val dir = freshLake()
+    Versioned.init(spark, dir)
+    spark.conf.set("spark.graft.write.autoCompact", "true")
+    spark.conf.set("spark.graft.write.autoCompact.minFiles", "eight")
+    try {
+      // the append commits, then the post-commit compaction hook hits
+      // the unparseable conf: it must SKIP, not throw (a caller seeing
+      // the append fail would retry and double-commit the batch)
+      val v = Versioned.append(spark, dir,
+        df(Seq(("c", 50L, 5.0)), "site", "id", "v"), Seq("site"))
+      assert(v == Versioned.currentVersion(spark, dir))
+      assert(Versioned.snapshot(spark, dir).count() == 4L)
+    } finally {
+      spark.conf.unset("spark.graft.write.autoCompact")
+      spark.conf.unset("spark.graft.write.autoCompact.minFiles")
+    }
+  }
 }

@@ -63,11 +63,33 @@ class GraftMetaAggSpec extends SparkSpec {
     assert(served2 >= 1L && row2.getLong(0) == 5L &&
       row2.getDouble(1) == 50.5)
 
-    // WHERE → a residual predicate remains → bail, same answer
-    val (rw, servedW, _) = run(
+    // WHERE on the PARTITION column → served over the pruned file
+    // subset (every row of a surviving file matches by construction)
+    val (rw, servedW, planW) = run(
       s"SELECT count(*) AS c FROM ${tbl(dir)} WHERE site = 'a'")
-    assert(servedW == 0L, "a residual predicate must bail to the scan")
+    assert(servedW >= 1L,
+      "a partition-aligned predicate must stay metadata-answered")
+    assert(!planW.toLowerCase.contains("parquet"), planW)
     assert(rw.getLong(0) == 2L)
+    // subset EXTREMA come from the subset's boxes only
+    val (rwx, servedWx, _) = run(
+      s"SELECT min(v) AS mn, max(v) AS mx, count(v) AS cv " +
+        s"FROM ${tbl(dir)} WHERE site IN ('a', 'c')")
+    assert(servedWx >= 1L)
+    assert(rwx.getDouble(0) == -3.5 && rwx.getDouble(1) == 2.5 &&
+      rwx.getLong(2) == 3L,
+      "subset extrema must reflect ONLY the surviving partitions")
+    // a predicate matching NO partition: count 0 / NULL extrema, exact
+    val (rw0, servedW0, _) = run(
+      s"SELECT count(*) AS c, max(v) AS mx FROM ${tbl(dir)} " +
+        "WHERE site = 'zz'")
+    assert(servedW0 >= 1L && rw0.getLong(0) == 0L && rw0.isNullAt(1))
+
+    // WHERE on a NON-partition column → residual → bail, same answer
+    val (rr, servedR, _) = run(
+      s"SELECT count(*) AS c FROM ${tbl(dir)} WHERE v > 0.0")
+    assert(servedR == 0L, "a residual predicate must bail to the scan")
+    assert(rr.getLong(0) == 4L)
 
     // GROUP BY → bail
     val beforeG = Versioned.metadataAggServed

@@ -152,6 +152,18 @@ class GraftSqlWritesSpec extends SparkSpec {
       .collect().head.getLong(0) == 2L, "refused insert must not commit")
   }
 
+  test("CREATE TABLE refuses columns in the engine namespace (the hidden row id would shadow them on every read)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_sqlwrid").toFile
+    root.deleteOnExit()
+    val dir = new java.io.File(root, "t").getAbsolutePath
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE ${tbl(dir)} (__graft_rid BIGINT, x INT)")
+    }
+    assert(e.getMessage.contains("engine-owned"), e.getMessage)
+    assert(Versioned.currentVersion(spark, dir) < 0,
+      "the refusal must not leave a table behind")
+  }
+
   test("CREATE TABLE with DEFAULT: omitted insert columns fill (SQL plan-side, library commit-side), supplied values and explicit NULLs win, SET/DROP DEFAULT alter the rule, row-reading and generated-column defaults refuse") {
     val root = java.nio.file.Files.createTempDirectory("graft_sqlwdef").toFile
     root.deleteOnExit()
