@@ -4126,6 +4126,150 @@ object Versioned {
     } catch { case _: IllegalArgumentException => None } // coverage bail
   }
 
+  /** [[metadataAggregate]] GROUPED BY partition columns — `SELECT
+    * part, count(*)/count(k)/min(k)/max(k) FROM t [WHERE
+    * partition-aligned] GROUP BY part` answered from the manifest +
+    * stats rail alone (the per-partition dashboard rollup at 100 TB:
+    * files/day counts, per-site extrema). Every file's membership in
+    * a group is read off its PATH (each group column must be
+    * path-baked in every live file), so a group's rows are exactly
+    * its files' rows and the ungrouped guards apply PER GROUP: box
+    * coverage over the group's files, finite/2^53 extrema, non-
+    * negative null counts. Returns `(group path values, agg values)`
+    * per group — ONLY groups with at least one row (SQL GROUP BY
+    * emits no empty groups); the CALLER owns casting the path
+    * spellings back to column types (and must bail when a spelling
+    * does not round-trip). Deletion vectors: a pure-count grouping
+    * SUBTRACTS them per group (a DV entry names (file, ordinal), and
+    * the file names its group — still metadata); anything needing a
+    * VALUE (extrema, null counts) bails, as does any pending equality
+    * tombstone. Other whole-call bails (None): a file missing a
+    * group/predicate key, an escaped or null-partition spelling,
+    * stats gaps — exact-or-bail, never a partial group list. */
+  def metadataAggregateGrouped(spark: SparkSession, dir: String,
+      groupCols: Seq[String], aggs: Seq[MetaAgg], version: Long = -1L,
+      partitionPred: Seq[(String, Set[String])] = Nil)
+    : Option[Seq[(Seq[String], Seq[Any])]] = {
+    if (groupCols.isEmpty || aggs.isEmpty) return None
+    val v = if (version >= 0) version else currentVersion(spark, dir)
+    if (v < 0) return None
+    try {
+      val (dvEs, eqEs) = deleteFilesAt(spark, dir, v).map(delParse)
+        .partition(e => isDvRef(e._1))
+      if (eqEs.nonEmpty) return None // key lists need a scan
+      val needCol = aggs.exists { case MetaCount => false; case _ => true }
+      if (dvEs.nonEmpty && needCol) return None
+      val liveAll = filesAt(spark, dir, v)
+      if (liveAll.isEmpty) return { metadataAggServed += 1; Some(Nil) }
+      val parsed: Seq[(String, Map[String, String])] = liveAll.map { r =>
+        r -> refRel(r).split('/').dropRight(1)
+          .filter(_.contains('=')).map { seg =>
+            val i = seg.indexOf('=')
+            seg.substring(0, i) -> seg.substring(i + 1)
+          }.toMap
+      }
+      val needKeys = groupCols ++ partitionPred.map(_._1)
+      if (needKeys.exists(k => parsed.exists(!_._2.contains(k))))
+        return None
+      // group spellings must be unambiguous: no escaping, no null
+      // partition (its spelling collides with the literal string)
+      def plain(s: String): Boolean = s.nonEmpty &&
+        s != "__HIVE_DEFAULT_PARTITION__" &&
+        s.forall(c => c.isLetterOrDigit || c == '.' || c == '_' ||
+          c == '-')
+      if (parsed.exists { case (_, pv) =>
+          groupCols.exists(k => !plain(pv(k))) })
+        return None
+      val live = parsed.collect { case (r, pv) if partitionPred.forall {
+        case (k, vs) => vs.contains(pv(k)) } => (r, pv) }
+      if (live.isEmpty) { metadataAggServed += 1; return Some(Nil) }
+      val renames = metaAt(spark, dir, v).renames
+      val cols = aggs.collect {
+        case MetaCountCol(c) => c
+        case MetaMin(c) => c
+        case MetaMax(c) => c
+      }.distinct.map(c => c -> renames.getOrElse(c, c)).toMap
+      // one joined frame: stats rows tagged with their file's group
+      val sep = " "
+      val grpOf: Map[String, String] = live.map { case (r, pv) =>
+        SkipIndex.normalizePath(refPath(dir, r)) ->
+          groupCols.map(pv).mkString(sep)
+      }.toMap
+      val grpFiles: Map[String, Long] =
+        grpOf.groupBy(_._2).map { case (g, m) => g -> m.size.toLong }
+      val mapDf = spark.createDataFrame(grpOf.toSeq)
+        .toDF("__abs", "__grp")
+      val stats = statsAt(spark, dir, v)
+        .join(mapDf, col("file") === col("__abs"))
+      val rowsG: Map[String, (Long, Long)] = stats
+        .dropDuplicates("file").groupBy("__grp")
+        .agg(sum("rows").as("s"), min("rows").as("mn")).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      if (grpFiles.keySet.exists(g => !rowsG.contains(g)) ||
+          rowsG.values.exists(_._2 < 0L)) return None
+      val dvByGrp: Map[String, Long] =
+        if (dvEs.isEmpty) Map.empty
+        else {
+          // a DV entry names (file, ordinal) under the SAME
+          // encodedLeafPath spelling dvDeletedCount joins on, and the
+          // file's group is its path-baked partition value — so the
+          // per-group subtraction is still pure metadata; entries for
+          // rewritten/pruned-out files drop in the inner join
+          val dvMap = spark.createDataFrame(live.map { case (r, pv) =>
+            (encodedLeafPath(refPath(dir, r)),
+              groupCols.map(pv).mkString(sep))
+          }).toDF("__dvfile", "__dvgrp")
+          spark.read.parquet(dvEs.map(e => s"$dir/${e._1}"): _*)
+            .dropDuplicates(DvFileCol, DvPosCol)
+            .join(dvMap, col(DvFileCol) === col("__dvfile"))
+            .groupBy("__dvgrp").count().collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toMap
+        }
+      val byCol: Map[(String, String), (Double, Double, Long, Long, Long)] =
+        if (cols.isEmpty) Map.empty
+        else stats.filter(col("col").isin(cols.values.toSeq: _*))
+          .groupBy("__grp", "col")
+          .agg(min("lo").as("lo"), max("hi").as("hi"),
+            sum("nulls").as("nulls"), min("nulls").as("mnulls"),
+            count(lit(1)).as("n"))
+          .collect().map(r => (r.getString(0), r.getString(1)) ->
+            (r.getDouble(2), r.getDouble(3), r.getLong(4), r.getLong(5),
+              r.getLong(6))).toMap
+      val exactLimit = 9007199254740992.0d
+      val out = grpFiles.keysIterator.flatMap { g =>
+        val base = rowsG(g)._1 - dvByGrp.getOrElse(g, 0L)
+        if (base == 0L) None // SQL GROUP BY emits no empty groups
+        // (a fully-DV-deleted partition vanishes, like the scan)
+        else {
+          def box(c: String): Option[(Double, Double)] =
+            byCol.get((g, cols(c))).flatMap {
+              case (lo, hi, _, _, n) =>
+                if (n != grpFiles(g) || lo.isInfinite || hi.isInfinite ||
+                    math.abs(lo) >= exactLimit ||
+                    math.abs(hi) >= exactLimit) None
+                else Some((lo, hi))
+            }
+          def nonNull(c: String): Option[Long] =
+            byCol.get((g, cols(c))).flatMap {
+              case (_, _, nulls, mnulls, n) =>
+                if (n != grpFiles(g) || mnulls < 0L) None
+                else Some(base - nulls)
+            }
+          val vals = aggs.map {
+            case MetaCount => Some(base)
+            case MetaCountCol(c) => nonNull(c)
+            case MetaMin(c) => box(c).map(_._1)
+            case MetaMax(c) => box(c).map(_._2)
+          }
+          if (vals.exists(_.isEmpty)) return None // whole-call bail
+          Some((g.split(sep, -1).toSeq, vals.map(_.get)))
+        }
+      }.toSeq
+      metadataAggServed += 1
+      Some(out)
+    } catch { case _: IllegalArgumentException => None } // coverage bail
+  }
+
   /** ONE pruning front door — routes each predicate to the metadata
     * structure that can answer it, intersects the per-predicate
     * survivor file sets, reads only the survivors, and re-applies

@@ -5969,6 +5969,74 @@ object LakeQueries {
       "metadata-only aggregates: count(*)/count(k)/min/max from the stats rail via DSv2 pushdown (zero-scan require()d: served counter + parquet-free plan), partition-aligned WHERE served over the pruned subset require()d, residual-predicate bail require()d, DV-adjusted count == MOR snapshot require()d; all values hash vs DuckDB"),
 
     // ---------------------------------------------------------------
+    // METADATA-ONLY GROUPED AGGREGATES — `SELECT part, count(*)/
+    // count(k)/min/max GROUP BY part` answered per-partition from the
+    // manifest + stats rail (group membership is the file's path-baked
+    // partition value, so each group's totals are exactly its files'
+    // totals). The per-partition dashboard rollup at 100 TB: zero data
+    // files opened, require()d by the served counter AND a
+    // parquet-free physical plan; a GROUP BY on a non-partition
+    // column bails to the scan (require()d). Values hash vs DuckDB
+    // recomputing the same rollup relationally.
+    Q("q228_metadata_agg_grouped",
+      (s, dir) => {
+        graft.GraftExtensions.register(s)
+        s.conf.set("spark.sql.catalog.gsql", "graft.sources.GraftCatalog")
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val root = new File(new File(sys.props("user.dir"), "target"),
+          s"graft_magggq_$tag")
+        val lake = new File(root, "t").getAbsolutePath
+        LakeQueries.synchronized {
+          val fs = new org.apache.hadoop.fs.Path(root.getAbsolutePath)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(root.getAbsolutePath), true)
+          val base = Tables(s, dir, "events").select(MergeCols.map(col): _*)
+            .filter(col("event_type").isin("click", "view", "purchase"))
+          base.createOrReplaceTempView("q228_src")
+          s.sql(s"CREATE TABLE gsql.`$lake` PARTITIONED BY (event_type) " +
+            "AS SELECT event_id, user_id, value, event_type FROM q228_src")
+          sqlMaint(s, s"ANALYZE TABLE gsql.`$lake` COMPUTE STATISTICS " +
+            "FOR COLUMNS (user_id, value)")
+        }
+        val served0 = Versioned.metadataAggServed
+        val gDf = s.sql(
+          s"""SELECT event_type, count(*) AS n, count(value) AS n_value,
+             |       min(value) AS min_value, max(value) AS max_value,
+             |       min(user_id) AS min_user, max(user_id) AS max_user
+             |FROM gsql.`$lake` GROUP BY event_type
+             |ORDER BY event_type""".stripMargin)
+        val out = gDf.collect()
+        require(Versioned.metadataAggServed - served0 >= 1L,
+          "the grouped aggregate must be served from the stats rail")
+        require(!gDf.queryExecution.executedPlan.toString
+            .toLowerCase.contains("parquet"),
+          "a metadata-answered grouped aggregate must not scan parquet")
+        // a non-partition GROUP BY bails (and the row count is sane)
+        val servedB0 = Versioned.metadataAggServed
+        val distinctUsers = s.sql(
+          s"SELECT user_id, count(*) AS c FROM gsql.`$lake` " +
+            "GROUP BY user_id").count()
+        require(Versioned.metadataAggServed == servedB0,
+          "GROUP BY a non-partition column must bail to the scan")
+        import s.implicits._
+        out.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getDouble(3), r.getDouble(4), r.getLong(5), r.getLong(6),
+            distinctUsers)).toSeq
+          .toDF("event_type", "n", "n_value", "min_value", "max_value",
+            "min_user", "max_user", "n_user_groups")
+      },
+      Some("""
+        WITH e AS (SELECT user_id, value, event_type FROM events
+                   WHERE event_type IN ('click','view','purchase'))
+        SELECT event_type, count(*) AS n, count(value) AS n_value,
+               min(value::DOUBLE) AS min_value,
+               max(value::DOUBLE) AS max_value,
+               min(user_id) AS min_user, max(user_id) AS max_user,
+               (SELECT count(DISTINCT user_id) FROM e) AS n_user_groups
+        FROM e GROUP BY event_type ORDER BY event_type"""),
+      "metadata-only GROUPED aggregates: per-partition count(*)/count(k)/min/max from the stats rail via DSv2 grouped pushdown (served counter + parquet-free plan require()d; non-partition GROUP BY bail require()d); per-group values hash vs DuckDB"),
+
+    // ---------------------------------------------------------------
     // KEYLESS CDF via ROW TRACKING — enableChangeFeed with NO row key
     // (SQL spelling: the empty graft.changeFeed.keys property): the
     // engine backfills hidden row ids, every SQL UPDATE / DELETE /

@@ -803,7 +803,7 @@ private[graft] final class GraftVersionedTable(
       private var residual: Array[Filter] = Array.empty
       private var partPred: Seq[(String, Set[String])] = Nil
       private var required: Option[StructType] = None
-      private var aggAnswer: Option[(StructType, Row)] = None
+      private var aggAnswer: Option[(StructType, Seq[Row])] = None
 
       // PARTITION-ALIGNED filters are ACCEPTED (not residual): the V1
       // scan applies them exactly (toColumn translates every accepted
@@ -892,7 +892,6 @@ private[graft] final class GraftVersionedTable(
         // a file whose path does not bake a predicate column falls
         // back to the scan inside metadataAggregate)
         if (residual.nonEmpty) return false
-        if (agg.groupByExpressions.nonEmpty) return false
         import org.apache.spark.sql.connector.expressions.NamedReference
         import org.apache.spark.sql.connector.expressions.aggregate._
         def colOf(e: org.apache.spark.sql.connector.expressions
@@ -932,26 +931,88 @@ private[graft] final class GraftVersionedTable(
           }
         if (translated.exists(_.isEmpty)) return false
         val (metas, fields) = translated.flatten.unzip
-        Versioned.metadataAggregate(SparkSession.active, dir, metas,
-          pinnedVersion, partPred) match {
-          case None => false
-          case Some(values) =>
-            val cells = values.zip(fields).map {
-              case (null, _) => null
-              case (v: Long, _) => java.lang.Long.valueOf(v)
-              case (v: Double, f) => f.dataType match {
-                case _: ByteType => java.lang.Byte.valueOf(v.toByte)
-                case _: ShortType => java.lang.Short.valueOf(v.toShort)
-                case _: IntegerType => java.lang.Integer.valueOf(v.toInt)
-                case _: LongType => java.lang.Long.valueOf(v.toLong)
-                case _: FloatType => java.lang.Float.valueOf(v.toFloat)
-                case _ => java.lang.Double.valueOf(v)
-              }
-              case (other, _) => other
+        def castCells(values: Seq[Any]): Seq[Any] =
+          values.zip(fields).map {
+            case (null, _) => null
+            case (v: Long, _) => java.lang.Long.valueOf(v)
+            case (v: Double, f) => f.dataType match {
+              case _: ByteType => java.lang.Byte.valueOf(v.toByte)
+              case _: ShortType => java.lang.Short.valueOf(v.toShort)
+              case _: IntegerType => java.lang.Integer.valueOf(v.toInt)
+              case _: LongType => java.lang.Long.valueOf(v.toLong)
+              case _: FloatType => java.lang.Float.valueOf(v.toFloat)
+              case _ => java.lang.Double.valueOf(v)
             }
-            aggAnswer = Some((StructType(fields),
-              Row.fromSeq(cells)))
-            true
+            case (other, _) => other
+          }
+        val gb = agg.groupByExpressions.toSeq
+        if (gb.isEmpty) {
+          Versioned.metadataAggregate(SparkSession.active, dir, metas,
+            pinnedVersion, partPred) match {
+            case None => false
+            case Some(values) =>
+              aggAnswer = Some((StructType(fields),
+                Seq(Row.fromSeq(castCells(values)))))
+              true
+          }
+        } else {
+          // GROUP BY partition columns — the per-partition dashboard
+          // rollup (`SELECT day, count(*) ... GROUP BY day`) answered
+          // from the manifest + stats rail: group membership is the
+          // file's path-baked partition value, so every group total
+          // is exactly its files' totals. Spark's pushed read schema
+          // puts the GROUP columns FIRST, then the agg columns. The
+          // path spelling must round-trip through the column's type
+          // (castGroup) or the whole answer bails to the scan.
+          val gFields: Seq[Option[StructField]] = gb.map {
+            case nr: NamedReference if nr.fieldNames().length == 1 &&
+                partCols.contains(nr.fieldNames()(0)) =>
+              schema.fields.find(_.name == nr.fieldNames()(0))
+            case _ => None
+          }
+          if (gFields.exists(_.isEmpty)) return false
+          val gfs = gFields.flatten
+          def castGroup(s: String,
+              dt: org.apache.spark.sql.types.DataType): Option[Any] =
+            dt match {
+              case _: org.apache.spark.sql.types.StringType => Some(s)
+              case _: org.apache.spark.sql.types.BooleanType =>
+                if (s == "true") Some(java.lang.Boolean.TRUE)
+                else if (s == "false") Some(java.lang.Boolean.FALSE)
+                else None
+              case _: ByteType | _: ShortType | _: IntegerType |
+                   _: LongType =>
+                scala.util.Try(s.toLong).toOption
+                  .filter(_.toString == s).flatMap { l =>
+                    dt match {
+                      case _: ByteType if l.isValidByte =>
+                        Some(java.lang.Byte.valueOf(l.toByte))
+                      case _: ShortType if l.isValidShort =>
+                        Some(java.lang.Short.valueOf(l.toShort))
+                      case _: IntegerType if l.isValidInt =>
+                        Some(java.lang.Integer.valueOf(l.toInt))
+                      case _: LongType =>
+                        Some(java.lang.Long.valueOf(l))
+                      case _ => None
+                    }
+                  }
+              case _ => None // date/float spellings: bail to scan
+            }
+          Versioned.metadataAggregateGrouped(SparkSession.active, dir,
+            gfs.map(_.name), metas, pinnedVersion, partPred) match {
+            case None => false
+            case Some(groups) =>
+              val rows = groups.map { case (gvals, avals) =>
+                val gcells = gvals.zip(gfs).map { case (s, f) =>
+                  castGroup(s, f.dataType) }
+                if (gcells.exists(_.isEmpty)) return false
+                Row.fromSeq(gcells.map(_.get) ++ castCells(avals))
+              }
+              aggAnswer = Some((StructType(
+                gfs.map(f => StructField(f.name, f.dataType,
+                  f.nullable)) ++ fields), rows))
+              true
+          }
         }
       }
       override def supportCompletePushDown(agg: org.apache.spark.sql
@@ -973,11 +1034,11 @@ private[graft] final class GraftVersionedTable(
         }))
 
       override def build(): Scan = aggAnswer match {
-        case Some((aggSchema, row)) => new V1Scan {
+        case Some((aggSchema, rows)) => new V1Scan {
           override def readSchema(): StructType = aggSchema
           override def toV1TableScan[T <: BaseRelation with TableScan](
               context: SQLContext): T =
-            new GraftV1MetaAggScan(context, aggSchema, row)
+            new GraftV1MetaAggScan(context, aggSchema, rows)
               .asInstanceOf[T]
         }
         case None => new V1Scan {
@@ -992,15 +1053,16 @@ private[graft] final class GraftVersionedTable(
     }
 }
 
-/** The one-row leaf a METADATA-ANSWERED aggregate lowers to: the
-  * values were computed from the manifest + stats rail at plan time;
-  * no data file of the table is ever opened. */
+/** The leaf a METADATA-ANSWERED aggregate lowers to (one row
+  * ungrouped, one row per partition group otherwise): the values were
+  * computed from the manifest + stats rail at plan time; no data file
+  * of the table is ever opened. */
 private[sources] final class GraftV1MetaAggScan(
     @transient override val sqlContext: SQLContext,
-    out: StructType, answer: Row) extends BaseRelation with TableScan {
+    out: StructType, answer: Seq[Row]) extends BaseRelation with TableScan {
   override def schema: StructType = out
   override def buildScan(): RDD[Row] =
-    sqlContext.sparkContext.parallelize(Seq(answer), 1)
+    sqlContext.sparkContext.parallelize(answer, 1)
 }
 
 /** The V1 leaf the catalog scan lowers to: snapshot → forwarded
