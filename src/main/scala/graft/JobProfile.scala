@@ -28,7 +28,8 @@ object JobProfile {
     spark.sparkContext.setLogLevel("WARN")
 
     final case class J(id: Int, desc: String, site: String, start: Long,
-        var end: Long = -1L, var tasks: Int = 0, var stages: Int = 0)
+        var end: Long = -1L, var tasks: Int = 0, var stages: Int = 0,
+        var names: List[String] = Nil)
     val jobs = mutable.LinkedHashMap.empty[Int, J]
     var collecting = false
     val listener = new SparkListener {
@@ -46,7 +47,9 @@ object JobProfile {
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
         jobs.synchronized {
           jobs.values.find(_.end < 0).foreach { j =>
-            j.stages += 1; j.tasks += e.stageInfo.numTasks }
+            j.stages += 1; j.tasks += e.stageInfo.numTasks
+            j.names ::= s"${e.stageInfo.name.take(70)}[${e.stageInfo.numTasks}]"
+          }
         }
     }
     spark.sparkContext.addSparkListener(listener)
@@ -71,7 +74,7 @@ object JobProfile {
       println(f"==== $tag total=$total%.3f s, ${snap.size} jobs, job-sum=$jsum%.3f s ====")
       snap.foreach { j =>
         val dt = if (j.end > 0) (j.end - j.start) / 1e9 else -1.0
-        println(f"  job ${j.id}%4d ${dt}%8.3f s stages=${j.stages}%2d tasks=${j.tasks}%4d  ${j.site.take(60)}%-60s ${j.desc.take(80)}")
+        println(f"  job ${j.id}%4d ${dt}%8.3f s stages=${j.stages}%2d tasks=${j.tasks}%4d  ${j.names.reverse.mkString(" | ")}")
       }
     }
 
@@ -97,8 +100,10 @@ object JobProfile {
           }
         }
         fs.delete(fsp, true)
-        loop("warm")
-        profile("commits20")(loop("measured"))
+        var run = 0
+        // profile() runs its body twice (warm + measured); distinct lake
+        // dirs keep each run a fresh 20-commit loop
+        profile("commits20") { run += 1; loop(s"run$run") }
         fs.delete(fsp, true)
       case name =>
         val fn = SparkEntry.queries(name)

@@ -108,7 +108,6 @@ object SkipIndex {
     require(cols.nonEmpty, "buildFromFooters needs at least one column")
     val files = files0.map(normalize)
     require(files.nonEmpty, "buildFromFooterFiles got no files")
-    val exactLimit = 9007199254740992.0d // 2^53, as in build()
     val colsB = cols
     // session Hadoop conf shipped to the footer tasks (fs.* keys,
     // object-store credentials) — a fresh Configuration() only works
@@ -118,77 +117,88 @@ object SkipIndex {
         spark.sparkContext.hadoopConfiguration))
     val entries = spark.sparkContext
       .parallelize(files, math.max(1, math.min(files.size, 64)))
-      .flatMap { path =>
-        import scala.jdk.CollectionConverters._
-        import org.apache.parquet.column.statistics._
-        val inFile = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(path), hconf.value.value)
-        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(inFile)
-        try {
-          val blocks = reader.getFooter.getBlocks.asScala.toSeq
-          val nRows = blocks.map(_.getRowCount).sum
-          // per-file BYTE SIZE rides every row (duplicated per column
-          // — tiny, and it keeps the sidecar one flat table): binpack
-          // sizing and clustering decisions become metadata-only
-          // instead of one driver getFileStatus per live file
-          val fBytes = inFile.getLength
-          colsB.map { c =>
-            var lo = Double.PositiveInfinity
-            var hi = Double.NegativeInfinity
-            var integral = false
-            var usable = blocks.nonEmpty
-            // null COUNTS track separately from the min/max box: a
-            // chunk with an unusable box (e.g. binary physical type)
-            // can still record exact num_nulls, and vice versa. -1 =
-            // unknown (any chunk without the count poisons the file's
-            // total — a partial sum would under-count).
-            var nulls = 0L
-            var nullsKnown = blocks.nonEmpty
-            blocks.foreach { b =>
-              b.getColumns.asScala.filter(_.getPath.toDotString == c) match {
-                case chunks if chunks.isEmpty =>
-                  usable = false; nullsKnown = false
-                case chunks => chunks.foreach { cc =>
-                  val anySt = cc.getStatistics
-                  if (anySt != null && anySt.isNumNullsSet)
-                    nulls += anySt.getNumNulls
-                  else nullsKnown = false
-                  anySt match {
-                    case st: LongStatistics if st.hasNonNullValue =>
-                      integral = true
-                      lo = math.min(lo, st.genericGetMin.toDouble)
-                      hi = math.max(hi, st.genericGetMax.toDouble)
-                    case st: IntStatistics if st.hasNonNullValue =>
-                      integral = true
-                      lo = math.min(lo, st.genericGetMin.toDouble)
-                      hi = math.max(hi, st.genericGetMax.toDouble)
-                    case st: DoubleStatistics if st.hasNonNullValue =>
-                      lo = math.min(lo, st.genericGetMin)
-                      hi = math.max(hi, st.genericGetMax)
-                    case st: FloatStatistics if st.hasNonNullValue =>
-                      lo = math.min(lo, st.genericGetMin.toDouble)
-                      hi = math.max(hi, st.genericGetMax.toDouble)
-                    case _ => usable = false
-                  }
-                }
-              }
-            }
-            val n = if (nullsKnown) nulls else -1L
-            if (!usable) FooterEntry(path, c,
-              Double.NegativeInfinity, Double.PositiveInfinity, nRows, n,
-              fBytes)
-            else {
-              val wLo = if (integral && math.abs(lo) >= exactLimit)
-                lo - math.abs(lo) * 4e-16 else lo
-              val wHi = if (integral && math.abs(hi) >= exactLimit)
-                hi + math.abs(hi) * 4e-16 else hi
-              FooterEntry(path, c, wLo, wHi, nRows, n, fBytes)
-            }
-          }
-        } finally reader.close()
-      }
+      .flatMap(path => footerEntriesOf(path, hconf.value.value, colsB))
     spark.createDataFrame(entries)
       .toDF("file", "col", "lo", "hi", "rows", "nulls", "bytes")
+  }
+
+  /** ONE file's footer-derived index rows — the per-path body of
+    * [[buildFromFooterFiles]], factored so a COMMIT-SIZED batch of new
+    * files can run it on the driver (a footer read is ~1 ms of
+    * metadata IO; scheduling a distributed job for 1–32 files costs
+    * more than reading them — guide §1.2/§5) while backfills keep the
+    * distributed pass. */
+  private[lake] def footerEntriesOf(path: String,
+      conf: org.apache.hadoop.conf.Configuration,
+      cols: Seq[String]): Seq[FooterEntry] = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.column.statistics._
+    val exactLimit = 9007199254740992.0d // 2^53, as in build()
+    val inFile = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(path), conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(inFile)
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val nRows = blocks.map(_.getRowCount).sum
+      // per-file BYTE SIZE rides every row (duplicated per column
+      // — tiny, and it keeps the sidecar one flat table): binpack
+      // sizing and clustering decisions become metadata-only
+      // instead of one driver getFileStatus per live file
+      val fBytes = inFile.getLength
+      cols.map { c =>
+        var lo = Double.PositiveInfinity
+        var hi = Double.NegativeInfinity
+        var integral = false
+        var usable = blocks.nonEmpty
+        // null COUNTS track separately from the min/max box: a
+        // chunk with an unusable box (e.g. binary physical type)
+        // can still record exact num_nulls, and vice versa. -1 =
+        // unknown (any chunk without the count poisons the file's
+        // total — a partial sum would under-count).
+        var nulls = 0L
+        var nullsKnown = blocks.nonEmpty
+        blocks.foreach { b =>
+          b.getColumns.asScala.filter(_.getPath.toDotString == c) match {
+            case chunks if chunks.isEmpty =>
+              usable = false; nullsKnown = false
+            case chunks => chunks.foreach { cc =>
+              val anySt = cc.getStatistics
+              if (anySt != null && anySt.isNumNullsSet)
+                nulls += anySt.getNumNulls
+              else nullsKnown = false
+              anySt match {
+                case st: LongStatistics if st.hasNonNullValue =>
+                  integral = true
+                  lo = math.min(lo, st.genericGetMin.toDouble)
+                  hi = math.max(hi, st.genericGetMax.toDouble)
+                case st: IntStatistics if st.hasNonNullValue =>
+                  integral = true
+                  lo = math.min(lo, st.genericGetMin.toDouble)
+                  hi = math.max(hi, st.genericGetMax.toDouble)
+                case st: DoubleStatistics if st.hasNonNullValue =>
+                  lo = math.min(lo, st.genericGetMin)
+                  hi = math.max(hi, st.genericGetMax)
+                case st: FloatStatistics if st.hasNonNullValue =>
+                  lo = math.min(lo, st.genericGetMin.toDouble)
+                  hi = math.max(hi, st.genericGetMax.toDouble)
+                case _ => usable = false
+              }
+            }
+          }
+        }
+        val n = if (nullsKnown) nulls else -1L
+        if (!usable) FooterEntry(path, c,
+          Double.NegativeInfinity, Double.PositiveInfinity, nRows, n,
+          fBytes)
+        else {
+          val wLo = if (integral && math.abs(lo) >= exactLimit)
+            lo - math.abs(lo) * 4e-16 else lo
+          val wHi = if (integral && math.abs(hi) >= exactLimit)
+            hi + math.abs(hi) * 4e-16 else hi
+          FooterEntry(path, c, wLo, wHi, nRows, n, fBytes)
+        }
+      }
+    } finally reader.close()
   }
 
   /** Files whose [lo, hi] box on `c` intersects [qLo, qHi]. The index

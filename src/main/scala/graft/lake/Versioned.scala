@@ -3112,7 +3112,6 @@ object Versioned {
         }
       }
       checkTombstones(dels)
-      require(!batch.isEmpty, "append got an empty batch")
       // logical batch -> physical files (fresh physicals for re-added
       // dropped names, committed below)
       val autoRen = autoRenames(meta0, batch.columns.toSeq, v + 1)
@@ -3123,6 +3122,22 @@ object Versioned {
         shapeForWrite(spark, dir, physBatch, partitionKeys)
       val newFiles = writeStagedFiles(spark, fs, dir,
         shapedAp, partitionKeys, maxRecordsPerFile = rowCapAp)
+      // EMPTINESS is read off the staged write instead of a separate
+      // `batch.isEmpty` job (executeTake escalates through every empty
+      // partition of a small batch — one full extra pass per append;
+      // guide §2.4). A nonempty batch always stages ≥1 file; the one
+      // case a staged file can be empty — an UNPARTITIONED write
+      // stages one schema-only file for partition 0 — confirms via a
+      // single driver-side footer read (zero jobs). The refused
+      // batch's staged files are unreferenced by any manifest; they
+      // are deleted here rather than left for vacuum.
+      val emptyBatch = newFiles.isEmpty ||
+        (partitionKeys.isEmpty && newFiles.size == 1 &&
+          countFooterRows(spark, newFiles.map(r => s"$dir/$r")) == 0L)
+      if (emptyBatch) {
+        newFiles.foreach(r => fs.delete(new Path(dir, r), false))
+        require(requirement = false, "append got an empty batch")
+      }
       // table-property CDF: a blind append's increment is its own rows
       // as inserts; published by whichever CAS attempt wins below
       val autoInc = meta0.cdf.map { _ =>
@@ -3630,8 +3645,120 @@ object Versioned {
     * file). None when the lake has no `kind` sidecar at or below `v`;
     * refuses on broken coverage (a live file missing, or per-file
     * column sets diverging). */
+  /** Byte budget under which sidecar / deletion-vector METADATA
+    * parquet is read on the DRIVER (zero Spark jobs; [[LocalParquet]])
+    * instead of through `spark.read` — the Delta discipline: the log
+    * and its per-file stats are driver-parsed, and every consumer here
+    * already COLLECTS the same O(files × cols) rows, so the budget
+    * changes where bytes are parsed, never the memory class. Above it
+    * the original distributed read runs unchanged (the 100 TB /
+    * million-file regime). 0 disables the local path (spec seam). */
+  private def metaLocalMaxBytes(spark: SparkSession): Long =
+    try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.graft.meta.localReadMaxBytes", "64m"))
+    catch { case _: NumberFormatException => 0L }
+
+  /** Driver-side twin of [[resolveSidecarRefs]]. Outer None = sidecar
+    * bytes exceed [[metaLocalMaxBytes]] (caller must use the
+    * distributed path); Left(()) = family absent or ended by an
+    * empty-family marker (= the distributed path's None); Right(rows)
+    * = resolved rows, REF-keyed, deduped on (file, col), restricted to
+    * `v`'s live files, with the same `nulls`/`bytes` back-compat
+    * defaults and the same coverage require() (message included — the
+    * metadata-aggregate bail matches on its type). */
+  private def resolveSidecarRowsLocal(spark: SparkSession, dir: String,
+      kind: String, v: Long): Option[Either[Unit, Seq[Map[String, Any]]]] = {
+    val budget = metaLocalMaxBytes(spark)
+    if (budget <= 0L) return None
+    val fs = fsOf(spark, dir)
+    val sidecars = listSidecars(fs, dir, kind)
+    val fulls = sidecars.collect { case (sv, true) if sv <= v => sv }
+    if (fulls.isEmpty) return Some(Left(()))
+    val base = fulls.max
+    val baseParts = LocalParquet.dataFiles(fs, fullSidecarPath(dir, kind, base))
+    val incParts = sidecars
+      .collect { case (sv, false) if sv > base && sv <= v =>
+        incSidecarPath(dir, kind, sv) }
+      .flatMap(p => LocalParquet.dataFiles(fs, p))
+    if ((baseParts ++ incParts).map(_._2).sum > budget) return None
+    val conf = spark.sparkContext.hadoopConfiguration
+    // zero-row full = the empty-family marker: footer-only probe
+    if (LocalParquet.recordCount(conf, baseParts.map(_._1)) == 0L)
+      return Some(Left(()))
+    val raw = LocalParquet.readRows(conf, (baseParts ++ incParts).map(_._1))
+    val live = filesAt(spark, dir, v)
+    val liveSet = live.toSet
+    val seen = scala.collection.mutable.HashSet.empty[(String, String)]
+    val rows = raw.flatMap { m =>
+      val key = (m("file").asInstanceOf[String], m("col").asInstanceOf[String])
+      if (!liveSet.contains(key._1) || !seen.add(key)) None
+      else if (kind != "stats") Some(m)
+      else Some(m
+        .updated("nulls", m.getOrElse("nulls", -1L))
+        .updated("bytes", m.getOrElse("bytes", -1L)))
+    }
+    // coverage: every live file present, uniform per-file column count
+    val perFile = rows.groupBy(_("file")).view.mapValues(_.size).toMap
+    val colSets = perFile.values.toSeq.distinct
+    require(perFile.size == live.size && colSets.length <= 1,
+      s"$kind sidecars do not cover version $v of $dir " +
+        s"(${live.size - perFile.size} of ${live.size} files missing, " +
+        s"${colSets.length} distinct column-set sizes): backfill to " +
+        "re-establish coverage")
+    Some(Right(rows))
+  }
+
+  /** The fixed frame schemas the local sidecar path materializes —
+    * field-for-field what the distributed read resolves to after its
+    * back-compat defaults. */
+  private val statsSidecarSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("file",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("col",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("lo",
+      org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("hi",
+      org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("rows",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("nulls",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("bytes",
+      org.apache.spark.sql.types.LongType)))
+  private val bloomSidecarSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("file",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("col",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("bloom",
+      org.apache.spark.sql.types.BinaryType),
+    org.apache.spark.sql.types.StructField("rows",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("expected",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("fpp",
+      org.apache.spark.sql.types.DoubleType)))
+
+  private def sidecarRowsToDf(spark: SparkSession, kind: String,
+      rows: Seq[Map[String, Any]]): DataFrame = {
+    val schema = if (kind == "stats") statsSidecarSchema else bloomSidecarSchema
+    val rws: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(rows.map { m =>
+        org.apache.spark.sql.Row.fromSeq(
+          schema.fields.map(f => m.getOrElse(f.name, null)).toSeq)
+      }: _*)
+    spark.createDataFrame(rws, schema)
+  }
+
   private def resolveSidecarRefs(spark: SparkSession, dir: String,
       kind: String, v: Long): Option[DataFrame] = {
+    resolveSidecarRowsLocal(spark, dir, kind, v) match {
+      case Some(Left(())) => return None
+      case Some(Right(rows)) =>
+        return Some(sidecarRowsToDf(spark, kind, rows))
+      case None => // over budget: distributed resolution below
+    }
     val live = filesAt(spark, dir, v)
     val fs = fsOf(spark, dir)
     val sidecars = listSidecars(fs, dir, kind)
@@ -3705,20 +3832,66 @@ object Versioned {
       }
   }
 
+  /** Driver-side projection read of the newest `kind` sidecar at or
+    * below `v` — the inheritance probes ([[inheritedStatsCols]],
+    * [[maybeWriteIncBlooms]]) need a few distinct values, not a
+    * distributed scan; runs per COMMIT on every stats-tracked table.
+    * None when absent or over the local byte budget. */
+  private def newestSidecarRowsLocal(spark: SparkSession, dir: String,
+      kind: String, v: Long, projection: Seq[String])
+    : Option[Seq[Map[String, Any]]] = {
+    val budget = metaLocalMaxBytes(spark)
+    if (budget <= 0L) return None
+    val fs = fsOf(spark, dir)
+    listSidecars(fs, dir, kind).filter(_._1 <= v)
+      .sortBy { case (sv, isFull) => (-sv, !isFull) }.headOption
+      .flatMap { case (sv, isFull) =>
+        val p = if (isFull) fullSidecarPath(dir, kind, sv)
+                else incSidecarPath(dir, kind, sv)
+        val parts = LocalParquet.dataFiles(fs, p)
+        if (parts.map(_._2).sum > budget) None
+        else Some(LocalParquet.readRows(
+          spark.sparkContext.hadoopConfiguration, parts.map(_._1),
+          projection))
+      }
+  }
+
   /** The column set this lake's stats sidecars track (decided by the
     * newest sidecar at or below `v`; empty = no stats discipline). */
   private def inheritedStatsCols(spark: SparkSession, dir: String,
       v: Long): Seq[String] =
-    newestSidecarAt(spark, dir, "stats", v)
-      .map(_.select("col").distinct()
-        .collect().map(_.getString(0)).toSeq.sorted)
-      .getOrElse(Nil)
+    newestSidecarRowsLocal(spark, dir, "stats", v, Seq("col"))
+      .map(_.map(_("col").asInstanceOf[String]).distinct.sorted)
+      .getOrElse(newestSidecarAt(spark, dir, "stats", v)
+        .map(_.select("col").distinct()
+          .collect().map(_.getString(0)).toSeq.sorted)
+        .getOrElse(Nil))
 
   /** One distributed footer pass over `refs`, written as a sidecar
     * keyed by manifest REF (relative path — the lake can move; foreign
     * clone refs read at their own root). */
+  /** File count at or under which a commit's footer pass runs on the
+    * DRIVER (sequential footer reads + one [[LocalParquet]] parquet
+    * write — zero Spark jobs) instead of as a distributed job. A
+    * footer read is ~1 ms of metadata IO; scheduling a cluster job for
+    * a 1–32-file commit costs more than doing the reads (guide §1.2).
+    * Backfills over whole tables stay distributed above it. */
+  private def footerLocalMaxFiles(spark: SparkSession): Int =
+    try spark.conf.get("spark.graft.footer.localMaxFiles", "64").toInt
+    catch { case _: NumberFormatException => 0 }
+
   private def writeStatsSidecar(spark: SparkSession, dir: String,
       dst: Path, refs: Seq[String], cols: Seq[String]): Unit = {
+    if (refs.size <= footerLocalMaxFiles(spark)) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val rows = refs.flatMap { r =>
+        SkipIndex.footerEntriesOf(
+            SkipIndex.normalizePath(refPath(dir, r)), conf, cols)
+          .map(e => (r, e.col, e.lo, e.hi, e.rows, e.nulls, e.bytes))
+      }
+      LocalParquet.writeStatsRows(conf, fsOf(spark, dir), dst, rows)
+      return
+    }
     val built = SkipIndex.buildFromFooterFiles(spark,
       refs.map(r => refPath(dir, r)), cols)
     val mapDf = spark.createDataFrame(
@@ -3758,16 +3931,32 @@ object Versioned {
   private def maybeWriteIncBlooms(spark: SparkSession, dir: String,
       prevV: Long, newRefs: Seq[String]): Unit = {
     if (newRefs.isEmpty) return
-    newestSidecarAt(spark, dir, "bloom", prevV).foreach { prev =>
-      // a zero-row newest full is the empty-family marker (widenColumn
-      // dropped the last tracked column): inheritance stops here.
-      // take(1) = LIMIT-1 — never a full collect of the sidecar
-      prev.select("expected", "fpp").take(1).headOption.foreach { head =>
-        val cols = prev.select("col").distinct()
-          .collect().map(_.getString(0)).toSeq.sorted
-        writeBloomSidecar(spark, dir, incSidecarPath(dir, "bloom", prevV + 1),
-          newRefs, cols, head.getLong(0), head.getDouble(1))
-      }
+    // driver-side projection probe (col/expected/fpp, never the bloom
+    // bytes) — the per-commit inheritance question costs zero jobs
+    newestSidecarRowsLocal(spark, dir, "bloom", prevV,
+        Seq("col", "expected", "fpp")) match {
+      case Some(rows) =>
+        // zero rows = absent family OR the empty-family marker
+        // (widenColumn dropped the last tracked column): no inheritance
+        rows.headOption.foreach { head =>
+          val cols = rows.map(_("col").asInstanceOf[String]).distinct.sorted
+          writeBloomSidecar(spark, dir,
+            incSidecarPath(dir, "bloom", prevV + 1), newRefs, cols,
+            head("expected").asInstanceOf[Long],
+            head("fpp").asInstanceOf[Double])
+        }
+      case None =>
+        newestSidecarAt(spark, dir, "bloom", prevV).foreach { prev =>
+          // a zero-row newest full is the empty-family marker.
+          // take(1) = LIMIT-1 — never a full collect of the sidecar
+          prev.select("expected", "fpp").take(1).headOption.foreach { head =>
+            val cols = prev.select("col").distinct()
+              .collect().map(_.getString(0)).toSeq.sorted
+            writeBloomSidecar(spark, dir,
+              incSidecarPath(dir, "bloom", prevV + 1),
+              newRefs, cols, head.getLong(0), head.getDouble(1))
+          }
+        }
     }
   }
 
@@ -4064,40 +4253,71 @@ object Versioned {
         })
       }
       val renames = metaAt(spark, dir, v).renames
-      // ONE resolved stats frame answers everything (statsAt REFUSES
-      // on partial coverage — the bail below catches it), restricted
-      // to the partition-pruned subset through the SAME path
-      // normalization statsAt keys files by (refAbsMap on both sides
-      // — a hand-rolled spelling here would be the path-mismatch bug
-      // class encodedLeafPath exists to prevent)
-      val statsAll = statsAt(spark, dir, v)
-      val stats =
-        if (partitionPred.isEmpty) statsAll
-        else {
-          val sub = refAbsMap(spark, dir, live).select(col("__abs"))
-          statsAll.join(sub, statsAll("file") === sub("__abs"),
-            "left_semi")
-        }
-      val rowsTotal = stats.dropDuplicates("file")
-        .agg(sum("rows").as("s"), min("rows").as("mn")).collect()(0)
-      if (rowsTotal.isNullAt(0) || rowsTotal.getLong(1) < 0L) return None
-      val base = rowsTotal.getLong(0)
-      val dvDeleted = dvDeletedCount(spark, dir, live, dvEs.map(_._1))
       val cols = aggs.collect {
         case MetaCountCol(c) => c
         case MetaMin(c) => c
         case MetaMax(c) => c
       }.distinct.map(c => c -> renames.getOrElse(c, c)).toMap
-      val byCol: Map[String, (Double, Double, Long, Long, Long)] =
-        if (cols.isEmpty) Map.empty
-        else stats.filter(col("col").isin(cols.values.toSeq: _*))
-          .groupBy("col")
-          .agg(min("lo").as("lo"), max("hi").as("hi"),
-            sum("nulls").as("nulls"), min("nulls").as("mnulls"),
-            count(lit(1)).as("n"))
-          .collect().map(r => r.getString(0) ->
-            (r.getDouble(1), r.getDouble(2), r.getLong(3), r.getLong(4),
-              r.getLong(5))).toMap
+      // ONE resolved stats read answers everything (resolution REFUSES
+      // on partial coverage — the bail below catches it), restricted
+      // to the partition-pruned subset. The sidecar is read on the
+      // DRIVER when it fits the metadata budget — the dashboard
+      // aggregate then runs ZERO Spark jobs end to end; oversized
+      // sidecars keep the distributed frame (keyed by refAbsMap on
+      // both sides — a hand-rolled spelling here would be the
+      // path-mismatch bug class encodedLeafPath exists to prevent).
+      val summary: (Long, Long, Map[String, (Double, Double, Long, Long, Long)]) =
+        resolveSidecarRowsLocal(spark, dir, "stats", v) match {
+          case Some(Left(())) => return None // no stats sidecar: scan
+          case Some(Right(rowsAll)) =>
+            val sub = live.toSet
+            val rows =
+              if (partitionPred.isEmpty) rowsAll
+              else rowsAll.filter(m =>
+                sub.contains(m("file").asInstanceOf[String]))
+            val perFile = rows.groupBy(_("file"))
+              .map(_._2.head("rows").asInstanceOf[Long])
+            if (perFile.isEmpty || perFile.exists(_ < 0L)) return None
+            val physWanted = cols.values.toSet
+            val byColL = rows
+              .filter(m => physWanted.contains(m("col").asInstanceOf[String]))
+              .groupBy(_("col").asInstanceOf[String])
+              .map { case (c, ms) =>
+                c -> (ms.map(_("lo").asInstanceOf[Double]).min,
+                  ms.map(_("hi").asInstanceOf[Double]).max,
+                  ms.map(_("nulls").asInstanceOf[Long]).sum,
+                  ms.map(_("nulls").asInstanceOf[Long]).min,
+                  ms.size.toLong)
+              }
+            (perFile.min, perFile.sum, byColL)
+          case None =>
+            val statsAll = statsAt(spark, dir, v)
+            val stats =
+              if (partitionPred.isEmpty) statsAll
+              else {
+                val sub = refAbsMap(spark, dir, live).select(col("__abs"))
+                statsAll.join(sub, statsAll("file") === sub("__abs"),
+                  "left_semi")
+              }
+            val rowsTotal = stats.dropDuplicates("file")
+              .agg(sum("rows").as("s"), min("rows").as("mn")).collect()(0)
+            if (rowsTotal.isNullAt(0) || rowsTotal.getLong(1) < 0L)
+              return None
+            val byColD: Map[String, (Double, Double, Long, Long, Long)] =
+              if (cols.isEmpty) Map.empty
+              else stats.filter(col("col").isin(cols.values.toSeq: _*))
+                .groupBy("col")
+                .agg(min("lo").as("lo"), max("hi").as("hi"),
+                  sum("nulls").as("nulls"), min("nulls").as("mnulls"),
+                  count(lit(1)).as("n"))
+                .collect().map(r => r.getString(0) ->
+                  (r.getDouble(1), r.getDouble(2), r.getLong(3),
+                    r.getLong(4), r.getLong(5))).toMap
+            (rowsTotal.getLong(1), rowsTotal.getLong(0), byColD)
+        }
+      val base = summary._2
+      val byCol = summary._3
+      val dvDeleted = dvDeletedCount(spark, dir, live, dvEs.map(_._1))
       val exactLimit = 9007199254740992.0d // 2^53: the sidecar widened past it
       def box(c: String): Option[(Double, Double)] =
         byCol.get(cols(c)).flatMap { case (lo, hi, _, _, n) =>
@@ -4197,14 +4417,35 @@ object Versioned {
       }.toMap
       val grpFiles: Map[String, Long] =
         grpOf.groupBy(_._2).map { case (g, m) => g -> m.size.toLong }
-      val mapDf = spark.createDataFrame(grpOf.toSeq)
+      // driver-side when the sidecar fits the metadata budget — the
+      // per-partition dashboard rollup then runs ZERO Spark jobs;
+      // oversized sidecars keep the distributed frames below
+      val localRows: Option[Seq[(String, Map[String, Any])]] =
+        resolveSidecarRowsLocal(spark, dir, "stats", v) match {
+          case Some(Left(())) => return None // no stats sidecar: scan
+          case Some(Right(rowsAll)) =>
+            val grpOfRef: Map[String, String] = live.map { case (r, pv) =>
+              r -> groupCols.map(pv).mkString(sep) }.toMap
+            Some(rowsAll.flatMap { m =>
+              grpOfRef.get(m("file").asInstanceOf[String]).map(g => (g, m)) })
+          case None => None
+        }
+      lazy val mapDf = spark.createDataFrame(grpOf.toSeq)
         .toDF("__abs", "__grp")
-      val stats = statsAt(spark, dir, v)
+      lazy val stats = statsAt(spark, dir, v)
         .join(mapDf, col("file") === col("__abs"))
-      val rowsG: Map[String, (Long, Long)] = stats
-        .dropDuplicates("file").groupBy("__grp")
-        .agg(sum("rows").as("s"), min("rows").as("mn")).collect()
-        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val rowsG: Map[String, (Long, Long)] = localRows match {
+        case Some(rows) =>
+          rows.groupBy { case (g, m) => (g, m("file")) }
+            .map { case ((g, _), ms) =>
+              (g, ms.head._2("rows").asInstanceOf[Long]) }
+            .groupBy(_._1).map { case (g, fs) =>
+              g -> (fs.map(_._2).sum, fs.map(_._2).min) }
+        case None => stats
+          .dropDuplicates("file").groupBy("__grp")
+          .agg(sum("rows").as("s"), min("rows").as("mn")).collect()
+          .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      }
       if (grpFiles.keySet.exists(g => !rowsG.contains(g)) ||
           rowsG.values.exists(_._2 < 0L)) return None
       val dvByGrp: Map[String, Long] =
@@ -4215,26 +4456,51 @@ object Versioned {
           // file's group is its path-baked partition value — so the
           // per-group subtraction is still pure metadata; entries for
           // rewritten/pruned-out files drop in the inner join
-          val dvMap = spark.createDataFrame(live.map { case (r, pv) =>
-            (encodedLeafPath(refPath(dir, r)),
-              groupCols.map(pv).mkString(sep))
-          }).toDF("__dvfile", "__dvgrp")
-          spark.read.parquet(dvEs.map(e => s"$dir/${e._1}"): _*)
-            .dropDuplicates(DvFileCol, DvPosCol)
-            .join(dvMap, col(DvFileCol) === col("__dvfile"))
-            .groupBy("__dvgrp").count().collect()
-            .map(r => r.getString(0) -> r.getLong(1)).toMap
+          // (driver-side when the vectors fit the metadata budget)
+          val dvGrpOf: Map[String, String] = live.map { case (r, pv) =>
+            encodedLeafPath(refPath(dir, r)) ->
+              groupCols.map(pv).mkString(sep) }.toMap
+          dvEntriesLocal(spark, dir, dvEs.map(_._1)) match {
+            case Some(entries) =>
+              entries.distinct
+                .flatMap { case (f, _) => dvGrpOf.get(f) }
+                .groupBy(identity).map { case (g, es) =>
+                  g -> es.size.toLong }
+            case None =>
+              val dvMap = spark.createDataFrame(dvGrpOf.toSeq)
+                .toDF("__dvfile", "__dvgrp")
+              spark.read.parquet(dvEs.map(e => s"$dir/${e._1}"): _*)
+                .dropDuplicates(DvFileCol, DvPosCol)
+                .join(dvMap, col(DvFileCol) === col("__dvfile"))
+                .groupBy("__dvgrp").count().collect()
+                .map(r => r.getString(0) -> r.getLong(1)).toMap
+          }
         }
       val byCol: Map[(String, String), (Double, Double, Long, Long, Long)] =
         if (cols.isEmpty) Map.empty
-        else stats.filter(col("col").isin(cols.values.toSeq: _*))
-          .groupBy("__grp", "col")
-          .agg(min("lo").as("lo"), max("hi").as("hi"),
-            sum("nulls").as("nulls"), min("nulls").as("mnulls"),
-            count(lit(1)).as("n"))
-          .collect().map(r => (r.getString(0), r.getString(1)) ->
-            (r.getDouble(2), r.getDouble(3), r.getLong(4), r.getLong(5),
-              r.getLong(6))).toMap
+        else localRows match {
+          case Some(rows) =>
+            val physWanted = cols.values.toSet
+            rows.filter { case (_, m) =>
+                physWanted.contains(m("col").asInstanceOf[String]) }
+              .groupBy { case (g, m) =>
+                (g, m("col").asInstanceOf[String]) }
+              .map { case (k, ms) =>
+                k -> (ms.map(_._2("lo").asInstanceOf[Double]).min,
+                  ms.map(_._2("hi").asInstanceOf[Double]).max,
+                  ms.map(_._2("nulls").asInstanceOf[Long]).sum,
+                  ms.map(_._2("nulls").asInstanceOf[Long]).min,
+                  ms.size.toLong)
+              }
+          case None => stats.filter(col("col").isin(cols.values.toSeq: _*))
+            .groupBy("__grp", "col")
+            .agg(min("lo").as("lo"), max("hi").as("hi"),
+              sum("nulls").as("nulls"), min("nulls").as("mnulls"),
+              count(lit(1)).as("n"))
+            .collect().map(r => (r.getString(0), r.getString(1)) ->
+              (r.getDouble(2), r.getDouble(3), r.getLong(4), r.getLong(5),
+                r.getLong(6))).toMap
+        }
       val exactLimit = 9007199254740992.0d
       val out = grpFiles.keysIterator.flatMap { g =>
         val base = rowsG(g)._1 - dvByGrp.getOrElse(g, 0L)
@@ -6073,15 +6339,38 @@ object Versioned {
   private def dvDeletedCount(spark: SparkSession, dir: String,
       liveRefs: Seq[String], dvRels: Seq[String]): Long =
     if (dvRels.isEmpty) 0L
-    else {
-      val liveDf = spark.createDataFrame(
-          liveRefs.map(r => Tuple1(encodedLeafPath(refPath(dir, r)))))
-        .toDF("__live_file")
-      spark.read.parquet(dvRels.map(rel => s"$dir/$rel"): _*)
-        .dropDuplicates(DvFileCol, DvPosCol)
-        .join(liveDf, col(DvFileCol) === col("__live_file"), "left_semi")
-        .count()
+    else dvEntriesLocal(spark, dir, dvRels) match {
+      case Some(entries) =>
+        // driver-side: the vectors are metadata-sized (file, pos)
+        // pairs; distinct + live-filter in plain Scala, zero jobs
+        val live = liveRefs.map(r => encodedLeafPath(refPath(dir, r))).toSet
+        entries.distinct.count { case (f, _) => live.contains(f) }.toLong
+      case None =>
+        val liveDf = spark.createDataFrame(
+            liveRefs.map(r => Tuple1(encodedLeafPath(refPath(dir, r)))))
+          .toDF("__live_file")
+        spark.read.parquet(dvRels.map(rel => s"$dir/$rel"): _*)
+          .dropDuplicates(DvFileCol, DvPosCol)
+          .join(liveDf, col(DvFileCol) === col("__live_file"), "left_semi")
+          .count()
     }
+
+  /** Driver-side read of deletion-vector entries as (file, pos) pairs,
+    * None when the vectors exceed [[metaLocalMaxBytes]] (the
+    * distributed read takes over). */
+  private def dvEntriesLocal(spark: SparkSession, dir: String,
+      dvRels: Seq[String]): Option[Seq[(String, Long)]] = {
+    val budget = metaLocalMaxBytes(spark)
+    if (budget <= 0L) return None
+    val fs = fsOf(spark, dir)
+    val parts = dvRels.flatMap(rel =>
+      LocalParquet.dataFiles(fs, new Path(dir, rel)))
+    if (parts.map(_._2).sum > budget) return None
+    Some(LocalParquet.readRows(spark.sparkContext.hadoopConfiguration,
+        parts.map(_._1), Seq(DvFileCol, DvPosCol))
+      .map(m => (m(DvFileCol).asInstanceOf[String],
+        m(DvPosCol).asInstanceOf[Long])))
+  }
 
   /** One distributed footer read per file, summed — shared by
     * [[fastRowCount]] and the binpack sizing pass. Ships the SESSION's
@@ -6089,6 +6378,16 @@ object Versioned {
     * a fresh Configuration() would read local disk fine but fail to
     * authenticate anywhere real. */
   private def countFooterRows(spark: SparkSession, files: Seq[String]): Long = {
+    if (files.size <= footerLocalMaxFiles(spark))
+      // commit-sized file sets: sequential driver-side footer reads
+      // beat scheduling a distributed job (guide §1.2); large tables
+      // keep the parallel pass below
+      return files.map { p =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new Path(p), spark.sparkContext.hadoopConfiguration))
+        try r.getRecordCount finally r.close()
+      }.sum
     val hconf = spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(
         spark.sparkContext.hadoopConfiguration))
