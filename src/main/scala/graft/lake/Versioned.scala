@@ -2274,10 +2274,58 @@ object Versioned {
     * aware — a clone's anchor lives under its source), else the
     * legacy newest `anchor_v*` at or below `metaV`, else the
     * un-versioned `anchor`. */
+  /** Read a schema anchor. An anchor is an EMPTY parquet file that
+    * exists only for its schema, so the fast path reads the Spark
+    * schema JSON out of the footer key-value metadata on the DRIVER
+    * and serves an empty local relation — `spark.read.parquet` would
+    * launch a schema-inference job per zero-file read (guide §2.4).
+    * Nullability is forced like a file-source read reports it. Any
+    * miss (no part file, foreign footer without the Spark key) falls
+    * back to the ordinary read. */
+  private def readAnchor(spark: SparkSession, path: String): DataFrame = {
+    try {
+      val fs = fsOf(spark, path)
+      val parts = LocalParquet.dataFiles(fs, new Path(path))
+      if (parts.size == 1) {
+        val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            parts.head._1, spark.sparkContext.hadoopConfiguration))
+        val json =
+          try fr.getFooter.getFileMetaData.getKeyValueMetaData
+            .get("org.apache.spark.sql.parquet.row.metadata")
+          finally fr.close()
+        if (json != null) {
+          def forceNullable(dt: org.apache.spark.sql.types.DataType)
+              : org.apache.spark.sql.types.DataType = dt match {
+            case st: org.apache.spark.sql.types.StructType =>
+              org.apache.spark.sql.types.StructType(st.map(f =>
+                f.copy(dataType = forceNullable(f.dataType),
+                  nullable = true)))
+            case at: org.apache.spark.sql.types.ArrayType =>
+              at.copy(elementType = forceNullable(at.elementType),
+                containsNull = true)
+            case mt: org.apache.spark.sql.types.MapType =>
+              mt.copy(valueType = forceNullable(mt.valueType),
+                valueContainsNull = true)
+            case other => other
+          }
+          val schema = forceNullable(
+            org.apache.spark.sql.types.DataType.fromJson(json)
+              .asInstanceOf[org.apache.spark.sql.types.StructType])
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+          return spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+            schema)
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => }
+    spark.read.parquet(path)
+  }
+
   private def anchorDf(spark: SparkSession, dir: String,
       metaV: Long): Option[DataFrame] = {
     metaAt(spark, dir, metaV).anchorRef.foreach { ref =>
-      return Some(spark.read.parquet(refPath(dir, ref)))
+      return Some(readAnchor(spark, refPath(dir, ref)))
     }
     val fs = fsOf(spark, dir)
     val root = new Path(dir, "_schema")
@@ -2287,10 +2335,10 @@ object Versioned {
         n.stripPrefix("anchor_v").toLong
     }.filter(_ <= metaV)
     if (versioned.nonEmpty)
-      Some(spark.read.parquet(anchorPathV(dir, versioned.max)))
+      Some(readAnchor(spark, anchorPathV(dir, versioned.max)))
     else {
       val p = new Path(legacyAnchorPath(dir))
-      if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+      if (fs.exists(p)) Some(readAnchor(spark, p.toString)) else None
     }
   }
 
@@ -2423,14 +2471,27 @@ object Versioned {
       }
     // every DV file shares one schema (file, pos): ONE group, ONE
     // anti-join regardless of how many DV commits pend; the file
-    // reference is the scope, so no version bound applies
+    // reference is the scope, so no version bound applies. The schema
+    // is PROTOCOL, so it is passed explicitly — schema inference
+    // launches a footer job per spark.read.parquet call, one per
+    // snapshot read (guide §2.4)
     val dv =
       if (dvEs.isEmpty) Nil
       else Seq((None,
-        spark.read.parquet(dvEs.map(e => s"$dir/${e._1}"): _*),
+        spark.read.schema(dvReadSchema)
+          .parquet(dvEs.map(e => s"$dir/${e._1}"): _*),
         Set.empty[String], true))
     eq ++ dv
   }
+
+  /** The fixed deletion-vector schema ([[DvFileCol]], [[DvPosCol]]) —
+    * what [[deleteWhereVectors]] writes, declared so DV reads never
+    * pay a schema-inference job. */
+  private val dvReadSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField(DvFileCol,
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField(DvPosCol,
+      org.apache.spark.sql.types.LongType)))
 
   /** A manifest/driver path string in the SAME representation
     * `input_file_name()` yields after [[encodedLeafPathCol]]: the
@@ -4469,7 +4530,8 @@ object Versioned {
             case None =>
               val dvMap = spark.createDataFrame(dvGrpOf.toSeq)
                 .toDF("__dvfile", "__dvgrp")
-              spark.read.parquet(dvEs.map(e => s"$dir/${e._1}"): _*)
+              spark.read.schema(dvReadSchema)
+                .parquet(dvEs.map(e => s"$dir/${e._1}"): _*)
                 .dropDuplicates(DvFileCol, DvPosCol)
                 .join(dvMap, col(DvFileCol) === col("__dvfile"))
                 .groupBy("__dvgrp").count().collect()
@@ -6349,7 +6411,8 @@ object Versioned {
         val liveDf = spark.createDataFrame(
             liveRefs.map(r => Tuple1(encodedLeafPath(refPath(dir, r)))))
           .toDF("__live_file")
-        spark.read.parquet(dvRels.map(rel => s"$dir/$rel"): _*)
+        spark.read.schema(dvReadSchema)
+          .parquet(dvRels.map(rel => s"$dir/$rel"): _*)
           .dropDuplicates(DvFileCol, DvPosCol)
           .join(liveDf, col(DvFileCol) === col("__live_file"), "left_semi")
           .count()
