@@ -1862,14 +1862,19 @@ object Versioned {
         // (caller-persisted) batch: per-partition counts collected
         // once, then a lazy per-partition map assigns from cumulative
         // offsets — no single-partition window, no shuffle, no second
-        // pass (zipWithIndex would re-run the count internally)
+        // pass (zipWithIndex would re-run the count internally).
+        // The pass stays at the InternalRow layer (queryExecution.toRdd
+        // + internalCreateDataFrame): `out.rdd` deserialized every
+        // field Catalyst→Scala and back per row — the r16-ledgered
+        // identity-append overhead (VERDICT #8), pure conversion cost
         val next = r.hw.map(h =>
           try Math.addExact(h, r.step)
           catch { case _: ArithmeticException => overflow(name) })
           .getOrElse(r.start)
         val schema2 = out.schema.add(name,
           org.apache.spark.sql.types.LongType, nullable = false)
-        val src = out.rdd
+        val fieldTypes = out.schema.map(_.dataType).toArray
+        val src = out.queryExecution.toRdd
         val counts = src.mapPartitionsWithIndex { case (i, it) =>
           Iterator((i, it.size.toLong)) }.collect().toMap
         val n = counts.values.sum
@@ -1881,13 +1886,26 @@ object Versioned {
           counts.toSeq.sortBy(_._1).map { case (i, c) =>
             val o = acc; acc += c; i -> o }.toMap
         }
+        val step = r.step
         val rdd = src.mapPartitionsWithIndex { case (i, it) =>
           val base = offsets(i)
-          it.zipWithIndex.map { case (row, j) =>
-            org.apache.spark.sql.Row.fromSeq(
-              row.toSeq :+ (next + r.step * (base + j))) }
+          var j = 0L
+          it.map { ir0 =>
+            // copy() first: scan iterators REUSE the backing row buffer
+            val ir = ir0.copy()
+            val arr = new Array[Any](fieldTypes.length + 1)
+            var k = 0
+            while (k < fieldTypes.length) {
+              arr(k) = ir.get(k, fieldTypes(k)); k += 1
+            }
+            arr(fieldTypes.length) = next + step * (base + j)
+            j += 1
+            new org.apache.spark.sql.catalyst.expressions
+              .GenericInternalRow(arr): org.apache.spark.sql.catalyst.InternalRow
+          }
         }
-        out = spark.createDataFrame(rdd, schema2)
+        out = org.apache.spark.sql.GraftColumnBridge
+          .internalDataFrame(spark, rdd, schema2)
         if (n > 0L) rules += name -> r.copy(hw = Some(last))
       } else {
         // the engine-hidden row-tracking id is supplied BY THE ENGINE
