@@ -66,12 +66,16 @@ object Maintenance {
     require(bits >= 1 && n * bits <= 63,
       s"n*bits must be in [1,63] to fit a long key, got $n*$bits")
     if (n == 1) return cols.head.cast("long")
-    val longs = cols.map(_.cast("long"))
-    val terms = for {
-      i <- 0 until bits
-      (c, j) <- longs.zipWithIndex
-    } yield shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * n + (n - 1 - j))
-    terms.reduce(_ bitwiseOR _)
+    // native single-pass interleave, each dimension referenced ONCE:
+    // the shift/mask/or composition re-embedded every dimension's
+    // whole expression subtree per interleaved bit — over quantile
+    // trees that made a ~40k-node sort key Catalyst re-walked on
+    // every (re-)planning pass (ZOrderExpressions has the numbers);
+    // values are bit-identical (MaintenanceSpec pins the equivalence)
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.ZInterleave(
+        cols.map(c => org.apache.spark.sql.GraftColumnBridge
+          .expression(c.cast("long"))), bits))
   }
 
   /** Min-max scale a numeric column onto the [0, 2^bits) integer grid
@@ -102,6 +106,26 @@ object Maintenance {
     */
   def quantileBucket(c: Column, cuts: Seq[Column]): Column = {
     require(cuts.nonEmpty, "quantileBucket needs at least one cut")
+    // literal DOUBLE/STRING cuts (every production caller: clusterKey
+    // pre-casts and lifts plain values) take the NATIVE binary-search
+    // expression — the balanced `when` tree is ~5 Catalyst nodes per
+    // cell, which at 256 cells per dimension made clustered-write
+    // PLANNING the dominant cost (ZOrderExpressions has the numbers).
+    // Same values: lower_bound by Java `<` (NaN falls past every cut),
+    // null → bucket 0. Non-literal or other-typed cuts keep the tree.
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val litsD = cuts.map(expression).collect {
+      case Literal(v: Double, org.apache.spark.sql.types.DoubleType) => v }
+    val litsS = cuts.map(expression).collect {
+      case Literal(s: org.apache.spark.unsafe.types.UTF8String,
+        org.apache.spark.sql.types.StringType) => s }
+    if (litsD.size == cuts.size)
+      return column(graft.functions.RankBucketDouble(
+        expression(c), litsD.toArray))
+    if (litsS.size == cuts.size)
+      return column(graft.functions.RankBucketString(
+        expression(c), litsS.toArray))
     def tree(lo: Int, hi: Int): Column =
       if (lo >= hi) lit(lo.toLong)
       else {

@@ -130,4 +130,59 @@ class MaintenanceSpec extends SparkSpec {
     assert(ca <= sa / 2 && cb <= sb / 2,
       s"z-compaction should tighten both dims: a $sa->$ca, b $sb->$cb")
   }
+
+  test("quantileBucket: native rank expression equals the legacy when-tree and the lower_bound model (doubles incl. NaN/null, strings, cut-boundary ties)") {
+    import org.apache.spark.sql.Column
+    // the pre-r17 composed form, rebuilt verbatim as the twin
+    def legacy(c: Column, cuts: Seq[Column]): Column = {
+      def tree(lo: Int, hi: Int): Column =
+        if (lo >= hi) lit(lo.toLong)
+        else {
+          val mid = (lo + hi) / 2
+          when(c < cuts(mid), tree(lo, mid)).otherwise(tree(mid + 1, hi))
+        }
+      when(c.isNull, lit(0L)).otherwise(tree(0, cuts.size))
+    }
+    val dCuts = Seq(-3.5, 0.0, 1.0, 7.25, 100.0)
+    val dVals: Seq[java.lang.Double] = Seq(-10.0, -3.5, -3.4999, 0.0, 0.5,
+      1.0, 7.25, 99.9, 100.0, 1e9, Double.NaN, null)
+      .map(v => if (v == null) null
+        else java.lang.Double.valueOf(v.asInstanceOf[Double]))
+    val ddf = spark.createDataFrame(
+      spark.sparkContext.parallelize(dVals.map(org.apache.spark.sql.Row(_)), 2),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.DoubleType))))
+    val dOut = ddf.select(
+      quantileBucket(col("v"), dCuts.map(lit(_))).as("fast"),
+      legacy(col("v"), dCuts.map(lit(_))).as("slow"),
+      col("v")).collect()
+    dOut.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1),
+        s"double mismatch at ${r.get(2)}: fast=${r.getLong(0)} slow=${r.getLong(1)}")
+      // lower_bound model (Java < : NaN lands past every cut)
+      val model = if (r.isNullAt(2)) 0L
+        else dCuts.count(cut => !(r.getDouble(2) < cut)).toLong
+      assert(r.getLong(0) == model)
+    }
+    val sCuts = Seq("b", "f", "mm", "z")
+    val sVals = Seq("a", "b", "c", "f", "g", "mm", "mz", "z", "zz", null)
+    val sdf = spark.createDataFrame(
+      spark.sparkContext.parallelize(sVals.map(org.apache.spark.sql.Row(_)), 2),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.StringType))))
+    val sOut = sdf.select(
+      quantileBucket(col("v"), sCuts.map(lit(_))).as("fast"),
+      legacy(col("v"), sCuts.map(lit(_))).as("slow"), col("v")).collect()
+    sOut.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1),
+        s"string mismatch at ${r.get(2)}: fast=${r.getLong(0)} slow=${r.getLong(1)}")
+    }
+    // NON-literal cuts keep the legacy tree path and still agree
+    val mixed = ddf.select(
+      quantileBucket(col("v"), Seq(lit(0.0), col("v") * 0 + 1.0)).as("fast"),
+      legacy(col("v"), Seq(lit(0.0), col("v") * 0 + 1.0)).as("slow")).collect()
+    mixed.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
 }
