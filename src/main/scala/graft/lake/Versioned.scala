@@ -2300,45 +2300,52 @@ object Versioned {
     * Nullability is forced like a file-source read reports it. Any
     * miss (no part file, foreign footer without the Spark key) falls
     * back to the ordinary read. */
-  private def readAnchor(spark: SparkSession, path: String): DataFrame = {
+  private def readAnchor(spark: SparkSession, path: String): DataFrame =
+    parquetSchemaLocal(spark, path) match {
+      case Some(schema) => spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+      case None => spark.read.parquet(path)
+    }
+
+  /** The Spark schema a parquet file was WRITTEN with, read off its
+    * footer key-value metadata on the driver — what spark.read's
+    * schema-inference job would conclude, without the job. None for
+    * foreign-written files (no Spark key) or on any IO surprise;
+    * nullability forced like a file-source read reports it. */
+  private def parquetSchemaLocal(spark: SparkSession, path: String)
+      : Option[org.apache.spark.sql.types.StructType] =
     try {
       val fs = fsOf(spark, path)
       val parts = LocalParquet.dataFiles(fs, new Path(path))
-      if (parts.size == 1) {
-        val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            parts.head._1, spark.sparkContext.hadoopConfiguration))
-        val json =
-          try fr.getFooter.getFileMetaData.getKeyValueMetaData
-            .get("org.apache.spark.sql.parquet.row.metadata")
-          finally fr.close()
-        if (json != null) {
-          def forceNullable(dt: org.apache.spark.sql.types.DataType)
-              : org.apache.spark.sql.types.DataType = dt match {
-            case st: org.apache.spark.sql.types.StructType =>
-              org.apache.spark.sql.types.StructType(st.map(f =>
-                f.copy(dataType = forceNullable(f.dataType),
-                  nullable = true)))
-            case at: org.apache.spark.sql.types.ArrayType =>
-              at.copy(elementType = forceNullable(at.elementType),
-                containsNull = true)
-            case mt: org.apache.spark.sql.types.MapType =>
-              mt.copy(valueType = forceNullable(mt.valueType),
-                valueContainsNull = true)
-            case other => other
-          }
-          val schema = forceNullable(
-            org.apache.spark.sql.types.DataType.fromJson(json)
-              .asInstanceOf[org.apache.spark.sql.types.StructType])
-            .asInstanceOf[org.apache.spark.sql.types.StructType]
-          return spark.createDataFrame(
-            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-            schema)
+      if (parts.isEmpty) return None
+      val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          parts.head._1, spark.sparkContext.hadoopConfiguration))
+      val json =
+        try fr.getFooter.getFileMetaData.getKeyValueMetaData
+          .get("org.apache.spark.sql.parquet.row.metadata")
+        finally fr.close()
+      if (json == null) None
+      else {
+        def forceNullable(dt: org.apache.spark.sql.types.DataType)
+            : org.apache.spark.sql.types.DataType = dt match {
+          case st: org.apache.spark.sql.types.StructType =>
+            org.apache.spark.sql.types.StructType(st.map(f =>
+              f.copy(dataType = forceNullable(f.dataType), nullable = true)))
+          case at: org.apache.spark.sql.types.ArrayType =>
+            at.copy(elementType = forceNullable(at.elementType),
+              containsNull = true)
+          case mt: org.apache.spark.sql.types.MapType =>
+            mt.copy(valueType = forceNullable(mt.valueType),
+              valueContainsNull = true)
+          case other => other
         }
+        Some(forceNullable(
+          org.apache.spark.sql.types.DataType.fromJson(json)
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
       }
-    } catch { case scala.util.control.NonFatal(_) => }
-    spark.read.parquet(path)
-  }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   private def anchorDf(spark: SparkSession, dir: String,
       metaV: Long): Option[DataFrame] = {
@@ -2481,7 +2488,15 @@ object Versioned {
       .partition(e => isDvRef(e._1))
     val eq = eqEs.groupBy(_._2).toSeq.sortBy(_._1.getOrElse(-1L))
       .map { case (bound, es) =>
-        val tomb = spark.read.parquet(es.map(e => s"$dir/${e._1}"): _*)
+        // a group's tombstones share one key schema (the mergeIntoMor
+        // key discipline): serve it from the first file's footer on
+        // the driver so the read skips its schema-inference job —
+        // one such job ran per group per snapshot read (guide §2.4)
+        val paths = es.map(e => s"$dir/${e._1}")
+        val tomb = parquetSchemaLocal(spark, paths.head) match {
+          case Some(s) => spark.read.schema(s).parquet(paths: _*)
+          case None => spark.read.parquet(paths: _*)
+        }
         val exempt = bound.fold(Set.empty[String])(b =>
           filesAddedSince(spark, dir, b, version)
             .map(r => encodedLeafPath(refPath(dir, r))))
@@ -3180,8 +3195,13 @@ object Versioned {
           .collect { case (p, None) if !isDvRef(p) => p }
         if (global.nonEmpty) {
           // tombstones are physical; compare in the logical view
-          val tomb = applyColumnMapping(meta0,
-            spark.read.parquet(global.map(d => s"$dir/$d"): _*))
+          // (key schema served from the first footer, driver-side)
+          val paths = global.map(d => s"$dir/$d")
+          val raw = parquetSchemaLocal(spark, paths.head) match {
+            case Some(s) => spark.read.schema(s).parquet(paths: _*)
+            case None => spark.read.parquet(paths: _*)
+          }
+          val tomb = applyColumnMapping(meta0, raw)
           val hit = batch.join(tomb, tomb.columns.toSeq
             .map(k => batch(k) <=> tomb(k)).reduce(_ && _), "left_semi")
           require(hit.isEmpty,
@@ -5144,8 +5164,16 @@ object Versioned {
       val es = dels.map(delParse)
         .filter(e => e._2.isEmpty && !isDvRef(e._1))
       if (es.isEmpty) Set.empty
-      else applyColumnMapping(meta0,
-        spark.read.parquet(es.map(e => s"$dir/${e._1}"): _*)).columns.toSet
+      else {
+        // schema-only probe: the footer answers it driver-side (all
+        // global tombstones share the table's key discipline)
+        val paths = es.map(e => s"$dir/${e._1}")
+        val tomb = parquetSchemaLocal(spark, paths.head) match {
+          case Some(s) => spark.read.schema(s).parquet(paths: _*)
+          case None => spark.read.parquet(paths: _*)
+        }
+        applyColumnMapping(meta0, tomb).columns.toSet
+      }
     }
     require(assignments.keySet.intersect(globalDelCols).isEmpty,
       "updateWhere cannot assign a column that pending UNSCOPED equality " +
@@ -5244,8 +5272,16 @@ object Versioned {
       val es = carried.map(delParse)
         .filter(e => e._2.isEmpty && !isDvRef(e._1))
       if (es.isEmpty) Set.empty
-      else applyColumnMapping(meta0,
-        spark.read.parquet(es.map(e => s"$dir/${e._1}"): _*)).columns.toSet
+      else {
+        // schema-only probe: the footer answers it driver-side (all
+        // global tombstones share the table's key discipline)
+        val paths = es.map(e => s"$dir/${e._1}")
+        val tomb = parquetSchemaLocal(spark, paths.head) match {
+          case Some(s) => spark.read.schema(s).parquet(paths: _*)
+          case None => spark.read.parquet(paths: _*)
+        }
+        applyColumnMapping(meta0, tomb).columns.toSet
+      }
     }
     require(assignments.keySet.intersect(globalDelCols).isEmpty,
       "updateWhereVectors cannot assign a column that pending UNSCOPED " +
@@ -5612,8 +5648,11 @@ object Versioned {
       val rawDels = meta0.dels
       val rawEqDels = rawDels.filterNot(e => isDvRef(delParse(e)._1))
       if (rawEqDels.nonEmpty) {
-        val prior = spark.read
-          .parquet(s"$dir/${delParse(rawEqDels.head)._1}").columns.toSeq
+        // schema-only probe: the footer answers it driver-side
+        val priorPath = s"$dir/${delParse(rawEqDels.head)._1}"
+        val prior = parquetSchemaLocal(spark, priorPath)
+          .map(_.fieldNames.toSeq)
+          .getOrElse(spark.read.parquet(priorPath).columns.toSeq)
         val keyPhys = rowKey.map(k => meta0.renames.getOrElse(k, k))
         require(prior.sorted == keyPhys.sorted,
           s"tombstone key mismatch: $dir already has equality deletes on " +
