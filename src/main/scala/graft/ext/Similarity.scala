@@ -282,18 +282,18 @@ object Similarity {
     * on. */
   private def pqCodesExpr(vecDoubles: Column, m: Int, ksub: Int): Column = {
     val v = vecDoubles
-    val dsub = (size(v) / lit(m)).cast("int")
-    val codes = transform(sequence(lit(0), lit(m - 1)), j => {
-      val sub = slice(v, j * dsub + 1, dsub)
-      val scored = transform(sequence(lit(0), lit(ksub - 1)), c =>
-        struct(
-          round(aggregate(
-            zip_with(sub, element_at(col("__cb"), j * ksub + c + 1),
-              (x, y) => (x - y) * (x - y)),
-            lit(0.0), (acc, d) => acc + d), 4).as("dist"),
-          c.as("code")))
-      array_min(scored).getField("code")
-    })
+    // NATIVE encode (graft.functions.PqEncodeExpr): the composed
+    // transform/zip_with/aggregate argmin was CodegenFallback — every
+    // corpus row paid m×ksub×dsub interpreted lambda dispatches plus a
+    // struct allocation per candidate code. One JVM loop now; values
+    // bit-identical (rounding, NaN/null ordering, tie-to-smaller-code
+    // — QuantizeSpec + the PQ oracle rows pin it). The shape guard
+    // stays INSIDE the consumed expression, exactly as before.
+    val codes = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.PqEncodeExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(v),
+        org.apache.spark.sql.GraftColumnBridge.expression(col("__cb")),
+        m, ksub))
     when(size(v) % m === 0 && size(col("__cb")) === m * ksub, codes)
       .otherwise(raise_error(format_string(
         s"pqEncode: need dim %% $m == 0 and a full codebook of ${m * ksub} " +
@@ -321,19 +321,23 @@ object Similarity {
   /** The probe's m×ksub ADC lookup table over the packed codebooks
     * column `__cb`: entry (j·ksub + c) = rounded dot of probe
     * subvector j with codebook entry (j, c). */
-  private def pqLut(pv: Column, m: Int, ksub: Int): Column = {
-    val dsub = (size(pv) / lit(m)).cast("int")
-    transform(sequence(lit(0), lit(m * ksub - 1)), i => {
-      val j = floor(i / ksub).cast("int")
-      round(dot(slice(pv, j * dsub + 1, dsub), element_at(col("__cb"), i + 1)), 4)
-    })
-  }
+  private def pqLut(pv: Column, m: Int, ksub: Int): Column =
+    // native twin of the composed rounded-dot table (see pqCodesExpr)
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.PqLutExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(pv),
+        org.apache.spark.sql.GraftColumnBridge.expression(col("__cb")),
+        m, ksub))
 
-  /** Sum of the `__lut` entries selected by the row's `codes`. */
+  /** Sum of the `__lut` entries selected by the row's `codes` —
+    * native (one JVM loop per candidate row; the aggregate fold was
+    * interpreted per row on every probed candidate). */
   private def pqAdc(m: Int, ksub: Int): Column =
-    aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, j) =>
-      acc + element_at(col("__lut"),
-        j * ksub + element_at(col("codes"), (j + 1).cast("int")) + 1))
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.PqAdcExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("__lut")),
+        org.apache.spark.sql.GraftColumnBridge.expression(col("codes")),
+        m, ksub))
 
   /** Asymmetric-distance (ADC) top-k: the probe builds an m×ksub
     * lookup table of rounded partial dots against every codebook
