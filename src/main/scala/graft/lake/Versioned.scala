@@ -714,7 +714,18 @@ object Versioned {
       val r0 = spark.read.option("basePath", root)
       val reader = pinned match {
         case Some(s) => r0.schema(s)
-        case None => r0.option("mergeSchema", "true")
+        // no pin: when every footer in the group carries the same
+        // Spark schema (the common, un-evolved case), serve it
+        // explicitly — same contract as the pin (partition columns
+        // attach from the Hive paths), minus the per-read mergeSchema
+        // inference job. Heterogeneous groups keep the distributed
+        // merge, whose field ordering this must not re-derive.
+        case None =>
+          uniformSchemaLocal(spark,
+            rs.map(r => new Path(s"$root/${refRel(r)}"))) match {
+            case Some(s) => r0.schema(s)
+            case None => r0.option("mergeSchema", "true")
+          }
       }
       val d = reader.parquet(rs.map(r => s"$root/${refRel(r)}"): _*)
       // row positions for the deletion-vector anti-join must attach
@@ -2318,33 +2329,103 @@ object Versioned {
       val fs = fsOf(spark, path)
       val parts = LocalParquet.dataFiles(fs, new Path(path))
       if (parts.isEmpty) return None
+      footerSchemaJson(spark, parts.head._1).map(parseFooterSchema)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The Spark schema JSON a parquet file's footer carries (the
+    * `org.apache.spark.sql.parquet.row.metadata` key), read on the
+    * driver. None for foreign-written files or on any IO surprise. */
+  private def footerSchemaJson(spark: SparkSession,
+      part: Path): Option[String] =
+    try {
       val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          parts.head._1, spark.sparkContext.hadoopConfiguration))
+          part, spark.sparkContext.hadoopConfiguration))
       val json =
         try fr.getFooter.getFileMetaData.getKeyValueMetaData
           .get("org.apache.spark.sql.parquet.row.metadata")
         finally fr.close()
-      if (json == null) None
-      else {
-        def forceNullable(dt: org.apache.spark.sql.types.DataType)
-            : org.apache.spark.sql.types.DataType = dt match {
-          case st: org.apache.spark.sql.types.StructType =>
-            org.apache.spark.sql.types.StructType(st.map(f =>
-              f.copy(dataType = forceNullable(f.dataType), nullable = true)))
-          case at: org.apache.spark.sql.types.ArrayType =>
-            at.copy(elementType = forceNullable(at.elementType),
-              containsNull = true)
-          case mt: org.apache.spark.sql.types.MapType =>
-            mt.copy(valueType = forceNullable(mt.valueType),
-              valueContainsNull = true)
-          case other => other
+      Option(json)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Footer Spark-schema JSON → StructType with nullability forced
+    * like a file-source read reports it. */
+  private def parseFooterSchema(json: String)
+      : org.apache.spark.sql.types.StructType = {
+    def forceNullable(dt: org.apache.spark.sql.types.DataType)
+        : org.apache.spark.sql.types.DataType = dt match {
+      case st: org.apache.spark.sql.types.StructType =>
+        org.apache.spark.sql.types.StructType(st.map(f =>
+          f.copy(dataType = forceNullable(f.dataType), nullable = true)))
+      case at: org.apache.spark.sql.types.ArrayType =>
+        at.copy(elementType = forceNullable(at.elementType),
+          containsNull = true)
+      case mt: org.apache.spark.sql.types.MapType =>
+        mt.copy(valueType = forceNullable(mt.valueType),
+          valueContainsNull = true)
+      case other => other
+    }
+    forceNullable(
+      org.apache.spark.sql.types.DataType.fromJson(json)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+  }
+
+  /** The ONE Spark schema shared by every listed parquet part file,
+    * read off their footers on the driver — exactly what the
+    * `mergeSchema` inference JOB would conclude when the footers all
+    * agree, without the job (guide §2.4: a `spark.read.parquet` with
+    * `mergeSchema` launches a distributed footer pass per call, ~40 ms
+    * of fixed overhead on metadata-sized reads, and snapshot
+    * resolution pays one per root group). None when any footer misses
+    * the Spark key (foreign files), the JSONs genuinely differ (an
+    * evolved file set keeps the distributed merge — bit-identical
+    * result order is only guaranteed for the uniform case), or the
+    * file count exceeds `spark.graft.footer.localMaxFiles`. */
+  private def uniformSchemaLocal(spark: SparkSession,
+      parts: Seq[Path]): Option[org.apache.spark.sql.types.StructType] =
+    try {
+      if (parts.isEmpty || parts.size > footerLocalMaxFiles(spark))
+        return None
+      var json: String = null
+      parts.foreach { p =>
+        footerSchemaJson(spark, p) match {
+          case Some(j) if json == null => json = j
+          case Some(j) if j == json =>
+          case _ => return None
         }
-        Some(forceNullable(
-          org.apache.spark.sql.types.DataType.fromJson(json)
-            .asInstanceOf[org.apache.spark.sql.types.StructType])
-          .asInstanceOf[org.apache.spark.sql.types.StructType])
       }
+      Some(parseFooterSchema(json))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** [[uniformSchemaLocal]] over a DIRECTORY's recursive data files —
+    * the dir-read twin for consumers that read a whole (possibly
+    * Hive-partitioned) lake with `mergeSchema` (partition columns are
+    * not in footers; Spark appends them from the paths when an
+    * explicit data schema is passed, exactly as on the pinned read
+    * path). Bails (None) past `spark.graft.footer.localMaxFiles`
+    * files — the large-lake regime keeps the distributed merge. */
+  private[graft] def uniformDirSchemaLocal(spark: SparkSession,
+      dir: String): Option[org.apache.spark.sql.types.StructType] =
+    try {
+      val fs = fsOf(spark, dir)
+      val root = new Path(dir)
+      if (!fs.exists(root)) return None
+      val budget = footerLocalMaxFiles(spark)
+      val rootUri = root.toUri.getPath.stripSuffix("/")
+      val it = fs.listFiles(root, true)
+      val parts = scala.collection.mutable.ArrayBuffer.empty[Path]
+      while (it.hasNext) {
+        val f = it.next().getPath
+        val rel = f.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+        val segs = rel.split('/')
+        if (f.getName.endsWith(".parquet") &&
+            !segs.exists(s => s.startsWith("_") || s.startsWith("."))) {
+          parts += f
+          if (parts.size > budget) return None
+        }
+      }
+      uniformSchemaLocal(spark, parts.toSeq)
     } catch { case scala.util.control.NonFatal(_) => None }
 
   private def anchorDf(spark: SparkSession, dir: String,
@@ -3513,7 +3594,18 @@ object Versioned {
     val m = metaAt(spark, dir, v)
     m.cdfInc match {
       case Some(rel) =>
-        Some(spark.read.option("mergeSchema", "true").parquet(s"$dir/$rel"))
+        // an increment dir is written by ONE job, so its footers agree:
+        // serve the schema driver-side and skip the per-read
+        // mergeSchema inference job (guide §2.4); the distributed
+        // merge stays as the fallback for any surprise
+        val p = s"$dir/$rel"
+        val parts =
+          try LocalParquet.dataFiles(fsOf(spark, dir), new Path(p)).map(_._1)
+          catch { case scala.util.control.NonFatal(_) => Nil }
+        Some(uniformSchemaLocal(spark, parts) match {
+          case Some(s) => spark.read.schema(s).parquet(p)
+          case None => spark.read.option("mergeSchema", "true").parquet(p)
+        })
       case None if m.op.exists(RowNeutralOps) => None
       case None => throw new IllegalArgumentException(
         s"version $v of $dir (op ${m.op.getOrElse("unknown")}) carries no " +
@@ -3521,6 +3613,24 @@ object Versioned {
           "range from a snapshot instead")
     }
   }
+
+  /** Footer-only row count of version `v`'s change increment, read on
+    * the driver — the job-free twin of the apply loops' per-increment
+    * `isEmpty` probe (guide §2.4). Sound because an increment's
+    * `update_preimage` rows are always written PAIRED with their
+    * postimages (every emitter unions both legs of the same resolved
+    * frame), so "zero total rows" is the only case where filtering
+    * preimages away leaves nothing. None above the footer budget or
+    * on any IO surprise (callers fall back to the Spark probe). */
+  private def incrementRowsLocal(spark: SparkSession, dir: String,
+      v: Long): Option[Long] =
+    try metaAt(spark, dir, v).cdfInc.flatMap { rel =>
+      val parts = LocalParquet.dataFiles(fsOf(spark, dir),
+        new Path(dir, rel)).map(_._1)
+      if (parts.size > footerLocalMaxFiles(spark)) None
+      else Some(LocalParquet.recordCount(
+        spark.sparkContext.hadoopConfiguration, parts))
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** The CDF rows of versions `fromV` (exclusive) → `toV` (inclusive),
     * each tagged `_commit_version` — the batch read of the table
@@ -3642,7 +3752,13 @@ object Versioned {
           .filter(col("_action") =!= "update_preimage")
           .withColumn("__delete", col("_action") === "delete")
           .drop("_action")
-        if (!b.isEmpty)
+        // emptiness off the increment's footers (driver-side, no job;
+        // see incrementRowsLocal for why preimage-only is impossible)
+        val empty = incrementRowsLocal(spark, srcDir, v) match {
+          case Some(n) => n == 0L
+          case None => b.isEmpty
+        }
+        if (!empty)
           graft.ops.MergeData.mergeInto(spark, replicaDir, b,
             partitionKeys, key)
       }
@@ -3691,7 +3807,12 @@ object Versioned {
         val b = inc.filter(col("_action") =!= "update_preimage")
           .withColumn("__delete", col("_action") === "delete")
           .drop("_action")
-        if (!b.isEmpty)
+        // emptiness off the increment's footers (driver-side, no job)
+        val empty = incrementRowsLocal(spark, srcDir, v) match {
+          case Some(n) => n == 0L
+          case None => b.isEmpty
+        }
+        if (!empty)
           mergeInto(spark, replicaDir, b, partitionKeys, key)
       }
     }
@@ -4874,9 +4995,12 @@ object Versioned {
     val carriedEq = carried.filterNot(e => isDvRef(delParse(e)._1))
     if (carriedEq.nonEmpty) {
       // tombstone files are physical; keyCols are logical (deletion
-      // vectors are keyless (file, pos) sidecars — exempt)
-      val prior = spark.read
-        .parquet(s"$dir/${delParse(carriedEq.head)._1}").columns.toSeq
+      // vectors are keyless (file, pos) sidecars — exempt).
+      // schema-only probe: the footer answers it driver-side
+      val priorPath = s"$dir/${delParse(carriedEq.head)._1}"
+      val prior = parquetSchemaLocal(spark, priorPath)
+        .map(_.fieldNames.toSeq)
+        .getOrElse(spark.read.parquet(priorPath).columns.toSeq)
       val keyPhys = keyCols.map(k => meta0.renames.getOrElse(k, k))
       require(prior.sorted == keyPhys.sorted,
         s"tombstone key mismatch: table already has equality deletes on " +
@@ -4886,21 +5010,6 @@ object Versioned {
     // can't be re-tombstoned, and the pred sees what a reader sees
     val deletedRows = snapshotAll(spark, dir, v).filter(pred)
     val keys = deletedRows.select(keyCols.map(col): _*).distinct()
-    if (keys.isEmpty) {
-      // replay after a crash between a prior commit and its promote:
-      // the keys already read as deleted, but the increment may still
-      // be sitting staged — publish it
-      changeFeed.foreach { case (fd, b) =>
-        graft.ops.MergeData.promoteFeedIncrement(spark, fd, b) }
-      return v
-    }
-    // the increment is STAGED before the commit (resolution against
-    // the immutable snapshot v — replay-consistent like the merge
-    // paths) and published only after the version is reserved
-    changeFeed.foreach { case (fd, batchId) =>
-      graft.ops.MergeData.stageFeedIncrement(spark, fd, batchId,
-        deletedRows.withColumn("_action", lit("delete")), v)
-    }
     val fs = fsOf(spark, dir)
     // UNIQUE staging path per attempt (never overwrite): a racing
     // writer that loses the manifest CAS must not have first deleted
@@ -4912,6 +5021,9 @@ object Versioned {
     // by use-case (the read side anti-joins them, usually broadcast).
     // A delete wide enough to make this file large is a rewrite-class
     // operation — use the COW mergeInto with __delete instead.
+    // Staged FIRST so its footer row count answers the "did anything
+    // match" question on the driver — no separate `keys.isEmpty` job
+    // (guide §2.4; the append/merge staged-write discipline).
     toPhysical(meta0, keys).coalesce(1)
       .write.mode("errorifexists").parquet(s"$dir/$delRel")
     val it = fs.listFiles(new Path(dir, delRel), false)
@@ -4920,7 +5032,24 @@ object Versioned {
       val f = it.next().getPath.getName
       if (f.endsWith(".parquet")) delFiles += s"$delRel/$f"
     }
-    require(delFiles.nonEmpty, s"tombstone write produced no files under $delRel")
+    if (delFiles.isEmpty ||
+        countFooterRows(spark, delFiles.map(r => s"$dir/$r").toSeq) == 0L) {
+      // nothing matched: drop the schema-only staging file. Replay
+      // after a crash between a prior commit and its promote: the keys
+      // already read as deleted, but the increment may still be
+      // sitting staged — publish it
+      fs.delete(new Path(dir, delRel), true)
+      changeFeed.foreach { case (fd, b) =>
+        graft.ops.MergeData.promoteFeedIncrement(spark, fd, b) }
+      return v
+    }
+    // the increment is STAGED before the commit (resolution against
+    // the immutable snapshot v — replay-consistent like the merge
+    // paths) and published only after the version is reserved
+    changeFeed.foreach { case (fd, batchId) =>
+      graft.ops.MergeData.stageFeedIncrement(spark, fd, batchId,
+        deletedRows.withColumn("_action", lit("delete")), v)
+    }
     // table-property CDF: crash-atomic increment published by the CAS
     val autoInc = metaAt(spark, dir, v).cdf.map { _ =>
       writeChangeInc(spark, dir,
@@ -5298,8 +5427,11 @@ object Versioned {
     val logical = applyAddedColumns(meta0, applyColumnMapping(meta0, visible))
     val hits = logical.filter(coalesce(pred, lit(false))).persist()
     try {
-      if (hits.isEmpty) return v // no row matched: no-op, no commit
-      // the vector names exactly the matched rows
+      // the vector names exactly the matched rows — staged FIRST so
+      // its footer row count answers "did anything match" on the
+      // driver instead of a separate `hits.isEmpty` job (guide §2.4);
+      // the write also materializes the persist() the post-image pass
+      // rides
       val dvRel = f"_deletes/dv_v${v + 1}%06d_" +
         java.util.UUID.randomUUID().toString.take(8)
       hits.select(col(fileCol).as(DvFileCol),
@@ -5311,8 +5443,11 @@ object Versioned {
         val f = it.next().getPath.getName
         if (f.endsWith(".parquet")) dvFiles += s"$dvRel/$f"
       }
-      require(dvFiles.nonEmpty,
-        s"deletion-vector write produced no files under $dvRel")
+      if (dvFiles.isEmpty ||
+          countFooterRows(spark, dvFiles.map(r => s"$dir/$r").toSeq) == 0L) {
+        fs.delete(new Path(dir, dvRel), true)
+        return v // no row matched: no-op, no commit
+      }
       // the post-images, appended as ordinary fresh files; generated
       // columns keep stored values and re-validate (an assignment that
       // broke a generated invariant fails loudly before any commit)
@@ -5433,11 +5568,10 @@ object Versioned {
     val logical = applyAddedColumns(meta0, applyColumnMapping(meta0, visible))
     val hits = logical.filter(coalesce(pred, lit(false))).persist()
     try {
-      if (hits.isEmpty) {
-        changeFeed.foreach { case (fd, b) =>
-          graft.ops.MergeData.promoteFeedIncrement(spark, fd, b) }
-        return v // no row matched: no-op, no commit
-      }
+      // staged FIRST: the DV's footer row count answers "did anything
+      // match" on the driver — no separate `hits.isEmpty` job (guide
+      // §2.4), and the write materializes the persist() the feed legs
+      // ride
       val dvRel = f"_deletes/dv_v${v + 1}%06d_" +
         java.util.UUID.randomUUID().toString.take(8)
       hits.select(col(fileCol).as(DvFileCol),
@@ -5449,8 +5583,13 @@ object Versioned {
         val f = it.next().getPath.getName
         if (f.endsWith(".parquet")) dvFiles += s"$dvRel/$f"
       }
-      require(dvFiles.nonEmpty,
-        s"deletion-vector write produced no files under $dvRel")
+      if (dvFiles.isEmpty ||
+          countFooterRows(spark, dvFiles.map(r => s"$dir/$r").toSeq) == 0L) {
+        fs.delete(new Path(dir, dvRel), true)
+        changeFeed.foreach { case (fd, b) =>
+          graft.ops.MergeData.promoteFeedIncrement(spark, fd, b) }
+        return v // no row matched: no-op, no commit
+      }
       val deletedRows = hits.drop(DvSrcPos).drop(fileCol)
       // external feed: staged now, promoted only after the CAS wins
       changeFeed.foreach { case (fd, batchId) =>
@@ -5639,7 +5778,10 @@ object Versioned {
         applyGenerated(spark, meta0,
           applyDefaults(meta0, batch0), "merge batch"), "merge batch",
         forMerge = true)
-      require(!batch.isEmpty, "mergeIntoMor got an empty batch")
+      // batch emptiness is read off the tombstone staging write below
+      // instead of a separate `batch.isEmpty` job (guide §2.4 — the
+      // append path's staged-write discipline; the tombstone is the
+      // batch's distinct keys, so zero tombstone rows ⇔ empty batch)
       enforceConstraints(spark, dir, v, batch.filter(!del), "merge batch")
       // one tombstone key discipline per table: every pending KEYED
       // delete (scoped or global) must share this merge's key columns,
@@ -5661,6 +5803,25 @@ object Versioned {
       }
       val inserts = batch.filter(!del).drop("__delete")
       val keys = batch.select(rowKey.map(col): _*).distinct()
+      // the scoped tombstone: ONE small file of the batch's keys —
+      // staged FIRST so its footer row count answers the batch
+      // emptiness question on the driver (an empty batch stages a
+      // schema-only file, is refused, and leaves nothing behind)
+      val delRel = f"_deletes/v${v + 1}%06d_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      toPhysical(meta0, keys).coalesce(1)
+        .write.mode("errorifexists").parquet(s"$dir/$delRel")
+      val delFiles = scala.collection.mutable.ArrayBuffer.empty[String]
+      val it = fs.listFiles(new Path(dir, delRel), false)
+      while (it.hasNext) {
+        val f = it.next().getPath.getName
+        if (f.endsWith(".parquet")) delFiles += s"$delRel/$f"
+      }
+      if (delFiles.isEmpty ||
+          countFooterRows(spark, delFiles.map(r => s"$dir/$r").toSeq) == 0L) {
+        fs.delete(new Path(dir, delRel), true)
+        require(requirement = false, "mergeIntoMor got an empty batch")
+      }
       // resolved CDF actions — the one base scan, feed-attached only
       def resolveActions(): DataFrame = {
         val snap = snapshotAll(spark, dir, v)
@@ -5703,32 +5864,28 @@ object Versioned {
           writeChangeInc(spark, dir, resolveActions())
         }
       }
-      // the scoped tombstone: ONE small file of the batch's keys
-      val delRel = f"_deletes/v${v + 1}%06d_" +
-        java.util.UUID.randomUUID().toString.take(8)
-      toPhysical(meta0, keys).coalesce(1)
-        .write.mode("errorifexists").parquet(s"$dir/$delRel")
-      val delFiles = scala.collection.mutable.ArrayBuffer.empty[String]
-      val it = fs.listFiles(new Path(dir, delRel), false)
-      while (it.hasNext) {
-        val f = it.next().getPath.getName
-        if (f.endsWith(".parquet")) delFiles += s"$delRel/$f"
-      }
-      require(delFiles.nonEmpty, s"tombstone write produced no files under $delRel")
       // the batch's surviving rows: ordinary appended files (exempt
-      // from the tombstone above by their add-version)
+      // from the tombstone above by their add-version). Emptiness of
+      // the insert leg is read off ITS staged write too (an
+      // all-deletes batch stages either nothing or one schema-only
+      // file, deleted here) — no `inserts.isEmpty` job (guide §2.4)
       val autoRen = autoRenames(meta0, inserts.columns.toSeq, v + 1)
       val writeMeta = meta0.copy(renames = meta0.renames ++ autoRen)
       val (physInserts, pinOut) = conformToPinned(writeMeta,
         toPhysical(writeMeta, inserts), partitionKeys, "merge-mor batch")
+      val stagedIns = {
+        val (shapedIns, rowCapIns) =
+          shapeForWrite(spark, dir, physInserts, partitionKeys)
+        writeStagedFiles(spark, fs, dir, shapedIns, partitionKeys,
+          maxRecordsPerFile = rowCapIns)
+      }
       val newFiles =
-        if (inserts.isEmpty) Nil
-        else {
-          val (shapedIns, rowCapIns) =
-            shapeForWrite(spark, dir, physInserts, partitionKeys)
-          writeStagedFiles(spark, fs, dir, shapedIns, partitionKeys,
-            maxRecordsPerFile = rowCapIns)
-        }
+        if (stagedIns.isEmpty) Nil
+        else if (partitionKeys.isEmpty && stagedIns.size == 1 &&
+            countFooterRows(spark, stagedIns.map(r => s"$dir/$r")) == 0L) {
+          stagedIns.foreach(r => fs.delete(new Path(dir, r), false))
+          Nil
+        } else stagedIns
       val scoped = delFiles.map(p => s"$p @${v + 1}")
       beforeCommitHook()
       try {

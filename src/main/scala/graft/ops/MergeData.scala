@@ -181,8 +181,15 @@ object MergeData {
       replicaDir: String, partitionKeys: Seq[String], rowKey: Seq[String],
       sinceBatch: Long = -1L, untilBatch: Long = Long.MaxValue): Unit = {
     // mergeSchema: feed batches published before a schema evolution sit
-    // next to evolved ones; the replica applies the union schema
-    val feed = spark.read.option("mergeSchema", "true").parquet(feedDir)
+    // next to evolved ones; the replica applies the union schema.
+    // Uniform footers (the common case) serve it driver-side instead
+    // of paying the inference job (guide §2.4).
+    val feed0 =
+      graft.lake.Versioned.uniformDirSchemaLocal(spark, feedDir) match {
+        case Some(s) => spark.read.schema(s).parquet(feedDir)
+        case None => spark.read.option("mergeSchema", "true").parquet(feedDir)
+      }
+    val feed = feed0
       .filter(col("batch_id") > sinceBatch && col("batch_id") <= untilBatch)
     val batchIds = feed.select("batch_id").distinct()
       .collect().map(_.getAs[Number]("batch_id").longValue()).sorted
@@ -497,8 +504,15 @@ object MergeData {
     // mergeSchema: an evolved lake holds files written before a column
     // existed next to files written after; the union schema is the
     // table's schema (Delta keeps this in its log — here the footers
-    // are merged in a distributed job, bounded by file count)
-    val baseAll = spark.read.option("mergeSchema", "true").parquet(baseDir)
+    // are merged in a distributed job, bounded by file count). When
+    // every footer agrees (un-evolved base under the local-files
+    // budget — the CDC-replica case), the schema is served driver-side
+    // and the per-merge inference job is skipped (guide §2.4).
+    val baseAll =
+      graft.lake.Versioned.uniformDirSchemaLocal(spark, baseDir) match {
+        case Some(s) => spark.read.schema(s).parquet(baseDir)
+        case None => spark.read.option("mergeSchema", "true").parquet(baseDir)
+      }
     val res = resolveMerge(baseAll, updates, partitionKeys, rowKey, del)
     val merged = res.merged
 

@@ -6094,15 +6094,30 @@ object LakeQueries {
           val cur = Versioned.applyTableChangesVersioned(s, lake, rep,
             Seq("event_type"), seedV)
           require(cur == Versioned.currentVersion(s, lake))
+          // both require()s from ONE pass (guide §2.4 — was 4 actions:
+          // union-distinct count, two counts, an id agg): tag the
+          // sides, group by every column (= the old distinct), then
+          // fold to |distinct(src ∪ rep)|, |src|, |rep| and the
+          // distinct-id count. The id check is equivalent because it
+          // only fires after convergence holds, where the grouped
+          // frame IS the source set.
           val srcAll = Versioned.snapshotAll(s, lake)
           val repAll = Versioned.snapshotAll(s, rep)
-          require(srcAll.unionByName(repAll).distinct().count() ==
-            srcAll.count() && srcAll.count() == repAll.count(),
+          val allCols = srcAll.columns.toSeq
+          val conv = srcAll.withColumn("__src", lit(1L))
+            .unionByName(repAll.select(allCols.map(col): _*)
+              .withColumn("__src", lit(0L)))
+            .groupBy(allCols.map(col): _*)
+            .agg(sum(col("__src")).as("__s"), count(lit(1)).as("__c"))
+            .agg(count(lit(1)).as("groups"), sum(col("__s")).as("nsrc"),
+              sum(col("__c")).as("ntot"),
+              countDistinct(col(Versioned.RowIdCol)).as("ids"))
+            .collect()(0)
+          val (groups, nsrc, ntot, idsD) = (conv.getLong(0),
+            conv.getLong(1), conv.getLong(2), conv.getLong(3))
+          require(groups == nsrc && nsrc == ntot - nsrc,
             "the keyless replica must converge row-for-row, ids included")
-          val ids = srcAll.agg(
-            countDistinct(col(Versioned.RowIdCol)).as("d"),
-            count(lit(1)).as("n")).collect()(0)
-          require(ids.getLong(0) == ids.getLong(1),
+          require(idsD == nsrc,
             "row ids must stay unique across the mutation mix")
         }
         Versioned.snapshot(s, lake)
