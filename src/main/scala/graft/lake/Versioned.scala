@@ -2382,7 +2382,7 @@ object Versioned {
     * evolved file set keeps the distributed merge — bit-identical
     * result order is only guaranteed for the uniform case), or the
     * file count exceeds `spark.graft.footer.localMaxFiles`. */
-  private def uniformSchemaLocal(spark: SparkSession,
+  private[graft] def uniformSchemaLocal(spark: SparkSession,
       parts: Seq[Path]): Option[org.apache.spark.sql.types.StructType] =
     try {
       if (parts.isEmpty || parts.size > footerLocalMaxFiles(spark))

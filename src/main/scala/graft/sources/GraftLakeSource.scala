@@ -454,6 +454,10 @@ object GraftFileIndex {
     // and the vectorized reader promotes narrow stored types under
     // the declared wide schema — the fast path stays fast
     val physSchema = Versioned.pinnedSchemaAt(spark, dir, version)
+      // uniform footers (the un-evolved common case) serve the data
+      // schema driver-side — no per-relation-build inference job
+      // (guide §2.4); genuinely mixed footers keep the merge
+      .orElse(Versioned.uniformSchemaLocal(spark, abs.map(new Path(_))))
       .getOrElse(spark.read.option("mergeSchema", "true")
         .parquet(abs: _*).schema)
     val mapped = StructType(physSchema.flatMap { f =>

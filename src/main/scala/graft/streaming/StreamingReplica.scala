@@ -62,8 +62,12 @@ object StreamingReplica {
       // from the stream's possibly chunked file set); preimages
       // describe what a batch replaced — replay applies only
       // post-state rows
-      val b = spark.read.option("mergeSchema", "true")
-        .parquet(s"$feedDir/batch_id=$fid")
+      val bPath = s"$feedDir/batch_id=$fid"
+      val b0 = Versioned.uniformDirSchemaLocal(spark, bPath) match {
+        case Some(s) => spark.read.schema(s).parquet(bPath)
+        case None => spark.read.option("mergeSchema", "true").parquet(bPath)
+      }
+      val b = b0
         .filter(col("_action") =!= "update_preimage")
         .withColumn("__delete", col("_action") === "delete")
         .drop("_action")
